@@ -1,24 +1,54 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Runs the headline queries on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line for the driver. */
 object Bench {
+
+  /** Headline set: covers scan+join+agg, windows, sessionization, the
+    * transform expressions, and the pipeline operators (dedup/ANN/text). */
+  val headline: Seq[String] = Seq(
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_suppliers",
+    "q_top_customers",
+    "q_window_running",
+    "q_events_sessions",
+    "q_events_hourly",
+    "t_temporal_transforms",
+    "t_bucket_transforms",
+    "dedup_exact",
+    "dedup_lsh_pairs",
+    "dedup_simhash",
+    "ann_brute_force",
+    "text_quality",
+    "text_langid",
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val qs = SparkEntry.queries
+    val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { qs(name)(spark, sfDir).count() }
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qjson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val totalStr = f"$total%.3f"
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,13 +1,452 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{text, transforms, vectors}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query is deterministic and (where SQL-expressible) paired with a
+  * DuckDB oracle in [[SparkEntry.oracleSql]]. Money/quantity aggregations
+  * go through DECIMAL(12,2) so sums are exact and order-independent in
+  * both engines (double summation order differs between Spark's partial
+  * aggregation and DuckDB's sequential scan).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is TIMESTAMP(NANOS) parquet, which vanilla Spark rejects;
+      // read nanos as long and truncate to micros (what DuckDB does too).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/$name.parquet")
+      // integer division — double division loses micro precision on ns longs
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** exact decimal view of a 2-decimal double column */
+  private def money(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Revenue by region/year across region-nation-customer-orders-lineitem
+    * with broadcast dims — the plan shape we want at 100 TB: small dims
+    * broadcast, one shuffle for the aggregate. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val region = t(spark, dir, "region")
+    val nation = t(spark, dir, "nation")
+    val customer = t(spark, dir, "customer")
+    val orders = t(spark, dir, "orders")
+    val lineitem = t(spark, dir, "lineitem")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).as("order_year"))
+      .agg(
+        sum(money(col("l_extendedprice")) * (lit(1).cast(DecimalType(12, 2)) - money(col("l_discount"))))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("r_name"), col("order_year"))
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 + the pipeline
+    * operator set. Keys match [[oracleSql]]; non-SQL-expressible operators
+    * (bucket transform, LSH/minhash/simhash, ANN, stub decode) get a
+    * rows-only check and are covered by unit tests instead. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (Spark supplies the algebra; scan is ours) ----
+    "q1_pricing_summary" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val one = lit(1).cast(DecimalType(12, 2))
+      li.filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(money(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+          sum(money(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+          sum(money(col("l_extendedprice")) * (one - money(col("l_discount"))))
+            .cast(DoubleType).as("sum_disc_price"),
+          count(lit(1)).as("count_order"),
+          (sum(money(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"))
+    }),
+    "q3_shipping_priority" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-03-15"))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-03-15"))
+      val one = lit(1).cast(DecimalType(12, 2))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(money(col("l_extendedprice")) * (one - money(col("l_discount"))))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    "q5_local_suppliers" -> ((s, dir) => {
+      val one = lit(1).cast(DecimalType(12, 2))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+        .groupBy(col("n_name"))
+        .agg(sum(money(col("l_extendedprice")) * (one - money(col("l_discount"))))
+          .cast(DoubleType).as("revenue"))
+    }),
+    "q_top_customers" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          sum(money(col("o_totalprice"))).cast(DoubleType).as("total_spend"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("total_spend").desc, col("o_custkey"))
+        .limit(10)
+    }),
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          money(col("o_totalprice")).cast(DoubleType).as("o_totalprice"), col("rn"))
+    }),
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        count(lit(1)).over(w).as("running_orders"),
+        sum(money(col("o_totalprice"))).over(w).cast(DoubleType).as("running_spend"))
+    }),
+    "q_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          countDistinct(col("c_mktsegment")).as("n_segments"),
+          count(lit(1)).as("n_customers"),
+          sum(money(col("c_acctbal"))).cast(DoubleType).as("total_acctbal"))
+    }),
+    "q_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "q_semi_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"))
+    }),
+    "q_set_ops" -> ((s, dir) => {
+      val custNations = t(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+      val suppNations = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct()
+      custNations.intersect(suppNations)
+        .union(custNations.except(suppNations))
+        .distinct()
+    }),
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(sum(money(col("c_acctbal"))).cast(DoubleType).as("total_acctbal"),
+          count(lit(1)).as("n_customers"))
+    }),
+    // ---- events: time windows, sessionization, latest-per-key ----
+    "q_events_hourly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(money(col("value"))).cast(DoubleType).as("total_value"))
+    }),
+    "q_events_sessions" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapped = t(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("is_new", when(
+          col("prev_us").isNull ||
+            (unix_micros(col("ts")) - col("prev_us")) > lit(1800L * 1000000L), 1L)
+          .otherwise(0L))
+        .withColumn("session_idx", sum(col("is_new")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      gapped.groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+    }),
+    "q_events_latest" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          money(col("value")).cast(DoubleType).as("value"))
+    }),
+    // ---- Iceberg partition transforms (SURVEY §2.10) ----
+    "t_temporal_transforms" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        transforms.yearsT(col("l_shipdate")).as("t_year"),
+        transforms.monthsT(col("l_shipdate")).as("t_month"),
+        transforms.daysT(col("l_shipdate")).as("t_day"),
+        transforms.hoursT(col("l_shipdate")).as("t_hour"))
+    }),
+    "t_truncate_transforms" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        transforms.truncate(10, col("p_size")).as("t_size"),
+        transforms.truncate(100, col("p_partkey")).as("t_key"),
+        transforms.truncate(8, col("p_name")).as("t_name"))
+    }),
+    "t_bucket_transforms" -> ((s, dir) => {
+      // No SQL oracle: Iceberg bucket = murmur3(seed 0) over spec encodings
+      // (unit-tested against the spec appendix golden vectors instead).
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        transforms.bucket(16, col("p_partkey")).as("b_key"),
+        transforms.bucket(8, col("p_name")).as("b_name"),
+        transforms.bucket(32, col("p_retailprice").cast(DecimalType(12, 2))).as("b_price"))
+    }),
+    // ---- dedup family ----
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), Seq("text"), "doc_id")
+        .select(col("doc_id"), col("n_copies"))
+    }),
+    "dedup_minhash_sigs" -> ((s, dir) => {
+      Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          element_at(col("minhash_sig"), 1).as("sig0"),
+          element_at(col("minhash_sig"), 2).as("sig1"))
+    }),
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashes(t(s, dir, "documents"), "doc_id", "text")
+    }),
+    "dedup_lsh_pairs" -> ((s, dir) => {
+      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 2, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4)
+    }),
+    "dedup_embedding" -> ((s, dir) => {
+      // The synthetic embeddings are near-orthogonal, so plant deterministic
+      // near-duplicates (ids +1000000, each component scaled by 1.001) and
+      // detect them — exercises the LSH bucket join + cosine verify path.
+      val e = t(s, dir, "embeddings")
+      val jittered = e.filter(col("vec_id") < 10).select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      Dedup.embeddingNearDup(e.select(col("vec_id"), col("embedding")).union(jittered),
+        "vec_id", "embedding", cosineThreshold = 0.95, bits = 12)
+        .select(col("vec_a"), col("vec_b"))
+    }),
+    // ---- similarity search ----
+    "ann_brute_force" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 4), "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+    "ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 4), "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+    // ---- text analysis ----
+    "text_tokens" -> ((s, dir) => {
+      TextAnalysis.tokenStats(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          col("n_tokens").cast(LongType).as("n_tokens"),
+          col("n_chars").cast(LongType).as("n_chars"),
+          col("n_tokens_bpe_est").cast(LongType).as("n_tokens_bpe_est"))
+    }),
+    "text_quality" -> ((s, dir) => {
+      TextAnalysis.qualityScores(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          col("n_chars").cast(LongType).as("n_chars"),
+          col("n_tokens").cast(LongType).as("n_tokens"),
+          col("mean_word_len"), col("stopword_ratio"))
+    }),
+    "text_langid" -> ((s, dir) => {
+      TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")
+    }),
+    "text_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")
+    }),
+    // ---- multimodal plumbing (decode is a documented stub) ----
+    "mm_metadata" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.decodeMetadata(
+        Multimodal.asAssets(t(s, dir, "documents"), "doc_id", "text"))
+        .select(col("asset_id"), col("n_bytes").cast(LongType).as("n_bytes"))
+    }),
+    "mm_features" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.extractFeatures(
+        Multimodal.asAssets(t(s, dir, "documents"), "doc_id", "text"))
+        .select(col("asset_id"), element_at(col("feature"), 1).as("f0"))
+    }),
+  )
+
+  /** DuckDB-dialect oracles for every SQL-expressible query above.
+    * Column names/aliases must match the Spark output exactly. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_suppliers" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q_top_customers" ->
+      """SELECT o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY total_spend DESC, o_custkey LIMIT 10""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders) WHERE rn <= 3""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  COUNT(*) OVER w AS running_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT n_name,
+        |  COUNT(DISTINCT c_mktsegment) AS n_segments,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin,
+    "q_set_ops" ->
+      """SELECT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT
+        |  SELECT s_nationkey AS nationkey FROM supplier)
+        |UNION
+        |SELECT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT
+        |  SELECT s_nationkey AS nationkey FROM supplier)""".stripMargin,
+    "q_rollup" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal,
+        |  COUNT(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+    "q_events_sessions" ->
+      """WITH gapped AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM gapped)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM sessions GROUP BY user_id, session_idx""".stripMargin,
+    "q_events_latest" ->
+      """SELECT user_id, event_id, event_type,
+        |  CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1""".stripMargin,
+    "t_temporal_transforms" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(year(l_shipdate) - 1970 AS INT) AS t_year,
+        |  CAST((year(l_shipdate) - 1970) * 12 + month(l_shipdate) - 1 AS INT) AS t_month,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS INT) AS t_day,
+        |  CAST(date_diff('hour', TIMESTAMP '1970-01-01 00:00:00', l_shipdate) AS INT) AS t_hour
+        |FROM lineitem""".stripMargin,
+    "t_truncate_transforms" ->
+      """SELECT p_partkey,
+        |  p_size - ((p_size % 10 + 10) % 10) AS t_size,
+        |  p_partkey - ((p_partkey % 100 + 100) % 100) AS t_key,
+        |  SUBSTRING(p_name, 1, 8) AS t_name
+        |FROM part""".stripMargin,
+    "dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  GREATEST(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT),
+        |           CAST(FLOOR(length(text) / 4) AS BIGINT)) AS n_tokens_bpe_est
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '\s+')) AS mean_word_len,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio
+        |FROM documents""".stripMargin,
+    "mm_metadata" ->
+      """SELECT doc_id AS asset_id, CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+  )
 }

