@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{text, transforms, vectors}
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.tables._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,6 +32,18 @@ object SparkEntry {
 
   /** exact decimal view of a 2-decimal double column */
   private def money(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** fresh Iceberg table under tmp for a query, seeded from a source df */
+  private def freshTable(
+      s: SparkSession,
+      name: String,
+      src: DataFrame,
+      spec: IceSchema => IcePartitionSpec = _ => IcePartitionSpec(0, Nil)): GraftTable = {
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft-q/$name"
+    val schema = SchemaConvert.fromSparkSchema(src.schema)
+    StorageCatalog.createOrReplaceTable(
+      s.sparkContext.hadoopConfiguration, loc, schema, spec(schema))
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Revenue by region/year across region-nation-customer-orders-lineitem
@@ -283,6 +296,112 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")
     }),
+    // ---- Iceberg table layer: write/scan/delete/upsert/time travel ----
+    "ice_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "customer")
+      val tbl = freshTable(s, "ice_roundtrip", src)
+      tbl.append(s, src)
+      tbl.scan(s)
+    }),
+    "ice_partitioned_scan" -> ((s, dir) => {
+      // hidden partitioning by month(l_shipdate); the filtered scan reads
+      // only the pruned files (file-level partition+bounds pruning)
+      val src = t(s, dir, "lineitem")
+      val tbl = freshTable(s, "ice_partitioned_scan", src, schema =>
+        IcePartitionSpec(0, List(IcePartitionField(
+          schema.findField("l_shipdate").get.id, 1000, "month", "shipmonth"))))
+      tbl.append(s, src)
+      val flt = col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-07-01 00:00:00"))
+      tbl.scan(s, filter = Some(flt))
+    }),
+    "ice_eq_delete" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+      val tbl = freshTable(s, "ice_eq_delete", src)
+      tbl.append(s, src)
+      tbl.equalityDelete(s,
+        src.filter(col("o_orderstatus") === "F").select(col("o_orderkey")),
+        Seq("o_orderkey"))
+      tbl.scan(s)
+    }),
+    "ice_pos_delete" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+      val tbl = freshTable(s, "ice_pos_delete", src)
+      tbl.append(s, src)
+      val pos = tbl.scan(s, keepFilePos = true)
+        .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("_file").as("file_path"), col("_pos").as("pos"))
+      tbl.positionDelete(s, pos)
+      tbl.scan(s)
+    }),
+    "ice_upsert" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+      val tbl = freshTable(s, "ice_upsert", src)
+      tbl.append(s, src)
+      val upserts = src
+        .filter(pmod(col("o_orderkey"), lit(7)) === 0 && pmod(col("o_orderkey"), lit(13)) =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .withColumn("_op", lit(1))
+      val deletes = src.filter(pmod(col("o_orderkey"), lit(13)) === 0)
+        .withColumn("_op", lit(2))
+      tbl.upsert(s, upserts.unionByName(deletes), Seq("o_orderkey"), opCol = Some("_op"))
+      tbl.scan(s)
+    }),
+    "ice_time_travel" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+      val tbl = freshTable(s, "ice_time_travel", src)
+      tbl.append(s, src.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+      val snap1 = tbl.metadata.currentSnapshotId.get
+      tbl.append(s, src.filter(pmod(col("o_orderkey"), lit(2)) =!= 0))
+      tbl.scan(s, snapshotId = Some(snap1))
+    }),
+    // ---- structured streaming ----
+    "stream_events_hourly" -> ((s, dir) => {
+      // real streaming query over the events parquet (memory sink, complete
+      // mode); result must equal the batch hourly aggregate
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val name = s"stream_hourly_${System.nanoTime()}"
+      val stream = s.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val q = stream.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+    }),
+    "stream_cdc_upsert" -> ((s, dir) => {
+      // CDC micro-batches via foreachBatch into the Iceberg table:
+      // per-batch dedup to latest-per-key, then keyed upsert — the
+      // Spark-native shape of the reference's EqualityDeltaWriter stack
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val latestCols = Seq("user_id", "event_id", "event_type", "value", "ts")
+      val seed = t(s, dir, "events").select(latestCols.map(col): _*).limit(0)
+      val tbl = freshTable(s, "stream_cdc_upsert", seed)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val q = s.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            .select(latestCols.map(col): _*)
+            .withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1)
+            .drop("_rn")
+          tbl.upsert(batch.sparkSession, b, Seq("user_id"))
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      tbl.scan(s)
+    }),
     // ---- multimodal plumbing (decode is a documented stub) ----
     "mm_metadata" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -448,5 +567,27 @@ object SparkEntry {
     "mm_metadata" ->
       """SELECT doc_id AS asset_id, CAST(strlen(text) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
+    "ice_roundtrip" -> "SELECT * FROM customer",
+    "ice_partitioned_scan" ->
+      """SELECT * FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin,
+    "ice_eq_delete" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",
+    "ice_pos_delete" -> "SELECT * FROM orders WHERE o_orderkey % 10 <> 0",
+    "ice_upsert" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+        |       THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 13 <> 0""".stripMargin,
+    "ice_time_travel" -> "SELECT * FROM orders WHERE o_orderkey % 2 = 0",
+    "stream_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events
+        |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+    "stream_cdc_upsert" ->
+      """SELECT user_id, event_id, event_type, value, ts
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1""".stripMargin,
   )
 }

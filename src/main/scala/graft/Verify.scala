@@ -16,8 +16,19 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // emit naive (NTZ) timestamps so the parquet output matches the
+        // oracle's timezone-naive view of the source data
+        val cols = df.schema.fields.map { f =>
+          if (f.dataType == org.apache.spark.sql.types.TimestampType)
+            org.apache.spark.sql.functions.col(f.name)
+              .cast(org.apache.spark.sql.types.TimestampNTZType).as(f.name)
+          else org.apache.spark.sql.functions.col(f.name)
+        }
+        df.select(cols.toSeq: _*).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -1,0 +1,330 @@
+package graft.tables
+
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.transforms
+
+/** Iceberg-capable table: snapshot scans with MoR delete application,
+  * copy-on-write appends, equality/position deletes, upserts, time travel.
+  *
+  * Spark-first design (vs the reference's single-process writer stack):
+  * the write path is a normal Spark parquet write clustered by the
+  * partition-transform columns (hidden partitioning), stats harvest runs as
+  * a distributed job over the written footers, and only the
+  * manifest/metadata commit is driver-side — the same split the reference
+  * draws between its task writers and Transaction
+  * (icelake/src/transaction.rs:37-104). Delete application on read is the
+  * piece the reference never finished (icelake/src/io/scan.rs — raw data
+  * files only): here position deletes anti-join on (_file, _pos) and
+  * equality deletes anti-join on key columns with sequence-number
+  * visibility, both broadcast when small. */
+class GraftTable(
+    val location: String,
+    @volatile var metadata: TableMetadata,
+    @volatile var version: Int,
+    val conf: Configuration) {
+
+  import GraftTable._
+
+  def refresh(): GraftTable = {
+    val t = StorageCatalog.loadTable(conf, location)
+    metadata = t.metadata
+    version = t.version
+    this
+  }
+
+  /** Paths inside fixture tables may carry their original absolute
+    * location; remap onto where the table actually sits now. */
+  def relocate(path: String): String =
+    if (path.startsWith(location)) path
+    else if (path.startsWith(metadata.location))
+      location + path.stripPrefix(metadata.location)
+    else path
+
+  // ---------- planning ----------
+
+  /** live files of a snapshot with their data sequence numbers
+    * (manifest-list sequence inherited when the entry carries none) */
+  def planFiles(snapshot: IceSnapshot): List[(IceDataFile, Long)] = {
+    val entries = ManifestIO.readManifestList(conf, relocate(snapshot.manifestList))
+    entries.flatMap { mf =>
+      val spec = metadata.specById(mf.partitionSpecId)
+      ManifestIO.readManifest(conf, relocate(mf.manifestPath), spec.fields.map(_.name))
+        .filter(_.status != ManifestStatus.Deleted)
+        .map { e =>
+          val seq = e.dataSequenceNumber.getOrElse(mf.sequenceNumber)
+          (e.dataFile.copy(filePath = relocate(e.dataFile.filePath)), seq)
+        }
+    }
+  }
+
+  def resolveSnapshot(
+      snapshotId: Option[Long],
+      asOfTimestampMs: Option[Long]): Option[IceSnapshot] =
+    snapshotId.flatMap(metadata.snapshotById)
+      .orElse(asOfTimestampMs.flatMap(metadata.snapshotAsOf))
+      .orElse(metadata.currentSnapshot)
+
+  // ---------- read path ----------
+
+  /** Snapshot scan as a DataFrame. `filter` is used for file-level pruning
+    * (partition transforms + column bounds) AND re-applied row-level, so
+    * results are correct regardless of pruning power. */
+  def scan(
+      spark: SparkSession,
+      snapshotId: Option[Long] = None,
+      asOfTimestampMs: Option[Long] = None,
+      filter: Option[Column] = None,
+      keepFilePos: Boolean = false): DataFrame = {
+    val snap = resolveSnapshot(snapshotId, asOfTimestampMs)
+    val schema = snap.map(metadata.schemaFor).getOrElse(metadata.currentSchema)
+    val sparkSchema = SchemaConvert.toSparkSchema(schema)
+    snap match {
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
+      case Some(s) =>
+        val all = planFiles(s)
+        val dataFiles = PruneEval.prune(
+          all.filter(_._1.content == DataContent.Data),
+          filter, metadata.defaultSpec, schema)
+        val posDeletes = all.filter(_._1.content == DataContent.PositionDeletes)
+        val eqDeletes = all.filter(_._1.content == DataContent.EqualityDeletes)
+        val needPos = posDeletes.nonEmpty || keepFilePos
+
+        if (dataFiles.isEmpty)
+          return spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
+
+        // one scan per data sequence number (visibility group)
+        val bySeq = dataFiles.groupBy(_._2).toList.sortBy(_._1)
+        val scans = bySeq.map { case (seq, files) =>
+          var df = spark.read.schema(sparkSchema).parquet(files.map(_._1.filePath): _*)
+          if (needPos)
+            df = df
+              .withColumn("_file", col("_metadata.file_path"))
+              .withColumn("_pos", col("_metadata.row_index"))
+          df.withColumn("_dseq", lit(seq))
+        }
+        var df = scans.reduce(_ unionByName _)
+
+        // position deletes: anti join on (file, pos) where data seq <= delete seq
+        if (posDeletes.nonEmpty) {
+          val posDf = posDeletes.map { case (f, seq) =>
+            spark.read.parquet(f.filePath)
+              .select(col("file_path"), col("pos"), lit(seq).as("_pseq"))
+          }.reduce(_ unionByName _)
+          df = df.join(
+            broadcast(posDf),
+            col("_file") === col("file_path") && col("_pos") === col("pos") &&
+              col("_dseq") <= col("_pseq"),
+            "left_anti")
+        }
+
+        // equality deletes: per equality-id set, anti join on the key
+        // columns where delete seq > data seq (strictly newer deletes win)
+        eqDeletes.groupBy(_._1.equalityIds).foreach { case (eqIds, files) =>
+          val keyNames = eqIds.flatMap(id => schema.fieldById(id).map(_.name))
+          if (keyNames.nonEmpty) {
+            val eqDf = files.map { case (f, seq) =>
+              spark.read.parquet(f.filePath)
+                .select(keyNames.map(n => col(n).as(s"_eq_$n")) :+ lit(seq).as("_eseq"): _*)
+            }.reduce(_ unionByName _)
+            val cond = keyNames.map(n => col(n) === col(s"_eq_$n"))
+              .reduce(_ && _) && col("_eseq") > col("_dseq")
+            df = df.join(broadcast(eqDf), cond, "left_anti")
+          }
+        }
+
+        val dropCols = Seq("_dseq") ++ (if (needPos && !keepFilePos) Seq("_file", "_pos") else Nil)
+        df = df.drop(dropCols: _*)
+        filter.fold(df)(df.filter)
+    }
+  }
+
+  /** files that a filtered scan would read — lets tests assert pruning */
+  def filesForScan(filter: Option[Column]): Seq[String] =
+    metadata.currentSnapshot.toSeq.flatMap { s =>
+      PruneEval.prune(
+        planFiles(s).filter(_._1.content == DataContent.Data),
+        filter, metadata.defaultSpec, metadata.currentSchema)
+        .map(_._1.filePath)
+    }
+
+  // ---------- write paths ----------
+
+  def append(spark: SparkSession, df: DataFrame): GraftTable = {
+    val files = TableWrite.writeDataFiles(this, spark, df)
+    commit(spark, "append", addedData = files, addedDeletes = Nil, replace = false)
+  }
+
+  def overwrite(spark: SparkSession, df: DataFrame): GraftTable = {
+    val files = TableWrite.writeDataFiles(this, spark, df)
+    commit(spark, "overwrite", addedData = files, addedDeletes = Nil, replace = true)
+  }
+
+  /** Equality delete: rows matching any key tuple in `keysDf` (projected to
+    * `fieldNames`) become invisible for older sequence numbers. */
+  def equalityDelete(spark: SparkSession, keysDf: DataFrame, fieldNames: Seq[String]): GraftTable = {
+    val schema = metadata.currentSchema
+    val ids = fieldNames.map(n => schema.findField(n)
+      .getOrElse(sys.error(s"no field $n")).id)
+    val files = TableWrite.writeDeleteFiles(
+      this, spark, keysDf.select(fieldNames.map(col): _*).distinct(),
+      DataContent.EqualityDeletes, ids)
+    commit(spark, "delete", addedData = Nil, addedDeletes = files, replace = false)
+  }
+
+  /** Position delete: `posDf` must have (file_path: string, pos: long) —
+    * obtain them from `scan(keepFilePos = true)`'s _file/_pos columns. */
+  def positionDelete(spark: SparkSession, posDf: DataFrame): GraftTable = {
+    val normalized = posDf
+      .select(col("file_path").cast(StringType), col("pos").cast(LongType))
+      .sortWithinPartitions(col("file_path"), col("pos"))
+    val files = TableWrite.writeDeleteFiles(
+      this, spark, normalized, DataContent.PositionDeletes, Nil)
+    commit(spark, "delete", addedData = Nil, addedDeletes = files, replace = false)
+  }
+
+  /** CDC upsert (the reference's EqualityDeltaWriter semantics,
+    * icelake/src/io_v2/functional_writer/equality_delta_writer.rs:95-260,
+    * re-expressed set-wise): one snapshot carrying new data files plus an
+    * equality-delete file of the incoming keys. Equality deletes only hit
+    * strictly-older sequence numbers, so the new rows survive their own
+    * delete. Rows with op=DELETE contribute only the delete. */
+  def upsert(
+      spark: SparkSession,
+      df: DataFrame,
+      keyCols: Seq[String],
+      opCol: Option[String] = None): GraftTable = {
+    val schema = metadata.currentSchema
+    val ids = keyCols.map(n => schema.findField(n).getOrElse(sys.error(s"no field $n")).id)
+    val (inserts, allKeys) = opCol match {
+      case Some(oc) =>
+        (df.filter(col(oc) =!= lit(2)).drop(oc), df.select(keyCols.map(col): _*).distinct())
+      case None => (df, df.select(keyCols.map(col): _*).distinct())
+    }
+    val deleteFiles = TableWrite.writeDeleteFiles(
+      this, spark, allKeys, DataContent.EqualityDeletes, ids)
+    val dataFiles = TableWrite.writeDataFiles(this, spark, inserts)
+    commit(spark, "overwrite", addedData = dataFiles, addedDeletes = deleteFiles, replace = false)
+  }
+
+  // ---------- commit ----------
+
+  /** Produce a snapshot from added files and commit metadata with an
+    * optimistic check-and-retry loop (the loop the reference stubbed,
+    * icelake/src/transaction.rs:29-31). */
+  def commit(
+      spark: SparkSession,
+      operation: String,
+      addedData: List[IceDataFile],
+      addedDeletes: List[IceDataFile],
+      replace: Boolean): GraftTable = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try {
+        commitOnce(operation, addedData, addedDeletes, replace)
+        done = true
+      } catch {
+        case _: CommitConflictException if attempt < 5 =>
+          attempt += 1
+          refresh()
+      }
+    }
+    this
+  }
+
+  private def commitOnce(
+      operation: String,
+      addedData: List[IceDataFile],
+      addedDeletes: List[IceDataFile],
+      replace: Boolean): Unit = {
+    val base = metadata
+    val seq = base.lastSequenceNumber + 1
+    val snapshotId = math.abs(UUID.randomUUID().getLeastSignificantBits)
+    val now = System.currentTimeMillis()
+    val schema = base.currentSchema
+    val spec = base.defaultSpec
+    val mdir = StorageCatalog.metadataDir(location)
+
+    var listEntries = List.empty[IceManifestListEntry]
+    if (addedData.nonEmpty) {
+      val entries = addedData.map(f => IceManifestEntry(
+        ManifestStatus.Added, Some(snapshotId), Some(seq), Some(seq), f))
+      listEntries :+= ManifestIO.writeManifest(
+        conf, s"$mdir/${UUID.randomUUID()}-m0.avro", entries, spec, schema, content = 0)
+    }
+    if (addedDeletes.nonEmpty) {
+      val entries = addedDeletes.map(f => IceManifestEntry(
+        ManifestStatus.Added, Some(snapshotId), Some(seq), Some(seq), f))
+      listEntries :+= ManifestIO.writeManifest(
+        conf, s"$mdir/${UUID.randomUUID()}-d0.avro", entries, spec, schema, content = 1)
+    }
+    val previous: List[IceManifestListEntry] =
+      if (replace) Nil
+      else base.currentSnapshot.toList.flatMap(s =>
+        ManifestIO.readManifestList(conf, relocate(s.manifestList)))
+    val allEntries = previous ++ listEntries
+
+    val listPath = s"$mdir/snap-$snapshotId-$seq-${UUID.randomUUID()}.avro"
+    ManifestIO.writeManifestList(
+      conf, listPath, allEntries, snapshotId, base.currentSnapshotId, seq)
+
+    val prevSummary = base.currentSnapshot.map(_.summary).getOrElse(Map.empty)
+    def prevTotal(key: String): Long = prevSummary.get(key).map(_.toLong).getOrElse(0L)
+    val addedRecords = addedData.map(_.recordCount).sum
+    val addedSize = (addedData ++ addedDeletes).map(_.fileSizeInBytes).sum
+    val summary = Map(
+      "operation" -> operation,
+      "added-data-files" -> addedData.size.toString,
+      "added-delete-files" -> addedDeletes.size.toString,
+      "added-records" -> addedRecords.toString,
+      "added-files-size" -> addedSize.toString,
+      "total-records" ->
+        (if (replace) addedRecords else prevTotal("total-records") + addedRecords).toString,
+      "total-data-files" ->
+        (if (replace) addedData.size.toLong
+         else prevTotal("total-data-files") + addedData.size).toString,
+      "total-delete-files" ->
+        (if (replace) addedDeletes.size.toLong
+         else prevTotal("total-delete-files") + addedDeletes.size).toString)
+
+    val snapshot = IceSnapshot(
+      snapshotId = snapshotId,
+      parentSnapshotId = base.currentSnapshotId,
+      sequenceNumber = seq,
+      timestampMs = now,
+      manifestList = listPath,
+      summary = summary,
+      schemaId = Some(schema.schemaId))
+
+    val newMeta = base.copy(
+      lastSequenceNumber = seq,
+      lastUpdatedMs = now,
+      currentSnapshotId = Some(snapshotId),
+      snapshots = base.snapshots :+ snapshot,
+      snapshotLog = base.snapshotLog :+ IceLogEntry(now, snapshotId.toString),
+      metadataLog = base.metadataLog :+
+        IceLogEntry(base.lastUpdatedMs, s"$mdir/v$version.metadata.json"),
+      refs = base.refs + ("main" -> IceSnapshotRef(snapshotId, "branch")))
+
+    val newVersion = StorageCatalog.commitMetadata(conf, location, version, newMeta)
+    metadata = newMeta
+    version = newVersion
+  }
+}
+
+object GraftTable {
+
+  /** serializable slice of schema info the executor-side stats harvest needs */
+  case class FieldInfo(name: String, id: Int, typeRepr: String)
+}

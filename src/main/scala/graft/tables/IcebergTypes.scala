@@ -1,0 +1,170 @@
+package graft.tables
+
+/** In-memory Iceberg table metadata model (spec-shaped; mirrors the
+  * reference's TableMetadata surface, icelake/src/types/in_memory.rs:2454-2538,
+  * re-expressed as plain Scala case classes). */
+
+sealed trait IceType {
+  /** spec string form for primitives; descriptive for nested */
+  def repr: String
+}
+case class IcePrim(name: String) extends IceType { def repr: String = name }
+case class IceDecimal(precision: Int, scale: Int) extends IceType {
+  def repr = s"decimal($precision, $scale)"
+}
+case class IceFixed(length: Int) extends IceType { def repr = s"fixed[$length]" }
+case class IceStruct(fields: List[IceField]) extends IceType { def repr = "struct" }
+case class IceList(elementId: Int, element: IceType, elementRequired: Boolean)
+    extends IceType { def repr = "list" }
+case class IceMap(keyId: Int, key: IceType, valueId: Int, value: IceType,
+    valueRequired: Boolean) extends IceType { def repr = "map" }
+
+case class IceField(
+    id: Int,
+    name: String,
+    required: Boolean,
+    fieldType: IceType,
+    doc: Option[String] = None)
+
+case class IceSchema(schemaId: Int, fields: List[IceField]) {
+  def findField(name: String): Option[IceField] = fields.find(_.name == name)
+  def fieldById(id: Int): Option[IceField] = fields.find(_.id == id)
+  def maxFieldId: Int = {
+    def maxIn(t: IceType): Int = t match {
+      case IceStruct(fs) => (0 :: fs.map(f => math.max(f.id, maxIn(f.fieldType)))).max
+      case IceList(eid, e, _) => math.max(eid, maxIn(e))
+      case IceMap(kid, k, vid, v, _) => List(kid, vid, maxIn(k), maxIn(v)).max
+      case _ => 0
+    }
+    (0 :: fields.map(f => math.max(f.id, maxIn(f.fieldType)))).max
+  }
+}
+
+/** Partition transforms in spec string form: identity, bucket[N],
+  * truncate[W], year, month, day, hour, void. */
+case class IcePartitionField(sourceId: Int, fieldId: Int, transform: String, name: String)
+
+case class IcePartitionSpec(specId: Int, fields: List[IcePartitionField]) {
+  def isUnpartitioned: Boolean = fields.isEmpty
+}
+
+case class IceSortField(sourceId: Int, transform: String, direction: String, nullOrder: String)
+case class IceSortOrder(orderId: Int, fields: List[IceSortField])
+
+case class IceSnapshot(
+    snapshotId: Long,
+    parentSnapshotId: Option[Long],
+    sequenceNumber: Long,
+    timestampMs: Long,
+    manifestList: String,
+    summary: Map[String, String],
+    schemaId: Option[Int])
+
+case class IceSnapshotRef(snapshotId: Long, refType: String)
+
+case class IceLogEntry(timestampMs: Long, ref: String)
+
+case class TableMetadata(
+    formatVersion: Int,
+    tableUuid: String,
+    location: String,
+    lastSequenceNumber: Long,
+    lastUpdatedMs: Long,
+    lastColumnId: Int,
+    schemas: List[IceSchema],
+    currentSchemaId: Int,
+    partitionSpecs: List[IcePartitionSpec],
+    defaultSpecId: Int,
+    lastPartitionId: Int,
+    properties: Map[String, String],
+    currentSnapshotId: Option[Long],
+    snapshots: List[IceSnapshot],
+    snapshotLog: List[IceLogEntry],
+    metadataLog: List[IceLogEntry],
+    sortOrders: List[IceSortOrder],
+    defaultSortOrderId: Int,
+    refs: Map[String, IceSnapshotRef]) {
+
+  def currentSchema: IceSchema =
+    schemas.find(_.schemaId == currentSchemaId)
+      .getOrElse(sys.error(s"schema $currentSchemaId not found"))
+
+  def defaultSpec: IcePartitionSpec =
+    partitionSpecs.find(_.specId == defaultSpecId)
+      .getOrElse(IcePartitionSpec(0, Nil))
+
+  def specById(id: Int): IcePartitionSpec =
+    partitionSpecs.find(_.specId == id).getOrElse(defaultSpec)
+
+  def currentSnapshot: Option[IceSnapshot] =
+    currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
+
+  def snapshotById(id: Long): Option[IceSnapshot] = snapshots.find(_.snapshotId == id)
+
+  def schemaFor(s: IceSnapshot): IceSchema =
+    s.schemaId.flatMap(id => schemas.find(_.schemaId == id)).getOrElse(currentSchema)
+
+  /** snapshot visible as of a wall-clock timestamp */
+  def snapshotAsOf(timestampMs: Long): Option[IceSnapshot] =
+    snapshots.filter(_.timestampMs <= timestampMs).sortBy(_.timestampMs).lastOption
+}
+
+object DataContent {
+  val Data = 0
+  val PositionDeletes = 1
+  val EqualityDeletes = 2
+}
+
+/** One data/delete file tracked in a manifest (the reference's DataFile,
+  * icelake/src/types/in_memory.rs:1722-1848). Partition holds one value per
+  * spec field, already transformed. Bounds use Iceberg single-value binary
+  * serialization keyed by field id. */
+case class IceDataFile(
+    content: Int,
+    filePath: String,
+    fileFormat: String,
+    partition: Seq[Option[Any]],
+    recordCount: Long,
+    fileSizeInBytes: Long,
+    columnSizes: Map[Int, Long] = Map.empty,
+    valueCounts: Map[Int, Long] = Map.empty,
+    nullValueCounts: Map[Int, Long] = Map.empty,
+    lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+    upperBounds: Map[Int, Array[Byte]] = Map.empty,
+    splitOffsets: Seq[Long] = Nil,
+    equalityIds: Seq[Int] = Nil,
+    sortOrderId: Option[Int] = None)
+
+object ManifestStatus {
+  val Existing = 0
+  val Added = 1
+  val Deleted = 2
+}
+
+case class IceManifestEntry(
+    status: Int,
+    snapshotId: Option[Long],
+    dataSequenceNumber: Option[Long],
+    fileSequenceNumber: Option[Long],
+    dataFile: IceDataFile)
+
+case class IceManifestFile(
+    entries: List[IceManifestEntry],
+    schemaId: Int,
+    specId: Int,
+    content: Int) // 0=data, 1=deletes
+
+case class IceManifestListEntry(
+    manifestPath: String,
+    manifestLength: Long,
+    partitionSpecId: Int,
+    content: Int,
+    sequenceNumber: Long,
+    minSequenceNumber: Long,
+    addedSnapshotId: Long,
+    addedFilesCount: Int,
+    existingFilesCount: Int,
+    deletedFilesCount: Int,
+    addedRowsCount: Long,
+    existingRowsCount: Long,
+    deletedRowsCount: Long)

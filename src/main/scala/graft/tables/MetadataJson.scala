@@ -1,0 +1,271 @@
+package graft.tables
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** JSON codec for `vN.metadata.json` (Iceberg table-metadata spec; format
+  * shapes mirrored from the reference's on-disk model,
+  * icelake/src/types/on_disk/table_metadata.rs). Reads v1 and v2, writes v2. */
+object MetadataJson {
+
+  // ---------- types ----------
+
+  private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+  private val FixedRe = """fixed\[(\d+)\]""".r
+
+  def parseType(v: JValue): IceType = v match {
+    case JString(DecimalRe(p, s)) => IceDecimal(p.toInt, s.toInt)
+    case JString(FixedRe(l)) => IceFixed(l.toInt)
+    case JString(s) => IcePrim(s)
+    case obj: JObject =>
+      (obj \ "type") match {
+        case JString("struct") =>
+          IceStruct((obj \ "fields").children.map(parseField))
+        case JString("list") =>
+          IceList(
+            intOf(obj \ "element-id"),
+            parseType(obj \ "element"),
+            boolOf(obj \ "element-required", default = true))
+        case JString("map") =>
+          IceMap(
+            intOf(obj \ "key-id"),
+            parseType(obj \ "key"),
+            intOf(obj \ "value-id"),
+            parseType(obj \ "value"),
+            boolOf(obj \ "value-required", default = true))
+        case other => sys.error(s"unknown complex type: $other")
+      }
+    case other => sys.error(s"unknown type json: $other")
+  }
+
+  def typeToJson(t: IceType): JValue = t match {
+    case IcePrim(n) => JString(n)
+    case d: IceDecimal => JString(d.repr)
+    case f: IceFixed => JString(f.repr)
+    case IceStruct(fields) =>
+      JObject("type" -> JString("struct"), "fields" -> JArray(fields.map(fieldToJson)))
+    case IceList(eid, e, req) =>
+      JObject(
+        "type" -> JString("list"),
+        "element-id" -> JInt(eid),
+        "element" -> typeToJson(e),
+        "element-required" -> JBool(req))
+    case IceMap(kid, k, vid, vv, req) =>
+      JObject(
+        "type" -> JString("map"),
+        "key-id" -> JInt(kid),
+        "key" -> typeToJson(k),
+        "value-id" -> JInt(vid),
+        "value" -> typeToJson(vv),
+        "value-required" -> JBool(req))
+  }
+
+  private def parseField(v: JValue): IceField =
+    IceField(
+      id = intOf(v \ "id"),
+      name = strOf(v \ "name"),
+      required = boolOf(v \ "required", default = false),
+      fieldType = parseType(v \ "type"),
+      doc = (v \ "doc").toOption.collect { case JString(s) => s })
+
+  private def fieldToJson(f: IceField): JValue =
+    JObject(
+      List(
+        "id" -> JInt(f.id),
+        "name" -> JString(f.name),
+        "required" -> JBool(f.required),
+        "type" -> typeToJson(f.fieldType)) ++
+        f.doc.map(d => "doc" -> JString(d): (String, JValue)).toList)
+
+  def parseSchema(v: JValue): IceSchema =
+    IceSchema(
+      schemaId = intOf(v \ "schema-id", default = Some(0)),
+      fields = (v \ "fields").children.map(parseField))
+
+  def schemaToJson(s: IceSchema): JValue =
+    JObject(
+      "type" -> JString("struct"),
+      "schema-id" -> JInt(s.schemaId),
+      "fields" -> JArray(s.fields.map(fieldToJson)))
+
+  // ---------- helpers ----------
+
+  private def intOf(v: JValue, default: Option[Int] = None): Int = v match {
+    case JInt(i) => i.toInt
+    case JLong(l) => l.toInt
+    case _ => default.getOrElse(sys.error(s"expected int, got $v"))
+  }
+  private def longOf(v: JValue, default: Option[Long] = None): Long = v match {
+    case JInt(i) => i.toLong
+    case JLong(l) => l
+    case _ => default.getOrElse(sys.error(s"expected long, got $v"))
+  }
+  private def strOf(v: JValue): String = v match {
+    case JString(s) => s
+    case _ => sys.error(s"expected string, got $v")
+  }
+  private def boolOf(v: JValue, default: Boolean): Boolean = v match {
+    case JBool(b) => b
+    case _ => default
+  }
+  private def optLong(v: JValue): Option[Long] = v match {
+    case JInt(i) => Some(i.toLong)
+    case JLong(l) => Some(l)
+    case _ => None
+  }
+  private def strMap(v: JValue): Map[String, String] = v match {
+    case JObject(fields) =>
+      fields.collect { case (k, JString(s)) => k -> s }.toMap
+    case _ => Map.empty
+  }
+
+  // ---------- table metadata ----------
+
+  def parse(jsonBytes: Array[Byte]): TableMetadata = {
+    val j = JsonMethods.parse(new String(jsonBytes, "UTF-8"))
+    val formatVersion = intOf(j \ "format-version")
+
+    val schemas: List[IceSchema] = (j \ "schemas") match {
+      case JArray(items) => items.map(parseSchema)
+      case _ => // v1 single "schema"
+        (j \ "schema").toOption.map(s => List(parseSchema(s))).getOrElse(Nil)
+    }
+    val currentSchemaId = intOf(j \ "current-schema-id",
+      default = Some(schemas.headOption.map(_.schemaId).getOrElse(0)))
+
+    val specs: List[IcePartitionSpec] = (j \ "partition-specs") match {
+      case JArray(items) =>
+        items.map { sp =>
+          IcePartitionSpec(
+            intOf(sp \ "spec-id", default = Some(0)),
+            (sp \ "fields").children.map(parsePartitionField))
+        }
+      case _ => // v1 "partition-spec" (flat field list, spec id 0)
+        (j \ "partition-spec").toOption.map { sp =>
+          List(IcePartitionSpec(0, sp.children.map(parsePartitionField)))
+        }.getOrElse(List(IcePartitionSpec(0, Nil)))
+    }
+
+    val snapshots = (j \ "snapshots").children.map { s =>
+      IceSnapshot(
+        snapshotId = longOf(s \ "snapshot-id"),
+        parentSnapshotId = optLong(s \ "parent-snapshot-id"),
+        sequenceNumber = longOf(s \ "sequence-number", default = Some(0L)),
+        timestampMs = longOf(s \ "timestamp-ms"),
+        manifestList = strOf(s \ "manifest-list"),
+        summary = strMap(s \ "summary"),
+        schemaId = (s \ "schema-id").toOption.flatMap(v => optLong(v)).map(_.toInt))
+    }
+
+    val sortOrders = (j \ "sort-orders").children.map { so =>
+      IceSortOrder(
+        intOf(so \ "order-id", default = Some(0)),
+        (so \ "fields").children.map { f =>
+          IceSortField(
+            intOf(f \ "source-id", default = Some(0)),
+            (f \ "transform").toOption.collect { case JString(s) => s }.getOrElse("identity"),
+            (f \ "direction").toOption.collect { case JString(s) => s }.getOrElse("asc"),
+            (f \ "null-order").toOption.collect { case JString(s) => s }.getOrElse("nulls-first"))
+        })
+    }
+
+    val refs = (j \ "refs") match {
+      case JObject(fields) =>
+        fields.collect { case (name, r: JObject) =>
+          name -> IceSnapshotRef(
+            longOf(r \ "snapshot-id"),
+            (r \ "type").toOption.collect { case JString(s) => s }.getOrElse("branch"))
+        }.toMap
+      case _ => Map.empty[String, IceSnapshotRef]
+    }
+
+    def log(key: String, refKey: String): List[IceLogEntry] =
+      (j \ key).children.map(e => IceLogEntry(longOf(e \ "timestamp-ms"),
+        (e \ refKey).toOption.collect {
+          case JString(s) => s
+          case JInt(i) => i.toString
+          case JLong(l) => l.toString
+        }.getOrElse("")))
+
+    TableMetadata(
+      formatVersion = formatVersion,
+      tableUuid = strOf(j \ "table-uuid"),
+      location = strOf(j \ "location"),
+      lastSequenceNumber = longOf(j \ "last-sequence-number", default = Some(0L)),
+      lastUpdatedMs = longOf(j \ "last-updated-ms"),
+      lastColumnId = intOf(j \ "last-column-id"),
+      schemas = schemas,
+      currentSchemaId = currentSchemaId,
+      partitionSpecs = specs,
+      defaultSpecId = intOf(j \ "default-spec-id", default = Some(0)),
+      lastPartitionId = intOf(j \ "last-partition-id", default = Some(999)),
+      properties = strMap(j \ "properties"),
+      currentSnapshotId = optLong(j \ "current-snapshot-id").filter(_ != -1L),
+      snapshots = snapshots,
+      snapshotLog = log("snapshot-log", "snapshot-id"),
+      metadataLog = log("metadata-log", "metadata-file"),
+      sortOrders = if (sortOrders.isEmpty) List(IceSortOrder(0, Nil)) else sortOrders,
+      defaultSortOrderId = intOf(j \ "default-sort-order-id", default = Some(0)),
+      refs = refs)
+  }
+
+  private def parsePartitionField(v: JValue): IcePartitionField =
+    IcePartitionField(
+      sourceId = intOf(v \ "source-id"),
+      fieldId = intOf(v \ "field-id", default = Some(1000)),
+      transform = strOf(v \ "transform"),
+      name = strOf(v \ "name"))
+
+  def serialize(m: TableMetadata): Array[Byte] = {
+    val j = JObject(
+      "format-version" -> JInt(2),
+      "table-uuid" -> JString(m.tableUuid),
+      "location" -> JString(m.location),
+      "last-sequence-number" -> JLong(m.lastSequenceNumber),
+      "last-updated-ms" -> JLong(m.lastUpdatedMs),
+      "last-column-id" -> JInt(m.lastColumnId),
+      "current-schema-id" -> JInt(m.currentSchemaId),
+      "schemas" -> JArray(m.schemas.map(schemaToJson)),
+      "default-spec-id" -> JInt(m.defaultSpecId),
+      "partition-specs" -> JArray(m.partitionSpecs.map(sp => JObject(
+        "spec-id" -> JInt(sp.specId),
+        "fields" -> JArray(sp.fields.map(f => JObject(
+          "source-id" -> JInt(f.sourceId),
+          "field-id" -> JInt(f.fieldId),
+          "transform" -> JString(f.transform),
+          "name" -> JString(f.name))))))),
+      "last-partition-id" -> JInt(m.lastPartitionId),
+      "default-sort-order-id" -> JInt(m.defaultSortOrderId),
+      "sort-orders" -> JArray(m.sortOrders.map(so => JObject(
+        "order-id" -> JInt(so.orderId),
+        "fields" -> JArray(so.fields.map(f => JObject(
+          "source-id" -> JInt(f.sourceId),
+          "transform" -> JString(f.transform),
+          "direction" -> JString(f.direction),
+          "null-order" -> JString(f.nullOrder))))))),
+      "properties" -> JObject(m.properties.toList.sortBy(_._1).map { case (k, v) =>
+        k -> (JString(v): JValue) }),
+      "current-snapshot-id" -> m.currentSnapshotId.map(JLong(_): JValue).getOrElse(JLong(-1L)),
+      "refs" -> JObject(m.refs.toList.map { case (n, r) =>
+        n -> (JObject(
+          "snapshot-id" -> JLong(r.snapshotId),
+          "type" -> JString(r.refType)): JValue) }),
+      "snapshots" -> JArray(m.snapshots.map(s => JObject(
+        List(
+          "snapshot-id" -> (JLong(s.snapshotId): JValue),
+          "sequence-number" -> (JLong(s.sequenceNumber): JValue),
+          "timestamp-ms" -> (JLong(s.timestampMs): JValue),
+          "manifest-list" -> (JString(s.manifestList): JValue),
+          "summary" -> (JObject(s.summary.toList.sortBy(_._1).map { case (k, v) =>
+            k -> (JString(v): JValue) }): JValue)) ++
+          s.parentSnapshotId.map(p => "parent-snapshot-id" -> (JLong(p): JValue)).toList ++
+          s.schemaId.map(id => "schema-id" -> (JInt(id): JValue)).toList))),
+      "snapshot-log" -> JArray(m.snapshotLog.map(e => JObject(
+        "timestamp-ms" -> JLong(e.timestampMs),
+        "snapshot-id" -> JLong(e.ref.toLong)))),
+      "metadata-log" -> JArray(m.metadataLog.map(e => JObject(
+        "timestamp-ms" -> JLong(e.timestampMs),
+        "metadata-file" -> JString(e.ref)))))
+    JsonMethods.pretty(JsonMethods.render(j)).getBytes("UTF-8")
+  }
+}

@@ -1,0 +1,217 @@
+package graft.tables
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions._
+
+/** File-level pruning: evaluate a pushed-down predicate against each data
+  * file's partition tuple and column bounds, keeping files that MAY match.
+  *
+  * This generalizes the reference's exact-partition-equality filter
+  * (icelake/src/io/scan.rs:120-122) with predicate→transform-predicate
+  * derivation: monotone transforms (identity, truncate, year/month/day/
+  * hour) admit range pruning; bucket admits equality pruning. At 100 TB
+  * this is the difference between scanning one partition and all of them.
+  */
+object PruneEval {
+
+  sealed trait Bound
+  case class Range(lower: Option[Any], upper: Option[Any]) extends Bound
+
+  /** derive the transform value of a literal for comparison against
+    * partition values. Literal encodings: date=Int days, ts=Long micros. */
+  private def applyTransform(transform: String, lit: Any): Option[Any] = {
+    import graft.functions.TransformUtil
+    val BucketRe = """bucket\[(\d+)\]""".r
+    val TruncRe = """truncate\[(\d+)\]""".r
+    transform match {
+      case "identity" => Some(lit)
+      case "year" | "month" | "day" | "hour" =>
+        val micros: Option[Long] = lit match {
+          case i: Int => Some(i.toLong * 86400L * 1000000L) // date days
+          case l: Long => Some(l) // timestamp micros
+          case _ => None
+        }
+        micros.map { us =>
+          val days = Math.floorDiv(us, 86400L * 1000000L).toInt
+          transform match {
+            case "day" => days
+            case "hour" => Math.floorDiv(us, 3600L * 1000000L).toInt
+            case "year" | "month" =>
+              val d = java.time.LocalDate.ofEpochDay(days.toLong)
+              if (transform == "year") d.getYear - 1970
+              else (d.getYear - 1970) * 12 + d.getMonthValue - 1
+          }
+        }
+      case TruncRe(w) => lit match {
+        case i: Int => Some(TransformUtil.truncateInt(i, w.toInt))
+        case l: Long => Some(TransformUtil.truncateLong(l, w.toLong))
+        case s: String => Some(s.substring(0, math.min(s.length, w.toInt)))
+        case _ => None
+      }
+      case BucketRe(n) => lit match {
+        case i: Int => Some(TransformUtil.bucketInt(i, n.toInt))
+        case l: Long => Some(TransformUtil.bucketLong(l, n.toInt))
+        case s: String => Some(TransformUtil.bucketString(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s), n.toInt))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Number, y: Number) =>
+      val (dx, dy) = (x.doubleValue, y.doubleValue)
+      Some(java.lang.Double.compare(dx, dy))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case _ => None
+  }
+
+  private def litValue(l: Literal): Any = l.value match {
+    case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+    case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+    case other => other
+  }
+
+  /** column reference through resolution state and casts */
+  private object Attr {
+    def unapply(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(u.name)
+      case c: Cast => unapply(c.child)
+      case _ => None
+    }
+  }
+
+  /** May the file match the predicate? Conservative: unknown => true. */
+  def mayMatch(
+      expr: Expression,
+      file: IceDataFile,
+      spec: IcePartitionSpec,
+      schema: IceSchema): Boolean = expr match {
+    case And(l, r) => mayMatch(l, file, spec, schema) && mayMatch(r, file, spec, schema)
+    case Or(l, r) => mayMatch(l, file, spec, schema) || mayMatch(r, file, spec, schema)
+    case EqualTo(Attr(a), l: Literal) => mayCompare(a, litValue(l), file, spec, schema, "=")
+    case EqualTo(l: Literal, Attr(a)) => mayCompare(a, litValue(l), file, spec, schema, "=")
+    case LessThan(Attr(a), l: Literal) => mayCompare(a, litValue(l), file, spec, schema, "<")
+    case LessThanOrEqual(Attr(a), l: Literal) => mayCompare(a, litValue(l), file, spec, schema, "<=")
+    case GreaterThan(Attr(a), l: Literal) => mayCompare(a, litValue(l), file, spec, schema, ">")
+    case GreaterThanOrEqual(Attr(a), l: Literal) => mayCompare(a, litValue(l), file, spec, schema, ">=")
+    case LessThan(l: Literal, Attr(a)) => mayCompare(a, litValue(l), file, spec, schema, ">")
+    case LessThanOrEqual(l: Literal, Attr(a)) => mayCompare(a, litValue(l), file, spec, schema, ">=")
+    case GreaterThan(l: Literal, Attr(a)) => mayCompare(a, litValue(l), file, spec, schema, "<")
+    case GreaterThanOrEqual(l: Literal, Attr(a)) => mayCompare(a, litValue(l), file, spec, schema, "<=")
+    case In(Attr(a), lits) if lits.forall(_.isInstanceOf[Literal]) =>
+      lits.exists(l => mayCompare(a, litValue(l.asInstanceOf[Literal]), file, spec, schema, "="))
+    // the Column API arrives as unresolved function calls pre-analysis
+    case uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+      val name = uf.nameParts.last.toLowerCase
+      val flip = Map("<" -> ">", "<=" -> ">=", ">" -> "<", ">=" -> "<=", "=" -> "=", "==" -> "=")
+      val norm = Map("<" -> "<", "<=" -> "<=", ">" -> ">", ">=" -> ">=", "=" -> "=", "==" -> "=")
+      (name, uf.arguments) match {
+        case ("and", Seq(l, r)) =>
+          mayMatch(l, file, spec, schema) && mayMatch(r, file, spec, schema)
+        case ("or", Seq(l, r)) =>
+          mayMatch(l, file, spec, schema) || mayMatch(r, file, spec, schema)
+        case (op, Seq(Attr(a), l: Literal)) if norm.contains(op) =>
+          mayCompare(a, litValue(l), file, spec, schema, norm(op))
+        case (op, Seq(l: Literal, Attr(a))) if flip.contains(op) =>
+          mayCompare(a, litValue(l), file, spec, schema, flip(op))
+        case ("in", Attr(a) +: lits) if lits.forall(_.isInstanceOf[Literal]) =>
+          lits.exists(l => mayCompare(a, litValue(l.asInstanceOf[Literal]), file, spec, schema, "="))
+        case _ => true
+      }
+    case _ => true
+  }
+
+  /** range of possible transform-values for the file on the partition
+    * field derived from `col`: identity partition value is exact */
+  private def mayCompare(
+      colName: String,
+      lit0: Any,
+      file: IceDataFile,
+      spec: IcePartitionSpec,
+      schema: IceSchema,
+      op: String): Boolean = {
+    val fieldId = schema.findField(colName).map(_.id)
+    if (fieldId.isEmpty) return true
+    val fid = fieldId.get
+    // adapt string literals against temporal columns to their catalyst
+    // encodings (date=epoch days Int, timestamp=epoch micros Long, UTC)
+    val lit: Any = (lit0, schema.fieldById(fid).map(_.fieldType)) match {
+      case (s: String, Some(IcePrim("date"))) =>
+        try java.time.LocalDate.parse(s).toEpochDay.toInt catch { case _: Throwable => s }
+      case (s: String, Some(IcePrim("timestamp")) | Some(IcePrim("timestamptz"))) =>
+        try {
+          val ld =
+            if (s.length <= 10) java.time.LocalDate.parse(s).atStartOfDay()
+            else java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          ld.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+        } catch { case _: Throwable => s }
+      case _ => lit0
+    }
+
+    // 1) partition-transform pruning
+    val partOk = spec.fields.zipWithIndex.forall { case (pf, idx) =>
+      if (pf.sourceId != fid) true
+      else {
+        file.partition.lift(idx).flatten match {
+          case None => true
+          case Some(pv) =>
+            applyTransform(pf.transform, lit) match {
+              case None => true
+              case Some(tl) =>
+                cmp(pv, tl) match {
+                  case None => true
+                  case Some(c) =>
+                    val monotone = pf.transform == "identity" ||
+                      pf.transform.startsWith("truncate") ||
+                      Set("year", "month", "day", "hour").contains(pf.transform)
+                    op match {
+                      case "=" => c == 0
+                      // pv is the file's single transform value; monotone
+                      // transforms preserve order so e.g. col < lit requires
+                      // t(col) <= t(lit)
+                      case "<" | "<=" => if (monotone) c <= 0 else true
+                      case ">" | ">=" => if (monotone) c >= 0 else true
+                      case _ => true
+                    }
+                }
+            }
+        }
+      }
+    }
+    if (!partOk) return false
+
+    // 2) column-bounds pruning (min/max from the parquet footers)
+    val fieldType = schema.fieldById(fid).map(_.fieldType)
+    val lower = file.lowerBounds.get(fid).flatMap(b =>
+      fieldType.map(t => SingleValue.decode(t, b)))
+    val upper = file.upperBounds.get(fid).flatMap(b =>
+      fieldType.map(t => SingleValue.decode(t, b)))
+    op match {
+      case "=" =>
+        lower.flatMap(lo => cmp(lit, lo)).forall(_ >= 0) &&
+          upper.flatMap(up => cmp(lit, up)).forall(_ <= 0)
+      case "<" => lower.flatMap(lo => cmp(lo, lit)).forall(_ < 0)
+      case "<=" => lower.flatMap(lo => cmp(lo, lit)).forall(_ <= 0)
+      case ">" => upper.flatMap(up => cmp(up, lit)).forall(_ > 0)
+      case ">=" => upper.flatMap(up => cmp(up, lit)).forall(_ >= 0)
+      case _ => true
+    }
+  }
+
+  def prune(
+      files: Seq[(IceDataFile, Long)],
+      filter: Option[Column],
+      spec: IcePartitionSpec,
+      schema: IceSchema): Seq[(IceDataFile, Long)] =
+    filter match {
+      case None => files
+      case Some(c) =>
+        val expr = GraftBridge.catalystExpression(c)
+        files.filter { case (f, _) => mayMatch(expr, f, spec, schema) }
+    }
+}

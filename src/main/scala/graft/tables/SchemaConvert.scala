@@ -1,0 +1,138 @@
+package graft.tables
+
+import org.apache.spark.sql.types._
+
+/** Iceberg schema <-> Spark StructType. Field ids ride in StructField
+  * metadata under `parquet.field.id` (the same trick the reference plays
+  * for Arrow, icelake/src/types/arrow/to_arrow.rs:18,37-45), so Spark's
+  * parquet writer stamps them into files when
+  * `spark.sql.parquet.fieldId.write.enabled` is set. */
+object SchemaConvert {
+
+  val FieldIdKey = "parquet.field.id"
+
+  def toSparkType(t: IceType): DataType = t match {
+    case IcePrim("boolean") => BooleanType
+    case IcePrim("int") => IntegerType
+    case IcePrim("long") => LongType
+    case IcePrim("float") => FloatType
+    case IcePrim("double") => DoubleType
+    case IcePrim("date") => DateType
+    case IcePrim("time") => LongType // micros since midnight; no Spark type
+    case IcePrim("timestamp") => TimestampNTZType
+    case IcePrim("timestamptz") => TimestampType
+    case IcePrim("string") => StringType
+    case IcePrim("uuid") => StringType
+    case IcePrim("binary") => BinaryType
+    case IceDecimal(p, s) => DecimalType(p, s)
+    case IceFixed(_) => BinaryType
+    case IceStruct(fields) => StructType(fields.map(toSparkField))
+    case IceList(_, e, req) => ArrayType(toSparkType(e), containsNull = !req)
+    case IceMap(_, k, _, v, req) =>
+      MapType(toSparkType(k), toSparkType(v), valueContainsNull = !req)
+    case IcePrim(other) => sys.error(s"unsupported iceberg type: $other")
+  }
+
+  def toSparkField(f: IceField): StructField =
+    StructField(
+      f.name,
+      toSparkType(f.fieldType),
+      nullable = !f.required,
+      metadata = new MetadataBuilder().putLong(FieldIdKey, f.id.toLong).build())
+
+  def toSparkSchema(s: IceSchema): StructType = StructType(s.fields.map(toSparkField))
+
+  /** Spark -> Iceberg, assigning fresh sequential field ids (create-table
+    * path). Nested ids get allocated after all top-level ids, spec-style. */
+  def fromSparkSchema(schema: StructType): IceSchema = {
+    var nextId = 0
+    def alloc(): Int = { nextId += 1; nextId }
+    def conv(dt: DataType): IceType = dt match {
+      case BooleanType => IcePrim("boolean")
+      case IntegerType | ShortType | ByteType => IcePrim("int")
+      case LongType => IcePrim("long")
+      case FloatType => IcePrim("float")
+      case DoubleType => IcePrim("double")
+      case DateType => IcePrim("date")
+      case TimestampNTZType => IcePrim("timestamp")
+      case TimestampType => IcePrim("timestamptz")
+      case StringType => IcePrim("string")
+      case BinaryType => IcePrim("binary")
+      case d: DecimalType => IceDecimal(d.precision, d.scale)
+      case ArrayType(e, containsNull) =>
+        IceList(alloc(), conv(e), elementRequired = !containsNull)
+      case MapType(k, v, valueContainsNull) =>
+        IceMap(alloc(), conv(k), alloc(), conv(v), valueRequired = !valueContainsNull)
+      case StructType(fields) =>
+        IceStruct(fields.toList.map { f =>
+          IceField(alloc(), f.name, required = !f.nullable, conv(f.dataType))
+        })
+      case other => sys.error(s"unsupported spark type for iceberg: $other")
+    }
+    // allocate top-level ids first (1..n), then nested
+    val top = schema.fields.map(f => (f, alloc()))
+    val fields = top.toList.map { case (f, id) =>
+      IceField(id, f.name, required = !f.nullable, conv(f.dataType))
+    }
+    IceSchema(0, fields)
+  }
+
+  /** result type of a partition transform against a source field */
+  def transformResultType(transform: String, source: IceType): IceType =
+    transform match {
+      case "identity" => source
+      case "void" => source
+      case t if t.startsWith("bucket") => IcePrim("int")
+      case t if t.startsWith("truncate") => source
+      case "year" | "month" | "day" | "hour" => IcePrim("int")
+      case other => sys.error(s"unknown transform: $other")
+    }
+}
+
+/** Iceberg single-value binary serialization (spec Appendix D; declared but
+  * unimplemented in the reference, icelake/src/types/in_memory.rs:1794-1815)
+  * — used for lower/upper bounds in manifests. */
+object SingleValue {
+  import java.nio.{ByteBuffer, ByteOrder}
+
+  def encode(t: IceType, v: Any): Array[Byte] = t match {
+    case IcePrim("boolean") => Array(if (v.asInstanceOf[Boolean]) 1.toByte else 0.toByte)
+    case IcePrim("int") | IcePrim("date") =>
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(v.asInstanceOf[Number].intValue).array
+    case IcePrim("long") | IcePrim("time") | IcePrim("timestamp") | IcePrim("timestamptz") =>
+      ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        .putLong(v.asInstanceOf[Number].longValue).array
+    case IcePrim("float") =>
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        .putFloat(v.asInstanceOf[Number].floatValue).array
+    case IcePrim("double") =>
+      ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        .putDouble(v.asInstanceOf[Number].doubleValue).array
+    case IcePrim("string") => v.toString.getBytes("UTF-8")
+    case IcePrim("binary") | IceFixed(_) => v.asInstanceOf[Array[Byte]]
+    case IceDecimal(_, s) =>
+      val bd = v match {
+        case d: java.math.BigDecimal => d.setScale(s)
+        case d: BigDecimal => d.underlying.setScale(s)
+        case other => new java.math.BigDecimal(other.toString).setScale(s)
+      }
+      bd.unscaledValue.toByteArray
+    case other => sys.error(s"single-value encode unsupported for $other")
+  }
+
+  def decode(t: IceType, bytes: Array[Byte]): Any = t match {
+    case IcePrim("boolean") => bytes(0) != 0
+    case IcePrim("int") | IcePrim("date") =>
+      ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getInt
+    case IcePrim("long") | IcePrim("time") | IcePrim("timestamp") | IcePrim("timestamptz") =>
+      ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getLong
+    case IcePrim("float") => ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getFloat
+    case IcePrim("double") => ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getDouble
+    case IcePrim("string") => new String(bytes, "UTF-8")
+    case IcePrim("binary") | IceFixed(_) => bytes
+    case IceDecimal(_, s) =>
+      new java.math.BigDecimal(new java.math.BigInteger(bytes), s)
+    case other => sys.error(s"single-value decode unsupported for $other")
+  }
+}

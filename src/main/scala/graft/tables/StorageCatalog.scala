@@ -1,0 +1,154 @@
+package graft.tables
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Filesystem ("storage") catalog: metadata discovery via version-hint.text
+  * (or listing), optimistic commit via write-tmp-then-rename
+  * (behavior mirrored from icelake/src/catalog/storage.rs:175-352, with the
+  * check-and-retry loop the reference left unfinished). */
+object StorageCatalog {
+
+  private val VersionRe = """v(\d+)\.metadata\.json""".r
+
+  def metadataDir(location: String) = s"$location/metadata"
+
+  private def fsOf(conf: Configuration, p: Path): FileSystem = {
+    val fs = p.getFileSystem(conf)
+    // fixture tables ship stale .crc sidecars; read content, not checksums
+    fs.setVerifyChecksum(false)
+    fs
+  }
+
+  /** Latest committed metadata file: version-hint first, then the highest
+    * vN.metadata.json, then lexicographic max over *.metadata.json (the
+    * Spark/HMS `00000-uuid` naming — the "no hint" discovery path of
+    * icelake/src/catalog/storage.rs:275-310). Returns (path, version). */
+  def latestMetadata(conf: Configuration, location: String): Option[(String, Int)] = {
+    val dir = new Path(metadataDir(location))
+    val fs = fsOf(conf, dir)
+    val hint = new Path(dir, "version-hint.text")
+    val hinted: Option[(String, Int)] =
+      if (fs.exists(hint)) {
+        try {
+          val in = fs.open(hint)
+          val v = try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+          finally in.close()
+          // trust but verify — the hint can lag behind
+          val p = new Path(dir, s"v$v.metadata.json")
+          if (fs.exists(p)) Some((p.toUri.getPath, v)) else None
+        } catch { case _: Throwable => None }
+      } else None
+    hinted.orElse {
+      if (!fs.exists(dir)) None
+      else {
+        val metaFiles = fs.listStatus(dir).map(_.getPath.getName)
+          .filter(n => n.endsWith(".metadata.json") && !n.startsWith("."))
+        val versioned = metaFiles.flatMap {
+          case n @ VersionRe(v) => Some((n, v.toInt))
+          case _ => None
+        }
+        if (versioned.nonEmpty) {
+          val (n, v) = versioned.maxBy(_._2)
+          Some((new Path(dir, n).toUri.getPath, v))
+        } else if (metaFiles.nonEmpty) {
+          // lexicographic max; synthesize a version from the count
+          val n = metaFiles.max
+          Some((new Path(dir, n).toUri.getPath, metaFiles.length))
+        } else None
+      }
+    }
+  }
+
+  def currentVersion(conf: Configuration, location: String): Int =
+    latestMetadata(conf, location).map(_._2).getOrElse(0)
+
+  def tableExists(conf: Configuration, location: String): Boolean =
+    currentVersion(conf, location) > 0
+
+  def loadTable(conf: Configuration, location: String): GraftTable = {
+    val (path, v) = latestMetadata(conf, location)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $location"))
+    val meta = MetadataJson.parse(ManifestIO.readBytes(conf, path))
+    new GraftTable(location, meta, v, conf)
+  }
+
+  def createTable(
+      conf: Configuration,
+      location: String,
+      schema: IceSchema,
+      spec: IcePartitionSpec,
+      properties: Map[String, String] = Map.empty): GraftTable = {
+    require(!tableExists(conf, location), s"table already exists at $location")
+    val meta = TableMetadata(
+      formatVersion = 2,
+      tableUuid = UUID.randomUUID().toString,
+      location = location,
+      lastSequenceNumber = 0L,
+      lastUpdatedMs = System.currentTimeMillis(),
+      lastColumnId = schema.maxFieldId,
+      schemas = List(schema),
+      currentSchemaId = schema.schemaId,
+      partitionSpecs = List(spec),
+      defaultSpecId = spec.specId,
+      lastPartitionId = (999 :: spec.fields.map(_.fieldId)).max,
+      properties = properties,
+      currentSnapshotId = None,
+      snapshots = Nil,
+      snapshotLog = Nil,
+      metadataLog = Nil,
+      sortOrders = List(IceSortOrder(0, Nil)),
+      defaultSortOrderId = 0,
+      refs = Map.empty)
+    val version = commitMetadata(conf, location, expectedVersion = 0, meta)
+    new GraftTable(location, meta, version, conf)
+  }
+
+  /** Replace any existing table at the location (test convenience). */
+  def createOrReplaceTable(
+      conf: Configuration,
+      location: String,
+      schema: IceSchema,
+      spec: IcePartitionSpec,
+      properties: Map[String, String] = Map.empty): GraftTable = {
+    val p = new Path(location)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) fs.delete(p, true)
+    createTable(conf, location, schema, spec, properties)
+  }
+
+  /** Atomic-ish single-version commit: write tmp then rename to
+    * v{N+1}.metadata.json (rename fails if the target exists on HDFS/local,
+    * giving optimistic concurrency); refresh version-hint after. Throws
+    * [[CommitConflictException]] when someone else won the version. */
+  def commitMetadata(
+      conf: Configuration,
+      location: String,
+      expectedVersion: Int,
+      meta: TableMetadata): Int = {
+    val dir = new Path(metadataDir(location))
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val next = expectedVersion + 1
+    val target = new Path(dir, s"v$next.metadata.json")
+    if (fs.exists(target)) throw new CommitConflictException(s"version $next already exists")
+    val tmp = new Path(dir, s".tmp-${UUID.randomUUID()}.metadata.json")
+    val out = fs.create(tmp, false)
+    try out.write(MetadataJson.serialize(meta))
+    finally out.close()
+    // rename(src, dst) returns false if dst exists => lost the race
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new CommitConflictException(s"concurrent commit to version $next")
+    }
+    val hint = new Path(dir, "version-hint.text")
+    val hintOut = fs.create(hint, true)
+    try hintOut.write(next.toString.getBytes("UTF-8"))
+    finally hintOut.close()
+    next
+  }
+}
+
+class CommitConflictException(msg: String) extends RuntimeException(msg)

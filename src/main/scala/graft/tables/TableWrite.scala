@@ -1,0 +1,308 @@
+package graft.tables
+
+import java.net.URLDecoder
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.transforms
+import graft.tables.GraftTable.FieldInfo
+
+/** Write path: cluster by the partition-transform columns, write parquet
+  * through Spark's vectorized writer, then harvest per-file stats
+  * (record counts, sizes, null counts, real min/max bounds — closing the
+  * reference's bounds gap, icelake/src/types/in_memory.rs:1711-1712) with a
+  * distributed job over the footers. Only the tiny DataFile descriptors
+  * come back to the driver. */
+object TableWrite {
+
+  /** per-file stats harvested from a parquet footer (executor side) */
+  case class FileStats(
+      path: String,
+      recordCount: Long,
+      fileSize: Long,
+      columnSizes: Map[Int, Long],
+      valueCounts: Map[Int, Long],
+      nullCounts: Map[Int, Long],
+      lowerBounds: Map[Int, Array[Byte]],
+      upperBounds: Map[Int, Array[Byte]],
+      splitOffsets: Seq[Long])
+
+  private def parseTypeRepr(repr: String): IceType =
+    MetadataJson.parseType(org.json4s.JString(repr))
+
+  /** executor-side footer read; runs with a fresh local Configuration —
+    * acceptable for file:// and HDFS-default deployments */
+  def statsOf(pathStr: String, infos: Seq[FieldInfo]): FileStats = {
+    val conf = new Configuration()
+    val inputFile = HadoopInputFile.fromPath(new Path(pathStr), conf)
+    val reader = ParquetFileReader.open(inputFile)
+    try {
+      val footer = reader.getFooter
+      val blocks = footer.getBlocks.asScala.toList
+      val byName = infos.map(i => i.name -> i).toMap
+
+      var recordCount = 0L
+      val colSizes = scala.collection.mutable.Map[Int, Long]()
+      val valCounts = scala.collection.mutable.Map[Int, Long]()
+      val nullCounts = scala.collection.mutable.Map[Int, Long]()
+      val mins = scala.collection.mutable.Map[Int, Any]()
+      val maxs = scala.collection.mutable.Map[Int, Any]()
+      val offsets = scala.collection.mutable.ArrayBuffer[Long]()
+
+      blocks.foreach { b =>
+        recordCount += b.getRowCount
+        offsets += b.getStartingPos
+        b.getColumns.asScala.foreach { c =>
+          val name = c.getPath.toDotString
+          byName.get(name).foreach { info =>
+            val id = info.id
+            colSizes(id) = colSizes.getOrElse(id, 0L) + c.getTotalSize
+            valCounts(id) = valCounts.getOrElse(id, 0L) + c.getValueCount
+            val st = c.getStatistics
+            if (st != null && !st.isEmpty) {
+              if (st.isNumNullsSet)
+                nullCounts(id) = nullCounts.getOrElse(id, 0L) + st.getNumNulls
+              if (st.hasNonNullValue) {
+                val (mn, mx) = statValues(st, info.typeRepr)
+                (mn, mx) match {
+                  case (Some(a), Some(z)) =>
+                    mins(id) = mins.get(id).map(m => minOf(m, a)).getOrElse(a)
+                    maxs(id) = maxs.get(id).map(m => maxOf(m, z)).getOrElse(z)
+                  case _ =>
+                }
+              }
+            }
+          }
+        }
+      }
+
+      val lower = mins.toMap.flatMap { case (id, v) =>
+        encodeBound(byName, infos, id, v, isUpper = false).map(id -> _) }
+      val upper = maxs.toMap.flatMap { case (id, v) =>
+        encodeBound(byName, infos, id, v, isUpper = true).map(id -> _) }
+
+      FileStats(pathStr, recordCount, inputFile.getLength,
+        colSizes.toMap, valCounts.toMap, nullCounts.toMap,
+        lower, upper, offsets.toSeq.sorted)
+    } finally reader.close()
+  }
+
+  private def statValues(
+      st: org.apache.parquet.column.statistics.Statistics[_],
+      typeRepr: String): (Option[Any], Option[Any]) = {
+    import org.apache.parquet.column.statistics._
+    (st, typeRepr) match {
+      case (s: IntStatistics, "int" | "date") => (Some(s.getMin), Some(s.getMax))
+      case (s: LongStatistics, "long" | "timestamp" | "timestamptz" | "time") =>
+        (Some(s.getMin), Some(s.getMax))
+      case (s: FloatStatistics, "float") => (Some(s.getMin), Some(s.getMax))
+      case (s: DoubleStatistics, "double") => (Some(s.getMin), Some(s.getMax))
+      case (s: BinaryStatistics, "string") =>
+        (Some(s.genericGetMin.toStringUsingUTF8), Some(s.genericGetMax.toStringUsingUTF8))
+      case _ => (None, None)
+    }
+  }
+
+  private def minOf(a: Any, b: Any): Any = if (cmpAny(a, b) <= 0) a else b
+  private def maxOf(a: Any, b: Any): Any = if (cmpAny(a, b) >= 0) a else b
+  private def cmpAny(a: Any, b: Any): Int = (a, b) match {
+    case (x: Int, y: Int) => Integer.compare(x, y)
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Float, y: Float) => java.lang.Float.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: String, y: String) => x.compareTo(y)
+    case _ => 0
+  }
+
+  /** string bounds are truncated to 16 code points; a truncated upper
+    * bound is rounded up by bumping the last char (skip if not possible) */
+  private def encodeBound(
+      byName: Map[String, FieldInfo],
+      infos: Seq[FieldInfo],
+      id: Int,
+      v: Any,
+      isUpper: Boolean): Option[Array[Byte]] = {
+    val info = infos.find(_.id == id).getOrElse(return None)
+    val t = parseTypeRepr(info.typeRepr)
+    v match {
+      case s: String if s.length > 16 =>
+        if (!isUpper) Some(SingleValue.encode(t, s.substring(0, 16)))
+        else {
+          val prefix = s.substring(0, 16)
+          val last = prefix.charAt(15)
+          if (last == Char.MaxValue) None
+          else Some(SingleValue.encode(t, prefix.substring(0, 15) + (last + 1).toChar))
+        }
+      case other => Some(SingleValue.encode(t, other))
+    }
+  }
+
+  // ---------- partition handling ----------
+
+  private val BucketRe = """bucket\[(\d+)\]""".r
+  private val TruncRe = """truncate\[(\d+)\]""".r
+
+  def transformColumn(transform: String, source: Column): Column = transform match {
+    case "identity" => source
+    case "void" => lit(null)
+    case "year" => transforms.yearsT(source)
+    case "month" => transforms.monthsT(source)
+    case "day" => transforms.daysT(source)
+    case "hour" => transforms.hoursT(source)
+    case BucketRe(n) => transforms.bucket(n.toInt, source)
+    case TruncRe(w) => transforms.truncate(w.toInt, source)
+    case other => sys.error(s"unknown transform: $other")
+  }
+
+  /** parse a hive-style partition dir value back to a typed value */
+  def parsePartitionValue(resultType: IceType, raw: String): Option[Any] = {
+    if (raw == "__HIVE_DEFAULT_PARTITION__") return None
+    val decoded = URLDecoder.decode(raw, "UTF-8")
+    resultType match {
+      case IcePrim("int") => Some(decoded.toInt)
+      case IcePrim("long") => Some(decoded.toLong)
+      case IcePrim("string") => Some(decoded)
+      case IcePrim("date") => Some(java.time.LocalDate.parse(decoded).toEpochDay.toInt)
+      case IcePrim("boolean") => Some(decoded.toBoolean)
+      case IcePrim("float") => Some(decoded.toFloat)
+      case IcePrim("double") => Some(decoded.toDouble)
+      case _ => Some(decoded)
+    }
+  }
+
+  // ---------- write entry points ----------
+
+  private def prepared(df: DataFrame, schema: IceSchema): DataFrame = {
+    val cols = schema.fields.map { f =>
+      val md = new MetadataBuilder().putLong(SchemaConvert.FieldIdKey, f.id.toLong).build()
+      col(f.name).cast(SchemaConvert.toSparkType(f.fieldType)).as(f.name, md)
+    }
+    df.select(cols: _*)
+  }
+
+  private def configureWriter(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    // INT96 timestamps have no usable footer stats; write micros
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+  }
+
+  private def listParquet(conf: Configuration, dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Nil
+    val it = fs.listFiles(p, true)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (name.endsWith(".parquet") && !name.startsWith(".") && !name.startsWith("_"))
+        out += f.getPath.toUri.getPath
+    }
+    out.toSeq
+  }
+
+  /** distributed footer harvest; returns stats per file path */
+  def harvest(spark: SparkSession, paths: Seq[String], infos: Seq[FieldInfo]): Seq[FileStats] =
+    if (paths.isEmpty) Nil
+    else {
+      val par = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(paths, par).map(p => statsOf(p, infos)).collect().toSeq
+    }
+
+  def writeDataFiles(table: GraftTable, spark: SparkSession, df: DataFrame): List[IceDataFile] = {
+    val schema = table.metadata.currentSchema
+    val spec = table.metadata.defaultSpec
+    configureWriter(spark)
+    val base = prepared(df, schema)
+    val writeId = UUID.randomUUID().toString
+    val outDir = s"${table.location}/data/$writeId"
+
+    val infos = schema.fields.map(f => FieldInfo(f.name, f.id, f.fieldType.repr))
+
+    if (spec.isUnpartitioned) {
+      base.write.mode("errorifexists").parquet(outDir)
+      val paths = listParquet(table.conf, outDir)
+      harvest(spark, paths, infos).map(statsToDataFile(_, Nil, DataContent.Data, Nil)).toList
+    } else {
+      val pcols = spec.fields.map(pf => s"_p_${pf.name}")
+      val srcByid = spec.fields.map(pf =>
+        schema.fieldById(pf.sourceId).getOrElse(sys.error(s"no field ${pf.sourceId}")))
+      val withParts = spec.fields.zip(srcByid).foldLeft(base) { case (d, (pf, src)) =>
+        d.withColumn(s"_p_${pf.name}", transformColumn(pf.transform, col(src.name)))
+      }
+      // cluster rows by partition value: one shuffle, bounded output files
+      withParts
+        .repartition(pcols.map(col): _*)
+        .write.mode("errorifexists").partitionBy(pcols: _*).parquet(outDir)
+      val paths = listParquet(table.conf, outDir)
+      val resultTypes = spec.fields.zip(srcByid).map { case (pf, src) =>
+        SchemaConvert.transformResultType(pf.transform, src.fieldType) }
+      val stats = harvest(spark, paths, infos)
+      stats.map { st =>
+        // partition values ride in the directory names under outDir
+        val rel = st.path.stripPrefix(outDir).stripPrefix("/")
+        val dirs = rel.split('/').dropRight(1)
+        val values: Seq[Option[Any]] = spec.fields.zip(resultTypes).map { case (pf, rt) =>
+          dirs.find(_.startsWith(s"_p_${pf.name}="))
+            .flatMap(d => parsePartitionValue(rt, d.substring(d.indexOf('=') + 1)))
+        }
+        statsToDataFile(st, values, DataContent.Data, Nil)
+      }.toList
+    }
+  }
+
+  /** write position/equality delete files (unpartitioned scope) */
+  def writeDeleteFiles(
+      table: GraftTable,
+      spark: SparkSession,
+      df: DataFrame,
+      content: Int,
+      equalityIds: Seq[Int]): List[IceDataFile] = {
+    configureWriter(spark)
+    val writeId = UUID.randomUUID().toString
+    val outDir = s"${table.location}/data/$writeId"
+    val infos: Seq[FieldInfo] =
+      if (content == DataContent.PositionDeletes)
+        Seq(FieldInfo("file_path", 2147483546, "string"), FieldInfo("pos", 2147483545, "long"))
+      else {
+        val schema = table.metadata.currentSchema
+        equalityIds.flatMap(id => schema.fieldById(id)
+          .map(f => FieldInfo(f.name, f.id, f.fieldType.repr)))
+      }
+    df.write.mode("errorifexists").parquet(outDir)
+    val paths = listParquet(table.conf, outDir)
+    harvest(spark, paths, infos)
+      .filter(_.recordCount > 0)
+      .map(statsToDataFile(_, Nil, content, equalityIds)).toList
+  }
+
+  private def statsToDataFile(
+      st: FileStats,
+      partition: Seq[Option[Any]],
+      content: Int,
+      equalityIds: Seq[Int]): IceDataFile =
+    IceDataFile(
+      content = content,
+      filePath = st.path,
+      fileFormat = "parquet",
+      partition = partition,
+      recordCount = st.recordCount,
+      fileSizeInBytes = st.fileSize,
+      columnSizes = st.columnSizes,
+      valueCounts = st.valueCounts,
+      nullValueCounts = st.nullCounts,
+      lowerBounds = st.lowerBounds,
+      upperBounds = st.upperBounds,
+      splitOffsets = st.splitOffsets,
+      equalityIds = equalityIds,
+      sortOrderId = None)
+}

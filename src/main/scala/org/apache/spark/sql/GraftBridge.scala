@@ -8,4 +8,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column into a concrete catalyst expression tree
+    * (UnresolvedAttribute / Literal / And / comparison nodes) — the lazy
+    * ColumnNodeExpression wrapper hides the tree from pattern matching. */
+  def catalystExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -1,0 +1,224 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tables._
+
+/** Table-layer tests: fixture loading (the reference's committed Iceberg
+  * tables), write/read round-trips, partition pruning, MoR deletes,
+  * upsert, and time travel. */
+class TableSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+  private def tmpLocation(name: String): String = {
+    val d = Files.createTempDirectory(s"graft-$name").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("load the reference fixture table (simple_table)") {
+    val t = StorageCatalog.loadTable(conf, "/root/reference/testdata/simple_table")
+    assert(t.version === 2)
+    assert(t.metadata.formatVersion === 1)
+    assert(t.metadata.currentSchema.fields.map(_.name) === List("id", "data"))
+    val snap = t.metadata.currentSnapshot.get
+    assert(snap.summary("total-records") === "3")
+    val files = t.planFiles(snap)
+    assert(files.size === 3)
+    assert(files.forall(_._1.filePath.startsWith("/root/reference/testdata/simple_table/data/")))
+    val rows = t.scan(spark).orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows.map(_.getString(1)).toSeq === Seq("a", "b", "c"))
+  }
+
+  test("load the no-hint fixture table (metadata discovery by listing)") {
+    val t = StorageCatalog.loadTable(conf, "/root/reference/testdata/no_hint_table")
+    assert(t.version >= 1)
+    assert(t.metadata.currentSchema.fields.nonEmpty)
+  }
+
+  test("unpartitioned round-trip: append customer, scan back") {
+    val src = spark.read.parquet(s"$sfDir/customer.parquet")
+    val loc = tmpLocation("rt")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src)
+    val back = t.scan(spark)
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // stats: bounds harvested
+    val files = t.planFiles(t.metadata.currentSnapshot.get)
+    assert(files.nonEmpty)
+    val f = files.head._1
+    assert(f.recordCount > 0)
+    assert(f.lowerBounds.nonEmpty && f.upperBounds.nonEmpty)
+  }
+
+  test("partitioned append with month transform + partition pruning") {
+    val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val schema = SchemaConvert.fromSparkSchema(src.schema)
+    val shipdateId = schema.findField("l_shipdate").get.id
+    val spec = IcePartitionSpec(0,
+      List(IcePartitionField(shipdateId, 1000, "month", "shipmonth")))
+    val loc = tmpLocation("part")
+    val t = StorageCatalog.createOrReplaceTable(conf, loc, schema, spec)
+    t.append(spark, src)
+
+    val back = t.scan(spark)
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).isEmpty)
+
+    // partition values recorded per file
+    val files = t.planFiles(t.metadata.currentSnapshot.get)
+    assert(files.forall(_._1.partition.size == 1))
+    assert(files.flatMap(_._1.partition.head).toSet.size > 10)
+
+    // pruning: a 3-month window must touch far fewer files than all
+    val flt = col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+      col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00"))
+    val prunedFiles = t.filesForScan(Some(flt))
+    assert(prunedFiles.size < files.size / 4,
+      s"pruning ineffective: ${prunedFiles.size} of ${files.size}")
+    val got = t.scan(spark, filter = Some(flt))
+    val exp = src.filter(flt)
+    assert(got.count() === exp.count())
+    assert(got.exceptAll(exp).isEmpty)
+  }
+
+  test("equality delete hides matching rows from older snapshots") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val loc = tmpLocation("eqdel")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src)
+    val toDelete = src.filter($"o_orderstatus" === "F").select($"o_orderkey")
+    t.equalityDelete(spark, toDelete, Seq("o_orderkey"))
+    val back = t.scan(spark)
+    val exp = src.filter($"o_orderstatus" =!= "F")
+    assert(back.count() === exp.count())
+    assert(back.exceptAll(exp).isEmpty)
+  }
+
+  test("position delete removes exact rows") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val loc = tmpLocation("posdel")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src)
+    // positions of rows with orderkey % 10 == 0, via the scan's _file/_pos
+    val withPos = t.scan(spark, keepFilePos = true)
+    val pos = withPos.filter(pmod($"o_orderkey", lit(10)) === 0)
+      .select($"_file".as("file_path"), $"_pos".as("pos"))
+    t.positionDelete(spark, pos)
+    val back = t.scan(spark)
+    val exp = src.filter(pmod($"o_orderkey", lit(10)) =!= 0)
+    assert(back.count() === exp.count())
+    assert(back.exceptAll(exp).isEmpty)
+  }
+
+  test("upsert: last-write-wins by key, including deletes") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val loc = tmpLocation("upsert")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src)
+    // CDC batch: bump totalprice for keys %7==0 (op=1 upsert),
+    // delete keys %13==0 (op=2)
+    val upserts = src
+      .filter(pmod($"o_orderkey", lit(7)) === 0 && pmod($"o_orderkey", lit(13)) =!= 0)
+      .withColumn("o_totalprice", $"o_totalprice" + 1.0)
+      .withColumn("_op", lit(1))
+    val deletes = src.filter(pmod($"o_orderkey", lit(13)) === 0)
+      .withColumn("_op", lit(2))
+    t.upsert(spark, upserts.unionByName(deletes), Seq("o_orderkey"), opCol = Some("_op"))
+
+    val back = t.scan(spark)
+    val exp = src
+      .withColumn("o_totalprice",
+        when(pmod($"o_orderkey", lit(7)) === 0 && pmod($"o_orderkey", lit(13)) =!= 0,
+          $"o_totalprice" + 1.0).otherwise($"o_totalprice"))
+      .filter(pmod($"o_orderkey", lit(13)) =!= 0)
+    assert(back.count() === exp.count())
+    assert(back.exceptAll(exp).isEmpty)
+  }
+
+  test("time travel reads older snapshots; snapshot log grows") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val loc = tmpLocation("tt")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    val first = src.filter($"r_regionkey" < 3)
+    val second = src.filter($"r_regionkey" >= 3)
+    t.append(spark, first)
+    val snap1 = t.metadata.currentSnapshotId.get
+    t.append(spark, second)
+    assert(t.metadata.snapshots.size === 2)
+    assert(t.scan(spark).count() === src.count())
+    val old = t.scan(spark, snapshotId = Some(snap1))
+    assert(old.count() === first.count())
+    assert(old.exceptAll(first).isEmpty)
+    // reload from disk: metadata json round-trip
+    val t2 = StorageCatalog.loadTable(conf, loc)
+    assert(t2.metadata.snapshots.size === 2)
+    assert(t2.scan(spark, snapshotId = Some(snap1)).count() === first.count())
+  }
+
+  test("overwrite replaces table contents") {
+    val src = spark.read.parquet(s"$sfDir/nation.parquet")
+    val loc = tmpLocation("ow")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src)
+    val half = src.filter($"n_nationkey" < 10)
+    t.overwrite(spark, half)
+    val back = t.scan(spark)
+    assert(back.count() === half.count())
+    assert(back.exceptAll(half).isEmpty)
+  }
+
+  test("manifest avro round-trip preserves stats and partition values") {
+    val schema = IceSchema(0, List(
+      IceField(1, "id", required = true, IcePrim("long")),
+      IceField(2, "cat", required = false, IcePrim("string"))))
+    val spec = IcePartitionSpec(0, List(IcePartitionField(2, 1000, "identity", "cat")))
+    val df = IceDataFile(
+      content = 0, filePath = "/tmp/x.parquet", fileFormat = "parquet",
+      partition = Seq(Some("a")), recordCount = 42L, fileSizeInBytes = 1234L,
+      columnSizes = Map(1 -> 100L), valueCounts = Map(1 -> 42L),
+      nullValueCounts = Map(2 -> 1L),
+      lowerBounds = Map(1 -> SingleValue.encode(IcePrim("long"), 7L)),
+      upperBounds = Map(1 -> SingleValue.encode(IcePrim("long"), 99L)),
+      splitOffsets = Seq(4L), equalityIds = Nil, sortOrderId = Some(0))
+    val entry = IceManifestEntry(ManifestStatus.Added, Some(10L), Some(3L), Some(3L), df)
+    val dir = tmpLocation("avro")
+    new java.io.File(dir).mkdirs()
+    val path = s"$dir/m0.avro"
+    val listEntry = ManifestIO.writeManifest(conf, path, List(entry), spec, schema, 0)
+    assert(listEntry.addedFilesCount === 1)
+    assert(listEntry.addedRowsCount === 42L)
+    val back = ManifestIO.readManifest(conf, path, spec.fields.map(_.name))
+    assert(back.size === 1)
+    val b = back.head
+    assert(b.dataFile.filePath === "/tmp/x.parquet")
+    assert(b.dataFile.partition === Seq(Some("a")))
+    assert(b.dataFile.recordCount === 42L)
+    assert(SingleValue.decode(IcePrim("long"), b.dataFile.lowerBounds(1)) === 7L)
+    assert(SingleValue.decode(IcePrim("long"), b.dataFile.upperBounds(1)) === 99L)
+    assert(b.dataSequenceNumber === Some(3L))
+
+    val listPath = s"$dir/snap.avro"
+    ManifestIO.writeManifestList(conf, listPath, List(listEntry), 10L, None, 3L)
+    val entries = ManifestIO.readManifestList(conf, listPath)
+    assert(entries.size === 1)
+    assert(entries.head.manifestPath === path)
+    assert(entries.head.sequenceNumber === 3L)
+  }
+}
