@@ -37,6 +37,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up the JVM/codegen/FS paths once so timings reflect steady state
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count().collect()
     val qs = SparkEntry.queries
     val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()

@@ -355,6 +355,76 @@ object SparkEntry {
       tbl.append(s, src.filter(pmod(col("o_orderkey"), lit(2)) =!= 0))
       tbl.scan(s, snapshotId = Some(snap1))
     }),
+    "ice_compact" -> ((s, dir) => {
+      // small appends + a MoR delete, then compaction absorbs the delete
+      // files and collapses small files; contents must be unchanged
+      val src = t(s, dir, "orders")
+      val tbl = freshTable(s, "ice_compact", src)
+      (0 until 3).foreach { i =>
+        tbl.append(s, src.filter(pmod(col("o_orderkey"), lit(3)) === i))
+      }
+      tbl.equalityDelete(s,
+        src.filter(col("o_orderstatus") === "P").select(col("o_orderkey")),
+        Seq("o_orderkey"))
+      tbl.rewriteDataFiles(s)
+      tbl.scan(s)
+    }),
+    "ice_schema_evolution" -> ((s, dir) => {
+      // add a column with a fresh field id; old files surface null
+      val src = t(s, dir, "nation")
+      val tbl = freshTable(s, "ice_schema_evolution", src)
+      tbl.append(s, src)
+      tbl.addColumn("score", IcePrim("double"))
+      tbl.append(s, src.withColumn("score", col("n_nationkey") * 2.0))
+      tbl.scan(s)
+    }),
+    "ice_tag_scan" -> ((s, dir) => {
+      val src = t(s, dir, "region")
+      val tbl = freshTable(s, "ice_tag_scan", src)
+      tbl.append(s, src.filter(col("r_regionkey") < 3))
+      tbl.createTag("v1.0", tbl.metadata.currentSnapshotId.get)
+      tbl.append(s, src.filter(col("r_regionkey") >= 3))
+      tbl.scanRef(s, "v1.0")
+    }),
+    "ice_sorted_write" -> ((s, dir) => {
+      // write.sort-order + rolling max-records-per-file; contents unchanged
+      val src = t(s, dir, "orders")
+      val loc = s"${System.getProperty("java.io.tmpdir")}/graft-q/ice_sorted_write"
+      val tbl = StorageCatalog.createOrReplaceTable(
+        s.sparkContext.hadoopConfiguration, loc,
+        SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil),
+        properties = Map(
+          "write.sort-order" -> "o_orderkey",
+          "write.max-records-per-file" -> "5000"))
+      tbl.append(s, src)
+      tbl.scan(s)
+    }),
+    "rest_catalog" -> ((s, dir) => {
+      // REST catalog protocol end to end: in-process server, HTTP CAS commits
+      val server = new RestCatalog.Server()
+      val uri = server.start()
+      try {
+        val client = new RestCatalog.Client(uri, s.sparkContext.hadoopConfiguration)
+        val src = t(s, dir, "region")
+        val schema = SchemaConvert.fromSparkSchema(src.schema)
+        val loc = s"${System.getProperty("java.io.tmpdir")}/graft-q/rest_catalog"
+        val p = new org.apache.hadoop.fs.Path(loc)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val meta = TableMetadata(
+          formatVersion = 2, tableUuid = java.util.UUID.randomUUID().toString,
+          location = loc, lastSequenceNumber = 0,
+          lastUpdatedMs = System.currentTimeMillis(),
+          lastColumnId = schema.maxFieldId, schemas = List(schema),
+          currentSchemaId = 0, partitionSpecs = List(IcePartitionSpec(0, Nil)),
+          defaultSpecId = 0, lastPartitionId = 999, properties = Map.empty,
+          currentSnapshotId = None, snapshots = Nil, snapshotLog = Nil,
+          metadataLog = Nil, sortOrders = List(IceSortOrder(0, Nil)),
+          defaultSortOrderId = 0, refs = Map.empty)
+        client.createTable("db", "region", meta).append(s, src)
+        client.loadTable("db", "region").scan(s).localCheckpoint()
+      } finally server.stop()
+    }),
     // ---- structured streaming ----
     "stream_events_hourly" -> ((s, dir) => {
       // real streaming query over the events parquet (memory sink, complete
@@ -581,6 +651,14 @@ object SparkEntry {
         |  o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 13 <> 0""".stripMargin,
     "ice_time_travel" -> "SELECT * FROM orders WHERE o_orderkey % 2 = 0",
+    "ice_compact" -> "SELECT * FROM orders WHERE o_orderstatus <> 'P'",
+    "ice_schema_evolution" ->
+      """SELECT n_nationkey, n_name, n_regionkey, CAST(NULL AS DOUBLE) AS score FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, n_nationkey * 2.0 AS score FROM nation""".stripMargin,
+    "ice_tag_scan" -> "SELECT * FROM region WHERE r_regionkey < 3",
+    "ice_sorted_write" -> "SELECT * FROM orders",
+    "rest_catalog" -> "SELECT * FROM region",
     "stream_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,

@@ -85,13 +85,17 @@ object TextUtil {
     * (odd multipliers from a seed-stable generator), min over shingles.
     * One pass, no shuffle — signature computation is map-only by design so
     * that at 100 TB only the (doc, band-bucket) pairs ever shuffle. */
-  def minhashSignature(text: UTF8String, n: Int, k: Int): ArrayData = {
-    val shingles = shingleHashes(text, n)
+  def minhashSignature(text: UTF8String, n: Int, k: Int): ArrayData =
+    minhashOfShingles(shingleHashes(text, n), k)
+
+  /** MinHash signature straight from a precomputed shingle-hash array —
+    * lets a plan compute shingles once and reuse them for both the
+    * signature and the exact-Jaccard verify step. */
+  def minhashOfShingles(shingles: ArrayData, k: Int): ArrayData = {
     val m = shingles.numElements()
     val sig = new Array[Long](k)
     var i = 0
     while (i < k) {
-      // seed-stable affine parameters; odd a_i keeps the map bijective
       val a = hash64(s"minhash-a-$i") | 1L
       val b = hash64(s"minhash-b-$i")
       var best = Long.MaxValue
@@ -248,6 +252,18 @@ case class MinHashSignature(child: Expression, shingleSize: Int, numHashes: Int)
     copy(child = c)
 }
 
+case class MinHashOfShingles(child: Expression, numHashes: Int)
+    extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_of_shingles"
+  override def nullSafeEval(v: Any): Any =
+    TextUtil.minhashOfShingles(v.asInstanceOf[ArrayData], numHashes)
+  override protected def helperCall(c: String): String =
+    s"$H.minhashOfShingles($c, $numHashes)"
+  override protected def withNewChildInternal(c: Expression): MinHashOfShingles =
+    copy(child = c)
+}
+
 case class BandKeys(child: Expression, bands: Int, rows: Int)
     extends TextKernelExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -285,6 +301,8 @@ object text {
   def shingles(c: Column, n: Int): Column = column(ShingleHashes(expression(c), n))
   def minhash(c: Column, shingleSize: Int, numHashes: Int): Column =
     column(MinHashSignature(expression(c), shingleSize, numHashes))
+  def minhashOfShingles(shingles: Column, numHashes: Int): Column =
+    column(MinHashOfShingles(expression(shingles), numHashes))
   def lshBands(sig: Column, bands: Int, rows: Int): Column =
     column(BandKeys(expression(sig), bands, rows))
   def fingerprint(c: Column, window: Int = 32): Column =

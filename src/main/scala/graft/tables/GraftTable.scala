@@ -32,10 +32,18 @@ class GraftTable(
     @volatile var version: Int,
     val conf: Configuration) {
 
+  /** metadata commit hook: storage catalog by default; the REST catalog
+    * overrides this with its HTTP CAS commit */
+  protected[tables] var committer: (TableMetadata, Int) => Int =
+    (m, v) => StorageCatalog.commitMetadata(conf, location, v, m)
+
+  protected[tables] var reloader: () => GraftTable =
+    () => StorageCatalog.loadTable(conf, location)
+
   import GraftTable._
 
   def refresh(): GraftTable = {
-    val t = StorageCatalog.loadTable(conf, location)
+    val t = reloader()
     metadata = t.metadata
     version = t.version
     this
@@ -85,7 +93,12 @@ class GraftTable(
       filter: Option[Column] = None,
       keepFilePos: Boolean = false): DataFrame = {
     val snap = resolveSnapshot(snapshotId, asOfTimestampMs)
-    val schema = snap.map(metadata.schemaFor).getOrElse(metadata.currentSchema)
+    // time travel pins the snapshot's schema; current reads use the
+    // current schema (Iceberg read semantics)
+    val timeTravel = snapshotId.isDefined || asOfTimestampMs.isDefined
+    val schema =
+      if (timeTravel) snap.map(metadata.schemaFor).getOrElse(metadata.currentSchema)
+      else metadata.currentSchema
     val sparkSchema = SchemaConvert.toSparkSchema(schema)
     snap match {
       case None =>
@@ -217,6 +230,120 @@ class GraftTable(
     commit(spark, "overwrite", addedData = dataFiles, addedDeletes = deleteFiles, replace = false)
   }
 
+  // ---------- maintenance ----------
+
+  /** Compaction (the reference's Spark `rewrite_data_files` integration,
+    * icelake/tests/insert_compact_test.rs:198-219, done natively): read the
+    * current snapshot (applying deletes), rewrite as fresh data files, and
+    * commit a replace snapshot. Collapses small files and absorbs delete
+    * files. */
+  def rewriteDataFiles(spark: SparkSession): GraftTable = {
+    val current = scan(spark)
+    overwrite(spark, current)
+  }
+
+  /** Expire snapshots older than the timestamp (keeping the current one):
+    * drops them from metadata and deletes orphaned manifest lists. Data
+    * file deletion is left to a GC pass (kept conservative here). */
+  def expireSnapshots(olderThanMs: Long): GraftTable = {
+    val base = metadata
+    val keepIds = base.currentSnapshotId.toSet ++
+      base.snapshots.filter(_.timestampMs >= olderThanMs).map(_.snapshotId)
+    val (kept, expired) = base.snapshots.partition(s => keepIds.contains(s.snapshotId))
+    if (expired.isEmpty) return this
+    val newMeta = base.copy(
+      snapshots = kept,
+      snapshotLog = base.snapshotLog.filter(e => keepIds.contains(e.ref.toLong)),
+      lastUpdatedMs = System.currentTimeMillis())
+    val newVersion = committer(newMeta, version)
+    metadata = newMeta
+    version = newVersion
+    expired.foreach { s =>
+      try {
+        val p = new Path(relocate(s.manifestList))
+        p.getFileSystem(conf).delete(p, false)
+      } catch { case _: Throwable => }
+    }
+    this
+  }
+
+  // ---------- schema evolution ----------
+
+  /** Add a column with a fresh field id (snapshot-pinned schemas mean old
+    * snapshots keep reading their original schema; old data files surface
+    * the new column as null). */
+  def addColumn(name: String, fieldType: IceType, doc: Option[String] = None): GraftTable = {
+    val base = metadata
+    val schema = base.currentSchema
+    require(schema.findField(name).isEmpty, s"column $name already exists")
+    val newId = base.lastColumnId + 1
+    val newSchema = IceSchema(
+      schema.schemaId + 1,
+      schema.fields :+ IceField(newId, name, required = false, fieldType, doc))
+    commitSchema(newSchema, newId)
+  }
+
+  /** Rename keeps the field id (id-based resolution is what makes this safe
+    * in the format); NOTE: the name-based parquet read path surfaces
+    * pre-rename files as null for the renamed column — full id-based column
+    * resolution is tracked for the DSv2 reader. */
+  def renameColumn(from: String, to: String): GraftTable = {
+    val base = metadata
+    val schema = base.currentSchema
+    val f = schema.findField(from).getOrElse(sys.error(s"no column $from"))
+    val newSchema = IceSchema(
+      schema.schemaId + 1,
+      schema.fields.map(x => if (x.id == f.id) x.copy(name = to) else x))
+    commitSchema(newSchema, base.lastColumnId)
+  }
+
+  def dropColumn(name: String): GraftTable = {
+    val base = metadata
+    val schema = base.currentSchema
+    require(schema.findField(name).isDefined, s"no column $name")
+    val newSchema = IceSchema(
+      schema.schemaId + 1, schema.fields.filterNot(_.name == name))
+    commitSchema(newSchema, base.lastColumnId)
+  }
+
+  private def commitSchema(newSchema: IceSchema, lastColumnId: Int): GraftTable = {
+    val base = metadata
+    val newMeta = base.copy(
+      schemas = base.schemas :+ newSchema,
+      currentSchemaId = newSchema.schemaId,
+      lastColumnId = lastColumnId,
+      lastUpdatedMs = System.currentTimeMillis())
+    val newVersion = committer(newMeta, version)
+    metadata = newMeta
+    version = newVersion
+    this
+  }
+
+  // ---------- branches / tags ----------
+
+  def createTag(name: String, snapshotId: Long): GraftTable =
+    commitRef(name, IceSnapshotRef(snapshotId, "tag"))
+
+  def createBranch(name: String, snapshotId: Long): GraftTable =
+    commitRef(name, IceSnapshotRef(snapshotId, "branch"))
+
+  private def commitRef(name: String, ref: IceSnapshotRef): GraftTable = {
+    val base = metadata
+    val newMeta = base.copy(
+      refs = base.refs + (name -> ref),
+      lastUpdatedMs = System.currentTimeMillis())
+    val newVersion = committer(newMeta, version)
+    metadata = newMeta
+    version = newVersion
+    this
+  }
+
+  /** scan a named branch or tag */
+  def scanRef(spark: SparkSession, refName: String): DataFrame = {
+    val ref = metadata.refs.getOrElse(refName, sys.error(s"no ref $refName"))
+    scan(spark, snapshotId = Some(ref.snapshotId))
+  }
+
   // ---------- commit ----------
 
   /** Produce a snapshot from added files and commit metadata with an
@@ -317,7 +444,7 @@ class GraftTable(
         IceLogEntry(base.lastUpdatedMs, s"$mdir/v$version.metadata.json"),
       refs = base.refs + ("main" -> IceSnapshotRef(snapshotId, "branch")))
 
-    val newVersion = StorageCatalog.commitMetadata(conf, location, version, newMeta)
+    val newVersion = committer(newMeta, version)
     metadata = newMeta
     version = newVersion
   }

@@ -1,0 +1,214 @@
+package graft.tables
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentHashMap
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.hadoop.conf.Configuration
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Iceberg-REST-shaped catalog protocol (the reference's second catalog,
+  * icelake/src/catalog/rest.rs:71-148): table metadata lives behind HTTP
+  * endpoints with optimistic (compare-and-swap) commits; data/manifest
+  * files stay on shared storage.
+  *
+  * Endpoints (subset):
+  *   GET  /v1/config
+  *   GET  /v1/namespaces/{ns}/tables/{table}    -> load
+  *   POST /v1/namespaces/{ns}/tables            -> create
+  *   POST /v1/namespaces/{ns}/tables/{table}    -> commit (requirements+metadata)
+  */
+object RestCatalog {
+
+  // ---------------- client ----------------
+
+  class Client(baseUri: String, conf: Configuration) {
+    private val http = HttpClient.newHttpClient()
+
+    private def get(path: String): (Int, String) = {
+      val req = HttpRequest.newBuilder(URI.create(s"$baseUri$path")).GET().build()
+      val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+
+    private def post(path: String, body: String): (Int, String) = {
+      val req = HttpRequest.newBuilder(URI.create(s"$baseUri$path"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+        .build()
+      val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+
+    def config(): Map[String, String] = {
+      val (code, body) = get("/v1/config")
+      require(code == 200, s"config failed: $code")
+      JsonMethods.parse(body) \ "defaults" match {
+        case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+        case _ => Map.empty
+      }
+    }
+
+    def loadTable(ns: String, name: String): GraftTable = {
+      val (code, body) = get(s"/v1/namespaces/$ns/tables/$name")
+      if (code == 404) throw new NoSuchElementException(s"no table $ns.$name")
+      require(code == 200, s"load failed: $code $body")
+      val j = JsonMethods.parse(body)
+      val meta = MetadataJson.parse(
+        JsonMethods.compact(JsonMethods.render(j \ "metadata")).getBytes("UTF-8"))
+      val version = (j \ "version") match {
+        case JInt(v) => v.toInt
+        case JLong(v) => v.toInt
+        case _ => 1
+      }
+      wire(ns, name, new GraftTable(meta.location, meta, version, conf))
+    }
+
+    def createTable(ns: String, name: String, meta: TableMetadata): GraftTable = {
+      val body =
+        s"""{"name": ${quote(name)}, "metadata": ${new String(MetadataJson.serialize(meta), "UTF-8")}}"""
+      val (code, respBody) = post(s"/v1/namespaces/$ns/tables", body)
+      require(code == 200, s"create failed: $code $respBody")
+      wire(ns, name, new GraftTable(meta.location, meta, 1, conf))
+    }
+
+    /** CAS commit: requirements carry the expected version + current main
+      * ref; 409 means another writer won. */
+    def commitTable(ns: String, name: String, expectedVersion: Int, meta: TableMetadata): Int = {
+      val reqs =
+        s"""[{"type": "assert-table-uuid", "uuid": ${quote(meta.tableUuid)}},
+           | {"type": "assert-version", "version": $expectedVersion}]""".stripMargin
+      val body =
+        s"""{"requirements": $reqs, "metadata": ${new String(MetadataJson.serialize(meta), "UTF-8")}}"""
+      val (code, respBody) = post(s"/v1/namespaces/$ns/tables/$name", body)
+      if (code == 409) throw new CommitConflictException(s"rest commit conflict: $respBody")
+      require(code == 200, s"commit failed: $code $respBody")
+      (JsonMethods.parse(respBody) \ "version") match {
+        case JInt(v) => v.toInt
+        case JLong(v) => v.toInt
+        case _ => expectedVersion + 1
+      }
+    }
+
+    def dropTable(ns: String, name: String): Unit = {
+      val req = HttpRequest.newBuilder(URI.create(s"$baseUri/v1/namespaces/$ns/tables/$name"))
+        .DELETE().build()
+      http.send(req, HttpResponse.BodyHandlers.ofString())
+      ()
+    }
+
+    def listTables(ns: String): Seq[String] = {
+      val (code, body) = get(s"/v1/namespaces/$ns/tables")
+      if (code != 200) return Nil
+      (JsonMethods.parse(body) \ "identifiers").children.flatMap(_ \ "name" match {
+        case JString(s) => Some(s)
+        case _ => None
+      })
+    }
+
+    /** route the table's commits/reloads through this catalog */
+    private def wire(ns: String, name: String, t: GraftTable): GraftTable = {
+      t.committer = (m, v) => commitTable(ns, name, v, m)
+      t.reloader = () => loadTable(ns, name)
+      t
+    }
+
+    private def quote(s: String): String = JsonMethods.compact(JsonMethods.render(JString(s)))
+  }
+
+  // ---------------- in-process server ----------------
+
+  /** Minimal in-memory catalog server (test/demo; a production deployment
+    * would persist). Thread-safe CAS on the per-table version. */
+  class Server(port: Int = 0) {
+    private case class Entry(version: Int, metadataJson: String)
+    private val tables = new ConcurrentHashMap[String, Entry]()
+    private val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
+
+    def start(): String = {
+      server.createContext("/v1", handler _)
+      server.setExecutor(null)
+      server.start()
+      s"http://127.0.0.1:${server.getAddress.getPort}"
+    }
+
+    def stop(): Unit = server.stop(0)
+
+    private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+
+    private def handler(ex: HttpExchange): Unit = try {
+      val path = ex.getRequestURI.getPath
+      val method = ex.getRequestMethod
+      val TablesRe = "/v1/namespaces/([^/]+)/tables".r
+      val TableRe = "/v1/namespaces/([^/]+)/tables/([^/]+)".r
+      (method, path) match {
+        case ("GET", "/v1/config") =>
+          respond(ex, 200, """{"defaults": {}, "overrides": {}}""")
+        case ("GET", TableRe(ns, name)) =>
+          Option(tables.get(s"$ns.$name")) match {
+            case None => respond(ex, 404, """{"error": "no such table"}""")
+            case Some(e) => respond(ex, 200,
+              s"""{"metadata-location": "rest://$ns/$name/v${e.version}",
+                 | "version": ${e.version}, "metadata": ${e.metadataJson}}""".stripMargin)
+          }
+        case ("GET", TablesRe(ns)) =>
+          import scala.jdk.CollectionConverters._
+          val names = tables.keys.asScala.filter(_.startsWith(s"$ns.")).toSeq.sorted
+            .map(k => s"""{"namespace": ["$ns"], "name": "${k.stripPrefix(s"$ns.")}"}""")
+          respond(ex, 200, s"""{"identifiers": [${names.mkString(",")}]}""")
+        case ("POST", TablesRe(ns)) =>
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val j = JsonMethods.parse(body)
+          val name = (j \ "name") match {
+            case JString(s) => s
+            case _ => return respond(ex, 400, """{"error": "missing name"}""")
+          }
+          val meta = JsonMethods.compact(JsonMethods.render(j \ "metadata"))
+          if (tables.putIfAbsent(s"$ns.$name", Entry(1, meta)) != null)
+            respond(ex, 409, """{"error": "table exists"}""")
+          else respond(ex, 200, s"""{"version": 1, "metadata": $meta}""")
+        case ("POST", TableRe(ns, name)) =>
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val j = JsonMethods.parse(body)
+          val expected = (j \ "requirements").children.collectFirst {
+            case req if (req \ "type") == JString("assert-version") =>
+              (req \ "version") match {
+                case JInt(v) => v.toInt
+                case JLong(v) => v.toInt
+                case _ => -1
+              }
+          }.getOrElse(-1)
+          val meta = JsonMethods.compact(JsonMethods.render(j \ "metadata"))
+          val key = s"$ns.$name"
+          val cur = Option(tables.get(key))
+          cur match {
+            case None => respond(ex, 404, """{"error": "no such table"}""")
+            case Some(e) if e.version != expected =>
+              respond(ex, 409,
+                s"""{"error": "version conflict", "current": ${e.version}}""")
+            case Some(e) =>
+              // CAS: replace only if unchanged since we read it
+              if (tables.replace(key, e, Entry(e.version + 1, meta)))
+                respond(ex, 200, s"""{"version": ${e.version + 1}}""")
+              else respond(ex, 409, """{"error": "concurrent update"}""")
+          }
+        case ("DELETE", TableRe(ns, name)) =>
+          tables.remove(s"$ns.$name")
+          respond(ex, 200, "{}")
+        case _ => respond(ex, 404, """{"error": "not found"}""")
+      }
+    } catch {
+      case e: Throwable => respond(ex, 500, s"""{"error": ${JsonMethods.compact(
+        JsonMethods.render(JString(String.valueOf(e.getMessage))))}}""")
+    }
+  }
+}

@@ -228,8 +228,30 @@ object TableWrite {
 
     val infos = schema.fields.map(f => FieldInfo(f.name, f.id, f.fieldType.repr))
 
+    // rolling-writer controls (the reference's RollingWriter semantics,
+    // icelake/src/io_v2/file_writer/base_file_writer.rs:77-82, expressed as
+    // writer options): a record cap per file, derived from the target file
+    // size when only that is set
+    val props = table.metadata.properties
+    val maxRecords: Option[Long] = props.get("write.max-records-per-file").map(_.toLong)
+      .orElse(props.get("write.target-file-size-bytes").map { bytes =>
+        // rough 64 bytes/row on-disk estimate; refined per-table via the
+        // explicit max-records property
+        math.max(1000L, bytes.toLong / 64L)
+      })
+    // declarative sort order applied within output files
+    val sortCols = props.get("write.sort-order").toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+
+    def configured(df: DataFrame): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+      val sorted =
+        if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(col): _*) else df
+      val w = sorted.write.mode("errorifexists")
+      maxRecords.fold(w)(n => w.option("maxRecordsPerFile", n.toString))
+    }
+
     if (spec.isUnpartitioned) {
-      base.write.mode("errorifexists").parquet(outDir)
+      configured(base).parquet(outDir)
       val paths = listParquet(table.conf, outDir)
       harvest(spark, paths, infos).map(statsToDataFile(_, Nil, DataContent.Data, Nil)).toList
     } else {
@@ -240,9 +262,8 @@ object TableWrite {
         d.withColumn(s"_p_${pf.name}", transformColumn(pf.transform, col(src.name)))
       }
       // cluster rows by partition value: one shuffle, bounded output files
-      withParts
-        .repartition(pcols.map(col): _*)
-        .write.mode("errorifexists").partitionBy(pcols: _*).parquet(outDir)
+      configured(withParts.repartition(pcols.map(col): _*))
+        .partitionBy(pcols: _*).parquet(outDir)
       val paths = listParquet(table.conf, outDir)
       val resultTypes = spec.fields.zip(srcByid).map { case (pf, src) =>
         SchemaConvert.transformResultType(pf.transform, src.fieldType) }

@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tables._
+
+/** Maintenance + evolution + REST catalog tests. */
+class MaintenanceSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+  private def tmpLocation(name: String): String = {
+    val d = Files.createTempDirectory(s"graft-$name").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("compaction collapses files and absorbs deletes; contents unchanged") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val loc = tmpLocation("compact")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    // several small appends + a delete
+    (0 until 4).foreach { i =>
+      t.append(spark, src.filter(pmod($"o_orderkey", lit(4)) === i))
+    }
+    t.equalityDelete(spark,
+      src.filter($"o_orderstatus" === "P").select($"o_orderkey"), Seq("o_orderkey"))
+    val before = t.planFiles(t.metadata.currentSnapshot.get)
+    assert(before.count(_._1.content == DataContent.Data) >= 4)
+    assert(before.exists(_._1.content == DataContent.EqualityDeletes))
+
+    val exp = src.filter($"o_orderstatus" =!= "P")
+    t.rewriteDataFiles(spark)
+    val after = t.planFiles(t.metadata.currentSnapshot.get)
+    assert(after.count(_._1.content == DataContent.Data) < before.size)
+    assert(!after.exists(_._1.content == DataContent.EqualityDeletes))
+    val back = t.scan(spark)
+    assert(back.count() === exp.count())
+    assert(back.exceptAll(exp).isEmpty)
+  }
+
+  test("expire snapshots drops old history but keeps current") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val loc = tmpLocation("expire")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src.filter($"r_regionkey" < 2))
+    t.append(spark, src.filter($"r_regionkey" >= 2))
+    assert(t.metadata.snapshots.size === 2)
+    t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1000)
+    assert(t.metadata.snapshots.size === 1)
+    assert(t.scan(spark).count() === src.count())
+  }
+
+  test("schema evolution: add column (old files read null), drop, rename") {
+    val src = spark.read.parquet(s"$sfDir/nation.parquet")
+    val loc = tmpLocation("evolve")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src)
+    t.addColumn("score", IcePrim("double"))
+    val withScore = src.withColumn("score", $"n_nationkey" * 2.0)
+    t.append(spark, withScore)
+    val back = t.scan(spark)
+    assert(back.columns.contains("score"))
+    assert(back.count() === src.count() * 2)
+    assert(back.filter($"score".isNull).count() === src.count())
+    assert(back.filter($"score" === $"n_nationkey" * 2.0).count() === src.count())
+    // old snapshot still reads the old schema
+    val firstSnap = t.metadata.snapshots.head.snapshotId
+    assert(!t.scan(spark, snapshotId = Some(firstSnap)).columns.contains("score"))
+    // drop
+    t.dropColumn("score")
+    assert(!t.scan(spark).columns.contains("score"))
+    // rename keeps the id
+    val idBefore = t.metadata.currentSchema.findField("n_name").get.id
+    t.renameColumn("n_name", "nation_name")
+    assert(t.metadata.currentSchema.findField("nation_name").get.id === idBefore)
+  }
+
+  test("branches and tags") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val loc = tmpLocation("refs")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src.filter($"r_regionkey" < 2))
+    val v1 = t.metadata.currentSnapshotId.get
+    t.createTag("v1.0", v1)
+    t.append(spark, src.filter($"r_regionkey" >= 2))
+    assert(t.scanRef(spark, "v1.0").count() === 2)
+    assert(t.scanRef(spark, "main").count() === src.count())
+    val reloaded = StorageCatalog.loadTable(conf, loc)
+    assert(reloaded.metadata.refs.contains("v1.0"))
+  }
+
+  test("write.sort-order and max-records-per-file properties") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val loc = tmpLocation("sorted")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil),
+      properties = Map(
+        "write.sort-order" -> "o_orderkey",
+        "write.max-records-per-file" -> "200"))
+    t.append(spark, src)
+    val files = t.planFiles(t.metadata.currentSnapshot.get)
+    assert(files.forall(_._1.recordCount <= 200))
+    assert(files.size >= (src.count() / 200).toInt)
+    assert(t.scan(spark).count() === src.count())
+  }
+
+  test("REST catalog: create, load, append via HTTP commits, CAS conflict") {
+    val server = new RestCatalog.Server()
+    val uri = server.start()
+    try {
+      val client = new RestCatalog.Client(uri, conf)
+      assert(client.config() !== null)
+
+      val src = spark.read.parquet(s"$sfDir/region.parquet")
+      val loc = tmpLocation("rest")
+      val schema = SchemaConvert.fromSparkSchema(src.schema)
+      val meta = TableMetadata(
+        formatVersion = 2, tableUuid = java.util.UUID.randomUUID().toString,
+        location = loc, lastSequenceNumber = 0, lastUpdatedMs = System.currentTimeMillis(),
+        lastColumnId = schema.maxFieldId, schemas = List(schema), currentSchemaId = 0,
+        partitionSpecs = List(IcePartitionSpec(0, Nil)), defaultSpecId = 0,
+        lastPartitionId = 999, properties = Map.empty, currentSnapshotId = None,
+        snapshots = Nil, snapshotLog = Nil, metadataLog = Nil,
+        sortOrders = List(IceSortOrder(0, Nil)), defaultSortOrderId = 0, refs = Map.empty)
+      val t = client.createTable("db", "regions", meta)
+      t.append(spark, src)
+      assert(t.version === 2)
+
+      val t2 = client.loadTable("db", "regions")
+      assert(t2.metadata.currentSnapshotId.isDefined)
+      assert(t2.scan(spark).count() === src.count())
+      assert(client.listTables("db") === Seq("regions"))
+
+      // stale writer must hit the CAS and retry through refresh
+      val stale = client.loadTable("db", "regions")
+      t2.append(spark, src.limit(1)) // moves version to 3
+      stale.append(spark, src.limit(2)) // conflicts, retries, succeeds
+      val finalT = client.loadTable("db", "regions")
+      assert(finalT.scan(spark).count() === src.count() + 3)
+    } finally server.stop()
+  }
+}
