@@ -399,6 +399,31 @@ object SparkEntry {
       tbl.append(s, src)
       tbl.scan(s)
     }),
+    "sql_catalog" -> ((s, dir) => {
+      // full SQL path through the DSv2 catalog: DDL + INSERT + SELECT
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.customer")
+      s.sql(
+        """CREATE TABLE graft.db.customer (
+          |  c_custkey BIGINT, c_name STRING, c_nationkey INT,
+          |  c_acctbal DOUBLE, c_mktsegment STRING)""".stripMargin)
+      t(s, dir, "customer").createOrReplaceTempView("customer_src_gq")
+      s.sql("INSERT INTO graft.db.customer SELECT * FROM customer_src_gq")
+      s.sql("SELECT * FROM graft.db.customer WHERE c_mktsegment = 'BUILDING'")
+    }),
+    "sql_functions" -> ((s, dir) => {
+      // custom Catalyst expressions through the SQL surface
+      GraftExtensions.register(s)
+      t(s, dir, "part").createOrReplaceTempView("part_src_gq")
+      s.sql(
+        """SELECT p_partkey,
+          |  iceberg_truncate(10, p_size) AS t_size,
+          |  iceberg_truncate(4, p_name) AS t_name
+          |FROM part_src_gq""".stripMargin)
+    }),
     "rest_catalog" -> ((s, dir) => {
       // REST catalog protocol end to end: in-process server, HTTP CAS commits
       val server = new RestCatalog.Server()
@@ -659,6 +684,12 @@ object SparkEntry {
     "ice_tag_scan" -> "SELECT * FROM region WHERE r_regionkey < 3",
     "ice_sorted_write" -> "SELECT * FROM orders",
     "rest_catalog" -> "SELECT * FROM region",
+    "sql_catalog" -> "SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'",
+    "sql_functions" ->
+      """SELECT p_partkey,
+        |  p_size - ((p_size % 10 + 10) % 10) AS t_size,
+        |  SUBSTRING(p_name, 1, 4) AS t_name
+        |FROM part""".stripMargin,
     "stream_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,

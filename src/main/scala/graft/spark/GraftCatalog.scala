@@ -1,0 +1,364 @@
+package graft.spark
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column => SqlColumn, DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.tables._
+
+/** DataSource V2 `TableCatalog` over the storage catalog, so the engine is
+  * a first-class SQL citizen:
+  *
+  *   spark.sql.catalog.graft=graft.spark.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse=/path/wh
+  *
+  *   CREATE TABLE graft.db.t (...) PARTITIONED BY (months(ts));
+  *   INSERT INTO graft.db.t SELECT ...;
+  *   SELECT * FROM graft.db.t [VERSION AS OF <snapshot-id>];
+  *
+  * Reads bridge through `V1Scan` into the MoR-aware facade scan
+  * ([[GraftTable.scan]]), so position/equality deletes and pruning apply
+  * identically in SQL and DataFrame paths; writes bridge through `V1Write`
+  * into the append/overwrite commit paths. (A fully native Batch/
+  * PartitionReader read path is the documented round-2 step; the bridge
+  * keeps one execution path for correctness.) */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft"
+  private var warehouse: String = _
+
+  private def conf = SparkSession.active.sparkContext.hadoopConfiguration
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse"))
+      .getOrElse(sys.error(s"catalog $name requires option 'warehouse'"))
+  }
+
+  override def name(): String = catalogName
+
+  private def locationOf(ident: Identifier): String =
+    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return Array.empty
+    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => StorageCatalog.tableExists(conf, s"$dir/$n"))
+      .map(n => Identifier.of(namespace, n))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val loc = locationOf(ident)
+    if (!StorageCatalog.tableExists(conf, loc))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    new GraftV2Table(StorageCatalog.loadTable(conf, loc), None, None)
+  }
+
+  /** SELECT ... VERSION AS OF <snapshot-id> */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = StorageCatalog.loadTable(conf, locationOf(ident))
+    new GraftV2Table(t, Some(version.toLong), None)
+  }
+
+  /** SELECT ... TIMESTAMP AS OF ts (micros since epoch) */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val t = StorageCatalog.loadTable(conf, locationOf(ident))
+    new GraftV2Table(t, None, Some(timestampMicros / 1000L))
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val iceSchema = SchemaConvert.fromSparkSchema(schema)
+    val fields = partitions.toList.zipWithIndex.map { case (tr, i) =>
+      val (transform, sourceName) = tr.name() match {
+        case "identity" => ("identity", tr.references().head.fieldNames().head)
+        case "bucket" =>
+          val n = tr.arguments().collectFirst {
+            case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              lit.value().toString.toInt
+          }.getOrElse(sys.error("bucket needs a count"))
+          (s"bucket[$n]", tr.references().head.fieldNames().head)
+        case "truncate" =>
+          val w = tr.arguments().collectFirst {
+            case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              lit.value().toString.toInt
+          }.getOrElse(sys.error("truncate needs a width"))
+          (s"truncate[$w]", tr.references().head.fieldNames().head)
+        case "years" => ("year", tr.references().head.fieldNames().head)
+        case "months" => ("month", tr.references().head.fieldNames().head)
+        case "days" => ("day", tr.references().head.fieldNames().head)
+        case "hours" => ("hour", tr.references().head.fieldNames().head)
+        case other => sys.error(s"unsupported partition transform: $other")
+      }
+      val src = iceSchema.findField(sourceName)
+        .getOrElse(sys.error(s"partition source $sourceName not in schema"))
+      val name = transform match {
+        case "identity" => sourceName
+        case t if t.startsWith("bucket") => s"${sourceName}_bucket"
+        case t if t.startsWith("truncate") => s"${sourceName}_trunc"
+        case t => s"${sourceName}_$t"
+      }
+      IcePartitionField(src.id, 1000 + i, transform, name)
+    }
+    val t = StorageCatalog.createTable(
+      conf, locationOf(ident), iceSchema, IcePartitionSpec(0, fields),
+      properties.asScala.toMap.filter { case (k, _) => !k.startsWith("option.") })
+    new GraftV2Table(t, None, None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = StorageCatalog.loadTable(conf, locationOf(ident))
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1, "nested add not supported")
+        t.addColumn(add.fieldNames().head,
+          SchemaConvert.fromSparkSchema(StructType(Seq(
+            org.apache.spark.sql.types.StructField("x", add.dataType()))))
+            .fields.head.fieldType)
+      case del: TableChange.DeleteColumn =>
+        t.dropColumn(del.fieldNames().head)
+      case ren: TableChange.RenameColumn =>
+        t.renameColumn(ren.fieldNames().head, ren.newName())
+      case set: TableChange.SetProperty =>
+        t.setProperties(Map(set.property() -> set.value()))
+      case other => sys.error(s"unsupported table change: $other")
+    }
+    new GraftV2Table(t.refresh(), None, None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new Path(locationOf(ident))
+    val fs = p.getFileSystem(conf)
+    fs.exists(p) && fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val src = new Path(locationOf(oldIdent))
+    val dst = new Path(locationOf(newIdent))
+    val fs = src.getFileSystem(conf)
+    fs.mkdirs(dst.getParent)
+    require(fs.rename(src, dst), s"rename $src -> $dst failed")
+  }
+
+  // ----- namespaces -----
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val dir = new Path(warehouse)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return Array.empty
+    fs.listStatus(dir).filter(_.isDirectory).map(s => Array(s.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    dir.getFileSystem(conf).exists(dir)
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit = {
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    dir.getFileSystem(conf).mkdirs(dir)
+    ()
+  }
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit = ()
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val fs = dir.getFileSystem(conf)
+    fs.exists(dir) && fs.delete(dir, cascade)
+  }
+}
+
+/** DSv2 table: reads via V1Scan -> MoR facade; writes via V1Write. */
+class GraftV2Table(
+    val table: GraftTable,
+    snapshotId: Option[Long],
+    asOfTimestampMs: Option[Long])
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = table.location
+
+  override def schema(): StructType = {
+    val schema = (snapshotId, asOfTimestampMs) match {
+      case (None, None) => table.metadata.currentSchema
+      case _ =>
+        table.resolveSnapshot(snapshotId, asOfTimestampMs)
+          .map(table.metadata.schemaFor).getOrElse(table.metadata.currentSchema)
+    }
+    SchemaConvert.toSparkSchema(schema)
+  }
+
+  override def partitioning(): Array[Transform] =
+    table.metadata.defaultSpec.fields.map { pf =>
+      val src = table.metadata.currentSchema.fieldById(pf.sourceId)
+        .map(_.name).getOrElse(pf.name)
+      pf.transform match {
+        case "identity" => Expressions.identity(src)
+        case "year" => Expressions.years(src)
+        case "month" => Expressions.months(src)
+        case "day" => Expressions.days(src)
+        case "hour" => Expressions.hours(src)
+        case t if t.startsWith("bucket") =>
+          Expressions.bucket(t.stripPrefix("bucket[").stripSuffix("]").toInt, src)
+        case t if t.startsWith("truncate") =>
+          Expressions.apply("truncate",
+            Expressions.literal(t.stripPrefix("truncate[").stripSuffix("]").toInt),
+            Expressions.column(src))
+        case _ => Expressions.identity(src)
+      }
+    }.toArray
+
+  override def properties(): util.Map[String, String] =
+    table.metadata.properties.asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(
+      TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(table, snapshotId, asOfTimestampMs, schema())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(table)
+}
+
+class GraftScanBuilder(
+    table: GraftTable,
+    snapshotId: Option[Long],
+    asOfTimestampMs: Option[Long],
+    fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushedFiltersArr: Array[Filter] = Array.empty
+  private var requiredSchema: StructType = fullSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // keep them for file-level pruning; report all as unhandled so Spark
+    // re-applies row-level (pruning is an optimization, not a contract)
+    pushedFiltersArr = filters
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushedFiltersArr
+
+  override def pruneColumns(required: StructType): Unit = {
+    val keep = required.fieldNames.toSet
+    requiredSchema = StructType(fullSchema.fields.filter(f => keep.contains(f.name)))
+  }
+
+  override def build(): Scan =
+    new GraftV1Scan(table, snapshotId, asOfTimestampMs, requiredSchema, pushedFiltersArr)
+}
+
+/** V1 bridge scan: executes the facade scan (delete application + pruning)
+  * and hands Spark the resulting RDD. */
+class GraftV1Scan(
+    table: GraftTable,
+    snapshotId: Option[Long],
+    asOfTimestampMs: Option[Long],
+    requiredSchema: StructType,
+    filters: Array[Filter])
+    extends V1Scan {
+
+  override def readSchema(): StructType = requiredSchema
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val relation = new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = requiredSchema
+      override def buildScan(): RDD[Row] = {
+        val spark = context.sparkSession
+        val pruneFilter = FilterToColumn.convert(filters)
+        var df = table.scan(spark, snapshotId, asOfTimestampMs, pruneFilter)
+        if (requiredSchema.fieldNames.nonEmpty)
+          df = df.select(requiredSchema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+        else df = df.select()
+        df.rdd
+      }
+    }
+    relation.asInstanceOf[T]
+  }
+}
+
+/** translate DSv2 source filters back into a Column for PruneEval */
+object FilterToColumn {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.sources
+
+  def convert(filters: Array[Filter]): Option[SqlColumn] = {
+    val cols = filters.flatMap(one)
+    if (cols.isEmpty) None else Some(cols.reduce(_ && _))
+  }
+
+  private def one(f: Filter): Option[SqlColumn] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+    case sources.And(l, r) =>
+      (one(l), one(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (a, b) => a.orElse(b) // partial AND is still a valid prune filter
+      }
+    case sources.Or(l, r) =>
+      for { a <- one(l); b <- one(r) } yield a || b
+    case sources.IsNotNull(_) => None // no pruning value
+    case _ => None
+  }
+}
+
+class GraftWriteBuilder(table: GraftTable)
+    extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
+
+  private var overwriteAll = false
+
+  override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    overwriteAll = true
+    this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      (data: DataFrame, overwrite: Boolean) => {
+        val spark = data.sparkSession
+        if (overwrite || overwriteAll) table.overwrite(spark, data)
+        else table.append(spark, data)
+        ()
+      }
+  }
+}

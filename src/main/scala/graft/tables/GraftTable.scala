@@ -319,6 +319,18 @@ class GraftTable(
     this
   }
 
+  /** set/replace table properties (metadata-only commit) */
+  def setProperties(props: Map[String, String]): GraftTable = {
+    val base = metadata
+    val newMeta = base.copy(
+      properties = base.properties ++ props,
+      lastUpdatedMs = System.currentTimeMillis())
+    val newVersion = committer(newMeta, version)
+    metadata = newMeta
+    version = newVersion
+    this
+  }
+
   // ---------- branches / tags ----------
 
   def createTag(name: String, snapshotId: Long): GraftTable =

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end SQL through the DSv2 catalog: DDL, DML, time travel,
+  * MoR visibility, schema evolution. */
+class CatalogSpec extends AnyFunSuite {
+
+  lazy val spark = {
+    val s = TestSpark.spark
+    val wh = Files.createTempDirectory("graft-wh").toFile.getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s
+  }
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("CREATE / INSERT / SELECT round-trip via SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.regions")
+    spark.sql("CREATE TABLE graft.db.regions (r_regionkey INT, r_name STRING)")
+    spark.read.parquet(s"$sfDir/region.parquet").createOrReplaceTempView("region_src")
+    spark.sql("INSERT INTO graft.db.regions SELECT * FROM region_src")
+    val got = spark.sql("SELECT * FROM graft.db.regions ORDER BY r_regionkey")
+    val exp = spark.read.parquet(s"$sfDir/region.parquet").orderBy("r_regionkey")
+    assert(got.collect().toSeq === exp.collect().toSeq)
+    assert(spark.sql("SHOW TABLES IN graft.db").collect().map(_.getString(1)).contains("regions"))
+  }
+
+  test("partitioned CREATE + filtered SELECT prunes and answers correctly") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.lines")
+    spark.sql(
+      """CREATE TABLE graft.db.lines (
+        |  l_orderkey BIGINT, l_quantity DOUBLE, l_shipdate TIMESTAMP)
+        |PARTITIONED BY (months(l_shipdate))""".stripMargin)
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_shipdate")
+      .createOrReplaceTempView("line_src")
+    spark.sql("INSERT INTO graft.db.lines SELECT * FROM line_src")
+    val got = spark.sql(
+      """SELECT COUNT(*) FROM graft.db.lines
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'"""
+        .stripMargin).head().getLong(0)
+    val exp = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter($"l_shipdate" >= "1997-01-01" && $"l_shipdate" < "1997-04-01").count()
+    assert(got === exp)
+  }
+
+  test("INSERT OVERWRITE replaces contents") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.ow")
+    spark.sql("CREATE TABLE graft.db.ow (k INT, v STRING)")
+    spark.sql("INSERT INTO graft.db.ow VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT OVERWRITE graft.db.ow VALUES (3, 'c')")
+    val rows = spark.sql("SELECT * FROM graft.db.ow").collect()
+    assert(rows.length === 1 && rows.head.getInt(0) === 3)
+  }
+
+  test("VERSION AS OF time travel via SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.tt")
+    spark.sql("CREATE TABLE graft.db.tt (k INT)")
+    spark.sql("INSERT INTO graft.db.tt VALUES (1), (2)")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val snap1 = graft.tables.StorageCatalog.loadTable(conf, s"$wh/db/tt")
+      .metadata.currentSnapshotId.get
+    spark.sql("INSERT INTO graft.db.tt VALUES (3)")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.tt").head().getLong(0) === 3)
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.db.tt VERSION AS OF $snap1")
+      .head().getLong(0) === 2)
+  }
+
+  test("SQL sees MoR deletes made through the table API") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.mor")
+    spark.sql("CREATE TABLE graft.db.mor (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.mor SELECT id AS k, CAST(id AS STRING) AS v FROM RANGE(100)")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val t = graft.tables.StorageCatalog.loadTable(conf, s"$wh/db/mor")
+    t.equalityDelete(spark, Seq(1L, 2L, 3L).toDF("k"), Seq("k"))
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.mor").head().getLong(0) === 97)
+  }
+
+  test("ALTER TABLE ADD/RENAME column via SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.alt")
+    spark.sql("CREATE TABLE graft.db.alt (k INT)")
+    spark.sql("INSERT INTO graft.db.alt VALUES (1)")
+    spark.sql("ALTER TABLE graft.db.alt ADD COLUMN extra DOUBLE")
+    assert(spark.sql("SELECT * FROM graft.db.alt").columns.toSeq === Seq("k", "extra"))
+    assert(spark.sql("SELECT extra FROM graft.db.alt").head().isNullAt(0))
+  }
+}
