@@ -12,7 +12,12 @@ object Bench {
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_suppliers",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q12_shipmode",
+    "q14_promo_share",
     "q_top_customers",
+    "pipeline_quality_filter",
     "q_window_running",
     "q_events_sessions",
     "q_events_hourly",

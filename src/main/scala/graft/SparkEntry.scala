@@ -178,6 +178,54 @@ object SparkEntry {
         .agg(sum(money(col("c_acctbal"))).cast(DoubleType).as("total_acctbal"),
           count(lit(1)).as("n_customers"))
     }),
+    "q4_order_priority" -> ((s, dir) => {
+      // EXISTS semi-join (with a non-equi condition) + count per priority
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      o.join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+    "q10_returned_items" -> ((s, dir) => {
+      val one = lit(1).cast(DecimalType(12, 2))
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(sum(money(col("l_extendedprice")) * (one - money(col("l_discount"))))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+    "q12_shipmode" -> ((s, dir) => {
+      // conditional (CASE WHEN) aggregation
+      val highPrio = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(highPrio, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!highPrio, 1L).otherwise(0L)).as("low_line_count"))
+    }),
+    "q14_promo_share" -> ((s, dir) => {
+      // conditional revenue ratio (exact decimal, then one double division)
+      val one = lit(1).cast(DecimalType(12, 2))
+      val rev = money(col("l_extendedprice")) * (one - money(col("l_discount")))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(DecimalType(12, 2))))
+            .cast(DoubleType) * lit(100.0) / sum(rev).cast(DoubleType)).as("promo_share"))
+    }),
+    "pipeline_quality_filter" -> ((s, dir) => {
+      // quality-gate filter: the standard pre-training corpus cleanup shape
+      val q = TextAnalysis.qualityScores(t(s, dir, "documents"), "doc_id", "text")
+      q.filter(col("n_tokens") >= 50 && col("n_tokens") <= 500 &&
+        col("stopword_ratio") < lit(0.5) && col("mean_word_len") < lit(12.0))
+        .select(col("doc_id"))
+    }),
     // ---- events: time windows, sessionization, latest-per-key ----
     "q_events_hourly" -> ((s, dir) => {
       t(s, dir, "events")
@@ -354,6 +402,15 @@ object SparkEntry {
       val snap1 = tbl.metadata.currentSnapshotId.get
       tbl.append(s, src.filter(pmod(col("o_orderkey"), lit(2)) =!= 0))
       tbl.scan(s, snapshotId = Some(snap1))
+    }),
+    "ice_incremental" -> ((s, dir) => {
+      // CDC-style incremental read between snapshots
+      val src = t(s, dir, "orders")
+      val tbl = freshTable(s, "ice_incremental", src)
+      tbl.append(s, src.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+      val snap1 = tbl.metadata.currentSnapshotId.get
+      tbl.append(s, src.filter(pmod(col("o_orderkey"), lit(2)) =!= 0))
+      tbl.scanIncremental(s, fromSnapshotId = snap1)
     }),
     "ice_compact" -> ((s, dir) => {
       // small appends + a MoR delete, then compaction absorbs the delete
@@ -598,6 +655,47 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q12_shipmode" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_linestatus""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "pipeline_quality_filter" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |          x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) AS mean_word_len
+        |  FROM documents)
+        |WHERE n_tokens >= 50 AND n_tokens <= 500
+        |  AND stopword_ratio < 0.5 AND mean_word_len < 12.0""".stripMargin,
+    "ice_incremental" -> "SELECT * FROM orders WHERE o_orderkey % 2 <> 0",
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  COUNT(*) AS n_events,

@@ -162,6 +162,32 @@ class GraftTable(
     }
   }
 
+  /** Incremental read: rows added after `fromSnapshotId` (exclusive) up to
+    * `toSnapshotId` (inclusive, default current) — the batch shape of the
+    * reference's resumable scan offsets (icelake/src/io/scan.rs:25-28),
+    * keyed by snapshot sequence instead of (file, row). Append-only
+    * semantics: new data files in the range; deletes in the range apply to
+    * the returned slice. */
+  def scanIncremental(
+      spark: SparkSession,
+      fromSnapshotId: Long,
+      toSnapshotId: Option[Long] = None): DataFrame = {
+    val from = metadata.snapshotById(fromSnapshotId)
+      .getOrElse(sys.error(s"no snapshot $fromSnapshotId"))
+    val to = toSnapshotId.flatMap(metadata.snapshotById)
+      .orElse(metadata.currentSnapshot)
+      .getOrElse(sys.error("no current snapshot"))
+    val schema = metadata.currentSchema
+    val sparkSchema = SchemaConvert.toSparkSchema(schema)
+    val files = planFiles(to).filter { case (f, seq) =>
+      seq > from.sequenceNumber && f.content == DataContent.Data
+    }
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
+    spark.read.schema(sparkSchema).parquet(files.map(_._1.filePath): _*)
+  }
+
   /** files that a filtered scan would read — lets tests assert pruning */
   def filesForScan(filter: Option[Column]): Seq[String] =
     metadata.currentSnapshot.toSeq.flatMap { s =>

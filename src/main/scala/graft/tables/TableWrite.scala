@@ -246,8 +246,23 @@ object TableWrite {
     def configured(df: DataFrame): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
       val sorted =
         if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(col): _*) else df
-      val w = sorted.write.mode("errorifexists")
-      maxRecords.fold(w)(n => w.option("maxRecordsPerFile", n.toString))
+      var w = sorted.write.mode("errorifexists")
+      maxRecords.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
+      // parquet writer knobs (the reference's ParquetWriterConfig,
+      // icelake/src/config.rs:59-71, as table properties)
+      props.get("write.parquet.compression-codec")
+        .foreach(c => w = w.option("compression", c))
+      props.get("write.parquet.row-group-size-bytes")
+        .foreach(n => w = w.option("parquet.block.size", n))
+      props.get("write.parquet.page-size-bytes")
+        .foreach(n => w = w.option("parquet.page.size", n))
+      props.get("write.parquet.bloom-filter-enabled.columns")
+        .foreach { cols =>
+          cols.split(',').map(_.trim).filter(_.nonEmpty).foreach { c =>
+            w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+          }
+        }
+      w
     }
 
     if (spec.isUnpartitioned) {
