@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.tables.{SchemaConvert, StorageCatalog}
+
+/** Streaming source over a graft table's snapshot history — the streaming
+  * form of the reference's resumable scan offsets
+  * (icelake/src/io/scan.rs:25-28,98-116): the offset is the snapshot
+  * sequence number, each micro-batch is the data files appended in
+  * (startSeq, endSeq]. Append-only tables stream exactly-once through
+  * checkpointed offsets.
+  *
+  *   spark.readStream.format("graft-stream")
+  *     .option("location", "/path/to/table").load()
+  */
+class GraftStreamSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-stream"
+
+  private def location(parameters: Map[String, String]): String =
+    parameters.getOrElse("location", sys.error("option 'location' is required"))
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val t = StorageCatalog.loadTable(
+      sqlContext.sparkSession.sparkContext.hadoopConfiguration, location(parameters))
+    ("graft-stream", SchemaConvert.toSparkSchema(t.metadata.currentSchema))
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftStreamSource(sqlContext.sparkSession, location(parameters))
+}
+
+case class SeqOffset(seq: Long) extends Offset {
+  override def json(): String = seq.toString
+}
+
+class GraftStreamSource(spark: SparkSession, location: String) extends Source {
+
+  private val conf = spark.sparkContext.hadoopConfiguration
+
+  private def table = StorageCatalog.loadTable(conf, location)
+
+  override def schema: StructType =
+    SchemaConvert.toSparkSchema(table.metadata.currentSchema)
+
+  override def getOffset: Option[Offset] = {
+    val t = table
+    t.metadata.currentSnapshot.map(s => SeqOffset(s.sequenceNumber))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val t = table
+    val startSeq = start.map(_.json().toLong).getOrElse(0L)
+    val endSeq = end.json().toLong
+    val snap = t.metadata.snapshots.find(_.sequenceNumber == endSeq)
+      .orElse(t.metadata.currentSnapshot)
+    val sparkSchema = SchemaConvert.toSparkSchema(t.metadata.currentSchema)
+    val batch = snap match {
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
+      case Some(s) =>
+        val files = t.planFiles(s).filter { case (f, seq) =>
+          seq > startSeq && seq <= endSeq && f.content == graft.tables.DataContent.Data
+        }
+        if (files.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
+        else spark.read.schema(sparkSchema).parquet(files.map(_._1.filePath): _*)
+    }
+    org.apache.spark.sql.GraftBridge.asStreamingDataFrame(batch)
+  }
+
+  override def stop(): Unit = ()
+}

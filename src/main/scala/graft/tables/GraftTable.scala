@@ -105,9 +105,12 @@ class GraftTable(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
       case Some(s) =>
         val all = planFiles(s)
+        val allData = all.filter(_._1.content == DataContent.Data)
         val dataFiles = PruneEval.prune(
-          all.filter(_._1.content == DataContent.Data),
-          filter, metadata.defaultSpec, schema)
+          allData, filter, metadata.defaultSpec, schema)
+        Metrics.inc(Metrics.ScansPlanned)
+        Metrics.inc(Metrics.FilesScanned, dataFiles.size.toLong)
+        Metrics.inc(Metrics.FilesPruned, (allData.size - dataFiles.size).toLong)
         val posDeletes = all.filter(_._1.content == DataContent.PositionDeletes)
         val eqDeletes = all.filter(_._1.content == DataContent.EqualityDeletes)
         val needPos = posDeletes.nonEmpty || keepFilePos
@@ -401,6 +404,7 @@ class GraftTable(
         done = true
       } catch {
         case _: CommitConflictException if attempt < 5 =>
+          Metrics.inc(Metrics.CommitConflicts)
           attempt += 1
           refresh()
       }
@@ -485,6 +489,11 @@ class GraftTable(
     val newVersion = committer(newMeta, version)
     metadata = newMeta
     version = newVersion
+    Metrics.inc(Metrics.CommitsTotal)
+    Metrics.inc(Metrics.DataFilesWritten, addedData.size.toLong)
+    Metrics.inc(Metrics.DeleteFilesWritten, addedDeletes.size.toLong)
+    Metrics.inc(Metrics.RecordsWritten, addedData.map(_.recordCount).sum)
+    Metrics.inc(Metrics.BytesWritten, (addedData ++ addedDeletes).map(_.fileSizeInBytes).sum)
   }
 }
 

@@ -14,4 +14,13 @@ object GraftBridge {
     * ColumnNodeExpression wrapper hides the tree from pattern matching. */
   def catalystExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Re-tag a batch DataFrame as a streaming one — required for V1
+    * streaming Source.getBatch results (MicroBatchExecution asserts
+    * isStreaming). */
+  def asStreamingDataFrame(df: DataFrame): DataFrame = {
+    val classicSpark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    classicSpark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

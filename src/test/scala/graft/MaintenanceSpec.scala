@@ -151,4 +151,36 @@ class MaintenanceSpec extends AnyFunSuite {
       assert(finalT.scan(spark).count() === src.count() + 3)
     } finally server.stop()
   }
+
+  test("streaming source over snapshot history (resumable offsets)") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val loc = tmpLocation("streamsrc")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src.filter($"r_regionkey" < 2))
+    val name = s"stream_src_${System.nanoTime()}"
+    val q = spark.readStream.format("graft-stream").option("location", loc).load()
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table(name).count() === 2)
+    t.append(spark, src.filter($"r_regionkey" >= 2))
+    q.processAllAvailable()
+    assert(spark.table(name).count() === src.count())
+    q.stop()
+  }
+
+  test("metrics counters track writes, commits, scans, pruning") {
+    Metrics.reset()
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val loc = tmpLocation("metrics")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src)
+    assert(Metrics.get(Metrics.CommitsTotal) === 1)
+    assert(Metrics.get(Metrics.RecordsWritten) === src.count())
+    assert(Metrics.get(Metrics.DataFilesWritten) >= 1)
+    t.scan(spark).count()
+    assert(Metrics.get(Metrics.ScansPlanned) >= 1)
+    assert(Metrics.get(Metrics.FilesScanned) >= 1)
+  }
 }
