@@ -276,8 +276,54 @@ class GraftScanBuilder(
     requiredSchema = StructType(fullSchema.fields.filter(f => keep.contains(f.name)))
   }
 
-  override def build(): Scan =
-    new GraftV1Scan(table, snapshotId, asOfTimestampMs, requiredSchema, pushedFiltersArr)
+  override def build(): Scan = {
+    // native DSv2 batch (vectorized parquet, packed InputPartitions) when
+    // the snapshot carries no delete files; the V1 facade bridge otherwise
+    // (MoR delete application needs joins)
+    val snap = table.resolveSnapshot(snapshotId, asOfTimestampMs)
+    val hasDeletes = snap.exists(s =>
+      table.planFiles(s).exists(_._1.content != DataContent.Data))
+    if (snap.isDefined && !hasDeletes)
+      new GraftNativeBatchScan(table, snapshotId, asOfTimestampMs, fullSchema,
+        requiredSchema, pushedFiltersArr)
+    else
+      new GraftV1Scan(table, snapshotId, asOfTimestampMs, requiredSchema, pushedFiltersArr)
+  }
+}
+
+/** Native DSv2 scan: plan-time file pruning -> packed FilePartitions ->
+  * Spark's vectorized parquet reader with pushed filters. */
+class GraftNativeBatchScan(
+    table: GraftTable,
+    snapshotId: Option[Long],
+    asOfTimestampMs: Option[Long],
+    dataSchema: StructType,
+    requiredSchema: StructType,
+    filters: Array[Filter])
+    extends Scan with org.apache.spark.sql.connector.read.Batch {
+
+  override def readSchema(): StructType = requiredSchema
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+
+  override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val snap = table.resolveSnapshot(snapshotId, asOfTimestampMs).get
+    val schema = table.metadata.currentSchema
+    val pruneFilter = FilterToColumn.convert(filters)
+    val files = graft.tables.PruneEval.prune(
+      table.planFiles(snap).filter(_._1.content == DataContent.Data),
+      pruneFilter, table.metadata.defaultSpec, schema)
+    val maxBytes = SparkSession.active.sessionState.conf.filesMaxPartitionBytes
+    org.apache.spark.sql.GraftBridge.filePartitions(
+      files.map(f => (f._1.filePath, f._1.fileSizeInBytes)), maxBytes).toArray
+  }
+
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    org.apache.spark.sql.GraftBridge.parquetReaderFactory(
+      SparkSession.active, dataSchema, requiredSchema, filters)
+
+  override def description(): String =
+    s"GraftNativeBatchScan(${table.location}, files pruned by ${filters.length} filters)"
 }
 
 /** V1 bridge scan: executes the facade scan (delete application + pruning)

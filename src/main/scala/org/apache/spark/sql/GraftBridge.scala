@@ -23,4 +23,84 @@ object GraftBridge {
     classicSpark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  // ---- native DSv2 read path: internal file-source machinery ----
+
+  /** pack (path, fileSize) pairs into FilePartitions of ~maxBytes each */
+  def filePartitions(
+      files: Seq[(String, Long)],
+      maxBytes: Long): Seq[org.apache.spark.sql.connector.read.InputPartition] = {
+    import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+    import org.apache.spark.sql.catalyst.InternalRow
+    val partitions = scala.collection.mutable.ArrayBuffer[FilePartition]()
+    var current = scala.collection.mutable.ArrayBuffer[PartitionedFile]()
+    var currentBytes = 0L
+    def flush(): Unit = if (current.nonEmpty) {
+      partitions += FilePartition(partitions.size, current.toArray)
+      current = scala.collection.mutable.ArrayBuffer[PartitionedFile]()
+      currentBytes = 0L
+    }
+    files.sortBy(-_._2).foreach { case (path, size) =>
+      if (currentBytes + size > maxBytes) flush()
+      current += PartitionedFile(
+        InternalRow.empty,
+        org.apache.spark.paths.SparkPath.fromPathString(path),
+        0L, size, Array.empty, 0L, size)
+      currentBytes += size
+    }
+    flush()
+    partitions.toSeq
+  }
+
+  /** Spark's vectorized parquet reader factory over a fixed schema */
+  def parquetReaderFactory(
+      spark: SparkSession,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      readSchema: org.apache.spark.sql.types.StructType,
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
+    import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
+    import org.apache.spark.util.SerializableConfiguration
+    import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport}
+    import org.apache.spark.sql.internal.SQLConf
+    val classicSpark = spark.asInstanceOf[classic.SparkSession]
+    val sqlConf = classicSpark.sessionState.conf
+    val hadoopConf = classicSpark.sessionState.newHadoopConfWithOptions(Map.empty)
+    // mirror ParquetScan.createReaderFactory's reader configuration
+    hadoopConf.set(
+      org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    hadoopConf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, readSchema.json)
+    hadoopConf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, readSchema.json)
+    hadoopConf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
+    hadoopConf.setBoolean(
+      SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key, sqlConf.nestedSchemaPruningEnabled)
+    hadoopConf.setBoolean(SQLConf.CASE_SENSITIVE.key, sqlConf.caseSensitiveAnalysis)
+    ParquetWriteSupport.setSchema(readSchema, hadoopConf)
+    hadoopConf.setBoolean(
+      SQLConf.PARQUET_BINARY_AS_STRING.key, sqlConf.isParquetBinaryAsString)
+    hadoopConf.setBoolean(
+      SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, sqlConf.isParquetINT96AsTimestamp)
+    hadoopConf.setBoolean(
+      SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, sqlConf.parquetFieldIdReadEnabled)
+    hadoopConf.setBoolean(
+      SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      sqlConf.parquetInferTimestampNTZEnabled)
+    hadoopConf.setBoolean(
+      SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, sqlConf.legacyParquetNanosAsLong)
+    val broadcastConf = classicSpark.sparkContext.broadcast(
+      new SerializableConfiguration(hadoopConf))
+    ParquetPartitionReaderFactory(
+      classicSpark.sessionState.conf,
+      broadcastConf,
+      dataSchema,
+      readSchema,
+      new org.apache.spark.sql.types.StructType(),
+      filters,
+      None,
+      new ParquetOptions(
+        org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(Map.empty[String, String]),
+        classicSpark.sessionState.conf))
+  }
 }

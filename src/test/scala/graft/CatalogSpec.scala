@@ -98,4 +98,23 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM graft.db.alt").columns.toSeq === Seq("k", "extra"))
     assert(spark.sql("SELECT extra FROM graft.db.alt").head().isNullAt(0))
   }
+
+  test("native DSv2 batch scan is used for delete-free tables") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.native")
+    spark.sql("CREATE TABLE graft.db.native (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.db.native SELECT id, id * 1.5 FROM RANGE(1000)")
+    val df = spark.sql("SELECT SUM(v) AS s FROM graft.db.native WHERE k < 500")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftNativeBatchScan"), s"native scan not engaged:\n$plan")
+    assert(df.head().getDouble(0) === (0 until 500).map(_ * 1.5).sum)
+    // MoR table falls back to the bridge
+    val conf = spark.sparkContext.hadoopConfiguration
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val t = graft.tables.StorageCatalog.loadTable(conf, s"$wh/db/native")
+    t.equalityDelete(spark, Seq(1L).toDF("k"), Seq("k"))
+    val df2 = spark.sql("SELECT COUNT(*) FROM graft.db.native")
+    assert(!df2.queryExecution.executedPlan.toString.contains("GraftNativeBatchScan"))
+    assert(df2.head().getLong(0) === 999)
+  }
 }
