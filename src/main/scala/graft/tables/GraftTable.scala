@@ -92,6 +92,10 @@ class GraftTable(
       asOfTimestampMs: Option[Long] = None,
       filter: Option[Column] = None,
       keepFilePos: Boolean = false): DataFrame = {
+    // our data files carry iceberg field ids; resolve parquet columns by id
+    // so renamed columns keep reading pre-rename files (id-based resolution,
+    // the property the format is built around)
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val snap = resolveSnapshot(snapshotId, asOfTimestampMs)
     // time travel pins the snapshot's schema; current reads use the
     // current schema (Iceberg read semantics)
@@ -312,10 +316,9 @@ class GraftTable(
     commitSchema(newSchema, newId)
   }
 
-  /** Rename keeps the field id (id-based resolution is what makes this safe
-    * in the format); NOTE: the name-based parquet read path surfaces
-    * pre-rename files as null for the renamed column — full id-based column
-    * resolution is tracked for the DSv2 reader. */
+  /** Rename keeps the field id; scans resolve parquet columns by field id
+    * (`spark.sql.parquet.fieldId.read.enabled`), so pre-rename files keep
+    * serving their values under the new name. */
   def renameColumn(from: String, to: String): GraftTable = {
     val base = metadata
     val schema = base.currentSchema

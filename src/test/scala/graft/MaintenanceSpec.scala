@@ -183,4 +183,19 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Metrics.get(Metrics.ScansPlanned) >= 1)
     assert(Metrics.get(Metrics.FilesScanned) >= 1)
   }
+
+  test("rename keeps reading old files via field-id resolution") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val loc = tmpLocation("rename-read")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src)
+    t.renameColumn("r_name", "region_name")
+    val back = t.scan(spark)
+    assert(back.columns.toSeq === Seq("r_regionkey", "region_name"))
+    // pre-rename files must surface their values under the new name
+    assert(back.filter($"region_name".isNull).count() === 0)
+    assert(back.select("region_name").as[String].collect().toSet ===
+      src.select("r_name").as[String].collect().toSet)
+  }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tables._
+
+/** File-pruning unit tests: transform-predicate derivation and
+  * column-bounds evaluation. */
+class PruneEvalSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private val schema = IceSchema(0, List(
+    IceField(1, "id", required = true, IcePrim("long")),
+    IceField(2, "name", required = false, IcePrim("string")),
+    IceField(3, "ts", required = false, IcePrim("timestamptz"))))
+
+  private def file(
+      partition: Seq[Option[Any]],
+      lower: Map[Int, Array[Byte]] = Map.empty,
+      upper: Map[Int, Array[Byte]] = Map.empty) =
+    IceDataFile(0, "/f.parquet", "parquet", partition, 10L, 100L,
+      lowerBounds = lower, upperBounds = upper)
+
+  test("bucket partition: equality prunes, ranges keep") {
+    val spec = IcePartitionSpec(0, List(IcePartitionField(1, 1000, "bucket[16]", "id_bucket")))
+    val b = graft.functions.TransformUtil.bucketLong(42L, 16)
+    val hit = file(Seq(Some(b)))
+    val miss = file(Seq(Some((b + 1) % 16)))
+    def prune(f: IceDataFile, c: org.apache.spark.sql.Column) =
+      PruneEval.prune(Seq((f, 1L)), Some(c), spec, schema).nonEmpty
+    assert(prune(hit, col("id") === 42L))
+    assert(!prune(miss, col("id") === 42L))
+    // bucket is not monotone: range predicates must keep every file
+    assert(prune(miss, col("id") > 42L))
+  }
+
+  test("month partition: range predicates prune by transform value") {
+    val spec = IcePartitionSpec(0, List(IcePartitionField(3, 1000, "month", "ts_month")))
+    val jan97 = file(Seq(Some(27 * 12 + 0))) // 1997-01 = 324 months since epoch
+    val dec99 = file(Seq(Some(29 * 12 + 11)))
+    val flt = col("ts") >= lit(java.sql.Timestamp.valueOf("1997-01-15 00:00:00")) &&
+      col("ts") < lit(java.sql.Timestamp.valueOf("1997-03-01 00:00:00"))
+    val kept = PruneEval.prune(Seq((jan97, 1L), (dec99, 1L)), Some(flt), spec, schema)
+    assert(kept.map(_._1) === Seq(jan97))
+  }
+
+  test("column bounds prune without any partition spec") {
+    val spec = IcePartitionSpec(0, Nil)
+    val lowIds = file(Nil,
+      lower = Map(1 -> SingleValue.encode(IcePrim("long"), 0L)),
+      upper = Map(1 -> SingleValue.encode(IcePrim("long"), 99L)))
+    val highIds = file(Nil,
+      lower = Map(1 -> SingleValue.encode(IcePrim("long"), 1000L)),
+      upper = Map(1 -> SingleValue.encode(IcePrim("long"), 1999L)))
+    val kept = PruneEval.prune(
+      Seq((lowIds, 1L), (highIds, 1L)), Some(col("id") < 50L), spec, schema)
+    assert(kept.map(_._1) === Seq(lowIds))
+    val eq = PruneEval.prune(
+      Seq((lowIds, 1L), (highIds, 1L)), Some(col("id") === 1500L), spec, schema)
+    assert(eq.map(_._1) === Seq(highIds))
+  }
+
+  test("string bounds prune equality and ranges") {
+    val spec = IcePartitionSpec(0, Nil)
+    val ab = file(Nil,
+      lower = Map(2 -> SingleValue.encode(IcePrim("string"), "aaa")),
+      upper = Map(2 -> SingleValue.encode(IcePrim("string"), "bzz")))
+    val xy = file(Nil,
+      lower = Map(2 -> SingleValue.encode(IcePrim("string"), "x")),
+      upper = Map(2 -> SingleValue.encode(IcePrim("string"), "z")))
+    val kept = PruneEval.prune(
+      Seq((ab, 1L), (xy, 1L)), Some(col("name") === "apple"), spec, schema)
+    assert(kept.map(_._1) === Seq(ab))
+  }
+
+  test("unknown predicates keep all files (conservative)") {
+    val spec = IcePartitionSpec(0, Nil)
+    val f = file(Nil)
+    assert(PruneEval.prune(
+      Seq((f, 1L)), Some(length(col("name")) > 3), spec, schema).nonEmpty)
+    assert(PruneEval.prune(
+      Seq((f, 1L)), Some(col("name").isNull), spec, schema).nonEmpty)
+  }
+}
