@@ -248,6 +248,23 @@ object SparkEntry {
           min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"))
     }),
+    "q_events_asof" -> ((s, dir) => {
+      // point-in-time join: each purchase gets the user's latest click at
+      // or before it (union + carry-forward, no range join)
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"), col("ts"))
+        .orderBy(col("event_id").desc)
+      // dedupe the right side to one row per (user, microsecond)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsOfJoin.asof(purchases, clicks, "user_id", "ts")
+        .select(col("event_id"), col("user_id"),
+          col("r_event_id").as("click_event_id"), col("r_ts").as("click_ts"))
+    }),
     "q_events_latest" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").desc, col("event_id").desc)
@@ -718,6 +735,18 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM sessions GROUP BY user_id, session_idx""".stripMargin,
+    "q_events_asof" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id FROM (
+        |    SELECT user_id, ts, event_id,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'click') WHERE rn = 1),
+        |purchases AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |  c.event_id AS click_event_id, c.ts AS click_ts
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
     "q_events_latest" ->
       """SELECT user_id, event_id, event_type,
         |  CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value

@@ -60,9 +60,26 @@ class GraftTable(
   // ---------- planning ----------
 
   /** live files of a snapshot with their data sequence numbers
-    * (manifest-list sequence inherited when the entry carries none) */
-  def planFiles(snapshot: IceSnapshot): List[(IceDataFile, Long)] = {
-    val entries = ManifestIO.readManifestList(conf, relocate(snapshot.manifestList))
+    * (manifest-list sequence inherited when the entry carries none).
+    * With a filter, whole data manifests are skipped via the manifest
+    * list's per-partition-field summaries before their Avro is read —
+    * at 100 TB this bounds planning cost by surviving manifests, not
+    * total manifests. */
+  def planFiles(
+      snapshot: IceSnapshot,
+      filter: Option[Column] = None): List[(IceDataFile, Long)] = {
+    val allEntries = ManifestIO.readManifestList(conf, relocate(snapshot.manifestList))
+    val entries = filter match {
+      case Some(c) =>
+        val expr = org.apache.spark.sql.GraftBridge.catalystExpression(c)
+        allEntries.filter { mf =>
+          // deletes always load; data manifests prune by summary
+          mf.content != 0 || PruneEval.manifestMayMatch(
+            expr, mf.partitions, metadata.specById(mf.partitionSpecId),
+            metadata.currentSchema)
+        }
+      case None => allEntries
+    }
     entries.flatMap { mf =>
       val spec = metadata.specById(mf.partitionSpecId)
       ManifestIO.readManifest(conf, relocate(mf.manifestPath), spec.fields.map(_.name))
@@ -108,7 +125,7 @@ class GraftTable(
       case None =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
       case Some(s) =>
-        val all = planFiles(s)
+        val all = planFiles(s, filter)
         val allData = all.filter(_._1.content == DataContent.Data)
         val dataFiles = PruneEval.prune(
           allData, filter, metadata.defaultSpec, schema)

@@ -154,6 +154,14 @@ case class IceManifestFile(
     specId: Int,
     content: Int) // 0=data, 1=deletes
 
+/** per-partition-field summary over a manifest's entries (the reference's
+  * FieldSummary, icelake/src/types/in_memory.rs:1354-1372 — parsed but
+  * unused there; here it powers manifest-level pruning) */
+case class IceFieldSummary(
+    containsNull: Boolean,
+    lowerBound: Option[Array[Byte]],
+    upperBound: Option[Array[Byte]])
+
 case class IceManifestListEntry(
     manifestPath: String,
     manifestLength: Long,
@@ -167,4 +175,5 @@ case class IceManifestListEntry(
     deletedFilesCount: Int,
     addedRowsCount: Long,
     existingRowsCount: Long,
-    deletedRowsCount: Long)
+    deletedRowsCount: Long,
+    partitions: Seq[IceFieldSummary] = Nil)

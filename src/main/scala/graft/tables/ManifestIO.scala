@@ -104,6 +104,15 @@ object ManifestIO {
     rec
   }
 
+  private val fieldSummarySchema: Schema = {
+    val rec = Schema.createRecord("r508", null, null, false)
+    rec.setFields(List(
+      field("contains_null", 509, Schema.create(Schema.Type.BOOLEAN), opt = false),
+      field("lower_bound", 510, Schema.create(Schema.Type.BYTES), opt = true),
+      field("upper_bound", 511, Schema.create(Schema.Type.BYTES), opt = true)).asJava)
+    rec
+  }
+
   private val manifestListSchema: Schema = {
     val rec = Schema.createRecord("manifest_file", null, null, false)
     rec.setFields(List(
@@ -119,7 +128,8 @@ object ManifestIO {
       field("deleted_files_count", 506, Schema.create(Schema.Type.INT), opt = false),
       field("added_rows_count", 512, Schema.create(Schema.Type.LONG), opt = false),
       field("existing_rows_count", 513, Schema.create(Schema.Type.LONG), opt = false),
-      field("deleted_rows_count", 514, Schema.create(Schema.Type.LONG), opt = false)).asJava)
+      field("deleted_rows_count", 514, Schema.create(Schema.Type.LONG), opt = false),
+      field("partitions", 507, Schema.createArray(fieldSummarySchema), opt = true)).asJava)
     rec
   }
 
@@ -233,7 +243,19 @@ object ManifestIO {
           .orElse(intOf(r, "deleted_data_files_count")).getOrElse(0),
         addedRowsCount = lng(r, "added_rows_count").getOrElse(0L),
         existingRowsCount = lng(r, "existing_rows_count").getOrElse(0L),
-        deletedRowsCount = lng(r, "deleted_rows_count").getOrElse(0L))
+        deletedRowsCount = lng(r, "deleted_rows_count").getOrElse(0L),
+        partitions = getOpt(r, "partitions").map {
+          case arr: java.util.Collection[_] =>
+            arr.asScala.toSeq.map { e =>
+              val fr = e.asInstanceOf[GenericRecord]
+              IceFieldSummary(
+                containsNull = Option(fr.get("contains_null"))
+                  .exists(_.asInstanceOf[Boolean]),
+                lowerBound = Option(fr.get("lower_bound")).map(bytesOf),
+                upperBound = Option(fr.get("upper_bound")).map(bytesOf))
+            }
+          case _ => Nil
+        }.getOrElse(Nil))
     }
   }
 
@@ -418,6 +440,21 @@ object ManifestIO {
     val existing = entries.filter(_.status == ManifestStatus.Existing)
     val deleted = entries.filter(_.status == ManifestStatus.Deleted)
     val seqs = entries.flatMap(_.dataSequenceNumber)
+    // per-partition-field min/max summaries for manifest-level pruning
+    val summaries: Seq[IceFieldSummary] = spec.fields.zipWithIndex.map { case (pf, idx) =>
+      val src = schema.fieldById(pf.sourceId)
+      val resultType = src.map(f => SchemaConvert.transformResultType(pf.transform, f.fieldType))
+      val values = entries.map(_.dataFile.partition.lift(idx).flatten)
+      val present = values.flatten
+      def enc(v: Any): Option[Array[Byte]] =
+        resultType.flatMap(t => try Some(SingleValue.encode(t, v)) catch {
+          case _: Throwable => None })
+      val ordered = present.sortWith((a, b) => PruneEval.compareValues(a, b) < 0)
+      IceFieldSummary(
+        containsNull = values.exists(_.isEmpty),
+        lowerBound = ordered.headOption.flatMap(enc),
+        upperBound = ordered.lastOption.flatMap(enc))
+    }
     IceManifestListEntry(
       manifestPath = path,
       manifestLength = bytes.length.toLong,
@@ -431,7 +468,8 @@ object ManifestIO {
       deletedFilesCount = deleted.size,
       addedRowsCount = added.map(_.dataFile.recordCount).sum,
       existingRowsCount = existing.map(_.dataFile.recordCount).sum,
-      deletedRowsCount = deleted.map(_.dataFile.recordCount).sum)
+      deletedRowsCount = deleted.map(_.dataFile.recordCount).sum,
+      partitions = summaries)
   }
 
   def writeManifestList(
@@ -464,6 +502,18 @@ object ManifestIO {
       rec.put("added_rows_count", e.addedRowsCount: java.lang.Long)
       rec.put("existing_rows_count", e.existingRowsCount: java.lang.Long)
       rec.put("deleted_rows_count", e.deletedRowsCount: java.lang.Long)
+      if (e.partitions.nonEmpty) {
+        val arrSchema = unwrapNullable(manifestListSchema.getField("partitions").schema())
+        val arr = new GenericData.Array[GenericRecord](e.partitions.size, arrSchema)
+        e.partitions.foreach { fsum =>
+          val fr = new GenericData.Record(arrSchema.getElementType)
+          fr.put("contains_null", fsum.containsNull: java.lang.Boolean)
+          fsum.lowerBound.foreach(b => fr.put("lower_bound", ByteBuffer.wrap(b)))
+          fsum.upperBound.foreach(b => fr.put("upper_bound", ByteBuffer.wrap(b)))
+          arr.add(fr)
+        }
+        rec.put("partitions", arr)
+      }
       writer.append(rec)
     }
     writer.close()

@@ -203,6 +203,92 @@ object PruneEval {
     }
   }
 
+  /** total-order comparison for partition values (unknown pairs -> 0) */
+  def compareValues(a: Any, b: Any): Int = cmp(a, b).getOrElse(0)
+
+  /** Manifest-level pruning against the manifest list's per-partition-field
+    * summaries — whole manifests are skipped before their Avro is read.
+    * Interval logic over [lower, upper] per partition field; unknown
+    * shapes keep the manifest. */
+  def manifestMayMatch(
+      expr: Expression,
+      summaries: Seq[IceFieldSummary],
+      spec: IcePartitionSpec,
+      schema: IceSchema): Boolean = {
+    if (summaries.isEmpty) return true
+
+    def rangeCompare(colName: String, lit0: Any, op: String): Boolean = {
+      val fid = schema.findField(colName).map(_.id).getOrElse(return true)
+      val lit: Any = (lit0, schema.fieldById(fid).map(_.fieldType)) match {
+        case (s: String, Some(IcePrim("date"))) =>
+          try java.time.LocalDate.parse(s).toEpochDay.toInt catch { case _: Throwable => s }
+        case (s: String, Some(IcePrim("timestamp")) | Some(IcePrim("timestamptz"))) =>
+          try {
+            val ld =
+              if (s.length <= 10) java.time.LocalDate.parse(s).atStartOfDay()
+              else java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+            ld.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+          } catch { case _: Throwable => s }
+        case _ => lit0
+      }
+      spec.fields.zipWithIndex.forall { case (pf, idx) =>
+        if (pf.sourceId != fid) true
+        else {
+          val monotone = pf.transform == "identity" ||
+            pf.transform.startsWith("truncate") ||
+            Set("year", "month", "day", "hour").contains(pf.transform)
+          val check = for {
+            fsum <- summaries.lift(idx)
+            loB <- fsum.lowerBound
+            hiB <- fsum.upperBound
+            src <- schema.fieldById(fid)
+            t = SchemaConvert.transformResultType(pf.transform, src.fieldType)
+            tl <- applyTransform(pf.transform, lit)
+            lo = SingleValue.decode(t, loB)
+            hi = SingleValue.decode(t, hiB)
+            cLo <- cmp(lo, tl)
+            cHi <- cmp(hi, tl)
+          } yield op match {
+            case "=" => cLo <= 0 && cHi >= 0 // lo <= t(lit) <= hi
+            // for ranges, values below/above t(lit) may exist iff the
+            // interval reaches that side (monotone transforms only)
+            case "<" | "<=" => if (monotone) cLo <= 0 else true
+            case ">" | ">=" => if (monotone) cHi >= 0 else true
+            case _ => true
+          }
+          check.getOrElse(true)
+        }
+      }
+    }
+
+    def walk(e: Expression): Boolean = e match {
+      case And(l, r) => walk(l) && walk(r)
+      case Or(l, r) => walk(l) || walk(r)
+      case EqualTo(Attr(a), l: Literal) => rangeCompare(a, litValue(l), "=")
+      case EqualTo(l: Literal, Attr(a)) => rangeCompare(a, litValue(l), "=")
+      case LessThan(Attr(a), l: Literal) => rangeCompare(a, litValue(l), "<")
+      case LessThanOrEqual(Attr(a), l: Literal) => rangeCompare(a, litValue(l), "<=")
+      case GreaterThan(Attr(a), l: Literal) => rangeCompare(a, litValue(l), ">")
+      case GreaterThanOrEqual(Attr(a), l: Literal) => rangeCompare(a, litValue(l), ">=")
+      case In(Attr(a), lits) if lits.forall(_.isInstanceOf[Literal]) =>
+        lits.exists(l => rangeCompare(a, litValue(l.asInstanceOf[Literal]), "="))
+      case uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        val flip = Map("<" -> ">", "<=" -> ">=", ">" -> "<", ">=" -> "<=", "=" -> "=", "==" -> "=")
+        val norm = Map("<" -> "<", "<=" -> "<=", ">" -> ">", ">=" -> ">=", "=" -> "=", "==" -> "=")
+        (uf.nameParts.last.toLowerCase, uf.arguments) match {
+          case ("and", Seq(l, r)) => walk(l) && walk(r)
+          case ("or", Seq(l, r)) => walk(l) || walk(r)
+          case (op, Seq(Attr(a), l: Literal)) if norm.contains(op) =>
+            rangeCompare(a, litValue(l), norm(op))
+          case (op, Seq(l: Literal, Attr(a))) if flip.contains(op) =>
+            rangeCompare(a, litValue(l), flip(op))
+          case _ => true
+        }
+      case _ => true
+    }
+    walk(expr)
+  }
+
   def prune(
       files: Seq[(IceDataFile, Long)],
       filter: Option[Column],

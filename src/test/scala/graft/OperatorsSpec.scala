@@ -108,6 +108,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.sampleFrames(assets).count() > 0)
   }
 
+  test("as-of join attaches the latest prior right row per key") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 8L, "c1"), (1L, 15L, "c2"), (2L, 9L, "c3"))
+      .toDF("k", "t", "rv")
+    val out = graft.operators.AsOfJoin.asof(left, right, "k", "t")
+      .select("k", "t", "lv", "r_rv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSet
+    assert(out === Set(
+      (1L, 10L, "p1", "c1"),  // c1@8 is latest <= 10
+      (1L, 20L, "p2", "c2"),  // c2@15 is latest <= 20
+      (2L, 5L, "p3", null)))  // c3@9 is after 5 -> no match
+  }
+
   test("cosine similarity expression basics") {
     val a = Seq((Array(1f, 0f), Array(0f, 1f), Array(2f, 0f)))
       .toDF("x", "y", "z")

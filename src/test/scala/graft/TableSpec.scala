@@ -221,4 +221,30 @@ class TableSpec extends AnyFunSuite {
     assert(entries.head.manifestPath === path)
     assert(entries.head.sequenceNumber === 3L)
   }
+
+  test("manifest-level pruning skips whole manifests via field summaries") {
+    val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val schema = SchemaConvert.fromSparkSchema(src.schema)
+    val spec = IcePartitionSpec(0, List(IcePartitionField(
+      schema.findField("l_shipdate").get.id, 1000, "month", "shipmonth")))
+    val loc = tmpLocation("mfprune")
+    val t = StorageCatalog.createOrReplaceTable(conf, loc, schema, spec)
+    // one manifest per year: disjoint summary ranges
+    Seq("1996", "1997", "1998").foreach { y =>
+      t.append(spark, src.filter(year($"l_shipdate") === y.toInt))
+    }
+    val snap = t.metadata.currentSnapshot.get
+    val all = t.planFiles(snap)
+    val flt = $"l_shipdate" >= lit(java.sql.Timestamp.valueOf("1997-02-01 00:00:00")) &&
+      $"l_shipdate" < lit(java.sql.Timestamp.valueOf("1997-05-01 00:00:00"))
+    val pruned = t.planFiles(snap, Some(flt))
+    // only the 1997 manifest's files survive manifest-level pruning
+    assert(pruned.size < all.size / 2,
+      s"manifest pruning ineffective: ${pruned.size} of ${all.size}")
+    // correctness through the full scan
+    val got = t.scan(spark, filter = Some(flt))
+    val exp = src.filter(flt)
+    assert(got.count() === exp.count())
+    assert(got.exceptAll(exp).isEmpty)
+  }
 }
