@@ -178,6 +178,29 @@ object SparkEntry {
         .agg(sum(money(col("c_acctbal"))).cast(DoubleType).as("total_acctbal"),
           count(lit(1)).as("n_customers"))
     }),
+    "q6_revenue_forecast" -> ((s, dir) => {
+      // pure filter + aggregate: predicate pushdown all the way down
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+        .agg(sum(money(col("l_extendedprice")) * money(col("l_discount")))
+          .cast(DoubleType).as("revenue"))
+    }),
+    "q19_disjunctive" -> ((s, dir) => {
+      // OR-of-ANDs predicate across a join (Catalyst pushes the common part)
+      val one = lit(1).cast(DecimalType(12, 2))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 40)))
+        .agg(
+          sum(money(col("l_extendedprice")) * (one - money(col("l_discount"))))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
     "q4_order_priority" -> ((s, dir) => {
       // EXISTS semi-join (with a non-equi condition) + count per priority
       val o = t(s, dir, "orders")
@@ -419,6 +442,24 @@ object SparkEntry {
       val snap1 = tbl.metadata.currentSnapshotId.get
       tbl.append(s, src.filter(pmod(col("o_orderkey"), lit(2)) =!= 0))
       tbl.scan(s, snapshotId = Some(snap1))
+    }),
+    "ice_bucket_partitioned" -> ((s, dir) => {
+      // bucket[8] hidden partitioning; key-equality scan prunes to one bucket
+      val src = t(s, dir, "orders")
+      val tbl = freshTable(s, "ice_bucket_partitioned", src, schema =>
+        IcePartitionSpec(0, List(IcePartitionField(
+          schema.findField("o_orderkey").get.id, 1000, "bucket[8]", "okey_bucket"))))
+      tbl.append(s, src)
+      tbl.scan(s, filter = Some(pmod(col("o_orderkey"), lit(100)) === 0))
+    }),
+    "ice_identity_partitioned" -> ((s, dir) => {
+      // identity partitioning on a string column (hive-style dirs)
+      val src = t(s, dir, "orders")
+      val tbl = freshTable(s, "ice_identity_partitioned", src, schema =>
+        IcePartitionSpec(0, List(IcePartitionField(
+          schema.findField("o_orderstatus").get.id, 1000, "identity", "status"))))
+      tbl.append(s, src)
+      tbl.scan(s, filter = Some(col("o_orderstatus") === "O"))
     }),
     "ice_incremental" -> ((s, dir) => {
       // CDC-style incremental read between snapshots
@@ -713,6 +754,22 @@ object SparkEntry {
         |WHERE n_tokens >= 50 AND n_tokens <= 500
         |  AND stopword_ratio < 0.5 AND mean_word_len < 12.0""".stripMargin,
     "ice_incremental" -> "SELECT * FROM orders WHERE o_orderkey % 2 <> 0",
+    "ice_bucket_partitioned" -> "SELECT * FROM orders WHERE o_orderkey % 100 = 0",
+    "ice_identity_partitioned" -> "SELECT * FROM orders WHERE o_orderstatus = 'O'",
+    "q6_revenue_forecast" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |         AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |         AND l_quantity BETWEEN 10 AND 40)""".stripMargin,
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  COUNT(*) AS n_events,
