@@ -277,26 +277,49 @@ class GraftScanBuilder(
   }
 
   override def build(): Scan = {
-    // native DSv2 batch (vectorized parquet, packed InputPartitions) when
-    // the snapshot carries no delete files; the V1 facade bridge otherwise
-    // (MoR delete application needs joins)
-    val snap = table.resolveSnapshot(snapshotId, asOfTimestampMs)
-    val hasDeletes = snap.exists(s =>
-      table.planFiles(s).exists(_._1.content != DataContent.Data))
-    if (snap.isDefined && !hasDeletes)
-      new GraftNativeBatchScan(table, snapshotId, asOfTimestampMs, fullSchema,
-        requiredSchema, pushedFiltersArr)
-    else
-      new GraftV1Scan(table, snapshotId, asOfTimestampMs, requiredSchema, pushedFiltersArr)
+    // ONE planning pass (manifests are read once per query): prune data
+    // and delete files against the pushed filters, then pick the scan —
+    //  - no deletes: native batch scan, packed FilePartitions
+    //  - small deletes: native MoR scan (delete state applied in-reader)
+    //  - large deletes (rare): V1 facade bridge with the AQE join plan
+    table.resolveSnapshot(snapshotId, asOfTimestampMs) match {
+      case None =>
+        new GraftV1Scan(table, snapshotId, asOfTimestampMs, requiredSchema, pushedFiltersArr)
+      case Some(s) =>
+        val timeTravel = snapshotId.isDefined || asOfTimestampMs.isDefined
+        val iceSchema =
+          if (timeTravel) table.metadata.schemaFor(s) else table.metadata.currentSchema
+        val pruneFilter = FilterToColumn.convert(pushedFiltersArr)
+        val planned = table.planFiles(s, pruneFilter)
+        val data = PruneEval.prunePlanned(
+          planned.filter(_.file.content == DataContent.Data),
+          pruneFilter, table.metadata, iceSchema)
+        val deletes = planned.filter(_.file.content != DataContent.Data)
+        if (deletes.isEmpty)
+          new GraftNativeBatchScan(table, data, fullSchema, requiredSchema, pushedFiltersArr)
+        else {
+          val posD = PruneEval.prunePlanned(
+            deletes.filter(_.file.content == DataContent.PositionDeletes),
+            pruneFilter, table.metadata, iceSchema)
+          val eqD = PruneEval.prunePlanned(
+            deletes.filter(_.file.content == DataContent.EqualityDeletes),
+            pruneFilter, table.metadata, iceSchema)
+          val deleteBytes = (posD ++ eqD).map(_.file.fileSizeInBytes).sum
+          if (deleteBytes <= GraftTable.DeleteBroadcastMaxBytes)
+            new GraftMorScan(table, iceSchema, data, posD, eqD, fullSchema, requiredSchema)
+          else
+            new GraftV1Scan(table, snapshotId, asOfTimestampMs, requiredSchema, pushedFiltersArr)
+        }
+    }
   }
 }
 
-/** Native DSv2 scan: plan-time file pruning -> packed FilePartitions ->
-  * Spark's vectorized parquet reader with pushed filters. */
+/** Native DSv2 scan of a delete-free snapshot: plan-time pruned files ->
+  * packed FilePartitions -> Spark's vectorized parquet reader with pushed
+  * filters. Files are pre-planned in [[GraftScanBuilder.build]]. */
 class GraftNativeBatchScan(
     table: GraftTable,
-    snapshotId: Option[Long],
-    asOfTimestampMs: Option[Long],
+    files: Seq[PlannedFile],
     dataSchema: StructType,
     requiredSchema: StructType,
     filters: Array[Filter])
@@ -307,15 +330,9 @@ class GraftNativeBatchScan(
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
 
   override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] = {
-    val snap = table.resolveSnapshot(snapshotId, asOfTimestampMs).get
-    val schema = table.metadata.currentSchema
-    val pruneFilter = FilterToColumn.convert(filters)
-    val files = graft.tables.PruneEval.prune(
-      table.planFiles(snap).filter(_._1.content == DataContent.Data),
-      pruneFilter, table.metadata.defaultSpec, schema)
     val maxBytes = SparkSession.active.sessionState.conf.filesMaxPartitionBytes
     org.apache.spark.sql.GraftBridge.filePartitions(
-      files.map(f => (f._1.filePath, f._1.fileSizeInBytes)), maxBytes).toArray
+      files.map(p => (p.file.filePath, p.file.fileSizeInBytes)), maxBytes).toArray
   }
 
   override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
@@ -323,7 +340,7 @@ class GraftNativeBatchScan(
       SparkSession.active, dataSchema, requiredSchema, filters)
 
   override def description(): String =
-    s"GraftNativeBatchScan(${table.location}, files pruned by ${filters.length} filters)"
+    s"GraftNativeBatchScan(${table.location}, ${files.size} files after pruning)"
 }
 
 /** V1 bridge scan: executes the facade scan (delete application + pruning)
@@ -367,6 +384,29 @@ object FilterToColumn {
     if (cols.isEmpty) None else Some(cols.reduce(_ && _))
   }
 
+  /** Exact translation: every filter must convert, else None. Used where
+    * the condition is a CONTRACT (filtered overwrite), not an optimization
+    * — a dropped conjunct there would delete too many rows. */
+  def convertStrict(filters: Array[Filter]): Option[SqlColumn] = {
+    val cols = filters.map(oneStrict)
+    if (cols.exists(_.isEmpty) || cols.isEmpty) None
+    else Some(cols.flatten.reduce(_ && _))
+  }
+
+  private def oneStrict(f: Filter): Option[SqlColumn] = f match {
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.Not(c) => oneStrict(c).map(!_)
+    case sources.And(l, r) => for { a <- oneStrict(l); b <- oneStrict(r) } yield a && b
+    case sources.Or(l, r) => for { a <- oneStrict(l); b <- oneStrict(r) } yield a || b
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.EqualTo(_, _) | sources.GreaterThan(_, _) |
+        sources.GreaterThanOrEqual(_, _) | sources.LessThan(_, _) |
+        sources.LessThanOrEqual(_, _) | sources.In(_, _) => one(f)
+    case _ => None
+  }
+
   private def one(f: Filter): Option[SqlColumn] = f match {
     case sources.EqualTo(a, v) => Some(col(a) === lit(v))
     case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
@@ -387,23 +427,42 @@ object FilterToColumn {
 }
 
 class GraftWriteBuilder(table: GraftTable)
-    extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
+    extends WriteBuilder with SupportsTruncate with SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
   private var overwriteAll = false
+  private var overwriteCond: Option[SqlColumn] = None
+  private var dynamic = false
 
   override def truncate(): WriteBuilder = { overwriteAll = true; this }
 
+  /** Static filtered overwrite (`INSERT OVERWRITE t PARTITION (p=1)`):
+    * only rows matching the filters are replaced. Filters that cannot be
+    * translated exactly are REJECTED — silently widening to a full-table
+    * replace would lose every other partition. */
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
-    overwriteAll = true
+    if (filters.isEmpty ||
+      filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+      overwriteAll = true
+    else
+      overwriteCond = Some(FilterToColumn.convertStrict(filters).getOrElse(
+        sys.error(s"unsupported overwrite filters: ${filters.mkString(", ")}")))
     this
   }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = { dynamic = true; this }
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       (data: DataFrame, overwrite: Boolean) => {
         val spark = data.sparkSession
-        if (overwrite || overwriteAll) table.overwrite(spark, data)
-        else table.append(spark, data)
+        if (dynamic) table.overwriteDynamic(spark, data)
+        else overwriteCond match {
+          case Some(cond) => table.overwriteWhere(spark, cond, data)
+          case None =>
+            if (overwrite || overwriteAll) table.overwrite(spark, data)
+            else table.append(spark, data)
+        }
         ()
       }
   }

@@ -72,12 +72,13 @@ class GraftStreamSource(spark: SparkSession, location: String) extends Source {
       case None =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
       case Some(s) =>
-        val files = t.planFiles(s).filter { case (f, seq) =>
-          seq > startSeq && seq <= endSeq && f.content == graft.tables.DataContent.Data
+        val files = t.planFiles(s).filter { p =>
+          p.seq > startSeq && p.seq <= endSeq &&
+            p.file.content == graft.tables.DataContent.Data
         }
         if (files.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
-        else spark.read.schema(sparkSchema).parquet(files.map(_._1.filePath): _*)
+        else spark.read.schema(sparkSchema).parquet(files.map(_.file.filePath): _*)
     }
     org.apache.spark.sql.GraftBridge.asStreamingDataFrame(batch)
   }

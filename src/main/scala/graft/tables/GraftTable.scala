@@ -60,14 +60,18 @@ class GraftTable(
   // ---------- planning ----------
 
   /** live files of a snapshot with their data sequence numbers
-    * (manifest-list sequence inherited when the entry carries none).
+    * (manifest-list sequence inherited when the entry carries none) and
+    * the partition spec id their partition tuples are aligned to.
     * With a filter, whole data manifests are skipped via the manifest
     * list's per-partition-field summaries before their Avro is read —
     * at 100 TB this bounds planning cost by surviving manifests, not
-    * total manifests. */
+    * total manifests. Surviving manifests are read on a bounded thread
+    * pool (manifest Avro reads are I/O-bound; serial driver reads would
+    * dominate planning at 10^4+ manifests). */
   def planFiles(
       snapshot: IceSnapshot,
-      filter: Option[Column] = None): List[(IceDataFile, Long)] = {
+      filter: Option[Column] = None): List[PlannedFile] = {
+    Metrics.inc(Metrics.PlanFilesCalls)
     val allEntries = ManifestIO.readManifestList(conf, relocate(snapshot.manifestList))
     val entries = filter match {
       case Some(c) =>
@@ -80,14 +84,28 @@ class GraftTable(
         }
       case None => allEntries
     }
-    entries.flatMap { mf =>
+    def readOne(mf: IceManifestListEntry): List[PlannedFile] = {
       val spec = metadata.specById(mf.partitionSpecId)
       ManifestIO.readManifest(conf, relocate(mf.manifestPath), spec.fields.map(_.name))
         .filter(_.status != ManifestStatus.Deleted)
         .map { e =>
           val seq = e.dataSequenceNumber.getOrElse(mf.sequenceNumber)
-          (e.dataFile.copy(filePath = relocate(e.dataFile.filePath)), seq)
+          PlannedFile(
+            e.dataFile.copy(filePath = relocate(e.dataFile.filePath)),
+            seq, mf.partitionSpecId)
         }
+    }
+    if (entries.size <= 1) entries.flatMap(readOne)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(entries.size, GraftTable.ManifestReadParallelism))
+      try {
+        entries
+          .map(mf => pool.submit(new java.util.concurrent.Callable[List[PlannedFile]] {
+            override def call(): List[PlannedFile] = readOne(mf)
+          }))
+          .flatMap(_.get())
+      } finally pool.shutdown()
     }
   }
 
@@ -126,65 +144,112 @@ class GraftTable(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
       case Some(s) =>
         val all = planFiles(s, filter)
-        val allData = all.filter(_._1.content == DataContent.Data)
-        val dataFiles = PruneEval.prune(
-          allData, filter, metadata.defaultSpec, schema)
+        val allData = all.filter(_.file.content == DataContent.Data)
+        val dataFiles = PruneEval.prunePlanned(allData, filter, metadata, schema)
         Metrics.inc(Metrics.ScansPlanned)
         Metrics.inc(Metrics.FilesScanned, dataFiles.size.toLong)
         Metrics.inc(Metrics.FilesPruned, (allData.size - dataFiles.size).toLong)
-        val posDeletes = all.filter(_._1.content == DataContent.PositionDeletes)
-        val eqDeletes = all.filter(_._1.content == DataContent.EqualityDeletes)
-        val needPos = posDeletes.nonEmpty || keepFilePos
+        // delete files prune with the same filter: the row filter is
+        // re-applied after delete application, so a delete file whose
+        // partition tuple / key bounds can only hit filtered-out rows
+        // cannot change the result. Partition-scoped position deletes
+        // (written per partition) prune away with their partition.
+        val posDeletes = PruneEval.prunePlanned(
+          all.filter(_.file.content == DataContent.PositionDeletes), filter, metadata, schema)
+        val eqDeletes = PruneEval.prunePlanned(
+          all.filter(_.file.content == DataContent.EqualityDeletes), filter, metadata, schema)
+        val needDeletes = posDeletes.nonEmpty || eqDeletes.nonEmpty
+        val needFileCol = needDeletes || keepFilePos
 
         if (dataFiles.isEmpty)
           return spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
 
-        // one scan per data sequence number (visibility group)
-        val bySeq = dataFiles.groupBy(_._2).toList.sortBy(_._1)
-        val scans = bySeq.map { case (seq, files) =>
-          var df = spark.read.schema(sparkSchema).parquet(files.map(_._1.filePath): _*)
-          if (needPos)
-            df = df
-              .withColumn("_file", col("_metadata.file_path"))
-              .withColumn("_pos", col("_metadata.row_index"))
-          df.withColumn("_dseq", lit(seq))
-        }
-        var df = scans.reduce(_ unionByName _)
+        // ONE scan over all live data files (the per-sequence union fan of
+        // round 1 exploded plan size linearly in commit count); per-file
+        // data sequence numbers attach via a broadcast (file -> seq) map
+        // joined on the file-path metadata column.
+        var df = spark.read.schema(sparkSchema).parquet(dataFiles.map(_.file.filePath): _*)
+        if (needFileCol)
+          df = df
+            .withColumn("_file", col("_metadata.file_path"))
+            .withColumn("_pos", col("_metadata.row_index"))
+        if (needDeletes) {
+          val seqDf = kvDf(spark, dataFiles.map(p => (normPathStr(p.file.filePath), p.seq)),
+            "_sq_file", "_dseq")
+          df = df
+            .withColumn("_nfile", normPath(col("_file")))
+            .join(broadcast(seqDf), col("_nfile") === col("_sq_file"), "left")
+            .drop("_sq_file")
 
-        // position deletes: anti join on (file, pos) where data seq <= delete seq
-        if (posDeletes.nonEmpty) {
-          val posDf = posDeletes.map { case (f, seq) =>
-            spark.read.parquet(f.filePath)
-              .select(col("file_path"), col("pos"), lit(seq).as("_pseq"))
-          }.reduce(_ unionByName _)
-          df = df.join(
-            broadcast(posDf),
-            col("_file") === col("file_path") && col("_pos") === col("pos") &&
-              col("_dseq") <= col("_pseq"),
-            "left_anti")
-        }
-
-        // equality deletes: per equality-id set, anti join on the key
-        // columns where delete seq > data seq (strictly newer deletes win)
-        eqDeletes.groupBy(_._1.equalityIds).foreach { case (eqIds, files) =>
-          val keyNames = eqIds.flatMap(id => schema.fieldById(id).map(_.name))
-          if (keyNames.nonEmpty) {
-            val eqDf = files.map { case (f, seq) =>
-              spark.read.parquet(f.filePath)
-                .select(keyNames.map(n => col(n).as(s"_eq_$n")) :+ lit(seq).as("_eseq"): _*)
-            }.reduce(_ unionByName _)
-            val cond = keyNames.map(n => col(n) === col(s"_eq_$n"))
-              .reduce(_ && _) && col("_eseq") > col("_dseq")
-            df = df.join(broadcast(eqDf), cond, "left_anti")
+          // position deletes: anti join on (file, pos) where the delete is
+          // at-or-after the data file's sequence. Broadcast only when the
+          // delete files are small; a 100 TB table with heavy deletes goes
+          // through an AQE-planned shuffle join instead of OOMing.
+          if (posDeletes.nonEmpty) {
+            val pseqDf = kvDf(spark,
+              posDeletes.map(p => (normPathStr(p.file.filePath), p.seq)), "_pd_src", "_pseq")
+            val posDf = spark.read.parquet(posDeletes.map(_.file.filePath): _*)
+              .withColumn("_pd_src", normPath(col("_metadata.file_path")))
+              .join(broadcast(pseqDf), "_pd_src")
+              .select(normPath(col("file_path")).as("_pd_file"),
+                col("pos").as("_pd_pos"), col("_pseq"))
+            df = df.join(
+              maybeBroadcast(posDf, posDeletes),
+              col("_nfile") === col("_pd_file") && col("_pos") === col("_pd_pos") &&
+                col("_dseq") <= col("_pseq"),
+              "left_anti")
           }
+
+          // equality deletes: per equality-id set, anti join on the key
+          // columns where delete seq > data seq (strictly newer deletes
+          // win). Delete columns resolve by FIELD ID (schema-with-ids
+          // read), so column renames after the delete was written still
+          // hit the right parquet column; equality is null-safe (a delete
+          // key with NULL removes rows with NULL, per Iceberg semantics).
+          eqDeletes.groupBy(_.file.equalityIds).foreach { case (eqIds, files) =>
+            val keyFields = eqIds.flatMap(id => schema.fieldById(id))
+            if (keyFields.nonEmpty) {
+              val keyNames = keyFields.map(_.name)
+              val readSchema = StructType(keyFields.map(SchemaConvert.toSparkField))
+              val eseqDf = kvDf(spark,
+                files.map(p => (normPathStr(p.file.filePath), p.seq)), "_ed_src", "_eseq")
+              val eqDf = spark.read.schema(readSchema).parquet(files.map(_.file.filePath): _*)
+                .withColumn("_ed_src", normPath(col("_metadata.file_path")))
+                .join(broadcast(eseqDf), "_ed_src")
+                .select(keyNames.map(n => col(n).as(s"_eq_$n")) :+ col("_eseq"): _*)
+              val cond = keyNames.map(n => col(n) <=> col(s"_eq_$n"))
+                .reduce(_ && _) && col("_eseq") > col("_dseq")
+              df = df.join(maybeBroadcast(eqDf, files), cond, "left_anti")
+            }
+          }
+          df = df.drop("_nfile", "_dseq")
         }
 
-        val dropCols = Seq("_dseq") ++ (if (needPos && !keepFilePos) Seq("_file", "_pos") else Nil)
-        df = df.drop(dropCols: _*)
+        if (needFileCol && !keepFilePos) df = df.drop("_file", "_pos")
         filter.fold(df)(df.filter)
     }
   }
+
+  /** tiny local-relation DataFrame for broadcast maps (file -> seq) */
+  private def kvDf(
+      spark: SparkSession,
+      pairs: Seq[(String, Long)],
+      keyName: String,
+      valName: String): DataFrame = {
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      pairs.map(p => org.apache.spark.sql.Row(p._1, p._2)).asJava
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField(keyName, StringType, nullable = false),
+      StructField(valName, LongType, nullable = false))))
+  }
+
+  /** broadcast the delete side only when its on-disk footprint is small —
+    * the sizes are already in hand from the manifests at plan time */
+  private def maybeBroadcast(df: DataFrame, files: Seq[PlannedFile]): DataFrame =
+    if (files.map(_.file.fileSizeInBytes).sum <= GraftTable.DeleteBroadcastMaxBytes)
+      broadcast(df)
+    else df
 
   /** Incremental read: rows added after `fromSnapshotId` (exclusive) up to
     * `toSnapshotId` (inclusive, default current) — the batch shape of the
@@ -203,22 +268,32 @@ class GraftTable(
       .getOrElse(sys.error("no current snapshot"))
     val schema = metadata.currentSchema
     val sparkSchema = SchemaConvert.toSparkSchema(schema)
-    val files = planFiles(to).filter { case (f, seq) =>
-      seq > from.sequenceNumber && f.content == DataContent.Data
+    val files = planFiles(to).filter { p =>
+      p.seq > from.sequenceNumber && p.file.content == DataContent.Data
     }
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
-    spark.read.schema(sparkSchema).parquet(files.map(_._1.filePath): _*)
+    spark.read.schema(sparkSchema).parquet(files.map(_.file.filePath): _*)
   }
 
   /** files that a filtered scan would read — lets tests assert pruning */
   def filesForScan(filter: Option[Column]): Seq[String] =
     metadata.currentSnapshot.toSeq.flatMap { s =>
-      PruneEval.prune(
-        planFiles(s).filter(_._1.content == DataContent.Data),
-        filter, metadata.defaultSpec, metadata.currentSchema)
-        .map(_._1.filePath)
+      PruneEval.prunePlanned(
+        planFiles(s).filter(_.file.content == DataContent.Data),
+        filter, metadata, metadata.currentSchema)
+        .map(_.file.filePath)
+    }
+
+  /** delete files a filtered scan would join — lets tests assert that
+    * partition-scoped deletes prune away with their partition */
+  def deleteFilesForScan(filter: Option[Column]): Seq[String] =
+    metadata.currentSnapshot.toSeq.flatMap { s =>
+      PruneEval.prunePlanned(
+        planFiles(s).filter(_.file.content != DataContent.Data),
+        filter, metadata, metadata.currentSchema)
+        .map(_.file.filePath)
     }
 
   // ---------- write paths ----------
@@ -246,14 +321,75 @@ class GraftTable(
   }
 
   /** Position delete: `posDf` must have (file_path: string, pos: long) —
-    * obtain them from `scan(keepFilePos = true)`'s _file/_pos columns. */
+    * obtain them from `scan(keepFilePos = true)`'s _file/_pos columns.
+    * On a partitioned table the delete files are written partition-scoped
+    * (the spec partition tuple of the data file each position refers to,
+    * per the reference's delete schema with partition,
+    * icelake/src/io/file_writer/position_delete_writer.rs:90-114), so
+    * scans join only same-partition deletes. */
   def positionDelete(spark: SparkSession, posDf: DataFrame): GraftTable = {
+    val files = writePositionDeleteFiles(spark, posDf)
+    commit(spark, "delete", addedData = Nil, addedDeletes = files, replace = false)
+  }
+
+  private def writePositionDeleteFiles(
+      spark: SparkSession, posDf: DataFrame): List[IceDataFile] = {
     val normalized = posDf
       .select(col("file_path").cast(StringType), col("pos").cast(LongType))
       .sortWithinPartitions(col("file_path"), col("pos"))
-    val files = TableWrite.writeDeleteFiles(
-      this, spark, normalized, DataContent.PositionDeletes, Nil)
-    commit(spark, "delete", addedData = Nil, addedDeletes = files, replace = false)
+    val spec = metadata.defaultSpec
+    if (spec.isUnpartitioned)
+      TableWrite.writeDeleteFiles(
+        this, spark, normalized, DataContent.PositionDeletes, Nil)
+    else {
+        // partition tuple per referenced data file comes from the plan
+        // (driver-side, file-count sized); the delete rows themselves
+        // stay distributed — a broadcast (file -> partition index) join
+        // routes each position to its partition's delete file
+        val current = metadata.currentSnapshot.toList
+          .flatMap(planFiles(_)).filter(_.file.content == DataContent.Data)
+        val partitions: List[Seq[Option[Any]]] =
+          current.map(_.file.partition).distinct
+        val idxOf = partitions.zipWithIndex.toMap
+        val pathIdx = current.map(p =>
+          (GraftTable.normPathStr(p.file.filePath), idxOf(p.file.partition).toLong))
+        val idxDf = kvDf(spark, pathIdx, "_dp_file", "_dp")
+        val routed = normalized
+          .join(broadcast(idxDf), normPath(col("file_path")) === col("_dp_file"), "left")
+          .drop("_dp_file")
+        TableWrite.writePartitionedDeleteFiles(this, spark, routed, partitions)
+    }
+  }
+
+  /** Filtered overwrite (`INSERT OVERWRITE ... WHERE`-style semantics, the
+    * DSv2 `SupportsOverwrite` contract): rows matching `cond` are replaced
+    * by `df` in ONE snapshot — position deletes for the matching rows plus
+    * the new data files. MoR-shaped, so only matching row positions are
+    * written, not a copy of the table. */
+  def overwriteWhere(spark: SparkSession, cond: Column, df: DataFrame): GraftTable = {
+    val matching = scan(spark, keepFilePos = true).filter(cond)
+      .select(col("_file").as("file_path"), col("_pos").as("pos"))
+    val deleteFiles = writePositionDeleteFiles(spark, matching)
+    val dataFiles = TableWrite.writeDataFiles(this, spark, df)
+    commit(spark, "overwrite", addedData = dataFiles, addedDeletes = deleteFiles,
+      replace = false)
+  }
+
+  /** Dynamic partition overwrite: partitions present in `df` are replaced
+    * wholesale, others survive untouched. Metadata-only delete — existing
+    * files in replaced partitions are dropped from the new snapshot's
+    * manifests, no data rewritten. */
+  def overwriteDynamic(spark: SparkSession, df: DataFrame): GraftTable = {
+    if (metadata.defaultSpec.isUnpartitioned) return overwrite(spark, df)
+    val dataFiles = TableWrite.writeDataFiles(this, spark, df)
+    val newParts: Set[Seq[Option[Any]]] = dataFiles.map(_.partition).toSet
+    val survivors = metadata.currentSnapshot.toList.flatMap(planFiles(_)).filter { p =>
+      // keep data files outside replaced partitions; keep delete files
+      // unless scoped to a replaced partition
+      !(newParts.contains(p.file.partition) &&
+        (p.file.content == DataContent.Data || p.file.partition.nonEmpty))
+    }
+    commitReplace(spark, "overwrite", survivors, dataFiles)
   }
 
   /** CDC upsert (the reference's EqualityDeltaWriter semantics,
@@ -294,15 +430,49 @@ class GraftTable(
 
   /** Expire snapshots older than the timestamp (keeping the current one):
     * drops them from metadata and deletes orphaned manifest lists. Data
-    * file deletion is left to a GC pass (kept conservative here). */
+    * file deletion is left to a GC pass (kept conservative here).
+    *
+    * Ref safety (the reference's retention model,
+    * icelake/src/types/in_memory.rs:2360-2410): every snapshot reachable
+    * from a live branch/tag survives — the ref head itself, plus, for
+    * branches, ancestors within `minSnapshotsToKeep`/`maxSnapshotAgeMs`.
+    * Refs older than their `maxRefAgeMs` are dropped first. */
   def expireSnapshots(olderThanMs: Long): GraftTable = {
     val base = metadata
-    val keepIds = base.currentSnapshotId.toSet ++
+    val now = System.currentTimeMillis()
+    val byId = base.snapshots.map(s => s.snapshotId -> s).toMap
+    // retire refs past their max age (age measured from their head
+    // snapshot's commit time; "main" never retires)
+    val liveRefs = base.refs.filter { case (name, r) =>
+      name == "main" || r.maxRefAgeMs.forall { maxAge =>
+        byId.get(r.snapshotId).forall(s => now - s.timestampMs <= maxAge)
+      }
+    }
+    def ancestors(id: Long): List[IceSnapshot] =
+      byId.get(id) match {
+        case None => Nil
+        case Some(s) => s :: s.parentSnapshotId.map(ancestors).getOrElse(Nil)
+      }
+    val refKeep: Set[Long] = liveRefs.values.flatMap { r =>
+      if (r.refType == "tag") byId.get(r.snapshotId).map(_.snapshotId).toList
+      else {
+        val chain = ancestors(r.snapshotId)
+        val minKeep = r.minSnapshotsToKeep.getOrElse(1)
+        chain.zipWithIndex.collect {
+          case (s, i)
+              if i < minKeep ||
+                r.maxSnapshotAgeMs.exists(maxAge => now - s.timestampMs <= maxAge) =>
+            s.snapshotId
+        }
+      }
+    }.toSet
+    val keepIds = base.currentSnapshotId.toSet ++ refKeep ++
       base.snapshots.filter(_.timestampMs >= olderThanMs).map(_.snapshotId)
     val (kept, expired) = base.snapshots.partition(s => keepIds.contains(s.snapshotId))
-    if (expired.isEmpty) return this
+    if (expired.isEmpty && liveRefs.size == base.refs.size) return this
     val newMeta = base.copy(
       snapshots = kept,
+      refs = liveRefs,
       snapshotLog = base.snapshotLog.filter(e => keepIds.contains(e.ref.toLong)),
       lastUpdatedMs = System.currentTimeMillis())
     val newVersion = committer(newMeta, version)
@@ -432,11 +602,37 @@ class GraftTable(
     this
   }
 
+  /** Replace-style commit that carries a surviving subset of the previous
+    * snapshot's files forward as Existing entries (dynamic partition
+    * overwrite): new manifests hold survivors with their original data
+    * sequence numbers plus the added files. */
+  def commitReplace(
+      spark: SparkSession,
+      operation: String,
+      survivors: List[PlannedFile],
+      addedData: List[IceDataFile]): GraftTable = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try {
+        commitOnce(operation, addedData, Nil, replace = true, existing = survivors)
+        done = true
+      } catch {
+        case _: CommitConflictException if attempt < 5 =>
+          Metrics.inc(Metrics.CommitConflicts)
+          attempt += 1
+          refresh()
+      }
+    }
+    this
+  }
+
   private def commitOnce(
       operation: String,
       addedData: List[IceDataFile],
       addedDeletes: List[IceDataFile],
-      replace: Boolean): Unit = {
+      replace: Boolean,
+      existing: List[PlannedFile] = Nil): Unit = {
     val base = metadata
     val seq = base.lastSequenceNumber + 1
     val snapshotId = math.abs(UUID.randomUUID().getLeastSignificantBits)
@@ -458,6 +654,17 @@ class GraftTable(
       listEntries :+= ManifestIO.writeManifest(
         conf, s"$mdir/${UUID.randomUUID()}-d0.avro", entries, spec, schema, content = 1)
     }
+    // carried-forward survivors (dynamic overwrite): Existing entries with
+    // their original data sequence numbers, grouped per (spec, content)
+    existing.groupBy(p => (p.specId, p.file.content)).foreach {
+      case ((specId, content), files) =>
+        val entries = files.map(p => IceManifestEntry(
+          ManifestStatus.Existing, Some(snapshotId), Some(p.seq), Some(p.seq), p.file))
+        listEntries :+= ManifestIO.writeManifest(
+          conf, s"$mdir/${UUID.randomUUID()}-e$specId-$content.avro", entries,
+          metadata.specById(specId), schema,
+          content = if (content == DataContent.Data) 0 else 1)
+    }
     val previous: List[IceManifestListEntry] =
       if (replace) Nil
       else base.currentSnapshot.toList.flatMap(s =>
@@ -472,6 +679,8 @@ class GraftTable(
     def prevTotal(key: String): Long = prevSummary.get(key).map(_.toLong).getOrElse(0L)
     val addedRecords = addedData.map(_.recordCount).sum
     val addedSize = (addedData ++ addedDeletes).map(_.fileSizeInBytes).sum
+    val exData = existing.filter(_.file.content == DataContent.Data)
+    val exDeletes = existing.filterNot(_.file.content == DataContent.Data)
     val summary = Map(
       "operation" -> operation,
       "added-data-files" -> addedData.size.toString,
@@ -479,12 +688,13 @@ class GraftTable(
       "added-records" -> addedRecords.toString,
       "added-files-size" -> addedSize.toString,
       "total-records" ->
-        (if (replace) addedRecords else prevTotal("total-records") + addedRecords).toString,
+        (if (replace) addedRecords + exData.map(_.file.recordCount).sum
+         else prevTotal("total-records") + addedRecords).toString,
       "total-data-files" ->
-        (if (replace) addedData.size.toLong
+        (if (replace) (addedData.size + exData.size).toLong
          else prevTotal("total-data-files") + addedData.size).toString,
       "total-delete-files" ->
-        (if (replace) addedDeletes.size.toLong
+        (if (replace) (addedDeletes.size + exDeletes.size).toLong
          else prevTotal("total-delete-files") + addedDeletes.size).toString)
 
     val snapshot = IceSnapshot(
@@ -521,4 +731,21 @@ object GraftTable {
 
   /** serializable slice of schema info the executor-side stats harvest needs */
   case class FieldInfo(name: String, id: Int, typeRepr: String)
+
+  /** driver-side manifest Avro reads fan out on this many threads */
+  val ManifestReadParallelism = 8
+
+  /** delete sides at or below this on-disk size broadcast; larger ones go
+    * through AQE-planned shuffle joins (an unconditional broadcast of a
+    * 30%-deleted 100 TB table would OOM driver and executors) */
+  val DeleteBroadcastMaxBytes: Long = 64L * 1024 * 1024
+
+  /** canonical path form: Spark's `_metadata.file_path` yields `file:///x`
+    * URIs while manifests store `/x` paths — normalize both for joins */
+  def normPathStr(p: String): String =
+    if (p.startsWith("file:")) "/" + p.stripPrefix("file:").dropWhile(_ == '/')
+    else p
+
+  def normPath(c: Column): Column =
+    org.apache.spark.sql.functions.regexp_replace(c, "^file:/+", "/")
 }

@@ -60,7 +60,22 @@ case class IceSnapshot(
     summary: Map[String, String],
     schemaId: Option[Int])
 
-case class IceSnapshotRef(snapshotId: Long, refType: String)
+/** Branch/tag reference with retention knobs (the reference's
+  * SnapshotReference, icelake/src/types/in_memory.rs:2360-2410). Retention
+  * fields are advisory for branches; `expireSnapshots` never drops a
+  * snapshot reachable from a live ref. */
+case class IceSnapshotRef(
+    snapshotId: Long,
+    refType: String,
+    minSnapshotsToKeep: Option[Int] = None,
+    maxSnapshotAgeMs: Option[Long] = None,
+    maxRefAgeMs: Option[Long] = None)
+
+/** A live file of a snapshot as planned for a scan: its data sequence
+  * number (manifest-inherited when absent) and the partition spec its
+  * partition tuple is aligned to — metadata can hold several specs, so
+  * pruning must interpret each tuple against its own spec. */
+case class PlannedFile(file: IceDataFile, seq: Long, specId: Int)
 
 case class IceLogEntry(timestampMs: Long, ref: String)
 

@@ -174,7 +174,14 @@ object MetadataJson {
         fields.collect { case (name, r: JObject) =>
           name -> IceSnapshotRef(
             longOf(r \ "snapshot-id"),
-            (r \ "type").toOption.collect { case JString(s) => s }.getOrElse("branch"))
+            (r \ "type").toOption.collect { case JString(s) => s }.getOrElse("branch"),
+            (r \ "min-snapshots-to-keep").toOption.collect { case JInt(i) => i.toInt },
+            (r \ "max-snapshot-age-ms").toOption.collect {
+              case JInt(i) => i.toLong
+              case JLong(l) => l },
+            (r \ "max-ref-age-ms").toOption.collect {
+              case JInt(i) => i.toLong
+              case JLong(l) => l })
         }.toMap
       case _ => Map.empty[String, IceSnapshotRef]
     }
@@ -247,9 +254,12 @@ object MetadataJson {
         k -> (JString(v): JValue) }),
       "current-snapshot-id" -> m.currentSnapshotId.map(JLong(_): JValue).getOrElse(JLong(-1L)),
       "refs" -> JObject(m.refs.toList.map { case (n, r) =>
-        n -> (JObject(
-          "snapshot-id" -> JLong(r.snapshotId),
-          "type" -> JString(r.refType)): JValue) }),
+        n -> (JObject(List(
+          "snapshot-id" -> (JLong(r.snapshotId): JValue),
+          "type" -> (JString(r.refType): JValue)) ++
+          r.minSnapshotsToKeep.map(v => "min-snapshots-to-keep" -> (JInt(v): JValue)) ++
+          r.maxSnapshotAgeMs.map(v => "max-snapshot-age-ms" -> (JLong(v): JValue)) ++
+          r.maxRefAgeMs.map(v => "max-ref-age-ms" -> (JLong(v): JValue))): JValue) }),
       "snapshots" -> JArray(m.snapshots.map(s => JObject(
         List(
           "snapshot-id" -> (JLong(s.snapshotId): JValue),

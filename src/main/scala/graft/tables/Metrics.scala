@@ -33,6 +33,7 @@ object Metrics {
   val RecordsWritten = "records_written_total"
   val BytesWritten = "bytes_written_total"
   val ScansPlanned = "scans_planned_total"
+  val PlanFilesCalls = "plan_files_calls_total"
   val FilesPruned = "files_pruned_total"
   val FilesScanned = "files_scanned_total"
 }

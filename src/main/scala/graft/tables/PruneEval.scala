@@ -300,4 +300,19 @@ object PruneEval {
         val expr = GraftBridge.catalystExpression(c)
         files.filter { case (f, _) => mayMatch(expr, f, spec, schema) }
     }
+
+  /** Per-file pruning with each file's OWN partition spec (metadata can
+    * hold several specs; interpreting an old-spec tuple against the
+    * default spec can wrongly prune files). */
+  def prunePlanned(
+      files: Seq[PlannedFile],
+      filter: Option[Column],
+      metadata: TableMetadata,
+      schema: IceSchema): Seq[PlannedFile] =
+    filter match {
+      case None => files
+      case Some(c) =>
+        val expr = GraftBridge.catalystExpression(c)
+        files.filter(p => mayMatch(expr, p.file, metadata.specById(p.specId), schema))
+    }
 }

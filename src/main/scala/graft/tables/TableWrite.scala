@@ -296,13 +296,17 @@ object TableWrite {
     }
   }
 
-  /** write position/equality delete files (unpartitioned scope) */
+  /** write position/equality delete files. Field ids are stamped into the
+    * parquet (reserved 2147483546/2147483545 for position-delete columns,
+    * the data schema's ids for equality keys) so readers can resolve
+    * delete columns by id across renames. */
   def writeDeleteFiles(
       table: GraftTable,
       spark: SparkSession,
       df: DataFrame,
       content: Int,
-      equalityIds: Seq[Int]): List[IceDataFile] = {
+      equalityIds: Seq[Int],
+      partition: Seq[Option[Any]] = Nil): List[IceDataFile] = {
     configureWriter(spark)
     val writeId = UUID.randomUUID().toString
     val outDir = s"${table.location}/data/$writeId"
@@ -314,11 +318,52 @@ object TableWrite {
         equalityIds.flatMap(id => schema.fieldById(id)
           .map(f => FieldInfo(f.name, f.id, f.fieldType.repr)))
       }
-    df.write.mode("errorifexists").parquet(outDir)
+    val stamped = df.select(infos.map { i =>
+      val md = new MetadataBuilder().putLong(SchemaConvert.FieldIdKey, i.id.toLong).build()
+      col(i.name).as(i.name, md)
+    }: _*)
+    stamped.write.mode("errorifexists").parquet(outDir)
     val paths = listParquet(table.conf, outDir)
     harvest(spark, paths, infos)
       .filter(_.recordCount > 0)
-      .map(statsToDataFile(_, Nil, content, equalityIds)).toList
+      .map(statsToDataFile(_, partition, content, equalityIds)).toList
+  }
+
+  /** write position-delete files partition-scoped: `routed` carries
+    * (file_path, pos, _dp) where _dp indexes `partitions`; rows fan out
+    * into one hive-style dir per partition so each delete file is stamped
+    * with the partition tuple of the data rows it deletes. */
+  def writePartitionedDeleteFiles(
+      table: GraftTable,
+      spark: SparkSession,
+      routed: DataFrame,
+      partitions: List[Seq[Option[Any]]]): List[IceDataFile] = {
+    configureWriter(spark)
+    val writeId = UUID.randomUUID().toString
+    val outDir = s"${table.location}/data/$writeId"
+    val infos = Seq(
+      FieldInfo("file_path", 2147483546, "string"), FieldInfo("pos", 2147483545, "long"))
+    val md = (i: FieldInfo) =>
+      new MetadataBuilder().putLong(SchemaConvert.FieldIdKey, i.id.toLong).build()
+    routed
+      .select(
+        col("file_path").as("file_path", md(infos(0))),
+        col("pos").as("pos", md(infos(1))),
+        col("_dp"))
+      .repartition(col("_dp"))
+      .sortWithinPartitions(col("file_path"), col("pos"))
+      .write.mode("errorifexists").partitionBy("_dp").parquet(outDir)
+    val paths = listParquet(table.conf, outDir)
+    harvest(spark, paths, infos).filter(_.recordCount > 0).map { st =>
+      val rel = st.path.stripPrefix(outDir).stripPrefix("/")
+      val partition = rel.split('/').dropRight(1)
+        .find(_.startsWith("_dp="))
+        .map(_.stripPrefix("_dp="))
+        .filter(_ != "__HIVE_DEFAULT_PARTITION__")
+        .map(idx => partitions(idx.toInt))
+        .getOrElse(Nil)
+      statsToDataFile(st, partition, DataContent.PositionDeletes, Nil)
+    }.toList
   }
 
   private def statsToDataFile(

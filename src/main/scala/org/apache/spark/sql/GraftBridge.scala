@@ -52,6 +52,24 @@ object GraftBridge {
     partitions.toSeq
   }
 
+  /** one whole-file FilePartition per data file — MoR readers count row
+    * positions sequentially, which is only valid over full files */
+  def wholeFilePartition(
+      index: Int, path: String, size: Long): org.apache.spark.sql.connector.read.InputPartition = {
+    import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+    import org.apache.spark.sql.catalyst.InternalRow
+    FilePartition(index, Array(PartitionedFile(
+      InternalRow.empty,
+      org.apache.spark.paths.SparkPath.fromPathString(path),
+      0L, size, Array.empty, 0L, size)))
+  }
+
+  /** collect a DataFrame as catalyst InternalRows (UnsafeRow copies) —
+    * lets delete state keep catalyst-typed values (UTF8String, micros)
+    * that compare bit-for-bit against reader output */
+  def collectInternal(df: DataFrame): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.executedPlan.executeCollect()
+
   /** Spark's vectorized parquet reader factory over a fixed schema */
   def parquetReaderFactory(
       spark: SparkSession,
@@ -82,8 +100,9 @@ object GraftBridge {
       SQLConf.PARQUET_BINARY_AS_STRING.key, sqlConf.isParquetBinaryAsString)
     hadoopConf.setBoolean(
       SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, sqlConf.isParquetINT96AsTimestamp)
-    hadoopConf.setBoolean(
-      SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, sqlConf.parquetFieldIdReadEnabled)
+    // always resolve by field id — graft files carry ids, and id-based
+    // resolution is what keeps renamed columns readable
+    hadoopConf.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, true)
     hadoopConf.setBoolean(
       SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
       sqlConf.parquetInferTimestampNTZEnabled)

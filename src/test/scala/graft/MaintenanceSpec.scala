@@ -34,14 +34,14 @@ class MaintenanceSpec extends AnyFunSuite {
     t.equalityDelete(spark,
       src.filter($"o_orderstatus" === "P").select($"o_orderkey"), Seq("o_orderkey"))
     val before = t.planFiles(t.metadata.currentSnapshot.get)
-    assert(before.count(_._1.content == DataContent.Data) >= 4)
-    assert(before.exists(_._1.content == DataContent.EqualityDeletes))
+    assert(before.count(_.file.content == DataContent.Data) >= 4)
+    assert(before.exists(_.file.content == DataContent.EqualityDeletes))
 
     val exp = src.filter($"o_orderstatus" =!= "P")
     t.rewriteDataFiles(spark)
     val after = t.planFiles(t.metadata.currentSnapshot.get)
-    assert(after.count(_._1.content == DataContent.Data) < before.size)
-    assert(!after.exists(_._1.content == DataContent.EqualityDeletes))
+    assert(after.count(_.file.content == DataContent.Data) < before.size)
+    assert(!after.exists(_.file.content == DataContent.EqualityDeletes))
     val back = t.scan(spark)
     assert(back.count() === exp.count())
     assert(back.exceptAll(exp).isEmpty)
@@ -111,7 +111,7 @@ class MaintenanceSpec extends AnyFunSuite {
         "write.max-records-per-file" -> "200"))
     t.append(spark, src)
     val files = t.planFiles(t.metadata.currentSnapshot.get)
-    assert(files.forall(_._1.recordCount <= 200))
+    assert(files.forall(_.file.recordCount <= 200))
     assert(files.size >= (src.count() / 200).toInt)
     assert(t.scan(spark).count() === src.count())
   }

@@ -33,7 +33,7 @@ class TableSpec extends AnyFunSuite {
     assert(snap.summary("total-records") === "3")
     val files = t.planFiles(snap)
     assert(files.size === 3)
-    assert(files.forall(_._1.filePath.startsWith("/root/reference/testdata/simple_table/data/")))
+    assert(files.forall(_.file.filePath.startsWith("/root/reference/testdata/simple_table/data/")))
     val rows = t.scan(spark).orderBy("id").collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
     assert(rows.map(_.getString(1)).toSeq === Seq("a", "b", "c"))
@@ -57,7 +57,7 @@ class TableSpec extends AnyFunSuite {
     // stats: bounds harvested
     val files = t.planFiles(t.metadata.currentSnapshot.get)
     assert(files.nonEmpty)
-    val f = files.head._1
+    val f = files.head.file
     assert(f.recordCount > 0)
     assert(f.lowerBounds.nonEmpty && f.upperBounds.nonEmpty)
   }
@@ -78,8 +78,8 @@ class TableSpec extends AnyFunSuite {
 
     // partition values recorded per file
     val files = t.planFiles(t.metadata.currentSnapshot.get)
-    assert(files.forall(_._1.partition.size == 1))
-    assert(files.flatMap(_._1.partition.head).toSet.size > 10)
+    assert(files.forall(_.file.partition.size == 1))
+    assert(files.flatMap(_.file.partition.head).toSet.size > 10)
 
     // pruning: a 3-month window must touch far fewer files than all
     val flt = col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
