@@ -56,7 +56,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalStr = f"$total%.3f"
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qjson,"sf":"$sfDir"}"""
+    println(line)
+    // also drop the line in a file: sbt/log4j noise on stdout must not be
+    // able to cost the round its bench parse
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_OUT.json"), line + "\n")
+    catch { case _: Throwable => }
     spark.stop()
   }
 }

@@ -485,12 +485,18 @@ object SparkEntry {
       tbl.scan(s)
     }),
     "ice_schema_evolution" -> ((s, dir) => {
-      // add a column with a fresh field id; old files surface null
+      // add a column with a fresh field id (old files surface null), then
+      // a REQUIRED column with a default (old files surface the default —
+      // the reference's initial_default, in_memory.rs:436-453)
       val src = t(s, dir, "nation")
       val tbl = freshTable(s, "ice_schema_evolution", src)
       tbl.append(s, src)
       tbl.addColumn("score", IcePrim("double"))
       tbl.append(s, src.withColumn("score", col("n_nationkey") * 2.0))
+      tbl.addColumn("grade", IcePrim("string"), required = true, default = Some("standard"))
+      tbl.append(s, src
+        .withColumn("score", col("n_nationkey") * 2.0)
+        .withColumn("grade", lit("rated")))
       tbl.scan(s)
     }),
     "ice_tag_scan" -> ((s, dir) => {
@@ -512,6 +518,75 @@ object SparkEntry {
           "write.sort-order" -> "o_orderkey",
           "write.max-records-per-file" -> "5000"))
       tbl.append(s, src)
+      tbl.scan(s)
+    }),
+    "ice_time_uuid" -> ((s, dir) => {
+      // Iceberg time + uuid end-to-end (SURVEY §1.3 hard point): declared
+      // time/uuid schema, bucket[8] hidden partitioning on the uuid,
+      // write + scan round-trip over metadata-flagged carrier types
+      val h = md5(col("o_orderkey").cast(StringType))
+      val src = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        (pmod(col("o_orderkey"), lit(86400000L)) * lit(1000L)).as("event_time"),
+        concat_ws("-",
+          substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+          substring(h, 17, 4), substring(h, 21, 12)).as("event_uuid"))
+      val schema = IceSchema(0, List(
+        IceField(1, "o_orderkey", required = false, IcePrim("long")),
+        IceField(2, "event_time", required = false, IcePrim("time")),
+        IceField(3, "event_uuid", required = false, IcePrim("uuid"))))
+      val loc = s"${System.getProperty("java.io.tmpdir")}/graft-q/ice_time_uuid"
+      val tbl = StorageCatalog.createOrReplaceTable(
+        s.sparkContext.hadoopConfiguration, loc, schema,
+        IcePartitionSpec(0, List(IcePartitionField(3, 1000, "bucket[8]", "uuid_bucket"))))
+      tbl.append(s, src)
+      // round-trip must preserve the flagged types in a reloaded schema
+      val reloaded = StorageCatalog.loadTable(s.sparkContext.hadoopConfiguration, loc)
+      require(reloaded.metadata.currentSchema.findField("event_time")
+        .exists(_.fieldType == IcePrim("time")), "time type lost in round-trip")
+      require(reloaded.metadata.currentSchema.findField("event_uuid")
+        .exists(_.fieldType == IcePrim("uuid")), "uuid type lost in round-trip")
+      reloaded.scan(s)
+    }),
+    "sql_mor_delete" -> ((s, dir) => {
+      // SQL read of a merge-on-read table goes through the native DSv2
+      // MoR scan (one scan node, no V1 bridge) — asserted on the physical
+      // plan, verified against the oracle
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.mor_orders")
+      s.sql(
+        """CREATE TABLE graft.db.mor_orders (
+          |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)""".stripMargin)
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .createOrReplaceTempView("orders_src_mor")
+      s.sql("INSERT INTO graft.db.mor_orders SELECT * FROM orders_src_mor")
+      val tbl = StorageCatalog.loadTable(
+        s.sparkContext.hadoopConfiguration, s"$wh/db/mor_orders")
+      tbl.equalityDelete(s,
+        t(s, dir, "orders").filter(col("o_orderstatus") === "F").select(col("o_orderkey")),
+        Seq("o_orderkey"))
+      val out = s.sql("SELECT * FROM graft.db.mor_orders")
+      val physical = out.queryExecution.executedPlan.toString
+      require(physical.contains("GraftMorScan"), s"expected native MoR scan, got:\n$physical")
+      require(!physical.contains("RowDataSourceScan"), "MoR SQL read fell back to the V1 bridge")
+      out
+    }),
+    "sql_overwrite_partition" -> ((s, dir) => {
+      // static partition overwrite must replace ONLY the matching
+      // partition (the silent full-table replace would lose the rest)
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val tbl = freshTable(s, "sql_overwrite_partition", src, schema =>
+        IcePartitionSpec(0, List(IcePartitionField(
+          schema.findField("o_orderstatus").get.id, 1000, "identity", "status"))))
+      tbl.append(s, src)
+      // replace partition o_orderstatus='F' with doubled prices
+      tbl.overwriteWhere(s, col("o_orderstatus") === "F",
+        src.filter(col("o_orderstatus") === "F")
+          .withColumn("o_totalprice", col("o_totalprice") * 2.0))
       tbl.scan(s)
     }),
     "sql_catalog" -> ((s, dir) => {
@@ -862,10 +937,33 @@ object SparkEntry {
     "ice_time_travel" -> "SELECT * FROM orders WHERE o_orderkey % 2 = 0",
     "ice_compact" -> "SELECT * FROM orders WHERE o_orderstatus <> 'P'",
     "ice_schema_evolution" ->
-      """SELECT n_nationkey, n_name, n_regionkey, CAST(NULL AS DOUBLE) AS score FROM nation
+      """SELECT n_nationkey, n_name, n_regionkey, CAST(NULL AS DOUBLE) AS score,
+        |  'standard' AS grade FROM nation
         |UNION ALL
-        |SELECT n_nationkey, n_name, n_regionkey, n_nationkey * 2.0 AS score FROM nation""".stripMargin,
+        |SELECT n_nationkey, n_name, n_regionkey, n_nationkey * 2.0 AS score,
+        |  'standard' AS grade FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, n_nationkey * 2.0 AS score,
+        |  'rated' AS grade FROM nation""".stripMargin,
     "ice_tag_scan" -> "SELECT * FROM region WHERE r_regionkey < 3",
+    "ice_time_uuid" ->
+      """SELECT o_orderkey,
+        |  (o_orderkey % 86400000) * 1000 AS event_time,
+        |  concat_ws('-',
+        |    substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8),
+        |    substring(md5(CAST(o_orderkey AS VARCHAR)), 9, 4),
+        |    substring(md5(CAST(o_orderkey AS VARCHAR)), 13, 4),
+        |    substring(md5(CAST(o_orderkey AS VARCHAR)), 17, 4),
+        |    substring(md5(CAST(o_orderkey AS VARCHAR)), 21, 12)) AS event_uuid
+        |FROM orders""".stripMargin,
+    "sql_mor_delete" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin,
+    "sql_overwrite_partition" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders""".stripMargin,
     "ice_sorted_write" -> "SELECT * FROM orders",
     "rest_catalog" -> "SELECT * FROM region",
     "sql_catalog" -> "SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'",

@@ -101,6 +101,19 @@ object TransformUtil {
   def bucketString(v: UTF8String, n: Int): Int = bucketOf(hashString(v), n)
   def bucketDecimal(v: Decimal, n: Int): Int = bucketOf(hashDecimal(v), n)
 
+  /** uuid hashes as its 16 big-endian bytes (spec Appendix B), NOT as the
+    * canonical string — the carrier type is string, so parse first */
+  def uuidToBytes(v: UTF8String): Array[Byte] = {
+    val u = java.util.UUID.fromString(v.toString)
+    val b = java.nio.ByteBuffer.allocate(16)
+    b.putLong(u.getMostSignificantBits)
+    b.putLong(u.getLeastSignificantBits)
+    b.array()
+  }
+
+  def hashUuid(v: UTF8String): Int = Murmur3.hash(uuidToBytes(v), 0)
+  def bucketUuid(v: UTF8String, n: Int): Int = bucketOf(hashUuid(v), n)
+
   /** truncate[W] for integral types: v - (((v % w) + w) % w) (floor mod). */
   def truncateLong(v: Long, w: Long): Long = v - (((v % w) + w) % w)
   def truncateInt(v: Int, w: Int): Int = v - (((v % w) + w) % w)
@@ -124,8 +137,10 @@ object TransformUtil {
 }
 
 /** Iceberg `bucket[N]` as a codegen-capable Catalyst expression.
-  * Null in -> null out (transforms must preserve nulls). */
-case class IcebergBucket(child: Expression, numBuckets: Int)
+  * Null in -> null out (transforms must preserve nulls).
+  * `uuidEncoding` marks a string-carried uuid column (Iceberg `uuid` has
+  * no Spark type): the value hashes as its 16 big-endian bytes. */
+case class IcebergBucket(child: Expression, numBuckets: Int, uuidEncoding: Boolean = false)
     extends UnaryExpression {
   require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
 
@@ -139,6 +154,8 @@ case class IcebergBucket(child: Expression, numBuckets: Int)
     case DateType => TransformUtil.bucketInt(input.asInstanceOf[Int], numBuckets)
     case LongType | TimestampType | TimestampNTZType =>
       TransformUtil.bucketLong(input.asInstanceOf[Long], numBuckets)
+    case StringType if uuidEncoding =>
+      TransformUtil.bucketUuid(input.asInstanceOf[UTF8String], numBuckets)
     case StringType =>
       TransformUtil.bucketString(input.asInstanceOf[UTF8String], numBuckets)
     case BinaryType =>
@@ -152,6 +169,7 @@ case class IcebergBucket(child: Expression, numBuckets: Int)
     val fn = child.dataType match {
       case IntegerType | DateType => "bucketInt"
       case LongType | TimestampType | TimestampNTZType => "bucketLong"
+      case StringType if uuidEncoding => "bucketUuid"
       case StringType => "bucketString"
       case BinaryType => "bucketBytes"
       case _: DecimalType => "bucketDecimal"
@@ -208,6 +226,8 @@ case class IcebergTruncate(child: Expression, width: Int)
   */
 object transforms {
   def bucket(n: Int, col: Column): Column = column(IcebergBucket(expression(col), n))
+  def bucketUuid(n: Int, col: Column): Column =
+    column(IcebergBucket(expression(col), n, uuidEncoding = true))
   def truncate(w: Int, col: Column): Column = column(IcebergTruncate(expression(col), w))
 
   /** years since 1970 */

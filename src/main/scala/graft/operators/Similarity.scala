@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,16 +11,52 @@ import graft.functions.vectors
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * Scale design: queries are a small batch -> broadcast them; the corpus
-  * streams through map-side cosine scoring; per-query top-k via window
-  * rank after a partial per-partition top-k (Catalyst's TakeOrdered handles
-  * the global cut). The IVF variant prunes the corpus to the probed
-  * centroid cells first, turning a full scan into a fraction-of-corpus scan.
+  * streams through map-side cosine scoring; a per-partition bounded-heap
+  * top-k pre-cut runs BEFORE the global per-query window, so only
+  * k × numPartitions rows per query ever shuffle (the full scored corpus
+  * never does). The IVF variant prunes the corpus to the probed centroid
+  * cells first, turning a full scan into a fraction-of-corpus scan.
   */
 object Similarity {
 
+  /** Per-partition top-k pre-cut over `scored(query_id, neighbor_id,
+    * cosine)`: a bounded min-heap per query inside each partition (no
+    * shuffle) keeps the k best rows by (cosine desc, neighbor_id asc) —
+    * the same ordering the final window uses, so the cut is lossless. */
+  private def partialTopK(scored: DataFrame, k: Int): DataFrame = {
+    val schema = scored.schema
+    val qIdx = schema.fieldIndex("query_id")
+    val nIdx = schema.fieldIndex("neighbor_id")
+    val cIdx = schema.fieldIndex("cosine")
+    def cmpIds(a: Any, b: Any): Int = (a, b) match {
+      case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+      case (x: Int, y: Int) => Integer.compare(x, y)
+      case (x: String, y: String) => x.compareTo(y)
+      case _ => a.toString.compareTo(b.toString)
+    }
+    // "better" = ranks earlier in the final (cosine desc, id asc) window
+    def better(a: Row, b: Row): Boolean = {
+      val c = java.lang.Double.compare(a.getDouble(cIdx), b.getDouble(cIdx))
+      if (c != 0) c > 0 else cmpIds(a.get(nIdx), b.get(nIdx)) < 0
+    }
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    scored.mapPartitions { it =>
+      // dequeue returns the max, so order heaps with the WORST row on top
+      val worstOnTop: Ordering[Row] = Ordering.fromLessThan(better)
+      val heaps = mutable.HashMap.empty[Any, mutable.PriorityQueue[Row]]
+      it.foreach { r =>
+        val h = heaps.getOrElseUpdate(r.get(qIdx), mutable.PriorityQueue.empty(worstOnTop))
+        if (h.size < k) h.enqueue(r)
+        else if (better(r, h.head)) { h.dequeue(); h.enqueue(r) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+  }
+
   /** Brute-force cosine top-k: every (query, corpus) pair is scored but
-    * pairs never shuffle — queries are broadcast and scoring is map-only;
-    * the only shuffle is the final per-query top-k. */
+    * pairs never shuffle — queries are broadcast, scoring is map-only,
+    * and the partial top-k bounds what reaches the per-query rank. */
   def bruteForceTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -29,10 +67,11 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", vectors.cosineSim(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"),
+        vectors.cosineSim(col("qv"), col("cv")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
+    partialTopK(scored, k)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
@@ -63,12 +102,14 @@ object Similarity {
     val scored = c
       .join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", vectors.cosineSim(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"),
+        vectors.cosineSim(col("qv"), col("cv")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
+    val deduped = scored
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(max(col("cosine")).as("cosine"))
+    partialTopK(deduped, k)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

@@ -239,10 +239,14 @@ class GraftV2Table(
     table.metadata.properties.asJava
 
   override def capabilities(): util.Set[TableCapability] =
+    // note: no OVERWRITE_DYNAMIC — Spark's capability check requires a
+    // native BATCH_WRITE for dynamic overwrite (no V1 fallback exec
+    // exists); dynamic partition overwrite is exposed through
+    // [[GraftTable.overwriteDynamic]] until the native write path lands
     Set(
       TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
-      TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -295,7 +299,15 @@ class GraftScanBuilder(
           planned.filter(_.file.content == DataContent.Data),
           pruneFilter, table.metadata, iceSchema)
         val deletes = planned.filter(_.file.content != DataContent.Data)
-        if (deletes.isEmpty)
+        // files predating an initial-default column need the default
+        // injected per file — the facade scan handles that; native scans
+        // would surface nulls
+        val needsDefaults = iceSchema.fields.exists(f =>
+          f.initialDefault.isDefined && data.exists(p =>
+            p.file.columnSizes.nonEmpty && !p.file.columnSizes.contains(f.id)))
+        if (needsDefaults)
+          new GraftV1Scan(table, snapshotId, asOfTimestampMs, requiredSchema, pushedFiltersArr)
+        else if (deletes.isEmpty)
           new GraftNativeBatchScan(table, data, fullSchema, requiredSchema, pushedFiltersArr)
         else {
           val posD = PruneEval.prunePlanned(

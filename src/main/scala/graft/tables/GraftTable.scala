@@ -159,7 +159,14 @@ class GraftTable(
         val eqDeletes = PruneEval.prunePlanned(
           all.filter(_.file.content == DataContent.EqualityDeletes), filter, metadata, schema)
         val needDeletes = posDeletes.nonEmpty || eqDeletes.nonEmpty
-        val needFileCol = needDeletes || keepFilePos
+        // fields with an initial-default that some surviving file predates
+        // (detected via the file's column-size stats lacking the field id)
+        val defaulted = schema.fields.filter(_.initialDefault.isDefined).map { f =>
+          f -> dataFiles.filter(p =>
+            p.file.columnSizes.nonEmpty && !p.file.columnSizes.contains(f.id))
+            .map(p => normPathStr(p.file.filePath))
+        }.filter(_._2.nonEmpty)
+        val needFileCol = needDeletes || keepFilePos || defaulted.nonEmpty
 
         if (dataFiles.isEmpty)
           return spark.createDataFrame(
@@ -224,6 +231,21 @@ class GraftTable(
             }
           }
           df = df.drop("_nfile", "_dseq")
+        }
+
+        // initial-default: files predating the column serve the default
+        // instead of the scan's null (broadcast file-flag join per field —
+        // a post-write null in the same column stays null)
+        defaulted.foreach { case (f, lackingFiles) =>
+          val key = s"_df_${f.id}"
+          val flag = kvDf(spark, lackingFiles.map((_, 1L)), key, s"${key}_flag")
+          df = df
+            .join(broadcast(flag), normPath(col("_file")) === col(key), "left")
+            .withColumn(f.name,
+              when(col(s"${key}_flag").isNotNull,
+                lit(f.initialDefault.get).cast(SchemaConvert.toSparkType(f.fieldType)))
+                .otherwise(col(f.name)))
+            .drop(key, s"${key}_flag")
         }
 
         if (needFileCol && !keepFilePos) df = df.drop("_file", "_pos")
@@ -491,15 +513,25 @@ class GraftTable(
 
   /** Add a column with a fresh field id (snapshot-pinned schemas mean old
     * snapshots keep reading their original schema; old data files surface
-    * the new column as null). */
-  def addColumn(name: String, fieldType: IceType, doc: Option[String] = None): GraftTable = {
+    * the new column as `initialDefault`, or null when none is set). A
+    * REQUIRED column on a non-empty table demands a default — otherwise
+    * pre-existing rows would violate the constraint. */
+  def addColumn(
+      name: String,
+      fieldType: IceType,
+      doc: Option[String] = None,
+      required: Boolean = false,
+      default: Option[Any] = None): GraftTable = {
     val base = metadata
     val schema = base.currentSchema
     require(schema.findField(name).isEmpty, s"column $name already exists")
+    require(!required || default.isDefined || base.currentSnapshotId.isEmpty,
+      s"required column $name on a non-empty table needs a default")
     val newId = base.lastColumnId + 1
     val newSchema = IceSchema(
       schema.schemaId + 1,
-      schema.fields :+ IceField(newId, name, required = false, fieldType, doc))
+      schema.fields :+ IceField(newId, name, required, fieldType, doc,
+        initialDefault = default, writeDefault = default))
     commitSchema(newSchema, newId)
   }
 

@@ -19,12 +19,18 @@ case class IceList(elementId: Int, element: IceType, elementRequired: Boolean)
 case class IceMap(keyId: Int, key: IceType, valueId: Int, value: IceType,
     valueRequired: Boolean) extends IceType { def repr = "map" }
 
+/** `initialDefault` is served for files written BEFORE the field existed;
+  * `writeDefault` fills the column when a write omits it (the reference's
+  * Field defaults, icelake/src/types/in_memory.rs:436-453) — together they
+  * make adding a required column to a non-empty table legal. */
 case class IceField(
     id: Int,
     name: String,
     required: Boolean,
     fieldType: IceType,
-    doc: Option[String] = None)
+    doc: Option[String] = None,
+    initialDefault: Option[Any] = None,
+    writeDefault: Option[Any] = None)
 
 case class IceSchema(schemaId: Int, fields: List[IceField]) {
   def findField(name: String): Option[IceField] = fields.find(_.name == name)
@@ -144,6 +150,8 @@ case class IceDataFile(
     columnSizes: Map[Int, Long] = Map.empty,
     valueCounts: Map[Int, Long] = Map.empty,
     nullValueCounts: Map[Int, Long] = Map.empty,
+    nanValueCounts: Map[Int, Long] = Map.empty,
+    distinctCounts: Map[Int, Long] = Map.empty,
     lowerBounds: Map[Int, Array[Byte]] = Map.empty,
     upperBounds: Map[Int, Array[Byte]] = Map.empty,
     splitOffsets: Seq[Long] = Nil,

@@ -85,6 +85,8 @@ object ManifestIO {
       field("column_sizes", 108, longMapSchema("column_sizes", 117, 118), opt = true),
       field("value_counts", 109, longMapSchema("value_counts", 119, 120), opt = true),
       field("null_value_counts", 110, longMapSchema("null_value_counts", 121, 122), opt = true),
+      field("nan_value_counts", 137, longMapSchema("nan_value_counts", 138, 139), opt = true),
+      field("distinct_counts", 111, longMapSchema("distinct_counts", 123, 124), opt = true),
       field("lower_bounds", 125, bytesMapSchema(126, 127), opt = true),
       field("upper_bounds", 128, bytesMapSchema(129, 130), opt = true),
       field("split_offsets", 132, Schema.createArray(Schema.create(Schema.Type.LONG)), opt = true),
@@ -315,6 +317,8 @@ object ManifestIO {
           columnSizes = longMap(df, "column_sizes"),
           valueCounts = longMap(df, "value_counts"),
           nullValueCounts = longMap(df, "null_value_counts"),
+          nanValueCounts = longMap(df, "nan_value_counts"),
+          distinctCounts = longMap(df, "distinct_counts"),
           lowerBounds = bytesMap(df, "lower_bounds"),
           upperBounds = bytesMap(df, "upper_bounds"),
           splitOffsets = Option(if (hasField(df, "split_offsets")) df.get("split_offsets") else null)
@@ -418,6 +422,12 @@ object ManifestIO {
       if (d.nullValueCounts.nonEmpty)
         df.put("null_value_counts", longMapRecord(
           unwrapNullable(dfSchema.getField("null_value_counts").schema()), d.nullValueCounts))
+      if (d.nanValueCounts.nonEmpty)
+        df.put("nan_value_counts", longMapRecord(
+          unwrapNullable(dfSchema.getField("nan_value_counts").schema()), d.nanValueCounts))
+      if (d.distinctCounts.nonEmpty)
+        df.put("distinct_counts", longMapRecord(
+          unwrapNullable(dfSchema.getField("distinct_counts").schema()), d.distinctCounts))
       if (d.lowerBounds.nonEmpty)
         df.put("lower_bounds", bytesMapRecord(
           unwrapNullable(dfSchema.getField("lower_bounds").schema()), d.lowerBounds))

@@ -60,13 +60,37 @@ object MetadataJson {
         "value-required" -> JBool(req))
   }
 
+  /** default values (initial-default / write-default) carried as plain
+    * JSON scalars, decoded per the field's own type */
+  private def parseDefault(v: JValue): Option[Any] = v match {
+    case JInt(i) => Some(i.toLong)
+    case JLong(l) => Some(l)
+    case JDouble(d) => Some(d)
+    case JDecimal(d) => Some(d.toDouble)
+    case JString(s) => Some(s)
+    case JBool(b) => Some(b)
+    case _ => None
+  }
+
+  private def defaultToJson(v: Any): JValue = v match {
+    case i: Int => JLong(i.toLong)
+    case l: Long => JLong(l)
+    case f: Float => JDouble(f.toDouble)
+    case d: Double => JDouble(d)
+    case s: String => JString(s)
+    case b: Boolean => JBool(b)
+    case other => JString(other.toString)
+  }
+
   private def parseField(v: JValue): IceField =
     IceField(
       id = intOf(v \ "id"),
       name = strOf(v \ "name"),
       required = boolOf(v \ "required", default = false),
       fieldType = parseType(v \ "type"),
-      doc = (v \ "doc").toOption.collect { case JString(s) => s })
+      doc = (v \ "doc").toOption.collect { case JString(s) => s },
+      initialDefault = (v \ "initial-default").toOption.flatMap(parseDefault),
+      writeDefault = (v \ "write-default").toOption.flatMap(parseDefault))
 
   private def fieldToJson(f: IceField): JValue =
     JObject(
@@ -75,7 +99,9 @@ object MetadataJson {
         "name" -> JString(f.name),
         "required" -> JBool(f.required),
         "type" -> typeToJson(f.fieldType)) ++
-        f.doc.map(d => "doc" -> JString(d): (String, JValue)).toList)
+        f.doc.map(d => "doc" -> JString(d): (String, JValue)).toList ++
+        f.initialDefault.map(d => "initial-default" -> defaultToJson(d)).toList ++
+        f.writeDefault.map(d => "write-default" -> defaultToJson(d)).toList)
 
   def parseSchema(v: JValue): IceSchema =
     IceSchema(

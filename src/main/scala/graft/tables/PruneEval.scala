@@ -20,7 +20,10 @@ object PruneEval {
 
   /** derive the transform value of a literal for comparison against
     * partition values. Literal encodings: date=Int days, ts=Long micros. */
-  private def applyTransform(transform: String, lit: Any): Option[Any] = {
+  private def applyTransform(
+      transform: String,
+      lit: Any,
+      srcType: Option[IceType] = None): Option[Any] = {
     import graft.functions.TransformUtil
     val BucketRe = """bucket\[(\d+)\]""".r
     val TruncRe = """truncate\[(\d+)\]""".r
@@ -52,6 +55,10 @@ object PruneEval {
       case BucketRe(n) => lit match {
         case i: Int => Some(TransformUtil.bucketInt(i, n.toInt))
         case l: Long => Some(TransformUtil.bucketLong(l, n.toInt))
+        case s: String if srcType.contains(IcePrim("uuid")) =>
+          try Some(TransformUtil.bucketUuid(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s), n.toInt))
+          catch { case _: IllegalArgumentException => None }
         case s: String => Some(TransformUtil.bucketString(
           org.apache.spark.unsafe.types.UTF8String.fromString(s), n.toInt))
         case _ => None
@@ -160,7 +167,7 @@ object PruneEval {
         file.partition.lift(idx).flatten match {
           case None => true
           case Some(pv) =>
-            applyTransform(pf.transform, lit) match {
+            applyTransform(pf.transform, lit, schema.fieldById(fid).map(_.fieldType)) match {
               case None => true
               case Some(tl) =>
                 cmp(pv, tl) match {
@@ -243,7 +250,7 @@ object PruneEval {
             hiB <- fsum.upperBound
             src <- schema.fieldById(fid)
             t = SchemaConvert.transformResultType(pf.transform, src.fieldType)
-            tl <- applyTransform(pf.transform, lit)
+            tl <- applyTransform(pf.transform, lit, Some(src.fieldType))
             lo = SingleValue.decode(t, loB)
             hi = SingleValue.decode(t, hiB)
             cLo <- cmp(lo, tl)

@@ -11,6 +11,14 @@ object SchemaConvert {
 
   val FieldIdKey = "parquet.field.id"
 
+  /** marks Iceberg types that have no Spark equivalent on their carrier
+    * StructField (`time` -> long micros, `uuid` -> canonical string,
+    * `fixed[N]` -> binary), so round-trips preserve the logical type —
+    * SURVEY §1.3's hard point */
+  val GraftTypeKey = "graft.type"
+
+  private val FixedRe = """fixed\[(\d+)\]""".r
+
   def toSparkType(t: IceType): DataType = t match {
     case IcePrim("boolean") => BooleanType
     case IcePrim("int") => IntegerType
@@ -33,12 +41,19 @@ object SchemaConvert {
     case IcePrim(other) => sys.error(s"unsupported iceberg type: $other")
   }
 
-  def toSparkField(f: IceField): StructField =
+  def toSparkField(f: IceField): StructField = {
+    val mb = new MetadataBuilder().putLong(FieldIdKey, f.id.toLong)
+    f.fieldType match {
+      case IcePrim("time") | IcePrim("uuid") | IceFixed(_) =>
+        mb.putString(GraftTypeKey, f.fieldType.repr)
+      case _ =>
+    }
     StructField(
       f.name,
       toSparkType(f.fieldType),
       nullable = !f.required,
-      metadata = new MetadataBuilder().putLong(FieldIdKey, f.id.toLong).build())
+      metadata = mb.build())
+  }
 
   def toSparkSchema(s: IceSchema): StructType = StructType(s.fields.map(toSparkField))
 
@@ -69,10 +84,20 @@ object SchemaConvert {
         })
       case other => sys.error(s"unsupported spark type for iceberg: $other")
     }
-    // allocate top-level ids first (1..n), then nested
+    // allocate top-level ids first (1..n), then nested; a graft.type
+    // metadata flag overrides the carrier type (time/uuid/fixed)
     val top = schema.fields.map(f => (f, alloc()))
     val fields = top.toList.map { case (f, id) =>
-      IceField(id, f.name, required = !f.nullable, conv(f.dataType))
+      val flagged: Option[IceType] =
+        if (f.metadata.contains(GraftTypeKey))
+          f.metadata.getString(GraftTypeKey) match {
+            case "time" => Some(IcePrim("time"))
+            case "uuid" => Some(IcePrim("uuid"))
+            case FixedRe(n) => Some(IceFixed(n.toInt))
+            case _ => None
+          }
+        else None
+      IceField(id, f.name, required = !f.nullable, flagged.getOrElse(conv(f.dataType)))
     }
     IceSchema(0, fields)
   }
@@ -110,6 +135,10 @@ object SingleValue {
       ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
         .putDouble(v.asInstanceOf[Number].doubleValue).array
     case IcePrim("string") => v.toString.getBytes("UTF-8")
+    case IcePrim("uuid") =>
+      val u = java.util.UUID.fromString(v.toString)
+      ByteBuffer.allocate(16) // big-endian per spec
+        .putLong(u.getMostSignificantBits).putLong(u.getLeastSignificantBits).array
     case IcePrim("binary") | IceFixed(_) => v.asInstanceOf[Array[Byte]]
     case IceDecimal(_, s) =>
       val bd = v match {
@@ -130,6 +159,9 @@ object SingleValue {
     case IcePrim("float") => ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getFloat
     case IcePrim("double") => ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getDouble
     case IcePrim("string") => new String(bytes, "UTF-8")
+    case IcePrim("uuid") =>
+      val bb = ByteBuffer.wrap(bytes)
+      new java.util.UUID(bb.getLong, bb.getLong).toString
     case IcePrim("binary") | IceFixed(_) => bytes
     case IceDecimal(_, s) =>
       new java.math.BigDecimal(new java.math.BigInteger(bytes), s)

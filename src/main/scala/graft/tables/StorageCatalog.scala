@@ -34,11 +34,18 @@ object StorageCatalog {
       if (fs.exists(hint)) {
         try {
           val in = fs.open(hint)
-          val v = try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+          val hintV = try scala.io.Source.fromInputStream(in).mkString.trim.toInt
           finally in.close()
-          // trust but verify — the hint can lag behind
-          val p = new Path(dir, s"v$v.metadata.json")
-          if (fs.exists(p)) Some((p.toUri.getPath, v)) else None
+          // the hint is advisory and can LAG (its rewrite is best-effort
+          // under concurrent commits): verify it, then walk forward to the
+          // newest committed version — O(versions-ahead) exists() probes,
+          // no directory listing in the common case
+          if (!fs.exists(new Path(dir, s"v$hintV.metadata.json"))) None
+          else {
+            var v = hintV
+            while (fs.exists(new Path(dir, s"v${v + 1}.metadata.json"))) v += 1
+            Some((new Path(dir, s"v$v.metadata.json").toUri.getPath, v))
+          }
         } catch { case _: Throwable => None }
       } else None
     hinted.orElse {
@@ -119,10 +126,18 @@ object StorageCatalog {
     createTable(conf, location, schema, spec, properties)
   }
 
-  /** Atomic-ish single-version commit: write tmp then rename to
-    * v{N+1}.metadata.json (rename fails if the target exists on HDFS/local,
-    * giving optimistic concurrency); refresh version-hint after. Throws
-    * [[CommitConflictException]] when someone else won the version. */
+  /** Atomic single-version commit, scheme-aware:
+    *
+    *  - HDFS (and stores with HDFS rename semantics): write tmp, then
+    *    rename — rename fails if the target exists, giving optimistic
+    *    concurrency directly.
+    *  - local fs: POSIX rename(2) silently OVERWRITES an existing target
+    *    and `exists`-then-rename is a TOCTOU race, so the commit point is
+    *    an atomic per-version lock file (`File.createNewFile`); the
+    *    exists-check and rename run under the lock. A crashed committer's
+    *    stale lock (>60s) is broken best-effort.
+    *
+    * Throws [[CommitConflictException]] when someone else won the version. */
   def commitMetadata(
       conf: Configuration,
       location: String,
@@ -133,20 +148,45 @@ object StorageCatalog {
     fs.mkdirs(dir)
     val next = expectedVersion + 1
     val target = new Path(dir, s"v$next.metadata.json")
-    if (fs.exists(target)) throw new CommitConflictException(s"version $next already exists")
-    val tmp = new Path(dir, s".tmp-${UUID.randomUUID()}.metadata.json")
-    val out = fs.create(tmp, false)
-    try out.write(MetadataJson.serialize(meta))
-    finally out.close()
-    // rename(src, dst) returns false if dst exists => lost the race
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      throw new CommitConflictException(s"concurrent commit to version $next")
+    val isLocal = fs.getUri.getScheme == "file"
+
+    def writeAndRename(): Unit = {
+      if (fs.exists(target))
+        throw new CommitConflictException(s"version $next already exists")
+      val tmp = new Path(dir, s".tmp-${UUID.randomUUID()}.metadata.json")
+      val out = fs.create(tmp, false)
+      try out.write(MetadataJson.serialize(meta))
+      finally out.close()
+      // HDFS: rename(src, dst) returns false if dst exists => lost the race
+      if (!fs.rename(tmp, target)) {
+        fs.delete(tmp, false)
+        throw new CommitConflictException(s"concurrent commit to version $next")
+      }
     }
-    val hint = new Path(dir, "version-hint.text")
-    val hintOut = fs.create(hint, true)
-    try hintOut.write(next.toString.getBytes("UTF-8"))
-    finally hintOut.close()
+
+    if (isLocal) {
+      val lock = new java.io.File(
+        new Path(dir, s".commit-v$next.lock").toUri.getPath)
+      var acquired = lock.createNewFile() // atomic on POSIX
+      if (!acquired && System.currentTimeMillis() - lock.lastModified() > 60000L) {
+        lock.delete() // break a crashed committer's stale lock
+        acquired = lock.createNewFile()
+      }
+      if (!acquired)
+        throw new CommitConflictException(s"concurrent commit in flight for version $next")
+      try writeAndRename()
+      finally lock.delete()
+    } else writeAndRename()
+
+    // the hint is an advisory cache (latestMetadata verifies it and falls
+    // back to listing): concurrent rewrites may collide on the checksum
+    // sidecar — never fail a committed transaction over it
+    try {
+      val hint = new Path(dir, "version-hint.text")
+      val hintOut = fs.create(hint, true)
+      try hintOut.write(next.toString.getBytes("UTF-8"))
+      finally hintOut.close()
+    } catch { case _: Throwable => }
     next
   }
 }

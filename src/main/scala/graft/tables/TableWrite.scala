@@ -39,10 +39,23 @@ object TableWrite {
   private def parseTypeRepr(repr: String): IceType =
     MetadataJson.parseType(org.json4s.JString(repr))
 
-  /** executor-side footer read; runs with a fresh local Configuration —
-    * acceptable for file:// and HDFS-default deployments */
-  def statsOf(pathStr: String, infos: Seq[FieldInfo]): FileStats = {
-    val conf = new Configuration()
+  /** Hadoop Configuration is not Serializable; wrap it so the driver's
+    * REAL conf (credentials, endpoints, custom schemes) reaches the
+    * executor-side footer reads instead of a blank default. */
+  class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** executor-side footer read using the driver's shipped Configuration */
+  def statsOf(pathStr: String, infos: Seq[FieldInfo], conf: Configuration): FileStats = {
     val inputFile = HadoopInputFile.fromPath(new Path(pathStr), conf)
     val reader = ParquetFileReader.open(inputFile)
     try {
@@ -104,9 +117,16 @@ object TableWrite {
       case (s: IntStatistics, "int" | "date") => (Some(s.getMin), Some(s.getMax))
       case (s: LongStatistics, "long" | "timestamp" | "timestamptz" | "time") =>
         (Some(s.getMin), Some(s.getMax))
-      case (s: FloatStatistics, "float") => (Some(s.getMin), Some(s.getMax))
-      case (s: DoubleStatistics, "double") => (Some(s.getMin), Some(s.getMax))
-      case (s: BinaryStatistics, "string") =>
+      // spec: float/double bounds must not be NaN — a NaN-tainted stat
+      // would wrongly prune (NaN compares greater than everything in
+      // parquet's ordering but matches nothing)
+      case (s: FloatStatistics, "float") =>
+        if (s.getMin.isNaN || s.getMax.isNaN) (None, None)
+        else (Some(s.getMin), Some(s.getMax))
+      case (s: DoubleStatistics, "double") =>
+        if (s.getMin.isNaN || s.getMax.isNaN) (None, None)
+        else (Some(s.getMin), Some(s.getMax))
+      case (s: BinaryStatistics, "string" | "uuid") =>
         (Some(s.genericGetMin.toStringUsingUTF8), Some(s.genericGetMax.toStringUsingUTF8))
       case _ => (None, None)
     }
@@ -123,8 +143,12 @@ object TableWrite {
     case _ => 0
   }
 
-  /** string bounds are truncated to 16 code points; a truncated upper
-    * bound is rounded up by bumping the last char (skip if not possible) */
+  /** string bounds are truncated to 16 CODE POINTS (surrogate-pair aware,
+    * mirroring Iceberg's UnicodeUtil); a truncated upper bound rounds up
+    * by bumping the last code point — skipped (None) when the bump would
+    * land in the surrogate range, where an unpaired char would UTF-8
+    * encode as '?' and produce an upper bound SMALLER than the real max,
+    * wrongly pruning files. */
   private def encodeBound(
       byName: Map[String, FieldInfo],
       infos: Seq[FieldInfo],
@@ -134,13 +158,26 @@ object TableWrite {
     val info = infos.find(_.id == id).getOrElse(return None)
     val t = parseTypeRepr(info.typeRepr)
     v match {
-      case s: String if s.length > 16 =>
-        if (!isUpper) Some(SingleValue.encode(t, s.substring(0, 16)))
+      case s: String if t == IcePrim("string") && s.codePointCount(0, s.length) > 16 =>
+        val cut = s.offsetByCodePoints(0, 16)
+        val prefix = s.substring(0, cut)
+        if (!isUpper) Some(SingleValue.encode(t, prefix))
         else {
-          val prefix = s.substring(0, 16)
-          val last = prefix.charAt(15)
-          if (last == Char.MaxValue) None
-          else Some(SingleValue.encode(t, prefix.substring(0, 15) + (last + 1).toChar))
+          // bump the LAST code point; walk back over unbumpable ones
+          var i = 16
+          var res: Option[String] = None
+          while (i > 0 && res.isEmpty) {
+            val start = s.offsetByCodePoints(0, i - 1)
+            val cp = s.codePointAt(start)
+            val bumped = cp + 1
+            val valid = bumped <= Character.MAX_CODE_POINT &&
+              !(bumped >= Character.MIN_SURROGATE.toInt &&
+                bumped <= Character.MAX_SURROGATE.toInt)
+            if (valid)
+              res = Some(s.substring(0, start) + new String(Character.toChars(bumped)))
+            else i -= 1
+          }
+          res.map(b => SingleValue.encode(t, b))
         }
       case other => Some(SingleValue.encode(t, other))
     }
@@ -151,13 +188,18 @@ object TableWrite {
   private val BucketRe = """bucket\[(\d+)\]""".r
   private val TruncRe = """truncate\[(\d+)\]""".r
 
-  def transformColumn(transform: String, source: Column): Column = transform match {
+  def transformColumn(
+      transform: String,
+      source: Column,
+      srcType: IceType = IcePrim("unknown")): Column = transform match {
     case "identity" => source
     case "void" => lit(null)
     case "year" => transforms.yearsT(source)
     case "month" => transforms.monthsT(source)
     case "day" => transforms.daysT(source)
     case "hour" => transforms.hoursT(source)
+    // uuid rides as a canonical string but hashes as 16 big-endian bytes
+    case BucketRe(n) if srcType == IcePrim("uuid") => transforms.bucketUuid(n.toInt, source)
     case BucketRe(n) => transforms.bucket(n.toInt, source)
     case TruncRe(w) => transforms.truncate(w.toInt, source)
     case other => sys.error(s"unknown transform: $other")
@@ -184,7 +226,11 @@ object TableWrite {
   private def prepared(df: DataFrame, schema: IceSchema): DataFrame = {
     val cols = schema.fields.map { f =>
       val md = new MetadataBuilder().putLong(SchemaConvert.FieldIdKey, f.id.toLong).build()
-      col(f.name).cast(SchemaConvert.toSparkType(f.fieldType)).as(f.name, md)
+      // a write may omit a column that carries a write-default
+      val src =
+        if (df.columns.contains(f.name)) col(f.name)
+        else f.writeDefault.map(lit(_)).getOrElse(col(f.name))
+      src.cast(SchemaConvert.toSparkType(f.fieldType)).as(f.name, md)
     }
     df.select(cols: _*)
   }
@@ -210,13 +256,51 @@ object TableWrite {
     out.toSeq
   }
 
-  /** distributed footer harvest; returns stats per file path */
+  /** distributed footer harvest; returns stats per file path. The
+    * driver's Hadoop conf ships with the job (broadcast-equivalent), so
+    * stores needing credentials/endpoints work on executors. */
   def harvest(spark: SparkSession, paths: Seq[String], infos: Seq[FieldInfo]): Seq[FileStats] =
     if (paths.isEmpty) Nil
     else {
       val par = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
-      spark.sparkContext.parallelize(paths, par).map(p => statsOf(p, infos)).collect().toSeq
+      val serConf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+      val bc = spark.sparkContext.broadcast(serConf)
+      spark.sparkContext.parallelize(paths, par)
+        .map(p => statsOf(p, infos, bc.value.value)).collect().toSeq
     }
+
+  /** Optional second stats pass (table property `write.stats.extended`):
+    * approximate distinct counts (HLL) per column and NaN counts for
+    * float/double, per file — the `distinct_count`/`nan_value_counts`
+    * slots the reference reads from parquet metadata but parquet-mr does
+    * not surface (icelake/src/types/in_memory.rs:1658-1665). One extra
+    * scan of the freshly written files; off by default. */
+  def extendedStats(
+      spark: SparkSession,
+      paths: Seq[String],
+      infos: Seq[FieldInfo]): Map[String, (Map[Int, Long], Map[Int, Long])] = {
+    if (paths.isEmpty) return Map.empty
+    val df = spark.read.parquet(paths: _*)
+    val present = infos.filter(i => df.columns.contains(i.name))
+    if (present.isEmpty) return Map.empty
+    val aggs = present.flatMap { i =>
+      Seq(approx_count_distinct(col(i.name)).as(s"ndv_${i.id}")) ++
+        (if (i.typeRepr == "float" || i.typeRepr == "double")
+          Seq(sum(when(isnan(col(i.name)), 1L).otherwise(0L)).as(s"nan_${i.id}"))
+        else Nil)
+    }
+    df.groupBy(col("_metadata.file_path").as("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val ndv = present.map(i => i.id -> r.getAs[Long](s"ndv_${i.id}")).toMap
+        val nan = present
+          .filter(i => i.typeRepr == "float" || i.typeRepr == "double")
+          .map(i => i.id -> Option(r.getAs[Any](s"nan_${i.id}"))
+            .map(_.asInstanceOf[Long]).getOrElse(0L)).toMap
+        GraftTable.normPathStr(r.getString(0)) -> (ndv, nan)
+      }.toMap
+  }
 
   def writeDataFiles(table: GraftTable, spark: SparkSession, df: DataFrame): List[IceDataFile] = {
     val schema = table.metadata.currentSchema
@@ -265,16 +349,29 @@ object TableWrite {
       w
     }
 
+    val wantExtended = props.get("write.stats.extended").contains("true")
+    def extOf(paths: Seq[String]): Map[String, (Map[Int, Long], Map[Int, Long])] =
+      if (wantExtended) extendedStats(spark, paths, infos) else Map.empty
+    def enrich(f: IceDataFile, ext: Map[String, (Map[Int, Long], Map[Int, Long])]): IceDataFile =
+      ext.get(GraftTable.normPathStr(f.filePath)) match {
+        case Some((ndv, nan)) => f.copy(distinctCounts = ndv, nanValueCounts = nan)
+        case None => f
+      }
+
     if (spec.isUnpartitioned) {
       configured(base).parquet(outDir)
       val paths = listParquet(table.conf, outDir)
-      harvest(spark, paths, infos).map(statsToDataFile(_, Nil, DataContent.Data, Nil)).toList
+      val ext = extOf(paths)
+      harvest(spark, paths, infos)
+        .map(statsToDataFile(_, Nil, DataContent.Data, Nil))
+        .map(enrich(_, ext)).toList
     } else {
       val pcols = spec.fields.map(pf => s"_p_${pf.name}")
       val srcByid = spec.fields.map(pf =>
         schema.fieldById(pf.sourceId).getOrElse(sys.error(s"no field ${pf.sourceId}")))
       val withParts = spec.fields.zip(srcByid).foldLeft(base) { case (d, (pf, src)) =>
-        d.withColumn(s"_p_${pf.name}", transformColumn(pf.transform, col(src.name)))
+        d.withColumn(s"_p_${pf.name}",
+          transformColumn(pf.transform, col(src.name), src.fieldType))
       }
       // cluster rows by partition value: one shuffle, bounded output files
       configured(withParts.repartition(pcols.map(col): _*))
@@ -282,6 +379,7 @@ object TableWrite {
       val paths = listParquet(table.conf, outDir)
       val resultTypes = spec.fields.zip(srcByid).map { case (pf, src) =>
         SchemaConvert.transformResultType(pf.transform, src.fieldType) }
+      val ext = extOf(paths)
       val stats = harvest(spark, paths, infos)
       stats.map { st =>
         // partition values ride in the directory names under outDir
@@ -291,7 +389,7 @@ object TableWrite {
           dirs.find(_.startsWith(s"_p_${pf.name}="))
             .flatMap(d => parsePartitionValue(rt, d.substring(d.indexOf('=') + 1)))
         }
-        statsToDataFile(st, values, DataContent.Data, Nil)
+        enrich(statsToDataFile(st, values, DataContent.Data, Nil), ext)
       }.toList
     }
   }

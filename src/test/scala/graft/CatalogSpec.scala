@@ -62,6 +62,32 @@ class CatalogSpec extends AnyFunSuite {
     assert(rows.length === 1 && rows.head.getInt(0) === 3)
   }
 
+  test("static partition INSERT OVERWRITE replaces only that partition") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.sow")
+    spark.sql("CREATE TABLE graft.db.sow (v STRING, p INT) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.db.sow VALUES ('a', 1), ('b', 2), ('c', 2)")
+    spark.sql("INSERT OVERWRITE graft.db.sow PARTITION (p = 2) SELECT 'z'")
+    val rows = spark.sql("SELECT v, p FROM graft.db.sow ORDER BY v").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    // partition 1 untouched, partition 2 replaced by the single new row
+    assert(rows === Seq(("a", 1), ("z", 2)))
+  }
+
+  test("dynamic partition overwrite replaces only partitions present in the data") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.dow")
+    spark.sql("CREATE TABLE graft.db.dow (v STRING, p INT) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.db.dow VALUES ('a', 1), ('b', 2), ('c', 3)")
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val t = graft.tables.StorageCatalog.loadTable(
+      spark.sparkContext.hadoopConfiguration, s"$wh/db/dow")
+    t.overwriteDynamic(spark, Seq(("x", 2), ("y", 2)).toDF("v", "p"))
+    val rows = spark.sql("SELECT v, p FROM graft.db.dow ORDER BY v").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(rows === Seq(("a", 1), ("c", 3), ("x", 2), ("y", 2)).sortBy(_._1))
+  }
+
   test("VERSION AS OF time travel via SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("DROP TABLE IF EXISTS graft.db.tt")

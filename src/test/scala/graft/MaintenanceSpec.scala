@@ -60,6 +60,55 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.scan(spark).count() === src.count())
   }
 
+  test("expire keeps snapshots reachable from live refs; ref ages out by maxRefAgeMs") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val loc = tmpLocation("refsafe")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src.filter($"r_regionkey" < 2))
+    val tagged = t.metadata.currentSnapshotId.get
+    t.createTag("keeper", tagged)
+    t.append(spark, src.filter($"r_regionkey" >= 2))
+    // expire everything older than now: the tagged snapshot must survive
+    t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1000)
+    assert(t.metadata.snapshotById(tagged).isDefined)
+    assert(t.scanRef(spark, "keeper").count() === 2)
+    // a ref past its max age retires, then its snapshot can expire
+    val t2 = StorageCatalog.loadTable(conf, loc)
+    val aged = t2.metadata.refs("keeper").copy(maxRefAgeMs = Some(0L))
+    t2.metadata = t2.metadata.copy(refs = t2.metadata.refs + ("keeper" -> aged))
+    t2.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1000)
+    assert(!t2.metadata.refs.contains("keeper"))
+    assert(t2.metadata.snapshotById(tagged).isEmpty)
+  }
+
+  test("partition-scoped position deletes prune away with their partition") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val loc = tmpLocation("posscope")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema),
+      IcePartitionSpec(0, List(IcePartitionField(
+        SchemaConvert.fromSparkSchema(src.schema).findField("o_orderstatus").get.id,
+        1000, "identity", "status"))))
+    t.append(spark, src)
+    val pos = t.scan(spark, keepFilePos = true)
+      .filter($"o_orderstatus" === "F" && pmod($"o_orderkey", lit(10)) === 0)
+      .select($"_file".as("file_path"), $"_pos".as("pos"))
+    t.positionDelete(spark, pos)
+    // delete files carry the partition tuple of the rows they delete
+    val deletes = t.planFiles(t.metadata.currentSnapshot.get)
+      .filter(_.file.content == DataContent.PositionDeletes)
+    assert(deletes.nonEmpty && deletes.forall(_.file.partition == Seq(Some("F"))))
+    // a scan of another partition joins NO delete files
+    assert(t.deleteFilesForScan(Some($"o_orderstatus" === "O")).isEmpty)
+    assert(t.deleteFilesForScan(Some($"o_orderstatus" === "F")).nonEmpty)
+    // contents: F loses its multiples of 10, O untouched
+    val back = t.scan(spark)
+    val exp = src.filter(!($"o_orderstatus" === "F" && pmod($"o_orderkey", lit(10)) === 0))
+    assert(back.count() === exp.count())
+    assert(back.exceptAll(exp).isEmpty)
+  }
+
   test("schema evolution: add column (old files read null), drop, rename") {
     val src = spark.read.parquet(s"$sfDir/nation.parquet")
     val loc = tmpLocation("evolve")
@@ -84,6 +133,31 @@ class MaintenanceSpec extends AnyFunSuite {
     val idBefore = t.metadata.currentSchema.findField("n_name").get.id
     t.renameColumn("n_name", "nation_name")
     assert(t.metadata.currentSchema.findField("nation_name").get.id === idBefore)
+  }
+
+  test("required column with default: old files serve the default, SQL round-trips it") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val loc = tmpLocation("defaults")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src)
+    // required without default on a non-empty table must be rejected
+    intercept[IllegalArgumentException] {
+      t.addColumn("tier", IcePrim("string"), required = true)
+    }
+    t.addColumn("tier", IcePrim("string"), required = true, default = Some("basic"))
+    // a write omitting the column gets the write-default
+    t.append(spark, src.limit(1))
+    t.append(spark, src.limit(1).withColumn("tier", lit("pro")))
+    val back = t.scan(spark)
+    assert(back.filter($"tier" === "basic").count() === src.count() + 1)
+    assert(back.filter($"tier" === "pro").count() === 1)
+    assert(back.filter($"tier".isNull).count() === 0)
+    // defaults survive the metadata JSON round-trip
+    val reloaded = StorageCatalog.loadTable(conf, loc)
+    val f = reloaded.metadata.currentSchema.findField("tier").get
+    assert(f.required && f.initialDefault === Some("basic") && f.writeDefault === Some("basic"))
+    assert(reloaded.scan(spark).filter($"tier" === "basic").count() === src.count() + 1)
   }
 
   test("branches and tags") {

@@ -63,6 +63,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top.toSeq === Seq(2L))
   }
 
+  test("brute-force ANN partial top-k matches the exact result across partitions") {
+    // 200 corpus vectors spread over many partitions; the per-partition
+    // heap pre-cut must not change the exact top-k
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 200L).map(i => (i, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding").repartition(16)
+    val queries = corpus.filter($"vec_id" <= 3)
+    val got = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // naive exact reference via a full window (small data, correctness only)
+    val q = queries.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val c = corpus.select($"vec_id".as("neighbor_id"), $"embedding".as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy(desc("cosine"), $"neighbor_id")
+    val want = c.join(q, $"query_id" =!= $"neighbor_id")
+      .withColumn("cosine", vectors.cosineSim($"qv", $"cv"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+  }
+
+  test("embedding near-dup finds planted duplicates; degenerate corpus stays bounded") {
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(16)(rnd.nextFloat() - 0.5f)
+    val near = base.map(x => x * 1.002f + 0.0005f)
+    val distinctVecs = (3L to 40L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    val df = (Seq((1L, base), (2L, near)) ++ distinctVecs).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(df, "vec_id", "embedding", cosineThreshold = 0.98)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+
+    // 1000 identical vectors: uncapped LSH would make one bucket with
+    // ~500k pairs; the bucket cap keeps the candidate set bounded (here:
+    // zero — every bucket degenerates past maxBucket)
+    val same = (1L to 1000L).map(i => (i, base)).toDF("vec_id", "embedding")
+    val capped = Dedup.embeddingNearDup(
+      same, "vec_id", "embedding", cosineThreshold = 0.5, maxBucket = 100)
+    assert(capped.count() === 0)
+  }
+
   test("langid identifies real multilingual samples") {
     val samples = Seq(
       (1L, "the cat is on the mat and it is not happy about that"),

@@ -247,4 +247,94 @@ class TableSpec extends AnyFunSuite {
     assert(got.count() === exp.count())
     assert(got.exceptAll(exp).isEmpty)
   }
+
+  test("extended stats: distinct + nan counts recorded; NaN never taints float bounds") {
+    val src = Seq(
+      (1L, 1.5f, "a"), (2L, Float.NaN, "b"), (3L, 2.5f, "c"), (4L, 2.5f, "d"))
+      .toDF("k", "score", "tag")
+    val loc = tmpLocation("extstats")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil),
+      properties = Map("write.stats.extended" -> "true"))
+    t.append(spark, src.coalesce(1))
+    val f = t.planFiles(t.metadata.currentSnapshot.get).head.file
+    val scoreId = t.metadata.currentSchema.findField("score").get.id
+    val kId = t.metadata.currentSchema.findField("k").get.id
+    // nan counted; distincts approximately right (exact at this size)
+    assert(f.nanValueCounts(scoreId) === 1L)
+    assert(f.distinctCounts(kId) === 4L)
+    // float bounds are either absent or NaN-free (spec: bounds must not be NaN)
+    f.lowerBounds.get(scoreId).foreach { b =>
+      assert(!SingleValue.decode(IcePrim("float"), b).asInstanceOf[Float].isNaN)
+    }
+    f.upperBounds.get(scoreId).foreach { b =>
+      assert(!SingleValue.decode(IcePrim("float"), b).asInstanceOf[Float].isNaN)
+    }
+    // manifest avro round-trips the new maps
+    val reloaded = StorageCatalog.loadTable(conf, loc)
+      .planFiles(reloadSnapshot(loc)).head.file
+    assert(reloaded.nanValueCounts(scoreId) === 1L)
+    assert(reloaded.distinctCounts(kId) === 4L)
+  }
+
+  private def reloadSnapshot(loc: String): IceSnapshot =
+    StorageCatalog.loadTable(conf, loc).metadata.currentSnapshot.get
+
+  test("concurrent commits: exactly one writer wins each version") {
+    val src = Seq((1L, "a")).toDF("k", "v")
+    val loc = tmpLocation("race")
+    StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    // 8 threads race commits, many from the same base version; the atomic
+    // commit point must serialize them into distinct versions with no
+    // lost updates (setProperties has no retry loop — each thread retries)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val workers = (1 to 8).map { i =>
+      new Thread(() => {
+        var done = false
+        var attempts = 0
+        while (!done && attempts < 200) {
+          try {
+            val t = StorageCatalog.loadTable(conf, loc)
+            t.setProperties(Map(s"prop-$i" -> i.toString))
+            done = true
+          } catch {
+            case _: CommitConflictException => attempts += 1
+            case e: Throwable =>
+              errors.add(s"thread $i: ${e.getClass.getSimpleName}: ${e.getMessage}")
+              attempts += 1
+          }
+        }
+        if (done) results.add(s"prop-$i")
+        ()
+      })
+    }
+    workers.foreach(_.start())
+    workers.foreach(_.join(60000))
+    assert(errors.isEmpty, s"unexpected errors: ${errors.toArray.mkString("; ")}")
+    assert(results.size === 8)
+    val fin = StorageCatalog.loadTable(conf, loc)
+    // every commit survived — no silent overwrite lost a version
+    (1 to 8).foreach(i => assert(fin.metadata.properties.contains(s"prop-$i")))
+    assert(fin.version === 9) // create + 8 commits
+  }
+
+  test("planning over 100+ manifests: parallel reads, one planFiles per scan") {
+    val src = Seq((1L, "x")).toDF("k", "v")
+    val loc = tmpLocation("manyman")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    // each append adds one manifest to the list; 100+ appends => 100+
+    // manifests in the final snapshot
+    (1 to 110).foreach(i => t.append(spark, Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    val t0 = System.nanoTime()
+    val planned = t.planFiles(t.metadata.currentSnapshot.get)
+    val planSec = (System.nanoTime() - t0) / 1e9
+    assert(planned.size === 110)
+    assert(planSec < 30.0) // thread-pooled reads; serial would risk minutes
+    Metrics.reset()
+    t.scan(spark).count()
+    assert(Metrics.get(Metrics.PlanFilesCalls) === 1L)
+  }
 }

@@ -32,6 +32,21 @@ class TransformsSpec extends AnyFunSuite {
     // fixed/binary 0x000102030405060708 -> truncated vector from spec:
     // bytes [0,1,2,3] -> -188683207
     assert(TransformUtil.hashBytes(Array[Byte](0, 1, 2, 3)) === -188683207)
+    // uuid f79c3e09-677c-4bbd-a479-3f349cb785e7 hashes as its 16
+    // big-endian bytes -> 1488055340 (spec Appendix B)
+    assert(TransformUtil.hashUuid(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        "f79c3e09-677c-4bbd-a479-3f349cb785e7")) === 1488055340)
+  }
+
+  test("uuid bucket column expression uses byte encoding, not string bytes") {
+    val df = Seq("f79c3e09-677c-4bbd-a479-3f349cb785e7").toDF("u")
+    val row = df.select(
+      transforms.bucketUuid(16, $"u"),
+      transforms.bucket(16, $"u")).head()
+    assert(row.getInt(0) === (1488055340 & Int.MaxValue) % 16)
+    // canonical-string hashing is a DIFFERENT (wrong for uuid) value
+    assert(row.getInt(1) !== row.getInt(0))
   }
 
   test("bucket transform on columns matches spec semantics") {
