@@ -353,6 +353,12 @@ class GraftNativeBatchScan(
 
   override def description(): String =
     s"GraftNativeBatchScan(${table.location}, ${files.size} files after pruning)"
+
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new GraftSumMetric("graftDataFiles", "data files scanned after pruning"))
+
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(GraftTaskMetric("graftDataFiles", files.size.toLong))
 }
 
 /** V1 bridge scan: executes the facade scan (delete application + pruning)

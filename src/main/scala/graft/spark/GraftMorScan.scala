@@ -12,6 +12,21 @@ import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.tables._
 
+/** DSv2 custom metrics (the truthful per-query replacement for the
+  * reference's prometheus decorator layers, icelake/src/metrics.rs):
+  * surfaced in the Spark UI / listener bus per scan. */
+class GraftSumMetric(metricName: String, desc: String)
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = metricName
+  override def description(): String = desc
+}
+
+case class GraftTaskMetric(metricName: String, v: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = v
+}
+
 /** Native DSv2 scan of a merge-on-read snapshot — the path the reference
   * documents but never built (icelake/src/io/scan.rs applies no deletes).
   *
@@ -132,6 +147,19 @@ class GraftMorScan(
   override def description(): String =
     s"GraftMorScan(${table.location}, ${dataFiles.size} data files, " +
       s"${posDeletes.size} pos-delete files, ${eqDeletes.size} eq-delete files)"
+
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(
+      new GraftSumMetric("graftDataFiles", "data files scanned"),
+      new GraftSumMetric("graftPosDeleteFiles", "position delete files applied"),
+      new GraftSumMetric("graftEqDeleteFiles", "equality delete files applied"),
+      new GraftSumMetric("graftRowsDeleted", "rows removed by MoR deletes"))
+
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(
+      GraftTaskMetric("graftDataFiles", dataFiles.size.toLong),
+      GraftTaskMetric("graftPosDeleteFiles", posDeletes.size.toLong),
+      GraftTaskMetric("graftEqDeleteFiles", eqDeletes.size.toLong))
 }
 
 /** whole-file partition + its data sequence + the positions deleted in it */
@@ -168,6 +196,10 @@ class GraftMorReaderFactory(
       }
       private var pos = -1L
       private var current: InternalRow = _
+      private var rowsDeleted = 0L
+
+      override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        Array(GraftTaskMetric("graftRowsDeleted", rowsDeleted))
 
       private def deleted(row: InternalRow): Boolean = {
         if (mor.positions.length > 0 &&
@@ -188,7 +220,7 @@ class GraftMorReaderFactory(
           if (!deleted(row)) {
             current = outProj(row)
             return true
-          }
+          } else rowsDeleted += 1
         }
         false
       }

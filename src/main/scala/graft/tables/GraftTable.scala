@@ -570,6 +570,55 @@ class GraftTable(
     this
   }
 
+  /** Partition spec evolution: declare a NEW default spec (fresh spec id,
+    * fresh partition field ids). Files written under older specs keep
+    * their spec id in the manifests, and pruning interprets every file's
+    * partition tuple against its own spec — old-spec files are never
+    * mis-pruned, new writes cluster by the new spec. */
+  def updatePartitionSpec(fields: List[IcePartitionField]): GraftTable = {
+    val base = metadata
+    val schema = base.currentSchema
+    fields.foreach(pf => require(schema.fieldById(pf.sourceId).isDefined,
+      s"partition source field ${pf.sourceId} not in schema"))
+    val newSpecId = (0 :: base.partitionSpecs.map(_.specId)).max + 1
+    val assigned = fields.zipWithIndex.map { case (pf, i) =>
+      pf.copy(fieldId = base.lastPartitionId + 1 + i)
+    }
+    val newMeta = base.copy(
+      partitionSpecs = base.partitionSpecs :+ IcePartitionSpec(newSpecId, assigned),
+      defaultSpecId = newSpecId,
+      lastPartitionId = base.lastPartitionId + assigned.size,
+      lastUpdatedMs = System.currentTimeMillis())
+    val newVersion = committer(newMeta, version)
+    metadata = newMeta
+    version = newVersion
+    this
+  }
+
+  /** Declare a table sort order (the reference's SortOrder metadata,
+    * icelake/src/types/in_memory.rs:1060-1152): writes sort within files
+    * by it and stamp the order id on their DataFiles. Each entry is
+    * (column, direction asc|desc, nullOrder nulls-first|nulls-last). */
+  def setSortOrder(fields: Seq[(String, String, String)]): GraftTable = {
+    val base = metadata
+    val schema = base.currentSchema
+    val sortFields = fields.toList.map { case (name, dir, nulls) =>
+      val f = schema.findField(name).getOrElse(sys.error(s"no column $name"))
+      require(dir == "asc" || dir == "desc", s"direction must be asc|desc: $dir")
+      require(nulls == "nulls-first" || nulls == "nulls-last", s"bad null order: $nulls")
+      IceSortField(f.id, "identity", dir, nulls)
+    }
+    val newId = (0 :: base.sortOrders.map(_.orderId)).max + 1
+    val newMeta = base.copy(
+      sortOrders = base.sortOrders :+ IceSortOrder(newId, sortFields),
+      defaultSortOrderId = newId,
+      lastUpdatedMs = System.currentTimeMillis())
+    val newVersion = committer(newMeta, version)
+    metadata = newMeta
+    version = newVersion
+    this
+  }
+
   /** set/replace table properties (metadata-only commit) */
   def setProperties(props: Map[String, String]): GraftTable = {
     val base = metadata
@@ -673,14 +722,17 @@ class GraftTable(
     val spec = base.defaultSpec
     val mdir = StorageCatalog.metadataDir(location)
 
+    val fv = base.formatVersion
     var listEntries = List.empty[IceManifestListEntry]
     if (addedData.nonEmpty) {
       val entries = addedData.map(f => IceManifestEntry(
         ManifestStatus.Added, Some(snapshotId), Some(seq), Some(seq), f))
       listEntries :+= ManifestIO.writeManifest(
-        conf, s"$mdir/${UUID.randomUUID()}-m0.avro", entries, spec, schema, content = 0)
+        conf, s"$mdir/${UUID.randomUUID()}-m0.avro", entries, spec, schema,
+        content = 0, formatVersion = fv)
     }
     if (addedDeletes.nonEmpty) {
+      require(fv >= 2, "delete files require format version 2")
       val entries = addedDeletes.map(f => IceManifestEntry(
         ManifestStatus.Added, Some(snapshotId), Some(seq), Some(seq), f))
       listEntries :+= ManifestIO.writeManifest(
@@ -705,7 +757,8 @@ class GraftTable(
 
     val listPath = s"$mdir/snap-$snapshotId-$seq-${UUID.randomUUID()}.avro"
     ManifestIO.writeManifestList(
-      conf, listPath, allEntries, snapshotId, base.currentSnapshotId, seq)
+      conf, listPath, allEntries, snapshotId, base.currentSnapshotId, seq,
+      formatVersion = fv)
 
     val prevSummary = base.currentSnapshot.map(_.summary).getOrElse(Map.empty)
     def prevTotal(key: String): Long = prevSummary.get(key).map(_.toLong).getOrElse(0L)

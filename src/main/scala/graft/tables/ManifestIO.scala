@@ -73,15 +73,32 @@ object ManifestIO {
     rec
   }
 
-  private def dataFileSchema(spec: IcePartitionSpec, schema: IceSchema): Schema = {
+  /** data_file record schema; format version 1 has no `content` or
+    * `equality_ids` and requires `block_size_in_bytes` (spec evolution
+    * rules — v2 removed/added exactly these) */
+  private def dataFileSchema(
+      spec: IcePartitionSpec, schema: IceSchema, formatVersion: Int = 2): Schema = {
     val rec = Schema.createRecord("r2", null, null, false)
-    rec.setFields(List(
-      field("content", 134, Schema.create(Schema.Type.INT), opt = false),
+    val v2Head =
+      if (formatVersion >= 2)
+        List(field("content", 134, Schema.create(Schema.Type.INT), opt = false))
+      else Nil
+    val v1Block =
+      if (formatVersion == 1)
+        List(field("block_size_in_bytes", 105, Schema.create(Schema.Type.LONG), opt = false))
+      else Nil
+    val v2Tail =
+      if (formatVersion >= 2)
+        List(field("equality_ids", 135,
+          Schema.createArray(Schema.create(Schema.Type.INT)), opt = true))
+      else Nil
+    rec.setFields((v2Head ++ List(
       field("file_path", 100, Schema.create(Schema.Type.STRING), opt = false),
       field("file_format", 101, Schema.create(Schema.Type.STRING), opt = false),
       field("partition", 102, partitionStructSchema(spec, schema), opt = false),
       field("record_count", 103, Schema.create(Schema.Type.LONG), opt = false),
-      field("file_size_in_bytes", 104, Schema.create(Schema.Type.LONG), opt = false),
+      field("file_size_in_bytes", 104, Schema.create(Schema.Type.LONG), opt = false)) ++
+      v1Block ++ List(
       field("column_sizes", 108, longMapSchema("column_sizes", 117, 118), opt = true),
       field("value_counts", 109, longMapSchema("value_counts", 119, 120), opt = true),
       field("null_value_counts", 110, longMapSchema("null_value_counts", 121, 122), opt = true),
@@ -89,20 +106,28 @@ object ManifestIO {
       field("distinct_counts", 111, longMapSchema("distinct_counts", 123, 124), opt = true),
       field("lower_bounds", 125, bytesMapSchema(126, 127), opt = true),
       field("upper_bounds", 128, bytesMapSchema(129, 130), opt = true),
-      field("split_offsets", 132, Schema.createArray(Schema.create(Schema.Type.LONG)), opt = true),
-      field("equality_ids", 135, Schema.createArray(Schema.create(Schema.Type.INT)), opt = true),
-      field("sort_order_id", 140, Schema.create(Schema.Type.INT), opt = true)).asJava)
+      field("split_offsets", 132,
+        Schema.createArray(Schema.create(Schema.Type.LONG)), opt = true)) ++
+      v2Tail ++ List(
+      field("sort_order_id", 140, Schema.create(Schema.Type.INT), opt = true))).asJava)
     rec
   }
 
-  private def manifestEntrySchema(spec: IcePartitionSpec, schema: IceSchema): Schema = {
+  /** manifest_entry schema; v1 has no inherited sequence numbers */
+  private def manifestEntrySchema(
+      spec: IcePartitionSpec, schema: IceSchema, formatVersion: Int = 2): Schema = {
     val rec = Schema.createRecord("manifest_entry", null, null, false)
-    rec.setFields(List(
+    val seqFields =
+      if (formatVersion >= 2)
+        List(
+          field("sequence_number", 3, Schema.create(Schema.Type.LONG), opt = true),
+          field("file_sequence_number", 4, Schema.create(Schema.Type.LONG), opt = true))
+      else Nil
+    rec.setFields((List(
       field("status", 0, Schema.create(Schema.Type.INT), opt = false),
-      field("snapshot_id", 1, Schema.create(Schema.Type.LONG), opt = true),
-      field("sequence_number", 3, Schema.create(Schema.Type.LONG), opt = true),
-      field("file_sequence_number", 4, Schema.create(Schema.Type.LONG), opt = true),
-      field("data_file", 2, dataFileSchema(spec, schema), opt = false)).asJava)
+      field("snapshot_id", 1, Schema.create(Schema.Type.LONG), opt = true)) ++
+      seqFields :+
+      field("data_file", 2, dataFileSchema(spec, schema, formatVersion), opt = false)).asJava)
     rec
   }
 
@@ -115,15 +140,20 @@ object ManifestIO {
     rec
   }
 
-  private val manifestListSchema: Schema = {
+  private def manifestListSchema(formatVersion: Int = 2): Schema = {
     val rec = Schema.createRecord("manifest_file", null, null, false)
-    rec.setFields(List(
+    val v2Fields =
+      if (formatVersion >= 2)
+        List(
+          field("content", 517, Schema.create(Schema.Type.INT), opt = false),
+          field("sequence_number", 515, Schema.create(Schema.Type.LONG), opt = false),
+          field("min_sequence_number", 516, Schema.create(Schema.Type.LONG), opt = false))
+      else Nil
+    rec.setFields((List(
       field("manifest_path", 500, Schema.create(Schema.Type.STRING), opt = false),
       field("manifest_length", 501, Schema.create(Schema.Type.LONG), opt = false),
-      field("partition_spec_id", 502, Schema.create(Schema.Type.INT), opt = false),
-      field("content", 517, Schema.create(Schema.Type.INT), opt = false),
-      field("sequence_number", 515, Schema.create(Schema.Type.LONG), opt = false),
-      field("min_sequence_number", 516, Schema.create(Schema.Type.LONG), opt = false),
+      field("partition_spec_id", 502, Schema.create(Schema.Type.INT), opt = false)) ++
+      v2Fields ++ List(
       field("added_snapshot_id", 503, Schema.create(Schema.Type.LONG), opt = false),
       field("added_files_count", 504, Schema.create(Schema.Type.INT), opt = false),
       field("existing_files_count", 505, Schema.create(Schema.Type.INT), opt = false),
@@ -131,7 +161,7 @@ object ManifestIO {
       field("added_rows_count", 512, Schema.create(Schema.Type.LONG), opt = false),
       field("existing_rows_count", 513, Schema.create(Schema.Type.LONG), opt = false),
       field("deleted_rows_count", 514, Schema.create(Schema.Type.LONG), opt = false),
-      field("partitions", 507, Schema.createArray(fieldSummarySchema), opt = true)).asJava)
+      field("partitions", 507, Schema.createArray(fieldSummarySchema), opt = true))).asJava)
     rec
   }
 
@@ -369,11 +399,12 @@ object ManifestIO {
       entries: List[IceManifestEntry],
       spec: IcePartitionSpec,
       schema: IceSchema,
-      content: Int): IceManifestListEntry = {
-    val entrySchema = manifestEntrySchema(spec, schema)
+      content: Int,
+      formatVersion: Int = 2): IceManifestListEntry = {
+    val entrySchema = manifestEntrySchema(spec, schema, formatVersion)
     val out = new ByteArrayOutputStream()
     val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](entrySchema))
-    writer.setMeta("format-version", "2")
+    writer.setMeta("format-version", formatVersion.toString)
     writer.setMeta("content", if (content == 0) "data" else "deletes")
     writer.setMeta("schema",
       org.json4s.jackson.JsonMethods.compact(
@@ -396,11 +427,14 @@ object ManifestIO {
       val rec = new GenericData.Record(entrySchema)
       rec.put("status", e.status: Integer)
       e.snapshotId.foreach(v => rec.put("snapshot_id", v: java.lang.Long))
-      e.dataSequenceNumber.foreach(v => rec.put("sequence_number", v: java.lang.Long))
-      e.fileSequenceNumber.foreach(v => rec.put("file_sequence_number", v: java.lang.Long))
+      if (formatVersion >= 2) {
+        e.dataSequenceNumber.foreach(v => rec.put("sequence_number", v: java.lang.Long))
+        e.fileSequenceNumber.foreach(v => rec.put("file_sequence_number", v: java.lang.Long))
+      }
       val df = new GenericData.Record(dfSchema)
       val d = e.dataFile
-      df.put("content", d.content: Integer)
+      if (formatVersion >= 2) df.put("content", d.content: Integer)
+      else df.put("block_size_in_bytes", 67108864L: java.lang.Long)
       df.put("file_path", d.filePath)
       df.put("file_format", d.fileFormat.toUpperCase)
       val part = new GenericData.Record(partSchema)
@@ -436,7 +470,7 @@ object ManifestIO {
           unwrapNullable(dfSchema.getField("upper_bounds").schema()), d.upperBounds))
       if (d.splitOffsets.nonEmpty)
         df.put("split_offsets", d.splitOffsets.map(java.lang.Long.valueOf).asJava)
-      if (d.equalityIds.nonEmpty)
+      if (formatVersion >= 2 && d.equalityIds.nonEmpty)
         df.put("equality_ids", d.equalityIds.map(Integer.valueOf).asJava)
       d.sortOrderId.foreach(v => df.put("sort_order_id", v: Integer))
       rec.put("data_file", df)
@@ -488,23 +522,27 @@ object ManifestIO {
       entries: List[IceManifestListEntry],
       snapshotId: Long,
       parentSnapshotId: Option[Long],
-      sequenceNumber: Long): Unit = {
+      sequenceNumber: Long,
+      formatVersion: Int = 2): Unit = {
+    val listSchema = manifestListSchema(formatVersion)
     val out = new ByteArrayOutputStream()
     val writer = new DataFileWriter[GenericRecord](
-      new GenericDatumWriter[GenericRecord](manifestListSchema))
+      new GenericDatumWriter[GenericRecord](listSchema))
     writer.setMeta("snapshot-id", snapshotId.toString)
     writer.setMeta("sequence-number", sequenceNumber.toString)
     parentSnapshotId.foreach(p => writer.setMeta("parent-snapshot-id", p.toString))
-    writer.setMeta("format-version", "2")
-    writer.create(manifestListSchema, out)
+    writer.setMeta("format-version", formatVersion.toString)
+    writer.create(listSchema, out)
     entries.foreach { e =>
-      val rec = new GenericData.Record(manifestListSchema)
+      val rec = new GenericData.Record(listSchema)
       rec.put("manifest_path", e.manifestPath)
       rec.put("manifest_length", e.manifestLength: java.lang.Long)
       rec.put("partition_spec_id", e.partitionSpecId: Integer)
-      rec.put("content", e.content: Integer)
-      rec.put("sequence_number", e.sequenceNumber: java.lang.Long)
-      rec.put("min_sequence_number", e.minSequenceNumber: java.lang.Long)
+      if (formatVersion >= 2) {
+        rec.put("content", e.content: Integer)
+        rec.put("sequence_number", e.sequenceNumber: java.lang.Long)
+        rec.put("min_sequence_number", e.minSequenceNumber: java.lang.Long)
+      }
       rec.put("added_snapshot_id", e.addedSnapshotId: java.lang.Long)
       rec.put("added_files_count", e.addedFilesCount: Integer)
       rec.put("existing_files_count", e.existingFilesCount: Integer)
@@ -513,7 +551,7 @@ object ManifestIO {
       rec.put("existing_rows_count", e.existingRowsCount: java.lang.Long)
       rec.put("deleted_rows_count", e.deletedRowsCount: java.lang.Long)
       if (e.partitions.nonEmpty) {
-        val arrSchema = unwrapNullable(manifestListSchema.getField("partitions").schema())
+        val arrSchema = unwrapNullable(listSchema.getField("partitions").schema())
         val arr = new GenericData.Array[GenericRecord](e.partitions.size, arrSchema)
         e.partitions.foreach { fsum =>
           val fr = new GenericData.Record(arrSchema.getElementType)

@@ -251,7 +251,7 @@ object MetadataJson {
 
   def serialize(m: TableMetadata): Array[Byte] = {
     val j = JObject(
-      "format-version" -> JInt(2),
+      "format-version" -> JInt(m.formatVersion),
       "table-uuid" -> JString(m.tableUuid),
       "location" -> JString(m.location),
       "last-sequence-number" -> JLong(m.lastSequenceNumber),

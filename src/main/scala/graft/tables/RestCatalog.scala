@@ -109,6 +109,42 @@ object RestCatalog {
       })
     }
 
+    // ----- namespace CRUD + rename (the reference's full Catalog trait,
+    // icelake/src/catalog/mod.rs:44-138) -----
+
+    def listNamespaces(): Seq[String] = {
+      val (code, body) = get("/v1/namespaces")
+      if (code != 200) return Nil
+      (JsonMethods.parse(body) \ "namespaces").children.flatMap {
+        case JArray(parts) => Some(parts.collect { case JString(s) => s }.mkString("."))
+        case JString(s) => Some(s)
+        case _ => None
+      }
+    }
+
+    def createNamespace(ns: String): Unit = {
+      val (code, body) = post("/v1/namespaces", s"""{"namespace": [${quote(ns)}]}""")
+      require(code == 200 || code == 409, s"create namespace failed: $code $body")
+    }
+
+    def namespaceExists(ns: String): Boolean = get(s"/v1/namespaces/$ns")._1 == 200
+
+    def dropNamespace(ns: String): Unit = {
+      val req = HttpRequest.newBuilder(URI.create(s"$baseUri/v1/namespaces/$ns"))
+        .DELETE().build()
+      http.send(req, HttpResponse.BodyHandlers.ofString())
+      ()
+    }
+
+    /** rename within the catalog (metadata pointer move; data untouched) */
+    def renameTable(ns: String, name: String, toNs: String, toName: String): Unit = {
+      val body =
+        s"""{"source": {"namespace": [${quote(ns)}], "name": ${quote(name)}},
+           | "destination": {"namespace": [${quote(toNs)}], "name": ${quote(toName)}}}""".stripMargin
+      val (code, respBody) = post("/v1/tables/rename", body)
+      require(code == 200, s"rename failed: $code $respBody")
+    }
+
     /** route the table's commits/reloads through this catalog */
     private def wire(ns: String, name: String, t: GraftTable): GraftTable = {
       t.committer = (m, v) => commitTable(ns, name, v, m)
@@ -126,6 +162,7 @@ object RestCatalog {
   class Server(port: Int = 0) {
     private case class Entry(version: Int, metadataJson: String)
     private val tables = new ConcurrentHashMap[String, Entry]()
+    private val namespaces = ConcurrentHashMap.newKeySet[String]()
     private val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
 
     def start(): String = {
@@ -150,9 +187,53 @@ object RestCatalog {
       val method = ex.getRequestMethod
       val TablesRe = "/v1/namespaces/([^/]+)/tables".r
       val TableRe = "/v1/namespaces/([^/]+)/tables/([^/]+)".r
+      val NamespaceRe = "/v1/namespaces/([^/]+)".r
       (method, path) match {
         case ("GET", "/v1/config") =>
           respond(ex, 200, """{"defaults": {}, "overrides": {}}""")
+        case ("GET", "/v1/namespaces") =>
+          import scala.jdk.CollectionConverters._
+          val names = namespaces.asScala.toSeq.sorted.map(n => s"""["${n}"]""")
+          respond(ex, 200, s"""{"namespaces": [${names.mkString(",")}]}""")
+        case ("POST", "/v1/namespaces") =>
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          (JsonMethods.parse(body) \ "namespace") match {
+            case JArray(parts) =>
+              val ns = parts.collect { case JString(s) => s }.mkString(".")
+              if (namespaces.add(ns)) respond(ex, 200, s"""{"namespace": ["$ns"]}""")
+              else respond(ex, 409, """{"error": "namespace exists"}""")
+            case _ => respond(ex, 400, """{"error": "missing namespace"}""")
+          }
+        case ("GET", NamespaceRe(ns)) =>
+          if (namespaces.contains(ns))
+            respond(ex, 200, s"""{"namespace": ["$ns"], "properties": {}}""")
+          else respond(ex, 404, """{"error": "no such namespace"}""")
+        case ("DELETE", NamespaceRe(ns)) =>
+          import scala.jdk.CollectionConverters._
+          if (tables.keys.asScala.exists(_.startsWith(s"$ns.")))
+            respond(ex, 409, """{"error": "namespace not empty"}""")
+          else { namespaces.remove(ns); respond(ex, 200, "{}") }
+        case ("POST", "/v1/tables/rename") =>
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val j = JsonMethods.parse(body)
+          def ident(sel: JValue): Option[String] = for {
+            ns <- (sel \ "namespace") match {
+              case JArray(parts) => Some(parts.collect { case JString(s) => s }.mkString("."))
+              case _ => None
+            }
+            n <- (sel \ "name") match { case JString(s) => Some(s); case _ => None }
+          } yield s"$ns.$n"
+          (ident(j \ "source"), ident(j \ "destination")) match {
+            case (Some(src), Some(dst)) =>
+              Option(tables.get(src)) match {
+                case None => respond(ex, 404, """{"error": "no such table"}""")
+                case Some(e) =>
+                  if (tables.putIfAbsent(dst, e) != null)
+                    respond(ex, 409, """{"error": "destination exists"}""")
+                  else { tables.remove(src); respond(ex, 200, "{}") }
+              }
+            case _ => respond(ex, 400, """{"error": "bad rename request"}""")
+          }
         case ("GET", TableRe(ns, name)) =>
           Option(tables.get(s"$ns.$name")) match {
             case None => respond(ex, 404, """{"error": "no such table"}""")

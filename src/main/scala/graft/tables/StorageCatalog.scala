@@ -87,10 +87,12 @@ object StorageCatalog {
       location: String,
       schema: IceSchema,
       spec: IcePartitionSpec,
-      properties: Map[String, String] = Map.empty): GraftTable = {
+      properties: Map[String, String] = Map.empty,
+      formatVersion: Int = 2): GraftTable = {
     require(!tableExists(conf, location), s"table already exists at $location")
+    require(formatVersion == 1 || formatVersion == 2, s"bad format version $formatVersion")
     val meta = TableMetadata(
-      formatVersion = 2,
+      formatVersion = formatVersion,
       tableUuid = UUID.randomUUID().toString,
       location = location,
       lastSequenceNumber = 0L,
@@ -119,11 +121,12 @@ object StorageCatalog {
       location: String,
       schema: IceSchema,
       spec: IcePartitionSpec,
-      properties: Map[String, String] = Map.empty): GraftTable = {
+      properties: Map[String, String] = Map.empty,
+      formatVersion: Int = 2): GraftTable = {
     val p = new Path(location)
     val fs = p.getFileSystem(conf)
     if (fs.exists(p)) fs.delete(p, true)
-    createTable(conf, location, schema, spec, properties)
+    createTable(conf, location, schema, spec, properties, formatVersion)
   }
 
   /** Atomic single-version commit, scheme-aware:

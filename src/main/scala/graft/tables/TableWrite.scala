@@ -323,13 +323,34 @@ object TableWrite {
         // explicit max-records property
         math.max(1000L, bytes.toLong / 64L)
       })
-    // declarative sort order applied within output files
-    val sortCols = props.get("write.sort-order").toSeq
-      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    // declarative sort order applied within output files: the table's
+    // DEFAULT SortOrder metadata wins (direction + null order honored and
+    // the order id stamped on each DataFile); the write.sort-order
+    // property is the untyped fallback (no declared id to stamp)
+    val declaredOrder = table.metadata.sortOrders
+      .find(o => o.orderId == table.metadata.defaultSortOrderId && o.fields.nonEmpty)
+    val sortExprs: Seq[Column] = declaredOrder match {
+      case Some(o) =>
+        o.fields.flatMap { sf =>
+          schema.fieldById(sf.sourceId).map { f =>
+            val c = col(f.name)
+            (sf.direction, sf.nullOrder) match {
+              case ("desc", "nulls-last") => c.desc_nulls_last
+              case ("desc", _) => c.desc_nulls_first
+              case (_, "nulls-last") => c.asc_nulls_last
+              case _ => c.asc_nulls_first
+            }
+          }
+        }
+      case None =>
+        props.get("write.sort-order").toSeq
+          .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)).map(col)
+    }
+    val stampOrderId: Option[Int] = declaredOrder.map(_.orderId)
 
     def configured(df: DataFrame): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
       val sorted =
-        if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(col): _*) else df
+        if (sortExprs.nonEmpty) df.sortWithinPartitions(sortExprs: _*) else df
       var w = sorted.write.mode("errorifexists")
       maxRecords.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
       // parquet writer knobs (the reference's ParquetWriterConfig,
@@ -363,7 +384,7 @@ object TableWrite {
       val paths = listParquet(table.conf, outDir)
       val ext = extOf(paths)
       harvest(spark, paths, infos)
-        .map(statsToDataFile(_, Nil, DataContent.Data, Nil))
+        .map(statsToDataFile(_, Nil, DataContent.Data, Nil, stampOrderId))
         .map(enrich(_, ext)).toList
     } else {
       val pcols = spec.fields.map(pf => s"_p_${pf.name}")
@@ -389,7 +410,7 @@ object TableWrite {
           dirs.find(_.startsWith(s"_p_${pf.name}="))
             .flatMap(d => parsePartitionValue(rt, d.substring(d.indexOf('=') + 1)))
         }
-        enrich(statsToDataFile(st, values, DataContent.Data, Nil), ext)
+        enrich(statsToDataFile(st, values, DataContent.Data, Nil, stampOrderId), ext)
       }.toList
     }
   }
@@ -468,7 +489,8 @@ object TableWrite {
       st: FileStats,
       partition: Seq[Option[Any]],
       content: Int,
-      equalityIds: Seq[Int]): IceDataFile =
+      equalityIds: Seq[Int],
+      sortOrderId: Option[Int] = None): IceDataFile =
     IceDataFile(
       content = content,
       filePath = st.path,
@@ -483,5 +505,5 @@ object TableWrite {
       upperBounds = st.upperBounds,
       splitOffsets = st.splitOffsets,
       equalityIds = equalityIds,
-      sortOrderId = None)
+      sortOrderId = sortOrderId)
 }

@@ -175,6 +175,113 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(reloaded.metadata.refs.contains("v1.0"))
   }
 
+  test("format-version-1 tables: manifests written in v1 schema, read back fine") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val loc = tmpLocation("v1fmt")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil),
+      formatVersion = 1)
+    t.append(spark, src)
+    t.append(spark, src.limit(2))
+    val back = t.scan(spark)
+    assert(back.count() === src.count() + 2)
+    // v1 rejects delete files (MoR is a v2 feature)
+    intercept[IllegalArgumentException] {
+      t.equalityDelete(spark, src.limit(1).select($"r_regionkey"), Seq("r_regionkey"))
+    }
+    // fresh load parses the v1 manifests + list
+    val reloaded = StorageCatalog.loadTable(conf, loc)
+    assert(reloaded.metadata.formatVersion === 1)
+    assert(reloaded.planFiles(reloaded.metadata.currentSnapshot.get).size ===
+      t.planFiles(t.metadata.currentSnapshot.get).size)
+  }
+
+  test("declared sort order: files sorted desc and stamped with the order id") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val loc = tmpLocation("sortord")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.setSortOrder(Seq(("o_totalprice", "desc", "nulls-last")))
+    t.append(spark, src)
+    val files = t.planFiles(t.metadata.currentSnapshot.get)
+    val orderId = t.metadata.defaultSortOrderId
+    assert(orderId > 0)
+    assert(files.forall(_.file.sortOrderId === Some(orderId)))
+    // within each file, o_totalprice is non-increasing
+    files.foreach { p =>
+      val prices = spark.read.parquet(p.file.filePath)
+        .select($"o_totalprice").collect().map(_.getDouble(0))
+      assert(prices.zip(prices.drop(1)).forall { case (a, b) => a >= b })
+    }
+    // survives metadata round-trip
+    val reloaded = StorageCatalog.loadTable(conf, loc)
+    assert(reloaded.metadata.sortOrders.exists(o =>
+      o.orderId == orderId && o.fields.head.direction == "desc"))
+  }
+
+  test("partition spec evolution: old files keep their spec, new writes use the new one") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val loc = tmpLocation("specevo")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src.filter($"o_orderkey" % 2 === 0))
+    val statusId = t.metadata.currentSchema.findField("o_orderstatus").get.id
+    t.updatePartitionSpec(List(IcePartitionField(statusId, 0, "identity", "status")))
+    t.append(spark, src.filter($"o_orderkey" % 2 =!= 0))
+    assert(t.metadata.partitionSpecs.size === 2)
+    val planned = t.planFiles(t.metadata.currentSnapshot.get)
+    assert(planned.exists(_.specId === 0) && planned.exists(_.specId === 1))
+    // filtered scan: new-spec files prune by partition, old-spec files
+    // (unpartitioned tuple) are conservatively kept — results exact
+    val got = t.scan(spark, filter = Some($"o_orderstatus" === "F"))
+    val exp = src.filter($"o_orderstatus" === "F")
+    assert(got.count() === exp.count())
+    assert(got.exceptAll(exp).isEmpty)
+    // pruning dropped at least the new-spec files of other partitions
+    val newSpecFiles = planned.filter(_.specId === 1).size
+    val scanned = t.filesForScan(Some($"o_orderstatus" === "F")).size
+    assert(scanned < planned.size)
+    assert(newSpecFiles > 1)
+  }
+
+  test("REST catalog namespaces + rename") {
+    val server = new RestCatalog.Server()
+    val uri = server.start()
+    try {
+      val client = new RestCatalog.Client(uri, conf)
+      client.createNamespace("prod")
+      client.createNamespace("dev")
+      assert(client.listNamespaces().toSet === Set("prod", "dev"))
+      assert(client.namespaceExists("prod") && !client.namespaceExists("qa"))
+
+      val src = spark.read.parquet(s"$sfDir/region.parquet")
+      val schema = SchemaConvert.fromSparkSchema(src.schema)
+      val loc = tmpLocation("restns")
+      val meta = TableMetadata(
+        formatVersion = 2, tableUuid = java.util.UUID.randomUUID().toString,
+        location = loc, lastSequenceNumber = 0,
+        lastUpdatedMs = System.currentTimeMillis(),
+        lastColumnId = schema.maxFieldId, schemas = List(schema),
+        currentSchemaId = 0, partitionSpecs = List(IcePartitionSpec(0, Nil)),
+        defaultSpecId = 0, lastPartitionId = 999, properties = Map.empty,
+        currentSnapshotId = None, snapshots = Nil, snapshotLog = Nil,
+        metadataLog = Nil, sortOrders = List(IceSortOrder(0, Nil)),
+        defaultSortOrderId = 0, refs = Map.empty)
+      client.createTable("prod", "region", meta).append(spark, src)
+      // non-empty namespace refuses to drop
+      client.dropNamespace("prod")
+      assert(client.namespaceExists("prod"))
+      // rename moves the catalog pointer; data reads back identically
+      client.renameTable("prod", "region", "dev", "region_renamed")
+      assert(client.listTables("prod").isEmpty)
+      assert(client.listTables("dev") === Seq("region_renamed"))
+      assert(client.loadTable("dev", "region_renamed").scan(spark).count() === src.count())
+      // empty namespace drops
+      client.dropNamespace("prod")
+      assert(!client.namespaceExists("prod"))
+    } finally server.stop()
+  }
+
   test("write.sort-order and max-records-per-file properties") {
     val src = spark.read.parquet(s"$sfDir/orders.parquet")
     val loc = tmpLocation("sorted")
