@@ -33,7 +33,8 @@ import graft.tables._
   * into the append/overwrite commit paths. (A fully native Batch/
   * PartitionReader read path is the documented round-2 step; the bridge
   * keeps one execution path for correctness.) */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: String = _
@@ -156,6 +157,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(fs.rename(src, dst), s"rename $src -> $dst failed")
   }
 
+  // ----- functions (partition transforms, resolvable in write plans) -----
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    GraftFunctions.names.map(n => Identifier.of(namespace, n)).toArray
+
+  override def loadFunction(ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (GraftFunctions.names.contains(ident.name())) GraftFunctions.unbound(ident.name())
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  override def functionExists(ident: Identifier): Boolean =
+    GraftFunctions.names.contains(ident.name())
+
   // ----- namespaces -----
 
   override def listNamespaces(): Array[Array[String]] = {
@@ -239,14 +252,11 @@ class GraftV2Table(
     table.metadata.properties.asJava
 
   override def capabilities(): util.Set[TableCapability] =
-    // note: no OVERWRITE_DYNAMIC — Spark's capability check requires a
-    // native BATCH_WRITE for dynamic overwrite (no V1 fallback exec
-    // exists); dynamic partition overwrite is exposed through
-    // [[GraftTable.overwriteDynamic]] until the native write path lands
     Set(
       TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE,
+      TableCapability.BATCH_WRITE,
       TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -317,8 +327,9 @@ class GraftScanBuilder(
             deletes.filter(_.file.content == DataContent.EqualityDeletes),
             pruneFilter, table.metadata, iceSchema)
           val deleteBytes = (posD ++ eqD).map(_.file.fileSizeInBytes).sum
-          if (deleteBytes <= GraftTable.DeleteBroadcastMaxBytes)
-            new GraftMorScan(table, iceSchema, data, posD, eqD, fullSchema, requiredSchema)
+          if (deleteBytes <= GraftTable.deleteBroadcastMaxBytes(SparkSession.active))
+            new GraftMorScan(table, iceSchema, data, posD, eqD, fullSchema, requiredSchema,
+              pushedFiltersArr)
           else
             new GraftV1Scan(table, snapshotId, asOfTimestampMs, requiredSchema, pushedFiltersArr)
         }
@@ -355,7 +366,7 @@ class GraftNativeBatchScan(
     s"GraftNativeBatchScan(${table.location}, ${files.size} files after pruning)"
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-    Array(new GraftSumMetric("graftDataFiles", "data files scanned after pruning"))
+    Array(new DataFilesMetric)
 
   override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(GraftTaskMetric("graftDataFiles", files.size.toLong))
@@ -470,18 +481,6 @@ class GraftWriteBuilder(table: GraftTable)
 
   override def overwriteDynamicPartitions(): WriteBuilder = { dynamic = true; this }
 
-  override def build(): Write = new V1Write {
-    override def toInsertableRelation: InsertableRelation =
-      (data: DataFrame, overwrite: Boolean) => {
-        val spark = data.sparkSession
-        if (dynamic) table.overwriteDynamic(spark, data)
-        else overwriteCond match {
-          case Some(cond) => table.overwriteWhere(spark, cond, data)
-          case None =>
-            if (overwrite || overwriteAll) table.overwrite(spark, data)
-            else table.append(spark, data)
-        }
-        ()
-      }
-  }
+  override def build(): Write =
+    new GraftWrite(table, overwriteAll, overwriteCond, dynamic)
 }

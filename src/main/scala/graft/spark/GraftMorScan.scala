@@ -14,12 +14,23 @@ import graft.tables._
 
 /** DSv2 custom metrics (the truthful per-query replacement for the
   * reference's prometheus decorator layers, icelake/src/metrics.rs):
-  * surfaced in the Spark UI / listener bus per scan. */
-class GraftSumMetric(metricName: String, desc: String)
+  * surfaced in the Spark UI / listener bus per scan or write. Spark
+  * re-instantiates CustomMetric classes reflectively, so each needs a
+  * concrete no-arg class. */
+abstract class GraftSumMetric(metricName: String, desc: String)
     extends org.apache.spark.sql.connector.metric.CustomSumMetric {
   override def name(): String = metricName
   override def description(): String = desc
 }
+
+class DataFilesMetric extends GraftSumMetric("graftDataFiles", "data files scanned")
+class PosDeleteFilesMetric
+    extends GraftSumMetric("graftPosDeleteFiles", "position delete files applied")
+class EqDeleteFilesMetric
+    extends GraftSumMetric("graftEqDeleteFiles", "equality delete files applied")
+class RowsDeletedMetric
+    extends GraftSumMetric("graftRowsDeleted", "rows removed by MoR deletes")
+class RowsWrittenMetric extends GraftSumMetric("graftRowsWritten", "rows written")
 
 case class GraftTaskMetric(metricName: String, v: Long)
     extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
@@ -51,7 +62,8 @@ class GraftMorScan(
     posDeletes: Seq[PlannedFile],
     eqDeletes: Seq[PlannedFile],
     dataSchema: StructType,
-    requiredSchema: StructType)
+    requiredSchema: StructType,
+    pushedFilters: Array[Filter] = Array.empty)
     extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
@@ -133,15 +145,22 @@ class GraftMorScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val inner = org.apache.spark.sql.GraftBridge.parquetReaderFactory(
+    // two inner factories: filters may push into parquet (row-group/page
+    // skipping) ONLY for files without position deletes — sequential
+    // position counting is invalid once row groups can be skipped
+    val innerNoPush = org.apache.spark.sql.GraftBridge.parquetReaderFactory(
       SparkSession.active, dataSchema, innerSchema, Array.empty[Filter])
+    val innerPush =
+      if (pushedFilters.isEmpty) innerNoPush
+      else org.apache.spark.sql.GraftBridge.parquetReaderFactory(
+        SparkSession.active, dataSchema, innerSchema, pushedFilters)
     val nameToOrdinal = innerSchema.fieldNames.zipWithIndex.toMap
     val groups = eqGroups.map { case (keyNames, types, map) =>
       EqGroupState(keyNames.map(nameToOrdinal).toArray, types, map)
     }.toArray
     val outOrdinals = requiredSchema.fieldNames.map(nameToOrdinal)
     val outTypes = requiredSchema.fields.map(_.dataType)
-    new GraftMorReaderFactory(inner, groups, outOrdinals, outTypes)
+    new GraftMorReaderFactory(innerPush, innerNoPush, groups, outOrdinals, outTypes)
   }
 
   override def description(): String =
@@ -150,10 +169,8 @@ class GraftMorScan(
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(
-      new GraftSumMetric("graftDataFiles", "data files scanned"),
-      new GraftSumMetric("graftPosDeleteFiles", "position delete files applied"),
-      new GraftSumMetric("graftEqDeleteFiles", "equality delete files applied"),
-      new GraftSumMetric("graftRowsDeleted", "rows removed by MoR deletes"))
+      new DataFilesMetric, new PosDeleteFilesMetric,
+      new EqDeleteFilesMetric, new RowsDeletedMetric)
 
   override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(
@@ -175,7 +192,8 @@ case class EqGroupState(
     keys: JHashMap[UnsafeRow, java.lang.Long])
 
 class GraftMorReaderFactory(
-    inner: PartitionReaderFactory,
+    innerPush: PartitionReaderFactory,
+    innerNoPush: PartitionReaderFactory,
     eqGroups: Array[EqGroupState],
     outOrdinals: Array[Int],
     outTypes: Array[DataType])
@@ -185,7 +203,9 @@ class GraftMorReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val mor = partition.asInstanceOf[GraftMorInputPartition]
-    val reader = inner.createReader(mor.filePartition)
+    val reader =
+      (if (mor.positions.isEmpty) innerPush else innerNoPush)
+        .createReader(mor.filePartition)
     new PartitionReader[InternalRow] {
       private val outProj = UnsafeProjection.create(
         outOrdinals.zip(outTypes).map { case (ord, t) =>

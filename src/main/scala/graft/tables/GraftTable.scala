@@ -269,7 +269,8 @@ class GraftTable(
   /** broadcast the delete side only when its on-disk footprint is small —
     * the sizes are already in hand from the manifests at plan time */
   private def maybeBroadcast(df: DataFrame, files: Seq[PlannedFile]): DataFrame =
-    if (files.map(_.file.fileSizeInBytes).sum <= GraftTable.DeleteBroadcastMaxBytes)
+    if (files.map(_.file.fileSizeInBytes).sum <=
+      GraftTable.deleteBroadcastMaxBytes(df.sparkSession))
       broadcast(df)
     else df
 
@@ -354,7 +355,7 @@ class GraftTable(
     commit(spark, "delete", addedData = Nil, addedDeletes = files, replace = false)
   }
 
-  private def writePositionDeleteFiles(
+  private[graft] def writePositionDeleteFiles(
       spark: SparkSession, posDf: DataFrame): List[IceDataFile] = {
     val normalized = posDf
       .select(col("file_path").cast(StringType), col("pos").cast(LongType))
@@ -822,8 +823,13 @@ object GraftTable {
 
   /** delete sides at or below this on-disk size broadcast; larger ones go
     * through AQE-planned shuffle joins (an unconditional broadcast of a
-    * 30%-deleted 100 TB table would OOM driver and executors) */
+    * 30%-deleted 100 TB table would OOM driver and executors).
+    * Tunable per session via `spark.graft.delete-broadcast-max-bytes`. */
   val DeleteBroadcastMaxBytes: Long = 64L * 1024 * 1024
+
+  def deleteBroadcastMaxBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.delete-broadcast-max-bytes")
+      .map(_.toLong).getOrElse(DeleteBroadcastMaxBytes)
 
   /** canonical path form: Spark's `_metadata.file_path` yields `file:///x`
     * URIs while manifests store `/x` paths — normalize both for joins */

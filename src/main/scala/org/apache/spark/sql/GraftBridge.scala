@@ -70,6 +70,45 @@ object GraftBridge {
   def collectInternal(df: DataFrame): Array[org.apache.spark.sql.catalyst.InternalRow] =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.executedPlan.executeCollect()
 
+  // ---- native DSv2 write path: executor-side parquet row writer ----
+
+  /** Hadoop conf pre-configured for Spark's InternalRow parquet
+    * WriteSupport over `schema` — delegates to ParquetFileFormat's own
+    * prepareWrite so every session key the write support expects is set,
+    * then pins the graft invariants (field ids, micros timestamps) —
+    * build once on the driver, ship serialized. */
+  def parquetWriterConf(
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      compression: String): org.apache.hadoop.conf.Configuration = {
+    import org.apache.spark.sql.execution.datasources.parquet.{ParquetFileFormat, ParquetWriteSupport}
+    import org.apache.spark.sql.internal.SQLConf
+    val classicSpark = spark.asInstanceOf[classic.SparkSession]
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      classicSpark.sessionState.newHadoopConf())
+    new ParquetFileFormat().prepareWrite(
+      classicSpark, job, Map("compression" -> compression), schema)
+    val conf = job.getConfiguration
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "true")
+    ParquetWriteSupport.setSchema(schema, conf)
+    conf
+  }
+
+  /** open one parquet file for InternalRows at `path` (executor side) */
+  def openRowWriter(
+      conf: org.apache.hadoop.conf.Configuration,
+      path: String,
+      partitionId: Int,
+      taskId: Long): org.apache.spark.sql.execution.datasources.OutputWriter = {
+    import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+    import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+    val attempt = new TaskAttemptID(
+      new TaskID(new JobID("graft", 0), TaskType.MAP, partitionId), taskId.toInt)
+    val ctx = new TaskAttemptContextImpl(conf, attempt)
+    new org.apache.spark.sql.execution.datasources.parquet.ParquetOutputWriter(path, ctx)
+  }
+
   /** Spark's vectorized parquet reader factory over a fixed schema */
   def parquetReaderFactory(
       spark: SparkSession,

@@ -79,13 +79,24 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft.db.dow")
     spark.sql("CREATE TABLE graft.db.dow (v STRING, p INT) PARTITIONED BY (p)")
     spark.sql("INSERT INTO graft.db.dow VALUES ('a', 1), ('b', 2), ('c', 3)")
-    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
-    val t = graft.tables.StorageCatalog.loadTable(
-      spark.sparkContext.hadoopConfiguration, s"$wh/db/dow")
-    t.overwriteDynamic(spark, Seq(("x", 2), ("y", 2)).toDF("v", "p"))
+    // via SQL (native BatchWrite + OVERWRITE_DYNAMIC capability)
+    val before = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql("INSERT OVERWRITE graft.db.dow VALUES ('x', 2), ('y', 2)")
+    finally before match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
     val rows = spark.sql("SELECT v, p FROM graft.db.dow ORDER BY v").collect()
       .map(r => (r.getString(0), r.getInt(1))).toSeq
     assert(rows === Seq(("a", 1), ("c", 3), ("x", 2), ("y", 2)).sortBy(_._1))
+    // and via the table API
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val t = graft.tables.StorageCatalog.loadTable(
+      spark.sparkContext.hadoopConfiguration, s"$wh/db/dow")
+    t.overwriteDynamic(spark, Seq(("z", 3)).toDF("v", "p"))
+    assert(spark.sql("SELECT v FROM graft.db.dow ORDER BY v").collect()
+      .map(_.getString(0)).toSeq === Seq("a", "x", "y", "z"))
   }
 
   test("VERSION AS OF time travel via SQL") {
@@ -113,6 +124,34 @@ class CatalogSpec extends AnyFunSuite {
     val t = graft.tables.StorageCatalog.loadTable(conf, s"$wh/db/mor")
     t.equalityDelete(spark, Seq(1L, 2L, 3L).toDF("k"), Seq("k"))
     assert(spark.sql("SELECT COUNT(*) FROM graft.db.mor").head().getLong(0) === 97)
+  }
+
+  test("native MoR SQL scan: pos+eq deletes, filters, plan shape; large deletes fall back") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.mor2")
+    spark.sql("CREATE TABLE graft.db.mor2 (k BIGINT, v STRING)")
+    spark.sql(
+      "INSERT INTO graft.db.mor2 SELECT id AS k, CAST(id AS STRING) AS v FROM RANGE(1000)")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val t = graft.tables.StorageCatalog.loadTable(conf, s"$wh/db/mor2")
+    t.equalityDelete(spark, Seq(10L, 20L).toDF("k"), Seq("k"))
+    val pos = t.scan(spark, keepFilePos = true).filter($"k" < 5)
+      .select($"_file".as("file_path"), $"_pos".as("pos"))
+    t.positionDelete(spark, pos)
+    // 1000 - 5 (pos) - 2 (eq) = 993; filter also pushes through
+    val q = spark.sql("SELECT * FROM graft.db.mor2 WHERE k < 100")
+    assert(q.queryExecution.executedPlan.toString.contains("GraftMorScan"))
+    assert(q.count() === 100 - 5 - 2)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.mor2").head().getLong(0) === 993)
+
+    // force the large-delete path: fallback plan, identical answer
+    spark.conf.set("spark.graft.delete-broadcast-max-bytes", "1")
+    try {
+      val q2 = spark.sql("SELECT * FROM graft.db.mor2 WHERE k < 100")
+      assert(!q2.queryExecution.executedPlan.toString.contains("GraftMorScan"))
+      assert(q2.count() === 93)
+    } finally spark.conf.unset("spark.graft.delete-broadcast-max-bytes")
   }
 
   test("ALTER TABLE ADD/RENAME column via SQL") {
