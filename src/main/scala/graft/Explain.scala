@@ -8,7 +8,10 @@ object Explain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q1_pricing_summary", "q3_shipping_priority", "dedup_lsh_pairs", "ann_brute_force")) {
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q1_pricing_summary", "q3_shipping_priority", "dedup_lsh_pairs", "ann_brute_force")
+    for (name <- names) {
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

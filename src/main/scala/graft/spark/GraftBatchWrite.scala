@@ -167,10 +167,7 @@ class GraftBatchWrite(
       SpecFieldEval(pf.name, pf.transform, ordinalOf(src.name), src.fieldType.repr)
     }
     val props = metadata.properties
-    val maxRecords = props.get("write.max-records-per-file").map(_.toLong)
-      .orElse(props.get("write.target-file-size-bytes").map(b =>
-        math.max(1000L, b.toLong / 64L)))
-      .getOrElse(Long.MaxValue)
+    val maxRecords = TableWrite.maxRecordsPerFile(metadata).getOrElse(Long.MaxValue)
     val compression = props.getOrElse("write.parquet.compression-codec", "snappy")
     val writerConf = org.apache.spark.sql.GraftBridge.parquetWriterConf(
       spark, sparkSchema, compression)

@@ -776,6 +776,9 @@ class GraftTable(
       "total-records" ->
         (if (replace) addedRecords + exData.map(_.file.recordCount).sum
          else prevTotal("total-records") + addedRecords).toString,
+      "total-files-size" ->
+        (if (replace) addedSize + existing.map(_.file.fileSizeInBytes).sum
+         else prevTotal("total-files-size") + addedSize).toString,
       "total-data-files" ->
         (if (replace) (addedData.size + exData.size).toLong
          else prevTotal("total-data-files") + addedData.size).toString,

@@ -302,6 +302,23 @@ object TableWrite {
       }.toMap
   }
 
+  /** records-per-file cap for the byte target: bytes/row observed from
+    * the table's own committed totals when available (self-calibrating
+    * size-based rolling), 64 B/row first-write fallback */
+  def maxRecordsPerFile(metadata: TableMetadata): Option[Long] = {
+    val props = metadata.properties
+    props.get("write.max-records-per-file").map(_.toLong)
+      .orElse(props.get("write.target-file-size-bytes").map { bytes =>
+        val observed = for {
+          snap <- metadata.currentSnapshot
+          sz <- snap.summary.get("total-files-size").map(_.toLong)
+          rec <- snap.summary.get("total-records").map(_.toLong)
+          if rec > 0 && sz > 0
+        } yield math.max(1L, sz / rec)
+        math.max(1000L, bytes.toLong / observed.getOrElse(64L))
+      })
+  }
+
   def writeDataFiles(table: GraftTable, spark: SparkSession, df: DataFrame): List[IceDataFile] = {
     val schema = table.metadata.currentSchema
     val spec = table.metadata.defaultSpec
@@ -317,12 +334,7 @@ object TableWrite {
     // writer options): a record cap per file, derived from the target file
     // size when only that is set
     val props = table.metadata.properties
-    val maxRecords: Option[Long] = props.get("write.max-records-per-file").map(_.toLong)
-      .orElse(props.get("write.target-file-size-bytes").map { bytes =>
-        // rough 64 bytes/row on-disk estimate; refined per-table via the
-        // explicit max-records property
-        math.max(1000L, bytes.toLong / 64L)
-      })
+    val maxRecords: Option[Long] = maxRecordsPerFile(table.metadata)
     // declarative sort order applied within output files: the table's
     // DEFAULT SortOrder metadata wins (direction + null order honored and
     // the order id stamped on each DataFile); the write.sort-order
