@@ -32,6 +32,11 @@ object Similarity {
       case (x: Long, y: Long) => java.lang.Long.compare(x, y)
       case (x: Int, y: Int) => Integer.compare(x, y)
       case (x: String, y: String) => x.compareTo(y)
+      // other orderable id types (Short, Double, Timestamp, ...) must
+      // agree with the window's native ordering — Comparable does;
+      // string fallback would not (\"10\" < \"9\")
+      case (x: Comparable[_], y) if x.getClass == y.getClass =>
+        x.asInstanceOf[Comparable[Any]].compareTo(y)
       case _ => a.toString.compareTo(b.toString)
     }
     // "better" = ranks earlier in the final (cosine desc, id asc) window

@@ -132,9 +132,9 @@ class GraftWrite(
       .find(o => o.orderId == metadata.defaultSortOrderId && o.fields.nonEmpty)
     declared.toSeq.flatMap(_.fields).flatMap { sf =>
       schema.fieldById(sf.sourceId).map { f =>
-        Expressions.sort(
-          Expressions.column(f.name),
-          if (sf.direction == "desc") SortDirection.DESCENDING else SortDirection.ASCENDING)
+        org.apache.spark.sql.GraftBridge.sortOrder(
+          f.name, descending = sf.direction == "desc",
+          nullsLast = sf.nullOrder == "nulls-last")
       }
     }.toArray
   }
@@ -189,14 +189,9 @@ class GraftBatchWrite(
     val files = messages.toList.collect {
       case GraftCommitMessage(fs) => fs
     }.flatten
-    if (dynamic && !table.metadata.defaultSpec.isUnpartitioned) {
-      val newParts = files.map(_.partition).toSet
-      val survivors = table.metadata.currentSnapshot.toList
-        .flatMap(table.planFiles(_)).filter { p =>
-          !(newParts.contains(p.file.partition) &&
-            (p.file.content == DataContent.Data || p.file.partition.nonEmpty))
-        }
-      table.commitReplace(spark, "overwrite", survivors, files)
+    if (dynamic) {
+      table.overwriteDynamicFiles(spark, files)
+      ()
     } else overwriteCond match {
       case Some(cond) =>
         // filtered overwrite: position-delete the matching rows and add
@@ -206,7 +201,7 @@ class GraftBatchWrite(
         val deletes = table.writePositionDeleteFiles(spark, matching)
         table.commit(spark, "overwrite", files, deletes, replace = false)
       case None =>
-        if (overwriteAll || dynamic)
+        if (overwriteAll)
           table.commit(spark, "overwrite", files, Nil, replace = true)
         else
           table.commit(spark, "append", files, Nil, replace = false)

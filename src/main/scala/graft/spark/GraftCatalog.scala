@@ -309,6 +309,15 @@ class GraftScanBuilder(
           planned.filter(_.file.content == DataContent.Data),
           pruneFilter, table.metadata, iceSchema)
         val deletes = planned.filter(_.file.content != DataContent.Data)
+        // delete files prune like the facade scan (safe because Spark
+        // re-applies every filter above the scan): a snapshot whose
+        // deletes all prune away reads through the vectorized batch scan
+        val posD = PruneEval.prunePlanned(
+          deletes.filter(_.file.content == DataContent.PositionDeletes),
+          pruneFilter, table.metadata, iceSchema)
+        val eqD = PruneEval.prunePlanned(
+          deletes.filter(_.file.content == DataContent.EqualityDeletes),
+          pruneFilter, table.metadata, iceSchema)
         // files predating an initial-default column need the default
         // injected per file — the facade scan handles that; native scans
         // would surface nulls
@@ -317,15 +326,9 @@ class GraftScanBuilder(
             p.file.columnSizes.nonEmpty && !p.file.columnSizes.contains(f.id)))
         if (needsDefaults)
           new GraftV1Scan(table, snapshotId, asOfTimestampMs, requiredSchema, pushedFiltersArr)
-        else if (deletes.isEmpty)
+        else if (posD.isEmpty && eqD.isEmpty)
           new GraftNativeBatchScan(table, data, fullSchema, requiredSchema, pushedFiltersArr)
         else {
-          val posD = PruneEval.prunePlanned(
-            deletes.filter(_.file.content == DataContent.PositionDeletes),
-            pruneFilter, table.metadata, iceSchema)
-          val eqD = PruneEval.prunePlanned(
-            deletes.filter(_.file.content == DataContent.EqualityDeletes),
-            pruneFilter, table.metadata, iceSchema)
           val deleteBytes = (posD ++ eqD).map(_.file.fileSizeInBytes).sum
           if (deleteBytes <= GraftTable.deleteBroadcastMaxBytes(SparkSession.active))
             new GraftMorScan(table, iceSchema, data, posD, eqD, fullSchema, requiredSchema,

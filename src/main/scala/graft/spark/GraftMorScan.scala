@@ -108,6 +108,10 @@ class GraftMorScan(
       if (keyFields.isEmpty) None
       else {
         val spark = SparkSession.active
+        // resolve delete columns by FIELD ID (same contract as the facade
+        // scan): a rename after the delete was written must still hit the
+        // original parquet column
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         val keyNames = keyFields.map(_.name)
         val readSchema = StructType(keyFields.map(SchemaConvert.toSparkField))
         val seqOf = files.map(p => (GraftTable.normPathStr(p.file.filePath), p.seq)).toMap

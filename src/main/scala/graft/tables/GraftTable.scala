@@ -368,9 +368,14 @@ class GraftTable(
         // partition tuple per referenced data file comes from the plan
         // (driver-side, file-count sized); the delete rows themselves
         // stay distributed — a broadcast (file -> partition index) join
-        // routes each position to its partition's delete file
+        // routes each position to its partition's delete file. Only
+        // files on the DEFAULT spec get scoped tuples (the commit writes
+        // the delete manifest with that spec); positions into old-spec
+        // files fall through to global scope, which is always correct.
         val current = metadata.currentSnapshot.toList
-          .flatMap(planFiles(_)).filter(_.file.content == DataContent.Data)
+          .flatMap(planFiles(_))
+          .filter(p => p.file.content == DataContent.Data &&
+            p.specId == metadata.defaultSpecId)
         val partitions: List[Seq[Option[Any]]] =
           current.map(_.file.partition).distinct
         val idxOf = partitions.zipWithIndex.toMap
@@ -404,15 +409,37 @@ class GraftTable(
     * manifests, no data rewritten. */
   def overwriteDynamic(spark: SparkSession, df: DataFrame): GraftTable = {
     if (metadata.defaultSpec.isUnpartitioned) return overwrite(spark, df)
-    val dataFiles = TableWrite.writeDataFiles(this, spark, df)
+    overwriteDynamicFiles(spark, TableWrite.writeDataFiles(this, spark, df))
+  }
+
+  /** dynamic-overwrite commit for already-written files (shared by the
+    * table API and the native DSv2 write). Partition tuples are only
+    * comparable within one spec, so files written under an OLDER spec
+    * make the operation ill-defined (an old-spec file can hold rows of
+    * both replaced and surviving partitions) — rejected rather than
+    * risking silent data loss; compact first. */
+  private[graft] def overwriteDynamicFiles(
+      spark: SparkSession, dataFiles: List[IceDataFile]): GraftTable = {
+    if (metadata.defaultSpec.isUnpartitioned)
+      return commit(spark, "overwrite", dataFiles, Nil, replace = true)
     val newParts: Set[Seq[Option[Any]]] = dataFiles.map(_.partition).toSet
-    val survivors = metadata.currentSnapshot.toList.flatMap(planFiles(_)).filter { p =>
-      // keep data files outside replaced partitions; keep delete files
-      // unless scoped to a replaced partition
-      !(newParts.contains(p.file.partition) &&
-        (p.file.content == DataContent.Data || p.file.partition.nonEmpty))
+    // survivors recomputed PER ATTEMPT: a concurrent commit between
+    // planning and commit must not have its files silently dropped
+    def survivors(): List[PlannedFile] = {
+      val planned = metadata.currentSnapshot.toList.flatMap(planFiles(_))
+      planned.filter(_.file.content == DataContent.Data).foreach { p =>
+        require(p.specId == metadata.defaultSpecId,
+          "dynamic overwrite after partition spec evolution needs compaction first " +
+            s"(file ${p.file.filePath} uses spec ${p.specId}, default is ${metadata.defaultSpecId})")
+      }
+      planned.filter { p =>
+        // drop data files of replaced partitions and delete files scoped
+        // to them; keep everything else (incl. global-scope deletes)
+        !(newParts.contains(p.file.partition) &&
+          (p.file.content == DataContent.Data || p.file.partition.nonEmpty))
+      }
     }
-    commitReplace(spark, "overwrite", survivors, dataFiles)
+    commitReplace(spark, "overwrite", survivors _, dataFiles)
   }
 
   /** CDC upsert (the reference's EqualityDeltaWriter semantics,
@@ -687,17 +714,19 @@ class GraftTable(
   /** Replace-style commit that carries a surviving subset of the previous
     * snapshot's files forward as Existing entries (dynamic partition
     * overwrite): new manifests hold survivors with their original data
-    * sequence numbers plus the added files. */
+    * sequence numbers plus the added files. `survivors` is re-evaluated
+    * on every attempt so a retry after a conflicting commit sees the
+    * conflicting writer's files. */
   def commitReplace(
       spark: SparkSession,
       operation: String,
-      survivors: List[PlannedFile],
+      survivors: () => List[PlannedFile],
       addedData: List[IceDataFile]): GraftTable = {
     var attempt = 0
     var done = false
     while (!done) {
       try {
-        commitOnce(operation, addedData, Nil, replace = true, existing = survivors)
+        commitOnce(operation, addedData, Nil, replace = true, existing = survivors())
         done = true
       } catch {
         case _: CommitConflictException if attempt < 5 =>

@@ -172,8 +172,14 @@ object StorageCatalog {
         new Path(dir, s".commit-v$next.lock").toUri.getPath)
       var acquired = lock.createNewFile() // atomic on POSIX
       if (!acquired && System.currentTimeMillis() - lock.lastModified() > 60000L) {
-        lock.delete() // break a crashed committer's stale lock
-        acquired = lock.createNewFile()
+        // break a crashed committer's stale lock via rename — atomic, so
+        // only ONE racer wins the break (delete-then-create would let two
+        // committers both acquire and race the rename overwrite again)
+        val breaker = new java.io.File(lock.getPath + s".broken-${UUID.randomUUID()}")
+        if (lock.renameTo(breaker)) {
+          breaker.delete()
+          acquired = lock.createNewFile()
+        }
       }
       if (!acquired)
         throw new CommitConflictException(s"concurrent commit in flight for version $next")

@@ -70,6 +70,19 @@ object GraftBridge {
   def collectInternal(df: DataFrame): Array[org.apache.spark.sql.catalyst.InternalRow] =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.executedPlan.executeCollect()
 
+  /** connector SortOrder with explicit null ordering (LogicalExpressions
+    * is private[sql]) */
+  def sortOrder(
+      column: String,
+      descending: Boolean,
+      nullsLast: Boolean): org.apache.spark.sql.connector.expressions.SortOrder = {
+    import org.apache.spark.sql.connector.expressions._
+    LogicalExpressions.sort(
+      Expressions.column(column),
+      if (descending) SortDirection.DESCENDING else SortDirection.ASCENDING,
+      if (nullsLast) NullOrdering.NULLS_LAST else NullOrdering.NULLS_FIRST)
+  }
+
   // ---- native DSv2 write path: executor-side parquet row writer ----
 
   /** Hadoop conf pre-configured for Spark's InternalRow parquet

@@ -242,6 +242,20 @@ class MaintenanceSpec extends AnyFunSuite {
     val scanned = t.filesForScan(Some($"o_orderstatus" === "F")).size
     assert(scanned < planned.size)
     assert(newSpecFiles > 1)
+    // dynamic overwrite is ill-defined while old-spec files remain (their
+    // tuples are not comparable): must refuse, not silently lose data
+    intercept[IllegalArgumentException] {
+      t.overwriteDynamic(spark, src.filter($"o_orderstatus" === "F").limit(10))
+    }
+    // after compaction (all files rewritten under the default spec) it works
+    t.rewriteDataFiles(spark)
+    t.overwriteDynamic(spark,
+      src.filter($"o_orderstatus" === "F").limit(10)
+        .withColumn("o_totalprice", lit(0.0)))
+    val after = t.scan(spark)
+    assert(after.filter($"o_orderstatus" === "F").count() === 10)
+    assert(after.filter($"o_orderstatus" =!= "F").count() ===
+      src.filter($"o_orderstatus" =!= "F").count())
   }
 
   test("REST catalog namespaces + rename") {
