@@ -687,6 +687,25 @@ object SparkEntry {
       q.awaitTermination()
       tbl.scan(s)
     }),
+    "stream_sink_append" -> ((s, dir) => {
+      // writeStream straight into the table ("graft-stream" sink): one
+      // snapshot per micro-batch, batch id stamped for replay idempotence
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val cols = Seq("event_id", "user_id", "event_type", "value")
+      val seed = t(s, dir, "events").select(cols.map(col): _*).limit(0)
+      val tbl = freshTable(s, "stream_sink_append", seed)
+      val q = s.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(cols.map(col): _*)
+        .writeStream.format("graft-stream")
+        .option("location", tbl.location)
+        .option("checkpointLocation", s"${tbl.location}/_chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      StorageCatalog.loadTable(s.sparkContext.hadoopConfiguration, tbl.location).scan(s)
+    }),
     // ---- multimodal plumbing (decode is a documented stub) ----
     "mm_metadata" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -980,5 +999,7 @@ object SparkEntry {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1""".stripMargin,
+    "stream_sink_append" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
   )
 }

@@ -1,28 +1,53 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.tables.{SchemaConvert, StorageCatalog}
 
-/** Streaming source over a graft table's snapshot history — the streaming
-  * form of the reference's resumable scan offsets
-  * (icelake/src/io/scan.rs:25-28,98-116): the offset is the snapshot
+/** Streaming source AND sink over a graft table.
+  *
+  * Source: the streaming form of the reference's resumable scan offsets
+  * (icelake/src/io/scan.rs:25-28,98-116) — the offset is the snapshot
   * sequence number, each micro-batch is the data files appended in
   * (startSeq, endSeq]. Append-only tables stream exactly-once through
   * checkpointed offsets.
   *
   *   spark.readStream.format("graft-stream")
   *     .option("location", "/path/to/table").load()
+  *
+  * Sink: each micro-batch commits one snapshot — append by default, or a
+  * keyed CDC upsert when `upsert-keys` is set (the reference's
+  * EqualityDeltaWriter stack driven by Structured Streaming; an optional
+  * `op-column` carries INSERT=1/DELETE=2):
+  *
+  *   df.writeStream.format("graft-stream")
+  *     .option("location", "/path/to/table")
+  *     .option("upsert-keys", "user_id")       // optional
+  *     .option("op-column", "_op")             // optional
+  *     .start()
   */
-class GraftStreamSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class GraftStreamSourceProvider extends StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-stream"
 
   private def location(parameters: Map[String, String]): String =
     parameters.getOrElse("location", sys.error("option 'location' is required"))
+
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink =
+    new GraftStreamSink(
+      location(parameters),
+      parameters.get("upsert-keys").map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty),
+      parameters.get("op-column"))
 
   override def sourceSchema(
       sqlContext: SQLContext,
@@ -84,4 +109,32 @@ class GraftStreamSource(spark: SparkSession, location: String) extends Source {
   }
 
   override def stop(): Unit = ()
+}
+
+/** Micro-batch sink: one snapshot commit per batch. `batchId` is stamped
+  * into the snapshot summary; a restarted query re-delivering the last
+  * batch is skipped (exactly-once on top of the checkpoint's at-least-
+  * once replay). */
+class GraftStreamSink(
+    location: String,
+    upsertKeys: Option[Seq[String]],
+    opColumn: Option[String])
+    extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val t = StorageCatalog.loadTable(spark.sparkContext.hadoopConfiguration, location)
+    val committed = t.metadata.currentSnapshot
+      .flatMap(_.summary.get("streaming-batch-id")).map(_.toLong)
+    if (committed.exists(_ >= batchId)) return // replayed batch
+    // streaming DataFrames cannot be re-planned by batch writers: pin the
+    // batch contents first (the micro-batch is bounded)
+    val batch = org.apache.spark.sql.GraftBridge.asBatchDataFrame(data)
+    upsertKeys match {
+      case Some(keys) => t.upsert(spark, batch, keys, opColumn)
+      case None => t.append(spark, batch)
+    }
+    t.stampCurrentSnapshot("streaming-batch-id", batchId.toString)
+    ()
+  }
 }

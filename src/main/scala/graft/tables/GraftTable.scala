@@ -647,6 +647,22 @@ class GraftTable(
     this
   }
 
+  /** Stamp a key into the CURRENT snapshot's summary (metadata-only
+    * commit) — used by the streaming sink to record the micro-batch id
+    * its snapshot came from, making batch replay idempotent. */
+  def stampCurrentSnapshot(key: String, value: String): GraftTable = {
+    val base = metadata
+    val cur = base.currentSnapshotId.getOrElse(return this)
+    val newMeta = base.copy(
+      snapshots = base.snapshots.map(s =>
+        if (s.snapshotId == cur) s.copy(summary = s.summary + (key -> value)) else s),
+      lastUpdatedMs = System.currentTimeMillis())
+    val newVersion = committer(newMeta, version)
+    metadata = newMeta
+    version = newVersion
+    this
+  }
+
   /** set/replace table properties (metadata-only commit) */
   def setProperties(props: Map[String, String]): GraftTable = {
     val base = metadata

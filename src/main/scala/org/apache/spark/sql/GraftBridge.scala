@@ -24,6 +24,15 @@ object GraftBridge {
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** The inverse, for V1 streaming Sink.addBatch inputs: the micro-batch
+    * is bounded, but its DataFrame is streaming-tagged and refuses batch
+    * writers — re-wrap the executed plan as a batch DataFrame. */
+  def asBatchDataFrame(df: DataFrame): DataFrame = {
+    val classicSpark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    classicSpark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   // ---- native DSv2 read path: internal file-source machinery ----
 
   /** pack (path, fileSize) pairs into FilePartitions of ~maxBytes each */
