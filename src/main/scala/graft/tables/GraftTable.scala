@@ -120,13 +120,16 @@ class GraftTable(
 
   /** Snapshot scan as a DataFrame. `filter` is used for file-level pruning
     * (partition transforms + column bounds) AND re-applied row-level, so
-    * results are correct regardless of pruning power. */
+    * results are correct regardless of pruning power. `onlyFiles`
+    * restricts the DATA side to a path subset (selective compaction reads
+    * just the files being rewritten); deletes still apply in full. */
   def scan(
       spark: SparkSession,
       snapshotId: Option[Long] = None,
       asOfTimestampMs: Option[Long] = None,
       filter: Option[Column] = None,
-      keepFilePos: Boolean = false): DataFrame = {
+      keepFilePos: Boolean = false,
+      onlyFiles: Option[Set[String]] = None): DataFrame = {
     // our data files carry iceberg field ids; resolve parquet columns by id
     // so renamed columns keep reading pre-rename files (id-based resolution,
     // the property the format is built around)
@@ -145,6 +148,7 @@ class GraftTable(
       case Some(s) =>
         val all = planFiles(s, filter)
         val allData = all.filter(_.file.content == DataContent.Data)
+          .filter(p => onlyFiles.forall(_.contains(normPathStr(p.file.filePath))))
         val dataFiles = PruneEval.prunePlanned(allData, filter, metadata, schema)
         Metrics.inc(Metrics.ScansPlanned)
         Metrics.inc(Metrics.FilesScanned, dataFiles.size.toLong)
@@ -476,6 +480,87 @@ class GraftTable(
   def rewriteDataFiles(spark: SparkSession): GraftTable = {
     val current = scan(spark)
     overwrite(spark, current)
+  }
+
+  /** Selective compaction for 100 TB tables: only files under
+    * `smallFileThresholdBytes` are read (with deletes applied) and
+    * rewritten; large well-sized files are carried forward untouched, so
+    * compaction cost is proportional to the small-file tail, not the
+    * table. Sequence-number semantics keep deletes correct: rewritten
+    * rows get a fresh (higher) sequence, so existing equality deletes no
+    * longer apply to them (they were applied during the rewrite read),
+    * while surviving files keep their original sequences and delete
+    * files. Position deletes referencing rewritten paths become inert. */
+  def rewriteSmallFiles(
+      spark: SparkSession,
+      smallFileThresholdBytes: Long): GraftTable = {
+    val snap = metadata.currentSnapshot.getOrElse(return this)
+    val planned = planFiles(snap)
+    val (small, big) = planned
+      .filter(_.file.content == DataContent.Data)
+      .partition(_.file.fileSizeInBytes < smallFileThresholdBytes)
+    if (small.size < 2) return this
+    val smallPaths = small.map(p => GraftTable.normPathStr(p.file.filePath)).toSet
+    // bin-pack: the rewritten tail targets ceil(totalBytes / threshold)
+    // files (coalesce — no shuffle; partitioned tables re-cluster inside
+    // writeDataFiles anyway)
+    val targetFiles = math.max(1,
+      (small.map(_.file.fileSizeInBytes).sum / math.max(1L, smallFileThresholdBytes)).toInt)
+    val rewritten = TableWrite.writeDataFiles(
+      this, spark, scan(spark, onlyFiles = Some(smallPaths)).coalesce(targetFiles))
+    // survivors recomputed per retry attempt; concurrent appends survive.
+    // A concurrent DELETE committed between our read and the commit could
+    // target the rewritten rows, so a conflicting commit that added
+    // delete files aborts the compaction (retry from scratch is the
+    // caller's choice — compaction is always safe to re-run).
+    def survivors(): List[PlannedFile] = {
+      val now = metadata.currentSnapshot.toList.flatMap(planFiles(_))
+      val newDeletes = now.filter(p =>
+        p.file.content != DataContent.Data && p.seq > snap.sequenceNumber)
+      if (newDeletes.nonEmpty)
+        sys.error("concurrent delete during compaction; re-run rewriteSmallFiles")
+      now.filterNot(p => p.file.content == DataContent.Data &&
+        smallPaths.contains(GraftTable.normPathStr(p.file.filePath)))
+    }
+    commitReplace(spark, "replace", survivors _, rewritten)
+  }
+
+  /** Manifest compaction (`rewrite_manifests`): collapse the snapshot's
+    * manifest list into one manifest per (spec, content) without touching
+    * data — planning cost at 10^4+ commits drops back to O(files). */
+  def rewriteManifests(spark: SparkSession): GraftTable = {
+    if (metadata.currentSnapshot.isEmpty) return this
+    def all(): List[PlannedFile] =
+      metadata.currentSnapshot.toList.flatMap(planFiles(_))
+    commitReplace(spark, "replace", all _, Nil)
+  }
+
+  /** Remove files under `location/data` that no snapshot references and
+    * that are older than `olderThanMs` (grace period: a concurrent write
+    * may have files on disk before its commit lands). Returns the paths
+    * it deleted. */
+  def removeOrphanFiles(olderThanMs: Long): Seq[String] = {
+    // an unreadable manifest means the reference set is UNKNOWN — abort
+    // rather than deleting files that might be live
+    val referenced: Set[String] =
+      try metadata.snapshots.flatMap(s =>
+        planFiles(s).map(p => GraftTable.normPathStr(p.file.filePath))).toSet
+      catch { case _: Throwable => return Nil }
+    val dataDir = new Path(s"$location/data")
+    val fs = dataDir.getFileSystem(conf)
+    if (!fs.exists(dataDir)) return Nil
+    val it = fs.listFiles(dataDir, true)
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val f = it.next()
+      val p = GraftTable.normPathStr(f.getPath.toUri.getPath)
+      if (f.isFile && !referenced.contains(p) &&
+        f.getModificationTime < olderThanMs &&
+        !f.getPath.getName.startsWith(".")) {
+        if (fs.delete(f.getPath, false)) deleted += p
+      }
+    }
+    deleted.toSeq
   }
 
   /** Expire snapshots older than the timestamp (keeping the current one):

@@ -47,6 +47,69 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(back.exceptAll(exp).isEmpty)
   }
 
+  test("selective compaction rewrites only the small-file tail") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val loc = tmpLocation("smallcompact")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src) // one big file
+    (0 until 4).foreach(i => t.append(spark, src.limit(5))) // small-file tail
+    t.equalityDelete(spark,
+      src.filter($"o_orderstatus" === "P").select($"o_orderkey"), Seq("o_orderkey"))
+    val before = t.planFiles(t.metadata.currentSnapshot.get)
+    val bigPaths = before
+      .filter(p => p.file.content == DataContent.Data && p.file.fileSizeInBytes >= 20000)
+      .map(_.file.filePath).toSet
+    assert(bigPaths.nonEmpty)
+    val expected = t.scan(spark) // full contents before compaction
+    val expectedRows = expected.collect().toSeq
+
+    t.rewriteSmallFiles(spark, smallFileThresholdBytes = 20000)
+    val after = t.planFiles(t.metadata.currentSnapshot.get)
+    // big files carried forward untouched, small ones replaced
+    assert(bigPaths.subsetOf(
+      after.filter(_.file.content == DataContent.Data).map(_.file.filePath).toSet))
+    assert(after.count(_.file.content == DataContent.Data) < before.count(_.file.content == DataContent.Data))
+    // delete files stay (they still guard the surviving big file)
+    assert(after.exists(_.file.content == DataContent.EqualityDeletes))
+    val back = t.scan(spark).collect().toSeq
+    assert(back.map(_.toString).sorted === expectedRows.map(_.toString).sorted)
+  }
+
+  test("manifest compaction collapses the manifest list; contents unchanged") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val loc = tmpLocation("manifests")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    (1 to 6).foreach(_ => t.append(spark, src))
+    val listBefore = ManifestIO.readManifestList(
+      conf, t.metadata.currentSnapshot.get.manifestList)
+    assert(listBefore.size === 6)
+    t.rewriteManifests(spark)
+    val listAfter = ManifestIO.readManifestList(
+      conf, t.metadata.currentSnapshot.get.manifestList)
+    assert(listAfter.size === 1)
+    assert(t.scan(spark).count() === src.count() * 6)
+  }
+
+  test("orphan file cleanup deletes only unreferenced data files") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val loc = tmpLocation("orphans")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src)
+    // plant an orphan (e.g. from a crashed write attempt)
+    val orphan = new org.apache.hadoop.fs.Path(s"$loc/data/orphan-junk.parquet")
+    val fs = orphan.getFileSystem(conf)
+    val out = fs.create(orphan)
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    val deleted = t.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 1000)
+    assert(deleted.exists(_.endsWith("orphan-junk.parquet")))
+    assert(!fs.exists(orphan))
+    // live data untouched, table still answers
+    assert(t.scan(spark).count() === src.count())
+  }
+
   test("expire snapshots drops old history but keeps current") {
     val src = spark.read.parquet(s"$sfDir/region.parquet")
     val loc = tmpLocation("expire")
