@@ -589,6 +589,37 @@ object SparkEntry {
           .withColumn("o_totalprice", col("o_totalprice") * 2.0))
       tbl.scan(s)
     }),
+    "sql_delete_where" -> ((s, dir) => {
+      // SQL row-level DELETE: MoR position deletes behind SupportsDelete
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.del_orders")
+      s.sql(
+        """CREATE TABLE graft.db.del_orders (
+          |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)""".stripMargin)
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .createOrReplaceTempView("orders_src_del")
+      s.sql("INSERT INTO graft.db.del_orders SELECT * FROM orders_src_del")
+      s.sql("DELETE FROM graft.db.del_orders WHERE o_orderstatus = 'F' AND o_totalprice < 100000.0")
+      s.sql("SELECT * FROM graft.db.del_orders")
+    }),
+    "ice_small_compact" -> ((s, dir) => {
+      // selective compaction: only the small-file tail is rewritten; the
+      // delete files stay and the contents are byte-identical
+      val src = t(s, dir, "orders")
+      val tbl = freshTable(s, "ice_small_compact", src)
+      tbl.append(s, src)
+      (0 until 3).foreach(i =>
+        tbl.append(s, src.filter(pmod(col("o_orderkey"), lit(500)) === i)))
+      tbl.equalityDelete(s,
+        src.filter(col("o_orderstatus") === "P").select(col("o_orderkey")),
+        Seq("o_orderkey"))
+      tbl.rewriteSmallFiles(s, smallFileThresholdBytes = 64 * 1024)
+      tbl.rewriteManifests(s)
+      tbl.scan(s)
+    }),
     "sql_catalog" -> ((s, dir) => {
       // full SQL path through the DSv2 catalog: DDL + INSERT + SELECT
       val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
@@ -978,6 +1009,14 @@ object SparkEntry {
     "sql_mor_delete" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin,
+    "sql_delete_where" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)""".stripMargin,
+    "ice_small_compact" ->
+      """SELECT * FROM orders WHERE o_orderstatus <> 'P'
+        |UNION ALL
+        |SELECT * FROM orders WHERE o_orderkey % 500 IN (0, 1, 2) AND o_orderstatus <> 'P'""".stripMargin,
     "sql_overwrite_partition" ->
       """SELECT o_orderkey, o_orderstatus,
         |  CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2.0

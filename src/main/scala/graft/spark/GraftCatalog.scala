@@ -209,12 +209,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 }
 
-/** DSv2 table: reads via V1Scan -> MoR facade; writes via V1Write. */
+/** DSv2 table: native batch/MoR scans, native batch writes, and
+  * filter-based SQL DELETE (merge-on-read position deletes). */
 class GraftV2Table(
     val table: GraftTable,
     snapshotId: Option[Long],
     asOfTimestampMs: Option[Long])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** `DELETE FROM t WHERE ...`: any exactly-translatable predicate is
+    * accepted and executed as position deletes for the matching rows —
+    * one MoR snapshot, no data rewritten. Untranslatable predicates are
+    * rejected in `canDeleteWhere`, so Spark raises a clear error instead
+    * of silently deleting the wrong rows. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.isEmpty || FilterToColumn.convertStrict(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    val cond = FilterToColumn.convertStrict(filters)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    table.deleteWhere(spark, cond)
+    ()
+  }
 
   override def name(): String = table.location
 

@@ -393,6 +393,16 @@ class GraftTable(
     }
   }
 
+  /** Row-level DELETE by predicate: position deletes for every matching
+    * row in one snapshot (SQL `DELETE FROM t WHERE ...`). */
+  def deleteWhere(spark: SparkSession, cond: Column): GraftTable = {
+    val matching = scan(spark, keepFilePos = true).filter(cond)
+      .select(col("_file").as("file_path"), col("_pos").as("pos"))
+    val deleteFiles = writePositionDeleteFiles(spark, matching)
+    if (deleteFiles.isEmpty) return this
+    commit(spark, "delete", addedData = Nil, addedDeletes = deleteFiles, replace = false)
+  }
+
   /** Filtered overwrite (`INSERT OVERWRITE ... WHERE`-style semantics, the
     * DSv2 `SupportsOverwrite` contract): rows matching `cond` are replaced
     * by `df` in ONE snapshot — position deletes for the matching rows plus

@@ -154,6 +154,24 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.delete-broadcast-max-bytes")
   }
 
+  test("SQL DELETE FROM: filter-expressible predicates become position deletes") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.sdel")
+    spark.sql("CREATE TABLE graft.db.sdel (k BIGINT, v STRING)")
+    spark.sql(
+      "INSERT INTO graft.db.sdel SELECT id AS k, CAST(id % 3 AS STRING) AS v FROM RANGE(300)")
+    spark.sql("DELETE FROM graft.db.sdel WHERE v = '1' AND k < 150")
+    // deleted: k % 3 == 1 && k < 150 -> 50 rows
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.sdel").head().getLong(0) === 250)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.sdel WHERE v = '1'").head().getLong(0) === 50)
+    // the delete wrote MoR position deletes, not a rewrite
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val t = graft.tables.StorageCatalog.loadTable(
+      spark.sparkContext.hadoopConfiguration, s"$wh/db/sdel")
+    assert(t.planFiles(t.metadata.currentSnapshot.get)
+      .exists(_.file.content === graft.tables.DataContent.PositionDeletes))
+  }
+
   test("ALTER TABLE ADD/RENAME column via SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("DROP TABLE IF EXISTS graft.db.alt")
