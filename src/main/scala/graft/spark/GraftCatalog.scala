@@ -216,7 +216,29 @@ class GraftV2Table(
     snapshotId: Option[Long],
     asOfTimestampMs: Option[Long])
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_file` / `_pos` as SQL-selectable metadata columns (the reference's
+    * scan-offset coordinates, icelake/src/io/scan.rs:25-28, surfaced
+    * relationally): `SELECT _file, _pos FROM t` feeds positionDelete and
+    * row-level tooling. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_file"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "data file path of the row"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_pos"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "row position within its data file"
+      })
 
   /** `DELETE FROM t WHERE ...`: any exactly-translatable predicate is
     * accepted and executed as position deletes for the matching rows —
@@ -303,10 +325,12 @@ class GraftScanBuilder(
 
   override def pushedFilters(): Array[Filter] = pushedFiltersArr
 
-  override def pruneColumns(required: StructType): Unit = {
-    val keep = required.fieldNames.toSet
-    requiredSchema = StructType(fullSchema.fields.filter(f => keep.contains(f.name)))
-  }
+  override def pruneColumns(required: StructType): Unit =
+    // data columns keep their field-id metadata from the table schema;
+    // `_file`/`_pos` metadata columns pass through as requested
+    requiredSchema = StructType(required.fields.map { f =>
+      fullSchema.fields.find(_.name == f.name).getOrElse(f)
+    })
 
   override def build(): Scan = {
     // ONE planning pass (manifests are read once per query): prune data
@@ -314,8 +338,12 @@ class GraftScanBuilder(
     //  - no deletes: native batch scan, packed FilePartitions
     //  - small deletes: native MoR scan (delete state applied in-reader)
     //  - large deletes (rare): V1 facade bridge with the AQE join plan
+    val needsRowMeta = requiredSchema.fieldNames.exists(n => n == "_file" || n == "_pos")
     table.resolveSnapshot(snapshotId, asOfTimestampMs) match {
       case None =>
+        new GraftV1Scan(table, snapshotId, asOfTimestampMs, requiredSchema, pushedFiltersArr)
+      case Some(_) if needsRowMeta =>
+        // `_file`/`_pos` requested: the facade scan carries them
         new GraftV1Scan(table, snapshotId, asOfTimestampMs, requiredSchema, pushedFiltersArr)
       case Some(s) =>
         val timeTravel = snapshotId.isDefined || asOfTimestampMs.isDefined
@@ -413,7 +441,10 @@ class GraftV1Scan(
       override def buildScan(): RDD[Row] = {
         val spark = context.sparkSession
         val pruneFilter = FilterToColumn.convert(filters)
-        var df = table.scan(spark, snapshotId, asOfTimestampMs, pruneFilter)
+        val needsRowMeta =
+          requiredSchema.fieldNames.exists(n => n == "_file" || n == "_pos")
+        var df = table.scan(spark, snapshotId, asOfTimestampMs, pruneFilter,
+          keepFilePos = needsRowMeta)
         if (requiredSchema.fieldNames.nonEmpty)
           df = df.select(requiredSchema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
         else df = df.select()

@@ -172,6 +172,22 @@ class CatalogSpec extends AnyFunSuite {
       .exists(_.file.content === graft.tables.DataContent.PositionDeletes))
   }
 
+  test("_file/_pos metadata columns are SQL-selectable") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.meta")
+    spark.sql("CREATE TABLE graft.db.meta (k BIGINT)")
+    spark.sql("INSERT INTO graft.db.meta SELECT id AS k FROM RANGE(10)")
+    spark.sql("INSERT INTO graft.db.meta SELECT id + 10 AS k FROM RANGE(10)")
+    val rows = spark.sql("SELECT k, _file, _pos FROM graft.db.meta").collect()
+    assert(rows.length === 20)
+    assert(rows.map(_.getString(1)).toSet.size >= 2) // two commits -> >= two files
+    // positions are per-file ordinals starting at 0
+    val perFile = rows.groupBy(_.getString(1)).values
+    perFile.foreach { fr =>
+      assert(fr.map(_.getLong(2)).sorted.toSeq === (0L until fr.length).toSeq)
+    }
+  }
+
   test("ALTER TABLE ADD/RENAME column via SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("DROP TABLE IF EXISTS graft.db.alt")
