@@ -605,6 +605,33 @@ object SparkEntry {
       s.sql("DELETE FROM graft.db.del_orders WHERE o_orderstatus = 'F' AND o_totalprice < 100000.0")
       s.sql("SELECT * FROM graft.db.del_orders")
     }),
+    "sql_merge_update" -> ((s, dir) => {
+      // row-level SQL DML: UPDATE + MERGE INTO over the delta operation
+      // (position deletes + new data files in one MoR snapshot)
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.merge_orders")
+      s.sql(
+        """CREATE TABLE graft.db.merge_orders (
+          |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)""".stripMargin)
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .createOrReplaceTempView("orders_src_merge")
+      s.sql("INSERT INTO graft.db.merge_orders SELECT * FROM orders_src_merge")
+      s.sql(
+        """UPDATE graft.db.merge_orders SET o_totalprice = o_totalprice * 2.0
+          |WHERE o_orderstatus = 'P'""".stripMargin)
+      s.sql(
+        """MERGE INTO graft.db.merge_orders t
+          |USING (SELECT o_orderkey, o_totalprice FROM orders_src_merge
+          |       WHERE o_orderkey % 100 = 0) s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET t.o_totalprice = s.o_totalprice + 1.0
+          |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, o_totalprice)
+          |  VALUES (s.o_orderkey, 'M', s.o_totalprice)""".stripMargin)
+      s.sql("SELECT * FROM graft.db.merge_orders")
+    }),
     "ice_small_compact" -> ((s, dir) => {
       // selective compaction: only the small-file tail is rewritten; the
       // delete files stay and the contents are byte-identical
@@ -1013,6 +1040,12 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders
         |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)""".stripMargin,
+    "sql_merge_update" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1.0
+        |       WHEN o_orderstatus = 'P' THEN o_totalprice * 2.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders""".stripMargin,
     "ice_small_compact" ->
       """SELECT * FROM orders WHERE o_orderstatus <> 'P'
         |UNION ALL

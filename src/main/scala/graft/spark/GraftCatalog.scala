@@ -217,7 +217,17 @@ class GraftV2Table(
     asOfTimestampMs: Option[Long])
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** UPDATE / MERGE INTO / subquery DELETE: delta-based row-level ops —
+    * Spark plans the matching, [[GraftRowLevelOperation]] writes position
+    * deletes + new data files as one snapshot. Filter-only DELETEs still
+    * short-circuit through [[canDeleteWhere]] (metadata-only). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(table, info.command())
 
   /** `_file` / `_pos` as SQL-selectable metadata columns (the reference's
     * scan-offset coordinates, icelake/src/io/scan.rs:25-28, surfaced

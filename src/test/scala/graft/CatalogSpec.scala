@@ -172,6 +172,46 @@ class CatalogSpec extends AnyFunSuite {
       .exists(_.file.content === graft.tables.DataContent.PositionDeletes))
   }
 
+  test("SQL UPDATE and MERGE INTO via delta row-level operations") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.rl")
+    spark.sql("CREATE TABLE graft.db.rl (k BIGINT, v STRING, amt DOUBLE)")
+    spark.sql(
+      """INSERT INTO graft.db.rl
+        |SELECT id AS k, CAST(id % 2 AS STRING) AS v, CAST(id AS DOUBLE) AS amt
+        |FROM RANGE(100)""".stripMargin)
+
+    // UPDATE: matched rows get position-deleted and rewritten
+    spark.sql("UPDATE graft.db.rl SET amt = amt * 10 WHERE v = '1' AND k < 20")
+    assert(spark.sql(
+      "SELECT SUM(amt) FROM graft.db.rl WHERE k < 20 AND v = '1'").head().getDouble(0)
+      === (1 to 19 by 2).map(_ * 10.0).sum)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.rl").head().getLong(0) === 100)
+
+    // MERGE INTO: update matches, insert the rest
+    Seq((1L, "x", 0.0), (200L, "new", 5.0)).toDF("k", "v", "amt")
+      .createOrReplaceTempView("rl_updates")
+    spark.sql(
+      """MERGE INTO graft.db.rl t USING rl_updates s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v, t.amt = s.amt
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.rl").head().getLong(0) === 101)
+    val r1 = spark.sql("SELECT v, amt FROM graft.db.rl WHERE k = 1").head()
+    assert(r1.getString(0) === "x" && r1.getDouble(1) === 0.0)
+    assert(spark.sql("SELECT v FROM graft.db.rl WHERE k = 200").head().getString(0) === "new")
+
+    // MERGE delete branch
+    spark.sql(
+      """MERGE INTO graft.db.rl t USING rl_updates s ON t.k = s.k
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.rl").head().getLong(0) === 99)
+
+    // DELETE with a subquery (not filter-expressible -> row-level path)
+    spark.sql(
+      "DELETE FROM graft.db.rl WHERE k IN (SELECT k + 2 FROM rl_updates)")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.rl").head().getLong(0) === 98)
+  }
+
   test("_file/_pos metadata columns are SQL-selectable") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("DROP TABLE IF EXISTS graft.db.meta")
