@@ -1,0 +1,131 @@
+package graft
+
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TransformUtil
+import graft.tables._
+
+/** Property-based invariants (SURVEY §5): the transform kernels and the
+  * serialization layers must hold these for ALL inputs, not just the
+  * spec's golden vectors. */
+class PropertySpec extends AnyFunSuite {
+
+  private val N = 512
+
+  /** run a scalacheck property under scalatest (no scalatestplus bridge
+    * in the offline cache) */
+  private def check(p: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("bucket is always in [0, n) and deterministic for every long/int/string") {
+    check(forAll(Gen.long, Gen.choose(1, 1 << 16)) { (v, n) =>
+      val b = TransformUtil.bucketLong(v, n)
+      b >= 0 && b < n && b == TransformUtil.bucketLong(v, n)
+    })
+    check(forAll(Gen.alphaNumStr, Gen.choose(1, 1024)) { (s, n) =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      val b = TransformUtil.bucketString(u, n)
+      b >= 0 && b < n
+    })
+  }
+
+  test("truncate[W] is idempotent, <= input, and width-aligned (ints/longs)") {
+    // bounds keep v - floorMod(v, w) away from the wrap-around edge
+    // (truncate at MIN_VALUE wraps in the reference implementations too);
+    // NoShrink because scalacheck shrinking escapes generator ranges
+    check(Prop.forAllNoShrink(
+      Gen.choose(Long.MinValue + 2000000L, Long.MaxValue), Gen.choose(1L, 1000000L)) { (v, w) =>
+      val t = TransformUtil.truncateLong(v, w)
+      t <= v && (v - t) < w && TransformUtil.truncateLong(t, w) == t &&
+        Math.floorMod(t, w) == 0
+    })
+    check(Prop.forAllNoShrink(
+      Gen.choose(Int.MinValue + 200000, Int.MaxValue), Gen.choose(1, 100000)) { (v, w) =>
+      val t = TransformUtil.truncateInt(v, w)
+      t <= v && (v - t) < w && TransformUtil.truncateInt(t, w) == t
+    })
+  }
+
+  test("string truncate keeps a prefix of at most W code points") {
+    check(forAll(Gen.asciiPrintableStr, Gen.choose(1, 32)) { (s, w) =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      val t = TransformUtil.truncateString(u, w).toString
+      s.startsWith(t) && t.codePointCount(0, t.length) <= w
+    })
+  }
+
+  test("single-value encoding round-trips every primitive") {
+    def rt(t: IceType, v: Any): Boolean =
+      SingleValue.decode(t, SingleValue.encode(t, v)) == v
+    check(forAll(Gen.long)(v => rt(IcePrim("long"), v)))
+    check(forAll(Gen.chooseNum(Int.MinValue, Int.MaxValue))(v => rt(IcePrim("int"), v)))
+    check(forAll(Gen.double.suchThat(d => !d.isNaN))(v => rt(IcePrim("double"), v)))
+    check(forAll(Gen.alphaNumStr)(v => rt(IcePrim("string"), v)))
+    check(forAll(Gen.oneOf(true, false))(v => rt(IcePrim("boolean"), v)))
+    check(forAll(Gen.uuid)(u => rt(IcePrim("uuid"), u.toString)))
+    check(forAll(Gen.long, Gen.choose(0, 9)) { (unscaled, scale) =>
+      val bd = new java.math.BigDecimal(java.math.BigInteger.valueOf(unscaled), scale)
+      rt(IceDecimal(38, scale), bd)
+    })
+  }
+
+  test("table metadata JSON serialization round-trips") {
+    val genField: Gen[IceField] = for {
+      id <- Gen.choose(1, 1000)
+      name <- Gen.identifier.suchThat(_.nonEmpty)
+      req <- Gen.oneOf(true, false)
+      t <- Gen.oneOf[IceType](
+        IcePrim("int"), IcePrim("long"), IcePrim("string"), IcePrim("double"),
+        IcePrim("date"), IcePrim("timestamp"), IcePrim("uuid"), IcePrim("time"),
+        IceDecimal(12, 2))
+      dflt <- Gen.option(Gen.oneOf[Any](1L, "x", 2.5, true))
+    } yield IceField(id, name, req, t, None, dflt, dflt)
+    val genMeta: Gen[TableMetadata] = for {
+      fields <- Gen.nonEmptyListOf(genField)
+      distinct = fields.groupBy(_.name).map(_._2.head).toList.sortBy(_.id)
+      props <- Gen.mapOf(Gen.zip(Gen.identifier, Gen.alphaNumStr))
+      seq <- Gen.choose(0L, 1L << 40)
+      refs <- Gen.mapOf(Gen.zip(Gen.identifier, for {
+        sid <- Gen.choose(1L, Long.MaxValue - 1)
+        tpe <- Gen.oneOf("tag", "branch")
+        keep <- Gen.option(Gen.choose(1, 10))
+        age <- Gen.option(Gen.choose(1L, 1L << 40))
+      } yield IceSnapshotRef(sid, tpe, keep, age, age)))
+    } yield TableMetadata(
+      formatVersion = 2, tableUuid = "u", location = "/tmp/x",
+      lastSequenceNumber = seq, lastUpdatedMs = 1L,
+      lastColumnId = distinct.map(_.id).max,
+      schemas = List(IceSchema(0, distinct)), currentSchemaId = 0,
+      partitionSpecs = List(IcePartitionSpec(0, Nil)), defaultSpecId = 0,
+      lastPartitionId = 999, properties = props, currentSnapshotId = None,
+      snapshots = Nil, snapshotLog = Nil, metadataLog = Nil,
+      sortOrders = List(IceSortOrder(0, Nil)), defaultSortOrderId = 0,
+      refs = refs)
+    check(Prop.forAllNoShrink(genMeta) { m =>
+      MetadataJson.parse(MetadataJson.serialize(m)) == m
+    })
+  }
+
+  test("partition-transform row evaluator agrees with the Catalyst expressions") {
+    // TransformEval (native writer) and transforms.* (facade writer) must
+    // compute identical partition values — shuffles and manifests both
+    // depend on it
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val vals = (-N to N).map(_.toLong * 977L)
+    val df = vals.toDF("v")
+    val expr = df.select(
+      graft.functions.transforms.bucket(16, col("v")),
+      graft.functions.transforms.truncate(100, col("v"))).collect()
+    vals.zip(expr).foreach { case (v, row) =>
+      assert(graft.spark.TransformEval.eval("bucket[16]", IcePrim("long"), v) === row.getInt(0))
+      assert(graft.spark.TransformEval.eval("truncate[100]", IcePrim("long"), v) === row.getLong(1))
+    }
+  }
+}
