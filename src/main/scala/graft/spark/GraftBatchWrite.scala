@@ -169,8 +169,15 @@ class GraftBatchWrite(
     val props = metadata.properties
     val maxRecords = TableWrite.maxRecordsPerFile(metadata).getOrElse(Long.MaxValue)
     val compression = props.getOrElse("write.parquet.compression-codec", "snappy")
+    // the reference's ParquetWriterConfig knobs (icelake/src/config.rs:59-71)
+    val parquetKnobs =
+      props.get("write.parquet.row-group-size-bytes").map("parquet.block.size" -> _).toMap ++
+        props.get("write.parquet.page-size-bytes").map("parquet.page.size" -> _).toMap ++
+        props.get("write.parquet.bloom-filter-enabled.columns").toSeq.flatMap(
+          _.split(',').map(_.trim).filter(_.nonEmpty)
+            .map(c => s"parquet.bloom.filter.enabled#$c" -> "true"))
     val writerConf = org.apache.spark.sql.GraftBridge.parquetWriterConf(
-      spark, sparkSchema, compression)
+      spark, sparkSchema, compression, parquetKnobs)
     val sortOrderId = metadata.sortOrders
       .find(o => o.orderId == metadata.defaultSortOrderId && o.fields.nonEmpty)
       .map(_.orderId)

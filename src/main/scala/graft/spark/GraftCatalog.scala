@@ -352,9 +352,6 @@ class GraftScanBuilder(
     table.resolveSnapshot(snapshotId, asOfTimestampMs) match {
       case None =>
         new GraftV1Scan(table, snapshotId, asOfTimestampMs, requiredSchema, pushedFiltersArr)
-      case Some(_) if needsRowMeta =>
-        // `_file`/`_pos` requested: the facade scan carries them
-        new GraftV1Scan(table, snapshotId, asOfTimestampMs, requiredSchema, pushedFiltersArr)
       case Some(s) =>
         val timeTravel = snapshotId.isDefined || asOfTimestampMs.isDefined
         val iceSchema =
@@ -374,24 +371,22 @@ class GraftScanBuilder(
         val eqD = PruneEval.prunePlanned(
           deletes.filter(_.file.content == DataContent.EqualityDeletes),
           pruneFilter, table.metadata, iceSchema)
-        // files predating an initial-default column need the default
-        // injected per file — the facade scan handles that; native scans
-        // would surface nulls
+        // files predating an initial-default column serve the default as
+        // a per-file literal in the row-level scan
         val needsDefaults = iceSchema.fields.exists(f =>
           f.initialDefault.isDefined && data.exists(p =>
             p.file.columnSizes.nonEmpty && !p.file.columnSizes.contains(f.id)))
-        if (needsDefaults)
+        val deleteBytes = (posD ++ eqD).map(_.file.fileSizeInBytes).sum
+        val smallDeletes =
+          deleteBytes <= GraftTable.deleteBroadcastMaxBytes(SparkSession.active)
+        if (!smallDeletes)
+          // jumbo delete sets: the facade's AQE-planned anti-join plan
           new GraftV1Scan(table, snapshotId, asOfTimestampMs, requiredSchema, pushedFiltersArr)
-        else if (posD.isEmpty && eqD.isEmpty)
+        else if (posD.nonEmpty || eqD.nonEmpty || needsRowMeta || needsDefaults)
+          new GraftMorScan(table, iceSchema, data, posD, eqD, fullSchema, requiredSchema,
+            pushedFiltersArr)
+        else
           new GraftNativeBatchScan(table, data, fullSchema, requiredSchema, pushedFiltersArr)
-        else {
-          val deleteBytes = (posD ++ eqD).map(_.file.fileSizeInBytes).sum
-          if (deleteBytes <= GraftTable.deleteBroadcastMaxBytes(SparkSession.active))
-            new GraftMorScan(table, iceSchema, data, posD, eqD, fullSchema, requiredSchema,
-              pushedFiltersArr)
-          else
-            new GraftV1Scan(table, snapshotId, asOfTimestampMs, requiredSchema, pushedFiltersArr)
-        }
     }
   }
 }

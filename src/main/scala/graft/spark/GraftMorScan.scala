@@ -38,22 +38,23 @@ case class GraftTaskMetric(metricName: String, v: Long)
   override def value(): Long = v
 }
 
-/** Native DSv2 scan of a merge-on-read snapshot — the path the reference
-  * documents but never built (icelake/src/io/scan.rs applies no deletes).
+/** Native DSv2 row-level scan — the path the reference documents but
+  * never built (icelake/src/io/scan.rs applies no deletes).
   *
-  * Chosen when the snapshot's delete files are small (bounded by
-  * [[GraftTable.DeleteBroadcastMaxBytes]]): delete state is resolved at
-  * plan time into per-data-file position arrays plus equality-key hash
-  * maps, shipped with the task binary, and applied inside the partition
-  * reader. SQL reads of MoR tables therefore stay ONE scan node —
-  * vectorized parquet + row-level delete filtering — instead of dropping
-  * to the V1 bridge's RDD round-trip. Large delete sets (rare) fall back
-  * to the facade's AQE-planned anti-join plan.
+  * Serves everything a per-row wrapper can do natively: merge-on-read
+  * delete application (delete state resolved at plan time into
+  * per-data-file position arrays plus equality-key hash maps, bounded by
+  * [[GraftTable.DeleteBroadcastMaxBytes]]), the `_file`/`_pos` metadata
+  * columns (partition-constant path + sequential row counter), and
+  * per-file initial-defaults (fields a file predates come back as
+  * plan-time literals). SQL MoR reads, row-level DML scans, and
+  * defaulted-table reads all stay ONE scan node; only jumbo delete sets
+  * fall back to the facade's AQE-planned anti-join plan.
   *
   * Row positions are counted sequentially per file; partitions are always
-  * whole single files and no filters are pushed into the inner parquet
-  * reader (Spark re-applies every filter above the scan, so correctness
-  * is unaffected and positions stay exact).
+  * whole single files, and filters push into the inner parquet reader
+  * only for files without position deletes (row-group skipping would
+  * break the position counter).
   */
 class GraftMorScan(
     table: GraftTable,
@@ -70,15 +71,21 @@ class GraftMorScan(
 
   override def toBatch: Batch = this
 
+  private val metaNames = Set("_file", "_pos")
+
+  /** the data columns the inner parquet read must produce */
+  private val requiredDataFields =
+    requiredSchema.fields.filterNot(f => metaNames.contains(f.name))
+
   /** equality-key columns that must ride the inner read beyond the
     * required columns (projected away after delete filtering) */
   private val eqKeyFields: Seq[IceField] = eqDeletes
     .flatMap(_.file.equalityIds).distinct
     .flatMap(id => iceSchema.fieldById(id))
-    .filterNot(f => requiredSchema.fieldNames.contains(f.name))
+    .filterNot(f => requiredDataFields.exists(_.name == f.name))
 
   private val innerSchema: StructType =
-    StructType(requiredSchema.fields ++ eqKeyFields.map(SchemaConvert.toSparkField))
+    StructType(requiredDataFields ++ eqKeyFields.map(SchemaConvert.toSparkField))
 
   /** file -> (position, delete sequence) pairs resolved at plan time: a
     * position delete applies to a data file when its sequence is >= the
@@ -135,6 +142,13 @@ class GraftMorScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val pb = posByFile
+    // per-file initial-defaults: required-field index -> default value,
+    // for fields the file predates (column-size stats lack the id)
+    val defaultedFields = requiredDataFields.zipWithIndex.flatMap { case (f, _) =>
+      iceSchema.findField(f.name)
+        .filter(_.initialDefault.isDefined)
+        .map(icef => (requiredSchema.fieldIndex(f.name), icef))
+    }
     dataFiles.zipWithIndex.map { case (p, i) =>
       val norm = GraftTable.normPathStr(p.file.filePath)
       val positions: Array[Long] = pb.get(norm) match {
@@ -142,9 +156,21 @@ class GraftMorScan(
           pairs.collect { case (pos, pseq) if p.seq <= pseq => pos }.distinct.sorted
         case None => Array.empty[Long]
       }
+      // JSON carries numeric defaults widened (Long/Double): narrow to the
+      // field's own type before they become literals
+      def coerce(v: Any, t: IceType): Any = (v, t) match {
+        case (l: java.lang.Long, IcePrim("int")) => l.toInt
+        case (d: java.lang.Double, IcePrim("float")) => d.toFloat
+        case _ => v
+      }
+      val defaults: Array[(Int, Any)] = defaultedFields.collect {
+        case (ord, icef)
+            if p.file.columnSizes.nonEmpty && !p.file.columnSizes.contains(icef.id) =>
+          ord -> coerce(icef.initialDefault.get, icef.fieldType)
+      }.toArray
       GraftMorInputPartition(
         org.apache.spark.sql.GraftBridge.wholeFilePartition(i, p.file.filePath, p.file.fileSizeInBytes),
-        p.seq, positions): InputPartition
+        p.seq, positions, norm, defaults): InputPartition
     }.toArray
   }
 
@@ -162,9 +188,21 @@ class GraftMorScan(
     val groups = eqGroups.map { case (keyNames, types, map) =>
       EqGroupState(keyNames.map(nameToOrdinal).toArray, types, map)
     }.toArray
-    val outOrdinals = requiredSchema.fieldNames.map(nameToOrdinal)
-    val outTypes = requiredSchema.fields.map(_.dataType)
-    new GraftMorReaderFactory(innerPush, innerNoPush, groups, outOrdinals, outTypes)
+    // output field plan: data columns bind to inner ordinals; _file is a
+    // per-partition constant; _pos reads the counter appended after the
+    // inner columns; defaulted ordinals become per-partition literals
+    val outFields: Array[OutField] = requiredSchema.fields.map { f =>
+      if (f.name == "_file") OutField.FileConst
+      else if (f.name == "_pos") OutField.PosCounter
+      else OutField.Inner(nameToOrdinal(f.name), f.dataType)
+    }
+    // _pos in the OUTPUT must be the true file position: row-group
+    // skipping from pushed filters would shift the counter, so exact
+    // positions force the no-push reader for every partition
+    val needsExactPositions = outFields.contains(OutField.PosCounter)
+    new GraftMorReaderFactory(
+      if (needsExactPositions) innerNoPush else innerPush,
+      innerNoPush, groups, outFields, innerSchema.length)
   }
 
   override def description(): String =
@@ -183,11 +221,14 @@ class GraftMorScan(
       GraftTaskMetric("graftEqDeleteFiles", eqDeletes.size.toLong))
 }
 
-/** whole-file partition + its data sequence + the positions deleted in it */
+/** whole-file partition + its data sequence, deleted positions, path
+  * (for the `_file` metadata column), and per-file default literals */
 case class GraftMorInputPartition(
     filePartition: InputPartition,
     dseq: Long,
-    positions: Array[Long])
+    positions: Array[Long],
+    path: String,
+    defaults: Array[(Int, Any)])
     extends InputPartition
 
 case class EqGroupState(
@@ -195,12 +236,20 @@ case class EqGroupState(
     keyTypes: Array[DataType],
     keys: JHashMap[UnsafeRow, java.lang.Long])
 
+/** how each output field is produced */
+sealed trait OutField extends Serializable
+object OutField {
+  case class Inner(ordinal: Int, dataType: DataType) extends OutField
+  case object FileConst extends OutField
+  case object PosCounter extends OutField
+}
+
 class GraftMorReaderFactory(
     innerPush: PartitionReaderFactory,
     innerNoPush: PartitionReaderFactory,
     eqGroups: Array[EqGroupState],
-    outOrdinals: Array[Int],
-    outTypes: Array[DataType])
+    outFields: Array[OutField],
+    innerLen: Int)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = false
@@ -211,9 +260,24 @@ class GraftMorReaderFactory(
       (if (mor.positions.isEmpty) innerPush else innerNoPush)
         .createReader(mor.filePartition)
     new PartitionReader[InternalRow] {
-      private val outProj = UnsafeProjection.create(
-        outOrdinals.zip(outTypes).map { case (ord, t) =>
-          BoundReference(ord, t, nullable = true) })
+      import org.apache.spark.sql.catalyst.expressions.{JoinedRow, Literal}
+      private val defaultOf = mor.defaults.toMap
+      // project from JoinedRow(innerRow, [pos]): data columns bind to
+      // inner ordinals (or become per-file default literals), _file is a
+      // partition-constant literal, _pos reads the appended counter slot
+      private val outProj = UnsafeProjection.create(outFields.zipWithIndex.map {
+        case (OutField.Inner(ord, t), outIdx) =>
+          defaultOf.get(outIdx) match {
+            case Some(v) => Literal.create(v, t)
+            case None => BoundReference(ord, t, nullable = true)
+          }
+        case (OutField.FileConst, _) =>
+          Literal.create(mor.path, org.apache.spark.sql.types.StringType)
+        case (OutField.PosCounter, _) =>
+          BoundReference(innerLen, org.apache.spark.sql.types.LongType, nullable = false)
+      })
+      private val posRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      private val joined = new JoinedRow
       private val keyProjs = eqGroups.map { g =>
         UnsafeProjection.create(g.keyOrdinals.zip(g.keyTypes).map {
           case (ord, t) => BoundReference(ord, t, nullable = true) })
@@ -242,7 +306,8 @@ class GraftMorReaderFactory(
           pos += 1
           val row = reader.get()
           if (!deleted(row)) {
-            current = outProj(row)
+            posRow.update(0, pos)
+            current = outProj(joined(row, posRow))
             return true
           } else rowsDeleted += 1
         }

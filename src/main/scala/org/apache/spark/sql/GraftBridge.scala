@@ -102,7 +102,8 @@ object GraftBridge {
   def parquetWriterConf(
       spark: SparkSession,
       schema: org.apache.spark.sql.types.StructType,
-      compression: String): org.apache.hadoop.conf.Configuration = {
+      compression: String,
+      hadoopSettings: Map[String, String] = Map.empty): org.apache.hadoop.conf.Configuration = {
     import org.apache.spark.sql.execution.datasources.parquet.{ParquetFileFormat, ParquetWriteSupport}
     import org.apache.spark.sql.internal.SQLConf
     val classicSpark = spark.asInstanceOf[classic.SparkSession]
@@ -113,6 +114,7 @@ object GraftBridge {
     val conf = job.getConfiguration
     conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
     conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "true")
+    hadoopSettings.foreach { case (k, v) => conf.set(k, v) }
     ParquetWriteSupport.setSchema(schema, conf)
     conf
   }

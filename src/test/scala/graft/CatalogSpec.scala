@@ -228,6 +228,30 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("_pos stays exact under pushed filters across many row groups") {
+    // tiny row groups make row-group skipping observable: a filtered scan
+    // requesting _pos must report the same positions as the full scan
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.rg")
+    spark.sql(
+      """CREATE TABLE graft.db.rg (k BIGINT, pad STRING)
+        |TBLPROPERTIES ('write.parquet.row-group-size-bytes' = '4096')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.db.rg
+        |SELECT id AS k, repeat(CAST(id AS STRING), 50) AS pad FROM RANGE(20000)""".stripMargin)
+    val full = spark.sql("SELECT k, _pos FROM graft.db.rg").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val filtered = spark.sql("SELECT k, _pos FROM graft.db.rg WHERE k >= 19000").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(filtered.nonEmpty)
+    filtered.foreach { case (k, pos) => assert(full(k) === pos, s"k=$k") }
+    // and a row-level DELETE with the same shape removes the right rows
+    spark.sql("DELETE FROM graft.db.rg WHERE k IN (SELECT id + 19500 FROM RANGE(100))")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.rg").head().getLong(0) === 19900)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.rg WHERE k >= 19500 AND k < 19600")
+      .head().getLong(0) === 0)
+  }
+
   test("ALTER TABLE ADD/RENAME column via SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("DROP TABLE IF EXISTS graft.db.alt")
