@@ -148,6 +148,17 @@ class GraftWrite(
   override def description(): String = s"GraftWrite(${table.location})"
 }
 
+object GraftBatchWrite {
+  /** the reference's ParquetWriterConfig knobs (icelake/src/config.rs:59-71)
+    * as hadoop conf entries — shared by batch and delta writes */
+  def parquetKnobs(props: Map[String, String]): Map[String, String] =
+    props.get("write.parquet.row-group-size-bytes").map("parquet.block.size" -> _).toMap ++
+      props.get("write.parquet.page-size-bytes").map("parquet.page.size" -> _).toMap ++
+      props.get("write.parquet.bloom-filter-enabled.columns").toSeq.flatMap(
+        _.split(',').map(_.trim).filter(_.nonEmpty)
+          .map(c => s"parquet.bloom.filter.enabled#$c" -> "true"))
+}
+
 class GraftBatchWrite(
     table: GraftTable,
     overwriteAll: Boolean,
@@ -169,15 +180,8 @@ class GraftBatchWrite(
     val props = metadata.properties
     val maxRecords = TableWrite.maxRecordsPerFile(metadata).getOrElse(Long.MaxValue)
     val compression = props.getOrElse("write.parquet.compression-codec", "snappy")
-    // the reference's ParquetWriterConfig knobs (icelake/src/config.rs:59-71)
-    val parquetKnobs =
-      props.get("write.parquet.row-group-size-bytes").map("parquet.block.size" -> _).toMap ++
-        props.get("write.parquet.page-size-bytes").map("parquet.page.size" -> _).toMap ++
-        props.get("write.parquet.bloom-filter-enabled.columns").toSeq.flatMap(
-          _.split(',').map(_.trim).filter(_.nonEmpty)
-            .map(c => s"parquet.bloom.filter.enabled#$c" -> "true"))
     val writerConf = org.apache.spark.sql.GraftBridge.parquetWriterConf(
-      spark, sparkSchema, compression, parquetKnobs)
+      spark, sparkSchema, compression, GraftBatchWrite.parquetKnobs(props))
     val sortOrderId = metadata.sortOrders
       .find(o => o.orderId == metadata.defaultSortOrderId && o.fields.nonEmpty)
       .map(_.orderId)

@@ -156,17 +156,20 @@ class GraftMorScan(
           pairs.collect { case (pos, pseq) if p.seq <= pseq => pos }.distinct.sorted
         case None => Array.empty[Long]
       }
-      // JSON carries numeric defaults widened (Long/Double): narrow to the
-      // field's own type before they become literals
-      def coerce(v: Any, t: IceType): Any = (v, t) match {
-        case (l: java.lang.Long, IcePrim("int")) => l.toInt
-        case (d: java.lang.Double, IcePrim("float")) => d.toFloat
-        case _ => v
+      // JSON carries defaults widened or stringly (Long/Double/String for
+      // dates etc.): resolve to the CATALYST value at plan time with a
+      // real Cast — the same coercion the facade's lit().cast() applied
+      def catalystDefault(raw: Any, icef: IceField): Any = {
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+        val dt = SchemaConvert.toSparkType(icef.fieldType)
+        val lit = Literal(
+          org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(raw))
+        Cast(lit, dt, Some("UTC")).eval(null)
       }
       val defaults: Array[(Int, Any)] = defaultedFields.collect {
         case (ord, icef)
             if p.file.columnSizes.nonEmpty && !p.file.columnSizes.contains(icef.id) =>
-          ord -> coerce(icef.initialDefault.get, icef.fieldType)
+          ord -> catalystDefault(icef.initialDefault.get, icef)
       }.toArray
       GraftMorInputPartition(
         org.apache.spark.sql.GraftBridge.wholeFilePartition(i, p.file.filePath, p.file.fileSizeInBytes),
@@ -268,11 +271,14 @@ class GraftMorReaderFactory(
       private val outProj = UnsafeProjection.create(outFields.zipWithIndex.map {
         case (OutField.Inner(ord, t), outIdx) =>
           defaultOf.get(outIdx) match {
-            case Some(v) => Literal.create(v, t)
+            case Some(v) => Literal(v, t) // already a catalyst value
             case None => BoundReference(ord, t, nullable = true)
           }
         case (OutField.FileConst, _) =>
-          Literal.create(mor.path, org.apache.spark.sql.types.StringType)
+          // same URI form as the facade's _metadata.file_path
+          Literal.create(
+            if (mor.path.startsWith("/")) s"file://${mor.path}" else mor.path,
+            org.apache.spark.sql.types.StringType)
         case (OutField.PosCounter, _) =>
           BoundReference(innerLen, org.apache.spark.sql.types.LongType, nullable = false)
       })

@@ -55,7 +55,8 @@ class GraftDeltaWrite(table: GraftTable, cmd: RowLevelOperation.Command)
 
 case class GraftDeltaCommitMessage(
     dataFiles: Seq[IceDataFile],
-    deleteFiles: Seq[IceDataFile]) extends WriterCommitMessage
+    deleteFiles: Seq[IceDataFile],
+    referencedDataFiles: Seq[String]) extends WriterCommitMessage
 
 class GraftDeltaBatchWrite(table: GraftTable, cmd: RowLevelOperation.Command)
     extends DeltaBatchWrite {
@@ -73,8 +74,9 @@ class GraftDeltaBatchWrite(table: GraftTable, cmd: RowLevelOperation.Command)
     }
     val compression = metadata.properties
       .getOrElse("write.parquet.compression-codec", "snappy")
+    val knobs = GraftBatchWrite.parquetKnobs(metadata.properties)
     val writerConf = org.apache.spark.sql.GraftBridge.parquetWriterConf(
-      spark, sparkSchema, compression)
+      spark, sparkSchema, compression, knobs)
     val posDeleteSchema = StructType(Seq(
       StructField("file_path", StringType, nullable = false,
         metadata = fieldIdMeta(2147483546L)),
@@ -102,7 +104,10 @@ class GraftDeltaBatchWrite(table: GraftTable, cmd: RowLevelOperation.Command)
     val deletes = msgs.flatMap(_.deleteFiles)
     if (data.isEmpty && deletes.isEmpty) return
     val op = if (cmd == RowLevelOperation.Command.DELETE) "delete" else "overwrite"
-    table.commit(spark, op, data, deletes, replace = false)
+    // validated against concurrent rewrites of the files our position
+    // deletes point into (otherwise old rows resurrect while new ones land)
+    table.commitRowDelta(spark, op, data, deletes,
+      msgs.flatMap(_.referencedDataFiles).toSet)
     ()
   }
 
@@ -155,11 +160,15 @@ class GraftDeltaWriter(
     dataConf, partitionId, taskId)
 
   private val deletes = mutable.ArrayBuffer.empty[(String, Long)]
+  private val referenced = mutable.HashSet.empty[String]
 
   override def insert(row: InternalRow): Unit = dataWriter.write(row)
 
-  override def delete(meta: InternalRow, id: InternalRow): Unit =
-    deletes += ((id.getUTF8String(0).toString, id.getLong(1)))
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    val f = id.getUTF8String(0).toString
+    deletes += ((f, id.getLong(1)))
+    referenced += GraftTable.normPathStr(f)
+  }
 
   override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
     delete(meta, id)
@@ -201,7 +210,7 @@ class GraftDeltaWriter(
           upperBounds = st.upperBounds,
           splitOffsets = st.splitOffsets))
       }
-    GraftDeltaCommitMessage(dataMsg.files, deleteFiles)
+    GraftDeltaCommitMessage(dataMsg.files, deleteFiles, referenced.toSeq)
   }
 
   override def abort(): Unit = dataWriter.abort()

@@ -6,7 +6,7 @@ import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, Str
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
-import graft.tables.{SchemaConvert, StorageCatalog}
+import graft.tables.{SchemaConvert, StorageCatalog, TableWrite}
 
 /** Streaming source AND sink over a graft table.
   *
@@ -42,12 +42,21 @@ class GraftStreamSourceProvider extends StreamSourceProvider with StreamSinkProv
       sqlContext: SQLContext,
       parameters: Map[String, String],
       partitionColumns: Seq[String],
-      outputMode: OutputMode): Sink =
+      outputMode: OutputMode): Sink = {
+    // per-sink identity (derived from the checkpoint, which IS the
+    // query's identity): two streaming queries into one table must not
+    // share a batch-id key
+    val sinkId = parameters.get("checkpointLocation")
+      .orElse(parameters.get("queryName"))
+      .map(s => java.lang.Integer.toHexString(s.hashCode))
+      .getOrElse("default")
     new GraftStreamSink(
       location(parameters),
       parameters.get("upsert-keys").map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         .filter(_.nonEmpty),
-      parameters.get("op-column"))
+      parameters.get("op-column"),
+      sinkId)
+  }
 
   override def sourceSchema(
       sqlContext: SQLContext,
@@ -111,30 +120,40 @@ class GraftStreamSource(spark: SparkSession, location: String) extends Source {
   override def stop(): Unit = ()
 }
 
-/** Micro-batch sink: one snapshot commit per batch. `batchId` is stamped
-  * into the snapshot summary; a restarted query re-delivering the last
-  * batch is skipped (exactly-once on top of the checkpoint's at-least-
-  * once replay). */
+/** Micro-batch sink: one snapshot commit per batch. The batch id rides
+  * the DATA commit's own snapshot summary (atomic — a crash between
+  * write and stamp cannot leave unstamped data), keyed per sink so
+  * concurrent queries into one table don't collide; a restarted query
+  * re-delivering an already-committed batch is skipped. Exactly-once on
+  * top of the checkpoint's at-least-once replay. */
 class GraftStreamSink(
     location: String,
     upsertKeys: Option[Seq[String]],
-    opColumn: Option[String])
+    opColumn: Option[String],
+    sinkId: String)
     extends Sink {
+
+  private def batchKey = s"streaming-batch-id-$sinkId"
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
     val t = StorageCatalog.loadTable(spark.sparkContext.hadoopConfiguration, location)
-    val committed = t.metadata.currentSnapshot
-      .flatMap(_.summary.get("streaming-batch-id")).map(_.toLong)
+    // the highest batch this sink ever committed, across ALL snapshots
+    // (later commits by other writers must not mask our stamp)
+    val committed = t.metadata.snapshots
+      .flatMap(_.summary.get(batchKey)).map(_.toLong)
+      .maxOption
     if (committed.exists(_ >= batchId)) return // replayed batch
     // streaming DataFrames cannot be re-planned by batch writers: pin the
     // batch contents first (the micro-batch is bounded)
     val batch = org.apache.spark.sql.GraftBridge.asBatchDataFrame(data)
+    val stamp = Map(batchKey -> batchId.toString)
     upsertKeys match {
-      case Some(keys) => t.upsert(spark, batch, keys, opColumn)
-      case None => t.append(spark, batch)
+      case Some(keys) => t.upsert(spark, batch, keys, opColumn, extraSummary = stamp)
+      case None =>
+        val files = TableWrite.writeDataFiles(t, spark, batch)
+        t.commit(spark, "append", files, Nil, replace = false, extraSummary = stamp)
     }
-    t.stampCurrentSnapshot("streaming-batch-id", batchId.toString)
     ()
   }
 }

@@ -142,9 +142,16 @@ class GraftTable(
       if (timeTravel) snap.map(metadata.schemaFor).getOrElse(metadata.currentSchema)
       else metadata.currentSchema
     val sparkSchema = SchemaConvert.toSparkSchema(schema)
+    // empty results must still carry _file/_pos when asked for — callers
+    // like deleteWhere select them unconditionally
+    val emptySchema =
+      if (!keepFilePos) sparkSchema
+      else StructType(sparkSchema.fields ++ Seq(
+        StructField("_file", StringType), StructField("_pos", LongType)))
+    def empty: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
     snap match {
-      case None =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
+      case None => empty
       case Some(s) =>
         val all = planFiles(s, filter)
         val allData = all.filter(_.file.content == DataContent.Data)
@@ -172,9 +179,7 @@ class GraftTable(
         }.filter(_._2.nonEmpty)
         val needFileCol = needDeletes || keepFilePos || defaulted.nonEmpty
 
-        if (dataFiles.isEmpty)
-          return spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
+        if (dataFiles.isEmpty) return empty
 
         // ONE scan over all live data files (the per-sequence union fan of
         // round 1 exploded plan size linearly in commit count); per-file
@@ -394,13 +399,17 @@ class GraftTable(
   }
 
   /** Row-level DELETE by predicate: position deletes for every matching
-    * row in one snapshot (SQL `DELETE FROM t WHERE ...`). */
+    * row in one snapshot (SQL `DELETE FROM t WHERE ...`). Validated
+    * against concurrent rewrites of the referenced files. */
   def deleteWhere(spark: SparkSession, cond: Column): GraftTable = {
     val matching = scan(spark, keepFilePos = true).filter(cond)
       .select(col("_file").as("file_path"), col("_pos").as("pos"))
     val deleteFiles = writePositionDeleteFiles(spark, matching)
     if (deleteFiles.isEmpty) return this
-    commit(spark, "delete", addedData = Nil, addedDeletes = deleteFiles, replace = false)
+    val referenced = spark.read.parquet(deleteFiles.map(_.filePath): _*)
+      .select(normPath(col("file_path"))).distinct()
+      .collect().map(_.getString(0)).toSet
+    commitRowDelta(spark, "delete", Nil, deleteFiles, referenced)
   }
 
   /** Filtered overwrite (`INSERT OVERWRITE ... WHERE`-style semantics, the
@@ -466,7 +475,8 @@ class GraftTable(
       spark: SparkSession,
       df: DataFrame,
       keyCols: Seq[String],
-      opCol: Option[String] = None): GraftTable = {
+      opCol: Option[String] = None,
+      extraSummary: Map[String, String] = Map.empty): GraftTable = {
     val schema = metadata.currentSchema
     val ids = keyCols.map(n => schema.findField(n).getOrElse(sys.error(s"no field $n")).id)
     val (inserts, allKeys) = opCol match {
@@ -477,7 +487,8 @@ class GraftTable(
     val deleteFiles = TableWrite.writeDeleteFiles(
       this, spark, allKeys, DataContent.EqualityDeletes, ids)
     val dataFiles = TableWrite.writeDataFiles(this, spark, inserts)
-    commit(spark, "overwrite", addedData = dataFiles, addedDeletes = deleteFiles, replace = false)
+    commit(spark, "overwrite", addedData = dataFiles, addedDeletes = deleteFiles,
+      replace = false, extraSummary = extraSummary)
   }
 
   // ---------- maintenance ----------
@@ -550,6 +561,9 @@ class GraftTable(
     * may have files on disk before its commit lands). Returns the paths
     * it deleted. */
   def removeOrphanFiles(olderThanMs: Long): Seq[String] = {
+    // a stale in-memory handle must not decide what is "unreferenced":
+    // another writer's committed files would look orphaned
+    refresh()
     // an unreadable manifest means the reference set is UNKNOWN — abort
     // rather than deleting files that might be live
     val referenced: Set[String] =
@@ -742,22 +756,6 @@ class GraftTable(
     this
   }
 
-  /** Stamp a key into the CURRENT snapshot's summary (metadata-only
-    * commit) — used by the streaming sink to record the micro-batch id
-    * its snapshot came from, making batch replay idempotent. */
-  def stampCurrentSnapshot(key: String, value: String): GraftTable = {
-    val base = metadata
-    val cur = base.currentSnapshotId.getOrElse(return this)
-    val newMeta = base.copy(
-      snapshots = base.snapshots.map(s =>
-        if (s.snapshotId == cur) s.copy(summary = s.summary + (key -> value)) else s),
-      lastUpdatedMs = System.currentTimeMillis())
-    val newVersion = committer(newMeta, version)
-    metadata = newMeta
-    version = newVersion
-    this
-  }
-
   /** set/replace table properties (metadata-only commit) */
   def setProperties(props: Map[String, String]): GraftTable = {
     val base = metadata
@@ -805,12 +803,48 @@ class GraftTable(
       operation: String,
       addedData: List[IceDataFile],
       addedDeletes: List[IceDataFile],
-      replace: Boolean): GraftTable = {
+      replace: Boolean,
+      extraSummary: Map[String, String] = Map.empty): GraftTable = {
     var attempt = 0
     var done = false
     while (!done) {
       try {
-        commitOnce(operation, addedData, addedDeletes, replace)
+        commitOnce(operation, addedData, addedDeletes, replace,
+          extraSummary = extraSummary)
+        done = true
+      } catch {
+        case _: CommitConflictException if attempt < 5 =>
+          Metrics.inc(Metrics.CommitConflicts)
+          attempt += 1
+          refresh()
+      }
+    }
+    this
+  }
+
+  /** Commit for row-level operations (SQL UPDATE / MERGE / DELETE): the
+    * position deletes reference specific data files by path, so every
+    * attempt validates that those files are still live — a concurrent
+    * compaction that rewrote them would otherwise resurrect the old rows
+    * while the new rows also land (silent duplication). */
+  def commitRowDelta(
+      spark: SparkSession,
+      operation: String,
+      addedData: List[IceDataFile],
+      addedDeletes: List[IceDataFile],
+      referencedDataFiles: Set[String]): GraftTable = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val live = metadata.currentSnapshot.toList.flatMap(planFiles(_))
+        .filter(_.file.content == DataContent.Data)
+        .map(p => GraftTable.normPathStr(p.file.filePath)).toSet
+      val gone = referencedDataFiles.diff(live)
+      if (gone.nonEmpty)
+        sys.error("row-level operation conflicts with a concurrent rewrite of " +
+          s"${gone.size} data file(s) (e.g. ${gone.head}); re-run the statement")
+      try {
+        commitOnce(operation, addedData, addedDeletes, replace = false)
         done = true
       } catch {
         case _: CommitConflictException if attempt < 5 =>
@@ -854,7 +888,8 @@ class GraftTable(
       addedData: List[IceDataFile],
       addedDeletes: List[IceDataFile],
       replace: Boolean,
-      existing: List[PlannedFile] = Nil): Unit = {
+      existing: List[PlannedFile] = Nil,
+      extraSummary: Map[String, String] = Map.empty): Unit = {
     val base = metadata
     val seq = base.lastSequenceNumber + 1
     val snapshotId = math.abs(UUID.randomUUID().getLeastSignificantBits)
@@ -924,7 +959,8 @@ class GraftTable(
          else prevTotal("total-data-files") + addedData.size).toString,
       "total-delete-files" ->
         (if (replace) (addedDeletes.size + exDeletes.size).toLong
-         else prevTotal("total-delete-files") + addedDeletes.size).toString)
+         else prevTotal("total-delete-files") + addedDeletes.size).toString) ++
+      extraSummary
 
     val snapshot = IceSnapshot(
       snapshotId = snapshotId,

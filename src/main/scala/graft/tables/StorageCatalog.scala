@@ -174,11 +174,18 @@ object StorageCatalog {
       if (!acquired && System.currentTimeMillis() - lock.lastModified() > 60000L) {
         // break a crashed committer's stale lock via rename — atomic, so
         // only ONE racer wins the break (delete-then-create would let two
-        // committers both acquire and race the rename overwrite again)
+        // committers both acquire and race the rename overwrite again).
+        // TOCTOU guard: the rename may have grabbed a FRESH lock another
+        // breaker re-created between our staleness check and the rename —
+        // verify the captured file really is stale, else restore it.
         val breaker = new java.io.File(lock.getPath + s".broken-${UUID.randomUUID()}")
         if (lock.renameTo(breaker)) {
-          breaker.delete()
-          acquired = lock.createNewFile()
+          if (System.currentTimeMillis() - breaker.lastModified() > 60000L) {
+            breaker.delete()
+            acquired = lock.createNewFile()
+          } else {
+            breaker.renameTo(lock) // put the live lock back; we lost
+          }
         }
       }
       if (!acquired)

@@ -433,7 +433,7 @@ class MaintenanceSpec extends AnyFunSuite {
     val t = StorageCatalog.createOrReplaceTable(
       conf, loc, SchemaConvert.fromSparkSchema(seed.schema), IcePartitionSpec(0, Nil))
     // drive the sink directly with deterministic micro-batches
-    val sink = new graft.streaming.GraftStreamSink(loc, Some(Seq("user_id")), None)
+    val sink = new graft.streaming.GraftStreamSink(loc, Some(Seq("user_id")), None, "t1")
     sink.addBatch(0, Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("user_id", "event_type", "value"))
     sink.addBatch(1, Seq((2L, "b2", 2.5), (3L, "c", 3.0)).toDF("user_id", "event_type", "value"))
     // replay of batch 1 (checkpoint restart) must be a no-op
@@ -441,6 +441,11 @@ class MaintenanceSpec extends AnyFunSuite {
     val rows = StorageCatalog.loadTable(conf, loc).scan(spark)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(rows === Set((1L, "a"), (2L, "b2"), (3L, "c")))
+    // a SECOND query into the same table has its own batch-id key: its
+    // batch 0 must not be mistaken for a replay of the first query's
+    val sink2 = new graft.streaming.GraftStreamSink(loc, Some(Seq("user_id")), None, "t2")
+    sink2.addBatch(0, Seq((7L, "other", 7.0)).toDF("user_id", "event_type", "value"))
+    assert(StorageCatalog.loadTable(conf, loc).scan(spark).count() === 4)
   }
 
   test("metrics counters track writes, commits, scans, pruning") {
