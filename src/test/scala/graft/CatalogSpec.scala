@@ -212,6 +212,33 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM graft.db.rl").head().getLong(0) === 98)
   }
 
+  test("DELETE/UPDATE on an empty table are no-ops, not analysis errors") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.emptyt")
+    spark.sql("CREATE TABLE graft.db.emptyt (k BIGINT, v STRING)")
+    spark.sql("DELETE FROM graft.db.emptyt WHERE k = 5")
+    spark.sql("UPDATE graft.db.emptyt SET v = 'x' WHERE k = 5")
+    assert(spark.sql("SELECT _file, _pos FROM graft.db.emptyt").count() === 0)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.emptyt").head().getLong(0) === 0)
+  }
+
+  test("row-level commit refuses when referenced files were rewritten concurrently") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.conflict")
+    spark.sql("CREATE TABLE graft.db.conflict (k BIGINT)")
+    spark.sql("INSERT INTO graft.db.conflict SELECT id AS k FROM RANGE(100)")
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val t = graft.tables.StorageCatalog.loadTable(
+      spark.sparkContext.hadoopConfiguration, s"$wh/db/conflict")
+    // a commit referencing a data file the current snapshot no longer has
+    // (as after a concurrent compaction) must fail loudly, not corrupt
+    val err = intercept[RuntimeException] {
+      t.commitRowDelta(spark, "delete", Nil, Nil,
+        referencedDataFiles = Set("/no/such/rewritten-file.parquet"))
+    }
+    assert(err.getMessage.contains("concurrent rewrite"))
+  }
+
   test("_file/_pos metadata columns are SQL-selectable") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("DROP TABLE IF EXISTS graft.db.meta")
