@@ -206,11 +206,9 @@ class GraftBatchWrite(
     } else overwriteCond match {
       case Some(cond) =>
         // filtered overwrite: position-delete the matching rows and add
-        // the new files in the SAME snapshot
-        val matching = table.scan(spark, keepFilePos = true).filter(cond)
-          .select(col("_file").as("file_path"), col("_pos").as("pos"))
-        val deletes = table.writePositionDeleteFiles(spark, matching)
-        table.commit(spark, "overwrite", files, deletes, replace = false)
+        // the new files in the SAME snapshot (validated like all
+        // position-delete commits)
+        table.overwriteWhereFiles(spark, cond, files)
       case None =>
         if (overwriteAll)
           table.commit(spark, "overwrite", files, Nil, replace = true)

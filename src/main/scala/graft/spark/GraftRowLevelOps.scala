@@ -106,8 +106,7 @@ class GraftDeltaBatchWrite(table: GraftTable, cmd: RowLevelOperation.Command)
     val op = if (cmd == RowLevelOperation.Command.DELETE) "delete" else "overwrite"
     // validated against concurrent rewrites of the files our position
     // deletes point into (otherwise old rows resurrect while new ones land)
-    table.commitRowDelta(spark, op, data, deletes,
-      msgs.flatMap(_.referencedDataFiles).toSet)
+    table.commitRowDelta(op, data, deletes, msgs.flatMap(_.referencedDataFiles).toSet)
     ()
   }
 

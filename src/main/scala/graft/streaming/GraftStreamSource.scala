@@ -45,11 +45,18 @@ class GraftStreamSourceProvider extends StreamSourceProvider with StreamSinkProv
       outputMode: OutputMode): Sink = {
     // per-sink identity (derived from the checkpoint, which IS the
     // query's identity): two streaming queries into one table must not
-    // share a batch-id key
-    val sinkId = parameters.get("checkpointLocation")
+    // share a batch-id key. Full SHA-1 of the identity string — a 32-bit
+    // hash could collide two distinct checkpoints into silent batch skips.
+    val identity = parameters.get("checkpointLocation")
       .orElse(parameters.get("queryName"))
-      .map(s => java.lang.Integer.toHexString(s.hashCode))
-      .getOrElse("default")
+      .getOrElse(sys.error(
+        "graft-stream sink needs .option(\"checkpointLocation\", ...) or " +
+          ".queryName(...) — the batch-id replay guard is keyed by it"))
+    val sinkId = {
+      val d = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(identity.getBytes("UTF-8"))
+      d.take(8).map(b => f"$b%02x").mkString
+    }
     new GraftStreamSink(
       location(parameters),
       parameters.get("upsert-keys").map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
@@ -135,25 +142,39 @@ class GraftStreamSink(
 
   private def batchKey = s"streaming-batch-id-$sinkId"
 
+  /** highest batch this sink committed, across ALL snapshots (later
+    * commits by other writers must not mask the stamp; the un-keyed
+    * legacy stamp is honored for tables written by older sinks) */
+  private def committedBatch(t: graft.tables.GraftTable): Option[Long] =
+    (t.metadata.snapshots.flatMap(_.summary.get(batchKey)) ++
+      t.metadata.snapshots.flatMap(_.summary.get("streaming-batch-id")))
+      .map(_.toLong).maxOption
+
+  private class BatchAlreadyCommitted extends RuntimeException
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
     val t = StorageCatalog.loadTable(spark.sparkContext.hadoopConfiguration, location)
-    // the highest batch this sink ever committed, across ALL snapshots
-    // (later commits by other writers must not mask our stamp)
-    val committed = t.metadata.snapshots
-      .flatMap(_.summary.get(batchKey)).map(_.toLong)
-      .maxOption
-    if (committed.exists(_ >= batchId)) return // replayed batch
+    if (committedBatch(t).exists(_ >= batchId)) return // replayed batch
     // streaming DataFrames cannot be re-planned by batch writers: pin the
     // batch contents first (the micro-batch is bounded)
     val batch = org.apache.spark.sql.GraftBridge.asBatchDataFrame(data)
     val stamp = Map(batchKey -> batchId.toString)
-    upsertKeys match {
-      case Some(keys) => t.upsert(spark, batch, keys, opColumn, extraSummary = stamp)
-      case None =>
-        val files = TableWrite.writeDataFiles(t, spark, batch)
-        t.commit(spark, "append", files, Nil, replace = false, extraSummary = stamp)
-    }
+    // the stamp re-check runs inside the commit retry loop against fresh
+    // metadata: a zombie driver racing the same batch loses the CAS,
+    // refreshes, sees the stamp, and backs off instead of double-committing
+    val guard: () => Unit =
+      () => if (committedBatch(t).exists(_ >= batchId)) throw new BatchAlreadyCommitted
+    try {
+      upsertKeys match {
+        case Some(keys) =>
+          t.upsert(spark, batch, keys, opColumn, extraSummary = stamp, validate = guard)
+        case None =>
+          val files = TableWrite.writeDataFiles(t, spark, batch)
+          t.commit(spark, "append", files, Nil, replace = false,
+            extraSummary = stamp, validate = guard)
+      }
+    } catch { case _: BatchAlreadyCommitted => }
     ()
   }
 }

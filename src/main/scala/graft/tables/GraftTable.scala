@@ -361,7 +361,8 @@ class GraftTable(
     * scans join only same-partition deletes. */
   def positionDelete(spark: SparkSession, posDf: DataFrame): GraftTable = {
     val files = writePositionDeleteFiles(spark, posDf)
-    commit(spark, "delete", addedData = Nil, addedDeletes = files, replace = false)
+    if (files.isEmpty) return this
+    commitRowDelta("delete", Nil, files, referencedBy(spark, files))
   }
 
   private[graft] def writePositionDeleteFiles(
@@ -406,10 +407,7 @@ class GraftTable(
       .select(col("_file").as("file_path"), col("_pos").as("pos"))
     val deleteFiles = writePositionDeleteFiles(spark, matching)
     if (deleteFiles.isEmpty) return this
-    val referenced = spark.read.parquet(deleteFiles.map(_.filePath): _*)
-      .select(normPath(col("file_path"))).distinct()
-      .collect().map(_.getString(0)).toSet
-    commitRowDelta(spark, "delete", Nil, deleteFiles, referenced)
+    commitRowDelta("delete", Nil, deleteFiles, referencedBy(spark, deleteFiles))
   }
 
   /** Filtered overwrite (`INSERT OVERWRITE ... WHERE`-style semantics, the
@@ -417,13 +415,17 @@ class GraftTable(
     * by `df` in ONE snapshot — position deletes for the matching rows plus
     * the new data files. MoR-shaped, so only matching row positions are
     * written, not a copy of the table. */
-  def overwriteWhere(spark: SparkSession, cond: Column, df: DataFrame): GraftTable = {
+  def overwriteWhere(spark: SparkSession, cond: Column, df: DataFrame): GraftTable =
+    overwriteWhereFiles(spark, cond, TableWrite.writeDataFiles(this, spark, df))
+
+  /** filtered overwrite for already-written data files (shared by the
+    * table API and the native DSv2 write) */
+  private[graft] def overwriteWhereFiles(
+      spark: SparkSession, cond: Column, dataFiles: List[IceDataFile]): GraftTable = {
     val matching = scan(spark, keepFilePos = true).filter(cond)
       .select(col("_file").as("file_path"), col("_pos").as("pos"))
     val deleteFiles = writePositionDeleteFiles(spark, matching)
-    val dataFiles = TableWrite.writeDataFiles(this, spark, df)
-    commit(spark, "overwrite", addedData = dataFiles, addedDeletes = deleteFiles,
-      replace = false)
+    commitRowDelta("overwrite", dataFiles, deleteFiles, referencedBy(spark, deleteFiles))
   }
 
   /** Dynamic partition overwrite: partitions present in `df` are replaced
@@ -476,7 +478,8 @@ class GraftTable(
       df: DataFrame,
       keyCols: Seq[String],
       opCol: Option[String] = None,
-      extraSummary: Map[String, String] = Map.empty): GraftTable = {
+      extraSummary: Map[String, String] = Map.empty,
+      validate: () => Unit = () => ()): GraftTable = {
     val schema = metadata.currentSchema
     val ids = keyCols.map(n => schema.findField(n).getOrElse(sys.error(s"no field $n")).id)
     val (inserts, allKeys) = opCol match {
@@ -488,7 +491,7 @@ class GraftTable(
       this, spark, allKeys, DataContent.EqualityDeletes, ids)
     val dataFiles = TableWrite.writeDataFiles(this, spark, inserts)
     commit(spark, "overwrite", addedData = dataFiles, addedDeletes = deleteFiles,
-      replace = false, extraSummary = extraSummary)
+      replace = false, extraSummary = extraSummary, validate = validate)
   }
 
   // ---------- maintenance ----------
@@ -629,8 +632,21 @@ class GraftTable(
       base.snapshots.filter(_.timestampMs >= olderThanMs).map(_.snapshotId)
     val (kept, expired) = base.snapshots.partition(s => keepIds.contains(s.snapshotId))
     if (expired.isEmpty && liveRefs.size == base.refs.size) return this
+    // streaming replay guards must survive expiry: carry the max batch-id
+    // stamp per sink key from expired snapshots onto the newest kept one
+    // (an expired stamp would make a restarted query re-commit its batch)
+    val carried: Map[String, String] = expired
+      .flatMap(_.summary).filter(_._1.startsWith("streaming-batch-id"))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2.toLong).max.toString }
+    val keptWithStamps =
+      if (carried.isEmpty || kept.isEmpty) kept
+      else {
+        val newest = kept.maxBy(_.sequenceNumber).snapshotId
+        kept.map(s =>
+          if (s.snapshotId == newest) s.copy(summary = carried ++ s.summary) else s)
+      }
     val newMeta = base.copy(
-      snapshots = kept,
+      snapshots = keptWithStamps,
       refs = liveRefs,
       snapshotLog = base.snapshotLog.filter(e => keepIds.contains(e.ref.toLong)),
       lastUpdatedMs = System.currentTimeMillis())
@@ -798,19 +814,17 @@ class GraftTable(
   /** Produce a snapshot from added files and commit metadata with an
     * optimistic check-and-retry loop (the loop the reference stubbed,
     * icelake/src/transaction.rs:29-31). */
-  def commit(
-      spark: SparkSession,
-      operation: String,
-      addedData: List[IceDataFile],
-      addedDeletes: List[IceDataFile],
-      replace: Boolean,
-      extraSummary: Map[String, String] = Map.empty): GraftTable = {
+  /** The optimistic conflict-retry loop every commit flavor shares:
+    * `validate` runs against FRESH metadata before each attempt (the
+    * place for preconditions like "my referenced files still exist" or
+    * "my batch id is not committed yet"). */
+  private def retryCommit(validate: () => Unit)(body: => Unit): Unit = {
     var attempt = 0
     var done = false
     while (!done) {
+      validate()
       try {
-        commitOnce(operation, addedData, addedDeletes, replace,
-          extraSummary = extraSummary)
+        body
         done = true
       } catch {
         case _: CommitConflictException if attempt < 5 =>
@@ -819,23 +833,34 @@ class GraftTable(
           refresh()
       }
     }
-    this
   }
 
-  /** Commit for row-level operations (SQL UPDATE / MERGE / DELETE): the
-    * position deletes reference specific data files by path, so every
-    * attempt validates that those files are still live — a concurrent
-    * compaction that rewrote them would otherwise resurrect the old rows
-    * while the new rows also land (silent duplication). */
-  def commitRowDelta(
+  def commit(
       spark: SparkSession,
       operation: String,
       addedData: List[IceDataFile],
       addedDeletes: List[IceDataFile],
+      replace: Boolean,
+      extraSummary: Map[String, String] = Map.empty,
+      validate: () => Unit = () => ()): GraftTable = {
+    retryCommit(validate) {
+      commitOnce(operation, addedData, addedDeletes, replace,
+        extraSummary = extraSummary)
+    }
+    this
+  }
+
+  /** Commit carrying position deletes that reference specific data files:
+    * every attempt validates those files are still live — a concurrent
+    * compaction that rewrote them would otherwise resurrect the old rows
+    * while any new rows also land (silent duplication). Used by SQL
+    * UPDATE / MERGE / DELETE, filtered overwrite, and positionDelete. */
+  def commitRowDelta(
+      operation: String,
+      addedData: List[IceDataFile],
+      addedDeletes: List[IceDataFile],
       referencedDataFiles: Set[String]): GraftTable = {
-    var attempt = 0
-    var done = false
-    while (!done) {
+    retryCommit(() => {
       val live = metadata.currentSnapshot.toList.flatMap(planFiles(_))
         .filter(_.file.content == DataContent.Data)
         .map(p => GraftTable.normPathStr(p.file.filePath)).toSet
@@ -843,18 +868,20 @@ class GraftTable(
       if (gone.nonEmpty)
         sys.error("row-level operation conflicts with a concurrent rewrite of " +
           s"${gone.size} data file(s) (e.g. ${gone.head}); re-run the statement")
-      try {
-        commitOnce(operation, addedData, addedDeletes, replace = false)
-        done = true
-      } catch {
-        case _: CommitConflictException if attempt < 5 =>
-          Metrics.inc(Metrics.CommitConflicts)
-          attempt += 1
-          refresh()
-      }
+    }) {
+      commitOnce(operation, addedData, addedDeletes, replace = false)
     }
     this
   }
+
+  /** data-file paths a set of position-delete files refers to (one small
+    * read of the freshly written delete files) */
+  private[graft] def referencedBy(
+      spark: SparkSession, deleteFiles: List[IceDataFile]): Set[String] =
+    if (deleteFiles.isEmpty) Set.empty
+    else spark.read.parquet(deleteFiles.map(_.filePath): _*)
+      .select(normPath(col("file_path"))).distinct()
+      .collect().map(_.getString(0)).toSet
 
   /** Replace-style commit that carries a surviving subset of the previous
     * snapshot's files forward as Existing entries (dynamic partition
@@ -867,18 +894,8 @@ class GraftTable(
       operation: String,
       survivors: () => List[PlannedFile],
       addedData: List[IceDataFile]): GraftTable = {
-    var attempt = 0
-    var done = false
-    while (!done) {
-      try {
-        commitOnce(operation, addedData, Nil, replace = true, existing = survivors())
-        done = true
-      } catch {
-        case _: CommitConflictException if attempt < 5 =>
-          Metrics.inc(Metrics.CommitConflicts)
-          attempt += 1
-          refresh()
-      }
+    retryCommit(() => ()) {
+      commitOnce(operation, addedData, Nil, replace = true, existing = survivors())
     }
     this
   }

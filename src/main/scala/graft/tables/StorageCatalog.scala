@@ -170,28 +170,45 @@ object StorageCatalog {
     if (isLocal) {
       val lock = new java.io.File(
         new Path(dir, s".commit-v$next.lock").toUri.getPath)
-      var acquired = lock.createNewFile() // atomic on POSIX
+      val myToken = UUID.randomUUID().toString
+      def acquire(): Boolean =
+        lock.createNewFile() && { // atomic on POSIX
+          // identity-stamp the lock: before committing we re-read it, so
+          // a racer that broke/clobbered our lock is detected instead of
+          // two committers entering the critical section
+          java.nio.file.Files.writeString(lock.toPath, myToken)
+          true
+        }
+      var acquired = acquire()
       if (!acquired && System.currentTimeMillis() - lock.lastModified() > 60000L) {
         // break a crashed committer's stale lock via rename — atomic, so
         // only ONE racer wins the break (delete-then-create would let two
         // committers both acquire and race the rename overwrite again).
-        // TOCTOU guard: the rename may have grabbed a FRESH lock another
-        // breaker re-created between our staleness check and the rename —
-        // verify the captured file really is stale, else restore it.
+        // If the rename captured a FRESH lock (its holder re-created it
+        // between our staleness check and the rename), we do NOT restore
+        // it — the token re-check below makes its holder back off safely.
         val breaker = new java.io.File(lock.getPath + s".broken-${UUID.randomUUID()}")
         if (lock.renameTo(breaker)) {
-          if (System.currentTimeMillis() - breaker.lastModified() > 60000L) {
-            breaker.delete()
-            acquired = lock.createNewFile()
-          } else {
-            breaker.renameTo(lock) // put the live lock back; we lost
-          }
+          breaker.delete()
+          acquired = acquire()
         }
       }
       if (!acquired)
         throw new CommitConflictException(s"concurrent commit in flight for version $next")
-      try writeAndRename()
-      finally lock.delete()
+      try {
+        // the lock must still be OURS at the commit point
+        val held =
+          try java.nio.file.Files.readString(lock.toPath) == myToken
+          catch { case _: Throwable => false }
+        if (!held)
+          throw new CommitConflictException(s"commit lock for version $next was stolen")
+        writeAndRename()
+      } finally {
+        // delete only our own lock
+        try {
+          if (java.nio.file.Files.readString(lock.toPath) == myToken) lock.delete()
+        } catch { case _: Throwable => }
+      }
     } else writeAndRename()
 
     // the hint is an advisory cache (latestMetadata verifies it and falls

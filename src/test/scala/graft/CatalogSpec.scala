@@ -233,7 +233,7 @@ class CatalogSpec extends AnyFunSuite {
     // a commit referencing a data file the current snapshot no longer has
     // (as after a concurrent compaction) must fail loudly, not corrupt
     val err = intercept[RuntimeException] {
-      t.commitRowDelta(spark, "delete", Nil, Nil,
+      t.commitRowDelta("delete", Nil, Nil,
         referencedDataFiles = Set("/no/such/rewritten-file.parquet"))
     }
     assert(err.getMessage.contains("concurrent rewrite"))
