@@ -93,7 +93,7 @@ class GraftMorScan(
   private lazy val posByFile: Map[String, Array[(Long, Long)]] = {
     if (posDeletes.isEmpty) Map.empty
     else {
-      val spark = SparkSession.active
+      val spark = GraftTable.pinnedSession(SparkSession.active)
       val seqOf = posDeletes
         .map(p => (GraftTable.normPathStr(p.file.filePath), p.seq)).toMap
       val df = spark.read.parquet(posDeletes.map(_.file.filePath): _*)
@@ -114,11 +114,11 @@ class GraftMorScan(
       val keyFields = eqIds.flatMap(id => iceSchema.fieldById(id))
       if (keyFields.isEmpty) None
       else {
-        val spark = SparkSession.active
         // resolve delete columns by FIELD ID (same contract as the facade
         // scan): a rename after the delete was written must still hit the
-        // original parquet column
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        // original parquet column — pinned on the clone session, never on
+        // the user's own session
+        val spark = GraftTable.pinnedSession(SparkSession.active)
         val keyNames = keyFields.map(_.name)
         val readSchema = StructType(keyFields.map(SchemaConvert.toSparkField))
         val seqOf = files.map(p => (GraftTable.normPathStr(p.file.filePath), p.seq)).toMap

@@ -119,7 +119,8 @@ class GraftStreamSource(spark: SparkSession, location: String) extends Source {
         }
         if (files.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
-        else spark.read.schema(sparkSchema).parquet(files.map(_.file.filePath): _*)
+        else graft.tables.GraftTable.pinnedSession(spark).read.schema(sparkSchema)
+          .parquet(files.map(_.file.filePath): _*)
     }
     org.apache.spark.sql.GraftBridge.asStreamingDataFrame(batch)
   }

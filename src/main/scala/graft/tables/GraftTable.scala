@@ -130,11 +130,10 @@ class GraftTable(
       filter: Option[Column] = None,
       keepFilePos: Boolean = false,
       onlyFiles: Option[Set[String]] = None): DataFrame = {
-    // our data files carry iceberg field ids; resolve parquet columns by id
-    // so renamed columns keep reading pre-rename files (id-based resolution,
-    // the property the format is built around)
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val snap = resolveSnapshot(snapshotId, asOfTimestampMs)
+    // parquet reads run under the pinned clone session (field-id column
+    // resolution) — the user's own session conf is never touched
+    val rspark = GraftTable.pinnedSession(spark)
     // time travel pins the snapshot's schema; current reads use the
     // current schema (Iceberg read semantics)
     val timeTravel = snapshotId.isDefined || asOfTimestampMs.isDefined
@@ -185,7 +184,8 @@ class GraftTable(
         // round 1 exploded plan size linearly in commit count); per-file
         // data sequence numbers attach via a broadcast (file -> seq) map
         // joined on the file-path metadata column.
-        var df = spark.read.schema(sparkSchema).parquet(dataFiles.map(_.file.filePath): _*)
+        var df = rspark.read.schema(sparkSchema)
+          .parquet(dataFiles.map(_.file.filePath): _*)
         if (needFileCol)
           df = df
             .withColumn("_file", col("_metadata.file_path"))
@@ -205,7 +205,7 @@ class GraftTable(
           if (posDeletes.nonEmpty) {
             val pseqDf = kvDf(spark,
               posDeletes.map(p => (normPathStr(p.file.filePath), p.seq)), "_pd_src", "_pseq")
-            val posDf = spark.read.parquet(posDeletes.map(_.file.filePath): _*)
+            val posDf = rspark.read.parquet(posDeletes.map(_.file.filePath): _*)
               .withColumn("_pd_src", normPath(col("_metadata.file_path")))
               .join(broadcast(pseqDf), "_pd_src")
               .select(normPath(col("file_path")).as("_pd_file"),
@@ -230,7 +230,8 @@ class GraftTable(
               val readSchema = StructType(keyFields.map(SchemaConvert.toSparkField))
               val eseqDf = kvDf(spark,
                 files.map(p => (normPathStr(p.file.filePath), p.seq)), "_ed_src", "_eseq")
-              val eqDf = spark.read.schema(readSchema).parquet(files.map(_.file.filePath): _*)
+              val eqDf = rspark.read.schema(readSchema)
+                .parquet(files.map(_.file.filePath): _*)
                 .withColumn("_ed_src", normPath(col("_metadata.file_path")))
                 .join(broadcast(eseqDf), "_ed_src")
                 .select(keyNames.map(n => col(n).as(s"_eq_$n")) :+ col("_eseq"): _*)
@@ -306,7 +307,8 @@ class GraftTable(
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
-    spark.read.schema(sparkSchema).parquet(files.map(_.file.filePath): _*)
+    GraftTable.pinnedSession(spark).read.schema(sparkSchema)
+      .parquet(files.map(_.file.filePath): _*)
   }
 
   /** files that a filtered scan would read — lets tests assert pruning */
@@ -543,6 +545,16 @@ class GraftTable(
         p.file.content != DataContent.Data && p.seq > snap.sequenceNumber)
       if (newDeletes.nonEmpty)
         sys.error("concurrent delete during compaction; re-run rewriteSmallFiles")
+      // a concurrent replace-style commit (dynamic overwrite / truncate /
+      // overwrite) may have dropped some of the files being rewritten —
+      // re-adding their rows would resurrect overwritten data
+      val liveData = now.filter(_.file.content == DataContent.Data)
+        .map(p => GraftTable.normPathStr(p.file.filePath)).toSet
+      val gone = smallPaths.diff(liveData)
+      if (gone.nonEmpty)
+        sys.error("concurrent overwrite dropped " +
+          s"${gone.size} file(s) being compacted (e.g. ${gone.head}); " +
+          "re-run rewriteSmallFiles")
       now.filterNot(p => p.file.content == DataContent.Data &&
         smallPaths.contains(GraftTable.normPathStr(p.file.filePath)))
     }
@@ -937,10 +949,13 @@ class GraftTable(
       case ((specId, content), files) =>
         val entries = files.map(p => IceManifestEntry(
           ManifestStatus.Existing, Some(snapshotId), Some(p.seq), Some(p.seq), p.file))
+        // data manifests follow the table's format version; delete
+        // manifests only exist on v2+ tables
         listEntries :+= ManifestIO.writeManifest(
           conf, s"$mdir/${UUID.randomUUID()}-e$specId-$content.avro", entries,
           metadata.specById(specId), schema,
-          content = if (content == DataContent.Data) 0 else 1)
+          content = if (content == DataContent.Data) 0 else 1,
+          formatVersion = if (content == DataContent.Data) fv else math.max(fv, 2))
     }
     val previous: List[IceManifestListEntry] =
       if (replace) Nil
@@ -1026,6 +1041,16 @@ object GraftTable {
   def deleteBroadcastMaxBytes(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.delete-broadcast-max-bytes")
       .map(_.toLong).getOrElse(DeleteBroadcastMaxBytes)
+
+  /** Our data files carry iceberg field ids; resolve parquet columns by id
+    * so renamed columns keep reading pre-rename files. The conf is pinned
+    * on a cached CLONE of the session (shared context, copied confs) —
+    * mutating the shared session conf would change resolution for
+    * unrelated non-graft parquet reads running concurrently, and a
+    * per-read option cannot work because ParquetFileFormat re-reads these
+    * keys from the session conf at execution time. */
+  def pinnedSession(spark: SparkSession): SparkSession =
+    org.apache.spark.sql.GraftBridge.pinnedSession(spark)
 
   /** canonical path form: Spark's `_metadata.file_path` yields `file:///x`
     * URIs while manifests store `/x` paths — normalize both for joins */

@@ -140,6 +140,13 @@ object ManifestIO {
     rec
   }
 
+  /** v1 manifest lists name the count fields `*_data_files_count` (same
+    * field ids); v2 renamed them to `*_files_count` — write each version's
+    * own names so external readers of either version see the counts
+    * (reference schema: icelake manifest_list.rs). */
+  private[tables] def countFieldName(base: String, formatVersion: Int): String =
+    if (formatVersion >= 2) s"${base}_files_count" else s"${base}_data_files_count"
+
   private def manifestListSchema(formatVersion: Int = 2): Schema = {
     val rec = Schema.createRecord("manifest_file", null, null, false)
     val v2Fields =
@@ -155,9 +162,12 @@ object ManifestIO {
       field("partition_spec_id", 502, Schema.create(Schema.Type.INT), opt = false)) ++
       v2Fields ++ List(
       field("added_snapshot_id", 503, Schema.create(Schema.Type.LONG), opt = false),
-      field("added_files_count", 504, Schema.create(Schema.Type.INT), opt = false),
-      field("existing_files_count", 505, Schema.create(Schema.Type.INT), opt = false),
-      field("deleted_files_count", 506, Schema.create(Schema.Type.INT), opt = false),
+      field(countFieldName("added", formatVersion), 504,
+        Schema.create(Schema.Type.INT), opt = false),
+      field(countFieldName("existing", formatVersion), 505,
+        Schema.create(Schema.Type.INT), opt = false),
+      field(countFieldName("deleted", formatVersion), 506,
+        Schema.create(Schema.Type.INT), opt = false),
       field("added_rows_count", 512, Schema.create(Schema.Type.LONG), opt = false),
       field("existing_rows_count", 513, Schema.create(Schema.Type.LONG), opt = false),
       field("deleted_rows_count", 514, Schema.create(Schema.Type.LONG), opt = false),
@@ -544,9 +554,9 @@ object ManifestIO {
         rec.put("min_sequence_number", e.minSequenceNumber: java.lang.Long)
       }
       rec.put("added_snapshot_id", e.addedSnapshotId: java.lang.Long)
-      rec.put("added_files_count", e.addedFilesCount: Integer)
-      rec.put("existing_files_count", e.existingFilesCount: Integer)
-      rec.put("deleted_files_count", e.deletedFilesCount: Integer)
+      rec.put(countFieldName("added", formatVersion), e.addedFilesCount: Integer)
+      rec.put(countFieldName("existing", formatVersion), e.existingFilesCount: Integer)
+      rec.put(countFieldName("deleted", formatVersion), e.deletedFilesCount: Integer)
       rec.put("added_rows_count", e.addedRowsCount: java.lang.Long)
       rec.put("existing_rows_count", e.existingRowsCount: java.lang.Long)
       rec.put("deleted_rows_count", e.deletedRowsCount: java.lang.Long)

@@ -235,11 +235,11 @@ object TableWrite {
     df.select(cols: _*)
   }
 
-  private def configureWriter(spark: SparkSession): Unit = {
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    // INT96 timestamps have no usable footer stats; write micros
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-  }
+  /** Execute parquet writes under the pinned clone session, which has
+    * field-id stamping and micros timestamps set (INT96 has no usable
+    * footer stats) — the caller's session conf stays untouched. */
+  private def pinnedWrite(df: DataFrame, spark: SparkSession): DataFrame =
+    org.apache.spark.sql.GraftBridge.rebind(df, GraftTable.pinnedSession(spark))
 
   private def listParquet(conf: Configuration, dir: String): Seq[String] = {
     val p = new Path(dir)
@@ -322,7 +322,6 @@ object TableWrite {
   def writeDataFiles(table: GraftTable, spark: SparkSession, df: DataFrame): List[IceDataFile] = {
     val schema = table.metadata.currentSchema
     val spec = table.metadata.defaultSpec
-    configureWriter(spark)
     val base = prepared(df, schema)
     val writeId = UUID.randomUUID().toString
     val outDir = s"${table.location}/data/$writeId"
@@ -363,7 +362,7 @@ object TableWrite {
     def configured(df: DataFrame): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
       val sorted =
         if (sortExprs.nonEmpty) df.sortWithinPartitions(sortExprs: _*) else df
-      var w = sorted.write.mode("errorifexists")
+      var w = pinnedWrite(sorted, spark).write.mode("errorifexists")
       maxRecords.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
       // parquet writer knobs (the reference's ParquetWriterConfig,
       // icelake/src/config.rs:59-71, as table properties)
@@ -438,7 +437,6 @@ object TableWrite {
       content: Int,
       equalityIds: Seq[Int],
       partition: Seq[Option[Any]] = Nil): List[IceDataFile] = {
-    configureWriter(spark)
     val writeId = UUID.randomUUID().toString
     val outDir = s"${table.location}/data/$writeId"
     val infos: Seq[FieldInfo] =
@@ -453,7 +451,7 @@ object TableWrite {
       val md = new MetadataBuilder().putLong(SchemaConvert.FieldIdKey, i.id.toLong).build()
       col(i.name).as(i.name, md)
     }: _*)
-    stamped.write.mode("errorifexists").parquet(outDir)
+    pinnedWrite(stamped, spark).write.mode("errorifexists").parquet(outDir)
     val paths = listParquet(table.conf, outDir)
     harvest(spark, paths, infos)
       .filter(_.recordCount > 0)
@@ -469,20 +467,21 @@ object TableWrite {
       spark: SparkSession,
       routed: DataFrame,
       partitions: List[Seq[Option[Any]]]): List[IceDataFile] = {
-    configureWriter(spark)
     val writeId = UUID.randomUUID().toString
     val outDir = s"${table.location}/data/$writeId"
     val infos = Seq(
       FieldInfo("file_path", 2147483546, "string"), FieldInfo("pos", 2147483545, "long"))
     val md = (i: FieldInfo) =>
       new MetadataBuilder().putLong(SchemaConvert.FieldIdKey, i.id.toLong).build()
-    routed
-      .select(
-        col("file_path").as("file_path", md(infos(0))),
-        col("pos").as("pos", md(infos(1))),
-        col("_dp"))
-      .repartition(col("_dp"))
-      .sortWithinPartitions(col("file_path"), col("pos"))
+    pinnedWrite(
+      routed
+        .select(
+          col("file_path").as("file_path", md(infos(0))),
+          col("pos").as("pos", md(infos(1))),
+          col("_dp"))
+        .repartition(col("_dp"))
+        .sortWithinPartitions(col("file_path"), col("pos")),
+      spark)
       .write.mode("errorifexists").partitionBy("_dp").parquet(outDir)
     val paths = listParquet(table.conf, outDir)
     harvest(spark, paths, infos).filter(_.recordCount > 0).map { st =>

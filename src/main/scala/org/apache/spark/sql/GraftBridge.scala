@@ -33,6 +33,48 @@ object GraftBridge {
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
 
+  /** Clone of `spark` — shared context and catalog, copied confs — with
+    * graft's parquet invariants pinned: field-id column resolution on
+    * read (renamed columns keep reading pre-rename files), field-id
+    * stamping + micros timestamps on write. Facade reads/writes run
+    * under the clone so the USER'S session conf is never mutated; a
+    * DataFrameReader option cannot do this because ParquetFileFormat
+    * re-reads these keys from the session conf at execution time.
+    *
+    * One clone is cached per origin session (each clone registers an
+    * ExecutionListenerBus on the shared listener bus — cloning per scan
+    * would leak listeners); confs are re-synced from the origin on every
+    * access so later user conf changes still apply. */
+  def pinnedSession(spark: SparkSession): SparkSession = pinnedCache.synchronized {
+    import org.apache.spark.sql.internal.SQLConf
+    val origin = spark.asInstanceOf[classic.SparkSession]
+    val clone = pinnedCache.get(origin) match {
+      case null =>
+        val c = origin.cloneSession()
+        pinnedCache.put(origin, c)
+        c
+      case c => c
+    }
+    origin.conf.getAll.foreach { case (k, v) =>
+      if (!clone.conf.getOption(k).contains(v)) clone.conf.set(k, v)
+    }
+    clone.conf.set(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, "true")
+    clone.conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "true")
+    clone.conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
+    clone
+  }
+
+  private val pinnedCache =
+    new java.util.WeakHashMap[classic.SparkSession, classic.SparkSession]()
+
+  /** Rebind a DataFrame's logical plan to another session over the same
+    * context, so executing it — e.g. a write — picks up that session's
+    * conf instead of the plan's original session. */
+  def rebind(df: DataFrame, to: SparkSession): DataFrame =
+    classic.Dataset.ofRows(
+      to.asInstanceOf[classic.SparkSession],
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.logical)
+
   // ---- native DSv2 read path: internal file-source machinery ----
 
   /** pack (path, fileSize) pairs into FilePartitions of ~maxBytes each */

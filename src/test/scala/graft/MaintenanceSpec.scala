@@ -476,5 +476,9 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(back.filter($"region_name".isNull).count() === 0)
     assert(back.select("region_name").as[String].collect().toSet ===
       src.select("r_name").as[String].collect().toSet)
+    // conf hygiene: field-id resolution rides a pinned clone session —
+    // the user's own session conf must stay at its default (false), so a
+    // concurrent non-graft parquet read keeps name-based resolution
+    assert(spark.conf.get("spark.sql.parquet.fieldId.read.enabled") === "false")
   }
 }
