@@ -5,13 +5,12 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column => SqlColumn, DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.{Column => SqlColumn, SparkSession}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, Write, WriteBuilder}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -27,12 +26,11 @@ import graft.tables._
   *   INSERT INTO graft.db.t SELECT ...;
   *   SELECT * FROM graft.db.t [VERSION AS OF <snapshot-id>];
   *
-  * Reads bridge through `V1Scan` into the MoR-aware facade scan
-  * ([[GraftTable.scan]]), so position/equality deletes and pruning apply
-  * identically in SQL and DataFrame paths; writes bridge through `V1Write`
-  * into the append/overwrite commit paths. (A fully native Batch/
-  * PartitionReader read path is the documented round-2 step; the bridge
-  * keeps one execution path for correctness.) */
+  * Reads and writes are fully native DSv2: delete-free snapshots go
+  * through [[GraftNativeBatchScan]] (vectorized, packed FilePartitions),
+  * anything with deletes / metadata columns / defaults through
+  * [[GraftMorScan]] (plan-time delete state for small sets, executor-side
+  * loading for jumbo ones); writes through [[GraftBatchWrite]]. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
@@ -346,12 +344,13 @@ class GraftScanBuilder(
     // ONE planning pass (manifests are read once per query): prune data
     // and delete files against the pushed filters, then pick the scan —
     //  - no deletes: native batch scan, packed FilePartitions
-    //  - small deletes: native MoR scan (delete state applied in-reader)
-    //  - large deletes (rare): V1 facade bridge with the AQE join plan
+    //  - deletes / metadata columns / defaults: native MoR scan (delete
+    //    state plan-time for small sets, executor-side for jumbo ones)
     val needsRowMeta = requiredSchema.fieldNames.exists(n => n == "_file" || n == "_pos")
     table.resolveSnapshot(snapshotId, asOfTimestampMs) match {
       case None =>
-        new GraftV1Scan(table, snapshotId, asOfTimestampMs, requiredSchema, pushedFiltersArr)
+        // no snapshot: an empty native scan (zero partitions)
+        new GraftNativeBatchScan(table, Nil, fullSchema, requiredSchema, pushedFiltersArr)
       case Some(s) =>
         val timeTravel = snapshotId.isDefined || asOfTimestampMs.isDefined
         val iceSchema =
@@ -376,13 +375,7 @@ class GraftScanBuilder(
         val needsDefaults = iceSchema.fields.exists(f =>
           f.initialDefault.isDefined && data.exists(p =>
             p.file.columnSizes.nonEmpty && !p.file.columnSizes.contains(f.id)))
-        val deleteBytes = (posD ++ eqD).map(_.file.fileSizeInBytes).sum
-        val smallDeletes =
-          deleteBytes <= GraftTable.deleteBroadcastMaxBytes(SparkSession.active)
-        if (!smallDeletes)
-          // jumbo delete sets: the facade's AQE-planned anti-join plan
-          new GraftV1Scan(table, snapshotId, asOfTimestampMs, requiredSchema, pushedFiltersArr)
-        else if (posD.nonEmpty || eqD.nonEmpty || needsRowMeta || needsDefaults)
+        if (posD.nonEmpty || eqD.nonEmpty || needsRowMeta || needsDefaults)
           new GraftMorScan(table, iceSchema, data, posD, eqD, fullSchema, requiredSchema,
             pushedFiltersArr)
         else
@@ -424,40 +417,6 @@ class GraftNativeBatchScan(
 
   override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(GraftTaskMetric("graftDataFiles", files.size.toLong))
-}
-
-/** V1 bridge scan: executes the facade scan (delete application + pruning)
-  * and hands Spark the resulting RDD. */
-class GraftV1Scan(
-    table: GraftTable,
-    snapshotId: Option[Long],
-    asOfTimestampMs: Option[Long],
-    requiredSchema: StructType,
-    filters: Array[Filter])
-    extends V1Scan {
-
-  override def readSchema(): StructType = requiredSchema
-
-  override def toV1TableScan[T <: BaseRelation with TableScan](
-      context: SQLContext): T = {
-    val relation = new BaseRelation with TableScan {
-      override def sqlContext: SQLContext = context
-      override def schema: StructType = requiredSchema
-      override def buildScan(): RDD[Row] = {
-        val spark = context.sparkSession
-        val pruneFilter = FilterToColumn.convert(filters)
-        val needsRowMeta =
-          requiredSchema.fieldNames.exists(n => n == "_file" || n == "_pos")
-        var df = table.scan(spark, snapshotId, asOfTimestampMs, pruneFilter,
-          keepFilePos = needsRowMeta)
-        if (requiredSchema.fieldNames.nonEmpty)
-          df = df.select(requiredSchema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
-        else df = df.select()
-        df.rdd
-      }
-    }
-    relation.asInstanceOf[T]
-  }
 }
 
 /** translate DSv2 source filters back into a Column for PruneEval */

@@ -42,14 +42,21 @@ case class GraftTaskMetric(metricName: String, v: Long)
   * never built (icelake/src/io/scan.rs applies no deletes).
   *
   * Serves everything a per-row wrapper can do natively: merge-on-read
-  * delete application (delete state resolved at plan time into
-  * per-data-file position arrays plus equality-key hash maps, bounded by
-  * [[GraftTable.DeleteBroadcastMaxBytes]]), the `_file`/`_pos` metadata
-  * columns (partition-constant path + sequential row counter), and
-  * per-file initial-defaults (fields a file predates come back as
-  * plan-time literals). SQL MoR reads, row-level DML scans, and
-  * defaulted-table reads all stay ONE scan node; only jumbo delete sets
-  * fall back to the facade's AQE-planned anti-join plan.
+  * delete application, the `_file`/`_pos` metadata columns
+  * (partition-constant path + sequential row counter), and per-file
+  * initial-defaults (fields a file predates come back as plan-time
+  * literals). SQL MoR reads, row-level DML scans, and defaulted-table
+  * reads all stay ONE scan node at any delete volume:
+  *
+  *  - SMALL delete sets (on-disk bytes <= `spark.graft.delete-broadcast-
+  *    max-bytes`): delete state resolves at PLAN time into per-data-file
+  *    position arrays plus equality-key hash maps shipped with the tasks
+  *    — zero extra reads per task.
+  *  - JUMBO delete sets: delete state loads EXECUTOR-side via
+  *    [[DeleteState]] — per-task pushdown-filtered position-delete reads
+  *    (each task reads only its own file's slice) and a per-executor
+  *    cached equality map — so driver memory and task-binary size stay
+  *    flat no matter how many deletes the table carries.
   *
   * Row positions are counted sequentially per file; partitions are always
   * whole single files, and filters push into the inner parquet reader
@@ -87,11 +94,18 @@ class GraftMorScan(
   private val innerSchema: StructType =
     StructType(requiredDataFields ++ eqKeyFields.map(SchemaConvert.toSparkField))
 
+  /** jumbo delete sets load executor-side; small ones resolve at plan
+    * time (cheaper per task, bounded by the broadcast threshold) */
+  private val executorSide: Boolean = {
+    val bytes = (posDeletes ++ eqDeletes).map(_.file.fileSizeInBytes).sum
+    bytes > 0 && bytes > GraftTable.deleteBroadcastMaxBytes(SparkSession.active)
+  }
+
   /** file -> (position, delete sequence) pairs resolved at plan time: a
     * position delete applies to a data file when its sequence is >= the
     * file's */
   private lazy val posByFile: Map[String, Array[(Long, Long)]] = {
-    if (posDeletes.isEmpty) Map.empty
+    if (posDeletes.isEmpty || executorSide) Map.empty
     else {
       val spark = GraftTable.pinnedSession(SparkSession.active)
       val seqOf = posDeletes
@@ -110,7 +124,8 @@ class GraftMorScan(
 
   /** per equality-id group: key types and (key -> max delete sequence) */
   private lazy val eqGroups: Seq[(Seq[String], Array[DataType], JHashMap[UnsafeRow, java.lang.Long])] =
-    eqDeletes.groupBy(_.file.equalityIds).toSeq.flatMap { case (eqIds, files) =>
+    (if (executorSide) Nil
+    else eqDeletes.groupBy(_.file.equalityIds).toSeq).flatMap { case (eqIds, files) =>
       val keyFields = eqIds.flatMap(id => iceSchema.fieldById(id))
       if (keyFields.isEmpty) None
       else {
@@ -139,6 +154,22 @@ class GraftMorScan(
         Some((keyNames, types, map))
       }
     }
+
+  /** can this position-delete file contain entries for `dataPath`?
+    * Pruned via the manifest bounds on the reserved file_path column
+    * (2147483546). Bounds are truncated conservatively (lower = prefix,
+    * upper = prefix bumped past the max), so plain string compares stay
+    * safe; the stored path may be URI- or plain-form, so any form within
+    * bounds keeps the candidate. */
+  private def posFileMayContain(pd: PlannedFile, dataPathNorm: String): Boolean = {
+    val lo = pd.file.lowerBounds.get(2147483546)
+      .map(b => new String(b, java.nio.charset.StandardCharsets.UTF_8))
+    val hi = pd.file.upperBounds.get(2147483546)
+      .map(b => new String(b, java.nio.charset.StandardCharsets.UTF_8))
+    if (lo.isEmpty && hi.isEmpty) true
+    else Seq(dataPathNorm, s"file:$dataPathNorm", s"file://$dataPathNorm")
+      .exists(f => lo.forall(_ <= f) && hi.forall(f <= _))
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val pb = posByFile
@@ -171,9 +202,17 @@ class GraftMorScan(
             if p.file.columnSizes.nonEmpty && !p.file.columnSizes.contains(icef.id) =>
           ord -> catalystDefault(icef.initialDefault.get, icef)
       }.toArray
+      // executor-side mode ships the CANDIDATE pos-delete files instead of
+      // resolved positions — pruned per data file by seq + path bounds
+      val posCandidates: Array[DeleteFileRef] =
+        if (!executorSide) Array.empty
+        else posDeletes
+          .filter(pd => pd.seq >= p.seq && posFileMayContain(pd, norm))
+          .map(pd => DeleteFileRef(pd.file.filePath, pd.file.fileSizeInBytes, pd.seq))
+          .toArray
       GraftMorInputPartition(
         org.apache.spark.sql.GraftBridge.wholeFilePartition(i, p.file.filePath, p.file.fileSizeInBytes),
-        p.seq, positions, norm, defaults): InputPartition
+        p.seq, positions, norm, defaults, posCandidates): InputPartition
     }.toArray
   }
 
@@ -191,6 +230,38 @@ class GraftMorScan(
     val groups = eqGroups.map { case (keyNames, types, map) =>
       EqGroupState(keyNames.map(nameToOrdinal).toArray, types, map)
     }.toArray
+    // executor-side mode: ship load SPECS (files + driver-built reader
+    // factories), not maps — executors build and cache the delete state
+    val spark = SparkSession.active
+    val eqSpecs: Array[EqLoadSpec] =
+      if (!executorSide) Array.empty
+      else eqDeletes.groupBy(_.file.equalityIds).toSeq.flatMap { case (eqIds, files) =>
+        val keyFields = eqIds.flatMap(id => iceSchema.fieldById(id))
+        if (keyFields.isEmpty) None
+        else {
+          val keySchema = StructType(keyFields.map(SchemaConvert.toSparkField))
+          val types = keyFields.map(f => SchemaConvert.toSparkType(f.fieldType)).toArray
+          Some(EqLoadSpec(
+            keyFields.map(f => nameToOrdinal(f.name)).toArray,
+            types,
+            files.map(p =>
+              DeleteFileRef(p.file.filePath, p.file.fileSizeInBytes, p.seq)).toArray,
+            org.apache.spark.sql.GraftBridge.parquetReaderFactory(
+              spark, keySchema, keySchema, Array.empty)))
+        }
+      }.toArray
+    val eqCacheKey: String = {
+      val sig = table.location + "#" +
+        eqDeletes.map(p => s"${p.file.filePath}:${p.seq}").sorted.mkString(",")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    }
+    val posConf =
+      if (executorSide && posDeletes.nonEmpty)
+        new graft.tables.TableWrite.SerializableHadoopConf(
+          spark.sparkContext.hadoopConfiguration)
+      else null
     // output field plan: data columns bind to inner ordinals; _file is a
     // per-partition constant; _pos reads the counter appended after the
     // inner columns; defaulted ordinals become per-partition literals
@@ -205,7 +276,8 @@ class GraftMorScan(
     val needsExactPositions = outFields.contains(OutField.PosCounter)
     new GraftMorReaderFactory(
       if (needsExactPositions) innerNoPush else innerPush,
-      innerNoPush, groups, outFields, innerSchema.length)
+      innerNoPush, groups, outFields, innerSchema.length,
+      posConf, eqSpecs, eqCacheKey)
   }
 
   override def description(): String =
@@ -224,14 +296,16 @@ class GraftMorScan(
       GraftTaskMetric("graftEqDeleteFiles", eqDeletes.size.toLong))
 }
 
-/** whole-file partition + its data sequence, deleted positions, path
-  * (for the `_file` metadata column), and per-file default literals */
+/** whole-file partition + its data sequence, deleted positions (plan-time
+  * mode) or candidate delete files (executor-side mode), path (for the
+  * `_file` metadata column), and per-file default literals */
 case class GraftMorInputPartition(
     filePartition: InputPartition,
     dseq: Long,
     positions: Array[Long],
     path: String,
-    defaults: Array[(Int, Any)])
+    defaults: Array[(Int, Any)],
+    posCandidates: Array[DeleteFileRef] = Array.empty)
     extends InputPartition
 
 case class EqGroupState(
@@ -250,17 +324,30 @@ object OutField {
 class GraftMorReaderFactory(
     innerPush: PartitionReaderFactory,
     innerNoPush: PartitionReaderFactory,
-    eqGroups: Array[EqGroupState],
+    planTimeEqGroups: Array[EqGroupState],
     outFields: Array[OutField],
-    innerLen: Int)
+    innerLen: Int,
+    posConf: graft.tables.TableWrite.SerializableHadoopConf = null,
+    eqSpecs: Array[EqLoadSpec] = Array.empty,
+    eqCacheKey: String = "")
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = false
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val mor = partition.asInstanceOf[GraftMorInputPartition]
+    // executor-side mode: resolve this task's delete state now — pushdown
+    // position-delete reads for THIS file, cached equality maps
+    val positions: Array[Long] =
+      if (mor.posCandidates.isEmpty) mor.positions
+      else DeleteState.positionsFor(mor.path, mor.dseq, mor.posCandidates, posConf.value)
+    val eqGroups: Array[EqGroupState] =
+      if (eqSpecs.isEmpty) planTimeEqGroups
+      else DeleteState.eqMaps(eqCacheKey, eqSpecs).zip(eqSpecs).map {
+        case (map, spec) => EqGroupState(spec.keyOrdinals, spec.keyTypes, map)
+      }
     val reader =
-      (if (mor.positions.isEmpty) innerPush else innerNoPush)
+      (if (positions.isEmpty) innerPush else innerNoPush)
         .createReader(mor.filePartition)
     new PartitionReader[InternalRow] {
       import org.apache.spark.sql.catalyst.expressions.{JoinedRow, Literal}
@@ -296,8 +383,8 @@ class GraftMorReaderFactory(
         Array(GraftTaskMetric("graftRowsDeleted", rowsDeleted))
 
       private def deleted(row: InternalRow): Boolean = {
-        if (mor.positions.length > 0 &&
-          java.util.Arrays.binarySearch(mor.positions, pos) >= 0) return true
+        if (positions.length > 0 &&
+          java.util.Arrays.binarySearch(positions, pos) >= 0) return true
         var i = 0
         while (i < eqGroups.length) {
           val eseq = eqGroups(i).keys.get(keyProjs(i)(row))

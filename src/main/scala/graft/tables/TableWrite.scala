@@ -449,7 +449,14 @@ object TableWrite {
       }
     val stamped = df.select(infos.map { i =>
       val md = new MetadataBuilder().putLong(SchemaConvert.FieldIdKey, i.id.toLong).build()
-      col(i.name).as(i.name, md)
+      // store the canonical path form in position deletes: readers push
+      // `file_path == <data file>` down to row groups, and a single form
+      // keeps that predicate (and the manifest bounds) exact
+      val src =
+        if (content == DataContent.PositionDeletes && i.name == "file_path")
+          GraftTable.normPath(col(i.name))
+        else col(i.name)
+      src.as(i.name, md)
     }: _*)
     pinnedWrite(stamped, spark).write.mode("errorifexists").parquet(outDir)
     val paths = listParquet(table.conf, outDir)
@@ -476,7 +483,7 @@ object TableWrite {
     pinnedWrite(
       routed
         .select(
-          col("file_path").as("file_path", md(infos(0))),
+          GraftTable.normPath(col("file_path")).as("file_path", md(infos(0))),
           col("pos").as("pos", md(infos(1))),
           col("_dp"))
         .repartition(col("_dp"))

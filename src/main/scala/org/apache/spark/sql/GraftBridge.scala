@@ -181,9 +181,18 @@ object GraftBridge {
       dataSchema: org.apache.spark.sql.types.StructType,
       readSchema: org.apache.spark.sql.types.StructType,
       filters: Array[org.apache.spark.sql.sources.Filter])
-      : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
-    import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
-    import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    parquetFactoryBuilder(spark, dataSchema, readSchema).build(filters)
+
+  /** Serializable builder for parquet reader factories over a fixed read
+    * schema: the expensive parts (hadoop conf broadcast) happen ONCE on
+    * the driver; executors can then construct per-task FILTERED readers —
+    * e.g. a position-delete read pushed down to one data file's path —
+    * without a factory per task shipping from the driver. */
+  def parquetFactoryBuilder(
+      spark: SparkSession,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      readSchema: org.apache.spark.sql.types.StructType): GraftParquetFactoryBuilder = {
     import org.apache.spark.util.SerializableConfiguration
     import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport}
     import org.apache.spark.sql.internal.SQLConf
@@ -215,9 +224,27 @@ object GraftBridge {
       SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, sqlConf.legacyParquetNanosAsLong)
     val broadcastConf = classicSpark.sparkContext.broadcast(
       new SerializableConfiguration(hadoopConf))
+    GraftParquetFactoryBuilder(sqlConf, broadcastConf, dataSchema, readSchema)
+  }
+}
+
+/** See [[GraftBridge.parquetFactoryBuilder]]. Lives in this package so it
+  * can hold the `private[sql]` factory pieces; only `build` is public. */
+case class GraftParquetFactoryBuilder private[sql] (
+    private val sqlConf: org.apache.spark.sql.internal.SQLConf,
+    private val bcConf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration],
+    private val dataSchema: org.apache.spark.sql.types.StructType,
+    private val readSchema: org.apache.spark.sql.types.StructType)
+    extends Serializable {
+
+  /** construct a reader factory (driver or executor side) */
+  def build(filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
+    import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
     ParquetPartitionReaderFactory(
-      classicSpark.sessionState.conf,
-      broadcastConf,
+      sqlConf,
+      bcConf,
       dataSchema,
       readSchema,
       new org.apache.spark.sql.types.StructType(),
@@ -225,6 +252,6 @@ object GraftBridge {
       None,
       new ParquetOptions(
         org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(Map.empty[String, String]),
-        classicSpark.sessionState.conf))
+        sqlConf))
   }
 }

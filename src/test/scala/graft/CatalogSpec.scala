@@ -126,7 +126,7 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM graft.db.mor").head().getLong(0) === 97)
   }
 
-  test("native MoR SQL scan: pos+eq deletes, filters, plan shape; large deletes fall back") {
+  test("native MoR SQL scan: pos+eq deletes, filters, plan shape; jumbo deletes stay native") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("DROP TABLE IF EXISTS graft.db.mor2")
     spark.sql("CREATE TABLE graft.db.mor2 (k BIGINT, v STRING)")
@@ -145,12 +145,23 @@ class CatalogSpec extends AnyFunSuite {
     assert(q.count() === 100 - 5 - 2)
     assert(spark.sql("SELECT COUNT(*) FROM graft.db.mor2").head().getLong(0) === 993)
 
-    // force the large-delete path: fallback plan, identical answer
-    spark.conf.set("spark.graft.delete-broadcast-max-bytes", "1")
+    // force the jumbo-delete path (threshold 0): SAME native MoR scan,
+    // delete state now loaded executor-side, identical answer
+    spark.conf.set("spark.graft.delete-broadcast-max-bytes", "0")
     try {
       val q2 = spark.sql("SELECT * FROM graft.db.mor2 WHERE k < 100")
-      assert(!q2.queryExecution.executedPlan.toString.contains("GraftMorScan"))
+      assert(q2.queryExecution.executedPlan.toString.contains("GraftMorScan"))
       assert(q2.count() === 93)
+      assert(spark.sql("SELECT COUNT(*) FROM graft.db.mor2").head().getLong(0) === 993)
+      // full-row equality with the plan-time path
+      spark.conf.unset("spark.graft.delete-broadcast-max-bytes")
+      val planTime = spark.sql("SELECT * FROM graft.db.mor2").collect().map(_.toString).sorted
+      spark.conf.set("spark.graft.delete-broadcast-max-bytes", "0")
+      val execSide = spark.sql("SELECT * FROM graft.db.mor2").collect().map(_.toString).sorted
+      assert(execSide === planTime)
+      // _file/_pos metadata columns keep working executor-side
+      // (k<10 is 10 rows minus the 5 position-deleted ones)
+      assert(spark.sql("SELECT _file, _pos FROM graft.db.mor2 WHERE k < 10").count() === 5)
     } finally spark.conf.unset("spark.graft.delete-broadcast-max-bytes")
   }
 
