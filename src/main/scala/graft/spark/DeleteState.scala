@@ -92,6 +92,24 @@ object DeleteState {
     buf.distinct.sorted.toArray
   }
 
+  /** Row-position seed for a byte-range split of a data file: the number
+    * of rows in the row groups BEFORE this range. Replicates parquet's
+    * midpoint assignment (a row group belongs to the range holding
+    * startingPos + compressedSize/2), so the seed plus sequential
+    * counting over the range reproduces exact whole-file positions. */
+  def posSeed(path: String, rangeStart: Long, conf: Configuration): Long = {
+    if (rangeStart == 0L) return 0L
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new HPath(path), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      var seed = 0L
+      reader.getFooter.getBlocks.forEach { b =>
+        if (b.getStartingPos + b.getCompressedSize / 2 < rangeStart) seed += b.getRowCount
+      }
+      seed
+    } finally reader.close()
+  }
+
   /** JVM-global LRU of equality-delete maps keyed by scan signature: one
     * build per executor per scan, shared by its tasks. Bounded at a few
     * concurrent scans; an evicted entry just rebuilds on next access. */

@@ -171,8 +171,11 @@ class GraftMorScan(
       .exists(f => lo.forall(_ <= f) && hi.forall(f <= _))
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
+
+  private lazy val plannedPartitions: Array[InputPartition] = {
     val pb = posByFile
+    val maxBytes = SparkSession.active.sessionState.conf.filesMaxPartitionBytes
     // per-file initial-defaults: required-field index -> default value,
     // for fields the file predates (column-size stats lack the id)
     val defaultedFields = requiredDataFields.zipWithIndex.flatMap { case (f, _) =>
@@ -210,10 +213,17 @@ class GraftMorScan(
           .filter(pd => pd.seq >= p.seq && posFileMayContain(pd, norm))
           .map(pd => DeleteFileRef(pd.file.filePath, pd.file.fileSizeInBytes, pd.seq))
           .toArray
-      GraftMorInputPartition(
-        org.apache.spark.sql.GraftBridge.wholeFilePartition(i, p.file.filePath, p.file.fileSizeInBytes),
-        p.seq, positions, norm, defaults, posCandidates): InputPartition
-    }.toArray
+      // a skewed jumbo file splits into byte ranges (row groups follow
+      // their midpoints) instead of one straggler task; readers of a
+      // non-zero range seed the position counter from the footer
+      org.apache.spark.sql.GraftBridge
+        .byteRanges(p.file.fileSizeInBytes, maxBytes).map { case (start, len) =>
+          GraftMorInputPartition(
+            org.apache.spark.sql.GraftBridge.rangeFilePartition(
+              i, p.file.filePath, start, len, p.file.fileSizeInBytes),
+            p.seq, positions, norm, defaults, posCandidates, start): InputPartition
+        }
+    }.flatten.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -257,10 +267,28 @@ class GraftMorScan(
         .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .map("%02x".format(_)).mkString
     }
-    val posConf =
-      if (executorSide && posDeletes.nonEmpty)
-        new graft.tables.TableWrite.SerializableHadoopConf(
-          spark.sparkContext.hadoopConfiguration)
+    // shipped always: range-split readers need it for the footer-derived
+    // position seed; executor-side mode for the pos-delete reads too
+    val serConf = new graft.tables.TableWrite.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    // a data file can only be touched by an equality delete STRICTLY newer
+    // than it — files at/after the newest delete qualify for columnar
+    val maxEqSeq = if (eqDeletes.isEmpty) Long.MinValue else eqDeletes.map(_.seq).max
+    // Columnar fast path, decided SCAN-GLOBALLY (Spark rejects mixed
+    // row/columnar partitions): if no partition needs row-level work —
+    // no deletes touch any scanned file, no defaults, no metadata
+    // columns — the whole scan serves vectorized batches over
+    // requiredSchema directly (no eq-key extra columns).
+    val hasMetaOut = requiredSchema.fieldNames.exists(metaNames.contains)
+    val allColumnar = !hasMetaOut && plannedPartitions.forall { p =>
+      val m = p.asInstanceOf[GraftMorInputPartition]
+      m.positions.isEmpty && m.posCandidates.isEmpty && m.defaults.isEmpty &&
+        ((eqGroups.isEmpty && eqSpecs.isEmpty) || m.dseq >= maxEqSeq)
+    }
+    val colFactory =
+      if (allColumnar)
+        org.apache.spark.sql.GraftBridge.parquetReaderFactory(
+          spark, dataSchema, requiredSchema, pushedFilters)
       else null
     // output field plan: data columns bind to inner ordinals; _file is a
     // per-partition constant; _pos reads the counter appended after the
@@ -277,7 +305,7 @@ class GraftMorScan(
     new GraftMorReaderFactory(
       if (needsExactPositions) innerNoPush else innerPush,
       innerNoPush, groups, outFields, innerSchema.length,
-      posConf, eqSpecs, eqCacheKey)
+      serConf, eqSpecs, eqCacheKey, colFactory)
   }
 
   override def description(): String =
@@ -296,16 +324,19 @@ class GraftMorScan(
       GraftTaskMetric("graftEqDeleteFiles", eqDeletes.size.toLong))
 }
 
-/** whole-file partition + its data sequence, deleted positions (plan-time
-  * mode) or candidate delete files (executor-side mode), path (for the
-  * `_file` metadata column), and per-file default literals */
+/** file (or byte-range split) partition + its data sequence, deleted
+  * positions (plan-time mode) or candidate delete files (executor-side
+  * mode), path (for the `_file` metadata column), per-file default
+  * literals, and the range start (readers of a non-zero range seed the
+  * position counter from the footer) */
 case class GraftMorInputPartition(
     filePartition: InputPartition,
     dseq: Long,
     positions: Array[Long],
     path: String,
     defaults: Array[(Int, Any)],
-    posCandidates: Array[DeleteFileRef] = Array.empty)
+    posCandidates: Array[DeleteFileRef] = Array.empty,
+    rangeStart: Long = 0L)
     extends InputPartition
 
 case class EqGroupState(
@@ -327,12 +358,28 @@ class GraftMorReaderFactory(
     planTimeEqGroups: Array[EqGroupState],
     outFields: Array[OutField],
     innerLen: Int,
-    posConf: graft.tables.TableWrite.SerializableHadoopConf = null,
+    serConf: graft.tables.TableWrite.SerializableHadoopConf = null,
     eqSpecs: Array[EqLoadSpec] = Array.empty,
-    eqCacheKey: String = "")
+    eqCacheKey: String = "",
+    colFactory: PartitionReaderFactory = null)
     extends PartitionReaderFactory {
 
-  override def supportColumnarReads(partition: InputPartition): Boolean = false
+  /** Columnar fast path: set only when the SCAN determined that no
+    * partition needs row-level work (Spark rejects mixed row/columnar
+    * partitions, so the choice is all-or-nothing). Pays off when the
+    * scanned files all post-date the delete set — e.g. compacted or
+    * fresh data over old CDC deletes. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    colFactory != null && (partition match {
+      case mor: GraftMorInputPartition =>
+        colFactory.supportColumnarReads(mor.filePartition)
+      case _ => false
+    })
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    colFactory.createColumnarReader(
+      partition.asInstanceOf[GraftMorInputPartition].filePartition)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val mor = partition.asInstanceOf[GraftMorInputPartition]
@@ -340,7 +387,12 @@ class GraftMorReaderFactory(
     // position-delete reads for THIS file, cached equality maps
     val positions: Array[Long] =
       if (mor.posCandidates.isEmpty) mor.positions
-      else DeleteState.positionsFor(mor.path, mor.dseq, mor.posCandidates, posConf.value)
+      else DeleteState.positionsFor(mor.path, mor.dseq, mor.posCandidates, serConf.value)
+    // byte-range split: positions are absolute within the file, so the
+    // counter seeds with the rows preceding this range
+    val seed: Long =
+      if (mor.rangeStart == 0L) 0L
+      else DeleteState.posSeed(mor.path, mor.rangeStart, serConf.value)
     val eqGroups: Array[EqGroupState] =
       if (eqSpecs.isEmpty) planTimeEqGroups
       else DeleteState.eqMaps(eqCacheKey, eqSpecs).zip(eqSpecs).map {
@@ -375,7 +427,7 @@ class GraftMorReaderFactory(
         UnsafeProjection.create(g.keyOrdinals.zip(g.keyTypes).map {
           case (ord, t) => BoundReference(ord, t, nullable = true) })
       }
-      private var pos = -1L
+      private var pos = seed - 1L
       private var current: InternalRow = _
       private var rowsDeleted = 0L
 

@@ -77,12 +77,19 @@ object GraftBridge {
 
   // ---- native DSv2 read path: internal file-source machinery ----
 
-  /** pack (path, fileSize) pairs into FilePartitions of ~maxBytes each */
+  /** Pack (path, fileSize) pairs into FilePartitions of ~maxBytes each.
+    * Files LARGER than maxBytes are split into byte ranges first (the
+    * parquet reader assigns each row group to the range holding its
+    * midpoint), so one skewed jumbo file fans out over many tasks
+    * instead of becoming a straggler. */
   def filePartitions(
       files: Seq[(String, Long)],
       maxBytes: Long): Seq[org.apache.spark.sql.connector.read.InputPartition] = {
     import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
     import org.apache.spark.sql.catalyst.InternalRow
+    val slices = files.flatMap { case (path, size) =>
+      byteRanges(size, maxBytes).map { case (start, len) => (path, size, start, len) }
+    }
     val partitions = scala.collection.mutable.ArrayBuffer[FilePartition]()
     var current = scala.collection.mutable.ArrayBuffer[PartitionedFile]()
     var currentBytes = 0L
@@ -91,28 +98,40 @@ object GraftBridge {
       current = scala.collection.mutable.ArrayBuffer[PartitionedFile]()
       currentBytes = 0L
     }
-    files.sortBy(-_._2).foreach { case (path, size) =>
-      if (currentBytes + size > maxBytes) flush()
+    slices.sortBy(-_._4).foreach { case (path, size, start, len) =>
+      if (currentBytes + len > maxBytes) flush()
       current += PartitionedFile(
         InternalRow.empty,
         org.apache.spark.paths.SparkPath.fromPathString(path),
-        0L, size, Array.empty, 0L, size)
-      currentBytes += size
+        start, len, Array.empty, 0L, size)
+      currentBytes += len
     }
     flush()
     partitions.toSeq
   }
 
+  /** tile [0, size) into ranges of at most maxBytes */
+  def byteRanges(size: Long, maxBytes: Long): Seq[(Long, Long)] =
+    if (size <= maxBytes || maxBytes <= 0) Seq((0L, size))
+    else (0L until size by maxBytes).map(s => (s, math.min(maxBytes, size - s)))
+
   /** one whole-file FilePartition per data file — MoR readers count row
     * positions sequentially, which is only valid over full files */
   def wholeFilePartition(
-      index: Int, path: String, size: Long): org.apache.spark.sql.connector.read.InputPartition = {
+      index: Int, path: String, size: Long): org.apache.spark.sql.connector.read.InputPartition =
+    rangeFilePartition(index, path, 0L, size, size)
+
+  /** a byte-range FilePartition over one file: the parquet reader serves
+    * the row groups whose midpoint falls inside [start, start+len) */
+  def rangeFilePartition(
+      index: Int, path: String, start: Long, len: Long, fileSize: Long)
+      : org.apache.spark.sql.connector.read.InputPartition = {
     import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
     import org.apache.spark.sql.catalyst.InternalRow
     FilePartition(index, Array(PartitionedFile(
       InternalRow.empty,
       org.apache.spark.paths.SparkPath.fromPathString(path),
-      0L, size, Array.empty, 0L, size)))
+      start, len, Array.empty, 0L, fileSize)))
   }
 
   /** collect a DataFrame as catalyst InternalRows (UnsafeRow copies) —

@@ -290,6 +290,53 @@ class CatalogSpec extends AnyFunSuite {
       .head().getLong(0) === 0)
   }
 
+  test("byte-range split MoR partitions: positions stay exact across splits") {
+    // graft.db.rg (written above): one data file, many 4 KB row groups,
+    // 100 position-deleted rows. A small maxPartitionBytes must fan the
+    // file into many byte-range partitions with identical results.
+    val baseline = spark.sql("SELECT k, _pos FROM graft.db.rg").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    try {
+      val q = spark.sql("SELECT k, _pos FROM graft.db.rg")
+      assert(q.rdd.getNumPartitions > 4, "file did not split into ranges")
+      val split = q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(split === baseline)
+      assert(spark.sql("SELECT COUNT(*) FROM graft.db.rg").head().getLong(0) === 19900)
+      // executor-side delete loading composes with splits
+      spark.conf.set("spark.graft.delete-broadcast-max-bytes", "0")
+      val split2 = spark.sql("SELECT k, _pos FROM graft.db.rg").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(split2 === baseline)
+    } finally {
+      spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      spark.conf.unset("spark.graft.delete-broadcast-max-bytes")
+    }
+  }
+
+  test("columnar fast path: files newer than every delete read vectorized") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.colf")
+    spark.sql("CREATE TABLE graft.db.colf (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.colf SELECT id, CAST(id AS STRING) FROM RANGE(500)")
+    spark.sql(
+      "INSERT INTO graft.db.colf SELECT id + 500, CAST(id AS STRING) FROM RANGE(500)")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val t = graft.tables.StorageCatalog.loadTable(conf, s"$wh/db/colf")
+    t.equalityDelete(spark, Seq(1L, 2L).toDF("k"), Seq("k"))
+    // compaction rewrites every data file PAST the delete's sequence: the
+    // eq-delete file stays live in the snapshot, but no remaining data
+    // file can be touched by it -> the MoR scan serves columnar batches
+    t.rewriteSmallFiles(spark, smallFileThresholdBytes = 1L << 30)
+    val q = spark.sql("SELECT k, v FROM graft.db.colf WHERE k < 100")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftMorScan"), s"expected MoR scan:\n$plan")
+    assert(plan.contains("ColumnarToRow"), s"expected columnar scan:\n$plan")
+    assert(q.count() === 98)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.colf").head().getLong(0) === 998)
+  }
+
   test("ALTER TABLE ADD/RENAME column via SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("DROP TABLE IF EXISTS graft.db.alt")
