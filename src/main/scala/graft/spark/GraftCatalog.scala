@@ -307,18 +307,28 @@ class GraftV2Table(
       TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.TRUNCATE).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(table, snapshotId, asOfTimestampMs, schema())
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // facade option: restrict the DATA side to a path subset (selective
+    // compaction reads just the files being rewritten); newline-joined
+    val onlyFiles = Option(options.get(GraftV2Table.OnlyFilesOption))
+      .map(_.split('\n').toSet)
+    new GraftScanBuilder(table, snapshotId, asOfTimestampMs, schema(), onlyFiles)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(table)
+}
+
+object GraftV2Table {
+  val OnlyFilesOption = "graft.only-files"
 }
 
 class GraftScanBuilder(
     table: GraftTable,
     snapshotId: Option[Long],
     asOfTimestampMs: Option[Long],
-    fullSchema: StructType)
+    fullSchema: StructType,
+    onlyFiles: Option[Set[String]] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushedFiltersArr: Array[Filter] = Array.empty
@@ -357,9 +367,12 @@ class GraftScanBuilder(
           if (timeTravel) table.metadata.schemaFor(s) else table.metadata.currentSchema
         val pruneFilter = FilterToColumn.convert(pushedFiltersArr)
         val planned = table.planFiles(s, pruneFilter)
-        val data = PruneEval.prunePlanned(
-          planned.filter(_.file.content == DataContent.Data),
-          pruneFilter, table.metadata, iceSchema)
+        val allData = planned.filter(_.file.content == DataContent.Data)
+          .filter(p => onlyFiles.forall(_.contains(GraftTable.normPathStr(p.file.filePath))))
+        val data = PruneEval.prunePlanned(allData, pruneFilter, table.metadata, iceSchema)
+        Metrics.inc(Metrics.ScansPlanned)
+        Metrics.inc(Metrics.FilesScanned, data.size.toLong)
+        Metrics.inc(Metrics.FilesPruned, (allData.size - data.size).toLong)
         val deletes = planned.filter(_.file.content != DataContent.Data)
         // delete files prune like the facade scan (safe because Spark
         // re-applies every filter above the scan): a snapshot whose

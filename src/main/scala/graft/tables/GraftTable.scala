@@ -122,7 +122,13 @@ class GraftTable(
     * (partition transforms + column bounds) AND re-applied row-level, so
     * results are correct regardless of pruning power. `onlyFiles`
     * restricts the DATA side to a path subset (selective compaction reads
-    * just the files being rewritten); deletes still apply in full. */
+    * just the files being rewritten); deletes still apply in full.
+    *
+    * One scan path for DataFrame and SQL reads: the facade rides the
+    * native DSv2 planning ([[graft.spark.GraftScanBuilder]] choosing the
+    * vectorized batch scan or the MoR scan), which applies deletes,
+    * metadata columns and initial-defaults in-reader — no driver-side
+    * join fan, identical plans either way in. */
   def scan(
       spark: SparkSession,
       snapshotId: Option[Long] = None,
@@ -130,137 +136,16 @@ class GraftTable(
       filter: Option[Column] = None,
       keepFilePos: Boolean = false,
       onlyFiles: Option[Set[String]] = None): DataFrame = {
-    val snap = resolveSnapshot(snapshotId, asOfTimestampMs)
-    // parquet reads run under the pinned clone session (field-id column
-    // resolution) — the user's own session conf is never touched
-    val rspark = GraftTable.pinnedSession(spark)
-    // time travel pins the snapshot's schema; current reads use the
-    // current schema (Iceberg read semantics)
-    val timeTravel = snapshotId.isDefined || asOfTimestampMs.isDefined
-    val schema =
-      if (timeTravel) snap.map(metadata.schemaFor).getOrElse(metadata.currentSchema)
-      else metadata.currentSchema
-    val sparkSchema = SchemaConvert.toSparkSchema(schema)
-    // empty results must still carry _file/_pos when asked for — callers
-    // like deleteWhere select them unconditionally
-    val emptySchema =
-      if (!keepFilePos) sparkSchema
-      else StructType(sparkSchema.fields ++ Seq(
-        StructField("_file", StringType), StructField("_pos", LongType)))
-    def empty: DataFrame = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
-    snap match {
-      case None => empty
-      case Some(s) =>
-        val all = planFiles(s, filter)
-        val allData = all.filter(_.file.content == DataContent.Data)
-          .filter(p => onlyFiles.forall(_.contains(normPathStr(p.file.filePath))))
-        val dataFiles = PruneEval.prunePlanned(allData, filter, metadata, schema)
-        Metrics.inc(Metrics.ScansPlanned)
-        Metrics.inc(Metrics.FilesScanned, dataFiles.size.toLong)
-        Metrics.inc(Metrics.FilesPruned, (allData.size - dataFiles.size).toLong)
-        // delete files prune with the same filter: the row filter is
-        // re-applied after delete application, so a delete file whose
-        // partition tuple / key bounds can only hit filtered-out rows
-        // cannot change the result. Partition-scoped position deletes
-        // (written per partition) prune away with their partition.
-        val posDeletes = PruneEval.prunePlanned(
-          all.filter(_.file.content == DataContent.PositionDeletes), filter, metadata, schema)
-        val eqDeletes = PruneEval.prunePlanned(
-          all.filter(_.file.content == DataContent.EqualityDeletes), filter, metadata, schema)
-        val needDeletes = posDeletes.nonEmpty || eqDeletes.nonEmpty
-        // fields with an initial-default that some surviving file predates
-        // (detected via the file's column-size stats lacking the field id)
-        val defaulted = schema.fields.filter(_.initialDefault.isDefined).map { f =>
-          f -> dataFiles.filter(p =>
-            p.file.columnSizes.nonEmpty && !p.file.columnSizes.contains(f.id))
-            .map(p => normPathStr(p.file.filePath))
-        }.filter(_._2.nonEmpty)
-        val needFileCol = needDeletes || keepFilePos || defaulted.nonEmpty
-
-        if (dataFiles.isEmpty) return empty
-
-        // ONE scan over all live data files (the per-sequence union fan of
-        // round 1 exploded plan size linearly in commit count); per-file
-        // data sequence numbers attach via a broadcast (file -> seq) map
-        // joined on the file-path metadata column.
-        var df = rspark.read.schema(sparkSchema)
-          .parquet(dataFiles.map(_.file.filePath): _*)
-        if (needFileCol)
-          df = df
-            .withColumn("_file", col("_metadata.file_path"))
-            .withColumn("_pos", col("_metadata.row_index"))
-        if (needDeletes) {
-          val seqDf = kvDf(spark, dataFiles.map(p => (normPathStr(p.file.filePath), p.seq)),
-            "_sq_file", "_dseq")
-          df = df
-            .withColumn("_nfile", normPath(col("_file")))
-            .join(broadcast(seqDf), col("_nfile") === col("_sq_file"), "left")
-            .drop("_sq_file")
-
-          // position deletes: anti join on (file, pos) where the delete is
-          // at-or-after the data file's sequence. Broadcast only when the
-          // delete files are small; a 100 TB table with heavy deletes goes
-          // through an AQE-planned shuffle join instead of OOMing.
-          if (posDeletes.nonEmpty) {
-            val pseqDf = kvDf(spark,
-              posDeletes.map(p => (normPathStr(p.file.filePath), p.seq)), "_pd_src", "_pseq")
-            val posDf = rspark.read.parquet(posDeletes.map(_.file.filePath): _*)
-              .withColumn("_pd_src", normPath(col("_metadata.file_path")))
-              .join(broadcast(pseqDf), "_pd_src")
-              .select(normPath(col("file_path")).as("_pd_file"),
-                col("pos").as("_pd_pos"), col("_pseq"))
-            df = df.join(
-              maybeBroadcast(posDf, posDeletes),
-              col("_nfile") === col("_pd_file") && col("_pos") === col("_pd_pos") &&
-                col("_dseq") <= col("_pseq"),
-              "left_anti")
-          }
-
-          // equality deletes: per equality-id set, anti join on the key
-          // columns where delete seq > data seq (strictly newer deletes
-          // win). Delete columns resolve by FIELD ID (schema-with-ids
-          // read), so column renames after the delete was written still
-          // hit the right parquet column; equality is null-safe (a delete
-          // key with NULL removes rows with NULL, per Iceberg semantics).
-          eqDeletes.groupBy(_.file.equalityIds).foreach { case (eqIds, files) =>
-            val keyFields = eqIds.flatMap(id => schema.fieldById(id))
-            if (keyFields.nonEmpty) {
-              val keyNames = keyFields.map(_.name)
-              val readSchema = StructType(keyFields.map(SchemaConvert.toSparkField))
-              val eseqDf = kvDf(spark,
-                files.map(p => (normPathStr(p.file.filePath), p.seq)), "_ed_src", "_eseq")
-              val eqDf = rspark.read.schema(readSchema)
-                .parquet(files.map(_.file.filePath): _*)
-                .withColumn("_ed_src", normPath(col("_metadata.file_path")))
-                .join(broadcast(eseqDf), "_ed_src")
-                .select(keyNames.map(n => col(n).as(s"_eq_$n")) :+ col("_eseq"): _*)
-              val cond = keyNames.map(n => col(n) <=> col(s"_eq_$n"))
-                .reduce(_ && _) && col("_eseq") > col("_dseq")
-              df = df.join(maybeBroadcast(eqDf, files), cond, "left_anti")
-            }
-          }
-          df = df.drop("_nfile", "_dseq")
-        }
-
-        // initial-default: files predating the column serve the default
-        // instead of the scan's null (broadcast file-flag join per field —
-        // a post-write null in the same column stays null)
-        defaulted.foreach { case (f, lackingFiles) =>
-          val key = s"_df_${f.id}"
-          val flag = kvDf(spark, lackingFiles.map((_, 1L)), key, s"${key}_flag")
-          df = df
-            .join(broadcast(flag), normPath(col("_file")) === col(key), "left")
-            .withColumn(f.name,
-              when(col(s"${key}_flag").isNotNull,
-                lit(f.initialDefault.get).cast(SchemaConvert.toSparkType(f.fieldType)))
-                .otherwise(col(f.name)))
-            .drop(key, s"${key}_flag")
-        }
-
-        if (needFileCol && !keepFilePos) df = df.drop("_file", "_pos")
-        filter.fold(df)(df.filter)
-    }
+    val v2 = new graft.spark.GraftV2Table(this, snapshotId, asOfTimestampMs)
+    val opts = onlyFiles.map(fs =>
+      graft.spark.GraftV2Table.OnlyFilesOption ->
+        fs.map(GraftTable.normPathStr).mkString("\n")).toMap
+    var df = org.apache.spark.sql.GraftBridge.v2ScanDataFrame(spark, v2, opts)
+    if (keepFilePos)
+      df = df
+        .withColumn("_file", df.metadataColumn("_file"))
+        .withColumn("_pos", df.metadataColumn("_pos"))
+    filter.fold(df)(df.filter)
   }
 
   /** tiny local-relation DataFrame for broadcast maps (file -> seq) */
@@ -275,14 +160,6 @@ class GraftTable(
       StructField(keyName, StringType, nullable = false),
       StructField(valName, LongType, nullable = false))))
   }
-
-  /** broadcast the delete side only when its on-disk footprint is small —
-    * the sizes are already in hand from the manifests at plan time */
-  private def maybeBroadcast(df: DataFrame, files: Seq[PlannedFile]): DataFrame =
-    if (files.map(_.file.fileSizeInBytes).sum <=
-      GraftTable.deleteBroadcastMaxBytes(df.sparkSession))
-      broadcast(df)
-    else df
 
   /** Incremental read: rows added after `fromSnapshotId` (exclusive) up to
     * `toSnapshotId` (inclusive, default current) — the batch shape of the

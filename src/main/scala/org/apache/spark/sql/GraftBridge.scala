@@ -67,6 +67,21 @@ object GraftBridge {
   private val pinnedCache =
     new java.util.WeakHashMap[classic.SparkSession, classic.SparkSession]()
 
+  /** DataFrame over a DSv2 Table via DataSourceV2Relation — the facade
+    * scan rides the native scan planning (one code path for SQL and
+    * DataFrame reads). */
+  def v2ScanDataFrame(
+      spark: SparkSession,
+      table: org.apache.spark.sql.connector.catalog.Table,
+      options: Map[String, String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    val rel = DataSourceV2Relation.create(
+      table, None, None,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(options.asJava))
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], rel)
+  }
+
   /** Rebind a DataFrame's logical plan to another session over the same
     * context, so executing it — e.g. a write — picks up that session's
     * conf instead of the plan's original session. */
@@ -210,11 +225,17 @@ object GraftBridge {
     * without a factory per task shipping from the driver. */
   def parquetFactoryBuilder(
       spark: SparkSession,
-      dataSchema: org.apache.spark.sql.types.StructType,
-      readSchema: org.apache.spark.sql.types.StructType): GraftParquetFactoryBuilder = {
+      dataSchemaRaw: org.apache.spark.sql.types.StructType,
+      readSchemaRaw: org.apache.spark.sql.types.StructType): GraftParquetFactoryBuilder = {
     import org.apache.spark.util.SerializableConfiguration
     import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport}
     import org.apache.spark.sql.internal.SQLConf
+    // file reads are always nullable (as V1 HadoopFsRelation forces): a
+    // REQUIRED field can be absent from files that predate it — the
+    // vectorized reader throws on missing required columns, while the MoR
+    // projection above the read restores defaults / non-null semantics
+    val dataSchema = dataSchemaRaw.asNullable
+    val readSchema = readSchemaRaw.asNullable
     val classicSpark = spark.asInstanceOf[classic.SparkSession]
     val sqlConf = classicSpark.sessionState.conf
     val hadoopConf = classicSpark.sessionState.newHadoopConfWithOptions(Map.empty)
