@@ -314,13 +314,36 @@ object SparkEntry {
         transforms.truncate(8, col("p_name")).as("t_name"))
     }),
     "t_bucket_transforms" -> ((s, dir) => {
-      // No SQL oracle: Iceberg bucket = murmur3(seed 0) over spec encodings
-      // (unit-tested against the spec appendix golden vectors instead).
-      t(s, dir, "part").select(
-        col("p_partkey"),
-        transforms.bucket(16, col("p_partkey")).as("b_key"),
-        transforms.bucket(8, col("p_name")).as("b_name"),
-        transforms.bucket(32, col("p_retailprice").cast(DecimalType(12, 2))).as("b_price"))
+      // Iceberg bucket = (murmur3_x86_32(spec encoding) & MaxInt) % N.
+      // Inputs are the PUBLIC spec's Appendix-B golden vectors (also at
+      // /root/reference/icelake/src/types/transform/bucket.rs:158-231); the
+      // oracle carries the spec's published hash constants and derives the
+      // bucket in DuckDB — a true independent oracle for every encoding.
+      import s.implicits._
+      val cases = Seq(
+        ("int_34", transforms.bucket(16, lit(34)), transforms.bucket(7, lit(34))),
+        ("long_34", transforms.bucket(16, lit(34L)), transforms.bucket(7, lit(34L))),
+        ("decimal_14_20",
+          transforms.bucket(16, lit(BigDecimal("14.20")).cast(DecimalType(9, 2))),
+          transforms.bucket(7, lit(BigDecimal("14.20")).cast(DecimalType(9, 2)))),
+        ("date_2017_11_16",
+          transforms.bucket(16, expr("date'2017-11-16'")),
+          transforms.bucket(7, expr("date'2017-11-16'"))),
+        ("ts_2017_11_16_22_31_08",
+          transforms.bucket(16, expr("timestamp'2017-11-16 22:31:08'")),
+          transforms.bucket(7, expr("timestamp'2017-11-16 22:31:08'"))),
+        ("string_iceberg",
+          transforms.bucket(16, lit("iceberg")), transforms.bucket(7, lit("iceberg"))),
+        ("uuid_f79c3e09",
+          transforms.bucketUuid(16, lit("f79c3e09-677c-4bbd-a479-3f349cb785e7")),
+          transforms.bucketUuid(7, lit("f79c3e09-677c-4bbd-a479-3f349cb785e7"))),
+        ("binary_00010203",
+          transforms.bucket(16, lit(Array[Byte](0, 1, 2, 3))),
+          transforms.bucket(7, lit(Array[Byte](0, 1, 2, 3)))))
+      cases.map { case (name, b16, b7) =>
+        Seq(name).toDF("case_name")
+          .select(col("case_name"), b16.cast(LongType).as("b16"), b7.cast(LongType).as("b7"))
+      }.reduce(_ unionAll _)
     }),
     // ---- dedup family ----
     "dedup_exact" -> ((s, dir) => {
@@ -328,13 +351,38 @@ object SparkEntry {
         .select(col("doc_id"), col("n_copies"))
     }),
     "dedup_minhash_sigs" -> ((s, dir) => {
-      Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text")
-        .select(col("doc_id"),
-          element_at(col("minhash_sig"), 1).as("sig0"),
-          element_at(col("minhash_sig"), 2).as("sig1"))
+      // DuckDB cannot compute the 64-bit shingle hashes, so the oracle is
+      // the MinHash union law instead: for any token split with a
+      // (shingleSize-1)-token overlap, shingles(A) ∪ shingles(B) =
+      // shingles(text), hence sig(text) = elementwise min(sig(A), sig(B)).
+      // Any correct MinHash implementation satisfies it; wrong aggregation,
+      // order-dependence, or per-row nondeterminism breaks it.
+      val w = split(trim(col("text")), "\\s+")
+      val L = size(w)
+      // split shingle index (3-token shingles); floor — Spark's `/` on ints
+      // is double division
+      val m = floor((L - lit(3)) / lit(2)).cast(IntegerType)
+      val textA = concat_ws(" ", slice(w, lit(1), m + lit(3)))
+      val textB = concat_ws(" ", slice(w, m + lit(2), L - m - lit(1)))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(text.minhash(col("text"), 3, 64)).cast(LongType).as("n_hashes"),
+        (L < 4 || text.minhash(col("text"), 3, 64) ===
+          zip_with(text.minhash(textA, 3, 64), text.minhash(textB, 3, 64),
+            (x, y) => least(x, y))).as("union_min_ok"))
     }),
     "dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashes(t(s, dir, "documents"), "doc_id", "text")
+      // SimHash is a bag-of-words sign aggregate → invariant under token
+      // reordering, and under doubling every token's count (doubling every
+      // bit tally cannot change its sign). Emitted as DuckDB-checkable
+      // booleans; the raw fingerprint values are golden-tested in DedupSpec.
+      val tok = split(trim(col("text")), "\\s+")
+      val reversedText = concat_ws(" ", reverse(tok))
+      val doubledText = concat_ws(" ", concat(tok, tok))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        (text.simhash(col("text")) === text.simhash(reversedText)).as("order_ok"),
+        (text.simhash(col("text")) === text.simhash(doubledText)).as("scale_ok"))
     }),
     "dedup_lsh_pairs" -> ((s, dir) => {
       Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
@@ -359,8 +407,17 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
     "ann_ivf" -> ((s, dir) => {
+      // Planted-match oracle: queries are jittered copies (×1.001, ids
+      // +1000000) of corpus vectors. Positive scaling preserves the LSH
+      // sign bits, so IVF probing must land in the source vector's cell and
+      // rank it first (cosine ≈ 1 vs ≤0.52 for any random pair at this SF)
+      // — an end-to-end check of cell assignment, probing, and ranking.
       val e = t(s, dir, "embeddings")
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 4), "vec_id", "embedding", 5)
+      val queries = e.filter(col("vec_id") < 4).select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      Similarity.ivfTopK(e, queries, "vec_id", "embedding", 5)
+        .filter(col("rank") === 1)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
     // ---- text analysis ----
@@ -382,7 +439,23 @@ object SparkEntry {
       TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")
     }),
     "text_fingerprint" -> ((s, dir) => {
-      TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")
+      // DuckDB cannot reproduce the wrapping-Long rolling hash, so the
+      // oracle is the winnowing decomposition law: the w-byte windows of
+      // text = windows(left) ∪ windows(right) when left/right overlap by
+      // w-1 chars, hence fp(text) = min(fp(left), fp(right)). Pieces must
+      // exceed w bytes (the ≤w case short-circuits to a different hash),
+      // guaranteed by the n>=2w+2 guard.
+      val w = 32
+      val n = length(col("text"))
+      val mid = (n / 2).cast(IntegerType)
+      val left = substring(col("text"), lit(1), mid)
+      val right = col("text").substr(mid - lit(w - 2), n)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        (n < 2 * w + 2 ||
+          text.fingerprint(col("text"), w) === least(
+            text.fingerprint(left, w), text.fingerprint(right, w)))
+          .as("split_min_ok"))
     }),
     // ---- Iceberg table layer: write/scan/delete/upsert/time travel ----
     "ice_roundtrip" -> ((s, dir) => {
@@ -764,18 +837,31 @@ object SparkEntry {
       q.awaitTermination()
       StorageCatalog.loadTable(s.sparkContext.hadoopConfiguration, tbl.location).scan(s)
     }),
-    // ---- multimodal plumbing (decode is a documented stub) ----
+    // ---- multimodal: REAL image encode+decode via javax.imageio ----
     "mm_metadata" -> ((s, dir) => {
+      // encode one deterministic PNG per doc, then DECODE it back with the
+      // real imageio reader; the oracle predicts the decoded dimensions
+      // from the id formulas without ever seeing the bytes
       implicit val sp: SparkSession = s
       Multimodal.decodeMetadata(
-        Multimodal.asAssets(t(s, dir, "documents"), "doc_id", "text"))
-        .select(col("asset_id"), col("n_bytes").cast(LongType).as("n_bytes"))
+        Multimodal.syntheticImages(t(s, dir, "documents"), "doc_id"))
+        .select(col("asset_id"), col("media_type"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("n_frames").cast(LongType).as("n_frames"))
     }),
     "mm_features" -> ((s, dir) => {
+      // feature vector = [w, h, meanR, meanG, meanB] over DECODED pixels;
+      // solid-color fills make every component oracle-predictable exactly
       implicit val sp: SparkSession = s
       Multimodal.extractFeatures(
-        Multimodal.asAssets(t(s, dir, "documents"), "doc_id", "text"))
-        .select(col("asset_id"), element_at(col("feature"), 1).as("f0"))
+        Multimodal.syntheticImages(t(s, dir, "documents"), "doc_id"))
+        .select(col("asset_id"),
+          element_at(col("feature"), 1).cast(DoubleType).as("f_width"),
+          element_at(col("feature"), 2).cast(DoubleType).as("f_height"),
+          element_at(col("feature"), 3).cast(DoubleType).as("f_mean_r"),
+          element_at(col("feature"), 4).cast(DoubleType).as("f_mean_g"),
+          element_at(col("feature"), 5).cast(DoubleType).as("f_mean_b"))
     }),
   )
 
@@ -995,9 +1081,101 @@ object SparkEntry {
         |        x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE)
         |    / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio
         |FROM documents""".stripMargin,
+    // decoded-image oracles: the PNG payloads are generated from doc_id by
+    // fixed integer formulas, so DuckDB predicts what imageio must decode
     "mm_metadata" ->
-      """SELECT doc_id AS asset_id, CAST(strlen(text) AS BIGINT) AS n_bytes
+      """SELECT doc_id AS asset_id, 'image/png' AS media_type,
+        |  8 + doc_id % 57 AS width, 8 + (doc_id // 7) % 57 AS height,
+        |  CAST(1 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+    "mm_features" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(8 + doc_id % 57 AS DOUBLE) AS f_width,
+        |  CAST(8 + (doc_id // 7) % 57 AS DOUBLE) AS f_height,
+        |  CAST(doc_id % 256 AS DOUBLE) AS f_mean_r,
+        |  CAST((doc_id * 7) % 256 AS DOUBLE) AS f_mean_g,
+        |  CAST((doc_id * 13) % 256 AS DOUBLE) AS f_mean_b
+        |FROM documents""".stripMargin,
+    // the spec's published murmur3 hash constants (Iceberg spec Appendix B;
+    // mirrored at reference icelake/src/types/transform/bucket.rs:158-231)
+    // — DuckDB derives bucket = (hash & MaxInt) % N independently
+    "t_bucket_transforms" ->
+      """SELECT case_name, (h & 2147483647) % 16 AS b16, (h & 2147483647) % 7 AS b7
+        |FROM (VALUES
+        |  ('int_34', 2017239379),
+        |  ('long_34', 2017239379),
+        |  ('decimal_14_20', -500754589),
+        |  ('date_2017_11_16', -653330422),
+        |  ('ts_2017_11_16_22_31_08', -2047944441),
+        |  ('string_iceberg', 1210000089),
+        |  ('uuid_f79c3e09', 1488055340),
+        |  ('binary_00010203', -188683207)) AS t(case_name, h)""".stripMargin,
+    "ann_brute_force" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                      CAST(c.embedding AS DOUBLE[])) DESC,
+        |        c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 4)
+        |WHERE rank <= 5""".stripMargin,
+    "ann_ivf" ->
+      """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id, 1 AS rank
+        |FROM embeddings WHERE vec_id < 4""".stripMargin,
+    "dedup_embedding" ->
+      """WITH av AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    CAST(list_transform(embedding,
+        |      x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT)) AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 10)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |FROM av a JOIN av b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.e, b.e) >= 0.95""".stripMargin,
+    "dedup_lsh_pairs" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT a, b, jaccard FROM p WHERE jaccard >= 0.4""".stripMargin,
+    "dedup_minhash_sigs" ->
+      """SELECT doc_id, CAST(64 AS BIGINT) AS n_hashes, true AS union_min_ok
+        |FROM documents""".stripMargin,
+    "dedup_simhash" ->
+      "SELECT doc_id, true AS order_ok, true AS scale_ok FROM documents",
+    "text_fingerprint" ->
+      "SELECT doc_id, true AS split_min_ok FROM documents",
+    // exact replica of the marker-stopword heuristic (TextUtil.langId):
+    // per-language marker counts, strict-improvement argmax in declaration
+    // order, 'und' on zero evidence (the corpus is ASCII, CJK never fires)
+    "text_langid" ->
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(w, x -> x IN ('the','and','of','to','is','in','that','it','was','for','with','not','this'))) AS s_en,
+        |    len(list_filter(w, x -> x IN ('le','la','les','de','des','et','est','une','un','dans','que','pour','pas'))) AS s_fr,
+        |    len(list_filter(w, x -> x IN ('el','la','los','las','de','y','es','en','que','un','una','por','con','no'))) AS s_es,
+        |    len(list_filter(w, x -> x IN ('der','die','das','und','ist','in','von','den','mit','nicht','ein','eine','zu'))) AS s_de,
+        |    len(list_filter(w, x -> x IN ('il','la','di','che','e','un','una','per','non','sono','con','del'))) AS s_it,
+        |    len(list_filter(w, x -> x IN ('o','a','os','as','de','que','e','um','uma','para','com','nao'))) AS s_pt
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |        FROM documents))
+        |SELECT doc_id,
+        |  CASE WHEN GREATEST(s_en,s_fr,s_es,s_de,s_it,s_pt) = 0 THEN 'und'
+        |       WHEN s_en = GREATEST(s_en,s_fr,s_es,s_de,s_it,s_pt) THEN 'en'
+        |       WHEN s_fr = GREATEST(s_en,s_fr,s_es,s_de,s_it,s_pt) THEN 'fr'
+        |       WHEN s_es = GREATEST(s_en,s_fr,s_es,s_de,s_it,s_pt) THEN 'es'
+        |       WHEN s_de = GREATEST(s_en,s_fr,s_es,s_de,s_it,s_pt) THEN 'de'
+        |       WHEN s_it = GREATEST(s_en,s_fr,s_es,s_de,s_it,s_pt) THEN 'it'
+        |       ELSE 'pt' END AS lang_pred
+        |FROM sc""".stripMargin,
     "ice_roundtrip" -> "SELECT * FROM customer",
     "ice_partitioned_scan" ->
       """SELECT * FROM lineitem

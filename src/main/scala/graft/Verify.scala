@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: regex filter over query names (local iteration only;
+    // the driver always passes exactly two args = run everything)
+    val (sfDir, outDir) = (args(0), args(1))
+    val nameFilter = if (args.length > 2) args(2).r else ".*".r
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,7 +19,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try {
+      if (nameFilter.findFirstIn(name).isDefined) try {
         val df = fn(spark, sfDir)
         // emit naive (NTZ) timestamps so the parquet output matches the
         // oracle's timezone-naive view of the source data

@@ -10,12 +10,15 @@ import graft.functions.TextUtil
   * `binary` columns with typed metadata; decode/feature steps run as
   * batched per-partition transforms (the Scala analogue of `mapInPandas`).
   *
-  * The actual media decoding is STUBBED — no image/audio codecs ship in
-  * this environment — with a deterministic fake derived from the payload
-  * hash. The Spark-side plumbing (schema, batching, partitioning, typed
-  * boundaries) is real and is what the operator exercises.
+  * Image decoding is REAL: PNG/GIF/BMP/JPEG payloads go through
+  * `javax.imageio` (ships with the JDK — zero extra deps) for dimensions
+  * and pixel statistics. Audio/video decoding stays STUBBED (no codecs in
+  * this environment) behind the same typed contract.
   */
 object Multimodal {
+
+  // image decode runs on executors with no display attached
+  System.setProperty("java.awt.headless", "true")
 
   case class Asset(asset_id: Long, payload: Array[Byte], media_type: String)
   case class AssetMeta(
@@ -27,16 +30,48 @@ object Multimodal {
       n_frames: Int)
   case class AssetFeature(asset_id: Long, feature: Array[Float])
 
-  /** STUB decoder: deterministic fake dimensions from the payload hash.
-    * A real deployment swaps this for an image/audio codec; the signature
-    * (bytes in, typed metadata out, executed per partition in batches) is
-    * the contract that stays. */
+  /** STUB decoder for audio/video payloads: deterministic fake dimensions
+    * from the payload hash. A real deployment swaps this for a codec; the
+    * signature (bytes in, typed metadata out, executed per partition in
+    * batches) is the contract that stays. */
   private[operators] def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
     val h = TextUtil.hash64(payload)
     val width = 64 + (math.abs(h % 1024)).toInt
     val height = 64 + (math.abs((h >> 10) % 1024)).toInt
     val frames = 1 + (math.abs((h >> 20) % 32)).toInt
     (width, height, frames)
+  }
+
+  /** True iff the payload carries a magic number `javax.imageio` decodes
+    * here: PNG, GIF, BMP, or JPEG. */
+  private[operators] def isDecodableImage(p: Array[Byte]): Boolean =
+    p.length >= 8 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+      (p(0) == 'B' && p(1) == 'M') ||
+      (p(0) == 0xff.toByte && p(1) == 0xd8.toByte))
+
+  /** REAL image decode via `javax.imageio` (JDK-shipped): dimensions for
+    * metadata, full pixel raster for feature extraction. Returns None for
+    * undecodable/corrupt payloads (callers fall back to the stub). */
+  private[operators] def decodeImage(p: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (!isDecodableImage(p)) None
+    else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+
+  /** Encode a solid-color RGB PNG via `javax.imageio` — the write half of
+    * the real codec path, used to build image columns from typed data. */
+  def encodePng(width: Int, height: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Wrap a text table as fake binary assets (payload = UTF-8 bytes). */
@@ -47,31 +82,76 @@ object Multimodal {
       concat(lit("image/fake-"), pmod(col(idCol), lit(3)).cast(StringType))
         .as("media_type"))
 
+  /** Deterministic real-PNG asset per id: size and solid color derived
+    * from the id by simple integer formulas (so an oracle can predict the
+    * DECODED dimensions and channel means without seeing the bytes).
+    * Encoding runs batched per partition — the distributed shape a real
+    * media-ingest pipeline has. */
+  def syntheticImages(df: DataFrame, idCol: String)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType).as("asset_id"))
+      .as[Long].mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 57).toInt
+          val h = (8 + (id / 7) % 57).toInt
+          val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) | ((id * 13) % 256)).toInt
+          Asset(id, encodePng(w, h, rgb), "image/png")
+        }
+      }.toDF()
+  }
+
   /** Batched per-partition decode: binary payload -> typed metadata.
-    * Runs as `mapPartitions` over the typed Dataset — one JVM-side batch
-    * loop per partition, no per-row task overhead, no shuffle. */
+    * Real `javax.imageio` decode for image payloads (PNG/GIF/BMP/JPEG);
+    * the deterministic stub covers audio/video. Runs as `mapPartitions`
+    * over the typed Dataset — one JVM-side batch loop per partition, no
+    * per-row task overhead, no shuffle. */
   def decodeMetadata(assets: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     assets.as[Asset].mapPartitions { it =>
       it.map { a =>
-        val (w, h, f) = decodeStub(a.payload)
+        val (w, h, f) = decodeImage(a.payload) match {
+          case Some(img) => (img.getWidth, img.getHeight, 1)
+          case None => decodeStub(a.payload)
+        }
         AssetMeta(a.asset_id, a.payload.length, a.media_type, w, h, f)
       }
     }.toDF()
   }
 
-  /** STUB feature extraction: fixed-width float feature from payload bytes
-    * (hash-seeded). Real deployments replace the body with a model call;
-    * batch shape (partition iterator -> fixed-dim vectors) is the contract. */
+  /** Feature extraction over DECODED pixels for image payloads: [width,
+    * height, mean R, mean G, mean B] from the real raster (solid or not —
+    * means accumulate over every pixel). Non-image payloads keep the
+    * hash-seeded stub vector (a model call in a real deployment); both
+    * run in the same batched per-partition shape. */
   def extractFeatures(assets: DataFrame, dim: Int = 16)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     assets.as[Asset].mapPartitions { it =>
       it.map { a =>
-        val h = TextUtil.hash64(a.payload)
-        val feat = Array.tabulate(dim) { i =>
-          val x = TextUtil.hash64(s"feat-$h-$i")
-          (x.toDouble / Long.MaxValue.toDouble).toFloat
+        val feat = decodeImage(a.payload) match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            Array(w.toFloat, h.toFloat,
+              (sr.toDouble / n).toFloat, (sg.toDouble / n).toFloat, (sb.toDouble / n).toFloat)
+          case None =>
+            val h = TextUtil.hash64(a.payload)
+            Array.tabulate(dim) { i =>
+              val x = TextUtil.hash64(s"feat-$h-$i")
+              (x.toDouble / Long.MaxValue.toDouble).toFloat
+            }
         }
         AssetFeature(a.asset_id, feat)
       }

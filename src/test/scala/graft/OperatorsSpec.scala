@@ -151,6 +151,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.sampleFrames(assets).count() > 0)
   }
 
+  test("multimodal real decode: imageio roundtrip of encoded PNGs") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val imgs = Multimodal.syntheticImages(docs, "doc_id")
+    val meta = Multimodal.decodeMetadata(imgs).filter($"asset_id" === 3).head()
+    // id=3: w = 8 + 3 % 57 = 11, h = 8 + (3/7) % 57 = 8, decoded not derived
+    assert(meta.getAs[Int]("width") === 11)
+    assert(meta.getAs[Int]("height") === 8)
+    assert(meta.getAs[Int]("n_frames") === 1)
+    val fr = Multimodal.extractFeatures(imgs).filter($"asset_id" === 3).head()
+    val f = fr.getSeq[Float](fr.fieldIndex("feature"))
+    // solid color r=3, g=21, b=39
+    assert(f === Seq(11f, 8f, 3f, 21f, 39f))
+    // a non-solid image proves means accumulate over the real raster:
+    // 2x1 PNG with pixels (0,0,0) and (10,20,30) -> means (5,10,15)
+    val img = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(1, 0, (10 << 16) | (20 << 8) | 30)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val one = Seq((7L, bos.toByteArray, "image/png")).toDF("asset_id", "payload", "media_type")
+    val fr2 = Multimodal.extractFeatures(one).head()
+    val ff = fr2.getSeq[Float](fr2.fieldIndex("feature"))
+    assert(ff === Seq(2f, 1f, 5f, 10f, 15f))
+  }
+
   test("as-of join attaches the latest prior right row per key") {
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
       .toDF("k", "t", "lv")
