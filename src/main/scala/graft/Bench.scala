@@ -3,7 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Runs the headline queries on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line for the driver. */
+  * prints ONE JSON line for the driver.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 5) after a
+  * warm-up; the reported number is the MEDIAN, so one GC pause or page
+  * cache miss cannot skew a round's curve. */
 object Bench {
 
   /** Headline set: covers scan+join+agg, windows, sessionization, the
@@ -31,9 +35,20 @@ object Bench {
     "text_langid",
   )
 
+  /** DML / MoR / streaming paths (write + merge-on-read + stream sink) —
+    * the surfaces rounds 2-3 rewrote, now measured every round. Each run
+    * includes its own table setup; the timing measures the full operation. */
+  val dmlHeadline: Seq[String] = Seq(
+    "sql_mor_delete",
+    "sql_merge_update",
+    "ice_upsert",
+    "stream_sink_append",
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -46,18 +61,45 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
     val qs = SparkEntry.queries
-    val results = headline.filter(qs.contains).map { name =>
+
+    def time(name: String): Double = {
       val t0 = System.nanoTime()
       try { qs(name)(spark, sfDir).count() }
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    def median(name: String): Double = {
+      val ts = (0 until runs).map(_ => time(name)).sorted
+      ts(runs / 2)
+    }
+
+    val readResults = headline.filter(qs.contains).map(n => n -> median(n))
+    val dmlResults = dmlHeadline.filter(qs.contains).map(n => n -> median(n))
+    // jumbo-mode MoR scan: same sql_mor_delete surface with both delete
+    // thresholds forced to 0 — executor-side loading + the disk-backed
+    // equality store are on the measured path
+    val jumbo =
+      if (!qs.contains("sql_mor_delete")) Nil
+      else {
+        spark.conf.set("spark.graft.delete-broadcast-max-bytes", "0")
+        spark.conf.set("spark.graft.eq-delete-executor-max-bytes", "0")
+        try Seq("sql_mor_delete_jumbo" -> median("sql_mor_delete"))
+        finally {
+          spark.conf.unset("spark.graft.delete-broadcast-max-bytes")
+          spark.conf.unset("spark.graft.eq-delete-executor-max-bytes")
+        }
+      }
+    val results = readResults ++ dmlResults ++ jumbo
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val totalStr = f"$total%.3f"
+    // the round-1/2/3 curve summed only the read headline — keep that
+    // number comparable across rounds
+    val legacyTotal = readResults.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qjson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+        s""""legacy_total":${f"$legacyTotal%.3f"},"runs":$runs,""" +
+        s""""queries":$qjson,"sf":"$sfDir"}"""
     println(line)
     // also drop the line in a file: sbt/log4j noise on stdout must not be
     // able to cost the round its bench parse

@@ -31,6 +31,155 @@ case class EqLoadSpec(
     factory: PartitionReaderFactory)
     extends Serializable
 
+/** key -> max delete sequence lookup, memory- or disk-backed.
+  * Serializable: plan-time in-memory lookups ride the task closure. */
+trait EqLookup extends Serializable {
+  def get(key: UnsafeRow): java.lang.Long
+  def close(): Unit = ()
+}
+
+/** heap-map lookup for small groups (one probe = one hash lookup) */
+final class InMemoryEqLookup(map: JHashMap[UnsafeRow, java.lang.Long]) extends EqLookup {
+  override def get(key: UnsafeRow): java.lang.Long = map.get(key)
+}
+
+/** Exact disk-backed lookup for JUMBO equality-delete groups — bounds
+  * executor memory at any delete volume WITHOUT shuffling the data side
+  * (a sort-merge anti-join fallback would shuffle the whole scanned
+  * table; this streams it).
+  *
+  * SSTable shape: delete keys (canonical UnsafeRow bytes) spill to sorted
+  * runs of at most `chunkBytes`, runs k-way merge into one sorted record
+  * file (`[len][keyBytes][maxSeq]`) plus a fixed-width offset index, and
+  * probes binary-search the index with positional channel reads (thread
+  * safe, OS-page-cache friendly: the hot upper levels of the index stay
+  * cached). Memory: one run buffer while building, O(1) while probing. */
+final class DiskEqLookup private (
+    dataFile: java.io.File,
+    offsetsFile: java.io.File,
+    n: Long) extends EqLookup {
+
+  private val dataCh = java.nio.channels.FileChannel.open(
+    dataFile.toPath, java.nio.file.StandardOpenOption.READ)
+  private val offCh = java.nio.channels.FileChannel.open(
+    offsetsFile.toPath, java.nio.file.StandardOpenOption.READ)
+
+  private def readAt(ch: java.nio.channels.FileChannel, pos: Long, len: Int): java.nio.ByteBuffer = {
+    val bb = java.nio.ByteBuffer.allocate(len)
+    var p = pos
+    while (bb.hasRemaining) {
+      val r = ch.read(bb, p)
+      if (r < 0) throw new java.io.EOFException(s"$dataFile at $p")
+      p += r
+    }
+    bb.flip(); bb
+  }
+
+  override def get(key: UnsafeRow): java.lang.Long = {
+    val kb = key.getBytes
+    var lo = 0L
+    var hi = n - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val off = readAt(offCh, mid * 8, 8).getLong
+      val len = readAt(dataCh, off, 4).getInt
+      val rec = readAt(dataCh, off + 4, len + 8)
+      val rb = new Array[Byte](len)
+      rec.get(rb)
+      val c = java.util.Arrays.compareUnsigned(kb, rb)
+      if (c == 0) return rec.getLong
+      else if (c < 0) hi = mid - 1
+      else lo = mid + 1
+    }
+    null
+  }
+
+  override def close(): Unit = {
+    dataCh.close(); offCh.close()
+    dataFile.delete(); offsetsFile.delete()
+  }
+}
+
+object DiskEqLookup {
+
+  private def writeRec(out: java.io.DataOutputStream, key: Array[Byte], seq: Long): Unit = {
+    out.writeInt(key.length); out.write(key); out.writeLong(seq)
+  }
+
+  private final class RunReader(f: java.io.File) {
+    private val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(new java.io.FileInputStream(f), 1 << 16))
+    var key: Array[Byte] = _
+    var seq: Long = _
+    advance()
+    def advance(): Boolean = {
+      try {
+        val len = in.readInt()
+        key = new Array[Byte](len); in.readFully(key); seq = in.readLong()
+        true
+      } catch {
+        case _: java.io.EOFException => key = null; in.close(); f.delete(); false
+      }
+    }
+  }
+
+  /** build from a stream of (canonical key bytes, delete sequence) */
+  def build(records: Iterator[(Array[Byte], Long)], chunkBytes: Long): DiskEqLookup = {
+    val chunkLimit = math.max(chunkBytes, 1L << 20) // floor: 1 MiB run buffer
+    val runs = scala.collection.mutable.ArrayBuffer[java.io.File]()
+    val buf = scala.collection.mutable.ArrayBuffer[(Array[Byte], Long)]()
+    var bufBytes = 0L
+    def spill(): Unit = if (buf.nonEmpty) {
+      val f = java.io.File.createTempFile("graft-eq-run", ".bin")
+      f.deleteOnExit()
+      val sorted = buf.sortWith((a, b) => java.util.Arrays.compareUnsigned(a._1, b._1) < 0)
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(new java.io.FileOutputStream(f), 1 << 16))
+      sorted.foreach { case (k, s) => writeRec(out, k, s) }
+      out.close()
+      runs += f
+      buf.clear(); bufBytes = 0L
+    }
+    records.foreach { case (k, s) =>
+      buf += ((k, s)); bufBytes += k.length + 12
+      if (bufBytes >= chunkLimit) spill()
+    }
+    spill()
+    // k-way merge, deduping equal keys to their max sequence
+    val dataFile = java.io.File.createTempFile("graft-eq-sst", ".bin")
+    val offsetsFile = java.io.File.createTempFile("graft-eq-idx", ".bin")
+    dataFile.deleteOnExit(); offsetsFile.deleteOnExit()
+    val dataOut = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(dataFile), 1 << 16))
+    val offOut = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(offsetsFile), 1 << 16))
+    val heap = new java.util.PriorityQueue[RunReader](
+      math.max(1, runs.size),
+      (a: RunReader, b: RunReader) => java.util.Arrays.compareUnsigned(a.key, b.key))
+    runs.foreach { f => val r = new RunReader(f); if (r.key != null) heap.add(r) }
+    var n = 0L
+    var written = 0L
+    while (!heap.isEmpty) {
+      val top = heap.poll()
+      val key = top.key
+      var seq = top.seq
+      if (top.advance()) heap.add(top)
+      // drain every run positioned at the same key
+      while (!heap.isEmpty && java.util.Arrays.compareUnsigned(heap.peek().key, key) == 0) {
+        val dup = heap.poll()
+        if (dup.seq > seq) seq = dup.seq
+        if (dup.advance()) heap.add(dup)
+      }
+      offOut.writeLong(written)
+      writeRec(dataOut, key, seq)
+      written += 4L + key.length + 8
+      n += 1
+    }
+    dataOut.close(); offOut.close()
+    new DiskEqLookup(dataFile, offsetsFile, n)
+  }
+}
+
 /** Executor-side delete-state loading — the scale path of the native MoR
   * scan (SURVEY §2.6). The reference never built delete reads at all
   * (icelake/src/io/scan.rs note); this is how they stay bounded at 100 TB:
@@ -97,61 +246,111 @@ object DeleteState {
     * midpoint assignment (a row group belongs to the range holding
     * startingPos + compressedSize/2), so the seed plus sequential
     * counting over the range reproduces exact whole-file positions. */
-  def posSeed(path: String, rangeStart: Long, conf: Configuration): Long = {
-    if (rangeStart == 0L) return 0L
+  def posSeed(path: String, rangeStart: Long, conf: Configuration): Long =
+    if (rangeStart == 0L) 0L else seedsForRanges(path, Array(rangeStart), conf)(0)
+
+  /** seeds for MANY ranges of one file with a single footer read — the
+    * plan-time path, so range tasks skip the footer entirely */
+  def seedsForRanges(path: String, rangeStarts: Array[Long], conf: Configuration): Array[Long] = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new HPath(path), conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
-      var seed = 0L
-      reader.getFooter.getBlocks.forEach { b =>
-        if (b.getStartingPos + b.getCompressedSize / 2 < rangeStart) seed += b.getRowCount
+      val blocks = scala.jdk.CollectionConverters.ListHasAsScala(
+        reader.getFooter.getBlocks).asScala
+      rangeStarts.map { start =>
+        if (start == 0L) 0L
+        else blocks.iterator
+          .filter(b => b.getStartingPos + b.getCompressedSize / 2 < start)
+          .map(_.getRowCount).sum
       }
-      seed
     } finally reader.close()
   }
 
-  /** JVM-global LRU of equality-delete maps keyed by scan signature: one
-    * build per executor per scan, shared by its tasks. Bounded at a few
-    * concurrent scans; an evicted entry just rebuilds on next access. */
-  private val eqCache =
-    new java.util.LinkedHashMap[String, Array[JHashMap[UnsafeRow, java.lang.Long]]](
-      8, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Array[JHashMap[UnsafeRow, java.lang.Long]]]): Boolean =
-        size > 4
+  /** lazy per-scan holder: the global cache lock covers only map
+    * lookup/insert; the (possibly long) delete-file read runs under the
+    * HOLDER's lock, so concurrent unrelated scans never serialize behind
+    * one scan's build */
+  private final class LazyLookups(specs: Array[EqLoadSpec], maxBytes: Long) {
+    lazy val value: Array[EqLookup] = specs.map(loadEqGroup(_, maxBytes))
+    def closeIfBuilt(): Unit = synchronized {
+      // only tear down what was actually built (lazy not forced = no files)
+      if (built) value.foreach(_.close())
     }
+    @volatile private var built = false
+    def force: Array[EqLookup] = { val v = value; built = true; v }
+  }
 
-  /** equality-delete key maps for the given groups, built once per
-    * executor (then cache-shared across this scan's tasks) */
-  def eqMaps(
-      cacheKey: String,
-      specs: Array[EqLoadSpec]): Array[JHashMap[UnsafeRow, java.lang.Long]] =
-    eqCache.synchronized {
-      val hit = eqCache.get(cacheKey)
-      if (hit != null) hit
-      else {
-        val built = specs.map(loadEqGroup)
-        eqCache.put(cacheKey, built)
-        built
+  /** JVM-global LRU of equality-delete lookups keyed by scan signature:
+    * one build per executor per scan, shared by its tasks. Bounded at a
+    * few concurrent scans; an evicted entry just rebuilds on next access
+    * (disk-backed entries delete their temp files on eviction). */
+  private val eqCache =
+    new java.util.LinkedHashMap[String, LazyLookups](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, LazyLookups]): Boolean = {
+        val evict = size > 4
+        if (evict) e.getValue.closeIfBuilt()
+        evict
       }
     }
 
-  private def loadEqGroup(spec: EqLoadSpec): JHashMap[UnsafeRow, java.lang.Long] = {
+  /** equality-delete lookups for the given groups, built once per
+    * executor (then cache-shared across this scan's tasks). Groups whose
+    * on-disk delete bytes exceed `maxBytes` build the disk-backed
+    * [[DiskEqLookup]] instead of a heap map, so executor memory stays
+    * bounded at any delete volume. */
+  def eqLookups(
+      cacheKey: String,
+      specs: Array[EqLoadSpec],
+      maxBytes: Long): Array[EqLookup] = {
+    val holder = eqCache.synchronized {
+      val hit = eqCache.get(cacheKey)
+      if (hit != null) hit
+      else {
+        val h = new LazyLookups(specs, maxBytes)
+        eqCache.put(cacheKey, h)
+        h
+      }
+    }
+    holder.force
+  }
+
+  private def loadEqGroup(spec: EqLoadSpec, maxBytes: Long): EqLookup = {
     val proj = UnsafeProjection.create(
       spec.keyTypes.zipWithIndex.map { case (t, i) => BoundReference(i, t, nullable = true) })
-    val map = new JHashMap[UnsafeRow, java.lang.Long]()
-    spec.files.foreach { ref =>
+    def rows: Iterator[(UnsafeRow, Long)] = spec.files.iterator.flatMap { ref =>
       val reader = spec.factory.createReader(
         org.apache.spark.sql.GraftBridge.wholeFilePartition(0, ref.path, ref.size))
-      try {
-        while (reader.next()) {
-          val row: InternalRow = reader.get()
-          val key = proj(row).copy()
-          val prev = map.get(key)
-          if (prev == null || prev < ref.seq) map.put(key, ref.seq)
+      new Iterator[(UnsafeRow, Long)] {
+        private var open = true
+        override def hasNext: Boolean = open && {
+          val more = reader.next()
+          if (!more) { reader.close(); open = false }
+          more
         }
-      } finally reader.close()
+        override def next(): (UnsafeRow, Long) = {
+          val row: InternalRow = reader.get()
+          (proj(row), ref.seq)
+        }
+      }
     }
-    map
+    val diskMode = spec.files.map(_.size).sum > maxBytes
+    if (diskMode) {
+      // canonical UnsafeRow bytes sort/compare exactly like row equality.
+      // getBytes may return the projection's LIVE reused buffer — snapshot
+      // it, records outlive the current row.
+      DiskEqLookup.build(rows.map { case (r, s) =>
+        val b = r.getBytes
+        (java.util.Arrays.copyOf(b, b.length), s)
+      }, maxBytes)
+    } else {
+      val map = new JHashMap[UnsafeRow, java.lang.Long]()
+      rows.foreach { case (r, s) =>
+        val key = r.copy()
+        val prev = map.get(key)
+        if (prev == null || prev < s) map.put(key, s)
+      }
+      new InMemoryEqLookup(map)
+    }
   }
 }

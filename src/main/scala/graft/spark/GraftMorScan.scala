@@ -176,6 +176,9 @@ class GraftMorScan(
   private lazy val plannedPartitions: Array[InputPartition] = {
     val pb = posByFile
     val maxBytes = SparkSession.active.sessionState.conf.filesMaxPartitionBytes
+    val hasPosOut = requiredSchema.fieldNames.contains("_pos")
+    val planHadoopConf =
+      org.apache.spark.sql.GraftBridge.sessionHadoopConf(SparkSession.active)
     // per-file initial-defaults: required-field index -> default value,
     // for fields the file predates (column-size stats lack the id)
     val defaultedFields = requiredDataFields.zipWithIndex.flatMap { case (f, _) =>
@@ -214,15 +217,26 @@ class GraftMorScan(
           .map(pd => DeleteFileRef(pd.file.filePath, pd.file.fileSizeInBytes, pd.seq))
           .toArray
       // a skewed jumbo file splits into byte ranges (row groups follow
-      // their midpoints) instead of one straggler task; readers of a
-      // non-zero range seed the position counter from the footer
-      org.apache.spark.sql.GraftBridge
-        .byteRanges(p.file.fileSizeInBytes, maxBytes).map { case (start, len) =>
-          GraftMorInputPartition(
-            org.apache.spark.sql.GraftBridge.rangeFilePartition(
-              i, p.file.filePath, start, len, p.file.fileSizeInBytes),
-            p.seq, positions, norm, defaults, posCandidates, start): InputPartition
-        }
+      // their midpoints) instead of one straggler task. When positions
+      // matter (deletes or `_pos` output), the DRIVER reads the footer
+      // ONCE here and ships each range's row-count seed in the partition
+      // — range tasks never re-open the footer; when they don't, the
+      // seed is irrelevant and nobody reads it at all.
+      val ranges = org.apache.spark.sql.GraftBridge
+        .byteRanges(p.file.fileSizeInBytes, maxBytes)
+      val seeds: Array[Long] =
+        if (ranges.length > 1 &&
+          (positions.nonEmpty || posCandidates.nonEmpty || hasPosOut))
+          DeleteState.seedsForRanges(
+            p.file.filePath, ranges.map(_._1).toArray, planHadoopConf)
+        else null
+      ranges.zipWithIndex.map { case ((start, len), ri) =>
+        GraftMorInputPartition(
+          org.apache.spark.sql.GraftBridge.rangeFilePartition(
+            i, p.file.filePath, start, len, p.file.fileSizeInBytes),
+          p.seq, positions, norm, defaults, posCandidates, start,
+          if (seeds != null) seeds(ri) else -1L): InputPartition
+      }
     }.flatten.toArray
   }
 
@@ -238,7 +252,7 @@ class GraftMorScan(
         SparkSession.active, dataSchema, innerSchema, pushedFilters)
     val nameToOrdinal = innerSchema.fieldNames.zipWithIndex.toMap
     val groups = eqGroups.map { case (keyNames, types, map) =>
-      EqGroupState(keyNames.map(nameToOrdinal).toArray, types, map)
+      EqGroupState(keyNames.map(nameToOrdinal).toArray, types, new InMemoryEqLookup(map))
     }.toArray
     // executor-side mode: ship load SPECS (files + driver-built reader
     // factories), not maps — executors build and cache the delete state
@@ -260,36 +274,51 @@ class GraftMorScan(
               spark, keySchema, keySchema, Array.empty)))
         }
       }.toArray
+    val eqExecMaxBytes = GraftTable.eqDeleteExecutorMaxBytes(spark)
     val eqCacheKey: String = {
+      // signature includes the key SCHEMA (ids + types): a type promotion
+      // between scans must never hit a stale map whose UnsafeRows carry
+      // the old layout (probes would silently miss)
+      val schemaSig = eqSpecs.map(s =>
+        s.keyOrdinals.mkString("o", ".", "") + s.keyTypes.map(_.catalogString).mkString("t", ".", ""))
+        .mkString(";")
       val sig = table.location + "#" +
-        eqDeletes.map(p => s"${p.file.filePath}:${p.seq}").sorted.mkString(",")
+        eqDeletes.map(p => s"${p.file.filePath}:${p.seq}").sorted.mkString(",") +
+        "#" + schemaSig + "#" + eqExecMaxBytes
       java.security.MessageDigest.getInstance("MD5")
         .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .map("%02x".format(_)).mkString
     }
     // shipped always: range-split readers need it for the footer-derived
-    // position seed; executor-side mode for the pos-delete reads too
+    // position seed; executor-side mode for the pos-delete reads too.
+    // Built from sessionState (not the raw SparkContext conf) so
+    // session-scoped hadoop/FS options — per-session credentials set via
+    // spark.conf — reach the executor-side delete reads too.
     val serConf = new graft.tables.TableWrite.SerializableHadoopConf(
-      spark.sparkContext.hadoopConfiguration)
-    // a data file can only be touched by an equality delete STRICTLY newer
-    // than it — files at/after the newest delete qualify for columnar
-    val maxEqSeq = if (eqDeletes.isEmpty) Long.MinValue else eqDeletes.map(_.seq).max
-    // Columnar fast path, decided SCAN-GLOBALLY (Spark rejects mixed
-    // row/columnar partitions): if no partition needs row-level work —
-    // no deletes touch any scanned file, no defaults, no metadata
-    // columns — the whole scan serves vectorized batches over
-    // requiredSchema directly (no eq-key extra columns).
+      org.apache.spark.sql.GraftBridge.sessionHadoopConf(spark))
+    // Columnar path, decided SCAN-GLOBALLY (Spark rejects mixed
+    // row/columnar partitions): vectorized batches serve whenever the
+    // output carries no metadata columns and no file needs per-file
+    // default literals. Files WITH deletes stay vectorized too — deleted
+    // ordinals are masked per batch through a row-id-mapping vector view
+    // ([[MaskedColumnVector]]), never row-by-row materialized. The inner
+    // columnar read covers innerSchema (required + eq-key columns); the
+    // batch projects back down to requiredSchema.
     val hasMetaOut = requiredSchema.fieldNames.exists(metaNames.contains)
-    val allColumnar = !hasMetaOut && plannedPartitions.forall { p =>
-      val m = p.asInstanceOf[GraftMorInputPartition]
-      m.positions.isEmpty && m.posCandidates.isEmpty && m.defaults.isEmpty &&
-        ((eqGroups.isEmpty && eqSpecs.isEmpty) || m.dseq >= maxEqSeq)
+    val colEligible = !hasMetaOut && plannedPartitions.forall {
+      _.asInstanceOf[GraftMorInputPartition].defaults.isEmpty
     }
-    val colFactory =
-      if (allColumnar)
-        org.apache.spark.sql.GraftBridge.parquetReaderFactory(
-          spark, dataSchema, requiredSchema, pushedFilters)
-      else null
+    // position counting must see every row — partitions with position
+    // deletes read through the push-free factory (no row-group skipping)
+    val colPush =
+      if (!colEligible) null
+      else org.apache.spark.sql.GraftBridge.parquetReaderFactory(
+        spark, dataSchema, innerSchema, pushedFilters)
+    val colNoPush =
+      if (!colEligible) null
+      else if (pushedFilters.isEmpty) colPush
+      else org.apache.spark.sql.GraftBridge.parquetReaderFactory(
+        spark, dataSchema, innerSchema, Array.empty[Filter])
     // output field plan: data columns bind to inner ordinals; _file is a
     // per-partition constant; _pos reads the counter appended after the
     // inner columns; defaulted ordinals become per-partition literals
@@ -305,7 +334,8 @@ class GraftMorScan(
     new GraftMorReaderFactory(
       if (needsExactPositions) innerNoPush else innerPush,
       innerNoPush, groups, outFields, innerSchema.length,
-      serConf, eqSpecs, eqCacheKey, colFactory)
+      serConf, eqSpecs, eqCacheKey, colPush, eqExecMaxBytes,
+      colNoPush, requiredSchema.length)
   }
 
   override def description(): String =
@@ -336,13 +366,14 @@ case class GraftMorInputPartition(
     path: String,
     defaults: Array[(Int, Any)],
     posCandidates: Array[DeleteFileRef] = Array.empty,
-    rangeStart: Long = 0L)
+    rangeStart: Long = 0L,
+    posSeedPre: Long = -1L)
     extends InputPartition
 
 case class EqGroupState(
     keyOrdinals: Array[Int],
     keyTypes: Array[DataType],
-    keys: JHashMap[UnsafeRow, java.lang.Long])
+    keys: EqLookup)
 
 /** how each output field is produced */
 sealed trait OutField extends Serializable
@@ -361,43 +392,121 @@ class GraftMorReaderFactory(
     serConf: graft.tables.TableWrite.SerializableHadoopConf = null,
     eqSpecs: Array[EqLoadSpec] = Array.empty,
     eqCacheKey: String = "",
-    colFactory: PartitionReaderFactory = null)
+    colPush: PartitionReaderFactory = null,
+    eqExecMaxBytes: Long = Long.MaxValue,
+    colNoPush: PartitionReaderFactory = null,
+    numOutputCols: Int = -1)
     extends PartitionReaderFactory {
 
-  /** Columnar fast path: set only when the SCAN determined that no
-    * partition needs row-level work (Spark rejects mixed row/columnar
-    * partitions, so the choice is all-or-nothing). Pays off when the
-    * scanned files all post-date the delete set — e.g. compacted or
-    * fresh data over old CDC deletes. */
+  /** Columnar path: available whenever the scan's output needs no
+    * per-row synthesis (metadata columns / default literals). Deletes no
+    * longer force the row reader — they mask batch ordinals instead. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    colFactory != null && (partition match {
+    colNoPush != null && (partition match {
       case mor: GraftMorInputPartition =>
-        colFactory.supportColumnarReads(mor.filePartition)
+        colNoPush.supportColumnarReads(mor.filePartition)
       case _ => false
     })
 
-  override def createColumnarReader(partition: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    colFactory.createColumnarReader(
-      partition.asInstanceOf[GraftMorInputPartition].filePartition)
-
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val mor = partition.asInstanceOf[GraftMorInputPartition]
-    // executor-side mode: resolve this task's delete state now — pushdown
-    // position-delete reads for THIS file, cached equality maps
+  /** this task's delete state: positions for ITS file, the position
+    * counter seed for ITS byte range, and the equality lookups (plan-time
+    * closure state or executor-side cached loads) */
+  private def resolveDeletes(mor: GraftMorInputPartition): (Array[Long], Long, Array[EqGroupState]) = {
+    // executor-side mode: pushdown position-delete reads for THIS file
     val positions: Array[Long] =
       if (mor.posCandidates.isEmpty) mor.positions
       else DeleteState.positionsFor(mor.path, mor.dseq, mor.posCandidates, serConf.value)
     // byte-range split: positions are absolute within the file, so the
-    // counter seeds with the rows preceding this range
+    // counter seeds with the rows preceding this range. The driver ships
+    // the seed when positions matter; -1 with no position consumers means
+    // the counter value is irrelevant (footer read skipped entirely).
+    val needsPositions =
+      positions.nonEmpty || outFields.contains(OutField.PosCounter)
     val seed: Long =
       if (mor.rangeStart == 0L) 0L
-      else DeleteState.posSeed(mor.path, mor.rangeStart, serConf.value)
+      else if (mor.posSeedPre >= 0L) mor.posSeedPre
+      else if (needsPositions) DeleteState.posSeed(mor.path, mor.rangeStart, serConf.value)
+      else 0L
     val eqGroups: Array[EqGroupState] =
       if (eqSpecs.isEmpty) planTimeEqGroups
-      else DeleteState.eqMaps(eqCacheKey, eqSpecs).zip(eqSpecs).map {
-        case (map, spec) => EqGroupState(spec.keyOrdinals, spec.keyTypes, map)
+      else DeleteState.eqLookups(eqCacheKey, eqSpecs, eqExecMaxBytes).zip(eqSpecs).map {
+        case (lookup, spec) => EqGroupState(spec.keyOrdinals, spec.keyTypes, lookup)
       }
+    (positions, seed, eqGroups)
+  }
+
+  private def keyProjsOf(eqGroups: Array[EqGroupState]) = eqGroups.map { g =>
+    UnsafeProjection.create(g.keyOrdinals.zip(g.keyTypes).map {
+      case (ord, t) => BoundReference(ord, t, nullable = true) })
+  }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.vectorized.ColumnarBatch
+    val mor = partition.asInstanceOf[GraftMorInputPartition]
+    val (positions, seed, eqGroups) = resolveDeletes(mor)
+    // row-group skipping must stay off while positions are counted
+    val inner = (if (positions.isEmpty) colPush else colNoPush)
+      .createColumnarReader(mor.filePartition)
+    val passthrough =
+      positions.isEmpty && eqGroups.isEmpty && innerLen == numOutputCols
+    if (passthrough) inner
+    else new PartitionReader[ColumnarBatch] {
+      private val keyProjs = keyProjsOf(eqGroups)
+      private var pos = seed - 1L
+      private var mapBuf = Array.emptyIntArray
+      private var current: ColumnarBatch = _
+      private var rowsDeleted = 0L
+
+      override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        Array(GraftTaskMetric("graftRowsDeleted", rowsDeleted))
+
+      private def eqDeleted(row: InternalRow, dseq: Long): Boolean = {
+        var i = 0
+        while (i < eqGroups.length) {
+          val eseq = eqGroups(i).keys.get(keyProjs(i)(row))
+          if (eseq != null && eseq > dseq) return true
+          i += 1
+        }
+        false
+      }
+
+      override def next(): Boolean = {
+        if (!inner.next()) return false
+        val batch = inner.get()
+        val n = batch.numRows()
+        if (positions.isEmpty && eqGroups.isEmpty) {
+          current = GraftColumnarMask.project(batch, numOutputCols)
+          return true
+        }
+        if (mapBuf.length < n) mapBuf = new Array[Int](n)
+        var kept = 0
+        var i = 0
+        while (i < n) {
+          pos += 1L
+          val del =
+            (positions.length > 0 &&
+              java.util.Arrays.binarySearch(positions, pos) >= 0) ||
+            (eqGroups.nonEmpty && eqDeleted(batch.getRow(i), mor.dseq))
+          if (!del) { mapBuf(kept) = i; kept += 1 } else rowsDeleted += 1
+          i += 1
+        }
+        current =
+          if (kept == n && innerLen == numOutputCols) batch
+          else if (kept == n) GraftColumnarMask.project(batch, numOutputCols)
+          else GraftColumnarMask.mask(batch, numOutputCols, mapBuf, kept)
+        true
+      }
+
+      override def get(): ColumnarBatch = current
+
+      override def close(): Unit = inner.close()
+    }
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val mor = partition.asInstanceOf[GraftMorInputPartition]
+    val (positions, seed, eqGroups) = resolveDeletes(mor)
     val reader =
       (if (positions.isEmpty) innerPush else innerNoPush)
         .createReader(mor.filePartition)

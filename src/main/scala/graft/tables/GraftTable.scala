@@ -919,6 +919,18 @@ object GraftTable {
     spark.conf.getOption("spark.graft.delete-broadcast-max-bytes")
       .map(_.toLong).getOrElse(DeleteBroadcastMaxBytes)
 
+  /** Executor-side equality-delete groups at or below this on-disk size
+    * build an in-memory key map; larger groups build the exact disk-backed
+    * [[graft.spark.DiskEqLookup]] (sorted-run spill + binary-search
+    * probes) so executor memory stays bounded at ANY delete volume — the
+    * scan itself never shuffles the data side the way an anti-join
+    * fallback would. Tunable via `spark.graft.eq-delete-executor-max-bytes`. */
+  val EqDeleteExecutorMaxBytes: Long = 256L * 1024 * 1024
+
+  def eqDeleteExecutorMaxBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.eq-delete-executor-max-bytes")
+      .map(_.toLong).getOrElse(EqDeleteExecutorMaxBytes)
+
   /** Our data files carry iceberg field ids; resolve parquet columns by id
     * so renamed columns keep reading pre-rename files. The conf is pinned
     * on a cached CLONE of the session (shared context, copied confs) —

@@ -268,6 +268,13 @@ object RestCatalog {
                 case _ => -1
               }
           }.getOrElse(-1)
+          val expectedUuid = (j \ "requirements").children.collectFirst {
+            case req if (req \ "type") == JString("assert-table-uuid") =>
+              (req \ "uuid") match {
+                case JString(u) => u
+                case _ => ""
+              }
+          }
           val meta = JsonMethods.compact(JsonMethods.render(j \ "metadata"))
           val key = s"$ns.$name"
           val cur = Option(tables.get(key))
@@ -276,6 +283,12 @@ object RestCatalog {
             case Some(e) if e.version != expected =>
               respond(ex, 409,
                 s"""{"error": "version conflict", "current": ${e.version}}""")
+            case Some(e) if expectedUuid.exists(u =>
+                (JsonMethods.parse(e.metadataJson) \ "table-uuid") != JString(u)) =>
+              // requirement-failed per the REST spec: the table at this
+              // identifier is not the one the writer thinks it is (e.g.
+              // dropped and recreated underneath)
+              respond(ex, 409, """{"error": "requirement failed: uuid"}""")
             case Some(e) =>
               // CAS: replace only if unchanged since we read it
               if (tables.replace(key, e, Entry(e.version + 1, meta)))

@@ -55,7 +55,17 @@ object GraftBridge {
         c
       case c => c
     }
-    origin.conf.getAll.foreach { case (k, v) =>
+    val originAll = origin.conf.getAll
+    val pinnedKeys = Set(
+      SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key,
+      SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key)
+    // keys the user has since UNSET on the origin must not linger in the
+    // clone (stale values would silently keep applying to graft reads)
+    clone.conf.getAll.keys.foreach { k =>
+      if (!originAll.contains(k) && !pinnedKeys.contains(k)) clone.conf.unset(k)
+    }
+    originAll.foreach { case (k, v) =>
       if (!clone.conf.getOption(k).contains(v)) clone.conf.set(k, v)
     }
     clone.conf.set(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, "true")
@@ -63,6 +73,13 @@ object GraftBridge {
     clone.conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
     clone
   }
+
+  /** session-scoped hadoop conf (includes per-session options set via
+    * `spark.conf` — e.g. FS credentials — which the raw SparkContext
+    * hadoopConfiguration lacks) */
+  def sessionHadoopConf(spark: SparkSession): org.apache.hadoop.conf.Configuration =
+    spark.asInstanceOf[classic.SparkSession]
+      .sessionState.newHadoopConfWithOptions(Map.empty)
 
   private val pinnedCache =
     new java.util.WeakHashMap[classic.SparkSession, classic.SparkSession]()

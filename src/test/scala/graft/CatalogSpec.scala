@@ -165,6 +165,43 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.delete-broadcast-max-bytes")
   }
 
+  test("jumbo eq deletes beyond the executor byte cap probe the disk store") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.mor3")
+    spark.sql("CREATE TABLE graft.db.mor3 (k BIGINT, v STRING)")
+    spark.sql(
+      "INSERT INTO graft.db.mor3 SELECT id AS k, CAST(id AS STRING) AS v FROM RANGE(2000)")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val t = graft.tables.StorageCatalog.loadTable(conf, s"$wh/db/mor3")
+    // two delete files in the same (k) group — exercises the run merge
+    t.equalityDelete(spark, (0L until 300L).map(_ * 3).toDF("k"), Seq("k"))
+    t.equalityDelete(spark, (0L until 200L).map(_ * 5).toDF("k"), Seq("k"))
+    // deleted: multiples of 3 below 900 and multiples of 5 below 1000
+    val expected = (0L until 2000L).count(k =>
+      !(k % 3 == 0 && k < 900) && !(k % 5 == 0 && k < 1000))
+    // baseline: plan-time maps
+    assert(spark.sql("SELECT COUNT(*) FROM graft.db.mor3").head().getLong(0) === expected)
+    // threshold 0 on BOTH knobs: executor-side loading AND the disk-backed
+    // sorted store (every group exceeds 0 bytes); same single-scan plan,
+    // identical rows
+    spark.conf.set("spark.graft.delete-broadcast-max-bytes", "0")
+    spark.conf.set("spark.graft.eq-delete-executor-max-bytes", "0")
+    try {
+      val q = spark.sql("SELECT * FROM graft.db.mor3")
+      assert(q.queryExecution.executedPlan.toString.contains("GraftMorScan"))
+      val rows = q.collect()
+      assert(rows.length === expected)
+      assert(!rows.exists(r => (r.getLong(0) % 3 == 0 && r.getLong(0) < 900) ||
+        (r.getLong(0) % 5 == 0 && r.getLong(0) < 1000)))
+      // overlapping keys (multiples of 15) resolved to max seq once
+      assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    } finally {
+      spark.conf.unset("spark.graft.delete-broadcast-max-bytes")
+      spark.conf.unset("spark.graft.eq-delete-executor-max-bytes")
+    }
+  }
+
   test("SQL DELETE FROM: filter-expressible predicates become position deletes") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("DROP TABLE IF EXISTS graft.db.sdel")
@@ -335,6 +372,34 @@ class CatalogSpec extends AnyFunSuite {
     assert(plan.contains("ColumnarToRow"), s"expected columnar scan:\n$plan")
     assert(q.count() === 98)
     assert(spark.sql("SELECT COUNT(*) FROM graft.db.colf").head().getLong(0) === 998)
+  }
+
+  test("vectorized MoR: files WITH deletes still read columnar, masked per batch") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.colm")
+    spark.sql("CREATE TABLE graft.db.colm (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.colm SELECT id, CAST(id AS STRING) FROM RANGE(5000)")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val t = graft.tables.StorageCatalog.loadTable(conf, s"$wh/db/colm")
+    // eq deletes AND pos deletes against the live files — the former
+    // all-or-nothing gate would force every row through the row reader
+    t.equalityDelete(spark, (0L until 100L).map(_ * 7).toDF("k"), Seq("k"))
+    val pos = t.scan(spark, keepFilePos = true).filter($"k" >= 4990)
+      .select($"_file".as("file_path"), $"_pos".as("pos"))
+    t.positionDelete(spark, pos)
+    val q = spark.sql("SELECT * FROM graft.db.colm")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftMorScan"), s"expected MoR scan:\n$plan")
+    assert(plan.contains("ColumnarToRow"), s"expected columnar scan:\n$plan")
+    val rows = q.collect()
+    // deleted: eq = multiples of 7 below 700, pos = rows with k >= 4990
+    val expected = (0L until 5000L).filterNot(k => (k % 7 == 0 && k < 700) || k >= 4990)
+    assert(rows.map(_.getLong(0)).sorted === expected.toArray)
+    // filters still push into the columnar read for eq-only scans
+    val f = spark.sql("SELECT k FROM graft.db.colm WHERE k BETWEEN 100 AND 200")
+    assert(f.collect().map(_.getLong(0)).sorted ===
+      (100L to 200L).filterNot(k => k % 7 == 0).toArray)
   }
 
   test("ALTER TABLE ADD/RENAME column via SQL") {

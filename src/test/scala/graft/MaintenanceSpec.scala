@@ -410,6 +410,73 @@ class MaintenanceSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("REST conformance: uuid requirement, contention retries, rename/drop races") {
+    val server = new RestCatalog.Server()
+    val uri = server.start()
+    try {
+      val client = new RestCatalog.Client(uri, conf)
+      val src = spark.read.parquet(s"$sfDir/region.parquet")
+      val schema = SchemaConvert.fromSparkSchema(src.schema)
+      def freshMeta(loc: String) = TableMetadata(
+        formatVersion = 2, tableUuid = java.util.UUID.randomUUID().toString,
+        location = loc, lastSequenceNumber = 0, lastUpdatedMs = System.currentTimeMillis(),
+        lastColumnId = schema.maxFieldId, schemas = List(schema), currentSchemaId = 0,
+        partitionSpecs = List(IcePartitionSpec(0, Nil)), defaultSpecId = 0,
+        lastPartitionId = 999, properties = Map.empty, currentSnapshotId = None,
+        snapshots = Nil, snapshotLog = Nil, metadataLog = Nil,
+        sortOrders = List(IceSortOrder(0, Nil)), defaultSortOrderId = 0, refs = Map.empty)
+
+      client.createNamespace("cf")
+      val t = client.createTable("cf", "t", freshMeta(tmpLocation("restcf")))
+      t.append(spark, src)
+
+      // requirement-failed: a writer whose table was dropped and RECREATED
+      // underneath (same identifier, new uuid) must get 409, NOT silently
+      // commit onto the impostor — the uuid assertion is what catches it
+      val staleWriter = client.loadTable("cf", "t")
+      client.dropTable("cf", "t")
+      val recreated = client.createTable("cf", "t", freshMeta(tmpLocation("restcf2")))
+      recreated.append(spark, src.limit(1))
+      intercept[CommitConflictException] {
+        // direct commit (no retry loop): version matches (2) but uuid differs
+        client.commitTable("cf", "t", 2, staleWriter.metadata)
+      }
+
+      // contention: 4 writers x 3 appends race on one table; every commit
+      // conflict must reload + retry until it lands (409 -> refresh path)
+      client.createNamespace("race")
+      client.createTable("race", "hot", freshMeta(tmpLocation("restrace")))
+      val threads = (0 until 4).map { i =>
+        new Thread(() => {
+          val mine = client.loadTable("race", "hot")
+          (0 until 3).foreach(_ => mine.append(spark, src.limit(1)))
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val hot = client.loadTable("race", "hot")
+      assert(hot.scan(spark).count() === 12)
+      assert(hot.version === 13) // 1 create + 12 commits, none lost
+
+      // rename races: source disappears after the first rename wins -> 404;
+      // renaming onto an existing destination -> 409 (both surface as
+      // errors, never silent overwrites)
+      client.createNamespace("mv")
+      client.createTable("mv", "a", freshMeta(tmpLocation("restmva")))
+      client.createTable("mv", "b", freshMeta(tmpLocation("restmvb")))
+      client.renameTable("mv", "a", "mv", "c")
+      intercept[IllegalArgumentException] { client.renameTable("mv", "a", "mv", "d") }
+      intercept[IllegalArgumentException] { client.renameTable("mv", "c", "mv", "b") }
+      assert(client.listTables("mv").toSet === Set("b", "c"))
+
+      // commit to a dropped table: 404 is terminal (fail fast, no retry)
+      val gone = client.loadTable("mv", "b")
+      client.dropTable("mv", "b")
+      intercept[IllegalArgumentException] {
+        client.commitTable("mv", "b", gone.version, gone.metadata)
+      }
+    } finally server.stop()
+  }
+
   test("streaming source over snapshot history (resumable offsets)") {
     val src = spark.read.parquet(s"$sfDir/region.parquet")
     val loc = tmpLocation("streamsrc")
