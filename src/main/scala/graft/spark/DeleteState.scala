@@ -59,16 +59,40 @@ final class DiskEqLookup private (
     offsetsFile: java.io.File,
     n: Long) extends EqLookup {
 
-  private val dataCh = java.nio.channels.FileChannel.open(
-    dataFile.toPath, java.nio.file.StandardOpenOption.READ)
-  private val offCh = java.nio.channels.FileChannel.open(
-    offsetsFile.toPath, java.nio.file.StandardOpenOption.READ)
+  // FileChannels are InterruptibleChannels: a task kill (speculation,
+  // job cancel with interruptOnCancel) mid-read closes the channel for
+  // EVERY thread. Channels are therefore replaceable — a probe that
+  // finds its channel closed reopens it instead of poisoning the
+  // JVM-global cache entry for all subsequent tasks.
+  private def open(f: java.io.File) = java.nio.channels.FileChannel.open(
+    f.toPath, java.nio.file.StandardOpenOption.READ)
+  @volatile private var dataCh = open(dataFile)
+  @volatile private var offCh = open(offsetsFile)
+  @volatile private var closed = false
 
-  private def readAt(ch: java.nio.channels.FileChannel, pos: Long, len: Int): java.nio.ByteBuffer = {
+  private def reopen(): Unit = synchronized {
+    if (closed) throw new IllegalStateException(s"closed: $dataFile")
+    if (!dataCh.isOpen) dataCh = open(dataFile)
+    if (!offCh.isOpen) offCh = open(offsetsFile)
+  }
+
+  private def readAt(data: Boolean, pos: Long, len: Int): java.nio.ByteBuffer = {
     val bb = java.nio.ByteBuffer.allocate(len)
     var p = pos
     while (bb.hasRemaining) {
-      val r = ch.read(bb, p)
+      val r =
+        try (if (data) dataCh else offCh).read(bb, p)
+        catch {
+          case e: java.nio.channels.ClosedByInterruptException =>
+            // THIS task is being killed — let it die (retrying would
+            // re-close the channel forever)
+            throw e
+          case _: java.nio.channels.ClosedChannelException =>
+            // an interrupted SIBLING task closed the shared channel —
+            // reopen and retry
+            reopen()
+            0
+        }
       if (r < 0) throw new java.io.EOFException(s"$dataFile at $p")
       p += r
     }
@@ -81,9 +105,9 @@ final class DiskEqLookup private (
     var hi = n - 1
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
-      val off = readAt(offCh, mid * 8, 8).getLong
-      val len = readAt(dataCh, off, 4).getInt
-      val rec = readAt(dataCh, off + 4, len + 8)
+      val off = readAt(data = false, mid * 8, 8).getLong
+      val len = readAt(data = true, off, 4).getInt
+      val rec = readAt(data = true, off + 4, len + 8)
       val rb = new Array[Byte](len)
       rec.get(rb)
       val c = java.util.Arrays.compareUnsigned(kb, rb)
@@ -94,7 +118,8 @@ final class DiskEqLookup private (
     null
   }
 
-  override def close(): Unit = {
+  override def close(): Unit = synchronized {
+    closed = true
     dataCh.close(); offCh.close()
     dataFile.delete(); offsetsFile.delete()
   }
@@ -123,9 +148,11 @@ object DiskEqLookup {
     }
   }
 
-  /** build from a stream of (canonical key bytes, delete sequence) */
+  /** build from a stream of (canonical key bytes, delete sequence);
+    * `chunkBytes` is the run-buffer size (callers floor it — tests pass
+    * tiny values to force the multi-run merge path) */
   def build(records: Iterator[(Array[Byte], Long)], chunkBytes: Long): DiskEqLookup = {
-    val chunkLimit = math.max(chunkBytes, 1L << 20) // floor: 1 MiB run buffer
+    val chunkLimit = math.max(chunkBytes, 1L)
     val runs = scala.collection.mutable.ArrayBuffer[java.io.File]()
     val buf = scala.collection.mutable.ArrayBuffer[(Array[Byte], Long)]()
     var bufBytes = 0L
@@ -266,30 +293,58 @@ object DeleteState {
     } finally reader.close()
   }
 
-  /** lazy per-scan holder: the global cache lock covers only map
-    * lookup/insert; the (possibly long) delete-file read runs under the
-    * HOLDER's lock, so concurrent unrelated scans never serialize behind
-    * one scan's build */
+  /** Lazy per-scan holder with task leases. The global cache lock covers
+    * only map lookup/insert; the (possibly long) delete-file read runs
+    * under the HOLDER's lock, so concurrent unrelated scans never
+    * serialize behind one scan's build. Eviction RETIRES the holder;
+    * the actual close (channel teardown + temp-file delete) happens only
+    * once the last leased task completes — never under a live probe. */
   private final class LazyLookups(specs: Array[EqLoadSpec], maxBytes: Long) {
-    lazy val value: Array[EqLookup] = specs.map(loadEqGroup(_, maxBytes))
-    def closeIfBuilt(): Unit = synchronized {
-      // only tear down what was actually built (lazy not forced = no files)
-      if (built) value.foreach(_.close())
+    private var lookups: Array[EqLookup] = _
+    private var leases = 0
+    private var retired = false
+
+    def acquire(): Array[EqLookup] = {
+      val v = synchronized {
+        if (lookups == null) lookups = specs.map(loadEqGroup(_, maxBytes))
+        leases += 1
+        lookups
+      }
+      // release when the task ends (probes outlive createReader). A
+      // non-task caller (driver/test) holds its lease forever — the
+      // entry then never closes under it; temp files fall back to
+      // deleteOnExit. Correctness over eager cleanup on that rare path.
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => release())
+      v
     }
-    @volatile private var built = false
-    def force: Array[EqLookup] = { val v = value; built = true; v }
+
+    def release(): Unit = synchronized {
+      leases -= 1
+      if (retired && leases <= 0 && lookups != null) {
+        lookups.foreach(_.close()); lookups = null
+      }
+    }
+
+    def retire(): Unit = synchronized {
+      retired = true
+      if (leases <= 0 && lookups != null) {
+        lookups.foreach(_.close()); lookups = null
+      }
+    }
   }
 
   /** JVM-global LRU of equality-delete lookups keyed by scan signature:
     * one build per executor per scan, shared by its tasks. Bounded at a
     * few concurrent scans; an evicted entry just rebuilds on next access
-    * (disk-backed entries delete their temp files on eviction). */
+    * (disk-backed entries delete their temp files once their last task
+    * finishes). */
   private val eqCache =
     new java.util.LinkedHashMap[String, LazyLookups](8, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, LazyLookups]): Boolean = {
         val evict = size > 4
-        if (evict) e.getValue.closeIfBuilt()
+        if (evict) e.getValue.retire()
         evict
       }
     }
@@ -312,7 +367,7 @@ object DeleteState {
         h
       }
     }
-    holder.force
+    holder.acquire()
   }
 
   private def loadEqGroup(spec: EqLoadSpec, maxBytes: Long): EqLookup = {
@@ -321,14 +376,19 @@ object DeleteState {
     def rows: Iterator[(UnsafeRow, Long)] = spec.files.iterator.flatMap { ref =>
       val reader = spec.factory.createReader(
         org.apache.spark.sql.GraftBridge.wholeFilePartition(0, ref.path, ref.size))
+      // hasNext must be idempotent (iterator contract): buffer the
+      // lookahead instead of advancing the reader on every call
       new Iterator[(UnsafeRow, Long)] {
         private var open = true
-        override def hasNext: Boolean = open && {
-          val more = reader.next()
-          if (!more) { reader.close(); open = false }
-          more
-        }
+        private var pending = false
+        override def hasNext: Boolean = pending || (open && {
+          pending = reader.next()
+          if (!pending) { reader.close(); open = false }
+          pending
+        })
         override def next(): (UnsafeRow, Long) = {
+          if (!hasNext) throw new NoSuchElementException
+          pending = false
           val row: InternalRow = reader.get()
           (proj(row), ref.seq)
         }
@@ -342,7 +402,7 @@ object DeleteState {
       DiskEqLookup.build(rows.map { case (r, s) =>
         val b = r.getBytes
         (java.util.Arrays.copyOf(b, b.length), s)
-      }, maxBytes)
+      }, math.max(maxBytes, 1L << 20)) // floor: 1 MiB run buffer
     } else {
       val map = new JHashMap[UnsafeRow, java.lang.Long]()
       rows.foreach { case (r, s) =>

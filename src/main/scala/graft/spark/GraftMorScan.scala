@@ -123,7 +123,7 @@ class GraftMorScan(
   }
 
   /** per equality-id group: key types and (key -> max delete sequence) */
-  private lazy val eqGroups: Seq[(Seq[String], Array[DataType], JHashMap[UnsafeRow, java.lang.Long])] =
+  private lazy val eqGroups: Seq[(Seq[String], Array[DataType], JHashMap[UnsafeRow, java.lang.Long], Long)] =
     (if (executorSide) Nil
     else eqDeletes.groupBy(_.file.equalityIds).toSeq).flatMap { case (eqIds, files) =>
       val keyFields = eqIds.flatMap(id => iceSchema.fieldById(id))
@@ -151,7 +151,7 @@ class GraftMorScan(
           val prev = map.get(key)
           if (prev == null || prev < eseq) map.put(key, eseq)
         }
-        Some((keyNames, types, map))
+        Some((keyNames, types, map, files.map(_.seq).max))
       }
     }
 
@@ -251,8 +251,9 @@ class GraftMorScan(
       else org.apache.spark.sql.GraftBridge.parquetReaderFactory(
         SparkSession.active, dataSchema, innerSchema, pushedFilters)
     val nameToOrdinal = innerSchema.fieldNames.zipWithIndex.toMap
-    val groups = eqGroups.map { case (keyNames, types, map) =>
-      EqGroupState(keyNames.map(nameToOrdinal).toArray, types, new InMemoryEqLookup(map))
+    val groups = eqGroups.map { case (keyNames, types, map, maxSeq) =>
+      EqGroupState(
+        keyNames.map(nameToOrdinal).toArray, types, new InMemoryEqLookup(map), maxSeq)
     }.toArray
     // executor-side mode: ship load SPECS (files + driver-built reader
     // factories), not maps — executors build and cache the delete state
@@ -373,7 +374,8 @@ case class GraftMorInputPartition(
 case class EqGroupState(
     keyOrdinals: Array[Int],
     keyTypes: Array[DataType],
-    keys: EqLookup)
+    keys: EqLookup,
+    maxSeq: Long = Long.MaxValue)
 
 /** how each output field is produced */
 sealed trait OutField extends Serializable
@@ -427,11 +429,15 @@ class GraftMorReaderFactory(
       else if (mor.posSeedPre >= 0L) mor.posSeedPre
       else if (needsPositions) DeleteState.posSeed(mor.path, mor.rangeStart, serConf.value)
       else 0L
+    // a group whose NEWEST delete is at/before the file's sequence can
+    // never match (eseq > dseq required) — skip its per-row probes
+    // entirely; compacted/fresh files over old CDC deletes pay nothing
     val eqGroups: Array[EqGroupState] =
-      if (eqSpecs.isEmpty) planTimeEqGroups
+      (if (eqSpecs.isEmpty) planTimeEqGroups
       else DeleteState.eqLookups(eqCacheKey, eqSpecs, eqExecMaxBytes).zip(eqSpecs).map {
-        case (lookup, spec) => EqGroupState(spec.keyOrdinals, spec.keyTypes, lookup)
-      }
+        case (lookup, spec) =>
+          EqGroupState(spec.keyOrdinals, spec.keyTypes, lookup, spec.files.map(_.seq).max)
+      }).filter(_.maxSeq > mor.dseq)
     (positions, seed, eqGroups)
   }
 
@@ -532,10 +538,7 @@ class GraftMorReaderFactory(
       })
       private val posRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       private val joined = new JoinedRow
-      private val keyProjs = eqGroups.map { g =>
-        UnsafeProjection.create(g.keyOrdinals.zip(g.keyTypes).map {
-          case (ord, t) => BoundReference(ord, t, nullable = true) })
-      }
+      private val keyProjs = keyProjsOf(eqGroups)
       private var pos = seed - 1L
       private var current: InternalRow = _
       private var rowsDeleted = 0L

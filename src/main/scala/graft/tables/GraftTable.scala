@@ -44,6 +44,15 @@ class GraftTable(
 
   def refresh(): GraftTable = {
     val t = reloader()
+    // NEVER adopt a different table-uuid: the identifier now points at a
+    // dropped-and-recreated table. Adopting it would make the next commit
+    // retry regenerate its assert-table-uuid requirement from the
+    // impostor's metadata and land a silent commit on it — exactly what
+    // the uuid requirement exists to prevent. Terminal, not retryable.
+    if (t.metadata.tableUuid != metadata.tableUuid)
+      throw new IllegalStateException(
+        s"table at $location was replaced (uuid ${metadata.tableUuid} -> " +
+          s"${t.metadata.tableUuid}); refusing to continue this writer")
     metadata = t.metadata
     version = t.version
     this

@@ -441,6 +441,11 @@ class MaintenanceSpec extends AnyFunSuite {
         // direct commit (no retry loop): version matches (2) but uuid differs
         client.commitTable("cf", "t", 2, staleWriter.metadata)
       }
+      // the RETRY path must not sneak around it either: append -> 409 ->
+      // refresh sees a different uuid and refuses to adopt the impostor
+      intercept[IllegalStateException] {
+        staleWriter.append(spark, src.limit(1))
+      }
 
       // contention: 4 writers x 3 appends race on one table; every commit
       // conflict must reload + retry until it lands (409 -> refresh path)
