@@ -57,7 +57,14 @@ final class InMemoryEqLookup(map: JHashMap[UnsafeRow, java.lang.Long]) extends E
 final class DiskEqLookup private (
     dataFile: java.io.File,
     offsetsFile: java.io.File,
-    n: Long) extends EqLookup {
+    n: Long,
+    // bounded in-memory sparse index: every stride-th merged record's
+    // (key, seq, record index). Probes binary-search it first — an exact
+    // hit answers with ZERO disk reads (always the case while the set
+    // fits the cap), otherwise the disk search narrows to one stride.
+    sparseKeys: Array[Array[Byte]],
+    sparseSeqs: Array[Long],
+    sparseIdx: Array[Long]) extends EqLookup {
 
   // FileChannels are InterruptibleChannels: a task kill (speculation,
   // job cancel with interruptOnCancel) mid-read closes the channel for
@@ -101,8 +108,22 @@ final class DiskEqLookup private (
 
   override def get(key: UnsafeRow): java.lang.Long = {
     val kb = key.getBytes
-    var lo = 0L
-    var hi = n - 1
+    // memory tier: rightmost sparse entry <= kb
+    var slo = 0
+    var shi = sparseKeys.length - 1
+    var floor = -1
+    while (slo <= shi) {
+      val mid = (slo + shi) >>> 1
+      val c = java.util.Arrays.compareUnsigned(kb, sparseKeys(mid))
+      if (c == 0) return sparseSeqs(mid)
+      else if (c < 0) shi = mid - 1
+      else { floor = mid; slo = mid + 1 }
+    }
+    // below the smallest key -> absent (record 0 is always sampled)
+    if (floor < 0) return null
+    // disk tier, narrowed to (floor entry, next entry)
+    var lo = sparseIdx(floor) + 1
+    var hi = if (floor + 1 < sparseIdx.length) sparseIdx(floor + 1) - 1 else n - 1
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
       val off = readAt(data = false, mid * 8, 8).getLong
@@ -148,10 +169,18 @@ object DiskEqLookup {
     }
   }
 
+  /** default sparse-index entry cap: ~512k entries ≈ tens of MB for
+    * typical key widths — a FIXED bound regardless of delete volume */
+  val DefaultSparseCap: Int = 512 * 1024
+
   /** build from a stream of (canonical key bytes, delete sequence);
     * `chunkBytes` is the run-buffer size (callers floor it — tests pass
-    * tiny values to force the multi-run merge path) */
-  def build(records: Iterator[(Array[Byte], Long)], chunkBytes: Long): DiskEqLookup = {
+    * tiny values to force the multi-run merge path, and a tiny
+    * `sparseCap` to force probes onto the disk tier) */
+  def build(
+      records: Iterator[(Array[Byte], Long)],
+      chunkBytes: Long,
+      sparseCap: Int = DefaultSparseCap): DiskEqLookup = {
     val chunkLimit = math.max(chunkBytes, 1L)
     val runs = scala.collection.mutable.ArrayBuffer[java.io.File]()
     val buf = scala.collection.mutable.ArrayBuffer[(Array[Byte], Long)]()
@@ -186,6 +215,26 @@ object DiskEqLookup {
     runs.foreach { f => val r = new RunReader(f); if (r.key != null) heap.add(r) }
     var n = 0L
     var written = 0L
+    // adaptive-stride sampling: every stride-th record enters the sparse
+    // index; when the cap is hit the index halves and the stride doubles,
+    // so memory stays bounded no matter how many records merge out
+    val cap = math.max(sparseCap, 1)
+    var stride = 1L
+    val sKeys = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    val sSeqs = scala.collection.mutable.ArrayBuffer[Long]()
+    val sIdx = scala.collection.mutable.ArrayBuffer[Long]()
+    def downsample(): Unit = {
+      var i = 0
+      var w = 0
+      while (i < sKeys.length) {
+        sKeys(w) = sKeys(i); sSeqs(w) = sSeqs(i); sIdx(w) = sIdx(i)
+        w += 1; i += 2
+      }
+      sKeys.dropRightInPlace(sKeys.length - w)
+      sSeqs.dropRightInPlace(sSeqs.length - w)
+      sIdx.dropRightInPlace(sIdx.length - w)
+      stride *= 2
+    }
     while (!heap.isEmpty) {
       val top = heap.poll()
       val key = top.key
@@ -199,11 +248,15 @@ object DiskEqLookup {
       }
       offOut.writeLong(written)
       writeRec(dataOut, key, seq)
+      if (n % stride == 0L) {
+        sKeys += key; sSeqs += seq; sIdx += n
+        if (sKeys.length >= 2 * cap) downsample()
+      }
       written += 4L + key.length + 8
       n += 1
     }
     dataOut.close(); offOut.close()
-    new DiskEqLookup(dataFile, offsetsFile, n)
+    new DiskEqLookup(dataFile, offsetsFile, n, sKeys.toArray, sSeqs.toArray, sIdx.toArray)
   }
 }
 

@@ -32,23 +32,28 @@ class DeleteStateSpec extends AnyFunSuite {
   test("multi-run build dedupes to max sequence; probes are exact") {
     // 500 keys with variable-length string parts, each written TWICE with
     // different sequences across the stream; a 64-byte chunk forces a
-    // spill roughly every record -> hundreds of runs through the merge
-    val recs = (0L until 500L).flatMap { i =>
+    // spill roughly every record -> hundreds of runs through the merge.
+    // sparseCap 8 forces nearly every probe onto the DISK tier; the
+    // default cap answers everything from the in-memory sparse index —
+    // both must agree exactly.
+    def recs = (0L until 500L).flatMap { i =>
       Seq(
         (keyBytes(i, "k" * (1 + (i % 17)).toInt + i.toString), 10L + (i % 3)),
         (keyBytes(i, "k" * (1 + (i % 17)).toInt + i.toString), 20L + (i % 5)))
     }
-    val lookup = DiskEqLookup.build(recs.iterator, chunkBytes = 64)
-    try {
-      (0L until 500L).foreach { i =>
-        val got = probe(lookup, i, "k" * (1 + (i % 17)).toInt + i.toString)
-        assert(got === java.lang.Long.valueOf(20L + (i % 5)), s"key $i")
-      }
-      // absent keys: wrong long part, wrong string part, null string
-      assert(probe(lookup, 1000L, "k1") === null)
-      assert(probe(lookup, 1L, "nope") === null)
-      assert(probe(lookup, 1L, null) === null)
-    } finally lookup.close()
+    for (cap <- Seq(8, DiskEqLookup.DefaultSparseCap)) {
+      val lookup = DiskEqLookup.build(recs.iterator, chunkBytes = 64, sparseCap = cap)
+      try {
+        (0L until 500L).foreach { i =>
+          val got = probe(lookup, i, "k" * (1 + (i % 17)).toInt + i.toString)
+          assert(got === java.lang.Long.valueOf(20L + (i % 5)), s"key $i cap $cap")
+        }
+        // absent keys: wrong long part, wrong string part, null string
+        assert(probe(lookup, 1000L, "k1") === null)
+        assert(probe(lookup, 1L, "nope") === null)
+        assert(probe(lookup, 1L, null) === null)
+      } finally lookup.close()
+    }
   }
 
   test("null key fields and empty stream behave") {
