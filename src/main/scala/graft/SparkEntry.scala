@@ -850,6 +850,18 @@ object SparkEntry {
           col("height").cast(LongType).as("height"),
           col("n_frames").cast(LongType).as("n_frames"))
     }),
+    "mm_audio" -> ((s, dir) => {
+      // encode one deterministic PCM16 WAV per doc, decode it back with
+      // the real javax.sound codec; the oracle predicts rate/channels/
+      // frames/duration from the id formulas without seeing the bytes
+      implicit val sp: SparkSession = s
+      Multimodal.decodeAudioMeta(
+        Multimodal.syntheticAudio(t(s, dir, "documents"), "doc_id"))
+        .select(col("asset_id"),
+          col("sample_rate").cast(LongType).as("sample_rate"),
+          col("channels").cast(LongType).as("channels"),
+          col("n_samples"), col("duration_ms"))
+    }),
     "mm_features" -> ((s, dir) => {
       // feature vector = [w, h, meanR, meanG, meanB] over DECODED pixels;
       // solid-color fills make every component oracle-predictable exactly
@@ -1087,6 +1099,14 @@ object SparkEntry {
       """SELECT doc_id AS asset_id, 'image/png' AS media_type,
         |  8 + doc_id % 57 AS width, 8 + (doc_id // 7) % 57 AS height,
         |  CAST(1 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin,
+    "mm_audio" ->
+      """SELECT doc_id AS asset_id,
+        |  8000 * (1 + doc_id % 3) AS sample_rate,
+        |  1 + doc_id % 2 AS channels,
+        |  400 + (doc_id % 100) * 4 AS n_samples,
+        |  CAST((400 + (doc_id % 100) * 4) * 1000.0
+        |    / (8000 * (1 + doc_id % 3)) AS DOUBLE) AS duration_ms
         |FROM documents""".stripMargin,
     "mm_features" ->
       """SELECT doc_id AS asset_id,

@@ -12,8 +12,10 @@ import graft.functions.TextUtil
   *
   * Image decoding is REAL: PNG/GIF/BMP/JPEG payloads go through
   * `javax.imageio` (ships with the JDK — zero extra deps) for dimensions
-  * and pixel statistics. Audio/video decoding stays STUBBED (no codecs in
-  * this environment) behind the same typed contract.
+  * and pixel statistics. Audio decoding is REAL too: WAV payloads go
+  * through `javax.sound.sampled` for rate/channels/frames/duration. Only
+  * VIDEO frame extraction stays STUBBED (no video codec in the JDK)
+  * behind the same typed contract.
   */
 object Multimodal {
 
@@ -21,6 +23,12 @@ object Multimodal {
   System.setProperty("java.awt.headless", "true")
 
   case class Asset(asset_id: Long, payload: Array[Byte], media_type: String)
+  case class AudioMeta(
+      asset_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_samples: Long,
+      duration_ms: Double)
   case class AssetMeta(
       asset_id: Long,
       n_bytes: Int,
@@ -30,10 +38,11 @@ object Multimodal {
       n_frames: Int)
   case class AssetFeature(asset_id: Long, feature: Array[Float])
 
-  /** STUB decoder for audio/video payloads: deterministic fake dimensions
-    * from the payload hash. A real deployment swaps this for a codec; the
-    * signature (bytes in, typed metadata out, executed per partition in
-    * batches) is the contract that stays. */
+  /** STUB decoder for video payloads (and anything else without a JDK
+    * codec): deterministic fake dimensions from the payload hash. A real
+    * deployment swaps this for a codec; the signature (bytes in, typed
+    * metadata out, executed per partition in batches) is the contract
+    * that stays. */
   private[operators] def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
     val h = TextUtil.hash64(payload)
     val width = 64 + (math.abs(h % 1024)).toInt
@@ -81,6 +90,71 @@ object Multimodal {
       col(textCol).cast(BinaryType).as("payload"),
       concat(lit("image/fake-"), pmod(col(idCol), lit(3)).cast(StringType))
         .as("media_type"))
+
+  /** Encode PCM16 WAV via `javax.sound.sampled` (JDK-shipped) — the write
+    * half of the real audio codec path. */
+  def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode via `javax.sound.sampled`: WAV payloads yield
+    * sample rate, channels, frame count, duration. None when the payload
+    * is not decodable audio. */
+  private[operators] def decodeWav(p: Array[Byte]): Option[AudioMeta] =
+    if (p.length < 12 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F') None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(p))
+      try {
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength
+        Some(AudioMeta(
+          -1L, fmt.getSampleRate.toInt, fmt.getChannels, frames,
+          frames * 1000.0 / fmt.getSampleRate))
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** Deterministic real-WAV asset per id: rate/channels/length derived
+    * from the id by integer formulas (an oracle predicts the DECODED
+    * metadata without seeing the bytes); samples are a deterministic
+    * sawtooth. Encoding runs batched per partition. */
+  def syntheticAudio(df: DataFrame, idCol: String)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType).as("asset_id"))
+      .as[Long].mapPartitions { it =>
+        it.map { id =>
+          val rate = (8000 * (1 + id % 3)).toInt
+          val channels = (1 + id % 2).toInt
+          val frames = (400 + (id % 100) * 4).toInt
+          val samples = Array.tabulate(frames * channels)(i => ((id * 31 + i * 7) % 8192).toShort)
+          Asset(id, encodeWav(rate, channels, samples), "audio/wav")
+        }
+      }.toDF()
+  }
+
+  /** Batched per-partition audio decode: binary payload -> typed audio
+    * metadata through the real JDK codec. */
+  def decodeAudioMeta(assets: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    assets.as[Asset].mapPartitions { it =>
+      it.flatMap { a => decodeWav(a.payload).map(_.copy(asset_id = a.asset_id)) }
+    }.toDF()
+  }
 
   /** Deterministic real-PNG asset per id: size and solid color derived
     * from the id by simple integer formulas (so an oracle can predict the

@@ -175,6 +175,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ff === Seq(2f, 1f, 5f, 10f, 15f))
   }
 
+  test("multimodal real audio decode: javax.sound WAV roundtrip") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val meta = Multimodal.decodeAudioMeta(Multimodal.syntheticAudio(docs, "doc_id"))
+      .filter($"asset_id" === 4).head()
+    // id=4: rate = 8000*(1+4%3) = 16000, channels = 1, frames = 400+16 = 416
+    assert(meta.getAs[Int]("sample_rate") === 16000)
+    assert(meta.getAs[Int]("channels") === 1)
+    assert(meta.getAs[Long]("n_samples") === 416L)
+    assert(math.abs(meta.getAs[Double]("duration_ms") - 416 * 1000.0 / 16000) < 1e-9)
+    // non-audio payloads are rejected, not mis-decoded
+    assert(Multimodal.decodeAudioMeta(
+      Multimodal.asAssets(docs, "doc_id", "text")).count() === 0)
+  }
+
   test("as-of join attaches the latest prior right row per key") {
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
       .toDF("k", "t", "lv")
