@@ -54,7 +54,7 @@ object Multimodal {
   /** True iff the payload carries a magic number `javax.imageio` decodes
     * here: PNG, GIF, BMP, or JPEG. */
   private[operators] def isDecodableImage(p: Array[Byte]): Boolean =
-    p.length >= 8 && (
+    p != null && p.length >= 8 && (
       (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
       (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
       (p(0) == 'B' && p(1) == 'M') ||
@@ -115,7 +115,8 @@ object Multimodal {
     * sample rate, channels, frame count, duration. None when the payload
     * is not decodable audio. */
   private[operators] def decodeWav(p: Array[Byte]): Option[AudioMeta] =
-    if (p.length < 12 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F') None
+    if (p == null || p.length < 12 ||
+      p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F') None
     else try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(p))

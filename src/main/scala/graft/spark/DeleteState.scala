@@ -169,18 +169,23 @@ object DiskEqLookup {
     }
   }
 
-  /** default sparse-index entry cap: ~512k entries ≈ tens of MB for
-    * typical key widths — a FIXED bound regardless of delete volume */
-  val DefaultSparseCap: Int = 512 * 1024
+  /** default sparse-index BYTE budget (key bytes + fixed per-entry
+    * overhead) — a fixed heap bound regardless of delete volume or key
+    * width */
+  val DefaultSparseBytes: Long = 32L * 1024 * 1024
+
+  /** accounted per sparse entry on top of its key bytes (array header,
+    * two longs, slot) */
+  private val SparseEntryOverhead = 48L
 
   /** build from a stream of (canonical key bytes, delete sequence);
     * `chunkBytes` is the run-buffer size (callers floor it — tests pass
     * tiny values to force the multi-run merge path, and a tiny
-    * `sparseCap` to force probes onto the disk tier) */
+    * `sparseBytes` to force probes onto the disk tier) */
   def build(
       records: Iterator[(Array[Byte], Long)],
       chunkBytes: Long,
-      sparseCap: Int = DefaultSparseCap): DiskEqLookup = {
+      sparseBytes: Long = DefaultSparseBytes): DiskEqLookup = {
     val chunkLimit = math.max(chunkBytes, 1L)
     val runs = scala.collection.mutable.ArrayBuffer[java.io.File]()
     val buf = scala.collection.mutable.ArrayBuffer[(Array[Byte], Long)]()
@@ -216,24 +221,43 @@ object DiskEqLookup {
     var n = 0L
     var written = 0L
     // adaptive-stride sampling: every stride-th record enters the sparse
-    // index; when the cap is hit the index halves and the stride doubles,
-    // so memory stays bounded no matter how many records merge out
-    val cap = math.max(sparseCap, 1)
+    // index; hitting the BYTE budget halves the index in place and
+    // doubles the stride, so heap stays under the budget (not an entry
+    // count — wide string keys budget the same as narrow longs) no
+    // matter how many records merge out. Primitive-array storage: no
+    // boxing, doubling growth, in-place downsample.
+    val budget = math.max(sparseBytes, 1L)
     var stride = 1L
-    val sKeys = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-    val sSeqs = scala.collection.mutable.ArrayBuffer[Long]()
-    val sIdx = scala.collection.mutable.ArrayBuffer[Long]()
+    var sLen = 0
+    var sBytes = 0L
+    var sKeys = new Array[Array[Byte]](1024)
+    var sSeqs = new Array[Long](1024)
+    var sIdx = new Array[Long](1024)
     def downsample(): Unit = {
       var i = 0
       var w = 0
-      while (i < sKeys.length) {
+      var bytes = 0L
+      while (i < sLen) {
         sKeys(w) = sKeys(i); sSeqs(w) = sSeqs(i); sIdx(w) = sIdx(i)
+        bytes += sKeys(w).length + SparseEntryOverhead
         w += 1; i += 2
       }
-      sKeys.dropRightInPlace(sKeys.length - w)
-      sSeqs.dropRightInPlace(sSeqs.length - w)
-      sIdx.dropRightInPlace(sIdx.length - w)
+      java.util.Arrays.fill(sKeys.asInstanceOf[Array[AnyRef]], w, sLen, null)
+      sLen = w
+      sBytes = bytes
       stride *= 2
+    }
+    def sample(key: Array[Byte], seq: Long, idx: Long): Unit = {
+      if (sLen == sKeys.length) {
+        sKeys = java.util.Arrays.copyOf(sKeys, sLen * 2)
+        sSeqs = java.util.Arrays.copyOf(sSeqs, sLen * 2)
+        sIdx = java.util.Arrays.copyOf(sIdx, sLen * 2)
+      }
+      sKeys(sLen) = key; sSeqs(sLen) = seq; sIdx(sLen) = idx
+      sLen += 1
+      sBytes += key.length + SparseEntryOverhead
+      // keep at least two entries so halving always terminates
+      if (sBytes > budget && sLen > 2) downsample()
     }
     while (!heap.isEmpty) {
       val top = heap.poll()
@@ -248,15 +272,16 @@ object DiskEqLookup {
       }
       offOut.writeLong(written)
       writeRec(dataOut, key, seq)
-      if (n % stride == 0L) {
-        sKeys += key; sSeqs += seq; sIdx += n
-        if (sKeys.length >= 2 * cap) downsample()
-      }
+      if (n % stride == 0L) sample(key, seq, n)
       written += 4L + key.length + 8
       n += 1
     }
     dataOut.close(); offOut.close()
-    new DiskEqLookup(dataFile, offsetsFile, n, sKeys.toArray, sSeqs.toArray, sIdx.toArray)
+    new DiskEqLookup(
+      dataFile, offsetsFile, n,
+      java.util.Arrays.copyOf(sKeys, sLen),
+      java.util.Arrays.copyOf(sSeqs, sLen),
+      java.util.Arrays.copyOf(sIdx, sLen))
   }
 }
 

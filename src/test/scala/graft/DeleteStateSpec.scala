@@ -33,16 +33,16 @@ class DeleteStateSpec extends AnyFunSuite {
     // 500 keys with variable-length string parts, each written TWICE with
     // different sequences across the stream; a 64-byte chunk forces a
     // spill roughly every record -> hundreds of runs through the merge.
-    // sparseCap 8 forces nearly every probe onto the DISK tier; the
-    // default cap answers everything from the in-memory sparse index —
-    // both must agree exactly.
+    // a ~600-byte sparse budget forces repeated downsampling so nearly
+    // every probe lands on the DISK tier; the default budget answers
+    // everything from the in-memory sparse index — both must agree.
     def recs = (0L until 500L).flatMap { i =>
       Seq(
         (keyBytes(i, "k" * (1 + (i % 17)).toInt + i.toString), 10L + (i % 3)),
         (keyBytes(i, "k" * (1 + (i % 17)).toInt + i.toString), 20L + (i % 5)))
     }
-    for (cap <- Seq(8, DiskEqLookup.DefaultSparseCap)) {
-      val lookup = DiskEqLookup.build(recs.iterator, chunkBytes = 64, sparseCap = cap)
+    for (cap <- Seq(600L, DiskEqLookup.DefaultSparseBytes)) {
+      val lookup = DiskEqLookup.build(recs.iterator, chunkBytes = 64, sparseBytes = cap)
       try {
         (0L until 500L).foreach { i =>
           val got = probe(lookup, i, "k" * (1 + (i % 17)).toInt + i.toString)
