@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -80,6 +80,74 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** IVF with TRAINED centroids (the classic inverted-file ANN layout):
+    * k-means over unit-normalized vectors partitions the corpus into
+    * `numCells` lists; a query probes only its `nprobe` nearest cells.
+    *
+    * Scale design: training runs on a bounded sample (`trainLimit`), the
+    * tiny centroid table broadcasts, cell assignment is a map-only
+    * `model.transform`, and scoring touches only the probed cells'
+    * slices — at 100 TB the corpus would be written bucketed by `cell`
+    * so a probe reads a bounded file subset. Normalizing first makes
+    * euclidean k-means equivalent to cosine clustering, so cosine top-k
+    * over probed cells is consistent with the trained layout. Probe
+    * ranking uses the same euclidean metric as the trained assignment. */
+  def ivfCentroidTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numCells: Int = 16,
+      nprobe: Int = 2,
+      trainLimit: Int = 100000,
+      seed: Long = 7L): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def unitNorm(c: Column): Column = {
+      val n = sqrt(aggregate(c, lit(0.0d), (acc, x) => acc + x * x))
+      transform(c, x => x / greatest(n, lit(1e-12d)))
+    }
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      array_to_vector(unitNorm(col(vecCol))).as("nv"))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(numCells).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("nv").setPredictionCol("cell")
+    val model = km.fit(c.limit(trainLimit))
+    val assigned = model.transform(c).select(col("neighbor_id"), col("cv"), col("cell"))
+    // probe cells: nprobe nearest centroids by the SAME euclidean metric
+    // the assignment used (broadcast the centroid table; it is tiny)
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "centroid")
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"),
+      unitNorm(col(vecCol)).as("nq"))
+    val dist2 = aggregate(
+      zip_with(col("nq"), col("centroid"), (a, b) => (a - b) * (a - b)),
+      lit(0.0d), (acc, x) => acc + x)
+    val cw = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("d2", dist2)
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= nprobe)
+      .select(col("cell"), col("query_id"), col("qv"))
+    val scored = assigned
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        vectors.cosineSim(col("qv"), col("cv")).as("cosine"))
+    val deduped = scored
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cosine")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    partialTopK(deduped, k)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** IVF-style ANN: assign corpus vectors to deterministic LSH cells

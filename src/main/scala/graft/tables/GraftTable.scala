@@ -725,7 +725,10 @@ class GraftTable(
         body
         done = true
       } catch {
-        case _: CommitConflictException if attempt < 5 =>
+        // a conflict loss is not an error, just a lost race — the budget
+        // only guards against livelock, so keep it generous: N contending
+        // writers can legitimately lose ~N commits in a row each
+        case _: CommitConflictException if attempt < 50 =>
           Metrics.inc(Metrics.CommitConflicts)
           attempt += 1
           refresh()

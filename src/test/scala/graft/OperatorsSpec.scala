@@ -106,6 +106,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped.count() === 0)
   }
 
+  test("centroid IVF finds planted duplicates through its probed cells") {
+    val rnd = new scala.util.Random(3)
+    val corpus = (1L to 300L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding").repartition(8)
+    // queries = scaled copies of vectors 1..3: same unit-normalized form,
+    // so they assign to the source's cell and rank it first (cosine ~1)
+    val queries = corpus.filter($"vec_id" <= 3).select(
+      ($"vec_id" + 1000L).as("vec_id"),
+      transform($"embedding", x => x * lit(1.001f)).as("embedding"))
+    val top1 = Similarity.ivfCentroidTopK(corpus, queries, "vec_id", "embedding", 3)
+      .filter($"rank" === 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(top1 === Map(1001L -> 1L, 1002L -> 2L, 1003L -> 3L))
+  }
+
   test("langid identifies real multilingual samples") {
     val samples = Seq(
       (1L, "the cat is on the mat and it is not happy about that"),
