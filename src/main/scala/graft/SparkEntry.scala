@@ -783,6 +783,28 @@ object SparkEntry {
         client.loadTable("db", "region").scan(s).localCheckpoint()
       } finally server.stop()
     }),
+    "rest_sql_catalog" -> ((s, dir) => {
+      // REST-mode SQL catalog: DDL + INSERT + MoR DELETE + SELECT all ride
+      // HTTP CAS commits through spark.sql.catalog.<name>.uri
+      val server = new RestCatalog.Server()
+      val uri = server.start()
+      try {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/rest_sql_${System.nanoTime()}"
+        s.conf.set("spark.sql.catalog.grq", "graft.spark.GraftCatalog")
+        s.conf.set("spark.sql.catalog.grq.warehouse", wh)
+        s.conf.set("spark.sql.catalog.grq.uri", uri)
+        s.sql("CREATE NAMESPACE grq.db")
+        s.sql("CREATE TABLE grq.db.cust (c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE)")
+        t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+          .createOrReplaceTempView("cust_src_rest")
+        s.sql("INSERT INTO grq.db.cust SELECT * FROM cust_src_rest")
+        s.sql("DELETE FROM grq.db.cust WHERE c_custkey % 10 = 0")
+        s.sql("SELECT * FROM grq.db.cust").localCheckpoint()
+      } finally {
+        server.stop()
+        Seq("", ".warehouse", ".uri").foreach(x => s.conf.unset(s"spark.sql.catalog.grq$x"))
+      }
+    }),
     // ---- structured streaming ----
     "stream_events_hourly" -> ((s, dir) => {
       // real streaming query over the events parquet (memory sink, complete
@@ -1270,6 +1292,9 @@ object SparkEntry {
         |FROM orders""".stripMargin,
     "ice_sorted_write" -> "SELECT * FROM orders",
     "rest_catalog" -> "SELECT * FROM region",
+    "rest_sql_catalog" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey % 10 <> 0""".stripMargin,
     "sql_catalog" -> "SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'",
     "sql_functions" ->
       """SELECT p_partkey,

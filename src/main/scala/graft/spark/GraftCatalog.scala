@@ -21,6 +21,9 @@ import graft.tables._
   *
   *   spark.sql.catalog.graft=graft.spark.GraftCatalog
   *   spark.sql.catalog.graft.warehouse=/path/wh
+  *   spark.sql.catalog.graft.uri=http://...   (optional: REST mode — the
+  *     catalog pointer lives behind the Iceberg-REST-shaped protocol with
+  *     CAS commits; `warehouse` still roots the table DATA locations)
   *
   *   CREATE TABLE graft.db.t (...) PARTITIONED BY (months(ts));
   *   INSERT INTO graft.db.t SELECT ...;
@@ -36,13 +39,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private var catalogName: String = "graft"
   private var warehouse: String = _
+  private var restUri: Option[String] = None
+  @volatile private var restClient: RestCatalog.Client = _
 
   private def conf = SparkSession.active.sparkContext.hadoopConfiguration
+
+  /** REST mode: catalog pointer operations ride the HTTP client */
+  private def rest: Option[RestCatalog.Client] = restUri.map { u =>
+    if (restClient == null) restClient = new RestCatalog.Client(u, conf)
+    restClient
+  }
+
+  private def nsOf(ident: Identifier): String = ident.namespace().mkString(".")
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     warehouse = Option(options.get("warehouse"))
       .getOrElse(sys.error(s"catalog $name requires option 'warehouse'"))
+    restUri = Option(options.get("uri"))
   }
 
   override def name(): String = catalogName
@@ -50,33 +64,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def locationOf(ident: Identifier): String =
     (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
 
-  override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
-    val fs = dir.getFileSystem(conf)
-    if (!fs.exists(dir)) return Array.empty
-    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(n => StorageCatalog.tableExists(conf, s"$dir/$n"))
-      .map(n => Identifier.of(namespace, n))
+  override def listTables(namespace: Array[String]): Array[Identifier] = rest match {
+    case Some(c) =>
+      c.listTables(namespace.mkString(".")).map(n => Identifier.of(namespace, n)).toArray
+    case None =>
+      val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+      val fs = dir.getFileSystem(conf)
+      if (!fs.exists(dir)) return Array.empty
+      fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(n => StorageCatalog.tableExists(conf, s"$dir/$n"))
+        .map(n => Identifier.of(namespace, n))
   }
 
-  override def loadTable(ident: Identifier): Table = {
-    val loc = locationOf(ident)
-    if (!StorageCatalog.tableExists(conf, loc))
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-    new GraftV2Table(StorageCatalog.loadTable(conf, loc), None, None)
+  private def loadGraftTable(ident: Identifier): GraftTable = rest match {
+    case Some(c) =>
+      try c.loadTable(nsOf(ident), ident.name())
+      catch {
+        case _: NoSuchElementException =>
+          throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+      }
+    case None =>
+      val loc = locationOf(ident)
+      if (!StorageCatalog.tableExists(conf, loc))
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+      StorageCatalog.loadTable(conf, loc)
   }
+
+  override def loadTable(ident: Identifier): Table =
+    new GraftV2Table(loadGraftTable(ident), None, None)
 
   /** SELECT ... VERSION AS OF <snapshot-id> */
-  override def loadTable(ident: Identifier, version: String): Table = {
-    val t = StorageCatalog.loadTable(conf, locationOf(ident))
-    new GraftV2Table(t, Some(version.toLong), None)
-  }
+  override def loadTable(ident: Identifier, version: String): Table =
+    new GraftV2Table(loadGraftTable(ident), Some(version.toLong), None)
 
   /** SELECT ... TIMESTAMP AS OF ts (micros since epoch) */
-  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    val t = StorageCatalog.loadTable(conf, locationOf(ident))
-    new GraftV2Table(t, None, Some(timestampMicros / 1000L))
-  }
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    new GraftV2Table(loadGraftTable(ident), None, Some(timestampMicros / 1000L))
 
   override def createTable(
       ident: Identifier,
@@ -115,14 +138,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
       IcePartitionField(src.id, 1000 + i, transform, name)
     }
-    val t = StorageCatalog.createTable(
-      conf, locationOf(ident), iceSchema, IcePartitionSpec(0, fields),
-      properties.asScala.toMap.filter { case (k, _) => !k.startsWith("option.") })
+    val props = properties.asScala.toMap.filter { case (k, _) => !k.startsWith("option.") }
+    val t = rest match {
+      case Some(c) =>
+        c.createTable(nsOf(ident), ident.name(), StorageCatalog.newTableMetadata(
+          locationOf(ident), iceSchema, IcePartitionSpec(0, fields), props))
+      case None =>
+        StorageCatalog.createTable(
+          conf, locationOf(ident), iceSchema, IcePartitionSpec(0, fields), props)
+    }
     new GraftV2Table(t, None, None)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val t = StorageCatalog.loadTable(conf, locationOf(ident))
+    val t = loadGraftTable(ident)
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1, "nested add not supported")
@@ -142,17 +171,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    rest.foreach(_.dropTable(nsOf(ident), ident.name()))
     val p = new Path(locationOf(ident))
     val fs = p.getFileSystem(conf)
     fs.exists(p) && fs.delete(p, true)
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    val src = new Path(locationOf(oldIdent))
-    val dst = new Path(locationOf(newIdent))
-    val fs = src.getFileSystem(conf)
-    fs.mkdirs(dst.getParent)
-    require(fs.rename(src, dst), s"rename $src -> $dst failed")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = rest match {
+    case Some(c) =>
+      // catalog-pointer move; data stays at metadata.location
+      c.renameTable(nsOf(oldIdent), oldIdent.name(), nsOf(newIdent), newIdent.name())
+    case None =>
+      val src = new Path(locationOf(oldIdent))
+      val dst = new Path(locationOf(newIdent))
+      val fs = src.getFileSystem(conf)
+      fs.mkdirs(dst.getParent)
+      require(fs.rename(src, dst), s"rename $src -> $dst failed")
   }
 
   // ----- functions (partition transforms, resolvable in write plans) -----
@@ -169,11 +203,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   // ----- namespaces -----
 
-  override def listNamespaces(): Array[Array[String]] = {
-    val dir = new Path(warehouse)
-    val fs = dir.getFileSystem(conf)
-    if (!fs.exists(dir)) return Array.empty
-    fs.listStatus(dir).filter(_.isDirectory).map(s => Array(s.getPath.getName))
+  override def listNamespaces(): Array[Array[String]] = rest match {
+    case Some(c) => c.listNamespaces().map(n => n.split('.')).toArray
+    case None =>
+      val dir = new Path(warehouse)
+      val fs = dir.getFileSystem(conf)
+      if (!fs.exists(dir)) return Array.empty
+      fs.listStatus(dir).filter(_.isDirectory).map(s => Array(s.getPath.getName))
   }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
@@ -185,25 +221,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     Map.empty[String, String].asJava
   }
 
-  override def namespaceExists(namespace: Array[String]): Boolean = {
-    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
-    dir.getFileSystem(conf).exists(dir)
+  override def namespaceExists(namespace: Array[String]): Boolean = rest match {
+    case Some(c) => c.namespaceExists(namespace.mkString("."))
+    case None =>
+      val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+      dir.getFileSystem(conf).exists(dir)
   }
 
   override def createNamespace(
-      namespace: Array[String], metadata: util.Map[String, String]): Unit = {
-    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
-    dir.getFileSystem(conf).mkdirs(dir)
-    ()
+      namespace: Array[String], metadata: util.Map[String, String]): Unit = rest match {
+    case Some(c) => c.createNamespace(namespace.mkString("."))
+    case None =>
+      val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+      dir.getFileSystem(conf).mkdirs(dir)
+      ()
   }
 
   override def alterNamespace(
       namespace: Array[String], changes: NamespaceChange*): Unit = ()
 
-  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
-    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
-    val fs = dir.getFileSystem(conf)
-    fs.exists(dir) && fs.delete(dir, cascade)
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = rest match {
+    case Some(c) =>
+      val existed = c.namespaceExists(namespace.mkString("."))
+      if (existed) c.dropNamespace(namespace.mkString("."))
+      existed && !c.namespaceExists(namespace.mkString("."))
+    case None =>
+      val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+      val fs = dir.getFileSystem(conf)
+      fs.exists(dir) && fs.delete(dir, cascade)
   }
 }
 

@@ -82,16 +82,15 @@ object StorageCatalog {
     new GraftTable(location, meta, v, conf)
   }
 
-  def createTable(
-      conf: Configuration,
+  /** fresh-table metadata (shared by the storage and REST create paths) */
+  def newTableMetadata(
       location: String,
       schema: IceSchema,
       spec: IcePartitionSpec,
       properties: Map[String, String] = Map.empty,
-      formatVersion: Int = 2): GraftTable = {
-    require(!tableExists(conf, location), s"table already exists at $location")
+      formatVersion: Int = 2): TableMetadata = {
     require(formatVersion == 1 || formatVersion == 2, s"bad format version $formatVersion")
-    val meta = TableMetadata(
+    TableMetadata(
       formatVersion = formatVersion,
       tableUuid = UUID.randomUUID().toString,
       location = location,
@@ -111,6 +110,17 @@ object StorageCatalog {
       sortOrders = List(IceSortOrder(0, Nil)),
       defaultSortOrderId = 0,
       refs = Map.empty)
+  }
+
+  def createTable(
+      conf: Configuration,
+      location: String,
+      schema: IceSchema,
+      spec: IcePartitionSpec,
+      properties: Map[String, String] = Map.empty,
+      formatVersion: Int = 2): GraftTable = {
+    require(!tableExists(conf, location), s"table already exists at $location")
+    val meta = newTableMetadata(location, schema, spec, properties, formatVersion)
     val version = commitMetadata(conf, location, expectedVersion = 0, meta)
     new GraftTable(location, meta, version, conf)
   }

@@ -402,6 +402,39 @@ class CatalogSpec extends AnyFunSuite {
       (100L to 200L).filterNot(k => k % 7 == 0).toArray)
   }
 
+  test("REST-mode SQL catalog: DDL/DML ride HTTP CAS commits") {
+    val server = new tables.RestCatalog.Server()
+    val uri = server.start()
+    val wh = java.nio.file.Files.createTempDirectory("graft-restcat").toString
+    spark.conf.set("spark.sql.catalog.gr", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gr.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.gr.uri", uri)
+    try {
+      spark.sql("CREATE NAMESPACE gr.db")
+      spark.sql("CREATE TABLE gr.db.t (k BIGINT, v STRING)")
+      spark.sql("INSERT INTO gr.db.t SELECT id, CAST(id AS STRING) FROM RANGE(100)")
+      assert(spark.sql("SELECT COUNT(*) FROM gr.db.t").head().getLong(0) === 100)
+      // MoR delete through SQL — the commit is an HTTP CAS, the read a
+      // native MoR scan over the REST-loaded metadata
+      spark.sql("DELETE FROM gr.db.t WHERE k < 10")
+      assert(spark.sql("SELECT COUNT(*) FROM gr.db.t").head().getLong(0) === 90)
+      assert(spark.sql("SHOW TABLES IN gr.db").collect().map(_.getString(1)).toSeq === Seq("t"))
+      // rename moves only the catalog pointer; data still reads
+      spark.sql("ALTER TABLE gr.db.t RENAME TO db.t2")
+      assert(spark.sql("SELECT COUNT(*) FROM gr.db.t2").head().getLong(0) === 90)
+      intercept[Exception] { spark.sql("SELECT * FROM gr.db.t").collect() }
+      spark.sql("DROP TABLE gr.db.t2")
+      assert(spark.sql("SHOW TABLES IN gr.db").collect().isEmpty)
+      assert(spark.sql("SHOW NAMESPACES IN gr").collect().map(_.getString(0)).contains("db"))
+      spark.sql("DROP NAMESPACE gr.db")
+      assert(!spark.sql("SHOW NAMESPACES IN gr").collect().map(_.getString(0)).contains("db"))
+    } finally {
+      server.stop()
+      Seq("", ".warehouse", ".uri").foreach(sfx =>
+        spark.conf.unset(s"spark.sql.catalog.gr$sfx"))
+    }
+  }
+
   test("ALTER TABLE ADD/RENAME column via SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("DROP TABLE IF EXISTS graft.db.alt")

@@ -56,6 +56,40 @@ class DeleteStateSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized: disk store agrees with a reference map at any chunk/budget") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val nKeys = 50 + rnd.nextInt(300)
+      val ref = new scala.collection.mutable.HashMap[(Long, String), Long]()
+      val recs = scala.collection.mutable.ArrayBuffer[(Array[Byte], Long)]()
+      (0 until nKeys).foreach { _ =>
+        val k = rnd.nextLong() % 1000
+        val s = rnd.alphanumeric.take(rnd.nextInt(30)).mkString
+        val dups = 1 + rnd.nextInt(3)
+        (0 until dups).foreach { _ =>
+          val seq = rnd.nextInt(1000).toLong
+          recs += ((keyBytes(k, s), seq))
+          ref((k, s)) = math.max(ref.getOrElse((k, s), Long.MinValue), seq)
+        }
+      }
+      val chunk = 1L << rnd.nextInt(12) // 1 B .. 2 KiB runs
+      val budget = 1L << (6 + rnd.nextInt(14)) // 64 B .. 512 KiB sparse
+      val lookup = DiskEqLookup.build(recs.iterator, chunk, budget)
+      try {
+        ref.foreach { case ((k, s), seq) =>
+          assert(probe(lookup, k, s) === java.lang.Long.valueOf(seq),
+            s"trial $trial chunk $chunk budget $budget key ($k,$s)")
+        }
+        (0 until 50).foreach { _ =>
+          val k = rnd.nextLong() % 1000
+          val s = rnd.alphanumeric.take(rnd.nextInt(30)).mkString
+          if (!ref.contains((k, s)))
+            assert(probe(lookup, k, s) === null, s"absent ($k,$s)")
+        }
+      } finally lookup.close()
+    }
+  }
+
   test("null key fields and empty stream behave") {
     val withNull = Seq((keyBytes(7L, null), 42L))
     val l1 = DiskEqLookup.build(withNull.iterator, chunkBytes = 1 << 20)
