@@ -788,21 +788,25 @@ object SparkEntry {
       // HTTP CAS commits through spark.sql.catalog.<name>.uri
       val server = new RestCatalog.Server()
       val uri = server.start()
+      // Spark's CatalogManager caches catalog INSTANCES by name per
+      // session (initialize runs once) — a fresh name per invocation
+      // keeps the query re-runnable within one session
+      val cat = s"grq${System.nanoTime()}"
       try {
         val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/rest_sql_${System.nanoTime()}"
-        s.conf.set("spark.sql.catalog.grq", "graft.spark.GraftCatalog")
-        s.conf.set("spark.sql.catalog.grq.warehouse", wh)
-        s.conf.set("spark.sql.catalog.grq.uri", uri)
-        s.sql("CREATE NAMESPACE grq.db")
-        s.sql("CREATE TABLE grq.db.cust (c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE)")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.conf.set(s"spark.sql.catalog.$cat.uri", uri)
+        s.sql(s"CREATE NAMESPACE $cat.db")
+        s.sql(s"CREATE TABLE $cat.db.cust (c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE)")
         t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_acctbal"))
           .createOrReplaceTempView("cust_src_rest")
-        s.sql("INSERT INTO grq.db.cust SELECT * FROM cust_src_rest")
-        s.sql("DELETE FROM grq.db.cust WHERE c_custkey % 10 = 0")
-        s.sql("SELECT * FROM grq.db.cust").localCheckpoint()
+        s.sql(s"INSERT INTO $cat.db.cust SELECT * FROM cust_src_rest")
+        s.sql(s"DELETE FROM $cat.db.cust WHERE c_custkey % 10 = 0")
+        s.sql(s"SELECT * FROM $cat.db.cust").localCheckpoint()
       } finally {
         server.stop()
-        Seq("", ".warehouse", ".uri").foreach(x => s.conf.unset(s"spark.sql.catalog.grq$x"))
+        Seq("", ".warehouse", ".uri").foreach(x => s.conf.unset(s"spark.sql.catalog.$cat$x"))
       }
     }),
     // ---- structured streaming ----

@@ -135,17 +135,17 @@ object Similarity {
       .withColumn("crank", row_number().over(cw))
       .filter(col("crank") <= nprobe)
       .select(col("cell"), col("query_id"), col("qv"))
+    // each corpus row lives in exactly ONE cell and probe rows are unique
+    // per (query, cell), so (query, neighbor) pairs cannot repeat — scored
+    // rows feed the bounded-heap pre-cut directly, no dedup shuffle
     val scored = assigned
       .join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         vectors.cosineSim(col("qv"), col("cv")).as("cosine"))
-    val deduped = scored
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(max(col("cosine")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    partialTopK(deduped, k)
+    partialTopK(scored, k)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

@@ -141,8 +141,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val props = properties.asScala.toMap.filter { case (k, _) => !k.startsWith("option.") }
     val t = rest match {
       case Some(c) =>
+        // rename moves only the catalog pointer, so a later CREATE at the
+        // old identifier must not reuse the renamed table's directory —
+        // REST locations get a unique suffix (the Iceberg-catalog idiom)
+        val loc = s"${locationOf(ident)}-${java.util.UUID.randomUUID().toString.take(8)}"
         c.createTable(nsOf(ident), ident.name(), StorageCatalog.newTableMetadata(
-          locationOf(ident), iceSchema, IcePartitionSpec(0, fields), props))
+          loc, iceSchema, IcePartitionSpec(0, fields), props))
       case None =>
         StorageCatalog.createTable(
           conf, locationOf(ident), iceSchema, IcePartitionSpec(0, fields), props)
@@ -171,10 +175,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def dropTable(ident: Identifier): Boolean = {
-    rest.foreach(_.dropTable(nsOf(ident), ident.name()))
-    val p = new Path(locationOf(ident))
-    val fs = p.getFileSystem(conf)
-    fs.exists(p) && fs.delete(p, true)
+    // the table's DATA location comes from its metadata, not from the
+    // identifier — after a rename they differ (rename moves only the
+    // catalog pointer)
+    def deleteDir(l: String): Boolean = {
+      val p = new Path(l)
+      val fs = p.getFileSystem(conf)
+      fs.exists(p) && fs.delete(p, true)
+    }
+    rest match {
+      case Some(c) =>
+        val loc =
+          try Some(c.loadTable(nsOf(ident), ident.name()).metadata.location)
+          catch { case _: NoSuchElementException => None }
+        loc match {
+          case None => false
+          case Some(l) =>
+            c.dropTable(nsOf(ident), ident.name())
+            deleteDir(l)
+            true
+        }
+      case None => deleteDir(locationOf(ident))
+    }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = rest match {
@@ -242,9 +264,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = rest match {
     case Some(c) =>
-      val existed = c.namespaceExists(namespace.mkString("."))
-      if (existed) c.dropNamespace(namespace.mkString("."))
-      existed && !c.namespaceExists(namespace.mkString("."))
+      val ns = namespace.mkString(".")
+      if (!c.namespaceExists(ns)) return false
+      if (cascade)
+        listTables(namespace).foreach(dropTable)
+      // Spark's DropNamespaceExec ignores the boolean — a refused
+      // non-cascade drop (namespace not empty) must THROW to be visible
+      if (!c.dropNamespace(ns))
+        throw new IllegalStateException(
+          s"namespace $ns is not empty (use CASCADE)")
+      true
     case None =>
       val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
       val fs = dir.getFileSystem(conf)

@@ -727,10 +727,15 @@ class GraftTable(
       } catch {
         // a conflict loss is not an error, just a lost race — the budget
         // only guards against livelock, so keep it generous: N contending
-        // writers can legitimately lose ~N commits in a row each
+        // writers can legitimately lose ~N commits in a row each. Jittered
+        // backoff keeps losers from hot-spinning manifest rewrites against
+        // the same winner.
         case _: CommitConflictException if attempt < 50 =>
           Metrics.inc(Metrics.CommitConflicts)
           attempt += 1
+          Thread.sleep(
+            math.min(200L, 5L * attempt) +
+              java.util.concurrent.ThreadLocalRandom.current().nextLong(20L))
           refresh()
       }
     }

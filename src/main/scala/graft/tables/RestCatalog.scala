@@ -96,8 +96,11 @@ object RestCatalog {
     def dropTable(ns: String, name: String): Unit = {
       val req = HttpRequest.newBuilder(URI.create(s"$baseUri/v1/namespaces/$ns/tables/$name"))
         .DELETE().build()
-      http.send(req, HttpResponse.BodyHandlers.ofString())
-      ()
+      val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+      // a failed catalog-side drop must NOT look like success — callers
+      // delete the data directory afterwards (404 = already gone, fine)
+      require(resp.statusCode() == 200 || resp.statusCode() == 404,
+        s"drop table failed: ${resp.statusCode()} ${resp.body()}")
     }
 
     def listTables(ns: String): Seq[String] = {
@@ -129,11 +132,17 @@ object RestCatalog {
 
     def namespaceExists(ns: String): Boolean = get(s"/v1/namespaces/$ns")._1 == 200
 
-    def dropNamespace(ns: String): Unit = {
+    /** false when the server refuses (409: namespace not empty) */
+    def dropNamespace(ns: String): Boolean = {
       val req = HttpRequest.newBuilder(URI.create(s"$baseUri/v1/namespaces/$ns"))
         .DELETE().build()
-      http.send(req, HttpResponse.BodyHandlers.ofString())
-      ()
+      val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() == 409) false
+      else {
+        require(resp.statusCode() == 200 || resp.statusCode() == 404,
+          s"drop namespace failed: ${resp.statusCode()} ${resp.body()}")
+        resp.statusCode() == 200
+      }
     }
 
     /** rename within the catalog (metadata pointer move; data untouched) */
