@@ -900,6 +900,20 @@ object SparkEntry {
           col("channels").cast(LongType).as("channels"),
           col("n_samples"), col("duration_ms"))
     }),
+    "mm_frames" -> ((s, dir) => {
+      // container video -> REAL per-frame decode: every 2nd frame's
+      // dimensions and corner pixel, all predictable from id formulas
+      implicit val sp: SparkSession = s
+      Multimodal.sampleVideoFrames(
+        Multimodal.syntheticVideos(t(s, dir, "documents"), "doc_id"), everyK = 2)
+        .select(col("asset_id"),
+          col("frame_index").cast(LongType).as("frame_index"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("red").cast(LongType).as("red"),
+          col("green").cast(LongType).as("green"),
+          col("blue").cast(LongType).as("blue"))
+    }),
     "mm_features" -> ((s, dir) => {
       // feature vector = [w, h, meanR, meanG, meanB] over DECODED pixels;
       // solid-color fills make every component oracle-predictable exactly
@@ -1146,6 +1160,13 @@ object SparkEntry {
         |  CAST((400 + (doc_id % 100) * 4) * 1000.0
         |    / (8000 * (1 + doc_id % 3)) AS DOUBLE) AS duration_ms
         |FROM documents""".stripMargin,
+    "mm_frames" ->
+      """SELECT doc_id AS asset_id, f AS frame_index,
+        |  8 + doc_id % 16 AS width, 8 + doc_id % 8 AS height,
+        |  (doc_id + f) % 256 AS red,
+        |  (doc_id * 3 + f) % 256 AS green,
+        |  (doc_id * 5 + f) % 256 AS blue
+        |FROM documents, UNNEST(range(0, 2 + doc_id % 7, 2)) AS t(f)""".stripMargin,
     "mm_features" ->
       """SELECT doc_id AS asset_id,
         |  CAST(8 + doc_id % 57 AS DOUBLE) AS f_width,

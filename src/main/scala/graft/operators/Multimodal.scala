@@ -246,4 +246,78 @@ object Multimodal {
       }
     }.toDF("asset_id", "frame_index", "frame_hash")
   }
+
+  // ---- video: length-prefixed PNG-frame container ("GFRM") ----
+  // There is no video codec in the JDK, so the REAL path covers a simple
+  // container of independently-encoded frames (the motion-JPEG idea):
+  // parse the container, decode each frame with imageio. The hash stub
+  // above remains only for real-world codecs (H.264 etc.).
+
+  private val FrameMagic = Array[Byte]('G', 'F', 'R', 'M')
+
+  /** container = magic, frame count (int32 BE), then [len][png] per frame */
+  def encodeFrameContainer(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write(FrameMagic)
+    out.writeInt(frames.length)
+    frames.foreach { f => out.writeInt(f.length); out.write(f) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  private[operators] def decodeFrameContainer(p: Array[Byte]): Option[Seq[Array[Byte]]] =
+    if (p == null || p.length < 8 || !p.take(4).sameElements(FrameMagic)) None
+    else try {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(p, 4, p.length - 4))
+      val n = in.readInt()
+      Some((0 until n).map { _ =>
+        val len = in.readInt()
+        val f = new Array[Byte](len)
+        in.readFully(f)
+        f
+      })
+    } catch { case _: Exception => None }
+
+  /** Deterministic container-video asset per id: 2 + id%7 solid-color PNG
+    * frames whose size and per-frame color follow id formulas (an oracle
+    * predicts every DECODED frame stat without seeing the bytes). */
+  def syntheticVideos(df: DataFrame, idCol: String)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType).as("asset_id"))
+      .as[Long].mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 16).toInt
+          val h = (8 + id % 8).toInt
+          val frames = (2 + id % 7).toInt
+          val pngs = (0 until frames).map { f =>
+            val rgb = ((((id + f) % 256) << 16) |
+              (((id * 3 + f) % 256) << 8) | ((id * 5 + f) % 256)).toInt
+            encodePng(w, h, rgb)
+          }
+          Asset(id, encodeFrameContainer(pngs), "video/x-graft-frames")
+        }
+      }.toDF()
+  }
+
+  /** REAL frame extraction: parse the container, decode every `everyK`-th
+    * frame with imageio, emit typed per-frame stats — the 1-to-N batched
+    * flatMap shape of a production frame sampler, with a real decoder. */
+  def sampleVideoFrames(assets: DataFrame, everyK: Int = 2)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    assets.as[Asset].flatMap { a =>
+      decodeFrameContainer(a.payload).toSeq.flatMap { frames =>
+        frames.zipWithIndex.collect {
+          case (png, fi) if fi % everyK == 0 =>
+            val img = decodeImage(png).getOrElse(
+              sys.error(s"undecodable frame $fi of asset ${a.asset_id}"))
+            val p = img.getRGB(0, 0)
+            (a.asset_id, fi, img.getWidth, img.getHeight,
+              (p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+        }
+      }
+    }.toDF("asset_id", "frame_index", "width", "height", "red", "green", "blue")
+  }
 }

@@ -205,6 +205,23 @@ class OperatorsSpec extends AnyFunSuite {
       Multimodal.asAssets(docs, "doc_id", "text")).count() === 0)
   }
 
+  test("multimodal real video frames: container parse + per-frame decode") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val frames = Multimodal.sampleVideoFrames(
+      Multimodal.syntheticVideos(docs, "doc_id"), everyK = 2)
+    // id=5: 2 + 5%7 = 7 frames -> sampled indices 0,2,4,6
+    val f5 = frames.filter($"asset_id" === 5).orderBy("frame_index").collect()
+    assert(f5.map(_.getInt(1)).toSeq === Seq(0, 2, 4, 6))
+    // frame 2 of id=5: w=8+5%16=13, h=8+5%8=13, r=(5+2)%256=7,
+    // g=(15+2)%256=17, b=(25+2)%256=27 — all from DECODED pixels
+    val r = f5(1)
+    assert((r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6)) ===
+      ((13, 13, 7, 17, 27)))
+    // non-container payloads produce no frames (stub path is separate)
+    assert(Multimodal.sampleVideoFrames(
+      Multimodal.asAssets(docs, "doc_id", "text")).count() === 0)
+  }
+
   test("as-of join attaches the latest prior right row per key") {
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
       .toDF("k", "t", "lv")
