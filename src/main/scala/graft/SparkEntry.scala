@@ -388,6 +388,18 @@ object SparkEntry {
       Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 2, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4)
     }),
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      // pigeonhole Hamming candidates -> exact-Jaccard verify. Every
+      // planted near-dup in this corpus sits at Hamming <= 9, so
+      // maxHamming=10 (11 blocks) makes candidate RECALL exact and the
+      // verified pair set equals DuckDB's exact-Jaccard >= 0.9 pairs —
+      // a hash oracle over the whole pigeonhole pipeline.
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
+      Dedup.ngramJaccard(docs, "doc_id", "text", cand.select(col("a"), col("b")), n = 2)
+        .filter(col("jaccard") >= 0.9)
+        .select(col("a"), col("b"), col("jaccard"))
+    }),
     "dedup_embedding" -> ((s, dir) => {
       // The synthetic embeddings are near-orthogonal, so plant deterministic
       // near-duplicates (ids +1000000, each component scaled by 1.001) and
@@ -1231,6 +1243,18 @@ object SparkEntry {
     "dedup_minhash_sigs" ->
       """SELECT doc_id, CAST(64 AS BIGINT) AS n_hashes, true AS union_min_ok
         |FROM documents""".stripMargin,
+    "dedup_simhash_pairs" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT a, b, jaccard FROM p WHERE jaccard >= 0.9""".stripMargin,
     "dedup_simhash" ->
       "SELECT doc_id, true AS order_ok, true AS scale_ok FROM documents",
     "text_fingerprint" ->
