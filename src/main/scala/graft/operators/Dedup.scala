@@ -105,12 +105,20 @@ object Dedup {
   /** SimHash near-dup pairs within Hamming distance `maxHamming`, using the
     * pigeonhole trick: split 64 bits into (maxHamming+1) blocks; any pair
     * within the distance shares at least one exact block -> join per block
-    * (shuffle on narrow block keys, never all-pairs). */
+    * (shuffle on narrow block keys, never all-pairs).
+    *
+    * Scale note: block keys carry 64/(maxHamming+1) bits, so recall is
+    * exact but large `maxHamming` narrows the key space — production
+    * dedup uses small distances (default 3 -> 16-bit keys). `maxBucket`
+    * caps degenerate buckets (a bucket of m docs yields O(m²) pairs);
+    * a dropped bucket trades recall for boundedness, exactly like the
+    * minhash-LSH and embedding paths. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     val blocks = maxHamming + 1
     val width = 64 / blocks
     val sh = simhashes(df, idCol, textCol).withColumnRenamed(idCol, "doc_id")
@@ -124,8 +132,12 @@ object Dedup {
             .bitwiseAND(lit((1L << width) - 1)).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.block"), col("bk.key"))
-    val a = keyed.select(col("block"), col("key"), col("doc_id").as("a"), col("simhash").as("ha"))
-    val b = keyed.select(col("block"), col("key"), col("doc_id").as("b"), col("simhash").as("hb"))
+    val sized = keyed
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("block"), col("key"))))
+      .filter(col("bucket_n") <= maxBucket)
+    val a = sized.select(col("block"), col("key"), col("doc_id").as("a"), col("simhash").as("ha"))
+    val b = sized.select(col("block"), col("key"), col("doc_id").as("b"), col("simhash").as("hb"))
     a.join(b, Seq("block", "key"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"), col("ha"), col("hb"))
