@@ -729,6 +729,84 @@ object SparkEntry {
           |  VALUES (s.o_orderkey, 'M', s.o_totalprice)""".stripMargin)
       s.sql("SELECT * FROM graft.db.merge_orders")
     }),
+    "ice_agg_pushdown" -> ((s, dir) => {
+      // metadata-only aggregation: COUNT/MIN/MAX answered from manifest
+      // stats (StatsAggregate) — the plan is a LocalTableScan, zero data
+      // files opened; at 100 TB this is a driver-side manifest read
+      val src = t(s, dir, "lineitem")
+      val tbl = freshTable(s, "ice_agg_pushdown", src)
+      tbl.append(s, src)
+      tbl.scan(s).agg(
+        count(lit(1)).as("cnt"),
+        count(col("l_returnflag")).cast(LongType).as("cnt_flag"),
+        min(col("l_orderkey")).as("min_okey"),
+        max(col("l_orderkey")).as("max_okey"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+    }),
+    "ice_runtime_prune" -> ((s, dir) => {
+      // join-driven runtime file pruning (DSv2 dynamic partition pruning):
+      // the selective dim side prunes the identity-partitioned fact's
+      // files at execution time via SupportsRuntimeV2Filtering
+      val src = t(s, dir, "orders")
+      val tbl = freshTable(s, "ice_runtime_prune", src, schema =>
+        IcePartitionSpec(0, List(IcePartitionField(
+          schema.findField("o_orderstatus").get.id, 1000, "identity", "status"))))
+      tbl.append(s, src)
+      val dim = src.select(col("o_orderstatus").as("status"))
+        .distinct().filter(col("status") === "F")
+      tbl.scan(s).join(dim, col("o_orderstatus") === col("status"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(money(col("o_totalprice"))).cast(DoubleType).as("total"))
+    }),
+    "ice_spj_join" -> ((s, dir) => {
+      // storage-partitioned join: customer and orders both bucket[16] on
+      // custkey — with v2 bucketing on, the join zips co-located buckets
+      // with NO shuffle on either side (the 100 TB fact-fact join plan)
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.spj_cust")
+      s.sql("DROP TABLE IF EXISTS graft.db.spj_ord")
+      s.sql(
+        """CREATE TABLE graft.db.spj_cust (
+          |  c_custkey BIGINT, c_mktsegment STRING)
+          |PARTITIONED BY (bucket(16, c_custkey))""".stripMargin)
+      s.sql(
+        """CREATE TABLE graft.db.spj_ord (
+          |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+          |PARTITIONED BY (bucket(16, o_custkey))""".stripMargin)
+      t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+        .createOrReplaceTempView("spj_cust_src")
+      t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("spj_ord_src")
+      s.sql("INSERT INTO graft.db.spj_cust SELECT * FROM spj_cust_src")
+      s.sql("INSERT INTO graft.db.spj_ord SELECT * FROM spj_ord_src")
+      val saved = Seq(
+        "spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "spark.sql.autoBroadcastJoinThreshold").map(k => k -> s.conf.getOption(k))
+      try {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        // materialize under the SPJ confs (localCheckpoint executes now),
+        // then restore the session for the queries that follow
+        s.sql(
+          """SELECT c.c_mktsegment AS seg, count(*) AS cnt,
+            |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+            |FROM graft.db.spj_cust c JOIN graft.db.spj_ord o
+            |  ON c.c_custkey = o.o_custkey
+            |GROUP BY c.c_mktsegment""".stripMargin).localCheckpoint()
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
     "ice_small_compact" -> ((s, dir) => {
       // selective compaction: only the small-file tail is rewritten; the
       // delete files stay and the contents are byte-identical
@@ -1296,6 +1374,21 @@ object SparkEntry {
         |  o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 13 <> 0""".stripMargin,
     "ice_time_travel" -> "SELECT * FROM orders WHERE o_orderkey % 2 = 0",
+    "ice_runtime_prune" ->
+      """SELECT o_orderstatus AS status, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus = 'F' GROUP BY 1""".stripMargin,
+    "ice_spj_join" ->
+      """SELECT c_mktsegment AS seg, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "ice_agg_pushdown" ->
+      """SELECT count(*) AS cnt, count(l_returnflag) AS cnt_flag,
+        |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+        |FROM lineitem""".stripMargin,
     "ice_compact" -> "SELECT * FROM orders WHERE o_orderstatus <> 'P'",
     "ice_schema_evolution" ->
       """SELECT n_nationkey, n_name, n_regionkey, CAST(NULL AS DOUBLE) AS score,

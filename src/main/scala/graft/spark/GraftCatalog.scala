@@ -351,24 +351,7 @@ class GraftV2Table(
   }
 
   override def partitioning(): Array[Transform] =
-    table.metadata.defaultSpec.fields.map { pf =>
-      val src = table.metadata.currentSchema.fieldById(pf.sourceId)
-        .map(_.name).getOrElse(pf.name)
-      pf.transform match {
-        case "identity" => Expressions.identity(src)
-        case "year" => Expressions.years(src)
-        case "month" => Expressions.months(src)
-        case "day" => Expressions.days(src)
-        case "hour" => Expressions.hours(src)
-        case t if t.startsWith("bucket") =>
-          Expressions.bucket(t.stripPrefix("bucket[").stripSuffix("]").toInt, src)
-        case t if t.startsWith("truncate") =>
-          Expressions.apply("truncate",
-            Expressions.literal(t.stripPrefix("truncate[").stripSuffix("]").toInt),
-            Expressions.column(src))
-        case _ => Expressions.identity(src)
-      }
-    }.toArray
+    KeyedPartitioning.v2Transforms(table)
 
   override def properties(): util.Map[String, String] =
     table.metadata.properties.asJava
@@ -403,10 +386,53 @@ class GraftScanBuilder(
     asOfTimestampMs: Option[Long],
     fullSchema: StructType,
     onlyFiles: Option[Set[String]] = None)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushedFiltersArr: Array[Filter] = Array.empty
   private var requiredSchema: StructType = fullSchema
+
+  // metadata-only aggregate pushdown (COUNT/MIN/MAX from manifest stats).
+  // Memoized: Spark probes supportCompletePushDown before pushAggregation
+  // with the same Aggregation, and planning reads manifests.
+  private var aggProbe: Option[(org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+    Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)])] = None
+  private var pushedAgg: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+
+  private def tryAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = {
+    aggProbe match {
+      case Some((prev, res)) if prev == agg => res
+      case _ =>
+        val res =
+          if (pushedFiltersArr.nonEmpty || onlyFiles.nonEmpty) None
+          else table.resolveSnapshot(snapshotId, asOfTimestampMs) match {
+            case None =>
+              StatsAggregate.tryCompute(agg, Nil, table.metadata.currentSchema)
+            case Some(s) =>
+              val timeTravel = snapshotId.isDefined || asOfTimestampMs.isDefined
+              val iceSchema =
+                if (timeTravel) table.metadata.schemaFor(s)
+                else table.metadata.currentSchema
+              StatsAggregate.tryCompute(agg, table.planFiles(s, None), iceSchema)
+          }
+        aggProbe = Some((agg, res))
+        res
+    }
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    tryAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    // only complete answers are pushed: partial metadata rows would be
+    // re-aggregated correctly for these functions, but add no value
+    pushedAgg = tryAgg(agg)
+    pushedAgg.isDefined
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // keep them for file-level pruning; report all as unhandled so Spark
@@ -425,6 +451,14 @@ class GraftScanBuilder(
     })
 
   override def build(): Scan = {
+    pushedAgg match {
+      case Some((aggSchema, row)) =>
+        // the whole query result came from manifest stats: a driver-side
+        // LocalScan (plans as LocalTableScanExec — zero files opened)
+        Metrics.inc(Metrics.ScansPlanned)
+        return new GraftStatsScan(table, aggSchema, row)
+      case None =>
+    }
     // ONE planning pass (manifests are read once per query): prune data
     // and delete files against the pushed filters, then pick the scan —
     //  - no deletes: native batch scan, packed FilePartitions
@@ -434,7 +468,8 @@ class GraftScanBuilder(
     table.resolveSnapshot(snapshotId, asOfTimestampMs) match {
       case None =>
         // no snapshot: an empty native scan (zero partitions)
-        new GraftNativeBatchScan(table, Nil, fullSchema, requiredSchema, pushedFiltersArr)
+        new GraftNativeBatchScan(
+          table, table.metadata.currentSchema, Nil, fullSchema, requiredSchema, pushedFiltersArr)
       case Some(s) =>
         val timeTravel = snapshotId.isDefined || asOfTimestampMs.isDefined
         val iceSchema =
@@ -466,44 +501,133 @@ class GraftScanBuilder(
           new GraftMorScan(table, iceSchema, data, posD, eqD, fullSchema, requiredSchema,
             pushedFiltersArr)
         else
-          new GraftNativeBatchScan(table, data, fullSchema, requiredSchema, pushedFiltersArr)
+          new GraftNativeBatchScan(
+            table, iceSchema, data, fullSchema, requiredSchema, pushedFiltersArr)
     }
   }
 }
 
+/** Driver-side scan carrying a fully-aggregated result computed from
+  * manifest statistics — Spark plans it as a LocalTableScan; no executor
+  * work, no file I/O. See [[StatsAggregate]]. */
+class GraftStatsScan(
+    table: GraftTable,
+    aggSchema: StructType,
+    row: org.apache.spark.sql.catalyst.InternalRow)
+    extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = aggSchema
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
+  override def description(): String =
+    s"GraftStatsScan(${table.location}, metadata-only aggregate)"
+}
+
 /** Native DSv2 scan of a delete-free snapshot: plan-time pruned files ->
   * packed FilePartitions -> Spark's vectorized parquet reader with pushed
-  * filters. Files are pre-planned in [[GraftScanBuilder.build]]. */
+  * filters. Files are pre-planned in [[GraftScanBuilder.build]].
+  *
+  * Two scale features ride on top:
+  *  - runtime (join-driven) file pruning — Spark hands the scan the
+  *    joinable values of partition-source columns at execution time
+  *    (dynamic partition pruning); [[PruneEval]] drops every file whose
+  *    partition tuple / bounds cannot match;
+  *  - storage-partitioned joins — with `spark.sql.sources.v2.bucketing
+  *    .enabled`, the scan reports its partition transforms as a
+  *    KeyGroupedPartitioning and keys every InputPartition, so a join of
+  *    two co-partitioned graft tables runs with NO shuffle. */
 class GraftNativeBatchScan(
     table: GraftTable,
+    iceSchema: IceSchema,
     files: Seq[PlannedFile],
     dataSchema: StructType,
     requiredSchema: StructType,
     filters: Array[Filter])
-    extends Scan with org.apache.spark.sql.connector.read.Batch {
+    extends Scan with org.apache.spark.sql.connector.read.Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  @volatile private var currentFiles: Seq[PlannedFile] = files
 
   override def readSchema(): StructType = requiredSchema
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
 
-  override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] = {
-    val maxBytes = SparkSession.active.sessionState.conf.filesMaxPartitionBytes
-    org.apache.spark.sql.GraftBridge.filePartitions(
-      files.map(p => (p.file.filePath, p.file.fileSizeInBytes)), maxBytes).toArray
+  // ---- runtime (join-driven) file pruning ----
+
+  private def partitionSourceNames: Seq[String] =
+    table.metadata.defaultSpec.fields
+      .flatMap(pf => iceSchema.fieldById(pf.sourceId).map(_.name)).distinct
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    partitionSourceNames.map(Expressions.column).toArray
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val v1 = org.apache.spark.sql.GraftBridge.predicatesToV1(predicates)
+    FilterToColumn.convert(v1).foreach { c =>
+      val before = currentFiles.size
+      currentFiles = PruneEval.prunePlanned(currentFiles, Some(c), table.metadata, iceSchema)
+      Metrics.inc(Metrics.FilesPruned, (before - currentFiles.size).toLong)
+    }
   }
 
-  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
-    org.apache.spark.sql.GraftBridge.parquetReaderFactory(
+  // ---- storage-partitioned joins ----
+
+  /** SPJ mode, decided at scan build: the session opted into v2
+    * bucketing, the table is partitioned, and every file carries the
+    * default spec's full partition tuple */
+  private val keyedTransforms: Option[Array[Transform]] = {
+    val conf = SparkSession.active.sessionState.conf
+    val spec = table.metadata.defaultSpec
+    val ok = conf.getConf(org.apache.spark.sql.internal.SQLConf.V2_BUCKETING_ENABLED) &&
+      spec.fields.nonEmpty && files.nonEmpty &&
+      files.forall(p => p.specId == spec.specId &&
+        p.file.partition.length == spec.fields.length)
+    if (ok) Some(KeyedPartitioning.v2Transforms(table)) else None
+  }
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedTransforms match {
+      case Some(exprs) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          exprs.toArray[org.apache.spark.sql.connector.expressions.Expression],
+          files.map(_.file.partition).distinct.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
+  override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val maxBytes = SparkSession.active.sessionState.conf.filesMaxPartitionBytes
+    keyedTransforms match {
+      case Some(_) =>
+        // one key per partition tuple; packing stays byte-bounded WITHIN a
+        // key (Spark groups same-key partitions into one task when a join
+        // requires co-partitioning, and reads them independently otherwise)
+        currentFiles.groupBy(_.file.partition).toSeq.flatMap { case (pvals, fs) =>
+          val key = KeyedPartitioning.keyRow(pvals)
+          org.apache.spark.sql.GraftBridge.filePartitions(
+            fs.map(p => (p.file.filePath, p.file.fileSizeInBytes)), maxBytes)
+            .map(ip => new GraftKeyedPartition(ip, key))
+        }.toArray
+      case None =>
+        org.apache.spark.sql.GraftBridge.filePartitions(
+          currentFiles.map(p => (p.file.filePath, p.file.fileSizeInBytes)), maxBytes).toArray
+    }
+  }
+
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    val base = org.apache.spark.sql.GraftBridge.parquetReaderFactory(
       SparkSession.active, dataSchema, requiredSchema, filters)
+    if (keyedTransforms.isDefined) KeyUnwrapFactory(base) else base
+  }
 
   override def description(): String =
-    s"GraftNativeBatchScan(${table.location}, ${files.size} files after pruning)"
+    s"GraftNativeBatchScan(${table.location}, ${currentFiles.size} files after pruning)"
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new DataFilesMetric)
 
   override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
-    Array(GraftTaskMetric("graftDataFiles", files.size.toLong))
+    Array(GraftTaskMetric("graftDataFiles", currentFiles.size.toLong))
 }
 
 /** translate DSv2 source filters back into a Column for PruneEval */

@@ -72,11 +72,37 @@ class GraftMorScan(
     dataSchema: StructType,
     requiredSchema: StructType,
     pushedFilters: Array[Filter] = Array.empty)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = requiredSchema
 
   override def toBatch: Batch = this
+
+  // ---- runtime (join-driven) file pruning: drops DATA files before the
+  // partitions are planned. Delete state is keyed per data file / kept a
+  // superset, so a pruned data side stays exactly correct. ----
+
+  @volatile private var currentData: Seq[PlannedFile] = dataFiles
+  @volatile private var partitionsPlanned = false
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    table.metadata.defaultSpec.fields
+      .flatMap(pf => iceSchema.fieldById(pf.sourceId).map(_.name)).distinct
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    // after planning, pruning would desync plannedPartitions — skip (Spark
+    // calls filter() before planInputPartitions; this is pure defense)
+    if (partitionsPlanned) return
+    val v1 = org.apache.spark.sql.GraftBridge.predicatesToV1(predicates)
+    FilterToColumn.convert(v1).foreach { c =>
+      val before = currentData.size
+      currentData = PruneEval.prunePlanned(currentData, Some(c), table.metadata, iceSchema)
+      Metrics.inc(Metrics.FilesPruned, (before - currentData.size).toLong)
+    }
+  }
 
   private val metaNames = Set("_file", "_pos")
 
@@ -174,6 +200,7 @@ class GraftMorScan(
   override def planInputPartitions(): Array[InputPartition] = plannedPartitions
 
   private lazy val plannedPartitions: Array[InputPartition] = {
+    partitionsPlanned = true
     val pb = posByFile
     val maxBytes = SparkSession.active.sessionState.conf.filesMaxPartitionBytes
     val hasPosOut = requiredSchema.fieldNames.contains("_pos")
@@ -186,7 +213,7 @@ class GraftMorScan(
         .filter(_.initialDefault.isDefined)
         .map(icef => (requiredSchema.fieldIndex(f.name), icef))
     }
-    dataFiles.zipWithIndex.map { case (p, i) =>
+    currentData.zipWithIndex.map { case (p, i) =>
       val norm = GraftTable.normPathStr(p.file.filePath)
       val positions: Array[Long] = pb.get(norm) match {
         case Some(pairs) =>
@@ -350,7 +377,7 @@ class GraftMorScan(
 
   override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(
-      GraftTaskMetric("graftDataFiles", dataFiles.size.toLong),
+      GraftTaskMetric("graftDataFiles", currentData.size.toLong),
       GraftTaskMetric("graftPosDeleteFiles", posDeletes.size.toLong),
       GraftTaskMetric("graftEqDeleteFiles", eqDeletes.size.toLong))
 }

@@ -74,6 +74,21 @@ object GraftBridge {
     clone
   }
 
+  /** a connector literal (LiteralValue is private[sql]); value must be
+    * in catalyst form (UTF8String for strings, micros for timestamps) */
+  def v2Literal(
+      value: Any,
+      dataType: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.connector.expressions.Literal[_] =
+    org.apache.spark.sql.connector.expressions.LiteralValue(value, dataType)
+
+  /** V2 runtime-filter predicates as V1 source filters (PredicateUtils
+    * is private[sql]) */
+  def predicatesToV1(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(predicates)
+
   /** session-scoped hadoop conf (includes per-session options set via
     * `spark.conf` — e.g. FS credentials — which the raw SparkContext
     * hadoopConfiguration lacks) */

@@ -530,8 +530,14 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Metrics.get(Metrics.CommitsTotal) === 1)
     assert(Metrics.get(Metrics.RecordsWritten) === src.count())
     assert(Metrics.get(Metrics.DataFilesWritten) >= 1)
+    // a bare count() is answered from manifest stats (metadata-only
+    // aggregate pushdown): the scan plans but NO file is opened
     t.scan(spark).count()
     assert(Metrics.get(Metrics.ScansPlanned) >= 1)
+    assert(Metrics.get(Metrics.FilesScanned) === 0)
+    // a filtered count defeats the stats path and really scans files
+    t.scan(spark).filter($"r_regionkey" >= 0).count()
+    assert(Metrics.get(Metrics.ScansPlanned) >= 2)
     assert(Metrics.get(Metrics.FilesScanned) >= 1)
   }
 
