@@ -107,10 +107,6 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
-    def unitNorm(c: Column): Column = {
-      val n = sqrt(aggregate(c, lit(0.0d), (acc, x) => acc + x * x))
-      transform(c, x => x / greatest(n, lit(1e-12d)))
-    }
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       array_to_vector(unitNorm(col(vecCol))).as("nv"))
@@ -148,6 +144,104 @@ object Similarity {
     partialTopK(scored, k)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Build a PERSISTED IVF index under `location`: k-means centroids over
+    * unit-normalized vectors, then every corpus row assigned to its cell
+    * and written as a graft table IDENTITY-PARTITIONED BY cell — so a
+    * probe is a partition-pruned scan that opens only the probed cells'
+    * files. Centroids land in a sibling unpartitioned table.
+    *
+    * This is the durable form of [[ivfCentroidTopK]]: train once, write
+    * once, then any number of query batches pay only `nprobe/numCells` of
+    * the corpus in I/O — the 100 TB layout where re-training or full
+    * scans per query batch are not an option. */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      location: String,
+      numCells: Int = 16,
+      trainLimit: Int = 100000,
+      seed: Long = 7L): Unit = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      array_to_vector(unitNorm(col(vecCol))).as("nv"))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(numCells).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("nv").setPredictionCol("cell")
+    val model = km.fit(c.limit(trainLimit))
+    val assigned = model.transform(c)
+      .select(col("neighbor_id"), col("cv").as("vec"), col("cell"))
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "centroid")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val aSchema = graft.tables.SchemaConvert.fromSparkSchema(assigned.schema)
+    val aTbl = graft.tables.StorageCatalog.createOrReplaceTable(
+      conf, s"$location/assignments", aSchema,
+      graft.tables.IcePartitionSpec(0, List(graft.tables.IcePartitionField(
+        aSchema.findField("cell").get.id, 1000, "identity", "cell"))))
+    aTbl.append(spark, assigned)
+    val cSchema = graft.tables.SchemaConvert.fromSparkSchema(cents.schema)
+    val cTbl = graft.tables.StorageCatalog.createOrReplaceTable(
+      conf, s"$location/centroids", cSchema, graft.tables.IcePartitionSpec(0, Nil))
+    cTbl.append(spark, cents)
+  }
+
+  /** Query a [[buildIvfIndex]] index: rank centroids per query (broadcast
+    * — the centroid table is tiny), collect the probed cell set (bounded
+    * by queries × nprobe), and scan ONLY those cells' partitions of the
+    * assignments table. The scan is file-pruned by the identity partition
+    * filter, so I/O is proportional to the probed slice, not the corpus. */
+  def ivfIndexTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      location: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cents = graft.tables.StorageCatalog
+      .loadTable(conf, s"$location/centroids").scan(spark)
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"),
+      unitNorm(col(vecCol)).as("nq"))
+    val dist2 = aggregate(
+      zip_with(col("nq"), col("centroid"), (a, b) => (a - b) * (a - b)),
+      lit(0.0d), (acc, x) => acc + x)
+    val cw = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("d2", dist2)
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= nprobe)
+      .select(col("cell"), col("query_id"), col("qv"))
+    // the probed cell set is tiny (<= queries × nprobe distinct ints):
+    // collect it into a partition filter so the index scan prunes files
+    val cells = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val slice = graft.tables.StorageCatalog
+      .loadTable(conf, s"$location/assignments")
+      .scan(spark, filter = Some(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*)))
+    val scored = slice
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        vectors.cosineSim(col("qv"), col("vec")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    partialTopK(scored, k)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** shared unit-normalization (cosine-consistent k-means space) */
+  private def unitNorm(c: Column): Column = {
+    val n = sqrt(aggregate(c, lit(0.0d), (acc, x) => acc + x * x))
+    transform(c, x => x / greatest(n, lit(1e-12d)))
   }
 
   /** IVF-style ANN: assign corpus vectors to deterministic LSH cells
