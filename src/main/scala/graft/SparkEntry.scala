@@ -444,6 +444,21 @@ object SparkEntry {
         .filter(col("rank") === 1)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
+    "ann_ivf_index" -> ((s, dir) => {
+      // PERSISTED IVF: build the index as a graft table identity-partitioned
+      // by cell, then probe it — the scan file-prunes to the probed cells.
+      // Same planted-match oracle as ann_ivf (source vector must rank first).
+      val e = t(s, dir, "embeddings")
+      val loc = java.nio.file.Files
+        .createTempDirectory("graft-ivf-index").toUri.toString.stripSuffix("/")
+      Similarity.buildIvfIndex(e, "vec_id", "embedding", loc)
+      val queries = e.filter(col("vec_id") < 4).select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      Similarity.ivfIndexTopK(s, loc, queries, "vec_id", "embedding", 5)
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
     // ---- text analysis ----
     "text_tokens" -> ((s, dir) => {
       TextAnalysis.tokenStats(t(s, dir, "documents"), "doc_id", "text")
@@ -1293,6 +1308,9 @@ object SparkEntry {
       """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id, 1 AS rank
         |FROM embeddings WHERE vec_id < 4""".stripMargin,
     "ann_ivf_centroids" ->
+      """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id, 1 AS rank
+        |FROM embeddings WHERE vec_id < 4""".stripMargin,
+    "ann_ivf_index" ->
       """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id, 1 AS rank
         |FROM embeddings WHERE vec_id < 4""".stripMargin,
     "dedup_embedding" ->

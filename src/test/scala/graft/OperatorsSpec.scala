@@ -122,6 +122,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top1 === Map(1001L -> 1L, 1002L -> 2L, 1003L -> 3L))
   }
 
+  test("persisted IVF index: probe finds planted duplicates through pruned cells") {
+    val rnd = new scala.util.Random(5)
+    val corpus = (1L to 300L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding").repartition(8)
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-ivf-spec").toUri.toString.stripSuffix("/")
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding", loc, numCells = 8)
+    val queries = corpus.filter($"vec_id" <= 3).select(
+      ($"vec_id" + 1000L).as("vec_id"),
+      transform($"embedding", x => x * lit(1.001f)).as("embedding"))
+    val top1 = Similarity.ivfIndexTopK(spark, loc, queries, "vec_id", "embedding", 3)
+      .filter($"rank" === 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(top1 === Map(1001L -> 1L, 1002L -> 2L, 1003L -> 3L))
+
+    // the index layout actually prunes: a single-cell filter plans
+    // strictly fewer data files than the whole assignments table
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tbl = graft.tables.StorageCatalog.loadTable(conf, s"$loc/assignments")
+    val snap = tbl.metadata.currentSnapshot.get
+    val all = tbl.planFiles(snap)
+    val pruned = graft.tables.PruneEval.prunePlanned(
+      all, Some(col("cell") === 0), tbl.metadata, tbl.metadata.currentSchema)
+    assert(pruned.nonEmpty && pruned.size < all.size)
+
+    // centroid table holds exactly one row per cell
+    val cents = graft.tables.StorageCatalog
+      .loadTable(conf, s"$loc/centroids").scan(spark)
+    assert(cents.count() === 8)
+  }
+
   test("langid identifies real multilingual samples") {
     val samples = Seq(
       (1L, "the cat is on the mat and it is not happy about that"),
