@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{text, transforms, vectors}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Decontamination, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.tables._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -411,6 +411,37 @@ object SparkEntry {
       Dedup.embeddingNearDup(e.select(col("vec_id"), col("embedding")).union(jittered),
         "vec_id", "embedding", cosineThreshold = 0.95, bits = 12)
         .select(col("vec_a"), col("vec_b"))
+    }),
+    "dedup_components" -> ((s, dir) => {
+      // collapse the verified near-dup PAIRS into clusters: every doc in a
+      // component maps to its min-id canonical survivor
+      val pairs = Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 2, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4)
+        .select(col("a"), col("b"))
+      Dedup.connectedComponents(pairs, "a", "b")
+    }),
+    // ---- pipeline ops: sampling / packing / decontamination ----
+    "sample_stratified" -> ((s, dir) => {
+      // data-mix sampling: keep 25% of English, 50% of everything else,
+      // decided by md5(doc_id) so the pick is engine-portable
+      Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.25), defaultFraction = 0.5)
+        .select(col("doc_id"), col("lang"))
+    }),
+    "pack_sequences" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val toks = d.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
+      Packing.packGreedy(toks, "doc_id", "n_tokens", budgetTokens = 2000L)
+    }),
+    "decontaminate" -> ((s, dir) => {
+      // benchmark set = every 97th doc; flag training docs sharing a word
+      // 4-gram with it
+      val d = t(s, dir, "documents")
+      Decontamination.flagged(
+        d.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text", n = 4)
     }),
     // ---- similarity search ----
     "ann_brute_force" -> ((s, dir) => {
@@ -1324,6 +1355,49 @@ object SparkEntry {
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         |FROM av a JOIN av b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.e, b.e) >= 0.95""".stripMargin,
+    "dedup_components" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        |pr AS (SELECT a, b FROM p WHERE jaccard >= 0.4),
+        |edges AS (SELECT a AS s, b AS d FROM pr UNION SELECT b AS s, a AS d FROM pr),
+        |reach AS (
+        |  SELECT s AS id, s AS r FROM edges
+        |  UNION
+        |  SELECT e.s AS id, reach.r AS r FROM edges e JOIN reach ON e.d = reach.id)
+        |SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |      < CASE WHEN lang = 'en' THEN '4000' ELSE '8000' END""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id FROM c""".stripMargin,
+    "decontaminate" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 2),
+        |    i -> list_aggregate(w[i:i+3], 'string_agg', ' ')))) AS ng
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0)
+        |SELECT DISTINCT g.doc_id AS doc_id FROM g JOIN bench USING (ng)
+        |WHERE g.doc_id % 97 <> 0""".stripMargin,
     "dedup_lsh_pairs" ->
       """WITH s AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)),

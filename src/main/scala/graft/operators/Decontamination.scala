@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Benchmark decontamination: flag training documents that share any
+  * word n-gram with an evaluation/benchmark set (the standard 13-gram
+  * overlap check LLM pipelines run before training).
+  *
+  * Scale design: the benchmark side is small (eval suites are MBs, not
+  * TBs) — its distinct n-gram set BROADCASTS; the training side is a
+  * map-only n-gram explode into a broadcast LEFT SEMI join, so the 100 TB
+  * side never shuffles text. Only flagged (doc_id) rows shuffle, for the
+  * final distinct. For benchmark sets too big to broadcast exactly, wrap
+  * the n-gram set in a Bloom filter first and re-verify the survivors —
+  * the join shape stays the same.
+  */
+object Decontamination {
+
+  /** Distinct word `n`-grams of `textC` (map-only; empty array when the
+    * doc has fewer than `n` words). */
+  private[graft] def wordNgrams(textC: Column, n: Int): Column = {
+    val w = split(trim(textC), "\\s+")
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
+        i => array_join(slice(w, i, lit(n)), " "))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** doc_ids of `train` rows sharing at least one word `n`-gram with any
+    * `bench` row. */
+  def flagged(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13): DataFrame = {
+    val bg = bench
+      .select(explode(wordNgrams(col(textCol), n)).as("ng")).distinct()
+    train
+      .select(col(idCol).as("doc_id"), explode(wordNgrams(col(textCol), n)).as("ng"))
+      .join(broadcast(bg), Seq("ng"), "leftsemi")
+      .select(col("doc_id")).distinct()
+  }
+}

@@ -213,4 +213,53 @@ object Dedup {
       .filter(col("cosine") >= cosineThreshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
+
+  /** Connected components over a near-duplicate pair list: every doc in a
+    * pair gets the MIN doc id of its component — the canonical-survivor
+    * assignment a dedup pipeline needs to collapse duplicate CLUSTERS
+    * (A~B, B~C => {A,B,C} share one survivor), not just pairs.
+    *
+    * Scale design: min-label propagation with POINTER JUMPING — each
+    * round (a) pulls the min label across edges, then (b) rewrites every
+    * label to its label's label, short-circuiting chains — so convergence
+    * is O(log n) rounds even on path-shaped components (plain propagation
+    * needs O(diameter)). Each round shuffles only narrow (id, label)
+    * pairs; `localCheckpoint` truncates the growing plan lineage (on a
+    * real cluster use `checkpoint` for durable truncation). The loop is
+    * driver-side but every step is distributed; the convergence probe is
+    * a `limit(1)` existence check, not a full count. */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
+      .union(pairs.select(col(bCol).as("s"), col(aCol).as("d")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("s").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val viaEdges = edges
+        .join(labels.select(col("id").as("d"), col("comp")), "d")
+        .groupBy(col("s").as("id")).agg(min(col("comp")).as("ecomp"))
+      val pulled = labels.join(viaEdges, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ecomp"), col("comp"))).as("comp"))
+      val jumped = pulled
+        .join(pulled.select(col("id").as("comp"), col("comp").as("comp2")),
+          Seq("comp"), "left")
+        .select(col("id"), coalesce(col("comp2"), col("comp")).as("comp"))
+        .localCheckpoint()
+      val changed = jumped
+        .join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).limit(1).count()
+      labels = jumped
+      done = changed == 0
+      round += 1
+    }
+    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+  }
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Sequence packing: assign documents to fixed-token-budget training
+  * shards in a deterministic global order (the step between "clean
+  * corpus" and "tokenized shards" in an LLM data pipeline).
+  *
+  * A doc's shard is `floor(tokens_before_it / budget)` in doc-id order —
+  * contiguous packing, the deterministic SQL-expressible form of greedy
+  * shard filling. The global running sum is computed as a DISTRIBUTED
+  * prefix sum: bucket by sampled id-range boundaries, one windowed
+  * cumulative sum per bucket, then a broadcast of per-bucket prefix
+  * totals — never a single-partition global window, which would
+  * serialize 100 TB through one task.
+  *
+  * Bucket identity comes from the DATA (id vs sampled boundaries), not
+  * from physical partition ids: `TaskContext.getPartitionId` /
+  * `spark_partition_id` silently change under AQE partition coalescing
+  * or a downstream `coalesce()`, which would corrupt the offsets.
+  */
+object Packing {
+
+  /** `df` must carry a unique numeric id (cast to long) and a token
+    * count. Returns (doc_id, n_tokens, shard_id).
+    *
+    * Plan shape: approx-quantile sample for `numBuckets-1` id cut points
+    * -> per-bucket windowed cumulative sum (shuffle on the bucket key;
+    * buckets process in parallel) -> tiny per-bucket totals agg
+    * (numBuckets rows; the order-by window below runs over THAT, not the
+    * data) -> broadcast join of prefix offsets. Boundary precision only
+    * shifts bucket sizes, never the result — the cumsum is exact for any
+    * monotone bucketing. */
+  def packGreedy(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      budgetTokens: Long,
+      numBuckets: Int = 0): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val spark = df.sparkSession
+    val nB =
+      if (numBuckets > 0) numBuckets
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = df.select(
+      col(idCol).cast(LongType).as("doc_id"),
+      coalesce(col(tokensCol).cast(LongType), lit(0L)).as("n_tokens"))
+    val qs = (1 until nB).map(_.toDouble / nB).toArray
+    val bounds =
+      if (qs.isEmpty) Array.empty[Double]
+      else base.stat.approxQuantile("doc_id", qs, 0.01)
+    // monotone in doc_id: #boundaries strictly below the id
+    val bucketCol =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(typedLit(bounds.toSeq),
+        b => col("doc_id").cast("double") > b))
+    val wLocal = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base
+      .withColumn("bucket", bucketCol)
+      .withColumn("cum_local", sum("n_tokens").over(wLocal))
+    val totals = local.groupBy("bucket").agg(sum("n_tokens").as("ptot"))
+    val ow = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("poffset", coalesce(sum("ptot").over(ow), lit(0L)))
+      .select("bucket", "poffset")
+    local.join(broadcast(offsets), "bucket")
+      // SQL `div` = exact integer division on longs (a double `/` would
+      // lose precision once cumulative counts pass 2^53)
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"(cum_local + poffset - n_tokens) div ${budgetTokens}L")
+          .as("shard_id"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Deterministic, engine-portable sampling for training-data pipelines.
+  *
+  * Sampling decisions hash the ROW KEY (md5 of the key string), never a
+  * random number: the same row is picked on every run, on every engine,
+  * regardless of partitioning — so a sample is reproducible across
+  * backfills and a pipeline can be re-run incrementally without churn.
+  * The hex-prefix comparison (`substr(md5(key), 1, 4) < threshold`)
+  * evaluates identically in any engine with md5 (Spark, DuckDB, Trino),
+  * which is what makes these operators oracle-checkable.
+  *
+  * Scale: both operators are map-only filters — no shuffle, fully
+  * codegen'd (`md5`/`substring`/comparison are built-ins), and they
+  * combine with filter pushdown on whatever follows. The stratified
+  * variant adds one BROADCAST join against the tiny strata table.
+  */
+object Sampling {
+
+  /** 4-hex-digit md5-prefix threshold approximating `fraction` with
+    * 1/65536 granularity ("g" sorts after every hex digit, so >= 1.0
+    * keeps everything). */
+  private[graft] def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0, s"fraction must be >= 0, got $fraction")
+    if (fraction >= 1.0) "g"
+    else f"${math.round(fraction * 65536).toInt}%04x"
+  }
+
+  private def hashBucket(key: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), key.cast(StringType))), 1, 4)
+
+  /** Keep ~`fraction` of rows, chosen by key hash. `salt` derives
+    * independent samples from the same keys (e.g. train/eval splits). */
+  def hashSample(
+      df: DataFrame,
+      keyCol: String,
+      fraction: Double,
+      salt: String = ""): DataFrame =
+    df.filter(hashBucket(col(keyCol), salt) < lit(hexThreshold(fraction)))
+
+  /** Per-stratum sampling rates (the "data mix" operator: e.g. keep 10%
+    * of web text but 100% of books). Strata absent from `fractions` fall
+    * back to `defaultFraction`. */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val thr = fractions.toSeq
+      .map { case (k, f) => (k, hexThreshold(f)) }
+      .toDF(stratumCol, "__graft_thr")
+    df.join(broadcast(thr), Seq(stratumCol), "left")
+      .withColumn("__graft_thr",
+        coalesce(col("__graft_thr"), lit(hexThreshold(defaultFraction))))
+      .filter(hashBucket(col(keyCol), salt) < col("__graft_thr"))
+      .drop("__graft_thr")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{text, vectors, TextUtil}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Decontamination, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 class OperatorsSpec extends AnyFunSuite {
 
@@ -297,5 +297,77 @@ class OperatorsSpec extends AnyFunSuite {
     val h1 = TextUtil.simhash64(org.apache.spark.unsafe.types.UTF8String.fromString("a b c"))
     val h2 = TextUtil.simhash64(org.apache.spark.unsafe.types.UTF8String.fromString("a b c"))
     assert(h1 === h2)
+  }
+
+  test("connected components collapse dup pairs into min-id clusters") {
+    // two chained clusters + one isolated pair; a 40-node PATH exercises
+    // pointer jumping (plain propagation would need 40 rounds; the
+    // default maxRounds=25 only suffices because jumping is O(log n))
+    val path = (100L until 139L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 2L), (2L, 3L), (7L, 9L)) ++ path).toDF("a", "b")
+    val comp = Dedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp(1L) === 1L && comp(2L) === 1L && comp(3L) === 1L)
+    assert(comp(7L) === 7L && comp(9L) === 7L)
+    assert((100L to 139L).forall(comp(_) === 100L))
+    assert(comp.size === 45)
+  }
+
+  test("hash sampling is deterministic, salted, and fraction-accurate") {
+    val ids = (1L to 2000L).toDF("id")
+    val s1 = Sampling.hashSample(ids, "id", 0.25).collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(ids, "id", 0.25).collect().map(_.getLong(0)).toSet
+    assert(s1 === s2) // re-run picks the same rows
+    assert(math.abs(s1.size - 500) < 60) // ~25% of 2000
+    // a larger fraction strictly extends the sample (prefix property)
+    val s3 = Sampling.hashSample(ids, "id", 0.5).collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s3))
+    // different salt -> a different (but same-law) sample
+    val salted = Sampling.hashSample(ids, "id", 0.25, salt = "v2")
+      .collect().map(_.getLong(0)).toSet
+    assert(salted !== s1)
+    assert(Sampling.hashSample(ids, "id", 1.0).count() === 2000)
+    assert(Sampling.hashSample(ids, "id", 0.0).count() === 0)
+  }
+
+  test("stratified sampling applies per-stratum fractions") {
+    val rows = (1L to 1000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val out = Sampling.stratifiedSample(
+      rows, "id", "lang", Map("en" -> 1.0), defaultFraction = 0.0)
+    val langs = out.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs === Set("en"))
+    assert(out.count() === 500)
+  }
+
+  test("sequence packing matches a sequential prefix sum, at any bucket count") {
+    val rnd = new scala.util.Random(17)
+    val rows = (1L to 997L).map(i => (i, rnd.nextInt(100).toLong + 1))
+    val expected = {
+      var acc = 0L
+      rows.map { case (id, tok) => val start = acc; acc += tok; (id, start / 250L) }.toMap
+    }
+    val df = rows.toDF("doc_id", "n_tokens")
+    for (buckets <- Seq(1, 7, 32)) {
+      val got = Packing.packGreedy(df, "doc_id", "n_tokens", 250L, numBuckets = buckets)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(got === expected, s"buckets=$buckets")
+    }
+    // survives a downstream coalesce(1) (physical-partition-id schemes break here)
+    val coalesced = Packing.packGreedy(df, "doc_id", "n_tokens", 250L, numBuckets = 7)
+      .coalesce(1).collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(coalesced === expected)
+  }
+
+  test("decontamination flags only docs sharing a benchmark n-gram") {
+    val bench = Seq((900L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix words then alpha beta gamma delta and more"), // shares 4-gram
+      (2L, "alpha beta gamma X delta epsilon"),                  // no shared 4-gram
+      (3L, "beta gamma delta"),                                  // shorter than n
+    ).toDF("doc_id", "text")
+    val out = Decontamination.flagged(train, bench, "doc_id", "text", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L))
   }
 }
