@@ -945,6 +945,94 @@ object SparkEntry {
         Seq("", ".warehouse", ".uri").foreach(x => s.conf.unset(s"spark.sql.catalog.$cat$x"))
       }
     }),
+    // ---- metadata ("inspection") tables: db.t.snapshots / files / ... ----
+    "meta_snapshots" -> ((s, dir) => {
+      // commit log as a queryable table: operations, sequence numbers and
+      // deterministic summary counters across append/append/delete
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.msnap")
+      s.sql("CREATE TABLE graft.db.msnap (o_orderkey BIGINT, o_orderstatus STRING)")
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("msnap_src_gq")
+      s.sql("INSERT INTO graft.db.msnap SELECT * FROM msnap_src_gq WHERE o_orderstatus = 'O'")
+      s.sql("INSERT INTO graft.db.msnap SELECT * FROM msnap_src_gq WHERE o_orderstatus <> 'O'")
+      s.sql("DELETE FROM graft.db.msnap WHERE o_orderstatus = 'F'")
+      s.sql(
+        """SELECT operation, sequence_number,
+          |  CAST(summary['total-records'] AS BIGINT) AS total_records
+          |FROM graft.db.msnap.snapshots""".stripMargin)
+    }),
+    "meta_files" -> ((s, dir) => {
+      // live-file inventory with per-file stats, distributed one input
+      // partition per manifest; rolled up per partition tuple here
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.mfiles")
+      s.sql(
+        """CREATE TABLE graft.db.mfiles (l_orderkey BIGINT, l_returnflag STRING)
+          |PARTITIONED BY (l_returnflag)""".stripMargin)
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_returnflag"))
+        .createOrReplaceTempView("mfiles_src_gq")
+      s.sql("INSERT INTO graft.db.mfiles SELECT * FROM mfiles_src_gq")
+      s.sql(
+        """SELECT partition.l_returnflag AS l_returnflag, content, file_format,
+          |  SUM(record_count) AS record_count
+          |FROM graft.db.mfiles.files GROUP BY 1, 2, 3""".stripMargin)
+    }),
+    "meta_partitions" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.mparts")
+      s.sql(
+        """CREATE TABLE graft.db.mparts (l_orderkey BIGINT, l_returnflag STRING)
+          |PARTITIONED BY (l_returnflag)""".stripMargin)
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_returnflag"))
+        .createOrReplaceTempView("mparts_src_gq")
+      s.sql("INSERT INTO graft.db.mparts SELECT * FROM mparts_src_gq")
+      s.sql(
+        """SELECT partition.l_returnflag AS l_returnflag, record_count
+          |FROM graft.db.mparts.partitions""".stripMargin)
+    }),
+    "meta_refs" -> ((s, dir) => {
+      // branches/tags (SURVEY §2.7 refs) through the SQL inspection view
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.mrefs")
+      s.sql("CREATE TABLE graft.db.mrefs (n_nationkey BIGINT, n_name STRING)")
+      t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        .createOrReplaceTempView("mrefs_src_gq")
+      s.sql("INSERT INTO graft.db.mrefs SELECT * FROM mrefs_src_gq")
+      val tbl = StorageCatalog.loadTable(
+        s.sparkContext.hadoopConfiguration, s"$wh/db/mrefs")
+      val head = tbl.metadata.currentSnapshotId.get
+      tbl.createTag("v1", head).createBranch("dev", head)
+      s.sql("SELECT name, type FROM graft.db.mrefs.refs")
+    }),
+    "meta_manifests" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.mman")
+      s.sql("CREATE TABLE graft.db.mman (r_regionkey BIGINT, r_name STRING)")
+      t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+        .createOrReplaceTempView("mman_src_gq")
+      s.sql("INSERT INTO graft.db.mman SELECT * FROM mman_src_gq")
+      s.sql("INSERT INTO graft.db.mman SELECT * FROM mman_src_gq")
+      s.sql(
+        """SELECT content, CAST(SUM(added_rows_count) AS BIGINT) AS added_rows,
+          |  CAST(COUNT(*) AS INT) AS manifest_count
+          |FROM graft.db.mman.manifests GROUP BY content""".stripMargin)
+    }),
     // ---- structured streaming ----
     "stream_events_hourly" -> ((s, dir) => {
       // real streaming query over the events parquet (memory sink, complete
@@ -1545,5 +1633,25 @@ object SparkEntry {
         |WHERE rn = 1""".stripMargin,
     "stream_sink_append" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+    "meta_snapshots" ->
+      """SELECT 'append' AS operation, CAST(1 AS BIGINT) AS sequence_number,
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'O') AS total_records
+        |UNION ALL
+        |SELECT 'append', CAST(2 AS BIGINT), (SELECT COUNT(*) FROM orders)
+        |UNION ALL
+        |SELECT 'delete', CAST(3 AS BIGINT), (SELECT COUNT(*) FROM orders)""".stripMargin,
+    "meta_files" ->
+      """SELECT l_returnflag, 0 AS content, 'parquet' AS file_format,
+        |  COUNT(*) AS record_count
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "meta_partitions" ->
+      "SELECT l_returnflag, COUNT(*) AS record_count FROM lineitem GROUP BY 1",
+    "meta_refs" ->
+      """SELECT * FROM (VALUES ('dev','BRANCH'), ('main','BRANCH'), ('v1','TAG'))
+        |AS t(name, type)""".stripMargin,
+    "meta_manifests" ->
+      """SELECT 0 AS content,
+        |  CAST(2 * (SELECT COUNT(*) FROM region) AS BIGINT) AS added_rows,
+        |  CAST(2 AS INT) AS manifest_count""".stripMargin,
   )
 }

@@ -91,7 +91,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def loadTable(ident: Identifier): Table =
-    new GraftV2Table(loadGraftTable(ident), None, None)
+    try new GraftV2Table(loadGraftTable(ident), None, None)
+    catch {
+      case e: org.apache.spark.sql.catalyst.analysis.NoSuchTableException =>
+        // `db.t.snapshots` etc: one extra identifier segment selects a
+        // metadata view of `db.t` (see GraftMetadataTables)
+        val kind = ident.name().toLowerCase(java.util.Locale.ROOT)
+        val ns = ident.namespace()
+        if (ns.length >= 1 && GraftMetadataTables.Kinds.contains(kind)) {
+          val parent = Identifier.of(ns.init, ns.last)
+          try new GraftMetadataTable(loadGraftTable(parent), kind)
+          catch { case _: Throwable => throw e }
+        } else throw e
+    }
 
   /** SELECT ... VERSION AS OF <snapshot-id> */
   override def loadTable(ident: Identifier, version: String): Table =
@@ -558,7 +570,10 @@ class GraftNativeBatchScan(
       .flatMap(pf => iceSchema.fieldById(pf.sourceId).map(_.name)).distinct
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    partitionSourceNames.map(Expressions.column).toArray
+    // only columns surviving column pruning: Spark's DPP rule resolves
+    // these against the scan OUTPUT and throws on a pruned-out column
+    partitionSourceNames.filter(requiredSchema.fieldNames.contains)
+      .map(Expressions.column).toArray
 
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {

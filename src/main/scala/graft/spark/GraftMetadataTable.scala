@@ -1,0 +1,353 @@
+package graft.spark
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.tables._
+
+/** Inspection ("metadata") tables over a graft table, addressable in SQL as
+  * an extra identifier segment — the Iceberg idiom surfaced relationally:
+  *
+  *   SELECT * FROM graft.db.t.snapshots;     -- commit log + summaries
+  *   SELECT * FROM graft.db.t.history;       -- made_current_at lineage
+  *   SELECT * FROM graft.db.t.refs;          -- branches / tags
+  *   SELECT * FROM graft.db.t.manifests;     -- current-snapshot manifest list
+  *   SELECT * FROM graft.db.t.files;         -- live data+delete files w/ stats
+  *   SELECT * FROM graft.db.t.partitions;    -- per-partition rollup
+  *
+  * The reference keeps all of this in memory behind accessors
+  * (icelake/src/types/in_memory.rs: `Table::current_data_files`, snapshot
+  * and ref structs) with no query surface; here each view is a DSv2 table.
+  *
+  * Scale design: `snapshots`/`history`/`refs`/`manifests` are O(commits)
+  * rows and come straight from table metadata on the driver (a
+  * [[org.apache.spark.sql.connector.read.LocalScan]] — no files opened,
+  * plans as LocalTableScan). `files` is O(data files) at 100 TB — millions
+  * of rows — so it reads DISTRIBUTED: one input partition per manifest,
+  * executors parse the Avro and emit file rows; aggregations over it
+  * (`partitions` included) are ordinary Spark shuffles, never a
+  * driver-side materialization. */
+object GraftMetadataTables {
+
+  val Kinds: Set[String] =
+    Set("snapshots", "history", "refs", "manifests", "files", "partitions")
+
+  // ---------- schemas ----------
+
+  private val summaryType = MapType(StringType, StringType, valueContainsNull = false)
+  private val longMapType = MapType(IntegerType, LongType, valueContainsNull = false)
+  private val binMapType = MapType(IntegerType, BinaryType, valueContainsNull = false)
+
+  val snapshotsSchema: StructType = StructType(Seq(
+    StructField("committed_at", TimestampType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("parent_id", LongType, nullable = true),
+    StructField("sequence_number", LongType, nullable = false),
+    StructField("operation", StringType, nullable = true),
+    StructField("manifest_list", StringType, nullable = false),
+    StructField("summary", summaryType, nullable = false)))
+
+  val historySchema: StructType = StructType(Seq(
+    StructField("made_current_at", TimestampType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("parent_id", LongType, nullable = true),
+    StructField("is_current_ancestor", BooleanType, nullable = false)))
+
+  val refsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("max_reference_age_in_ms", LongType, nullable = true),
+    StructField("min_snapshots_to_keep", IntegerType, nullable = true),
+    StructField("max_snapshot_age_in_ms", LongType, nullable = true)))
+
+  val manifestsSchema: StructType = StructType(Seq(
+    StructField("content", IntegerType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("length", LongType, nullable = false),
+    StructField("partition_spec_id", IntegerType, nullable = false),
+    StructField("added_snapshot_id", LongType, nullable = false),
+    StructField("added_data_files_count", IntegerType, nullable = false),
+    StructField("existing_data_files_count", IntegerType, nullable = false),
+    StructField("deleted_data_files_count", IntegerType, nullable = false),
+    StructField("added_rows_count", LongType, nullable = false),
+    StructField("existing_rows_count", LongType, nullable = false),
+    StructField("deleted_rows_count", LongType, nullable = false),
+    StructField("sequence_number", LongType, nullable = false),
+    StructField("min_sequence_number", LongType, nullable = false)))
+
+  /** partition tuple struct aligned to the DEFAULT spec; files written
+    * under older specs null-fill fields the current spec added */
+  def partitionStruct(meta: TableMetadata): StructType = StructType(
+    meta.defaultSpec.fields.map { pf =>
+      val src = meta.currentSchema.fieldById(pf.sourceId)
+        .map(_.fieldType).getOrElse(IcePrim("string"))
+      StructField(pf.name,
+        SchemaConvert.toSparkType(SchemaConvert.transformResultType(pf.transform, src)),
+        nullable = true)
+    })
+
+  def filesSchema(meta: TableMetadata): StructType = StructType(Seq(
+    StructField("content", IntegerType, nullable = false),
+    StructField("file_path", StringType, nullable = false),
+    StructField("file_format", StringType, nullable = false),
+    StructField("spec_id", IntegerType, nullable = false),
+    StructField("partition", partitionStruct(meta), nullable = false),
+    StructField("record_count", LongType, nullable = false),
+    StructField("file_size_in_bytes", LongType, nullable = false),
+    StructField("value_counts", longMapType, nullable = false),
+    StructField("null_value_counts", longMapType, nullable = false),
+    StructField("nan_value_counts", longMapType, nullable = false),
+    StructField("lower_bounds", binMapType, nullable = false),
+    StructField("upper_bounds", binMapType, nullable = false),
+    StructField("split_offsets", ArrayType(LongType, containsNull = false), nullable = true),
+    StructField("equality_ids", ArrayType(IntegerType, containsNull = false), nullable = true),
+    StructField("sort_order_id", IntegerType, nullable = true),
+    StructField("data_sequence_number", LongType, nullable = false)))
+
+  def partitionsSchema(meta: TableMetadata): StructType = StructType(Seq(
+    StructField("partition", partitionStruct(meta), nullable = false),
+    StructField("record_count", LongType, nullable = false),
+    StructField("file_count", LongType, nullable = false),
+    StructField("total_size_in_bytes", LongType, nullable = false)))
+
+  def schemaOf(kind: String, meta: TableMetadata): StructType = kind match {
+    case "snapshots" => snapshotsSchema
+    case "history" => historySchema
+    case "refs" => refsSchema
+    case "manifests" => manifestsSchema
+    case "files" => filesSchema(meta)
+    case "partitions" => partitionsSchema(meta)
+  }
+
+  // ---------- row building (external Row values; converted per-schema) ----------
+
+  private def ts(ms: Long): java.time.Instant = java.time.Instant.ofEpochMilli(ms)
+
+  def snapshotRows(meta: TableMetadata): Seq[Seq[Any]] =
+    meta.snapshots.sortBy(_.timestampMs).map { s =>
+      Seq(ts(s.timestampMs), s.snapshotId, s.parentSnapshotId.orNull,
+        s.sequenceNumber, s.summary.getOrElse("operation", null),
+        s.manifestList, s.summary)
+    }
+
+  def historyRows(meta: TableMetadata): Seq[Seq[Any]] = {
+    // ancestors of the current snapshot, by parent pointers
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    val ancestors = Iterator.iterate(meta.currentSnapshot)(
+        _.flatMap(_.parentSnapshotId).flatMap(byId.get))
+      .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSet
+    meta.snapshotLog.map { e =>
+      val id = e.ref.toLong
+      Seq(ts(e.timestampMs), id, byId.get(id).flatMap(_.parentSnapshotId).orNull,
+        ancestors.contains(id))
+    }
+  }
+
+  def refRows(meta: TableMetadata): Seq[Seq[Any]] =
+    meta.refs.toSeq.sortBy(_._1).map { case (name, r) =>
+      Seq(name, r.refType.toUpperCase, r.snapshotId, r.maxRefAgeMs.orNull,
+        r.minSnapshotsToKeep.orNull, r.maxSnapshotAgeMs.orNull)
+    }
+
+  def manifestRows(table: GraftTable, snap: IceSnapshot): Seq[Seq[Any]] =
+    ManifestIO.readManifestList(table.conf, table.relocate(snap.manifestList)).map { m =>
+      Seq(m.content, table.relocate(m.manifestPath), m.manifestLength,
+        m.partitionSpecId, m.addedSnapshotId,
+        m.addedFilesCount, m.existingFilesCount, m.deletedFilesCount,
+        m.addedRowsCount, m.existingRowsCount, m.deletedRowsCount,
+        m.sequenceNumber, m.minSequenceNumber)
+    }
+
+  /** avro-internal partition value -> Spark external value for the
+    * transform result type (dates ride as epoch days, timestamps micros) */
+  def partitionValue(raw: Any, resultType: IceType): Any = (resultType, raw) match {
+    case (_, null) => null
+    case (IcePrim("date"), i: Int) => java.time.LocalDate.ofEpochDay(i.toLong)
+    case (IcePrim("timestamp") | IcePrim("timestamptz"), l: Long) =>
+      java.time.Instant.ofEpochSecond(
+        Math.floorDiv(l, 1000000L), Math.floorMod(l, 1000000L) * 1000L)
+    case (IceDecimal(_, scale), b: Array[Byte]) =>
+      BigDecimal(BigInt(b), scale)
+    case (IceDecimal(_, _), s: String) => BigDecimal(s)
+    case _ => raw
+  }
+
+  /** one `files` row per live entry of a manifest; the partition tuple is
+    * re-keyed by field NAME onto the default spec's struct */
+  def fileRows(
+      entries: List[IceManifestEntry],
+      listSeq: Long,
+      specId: Int,
+      spec: IcePartitionSpec,
+      resultTypes: List[IceType],
+      defaultFieldNames: List[String],
+      relocate: String => String): Seq[Seq[Any]] =
+    entries.filter(_.status != ManifestStatus.Deleted).map { e =>
+      val f = e.dataFile
+      val byName: Map[String, Any] =
+        spec.fields.zip(resultTypes).zip(f.partition).map { case ((pf, rt), v) =>
+          pf.name -> partitionValue(v.orNull, rt)
+        }.toMap
+      val tuple = defaultFieldNames.map(n => byName.getOrElse(n, null))
+      Seq(f.content, relocate(f.filePath), f.fileFormat, specId, tuple,
+        f.recordCount, f.fileSizeInBytes,
+        f.valueCounts, f.nullValueCounts, f.nanValueCounts,
+        f.lowerBounds, f.upperBounds,
+        if (f.splitOffsets.isEmpty) null else f.splitOffsets,
+        if (f.equalityIds.isEmpty) null else f.equalityIds,
+        e.dataFile.sortOrderId.orNull,
+        e.dataSequenceNumber.getOrElse(listSeq))
+    }
+
+  def resultTypesOf(meta: TableMetadata, spec: IcePartitionSpec): List[IceType] =
+    spec.fields.map { pf =>
+      val src = meta.currentSchema.fieldById(pf.sourceId)
+        .orElse(meta.schemas.flatMap(_.fieldById(pf.sourceId)).headOption)
+        .map(_.fieldType).getOrElse(IcePrim("string"))
+      SchemaConvert.transformResultType(pf.transform, src)
+    }
+
+  def toInternal(schema: StructType, rows: Seq[Seq[Any]]): Array[InternalRow] = {
+    val conv = CatalystTypeConverters.createToCatalystConverter(schema)
+    rows.map(vals =>
+      conv(org.apache.spark.sql.Row.fromSeq(vals)).asInstanceOf[InternalRow]).toArray
+  }
+}
+
+/** DSv2 read-only table for one metadata view of a [[GraftTable]]. */
+class GraftMetadataTable(val table: GraftTable, kind: String)
+    extends Table with SupportsRead {
+
+  private def meta: TableMetadata = table.metadata
+
+  override def name(): String = s"${table.location}#$kind"
+
+  override def schema(): StructType = GraftMetadataTables.schemaOf(kind, meta)
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => kind match {
+      case "files" => new GraftFilesScan(table)
+      case _ => new GraftMetadataLocalScan(table, kind, schema())
+    }
+}
+
+/** driver-side views: O(commits) rows straight from table metadata */
+class GraftMetadataLocalScan(table: GraftTable, kind: String, schema: StructType)
+    extends LocalScan {
+  import GraftMetadataTables._
+
+  override def readSchema(): StructType = schema
+
+  override def rows(): Array[InternalRow] = {
+    val meta = table.metadata
+    val external: Seq[Seq[Any]] = kind match {
+      case "snapshots" => snapshotRows(meta)
+      case "history" => historyRows(meta)
+      case "refs" => refRows(meta)
+      case "manifests" =>
+        meta.currentSnapshot.map(manifestRows(table, _)).getOrElse(Nil)
+      case "partitions" =>
+        // rollup over planFiles — same driver-side cost as planning any
+        // scan; the distributed alternative is an aggregate over `files`
+        val snap = meta.currentSnapshot
+        val files = snap.map(table.planFiles(_, None)).getOrElse(Nil)
+        val defaults = meta.defaultSpec.fields.map(_.name)
+        files
+          .filter(_.file.content == DataContent.Data)
+          .groupBy { pf =>
+            val spec = meta.specById(pf.specId)
+            val rts = resultTypesOf(meta, spec)
+            val byName = spec.fields.zip(rts).zip(pf.file.partition).map {
+              case ((f, rt), v) => f.name -> partitionValue(v.orNull, rt)
+            }.toMap
+            defaults.map(n => byName.getOrElse(n, null))
+          }
+          .toSeq.map { case (tuple, fs) =>
+            Seq(tuple, fs.map(_.file.recordCount).sum, fs.size.toLong,
+              fs.map(_.file.fileSizeInBytes).sum)
+          }
+      case other => sys.error(s"unknown metadata table: $other")
+    }
+    toInternal(schema, external)
+  }
+
+  override def description(): String = s"GraftMetadataScan(${table.location}, $kind)"
+}
+
+/** `files`: distributed — one input partition per manifest, executors parse
+  * the Avro. O(total data files) rows never materialize on the driver. */
+class GraftFilesScan(table: GraftTable) extends Scan with Batch {
+  import GraftMetadataTables._
+
+  private val meta = table.metadata
+  private val schema = filesSchema(meta)
+
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String = s"GraftFilesScan(${table.location})"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    meta.currentSnapshot match {
+      case None => Array.empty
+      case Some(snap) =>
+        ManifestIO.readManifestList(table.conf, table.relocate(snap.manifestList))
+          .map { m =>
+            val spec = meta.specById(m.partitionSpecId)
+            GraftFilesPartition(
+              table.relocate(m.manifestPath), m.sequenceNumber, m.partitionSpecId,
+              spec, resultTypesOf(meta, spec),
+              meta.defaultSpec.fields.map(_.name),
+              table.location, meta.location,
+              new TableWrite.SerializableHadoopConf(table.conf))
+          }.toArray
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val s = schema
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val fp = p.asInstanceOf[GraftFilesPartition]
+        val entries = ManifestIO.readManifest(
+          fp.conf.value, fp.manifestPath, fp.spec.fields.map(_.name))
+        // files of pre-rename metadata need the same path relocation scans do
+        val reloc: String => String = p =>
+          if (p.startsWith(fp.tableLocation)) p
+          else if (p.startsWith(fp.metadataLocation))
+            fp.tableLocation + p.stripPrefix(fp.metadataLocation)
+          else p
+        val rows = toInternal(s, fileRows(
+          entries, fp.listSeq, fp.specId, fp.spec, fp.resultTypes,
+          fp.defaultFieldNames, reloc))
+        val it = rows.iterator
+        new PartitionReader[InternalRow] {
+          private var cur: InternalRow = _
+          override def next(): Boolean = { if (!it.hasNext) return false; cur = it.next(); true }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+      }
+    }
+  }
+}
+
+case class GraftFilesPartition(
+    manifestPath: String,
+    listSeq: Long,
+    specId: Int,
+    spec: IcePartitionSpec,
+    resultTypes: List[IceType],
+    defaultFieldNames: List[String],
+    tableLocation: String,
+    metadataLocation: String,
+    conf: TableWrite.SerializableHadoopConf) extends InputPartition

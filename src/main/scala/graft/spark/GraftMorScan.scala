@@ -87,8 +87,11 @@ class GraftMorScan(
   @volatile private var partitionsPlanned = false
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only columns surviving column pruning: Spark's DPP rule resolves
+    // these against the scan OUTPUT and throws on a pruned-out column
     table.metadata.defaultSpec.fields
       .flatMap(pf => iceSchema.fieldById(pf.sourceId).map(_.name)).distinct
+      .filter(requiredSchema.fieldNames.contains)
       .map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
 
   override def filter(

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL metadata views: `SELECT * FROM graft.db.t.snapshots|history|refs|
+  * manifests|files|partitions`. */
+class MetadataTablesSpec extends AnyFunSuite {
+
+  lazy val spark = {
+    val s = TestSpark.spark
+    val wh = Files.createTempDirectory("graft-meta-wh").toFile.getAbsolutePath
+    s.conf.set("spark.sql.catalog.gmeta", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gmeta.warehouse", wh)
+    s
+  }
+
+  private def setup(): Unit = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmeta.db")
+    spark.sql("DROP TABLE IF EXISTS gmeta.db.mt")
+    spark.sql(
+      "CREATE TABLE gmeta.db.mt (id BIGINT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql("INSERT INTO gmeta.db.mt VALUES (1,'a'),(2,'a'),(3,'b')")
+    spark.sql("INSERT INTO gmeta.db.mt VALUES (4,'b'),(5,'c')")
+    spark.sql("DELETE FROM gmeta.db.mt WHERE id = 2")
+  }
+
+  test("snapshots / history / refs / manifests views") {
+    setup()
+    val snaps = spark.sql(
+      "SELECT operation, sequence_number, CAST(summary['total-records'] AS BIGINT) tr " +
+        "FROM gmeta.db.mt.snapshots ORDER BY sequence_number").collect()
+    assert(snaps.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("append", 1L, 3L), ("append", 2L, 5L), ("delete", 3L, 5L)))
+
+    val hist = spark.sql("SELECT is_current_ancestor FROM gmeta.db.mt.history").collect()
+    assert(hist.length === 3 && hist.forall(_.getBoolean(0)))
+
+    val refs = spark.sql("SELECT name, type FROM gmeta.db.mt.refs").collect()
+    assert(refs.map(r => (r.getString(0), r.getString(1))).toSeq === Seq(("main", "BRANCH")))
+
+    val mans = spark.sql(
+      "SELECT content, added_rows_count FROM gmeta.db.mt.manifests").collect()
+    // 2 data manifests (3+2 rows) and 1 delete manifest (1 pos-delete row)
+    assert(mans.count(_.getInt(0) == 0) === 2)
+    assert(mans.filter(_.getInt(0) == 0).map(_.getLong(1)).sum === 5L)
+    assert(mans.count(_.getInt(0) == 1) === 1)
+  }
+
+  test("files and partitions views") {
+    setup()
+    val byPart = spark.sql(
+      "SELECT partition.cat, sum(record_count) rc FROM gmeta.db.mt.files " +
+        "WHERE content = 0 GROUP BY 1 ORDER BY 1").collect()
+    assert(byPart.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+    // the pos-delete file appears with content=1
+    val del = spark.sql(
+      "SELECT sum(record_count) FROM gmeta.db.mt.files WHERE content = 1").collect()
+    assert(del.head.getLong(0) === 1L)
+
+    val parts = spark.sql(
+      "SELECT partition.cat, record_count, file_count FROM gmeta.db.mt.partitions " +
+        "ORDER BY 1").collect()
+    assert(parts.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+    assert(parts.forall(_.getLong(2) >= 1L))
+
+    // files schema exposes real per-column stats maps
+    val stats = spark.sql(
+      "SELECT file_path, value_counts, lower_bounds FROM gmeta.db.mt.files LIMIT 1").collect()
+    assert(stats.head.getAs[Map[Int, Long]](1).nonEmpty)
+  }
+}
