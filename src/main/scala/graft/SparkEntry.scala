@@ -578,6 +578,31 @@ object SparkEntry {
       tbl.upsert(s, upserts.unionByName(deletes), Seq("o_orderkey"), opCol = Some("_op"))
       tbl.scan(s)
     }),
+    "ice_rollback" -> ((s, dir) => {
+      // metadata-only rollback: current pointer moves back, no data rewrite
+      val src = t(s, dir, "orders")
+      val tbl = freshTable(s, "ice_rollback", src)
+      tbl.append(s, src.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+      val snap1 = tbl.metadata.currentSnapshotId.get
+      tbl.append(s, src.filter(pmod(col("o_orderkey"), lit(2)) =!= 0))
+      tbl.rollbackTo(snap1)
+      tbl.scan(s)
+    }),
+    "ice_spec_evolution" -> ((s, dir) => {
+      // partition spec evolution: files of BOTH specs answer one filtered
+      // scan; each file's tuple is pruned against its own spec
+      val src = t(s, dir, "orders")
+      val tbl = freshTable(s, "ice_spec_evolution", src, schema =>
+        IcePartitionSpec(0, List(IcePartitionField(
+          schema.findField("o_orderstatus").get.id, 1000, "identity", "o_orderstatus"))))
+      tbl.append(s, src.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+      val keyId = tbl.metadata.currentSchema.findField("o_orderkey").get.id
+      tbl.updatePartitionSpec(List(
+        IcePartitionField(keyId, 0, "bucket[4]", "o_orderkey_bucket")))
+      tbl.append(s, src.filter(pmod(col("o_orderkey"), lit(2)) =!= 0))
+      tbl.scan(s, filter = Some(col("o_orderstatus") === "F"))
+        .filter(col("o_orderstatus") === "F")
+    }),
     "ice_time_travel" -> ((s, dir) => {
       val src = t(s, dir, "orders")
       val tbl = freshTable(s, "ice_time_travel", src)
@@ -1099,6 +1124,50 @@ object SparkEntry {
       q.awaitTermination()
       StorageCatalog.loadTable(s.sparkContext.hadoopConfiguration, tbl.location).scan(s)
     }),
+    "stream_watermark_windows" -> ((s, dir) => {
+      // event-time watermark + tumbling window in APPEND mode over the
+      // graft streaming source, rate-limited to one snapshot per
+      // micro-batch: only watermark-closed windows are emitted
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      val split = ev
+        .agg(expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2")).head.getLong(0)
+      val tbl = freshTable(s, "stream_wm", ev.limit(0))
+      tbl.append(s, ev.filter(unix_micros(col("ts")) <= split))
+      tbl.append(s, ev.filter(unix_micros(col("ts")) > split))
+      val name = s"stream_wm_${System.nanoTime()}"
+      val q = s.readStream.format("graft-stream")
+        .option("location", tbl.location)
+        .option("max-seqs-per-trigger", "1")
+        .load()
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+    }),
+    "stream_sessions_state" -> ((s, dir) => {
+      // custom streaming state: flatMapGroupsWithState sessionization —
+      // per-user open sessions live in the state store, closed sessions
+      // stream out as soon as a later event proves the gap
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val name = s"stream_sess_${System.nanoTime()}"
+      val src = s.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+      val q = graft.streaming.StatefulSessions.sessions(src, 1800L * 1000000L)
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          timestamp_micros(col("session_start_us")).as("session_start"),
+          timestamp_micros(col("session_end_us")).as("session_end"))
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+    }),
     // ---- multimodal: REAL image encode+decode via javax.imageio ----
     "mm_metadata" -> ((s, dir) => {
       // encode one deterministic PNG per doc, then DECODE it back with the
@@ -1554,6 +1623,8 @@ object SparkEntry {
         |  o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 13 <> 0""".stripMargin,
     "ice_time_travel" -> "SELECT * FROM orders WHERE o_orderkey % 2 = 0",
+    "ice_rollback" -> "SELECT * FROM orders WHERE o_orderkey % 2 = 0",
+    "ice_spec_evolution" -> "SELECT * FROM orders WHERE o_orderstatus = 'F'",
     "ice_runtime_prune" ->
       """SELECT o_orderstatus AS status, count(*) AS cnt,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
@@ -1633,6 +1704,34 @@ object SparkEntry {
         |WHERE rn = 1""".stripMargin,
     "stream_sink_append" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+    "stream_watermark_windows" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n_events
+        |FROM events
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <=
+        |  (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+        |GROUP BY 1, 2""".stripMargin,
+    "stream_sessions_state" ->
+      """WITH gapped AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM gapped),
+        |agg AS (
+        |  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |    COUNT(*) AS n_events,
+        |    MIN(ts) AS session_start, MAX(ts) AS session_end
+        |  FROM sessions GROUP BY user_id, session_idx)
+        |SELECT * FROM agg
+        |WHERE session_idx < (SELECT MAX(session_idx) FROM agg a2
+        |                     WHERE a2.user_id = agg.user_id)""".stripMargin,
     "meta_snapshots" ->
       """SELECT 'append' AS operation, CAST(1 AS BIGINT) AS sequence_number,
         |  (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'O') AS total_records

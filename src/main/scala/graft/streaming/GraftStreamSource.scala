@@ -81,31 +81,50 @@ class GraftStreamSourceProvider extends StreamSourceProvider with StreamSinkProv
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): Source =
-    new GraftStreamSource(sqlContext.sparkSession, location(parameters))
+    new GraftStreamSource(sqlContext.sparkSession, location(parameters),
+      parameters.get("max-seqs-per-trigger").map(_.toLong))
 }
 
 case class SeqOffset(seq: Long) extends Offset {
   override def json(): String = seq.toString
 }
 
-class GraftStreamSource(spark: SparkSession, location: String) extends Source {
+/** `maxSeqsPerTrigger` rate-limits each micro-batch to that many snapshot
+  * increments (sequence numbers) — a query starting against a table with a
+  * deep commit backlog drains it in bounded batches instead of one giant
+  * first batch (the streaming analogue of maxFilesPerTrigger). */
+class GraftStreamSource(
+    spark: SparkSession,
+    location: String,
+    maxSeqsPerTrigger: Option[Long] = None) extends Source {
 
   private val conf = spark.sparkContext.hadoopConfiguration
 
   private def table = StorageCatalog.loadTable(conf, location)
+
+  /** highest sequence already handed out, for rate limiting; recovered
+    * batches re-delivered after restart only ever lower-bound this */
+  @volatile private var lastSeenSeq = 0L
 
   override def schema: StructType =
     SchemaConvert.toSparkSchema(table.metadata.currentSchema)
 
   override def getOffset: Option[Offset] = {
     val t = table
-    t.metadata.currentSnapshot.map(s => SeqOffset(s.sequenceNumber))
+    t.metadata.currentSnapshot.map { s =>
+      val end = maxSeqsPerTrigger match {
+        case Some(n) => math.min(s.sequenceNumber, lastSeenSeq + n)
+        case None => s.sequenceNumber
+      }
+      SeqOffset(end)
+    }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val t = table
     val startSeq = start.map(_.json().toLong).getOrElse(0L)
     val endSeq = end.json().toLong
+    if (endSeq > lastSeenSeq) lastSeenSeq = endSeq
     val snap = t.metadata.snapshots.find(_.sequenceNumber == endSeq)
       .orElse(t.metadata.currentSnapshot)
     val sparkSchema = SchemaConvert.toSparkSchema(t.metadata.currentSchema)

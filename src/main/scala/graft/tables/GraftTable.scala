@@ -707,6 +707,26 @@ class GraftTable(
     scan(spark, snapshotId = Some(ref.snapshotId))
   }
 
+  /** Roll the table back to an earlier snapshot: a metadata-only commit
+    * moving the current pointer (and `main`) to `snapshotId`. Later
+    * snapshots stay in the log — roll-forward is another rollbackTo, and
+    * `expireSnapshots` reclaims them once unreachable. */
+  def rollbackTo(snapshotId: Long): GraftTable = {
+    val base = metadata
+    require(base.snapshotById(snapshotId).isDefined,
+      s"snapshot $snapshotId not found in ${location}")
+    val now = System.currentTimeMillis()
+    val newMeta = base.copy(
+      currentSnapshotId = Some(snapshotId),
+      refs = base.refs + ("main" -> IceSnapshotRef(snapshotId, "branch")),
+      snapshotLog = base.snapshotLog :+ IceLogEntry(now, snapshotId.toString),
+      lastUpdatedMs = now)
+    val newVersion = committer(newMeta, version)
+    metadata = newMeta
+    version = newVersion
+    this
+  }
+
   // ---------- commit ----------
 
   /** Produce a snapshot from added files and commit metadata with an

@@ -259,14 +259,32 @@ object TableWrite {
   /** distributed footer harvest; returns stats per file path. The
     * driver's Hadoop conf ships with the job (broadcast-equivalent), so
     * stores needing credentials/endpoints work on executors. */
+  /** files-per-write below which footer stats are read on a driver thread
+    * pool instead of a Spark job — a job's fixed scheduling cost dwarfs a
+    * handful of footer reads; large writes stay fully distributed */
+  private val DriverHarvestMax = 64
+
   def harvest(spark: SparkSession, paths: Seq[String], infos: Seq[FieldInfo]): Seq[FileStats] =
     if (paths.isEmpty) Nil
     else {
-      val par = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
-      val serConf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
-      val bc = spark.sparkContext.broadcast(serConf)
-      spark.sparkContext.parallelize(paths, par)
-        .map(p => statsOf(p, infos, bc.value.value)).collect().toSeq
+      // session-scoped conf, not the raw SparkContext one: per-session
+      // hadoop/FS options (credentials set via spark.conf) must ride along
+      val conf = org.apache.spark.sql.GraftBridge.sessionHadoopConf(spark)
+      if (paths.size <= DriverHarvestMax) {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(paths.size, 16))
+        try paths
+          .map(p => pool.submit(new java.util.concurrent.Callable[FileStats] {
+            override def call(): FileStats = statsOf(p, infos, conf)
+          }))
+          .map(_.get())
+        finally pool.shutdown()
+      } else {
+        val par = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
+        val bc = spark.sparkContext.broadcast(new SerializableHadoopConf(conf))
+        spark.sparkContext.parallelize(paths, par)
+          .map(p => statsOf(p, infos, bc.value.value)).collect().toSeq
+      }
     }
 
   /** Optional second stats pass (table property `write.stats.extended`):

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tables._
+
+/** Rate-limited streaming source + cross-batch stateful sessionization. */
+class StreamingStateSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("max-seqs-per-trigger drains a commit backlog in bounded batches") {
+    val loc = Files.createTempDirectory("graft-rate").toFile.getAbsolutePath + "/t"
+    val src = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val schema = SchemaConvert.fromSparkSchema(src.schema)
+    val tbl = StorageCatalog.createOrReplaceTable(
+      spark.sparkContext.hadoopConfiguration, loc, schema, IcePartitionSpec(0, Nil))
+    (1 to 3).foreach(i => tbl.append(spark, src.filter(col("id") === i)))
+
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-stream")
+      .option("location", loc)
+      .option("max-seqs-per-trigger", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += b.count() }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // 3 committed snapshots -> 3 rate-limited batches of 1 row each
+    assert(batchSizes.filter(_ > 0).toSeq === Seq(1L, 1L, 1L))
+  }
+
+  test("stateful sessions carry open state across micro-batches") {
+    // user 10: one session split across two commits (gap < 30 min), then a
+    // second session; user 20: a single session (never emitted)
+    val m = 60L * 1000000L // one minute in micros
+    val rows = Seq(
+      (10L, 1L, 0L * m), (10L, 2L, 10L * m), // session 1 first half
+      (20L, 3L, 5L * m),
+      (10L, 4L, 25L * m), // session 1 continues in commit 2 (gap 15 min)
+      (10L, 5L, 90L * m), // gap 65 min -> session 2
+      (20L, 6L, 20L * m))
+    val df = rows.toDF("user_id", "event_id", "ts_us")
+    val schema = SchemaConvert.fromSparkSchema(df.schema)
+    val loc = Files.createTempDirectory("graft-sess").toFile.getAbsolutePath + "/t"
+    val tbl = StorageCatalog.createOrReplaceTable(
+      spark.sparkContext.hadoopConfiguration, loc, schema, IcePartitionSpec(0, Nil))
+    tbl.append(spark, df.filter(col("event_id") <= 3))
+    tbl.append(spark, df.filter(col("event_id") > 3))
+
+    val name = s"sess_state_${System.nanoTime()}"
+    val q = graft.streaming.StatefulSessions.sessions(
+        spark.readStream.format("graft-stream")
+          .option("location", loc)
+          .option("max-seqs-per-trigger", "1")
+          .load(),
+        gapUs = 1800L * 1000000L)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(name)
+      .select("user_id", "session_idx", "n_events", "session_start_us", "session_end_us")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // only user 10's FIRST session closed (by event 5); it spans both
+    // commits: events 1,2 from batch 1 plus event 4 from batch 2
+    assert(out.toSeq === Seq((10L, 1L, 3L, 0L, 25L * m)))
+  }
+}
