@@ -522,6 +522,39 @@ class GraftScanBuilder(
 /** Driver-side scan carrying a fully-aggregated result computed from
   * manifest statistics — Spark plans it as a LocalTableScan; no executor
   * work, no file I/O. See [[StatsAggregate]]. */
+/** table statistics from planned-file manifest stats — no files opened */
+object GraftScanStats {
+  def of(
+      files: Seq[PlannedFile],
+      dataSchema: StructType,
+      requiredSchema: StructType,
+      iceSchema: IceSchema): org.apache.spark.sql.connector.read.Statistics = {
+    val data = files.filter(_.file.content == DataContent.Data)
+    val rows = data.map(_.file.recordCount).sum
+    val totalBytes = data.map(_.file.fileSizeInBytes).sum
+    // scale to the projected columns: exact per-column byte sums when the
+    // footers recorded them, width-ratio fallback otherwise
+    val projIds = requiredSchema.fieldNames
+      .flatMap(n => iceSchema.findField(n).map(_.id)).toSet
+    val colScaled = data.map { p =>
+      val cs = p.file.columnSizes
+      if (cs.isEmpty || projIds.isEmpty) -1L
+      else cs.collect { case (id, b) if projIds.contains(id) => b }.sum
+    }
+    val scaledBytes =
+      if (colScaled.nonEmpty && colScaled.forall(_ >= 0)) colScaled.sum
+      else if (dataSchema.fields.nonEmpty && requiredSchema.fields.nonEmpty)
+        (totalBytes * math.min(1.0,
+          requiredSchema.fields.length.toDouble / dataSchema.fields.length)).toLong
+      else totalBytes
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(scaledBytes, 1L))
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
+}
+
 class GraftStatsScan(
     table: GraftTable,
     aggSchema: StructType,
@@ -555,11 +588,20 @@ class GraftNativeBatchScan(
     filters: Array[Filter])
     extends Scan with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   @volatile private var currentFiles: Seq[PlannedFile] = files
 
   override def readSchema(): StructType = requiredSchema
+
+  /** Planned-file statistics, scaled to the projected columns. Without
+    * this a DSv2 relation sizes as `defaultSizeInBytes` (effectively
+    * infinite) and Spark will NEVER auto-broadcast a small graft
+    * dimension in a join — the single most important planning signal at
+    * scale. Column scaling uses the footer column sizes when present. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    GraftScanStats.of(currentFiles, dataSchema, requiredSchema, iceSchema)
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
 

@@ -73,9 +73,16 @@ class GraftMorScan(
     requiredSchema: StructType,
     pushedFilters: Array[Filter] = Array.empty)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = requiredSchema
+
+  /** data-file stats scaled by projection (deletes make this an upper
+    * bound — still vastly better than the infinite DSv2 default, and
+    * safe: overestimating only forgoes a broadcast) */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    GraftScanStats.of(currentData, dataSchema, requiredSchema, iceSchema)
 
   override def toBatch: Batch = this
 

@@ -463,4 +463,28 @@ class CatalogSpec extends AnyFunSuite {
     assert(!df2.queryExecution.executedPlan.toString.contains("GraftNativeBatchScan"))
     assert(df2.head().getLong(0) === 999)
   }
+
+  test("scan statistics: small graft dimension auto-broadcasts in a join") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.dim")
+    spark.sql("CREATE TABLE graft.db.dim (k BIGINT, name STRING)")
+    spark.sql("INSERT INTO graft.db.dim SELECT id, concat('n', id) FROM RANGE(100)")
+    spark.range(100000).toDF("k").createOrReplaceTempView("facts_bb")
+    // no broadcast() hint anywhere: the planner must see the scan's own
+    // size estimate (SupportsReportStatistics) and pick a broadcast join
+    val df = spark.sql(
+      "SELECT f.k, d.name FROM facts_bb f JOIN graft.db.dim d ON f.k % 100 = d.k")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dim not broadcast:\n$plan")
+    assert(df.count() === 100000)
+    // MoR scan path reports stats too
+    val conf = spark.sparkContext.hadoopConfiguration
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val t = graft.tables.StorageCatalog.loadTable(conf, s"$wh/db/dim")
+    t.equalityDelete(spark, Seq(0L).toDF("k"), Seq("k"))
+    val df2 = spark.sql(
+      "SELECT f.k, d.name FROM facts_bb f JOIN graft.db.dim d ON f.k % 100 = d.k")
+    assert(df2.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(df2.count() === 99000)
+  }
 }
