@@ -527,6 +527,16 @@ object SparkEntry {
             text.fingerprint(left, w), text.fingerprint(right, w)))
           .as("split_min_ok"))
     }),
+    "text_pii" -> ((s, dir) => {
+      // PII hygiene: deterministic synthetic emails/phones seeded per doc,
+      // then redacted + counted; the oracle replays the same seeding
+      val seeded = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(col("text"), lit(" contact_"), col("doc_id"),
+          lit("@example.com or 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast(StringType), 4, "0")).as("text"))
+      TextAnalysis.redactPii(seeded, "doc_id", "text")
+    }),
     // ---- Iceberg table layer: write/scan/delete/upsert/time travel ----
     "ice_roundtrip" -> ((s, dir) => {
       val src = t(s, dir, "customer")
@@ -576,6 +586,17 @@ object SparkEntry {
       val deletes = src.filter(pmod(col("o_orderkey"), lit(13)) === 0)
         .withColumn("_op", lit(2))
       tbl.upsert(s, upserts.unionByName(deletes), Seq("o_orderkey"), opCol = Some("_op"))
+      tbl.scan(s)
+    }),
+    "ice_zorder" -> ((s, dir) => {
+      // Morton-curve rewrite: after zordering on (o_custkey, o_orderdate)
+      // file bounds stay tight on BOTH columns (multi-dim data skipping);
+      // content is unchanged — the oracle is the plain table
+      val src = t(s, dir, "orders")
+      val tbl = freshTable(s, "ice_zorder", src)
+      tbl.append(s, src.sortWithinPartitions(col("o_orderkey")))
+      tbl.rewriteZOrder(s, Seq("o_custkey", "o_orderdate"),
+        targetFileSizeBytes = 256L * 1024)
       tbl.scan(s)
     }),
     "ice_rollback" -> ((s, dir) => {
@@ -1623,6 +1644,21 @@ object SparkEntry {
         |  o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 13 <> 0""".stripMargin,
     "ice_time_travel" -> "SELECT * FROM orders WHERE o_orderkey % 2 = 0",
+    "ice_zorder" -> "SELECT * FROM orders",
+    "text_pii" ->
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    text || ' contact_' || doc_id || '@example.com or 555-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\d{3}-\d{4}', '[PHONE]', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\d{3}-\d{4}')) AS BIGINT) AS n_phones
+        |FROM seeded""".stripMargin,
     "ice_rollback" -> "SELECT * FROM orders WHERE o_orderkey % 2 = 0",
     "ice_spec_evolution" -> "SELECT * FROM orders WHERE o_orderstatus = 'F'",
     "ice_runtime_prune" ->

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Z-order (Morton) curve values for multi-dimensional clustering.
+  *
+  * Each dimension is linearly scaled into `63 / n` bits using its global
+  * min/max (one metadata-cheap agg pass), then the bit planes are
+  * interleaved round-robin — rows close on the curve are close in EVERY
+  * dimension, so file min/max bounds stay tight on all of them and
+  * file-level pruning works for predicates on any clustered column
+  * (a linear sort gives that only for its leading column).
+  *
+  * Built entirely from codegen'd column expressions (shift/and/or) — no
+  * UDF, stays inside whole-stage codegen. */
+object ZOrder {
+
+  /** numeric/date/timestamp column as a double for scaling */
+  private def asDouble(c: Column, dt: DataType): Column = dt match {
+    case DateType => c.cast(IntegerType).cast(DoubleType)
+    case TimestampType | TimestampNTZType =>
+      unix_micros(c.cast(TimestampType)).cast(DoubleType)
+    case _: NumericType => c.cast(DoubleType)
+    case other => sys.error(s"zorder: unsupported column type $other")
+  }
+
+  /** z-value column over `cols` given their (min,max) ranges as doubles */
+  def zvalue(cols: Seq[(Column, DataType, (Double, Double))]): Column = {
+    val n = cols.size
+    require(n >= 2 && n <= 8, s"zorder needs 2..8 columns, got $n")
+    val bits = 63 / n
+    val maxVal = (1L << bits) - 1
+    val scaled: Seq[Column] = cols.map { case (c, dt, (lo, hi)) =>
+      val d = asDouble(c, dt)
+      val range = math.max(hi - lo, Double.MinPositiveValue)
+      // nulls cluster at 0
+      val frac = coalesce((d - lit(lo)) / lit(range), lit(0.0))
+      val clamped = least(greatest(frac, lit(0.0)), lit(1.0))
+      (clamped * lit(maxVal.toDouble)).cast(LongType)
+    }
+    // interleave: bit b of dim i lands at position b*n + i
+    val planes = for {
+      b <- 0 until bits
+      (s, i) <- scaled.zipWithIndex
+    } yield shiftleft(shiftrightunsigned(s, b).bitwiseAND(lit(1L)), b * n + i)
+    planes.reduce(_.bitwiseOR(_))
+  }
+
+  /** append a `_z` column computed from `colNames` with ranges taken from
+    * one min/max pass over `df` */
+  def withZColumn(df: DataFrame, colNames: Seq[String], zCol: String = "_z"): DataFrame = {
+    val types = colNames.map(n => df.schema(n).dataType)
+    val aggs = colNames.zip(types).flatMap { case (n, dt) =>
+      Seq(min(asDouble(col(n), dt)), max(asDouble(col(n), dt)))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val ranges = colNames.indices.map { i =>
+      val lo = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
+      val hi = if (row.isNullAt(2 * i + 1)) 1.0 else row.getDouble(2 * i + 1)
+      (lo, hi)
+    }
+    val z = zvalue(colNames.zip(types).zip(ranges).map { case ((n, dt), r) => (col(n), dt, r) })
+    df.withColumn(zCol, z)
+  }
+}

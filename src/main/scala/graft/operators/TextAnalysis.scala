@@ -11,6 +11,22 @@ import graft.functions.text
   * — they scale linearly with input splits. */
 object TextAnalysis {
 
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\d{3}-\\d{4}"
+
+  /** PII scrubbing: redact emails / phone-shaped numbers in place and
+    * count what was removed — the pre-training hygiene pass. Map-only;
+    * regexes are codegen'd, no UDF. */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      regexp_replace(regexp_replace(t, EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]")
+        .as("redacted"),
+      regexp_count(t, lit(EmailRe)).cast(LongType).as("n_emails"),
+      regexp_count(t, lit(PhoneRe)).cast(LongType).as("n_phones"))
+  }
+
   /** Whitespace + punctuation-aware token count, plus a BPE-ish subword
     * estimate (chars/4 heuristic floor-bounded by word count — the standard
     * quick estimator when no tokenizer model is loaded). */

@@ -447,6 +447,42 @@ class GraftTable(
     commitReplace(spark, "replace", survivors _, rewritten)
   }
 
+  /** Z-order rewrite: re-cluster the whole table along a Morton curve
+    * over `cols` so file min/max bounds stay tight on EVERY listed
+    * column — filters on any of them prune files, where a linear sort
+    * only serves its leading column. One range-shuffle (Spark samples
+    * the z-values for balanced boundaries — the at-scale sort path),
+    * replacement files commit as one `replace` snapshot with the same
+    * concurrent-delete safety as compaction. */
+  def rewriteZOrder(
+      spark: SparkSession,
+      cols: Seq[String],
+      targetFileSizeBytes: Long = 128L * 1024 * 1024): GraftTable = {
+    val snap = metadata.currentSnapshot.getOrElse(return this)
+    val planned = planFiles(snap).filter(_.file.content == DataContent.Data)
+    if (planned.isEmpty) return this
+    val totalBytes = planned.map(_.file.fileSizeInBytes).sum
+    val targetFiles = math.max(1, (totalBytes / math.max(1L, targetFileSizeBytes)).toInt +
+      (if (totalBytes % math.max(1L, targetFileSizeBytes) > 0) 1 else 0))
+    val zed = graft.functions.ZOrder.withZColumn(scan(spark), cols, "_gz")
+      .repartitionByRange(targetFiles, col("_gz"))
+      .sortWithinPartitions("_gz")
+      .drop("_gz")
+    val rewritten = TableWrite.writeDataFiles(this, spark, zed)
+    val oldPaths = planned.map(p => GraftTable.normPathStr(p.file.filePath)).toSet
+    def survivors(): List[PlannedFile] = {
+      val now = metadata.currentSnapshot.toList.flatMap(planFiles(_))
+      if (now.exists(p => p.file.content != DataContent.Data && p.seq > snap.sequenceNumber))
+        sys.error("concurrent delete during zorder rewrite; re-run")
+      val liveData = now.filter(_.file.content == DataContent.Data)
+        .map(p => GraftTable.normPathStr(p.file.filePath)).toSet
+      if (oldPaths.diff(liveData).nonEmpty)
+        sys.error("concurrent overwrite during zorder rewrite; re-run")
+      now.filterNot(p => oldPaths.contains(GraftTable.normPathStr(p.file.filePath)))
+    }
+    commitReplace(spark, "replace", survivors _, rewritten)
+  }
+
   /** Manifest compaction (`rewrite_manifests`): collapse the snapshot's
     * manifest list into one manifest per (spec, content) without touching
     * data — planning cost at 10^4+ commits drops back to O(files). */

@@ -559,4 +559,34 @@ class MaintenanceSpec extends AnyFunSuite {
     // concurrent non-graft parquet read keeps name-based resolution
     assert(spark.conf.get("spark.sql.parquet.fieldId.read.enabled") === "false")
   }
+
+  test("zorder rewrite prunes on BOTH clustered columns; contents unchanged") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val loc = tmpLocation("zorder")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    // linear layout first: sorted by custkey only
+    t.append(spark, src.orderBy("o_custkey").coalesce(1))
+    t.rewriteZOrder(spark, Seq("o_custkey", "o_totalprice"),
+      targetFileSizeBytes = 2 * 1024)
+    val snap = t.metadata.currentSnapshot.get
+    val all = t.planFiles(snap)
+    assert(all.size >= 8, s"want >=8 z-files to make pruning measurable, got ${all.size}")
+
+    def prunedCount(c: org.apache.spark.sql.Column): Int =
+      all.size - PruneEval.prunePlanned(
+        all, Some(c), t.metadata, t.metadata.currentSchema).size
+
+    val ckLo = src.agg(expr("percentile(o_custkey, 0.1)")).head.getDouble(0)
+    val tpLo = src.agg(expr("percentile(o_totalprice, 0.1)")).head.getDouble(0)
+    // a narrow predicate on EITHER dimension must skip files — the point
+    // of the curve vs a linear sort (which serves only its lead column)
+    assert(prunedCount(col("o_custkey") <= ckLo.toLong) > 0, "no pruning on o_custkey")
+    assert(prunedCount(col("o_totalprice") <= tpLo) > 0, "no pruning on o_totalprice")
+    // content identical after the rewrite
+    assert(t.scan(spark).count() === src.count())
+    assert(t.scan(spark).agg(sum("o_orderkey")).head.getLong(0) ===
+      src.agg(sum("o_orderkey")).head.getLong(0))
+  }
 }
