@@ -43,6 +43,7 @@ object Bench {
     "sql_merge_update",
     "ice_upsert",
     "stream_sink_append",
+    "ice_zorder",
   )
 
   def main(args: Array[String]): Unit = {

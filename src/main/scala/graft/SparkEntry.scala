@@ -991,6 +991,24 @@ object SparkEntry {
         Seq("", ".warehouse", ".uri").foreach(x => s.conf.unset(s"spark.sql.catalog.$cat$x"))
       }
     }),
+    "ice_incremental_sql" -> ((s, dir) => {
+      // incremental append scan through DSv2 read options: rows committed
+      // after start-snapshot-id only (the CDC-style batch increment)
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.inc_orders")
+      s.sql("CREATE TABLE graft.db.inc_orders (o_orderkey BIGINT, o_totalprice DOUBLE)")
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("inc_src_gq")
+      s.sql("INSERT INTO graft.db.inc_orders SELECT * FROM inc_src_gq WHERE o_orderkey % 2 = 0")
+      val snap1 = StorageCatalog.loadTable(
+        s.sparkContext.hadoopConfiguration, s"$wh/db/inc_orders")
+        .metadata.currentSnapshotId.get
+      s.sql("INSERT INTO graft.db.inc_orders SELECT * FROM inc_src_gq WHERE o_orderkey % 2 = 1")
+      s.read.option("start-snapshot-id", snap1).table("graft.db.inc_orders")
+    }),
     // ---- metadata ("inspection") tables: db.t.snapshots / files / ... ----
     "meta_snapshots" -> ((s, dir) => {
       // commit log as a queryable table: operations, sequence numbers and
@@ -1645,6 +1663,8 @@ object SparkEntry {
         |FROM orders WHERE o_orderkey % 13 <> 0""".stripMargin,
     "ice_time_travel" -> "SELECT * FROM orders WHERE o_orderkey % 2 = 0",
     "ice_zorder" -> "SELECT * FROM orders",
+    "ice_incremental_sql" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 1",
     "text_pii" ->
       """WITH seeded AS (
         |  SELECT doc_id,

@@ -381,7 +381,14 @@ class GraftV2Table(
     // compaction reads just the files being rewritten); newline-joined
     val onlyFiles = Option(options.get(GraftV2Table.OnlyFilesOption))
       .map(_.split('\n').toSet)
-    new GraftScanBuilder(table, snapshotId, asOfTimestampMs, schema(), onlyFiles)
+    // incremental append scan between snapshots:
+    //   spark.read.option("start-snapshot-id", a)[.option("end-snapshot-id", b)]
+    //     .table("graft.db.t")
+    // reads rows appended AFTER a, up to b (default: current)
+    val startSnap = Option(options.get("start-snapshot-id")).map(_.toLong)
+    val endSnap = Option(options.get("end-snapshot-id")).map(_.toLong)
+    new GraftScanBuilder(table, endSnap.orElse(snapshotId), asOfTimestampMs,
+      schema(), onlyFiles, startSnap)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -397,7 +404,8 @@ class GraftScanBuilder(
     snapshotId: Option[Long],
     asOfTimestampMs: Option[Long],
     fullSchema: StructType,
-    onlyFiles: Option[Set[String]] = None)
+    onlyFiles: Option[Set[String]] = None,
+    startSnapshotId: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
@@ -418,7 +426,7 @@ class GraftScanBuilder(
       case Some((prev, res)) if prev == agg => res
       case _ =>
         val res =
-          if (pushedFiltersArr.nonEmpty || onlyFiles.nonEmpty) None
+          if (pushedFiltersArr.nonEmpty || onlyFiles.nonEmpty || startSnapshotId.nonEmpty) None
           else table.resolveSnapshot(snapshotId, asOfTimestampMs) match {
             case None =>
               StatsAggregate.tryCompute(agg, Nil, table.metadata.currentSchema)
@@ -488,13 +496,24 @@ class GraftScanBuilder(
           if (timeTravel) table.metadata.schemaFor(s) else table.metadata.currentSchema
         val pruneFilter = FilterToColumn.convert(pushedFiltersArr)
         val planned = table.planFiles(s, pruneFilter)
+        // incremental append scan: only files committed AFTER the start
+        // snapshot (by data sequence). Deletes do not apply — the result
+        // is the appended-rows changelog between the two snapshots.
+        val fromSeq = startSnapshotId.map { id =>
+          table.metadata.snapshotById(id)
+            .getOrElse(sys.error(s"no snapshot $id for start-snapshot-id"))
+            .sequenceNumber
+        }
         val allData = planned.filter(_.file.content == DataContent.Data)
           .filter(p => onlyFiles.forall(_.contains(GraftTable.normPathStr(p.file.filePath))))
+          .filter(p => fromSeq.forall(p.seq > _))
         val data = PruneEval.prunePlanned(allData, pruneFilter, table.metadata, iceSchema)
         Metrics.inc(Metrics.ScansPlanned)
         Metrics.inc(Metrics.FilesScanned, data.size.toLong)
         Metrics.inc(Metrics.FilesPruned, (allData.size - data.size).toLong)
-        val deletes = planned.filter(_.file.content != DataContent.Data)
+        val deletes =
+          if (fromSeq.isDefined) Nil
+          else planned.filter(_.file.content != DataContent.Data)
         // delete files prune like the facade scan (safe because Spark
         // re-applies every filter above the scan): a snapshot whose
         // deletes all prune away reads through the vectorized batch scan
