@@ -599,6 +599,21 @@ object SparkEntry {
         targetFileSizeBytes = 256L * 1024)
       tbl.scan(s)
     }),
+    "ice_changelog" -> ((s, dir) => {
+      // batch changelog: inserts + the CONTENT of deleted rows between two
+      // snapshots, via _metadata.row_index joins (pos) and raw-row semi
+      // joins (eq) — no driver-side row materialization
+      val src = t(s, dir, "orders")
+      val tbl = freshTable(s, "ice_changelog", src)
+      tbl.append(s, src.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+      val snap1 = tbl.metadata.currentSnapshotId.get
+      tbl.append(s, src.filter(pmod(col("o_orderkey"), lit(2)) === 1))
+      tbl.deleteWhere(s, pmod(col("o_orderkey"), lit(10)) === 0)
+      tbl.equalityDelete(s,
+        src.filter(pmod(col("o_orderkey"), lit(7)) === 3).select(col("o_orderkey")),
+        Seq("o_orderkey"))
+      tbl.changes(s, snap1)
+    }),
     "ice_rollback" -> ((s, dir) => {
       // metadata-only rollback: current pointer moves back, no data rewrite
       val src = t(s, dir, "orders")
@@ -1680,6 +1695,12 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '\d{3}-\d{4}')) AS BIGINT) AS n_phones
         |FROM seeded""".stripMargin,
     "ice_rollback" -> "SELECT * FROM orders WHERE o_orderkey % 2 = 0",
+    "ice_changelog" ->
+      """SELECT *, 'insert' AS _change_type FROM orders WHERE o_orderkey % 2 = 1
+        |UNION ALL
+        |SELECT *, 'delete' FROM orders WHERE o_orderkey % 10 = 0
+        |UNION ALL
+        |SELECT *, 'delete' FROM orders WHERE o_orderkey % 7 = 3""".stripMargin,
     "ice_spec_evolution" -> "SELECT * FROM orders WHERE o_orderstatus = 'F'",
     "ice_runtime_prune" ->
       """SELECT o_orderstatus AS status, count(*) AS cnt,

@@ -197,6 +197,86 @@ class GraftTable(
       .parquet(files.map(_.file.filePath): _*)
   }
 
+  /** Batch changelog between two snapshots: every row appended in the
+    * range with `_change_type = 'insert'`, plus the CONTENT of rows
+    * deleted in the range with `_change_type = 'delete'` — position
+    * deletes resolve through Spark's `_metadata.row_index` against the
+    * referenced data files, equality deletes semi-join raw rows of
+    * data files with a lower data sequence. Like Iceberg's changelog
+    * (no net-change collapsing): a row inserted AND deleted inside the
+    * range emits both, and overlapping delete files may emit a delete
+    * per file. Distributed end to end — file reads and joins are
+    * ordinary Spark jobs, nothing row-sized touches the driver. */
+  def changes(
+      spark: SparkSession,
+      fromSnapshotId: Long,
+      toSnapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val from = metadata.snapshotById(fromSnapshotId)
+      .getOrElse(sys.error(s"no snapshot $fromSnapshotId"))
+    val to = toSnapshotId.flatMap(metadata.snapshotById)
+      .orElse(metadata.currentSnapshot)
+      .getOrElse(sys.error("no current snapshot"))
+    val schema = metadata.currentSchema
+    val sparkSchema = SchemaConvert.toSparkSchema(schema)
+    val planned = planFiles(to)
+    val inRange = (s: Long) => s > from.sequenceNumber && s <= to.sequenceNumber
+    val pinned = GraftTable.pinnedSession(spark)
+
+    def rawWithPos(paths: Seq[String]): DataFrame =
+      pinned.read.schema(sparkSchema).parquet(paths: _*)
+        .withColumn("_cf", GraftTable.normPath(col("_metadata.file_path")))
+        .withColumn("_cp", col("_metadata.row_index"))
+
+    val inserts = scanIncremental(spark, fromSnapshotId, toSnapshotId)
+      .withColumn("_change_type", lit("insert"))
+
+    // position deletes committed in range -> the exact rows they removed
+    val posD = planned.filter(p =>
+      p.file.content == DataContent.PositionDeletes && inRange(p.seq))
+    val posDeleted: Option[DataFrame] =
+      if (posD.isEmpty) None
+      else {
+        val posRows = pinned.read
+          .parquet(posD.map(_.file.filePath): _*)
+          .select(GraftTable.normPath(col("file_path")).as("_df"), col("pos").as("_dp"))
+        // only open data files the deletes actually reference (the
+        // distinct-path set is file-count sized — planning-scale, not
+        // row-scale)
+        val referenced = posRows.select("_df").distinct()
+          .collect().map(_.getString(0)).toSet
+        val candidates = planned.filter(p => p.file.content == DataContent.Data &&
+          referenced.contains(GraftTable.normPathStr(p.file.filePath)))
+          .map(_.file.filePath).distinct
+        if (candidates.isEmpty) None
+        else Some(rawWithPos(candidates)
+          .join(posRows, col("_cf") === col("_df") && col("_cp") === col("_dp"), "leftsemi")
+          .drop("_cf", "_cp")
+          .withColumn("_change_type", lit("delete")))
+      }
+
+    // equality deletes committed in range -> raw rows of LOWER-seq data
+    // files matching the keys (one pass per delete sequence group)
+    val eqD = planned.filter(p =>
+      p.file.content == DataContent.EqualityDeletes && inRange(p.seq))
+    val eqDeleted: Seq[DataFrame] = eqD.groupBy(_.seq).toSeq.map { case (dseq, group) =>
+      val keyNames = group.head.file.equalityIds
+        .flatMap(id => schema.fieldById(id).map(_.name))
+      val keys = pinned.read.parquet(group.map(_.file.filePath): _*)
+        .select(keyNames.map(col): _*).distinct()
+      val older = planned
+        .filter(p => p.file.content == DataContent.Data && p.seq < dseq)
+        .map(_.file.filePath)
+      if (older.isEmpty || keyNames.isEmpty) None
+      else Some(
+        rawWithPos(older).drop("_cf", "_cp")
+          .join(keys, keyNames, "leftsemi")
+          .withColumn("_change_type", lit("delete")))
+    }.flatten
+
+    (Seq(inserts) ++ posDeleted.toSeq ++ eqDeleted).reduce(_.unionByName(_))
+  }
+
   /** files that a filtered scan would read — lets tests assert pruning */
   def filesForScan(filter: Option[Column]): Seq[String] =
     metadata.currentSnapshot.toSeq.flatMap { s =>
