@@ -19,7 +19,7 @@ object ZOrder {
 
   /** numeric/date/timestamp column as a double for scaling */
   private def asDouble(c: Column, dt: DataType): Column = dt match {
-    case DateType => c.cast(IntegerType).cast(DoubleType)
+    case DateType => unix_date(c).cast(DoubleType)
     case TimestampType | TimestampNTZType =>
       unix_micros(c.cast(TimestampType)).cast(DoubleType)
     case _: NumericType => c.cast(DoubleType)

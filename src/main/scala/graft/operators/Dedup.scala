@@ -245,9 +245,13 @@ object Dedup {
       val viaEdges = edges
         .join(labels.select(col("id").as("d"), col("comp")), "d")
         .groupBy(col("s").as("id")).agg(min(col("comp")).as("ecomp"))
+      // checkpointed: the pointer-jump self-joins `pulled` with itself,
+      // and an uncheckpointed plan would re-run the edge join + groupBy
+      // once per side, every round
       val pulled = labels.join(viaEdges, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ecomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
       val jumped = pulled
         .join(pulled.select(col("id").as("comp"), col("comp").as("comp2")),
           Seq("comp"), "left")

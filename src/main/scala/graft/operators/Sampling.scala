@@ -26,8 +26,12 @@ object Sampling {
     * keeps everything). */
   private[graft] def hexThreshold(fraction: Double): String = {
     require(fraction >= 0.0, s"fraction must be >= 0, got $fraction")
-    if (fraction >= 1.0) "g"
-    else f"${math.round(fraction * 65536).toInt}%04x"
+    val bucket = math.round(fraction * 65536).toInt
+    // 65536 would format as the 5-char "10000", which compares BELOW most
+    // 4-char prefixes lexicographically and silently inverts a ~1.0
+    // sample into ~6% — saturate to keep-all instead
+    if (fraction >= 1.0 || bucket >= 65536) "g"
+    else f"$bucket%04x"
   }
 
   private def hashBucket(key: Column, salt: String): Column =

@@ -100,8 +100,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val ns = ident.namespace()
         if (ns.length >= 1 && GraftMetadataTables.Kinds.contains(kind)) {
           val parent = Identifier.of(ns.init, ns.last)
+          // only a MISSING parent falls back to the original error —
+          // corrupt metadata / IO failures must surface, not masquerade
+          // as "no such table"
           try new GraftMetadataTable(loadGraftTable(parent), kind)
-          catch { case _: Throwable => throw e }
+          catch {
+            case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException => throw e
+          }
         } else throw e
     }
 
@@ -500,9 +505,11 @@ class GraftScanBuilder(
         // snapshot (by data sequence). Deletes do not apply — the result
         // is the appended-rows changelog between the two snapshots.
         val fromSeq = startSnapshotId.map { id =>
-          table.metadata.snapshotById(id)
+          val seq = table.metadata.snapshotById(id)
             .getOrElse(sys.error(s"no snapshot $id for start-snapshot-id"))
             .sequenceNumber
+          table.assertAppendOnlyRange(seq, s.sequenceNumber)
+          seq
         }
         val allData = planned.filter(_.file.content == DataContent.Data)
           .filter(p => onlyFiles.forall(_.contains(GraftTable.normPathStr(p.file.filePath))))

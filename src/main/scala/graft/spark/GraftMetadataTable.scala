@@ -196,7 +196,10 @@ object GraftMetadataTables {
         spec.fields.zip(resultTypes).zip(f.partition).map { case ((pf, rt), v) =>
           pf.name -> partitionValue(v.orNull, rt)
         }.toMap
-      val tuple = defaultFieldNames.map(n => byName.getOrElse(n, null))
+      // Row, not List: the Catalyst struct converter treats a List as a
+      // Product (the :: case class) and corrupts multi-field tuples
+      val tuple = org.apache.spark.sql.Row.fromSeq(
+        defaultFieldNames.map(n => byName.getOrElse(n, null)))
       Seq(f.content, relocate(f.filePath), f.fileFormat, specId, tuple,
         f.recordCount, f.fileSizeInBytes,
         f.valueCounts, f.nullValueCounts, f.nanValueCounts,
@@ -274,7 +277,8 @@ class GraftMetadataLocalScan(table: GraftTable, kind: String, schema: StructType
             defaults.map(n => byName.getOrElse(n, null))
           }
           .toSeq.map { case (tuple, fs) =>
-            Seq(tuple, fs.map(_.file.recordCount).sum, fs.size.toLong,
+            Seq(org.apache.spark.sql.Row.fromSeq(tuple),
+              fs.map(_.file.recordCount).sum, fs.size.toLong,
               fs.map(_.file.fileSizeInBytes).sum)
           }
       case other => sys.error(s"unknown metadata table: $other")

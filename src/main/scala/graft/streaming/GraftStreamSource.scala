@@ -113,7 +113,13 @@ class GraftStreamSource(
     val t = table
     t.metadata.currentSnapshot.map { s =>
       val end = maxSeqsPerTrigger match {
-        case Some(n) => math.min(s.sequenceNumber, lastSeenSeq + n)
+        case Some(n) =>
+          // skip straight to just below the earliest LIVE snapshot: after
+          // snapshot expiry, counting up from 0 would burn one empty
+          // micro-batch per expired sequence before reaching data
+          if (lastSeenSeq == 0L && t.metadata.snapshots.nonEmpty)
+            lastSeenSeq = math.max(0L, t.metadata.snapshots.map(_.sequenceNumber).min - 1)
+          math.min(s.sequenceNumber, lastSeenSeq + n)
         case None => s.sequenceNumber
       }
       SeqOffset(end)

@@ -39,6 +39,12 @@ object StatefulSessions {
       open match {
         case null =>
           open = OpenSession(e.tsUs, e.tsUs, 1L, 1L)
+        case s if e.tsUs < s.startUs =>
+          // cross-batch late arrival predating the open session: it may
+          // belong to an already-emitted session — dropping keeps the
+          // invariant start <= counted events <= last (streaming late
+          // data, same stance as a watermark would take)
+          ()
         case s if e.tsUs - s.lastUs > gapUs =>
           out += ClosedSession(userId, s.idx, s.n, s.startUs, s.lastUs)
           open = OpenSession(e.tsUs, e.tsUs, 1L, s.idx + 1L)

@@ -176,6 +176,23 @@ class GraftTable(
     * keyed by snapshot sequence instead of (file, row). Append-only
     * semantics: new data files in the range; deletes in the range apply to
     * the returned slice. */
+  /** Incremental ranges are only meaningful over append/delete commits: a
+    * replace (compaction/zorder) or overwrite snapshot rewrites EXISTING
+    * rows into new files whose data sequence falls inside the range — a
+    * seq-based filter would silently re-emit them as fresh appends.
+    * Refuse loudly instead of answering wrong. */
+  private[graft] def assertAppendOnlyRange(fromSeq: Long, toSeq: Long): Unit = {
+    val bad = metadata.snapshots.filter(s =>
+      s.sequenceNumber > fromSeq && s.sequenceNumber <= toSeq &&
+        !Set("append", "delete").contains(s.summary.getOrElse("operation", "append")))
+    if (bad.nonEmpty)
+      sys.error("incremental read range contains non-append snapshot(s) " +
+        bad.map(s => s"${s.snapshotId} (${s.summary.getOrElse("operation", "?")})")
+          .mkString(", ") +
+        "; rewritten rows would re-emit as inserts — narrow the range to " +
+        "exclude replace/overwrite commits")
+  }
+
   def scanIncremental(
       spark: SparkSession,
       fromSnapshotId: Long,
@@ -185,6 +202,7 @@ class GraftTable(
     val to = toSnapshotId.flatMap(metadata.snapshotById)
       .orElse(metadata.currentSnapshot)
       .getOrElse(sys.error("no current snapshot"))
+    assertAppendOnlyRange(from.sequenceNumber, to.sequenceNumber)
     val schema = metadata.currentSchema
     val sparkSchema = SchemaConvert.toSparkSchema(schema)
     val files = planFiles(to).filter { p =>
@@ -219,6 +237,7 @@ class GraftTable(
       .getOrElse(sys.error("no current snapshot"))
     val schema = metadata.currentSchema
     val sparkSchema = SchemaConvert.toSparkSchema(schema)
+    assertAppendOnlyRange(from.sequenceNumber, to.sequenceNumber)
     val planned = planFiles(to)
     val inRange = (s: Long) => s > from.sequenceNumber && s <= to.sequenceNumber
     val pinned = GraftTable.pinnedSession(spark)
@@ -500,32 +519,31 @@ class GraftTable(
       (small.map(_.file.fileSizeInBytes).sum / math.max(1L, smallFileThresholdBytes)).toInt)
     val rewritten = TableWrite.writeDataFiles(
       this, spark, scan(spark, onlyFiles = Some(smallPaths)).coalesce(targetFiles))
-    // survivors recomputed per retry attempt; concurrent appends survive.
-    // A concurrent DELETE committed between our read and the commit could
-    // target the rewritten rows, so a conflicting commit that added
-    // delete files aborts the compaction (retry from scratch is the
-    // caller's choice — compaction is always safe to re-run).
-    def survivors(): List[PlannedFile] = {
+    commitReplace(spark, "replace",
+      rewriteSurvivors(smallPaths, snap.sequenceNumber, "rewriteSmallFiles"), rewritten)
+  }
+
+  /** Survivor set for a replace-style file rewrite, recomputed per commit
+    * retry so concurrent appends ride through. A concurrent DELETE
+    * committed after our read could target the rewritten rows, and a
+    * concurrent overwrite may have dropped files being rewritten
+    * (re-adding their rows would resurrect overwritten data) — both
+    * abort; a rewrite is always safe to re-run. */
+  private def rewriteSurvivors(
+      oldPaths: Set[String], sinceSeq: Long, what: String): () => List[PlannedFile] =
+    () => {
       val now = metadata.currentSnapshot.toList.flatMap(planFiles(_))
-      val newDeletes = now.filter(p =>
-        p.file.content != DataContent.Data && p.seq > snap.sequenceNumber)
-      if (newDeletes.nonEmpty)
-        sys.error("concurrent delete during compaction; re-run rewriteSmallFiles")
-      // a concurrent replace-style commit (dynamic overwrite / truncate /
-      // overwrite) may have dropped some of the files being rewritten —
-      // re-adding their rows would resurrect overwritten data
+      if (now.exists(p => p.file.content != DataContent.Data && p.seq > sinceSeq))
+        sys.error(s"concurrent delete during $what; re-run")
       val liveData = now.filter(_.file.content == DataContent.Data)
         .map(p => GraftTable.normPathStr(p.file.filePath)).toSet
-      val gone = smallPaths.diff(liveData)
+      val gone = oldPaths.diff(liveData)
       if (gone.nonEmpty)
-        sys.error("concurrent overwrite dropped " +
-          s"${gone.size} file(s) being compacted (e.g. ${gone.head}); " +
-          "re-run rewriteSmallFiles")
+        sys.error(s"concurrent overwrite dropped ${gone.size} file(s) during " +
+          s"$what (e.g. ${gone.head}); re-run")
       now.filterNot(p => p.file.content == DataContent.Data &&
-        smallPaths.contains(GraftTable.normPathStr(p.file.filePath)))
+        oldPaths.contains(GraftTable.normPathStr(p.file.filePath)))
     }
-    commitReplace(spark, "replace", survivors _, rewritten)
-  }
 
   /** Z-order rewrite: re-cluster the whole table along a Morton curve
     * over `cols` so file min/max bounds stay tight on EVERY listed
@@ -550,17 +568,8 @@ class GraftTable(
       .drop("_gz")
     val rewritten = TableWrite.writeDataFiles(this, spark, zed)
     val oldPaths = planned.map(p => GraftTable.normPathStr(p.file.filePath)).toSet
-    def survivors(): List[PlannedFile] = {
-      val now = metadata.currentSnapshot.toList.flatMap(planFiles(_))
-      if (now.exists(p => p.file.content != DataContent.Data && p.seq > snap.sequenceNumber))
-        sys.error("concurrent delete during zorder rewrite; re-run")
-      val liveData = now.filter(_.file.content == DataContent.Data)
-        .map(p => GraftTable.normPathStr(p.file.filePath)).toSet
-      if (oldPaths.diff(liveData).nonEmpty)
-        sys.error("concurrent overwrite during zorder rewrite; re-run")
-      now.filterNot(p => oldPaths.contains(GraftTable.normPathStr(p.file.filePath)))
-    }
-    commitReplace(spark, "replace", survivors _, rewritten)
+    commitReplace(spark, "replace",
+      rewriteSurvivors(oldPaths, snap.sequenceNumber, "rewriteZOrder"), rewritten)
   }
 
   /** Manifest compaction (`rewrite_manifests`): collapse the snapshot's

@@ -589,4 +589,15 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.scan(spark).agg(sum("o_orderkey")).head.getLong(0) ===
       src.agg(sum("o_orderkey")).head.getLong(0))
   }
+
+  test("zorder on a DATE column works (unix_date scaling)") {
+    val src = spark.range(100).toDF("id")
+      .withColumn("d", expr("date_add(DATE'2024-01-01', CAST(id AS INT))"))
+    val loc = tmpLocation("zdate")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src)
+    t.rewriteZOrder(spark, Seq("id", "d"), targetFileSizeBytes = 1024)
+    assert(t.scan(spark).count() === 100)
+  }
 }

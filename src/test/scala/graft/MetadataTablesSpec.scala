@@ -73,4 +73,24 @@ class MetadataTablesSpec extends AnyFunSuite {
       "SELECT file_path, value_counts, lower_bounds FROM gmeta.db.mt.files LIMIT 1").collect()
     assert(stats.head.getAs[Map[Int, Long]](1).nonEmpty)
   }
+
+  test("multi-field partition tuples survive the files/partitions views") {
+    // regression: a List fed to the Catalyst struct converter takes the
+    // Product path (:: has productArity 2) and corrupts field 2
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmeta.db")
+    spark.sql("DROP TABLE IF EXISTS gmeta.db.mt2")
+    spark.sql(
+      "CREATE TABLE gmeta.db.mt2 (id BIGINT, cat STRING, n INT) PARTITIONED BY (cat, n)")
+    spark.sql("INSERT INTO gmeta.db.mt2 VALUES (1,'a',10),(2,'a',20),(3,'b',10)")
+    val parts = spark.sql(
+      "SELECT partition.cat, partition.n, record_count FROM gmeta.db.mt2.partitions " +
+        "ORDER BY 1, 2").collect()
+    assert(parts.map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq ===
+      Seq(("a", 10, 1L), ("a", 20, 1L), ("b", 10, 1L)))
+    val files = spark.sql(
+      "SELECT partition.cat, partition.n, sum(record_count) rc " +
+        "FROM gmeta.db.mt2.files GROUP BY 1, 2 ORDER BY 1, 2").collect()
+    assert(files.map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq ===
+      Seq(("a", 10, 1L), ("a", 20, 1L), ("b", 10, 1L)))
+  }
 }
