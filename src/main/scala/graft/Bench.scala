@@ -44,6 +44,7 @@ object Bench {
     "ice_upsert",
     "stream_sink_append",
     "ice_zorder",
+    "ice_changelog",
   )
 
   def main(args: Array[String]): Unit = {

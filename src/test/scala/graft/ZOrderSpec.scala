@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ZOrder
+
+class ZOrderSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** straightforward reference: scale each dim to `bits`, interleave
+    * bit b of dim i at position b*n+i */
+  private def refZ(vals: Seq[Double], ranges: Seq[(Double, Double)]): Long = {
+    val n = vals.size
+    val bits = 63 / n
+    val maxVal = (1L << bits) - 1
+    val scaled = vals.zip(ranges).map { case (v, (lo, hi)) =>
+      val f = math.min(1.0, math.max(0.0, (v - lo) / math.max(hi - lo, Double.MinPositiveValue)))
+      (f * maxVal).toLong
+    }
+    var z = 0L
+    for (b <- 0 until bits; i <- 0 until n)
+      z |= ((scaled(i) >>> b) & 1L) << (b * n + i)
+    z
+  }
+
+  test("column z-values match the reference interleave (2 and 3 dims)") {
+    val rng = new scala.util.Random(7)
+    val rows = Seq.fill(200)((rng.nextInt(1000).toDouble, rng.nextDouble() * 50 - 25,
+      rng.nextInt(100000).toDouble))
+    val df = rows.toDF("a", "b", "c")
+    val r2 = Seq((0.0, 999.0), (-25.0, 25.0))
+    val z2 = df.withColumn("z", ZOrder.zvalue(Seq(
+        (col("a"), DoubleType, r2(0)), (col("b"), DoubleType, r2(1)))))
+      .select("a", "b", "z").as[(Double, Double, Long)].collect()
+    z2.foreach { case (a, b, z) =>
+      assert(z === refZ(Seq(a, b), r2), s"2-dim mismatch at ($a,$b)")
+    }
+    val r3 = Seq((0.0, 999.0), (-25.0, 25.0), (0.0, 99999.0))
+    val z3 = df.withColumn("z", ZOrder.zvalue(Seq(
+        (col("a"), DoubleType, r3(0)), (col("b"), DoubleType, r3(1)),
+        (col("c"), DoubleType, r3(2)))))
+      .select("a", "b", "c", "z").as[(Double, Double, Double, Long)].collect()
+    z3.foreach { case (a, b, c, z) =>
+      assert(z === refZ(Seq(a, b, c), r3), s"3-dim mismatch at ($a,$b,$c)")
+    }
+  }
+
+  test("locality: nearby points share high-order z bits, far points do not") {
+    val r = Seq((0.0, 1023.0), (0.0, 1023.0))
+    def z(x: Double, y: Double): Long = {
+      Seq((x, y)).toDF("x", "y")
+        .select(ZOrder.zvalue(Seq(
+          (col("x"), DoubleType, r(0)), (col("y"), DoubleType, r(1)))).as("z"))
+        .head.getLong(0)
+    }
+    val close = java.lang.Long.numberOfLeadingZeros(z(100, 200) ^ z(101, 201))
+    val far = java.lang.Long.numberOfLeadingZeros(z(100, 200) ^ z(900, 800))
+    assert(close > far, s"close=$close far=$far")
+  }
+}
