@@ -599,6 +599,16 @@ object SparkEntry {
         targetFileSizeBytes = 256L * 1024)
       tbl.scan(s)
     }),
+    "ice_wap" -> ((s, dir) => {
+      // write-audit-publish: stage on a branch (main untouched), then
+      // fast-forward main to publish — both metadata-only pointer moves
+      val src = t(s, dir, "orders")
+      val tbl = freshTable(s, "ice_wap", src)
+      tbl.append(s, src.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+      tbl.appendToBranch(s, src.filter(pmod(col("o_orderkey"), lit(2)) === 1), "audit")
+      tbl.fastForward("main", "audit")
+      tbl.scan(s)
+    }),
     "ice_changelog" -> ((s, dir) => {
       // batch changelog: inserts + the CONTENT of deleted rows between two
       // snapshots, via _metadata.row_index joins (pos) and raw-row semi
@@ -1678,6 +1688,7 @@ object SparkEntry {
         |FROM orders WHERE o_orderkey % 13 <> 0""".stripMargin,
     "ice_time_travel" -> "SELECT * FROM orders WHERE o_orderkey % 2 = 0",
     "ice_zorder" -> "SELECT * FROM orders",
+    "ice_wap" -> "SELECT * FROM orders",
     "ice_incremental_sql" ->
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 1",
     "text_pii" ->

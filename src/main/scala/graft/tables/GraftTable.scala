@@ -809,6 +809,38 @@ class GraftTable(
 
   // ---------- branches / tags ----------
 
+  /** Write-audit-publish: append staged on a branch — main and the
+    * current pointer are untouched until [[fastForward]] publishes it.
+    * The branch forks from its head (or from current on first write). */
+  def appendToBranch(spark: SparkSession, df: DataFrame, branch: String): GraftTable = {
+    require(branch != "main", "use append() for main")
+    val files = TableWrite.writeDataFiles(this, spark, df)
+    retryCommit(() => ()) {
+      commitOnce("append", files, Nil, replace = false, branch = Some(branch))
+    }
+    this
+  }
+
+  /** Publish: move `to` (and, for main, the current pointer) to the head
+    * of `fromRef` — a metadata-only commit, the WAP publish step. */
+  def fastForward(to: String, fromRef: String): GraftTable = {
+    val src = metadata.refs.getOrElse(fromRef, sys.error(s"no ref $fromRef"))
+    val base = metadata
+    val now = System.currentTimeMillis()
+    val newMeta = base.copy(
+      refs = base.refs + (to -> IceSnapshotRef(src.snapshotId, "branch")),
+      currentSnapshotId =
+        if (to == "main") Some(src.snapshotId) else base.currentSnapshotId,
+      snapshotLog =
+        if (to == "main") base.snapshotLog :+ IceLogEntry(now, src.snapshotId.toString)
+        else base.snapshotLog,
+      lastUpdatedMs = now)
+    val newVersion = committer(newMeta, version)
+    metadata = newMeta
+    version = newVersion
+    this
+  }
+
   def createTag(name: String, snapshotId: Long): GraftTable =
     commitRef(name, IceSnapshotRef(snapshotId, "tag"))
 
@@ -957,8 +989,16 @@ class GraftTable(
       addedDeletes: List[IceDataFile],
       replace: Boolean,
       existing: List[PlannedFile] = Nil,
-      extraSummary: Map[String, String] = Map.empty): Unit = {
+      extraSummary: Map[String, String] = Map.empty,
+      branch: Option[String] = None): Unit = {
     val base = metadata
+    // branch writes stage on the branch head (WAP: write-audit-publish);
+    // a branch with no ref yet forks from the current snapshot
+    val headSnap: Option[IceSnapshot] = branch match {
+      case Some(b) => base.refs.get(b).flatMap(r => base.snapshotById(r.snapshotId))
+        .orElse(base.currentSnapshot)
+      case None => base.currentSnapshot
+    }
     val seq = base.lastSequenceNumber + 1
     val snapshotId = math.abs(UUID.randomUUID().getLeastSignificantBits)
     val now = System.currentTimeMillis()
@@ -998,16 +1038,16 @@ class GraftTable(
     }
     val previous: List[IceManifestListEntry] =
       if (replace) Nil
-      else base.currentSnapshot.toList.flatMap(s =>
+      else headSnap.toList.flatMap(s =>
         ManifestIO.readManifestList(conf, relocate(s.manifestList)))
     val allEntries = previous ++ listEntries
 
     val listPath = s"$mdir/snap-$snapshotId-$seq-${UUID.randomUUID()}.avro"
     ManifestIO.writeManifestList(
-      conf, listPath, allEntries, snapshotId, base.currentSnapshotId, seq,
+      conf, listPath, allEntries, snapshotId, headSnap.map(_.snapshotId), seq,
       formatVersion = fv)
 
-    val prevSummary = base.currentSnapshot.map(_.summary).getOrElse(Map.empty)
+    val prevSummary = headSnap.map(_.summary).getOrElse(Map.empty)
     def prevTotal(key: String): Long = prevSummary.get(key).map(_.toLong).getOrElse(0L)
     val addedRecords = addedData.map(_.recordCount).sum
     val addedSize = (addedData ++ addedDeletes).map(_.fileSizeInBytes).sum
@@ -1035,7 +1075,7 @@ class GraftTable(
 
     val snapshot = IceSnapshot(
       snapshotId = snapshotId,
-      parentSnapshotId = base.currentSnapshotId,
+      parentSnapshotId = headSnap.map(_.snapshotId),
       sequenceNumber = seq,
       timestampMs = now,
       manifestList = listPath,
@@ -1045,12 +1085,18 @@ class GraftTable(
     val newMeta = base.copy(
       lastSequenceNumber = seq,
       lastUpdatedMs = now,
-      currentSnapshotId = Some(snapshotId),
+      // a branch commit moves ONLY its ref; main and the current pointer
+      // stay where they are until a fastForward publishes the branch
+      currentSnapshotId =
+        if (branch.isEmpty) Some(snapshotId) else base.currentSnapshotId,
       snapshots = base.snapshots :+ snapshot,
-      snapshotLog = base.snapshotLog :+ IceLogEntry(now, snapshotId.toString),
+      snapshotLog =
+        if (branch.isEmpty) base.snapshotLog :+ IceLogEntry(now, snapshotId.toString)
+        else base.snapshotLog,
       metadataLog = base.metadataLog :+
         IceLogEntry(base.lastUpdatedMs, s"$mdir/v$version.metadata.json"),
-      refs = base.refs + ("main" -> IceSnapshotRef(snapshotId, "branch")))
+      refs = base.refs + (branch.getOrElse("main") ->
+        IceSnapshotRef(snapshotId, "branch")))
 
     val newVersion = committer(newMeta, version)
     metadata = newMeta

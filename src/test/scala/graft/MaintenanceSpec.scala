@@ -590,6 +590,29 @@ class MaintenanceSpec extends AnyFunSuite {
       src.agg(sum("o_orderkey")).head.getLong(0))
   }
 
+  test("WAP: branch writes stay invisible on main until fastForward") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val loc = tmpLocation("wap")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src.filter(col("r_regionkey") < 3))
+    t.appendToBranch(spark, src.filter(col("r_regionkey") >= 3), "audit")
+    // staged rows: visible on the branch, invisible on main
+    assert(t.scan(spark).count() === 3)
+    assert(t.scanRef(spark, "audit").count() === 5)
+    // a second branch write stacks on the branch head
+    t.appendToBranch(spark, src.filter(col("r_regionkey") === 0), "audit")
+    assert(t.scanRef(spark, "audit").count() === 6)
+    assert(t.scan(spark).count() === 3)
+    // publish
+    t.fastForward("main", "audit")
+    assert(t.scan(spark).count() === 6)
+    // reload from disk sees the same state
+    val re = StorageCatalog.loadTable(conf, loc)
+    assert(re.scan(spark).count() === 6)
+    assert(re.metadata.refs("audit").snapshotId === re.metadata.currentSnapshotId.get)
+  }
+
   test("zorder on a DATE column works (unix_date scaling)") {
     val src = spark.range(100).toDF("id")
       .withColumn("d", expr("date_add(DATE'2024-01-01', CAST(id AS INT))"))
