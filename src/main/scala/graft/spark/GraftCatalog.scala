@@ -110,9 +110,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         } else throw e
     }
 
-  /** SELECT ... VERSION AS OF <snapshot-id> */
-  override def loadTable(ident: Identifier, version: String): Table =
-    new GraftV2Table(loadGraftTable(ident), Some(version.toLong), None)
+  /** SELECT ... VERSION AS OF <snapshot-id | 'branch' | 'tag'> */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = loadGraftTable(ident)
+    val snapshotId = version.toLongOption.orElse(
+      t.metadata.refs.get(version).map(_.snapshotId))
+      .getOrElse(sys.error(
+        s"VERSION AS OF '$version': neither a snapshot id nor a branch/tag of $ident"))
+    new GraftV2Table(t, Some(snapshotId), None)
+  }
 
   /** SELECT ... TIMESTAMP AS OF ts (micros since epoch) */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table =

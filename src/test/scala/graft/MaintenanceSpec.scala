@@ -613,6 +613,25 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(re.metadata.refs("audit").snapshotId === re.metadata.currentSnapshotId.get)
   }
 
+  test("VERSION AS OF accepts branch and tag names in SQL") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-refsql").toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.grefs", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grefs.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS grefs.db")
+    spark.sql("CREATE TABLE grefs.db.t (id BIGINT)")
+    spark.sql("INSERT INTO grefs.db.t VALUES (1), (2)")
+    val t = StorageCatalog.loadTable(conf, s"$wh/db/t")
+    t.createTag("v1", t.metadata.currentSnapshotId.get)
+    spark.sql("INSERT INTO grefs.db.t VALUES (3)")
+    t.refresh()
+    t.appendToBranch(spark, Seq(4L).toDF("id"), "dev")
+    assert(spark.sql("SELECT count(*) FROM grefs.db.t VERSION AS OF 'v1'")
+      .head.getLong(0) === 2)
+    assert(spark.sql("SELECT count(*) FROM grefs.db.t VERSION AS OF 'dev'")
+      .head.getLong(0) === 4)
+    assert(spark.sql("SELECT count(*) FROM grefs.db.t").head.getLong(0) === 3)
+  }
+
   test("zorder on a DATE column works (unix_date scaling)") {
     val src = spark.range(100).toDF("id")
       .withColumn("d", expr("date_add(DATE'2024-01-01', CAST(id AS INT))"))
