@@ -1232,6 +1232,22 @@ object SparkEntry {
       q.stop()
       s.table(name)
     }),
+    "mm_resize" -> ((s, dir) => {
+      // REAL bilinear resize, then REAL re-decode of the resized bytes:
+      // the decoded dims must equal the target, originals the id formula
+      implicit val sp: SparkSession = s
+      val resized = Multimodal.resizeImages(
+        Multimodal.syntheticImages(t(s, dir, "documents"), "doc_id"), 16, 12)
+      Multimodal.decodeMetadata(
+          resized.select(col("asset_id"), col("payload"), col("media_type")))
+        .join(resized.select(col("asset_id"),
+          col("orig_width").cast(LongType).as("orig_width"),
+          col("orig_height").cast(LongType).as("orig_height")), "asset_id")
+        .select(col("asset_id"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("orig_width"), col("orig_height"))
+    }),
     // ---- multimodal: REAL image encode+decode via javax.imageio ----
     "mm_metadata" -> ((s, dir) => {
       // encode one deterministic PNG per doc, then DECODE it back with the
@@ -1504,6 +1520,12 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     // decoded-image oracles: the PNG payloads are generated from doc_id by
     // fixed integer formulas, so DuckDB predicts what imageio must decode
+    "mm_resize" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(16 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+        |  CAST(8 + doc_id % 57 AS BIGINT) AS orig_width,
+        |  CAST(8 + (doc_id // 7) % 57 AS BIGINT) AS orig_height
+        |FROM documents""".stripMargin,
     "mm_metadata" ->
       """SELECT doc_id AS asset_id, 'image/png' AS media_type,
         |  8 + doc_id % 57 AS width, 8 + (doc_id // 7) % 57 AS height,

@@ -194,6 +194,48 @@ object Multimodal {
     }.toDF()
   }
 
+  case class ResizedAsset(
+      asset_id: Long,
+      payload: Array[Byte],
+      media_type: String,
+      width: Int,
+      height: Int,
+      orig_width: Int,
+      orig_height: Int)
+
+  /** REAL image resize (bilinear, `java.awt.Graphics2D` — JDK-only,
+    * headless-safe): decodable payloads re-encode as PNG at the target
+    * size; non-decodable payloads pass through untouched with -1 original
+    * dims. Batched per-partition like every decode step — the training
+    * preprocessing shape (normalize resolution before feature/VLM
+    * stages). */
+  def resizeImages(assets: DataFrame, width: Int, height: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    assets.as[Asset].mapPartitions { it =>
+      it.map { a =>
+        decodeImage(a.payload) match {
+          case Some(img) =>
+            val out = new java.awt.image.BufferedImage(
+              width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, width, height, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            ResizedAsset(a.asset_id, bos.toByteArray, "image/png",
+              width, height, img.getWidth, img.getHeight)
+          case None =>
+            ResizedAsset(a.asset_id, a.payload, a.media_type, -1, -1, -1, -1)
+        }
+      }
+    }.toDF()
+  }
+
   /** Feature extraction over DECODED pixels for image payloads: [width,
     * height, mean R, mean G, mean B] from the real raster (solid or not —
     * means accumulate over every pixel). Non-image payloads keep the
