@@ -201,6 +201,166 @@ object SparkEntry {
             .cast(DoubleType).as("revenue"),
           count(lit(1)).as("n_lines"))
     }),
+    "q7_nation_volume" -> ((s, dir) => {
+      // bidirectional nation-pair trade volume by ship year (TPC-H Q7
+      // shape): two broadcast copies of the nation dim, symmetric OR
+      // filter, one shuffle for the final aggregate
+      val one = lit(1).cast(DecimalType(12, 2))
+      val n1 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .join(n2, col("c_nationkey") === col("c_nk"))
+        .filter(
+          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast(LongType).as("l_year"))
+        .agg(sum(money(col("l_extendedprice")) * (one - money(col("l_discount"))))
+          .cast(DoubleType).as("revenue"))
+    }),
+    "q8_market_share" -> ((s, dir) => {
+      // market-share ratio by order year (TPC-H Q8 shape): conditional
+      // share of one supplier nation inside a region/part-type slice;
+      // exact decimal sums, a single double division at the end
+      val one = lit(1).cast(DecimalType(12, 2))
+      val vol = money(col("l_extendedprice")) * (one - money(col("l_discount")))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "STANDARD")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))),
+          col("c_nationkey") === col("c_nk"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("s_nk"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_2", vol)
+            .otherwise(lit(0).cast(DecimalType(12, 2)))).cast(DoubleType) /
+          sum(vol).cast(DoubleType)).as("mkt_share"))
+    }),
+    "q9_product_profit" -> ((s, dir) => {
+      // profit by supplier nation and order year over a part-name slice
+      // (TPC-H Q9 shape; testdata has no partsupp, so profit = revenue
+      // without the supplycost term)
+      val one = lit(1).cast(DecimalType(12, 2))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_name").contains("red"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .agg(sum(money(col("l_extendedprice")) * (one - money(col("l_discount"))))
+          .cast(DoubleType).as("sum_profit"))
+    }),
+    "q13_order_distribution" -> ((s, dir) => {
+      // customer order-count distribution (TPC-H Q13): LEFT OUTER join so
+      // zero-order customers survive, two cascaded aggregates
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+    "q15_top_supplier" -> ((s, dir) => {
+      // top supplier by quarterly revenue (TPC-H Q15): aggregate-max as a
+      // broadcast scalar, equality on EXACT decimals (doubles only at the
+      // output boundary — decimal compare is order-independent)
+      val one = lit(1).cast(DecimalType(12, 2))
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(money(col("l_extendedprice")) * (one - money(col("l_discount")))).as("total_rev"))
+      rev.join(broadcast(rev.agg(max(col("total_rev")).as("max_rev"))),
+          col("total_rev") === col("max_rev"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast(DoubleType).as("total_revenue"))
+    }),
+    "q17_small_quantity" -> ((s, dir) => {
+      // correlated-average filter (TPC-H Q17): per-part mean quantity as a
+      // co-grouped aggregate, semi-joined to the brand slice FIRST so the
+      // average is only computed for surviving parts (at 100 TB the
+      // correlated aggregate must not scan every part)
+      val brandParts = broadcast(t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#3").select(col("p_partkey")))
+      val li = t(s, dir, "lineitem")
+        .join(brandParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      // quantities are integer-valued: the double avg is exact-sum/IEEE-div,
+      // identical in Spark and DuckDB; 0.5* keeps the threshold exact
+      val partAvg = li.groupBy(col("l_partkey").as("avg_pk"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      li.join(partAvg, col("l_partkey") === col("avg_pk"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg((sum(money(col("l_extendedprice"))).cast(DoubleType) / lit(7.0)).as("avg_yearly"))
+    }),
+    "q18_large_orders" -> ((s, dir) => {
+      // large-volume orders (TPC-H Q18): HAVING-filtered aggregate joined
+      // back to the fact — the aggregate side shrinks first, then joins
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("big_ok"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 300)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("big_ok"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
+          money(col("o_totalprice")).cast(DoubleType).as("o_totalprice"),
+          col("total_qty").cast(DoubleType).as("total_qty"))
+    }),
+    "q21_blamed_supplier" -> ((s, dir) => {
+      // EXISTS + NOT EXISTS chain (TPC-H Q21 shape; testdata has no
+      // commit/receipt dates, so "late" = returnflag R): suppliers of one
+      // nation whose R-line sits in a multi-supplier order where no OTHER
+      // supplier has an R line — semi- then anti-join on the same fact
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+      val l2 = li.select(col("l_orderkey").as("e_ok"), col("l_suppkey").as("e_sk"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ne_ok"), col("l_suppkey").as("ne_sk"))
+      l1.join(l2, col("l_orderkey") === col("e_ok") && col("l_suppkey") =!= col("e_sk"),
+          "left_semi")
+        .join(l3, col("l_orderkey") === col("ne_ok") && col("l_suppkey") =!= col("ne_sk"),
+          "left_anti")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+    }),
+    "q22_idle_customers" -> ((s, dir) => {
+      // global-average threshold + anti-join (TPC-H Q22 shape; no phone
+      // column, so country = nation key; every customer has SOME order in
+      // this data, so "idle" = no order since 2000): scalar aggregate
+      // broadcast to every row, NOT EXISTS as a left-anti join
+      val c = t(s, dir, "customer")
+      val thresh = c.filter(col("c_acctbal") > 0)
+        .agg((sum(money(col("c_acctbal"))).cast(DoubleType) / count(lit(1))).as("avg_bal"))
+      c.crossJoin(broadcast(thresh))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("2000-01-01")).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast(LongType).as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(money(col("c_acctbal"))).cast(DoubleType).as("totacctbal"))
+    }),
     "q4_order_priority" -> ((s, dir) => {
       // EXISTS semi-join (with a non-equi condition) + count per priority
       val o = t(s, dir, "orders")
@@ -1445,6 +1605,102 @@ object SparkEntry {
         |         AND l_quantity BETWEEN 1 AND 20)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
         |         AND l_quantity BETWEEN 10 AND 40)""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year, l_extendedprice, l_discount
+        |  FROM lineitem
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01')
+        |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_2'
+        |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY year(o_orderdate)""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, year(o_orderdate)""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)""".stripMargin,
+    "q17_small_quantity" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#3'
+        |  AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+        |  CAST(total_qty AS DOUBLE) AS total_qty
+        |FROM orders
+        |  JOIN (SELECT l_orderkey AS big_ok, SUM(l_quantity) AS total_qty
+        |        FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+        |    ON o_orderkey = big_ok
+        |  JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q21_blamed_supplier" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |  JOIN supplier ON l1.l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |WHERE l1.l_returnflag = 'R' AND n_name = 'NATION_3'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+        |GROUP BY s_name""".stripMargin,
+    "q22_idle_customers" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS cntrycode, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        |                   FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey""".stripMargin,
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  COUNT(*) AS n_events,
