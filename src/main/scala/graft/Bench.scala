@@ -35,6 +35,19 @@ object Bench {
     "text_langid",
   )
 
+  /** Round-5 TPC-H additions — the harder relational shapes (correlated
+    * averages, EXISTS/NOT-EXISTS chains, outer-join distributions). Kept
+    * out of [[headline]] so `legacy_total` stays comparable across
+    * rounds. */
+  val tpchHeadline: Seq[String] = Seq(
+    "q7_nation_volume",
+    "q9_product_profit",
+    "q13_order_distribution",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q21_blamed_supplier",
+  )
+
   /** DML / MoR / streaming paths (write + merge-on-read + stream sink) —
     * the surfaces rounds 2-3 rewrote, now measured every round. Each run
     * includes its own table setup; the timing measures the full operation. */
@@ -76,6 +89,7 @@ object Bench {
     }
 
     val readResults = headline.filter(qs.contains).map(n => n -> median(n))
+    val tpchResults = tpchHeadline.filter(qs.contains).map(n => n -> median(n))
     val dmlResults = dmlHeadline.filter(qs.contains).map(n => n -> median(n))
     // jumbo-mode MoR scan: same sql_mor_delete surface with both delete
     // thresholds forced to 0 — executor-side loading + the disk-backed
@@ -91,7 +105,7 @@ object Bench {
           spark.conf.unset("spark.graft.eq-delete-executor-max-bytes")
         }
       }
-    val results = readResults ++ dmlResults ++ jumbo
+    val results = readResults ++ tpchResults ++ dmlResults ++ jumbo
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
