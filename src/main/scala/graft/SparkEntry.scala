@@ -1266,6 +1266,50 @@ object SparkEntry {
       tbl.createTag("v1", head).createBranch("dev", head)
       s.sql("SELECT name, type FROM graft.db.mrefs.refs")
     }),
+    "sql_procedures" -> ((s, dir) => {
+      // full maintenance cycle driven from SQL (CALL graft.system.*):
+      // small appends → compaction → snapshot expiry → orphan GC, then
+      // prove the data survived it all byte-for-byte
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.mproc")
+      s.sql("CREATE TABLE graft.db.mproc (o_orderkey BIGINT, o_orderstatus STRING)")
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("mproc_src_gq")
+      s.sql("INSERT INTO graft.db.mproc SELECT * FROM mproc_src_gq WHERE o_orderkey % 3 = 0")
+      s.sql("INSERT INTO graft.db.mproc SELECT * FROM mproc_src_gq WHERE o_orderkey % 3 = 1")
+      s.sql("INSERT INTO graft.db.mproc SELECT * FROM mproc_src_gq WHERE o_orderkey % 3 = 2")
+      s.sql("CALL graft.system.rewrite_data_files('db.mproc', 1073741824L)")
+      s.sql(s"CALL graft.system.expire_snapshots('db.mproc', ${Long.MaxValue}L)")
+      s.sql(s"CALL graft.system.remove_orphan_files('db.mproc', ${Long.MaxValue}L)")
+      s.sql("SELECT * FROM graft.db.mproc")
+    }),
+    "meta_history" -> ((s, dir) => {
+      // snapshot-log lineage (history view): a rolled-back commit stays in
+      // the log but stops being a current ancestor — 2 inserts, rollback,
+      // 1 more insert = 4 log entries of which 3 are ancestors of HEAD
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.mhist")
+      s.sql("CREATE TABLE graft.db.mhist (n_nationkey BIGINT, n_name STRING)")
+      t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        .createOrReplaceTempView("mhist_src_gq")
+      s.sql("INSERT INTO graft.db.mhist SELECT * FROM mhist_src_gq")
+      val tbl = StorageCatalog.loadTable(
+        s.sparkContext.hadoopConfiguration, s"$wh/db/mhist")
+      val snapA = tbl.metadata.currentSnapshotId.get
+      s.sql("INSERT INTO graft.db.mhist SELECT * FROM mhist_src_gq")
+      StorageCatalog.loadTable(s.sparkContext.hadoopConfiguration, s"$wh/db/mhist")
+        .rollbackTo(snapA)
+      s.sql("INSERT INTO graft.db.mhist SELECT * FROM mhist_src_gq")
+      s.sql(
+        """SELECT is_current_ancestor, COUNT(*) AS n
+          |FROM graft.db.mhist.history GROUP BY is_current_ancestor""".stripMargin)
+    }),
     "meta_manifests" -> ((s, dir) => {
       val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
       s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
@@ -2118,5 +2162,9 @@ object SparkEntry {
       """SELECT 0 AS content,
         |  CAST(2 * (SELECT COUNT(*) FROM region) AS BIGINT) AS added_rows,
         |  CAST(2 AS INT) AS manifest_count""".stripMargin,
+    "meta_history" ->
+      """SELECT * FROM (VALUES (true, CAST(3 AS BIGINT)), (false, CAST(1 AS BIGINT)))
+        |AS t(is_current_ancestor, n)""".stripMargin,
+    "sql_procedures" -> "SELECT o_orderkey, o_orderstatus FROM orders",
   )
 }

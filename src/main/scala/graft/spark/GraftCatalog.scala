@@ -35,7 +35,8 @@ import graft.tables._
   * [[GraftMorScan]] (plan-time delete state for small sets, executor-side
   * loading for jumbo ones); writes through [[GraftBatchWrite]]. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: String = _
@@ -245,6 +246,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def functionExists(ident: Identifier): Boolean =
     GraftFunctions.names.contains(ident.name())
+
+  // ----- procedures (CALL graft.system.<name>(...)) -----
+
+  private lazy val procedures: Map[String, org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure] =
+    GraftProcedures.forCatalog(catalogName, loadGraftTable)
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val ok = ident.namespace().sameElements(Array("system"))
+    ok match {
+      case true => procedures.getOrElse(ident.name().toLowerCase(java.util.Locale.ROOT),
+        sys.error(s"no such procedure: ${ident.name()} (have: ${procedures.keys.toSeq.sorted.mkString(", ")})"))
+      case false => sys.error(s"procedures live in the 'system' namespace: CALL $catalogName.system.${ident.name()}(...)")
+    }
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      procedures.keys.toArray.sorted.map(n => Identifier.of(Array("system"), n))
+    else Array.empty
 
   // ----- namespaces -----
 

@@ -1,0 +1,170 @@
+package graft.spark
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+import graft.tables._
+
+/** SQL stored procedures (`CALL graft.system.<name>(...)`) over the table
+  * maintenance API — the operational surface a lakehouse needs at scale
+  * (compaction, z-order, snapshot expiry, orphan GC, branch fast-forward)
+  * without leaving SQL. Mirrors the procedure set the reference leaves to
+  * engines (icelake has no procedure layer; its README defers maintenance
+  * to the calling engine) using Spark 4's native `ProcedureCatalog`.
+  *
+  * Every procedure returns a small summary relation via [[LocalScan]];
+  * the heavy lifting (rewrites, scans) runs distributed through the same
+  * code paths as the API calls.
+  */
+private[spark] object GraftProcedures {
+
+  /** one procedure: both the unbound and bound side (binding is identity —
+    * parameters are typed up front and Spark coerces arguments) */
+  final class GraftProcedure(
+      procName: String,
+      params: Seq[ProcedureParameter],
+      output: StructType,
+      run: (InternalRow, SparkSession) => Seq[Seq[Any]])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft maintenance procedure $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val resultRows = GraftMetadataTables.toInternal(output, run(input, SparkSession.active))
+      val scan: Scan = new LocalScan {
+        override def readSchema(): StructType = output
+        override def rows(): Array[InternalRow] = resultRows
+        override def description(): String = s"GraftProcedureResult($procName)"
+      }
+      util.List.of(scan).iterator()
+    }
+  }
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  private def out(fields: (String, DataType)*): StructType =
+    StructType(fields.map { case (n, dt) => StructField(n, dt, nullable = true) })
+
+  /** `table` argument ('db.t' or 'catalog.db.t') → identifier in `cat` */
+  private def identOf(tableArg: String, catalogName: String): Identifier = {
+    val parts = tableArg.split("\\.").toSeq
+    val p = if (parts.length > 2 && parts.head == catalogName) parts.tail else parts
+    require(p.nonEmpty, s"empty table name '$tableArg'")
+    Identifier.of(p.init.toArray, p.last)
+  }
+
+  private def liveDataFiles(t: GraftTable): Long =
+    t.metadata.currentSnapshot.toList
+      .flatMap(t.planFiles(_)).count(_.file.content == DataContent.Data).toLong
+
+  /** procedures for one catalog instance; `load` resolves through the
+    * catalog so REST mode and warehouse layout both work unchanged */
+  def forCatalog(catalogName: String, load: Identifier => GraftTable): Map[String, UnboundProcedure] = {
+    def table(input: InternalRow): GraftTable =
+      load(identOf(input.getString(0), catalogName))
+
+    val procs = Seq(
+      new GraftProcedure(
+        "rollback_to_snapshot",
+        Seq(in("table", StringType), in("snapshot_id", LongType)),
+        out("previous_snapshot_id" -> LongType, "current_snapshot_id" -> LongType),
+        (input, _) => {
+          val t = table(input)
+          val prev = t.metadata.currentSnapshotId
+          t.rollbackTo(input.getLong(1))
+          Seq(Seq(prev.orNull, t.metadata.currentSnapshotId.get))
+        }),
+      new GraftProcedure(
+        "expire_snapshots",
+        Seq(in("table", StringType), in("older_than_ms", LongType)),
+        out("expired_snapshots" -> LongType, "remaining_snapshots" -> LongType),
+        (input, _) => {
+          val t = table(input)
+          val before = t.metadata.snapshots.size
+          t.expireSnapshots(input.getLong(1))
+          val after = t.metadata.snapshots.size
+          Seq(Seq((before - after).toLong, after.toLong))
+        }),
+      new GraftProcedure(
+        "rewrite_data_files",
+        Seq(in("table", StringType), in("small_file_threshold_bytes", LongType)),
+        out("files_before" -> LongType, "files_after" -> LongType),
+        (input, spark) => {
+          val t = table(input)
+          val before = liveDataFiles(t)
+          t.rewriteSmallFiles(spark, input.getLong(1))
+          Seq(Seq(before, liveDataFiles(t)))
+        }),
+      new GraftProcedure(
+        "rewrite_zorder",
+        // columns as a comma-separated list: 'c1,c2'
+        Seq(in("table", StringType), in("columns", StringType),
+          in("target_file_size_bytes", LongType)),
+        out("files_before" -> LongType, "files_after" -> LongType),
+        (input, spark) => {
+          val t = table(input)
+          val cols = input.getString(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val before = liveDataFiles(t)
+          t.rewriteZOrder(spark, cols, input.getLong(2))
+          Seq(Seq(before, liveDataFiles(t)))
+        }),
+      new GraftProcedure(
+        "rewrite_manifests",
+        Seq(in("table", StringType)),
+        out("manifests_before" -> LongType, "manifests_after" -> LongType),
+        (input, spark) => {
+          val t = table(input)
+          def count(tt: GraftTable): Long = tt.metadata.currentSnapshot.toList
+            .flatMap(s => ManifestIO.readManifestList(
+              tt.conf, tt.relocate(s.manifestList))).size.toLong
+          val before = count(t)
+          t.rewriteManifests(spark)
+          Seq(Seq(before, count(t)))
+        }),
+      new GraftProcedure(
+        "remove_orphan_files",
+        Seq(in("table", StringType), in("older_than_ms", LongType)),
+        out("removed_files" -> LongType),
+        (input, _) =>
+          Seq(Seq(table(input).removeOrphanFiles(input.getLong(1)).size.toLong))),
+      new GraftProcedure(
+        "fast_forward",
+        Seq(in("table", StringType), in("branch", StringType), in("to", StringType)),
+        out("branch" -> StringType, "current_snapshot_id" -> LongType),
+        (input, _) => {
+          val t = table(input)
+          val branch = input.getString(1)
+          t.fastForward(branch, input.getString(2))
+          Seq(Seq(branch, t.metadata.refs(branch).snapshotId))
+        }),
+      new GraftProcedure(
+        "create_tag",
+        Seq(in("table", StringType), in("name", StringType), in("snapshot_id", LongType)),
+        out("name" -> StringType, "snapshot_id" -> LongType),
+        (input, _) => {
+          val t = table(input)
+          t.createTag(input.getString(1), input.getLong(2))
+          Seq(Seq(input.getString(1), input.getLong(2)))
+        }),
+      new GraftProcedure(
+        "create_branch",
+        Seq(in("table", StringType), in("name", StringType), in("snapshot_id", LongType)),
+        out("name" -> StringType, "snapshot_id" -> LongType),
+        (input, _) => {
+          val t = table(input)
+          t.createBranch(input.getString(1), input.getLong(2))
+          Seq(Seq(input.getString(1), input.getLong(2)))
+        }),
+    )
+    procs.map(p => p.name() -> (p: UnboundProcedure)).toMap
+  }
+}

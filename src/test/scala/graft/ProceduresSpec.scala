@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tables._
+
+/** SQL stored procedures: CALL gproc.system.<name>(...) end-to-end. */
+class ProceduresSpec extends AnyFunSuite {
+
+  lazy val spark = {
+    val s = TestSpark.spark
+    val wh = Files.createTempDirectory("graft-proc-wh").toFile.getAbsolutePath
+    s.conf.set("spark.sql.catalog.gproc", "graft.spark.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gproc.warehouse", wh)
+    s
+  }
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def freshSqlTable(name: String): Unit = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gproc.db")
+    spark.sql(s"DROP TABLE IF EXISTS gproc.db.$name")
+    spark.sql(s"CREATE TABLE gproc.db.$name (o_orderkey BIGINT, o_orderstatus STRING)")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select($"o_orderkey", $"o_orderstatus")
+      .createOrReplaceTempView(s"${name}_src")
+  }
+
+  test("rollback_to_snapshot moves HEAD; previous id reported") {
+    freshSqlTable("procs_rb")
+    spark.sql("INSERT INTO gproc.db.procs_rb SELECT * FROM procs_rb_src WHERE o_orderkey % 2 = 0")
+    val snap1 = spark.sql(
+      "SELECT snapshot_id FROM gproc.db.procs_rb.snapshots ORDER BY committed_at")
+      .collect().head.getLong(0)
+    spark.sql("INSERT INTO gproc.db.procs_rb SELECT * FROM procs_rb_src WHERE o_orderkey % 2 = 1")
+    val afterBoth = spark.table("gproc.db.procs_rb").count()
+    val res = spark.sql(
+      s"CALL gproc.system.rollback_to_snapshot(table => 'db.procs_rb', snapshot_id => ${snap1}L)")
+      .collect().head
+    assert(res.getLong(1) === snap1)
+    val evens = spark.table("gproc.db.procs_rb").count()
+    assert(evens < afterBoth && evens > 0)
+    assert(spark.table("gproc.db.procs_rb")
+      .filter($"o_orderkey" % 2 === 1).count() === 0)
+  }
+
+  test("rewrite_data_files compacts; content unchanged") {
+    freshSqlTable("procs_cmp")
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO gproc.db.procs_cmp SELECT * FROM procs_cmp_src WHERE o_orderkey % 3 = $i")
+    }
+    val res = spark.sql(
+      "CALL gproc.system.rewrite_data_files('db.procs_cmp', 1073741824L)").collect().head
+    assert(res.getLong(0) >= 3 && res.getLong(1) < res.getLong(0))
+    val got = spark.table("gproc.db.procs_cmp").orderBy("o_orderkey").collect()
+    val exp = spark.table("procs_cmp_src").orderBy("o_orderkey").collect()
+    assert(got.toSeq === exp.toSeq)
+  }
+
+  test("rewrite_zorder re-clusters; content unchanged") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gproc.db")
+    spark.sql("DROP TABLE IF EXISTS gproc.db.procs_zo")
+    spark.sql("CREATE TABLE gproc.db.procs_zo (o_orderkey BIGINT, o_custkey BIGINT)")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select($"o_orderkey", $"o_custkey").createOrReplaceTempView("procs_zo_src")
+    spark.sql("INSERT INTO gproc.db.procs_zo SELECT * FROM procs_zo_src")
+    spark.sql(
+      "CALL gproc.system.rewrite_zorder('db.procs_zo', 'o_orderkey,o_custkey', 1048576L)")
+    val got = spark.table("gproc.db.procs_zo").orderBy("o_orderkey").collect()
+    val exp = spark.table("procs_zo_src").orderBy("o_orderkey").collect()
+    assert(got.toSeq === exp.toSeq)
+  }
+
+  test("expire_snapshots + remove_orphan_files reclaim history") {
+    freshSqlTable("procs_gc")
+    spark.sql("INSERT INTO gproc.db.procs_gc SELECT * FROM procs_gc_src WHERE o_orderkey % 2 = 0")
+    spark.sql("INSERT INTO gproc.db.procs_gc SELECT * FROM procs_gc_src WHERE o_orderkey % 2 = 1")
+    spark.sql("CALL gproc.system.rewrite_data_files('db.procs_gc', 1073741824L)")
+    val expired = spark.sql(
+      s"CALL gproc.system.expire_snapshots('db.procs_gc', ${Long.MaxValue}L)").collect().head
+    assert(expired.getLong(0) >= 2)
+    assert(expired.getLong(1) >= 1)
+    val removed = spark.sql(
+      s"CALL gproc.system.remove_orphan_files('db.procs_gc', ${Long.MaxValue}L)").collect().head
+    assert(removed.getLong(0) >= 2) // the two pre-compaction data files
+    val exp = spark.table("procs_gc_src").orderBy("o_orderkey").collect()
+    assert(spark.table("gproc.db.procs_gc").orderBy("o_orderkey").collect().toSeq === exp.toSeq)
+  }
+
+  test("create_branch + fast_forward via CALL; refs view reflects both") {
+    freshSqlTable("procs_ff")
+    spark.sql("INSERT INTO gproc.db.procs_ff SELECT * FROM procs_ff_src WHERE o_orderkey % 2 = 0")
+    val head = spark.sql(
+      "SELECT snapshot_id FROM gproc.db.procs_ff.snapshots ORDER BY committed_at DESC")
+      .collect().head.getLong(0)
+    spark.sql(s"CALL gproc.system.create_branch('db.procs_ff', 'audit', ${head}L)")
+    // write onto the audit branch via the table API (WAP), then fast-forward main
+    val wh = spark.conf.get("spark.sql.catalog.gproc.warehouse")
+    val tbl = StorageCatalog.loadTable(
+      spark.sparkContext.hadoopConfiguration, s"$wh/db/procs_ff")
+    tbl.appendToBranch(spark,
+      spark.table("procs_ff_src").filter($"o_orderkey" % 2 === 1), "audit")
+    val res = spark.sql(
+      "CALL gproc.system.fast_forward('db.procs_ff', 'main', 'audit')").collect().head
+    assert(res.getString(0) === "main")
+    val exp = spark.table("procs_ff_src").orderBy("o_orderkey").collect()
+    assert(spark.table("gproc.db.procs_ff").orderBy("o_orderkey").collect().toSeq === exp.toSeq)
+    val refs = spark.sql("SELECT name FROM gproc.db.procs_ff.refs").collect().map(_.getString(0))
+    assert(refs.contains("audit") && refs.contains("main"))
+  }
+
+  test("procedures are listed and bad names fail clearly") {
+    val err = intercept[Exception] {
+      spark.sql("CALL gproc.system.no_such_proc('db.x')").collect()
+    }
+    assert(err.getMessage.contains("no such procedure") ||
+      Option(err.getCause).exists(_.getMessage.contains("no such procedure")))
+  }
+}
