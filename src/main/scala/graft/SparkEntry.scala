@@ -1266,6 +1266,23 @@ object SparkEntry {
       tbl.createTag("v1", head).createBranch("dev", head)
       s.sql("SELECT name, type FROM graft.db.mrefs.refs")
     }),
+    "sql_ctas" -> ((s, dir) => {
+      // atomic CTAS + RTAS (StagingTableCatalog): one metadata commit
+      // publishes the staged write; REPLACE swaps contents atomically
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.mctas")
+      t(s, dir, "orders").createOrReplaceTempView("mctas_src_gq")
+      s.sql(
+        """CREATE TABLE graft.db.mctas AS
+          |SELECT o_orderkey, o_orderstatus FROM mctas_src_gq WHERE o_orderkey % 2 = 0""".stripMargin)
+      s.sql(
+        """REPLACE TABLE graft.db.mctas AS
+          |SELECT o_orderkey, o_orderstatus FROM mctas_src_gq WHERE o_orderkey % 2 = 1""".stripMargin)
+      s.sql("SELECT * FROM graft.db.mctas")
+    }),
     "sql_procedures" -> ((s, dir) => {
       // full maintenance cycle driven from SQL (CALL graft.system.*):
       // small appends → compaction → snapshot expiry → orphan GC, then
@@ -2166,5 +2183,7 @@ object SparkEntry {
       """SELECT * FROM (VALUES (true, CAST(3 AS BIGINT)), (false, CAST(1 AS BIGINT)))
         |AS t(is_current_ancestor, n)""".stripMargin,
     "sql_procedures" -> "SELECT o_orderkey, o_orderstatus FROM orders",
+    "sql_ctas" ->
+      "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 1",
   )
 }

@@ -36,7 +36,8 @@ import graft.tables._
   * loading for jumbo ones); writes through [[GraftBatchWrite]]. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.FunctionCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with StagingTableCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: String = _
@@ -131,7 +132,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val iceSchema = SchemaConvert.fromSparkSchema(schema)
-    val fields = partitions.toList.zipWithIndex.map { case (tr, i) =>
+    val fields = specFieldsOf(iceSchema, partitions)
+    val props = properties.asScala.toMap.filter { case (k, _) => !k.startsWith("option.") }
+    val t = rest match {
+      case Some(c) =>
+        // rename moves only the catalog pointer, so a later CREATE at the
+        // old identifier must not reuse the renamed table's directory —
+        // REST locations get a unique suffix (the Iceberg-catalog idiom)
+        val loc = s"${locationOf(ident)}-${java.util.UUID.randomUUID().toString.take(8)}"
+        c.createTable(nsOf(ident), ident.name(), StorageCatalog.newTableMetadata(
+          loc, iceSchema, IcePartitionSpec(0, fields), props))
+      case None =>
+        StorageCatalog.createTable(
+          conf, locationOf(ident), iceSchema, IcePartitionSpec(0, fields), props)
+    }
+    new GraftV2Table(t, None, None)
+  }
+
+  /** Spark partition `Transform`s → Iceberg partition-spec fields */
+  private def specFieldsOf(
+      iceSchema: IceSchema, partitions: Array[Transform]): List[IcePartitionField] =
+    partitions.toList.zipWithIndex.map { case (tr, i) =>
       val (transform, sourceName) = tr.name() match {
         case "identity" => ("identity", tr.references().head.fieldNames().head)
         case "bucket" =>
@@ -162,21 +183,74 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
       IcePartitionField(src.id, 1000 + i, transform, name)
     }
+
+  // ----- atomic CTAS / RTAS (StagingTableCatalog) -----
+
+  /** One staged-table impl for CREATE/REPLACE/CREATE-OR-REPLACE AS
+    * SELECT: data and manifests write under the table location as usual,
+    * metadata versions stay in memory, and `commitStagedChanges` is ONE
+    * atomic metadata commit — a failed CTAS leaves no table, a failed
+    * RTAS leaves the old table (staged files are orphans for
+    * `remove_orphan_files`). REST mode publishes via the same CAS commit
+    * the catalog uses everywhere. */
+  private def stage(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String],
+      replace: Boolean,
+      orReplace: Boolean): StagedTable = {
+    val iceSchema = SchemaConvert.fromSparkSchema(schema)
+    val spec = IcePartitionSpec(0, specFieldsOf(iceSchema, partitions))
     val props = properties.asScala.toMap.filter { case (k, _) => !k.startsWith("option.") }
-    val t = rest match {
+    rest match {
       case Some(c) =>
-        // rename moves only the catalog pointer, so a later CREATE at the
-        // old identifier must not reuse the renamed table's directory —
-        // REST locations get a unique suffix (the Iceberg-catalog idiom)
-        val loc = s"${locationOf(ident)}-${java.util.UUID.randomUUID().toString.take(8)}"
-        c.createTable(nsOf(ident), ident.name(), StorageCatalog.newTableMetadata(
-          loc, iceSchema, IcePartitionSpec(0, fields), props))
+        val existing =
+          try Some(c.loadTable(nsOf(ident), ident.name()))
+          catch { case _: Exception => None }
+        if (existing.isDefined && !replace && !orReplace)
+          throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+            ident.toString)
+        if (existing.isEmpty && replace && !orReplace)
+          throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+        // keep the old location on replace (its data/<uuid> dirs never
+        // collide); fresh suffixed location on create
+        val loc = existing.map(_.location).getOrElse(
+          s"${locationOf(ident)}-${java.util.UUID.randomUUID().toString.take(8)}")
+        val handle = StorageCatalog.stageTable(
+          conf, loc, iceSchema, spec, props, replace, orReplace)
+        new GraftStagedV2Table(handle.table,
+          publishFn = () => existing match {
+            case Some(old) => c.commitTable(
+              nsOf(ident), ident.name(), old.version, handle.table.metadata)
+            case None => c.createTable(nsOf(ident), ident.name(), handle.table.metadata)
+          },
+          abortFn = () => handle.abort())
       case None =>
-        StorageCatalog.createTable(
-          conf, locationOf(ident), iceSchema, IcePartitionSpec(0, fields), props)
+        val handle = StorageCatalog.stageTable(
+          conf, locationOf(ident), iceSchema, spec, props, replace, orReplace)
+        new GraftStagedV2Table(handle.table, () => handle.publish(), () => handle.abort())
     }
-    new GraftV2Table(t, None, None)
   }
+
+  private def structOf(columns: Array[Column]): StructType =
+    StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+
+  override def stageCreate(
+      ident: Identifier, columns: Array[Column], partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stage(ident, structOf(columns), partitions, properties, replace = false, orReplace = false)
+
+  override def stageReplace(
+      ident: Identifier, columns: Array[Column], partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stage(ident, structOf(columns), partitions, properties, replace = true, orReplace = false)
+
+  override def stageCreateOrReplace(
+      ident: Identifier, columns: Array[Column], partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stage(ident, structOf(columns), partitions, properties, replace = true, orReplace = true)
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = loadGraftTable(ident)
@@ -326,6 +400,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
 /** DSv2 table: native batch/MoR scans, native batch writes, and
   * filter-based SQL DELETE (merge-on-read position deletes). */
+/** staged CTAS/RTAS table: a full [[GraftV2Table]] (reads + writes work
+  * during the staged write) whose table only becomes visible when Spark
+  * calls `commitStagedChanges` */
+class GraftStagedV2Table(
+    table: GraftTable,
+    publishFn: () => Unit,
+    abortFn: () => Unit)
+    extends GraftV2Table(table, None, None) with StagedTable {
+  override def commitStagedChanges(): Unit = publishFn()
+  override def abortStagedChanges(): Unit = abortFn()
+}
+
 class GraftV2Table(
     val table: GraftTable,
     snapshotId: Option[Long],

@@ -112,6 +112,46 @@ object StorageCatalog {
       refs = Map.empty)
   }
 
+  /** Staged (atomic CTAS/RTAS) table: data, manifests, and snapshots are
+    * written under the location as usual, but metadata versions stay
+    * IN MEMORY — nothing discoverable lands until [[StagedHandle.publish]]
+    * re-commits the final metadata through the normal atomic path. A
+    * crash or abort before publish leaves no visible table (create) or
+    * the old table untouched (replace); staged data files are orphans,
+    * reclaimable by `remove_orphan_files`. */
+  final class StagedHandle(
+      val table: GraftTable,
+      conf: Configuration,
+      replace: Boolean,
+      orReplace: Boolean) {
+    def publish(): Unit = {
+      val v = currentVersion(conf, table.location)
+      if (!replace && !orReplace && v > 0)
+        sys.error(s"table already exists at ${table.location}")
+      if (replace && !orReplace && v == 0)
+        sys.error(s"REPLACE TABLE: no table at ${table.location}")
+      commitMetadata(conf, table.location, expectedVersion = v, table.metadata)
+    }
+    def abort(): Unit = () // nothing committed; staged files are orphans
+  }
+
+  def stageTable(
+      conf: Configuration,
+      location: String,
+      schema: IceSchema,
+      spec: IcePartitionSpec,
+      properties: Map[String, String] = Map.empty,
+      replace: Boolean = false,
+      orReplace: Boolean = false): StagedHandle = {
+    val meta = newTableMetadata(location, schema, spec, properties)
+    val t = new GraftTable(location, meta, 0, conf)
+    // in-memory version counter; identity reload (no committed metadata
+    // to re-read, and no concurrent writer can see a staged table)
+    t.committer = (m, v) => v + 1
+    t.reloader = () => t
+    new StagedHandle(t, conf, replace, orReplace)
+  }
+
   def createTable(
       conf: Configuration,
       location: String,
