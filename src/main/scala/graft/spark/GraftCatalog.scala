@@ -419,7 +419,11 @@ class GraftV2Table(
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** TRUNCATE TABLE: metadata-only drop-everything snapshot */
+  override def truncateTable(): Boolean = { table.truncate(); true }
 
   /** UPDATE / MERGE INTO / subquery DELETE: delta-based row-level ops —
     * Spark plans the matching, [[GraftRowLevelOperation]] writes position

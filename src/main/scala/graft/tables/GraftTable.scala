@@ -327,6 +327,15 @@ class GraftTable(
     commit(spark, "overwrite", addedData = files, addedDeletes = Nil, replace = true)
   }
 
+  /** TRUNCATE TABLE: one metadata-only `delete` snapshot dropping every
+    * live file — no data scanned or rewritten at any table size. */
+  def truncate(): GraftTable = {
+    retryCommit(() => ()) {
+      commitOnce("delete", Nil, Nil, replace = true, existing = Nil)
+    }
+    this
+  }
+
   /** Equality delete: rows matching any key tuple in `keysDf` (projected to
     * `fieldNames`) become invisible for older sequence numbers. */
   def equalityDelete(spark: SparkSession, keysDf: DataFrame, fieldNames: Seq[String]): GraftTable = {

@@ -81,6 +81,22 @@ class CtasSpec extends AnyFunSuite {
     assert(spark.table("gctas.db.corts").count() === 2)
   }
 
+  test("TRUNCATE TABLE is a metadata-only delete snapshot; table stays writable") {
+    spark.read.parquet(s"$sfDir/region.parquet").createOrReplaceTempView("ctas_region")
+    spark.sql("DROP TABLE IF EXISTS gctas.db.trunc")
+    spark.sql("CREATE TABLE gctas.db.trunc AS SELECT * FROM ctas_region")
+    assert(spark.table("gctas.db.trunc").count() === 5)
+    spark.sql("TRUNCATE TABLE gctas.db.trunc")
+    assert(spark.table("gctas.db.trunc").count() === 0)
+    // no data rewritten: the truncate snapshot is operation=delete with 0 adds
+    val ops = spark.sql(
+      "SELECT operation FROM gctas.db.trunc.snapshots ORDER BY committed_at")
+      .collect().map(_.getString(0))
+    assert(ops.last === "delete")
+    spark.sql("INSERT INTO gctas.db.trunc SELECT * FROM ctas_region WHERE r_regionkey = 0")
+    assert(spark.table("gctas.db.trunc").count() === 1)
+  }
+
   test("plain CREATE TABLE AS SELECT on an existing table fails") {
     spark.read.parquet(s"$sfDir/region.parquet").createOrReplaceTempView("ctas_region")
     spark.sql("DROP TABLE IF EXISTS gctas.db.dup")
