@@ -1327,6 +1327,24 @@ object SparkEntry {
         """SELECT is_current_ancestor, COUNT(*) AS n
           |FROM graft.db.mhist.history GROUP BY is_current_ancestor""".stripMargin)
     }),
+    "meta_entries" -> ((s, dir) => {
+      // manifest-entry forensics: every entry with status/content, delete
+      // files included; file counts vary with write parallelism so the
+      // deterministic projection is summed record counts per class
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.ment")
+      s.sql("CREATE TABLE graft.db.ment (n_nationkey BIGINT, n_name STRING)")
+      t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        .createOrReplaceTempView("ment_src_gq")
+      s.sql("INSERT INTO graft.db.ment SELECT * FROM ment_src_gq")
+      s.sql("DELETE FROM graft.db.ment WHERE n_nationkey = 0")
+      s.sql(
+        """SELECT status, content, CAST(SUM(record_count) AS BIGINT) AS n_rows
+          |FROM graft.db.ment.entries GROUP BY status, content""".stripMargin)
+    }),
     "meta_manifests" -> ((s, dir) => {
       val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
       s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
@@ -2185,5 +2203,10 @@ object SparkEntry {
     "sql_procedures" -> "SELECT o_orderkey, o_orderstatus FROM orders",
     "sql_ctas" ->
       "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 1",
+    "meta_entries" ->
+      """SELECT 1 AS status, 0 AS content,
+        |  CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n_rows
+        |UNION ALL
+        |SELECT 1 AS status, 1 AS content, CAST(1 AS BIGINT) AS n_rows""".stripMargin,
   )
 }

@@ -37,7 +37,8 @@ import graft.tables._
 object GraftMetadataTables {
 
   val Kinds: Set[String] =
-    Set("snapshots", "history", "refs", "manifests", "files", "partitions")
+    Set("snapshots", "history", "refs", "manifests", "files", "partitions",
+      "entries")
 
   // ---------- schemas ----------
 
@@ -112,6 +113,19 @@ object GraftMetadataTables {
     StructField("sort_order_id", IntegerType, nullable = true),
     StructField("data_sequence_number", LongType, nullable = false)))
 
+  /** `entries`: manifest-entry level — every entry INCLUDING deleted ones
+    * (liveness debugging / snapshot forensics), with its bookkeeping */
+  def entriesSchema(meta: TableMetadata): StructType = StructType(Seq(
+    StructField("status", IntegerType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = true),
+    StructField("data_sequence_number", LongType, nullable = false),
+    StructField("file_sequence_number", LongType, nullable = true),
+    StructField("content", IntegerType, nullable = false),
+    StructField("file_path", StringType, nullable = false),
+    StructField("partition", partitionStruct(meta), nullable = false),
+    StructField("record_count", LongType, nullable = false),
+    StructField("file_size_in_bytes", LongType, nullable = false)))
+
   def partitionsSchema(meta: TableMetadata): StructType = StructType(Seq(
     StructField("partition", partitionStruct(meta), nullable = false),
     StructField("record_count", LongType, nullable = false),
@@ -125,6 +139,7 @@ object GraftMetadataTables {
     case "manifests" => manifestsSchema
     case "files" => filesSchema(meta)
     case "partitions" => partitionsSchema(meta)
+    case "entries" => entriesSchema(meta)
   }
 
   // ---------- row building (external Row values; converted per-schema) ----------
@@ -210,6 +225,29 @@ object GraftMetadataTables {
         e.dataSequenceNumber.getOrElse(listSeq))
     }
 
+  /** one `entries` row per manifest entry, deleted entries INCLUDED */
+  def entryRows(
+      entries: List[IceManifestEntry],
+      listSeq: Long,
+      spec: IcePartitionSpec,
+      resultTypes: List[IceType],
+      defaultFieldNames: List[String],
+      relocate: String => String): Seq[Seq[Any]] =
+    entries.map { e =>
+      val f = e.dataFile
+      val byName: Map[String, Any] =
+        spec.fields.zip(resultTypes).zip(f.partition).map { case ((pf, rt), v) =>
+          pf.name -> partitionValue(v.orNull, rt)
+        }.toMap
+      val tuple = org.apache.spark.sql.Row.fromSeq(
+        defaultFieldNames.map(n => byName.getOrElse(n, null)))
+      Seq(e.status, e.snapshotId.orNull,
+        e.dataSequenceNumber.getOrElse(listSeq),
+        e.fileSequenceNumber.orNull,
+        f.content, relocate(f.filePath), tuple,
+        f.recordCount, f.fileSizeInBytes)
+    }
+
   def resultTypesOf(meta: TableMetadata, spec: IcePartitionSpec): List[IceType] =
     spec.fields.map { pf =>
       val src = meta.currentSchema.fieldById(pf.sourceId)
@@ -240,7 +278,7 @@ class GraftMetadataTable(val table: GraftTable, kind: String)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => kind match {
-      case "files" => new GraftFilesScan(table)
+      case "files" | "entries" => new GraftFilesScan(table, kind)
       case _ => new GraftMetadataLocalScan(table, kind, schema())
     }
 }
@@ -289,13 +327,17 @@ class GraftMetadataLocalScan(table: GraftTable, kind: String, schema: StructType
   override def description(): String = s"GraftMetadataScan(${table.location}, $kind)"
 }
 
-/** `files`: distributed — one input partition per manifest, executors parse
-  * the Avro. O(total data files) rows never materialize on the driver. */
-class GraftFilesScan(table: GraftTable) extends Scan with Batch {
+/** `files` / `entries`: distributed — one input partition per manifest,
+  * executors parse the Avro. O(total data files) rows never materialize on
+  * the driver. `files` emits live entries with full stats; `entries` emits
+  * EVERY entry (deleted included) with its status bookkeeping. */
+class GraftFilesScan(table: GraftTable, kind: String = "files")
+    extends Scan with Batch {
   import GraftMetadataTables._
 
   private val meta = table.metadata
-  private val schema = filesSchema(meta)
+  private val schema =
+    if (kind == "entries") entriesSchema(meta) else filesSchema(meta)
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -319,6 +361,7 @@ class GraftFilesScan(table: GraftTable) extends Scan with Batch {
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val s = schema
+    val k = kind
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val fp = p.asInstanceOf[GraftFilesPartition]
@@ -330,9 +373,13 @@ class GraftFilesScan(table: GraftTable) extends Scan with Batch {
           else if (p.startsWith(fp.metadataLocation))
             fp.tableLocation + p.stripPrefix(fp.metadataLocation)
           else p
-        val rows = toInternal(s, fileRows(
-          entries, fp.listSeq, fp.specId, fp.spec, fp.resultTypes,
-          fp.defaultFieldNames, reloc))
+        val rows = toInternal(s,
+          if (k == "entries")
+            entryRows(entries, fp.listSeq, fp.spec, fp.resultTypes,
+              fp.defaultFieldNames, reloc)
+          else fileRows(
+            entries, fp.listSeq, fp.specId, fp.spec, fp.resultTypes,
+            fp.defaultFieldNames, reloc))
         val it = rows.iterator
         new PartitionReader[InternalRow] {
           private var cur: InternalRow = _

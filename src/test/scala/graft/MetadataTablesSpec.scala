@@ -74,6 +74,29 @@ class MetadataTablesSpec extends AnyFunSuite {
     assert(stats.head.getAs[Map[Int, Long]](1).nonEmpty)
   }
 
+  test("entries view shows every manifest entry with status bookkeeping") {
+    setup()
+    val entries = spark.sql(
+      "SELECT status, content, record_count FROM gmeta.db.mt.entries").collect()
+    // all files of the current snapshot appear; statuses are valid
+    assert(entries.nonEmpty)
+    assert(entries.forall(r => Set(0, 1, 2).contains(r.getInt(0))))
+    // the pos-delete file is an entry too (content != 0)
+    assert(entries.exists(_.getInt(1) != 0))
+    // live data entries match the files view exactly
+    val liveData = spark.sql(
+      "SELECT count(*) FROM gmeta.db.mt.entries WHERE status <> 2 AND content = 0")
+      .collect().head.getLong(0)
+    val files = spark.sql(
+      "SELECT count(*) FROM gmeta.db.mt.files WHERE content = 0").collect().head.getLong(0)
+    assert(liveData === files)
+    // partition tuple rides along
+    val cats = spark.sql(
+      "SELECT DISTINCT partition.cat FROM gmeta.db.mt.entries WHERE content = 0")
+      .collect().map(_.getString(0)).toSet
+    assert(cats === Set("a", "b", "c"))
+  }
+
   test("multi-field partition tuples survive the files/partitions views") {
     // regression: a List fed to the Catalyst struct converter takes the
     // Product path (:: has productArity 2) and corrupts field 2
