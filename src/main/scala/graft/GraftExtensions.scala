@@ -16,13 +16,17 @@ import graft.functions._
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       ext.injectFunction(
         (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
           new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
           builder))
     }
+    // view DDL + substitution must run BEFORE the resolution batch, whose
+    // ResolveSessionCatalog rejects v2 view statements outright
+    ext.injectHintResolutionRule(session => new graft.plans.ResolveGraftViews(session))
+  }
 }
 
 object GraftExtensions {

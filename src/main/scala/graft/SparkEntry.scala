@@ -1283,6 +1283,27 @@ object SparkEntry {
           |SELECT o_orderkey, o_orderstatus FROM mctas_src_gq WHERE o_orderkey % 2 = 1""".stripMargin)
       s.sql("SELECT * FROM graft.db.mctas")
     }),
+    "sql_views" -> ((s, dir) => {
+      // persisted SQL views (V2 ViewCatalog + extension DDL rules): the
+      // definition lives in the warehouse and re-resolves per query, so
+      // it tracks base-table changes
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.mview_t")
+      s.sql("CREATE TABLE graft.db.mview_t (o_orderkey BIGINT, o_orderstatus STRING)")
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("mview_src_gq")
+      s.sql("INSERT INTO graft.db.mview_t SELECT * FROM mview_src_gq WHERE o_orderkey % 2 = 0")
+      s.sql(
+        """CREATE OR REPLACE VIEW graft.db.mview AS
+          |SELECT o_orderstatus, COUNT(*) AS n
+          |FROM graft.db.mview_t GROUP BY o_orderstatus""".stripMargin)
+      // second insert AFTER view creation: the view must see it
+      s.sql("INSERT INTO graft.db.mview_t SELECT * FROM mview_src_gq WHERE o_orderkey % 2 = 1")
+      s.sql("SELECT * FROM graft.db.mview")
+    }),
     "sql_procedures" -> ((s, dir) => {
       // full maintenance cycle driven from SQL (CALL graft.system.*):
       // small appends → compaction → snapshot expiry → orphan GC, then
@@ -2208,5 +2229,7 @@ object SparkEntry {
         |  CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n_rows
         |UNION ALL
         |SELECT 1 AS status, 1 AS content, CAST(1 AS BIGINT) AS n_rows""".stripMargin,
+    "sql_views" ->
+      "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus",
   )
 }

@@ -1,0 +1,146 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases}
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, ShowViews, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.StructType
+
+import graft.spark.GraftCatalog
+
+/** V2 view DDL for graft catalogs.
+  *
+  * OSS Spark's `ResolveSessionCatalog` rejects CREATE/DROP/SHOW VIEWS on
+  * any non-session catalog before `ViewCatalog` is even consulted, so —
+  * like Iceberg's Spark extensions — the engine rewrites those statements
+  * itself. The rewrite rule runs in the HINT-resolution batch, which the
+  * analyzer executes before the resolution batch that throws; at that
+  * point identifiers are still `UnresolvedIdentifier`, so the rule does
+  * its own catalog lookup and substitutes command nodes that talk to
+  * [[GraftCatalog]]'s `ViewCatalog` surface directly. Reads substitute
+  * the stored SQL text inline (`SELECT * FROM graft.db.v` behaves as a
+  * parenthesized subquery), so nested views resolve through the same
+  * fixed point. */
+class ResolveGraftViews(session: SparkSession) extends Rule[LogicalPlan] {
+
+  private def catalogManager = session.sessionState.catalogManager
+
+  /** (catalog, ident) when nameParts addresses a graft catalog */
+  private def graftCatalogOf(nameParts: Seq[String]): Option[(GraftCatalog, String, Identifier)] = {
+    if (nameParts.length < 2) return None
+    if (!catalogManager.isCatalogRegistered(nameParts.head)) return None
+    catalogManager.catalog(nameParts.head) match {
+      case g: GraftCatalog =>
+        val rest = nameParts.tail
+        Some((g, nameParts.head, Identifier.of(rest.init.toArray, rest.last)))
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case CreateView(UnresolvedIdentifier(parts, _), userCols, comment, _, props,
+        originalText, query, allowExisting, replace, _)
+        if graftCatalogOf(parts).isDefined =>
+      val (cat, catName, ident) = graftCatalogOf(parts).get
+      GraftCreateViewCommand(cat, catName, ident, userCols, comment,
+        props, originalText.getOrElse(
+          sys.error("CREATE VIEW without SQL text is not supported")),
+        query, allowExisting, replace)
+
+    case DropView(UnresolvedIdentifier(parts, _), ifExists)
+        if graftCatalogOf(parts).isDefined =>
+      val (cat, _, ident) = graftCatalogOf(parts).get
+      GraftDropViewCommand(cat, ident, ifExists)
+
+    case s @ ShowViews(UnresolvedNamespace(parts, _), pattern, output)
+        if parts.nonEmpty && catalogManager.isCatalogRegistered(parts.head) &&
+          catalogManager.catalog(parts.head).isInstanceOf[GraftCatalog] =>
+      GraftShowViewsCommand(
+        catalogManager.catalog(parts.head).asInstanceOf[GraftCatalog],
+        parts.tail, pattern, output)
+
+    // reads: substitute the stored SQL text as a subquery
+    case u: UnresolvedRelation if graftCatalogOf(u.multipartIdentifier).exists {
+        case (cat, _, ident) => cat.viewExists(ident) } =>
+      val (cat, _, ident) = graftCatalogOf(u.multipartIdentifier).get
+      val view = cat.loadView(ident)
+      val parsed = session.sessionState.sqlParser.parsePlan(view.query)
+      val aliased =
+        if (view.columnAliases() != null && view.columnAliases().nonEmpty)
+          UnresolvedSubqueryColumnAliases(view.columnAliases().toIndexedSeq, parsed)
+        else parsed
+      SubqueryAlias(u.multipartIdentifier.last, aliased)
+  }
+}
+
+/** CREATE [OR REPLACE] VIEW for a graft catalog; the query stays
+  * unanalyzed until run time (mirrors Spark's own CreateViewCommand). */
+case class GraftCreateViewCommand(
+    catalog: GraftCatalog,
+    catalogName: String,
+    ident: Identifier,
+    userCols: Seq[(String, Option[String])],
+    comment: Option[String],
+    props: Map[String, String],
+    originalText: String,
+    query: LogicalPlan,
+    allowExisting: Boolean,
+    replace: Boolean) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] = Seq(query)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    if (allowExisting && !replace && catalog.viewExists(ident)) return Nil
+    val analyzed = session.sessionState.executePlan(query).analyzed
+    val aliases = userCols.map(_._1)
+    require(aliases.isEmpty || aliases.length == analyzed.schema.length,
+      s"view column list has ${aliases.length} names, query produces ${analyzed.schema.length}")
+    val schema =
+      if (aliases.isEmpty) analyzed.schema
+      else StructType(analyzed.schema.fields.zip(aliases).map { case (f, a) => f.copy(name = a) })
+    val allProps = new java.util.LinkedHashMap[String, String]()
+    props.foreach { case (k, v) => allProps.put(k, v) }
+    comment.foreach(c => allProps.put("comment", c))
+    val info = new ViewInfo(ident, originalText,
+      session.sessionState.catalogManager.currentCatalog.name(),
+      session.sessionState.catalogManager.currentNamespace,
+      schema,
+      analyzed.schema.fieldNames,
+      aliases.toArray,
+      userCols.map(_._2.orNull).toArray,
+      allProps)
+    if (replace) catalog.replaceView(info, orCreate = true)
+    else catalog.createView(info)
+    Nil
+  }
+}
+
+case class GraftDropViewCommand(
+    catalog: GraftCatalog,
+    ident: Identifier,
+    ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val dropped = catalog.dropView(ident)
+    if (!dropped && !ifExists)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    Nil
+  }
+}
+
+case class GraftShowViewsCommand(
+    catalog: GraftCatalog,
+    namespace: Seq[String],
+    pattern: Option[String],
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val ns = namespace.mkString(".")
+    catalog.listViews(namespace: _*)
+      .filter(id => pattern.forall(p =>
+        org.apache.spark.sql.catalyst.util.StringUtils.filterPattern(
+          Seq(id.name()), p).nonEmpty))
+      .map(id => Row(ns, id.name(), false)).toSeq
+  }
+}

@@ -37,7 +37,8 @@ import graft.tables._
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.FunctionCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-    with StagingTableCatalog {
+    with StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: String = _
@@ -339,6 +340,77 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       procedures.keys.toArray.sorted.map(n => Identifier.of(Array("system"), n))
     else Array.empty
+
+  // ----- persisted SQL views (CREATE VIEW graft.db.v AS SELECT ...) -----
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val nsDir = (warehouse +: namespace).mkString("/")
+    GraftViews.list(conf, nsDir)
+      .map(n => Identifier.of(namespace.toArray, n)).toArray
+  }
+
+  override def loadView(ident: Identifier): org.apache.spark.sql.connector.catalog.View = {
+    val loc = locationOf(ident)
+    if (!GraftViews.exists(conf, loc))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    GraftViews.read(conf, loc, ident.name())
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    GraftViews.exists(conf, locationOf(ident))
+
+  override def createView(info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val loc = locationOf(info.ident())
+    if (tableExists(info.ident()))
+      sys.error(s"a table already exists at ${info.ident()}")
+    GraftViews.write(conf, loc, info, orReplace = false)
+    GraftViews.read(conf, loc, info.ident().name())
+  }
+
+  override def replaceView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      orCreate: Boolean): org.apache.spark.sql.connector.catalog.View = {
+    val loc = locationOf(info.ident())
+    if (!orCreate && !GraftViews.exists(conf, loc))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(info.ident())
+    GraftViews.write(conf, loc, info, orReplace = true)
+    GraftViews.read(conf, loc, info.ident().name())
+  }
+
+  override def alterView(
+      ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val v = loadView(ident)
+    val props = new java.util.LinkedHashMap[String, String](v.properties())
+    changes.foreach {
+      case s: org.apache.spark.sql.connector.catalog.ViewChange.SetProperty =>
+        props.put(s.property(), s.value())
+      case r: org.apache.spark.sql.connector.catalog.ViewChange.RemoveProperty =>
+        props.remove(r.property())
+      case other => sys.error(s"unsupported view change: $other")
+    }
+    val info = new org.apache.spark.sql.connector.catalog.ViewInfo(
+      ident, v.query(), v.currentCatalog(), v.currentNamespace(), v.schema(),
+      v.queryColumnNames(), v.columnAliases(), v.columnComments(), props)
+    GraftViews.write(conf, locationOf(ident), info, orReplace = true)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    GraftViews.drop(conf, locationOf(ident))
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    if (!viewExists(from))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(from)
+    val v = loadView(from)
+    val info = new org.apache.spark.sql.connector.catalog.ViewInfo(
+      to, v.query(), v.currentCatalog(), v.currentNamespace(), v.schema(),
+      v.queryColumnNames(), v.columnAliases(), v.columnComments(), v.properties())
+    GraftViews.write(conf, locationOf(to), info, orReplace = false)
+    GraftViews.drop(conf, locationOf(from))
+  }
 
   // ----- namespaces -----
 
