@@ -568,8 +568,13 @@ object SparkEntry {
       val jittered = e.filter(col("vec_id") < 10).select(
         (col("vec_id") + lit(1000000L)).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      // bits=40 over 4 bands -> 10-bit band keys (1024 buckets/band): at
+      // 12 bits every bucket blew past maxBucket once the corpus reached
+      // sf0.1 scale and recall silently dropped to zero. Positive scaling
+      // preserves every sign bit, so wider signatures cost no recall on
+      // the planted pairs.
       Dedup.embeddingNearDup(e.select(col("vec_id"), col("embedding")).union(jittered),
-        "vec_id", "embedding", cosineThreshold = 0.95, bits = 12)
+        "vec_id", "embedding", cosineThreshold = 0.95, bits = 40)
         .select(col("vec_a"), col("vec_b"))
     }),
     "dedup_components" -> ((s, dir) => {
