@@ -28,51 +28,77 @@ class ResolveGraftViews(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def catalogManager = session.sessionState.catalogManager
 
-  /** (catalog, ident) when nameParts addresses a graft catalog */
+  /** (catalog, catalogName, ident) when nameParts addresses a graft
+    * catalog — explicitly (`graft.db.v`) or through the session's current
+    * catalog (`db.v` after `USE graft`) */
   private def graftCatalogOf(nameParts: Seq[String]): Option[(GraftCatalog, String, Identifier)] = {
-    if (nameParts.length < 2) return None
-    if (!catalogManager.isCatalogRegistered(nameParts.head)) return None
-    catalogManager.catalog(nameParts.head) match {
-      case g: GraftCatalog =>
-        val rest = nameParts.tail
-        Some((g, nameParts.head, Identifier.of(rest.init.toArray, rest.last)))
+    if (nameParts.length >= 2 && catalogManager.isCatalogRegistered(nameParts.head)) {
+      catalogManager.catalog(nameParts.head) match {
+        case g: GraftCatalog =>
+          val rest = nameParts.tail
+          return Some((g, nameParts.head, Identifier.of(rest.init.toArray, rest.last)))
+        case _ => return None
+      }
+    }
+    catalogManager.currentCatalog match {
+      case g: GraftCatalog if nameParts.length >= 2 =>
+        Some((g, g.name(), Identifier.of(nameParts.init.toArray, nameParts.last)))
       case _ => None
     }
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case CreateView(UnresolvedIdentifier(parts, _), userCols, comment, _, props,
-        originalText, query, allowExisting, replace, _)
-        if graftCatalogOf(parts).isDefined =>
-      val (cat, catName, ident) = graftCatalogOf(parts).get
-      GraftCreateViewCommand(cat, catName, ident, userCols, comment,
-        props, originalText.getOrElse(
-          sys.error("CREATE VIEW without SQL text is not supported")),
-        query, allowExisting, replace)
+  /** Substitute graft views with their parsed SQL, expanding NESTED view
+    * references eagerly with an explicit ancestor chain: one pass fully
+    * resolves any view depth (the analyzer's fixed point never re-expands,
+    * so no per-iteration filesystem probes), and a cycle surfaces as a
+    * clear error instead of "max iterations reached". `memo` bounds
+    * view-existence filesystem checks to one per distinct name per apply. */
+  private def expand(
+      plan: LogicalPlan,
+      chain: Set[String],
+      memo: scala.collection.mutable.Map[String, Boolean]): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case u: UnresolvedRelation if graftCatalogOf(u.multipartIdentifier).exists {
+          case (cat, catName, ident) =>
+            memo.getOrElseUpdate(s"$catName.$ident", cat.viewExists(ident)) } =>
+        val (cat, catName, ident) = graftCatalogOf(u.multipartIdentifier).get
+        val key = s"$catName.$ident"
+        if (chain.contains(key))
+          sys.error(s"recursive view reference: ${(chain + key).mkString(" -> ")}")
+        val view = cat.loadView(ident)
+        val parsed = session.sessionState.sqlParser.parsePlan(view.query)
+        val aliased =
+          if (view.columnAliases() != null && view.columnAliases().nonEmpty)
+            UnresolvedSubqueryColumnAliases(view.columnAliases().toIndexedSeq, parsed)
+          else parsed
+        SubqueryAlias(u.multipartIdentifier.last, expand(aliased, chain + key, memo))
+    }
 
-    case DropView(UnresolvedIdentifier(parts, _), ifExists)
-        if graftCatalogOf(parts).isDefined =>
-      val (cat, _, ident) = graftCatalogOf(parts).get
-      GraftDropViewCommand(cat, ident, ifExists)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val ddlRewritten = plan.resolveOperatorsUp {
+      case CreateView(UnresolvedIdentifier(parts, _), userCols, comment, _, props,
+          originalText, query, allowExisting, replace, _)
+          if graftCatalogOf(parts).isDefined =>
+        val (cat, catName, ident) = graftCatalogOf(parts).get
+        GraftCreateViewCommand(cat, catName, ident, userCols, comment,
+          props, originalText.getOrElse(
+            sys.error("CREATE VIEW without SQL text is not supported")),
+          query, allowExisting, replace)
 
-    case s @ ShowViews(UnresolvedNamespace(parts, _), pattern, output)
-        if parts.nonEmpty && catalogManager.isCatalogRegistered(parts.head) &&
-          catalogManager.catalog(parts.head).isInstanceOf[GraftCatalog] =>
-      GraftShowViewsCommand(
-        catalogManager.catalog(parts.head).asInstanceOf[GraftCatalog],
-        parts.tail, pattern, output)
+      case DropView(UnresolvedIdentifier(parts, _), ifExists)
+          if graftCatalogOf(parts).isDefined =>
+        val (cat, _, ident) = graftCatalogOf(parts).get
+        GraftDropViewCommand(cat, ident, ifExists)
 
-    // reads: substitute the stored SQL text as a subquery
-    case u: UnresolvedRelation if graftCatalogOf(u.multipartIdentifier).exists {
-        case (cat, _, ident) => cat.viewExists(ident) } =>
-      val (cat, _, ident) = graftCatalogOf(u.multipartIdentifier).get
-      val view = cat.loadView(ident)
-      val parsed = session.sessionState.sqlParser.parsePlan(view.query)
-      val aliased =
-        if (view.columnAliases() != null && view.columnAliases().nonEmpty)
-          UnresolvedSubqueryColumnAliases(view.columnAliases().toIndexedSeq, parsed)
-        else parsed
-      SubqueryAlias(u.multipartIdentifier.last, aliased)
+      case ShowViews(UnresolvedNamespace(parts, _), pattern, output)
+          if parts.nonEmpty && catalogManager.isCatalogRegistered(parts.head) &&
+            catalogManager.catalog(parts.head).isInstanceOf[GraftCatalog] =>
+        GraftShowViewsCommand(
+          catalogManager.catalog(parts.head).asInstanceOf[GraftCatalog],
+          parts.tail, pattern, output)
+    }
+    expand(ddlRewritten, Set.empty,
+      scala.collection.mutable.Map.empty[String, Boolean])
   }
 }
 
@@ -94,6 +120,15 @@ case class GraftCreateViewCommand(
 
   override def run(session: SparkSession): Seq[Row] = {
     if (allowExisting && !replace && catalog.viewExists(ident)) return Nil
+    // a PERSISTED view must not capture session-local state: its SQL text
+    // re-parses in other sessions where the temp view doesn't exist
+    query.foreach {
+      case u: UnresolvedRelation
+          if session.sessionState.catalog.isTempView(u.multipartIdentifier) =>
+        sys.error(s"cannot create persistent view $ident: it references " +
+          s"temporary view ${u.multipartIdentifier.mkString(".")}")
+      case _ => ()
+    }
     val analyzed = session.sessionState.executePlan(query).analyzed
     val aliases = userCols.map(_._1)
     require(aliases.isEmpty || aliases.length == analyzed.schema.length,

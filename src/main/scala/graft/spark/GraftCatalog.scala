@@ -133,6 +133,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val iceSchema = SchemaConvert.fromSparkSchema(schema)
+    if (viewExists(ident))
+      sys.error(s"a view already exists at $ident")
     val fields = specFieldsOf(iceSchema, partitions)
     val props = properties.asScala.toMap.filter { case (k, _) => !k.startsWith("option.") }
     val t = rest match {
@@ -202,13 +204,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       replace: Boolean,
       orReplace: Boolean): StagedTable = {
     val iceSchema = SchemaConvert.fromSparkSchema(schema)
+    if (viewExists(ident))
+      sys.error(s"a view already exists at $ident")
     val spec = IcePartitionSpec(0, specFieldsOf(iceSchema, partitions))
     val props = properties.asScala.toMap.filter { case (k, _) => !k.startsWith("option.") }
     rest match {
       case Some(c) =>
+        // absence must be the ONLY path to None: a transient REST failure
+        // misread as "no table" would turn RTAS into a spurious create
         val existing =
           try Some(c.loadTable(nsOf(ident), ident.name()))
-          catch { case _: Exception => None }
+          catch { case _: NoSuchElementException => None }
         if (existing.isDefined && !replace && !orReplace)
           throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
             ident.toString)
@@ -372,6 +378,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       info: org.apache.spark.sql.connector.catalog.ViewInfo,
       orCreate: Boolean): org.apache.spark.sql.connector.catalog.View = {
     val loc = locationOf(info.ident())
+    if (tableExists(info.ident()))
+      sys.error(s"a table already exists at ${info.ident()}")
     if (!orCreate && !GraftViews.exists(conf, loc))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(info.ident())
     GraftViews.write(conf, loc, info, orReplace = true)

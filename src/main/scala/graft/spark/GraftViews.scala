@@ -15,7 +15,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * The reference has no view layer (tables only); this is engine surface
   * in the spirit of the Iceberg view spec: engine-agnostic storage of the
-  * query text plus enough context to re-resolve it. */
+  * query text plus enough context to re-resolve it.
+  *
+  * Known limitation: the stored current-catalog/current-namespace context
+  * is persisted but NOT re-applied at read time (OSS Spark has no way to
+  * switch resolution context for a subtree), so view SQL should use
+  * catalog-qualified table names; unqualified references resolve against
+  * the QUERYING session's context. */
 object GraftViews {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -46,8 +52,19 @@ object GraftViews {
     val tmp = new Path(s"$location/.view-${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
-    if (orReplace && fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p)) { fs.delete(tmp, false); sys.error(s"view commit lost a race at $location") }
+    // replace must be one atomic rename (no delete-then-rename window in
+    // which the view doesn't exist): FileContext supports OVERWRITE
+    try {
+      org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf).rename(
+        tmp, p,
+        (if (orReplace) org.apache.hadoop.fs.Options.Rename.OVERWRITE
+         else org.apache.hadoop.fs.Options.Rename.NONE))
+    } catch {
+      case e: Throwable =>
+        fs.delete(tmp, false)
+        if (!orReplace && fs.exists(p)) sys.error(s"view already exists at $location")
+        else throw e
+    }
   }
 
   def read(conf: Configuration, location: String, viewName: String): View = {
@@ -82,8 +99,16 @@ object GraftViews {
   def drop(conf: Configuration, location: String): Boolean = {
     val p = viewFile(location)
     val fs = p.getFileSystem(conf)
-    // the dir holds only the view doc; remove it entirely
-    fs.exists(p) && fs.delete(new Path(location), true)
+    // delete ONLY the view document, never the directory: a recursive
+    // delete would destroy table data if a name collision ever put a
+    // view.json beside a table's metadata/ dir
+    val dropped = fs.exists(p) && fs.delete(p, false)
+    // then clear the dir IF it held nothing but the view doc
+    if (dropped) {
+      val dir = new Path(location)
+      if (fs.exists(dir) && fs.listStatus(dir).isEmpty) fs.delete(dir, false)
+    }
+    dropped
   }
 
   /** view identifiers under a namespace dir: dirs with view.json */

@@ -130,9 +130,17 @@ object StorageCatalog {
         sys.error(s"table already exists at ${table.location}")
       if (replace && !orReplace && v == 0)
         sys.error(s"REPLACE TABLE: no table at ${table.location}")
-      commitMetadata(conf, table.location, expectedVersion = v, table.metadata)
+      // staged commits bumped versions in memory only, so the accumulated
+      // metadataLog names files that were never written — publish a clean
+      // log (external metadata-log walkers must never hit missing files)
+      commitMetadata(conf, table.location, expectedVersion = v,
+        table.metadata.copy(metadataLog = Nil))
     }
-    def abort(): Unit = () // nothing committed; staged files are orphans
+    // Nothing committed; staged files are orphans, reclaimable by
+    // removeOrphanFiles with an olderThan cutoff PREDATING the staged
+    // write — its mtime filter is also what keeps a concurrent in-flight
+    // staging's fresh files safe from a GC running with a sane cutoff.
+    def abort(): Unit = ()
   }
 
   def stageTable(

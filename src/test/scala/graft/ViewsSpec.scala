@@ -48,6 +48,51 @@ class ViewsSpec extends AnyFunSuite {
     assert(spark.table("gview.db.v2").collect().head.getLong(0) === 10)
   }
 
+  test("DROP VIEW never deletes table data; name collisions are rejected") {
+    setup()
+    // view name colliding with an existing table is rejected both ways
+    intercept[Exception] {
+      spark.sql("CREATE VIEW gview.db.vt AS SELECT 1 AS one")
+    }
+    intercept[Exception] {
+      spark.sql("CREATE OR REPLACE VIEW gview.db.vt AS SELECT 1 AS one")
+    }
+    // table creation over an existing view is rejected
+    spark.sql("CREATE OR REPLACE VIEW gview.db.vguard AS SELECT 1 AS one")
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gview.db.vguard (x INT)")
+    }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gview.db.vguard AS SELECT 2 AS two")
+    }
+    spark.sql("DROP VIEW gview.db.vguard")
+    // and the table is still fully readable
+    assert(spark.table("gview.db.vt").count() === 5)
+  }
+
+  test("recursive views fail with a clear error, not max-iterations") {
+    setup()
+    spark.sql("CREATE OR REPLACE VIEW gview.db.c1 AS SELECT r_name FROM gview.db.vt")
+    spark.sql("CREATE OR REPLACE VIEW gview.db.c2 AS SELECT r_name FROM gview.db.c1")
+    // re-pointing c1 at c2 closes the cycle (analysis at create time sees
+    // the OLD c1 through c2, so the replace itself succeeds)
+    spark.sql("CREATE OR REPLACE VIEW gview.db.c1 AS SELECT r_name FROM gview.db.c2")
+    val err = intercept[Exception] { spark.table("gview.db.c1").count() }
+    assert(err.getMessage.contains("recursive view"),
+      s"expected recursive-view error, got: ${err.getMessage}")
+    spark.sql("DROP VIEW gview.db.c1")
+    spark.sql("DROP VIEW gview.db.c2")
+  }
+
+  test("persisted views cannot capture temp views") {
+    setup()
+    val err = intercept[Exception] {
+      spark.sql("CREATE VIEW gview.db.vtmp AS SELECT * FROM vsrc")
+    }
+    assert(err.getMessage.contains("temporary view"),
+      s"expected temp-view rejection, got: ${err.getMessage}")
+  }
+
   test("CREATE OR REPLACE VIEW swaps the definition") {
     setup()
     spark.sql("CREATE OR REPLACE VIEW gview.db.v3 AS SELECT r_name FROM gview.db.vt")
