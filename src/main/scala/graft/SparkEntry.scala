@@ -550,12 +550,14 @@ object SparkEntry {
     }),
     "dedup_simhash_pairs" -> ((s, dir) => {
       // pigeonhole Hamming candidates -> exact-Jaccard verify. Every
-      // planted near-dup in this corpus sits at Hamming <= 9, so
-      // maxHamming=10 (11 blocks) makes candidate RECALL exact and the
-      // verified pair set equals DuckDB's exact-Jaccard >= 0.9 pairs —
-      // a hash oracle over the whole pigeonhole pipeline.
+      // near-dup in this corpus sits at Hamming <= 15 (measured at BOTH
+      // sf0.01 and sf0.1 — at 10 the sf0.1 corpus loses 3 true pairs), so
+      // maxHamming=15 (16 blocks x 4-bit keys) makes candidate RECALL
+      // exact while buckets stay far under the cap; the verified pair set
+      // equals DuckDB's exact-Jaccard >= 0.9 pairs — a hash oracle over
+      // the whole pigeonhole pipeline.
       val docs = t(s, dir, "documents")
-      val cand = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
+      val cand = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 15)
       Dedup.ngramJaccard(docs, "doc_id", "text", cand.select(col("a"), col("b")), n = 2)
         .filter(col("jaccard") >= 0.9)
         .select(col("a"), col("b"), col("jaccard"))

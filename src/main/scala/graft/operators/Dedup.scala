@@ -112,7 +112,13 @@ object Dedup {
     * dedup uses small distances (default 3 -> 16-bit keys). `maxBucket`
     * caps degenerate buckets (a bucket of m docs yields O(m²) pairs);
     * a dropped bucket trades recall for boundedness, exactly like the
-    * minhash-LSH and embedding paths. */
+    * minhash-LSH and embedding paths.
+    *
+    * SIZE THE KEY SPACE TO THE CORPUS: recall silently collapses when
+    * corpus / 2^(64/(maxHamming+1)) exceeds `maxBucket`, because every
+    * bucket blows the cap and is dropped (e.g. maxHamming=21 -> 2-bit
+    * keys -> 4 buckets/block). Keep expected bucket size well under the
+    * cap, or raise `maxBucket` along with `maxHamming`. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
