@@ -38,7 +38,7 @@ object GraftMetadataTables {
 
   val Kinds: Set[String] =
     Set("snapshots", "history", "refs", "manifests", "files", "partitions",
-      "entries")
+      "entries", "metadata_log_entries")
 
   // ---------- schemas ----------
 
@@ -54,6 +54,11 @@ object GraftMetadataTables {
     StructField("operation", StringType, nullable = true),
     StructField("manifest_list", StringType, nullable = false),
     StructField("summary", summaryType, nullable = false)))
+
+  val metadataLogSchema: StructType = StructType(Seq(
+    StructField("timestamp", TimestampType, nullable = false),
+    StructField("file", StringType, nullable = false),
+    StructField("is_current", BooleanType, nullable = false)))
 
   val historySchema: StructType = StructType(Seq(
     StructField("made_current_at", TimestampType, nullable = false),
@@ -140,6 +145,7 @@ object GraftMetadataTables {
     case "files" => filesSchema(meta)
     case "partitions" => partitionsSchema(meta)
     case "entries" => entriesSchema(meta)
+    case "metadata_log_entries" => metadataLogSchema
   }
 
   // ---------- row building (external Row values; converted per-schema) ----------
@@ -164,6 +170,15 @@ object GraftMetadataTables {
       Seq(ts(e.timestampMs), id, byId.get(id).flatMap(_.parentSnapshotId).orNull,
         ancestors.contains(id))
     }
+  }
+
+  /** past metadata files (the Iceberg metadata-log) + the current one */
+  def metadataLogRows(table: GraftTable): Seq[Seq[Any]] = {
+    val meta = table.metadata
+    val past = meta.metadataLog.map(e =>
+      Seq(ts(e.timestampMs), table.relocate(e.ref), false))
+    past :+ Seq(ts(meta.lastUpdatedMs),
+      s"${table.location}/metadata/v${table.version}.metadata.json", true)
   }
 
   def refRows(meta: TableMetadata): Seq[Seq[Any]] =
@@ -296,6 +311,7 @@ class GraftMetadataLocalScan(table: GraftTable, kind: String, schema: StructType
       case "snapshots" => snapshotRows(meta)
       case "history" => historyRows(meta)
       case "refs" => refRows(meta)
+      case "metadata_log_entries" => metadataLogRows(table)
       case "manifests" =>
         meta.currentSnapshot.map(manifestRows(table, _)).getOrElse(Nil)
       case "partitions" =>

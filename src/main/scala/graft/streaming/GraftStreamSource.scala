@@ -92,11 +92,21 @@ case class SeqOffset(seq: Long) extends Offset {
 /** `maxSeqsPerTrigger` rate-limits each micro-batch to that many snapshot
   * increments (sequence numbers) — a query starting against a table with a
   * deep commit backlog drains it in bounded batches instead of one giant
-  * first batch (the streaming analogue of maxFilesPerTrigger). */
+  * first batch (the streaming analogue of maxFilesPerTrigger).
+  *
+  * Implements [[SupportsTriggerAvailableNow]] the way Spark's own
+  * FileStreamSource does on a v1 `Source`: `Trigger.AvailableNow` latches
+  * the table's current head sequence at query start and drains up to it
+  * in rate-limited batches, then terminates — WITHOUT it, Spark falls
+  * back to one single rate-limited batch and silently strands the rest
+  * of the backlog. */
 class GraftStreamSource(
     spark: SparkSession,
     location: String,
-    maxSeqsPerTrigger: Option[Long] = None) extends Source {
+    maxSeqsPerTrigger: Option[Long] = None) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit}
 
   private val conf = spark.sparkContext.hadoopConfiguration
 
@@ -106,24 +116,52 @@ class GraftStreamSource(
     * batches re-delivered after restart only ever lower-bound this */
   @volatile private var lastSeenSeq = 0L
 
+  /** AvailableNow: head sequence latched at query start; None = unbounded */
+  @volatile private var latchedHeadSeq: Option[Long] = None
+
   override def schema: StructType =
     SchemaConvert.toSparkSchema(table.metadata.currentSchema)
 
-  override def getOffset: Option[Offset] = {
+  private def nextOffset(rateLimit: Option[Long]): Option[Offset] = {
     val t = table
-    t.metadata.currentSnapshot.map { s =>
-      val end = maxSeqsPerTrigger match {
+    t.metadata.currentSnapshot.flatMap { s =>
+      val head = latchedHeadSeq.map(math.min(_, s.sequenceNumber))
+        .getOrElse(s.sequenceNumber)
+      val end = rateLimit match {
         case Some(n) =>
           // skip straight to just below the earliest LIVE snapshot: after
           // snapshot expiry, counting up from 0 would burn one empty
           // micro-batch per expired sequence before reaching data
           if (lastSeenSeq == 0L && t.metadata.snapshots.nonEmpty)
             lastSeenSeq = math.max(0L, t.metadata.snapshots.map(_.sequenceNumber).min - 1)
-          math.min(s.sequenceNumber, lastSeenSeq + n)
-        case None => s.sequenceNumber
+          math.min(head, lastSeenSeq + n)
+        case None => head
       }
-      SeqOffset(end)
+      if (end <= 0) None else Some(SeqOffset(end))
     }
+  }
+
+  override def getOffset: Option[Offset] = nextOffset(maxSeqsPerTrigger)
+
+  // ---- SupportsAdmissionControl / SupportsTriggerAvailableNow ----
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxSeqsPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(startOffset: V2Offset, limit: ReadLimit): V2Offset = {
+    val rate = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        Some(r.maxRows())
+      case _ => maxSeqsPerTrigger
+    }
+    nextOffset(rate).orNull
+  }
+
+  override def reportLatestOffset(): V2Offset =
+    table.metadata.currentSnapshot.map(s => SeqOffset(s.sequenceNumber)).orNull
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    latchedHeadSeq = table.metadata.currentSnapshot.map(_.sequenceNumber)
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {

@@ -97,6 +97,25 @@ class MetadataTablesSpec extends AnyFunSuite {
     assert(cats === Set("a", "b", "c"))
   }
 
+  test("metadata_log_entries tracks past metadata files plus the current one") {
+    setup()
+    val rows = spark.sql(
+      "SELECT file, is_current FROM gmeta.db.mt.metadata_log_entries ORDER BY timestamp")
+      .collect()
+    // 3 commits: create(v1) -> insert(v2) -> insert(v3) -> delete(v4);
+    // the log holds the past files, the final row is the current one
+    assert(rows.length >= 2)
+    assert(rows.count(_.getBoolean(1)) === 1)
+    assert(rows.last.getBoolean(1))
+    assert(rows.last.getString(0).endsWith(".metadata.json"))
+    // every listed past file actually exists on disk
+    val conf = spark.sparkContext.hadoopConfiguration
+    rows.foreach { r =>
+      val p = new org.apache.hadoop.fs.Path(r.getString(0))
+      assert(p.getFileSystem(conf).exists(p), s"missing ${r.getString(0)}")
+    }
+  }
+
   test("multi-field partition tuples survive the files/partitions views") {
     // regression: a List fed to the Catalyst struct converter takes the
     // Product path (:: has productArity 2) and corrupts field 2

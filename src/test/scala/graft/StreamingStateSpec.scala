@@ -38,6 +38,31 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(batchSizes.filter(_ > 0).toSeq === Seq(1L, 1L, 1L))
   }
 
+  test("Trigger.AvailableNow drains the backlog and terminates on its own") {
+    val loc = Files.createTempDirectory("graft-avnow").toFile.getAbsolutePath + "/t"
+    val src = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+    val schema = SchemaConvert.fromSparkSchema(src.schema)
+    val tbl = StorageCatalog.createOrReplaceTable(
+      spark.sparkContext.hadoopConfiguration, loc, schema, IcePartitionSpec(0, Nil))
+    (1 to 4).foreach(i => tbl.append(spark, src.filter(col("id") === i)))
+
+    var total = 0L
+    val q = spark.readStream.format("graft-stream")
+      .option("location", loc)
+      .option("max-seqs-per-trigger", "2") // rate limit still applies per batch
+      .load()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        total += b.count(); ()
+      }
+      .start()
+    // AvailableNow must terminate WITHOUT an explicit stop once the
+    // backlog present at start is drained
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    assert(total === 4L)
+  }
+
   test("stateful sessions carry open state across micro-batches") {
     // user 10: one session split across two commits (gap < 30 min), then a
     // second session; user 20: a single session (never emitted)
