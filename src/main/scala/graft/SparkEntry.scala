@@ -1373,6 +1373,23 @@ object SparkEntry {
         """SELECT status, content, CAST(SUM(record_count) AS BIGINT) AS n_rows
           |FROM graft.db.ment.entries GROUP BY status, content""".stripMargin)
     }),
+    "meta_metadata_log" -> ((s, dir) => {
+      // metadata-log inspection: 3 commits (create + 2 inserts) leave 3
+      // past metadata files plus exactly one current pointer
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.mlog")
+      s.sql("CREATE TABLE graft.db.mlog (r_regionkey BIGINT, r_name STRING)")
+      t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+        .createOrReplaceTempView("mlog_src_gq")
+      s.sql("INSERT INTO graft.db.mlog SELECT * FROM mlog_src_gq")
+      s.sql("INSERT INTO graft.db.mlog SELECT * FROM mlog_src_gq")
+      s.sql(
+        """SELECT is_current, COUNT(*) AS n
+          |FROM graft.db.mlog.metadata_log_entries GROUP BY is_current""".stripMargin)
+    }),
     "meta_manifests" -> ((s, dir) => {
       val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
       s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
@@ -2238,5 +2255,8 @@ object SparkEntry {
         |SELECT 1 AS status, 1 AS content, CAST(1 AS BIGINT) AS n_rows""".stripMargin,
     "sql_views" ->
       "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus",
+    "meta_metadata_log" ->
+      """SELECT * FROM (VALUES (false, CAST(2 AS BIGINT)), (true, CAST(1 AS BIGINT)))
+        |AS t(is_current, n)""".stripMargin,
   )
 }
