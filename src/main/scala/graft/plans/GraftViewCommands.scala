@@ -90,6 +90,21 @@ class ResolveGraftViews(session: SparkSession) extends Rule[LogicalPlan] {
         val (cat, _, ident) = graftCatalogOf(parts).get
         GraftDropViewCommand(cat, ident, ifExists)
 
+      case org.apache.spark.sql.catalyst.plans.logical.SetViewProperties(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedView(parts, _, _, _), props)
+          if graftCatalogOf(parts).isDefined =>
+        val (cat, _, ident) = graftCatalogOf(parts).get
+        GraftAlterViewCommand(cat, ident,
+          props.map { case (k, v) =>
+            org.apache.spark.sql.connector.catalog.ViewChange.setProperty(k, v) }.toSeq)
+
+      case org.apache.spark.sql.catalyst.plans.logical.UnsetViewProperties(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedView(parts, _, _, _), keys, _)
+          if graftCatalogOf(parts).isDefined =>
+        val (cat, _, ident) = graftCatalogOf(parts).get
+        GraftAlterViewCommand(cat, ident,
+          keys.map(org.apache.spark.sql.connector.catalog.ViewChange.removeProperty))
+
       case ShowViews(UnresolvedNamespace(parts, _), pattern, output)
           if parts.nonEmpty && catalogManager.isCatalogRegistered(parts.head) &&
             catalogManager.catalog(parts.head).isInstanceOf[GraftCatalog] =>
@@ -149,6 +164,17 @@ case class GraftCreateViewCommand(
       allProps)
     if (replace) catalog.replaceView(info, orCreate = true)
     else catalog.createView(info)
+    Nil
+  }
+}
+
+case class GraftAlterViewCommand(
+    catalog: GraftCatalog,
+    ident: Identifier,
+    changes: Seq[org.apache.spark.sql.connector.catalog.ViewChange])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    catalog.alterView(ident, changes: _*)
     Nil
   }
 }

@@ -93,6 +93,21 @@ class ViewsSpec extends AnyFunSuite {
       s"expected temp-view rejection, got: ${err.getMessage}")
   }
 
+  test("ALTER VIEW SET/UNSET TBLPROPERTIES persists through the catalog") {
+    setup()
+    spark.sql("CREATE OR REPLACE VIEW gview.db.vp AS SELECT r_name FROM gview.db.vt")
+    spark.sql("ALTER VIEW gview.db.vp SET TBLPROPERTIES ('steward' = 'etl', 'tier' = 'gold')")
+    val cat = spark.sessionState.catalogManager.catalog("gview")
+      .asInstanceOf[graft.spark.GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "vp")
+    assert(cat.loadView(ident).properties().get("steward") === "etl")
+    spark.sql("ALTER VIEW gview.db.vp UNSET TBLPROPERTIES ('steward')")
+    val props = cat.loadView(ident).properties()
+    assert(!props.containsKey("steward") && props.get("tier") === "gold")
+    // definition untouched by property changes
+    assert(spark.table("gview.db.vp").count() === 5)
+  }
+
   test("CREATE OR REPLACE VIEW swaps the definition") {
     setup()
     spark.sql("CREATE OR REPLACE VIEW gview.db.v3 AS SELECT r_name FROM gview.db.vt")
