@@ -99,11 +99,13 @@ class ResolveGraftViews(session: SparkSession) extends Rule[LogicalPlan] {
             org.apache.spark.sql.connector.catalog.ViewChange.setProperty(k, v) }.toSeq)
 
       case org.apache.spark.sql.catalyst.plans.logical.UnsetViewProperties(
-          org.apache.spark.sql.catalyst.analysis.UnresolvedView(parts, _, _, _), keys, _)
+          org.apache.spark.sql.catalyst.analysis.UnresolvedView(parts, _, _, _),
+          keys, ifExists)
           if graftCatalogOf(parts).isDefined =>
         val (cat, _, ident) = graftCatalogOf(parts).get
         GraftAlterViewCommand(cat, ident,
-          keys.map(org.apache.spark.sql.connector.catalog.ViewChange.removeProperty))
+          keys.map(org.apache.spark.sql.connector.catalog.ViewChange.removeProperty),
+          requireKeys = if (ifExists) Nil else keys)
 
       case ShowViews(UnresolvedNamespace(parts, _), pattern, output)
           if parts.nonEmpty && catalogManager.isCatalogRegistered(parts.head) &&
@@ -171,9 +173,19 @@ case class GraftCreateViewCommand(
 case class GraftAlterViewCommand(
     catalog: GraftCatalog,
     ident: Identifier,
-    changes: Seq[org.apache.spark.sql.connector.catalog.ViewChange])
-    extends LeafRunnableCommand {
+    changes: Seq[org.apache.spark.sql.connector.catalog.ViewChange],
+    requireKeys: Seq[String] = Nil) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
+    if (requireKeys.nonEmpty) {
+      // UNSET without IF EXISTS must fail on a missing key (a silent no-op
+      // would mask property-name typos)
+      val present = catalog.loadView(ident).properties()
+      val missing = requireKeys.filterNot(present.containsKey)
+      if (missing.nonEmpty)
+        sys.error(s"cannot unset nonexistent propert${
+          if (missing.size == 1) "y" else "ies"}: ${missing.mkString(", ")} " +
+          "(use IF EXISTS to ignore)")
+    }
     catalog.alterView(ident, changes: _*)
     Nil
   }

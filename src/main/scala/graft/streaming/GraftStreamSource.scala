@@ -152,6 +152,10 @@ class GraftStreamSource(
     val rate = limit match {
       case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
         Some(r.maxRows())
+      // Trigger.Once sends ReadAllAvailable and expects EVERYTHING in one
+      // batch — re-applying the per-trigger cap here would strand the
+      // backlog past one batch when the query then stops
+      case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable => None
       case _ => maxSeqsPerTrigger
     }
     nextOffset(rate).orNull
@@ -161,7 +165,11 @@ class GraftStreamSource(
     table.metadata.currentSnapshot.map(s => SeqOffset(s.sequenceNumber)).orNull
 
   override def prepareForTriggerAvailableNow(): Unit = {
-    latchedHeadSeq = table.metadata.currentSnapshot.map(_.sequenceNumber)
+    // latch UNCONDITIONALLY: an empty-at-start table must latch 0 (process
+    // nothing, terminate) — leaving None would track a live writer's head
+    // and the AvailableNow query would never self-terminate
+    latchedHeadSeq = Some(
+      table.metadata.currentSnapshot.map(_.sequenceNumber).getOrElse(0L))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {

@@ -682,9 +682,7 @@ class GraftTable(
       refs = liveRefs,
       snapshotLog = base.snapshotLog.filter(e => keepIds.contains(e.ref.toLong)),
       lastUpdatedMs = System.currentTimeMillis())
-    val newVersion = committer(newMeta, version)
-    metadata = newMeta
-    version = newVersion
+    commitMetaOnly(newMeta)
     expired.foreach { s =>
       try {
         val p = new Path(relocate(s.manifestList))
@@ -742,6 +740,20 @@ class GraftTable(
     commitSchema(newSchema, base.lastColumnId)
   }
 
+  /** metadata-only commit: record the metadata file this commit REPLACES
+    * in the metadata-log (same convention as snapshot commits — without
+    * this, schema/ref/rollback/expire versions would be invisible to the
+    * `metadata_log_entries` view and external log walkers). */
+  private def commitMetaOnly(newMeta: TableMetadata): GraftTable = {
+    val logged = newMeta.copy(metadataLog = metadata.metadataLog :+
+      IceLogEntry(metadata.lastUpdatedMs,
+        s"${StorageCatalog.metadataDir(location)}/v$version.metadata.json"))
+    val newVersion = committer(logged, version)
+    metadata = logged
+    version = newVersion
+    this
+  }
+
   private def commitSchema(newSchema: IceSchema, lastColumnId: Int): GraftTable = {
     val base = metadata
     val newMeta = base.copy(
@@ -749,10 +761,7 @@ class GraftTable(
       currentSchemaId = newSchema.schemaId,
       lastColumnId = lastColumnId,
       lastUpdatedMs = System.currentTimeMillis())
-    val newVersion = committer(newMeta, version)
-    metadata = newMeta
-    version = newVersion
-    this
+    commitMetaOnly(newMeta)
   }
 
   /** Partition spec evolution: declare a NEW default spec (fresh spec id,
@@ -774,10 +783,7 @@ class GraftTable(
       defaultSpecId = newSpecId,
       lastPartitionId = base.lastPartitionId + assigned.size,
       lastUpdatedMs = System.currentTimeMillis())
-    val newVersion = committer(newMeta, version)
-    metadata = newMeta
-    version = newVersion
-    this
+    commitMetaOnly(newMeta)
   }
 
   /** Declare a table sort order (the reference's SortOrder metadata,
@@ -798,10 +804,7 @@ class GraftTable(
       sortOrders = base.sortOrders :+ IceSortOrder(newId, sortFields),
       defaultSortOrderId = newId,
       lastUpdatedMs = System.currentTimeMillis())
-    val newVersion = committer(newMeta, version)
-    metadata = newMeta
-    version = newVersion
-    this
+    commitMetaOnly(newMeta)
   }
 
   /** set/replace table properties (metadata-only commit) */
@@ -810,10 +813,7 @@ class GraftTable(
     val newMeta = base.copy(
       properties = base.properties ++ props,
       lastUpdatedMs = System.currentTimeMillis())
-    val newVersion = committer(newMeta, version)
-    metadata = newMeta
-    version = newVersion
-    this
+    commitMetaOnly(newMeta)
   }
 
   // ---------- branches / tags ----------
@@ -844,10 +844,7 @@ class GraftTable(
         if (to == "main") base.snapshotLog :+ IceLogEntry(now, src.snapshotId.toString)
         else base.snapshotLog,
       lastUpdatedMs = now)
-    val newVersion = committer(newMeta, version)
-    metadata = newMeta
-    version = newVersion
-    this
+    commitMetaOnly(newMeta)
   }
 
   def createTag(name: String, snapshotId: Long): GraftTable =
@@ -861,10 +858,7 @@ class GraftTable(
     val newMeta = base.copy(
       refs = base.refs + (name -> ref),
       lastUpdatedMs = System.currentTimeMillis())
-    val newVersion = committer(newMeta, version)
-    metadata = newMeta
-    version = newVersion
-    this
+    commitMetaOnly(newMeta)
   }
 
   /** scan a named branch or tag */
@@ -887,10 +881,7 @@ class GraftTable(
       refs = base.refs + ("main" -> IceSnapshotRef(snapshotId, "branch")),
       snapshotLog = base.snapshotLog :+ IceLogEntry(now, snapshotId.toString),
       lastUpdatedMs = now)
-    val newVersion = committer(newMeta, version)
-    metadata = newMeta
-    version = newVersion
-    this
+    commitMetaOnly(newMeta)
   }
 
   // ---------- commit ----------

@@ -99,9 +99,10 @@ class MetadataTablesSpec extends AnyFunSuite {
 
   test("metadata_log_entries tracks past metadata files plus the current one") {
     setup()
+    // is_current tie-breaks same-millisecond commits deterministically
     val rows = spark.sql(
-      "SELECT file, is_current FROM gmeta.db.mt.metadata_log_entries ORDER BY timestamp")
-      .collect()
+      "SELECT file, is_current FROM gmeta.db.mt.metadata_log_entries " +
+        "ORDER BY timestamp, is_current").collect()
     // 3 commits: create(v1) -> insert(v2) -> insert(v3) -> delete(v4);
     // the log holds the past files, the final row is the current one
     assert(rows.length >= 2)
