@@ -6,7 +6,7 @@ import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, Str
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
-import graft.tables.{SchemaConvert, StorageCatalog, TableWrite}
+import graft.tables.{GraftTable, SchemaConvert, StorageCatalog, TableWrite}
 
 /** Streaming source AND sink over a graft table.
   *
@@ -110,7 +110,16 @@ class GraftStreamSource(
 
   private val conf = spark.sparkContext.hadoopConfiguration
 
-  private def table = StorageCatalog.loadTable(conf, location)
+  /** most recent load, reused by [[reportLatestOffset]] so progress
+    * reporting doesn't re-read table metadata right after latestOffset
+    * already did (2x metadata I/O per trigger on remote storage) */
+  @volatile private var lastLoaded: GraftTable = _
+
+  private def table = {
+    val t = StorageCatalog.loadTable(conf, location)
+    lastLoaded = t
+    t
+  }
 
   /** highest sequence already handed out, for rate limiting; recovered
     * batches re-delivered after restart only ever lower-bound this */
@@ -162,7 +171,8 @@ class GraftStreamSource(
   }
 
   override def reportLatestOffset(): V2Offset =
-    table.metadata.currentSnapshot.map(s => SeqOffset(s.sequenceNumber)).orNull
+    Option(lastLoaded).getOrElse(table)
+      .metadata.currentSnapshot.map(s => SeqOffset(s.sequenceNumber)).orNull
 
   override def prepareForTriggerAvailableNow(): Unit = {
     // latch UNCONDITIONALLY: an empty-at-start table must latch 0 (process
