@@ -107,6 +107,19 @@ class ResolveGraftViews(session: SparkSession) extends Rule[LogicalPlan] {
           keys.map(org.apache.spark.sql.connector.catalog.ViewChange.removeProperty),
           requireKeys = if (ifExists) Nil else keys)
 
+      case org.apache.spark.sql.catalyst.plans.logical.RenameTable(
+          u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView, newName, true)
+          if graftCatalogOf(u.multipartIdentifier)
+            .exists { case (cat, _, ident) => cat.viewExists(ident) } =>
+        val (cat, catName, from) = graftCatalogOf(u.multipartIdentifier).get
+        val to = graftCatalogOf(newName) match {
+          case Some((_, catName2, toIdent)) if catName2 == catName => toIdent
+          case None if newName.length == 1 => Identifier.of(from.namespace, newName.head)
+          case _ => sys.error(
+            s"cannot rename view across catalogs: ${newName.mkString(".")}")
+        }
+        GraftRenameViewCommand(cat, from, to)
+
       case ShowViews(UnresolvedNamespace(parts, _), pattern, output)
           if parts.nonEmpty && catalogManager.isCatalogRegistered(parts.head) &&
             catalogManager.catalog(parts.head).isInstanceOf[GraftCatalog] =>
@@ -139,13 +152,15 @@ case class GraftCreateViewCommand(
     if (allowExisting && !replace && catalog.viewExists(ident)) return Nil
     // a PERSISTED view must not capture session-local state: its SQL text
     // re-parses in other sessions where the temp view doesn't exist
-    query.foreach {
+    // walk subquery-expression plans too (EXISTS/IN/scalar subqueries) —
+    // a temp view hidden inside one breaks the stored SQL on re-parse
+    (query +: query.subqueriesAll).foreach(_.foreach {
       case u: UnresolvedRelation
           if session.sessionState.catalog.isTempView(u.multipartIdentifier) =>
         sys.error(s"cannot create persistent view $ident: it references " +
           s"temporary view ${u.multipartIdentifier.mkString(".")}")
       case _ => ()
-    }
+    })
     val analyzed = session.sessionState.executePlan(query).analyzed
     val aliases = userCols.map(_._1)
     require(aliases.isEmpty || aliases.length == analyzed.schema.length,
@@ -199,6 +214,16 @@ case class GraftDropViewCommand(
     val dropped = catalog.dropView(ident)
     if (!dropped && !ifExists)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    Nil
+  }
+}
+
+case class GraftRenameViewCommand(
+    catalog: GraftCatalog,
+    from: Identifier,
+    to: Identifier) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    catalog.renameView(from, to)
     Nil
   }
 }

@@ -227,10 +227,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val handle = StorageCatalog.stageTable(
           conf, loc, iceSchema, spec, props, replace, orReplace)
         new GraftStagedV2Table(handle.table,
-          publishFn = () => existing match {
-            case Some(old) => c.commitTable(
-              nsOf(ident), ident.name(), old.version, handle.table.metadata)
-            case None => c.createTable(nsOf(ident), ident.name(), handle.table.metadata)
+          publishFn = () => {
+            // metadataLog names staged in-memory versions that were never
+            // written — publish a clean log (mirrors StagedHandle.publish)
+            val meta = handle.table.metadata.copy(metadataLog = Nil)
+            existing match {
+              case Some(old) => c.commitTable(nsOf(ident), ident.name(), old.version, meta)
+              case None => c.createTable(nsOf(ident), ident.name(), meta)
+            }
           },
           abortFn = () => handle.abort())
       case None =>
@@ -412,6 +416,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def renameView(from: Identifier, to: Identifier): Unit = {
     if (!viewExists(from))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(from)
+    if (tableExists(to))
+      sys.error(s"cannot rename view $from to $to: a table already exists there")
     val v = loadView(from)
     val info = new org.apache.spark.sql.connector.catalog.ViewInfo(
       to, v.query(), v.currentCatalog(), v.currentNamespace(), v.schema(),

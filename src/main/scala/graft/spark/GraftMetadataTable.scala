@@ -93,7 +93,11 @@ object GraftMetadataTables {
     * under older specs null-fill fields the current spec added */
   def partitionStruct(meta: TableMetadata): StructType = StructType(
     meta.defaultSpec.fields.map { pf =>
+      // same fallback chain as resultTypesOf: a partition source column
+      // dropped from the current schema must still resolve to its REAL
+      // type or the declared Spark type disagrees with produced values
       val src = meta.currentSchema.fieldById(pf.sourceId)
+        .orElse(meta.schemas.flatMap(_.fieldById(pf.sourceId)).headOption)
         .map(_.fieldType).getOrElse(IcePrim("string"))
       StructField(pf.name,
         SchemaConvert.toSparkType(SchemaConvert.transformResultType(pf.transform, src)),

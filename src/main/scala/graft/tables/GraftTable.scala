@@ -182,9 +182,14 @@ class GraftTable(
     * seq-based filter would silently re-emit them as fresh appends.
     * Refuse loudly instead of answering wrong. */
   private[graft] def assertAppendOnlyRange(fromSeq: Long, toSeq: Long): Unit = {
+    // replace-style snapshots (compaction, zorder, TRUNCATE) are detected
+    // by operation name OR the explicit replace marker in the summary —
+    // TRUNCATE commits operation 'delete' but rewrites the live file set,
+    // so the name alone is not enough
     val bad = metadata.snapshots.filter(s =>
       s.sequenceNumber > fromSeq && s.sequenceNumber <= toSeq &&
-        !Set("append", "delete").contains(s.summary.getOrElse("operation", "append")))
+        (!Set("append", "delete").contains(s.summary.getOrElse("operation", "append")) ||
+          s.summary.get("graft.replace").contains("true")))
     if (bad.nonEmpty)
       sys.error("incremental read range contains non-append snapshot(s) " +
         bad.map(s => s"${s.snapshotId} (${s.summary.getOrElse("operation", "?")})")
@@ -1054,7 +1059,11 @@ class GraftTable(
     val exData = existing.filter(_.file.content == DataContent.Data)
     val exDeletes = existing.filterNot(_.file.content == DataContent.Data)
     val summary = Map(
-      "operation" -> operation,
+      "operation" -> operation) ++
+      // mark replace-style commits explicitly: incremental/changelog range
+      // guards must refuse them even when the operation name ('delete' for
+      // TRUNCATE) looks append-safe
+      (if (replace) Map("graft.replace" -> "true") else Map.empty) ++ Map(
       "added-data-files" -> addedData.size.toString,
       "added-delete-files" -> addedDeletes.size.toString,
       "added-records" -> addedRecords.toString,

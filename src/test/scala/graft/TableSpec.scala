@@ -337,4 +337,23 @@ class TableSpec extends AnyFunSuite {
     t.scan(spark).count()
     assert(Metrics.get(Metrics.PlanFilesCalls) === 1L)
   }
+
+  test("incremental/changelog ranges spanning a TRUNCATE fail loudly") {
+    val loc = tmpLocation("truncrange")
+    val src = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src)
+    val fromId = t.metadata.currentSnapshot.get.snapshotId
+    t.append(spark, Seq((3L, "c")).toDF("k", "v"))
+    // TRUNCATE commits operation 'delete' but replaces the live file set —
+    // the range guard must catch it via the replace marker, not the name
+    t.truncate()
+    t.append(spark, Seq((4L, "d")).toDF("k", "v"))
+    val err = intercept[Exception] { t.changes(spark, fromId).count() }
+    assert(err.getMessage.contains("non-append"),
+      s"expected replace-range refusal, got: ${err.getMessage}")
+    val err2 = intercept[Exception] { t.scanIncremental(spark, fromId).count() }
+    assert(err2.getMessage.contains("non-append"))
+  }
 }

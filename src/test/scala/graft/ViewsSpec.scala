@@ -93,6 +93,34 @@ class ViewsSpec extends AnyFunSuite {
       s"expected temp-view rejection, got: ${err.getMessage}")
   }
 
+  test("temp views hiding inside subquery expressions are rejected too") {
+    setup()
+    val err = intercept[Exception] {
+      spark.sql("CREATE VIEW gview.db.vsub AS SELECT r_name FROM gview.db.vt t " +
+        "WHERE EXISTS (SELECT 1 FROM vsrc s WHERE s.r_regionkey = t.r_regionkey)")
+    }
+    assert(err.getMessage.contains("temporary view"),
+      s"expected temp-view rejection, got: ${err.getMessage}")
+  }
+
+  test("ALTER VIEW RENAME refuses an identifier occupied by a table") {
+    setup()
+    spark.sql("CREATE OR REPLACE VIEW gview.db.vren AS SELECT r_name FROM gview.db.vt")
+    val err = intercept[Exception] {
+      spark.sql("ALTER VIEW gview.db.vren RENAME TO gview.db.vt")
+    }
+    assert(err.getMessage.contains("table already exists"),
+      s"expected collision rejection, got: ${err.getMessage}")
+    // the view is untouched by the failed rename
+    assert(spark.table("gview.db.vren").count() === 5)
+    // and a rename to a free identifier works end to end
+    spark.sql("DROP VIEW IF EXISTS gview.db.vren2")
+    spark.sql("ALTER VIEW gview.db.vren RENAME TO gview.db.vren2")
+    assert(spark.table("gview.db.vren2").count() === 5)
+    intercept[Exception] { spark.table("gview.db.vren").count() }
+    spark.sql("DROP VIEW gview.db.vren2")
+  }
+
   test("ALTER VIEW SET/UNSET TBLPROPERTIES persists through the catalog") {
     setup()
     spark.sql("CREATE OR REPLACE VIEW gview.db.vp AS SELECT r_name FROM gview.db.vt")
