@@ -280,23 +280,45 @@ class GraftTable(
       }
 
     // equality deletes committed in range -> raw rows of LOWER-seq data
-    // files matching the keys (one pass per delete sequence group)
+    // files matching the keys. SINGLE PASS over the data side: all
+    // in-range delete keys union into ONE frame tagged with their delete
+    // sequence, the data files are read once with a broadcast-joined
+    // per-file sequence, and the semi join keeps rows where some delete
+    // with `data_seq < delete_seq` matches — a CDC-heavy range with K
+    // equality-delete commits reads the data once, not K times. Grouped
+    // by equality-id set (commits deleting on different keys can't share
+    // one join's key columns; same-key commits — the common CDC shape —
+    // collapse into one).
     val eqD = planned.filter(p =>
       p.file.content == DataContent.EqualityDeletes && inRange(p.seq))
-    val eqDeleted: Seq[DataFrame] = eqD.groupBy(_.seq).toSeq.map { case (dseq, group) =>
-      val keyNames = group.head.file.equalityIds
-        .flatMap(id => schema.fieldById(id).map(_.name))
-      val keys = pinned.read.parquet(group.map(_.file.filePath): _*)
-        .select(keyNames.map(col): _*).distinct()
-      val older = planned
-        .filter(p => p.file.content == DataContent.Data && p.seq < dseq)
-        .map(_.file.filePath)
-      if (older.isEmpty || keyNames.isEmpty) None
-      else Some(
-        rawWithPos(older).drop("_cf", "_cp")
-          .join(keys, keyNames, "leftsemi")
-          .withColumn("_change_type", lit("delete")))
-    }.flatten
+    val eqDeleted: Seq[DataFrame] =
+      eqD.groupBy(_.file.equalityIds.sorted).toSeq.flatMap { case (ids, group) =>
+        val keyNames = ids.flatMap(id => schema.fieldById(id).map(_.name))
+        val maxDseq = group.map(_.seq).max
+        val older = planned
+          .filter(p => p.file.content == DataContent.Data && p.seq < maxDseq)
+        if (older.isEmpty || keyNames.isEmpty) None
+        else {
+          val keys = group.groupBy(_.seq).toSeq.map { case (dseq, g) =>
+            pinned.read.parquet(g.map(_.file.filePath): _*)
+              .select(keyNames.map(col): _*).distinct()
+              .withColumn("_dseq", lit(dseq))
+          }.reduce(_.unionByName(_))
+          Metrics.inc(Metrics.ChangelogDataFilesRead, older.size.toLong)
+          val seqMap = kvDf(spark,
+            older.map(p => (GraftTable.normPathStr(p.file.filePath), p.seq)),
+            "_sf", "_sseq")
+          val data = rawWithPos(older.map(_.file.filePath))
+            .join(org.apache.spark.sql.functions.broadcast(seqMap),
+              col("_cf") === col("_sf"))
+          Some(data.join(keys,
+              keyNames.map(n => data(n) === keys(n)).reduce(_ && _) &&
+                data("_sseq") < keys("_dseq"),
+              "leftsemi")
+            .drop("_cf", "_cp", "_sf", "_sseq")
+            .withColumn("_change_type", lit("delete")))
+        }
+      }
 
     (Seq(inserts) ++ posDeleted.toSeq ++ eqDeleted).reduce(_.unionByName(_))
   }

@@ -36,4 +36,5 @@ object Metrics {
   val PlanFilesCalls = "plan_files_calls_total"
   val FilesPruned = "files_pruned_total"
   val FilesScanned = "files_scanned_total"
+  val ChangelogDataFilesRead = "changelog_data_files_read_total"
 }

@@ -338,6 +338,35 @@ class TableSpec extends AnyFunSuite {
     assert(Metrics.get(Metrics.PlanFilesCalls) === 1L)
   }
 
+  test("changelog reads the data side ONCE across many equality-delete commits") {
+    val loc = tmpLocation("cdcchange")
+    val src = (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src)
+    val fromId = t.metadata.currentSnapshot.get.snapshotId
+    // five separate equality-delete commits on the same key column — the
+    // CDC shape that amplified reads when each delete-sequence group
+    // re-scanned the older data files
+    (1L to 5L).foreach { k =>
+      t.equalityDelete(spark, Seq(Tuple1(k)).toDF("k"), Seq("k"))
+    }
+    val dataFiles = t.planFiles(t.metadata.currentSnapshot.get)
+      .count(_.file.content == DataContent.Data)
+    Metrics.reset()
+    val out = t.changes(spark, fromId).collect()
+    // the single-pass plan opens each older data file once, not once per
+    // delete-sequence group
+    assert(Metrics.get(Metrics.ChangelogDataFilesRead) === dataFiles.toLong,
+      s"expected $dataFiles data-file reads, got ${Metrics.get(Metrics.ChangelogDataFilesRead)}")
+    assert(out.forall(_.getString(2) === "delete"))
+    assert(out.map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    // an idempotent re-delete of an already-deleted key emits no duplicate
+    t.equalityDelete(spark, Seq(Tuple1(1L)).toDF("k"), Seq("k"))
+    val out2 = t.changes(spark, fromId).collect()
+    assert(out2.map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("incremental/changelog ranges spanning a TRUNCATE fail loudly") {
     val loc = tmpLocation("truncrange")
     val src = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
