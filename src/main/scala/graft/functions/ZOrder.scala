@@ -48,18 +48,28 @@ object ZOrder {
     planes.reduce(_.bitwiseOR(_))
   }
 
-  /** append a `_z` column computed from `colNames` with ranges taken from
-    * one min/max pass over `df` */
-  def withZColumn(df: DataFrame, colNames: Seq[String], zCol: String = "_z"): DataFrame = {
+  /** append a `_z` column computed from `colNames`. Ranges come from
+    * `precomputed` when given (metadata-only — e.g. folded from manifest
+    * bounds, no data scanned) and otherwise from one min/max agg pass
+    * over `df`. Out-of-range values clamp to the curve's ends, so a
+    * slightly stale precomputed range only affects clustering quality,
+    * never row content. */
+  def withZColumn(
+      df: DataFrame,
+      colNames: Seq[String],
+      zCol: String = "_z",
+      precomputed: Option[Seq[(Double, Double)]] = None): DataFrame = {
     val types = colNames.map(n => df.schema(n).dataType)
-    val aggs = colNames.zip(types).flatMap { case (n, dt) =>
-      Seq(min(asDouble(col(n), dt)), max(asDouble(col(n), dt)))
-    }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val ranges = colNames.indices.map { i =>
-      val lo = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
-      val hi = if (row.isNullAt(2 * i + 1)) 1.0 else row.getDouble(2 * i + 1)
-      (lo, hi)
+    val ranges = precomputed.getOrElse {
+      val aggs = colNames.zip(types).flatMap { case (n, dt) =>
+        Seq(min(asDouble(col(n), dt)), max(asDouble(col(n), dt)))
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      colNames.indices.map { i =>
+        val lo = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
+        val hi = if (row.isNullAt(2 * i + 1)) 1.0 else row.getDouble(2 * i + 1)
+        (lo, hi)
+      }
     }
     val z = zvalue(colNames.zip(types).zip(ranges).map { case ((n, dt), r) => (col(n), dt, r) })
     df.withColumn(zCol, z)

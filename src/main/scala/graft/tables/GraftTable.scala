@@ -581,6 +581,37 @@ class GraftTable(
         oldPaths.contains(GraftTable.normPathStr(p.file.filePath)))
     }
 
+  /** Per-column (min, max) for a z-order rewrite folded from manifest
+    * `lower/upper_bounds` — None when any file lacks a bound for any
+    * column, or when a column's type can't map onto the curve's double
+    * scale without a data read. `timestamp` (NTZ) is excluded: Spark
+    * scales it through a session-timezone cast, so manifest micros could
+    * disagree with scan-time doubles under a non-UTC session. */
+  private[graft] def zRangesFromManifests(
+      planned: List[PlannedFile], cols: Seq[String]): Option[Seq[(Double, Double)]] = {
+    val schema = metadata.currentSchema
+    val out = cols.map { name =>
+      val f = schema.findField(name).getOrElse(return None)
+      val ok = f.fieldType match {
+        case IcePrim("int") | IcePrim("long") | IcePrim("date") |
+             IcePrim("float") | IcePrim("double") | IcePrim("timestamptz") => true
+        case IceDecimal(_, _) => true
+        case _ => false
+      }
+      if (!ok) return None
+      def toD(v: Any): Double = v match {
+        case n: java.lang.Number => n.doubleValue()
+        case other => sys.error(s"non-numeric bound $other")
+      }
+      val los = planned.map(_.file.lowerBounds.get(f.id))
+      val his = planned.map(_.file.upperBounds.get(f.id))
+      if (los.exists(_.isEmpty) || his.exists(_.isEmpty)) return None
+      (los.flatten.map(b => toD(SingleValue.decode(f.fieldType, b))).min,
+        his.flatten.map(b => toD(SingleValue.decode(f.fieldType, b))).max)
+    }
+    Some(out)
+  }
+
   /** Z-order rewrite: re-cluster the whole table along a Morton curve
     * over `cols` so file min/max bounds stay tight on EVERY listed
     * column — filters on any of them prune files, where a linear sort
@@ -598,7 +629,13 @@ class GraftTable(
     val totalBytes = planned.map(_.file.fileSizeInBytes).sum
     val targetFiles = math.max(1, (totalBytes / math.max(1L, targetFileSizeBytes)).toInt +
       (if (totalBytes % math.max(1L, targetFileSizeBytes) > 0) 1 else 0))
-    val zed = graft.functions.ZOrder.withZColumn(scan(spark), cols, "_gz")
+    // range discovery is metadata-only when every file carries footer
+    // bounds for every z column (they do for graft-written tables since
+    // TableWrite.statsOf harvests them) — the rewrite then reads the data
+    // exactly once instead of a min/max pre-scan plus the rewrite read
+    val ranges = zRangesFromManifests(planned, cols)
+    if (ranges.isEmpty) Metrics.inc(Metrics.ZOrderRangeScans)
+    val zed = graft.functions.ZOrder.withZColumn(scan(spark), cols, "_gz", ranges)
       .repartitionByRange(targetFiles, col("_gz"))
       .sortWithinPartitions("_gz")
       .drop("_gz")

@@ -37,4 +37,5 @@ object Metrics {
   val FilesPruned = "files_pruned_total"
   val FilesScanned = "files_scanned_total"
   val ChangelogDataFilesRead = "changelog_data_files_read_total"
+  val ZOrderRangeScans = "zorder_range_scans_total"
 }

@@ -61,4 +61,33 @@ class ZOrderSpec extends AnyFunSuite {
     val far = java.lang.Long.numberOfLeadingZeros(z(100, 200) ^ z(900, 800))
     assert(close > far, s"close=$close far=$far")
   }
+
+  test("rewrite ranges fold from manifest bounds — no min/max pre-scan") {
+    import graft.tables._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val d = java.nio.file.Files.createTempDirectory("graft-zmeta").toFile
+    d.delete()
+    val src = (1L to 2000L).map(i => (i, (i * 7 % 500).toInt, s"r$i"))
+      .toDF("k", "c", "v")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, d.getAbsolutePath, SchemaConvert.fromSparkSchema(src.schema),
+      IcePartitionSpec(0, Nil))
+    // two appends -> multiple files, each with footer bounds
+    t.append(spark, src.filter(col("k") <= 1000))
+    t.append(spark, src.filter(col("k") > 1000))
+    val planned = t.planFiles(t.metadata.currentSnapshot.get)
+      .filter(_.file.content == DataContent.Data)
+    assert(t.zRangesFromManifests(planned, Seq("k", "c")) ===
+      Some(Seq((1.0, 2000.0), (0.0, 499.0))))
+    // a column with no numeric curve mapping forces the fallback
+    assert(t.zRangesFromManifests(planned, Seq("k", "v")) === None)
+    Metrics.reset()
+    t.rewriteZOrder(spark, Seq("k", "c"), targetFileSizeBytes = 16L * 1024)
+    assert(Metrics.get(Metrics.ZOrderRangeScans) === 0L,
+      "z-order rewrite ran a min/max pre-scan despite complete manifest bounds")
+    // content identical after the metadata-ranged rewrite
+    val back = t.scan(spark)
+    assert(back.count() === 2000)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
 }
