@@ -45,7 +45,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private var restUri: Option[String] = None
   @volatile private var restClient: RestCatalog.Client = _
 
-  private def conf = SparkSession.active.sparkContext.hadoopConfiguration
+  // session-scoped: per-session fs.* credentials set via spark.conf must
+  // reach catalog metadata I/O exactly like the scan/write paths
+  private def conf = org.apache.spark.sql.GraftBridge.sessionHadoopConf(SparkSession.active)
 
   /** REST mode: catalog pointer operations ride the HTTP client */
   private def rest: Option[RestCatalog.Client] = restUri.map { u =>

@@ -71,7 +71,8 @@ class GraftStreamSourceProvider extends StreamSourceProvider with StreamSinkProv
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val t = StorageCatalog.loadTable(
-      sqlContext.sparkSession.sparkContext.hadoopConfiguration, location(parameters))
+      org.apache.spark.sql.GraftBridge.sessionHadoopConf(sqlContext.sparkSession),
+      location(parameters))
     ("graft-stream", SchemaConvert.toSparkSchema(t.metadata.currentSchema))
   }
 
@@ -108,7 +109,9 @@ class GraftStreamSource(
 
   import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit}
 
-  private val conf = spark.sparkContext.hadoopConfiguration
+  // session-scoped (fs.* credentials set via spark.conf apply to stream
+  // metadata reads, matching the scan/write paths)
+  private val conf = org.apache.spark.sql.GraftBridge.sessionHadoopConf(spark)
 
   /** most recent load, reused by [[reportLatestOffset]] so progress
     * reporting doesn't re-read table metadata right after latestOffset
@@ -236,7 +239,8 @@ class GraftStreamSink(
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
-    val t = StorageCatalog.loadTable(spark.sparkContext.hadoopConfiguration, location)
+    val t = StorageCatalog.loadTable(
+      org.apache.spark.sql.GraftBridge.sessionHadoopConf(spark), location)
     if (committedBatch(t).exists(_ >= batchId)) return // replayed batch
     // streaming DataFrames cannot be re-planned by batch writers: pin the
     // batch contents first (the micro-batch is bounded)
