@@ -85,12 +85,15 @@ private[spark] object GraftProcedures {
         }),
       new GraftProcedure(
         "expire_snapshots",
-        Seq(in("table", StringType), in("older_than_ms", LongType)),
+        Seq(in("table", StringType), in("older_than_ms", LongType),
+          ProcedureParameter.in("delete_data_files", BooleanType)
+            .defaultValue("false").build()),
         out("expired_snapshots" -> LongType, "remaining_snapshots" -> LongType),
         (input, _) => {
           val t = table(input)
           val before = t.metadata.snapshots.size
-          t.expireSnapshots(input.getLong(1))
+          t.expireSnapshots(input.getLong(1),
+            deleteDataFiles = !input.isNullAt(2) && input.getBoolean(2))
           val after = t.metadata.snapshots.size
           Seq(Seq((before - after).toLong, after.toLong))
         }),

@@ -695,7 +695,16 @@ class GraftTable(
     * from a live branch/tag survives — the ref head itself, plus, for
     * branches, ancestors within `minSnapshotsToKeep`/`maxSnapshotAgeMs`.
     * Refs older than their `maxRefAgeMs` are dropped first. */
-  def expireSnapshots(olderThanMs: Long): GraftTable = {
+  /** Expire snapshots older than `olderThanMs` (current snapshot, ref
+    * heads, and ref retention windows always survive). With
+    * `deleteDataFiles` the call also deletes data/delete files and
+    * manifests reachable ONLY from expired snapshots — the fused
+    * "expire + reclaim" pass users expect from one call; without it the
+    * files wait for [[removeOrphanFiles]]. Reference sets are computed
+    * from metadata BEFORE anything is deleted, and an unreadable
+    * surviving manifest aborts file deletion (an unknown live set must
+    * never decide what dies) while metadata expiry still proceeds. */
+  def expireSnapshots(olderThanMs: Long, deleteDataFiles: Boolean = false): GraftTable = {
     val base = metadata
     val now = System.currentTimeMillis()
     val byId = base.snapshots.map(s => s.snapshotId -> s).toMap
@@ -741,18 +750,43 @@ class GraftTable(
         kept.map(s =>
           if (s.snapshotId == newest) s.copy(summary = carried ++ s.summary) else s)
       }
+    // reference sets BEFORE any deletion: per-snapshot manifest paths and
+    // content-file paths. Survivors' sets must be complete — any read
+    // failure there disables file deletion entirely.
+    case class Refs(manifests: Set[String], files: Set[String])
+    def refsOf(snaps: Seq[IceSnapshot]): Refs = {
+      val manifests = snaps.flatMap(s =>
+        ManifestIO.readManifestList(conf, relocate(s.manifestList))
+          .map(e => GraftTable.normPathStr(relocate(e.manifestPath)))).toSet
+      val files = snaps.flatMap(s =>
+        planFiles(s).map(p => GraftTable.normPathStr(p.file.filePath))).toSet
+      Refs(manifests, files)
+    }
+    val reclaim: Option[(Set[String], Set[String])] =
+      if (!deleteDataFiles) None
+      else
+        try {
+          val live = refsOf(kept)
+          // an unreadable EXPIRED manifest only shrinks what we reclaim
+          val dead = try refsOf(expired) catch { case _: Throwable => Refs(Set.empty, Set.empty) }
+          Some((dead.files.diff(live.files), dead.manifests.diff(live.manifests)))
+        } catch { case _: Throwable => None }
     val newMeta = base.copy(
       snapshots = keptWithStamps,
       refs = liveRefs,
       snapshotLog = base.snapshotLog.filter(e => keepIds.contains(e.ref.toLong)),
       lastUpdatedMs = System.currentTimeMillis())
     commitMetaOnly(newMeta)
-    expired.foreach { s =>
+    def rm(path: String): Unit =
       try {
-        val p = new Path(relocate(s.manifestList))
+        val p = new Path(path)
         p.getFileSystem(conf).delete(p, false)
       } catch { case _: Throwable => }
+    reclaim.foreach { case (files, manifests) =>
+      files.foreach(rm)
+      manifests.foreach(rm)
     }
+    expired.foreach(s => rm(relocate(s.manifestList)))
     this
   }
 

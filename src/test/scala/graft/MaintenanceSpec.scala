@@ -123,6 +123,76 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.scan(spark).count() === src.count())
   }
 
+  test("fused expiry reclaims files unreachable from surviving snapshots") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val loc = tmpLocation("expiregc")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    // snapshot 1: files shared with snapshot 2 (append chain)
+    t.append(spark, src.filter($"r_regionkey" < 2))
+    val sharedFiles = t.planFiles(t.metadata.currentSnapshot.get)
+      .map(_.file.filePath)
+    // snapshot 2 carries snapshot 1's files forward
+    t.append(spark, src.filter($"r_regionkey" >= 2))
+    // snapshot 3: overwrite — snapshots 1-2's files become expired-only
+    t.overwrite(spark, src)
+    val beforeFiles = (t.planFiles(t.metadata.snapshots.head).map(_.file.filePath) ++
+      sharedFiles).distinct
+    val liveFiles = t.planFiles(t.metadata.currentSnapshot.get).map(_.file.filePath)
+    val fs = new org.apache.hadoop.fs.Path(loc).getFileSystem(conf)
+    assert(sharedFiles.forall(p => fs.exists(new org.apache.hadoop.fs.Path(p))))
+    t.expireSnapshots(
+      olderThanMs = System.currentTimeMillis() + 1000, deleteDataFiles = true)
+    assert(t.metadata.snapshots.size === 1)
+    // expired-only files are GONE, live ones untouched, table still answers
+    sharedFiles.foreach(p =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(p)), s"expired file survived: $p"))
+    liveFiles.foreach(p =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(p)), s"live file deleted: $p"))
+    assert(t.scan(spark).count() === src.count())
+    assert(beforeFiles.nonEmpty)
+  }
+
+  test("fused expiry never deletes files still reachable from a kept snapshot") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val loc = tmpLocation("expiregcshared")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src.filter($"r_regionkey" < 2))
+    val shared = t.planFiles(t.metadata.currentSnapshot.get).map(_.file.filePath)
+    t.append(spark, src.filter($"r_regionkey" >= 2))
+    // expire snapshot 1 only; snapshot 2 still references snapshot 1's files
+    t.expireSnapshots(
+      olderThanMs = System.currentTimeMillis() + 1000, deleteDataFiles = true)
+    assert(t.metadata.snapshots.size === 1)
+    val fs = new org.apache.hadoop.fs.Path(loc).getFileSystem(conf)
+    shared.foreach(p =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(p)), s"shared file deleted: $p"))
+    assert(t.scan(spark).count() === src.count())
+  }
+
+  test("expire_snapshots procedure takes the delete_data_files flag") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val wh = tmpLocation("procgcwh")
+    spark.conf.set("spark.sql.catalog.gexp", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gexp.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gexp.db")
+    spark.sql("CREATE TABLE gexp.db.t (r_regionkey INT, r_name STRING)")
+    src.createOrReplaceTempView("gexp_src")
+    spark.sql("INSERT INTO gexp.db.t SELECT * FROM gexp_src")
+    val t = StorageCatalog.loadTable(conf, s"$wh/db/t")
+    val old = t.planFiles(t.metadata.currentSnapshot.get).map(_.file.filePath)
+    spark.sql("INSERT OVERWRITE gexp.db.t SELECT * FROM gexp_src")
+    val row = spark.sql(
+      s"CALL gexp.system.expire_snapshots('db.t', ${System.currentTimeMillis() + 1000}, true)")
+      .collect().head
+    assert(row.getLong(0) >= 1L)
+    val fs = new org.apache.hadoop.fs.Path(wh).getFileSystem(conf)
+    old.foreach(p =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(p)), s"expired file survived: $p"))
+    assert(spark.sql("SELECT count(*) FROM gexp.db.t").collect().head.getLong(0) === src.count())
+  }
+
   test("expire keeps snapshots reachable from live refs; ref ages out by maxRefAgeMs") {
     val src = spark.read.parquet(s"$sfDir/region.parquet")
     val loc = tmpLocation("refsafe")
