@@ -791,6 +791,24 @@ object SparkEntry {
         Seq("o_orderkey"))
       tbl.changes(s, snap1)
     }),
+    "ice_changelog_compact" -> ((s, dir) => {
+      // changelog across a mid-range compaction: the rewrite itself emits
+      // NOTHING (content-preserving), earlier position deletes resolve
+      // against their own snapshot's files (the compaction absorbed the
+      // delete files and retired the data paths), and a post-compaction
+      // equality delete resolves against the rewritten files
+      val src = t(s, dir, "orders")
+      val tbl = freshTable(s, "ice_changelog_compact", src)
+      tbl.append(s, src.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+      val snap1 = tbl.metadata.currentSnapshotId.get
+      tbl.append(s, src.filter(pmod(col("o_orderkey"), lit(2)) === 1))
+      tbl.deleteWhere(s, pmod(col("o_orderkey"), lit(10)) === 0)
+      tbl.rewriteDataFiles(s)
+      tbl.equalityDelete(s,
+        src.filter(pmod(col("o_orderkey"), lit(7)) === 3).select(col("o_orderkey")),
+        Seq("o_orderkey"))
+      tbl.changes(s, snap1)
+    }),
     "ice_rollback" -> ((s, dir) => {
       // metadata-only rollback: current pointer moves back, no data rewrite
       val src = t(s, dir, "orders")
@@ -2114,6 +2132,13 @@ object SparkEntry {
         |SELECT *, 'delete' FROM orders WHERE o_orderkey % 10 = 0
         |UNION ALL
         |SELECT *, 'delete' FROM orders WHERE o_orderkey % 7 = 3""".stripMargin,
+    "ice_changelog_compact" ->
+      """SELECT *, 'insert' AS _change_type FROM orders WHERE o_orderkey % 2 = 1
+        |UNION ALL
+        |SELECT *, 'delete' FROM orders WHERE o_orderkey % 10 = 0
+        |UNION ALL
+        |SELECT *, 'delete' FROM orders
+        |WHERE o_orderkey % 7 = 3 AND o_orderkey % 10 <> 0""".stripMargin,
     "ice_spec_evolution" -> "SELECT * FROM orders WHERE o_orderstatus = 'F'",
     "ice_runtime_prune" ->
       """SELECT o_orderstatus AS status, count(*) AS cnt,

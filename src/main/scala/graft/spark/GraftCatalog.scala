@@ -709,15 +709,16 @@ class GraftScanBuilder(
         // snapshot (by data sequence). Deletes do not apply — the result
         // is the appended-rows changelog between the two snapshots.
         val fromSeq = startSnapshotId.map { id =>
-          val seq = table.metadata.snapshotById(id)
+          table.metadata.snapshotById(id)
             .getOrElse(sys.error(s"no snapshot $id for start-snapshot-id"))
             .sequenceNumber
-          table.assertAppendOnlyRange(seq, s.sequenceNumber)
-          seq
         }
-        val allData = planned.filter(_.file.content == DataContent.Data)
+        // incremental: replace-aware walk (rewrites contribute nothing,
+        // absorbed appends resolve through their own snapshots)
+        val allData = fromSeq
+          .map(fs => table.incrementalAddedFiles(fs, s))
+          .getOrElse(planned.filter(_.file.content == DataContent.Data))
           .filter(p => onlyFiles.forall(_.contains(GraftTable.normPathStr(p.file.filePath))))
-          .filter(p => fromSeq.forall(p.seq > _))
         val data = PruneEval.prunePlanned(allData, pruneFilter, table.metadata, iceSchema)
         Metrics.inc(Metrics.ScansPlanned)
         Metrics.inc(Metrics.FilesScanned, data.size.toLong)

@@ -197,10 +197,12 @@ class GraftStreamSource(
       case None =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
       case Some(s) =>
-        val files = t.planFiles(s).filter { p =>
-          p.seq > startSeq && p.seq <= endSeq &&
-            p.file.content == graft.tables.DataContent.Data
-        }
+        // replace-aware: a compaction/z-order commit inside the batch
+        // range re-files EXISTING rows — streaming them again would
+        // duplicate the feed. incrementalAddedFiles skips rewrites and
+        // finds absorbed appends through their own snapshots.
+        val files = t.incrementalAddedFiles(startSeq, s)
+          .filter(_.seq <= endSeq)
         if (files.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
         else graft.tables.GraftTable.pinnedSession(spark).read.schema(sparkSchema)

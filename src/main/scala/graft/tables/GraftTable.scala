@@ -176,26 +176,43 @@ class GraftTable(
     * keyed by snapshot sequence instead of (file, row). Append-only
     * semantics: new data files in the range; deletes in the range apply to
     * the returned slice. */
-  /** Incremental ranges are only meaningful over append/delete commits: a
-    * replace (compaction/zorder) or overwrite snapshot rewrites EXISTING
-    * rows into new files whose data sequence falls inside the range — a
-    * seq-based filter would silently re-emit them as fresh appends.
-    * Refuse loudly instead of answering wrong. */
-  private[graft] def assertAppendOnlyRange(fromSeq: Long, toSeq: Long): Unit = {
-    // replace-style snapshots (compaction, zorder, TRUNCATE) are detected
-    // by operation name OR the explicit replace marker in the summary —
-    // TRUNCATE commits operation 'delete' but rewrites the live file set,
-    // so the name alone is not enough
-    val bad = metadata.snapshots.filter(s =>
-      s.sequenceNumber > fromSeq && s.sequenceNumber <= toSeq &&
-        (!Set("append", "delete").contains(s.summary.getOrElse("operation", "append")) ||
-          s.summary.get("graft.replace").contains("true")))
-    if (bad.nonEmpty)
-      sys.error("incremental read range contains non-append snapshot(s) " +
-        bad.map(s => s"${s.snapshotId} (${s.summary.getOrElse("operation", "?")})")
-          .mkString(", ") +
-        "; rewritten rows would re-emit as inserts — narrow the range to " +
-        "exclude replace/overwrite commits")
+  /** replace-style snapshots rewrite the live file set: compaction,
+    * z-order, overwrite, TRUNCATE. Detected by operation name OR the
+    * explicit replace marker (TRUNCATE commits operation 'delete' but
+    * replaces everything, so the name alone is not enough). */
+  private[graft] def isReplaceStyle(s: IceSnapshot): Boolean =
+    !Set("append", "delete").contains(s.summary.getOrElse("operation", "append")) ||
+      s.summary.get("graft.replace").contains("true")
+
+  /** content-preserving rewrite (compaction / z-order / manifest rewrite):
+    * same logical rows in new files — contributes NOTHING to a changelog */
+  private[graft] def isRewrite(s: IceSnapshot): Boolean =
+    isReplaceStyle(s) && s.summary.getOrElse("operation", "") == "replace"
+
+  private def snapshotsInRange(fromSeq: Long, toSeq: Long): List[IceSnapshot] =
+    metadata.snapshots
+      .filter(s => s.sequenceNumber > fromSeq && s.sequenceNumber <= toSeq)
+      .sortBy(_.sequenceNumber).toList
+
+  /** Data files ADDED by append/overwrite/delta commits in
+    * `(fromSeq, to.seq]`. Replace-aware: a rewrite's files carry EXISTING
+    * rows and contribute nothing, and files later absorbed by a rewrite
+    * are still found through their own snapshot's manifests (old data
+    * files stay on disk until snapshot expiry). Without a replace in the
+    * range this collapses to one metadata read at `to`. */
+  private[graft] def incrementalAddedFiles(
+      fromSeq: Long, to: IceSnapshot): List[PlannedFile] = {
+    val range = snapshotsInRange(fromSeq, to.sequenceNumber)
+    if (!range.exists(isReplaceStyle))
+      planFiles(to).filter(p => p.seq > fromSeq && p.file.content == DataContent.Data)
+    else
+      // summary-guarded: snapshots that added no data files (pure deletes)
+      // are skipped without a manifest read
+      range.filterNot(isRewrite)
+        .filter(s => s.summary.get("added-data-files").forall(_.toInt > 0))
+        .flatMap(s =>
+          planFiles(s).filter(p =>
+            p.seq == s.sequenceNumber && p.file.content == DataContent.Data))
   }
 
   def scanIncremental(
@@ -207,12 +224,9 @@ class GraftTable(
     val to = toSnapshotId.flatMap(metadata.snapshotById)
       .orElse(metadata.currentSnapshot)
       .getOrElse(sys.error("no current snapshot"))
-    assertAppendOnlyRange(from.sequenceNumber, to.sequenceNumber)
     val schema = metadata.currentSchema
     val sparkSchema = SchemaConvert.toSparkSchema(schema)
-    val files = planFiles(to).filter { p =>
-      p.seq > from.sequenceNumber && p.file.content == DataContent.Data
-    }
+    val files = incrementalAddedFiles(from.sequenceNumber, to)
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
@@ -225,11 +239,22 @@ class GraftTable(
     * deleted in the range with `_change_type = 'delete'` — position
     * deletes resolve through Spark's `_metadata.row_index` against the
     * referenced data files, equality deletes semi-join raw rows of
-    * data files with a lower data sequence. Like Iceberg's changelog
-    * (no net-change collapsing): a row inserted AND deleted inside the
-    * range emits both, and overlapping delete files may emit a delete
-    * per file. Distributed end to end — file reads and joins are
-    * ordinary Spark jobs, nothing row-sized touches the driver. */
+    * data files with a lower data sequence, and each is resolved against
+    * the file set of ITS OWN snapshot, so the range may span rewrites.
+    * Replace-aware per commit kind:
+    *
+    *  - rewrite (compaction / z-order): content-preserving — emits
+    *    nothing; deletes landing after it resolve against the rewritten
+    *    files, deletes before it against the originals.
+    *  - overwrite / TRUNCATE: data files live in the parent but absent
+    *    after it emit their rows as deletes; its added files are inserts.
+    *  - append / delete / row-delta commits: as before.
+    *
+    * Like Iceberg's changelog (no net-change collapsing): a row inserted
+    * AND deleted inside the range emits both, and a row already masked by
+    * an earlier delete re-emits if an overwrite later drops its file.
+    * Distributed end to end — file reads and joins are ordinary Spark
+    * jobs, nothing row-sized touches the driver. */
   def changes(
       spark: SparkSession,
       fromSnapshotId: Long,
@@ -242,10 +267,23 @@ class GraftTable(
       .getOrElse(sys.error("no current snapshot"))
     val schema = metadata.currentSchema
     val sparkSchema = SchemaConvert.toSparkSchema(schema)
-    assertAppendOnlyRange(from.sequenceNumber, to.sequenceNumber)
-    val planned = planFiles(to)
-    val inRange = (s: Long) => s > from.sequenceNumber && s <= to.sequenceNumber
+    val range = snapshotsInRange(from.sequenceNumber, to.sequenceNumber)
     val pinned = GraftTable.pinnedSession(spark)
+    val byId = metadata.snapshots.map(s => s.snapshotId -> s).toMap
+
+    // per-snapshot plans: one manifest read per DISTINCT snapshot touched;
+    // ranges without a replace never plan more than `to` + parents of
+    // overwrites (i.e. the fast path stays one planning read)
+    val planCache = scala.collection.mutable.Map[Long, List[PlannedFile]]()
+    def planAt(s: IceSnapshot): List[PlannedFile] =
+      planCache.getOrElseUpdate(s.snapshotId, planFiles(s))
+    // with no replace in range, every in-range file is still live at `to`
+    // — resolve all per-snapshot questions against ONE plan
+    val fastPlan: Option[List[PlannedFile]] =
+      if (range.exists(isReplaceStyle)) None else Some(planAt(to))
+    def addedAt(s: IceSnapshot, content: Int): List[PlannedFile] =
+      fastPlan.getOrElse(planAt(s))
+        .filter(p => p.seq == s.sequenceNumber && p.file.content == content)
 
     def rawWithPos(paths: Seq[String]): DataFrame =
       pinned.read.schema(sparkSchema).parquet(paths: _*)
@@ -255,23 +293,48 @@ class GraftTable(
     val inserts = scanIncremental(spark, fromSnapshotId, toSnapshotId)
       .withColumn("_change_type", lit("insert"))
 
-    // position deletes committed in range -> the exact rows they removed
-    val posD = planned.filter(p =>
-      p.file.content == DataContent.PositionDeletes && inRange(p.seq))
+    // overwrite/TRUNCATE commits -> rows of the data files they dropped
+    val overwritten: Seq[DataFrame] =
+      range.filter(s => isReplaceStyle(s) && !isRewrite(s)).flatMap { s =>
+        val parent = s.parentSnapshotId.map(id => byId.getOrElse(id,
+          sys.error(s"changelog range needs expired parent snapshot $id of " +
+            s"overwrite ${s.snapshotId}; expire-aware history is gone")))
+        val before = parent.toList.flatMap(planAt(_))
+          .filter(_.file.content == DataContent.Data)
+          .map(p => GraftTable.normPathStr(p.file.filePath)).toSet
+        val after = planAt(s).filter(_.file.content == DataContent.Data)
+          .map(p => GraftTable.normPathStr(p.file.filePath)).toSet
+        val removed = (before -- after).toSeq
+        if (removed.isEmpty) None
+        else Some(rawWithPos(removed).drop("_cf", "_cp")
+          .withColumn("_change_type", lit("delete")))
+      }
+
+    // position deletes committed in range -> the exact rows they removed,
+    // with data-file candidates taken from each delete's OWN snapshot (a
+    // later compaction may have absorbed the delete files and rewritten
+    // the data, but both remain reachable through the older snapshot)
+    val posSnaps = range.filterNot(isReplaceStyle)
+      .filter(s => s.summary.get("added-delete-files").forall(_.toInt > 0))
+      .map(s => s -> addedAt(s, DataContent.PositionDeletes))
+      .filter(_._2.nonEmpty)
     val posDeleted: Option[DataFrame] =
-      if (posD.isEmpty) None
+      if (posSnaps.isEmpty) None
       else {
         val posRows = pinned.read
-          .parquet(posD.map(_.file.filePath): _*)
+          .parquet(posSnaps.flatMap(_._2).map(_.file.filePath): _*)
           .select(GraftTable.normPath(col("file_path")).as("_df"), col("pos").as("_dp"))
         // only open data files the deletes actually reference (the
         // distinct-path set is file-count sized — planning-scale, not
         // row-scale)
         val referenced = posRows.select("_df").distinct()
           .collect().map(_.getString(0)).toSet
-        val candidates = planned.filter(p => p.file.content == DataContent.Data &&
-          referenced.contains(GraftTable.normPathStr(p.file.filePath)))
-          .map(_.file.filePath).distinct
+        val candidates = posSnaps.flatMap { case (s, _) =>
+          fastPlan.getOrElse(planAt(s)).filter(p =>
+            p.file.content == DataContent.Data &&
+              referenced.contains(GraftTable.normPathStr(p.file.filePath)))
+            .map(_.file.filePath)
+        }.distinct
         if (candidates.isEmpty) None
         else Some(rawWithPos(candidates)
           .join(posRows, col("_cf") === col("_df") && col("_cp") === col("_dp"), "leftsemi")
@@ -280,47 +343,68 @@ class GraftTable(
       }
 
     // equality deletes committed in range -> raw rows of LOWER-seq data
-    // files matching the keys. SINGLE PASS over the data side: all
-    // in-range delete keys union into ONE frame tagged with their delete
-    // sequence, the data files are read once with a broadcast-joined
-    // per-file sequence, and the semi join keeps rows where some delete
-    // with `data_seq < delete_seq` matches — a CDC-heavy range with K
-    // equality-delete commits reads the data once, not K times. Grouped
-    // by equality-id set (commits deleting on different keys can't share
-    // one join's key columns; same-key commits — the common CDC shape —
-    // collapse into one).
-    val eqD = planned.filter(p =>
-      p.file.content == DataContent.EqualityDeletes && inRange(p.seq))
-    val eqDeleted: Seq[DataFrame] =
-      eqD.groupBy(_.file.equalityIds.sorted).toSeq.flatMap { case (ids, group) =>
-        val keyNames = ids.flatMap(id => schema.fieldById(id).map(_.name))
-        val maxDseq = group.map(_.seq).max
-        val older = planned
-          .filter(p => p.file.content == DataContent.Data && p.seq < maxDseq)
-        if (older.isEmpty || keyNames.isEmpty) None
-        else {
-          val keys = group.groupBy(_.seq).toSeq.map { case (dseq, g) =>
-            pinned.read.parquet(g.map(_.file.filePath): _*)
-              .select(keyNames.map(col): _*).distinct()
-              .withColumn("_dseq", lit(dseq))
-          }.reduce(_.unionByName(_))
-          Metrics.inc(Metrics.ChangelogDataFilesRead, older.size.toLong)
-          val seqMap = kvDf(spark,
-            older.map(p => (GraftTable.normPathStr(p.file.filePath), p.seq)),
-            "_sf", "_sseq")
-          val data = rawWithPos(older.map(_.file.filePath))
-            .join(org.apache.spark.sql.functions.broadcast(seqMap),
-              col("_cf") === col("_sf"))
-          Some(data.join(keys,
-              keyNames.map(n => data(n) === keys(n)).reduce(_ && _) &&
-                data("_sseq") < keys("_dseq"),
-              "leftsemi")
-            .drop("_cf", "_cp", "_sf", "_sseq")
-            .withColumn("_change_type", lit("delete")))
+    // files matching the keys. SINGLE PASS over the data side per
+    // replace-free SEGMENT: within a segment file visibility only grows,
+    // so all of the segment's delete keys union into ONE frame tagged
+    // with their delete sequence, the segment's data files are read once
+    // with a broadcast-joined per-file sequence, and the semi join keeps
+    // rows where some delete with `data_seq < delete_seq` matches — a
+    // CDC-heavy range with K equality-delete commits reads the data once,
+    // not K times. A rewrite/overwrite starts a new segment (the file set
+    // changed); segments are as rare as compactions. Within a segment,
+    // grouped by equality-id set.
+    val segments: List[List[IceSnapshot]] = {
+      val out = scala.collection.mutable.ListBuffer[List[IceSnapshot]]()
+      var cur = scala.collection.mutable.ListBuffer[IceSnapshot]()
+      range.foreach { s =>
+        if (isReplaceStyle(s)) { if (cur.nonEmpty) { out += cur.toList; cur.clear() } }
+        else cur += s
+      }
+      if (cur.nonEmpty) out += cur.toList
+      out.toList
+    }
+    val eqDeleted: Seq[DataFrame] = segments.flatMap { seg =>
+      val eqBySnap = seg
+        .filter(s => s.summary.get("added-delete-files").forall(_.toInt > 0))
+        .map(s => s -> addedAt(s, DataContent.EqualityDeletes))
+        .filter(_._2.nonEmpty)
+      if (eqBySnap.isEmpty) Nil
+      else {
+        val lastEqSnap = eqBySnap.last._1
+        val segData = fastPlan.getOrElse(planAt(lastEqSnap))
+          .filter(_.file.content == DataContent.Data)
+        val eqD = eqBySnap.flatMap(_._2)
+        eqD.groupBy(_.file.equalityIds.sorted).toSeq.flatMap { case (ids, group) =>
+          val keyNames = ids.flatMap(id => schema.fieldById(id).map(_.name))
+          val maxDseq = group.map(_.seq).max
+          val older = segData.filter(_.seq < maxDseq)
+          if (older.isEmpty || keyNames.isEmpty) None
+          else {
+            val keys = group.groupBy(_.seq).toSeq.map { case (dseq, g) =>
+              pinned.read.parquet(g.map(_.file.filePath): _*)
+                .select(keyNames.map(col): _*).distinct()
+                .withColumn("_dseq", lit(dseq))
+            }.reduce(_.unionByName(_))
+            Metrics.inc(Metrics.ChangelogDataFilesRead, older.size.toLong)
+            val seqMap = kvDf(spark,
+              older.map(p => (GraftTable.normPathStr(p.file.filePath), p.seq)),
+              "_sf", "_sseq")
+            val data = rawWithPos(older.map(_.file.filePath))
+              .join(org.apache.spark.sql.functions.broadcast(seqMap),
+                col("_cf") === col("_sf"))
+            Some(data.join(keys,
+                keyNames.map(n => data(n) === keys(n)).reduce(_ && _) &&
+                  data("_sseq") < keys("_dseq"),
+                "leftsemi")
+              .drop("_cf", "_cp", "_sf", "_sseq")
+              .withColumn("_change_type", lit("delete")))
+          }
         }
       }
+    }
 
-    (Seq(inserts) ++ posDeleted.toSeq ++ eqDeleted).reduce(_.unionByName(_))
+    (Seq(inserts) ++ overwritten ++ posDeleted.toSeq ++ eqDeleted)
+      .reduce(_.unionByName(_))
   }
 
   /** files that a filtered scan would read — lets tests assert pruning */
@@ -524,9 +608,23 @@ class GraftTable(
     * current snapshot (applying deletes), rewrite as fresh data files, and
     * commit a replace snapshot. Collapses small files and absorbs delete
     * files. */
+  /** Full compaction: every live data file is read (deletes applied) and
+    * rewritten. Commits operation `replace` — a content-preserving
+    * rewrite, NOT an overwrite: changelog/incremental readers skip it.
+    * Absorbed delete files are dropped (rewritten rows carry a fresh
+    * higher sequence, so old equality deletes no longer apply and old
+    * position deletes reference retired paths); a delete landing
+    * concurrently aborts the commit via [[rewriteSurvivors]]. */
   def rewriteDataFiles(spark: SparkSession): GraftTable = {
-    val current = scan(spark)
-    overwrite(spark, current)
+    val snap = metadata.currentSnapshot.getOrElse(return this)
+    val planned = planFiles(snap).filter(_.file.content == DataContent.Data)
+    if (planned.isEmpty) return this
+    val oldPaths = planned.map(p => GraftTable.normPathStr(p.file.filePath)).toSet
+    val rewritten = TableWrite.writeDataFiles(this, spark, scan(spark))
+    commitReplace(spark, "replace",
+      () => rewriteSurvivors(oldPaths, snap.sequenceNumber, "rewriteDataFiles")()
+        .filter(_.file.content == DataContent.Data),
+      rewritten)
   }
 
   /** Selective compaction for 100 TB tables: only files under

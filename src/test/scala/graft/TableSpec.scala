@@ -367,7 +367,7 @@ class TableSpec extends AnyFunSuite {
     assert(out2.map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
   }
 
-  test("incremental/changelog ranges spanning a TRUNCATE fail loudly") {
+  test("changelog/incremental across a TRUNCATE: wiped rows emit as deletes") {
     val loc = tmpLocation("truncrange")
     val src = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val t = StorageCatalog.createOrReplaceTable(
@@ -376,13 +376,39 @@ class TableSpec extends AnyFunSuite {
     val fromId = t.metadata.currentSnapshot.get.snapshotId
     t.append(spark, Seq((3L, "c")).toDF("k", "v"))
     // TRUNCATE commits operation 'delete' but replaces the live file set —
-    // the range guard must catch it via the replace marker, not the name
+    // every row live at its parent emits a delete, and in-range inserts
+    // survive (the old seq-filter approach lost both)
     t.truncate()
     t.append(spark, Seq((4L, "d")).toDF("k", "v"))
-    val err = intercept[Exception] { t.changes(spark, fromId).count() }
-    assert(err.getMessage.contains("non-append"),
-      s"expected replace-range refusal, got: ${err.getMessage}")
-    val err2 = intercept[Exception] { t.scanIncremental(spark, fromId).count() }
-    assert(err2.getMessage.contains("non-append"))
+    val out = t.changes(spark, fromId)
+      .select("k", "_change_type").as[(Long, String)].collect().sorted
+    assert(out.toSeq === Seq((1L, "delete"), (2L, "delete"), (3L, "delete"),
+      (3L, "insert"), (4L, "insert")))
+    assert(t.scanIncremental(spark, fromId).select("k").as[Long].collect().sorted
+      .toSeq === Seq(3L, 4L))
+  }
+
+  test("changelog/incremental across a compaction: rewritten rows do not re-emit") {
+    val loc = tmpLocation("compactrange")
+    val src = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src)
+    val fromId = t.metadata.currentSnapshot.get.snapshotId
+    t.append(spark, Seq((3L, "c")).toDF("k", "v"))
+    t.rewriteDataFiles(spark)
+    t.append(spark, Seq((4L, "d")).toDF("k", "v"))
+    // only the genuine appends emit; the compaction's re-filed rows don't
+    assert(t.scanIncremental(spark, fromId).select("k").as[Long].collect().sorted
+      .toSeq === Seq(3L, 4L))
+    val out = t.changes(spark, fromId)
+      .select("k", "_change_type").as[(Long, String)].collect().sorted
+    assert(out.toSeq === Seq((3L, "insert"), (4L, "insert")))
+    // an equality delete AFTER the compaction resolves against the
+    // rewritten files and still emits the deleted row's content
+    t.equalityDelete(spark, Seq(Tuple1(2L)).toDF("k"), Seq("k"))
+    val out2 = t.changes(spark, fromId)
+      .select("k", "_change_type").as[(Long, String)].collect().sorted
+    assert(out2.toSeq === Seq((2L, "delete"), (3L, "insert"), (4L, "insert")))
   }
 }
