@@ -1589,6 +1589,18 @@ object SparkEntry {
           col("green").cast(LongType).as("green"),
           col("blue").cast(LongType).as("blue"))
     }),
+    "mm_frames_mjpeg" -> ((s, dir) => {
+      // MJPEG (concatenated JFIF) -> REAL per-frame JPEG decode. JPEG is
+      // lossy, so the oracle checks STRUCTURAL stats (index, dimensions)
+      // — pixel-exact checks ride the lossless PNG container (mm_frames)
+      implicit val sp: SparkSession = s
+      Multimodal.sampleVideoFrames(
+        Multimodal.syntheticMjpegVideos(t(s, dir, "documents"), "doc_id"), everyK = 2)
+        .select(col("asset_id"),
+          col("frame_index").cast(LongType).as("frame_index"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"))
+    }),
     "mm_features" -> ((s, dir) => {
       // feature vector = [w, h, meanR, meanG, meanB] over DECODED pixels;
       // solid-color fills make every component oracle-predictable exactly
@@ -1944,6 +1956,10 @@ object SparkEntry {
         |  (doc_id * 3 + f) % 256 AS green,
         |  (doc_id * 5 + f) % 256 AS blue
         |FROM documents, UNNEST(range(0, 2 + doc_id % 7, 2)) AS t(f)""".stripMargin,
+    "mm_frames_mjpeg" ->
+      """SELECT doc_id AS asset_id, f AS frame_index,
+        |  8 + doc_id % 16 AS width, 8 + doc_id % 8 AS height
+        |FROM documents, UNNEST(range(0, 2 + doc_id % 5, 2)) AS t(f)""".stripMargin,
     "mm_features" ->
       """SELECT doc_id AS asset_id,
         |  CAST(8 + doc_id % 57 AS DOUBLE) AS f_width,

@@ -13,9 +13,11 @@ import graft.functions.TextUtil
   * Image decoding is REAL: PNG/GIF/BMP/JPEG payloads go through
   * `javax.imageio` (ships with the JDK — zero extra deps) for dimensions
   * and pixel statistics. Audio decoding is REAL too: WAV payloads go
-  * through `javax.sound.sampled` for rate/channels/frames/duration. Only
-  * VIDEO frame extraction stays STUBBED (no video codec in the JDK)
-  * behind the same typed contract.
+  * through `javax.sound.sampled` for rate/channels/frames/duration.
+  * VIDEO frame extraction is real for MJPEG (concatenated JFIF — a
+  * container that exists in the wild) and the length-prefixed PNG
+  * container; only foreign codecs (H.264 etc. — no JDK codec) fall back
+  * to the stub behind the same typed contract.
   */
 object Multimodal {
 
@@ -321,6 +323,77 @@ object Multimodal {
       })
     } catch { case _: Exception => None }
 
+  // ---- video: MJPEG (concatenated JFIF) — a container that exists in
+  // the wild. Frames are independent JPEGs back to back; FF-byte stuffing
+  // inside entropy-coded data guarantees the EOI marker (FF D9) only
+  // appears at true frame ends, so splitting on SOI..EOI spans is exact.
+
+  /** encode a solid-color RGB JPEG via `javax.imageio` (JDK-shipped) */
+  def encodeJpeg(width: Int, height: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** MJPEG stream = frames concatenated raw */
+  def encodeMjpeg(frames: Seq[Array[Byte]]): Array[Byte] = frames.flatten.toArray
+
+  /** split an MJPEG stream into its frames (SOI FF D8 .. EOI FF D9) */
+  private[graft] def splitMjpeg(p: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (p == null || p.length < 4 ||
+      p(0) != 0xff.toByte || p(1) != 0xd8.toByte) return None
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var start = 0
+    var i = 2
+    while (i < p.length - 1) {
+      if (p(i) == 0xff.toByte && p(i + 1) == 0xd9.toByte) {
+        frames += java.util.Arrays.copyOfRange(p, start, i + 2)
+        // tolerate padding between frames: scan to the next SOI
+        start = i + 2
+        while (start < p.length - 1 &&
+          !(p(start) == 0xff.toByte && p(start + 1) == 0xd8.toByte)) start += 1
+        i = start + 2
+      } else i += 1
+    }
+    if (frames.isEmpty) None else Some(frames.toSeq)
+  }
+
+  /** frames of either supported container: length-prefixed PNG (GFRM) or
+    * MJPEG; None for foreign codecs (H.264 etc. — the stub's territory) */
+  private[operators] def containerFrames(p: Array[Byte]): Option[Seq[Array[Byte]]] =
+    decodeFrameContainer(p).orElse(splitMjpeg(p))
+
+  /** Deterministic MJPEG asset per id: 2 + id%5 solid-color JPEG frames
+    * sized by id formulas. JPEG is lossy, so only STRUCTURAL stats
+    * (frame count, index, dimensions) are oracle-exact — pixel-exact
+    * oracles ride the PNG container instead. */
+  def syntheticMjpegVideos(df: DataFrame, idCol: String)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType).as("asset_id"))
+      .as[Long].mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 16).toInt
+          val h = (8 + id % 8).toInt
+          val frames = (2 + id % 5).toInt
+          val jpgs = (0 until frames).map { f =>
+            val rgb = ((((id + f) % 256) << 16) |
+              (((id * 3 + f) % 256) << 8) | ((id * 5 + f) % 256)).toInt
+            encodeJpeg(w, h, rgb)
+          }
+          Asset(id, encodeMjpeg(jpgs), "video/x-motion-jpeg")
+        }
+      }.toDF()
+  }
+
   /** Deterministic container-video asset per id: 2 + id%7 solid-color PNG
     * frames whose size and per-frame color follow id formulas (an oracle
     * predicts every DECODED frame stat without seeing the bytes). */
@@ -350,7 +423,7 @@ object Multimodal {
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     assets.as[Asset].flatMap { a =>
-      decodeFrameContainer(a.payload).toSeq.flatMap { frames =>
+      containerFrames(a.payload).toSeq.flatMap { frames =>
         frames.zipWithIndex.collect {
           case (png, fi) if fi % everyK == 0 =>
             val img = decodeImage(png).getOrElse(

@@ -223,6 +223,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ff === Seq(2f, 1f, 5f, 10f, 15f))
   }
 
+  test("multimodal MJPEG: split survives entropy-coded frames, frames decode") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // gradient frames exercise real entropy coding (FF byte stuffing):
+    // the split must not break inside compressed data
+    val rng = new scala.util.Random(11)
+    val frames = (0 until 5).map { _ =>
+      val img = new java.awt.image.BufferedImage(
+        32, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 32)
+        img.setRGB(x, y, rng.nextInt(0xffffff))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val stream = Multimodal.encodeMjpeg(frames)
+    val split = Multimodal.splitMjpeg(stream).get
+    assert(split.length === 5)
+    assert(split.map(_.length) === frames.map(_.length))
+    split.zip(frames).foreach { case (a, b) => assert(a.sameElements(b)) }
+    // end-to-end: synthetic MJPEG assets -> per-frame structural stats
+    val vids = Multimodal.syntheticMjpegVideos(docs, "doc_id")
+    val fr = Multimodal.sampleVideoFrames(vids, everyK = 1)
+      .filter($"asset_id" === 3).orderBy("frame_index").collect()
+    // id=3: 2 + 3%5 = 5 frames of 11x11? w = 8+3%16 = 11, h = 8+3%8 = 11
+    assert(fr.length === 5)
+    assert(fr.forall(r => r.getInt(2) === 11 && r.getInt(3) === 11))
+    // a foreign-codec payload (no SOI, no GFRM) stays with the stub
+    assert(Multimodal.splitMjpeg("not a video".getBytes).isEmpty)
+  }
+
   test("multimodal real audio decode: javax.sound WAV roundtrip") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val meta = Multimodal.decodeAudioMeta(Multimodal.syntheticAudio(docs, "doc_id"))
