@@ -55,7 +55,7 @@ object RestCatalog {
     def loadTable(ns: String, name: String): GraftTable = {
       val (code, body) = get(s"/v1/namespaces/$ns/tables/$name")
       if (code == 404) throw new NoSuchElementException(s"no table $ns.$name")
-      require(code == 200, s"load failed: $code $body")
+      require(code == 200, s"load failed: $code ${errMsg(body)}")
       val j = JsonMethods.parse(body)
       val meta = MetadataJson.parse(
         JsonMethods.compact(JsonMethods.render(j \ "metadata")).getBytes("UTF-8"))
@@ -71,7 +71,7 @@ object RestCatalog {
       val body =
         s"""{"name": ${quote(name)}, "metadata": ${new String(MetadataJson.serialize(meta), "UTF-8")}}"""
       val (code, respBody) = post(s"/v1/namespaces/$ns/tables", body)
-      require(code == 200, s"create failed: $code $respBody")
+      require(code == 200, s"create failed: $code ${errMsg(respBody)}")
       wire(ns, name, new GraftTable(meta.location, meta, 1, conf))
     }
 
@@ -84,8 +84,8 @@ object RestCatalog {
       val body =
         s"""{"requirements": $reqs, "metadata": ${new String(MetadataJson.serialize(meta), "UTF-8")}}"""
       val (code, respBody) = post(s"/v1/namespaces/$ns/tables/$name", body)
-      if (code == 409) throw new CommitConflictException(s"rest commit conflict: $respBody")
-      require(code == 200, s"commit failed: $code $respBody")
+      if (code == 409) throw new CommitConflictException(s"rest commit conflict: ${errMsg(respBody)}")
+      require(code == 200, s"commit failed: $code ${errMsg(respBody)}")
       (JsonMethods.parse(respBody) \ "version") match {
         case JInt(v) => v.toInt
         case JLong(v) => v.toInt
@@ -103,26 +103,50 @@ object RestCatalog {
         s"drop table failed: ${resp.statusCode()} ${resp.body()}")
     }
 
+    /** follows `next-page-token` until the listing is exhausted (the
+      * server may bound each page; one response is NOT the full answer) */
     def listTables(ns: String): Seq[String] = {
-      val (code, body) = get(s"/v1/namespaces/$ns/tables")
-      if (code != 200) return Nil
-      (JsonMethods.parse(body) \ "identifiers").children.flatMap(_ \ "name" match {
-        case JString(s) => Some(s)
-        case _ => None
-      })
+      val out = Seq.newBuilder[String]
+      var token: Option[String] = Some("")
+      while (token.isDefined) {
+        val q = token.filter(_.nonEmpty).map(t => s"?pageToken=$t").getOrElse("")
+        val (code, body) = get(s"/v1/namespaces/$ns/tables$q")
+        if (code != 200) return out.result()
+        val j = JsonMethods.parse(body)
+        out ++= (j \ "identifiers").children.flatMap(_ \ "name" match {
+          case JString(s) => Some(s)
+          case _ => None
+        })
+        token = (j \ "next-page-token") match {
+          case JString(t) if t.nonEmpty => Some(t)
+          case _ => None
+        }
+      }
+      out.result()
     }
 
     // ----- namespace CRUD + rename (the reference's full Catalog trait,
     // icelake/src/catalog/mod.rs:44-138) -----
 
     def listNamespaces(): Seq[String] = {
-      val (code, body) = get("/v1/namespaces")
-      if (code != 200) return Nil
-      (JsonMethods.parse(body) \ "namespaces").children.flatMap {
-        case JArray(parts) => Some(parts.collect { case JString(s) => s }.mkString("."))
-        case JString(s) => Some(s)
-        case _ => None
+      val out = Seq.newBuilder[String]
+      var token: Option[String] = Some("")
+      while (token.isDefined) {
+        val q = token.filter(_.nonEmpty).map(t => s"?pageToken=$t").getOrElse("")
+        val (code, body) = get(s"/v1/namespaces$q")
+        if (code != 200) return out.result()
+        val j = JsonMethods.parse(body)
+        out ++= (j \ "namespaces").children.flatMap {
+          case JArray(parts) => Some(parts.collect { case JString(s) => s }.mkString("."))
+          case JString(s) => Some(s)
+          case _ => None
+        }
+        token = (j \ "next-page-token") match {
+          case JString(t) if t.nonEmpty => Some(t)
+          case _ => None
+        }
       }
+      out.result()
     }
 
     def createNamespace(ns: String): Unit = {
@@ -151,7 +175,7 @@ object RestCatalog {
         s"""{"source": {"namespace": [${quote(ns)}], "name": ${quote(name)}},
            | "destination": {"namespace": [${quote(toNs)}], "name": ${quote(toName)}}}""".stripMargin
       val (code, respBody) = post("/v1/tables/rename", body)
-      require(code == 200, s"rename failed: $code $respBody")
+      require(code == 200, s"rename failed: $code ${errMsg(respBody)}")
     }
 
     /** route the table's commits/reloads through this catalog */
@@ -162,13 +186,26 @@ object RestCatalog {
     }
 
     private def quote(s: String): String = JsonMethods.compact(JsonMethods.render(JString(s)))
+
+    /** human-readable message from a spec-shaped error body
+      * (`{"error": {"message", "type", "code"}}`), falling back to the
+      * raw body for legacy/foreign servers */
+    private def errMsg(body: String): String =
+      try {
+        val e = JsonMethods.parse(body) \ "error"
+        (e \ "message", e \ "type") match {
+          case (JString(m), JString(t)) => s"$t: $m"
+          case (JString(m), _) => m
+          case _ => body
+        }
+      } catch { case _: Exception => body }
   }
 
   // ---------------- in-process server ----------------
 
   /** Minimal in-memory catalog server (test/demo; a production deployment
     * would persist). Thread-safe CAS on the per-table version. */
-  class Server(port: Int = 0) {
+  class Server(port: Int = 0, pageSize: Int = 100) {
     private case class Entry(version: Int, metadataJson: String)
     private val tables = new ConcurrentHashMap[String, Entry]()
     private val namespaces = ConcurrentHashMap.newKeySet[String]()
@@ -182,6 +219,32 @@ object RestCatalog {
     }
 
     def stop(): Unit = server.stop(0)
+
+    /** spec-shaped error body: `{"error": {"message", "type", "code"}}`
+      * (the Iceberg REST ErrorResponse model) */
+    private def err(ex: HttpExchange, code: Int, typ: String, msg: String): Unit =
+      respond(ex, code,
+        s"""{"error": {"message": ${JsonMethods.compact(JsonMethods.render(JString(msg)))},
+           | "type": "$typ", "code": $code}}""".stripMargin)
+
+    /** offset-based paging over a deterministic listing: honors
+      * `pageToken`/`pageSize` query params, emits `next-page-token` while
+      * results remain (token = next offset, opaque to clients) */
+    private def paged(items: Seq[String], query: String): (Seq[String], Option[String]) = {
+      val params = Option(query).getOrElse("").split('&').toSeq
+        .flatMap(kv => kv.split('=') match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        }).toMap
+      val size = math.max(1, params.get("pageSize").flatMap(_.toIntOption).getOrElse(pageSize))
+      val start = params.get("pageToken").flatMap(_.toIntOption).getOrElse(0)
+      val page = items.slice(start, start + size)
+      val next = if (start + size < items.length) Some((start + size).toString) else None
+      (page, next)
+    }
+
+    private def withNext(next: Option[String]): String =
+      next.map(t => s""", "next-page-token": "$t"""").getOrElse("")
 
     private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -202,25 +265,28 @@ object RestCatalog {
           respond(ex, 200, """{"defaults": {}, "overrides": {}}""")
         case ("GET", "/v1/namespaces") =>
           import scala.jdk.CollectionConverters._
-          val names = namespaces.asScala.toSeq.sorted.map(n => s"""["${n}"]""")
-          respond(ex, 200, s"""{"namespaces": [${names.mkString(",")}]}""")
+          val (page, next) = paged(
+            namespaces.asScala.toSeq.sorted, ex.getRequestURI.getQuery)
+          val names = page.map(n => s"""["${n}"]""")
+          respond(ex, 200,
+            s"""{"namespaces": [${names.mkString(",")}]${withNext(next)}}""")
         case ("POST", "/v1/namespaces") =>
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           (JsonMethods.parse(body) \ "namespace") match {
             case JArray(parts) =>
               val ns = parts.collect { case JString(s) => s }.mkString(".")
               if (namespaces.add(ns)) respond(ex, 200, s"""{"namespace": ["$ns"]}""")
-              else respond(ex, 409, """{"error": "namespace exists"}""")
-            case _ => respond(ex, 400, """{"error": "missing namespace"}""")
+              else err(ex, 409, "AlreadyExistsException", "namespace exists")
+            case _ => err(ex, 400, "BadRequestException", "missing namespace")
           }
         case ("GET", NamespaceRe(ns)) =>
           if (namespaces.contains(ns))
             respond(ex, 200, s"""{"namespace": ["$ns"], "properties": {}}""")
-          else respond(ex, 404, """{"error": "no such namespace"}""")
+          else err(ex, 404, "NoSuchNamespaceException", "no such namespace")
         case ("DELETE", NamespaceRe(ns)) =>
           import scala.jdk.CollectionConverters._
           if (tables.keys.asScala.exists(_.startsWith(s"$ns.")))
-            respond(ex, 409, """{"error": "namespace not empty"}""")
+            err(ex, 409, "NamespaceNotEmptyException", "namespace not empty")
           else { namespaces.remove(ns); respond(ex, 200, "{}") }
         case ("POST", "/v1/tables/rename") =>
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
@@ -235,36 +301,40 @@ object RestCatalog {
           (ident(j \ "source"), ident(j \ "destination")) match {
             case (Some(src), Some(dst)) =>
               Option(tables.get(src)) match {
-                case None => respond(ex, 404, """{"error": "no such table"}""")
+                case None => err(ex, 404, "NoSuchTableException", "no such table")
                 case Some(e) =>
                   if (tables.putIfAbsent(dst, e) != null)
-                    respond(ex, 409, """{"error": "destination exists"}""")
+                    err(ex, 409, "AlreadyExistsException", "rename destination exists")
                   else { tables.remove(src); respond(ex, 200, "{}") }
               }
-            case _ => respond(ex, 400, """{"error": "bad rename request"}""")
+            case _ => err(ex, 400, "BadRequestException", "bad rename request")
           }
         case ("GET", TableRe(ns, name)) =>
           Option(tables.get(s"$ns.$name")) match {
-            case None => respond(ex, 404, """{"error": "no such table"}""")
+            case None => err(ex, 404, "NoSuchTableException", "no such table")
             case Some(e) => respond(ex, 200,
               s"""{"metadata-location": "rest://$ns/$name/v${e.version}",
                  | "version": ${e.version}, "metadata": ${e.metadataJson}}""".stripMargin)
           }
         case ("GET", TablesRe(ns)) =>
           import scala.jdk.CollectionConverters._
-          val names = tables.keys.asScala.filter(_.startsWith(s"$ns.")).toSeq.sorted
+          val (page, next) = paged(
+            tables.keys.asScala.filter(_.startsWith(s"$ns.")).toSeq.sorted,
+            ex.getRequestURI.getQuery)
+          val names = page
             .map(k => s"""{"namespace": ["$ns"], "name": "${k.stripPrefix(s"$ns.")}"}""")
-          respond(ex, 200, s"""{"identifiers": [${names.mkString(",")}]}""")
+          respond(ex, 200,
+            s"""{"identifiers": [${names.mkString(",")}]${withNext(next)}}""")
         case ("POST", TablesRe(ns)) =>
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           val j = JsonMethods.parse(body)
           val name = (j \ "name") match {
             case JString(s) => s
-            case _ => return respond(ex, 400, """{"error": "missing name"}""")
+            case _ => return err(ex, 400, "BadRequestException", "missing name")
           }
           val meta = JsonMethods.compact(JsonMethods.render(j \ "metadata"))
           if (tables.putIfAbsent(s"$ns.$name", Entry(1, meta)) != null)
-            respond(ex, 409, """{"error": "table exists"}""")
+            err(ex, 409, "AlreadyExistsException", "table exists")
           else respond(ex, 200, s"""{"version": 1, "metadata": $meta}""")
         case ("POST", TableRe(ns, name)) =>
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
@@ -288,30 +358,29 @@ object RestCatalog {
           val key = s"$ns.$name"
           val cur = Option(tables.get(key))
           cur match {
-            case None => respond(ex, 404, """{"error": "no such table"}""")
+            case None => err(ex, 404, "NoSuchTableException", "no such table")
             case Some(e) if e.version != expected =>
-              respond(ex, 409,
-                s"""{"error": "version conflict", "current": ${e.version}}""")
+              err(ex, 409, "CommitFailedException", s"version conflict: current is ${e.version}")
             case Some(e) if expectedUuid.exists(u =>
                 (JsonMethods.parse(e.metadataJson) \ "table-uuid") != JString(u)) =>
               // requirement-failed per the REST spec: the table at this
               // identifier is not the one the writer thinks it is (e.g.
               // dropped and recreated underneath)
-              respond(ex, 409, """{"error": "requirement failed: uuid"}""")
+              err(ex, 409, "CommitFailedException", "requirement failed: uuid")
             case Some(e) =>
               // CAS: replace only if unchanged since we read it
               if (tables.replace(key, e, Entry(e.version + 1, meta)))
                 respond(ex, 200, s"""{"version": ${e.version + 1}}""")
-              else respond(ex, 409, """{"error": "concurrent update"}""")
+              else err(ex, 409, "CommitFailedException", "concurrent update")
           }
         case ("DELETE", TableRe(ns, name)) =>
           tables.remove(s"$ns.$name")
           respond(ex, 200, "{}")
-        case _ => respond(ex, 404, """{"error": "not found"}""")
+        case _ => err(ex, 404, "NotFoundException", "not found")
       }
     } catch {
-      case e: Throwable => respond(ex, 500, s"""{"error": ${JsonMethods.compact(
-        JsonMethods.render(JString(String.valueOf(e.getMessage))))}}""")
+      case e: Throwable =>
+        err(ex, 500, "InternalServerError", String.valueOf(e.getMessage))
     }
   }
 }

@@ -552,6 +552,58 @@ class MaintenanceSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("REST conformance: paged listings and spec-shaped error bodies") {
+    val server = new RestCatalog.Server(pageSize = 2)
+    val uri = server.start()
+    try {
+      val client = new RestCatalog.Client(uri, conf)
+      val schema = SchemaConvert.fromSparkSchema(
+        spark.read.parquet(s"$sfDir/region.parquet").schema)
+      def freshMeta(loc: String) = TableMetadata(
+        formatVersion = 2, tableUuid = java.util.UUID.randomUUID().toString,
+        location = loc, lastSequenceNumber = 0, lastUpdatedMs = System.currentTimeMillis(),
+        lastColumnId = schema.maxFieldId, schemas = List(schema), currentSchemaId = 0,
+        partitionSpecs = List(IcePartitionSpec(0, Nil)), defaultSpecId = 0,
+        lastPartitionId = 999, properties = Map.empty, currentSnapshotId = None,
+        snapshots = Nil, snapshotLog = Nil, metadataLog = Nil,
+        sortOrders = List(IceSortOrder(0, Nil)), defaultSortOrderId = 0, refs = Map.empty)
+      (1 to 5).foreach(i => client.createNamespace(s"pg$i"))
+      (1 to 5).foreach(i =>
+        client.createTable("pg1", s"t$i", freshMeta(tmpLocation(s"restpg$i"))))
+
+      // the client walks next-page-token to exhaustion (5 items, pages of 2)
+      assert(client.listTables("pg1") === (1 to 5).map(i => s"t$i"))
+      assert(client.listNamespaces().toSet === (1 to 5).map(i => s"pg$i").toSet)
+
+      // raw HTTP: one page is bounded and carries the continuation token
+      val http = java.net.http.HttpClient.newHttpClient()
+      def getRaw(path: String): String = http.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"$uri$path")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      val page1 = org.json4s.jackson.JsonMethods.parse(getRaw("/v1/namespaces/pg1/tables"))
+      assert((page1 \ "identifiers").children.size === 2)
+      val org.json4s.JString(tok) = (page1 \ "next-page-token"): @unchecked
+      val page2 = org.json4s.jackson.JsonMethods.parse(
+        getRaw(s"/v1/namespaces/pg1/tables?pageToken=$tok"))
+      assert((page2 \ "identifiers").children.size === 2)
+      // an explicit pageSize overrides the server default
+      val big = org.json4s.jackson.JsonMethods.parse(
+        getRaw("/v1/namespaces/pg1/tables?pageSize=10"))
+      assert((big \ "identifiers").children.size === 5)
+      assert((big \ "next-page-token") === org.json4s.JNothing)
+
+      // spec-shaped ErrorResponse: {"error": {"message", "type", "code"}}
+      val errJ = org.json4s.jackson.JsonMethods.parse(
+        getRaw("/v1/namespaces/pg1/tables/nope")) \ "error"
+      assert((errJ \ "type") === org.json4s.JString("NoSuchTableException"))
+      assert((errJ \ "code") === org.json4s.JInt(404))
+      assert((errJ \ "message") === org.json4s.JString("no such table"))
+      // and the client surfaces type+message in its failures
+      val e = intercept[Exception] { client.loadTable("pg9", "nope") }
+      assert(e.isInstanceOf[NoSuchElementException])
+    } finally server.stop()
+  }
+
   test("streaming source over snapshot history (resumable offsets)") {
     val src = spark.read.parquet(s"$sfDir/region.parquet")
     val loc = tmpLocation("streamsrc")
