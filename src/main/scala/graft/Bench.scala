@@ -107,16 +107,31 @@ object Bench {
         }
       }
     val results = readResults ++ tpchResults ++ dmlResults ++ jumbo
+    // optional 10x scaling group: SPARK_GRAFT_SF1_DIR points at a dir
+    // built by `runMain graft.ScaleData <sfDir> <out> 10` — single run
+    // per query (10x data dominates noise); catches super-linear plans
+    val sf1Results = sys.env.get("SPARK_GRAFT_SF1_DIR").map { dir =>
+      (headline ++ tpchHeadline).filter(qs.contains).map { n =>
+        val t0 = System.nanoTime()
+        try { qs(n)(spark, dir).count() }
+        catch { case e: Throwable => System.err.println(s"[bench] sf1 $n: $e") }
+        n -> (System.nanoTime() - t0) / 1e9
+      }
+    }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // the round-1/2/3 curve summed only the read headline — keep that
     // number comparable across rounds
     val legacyTotal = readResults.map(_._2).sum
+    val sf1Json = sf1Results.map { rs =>
+      s""","sf1_total":${f"${rs.map(_._2).sum}%.3f"},"sf1_queries":""" +
+        rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    }.getOrElse("")
     val line =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
         s""""legacy_total":${f"$legacyTotal%.3f"},"runs":$runs,""" +
-        s""""queries":$qjson,"sf":"$sfDir"}"""
+        s""""queries":$qjson$sf1Json,"sf":"$sfDir"}"""
     println(line)
     // also drop the line in a file: sbt/log4j noise on stdout must not be
     // able to cost the round its bench parse
