@@ -675,6 +675,9 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => {
       TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")
     }),
+    "text_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+    }),
     "text_fingerprint" -> ((s, dir) => {
       // DuckDB cannot reproduce the wrapping-Long rolling hash, so the
       // oracle is the winnowing decomposition law: the w-byte windows of
@@ -2089,6 +2092,28 @@ object SparkEntry {
     // exact replica of the marker-stopword heuristic (TextUtil.langId):
     // per-language marker counts, strict-improvement argmax in declaration
     // order, 'und' on zero evidence (the corpus is ASCII, CJK never fires)
+    "text_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |counts AS (
+        |  SELECT doc_id, max(n) AS max_count FROM (
+        |    SELECT doc_id, word, count(*) AS n FROM (
+        |      SELECT doc_id, unnest(words) AS word FROM base)
+        |    GROUP BY doc_id, word)
+        |  GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(words)),
+        |      i -> words[i] || ' ' || words[i + 1]) AS bigrams
+        |  FROM base)
+        |SELECT b.doc_id,
+        |  CAST(len(b.words) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(b.words)) AS DOUBLE) / len(b.words)
+        |    AS distinct_word_ratio,
+        |  CAST(c.max_count AS DOUBLE) / len(b.words) AS top_word_frac,
+        |  1.0 - CAST(len(list_distinct(g.bigrams)) AS DOUBLE) / len(g.bigrams)
+        |    AS dup_bigram_frac
+        |FROM base b JOIN counts c USING (doc_id) JOIN bg g USING (doc_id)""".stripMargin,
     "text_langid" ->
       """WITH sc AS (
         |  SELECT doc_id,

@@ -40,6 +40,40 @@ object TextAnalysis {
         .as("n_tokens_bpe_est"))
   }
 
+  /** Repetition signals (the Gopher-style repetition filters): type-token
+    * ratio, most-frequent-word mass, and duplicate-bigram fraction —
+    * heavily repetitive documents (boilerplate, keyword stuffing, broken
+    * crawls) score low diversity / high duplication and get filtered
+    * before training. Map-only: every stat folds over the in-row token
+    * array with codegen'd higher-order functions (array_sort + aggregate
+    * computes the modal word count WITHOUT a per-word explode/shuffle —
+    * at 100 TB an explode would shuffle every token in the corpus). */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(col(textCol), " ")
+    // modal word count = longest run in the sorted token array
+    val maxRun = expr(
+      s"""aggregate(
+         |  array_sort(split($textCol, ' ')),
+         |  struct(CAST('' AS STRING) AS prev, 0 AS run, 0 AS maxr),
+         |  (s, x) -> struct(
+         |    x,
+         |    CASE WHEN x = s.prev THEN s.run + 1 ELSE 1 END,
+         |    greatest(s.maxr, CASE WHEN x = s.prev THEN s.run + 1 ELSE 1 END)),
+         |  s -> s.maxr)""".stripMargin)
+    val bigrams = zip_with(
+      slice(words, lit(1), size(words) - 1),
+      slice(words, lit(2), size(words) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    df.select(
+      col(idCol),
+      size(words).cast(LongType).as("n_words"),
+      (size(array_distinct(words)).cast(DoubleType) / size(words))
+        .as("distinct_word_ratio"),
+      (maxRun.cast(DoubleType) / size(words)).as("top_word_frac"),
+      (lit(1.0) - size(array_distinct(bigrams)).cast(DoubleType) / size(bigrams))
+        .as("dup_bigram_frac"))
+  }
+
   /** Quality signals: doc length, mean word length, stopword ratio,
     * punctuation ratio, uppercase ratio, digit ratio. */
   def qualityScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -171,6 +171,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(5L) === "zh")
   }
 
+  test("repetition stats: hand-computed diversity and duplication") {
+    val samples = Seq(
+      // "a b a b a": 5 words, 2 distinct, 'a' x3; bigrams (a b, b a, a b, b a)
+      // -> 2 distinct of 4 -> dup 0.5
+      (1L, "a b a b a"),
+      // all distinct: ratio 1.0, top 1/4, no dup bigrams
+      (2L, "w x y z"),
+      // fully repetitive: 1 distinct of 4, top 1.0, 1 distinct bigram of 3
+      (3L, "spam spam spam spam"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(samples, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L) === ((5L, 0.4, 0.6, 0.5)))
+    assert(out(2L) === ((4L, 1.0, 0.25, 0.0)))
+    assert(out(3L) === ((4L, 0.25, 1.0, 1.0 - 1.0 / 3.0)))
+  }
+
   test("token stats and fingerprint are deterministic") {
     val s1 = TextAnalysis.tokenStats(docs, "doc_id", "text").collect().toSeq
     val s2 = TextAnalysis.tokenStats(docs, "doc_id", "text").collect().toSeq
