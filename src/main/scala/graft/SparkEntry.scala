@@ -812,6 +812,28 @@ object SparkEntry {
         Seq("o_orderkey"))
       tbl.changes(s, snap1)
     }),
+    "ice_type_widening" -> ((s, dir) => {
+      // Iceberg type promotion: int -> long and float -> double mid-table;
+      // pre-promotion files serve their values through the widened type
+      // (field-id reads + Spark 4's widening parquet promotion)
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.twide")
+      s.sql("CREATE TABLE graft.db.twide (c_custkey BIGINT, c_nationkey INT, c_acctbal FLOAT)")
+      t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        .createOrReplaceTempView("twide_src_gq")
+      s.sql("""INSERT INTO graft.db.twide
+        SELECT c_custkey, c_nationkey, CAST(c_acctbal AS FLOAT)
+        FROM twide_src_gq WHERE c_custkey % 2 = 0""")
+      s.sql("ALTER TABLE graft.db.twide ALTER COLUMN c_nationkey TYPE BIGINT")
+      s.sql("ALTER TABLE graft.db.twide ALTER COLUMN c_acctbal TYPE DOUBLE")
+      s.sql("""INSERT INTO graft.db.twide
+        SELECT c_custkey, CAST(c_nationkey AS BIGINT), c_acctbal
+        FROM twide_src_gq WHERE c_custkey % 2 = 1""")
+      s.sql("SELECT * FROM graft.db.twide")
+    }),
     "ice_rollback" -> ((s, dir) => {
       // metadata-only rollback: current pointer moves back, no data rewrite
       val src = t(s, dir, "orders")
@@ -2167,6 +2189,13 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '\d{3}-\d{4}')) AS BIGINT) AS n_phones
         |FROM seeded""".stripMargin,
     "ice_rollback" -> "SELECT * FROM orders WHERE o_orderkey % 2 = 0",
+    "ice_type_widening" ->
+      """SELECT c_custkey,
+        |  CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  CASE WHEN c_custkey % 2 = 0
+        |       THEN CAST(CAST(c_acctbal AS REAL) AS DOUBLE)
+        |       ELSE c_acctbal END AS c_acctbal
+        |FROM customer""".stripMargin,
     "ice_changelog" ->
       """SELECT *, 'insert' AS _change_type FROM orders WHERE o_orderkey % 2 = 1
         |UNION ALL

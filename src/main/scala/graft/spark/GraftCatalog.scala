@@ -278,8 +278,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         t.dropColumn(del.fieldNames().head)
       case ren: TableChange.RenameColumn =>
         t.renameColumn(ren.fieldNames().head, ren.newName())
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames().length == 1, "nested type change not supported")
+        t.updateColumnType(upd.fieldNames().head,
+          SchemaConvert.fromSparkSchema(StructType(Seq(
+            org.apache.spark.sql.types.StructField("x", upd.newDataType()))))
+            .fields.head.fieldType)
+      case nul: TableChange.UpdateColumnNullability =>
+        t.updateColumnNullability(nul.fieldNames().head, nul.nullable())
       case set: TableChange.SetProperty =>
         t.setProperties(Map(set.property() -> set.value()))
+      case rm: TableChange.RemoveProperty =>
+        t.removeProperties(Seq(rm.property()))
       case other => sys.error(s"unsupported table change: $other")
     }
     new GraftV2Table(t.refresh(), None, None)

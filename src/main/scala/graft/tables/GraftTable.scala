@@ -927,6 +927,53 @@ class GraftTable(
     commitSchema(newSchema, base.lastColumnId)
   }
 
+  /** Type widening per the Iceberg spec (`int -> long`, `float ->
+    * double`, decimal precision growth at fixed scale): the field id is
+    * stable, so pre-promotion files keep serving their values through
+    * the widened type (Spark 4's parquet readers promote int32 -> int64
+    * and float -> double in the vectorized path). Anything else is
+    * refused — narrowing or cross-family changes would corrupt old
+    * files silently. */
+  def updateColumnType(name: String, to: IceType): GraftTable = {
+    val base = metadata
+    val schema = base.currentSchema
+    val f = schema.findField(name).getOrElse(sys.error(s"no column $name"))
+    val ok = (f.fieldType, to) match {
+      case (a, b) if a == b => true
+      case (IcePrim("int"), IcePrim("long")) => true
+      case (IcePrim("float"), IcePrim("double")) => true
+      case (IceDecimal(p1, s1), IceDecimal(p2, s2)) => s1 == s2 && p2 >= p1
+      case _ => false
+    }
+    require(ok, s"illegal type promotion ${f.fieldType} -> $to for $name " +
+      "(Iceberg spec allows int->long, float->double, decimal precision growth)")
+    val newSchema = IceSchema(
+      schema.schemaId + 1,
+      schema.fields.map(x => if (x.id == f.id) x.copy(fieldType = to) else x))
+    commitSchema(newSchema, base.lastColumnId)
+  }
+
+  /** required -> optional is always safe; optional -> required is only
+    * sound on an empty table (existing rows may hold nulls). */
+  def updateColumnNullability(name: String, nullable: Boolean): GraftTable = {
+    val base = metadata
+    val schema = base.currentSchema
+    val f = schema.findField(name).getOrElse(sys.error(s"no column $name"))
+    require(nullable || base.currentSnapshotId.isEmpty,
+      s"cannot make $name required on a non-empty table")
+    val newSchema = IceSchema(
+      schema.schemaId + 1,
+      schema.fields.map(x => if (x.id == f.id) x.copy(required = !nullable) else x))
+    commitSchema(newSchema, base.lastColumnId)
+  }
+
+  def removeProperties(keys: Seq[String]): GraftTable = {
+    val base = metadata
+    commitMetaOnly(base.copy(
+      properties = base.properties -- keys,
+      lastUpdatedMs = System.currentTimeMillis()))
+  }
+
   def dropColumn(name: String): GraftTable = {
     val base = metadata
     val schema = base.currentSchema

@@ -487,4 +487,50 @@ class CatalogSpec extends AnyFunSuite {
     assert(df2.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
     assert(df2.count() === 99000)
   }
+
+  test("type widening: legal promotions apply, illegal ones are refused") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.widen")
+    spark.sql("CREATE TABLE graft.db.widen (k INT, v FLOAT, s STRING)")
+    spark.sql("INSERT INTO graft.db.widen VALUES (1, CAST(1.5 AS FLOAT), 'a')")
+    spark.sql("ALTER TABLE graft.db.widen ALTER COLUMN k TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.db.widen ALTER COLUMN v TYPE DOUBLE")
+    spark.sql("INSERT INTO graft.db.widen VALUES (CAST(2 AS BIGINT), 2.5, 'b')")
+    val rows = spark.sql("SELECT k, v FROM graft.db.widen ORDER BY k").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(rows.map(_.getDouble(1)).toSeq === Seq(1.5, 2.5))
+    // narrowing and cross-family promotions are refused loudly
+    // (Spark's analyzer refuses narrowing before the catalog sees it;
+    // the catalog-side guard below protects direct API callers)
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.widen ALTER COLUMN k TYPE INT")
+    }
+    assert(e1.getMessage.contains("promotion") ||
+      e1.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.widen ALTER COLUMN s TYPE BIGINT")
+    }
+    assert(e2.getMessage.contains("promotion") ||
+      e2.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), e2.getMessage)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val whDir = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val api = graft.tables.StorageCatalog.loadTable(conf, s"$whDir/db/widen")
+    val e3 = intercept[Exception] {
+      api.updateColumnType("s", graft.tables.IcePrim("long"))
+    }
+    assert(e3.getMessage.contains("promotion"), e3.getMessage)
+    // nullability: loosening is fine; tightening on non-empty is refused
+    spark.sql("ALTER TABLE graft.db.widen ALTER COLUMN s DROP NOT NULL")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.widen ALTER COLUMN s SET NOT NULL")
+    }
+    // property removal round-trips
+    spark.sql("ALTER TABLE graft.db.widen SET TBLPROPERTIES ('x' = '1')")
+    spark.sql("ALTER TABLE graft.db.widen UNSET TBLPROPERTIES ('x')")
+    val props = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "widen"))
+      .properties()
+    assert(!props.containsKey("x"))
+  }
 }
