@@ -177,12 +177,19 @@ class GraftTable(
     * semantics: new data files in the range; deletes in the range apply to
     * the returned slice. */
   /** replace-style snapshots rewrite the live file set: compaction,
-    * z-order, overwrite, TRUNCATE. Detected by operation name OR the
-    * explicit replace marker (TRUNCATE commits operation 'delete' but
-    * replaces everything, so the name alone is not enough). */
+    * z-order, overwrite, TRUNCATE. The summary's explicit `graft.replace`
+    * marker is authoritative (stamped on every commit): operation names
+    * are ambiguous in BOTH directions — TRUNCATE commits 'delete' but
+    * replaces everything, while UPDATE/MERGE row-deltas commit
+    * 'overwrite' but replace nothing (their delete files carry the old
+    * row versions a changelog must emit). Snapshots without the marker
+    * (foreign/legacy tables) fall back to the name heuristic. */
   private[graft] def isReplaceStyle(s: IceSnapshot): Boolean =
-    !Set("append", "delete").contains(s.summary.getOrElse("operation", "append")) ||
-      s.summary.get("graft.replace").contains("true")
+    s.summary.get("graft.replace") match {
+      case Some(v) => v == "true"
+      case None =>
+        !Set("append", "delete").contains(s.summary.getOrElse("operation", "append"))
+    }
 
   /** content-preserving rewrite (compaction / z-order / manifest rewrite):
     * same logical rows in new files — contributes NOTHING to a changelog */
@@ -1297,11 +1304,12 @@ class GraftTable(
     val exData = existing.filter(_.file.content == DataContent.Data)
     val exDeletes = existing.filterNot(_.file.content == DataContent.Data)
     val summary = Map(
-      "operation" -> operation) ++
-      // mark replace-style commits explicitly: incremental/changelog range
-      // guards must refuse them even when the operation name ('delete' for
-      // TRUNCATE) looks append-safe
-      (if (replace) Map("graft.replace" -> "true") else Map.empty) ++ Map(
+      "operation" -> operation,
+      // the replace flag is stamped on EVERY commit: operation names are
+      // ambiguous (TRUNCATE commits 'delete' but replaces everything;
+      // UPDATE/MERGE row-deltas commit 'overwrite' but replace nothing),
+      // and changelog/incremental classification must be exact
+      "graft.replace" -> replace.toString) ++ Map(
       "added-data-files" -> addedData.size.toString,
       "added-delete-files" -> addedDeletes.size.toString,
       "added-records" -> addedRecords.toString,

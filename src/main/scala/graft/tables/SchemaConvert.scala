@@ -154,10 +154,17 @@ object SingleValue {
     case IcePrim("boolean") => bytes(0) != 0
     case IcePrim("int") | IcePrim("date") =>
       ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getInt
+    // 4-byte tolerance on the 8-byte types: after type widening
+    // (int -> long) the CURRENT schema says long, but manifests written
+    // before the promotion carry 4-byte bounds — decode by buffer width
+    // and promote (the same contract Iceberg's Conversions follows)
     case IcePrim("long") | IcePrim("time") | IcePrim("timestamp") | IcePrim("timestamptz") =>
-      ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getLong
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      if (bytes.length == 4) bb.getInt.toLong else bb.getLong
     case IcePrim("float") => ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getFloat
-    case IcePrim("double") => ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getDouble
+    case IcePrim("double") =>
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      if (bytes.length == 4) bb.getFloat.toDouble else bb.getDouble
     case IcePrim("string") => new String(bytes, "UTF-8")
     case IcePrim("uuid") =>
       val bb = ByteBuffer.wrap(bytes)

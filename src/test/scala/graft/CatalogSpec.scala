@@ -488,6 +488,44 @@ class CatalogSpec extends AnyFunSuite {
     assert(df2.count() === 99000)
   }
 
+  test("MERGE with NOT MATCHED BY SOURCE deletes through the delta plan") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.mbs")
+    spark.sql("CREATE TABLE graft.db.mbs (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.mbs VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d')")
+    spark.sql(
+      """MERGE INTO graft.db.mbs t
+        |USING (SELECT * FROM VALUES (2,'B'),(5,'E') AS s(k,v)) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.k = 4 THEN DELETE""".stripMargin)
+    val out = spark.sql("SELECT k, v FROM graft.db.mbs ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out === Seq((1L, "a"), (2L, "B"), (3L, "c"), (5L, "E")))
+  }
+
+  test("changelog emits both halves of SQL UPDATE / MERGE row-deltas") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.cdcup")
+    spark.sql("CREATE TABLE graft.db.cdcup (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.cdcup VALUES (1,'a'),(2,'b'),(3,'c')")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val snap1 = graft.tables.StorageCatalog.loadTable(conf, s"$wh/db/cdcup")
+      .metadata.currentSnapshotId.get
+    // row-delta commits label themselves 'overwrite' but replace nothing:
+    // the changelog must emit the OLD row version as a delete and the new
+    // one as an insert (a CDC consumer reading only inserts would
+    // silently miss the retraction)
+    spark.sql("UPDATE graft.db.cdcup SET v = 'B' WHERE k = 2")
+    val t = graft.tables.StorageCatalog.loadTable(conf, s"$wh/db/cdcup")
+    val out = t.changes(spark, snap1)
+      .select("k", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(out.toSeq === Seq((2L, "B", "insert"), (2L, "b", "delete")))
+  }
+
   test("type widening: legal promotions apply, illegal ones are refused") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("DROP TABLE IF EXISTS graft.db.widen")
@@ -499,6 +537,12 @@ class CatalogSpec extends AnyFunSuite {
     val rows = spark.sql("SELECT k, v FROM graft.db.widen ORDER BY k").collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
     assert(rows.map(_.getDouble(1)).toSeq === Seq(1.5, 2.5))
+    // FILTERED scans decode pre-promotion 4-byte manifest bounds through
+    // the widened type (bound pruning, min/max pushdown)
+    assert(spark.sql("SELECT count(*) FROM graft.db.widen WHERE k > 1")
+      .head().getLong(0) === 1L)
+    assert(spark.sql("SELECT min(k) AS mn, max(v) AS mx FROM graft.db.widen")
+      .collect().head.toSeq === Seq(1L, 2.5))
     // narrowing and cross-family promotions are refused loudly
     // (Spark's analyzer refuses narrowing before the catalog sees it;
     // the catalog-side guard below protects direct API callers)
