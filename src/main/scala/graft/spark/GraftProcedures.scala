@@ -138,7 +138,8 @@ private[spark] object GraftProcedures {
         Seq(in("table", StringType), in("older_than_ms", LongType)),
         out("removed_files" -> LongType),
         (input, _) =>
-          Seq(Seq(table(input).removeOrphanFiles(input.getLong(1)).size.toLong))),
+          // count-only: never materializes the orphan path list on the driver
+          Seq(Seq(table(input).removeOrphanFilesCount(input.getLong(1))))),
       new GraftProcedure(
         "fast_forward",
         Seq(in("table", StringType), in("branch", StringType), in("to", StringType)),

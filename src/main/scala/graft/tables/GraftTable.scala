@@ -763,8 +763,27 @@ class GraftTable(
   /** Remove files under `location/data` that no snapshot references and
     * that are older than `olderThanMs` (grace period: a concurrent write
     * may have files on disk before its commit lands). Returns the paths
-    * it deleted. */
-  def removeOrphanFiles(olderThanMs: Long): Seq[String] = {
+    * it deleted (driver-resident — fine for interactive use; the SQL
+    * procedure goes through [[removeOrphanFilesCount]] which never
+    * materializes the list). */
+  def removeOrphanFiles(olderThanMs: Long): Seq[String] =
+    reclaimOrphans(olderThanMs, collectPaths = true)._2
+
+  /** Count-only orphan reclamation: at 100 TB the orphan set can be
+    * millions of paths — the procedure needs the count, not a
+    * driver-resident path list. */
+  def removeOrphanFilesCount(olderThanMs: Long): Long =
+    reclaimOrphans(olderThanMs, collectPaths = false)._1
+
+  /** Orphan reclamation core. With an active SparkSession the whole pass
+    * is distributed: one listing task per immediate child of `data/`
+    * (partition directories on a partitioned table), candidate∖referenced
+    * as a Catalyst anti-join, and deletes issued from executor tasks with
+    * one FileSystem handle per partition — the driver never walks the
+    * tree or issues a delete. A serial fallback covers bare library use
+    * with no session. */
+  private def reclaimOrphans(
+      olderThanMs: Long, collectPaths: Boolean): (Long, Seq[String]) = {
     // a stale in-memory handle must not decide what is "unreferenced":
     // another writer's committed files would look orphaned
     refresh()
@@ -773,22 +792,130 @@ class GraftTable(
     val referenced: Set[String] =
       try metadata.snapshots.flatMap(s =>
         planFiles(s).map(p => GraftTable.normPathStr(p.file.filePath))).toSet
-      catch { case _: Throwable => return Nil }
+      catch { case _: Throwable => return (0L, Nil) }
     val dataDir = new Path(s"$location/data")
     val fs = dataDir.getFileSystem(conf)
-    if (!fs.exists(dataDir)) return Nil
-    val it = fs.listFiles(dataDir, true)
-    val deleted = scala.collection.mutable.ArrayBuffer[String]()
-    while (it.hasNext) {
-      val f = it.next()
-      val p = GraftTable.normPathStr(f.getPath.toUri.getPath)
-      if (f.isFile && !referenced.contains(p) &&
-        f.getModificationTime < olderThanMs &&
-        !f.getPath.getName.startsWith(".")) {
-        if (fs.delete(f.getPath, false)) deleted += p
-      }
+    if (!fs.exists(dataDir)) return (0L, Nil)
+    SparkSession.getActiveSession match {
+      case Some(spark) =>
+        import spark.implicits._
+        val prefixes = fs.listStatus(dataDir).map(_.getPath.toString).toSeq
+        if (prefixes.isEmpty) return (0L, Nil)
+        val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+        val listParts = math.max(1, math.min(prefixes.size, 256))
+        val candidates = spark.sparkContext
+          .parallelize(prefixes, listParts)
+          .flatMap { prefix =>
+            val c = serConf.value
+            val p = new Path(prefix)
+            val pfs = p.getFileSystem(c)
+            val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+            try {
+              val it = pfs.listFiles(p, true)
+              while (it.hasNext) {
+                val f = it.next()
+                if (f.isFile && f.getModificationTime < olderThanMs &&
+                  !f.getPath.getName.startsWith("."))
+                  out += ((GraftTable.normPathStr(f.getPath.toUri.getPath),
+                    f.getPath.toString))
+              }
+            } catch { case _: java.io.FileNotFoundException => () } // raced away
+            out
+          }
+          .toDF("path", "full")
+        // referenced set is metadata-sized; as a LocalRelation Spark
+        // broadcasts it when small and shuffle-joins when it is not —
+        // either way no single-node Set lookup over the full listing
+        val refDf = referenced.toSeq.toDF("path")
+        val orphans = candidates.join(refDf, Seq("path"), "left_anti")
+          .as[(String, String)]
+        val deletedAcc = spark.sparkContext.longAccumulator("graft.maintenance.files_deleted")
+        val execAcc = spark.sparkContext.longAccumulator("graft.maintenance.executor_deletes")
+        val del = (it: Iterator[(String, String)]) => {
+          val c = serConf.value
+          var fsh: FileSystem = null
+          val done = scala.collection.mutable.ArrayBuffer[String]()
+          it.foreach { case (norm, full) =>
+            val p = new Path(full)
+            if (fsh == null) fsh = p.getFileSystem(c)
+            val ok = try fsh.delete(p, false) catch { case _: Throwable => false }
+            if (ok) {
+              deletedAcc.add(1)
+              if (org.apache.spark.TaskContext.get() != null) execAcc.add(1)
+              done += norm
+            }
+          }
+          done.iterator
+        }
+        val paths: Seq[String] =
+          if (collectPaths) orphans.mapPartitions(del).collect().toSeq
+          else {
+            orphans.foreachPartition((it: Iterator[(String, String)]) => { del(it); () })
+            Nil
+          }
+        Metrics.inc(Metrics.MaintenanceFilesDeleted, deletedAcc.value)
+        Metrics.inc(Metrics.MaintenanceExecutorDeletes, execAcc.value)
+        (deletedAcc.value, paths)
+      case None =>
+        val it = fs.listFiles(dataDir, true)
+        val deleted = scala.collection.mutable.ArrayBuffer[String]()
+        while (it.hasNext) {
+          val f = it.next()
+          val p = GraftTable.normPathStr(f.getPath.toUri.getPath)
+          if (f.isFile && !referenced.contains(p) &&
+            f.getModificationTime < olderThanMs &&
+            !f.getPath.getName.startsWith(".")) {
+            if (fs.delete(f.getPath, false)) deleted += p
+          }
+        }
+        Metrics.inc(Metrics.MaintenanceFilesDeleted, deleted.size.toLong)
+        (deleted.size.toLong, deleted.toSeq)
     }
-    deleted.toSeq
+  }
+
+  /** Delete `paths` from executor tasks (one FileSystem handle per
+    * partition) when a SparkSession is active; serial driver loop only as
+    * a no-session fallback. Reclaim sets at 100 TB are millions of files:
+    * a serial loop is hours of driver wall-clock and one lost connection
+    * from aborting mid-pass, while tasks retry per-partition. Best-effort
+    * either way — a path that fails to delete is left for the next
+    * orphan-file pass. */
+  private[tables] def deletePathsDistributed(paths: Seq[String]): Long = {
+    if (paths.isEmpty) return 0L
+    SparkSession.getActiveSession match {
+      case Some(spark) =>
+        val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+        val parts = math.max(1, math.min(paths.size / 512 + 1, 256))
+        val deletedAcc = spark.sparkContext.longAccumulator("graft.maintenance.files_deleted")
+        val execAcc = spark.sparkContext.longAccumulator("graft.maintenance.executor_deletes")
+        spark.sparkContext.parallelize(paths, parts).foreachPartition { it =>
+          val c = serConf.value
+          var fsh: FileSystem = null
+          it.foreach { raw =>
+            try {
+              val p = new Path(raw)
+              if (fsh == null) fsh = p.getFileSystem(c)
+              if (fsh.delete(p, false)) {
+                deletedAcc.add(1)
+                if (org.apache.spark.TaskContext.get() != null) execAcc.add(1)
+              }
+            } catch { case _: Throwable => () }
+          }
+        }
+        Metrics.inc(Metrics.MaintenanceFilesDeleted, deletedAcc.value)
+        Metrics.inc(Metrics.MaintenanceExecutorDeletes, execAcc.value)
+        deletedAcc.value
+      case None =>
+        var n = 0L
+        paths.foreach { raw =>
+          try {
+            val p = new Path(raw)
+            if (p.getFileSystem(conf).delete(p, false)) n += 1
+          } catch { case _: Throwable => () }
+        }
+        Metrics.inc(Metrics.MaintenanceFilesDeleted, n)
+        n
+    }
   }
 
   /** Expire snapshots older than the timestamp (keeping the current one):
@@ -882,16 +1009,14 @@ class GraftTable(
       snapshotLog = base.snapshotLog.filter(e => keepIds.contains(e.ref.toLong)),
       lastUpdatedMs = System.currentTimeMillis())
     commitMetaOnly(newMeta)
-    def rm(path: String): Unit =
-      try {
-        val p = new Path(path)
-        p.getFileSystem(conf).delete(p, false)
-      } catch { case _: Throwable => }
-    reclaim.foreach { case (files, manifests) =>
-      files.foreach(rm)
-      manifests.foreach(rm)
+    // reclaim tail: sets are metadata-sized on the driver, but the
+    // deletes themselves run in executor tasks (millions of files at
+    // 100 TB — see deletePathsDistributed)
+    val reclaimPaths = reclaim.toSeq.flatMap { case (files, manifests) =>
+      files.toSeq ++ manifests.toSeq
     }
-    expired.foreach(s => rm(relocate(s.manifestList)))
+    deletePathsDistributed(
+      reclaimPaths ++ expired.map(s => relocate(s.manifestList)))
     this
   }
 

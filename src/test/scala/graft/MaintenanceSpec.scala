@@ -110,6 +110,38 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.scan(spark).count() === src.count())
   }
 
+  test("maintenance deletion work runs in executor tasks, not the driver") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val loc = tmpLocation("distgc")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src)
+    // plant a pile of orphans (crashed write attempts)
+    val fs = new org.apache.hadoop.fs.Path(loc).getFileSystem(conf)
+    (0 until 20).foreach { i =>
+      val p = new org.apache.hadoop.fs.Path(s"$loc/data/orphan-$i.parquet")
+      val out = fs.create(p); out.write(Array[Byte](1, 2, 3)); out.close()
+    }
+    val execBefore = Metrics.get(Metrics.MaintenanceExecutorDeletes)
+    val n = t.removeOrphanFilesCount(olderThanMs = System.currentTimeMillis() + 1000)
+    assert(n >= 20) // the 20 planted orphans (+ any unreferenced write markers)
+    (0 until 20).foreach { i =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$loc/data/orphan-$i.parquet")))
+    }
+    // the executor-side counter only increments inside a TaskContext —
+    // this is the proof the deletes did NOT run as a driver loop
+    assert(Metrics.get(Metrics.MaintenanceExecutorDeletes) - execBefore === n)
+    assert(t.scan(spark).count() === src.count())
+
+    // fused expiry's reclaim tail goes through the same executor path
+    t.overwrite(spark, src)
+    val execBefore2 = Metrics.get(Metrics.MaintenanceExecutorDeletes)
+    t.expireSnapshots(
+      olderThanMs = System.currentTimeMillis() + 1000, deleteDataFiles = true)
+    assert(Metrics.get(Metrics.MaintenanceExecutorDeletes) - execBefore2 >= 1)
+    assert(t.scan(spark).count() === src.count())
+  }
+
   test("expire snapshots drops old history but keeps current") {
     val src = spark.read.parquet(s"$sfDir/region.parquet")
     val loc = tmpLocation("expire")
