@@ -49,6 +49,12 @@ object ScaleData {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     keyCols.foreach { case (tbl, keys) =>
       val df = spark.read.parquet(s"$src/$tbl.parquet")
+      // the 2^32 copy stride needs 64-bit keys; a narrower key column
+      // would silently widen to BIGINT (schema divergence from the stock
+      // dir) or overflow — refuse loudly instead
+      keys.foreach(k => require(
+        df.schema(k).dataType == org.apache.spark.sql.types.LongType,
+        s"$tbl.$k must be BIGINT for key-domain shifting, got ${df.schema(k).dataType}"))
       val scaled =
         if (keys.isEmpty) df
         else (0 until copies).map { i =>

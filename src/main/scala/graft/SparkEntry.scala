@@ -2133,8 +2133,9 @@ object SparkEntry {
         |  CAST(len(list_distinct(b.words)) AS DOUBLE) / len(b.words)
         |    AS distinct_word_ratio,
         |  CAST(c.max_count AS DOUBLE) / len(b.words) AS top_word_frac,
-        |  1.0 - CAST(len(list_distinct(g.bigrams)) AS DOUBLE) / len(g.bigrams)
-        |    AS dup_bigram_frac
+        |  CASE WHEN len(g.bigrams) > 0
+        |    THEN 1.0 - CAST(len(list_distinct(g.bigrams)) AS DOUBLE) / len(g.bigrams)
+        |    ELSE 0.0 END AS dup_bigram_frac
         |FROM base b JOIN counts c USING (doc_id) JOIN bg g USING (doc_id)""".stripMargin,
     "text_langid" ->
       """WITH sc AS (

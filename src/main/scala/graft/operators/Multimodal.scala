@@ -346,22 +346,58 @@ object Multimodal {
   /** MJPEG stream = frames concatenated raw */
   def encodeMjpeg(frames: Seq[Array[Byte]]): Array[Byte] = frames.flatten.toArray
 
-  /** split an MJPEG stream into its frames (SOI FF D8 .. EOI FF D9) */
+  /** Split an MJPEG stream into its frames (SOI FF D8 .. EOI FF D9) by
+    * walking the JPEG marker-segment structure: APPn/COM/DQT/... segments
+    * are skipped via their length fields (an FF D9 inside an EXIF
+    * thumbnail payload must NOT end the frame), and inside entropy-coded
+    * scan data FF is only ever stuffed (FF 00) or an RST marker, so the
+    * real EOI is unambiguous. A desynced tail (truncated capture) keeps
+    * the frames already found. */
   private[graft] def splitMjpeg(p: Array[Byte]): Option[Seq[Array[Byte]]] = {
     if (p == null || p.length < 4 ||
       p(0) != 0xff.toByte || p(1) != 0xd8.toByte) return None
+    def u(b: Byte): Int = b & 0xff
     val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     var start = 0
-    var i = 2
-    while (i < p.length - 1) {
-      if (p(i) == 0xff.toByte && p(i + 1) == 0xd9.toByte) {
-        frames += java.util.Arrays.copyOfRange(p, start, i + 2)
+    var i = 2 // just past this frame's SOI
+    var ok = true
+    while (ok && start < p.length - 1) {
+      var end = -1
+      while (end < 0 && ok) {
+        if (i + 1 >= p.length || u(p(i)) != 0xff) ok = false
+        else u(p(i + 1)) match {
+          case 0xd9 => end = i + 2 // EOI
+          case 0xff => i += 1 // fill byte before a marker
+          case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) => i += 2 // standalone
+          case 0xd8 => ok = false // nested SOI: desync
+          case 0xda => // SOS: header by length, then entropy-coded data
+            if (i + 3 >= p.length) ok = false
+            else {
+              var j = i + 2 + (((u(p(i + 2)) << 8) | u(p(i + 3))) max 2)
+              var found = false
+              while (!found && j + 1 < p.length) {
+                if (u(p(j)) != 0xff) j += 1
+                else {
+                  val n = u(p(j + 1))
+                  if (n == 0x00 || (n >= 0xd0 && n <= 0xd7)) j += 2 // stuffed/RST
+                  else found = true
+                }
+              }
+              if (found) i = j else ok = false
+            }
+          case _ => // APPn/COM/DQT/DHT/SOFn/...: 2-byte length includes itself
+            if (i + 3 >= p.length) ok = false
+            else i = i + 2 + (((u(p(i + 2)) << 8) | u(p(i + 3))) max 2)
+        }
+      }
+      if (ok && end > 0) {
+        frames += java.util.Arrays.copyOfRange(p, start, end)
         // tolerate padding between frames: scan to the next SOI
-        start = i + 2
+        start = end
         while (start < p.length - 1 &&
           !(p(start) == 0xff.toByte && p(start + 1) == 0xd8.toByte)) start += 1
         i = start + 2
-      } else i += 1
+      }
     }
     if (frames.isEmpty) None else Some(frames.toSeq)
   }

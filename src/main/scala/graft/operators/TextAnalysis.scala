@@ -70,7 +70,11 @@ object TextAnalysis {
       (size(array_distinct(words)).cast(DoubleType) / size(words))
         .as("distinct_word_ratio"),
       (maxRun.cast(DoubleType) / size(words)).as("top_word_frac"),
-      (lit(1.0) - size(array_distinct(bigrams)).cast(DoubleType) / size(bigrams))
+      // 0-/1-word docs have no bigrams: define the fraction as 0.0 rather
+      // than NULL (x/0) so both engines agree on degenerate inputs
+      when(size(bigrams) > 0,
+        lit(1.0) - size(array_distinct(bigrams)).cast(DoubleType) / size(bigrams))
+        .otherwise(lit(0.0))
         .as("dup_bigram_frac"))
   }
 

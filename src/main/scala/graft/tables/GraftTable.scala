@@ -320,8 +320,12 @@ class GraftTable(
     // position deletes committed in range -> the exact rows they removed,
     // with data-file candidates taken from each delete's OWN snapshot (a
     // later compaction may have absorbed the delete files and rewritten
-    // the data, but both remain reachable through the older snapshot)
-    val posSnaps = range.filterNot(isReplaceStyle)
+    // the data, but both remain reachable through the older snapshot).
+    // Only content-preserving rewrites are excluded: a markerless foreign
+    // 'overwrite' (e.g. an Iceberg MoR MERGE row-delta) may carry delete
+    // files, and those deletes must surface even though the snapshot is
+    // replace-CLASSIFIED for the removed-data-file walk above
+    val posSnaps = range.filterNot(isRewrite)
       .filter(s => s.summary.get("added-delete-files").forall(_.toInt > 0))
       .map(s => s -> addedAt(s, DataContent.PositionDeletes))
       .filter(_._2.nonEmpty)
@@ -364,8 +368,15 @@ class GraftTable(
       val out = scala.collection.mutable.ListBuffer[List[IceSnapshot]]()
       var cur = scala.collection.mutable.ListBuffer[IceSnapshot]()
       range.foreach { s =>
-        if (isReplaceStyle(s)) { if (cur.nonEmpty) { out += cur.toList; cur.clear() } }
-        else cur += s
+        if (isReplaceStyle(s)) {
+          if (cur.nonEmpty) { out += cur.toList; cur.clear() }
+          // a non-rewrite replace commit changed the file set (new
+          // segment), but its OWN added delete files still apply — a
+          // foreign row-delta 'overwrite' carries them; harvest it as the
+          // new segment's first member (its eq keys only match data files
+          // with strictly lower sequence, so its added data is immune)
+          if (!isRewrite(s)) cur += s
+        } else cur += s
       }
       if (cur.nonEmpty) out += cur.toList
       out.toList

@@ -227,9 +227,12 @@ object RestCatalog {
         s"""{"error": {"message": ${JsonMethods.compact(JsonMethods.render(JString(msg)))},
            | "type": "$typ", "code": $code}}""".stripMargin)
 
-    /** offset-based paging over a deterministic listing: honors
-      * `pageToken`/`pageSize` query params, emits `next-page-token` while
-      * results remain (token = next offset, opaque to clients) */
+    /** stable-cursor paging over a sorted listing: the token is the last
+      * name already served (URL-encoded, opaque to clients), so entries
+      * created or dropped between pages cannot shift the cursor — an
+      * offset-based token skips or duplicates under concurrent mutation.
+      * Honors `pageToken`/`pageSize`; emits `next-page-token` while
+      * results remain. */
     private def paged(items: Seq[String], query: String): (Seq[String], Option[String]) = {
       val params = Option(query).getOrElse("").split('&').toSeq
         .flatMap(kv => kv.split('=') match {
@@ -237,9 +240,15 @@ object RestCatalog {
           case _ => None
         }).toMap
       val size = math.max(1, params.get("pageSize").flatMap(_.toIntOption).getOrElse(pageSize))
-      val start = params.get("pageToken").flatMap(_.toIntOption).getOrElse(0)
-      val page = items.slice(start, start + size)
-      val next = if (start + size < items.length) Some((start + size).toString) else None
+      val sorted = items.sorted
+      val remaining = params.get("pageToken")
+        .map(t => java.net.URLDecoder.decode(t, "UTF-8"))
+        .fold(sorted)(t => sorted.dropWhile(_ <= t))
+      val page = remaining.take(size)
+      val next =
+        if (remaining.length > size)
+          Some(java.net.URLEncoder.encode(page.last, "UTF-8"))
+        else None
       (page, next)
     }
 

@@ -269,6 +269,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fr.forall(r => r.getInt(2) === 11 && r.getInt(3) === 11))
     // a foreign-codec payload (no SOI, no GFRM) stays with the stub
     assert(Multimodal.splitMjpeg("not a video".getBytes).isEmpty)
+    // an FF D9 inside an APP1 payload (EXIF thumbnails end with a real
+    // EOI byte pair) must NOT split the frame: the walker skips marker
+    // segments by their length fields instead of raw byte scanning
+    def withExif(f: Array[Byte]): Array[Byte] = {
+      val payload = Array[Byte](0x45, 0x78, 0x69, 0x66, 0x00, 0x00, // "Exif\0\0"
+        0xff.toByte, 0xd8.toByte, 0x01, 0x02,
+        0xff.toByte, 0xd9.toByte, 0x03, 0x04) // embedded thumbnail EOI
+      val len = payload.length + 2
+      f.take(2) ++ Array(0xff.toByte, 0xe1.toByte,
+        (len >> 8).toByte, (len & 0xff).toByte) ++ payload ++ f.drop(2)
+    }
+    val exifStream = Multimodal.encodeMjpeg(Seq(withExif(frames(0)), withExif(frames(1))))
+    val exifSplit = Multimodal.splitMjpeg(exifStream).get
+    assert(exifSplit.length === 2)
+    assert(exifSplit.map(_.length) === Seq(frames(0).length + 18, frames(1).length + 18))
   }
 
   test("multimodal real audio decode: javax.sound WAV roundtrip") {

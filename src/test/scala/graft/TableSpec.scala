@@ -411,4 +411,24 @@ class TableSpec extends AnyFunSuite {
       .select("k", "_change_type").as[(Long, String)].collect().sorted
     assert(out2.toSeq === Seq((2L, "delete"), (3L, "insert"), (4L, "insert")))
   }
+
+  test("changelog surfaces delete files of a markerless foreign 'overwrite' row-delta") {
+    val loc = tmpLocation("foreigndelta")
+    val src = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src)
+    val fromId = t.metadata.currentSnapshot.get.snapshotId
+    // a MoR row-delta (pos deletes + new data in one 'overwrite' commit),
+    // then strip every graft.replace marker — what a table written by a
+    // foreign Iceberg engine (or a pre-marker graft) looks like
+    t.overwriteWhere(spark, col("k") === 2L, Seq((2L, "b2")).toDF("k", "v"))
+    t.metadata = t.metadata.copy(snapshots = t.metadata.snapshots.map(s =>
+      s.copy(summary = s.summary - "graft.replace")))
+    val out = t.changes(spark, fromId)
+      .select("k", "v", "_change_type").as[(Long, String, String)].collect().sorted
+    // the replace-classified commit's ADDED delete files must surface the
+    // old row as a delete (the old behavior silently dropped it)
+    assert(out.toSeq === Seq((2L, "b", "delete"), (2L, "b2", "insert")))
+  }
 }
