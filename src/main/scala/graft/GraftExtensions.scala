@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // view DDL + substitution must run BEFORE the resolution batch, whose
     // ResolveSessionCatalog rejects v2 view statements outright
     ext.injectHintResolutionRule(session => new graft.plans.ResolveGraftViews(session))
+    // ALTER TABLE ... ADD/DROP PARTITION FIELD (Iceberg DDL Spark lacks)
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
   }
 }
 

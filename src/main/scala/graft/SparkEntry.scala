@@ -794,6 +794,28 @@ object SparkEntry {
         Seq("o_orderkey"))
       tbl.changes(s, snap1)
     }),
+    "ice_changelog_net" -> ((s, dir) => {
+      // net-change changelog: delete+re-insert of identical content
+      // cancels, a keyed delete+insert of changed content collapses into
+      // an update_preimage/update_postimage pair
+      val src = t(s, dir, "orders")
+      val tbl = freshTable(s, "ice_changelog_net", src)
+      tbl.append(s, src.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+      val snap1 = tbl.metadata.currentSnapshotId.get
+      // in range: insert the odd half
+      tbl.append(s, src.filter(pmod(col("o_orderkey"), lit(2)) === 1))
+      // delete multiples of 10 (even), then re-insert multiples of 20
+      // with IDENTICAL content — those must cancel in net mode
+      tbl.deleteWhere(s, pmod(col("o_orderkey"), lit(10)) === 0)
+      tbl.append(s, src.filter(pmod(col("o_orderkey"), lit(20)) === 0))
+      // update class (pre-existing keys, %14==2, not deleted above):
+      // delete + re-insert with a changed price -> update pair
+      val uCond = pmod(col("o_orderkey"), lit(14)) === 2 &&
+        pmod(col("o_orderkey"), lit(10)) =!= 0
+      tbl.equalityDelete(s, src.filter(uCond).select(col("o_orderkey")), Seq("o_orderkey"))
+      tbl.append(s, src.filter(uCond).withColumn("o_totalprice", col("o_totalprice") + 5.0))
+      tbl.changes(s, snap1, net = true, netKeys = Seq("o_orderkey"))
+    }),
     "ice_changelog_compact" -> ((s, dir) => {
       // changelog across a mid-range compaction: the rewrite itself emits
       // NOTHING (content-preserving), earlier position deletes resolve
@@ -811,6 +833,25 @@ object SparkEntry {
         src.filter(pmod(col("o_orderkey"), lit(7)) === 3).select(col("o_orderkey")),
         Seq("o_orderkey"))
       tbl.changes(s, snap1)
+    }),
+    "ice_pos_delete_compact" -> ((s, dir) => {
+      // delete-file compaction: a dozen tiny position-delete commits (the
+      // CDC shape) collapse into one delete file per partition WITHOUT
+      // rewriting data; scan content must be byte-identical
+      val src = t(s, dir, "orders")
+      val tbl = freshTable(s, "ice_pos_delete_compact", src)
+      tbl.append(s, src)
+      (0 until 12).foreach(i =>
+        tbl.deleteWhere(s, pmod(col("o_orderkey"), lit(97)) === i))
+      val dataBefore = tbl.planFiles(tbl.metadata.currentSnapshot.get)
+        .filter(_.file.content == DataContent.Data).map(_.file.filePath).toSet
+      tbl.rewritePositionDeleteFiles(s)
+      val after = tbl.planFiles(tbl.metadata.currentSnapshot.get)
+      require(after.count(_.file.content == DataContent.PositionDeletes) <= 2,
+        "position-delete files not compacted")
+      require(after.filter(_.file.content == DataContent.Data)
+        .map(_.file.filePath).toSet == dataBefore, "data files were rewritten")
+      tbl.scan(s)
     }),
     "ice_type_widening" -> ((s, dir) => {
       // Iceberg type promotion: int -> long and float -> double mid-table;
@@ -1028,6 +1069,61 @@ object SparkEntry {
       s.sql("INSERT INTO graft.db.del_orders SELECT * FROM orders_src_del")
       s.sql("DELETE FROM graft.db.del_orders WHERE o_orderstatus = 'F' AND o_totalprice < 100000.0")
       s.sql("SELECT * FROM graft.db.del_orders")
+    }),
+    "sql_spec_evolution" -> ((s, dir) => {
+      // partition-spec evolution through SQL DDL (the extension parser's
+      // ALTER TABLE ... ADD/DROP PARTITION FIELD): four spec generations,
+      // files of every generation answer one filtered scan
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.specevo")
+      s.sql(
+        """CREATE TABLE graft.db.specevo (
+          |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)""".stripMargin)
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .createOrReplaceTempView("orders_src_specevo")
+      def ins(m: Int): Unit =
+        s.sql(s"INSERT INTO graft.db.specevo SELECT * FROM orders_src_specevo WHERE o_orderkey % 4 = $m")
+      ins(0) // spec 0: unpartitioned
+      s.sql("ALTER TABLE graft.db.specevo ADD PARTITION FIELD o_orderstatus")
+      ins(1) // spec 1: identity(status)
+      s.sql("ALTER TABLE graft.db.specevo ADD PARTITION FIELD bucket(8, o_orderkey) AS okey_bucket")
+      ins(2) // spec 2: status + bucket
+      s.sql("ALTER TABLE graft.db.specevo DROP PARTITION FIELD okey_bucket")
+      ins(3) // spec 3: status only again
+      val tbl = StorageCatalog.loadTable(s.sparkContext.hadoopConfiguration, s"$wh/db/specevo")
+      require(tbl.metadata.partitionSpecs.size == 4,
+        s"expected 4 partition specs, got ${tbl.metadata.partitionSpecs.size}")
+      require(tbl.metadata.defaultSpec.fields.map(_.name) == List("o_orderstatus"),
+        s"unexpected final spec: ${tbl.metadata.defaultSpec.fields}")
+      s.sql("SELECT * FROM graft.db.specevo WHERE o_orderstatus = 'F'")
+    }),
+    "sql_wap_branch" -> ((s, dir) => {
+      // SQL-only write-audit-publish: spark.wap.branch stages INSERTs on
+      // a branch (main untouched), CALL fast_forward publishes
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.wap_orders")
+      s.sql(
+        """CREATE TABLE graft.db.wap_orders (
+          |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)""".stripMargin)
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .createOrReplaceTempView("orders_src_wap")
+      s.sql("INSERT INTO graft.db.wap_orders SELECT * FROM orders_src_wap WHERE o_orderkey % 2 = 0")
+      s.conf.set("spark.wap.branch", "audit")
+      try s.sql("INSERT INTO graft.db.wap_orders SELECT * FROM orders_src_wap WHERE o_orderkey % 2 = 1")
+      finally s.conf.unset("spark.wap.branch")
+      val mainCnt = s.sql("SELECT count(*) FROM graft.db.wap_orders").head.getLong(0)
+      val branchCnt = s.sql("SELECT count(*) FROM graft.db.wap_orders VERSION AS OF 'audit'")
+        .head.getLong(0)
+      require(branchCnt > mainCnt,
+        s"staged rows leaked to main or were lost: main=$mainCnt branch=$branchCnt")
+      s.sql("CALL graft.system.fast_forward('db.wap_orders', 'main', 'audit')")
+      s.sql("SELECT * FROM graft.db.wap_orders")
     }),
     "sql_merge_update" -> ((s, dir) => {
       // row-level SQL DML: UPDATE + MERGE INTO over the delta operation
@@ -2164,6 +2260,7 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin,
     "ice_eq_delete" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",
     "ice_pos_delete" -> "SELECT * FROM orders WHERE o_orderkey % 10 <> 0",
+    "ice_pos_delete_compact" -> "SELECT * FROM orders WHERE o_orderkey % 97 >= 12",
     "ice_upsert" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
@@ -2203,6 +2300,19 @@ object SparkEntry {
         |SELECT *, 'delete' FROM orders WHERE o_orderkey % 10 = 0
         |UNION ALL
         |SELECT *, 'delete' FROM orders WHERE o_orderkey % 7 = 3""".stripMargin,
+    "ice_changelog_net" ->
+      """SELECT *, 'insert' AS _change_type FROM orders WHERE o_orderkey % 2 = 1
+        |UNION ALL
+        |SELECT *, 'delete' FROM orders
+        |WHERE o_orderkey % 10 = 0 AND o_orderkey % 20 <> 0
+        |UNION ALL
+        |SELECT *, 'update_preimage' FROM orders
+        |WHERE o_orderkey % 14 = 2 AND o_orderkey % 10 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice + 5.0 AS o_totalprice, o_orderdate, o_orderpriority,
+        |  'update_postimage' FROM orders
+        |WHERE o_orderkey % 14 = 2 AND o_orderkey % 10 <> 0""".stripMargin,
     "ice_changelog_compact" ->
       """SELECT *, 'insert' AS _change_type FROM orders WHERE o_orderkey % 2 = 1
         |UNION ALL
@@ -2211,6 +2321,11 @@ object SparkEntry {
         |SELECT *, 'delete' FROM orders
         |WHERE o_orderkey % 7 = 3 AND o_orderkey % 10 <> 0""".stripMargin,
     "ice_spec_evolution" -> "SELECT * FROM orders WHERE o_orderstatus = 'F'",
+    "sql_spec_evolution" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F'""".stripMargin,
+    "sql_wap_branch" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
     "ice_runtime_prune" ->
       """SELECT o_orderstatus AS status, count(*) AS cnt,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total

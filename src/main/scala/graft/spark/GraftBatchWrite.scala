@@ -210,10 +210,17 @@ class GraftBatchWrite(
         // position-delete commits)
         table.overwriteWhereFiles(spark, cond, files)
       case None =>
+        // write-audit-publish staging: with the session property
+        // `spark.wap.branch` set, plain SQL INSERTs commit to that branch
+        // — main stays untouched until a fast_forward publishes it (the
+        // Iceberg session-property convention). Row-level ops (MERGE /
+        // DELETE / filtered overwrite) intentionally don't stage: their
+        // delete files reference main's current files.
+        val wap = spark.conf.getOption("spark.wap.branch").map(_.trim).filter(_.nonEmpty)
         if (overwriteAll)
-          table.commit(spark, "overwrite", files, Nil, replace = true)
+          table.commit(spark, "overwrite", files, Nil, replace = true, branch = wap)
         else
-          table.commit(spark, "append", files, Nil, replace = false)
+          table.commit(spark, "append", files, Nil, replace = false, branch = wap)
     }
     ()
   }

@@ -81,7 +81,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .map(n => Identifier.of(namespace, n))
   }
 
-  private def loadGraftTable(ident: Identifier): GraftTable = rest match {
+  private[graft] def loadGraftTable(ident: Identifier): GraftTable = rest match {
     case Some(c) =>
       try c.loadTable(nsOf(ident), ident.name())
       catch {

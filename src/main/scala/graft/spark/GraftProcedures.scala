@@ -121,6 +121,19 @@ private[spark] object GraftProcedures {
           Seq(Seq(before, liveDataFiles(t)))
         }),
       new GraftProcedure(
+        "rewrite_position_delete_files",
+        Seq(in("table", StringType)),
+        out("delete_files_before" -> LongType, "delete_files_after" -> LongType),
+        (input, spark) => {
+          val t = table(input)
+          def count(tt: GraftTable): Long = tt.metadata.currentSnapshot.toList
+            .flatMap(s => tt.planFiles(s))
+            .count(_.file.content == DataContent.PositionDeletes).toLong
+          val before = count(t)
+          t.rewritePositionDeleteFiles(spark)
+          Seq(Seq(before, count(t)))
+        }),
+      new GraftProcedure(
         "rewrite_manifests",
         Seq(in("table", StringType)),
         out("manifests_before" -> LongType, "manifests_after" -> LongType),

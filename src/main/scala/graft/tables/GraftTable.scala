@@ -257,15 +257,67 @@ class GraftTable(
     *    after it emit their rows as deletes; its added files are inserts.
     *  - append / delete / row-delta commits: as before.
     *
-    * Like Iceberg's changelog (no net-change collapsing): a row inserted
-    * AND deleted inside the range emits both, and a row already masked by
-    * an earlier delete re-emits if an overwrite later drops its file.
+    * Like Iceberg's changelog: by default no net-change collapsing — a
+    * row inserted AND deleted inside the range emits both, and a row
+    * already masked by an earlier delete re-emits if an overwrite later
+    * drops its file. With `net = true` intermediate changes cancel
+    * ([[netChanges]]), and `netKeys` upgrades delete+insert on one key to
+    * an update pair.
     * Distributed end to end — file reads and joins are ordinary Spark
     * jobs, nothing row-sized touches the driver. */
   def changes(
       spark: SparkSession,
       fromSnapshotId: Long,
-      toSnapshotId: Option[Long] = None): DataFrame = {
+      toSnapshotId: Option[Long] = None,
+      net: Boolean = false,
+      netKeys: Seq[String] = Nil): DataFrame = {
+    val raw = changesRaw(spark, fromSnapshotId, toSnapshotId)
+    if (!net) raw else netChanges(raw, netKeys)
+  }
+
+  /** Net-change collapse (Iceberg's `net_changes` changelog mode): a row
+    * inserted AND deleted inside the range cancels out, multiplicity
+    * preserved (net = inserts - deletes per distinct row content, emitted
+    * |net| times). With `netKeys`, a key whose net delta is exactly one
+    * delete plus one insert of different content becomes an
+    * update_preimage/update_postimage pair — the shape CDC consumers
+    * want. Both steps are single shuffles (one hash aggregate over row
+    * content, one window over the keys); nothing touches the driver. */
+  private def netChanges(raw: DataFrame, netKeys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dataCols = raw.columns.filterNot(_ == "_change_type").toSeq
+    val collapsed = raw
+      .groupBy(dataCols.map(col): _*)
+      .agg((count(when(col("_change_type") === "insert", 1)) -
+        count(when(col("_change_type") === "delete", 1))).as("_net"))
+      .filter(col("_net") =!= 0)
+      .withColumn("_change_type",
+        when(col("_net") > 0, lit("insert")).otherwise(lit("delete")))
+      // multiset semantics: |net| copies of the surviving change
+      .withColumn("_dup",
+        explode(array_repeat(lit(1), abs(col("_net")).cast(IntegerType))))
+      .drop("_net", "_dup")
+    if (netKeys.isEmpty) collapsed
+    else {
+      val w = Window.partitionBy(netKeys.map(col): _*)
+      collapsed
+        .withColumn("_ki",
+          sum(when(col("_change_type") === "insert", 1).otherwise(0)).over(w))
+        .withColumn("_kd",
+          sum(when(col("_change_type") === "delete", 1).otherwise(0)).over(w))
+        .withColumn("_change_type",
+          when(col("_ki") === 1 && col("_kd") === 1,
+            when(col("_change_type") === "delete", lit("update_preimage"))
+              .otherwise(lit("update_postimage")))
+            .otherwise(col("_change_type")))
+        .drop("_ki", "_kd")
+    }
+  }
+
+  private def changesRaw(
+      spark: SparkSession,
+      fromSnapshotId: Long,
+      toSnapshotId: Option[Long]): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val from = metadata.snapshotById(fromSnapshotId)
       .getOrElse(sys.error(s"no snapshot $fromSnapshotId"))
@@ -769,6 +821,55 @@ class GraftTable(
     def all(): List[PlannedFile] =
       metadata.currentSnapshot.toList.flatMap(planFiles(_))
     commitReplace(spark, "replace", all _, Nil)
+  }
+
+  /** Delete-file compaction (`rewrite_position_delete_files`): merge the
+    * accumulated small position-delete files into one delete file per
+    * partition (a few for an unpartitioned table) and drop positions
+    * whose target data file a rewrite already retired — WITHOUT touching
+    * data files. A CDC-heavy MoR table grows thousands of tiny delete
+    * files between full compactions and every scan pays their per-file
+    * open cost; this collapses that to one read per partition. Equality
+    * deletes are left alone (their sequence-relative visibility cannot be
+    * restamped safely — a data rewrite absorbs them instead); position
+    * deletes ARE safe to restamp at the new commit's sequence because
+    * they target (file, pos) pairs and a path matches exactly the file it
+    * was written against. Commits a true `replace` — content-preserving,
+    * so changelog/incremental reads skip it.
+    * (Reference context: delete files are first-class in
+    * icelake/src/types/in_memory.rs:1722-1848 but their compaction is
+    * deferred to engines — here we ARE the engine.) */
+  def rewritePositionDeleteFiles(
+      spark: SparkSession, targetFileSizeBytes: Long = 64L * 1024 * 1024): GraftTable = {
+    val snap = metadata.currentSnapshot.getOrElse(return this)
+    val planned = planFiles(snap)
+    val posFiles = planned.filter(_.file.content == DataContent.PositionDeletes)
+    if (posFiles.isEmpty) return this
+    val liveData = planned.filter(_.file.content == DataContent.Data)
+      .map(p => GraftTable.normPathStr(p.file.filePath)).toSet
+    val pinned = GraftTable.pinnedSession(spark)
+    val rows = pinned.read.parquet(posFiles.map(p => relocate(p.file.filePath)): _*)
+      .select(col("file_path"), col("pos"))
+    // drop positions aimed at retired data files (already absorbed by a
+    // data rewrite); the live-path set is file-count sized -> broadcast
+    val liveDf = kvDf(spark, liveData.toSeq.map(p => (p, 0L)), "_lp", "_lignore")
+    val kept = rows
+      .join(broadcast(liveDf), normPath(col("file_path")) === col("_lp"), "leftsemi")
+    // size the merge: one output file per target-size chunk of the old
+    // delete bytes (the partitioned writer fans out per partition anyway)
+    val chunks = math.max(1,
+      (posFiles.map(_.file.fileSizeInBytes).sum / math.max(1L, targetFileSizeBytes)).toInt)
+    val merged = writePositionDeleteFiles(spark, kept.repartition(chunks))
+    val oldPaths = posFiles.map(p => GraftTable.normPathStr(p.file.filePath)).toSet
+    retryCommit(() => ()) {
+      // survivors re-planned inside the retry: data files and any delete
+      // files committed since (or eq deletes) carry forward untouched
+      val now = metadata.currentSnapshot.toList.flatMap(planFiles(_))
+      val survivors = now.filterNot(p =>
+        oldPaths.contains(GraftTable.normPathStr(p.file.filePath)))
+      commitOnce("replace", Nil, merged, replace = true, existing = survivors)
+    }
+    this
   }
 
   /** Remove files under `location/data` that no snapshot references and
@@ -1311,10 +1412,11 @@ class GraftTable(
       addedDeletes: List[IceDataFile],
       replace: Boolean,
       extraSummary: Map[String, String] = Map.empty,
-      validate: () => Unit = () => ()): GraftTable = {
+      validate: () => Unit = () => (),
+      branch: Option[String] = None): GraftTable = {
     retryCommit(validate) {
       commitOnce(operation, addedData, addedDeletes, replace,
-        extraSummary = extraSummary)
+        extraSummary = extraSummary, branch = branch)
     }
     this
   }

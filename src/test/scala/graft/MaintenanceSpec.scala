@@ -92,6 +92,43 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.scan(spark).count() === src.count() * 6)
   }
 
+  test("rewrite_position_delete_files: tiny delete files merge, absorbed refs drop, data untouched") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val loc = tmpLocation("posdelcompact")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src) // one big file
+    (0 until 3).foreach(i => t.append(spark, src.limit(5))) // small-file tail
+    // a dozen tiny position-delete commits spanning big + small files
+    (0 until 12).foreach { i =>
+      t.deleteWhere(spark, pmod($"o_orderkey", lit(50)) === i)
+    }
+    // absorb the small tail's deletes via a selective data rewrite: the
+    // delete files survive (they still guard the big file) but their
+    // positions into retired paths are now dead weight
+    t.rewriteSmallFiles(spark, smallFileThresholdBytes = 20000)
+    val before = t.planFiles(t.metadata.currentSnapshot.get)
+    val beforeDeletes = before.filter(_.file.content == DataContent.PositionDeletes)
+    assert(beforeDeletes.size >= 12)
+    val dataBefore = before.filter(_.file.content == DataContent.Data)
+      .map(_.file.filePath).toSet
+    val expected = t.scan(spark).collect().map(_.toString).sorted
+
+    t.rewritePositionDeleteFiles(spark)
+    val after = t.planFiles(t.metadata.currentSnapshot.get)
+    val afterDeletes = after.filter(_.file.content == DataContent.PositionDeletes)
+    // merged down, data files byte-identical
+    assert(afterDeletes.size < beforeDeletes.size && afterDeletes.size <= 2)
+    assert(after.filter(_.file.content == DataContent.Data)
+      .map(_.file.filePath).toSet === dataBefore)
+    // dead positions (into rewritten-away small files) were dropped
+    assert(afterDeletes.map(_.file.recordCount).sum <
+      beforeDeletes.map(_.file.recordCount).sum)
+    // the rewrite is content-preserving and changelog-invisible
+    assert(t.scan(spark).collect().map(_.toString).sorted === expected)
+    assert(t.metadata.currentSnapshot.get.summary.get("operation") === Some("replace"))
+  }
+
   test("orphan file cleanup deletes only unreferenced data files") {
     val src = spark.read.parquet(s"$sfDir/region.parquet")
     val loc = tmpLocation("orphans")
@@ -421,6 +458,33 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(after.filter($"o_orderstatus" === "F").count() === 10)
     assert(after.filter($"o_orderstatus" =!= "F").count() ===
       src.filter($"o_orderstatus" =!= "F").count())
+  }
+
+  test("ALTER TABLE ADD/DROP PARTITION FIELD: transforms, aliases, errors") {
+    val wh = tmpLocation("specddl")
+    spark.conf.set("spark.sql.catalog.gsd", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gsd.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsd.db")
+    spark.sql("CREATE TABLE gsd.db.t (id BIGINT, cat STRING, ts TIMESTAMP)")
+    spark.sql("ALTER TABLE gsd.db.t ADD PARTITION FIELD cat")
+    spark.sql("ALTER TABLE gsd.db.t ADD PARTITION FIELD bucket(16, id) AS idb")
+    spark.sql("ALTER TABLE gsd.db.t ADD PARTITION FIELD days(ts)")
+    val t = StorageCatalog.loadTable(conf, s"$wh/db/t")
+    assert(t.metadata.defaultSpec.fields.map(f => (f.name, f.transform)) ===
+      List(("cat", "identity"), ("idb", "bucket[16]"), ("ts_day", "day")))
+    // drop by transform expression (not only by name)
+    spark.sql("ALTER TABLE gsd.db.t DROP PARTITION FIELD bucket(16, id)")
+    t.refresh()
+    assert(t.metadata.defaultSpec.fields.map(_.name) === List("cat", "ts_day"))
+    // unknown field/transform fails loudly
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gsd.db.t DROP PARTITION FIELD bucket(99, id)")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gsd.db.t ADD PARTITION FIELD no_such_col")
+    }
+    // everything else still parses through the delegate
+    assert(spark.sql("SELECT 1 + 1 AS two").head.getInt(0) === 2)
   }
 
   test("REST catalog namespaces + rename") {
