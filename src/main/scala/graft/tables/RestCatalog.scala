@@ -28,14 +28,23 @@ object RestCatalog {
   class Client(baseUri: String, conf: Configuration) {
     private val http = HttpClient.newHttpClient()
 
+    /** request builder with credential pass-through: a bearer token from
+      * `graft.rest.token` (hadoop conf / spark session conf) rides every
+      * request as `Authorization: Bearer <token>` */
+    private def rb(path: String): HttpRequest.Builder = {
+      val b = HttpRequest.newBuilder(URI.create(s"$baseUri$path"))
+      Option(conf.get("graft.rest.token")).filter(_.nonEmpty)
+        .foreach(t => b.header("Authorization", s"Bearer $t"))
+      b
+    }
+
     private def get(path: String): (Int, String) = {
-      val req = HttpRequest.newBuilder(URI.create(s"$baseUri$path")).GET().build()
-      val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+      val resp = http.send(rb(path).GET().build(), HttpResponse.BodyHandlers.ofString())
       (resp.statusCode(), resp.body())
     }
 
     private def post(path: String, body: String): (Int, String) = {
-      val req = HttpRequest.newBuilder(URI.create(s"$baseUri$path"))
+      val req = rb(path)
         .header("Content-Type", "application/json")
         .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
         .build()
@@ -94,8 +103,7 @@ object RestCatalog {
     }
 
     def dropTable(ns: String, name: String): Unit = {
-      val req = HttpRequest.newBuilder(URI.create(s"$baseUri/v1/namespaces/$ns/tables/$name"))
-        .DELETE().build()
+      val req = rb(s"/v1/namespaces/$ns/tables/$name").DELETE().build()
       val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
       // a failed catalog-side drop must NOT look like success — callers
       // delete the data directory afterwards (404 = already gone, fine)
@@ -158,8 +166,7 @@ object RestCatalog {
 
     /** false when the server refuses (409: namespace not empty) */
     def dropNamespace(ns: String): Boolean = {
-      val req = HttpRequest.newBuilder(URI.create(s"$baseUri/v1/namespaces/$ns"))
-        .DELETE().build()
+      val req = rb(s"/v1/namespaces/$ns").DELETE().build()
       val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
       if (resp.statusCode() == 409) false
       else {
@@ -204,8 +211,10 @@ object RestCatalog {
   // ---------------- in-process server ----------------
 
   /** Minimal in-memory catalog server (test/demo; a production deployment
-    * would persist). Thread-safe CAS on the per-table version. */
-  class Server(port: Int = 0, pageSize: Int = 100) {
+    * would persist). Thread-safe CAS on the per-table version. With a
+    * `token`, every request must carry `Authorization: Bearer <token>` or
+    * gets a spec-shaped 401. */
+  class Server(port: Int = 0, pageSize: Int = 100, token: Option[String] = None) {
     private case class Entry(version: Int, metadataJson: String)
     private val tables = new ConcurrentHashMap[String, Entry]()
     private val namespaces = ConcurrentHashMap.newKeySet[String]()
@@ -264,6 +273,16 @@ object RestCatalog {
     }
 
     private def handler(ex: HttpExchange): Unit = try {
+      if (token.exists(t =>
+        ex.getRequestHeaders.getFirst("Authorization") != s"Bearer $t"))
+        err(ex, 401, "NotAuthorizedException", "missing or invalid credentials")
+      else handleAuthorized(ex)
+    } catch {
+      case e: Throwable =>
+        err(ex, 500, "InternalServerError", String.valueOf(e.getMessage))
+    }
+
+    private def handleAuthorized(ex: HttpExchange): Unit = try {
       val path = ex.getRequestURI.getPath
       val method = ex.getRequestMethod
       val TablesRe = "/v1/namespaces/([^/]+)/tables".r
@@ -391,5 +410,19 @@ object RestCatalog {
       case e: Throwable =>
         err(ex, 500, "InternalServerError", String.valueOf(e.getMessage))
     }
+  }
+}
+
+/** Standalone entry point so conformance tests can exercise the catalog
+  * protocol against a genuinely out-of-process server (real socket, real
+  * auth headers): `runMain graft.tables.RestServerMain [pageSize] [token]`
+  * prints `REST_URI=<uri>` on stdout and serves until killed. */
+object RestServerMain {
+  def main(args: Array[String]): Unit = {
+    val pageSize = args.headOption.flatMap(_.toIntOption).getOrElse(100)
+    val token = args.drop(1).headOption.filter(_.nonEmpty)
+    val server = new RestCatalog.Server(pageSize = pageSize, token = token)
+    println(s"REST_URI=${server.start()}")
+    Thread.currentThread().join()
   }
 }

@@ -1,0 +1,110 @@
+package graft
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tables._
+
+/** REST catalog conformance against a genuinely OUT-OF-PROCESS server:
+  * the in-process matrix (MaintenanceSpec) can't see socket-level
+  * behavior or header handling, so this spec forks the server into its
+  * own JVM and drives pagination, CAS conflicts, error bodies, and
+  * bearer-token auth over real HTTP. */
+class RestForkedSpec extends AnyFunSuite {
+
+  private def tmpLocation(name: String): String = {
+    val d = Files.createTempDirectory(s"graft-$name").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private def freshMeta(loc: String): TableMetadata = {
+    val schema = IceSchema(0, List(
+      IceField(1, "id", required = false, IcePrim("long")),
+      IceField(2, "v", required = false, IcePrim("string"))))
+    TableMetadata(
+      formatVersion = 2, tableUuid = java.util.UUID.randomUUID().toString,
+      location = loc, lastSequenceNumber = 0,
+      lastUpdatedMs = System.currentTimeMillis(),
+      lastColumnId = schema.maxFieldId, schemas = List(schema),
+      currentSchemaId = 0, partitionSpecs = List(IcePartitionSpec(0, Nil)),
+      defaultSpecId = 0, lastPartitionId = 999, properties = Map.empty,
+      currentSnapshotId = None, snapshots = Nil, snapshotLog = Nil,
+      metadataLog = Nil, sortOrders = List(IceSortOrder(0, Nil)),
+      defaultSortOrderId = 0, refs = Map.empty)
+  }
+
+  test("REST conformance over a real socket: auth, paging, CAS, error bodies") {
+    val java = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val proc = new ProcessBuilder(
+      java, "-cp", cp, "graft.tables.RestServerMain", "2", "sekrit")
+      .redirectErrorStream(true).start()
+    val reader = new BufferedReader(new InputStreamReader(proc.getInputStream))
+    var uri: String = null
+    val deadline = System.currentTimeMillis() + 60000
+    while (uri == null && System.currentTimeMillis() < deadline && proc.isAlive) {
+      val line = reader.readLine()
+      if (line != null && line.startsWith("REST_URI=")) uri = line.stripPrefix("REST_URI=")
+    }
+    assert(uri != null, "forked REST server did not start in time")
+    try {
+      val http = HttpClient.newHttpClient()
+      def raw(path: String, auth: Option[String]): HttpResponse[String] = {
+        val b = HttpRequest.newBuilder(URI.create(s"$uri$path")).GET()
+        auth.foreach(t => b.header("Authorization", s"Bearer $t"))
+        http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      }
+
+      // no/wrong credentials -> spec-shaped 401, nothing leaks
+      val unauth = raw("/v1/config", None)
+      assert(unauth.statusCode() === 401)
+      val uj = org.json4s.jackson.JsonMethods.parse(unauth.body()) \ "error"
+      assert((uj \ "type") === org.json4s.JString("NotAuthorizedException"))
+      assert((uj \ "code") === org.json4s.JInt(401))
+      assert(raw("/v1/config", Some("wrong")).statusCode() === 401)
+      // an unauthenticated Client fails fast rather than mis-reading
+      intercept[Exception] { new RestCatalog.Client(uri, new Configuration()).config() }
+
+      // authorized client: token from conf rides every request
+      val conf = new Configuration()
+      conf.set("graft.rest.token", "sekrit")
+      val client = new RestCatalog.Client(uri, conf)
+      client.config()
+      client.createNamespace("cf")
+      (1 to 5).foreach(i => client.createTable("cf", s"t$i", freshMeta(tmpLocation(s"rfk$i"))))
+
+      // pagination across the socket (server pages of 2, client walks
+      // next-page-token to exhaustion)
+      assert(client.listTables("cf") === (1 to 5).map(i => s"t$i"))
+      val page1 = org.json4s.jackson.JsonMethods.parse(
+        raw("/v1/namespaces/cf/tables", Some("sekrit")).body())
+      assert((page1 \ "identifiers").children.size === 2)
+      assert((page1 \ "next-page-token").isInstanceOf[org.json4s.JString])
+
+      // CAS conflict over the socket: stale expected version -> 409 ->
+      // typed conflict, not a silent overwrite
+      val t1 = client.loadTable("cf", "t1")
+      intercept[CommitConflictException] {
+        client.commitTable("cf", "t1", t1.version + 7, t1.metadata)
+      }
+      // and a well-formed commit at the right version lands
+      val v2 = client.commitTable("cf", "t1", t1.version, t1.metadata)
+      assert(v2 === t1.version + 1)
+
+      // spec-shaped 404 body for a missing table
+      val missing = raw("/v1/namespaces/cf/tables/nope", Some("sekrit"))
+      assert(missing.statusCode() === 404)
+      val mj = org.json4s.jackson.JsonMethods.parse(missing.body()) \ "error"
+      assert((mj \ "type") === org.json4s.JString("NoSuchTableException"))
+    } finally {
+      proc.destroyForcibly()
+      proc.waitFor()
+    }
+  }
+}
