@@ -233,14 +233,36 @@ object Bench {
     val results = readResults ++ tpchResults ++ dmlResults ++ jumbo
     // optional 10x scaling group: SPARK_GRAFT_SF1_DIR points at a dir
     // built by `runMain graft.ScaleData <sfDir> <out> 10` — single run
-    // per query (10x data dominates noise); catches super-linear plans
+    // per query (10x data dominates noise); catches super-linear plans.
+    // Includes the two stateful dedup designs (disk-backed eq store /
+    // pointer jumping) and the jumbo MoR tier, which the sf0.1 curve
+    // can't stress.
     val sf1Results = sys.env.get("SPARK_GRAFT_SF1_DIR").map { dir =>
-      (headline ++ tpchHeadline).filter(qs.contains).map { n =>
-        val t0 = System.nanoTime()
-        try { qs(n)(spark, dir).count() }
-        catch { case e: Throwable => System.err.println(s"[bench] sf1 $n: $e") }
-        n -> (System.nanoTime() - t0) / 1e9
-      }
+      val reads = (headline ++ tpchHeadline ++ Seq("dedup_embedding", "dedup_components"))
+        .filter(qs.contains).map { n =>
+          val t0 = System.nanoTime()
+          try { qs(n)(spark, dir).count() }
+          catch { case e: Throwable => System.err.println(s"[bench] sf1 $n: $e") }
+          n -> (System.nanoTime() - t0) / 1e9
+        }
+      // jumbo MoR at 10x: executor-side + disk-backed delete tiers forced
+      val jumbo10 =
+        if (!dmlOps.contains("sql_mor_delete")) Nil
+        else {
+          spark.conf.set("spark.graft.delete-broadcast-max-bytes", "0")
+          spark.conf.set("spark.graft.eq-delete-executor-max-bytes", "0")
+          try {
+            val thunk = dmlOps("sql_mor_delete")(spark, dir)
+            val t0 = System.nanoTime()
+            try thunk()
+            catch { case e: Throwable => System.err.println(s"[bench] sf1 jumbo: $e") }
+            Seq("sql_mor_delete_jumbo" -> (System.nanoTime() - t0) / 1e9)
+          } finally {
+            spark.conf.unset("spark.graft.delete-broadcast-max-bytes")
+            spark.conf.unset("spark.graft.eq-delete-executor-max-bytes")
+          }
+        }
+      reads ++ jumbo10
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
