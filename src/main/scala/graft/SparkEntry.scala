@@ -1379,6 +1379,24 @@ object SparkEntry {
           |  SUM(record_count) AS record_count
           |FROM graft.db.mfiles.files GROUP BY 1, 2, 3""".stripMargin)
     }),
+    "meta_all_files" -> ((s, dir) => {
+      // all_files = file inventory across EVERY valid snapshot (the GC /
+      // audit view): an overwrite's retired files stay visible with their
+      // rows until expiry, so record_count sums pre- and post-overwrite
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.mall")
+      s.sql("CREATE TABLE graft.db.mall (o_orderkey BIGINT, o_orderstatus STRING)")
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("mall_src_gq")
+      s.sql("INSERT INTO graft.db.mall SELECT * FROM mall_src_gq WHERE o_orderkey % 2 = 0")
+      s.sql("INSERT OVERWRITE graft.db.mall SELECT * FROM mall_src_gq")
+      s.sql(
+        """SELECT content, CAST(SUM(record_count) AS BIGINT) AS record_count
+          |FROM graft.db.mall.all_files GROUP BY content""".stripMargin)
+    }),
     "meta_partitions" -> ((s, dir) => {
       val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
       s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
@@ -2446,6 +2464,12 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1""".stripMargin,
     "meta_partitions" ->
       "SELECT l_returnflag, COUNT(*) AS record_count FROM lineitem GROUP BY 1",
+    "meta_all_files" ->
+      """SELECT 0 AS content,
+        |  CAST(count(*) +
+        |    (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS BIGINT)
+        |    AS record_count
+        |FROM orders""".stripMargin,
     "meta_refs" ->
       """SELECT * FROM (VALUES ('dev','BRANCH'), ('main','BRANCH'), ('v1','TAG'))
         |AS t(name, type)""".stripMargin,

@@ -38,7 +38,10 @@ object GraftMetadataTables {
 
   val Kinds: Set[String] =
     Set("snapshots", "history", "refs", "manifests", "files", "partitions",
-      "entries", "metadata_log_entries")
+      "entries", "metadata_log_entries",
+      // union across ALL valid snapshots (Iceberg's all_* views); like
+      // Iceberg they may contain duplicates when snapshots share files
+      "all_files", "all_entries", "all_manifests")
 
   // ---------- schemas ----------
 
@@ -146,11 +149,18 @@ object GraftMetadataTables {
     case "history" => historySchema
     case "refs" => refsSchema
     case "manifests" => manifestsSchema
-    case "files" => filesSchema(meta)
+    case "all_manifests" => allManifestsSchema
+    case "files" | "all_files" => filesSchema(meta)
     case "partitions" => partitionsSchema(meta)
-    case "entries" => entriesSchema(meta)
+    case "entries" | "all_entries" => entriesSchema(meta)
     case "metadata_log_entries" => metadataLogSchema
   }
+
+  /** all_manifests = manifests of every valid snapshot, each row tagged
+    * with the snapshot that references it */
+  val allManifestsSchema: StructType = StructType(
+    manifestsSchema.fields :+
+      StructField("reference_snapshot_id", LongType, nullable = false))
 
   // ---------- row building (external Row values; converted per-schema) ----------
 
@@ -297,7 +307,8 @@ class GraftMetadataTable(val table: GraftTable, kind: String)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => kind match {
-      case "files" | "entries" => new GraftFilesScan(table, kind)
+      case "files" | "entries" | "all_files" | "all_entries" =>
+        new GraftFilesScan(table, kind)
       case _ => new GraftMetadataLocalScan(table, kind, schema())
     }
 }
@@ -318,6 +329,9 @@ class GraftMetadataLocalScan(table: GraftTable, kind: String, schema: StructType
       case "metadata_log_entries" => metadataLogRows(table)
       case "manifests" =>
         meta.currentSnapshot.map(manifestRows(table, _)).getOrElse(Nil)
+      case "all_manifests" =>
+        meta.snapshots.sortBy(_.sequenceNumber).flatMap(s =>
+          manifestRows(table, s).map(_ :+ s.snapshotId))
       case "partitions" =>
         // rollup over planFiles — same driver-side cost as planning any
         // scan; the distributed alternative is an aggregate over `files`
@@ -356,32 +370,42 @@ class GraftFilesScan(table: GraftTable, kind: String = "files")
   import GraftMetadataTables._
 
   private val meta = table.metadata
+  private val baseKind = kind.stripPrefix("all_")
   private val schema =
-    if (kind == "entries") entriesSchema(meta) else filesSchema(meta)
+    if (baseKind == "entries") entriesSchema(meta) else filesSchema(meta)
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String = s"GraftFilesScan(${table.location})"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    meta.currentSnapshot match {
-      case None => Array.empty
-      case Some(snap) =>
-        ManifestIO.readManifestList(table.conf, table.relocate(snap.manifestList))
-          .map { m =>
-            val spec = meta.specById(m.partitionSpecId)
-            GraftFilesPartition(
-              table.relocate(m.manifestPath), m.sequenceNumber, m.partitionSpecId,
-              spec, resultTypesOf(meta, spec),
-              meta.defaultSpec.fields.map(_.name),
-              table.location, meta.location,
-              new TableWrite.SerializableHadoopConf(table.conf))
-          }.toArray
-    }
+  override def planInputPartitions(): Array[InputPartition] = {
+    // `files`/`entries` view the current snapshot; the all_* views union
+    // every valid snapshot's manifests, deduped by path (a manifest
+    // shared by N snapshots is read once — like Iceberg's all_* views
+    // the FILE rows may still repeat when snapshots re-reference files
+    // through different manifests)
+    val snaps: Seq[IceSnapshot] =
+      if (kind.startsWith("all_")) meta.snapshots
+      else meta.currentSnapshot.toSeq
+    snaps
+      .flatMap(s =>
+        ManifestIO.readManifestList(table.conf, table.relocate(s.manifestList)))
+      .groupBy(m => table.relocate(m.manifestPath)).values.map(_.head).toSeq
+      .sortBy(_.sequenceNumber)
+      .map { m =>
+        val spec = meta.specById(m.partitionSpecId)
+        GraftFilesPartition(
+          table.relocate(m.manifestPath), m.sequenceNumber, m.partitionSpecId,
+          spec, resultTypesOf(meta, spec),
+          meta.defaultSpec.fields.map(_.name),
+          table.location, meta.location,
+          new TableWrite.SerializableHadoopConf(table.conf))
+      }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val s = schema
-    val k = kind
+    val k = baseKind
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val fp = p.asInstanceOf[GraftFilesPartition]

@@ -154,6 +154,16 @@ private[spark] object GraftProcedures {
           // count-only: never materializes the orphan path list on the driver
           Seq(Seq(table(input).removeOrphanFilesCount(input.getLong(1))))),
       new GraftProcedure(
+        "cherrypick_snapshot",
+        Seq(in("table", StringType), in("snapshot_id", LongType)),
+        out("source_snapshot_id" -> LongType, "current_snapshot_id" -> LongType),
+        (input, spark) => {
+          val t = table(input)
+          val src = input.getLong(1)
+          t.cherryPick(spark, src)
+          Seq(Seq(src, t.metadata.currentSnapshotId.get))
+        }),
+      new GraftProcedure(
         "fast_forward",
         Seq(in("table", StringType), in("branch", StringType), in("to", StringType)),
         out("branch" -> StringType, "current_snapshot_id" -> LongType),

@@ -1334,6 +1334,29 @@ class GraftTable(
     commitMetaOnly(newMeta)
   }
 
+  /** Cherry-pick ONE staged append onto the current main head (Iceberg's
+    * `cherrypick_snapshot`): the WAP complement to [[fastForward]] when
+    * only part of a branch should publish. Restricted to append commits —
+    * a replace/overwrite/row-delta snapshot's effect depends on the file
+    * set it was built against, so replaying it against a different head
+    * silently changes its meaning; refuse instead. The pick is a normal
+    * append commit of the source snapshot's added data files: metadata
+    * only, no data movement, retried through the usual CAS loop. */
+  def cherryPick(spark: SparkSession, snapshotId: Long): GraftTable = {
+    val src = metadata.snapshotById(snapshotId)
+      .getOrElse(sys.error(s"no snapshot $snapshotId"))
+    require(!isReplaceStyle(src) &&
+      src.summary.getOrElse("operation", "append") == "append" &&
+      src.summary.get("added-delete-files").forall(_.toInt == 0),
+      s"cherry-pick supports append snapshots only; $snapshotId is " +
+        s"'${src.summary.getOrElse("operation", "?")}'")
+    val added = planFiles(src)
+      .filter(p => p.seq == src.sequenceNumber && p.file.content == DataContent.Data)
+      .map(_.file)
+    commit(spark, "append", added, Nil, replace = false,
+      extraSummary = Map("graft.cherry-picked-snapshot-id" -> snapshotId.toString))
+  }
+
   def createTag(name: String, snapshotId: Long): GraftTable =
     commitRef(name, IceSnapshotRef(snapshotId, "tag"))
 

@@ -831,6 +831,63 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(re.metadata.refs("audit").snapshotId === re.metadata.currentSnapshotId.get)
   }
 
+  test("cherry-pick publishes ONE staged append; non-appends refuse") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val loc = tmpLocation("cherry")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src.filter($"r_regionkey" < 2)) // main: 2 rows
+    t.appendToBranch(spark, src.filter($"r_regionkey" === 2), "audit") // staged 1
+    val picked = t.metadata.refs("audit").snapshotId
+    t.appendToBranch(spark, src.filter($"r_regionkey" > 2), "audit") // staged 2
+    // pick only the FIRST staged append: main gains its rows, the second
+    // stays branch-only
+    t.cherryPick(spark, picked)
+    assert(t.scan(spark).count() === 3)
+    assert(t.scanRef(spark, "audit").count() === 5)
+    assert(t.metadata.currentSnapshot.get.summary
+      .get("graft.cherry-picked-snapshot-id") === Some(picked.toString))
+    // a replace-style snapshot refuses (its meaning depends on its base)
+    t.overwrite(spark, src)
+    val ow = t.metadata.currentSnapshotId.get
+    intercept[IllegalArgumentException] { t.cherryPick(spark, ow) }
+    // and so does a row-delta carrying delete files
+    t.equalityDelete(spark, src.limit(1).select($"r_regionkey"), Seq("r_regionkey"))
+    val del = t.metadata.currentSnapshotId.get
+    intercept[IllegalArgumentException] { t.cherryPick(spark, del) }
+  }
+
+  test("all_files / all_manifests / all_entries span every snapshot") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val wh = tmpLocation("allmeta")
+    spark.conf.set("spark.sql.catalog.gall", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gall.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gall.db")
+    spark.sql("CREATE TABLE gall.db.t (r_regionkey INT, r_name STRING)")
+    src.createOrReplaceTempView("gall_src")
+    spark.sql("INSERT INTO gall.db.t SELECT * FROM gall_src WHERE r_regionkey < 2")
+    spark.sql("INSERT OVERWRITE gall.db.t SELECT * FROM gall_src")
+    // current view: 5 rows; all_files keeps the overwritten 2 visible too
+    assert(spark.sql("SELECT CAST(SUM(record_count) AS BIGINT) FROM gall.db.t.files")
+      .head.getLong(0) === 5L)
+    assert(spark.sql("SELECT CAST(SUM(record_count) AS BIGINT) FROM gall.db.t.all_files")
+      .head.getLong(0) === 7L)
+    assert(spark.sql("SELECT CAST(SUM(record_count) AS BIGINT) FROM gall.db.t.all_entries")
+      .head.getLong(0) === 7L)
+    // all_manifests tags rows with their referencing snapshot
+    val am = spark.sql(
+      "SELECT DISTINCT reference_snapshot_id FROM gall.db.t.all_manifests").count()
+    assert(am === 2)
+    assert(spark.sql("SELECT * FROM gall.db.t.manifests").count() === 1)
+    // cherrypick_snapshot procedure: re-publish the first append's files
+    // onto the current head (2 extra rows)
+    val firstSnap = spark.sql(
+      "SELECT snapshot_id FROM gall.db.t.snapshots ORDER BY sequence_number")
+      .head.getLong(0)
+    spark.sql(s"CALL gall.system.cherrypick_snapshot('db.t', ${firstSnap}L)")
+    assert(spark.sql("SELECT count(*) FROM gall.db.t").head.getLong(0) === 7L)
+  }
+
   test("VERSION AS OF accepts branch and tag names in SQL") {
     val wh = java.nio.file.Files.createTempDirectory("graft-refsql").toFile.getAbsolutePath
     spark.conf.set("spark.sql.catalog.grefs", "graft.spark.GraftCatalog")
