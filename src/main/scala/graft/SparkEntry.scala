@@ -834,6 +834,20 @@ object SparkEntry {
         Seq("o_orderkey"))
       tbl.changes(s, snap1)
     }),
+    "ice_add_files" -> ((s, dir) => {
+      // in-place import of foreign parquet (no field ids, never copied):
+      // stats harvested from footers, reads resolve columns by name,
+      // subsequent graft writes coexist with imported files
+      val src = t(s, dir, "supplier")
+      val tbl = freshTable(s, "ice_add_files", src.limit(0))
+      tbl.addFiles(s, s"$dir/supplier.parquet")
+      val planned = tbl.planFiles(tbl.metadata.currentSnapshot.get)
+      require(planned.nonEmpty && planned.forall(
+        _.file.filePath.contains("supplier.parquet")),
+        "imported files must be referenced in place, not copied")
+      require(planned.forall(_.file.recordCount > 0), "footer stats missing")
+      tbl.scan(s)
+    }),
     "ice_pos_delete_compact" -> ((s, dir) => {
       // delete-file compaction: a dozen tiny position-delete commits (the
       // CDC shape) collapse into one delete file per partition WITHOUT
@@ -2279,6 +2293,7 @@ object SparkEntry {
     "ice_eq_delete" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",
     "ice_pos_delete" -> "SELECT * FROM orders WHERE o_orderkey % 10 <> 0",
     "ice_pos_delete_compact" -> "SELECT * FROM orders WHERE o_orderkey % 97 >= 12",
+    "ice_add_files" -> "SELECT * FROM supplier",
     "ice_upsert" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0

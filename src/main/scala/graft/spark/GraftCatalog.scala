@@ -907,15 +907,38 @@ class GraftNativeBatchScan(
             .map(ip => new GraftKeyedPartition(ip, key))
         }.toArray
       case None =>
-        org.apache.spark.sql.GraftBridge.filePartitions(
-          currentFiles.map(p => (p.file.filePath, p.file.fileSizeInBytes)), maxBytes).toArray
+        // add_files imports (outside location/data, no field ids) pack
+        // into their OWN partitions so the reader factory can give them
+        // name-based column resolution
+        val (ext, internal) = currentFiles.partition(isExternal)
+        (org.apache.spark.sql.GraftBridge.filePartitions(
+          internal.map(p => (p.file.filePath, p.file.fileSizeInBytes)), maxBytes) ++
+          org.apache.spark.sql.GraftBridge.filePartitions(
+            ext.map(p => (p.file.filePath, p.file.fileSizeInBytes)), maxBytes)
+            .map(ip => new GraftExternalPartition(ip))).toArray
     }
   }
+
+  /** files outside the table's data dir were registered via add_files:
+    * no Iceberg field ids — columns must resolve by NAME */
+  private def isExternal(p: PlannedFile): Boolean =
+    !GraftTable.normPathStr(p.file.filePath)
+      .startsWith(GraftTable.normPathStr(table.location) + "/data/")
 
   override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory = {
     val base = org.apache.spark.sql.GraftBridge.parquetReaderFactory(
       SparkSession.active, dataSchema, requiredSchema, filters)
-    if (keyedTransforms.isDefined) KeyUnwrapFactory(base) else base
+    if (keyedTransforms.isDefined) KeyUnwrapFactory(base)
+    else if (!currentFiles.exists(isExternal)) base
+    else {
+      def strip(st: StructType): StructType = StructType(st.fields.map { f =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove(SchemaConvert.FieldIdKey).build())
+      })
+      ExternalRouteFactory(base,
+        org.apache.spark.sql.GraftBridge.parquetReaderFactory(
+          SparkSession.active, strip(dataSchema), strip(requiredSchema), filters))
+    }
   }
 
   override def description(): String =

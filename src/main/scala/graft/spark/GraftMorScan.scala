@@ -267,12 +267,16 @@ class GraftMorScan(
           DeleteState.seedsForRanges(
             p.file.filePath, ranges.map(_._1).toArray, planHadoopConf)
         else null
+      // files outside the table's data dir were registered via add_files:
+      // they carry no Iceberg field ids and must resolve columns by NAME
+      val external =
+        !norm.startsWith(GraftTable.normPathStr(table.location) + "/data/")
       ranges.zipWithIndex.map { case ((start, len), ri) =>
         GraftMorInputPartition(
           org.apache.spark.sql.GraftBridge.rangeFilePartition(
             i, p.file.filePath, start, len, p.file.fileSizeInBytes),
           p.seq, positions, norm, defaults, posCandidates, start,
-          if (seeds != null) seeds(ri) else -1L): InputPartition
+          if (seeds != null) seeds(ri) else -1L, external): InputPartition
       }
     }.flatten.toArray
   }
@@ -287,6 +291,29 @@ class GraftMorScan(
       if (pushedFilters.isEmpty) innerNoPush
       else org.apache.spark.sql.GraftBridge.parquetReaderFactory(
         SparkSession.active, dataSchema, innerSchema, pushedFilters)
+    // add_files imports carry no field ids: an id-carrying read schema
+    // would silently null their columns (fieldId resolution finds no
+    // match), so external partitions read through id-STRIPPED factories
+    // that resolve by name
+    val hasExternal = plannedPartitions.exists {
+      _.asInstanceOf[GraftMorInputPartition].external
+    }
+    def stripIds(st: StructType): StructType = StructType(st.fields.map { f =>
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).remove(SchemaConvert.FieldIdKey).build()
+      f.copy(metadata = md)
+    })
+    val extNoPush =
+      if (!hasExternal) null
+      else org.apache.spark.sql.GraftBridge.parquetReaderFactory(
+        SparkSession.active, stripIds(dataSchema), stripIds(innerSchema),
+        Array.empty[Filter])
+    val extPush =
+      if (!hasExternal) null
+      else if (pushedFilters.isEmpty) extNoPush
+      else org.apache.spark.sql.GraftBridge.parquetReaderFactory(
+        SparkSession.active, stripIds(dataSchema), stripIds(innerSchema),
+        pushedFilters)
     val nameToOrdinal = innerSchema.fieldNames.zipWithIndex.toMap
     val groups = eqGroups.map { case (keyNames, types, map, maxSeq) =>
       EqGroupState(
@@ -357,6 +384,15 @@ class GraftMorScan(
       else if (pushedFilters.isEmpty) colPush
       else org.apache.spark.sql.GraftBridge.parquetReaderFactory(
         spark, dataSchema, innerSchema, Array.empty[Filter])
+    val colPushExt =
+      if (!colEligible || !hasExternal) null
+      else org.apache.spark.sql.GraftBridge.parquetReaderFactory(
+        spark, stripIds(dataSchema), stripIds(innerSchema), pushedFilters)
+    val colNoPushExt =
+      if (!colEligible || !hasExternal) null
+      else if (pushedFilters.isEmpty) colPushExt
+      else org.apache.spark.sql.GraftBridge.parquetReaderFactory(
+        spark, stripIds(dataSchema), stripIds(innerSchema), Array.empty[Filter])
     // output field plan: data columns bind to inner ordinals; _file is a
     // per-partition constant; _pos reads the counter appended after the
     // inner columns; defaulted ordinals become per-partition literals
@@ -373,7 +409,9 @@ class GraftMorScan(
       if (needsExactPositions) innerNoPush else innerPush,
       innerNoPush, groups, outFields, innerSchema.length,
       serConf, eqSpecs, eqCacheKey, colPush, eqExecMaxBytes,
-      colNoPush, requiredSchema.length)
+      colNoPush, requiredSchema.length,
+      if (needsExactPositions) extNoPush else extPush,
+      extNoPush, colPushExt, colNoPushExt)
   }
 
   override def description(): String =
@@ -405,7 +443,8 @@ case class GraftMorInputPartition(
     defaults: Array[(Int, Any)],
     posCandidates: Array[DeleteFileRef] = Array.empty,
     rangeStart: Long = 0L,
-    posSeedPre: Long = -1L)
+    posSeedPre: Long = -1L,
+    external: Boolean = false)
     extends InputPartition
 
 case class EqGroupState(
@@ -434,8 +473,21 @@ class GraftMorReaderFactory(
     colPush: PartitionReaderFactory = null,
     eqExecMaxBytes: Long = Long.MaxValue,
     colNoPush: PartitionReaderFactory = null,
-    numOutputCols: Int = -1)
+    numOutputCols: Int = -1,
+    // name-resolving (id-stripped) variants for add_files imports
+    extPush: PartitionReaderFactory = null,
+    extNoPush: PartitionReaderFactory = null,
+    colPushExt: PartitionReaderFactory = null,
+    colNoPushExt: PartitionReaderFactory = null)
     extends PartitionReaderFactory {
+
+  private def rowFactory(mor: GraftMorInputPartition, push: Boolean): PartitionReaderFactory =
+    if (mor.external && extNoPush != null) { if (push) extPush else extNoPush }
+    else { if (push) innerPush else innerNoPush }
+
+  private def colFactory(mor: GraftMorInputPartition, push: Boolean): PartitionReaderFactory =
+    if (mor.external && colNoPushExt != null) { if (push) colPushExt else colNoPushExt }
+    else { if (push) colPush else colNoPush }
 
   /** Columnar path: available whenever the scan's output needs no
     * per-row synthesis (metadata columns / default literals). Deletes no
@@ -489,7 +541,7 @@ class GraftMorReaderFactory(
     val mor = partition.asInstanceOf[GraftMorInputPartition]
     val (positions, seed, eqGroups) = resolveDeletes(mor)
     // row-group skipping must stay off while positions are counted
-    val inner = (if (positions.isEmpty) colPush else colNoPush)
+    val inner = colFactory(mor, push = positions.isEmpty)
       .createColumnarReader(mor.filePartition)
     val passthrough =
       positions.isEmpty && eqGroups.isEmpty && innerLen == numOutputCols
@@ -551,7 +603,7 @@ class GraftMorReaderFactory(
     val mor = partition.asInstanceOf[GraftMorInputPartition]
     val (positions, seed, eqGroups) = resolveDeletes(mor)
     val reader =
-      (if (positions.isEmpty) innerPush else innerNoPush)
+      rowFactory(mor, push = positions.isEmpty)
         .createReader(mor.filePartition)
     new PartitionReader[InternalRow] {
       import org.apache.spark.sql.catalyst.expressions.{JoinedRow, Literal}

@@ -154,6 +154,18 @@ private[spark] object GraftProcedures {
           // count-only: never materializes the orphan path list on the driver
           Seq(Seq(table(input).removeOrphanFilesCount(input.getLong(1))))),
       new GraftProcedure(
+        "add_files",
+        Seq(in("table", StringType), in("source", StringType)),
+        out("added_files" -> LongType, "added_records" -> LongType),
+        (input, spark) => {
+          val t = table(input)
+          t.addFiles(spark, input.getString(1))
+          val snap = t.metadata.currentSnapshot.get
+          Seq(Seq(
+            snap.summary.get("added-data-files").map(_.toLong).getOrElse(0L),
+            snap.summary.get("added-records").map(_.toLong).getOrElse(0L)))
+        }),
+      new GraftProcedure(
         "cherrypick_snapshot",
         Seq(in("table", StringType), in("snapshot_id", LongType)),
         out("source_snapshot_id" -> LongType, "current_snapshot_id" -> LongType),

@@ -71,6 +71,34 @@ class GraftKeyedPartition(
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
+/** InputPartition wrapper marking a file group registered via add_files:
+  * its files carry no Iceberg field ids, so the routing factory reads it
+  * with an id-stripped (name-resolving) schema. */
+class GraftExternalPartition(val inner: InputPartition) extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** routes [[GraftExternalPartition]]s to the name-resolving factory and
+  * everything else to the id-resolving one */
+case class ExternalRouteFactory(
+    internal: PartitionReaderFactory,
+    external: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
+    case e: GraftExternalPartition => external.createReader(e.inner)
+    case other => internal.createReader(other)
+  }
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = p match {
+    case e: GraftExternalPartition => external.createColumnarReader(e.inner)
+    case other => internal.createColumnarReader(other)
+  }
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case e: GraftExternalPartition => external.supportColumnarReads(e.inner)
+    case other => internal.supportColumnarReads(other)
+  }
+}
+
 /** unwraps [[GraftKeyedPartition]] before delegating to the real parquet
   * reader factory (which pattern-matches on FilePartition) */
 case class KeyUnwrapFactory(inner: PartitionReaderFactory) extends PartitionReaderFactory {

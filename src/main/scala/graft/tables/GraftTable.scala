@@ -237,8 +237,37 @@ class GraftTable(
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
-    GraftTable.pinnedSession(spark).read.schema(sparkSchema)
-      .parquet(files.map(_.file.filePath): _*)
+    readDataParquet(spark, files.map(_.file.filePath), sparkSchema)
+  }
+
+  /** Raw parquet read of table data files with correct column
+    * resolution: graft-written files (under `location/data`) resolve by
+    * field id, add_files imports resolve by NAME (they carry no ids — an
+    * id-carrying schema would silently null their columns). One relation
+    * per resolution mode, unioned. */
+  private def readDataParquet(
+      spark: SparkSession,
+      paths: Seq[String],
+      sparkSchema: StructType,
+      withMeta: Boolean = false): DataFrame = {
+    val pinned = GraftTable.pinnedSession(spark)
+    val dataPrefix = GraftTable.normPathStr(location) + "/data/"
+    val (internal, external) =
+      paths.partition(p => GraftTable.normPathStr(p).startsWith(dataPrefix))
+    val parts = Seq(
+      internal -> sparkSchema,
+      external -> StructType(sparkSchema.fields.map { f =>
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .remove(SchemaConvert.FieldIdKey).build())
+      })).collect { case (ps, sch) if ps.nonEmpty =>
+      val df = pinned.read.schema(sch).parquet(ps: _*)
+      // _metadata is per-relation: project it BEFORE the union
+      if (withMeta)
+        df.withColumn("_cf", GraftTable.normPath(col("_metadata.file_path")))
+          .withColumn("_cp", col("_metadata.row_index"))
+      else df
+    }
+    parts.reduce(_.unionByName(_))
   }
 
   /** Batch changelog between two snapshots: every row appended in the
@@ -345,9 +374,7 @@ class GraftTable(
         .filter(p => p.seq == s.sequenceNumber && p.file.content == content)
 
     def rawWithPos(paths: Seq[String]): DataFrame =
-      pinned.read.schema(sparkSchema).parquet(paths: _*)
-        .withColumn("_cf", GraftTable.normPath(col("_metadata.file_path")))
-        .withColumn("_cp", col("_metadata.row_index"))
+      readDataParquet(spark, paths, sparkSchema, withMeta = true)
 
     val inserts = scanIncremental(spark, fromSnapshotId, toSnapshotId)
       .withColumn("_change_type", lit("insert"))
@@ -821,6 +848,48 @@ class GraftTable(
     def all(): List[PlannedFile] =
       metadata.currentSnapshot.toList.flatMap(planFiles(_))
     commitReplace(spark, "replace", all _, Nil)
+  }
+
+  /** Register existing parquet files as table data WITHOUT rewriting or
+    * moving them (Iceberg's `add_files`/migrate surface — at 100 TB the
+    * only sane way to onboard a legacy dataset is in place). Footer stats
+    * harvest distributed like a fresh write; the commit is a normal
+    * append. Imported files carry no Iceberg field ids, so reads resolve
+    * their columns BY NAME (`fieldId.read.ignoreMissing`) — a later
+    * column RENAME will not re-map them (graft-written files, which
+    * carry ids, are unaffected). Unpartitioned default spec only:
+    * partition tuples of a foreign layout are not derivable safely.
+    * `source` may be a file, directory, or glob. */
+  def addFiles(spark: SparkSession, source: String): GraftTable = {
+    require(metadata.defaultSpec.isUnpartitioned,
+      "add_files requires an unpartitioned default partition spec")
+    val p = new Path(source)
+    val fs = p.getFileSystem(conf)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+    require(matched.nonEmpty, s"no files match $source")
+    val paths = matched.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+            !s.getPath.getName.startsWith("."))
+          .map(_.getPath.toString)
+      else Seq(st.getPath.toString)
+    }.filter(_.endsWith(".parquet"))
+    require(paths.nonEmpty, s"no parquet files match $source")
+    // re-importing an already-referenced file would double its rows
+    val already = metadata.currentSnapshot.toList.flatMap(planFiles(_))
+      .map(pf => GraftTable.normPathStr(pf.file.filePath)).toSet
+    val dups = paths.filter(pp => already.contains(GraftTable.normPathStr(pp)))
+    require(dups.isEmpty,
+      s"${dups.size} file(s) already referenced by the table (e.g. ${dups.head})")
+    // required table columns must exist in the imported files
+    val fileSchema = GraftTable.pinnedSession(spark).read.parquet(paths: _*).schema
+    metadata.currentSchema.fields.filter(_.required).foreach(f =>
+      require(fileSchema.fieldNames.contains(f.name),
+        s"required column ${f.name} missing from imported files"))
+    val files = TableWrite.importDataFiles(this, spark, paths)
+    commit(spark, "append", files, Nil, replace = false,
+      extraSummary = Map("graft.add-files-source" -> source))
   }
 
   /** Delete-file compaction (`rewrite_position_delete_files`): merge the

@@ -264,6 +264,18 @@ object TableWrite {
     * handful of footer reads; large writes stay fully distributed */
   private val DriverHarvestMax = 64
 
+  /** Register pre-existing parquet files as table data (the
+    * add_files/migrate surface): footer stats harvested exactly like
+    * fresh writes (by NAME — imported files carry no Iceberg field ids),
+    * no data rewritten or moved. */
+  def importDataFiles(
+      table: GraftTable, spark: SparkSession, paths: Seq[String]): List[IceDataFile] = {
+    val schema = table.metadata.currentSchema
+    val infos = schema.fields.map(f => FieldInfo(f.name, f.id, f.fieldType.repr))
+    harvest(spark, paths, infos).filter(_.recordCount > 0)
+      .map(statsToDataFile(_, Nil, DataContent.Data, Nil)).toList
+  }
+
   def harvest(spark: SparkSession, paths: Seq[String], infos: Seq[FieldInfo]): Seq[FileStats] =
     if (paths.isEmpty) Nil
     else {

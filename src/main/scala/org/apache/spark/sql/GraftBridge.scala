@@ -59,6 +59,7 @@ object GraftBridge {
     val pinnedKeys = Set(
       SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key,
       SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      "spark.sql.parquet.fieldId.read.ignoreMissing",
       SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key)
     // keys the user has since UNSET on the origin must not linger in the
     // clone (stale values would silently keep applying to graft reads)
@@ -70,6 +71,9 @@ object GraftBridge {
     }
     clone.conf.set(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, "true")
     clone.conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "true")
+    // imported files (add_files) carry no Iceberg field ids: fall back to
+    // name resolution for them instead of refusing the whole read
+    clone.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
     clone.conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
     clone
   }
@@ -287,8 +291,10 @@ object GraftBridge {
     hadoopConf.setBoolean(
       SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, sqlConf.isParquetINT96AsTimestamp)
     // always resolve by field id — graft files carry ids, and id-based
-    // resolution is what keeps renamed columns readable
+    // resolution is what keeps renamed columns readable; files imported
+    // via add_files have no ids and fall back to name resolution
     hadoopConf.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, true)
+    hadoopConf.setBoolean("spark.sql.parquet.fieldId.read.ignoreMissing", true)
     hadoopConf.setBoolean(
       SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
       sqlConf.parquetInferTimestampNTZEnabled)

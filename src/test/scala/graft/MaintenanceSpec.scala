@@ -831,6 +831,33 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(re.metadata.refs("audit").snapshotId === re.metadata.currentSnapshotId.get)
   }
 
+  test("add_files imports foreign parquet in place; SQL reads it; duplicates refuse") {
+    val wh = tmpLocation("addfiles")
+    spark.conf.set("spark.sql.catalog.gaf", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gaf.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gaf.db")
+    spark.sql("CREATE TABLE gaf.db.t (r_regionkey INT, r_name STRING)")
+    // foreign parquet: written by a plain Spark session, no field ids
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val ext = tmpLocation("extparquet")
+    src.write.parquet(ext)
+    val row = spark.sql(s"CALL gaf.system.add_files('db.t', '$ext')").collect().head
+    assert(row.getLong(1) === src.count())
+    // files referenced in place (never copied under the warehouse)
+    val t = StorageCatalog.loadTable(conf, s"$wh/db/t")
+    assert(t.planFiles(t.metadata.currentSnapshot.get)
+      .forall(p => GraftTable.normPathStr(p.file.filePath).startsWith(ext)))
+    // the native DSv2 SQL read resolves id-less columns by name (the
+    // filter defeats the stats-only count path — files really open)
+    assert(spark.sql("SELECT count(*) FROM gaf.db.t WHERE r_regionkey >= 0")
+      .head.getLong(0) === src.count())
+    // graft's own id-carrying writes coexist with imported files
+    spark.sql("INSERT INTO gaf.db.t VALUES (99, 'new')")
+    assert(spark.sql("SELECT count(*) FROM gaf.db.t").head.getLong(0) === src.count() + 1)
+    // re-import would double rows: refuse
+    intercept[Exception] { spark.sql(s"CALL gaf.system.add_files('db.t', '$ext')") }
+  }
+
   test("cherry-pick publishes ONE staged append; non-appends refuse") {
     val src = spark.read.parquet(s"$sfDir/region.parquet")
     val loc = tmpLocation("cherry")
