@@ -27,6 +27,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+PARTITION\s+FIELD\s+(.+?)(?:\s+AS\s+(\w+))?\s*;?\s*""".r
   private val Drop =
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
+  private val CreateRef =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+CREATE\s+(BRANCH|TAG)\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
+  private val DropRef =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+(BRANCH|TAG)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
+  private val WriteOrdered =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+ORDERED\s+BY\s+(.+?)\s*;?\s*""".r
 
   private def parts(s: String): Seq[String] =
     s.split('.').map(_.stripPrefix("`").stripSuffix("`")).toSeq
@@ -36,6 +42,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       AlterPartitionFieldCommand(parts(tbl), add = true, transform.trim, Option(alias))
     case Drop(tbl, transform) =>
       AlterPartitionFieldCommand(parts(tbl), add = false, transform.trim, None)
+    case CreateRef(tbl, kind, name) =>
+      AlterRefCommand(parts(tbl), create = true, kind.toLowerCase, name)
+    case DropRef(tbl, kind, name) =>
+      AlterRefCommand(parts(tbl), create = false, kind.toLowerCase, name)
+    case WriteOrdered(tbl, order) =>
+      WriteOrderedCommand(parts(tbl), order.trim)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -55,6 +67,23 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parseQuery(sqlText)
   override def parseRoutineParam(sqlText: String): StructType =
     delegate.parseRoutineParam(sqlText)
+}
+
+/** shared resolution: multipart identifier -> GraftTable via the graft
+  * catalog plugin (REST or warehouse mode) */
+private[plans] object GraftDdl {
+  def resolve(session: SparkSession, table: Seq[String]): graft.tables.GraftTable = {
+    val cm = session.sessionState.catalogManager
+    val (catName, path) =
+      if (table.length > 1 && cm.isCatalogRegistered(table.head)) (table.head, table.tail)
+      else (cm.currentCatalog.name, table)
+    val cat = cm.catalog(catName) match {
+      case g: graft.spark.GraftCatalog => g
+      case other =>
+        sys.error(s"this ALTER TABLE form requires a graft catalog, got ${other.name}")
+    }
+    cat.loadGraftTable(Identifier.of(path.init.toArray, path.last))
+  }
 }
 
 /** `ALTER TABLE ... ADD/DROP PARTITION FIELD` against a graft catalog
@@ -86,16 +115,7 @@ case class AlterPartitionFieldCommand(
   }
 
   override def run(session: SparkSession): Seq[Row] = {
-    val cm = session.sessionState.catalogManager
-    val (catName, path) =
-      if (table.length > 1 && cm.isCatalogRegistered(table.head)) (table.head, table.tail)
-      else (cm.currentCatalog.name, table)
-    val cat = cm.catalog(catName) match {
-      case g: graft.spark.GraftCatalog => g
-      case other =>
-        sys.error(s"ALTER ... PARTITION FIELD requires a graft catalog, got ${other.name}")
-    }
-    val t = cat.loadGraftTable(Identifier.of(path.init.toArray, path.last))
+    val t = GraftDdl.resolve(session, table)
     val schema = t.metadata.currentSchema
     val current: List[IcePartitionField] = t.metadata.defaultSpec.fields
     def nameOfField(pf: IcePartitionField): String = pf.name
@@ -125,6 +145,53 @@ case class AlterPartitionFieldCommand(
         }
       t.updatePartitionSpec(remaining)
     }
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t CREATE|DROP BRANCH|TAG name` — branch forks from the
+  * current head; drops refuse for "main". */
+case class AlterRefCommand(
+    table: Seq[String], create: Boolean, kind: String, refName: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftDdl.resolve(session, table)
+    if (create) {
+      val head = t.metadata.currentSnapshotId
+        .getOrElse(sys.error(s"cannot create $kind on an empty table"))
+      if (kind == "tag") t.createTag(refName, head)
+      else t.createBranch(refName, head)
+    } else {
+      val isTag = t.metadata.refs.get(refName).exists(_.refType == "tag")
+      require(t.metadata.refs.contains(refName), s"no $kind $refName")
+      require((kind == "tag") == isTag, s"$refName is not a $kind")
+      t.dropRef(refName)
+    }
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t WRITE ORDERED BY c1 [ASC|DESC] [NULLS FIRST|LAST], ...`
+  * — declares the table sort order; subsequent writes sort within files
+  * by it and stamp the order id (see `GraftTable.setSortOrder`). */
+case class WriteOrderedCommand(table: Seq[String], orderSql: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftDdl.resolve(session, table)
+    val fields = orderSql.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { part =>
+      val toks = part.split("\\s+").toSeq
+      val name = toks.head.stripPrefix("`").stripSuffix("`")
+      val dir =
+        if (toks.exists(_.equalsIgnoreCase("DESC"))) "desc" else "asc"
+      val nulls =
+        if (toks.exists(_.equalsIgnoreCase("FIRST"))) "nulls-first"
+        else if (toks.exists(_.equalsIgnoreCase("LAST"))) "nulls-last"
+        // Iceberg defaults: NULLS FIRST for ASC, NULLS LAST for DESC
+        else if (dir == "asc") "nulls-first"
+        else "nulls-last"
+      (name, dir, nulls)
+    }
+    t.setSortOrder(fields)
     Seq.empty
   }
 }

@@ -1432,6 +1432,16 @@ class GraftTable(
   def createBranch(name: String, snapshotId: Long): GraftTable =
     commitRef(name, IceSnapshotRef(snapshotId, "branch"))
 
+  /** drop a branch or tag ("main" is not droppable) */
+  def dropRef(name: String): GraftTable = {
+    require(name != "main", "cannot drop the main branch")
+    require(metadata.refs.contains(name), s"no branch or tag $name")
+    val base = metadata
+    commitMetaOnly(base.copy(
+      refs = base.refs - name,
+      lastUpdatedMs = System.currentTimeMillis()))
+  }
+
   private def commitRef(name: String, ref: IceSnapshotRef): GraftTable = {
     val base = metadata
     val newMeta = base.copy(

@@ -487,6 +487,37 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT 1 + 1 AS two").head.getInt(0) === 2)
   }
 
+  test("SQL branch/tag DDL and WRITE ORDERED BY") {
+    val wh = tmpLocation("refddl")
+    spark.conf.set("spark.sql.catalog.grd", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grd.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS grd.db")
+    spark.sql("CREATE TABLE grd.db.t (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO grd.db.t VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("ALTER TABLE grd.db.t CREATE TAG v1")
+    spark.sql("INSERT INTO grd.db.t VALUES (3, 3.0)")
+    spark.sql("ALTER TABLE grd.db.t CREATE BRANCH dev")
+    assert(spark.sql("SELECT count(*) FROM grd.db.t VERSION AS OF 'v1'")
+      .head.getLong(0) === 2)
+    assert(spark.sql("SELECT count(*) FROM grd.db.t VERSION AS OF 'dev'")
+      .head.getLong(0) === 3)
+    spark.sql("ALTER TABLE grd.db.t DROP TAG v1")
+    val t = StorageCatalog.loadTable(conf, s"$wh/db/t")
+    assert(!t.metadata.refs.contains("v1") && t.metadata.refs.contains("dev"))
+    // kind mismatch and main are refused
+    intercept[Exception] { spark.sql("ALTER TABLE grd.db.t DROP TAG dev") }
+    intercept[Exception] { spark.sql("ALTER TABLE grd.db.t DROP BRANCH main") }
+    // declared write order: subsequent files sort desc + stamp the order
+    spark.sql("ALTER TABLE grd.db.t WRITE ORDERED BY v DESC")
+    spark.sql("INSERT INTO grd.db.t VALUES (4, 1.5), (5, 9.0), (6, 0.5)")
+    t.refresh()
+    val orderId = t.metadata.defaultSortOrderId
+    assert(orderId > 0)
+    val newest = t.planFiles(t.metadata.currentSnapshot.get)
+      .filter(_.seq == t.metadata.currentSnapshot.get.sequenceNumber)
+    assert(newest.nonEmpty && newest.forall(_.file.sortOrderId === Some(orderId)))
+  }
+
   test("REST catalog namespaces + rename") {
     val server = new RestCatalog.Server()
     val uri = server.start()
