@@ -587,6 +587,18 @@ object SparkEntry {
         .select(col("a"), col("b"))
       Dedup.connectedComponents(pairs, "a", "b")
     }),
+    "dedup_resolve" -> ((s, dir) => {
+      // the full dedup pipeline ending in a deduped CORPUS: LSH pairs ->
+      // connected components -> one canonical survivor per cluster (plus
+      // all unclustered docs), via a single anti-join
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text", shingleSize = 2,
+        bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4)
+        .select(col("a"), col("b"))
+      val comps = Dedup.connectedComponents(pairs, "a", "b")
+      Dedup.resolveDuplicates(docs, "doc_id", comps)
+        .select(col("doc_id"), col("lang"))
+    }),
     // ---- pipeline ops: sampling / packing / decontamination ----
     "sample_stratified" -> ((s, dir) => {
       // data-mix sampling: keep 25% of English, 50% of everything else,
@@ -1668,6 +1680,43 @@ object SparkEntry {
       q.stop()
       s.table(name)
     }),
+    "stream_stream_join" -> ((s, dir) => {
+      // stream-stream inner join with event-time range bounds: clicks
+      // joined to same-user purchases within 30 minutes, both sides
+      // watermarked (the range condition is what lets Spark expire join
+      // state — unbounded state is the classic stream-join failure at
+      // scale)
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      val split = ev
+        .agg(expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2")).head.getLong(0)
+      val tbl = freshTable(s, "stream_ssj", ev.limit(0))
+      tbl.append(s, ev.filter(unix_micros(col("ts")) <= split))
+      tbl.append(s, ev.filter(unix_micros(col("ts")) > split))
+      def src = s.readStream.format("graft-stream")
+        .option("location", tbl.location)
+        .option("max-seqs-per-trigger", "1")
+        .load()
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("interval 30 minutes"))
+        .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
+      val name = s"stream_ssj_${System.nanoTime()}"
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+    }),
     "stream_sessions_state" -> ((s, dir) => {
       // custom streaming state: flatMapGroupsWithState sessionization —
       // per-user open sessions live in the state store, closed sessions
@@ -2183,6 +2232,26 @@ object SparkEntry {
         |  UNION
         |  SELECT e.s AS id, reach.r AS r FROM edges e JOIN reach ON e.d = reach.id)
         |SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin,
+    "dedup_resolve" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        |pr AS (SELECT a, b FROM p WHERE jaccard >= 0.4),
+        |edges AS (SELECT a AS s, b AS d FROM pr UNION SELECT b AS s, a AS d FROM pr),
+        |reach AS (
+        |  SELECT s AS id, s AS r FROM edges
+        |  UNION
+        |  SELECT e.s AS id, reach.r AS r FROM edges e JOIN reach ON e.d = reach.id),
+        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+        |SELECT doc_id, lang FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE component <> id)""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
@@ -2438,6 +2507,16 @@ object SparkEntry {
         |WHERE rn = 1""".stripMargin,
     "stream_sink_append" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+    "stream_stream_join" ->
+      // micros-truncated comparisons on BOTH bounds: Spark reads the
+      // nanos timestamps truncated to micros, so the oracle must compare
+      // at the same precision or boundary pairs flip
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) >= epoch_us(c.ts)
+        | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000""".stripMargin,
     "stream_watermark_windows" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n_events

@@ -272,4 +272,15 @@ object Dedup {
     }
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
   }
+
+  /** End-to-end corpus dedup: given the `(doc_id, component)` labels from
+    * [[connectedComponents]], keep one canonical survivor per near-dup
+    * cluster (the min-id member IS its component label) plus every
+    * unclustered doc. One anti-join — the deduped corpus ships without
+    * materializing clusters anywhere. */
+  def resolveDuplicates(df: DataFrame, idCol: String, components: DataFrame): DataFrame =
+    df.join(
+      components.filter(col("doc_id") =!= col("component"))
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
 }
