@@ -1514,6 +1514,63 @@ object SparkEntry {
       s.sql(s"CALL graft.system.remove_orphan_files('db.mproc', ${Long.MaxValue}L)")
       s.sql("SELECT * FROM graft.db.mproc")
     }),
+    "sql_snapshot_table" -> ((s, dir) => {
+      // zero-copy table fork (Iceberg's snapshot procedure): fork a MoR
+      // table without copying a byte, then DELETE on the fork — carried
+      // files keep their original sequence numbers (the fork inherits the
+      // source's lastSequenceNumber), so the fork's delete out-sequences
+      // them while the source never sees it
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.snap_src")
+      s.sql("DROP TABLE IF EXISTS graft.db.snap_fork")
+      s.sql("CREATE TABLE graft.db.snap_src (o_orderkey BIGINT, o_orderstatus STRING)")
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("snap_src_gq")
+      s.sql("INSERT INTO graft.db.snap_src SELECT * FROM snap_src_gq")
+      s.sql("DELETE FROM graft.db.snap_src WHERE o_orderkey % 7 = 0")
+      s.sql("CALL graft.system.snapshot('db.snap_src', 'db.snap_fork')")
+      s.sql("DELETE FROM graft.db.snap_fork WHERE o_orderkey % 2 = 0")
+      // both sides tagged: the fork sees the carried MoR state plus its
+      // own delete; the source must NOT see the fork's delete
+      s.sql(
+        """SELECT 'src' AS side, o_orderkey, o_orderstatus FROM graft.db.snap_src
+          |UNION ALL
+          |SELECT 'fork' AS side, o_orderkey, o_orderstatus FROM graft.db.snap_fork""".stripMargin)
+    }),
+    "rest_register_table" -> ((s, dir) => {
+      // register_table over the REST catalog: a table built in the PATH
+      // warehouse is attached under a REST identifier by pointing the
+      // server at its current metadata file — zero copy, MoR state intact
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.reg_src")
+      s.sql("CREATE TABLE graft.db.reg_src (n_nationkey BIGINT, n_name STRING)")
+      t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        .createOrReplaceTempView("reg_src_gq")
+      s.sql("INSERT INTO graft.db.reg_src SELECT * FROM reg_src_gq")
+      s.sql("DELETE FROM graft.db.reg_src WHERE n_nationkey % 5 = 0")
+      val metaDir = new java.io.File(s"$wh/db/reg_src/metadata")
+      val latest = metaDir.listFiles().map(_.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".metadata.json"))
+        .maxBy(n => n.stripPrefix("v").stripSuffix(".metadata.json").toInt)
+      val server = new RestCatalog.Server()
+      val uri = server.start()
+      val cat = s"grg${System.nanoTime()}"
+      try {
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          s"${System.getProperty("java.io.tmpdir")}/graft-q/rest_reg_wh")
+        s.conf.set(s"spark.sql.catalog.$cat.uri", uri)
+        s.sql(s"CREATE NAMESPACE $cat.db")
+        s.sql(s"CALL $cat.system.register_table('db.reg', '$metaDir/$latest')")
+        s.sql(s"SELECT n_nationkey, n_name FROM $cat.db.reg").localCheckpoint()
+      } finally server.stop()
+    }),
     "meta_history" -> ((s, dir) => {
       // snapshot-log lineage (history view): a rolled-back commit stays in
       // the log but stops being a current ancestor — 2 inserts, rollback,
@@ -2575,6 +2632,14 @@ object SparkEntry {
       """SELECT * FROM (VALUES (true, CAST(3 AS BIGINT)), (false, CAST(1 AS BIGINT)))
         |AS t(is_current_ancestor, n)""".stripMargin,
     "sql_procedures" -> "SELECT o_orderkey, o_orderstatus FROM orders",
+    "sql_snapshot_table" ->
+      """SELECT 'src' AS side, o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderkey % 7 <> 0
+        |UNION ALL
+        |SELECT 'fork' AS side, o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderkey % 7 <> 0 AND o_orderkey % 2 <> 0""".stripMargin,
+    "rest_register_table" ->
+      "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey % 5 <> 0",
     "sql_ctas" ->
       "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 1",
     "meta_entries" ->

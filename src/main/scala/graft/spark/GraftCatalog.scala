@@ -346,8 +346,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   // ----- procedures (CALL graft.system.<name>(...)) -----
 
+  /** Create a table from fully-formed metadata (the `snapshot` procedure):
+    * the caller gets the mode-specific location to build its metadata
+    * against — warehouse layout for path mode, a uniquely-suffixed
+    * directory in REST mode (same idiom as [[createTable]]). */
+  private[graft] def createTableFromMetadata(
+      ident: Identifier, build: String => TableMetadata): GraftTable = rest match {
+    case Some(c) =>
+      val loc = s"${locationOf(ident)}-${java.util.UUID.randomUUID().toString.take(8)}"
+      c.createTable(nsOf(ident), ident.name(), build(loc))
+    case None =>
+      StorageCatalog.createTableWithMetadata(
+        conf, locationOf(ident), build(locationOf(ident)))
+  }
+
+  /** `register_table`: REST mode attaches an existing metadata file under
+    * a new identifier (zero-copy). Path mode rejects — a path-based
+    * catalog derives each table's location from its identifier, so there
+    * is nothing to register a foreign location INTO (Iceberg's
+    * HadoopCatalog refuses identically). */
+  private[graft] def registerGraftTable(
+      ident: Identifier, metadataLocation: String): GraftTable = rest match {
+    case Some(c) => c.registerTable(nsOf(ident), ident.name(), metadataLocation)
+    case None => sys.error(
+      "register_table requires a REST catalog: path-based catalogs derive " +
+        "table locations from identifiers (use the snapshot procedure, or " +
+        "add_files, to import data into a path catalog)")
+  }
+
   private lazy val procedures: Map[String, org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure] =
-    GraftProcedures.forCatalog(catalogName, loadGraftTable)
+    GraftProcedures.forCatalog(
+      catalogName, loadGraftTable, createTableFromMetadata, registerGraftTable)
 
   override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     val ok = ident.namespace().sameElements(Array("system"))

@@ -68,7 +68,11 @@ private[spark] object GraftProcedures {
 
   /** procedures for one catalog instance; `load` resolves through the
     * catalog so REST mode and warehouse layout both work unchanged */
-  def forCatalog(catalogName: String, load: Identifier => GraftTable): Map[String, UnboundProcedure] = {
+  def forCatalog(
+      catalogName: String,
+      load: Identifier => GraftTable,
+      createFromMeta: (Identifier, String => TableMetadata) => GraftTable,
+      register: (Identifier, String) => GraftTable): Map[String, UnboundProcedure] = {
     def table(input: InternalRow): GraftTable =
       load(identOf(input.getString(0), catalogName))
 
@@ -164,6 +168,46 @@ private[spark] object GraftProcedures {
           Seq(Seq(
             snap.summary.get("added-data-files").map(_.toLong).getOrElse(0L),
             snap.summary.get("added-records").map(_.toLong).getOrElse(0L)))
+        }),
+      new GraftProcedure(
+        // Iceberg's zero-copy table fork: a NEW independent table whose
+        // first snapshot references the source's current data and delete
+        // files in place (original sequence numbers preserved, so MoR
+        // visibility is identical). Writes to the fork land in its own
+        // location; the source is never touched. The carry commit is
+        // replace-style, so changelog/incremental readers must start
+        // AFTER it — same posture as Iceberg's snapshot procedure.
+        "snapshot",
+        Seq(in("source_table", StringType), in("table", StringType)),
+        out("source_snapshot_id" -> LongType, "imported_data_files" -> LongType),
+        (input, spark) => {
+          val src = load(identOf(input.getString(0), catalogName))
+          val srcSnap = src.metadata.currentSnapshot
+          val dest = createFromMeta(
+            identOf(input.getString(1), catalogName),
+            loc => StorageCatalog.forkMetadata(src.metadata, loc))
+          val carried = srcSnap match {
+            case Some(s) =>
+              val planned = src.planFiles(s)
+              dest.commitReplace(spark, "snapshot", () => planned, Nil)
+              planned.count(_.file.content == DataContent.Data).toLong
+            case None => 0L
+          }
+          Seq(Seq(srcSnap.map(_.snapshotId).orNull, carried))
+        }),
+      new GraftProcedure(
+        // attach an existing table's metadata file under a new catalog
+        // identifier (REST mode only — a path catalog derives locations
+        // from identifiers and has nothing to register into)
+        "register_table",
+        Seq(in("table", StringType), in("metadata_file", StringType)),
+        out("current_snapshot_id" -> LongType, "total_records" -> LongType),
+        (input, _) => {
+          val t = register(identOf(input.getString(0), catalogName), input.getString(1))
+          Seq(Seq(
+            t.metadata.currentSnapshotId.orNull,
+            t.metadata.currentSnapshot
+              .flatMap(_.summary.get("total-records")).map(_.toLong).getOrElse(0L)))
         }),
       new GraftProcedure(
         "cherrypick_snapshot",

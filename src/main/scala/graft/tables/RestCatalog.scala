@@ -20,6 +20,7 @@ import org.json4s.jackson.JsonMethods
   *   GET  /v1/namespaces/{ns}/tables/{table}    -> load
   *   POST /v1/namespaces/{ns}/tables            -> create
   *   POST /v1/namespaces/{ns}/tables/{table}    -> commit (requirements+metadata)
+  *   POST /v1/namespaces/{ns}/register          -> register existing metadata file
   */
 object RestCatalog {
 
@@ -81,6 +82,22 @@ object RestCatalog {
         s"""{"name": ${quote(name)}, "metadata": ${new String(MetadataJson.serialize(meta), "UTF-8")}}"""
       val (code, respBody) = post(s"/v1/namespaces/$ns/tables", body)
       require(code == 200, s"create failed: $code ${errMsg(respBody)}")
+      wire(ns, name, new GraftTable(meta.location, meta, 1, conf))
+    }
+
+    /** Iceberg-REST `register`: attach an EXISTING table — its current
+      * metadata file, wherever it lives — under a new catalog identifier.
+      * Nothing is copied or rewritten; the server reads the metadata file
+      * and serves it as version 1, and future commits CAS through the
+      * catalog as usual while data/manifest paths keep pointing at the
+      * original location. */
+    def registerTable(ns: String, name: String, metadataLocation: String): GraftTable = {
+      val (code, body) = post(s"/v1/namespaces/$ns/register",
+        s"""{"name": ${quote(name)}, "metadata-location": ${quote(metadataLocation)}}""")
+      require(code == 200, s"register $ns.$name failed: HTTP $code ${errMsg(body)}")
+      val j = JsonMethods.parse(body)
+      val meta = MetadataJson.parse(
+        JsonMethods.compact(JsonMethods.render(j \ "metadata")).getBytes("UTF-8"))
       wire(ns, name, new GraftTable(meta.location, meta, 1, conf))
     }
 
@@ -287,6 +304,7 @@ object RestCatalog {
       val method = ex.getRequestMethod
       val TablesRe = "/v1/namespaces/([^/]+)/tables".r
       val TableRe = "/v1/namespaces/([^/]+)/tables/([^/]+)".r
+      val RegisterRe = "/v1/namespaces/([^/]+)/register".r
       val NamespaceRe = "/v1/namespaces/([^/]+)".r
       (method, path) match {
         case ("GET", "/v1/config") =>
@@ -364,6 +382,31 @@ object RestCatalog {
           if (tables.putIfAbsent(s"$ns.$name", Entry(1, meta)) != null)
             err(ex, 409, "AlreadyExistsException", "table exists")
           else respond(ex, 200, s"""{"version": 1, "metadata": $meta}""")
+        case ("POST", RegisterRe(ns)) =>
+          // register: the table's CURRENT metadata file, read server-side
+          // from shared storage and served as version 1 — no copy, no
+          // rewrite; data/manifest paths keep pointing where they are
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val j = JsonMethods.parse(body)
+          ((j \ "name"), (j \ "metadata-location")) match {
+            case (JString(name), JString(metaLoc)) =>
+              val p = new org.apache.hadoop.fs.Path(metaLoc)
+              val fs = p.getFileSystem(new Configuration())
+              if (!fs.exists(p))
+                err(ex, 404, "NoSuchTableException", s"no metadata file at $metaLoc")
+              else {
+                val metaJson = {
+                  val in = fs.open(p)
+                  try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+                  finally in.close()
+                }
+                if (tables.putIfAbsent(s"$ns.$name", Entry(1, metaJson)) != null)
+                  err(ex, 409, "AlreadyExistsException", "table exists")
+                else respond(ex, 200, s"""{"version": 1, "metadata": $metaJson}""")
+              }
+            case _ =>
+              err(ex, 400, "BadRequestException", "register needs name and metadata-location")
+          }
         case ("POST", TableRe(ns, name)) =>
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           val j = JsonMethods.parse(body)

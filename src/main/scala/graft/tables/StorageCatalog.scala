@@ -187,6 +187,37 @@ object StorageCatalog {
     createTable(conf, location, schema, spec, properties, formatVersion)
   }
 
+  /** Metadata fork for the `snapshot` procedure (Iceberg's zero-copy test
+    * table): same schemas, partition specs, and sort orders — field and
+    * spec IDS ARE PRESERVED because carried manifest entries reference
+    * them — but a fresh identity (uuid, empty history/refs/logs). The
+    * source's `lastSequenceNumber` carries over so files kept with their
+    * original data sequences stay BELOW every future commit of the fork:
+    * a later DELETE on the fork must out-sequence the carried data or MoR
+    * visibility silently drops it. */
+  def forkMetadata(source: TableMetadata, destLocation: String): TableMetadata =
+    source.copy(
+      tableUuid = UUID.randomUUID().toString,
+      location = destLocation,
+      lastUpdatedMs = System.currentTimeMillis(),
+      properties = source.properties + ("graft.snapshot-source" -> source.location),
+      currentSnapshotId = None,
+      snapshots = Nil,
+      snapshotLog = Nil,
+      metadataLog = Nil,
+      refs = Map.empty)
+
+  /** Create a table from fully-formed metadata (the snapshot/register
+    * surface — normal creates go through [[createTable]]). */
+  def createTableWithMetadata(
+      conf: Configuration,
+      location: String,
+      meta: TableMetadata): GraftTable = {
+    require(!tableExists(conf, location), s"table already exists at $location")
+    val version = commitMetadata(conf, location, expectedVersion = 0, meta)
+    new GraftTable(location, meta, version, conf)
+  }
+
   /** Atomic single-version commit, scheme-aware:
     *
     *  - HDFS (and stores with HDFS rename semantics): write tmp, then

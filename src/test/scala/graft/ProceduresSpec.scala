@@ -120,4 +120,87 @@ class ProceduresSpec extends AnyFunSuite {
     assert(err.getMessage.contains("no such procedure") ||
       Option(err.getCause).exists(_.getMessage.contains("no such procedure")))
   }
+
+  test("snapshot forks a zero-copy table; fork and source evolve independently") {
+    freshSqlTable("procs_snap")
+    spark.sql("INSERT INTO gproc.db.procs_snap SELECT * FROM procs_snap_src WHERE o_orderkey % 2 = 0")
+    // MoR state on the source: carried position deletes must stay visible
+    spark.sql("DELETE FROM gproc.db.procs_snap WHERE o_orderkey % 10 = 0")
+    spark.sql("INSERT INTO gproc.db.procs_snap SELECT * FROM procs_snap_src WHERE o_orderkey % 2 = 1")
+    val srcRows = spark.table("gproc.db.procs_snap").orderBy("o_orderkey").collect().toSeq
+    spark.sql("DROP TABLE IF EXISTS gproc.db.procs_snap_fork")
+    val res = spark.sql(
+      "CALL gproc.system.snapshot('db.procs_snap', 'db.procs_snap_fork')").collect().head
+    assert(res.getLong(1) > 0, "no data files carried")
+    assert(spark.table("gproc.db.procs_snap_fork").orderBy("o_orderkey")
+      .collect().toSeq === srcRows)
+    // zero-copy: the fork's directory holds metadata only, no parquet
+    val wh = spark.conf.get("spark.sql.catalog.gproc.warehouse")
+    def parquetCount(dir: String): Long = {
+      val p = new java.io.File(dir)
+      if (!p.exists()) 0L
+      else java.nio.file.Files.walk(p.toPath)
+        .filter(f => f.toString.endsWith(".parquet")).count()
+    }
+    assert(parquetCount(s"$wh/db/procs_snap_fork") === 0L)
+    // a DELETE on the fork must out-sequence the CARRIED files (the fork
+    // keeps the source's lastSequenceNumber) and must not touch the source
+    spark.sql("DELETE FROM gproc.db.procs_snap_fork WHERE o_orderkey % 2 = 1")
+    assert(spark.table("gproc.db.procs_snap_fork")
+      .filter($"o_orderkey" % 2 === 1).count() === 0)
+    assert(spark.table("gproc.db.procs_snap").orderBy("o_orderkey")
+      .collect().toSeq === srcRows)
+    // and writes to the source stay invisible to the fork
+    spark.sql("INSERT INTO gproc.db.procs_snap SELECT * FROM procs_snap_src LIMIT 7")
+    assert(spark.table("gproc.db.procs_snap_fork")
+      .filter($"o_orderkey" % 2 === 1).count() === 0)
+  }
+
+  test("register_table: REST mode attaches an existing metadata file; path mode refuses") {
+    // source table lives in the PATH catalog's warehouse
+    freshSqlTable("procs_reg")
+    spark.sql("INSERT INTO gproc.db.procs_reg SELECT * FROM procs_reg_src WHERE o_orderkey % 3 = 0")
+    spark.sql("DELETE FROM gproc.db.procs_reg WHERE o_orderkey % 9 = 0")
+    val exp = spark.table("gproc.db.procs_reg").orderBy("o_orderkey").collect().toSeq
+    val wh = spark.conf.get("spark.sql.catalog.gproc.warehouse")
+    val metaDir = new java.io.File(s"$wh/db/procs_reg/metadata")
+    val latest = metaDir.listFiles().map(_.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".metadata.json"))
+      .maxBy(n => n.stripPrefix("v").stripSuffix(".metadata.json").toInt)
+    // path mode has nowhere to register INTO — clear refusal
+    val err = intercept[Exception] {
+      spark.sql(
+        s"CALL gproc.system.register_table('db.procs_reg2', '$metaDir/$latest')").collect()
+    }
+    assert((err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse(""))
+      .contains("REST"))
+    // REST mode: register serves the file as v1, reads see the MoR state,
+    // and later commits CAS through the catalog
+    val server = new tables.RestCatalog.Server()
+    val uri = server.start()
+    spark.conf.set("spark.sql.catalog.greg", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.greg.warehouse",
+      java.nio.file.Files.createTempDirectory("graft-reg-wh").toString)
+    spark.conf.set("spark.sql.catalog.greg.uri", uri)
+    try {
+      spark.sql("CREATE NAMESPACE greg.db")
+      val res = spark.sql(
+        s"CALL greg.system.register_table('db.reg', '$metaDir/$latest')").collect().head
+      assert(res.getLong(0) > 0)
+      assert(spark.table("greg.db.reg").orderBy("o_orderkey").collect().toSeq === exp)
+      spark.sql("INSERT INTO greg.db.reg SELECT * FROM procs_reg_src WHERE o_orderkey % 3 = 1")
+      assert(spark.table("greg.db.reg").count() ===
+        exp.size + spark.table("procs_reg_src").filter($"o_orderkey" % 3 === 1).count())
+      // double-register is a clean conflict, not a corruption
+      val dup = intercept[Exception] {
+        spark.sql(s"CALL greg.system.register_table('db.reg', '$metaDir/$latest')").collect()
+      }
+      assert((dup.getMessage + Option(dup.getCause).map(_.getMessage).getOrElse(""))
+        .toLowerCase.contains("exists"))
+    } finally {
+      server.stop()
+      Seq("", ".warehouse", ".uri").foreach(sfx =>
+        spark.conf.unset(s"spark.sql.catalog.greg$sfx"))
+    }
+  }
 }
