@@ -1178,6 +1178,47 @@ object SparkEntry {
           |  VALUES (s.o_orderkey, 'M', s.o_totalprice)""".stripMargin)
       s.sql("SELECT * FROM graft.db.merge_orders")
     }),
+    "sql_dml_cow" -> ((s, dir) => {
+      // copy-on-write DML modes: DELETE + UPDATE + MERGE rewrite matched
+      // FILES and swap them atomically — zero delete files ever exist, so
+      // every later scan stays on the vectorized no-deletes path (the
+      // read-optimized half of the write-mode pair; merge-on-read above
+      // is the write-optimized half)
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.cow_orders")
+      s.sql(
+        """CREATE TABLE graft.db.cow_orders (
+          |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+          |PARTITIONED BY (o_orderstatus)
+          |TBLPROPERTIES (
+          |  'write.delete.mode' = 'copy-on-write',
+          |  'write.update.mode' = 'copy-on-write',
+          |  'write.merge.mode' = 'copy-on-write')""".stripMargin)
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .createOrReplaceTempView("orders_src_cow")
+      s.sql("INSERT INTO graft.db.cow_orders SELECT * FROM orders_src_cow")
+      s.sql("DELETE FROM graft.db.cow_orders WHERE o_orderkey % 5 = 0")
+      s.sql(
+        """UPDATE graft.db.cow_orders SET o_totalprice = o_totalprice * 3.0
+          |WHERE o_orderstatus = 'O'""".stripMargin)
+      s.sql(
+        """MERGE INTO graft.db.cow_orders t
+          |USING (SELECT o_orderkey, o_totalprice FROM orders_src_cow
+          |       WHERE o_orderkey % 4 = 0) s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET t.o_totalprice = s.o_totalprice + 1.0
+          |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, o_totalprice)
+          |  VALUES (s.o_orderkey, 'M', s.o_totalprice)""".stripMargin)
+      val deleteFiles = s.sql(
+        "SELECT count(*) FROM graft.db.cow_orders.files WHERE content <> 0")
+        .collect().head.getLong(0)
+      require(deleteFiles == 0L,
+        s"copy-on-write DML must never produce delete files, found $deleteFiles")
+      s.sql("SELECT * FROM graft.db.cow_orders")
+    }),
     "ice_agg_pushdown" -> ((s, dir) => {
       // metadata-only aggregation: COUNT/MIN/MAX answered from manifest
       // stats (StatsAggregate) — the plan is a LocalTableScan, zero data
@@ -2534,6 +2575,15 @@ object SparkEntry {
         |       WHEN o_orderstatus = 'P' THEN o_totalprice * 2.0
         |       ELSE o_totalprice END AS o_totalprice
         |FROM orders""".stripMargin,
+    "sql_dml_cow" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 1.0
+        |       WHEN o_orderstatus = 'O' THEN o_totalprice * 3.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey % 5 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, 'M' AS o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 5 = 0""".stripMargin,
     "ice_small_compact" ->
       """SELECT * FROM orders WHERE o_orderstatus <> 'P'
         |UNION ALL

@@ -552,14 +552,33 @@ class GraftV2Table(
   /** TRUNCATE TABLE: metadata-only drop-everything snapshot */
   override def truncateTable(): Boolean = { table.truncate(); true }
 
-  /** UPDATE / MERGE INTO / subquery DELETE: delta-based row-level ops —
-    * Spark plans the matching, [[GraftRowLevelOperation]] writes position
-    * deletes + new data files as one snapshot. Filter-only DELETEs still
-    * short-circuit through [[canDeleteWhere]] (metadata-only). */
+  /** UPDATE / MERGE INTO / subquery DELETE. The write mode decides the
+    * shape: `merge-on-read` (the default — matched rows become position
+    * deletes, [[GraftRowLevelOperation]]) optimizes the write;
+    * `copy-on-write` ([[GraftCopyOnWriteOperation]] — matched FILES are
+    * rewritten without their matched rows and atomically swapped)
+    * optimizes every read after it. Per-command table properties
+    * `write.delete.mode` / `write.update.mode` / `write.merge.mode`, the
+    * Iceberg property surface. Filter-only DELETEs still short-circuit
+    * through [[canDeleteWhere]] (metadata-only) in either mode. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new GraftRowLevelOperation(table, info.command())
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    val prop = info.command() match {
+      case Command.DELETE => "write.delete.mode"
+      case Command.UPDATE => "write.update.mode"
+      case _ => "write.merge.mode"
+    }
+    table.metadata.properties.getOrElse(prop, "merge-on-read").trim match {
+      case "copy-on-write" =>
+        () => new GraftCopyOnWriteOperation(table, info.command())
+      case "merge-on-read" =>
+        () => new GraftRowLevelOperation(table, info.command())
+      case other => sys.error(
+        s"$prop = '$other': supported write modes are merge-on-read and copy-on-write")
+    }
+  }
 
   /** `_file` / `_pos` as SQL-selectable metadata columns (the reference's
     * scan-offset coordinates, icelake/src/io/scan.rs:25-28, surfaced

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.{LongType, Metadata, MetadataBuilder, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -120,6 +120,175 @@ class GraftDeltaBatchWrite(table: GraftTable, cmd: RowLevelOperation.Command)
         p.getFileSystem(conf).delete(p, false)
       } catch { case _: Throwable => }
     }
+  }
+}
+
+/** Copy-on-write row-level SQL DML (`write.delete.mode` /
+  * `write.update.mode` / `write.merge.mode` = `copy-on-write`): Spark's
+  * group-based rewrite instead of the delta path. The operation's scan
+  * plans the pinned snapshot MoR-aware with NO static file pruning for
+  * group MEMBERSHIP (a fully-matched file statically pruned by the
+  * rewrite's `NOT cond` filter would silently survive the swap), Spark
+  * narrows it to matched groups at runtime via an `In(_file, …)` filter,
+  * and the write rewrites those groups' rows through the normal clustered
+  * data writer and commits an atomic file swap — no delete files, reads
+  * stay vectorized-clean afterwards. The read-optimized half of the
+  * write-mode pair; the delta path above is the write-optimized half. */
+class GraftCopyOnWriteOperation(
+    table: GraftTable,
+    cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+
+  /** scan→commit handshake shared by every scan/write this op builds:
+    * the runtime-filtered group set is what the commit must swap out */
+  private[spark] val state = new CowState(table)
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftCowScanBuilder(table, state,
+      SchemaConvert.toSparkSchema(table.metadata.currentSchema))
+
+  /** `_file` rides through the rewrite plan so the runtime group filter
+    * has something to resolve against (Spark strips it before the write) */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_file"))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new GraftCowWrite(table, state)
+    }
+
+  override def description(): String =
+    s"GraftCopyOnWriteOperation($cmd, ${table.location})"
+}
+
+/** Mutable handshake between the COW scan and its commit. The snapshot is
+  * pinned at first plan; `replaced` starts as every data file of that
+  * snapshot (no runtime filter ⇒ full-table rewrite, e.g. an
+  * unconditional UPDATE) and narrows when Spark delivers the matched
+  * group set. Build-time writes happen during planning and the runtime
+  * narrowing strictly before execution's reads, so plain volatiles do. */
+private[spark] class CowState(table: GraftTable) {
+  val snapshot: Option[IceSnapshot] = table.metadata.currentSnapshot
+  val scanSeq: Long = snapshot.map(_.sequenceNumber).getOrElse(0L)
+  private val allData: List[PlannedFile] = snapshot.toList
+    .flatMap(table.planFiles(_)).filter(_.file.content == DataContent.Data)
+  @volatile var replaced: Set[String] =
+    allData.map(p => GraftTable.normPathStr(p.file.filePath)).toSet
+}
+
+class GraftCowScanBuilder(
+    table: GraftTable,
+    state: CowState,
+    fullSchema: StructType)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var requiredSchema: StructType = fullSchema
+
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    // kept for read-side pruning only (safe: a file pruned by the
+    // rewrite's residual filter contributes no surviving rows); group
+    // membership ignores them. All reported unhandled so Spark re-applies.
+    pushed = filters
+    filters
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  override def pruneColumns(required: StructType): Unit =
+    requiredSchema = StructType(required.fields.map { f =>
+      fullSchema.fields.find(_.name == f.name).getOrElse(f)
+    })
+
+  override def build(): Scan =
+    new GraftCowScan(table, state, fullSchema, requiredSchema, pushed)
+}
+
+/** The rewrite-side scan: delegates reading to the normal snapshot scan
+  * restricted to the current group set (`onlyFiles`), and records the
+  * runtime-narrowed set in [[CowState]] for the commit to swap. */
+class GraftCowScan(
+    table: GraftTable,
+    state: CowState,
+    fullSchema: StructType,
+    requiredSchema: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter])
+    extends Scan with org.apache.spark.sql.connector.read.Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  @volatile private var groups: Set[String] = state.replaced
+  @volatile private var cached: Option[(Set[String], Scan)] = None
+
+  private def inner(files: Set[String]): Scan = cached match {
+    case Some((fs, s)) if fs == files => s
+    case _ =>
+      val b = new GraftScanBuilder(
+        table, state.snapshot.map(_.snapshotId), None, fullSchema,
+        onlyFiles = Some(files))
+      b.pushFilters(pushed)
+      b.pruneColumns(requiredSchema)
+      val s = b.build()
+      cached = Some((files, s))
+      s
+  }
+
+  override def readSchema(): StructType = requiredSchema
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (requiredSchema.fieldNames.contains("_file"))
+      Array(Expressions.column("_file"))
+    else Array.empty
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val paths = org.apache.spark.sql.GraftBridge.predicatesToV1(predicates).toSeq.collect {
+      case org.apache.spark.sql.sources.In("_file", vs) =>
+        vs.toSeq.collect { case s: String => GraftTable.normPathStr(s) }
+      case org.apache.spark.sql.sources.EqualTo("_file", s: String) =>
+        Seq(GraftTable.normPathStr(s))
+    }
+    if (paths.nonEmpty) {
+      groups = groups.intersect(paths.flatten.toSet)
+      state.replaced = groups
+    }
+  }
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+
+  override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
+    inner(groups).toBatch.planInputPartitions()
+
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    inner(groups).toBatch.createReaderFactory()
+
+  override def description(): String =
+    s"GraftCowScan(${table.location}, groups=${groups.size})"
+}
+
+/** Same clustered fanout write as a plain INSERT — only the commit
+  * differs: swap the scanned groups for the rewritten files. */
+class GraftCowWrite(table: GraftTable, state: CowState)
+    extends GraftWrite(table, overwriteAll = false, overwriteCond = None, dynamic = false) {
+
+  override def toBatch: BatchWrite = new GraftCowBatchWrite(table, state)
+
+  override def description(): String = s"GraftCowWrite(${table.location})"
+}
+
+class GraftCowBatchWrite(table: GraftTable, state: CowState)
+    extends GraftBatchWrite(table, overwriteAll = false, overwriteCond = None, dynamic = false) {
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.toList.collect { case GraftCommitMessage(fs) => fs }.flatten
+    if (files.isEmpty && state.replaced.isEmpty) return
+    table.commitCopyOnWrite(SparkSession.active, state.scanSeq, state.replaced, files)
+    ()
   }
 }
 

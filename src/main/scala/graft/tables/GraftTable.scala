@@ -1547,6 +1547,58 @@ class GraftTable(
     this
   }
 
+  /** Copy-on-write row-level commit: atomically swap the exact data files
+    * the operation's scan read (`replaced`, normalized paths) for the
+    * rewritten ones. Validated per attempt against FRESH metadata:
+    *
+    *  - every replaced file must still be live — a concurrent compaction
+    *    or another COW writer that rewrote one means our surviving-row
+    *    copy is stale (its rows may already differ);
+    *  - no delete file committed after the scan (`seq > scanSeq`) may
+    *    affect a replaced file: a newer position delete references rows
+    *    we are about to resurrect in the rewritten copy, and a newer
+    *    equality delete would stop applying to it entirely (the copy
+    *    out-sequences the delete). Position deletes are checked by the
+    *    paths they reference; equality deletes conflict conservatively
+    *    (their key spans are not path-scoped).
+    *
+    * Survivors (everything NOT replaced, data and delete files alike) are
+    * re-planned each attempt so concurrent appends are carried forward.
+    * Commits as `overwrite` (a data change — changelog readers emit the
+    * replaced files' rows as deletes and the new files' rows as inserts),
+    * or `delete` when the rewrite produced no files at all. */
+  def commitCopyOnWrite(
+      spark: SparkSession,
+      scanSeq: Long,
+      replaced: Set[String],
+      addedData: List[IceDataFile]): GraftTable = {
+    retryCommit(() => {
+      val planned = metadata.currentSnapshot.toList.flatMap(planFiles(_))
+      val live = planned.filter(_.file.content == DataContent.Data)
+        .map(p => GraftTable.normPathStr(p.file.filePath)).toSet
+      val gone = replaced.diff(live)
+      if (gone.nonEmpty)
+        sys.error("copy-on-write operation conflicts with a concurrent rewrite " +
+          s"of ${gone.size} data file(s) (e.g. ${gone.head}); re-run the statement")
+      val newDeletes = planned.filter(p =>
+        p.file.content != DataContent.Data && p.seq > scanSeq)
+      val newEq = newDeletes.filter(_.file.content == DataContent.EqualityDeletes)
+      val newPosRefs = referencedBy(
+        spark, newDeletes.filter(_.file.content == DataContent.PositionDeletes).map(_.file))
+      if (newEq.nonEmpty || newPosRefs.exists(replaced.contains))
+        sys.error("copy-on-write operation conflicts with delete files " +
+          "committed after its scan; re-run the statement")
+    }) {
+      val survivors = metadata.currentSnapshot.toList.flatMap(planFiles(_))
+        .filterNot(p => p.file.content == DataContent.Data &&
+          replaced.contains(GraftTable.normPathStr(p.file.filePath)))
+      commitOnce(
+        if (addedData.isEmpty) "delete" else "overwrite",
+        addedData, Nil, replace = true, existing = survivors)
+    }
+    this
+  }
+
   /** data-file paths a set of position-delete files refers to (one small
     * read of the freshly written delete files) */
   private[graft] def referencedBy(
