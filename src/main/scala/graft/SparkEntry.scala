@@ -757,6 +757,45 @@ object SparkEntry {
       tbl.positionDelete(s, pos)
       tbl.scan(s)
     }),
+    "ice_dv_delete" -> ((s, dir) => {
+      // deletion vectors (format-v3 semantics): two rounds of row-level
+      // deletes land as puffin `deletion-vector-v1` bitmaps — ONE vector
+      // per data file, merged on write — instead of parquet delete files
+      val src = t(s, dir, "orders")
+      val tbl = freshTable(s, "ice_dv_delete", src)
+      tbl.setProperties(Map(GraftTable.DvEnabledProp -> "true"))
+      tbl.append(s, src)
+      tbl.deleteWhere(s, pmod(col("o_orderkey"), lit(10)) === 0)
+      tbl.deleteWhere(s, pmod(col("o_orderkey"), lit(7)) === 3)
+      val dels = tbl.planFiles(tbl.metadata.currentSnapshot.get)
+        .filter(_.file.content == DataContent.PositionDeletes)
+      require(dels.nonEmpty && dels.forall(_.file.isDeletionVector),
+        "expected puffin deletion vectors")
+      tbl.scan(s)
+    }),
+    "ice_dv_rewrite" -> ((s, dir) => {
+      // CDC-shaped accumulation of parquet position deletes converts to
+      // deletion vectors (rewrite_position_delete_files to_vectors=true):
+      // delete entries collapse to one vector per data file, data files
+      // untouched, scan content byte-identical
+      val src = t(s, dir, "orders")
+      val tbl = freshTable(s, "ice_dv_rewrite", src)
+      tbl.append(s, src)
+      (0 until 6).foreach(i =>
+        tbl.deleteWhere(s, pmod(col("o_orderkey"), lit(50)) === i))
+      val dataBefore = tbl.planFiles(tbl.metadata.currentSnapshot.get)
+        .filter(_.file.content == DataContent.Data).map(_.file.filePath).toSet
+      tbl.rewritePositionDeleteFiles(s, toVectors = Some(true))
+      val after = tbl.planFiles(tbl.metadata.currentSnapshot.get)
+      val dels = after.filter(_.file.content == DataContent.PositionDeletes)
+      require(dels.nonEmpty && dels.forall(_.file.isDeletionVector),
+        "expected conversion to deletion vectors")
+      require(dels.map(_.file.referencedDataFile.get).distinct.size == dels.size,
+        "expected one vector per data file")
+      require(after.filter(_.file.content == DataContent.Data)
+        .map(_.file.filePath).toSet == dataBefore, "data files were rewritten")
+      tbl.scan(s)
+    }),
     "ice_upsert" -> ((s, dir) => {
       val src = t(s, dir, "orders")
       val tbl = freshTable(s, "ice_upsert", src)
@@ -2460,6 +2499,9 @@ object SparkEntry {
     "ice_eq_delete" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",
     "ice_pos_delete" -> "SELECT * FROM orders WHERE o_orderkey % 10 <> 0",
     "ice_pos_delete_compact" -> "SELECT * FROM orders WHERE o_orderkey % 97 >= 12",
+    "ice_dv_delete" ->
+      "SELECT * FROM orders WHERE o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 3",
+    "ice_dv_rewrite" -> "SELECT * FROM orders WHERE o_orderkey % 50 >= 6",
     "ice_add_files" -> "SELECT * FROM supplier",
     "ice_upsert" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,

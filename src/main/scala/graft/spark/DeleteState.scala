@@ -17,8 +17,15 @@ import org.apache.spark.sql.types.DataType
 import graft.tables.GraftTable
 
 /** One delete file reference shipped to executors: path, size (for the
-  * PartitionedFile length) and the file's data sequence number. */
-case class DeleteFileRef(path: String, size: Long, seq: Long)
+  * PartitionedFile length) and the file's data sequence number. A
+  * deletion-vector reference additionally pinpoints the blob's byte
+  * extent inside the puffin file (`blobOffset >= 0`): the task reading a
+  * data file fetches exactly its own vector, never the delete stack. */
+case class DeleteFileRef(
+    path: String, size: Long, seq: Long,
+    blobOffset: Long = -1L, blobLength: Long = -1L) {
+  def isVector: Boolean = blobOffset >= 0L
+}
 
 /** Plan-time spec of one equality-delete group for EXECUTOR-side loading:
   * which key columns (by inner-read ordinal + type), which delete files,
@@ -327,7 +334,11 @@ object DeleteState {
       .reduce(FilterApi.or)
     val buf = scala.collection.mutable.ArrayBuffer[Long]()
     candidates.foreach { ref =>
-      if (ref.seq >= dseq) {
+      if (ref.seq >= dseq && ref.isVector) {
+        // positional blob fetch: I/O is the vector's own bytes, nothing else
+        buf ++= graft.tables.Puffin.dvPositions(
+          graft.tables.Puffin.readBlob(conf, ref.path, ref.blobOffset, ref.blobLength))
+      } else if (ref.seq >= dseq) {
         val reader = ParquetReader
           .builder(new GroupReadSupport(), new HPath(ref.path))
           .withConf(conf)

@@ -114,6 +114,17 @@ class GraftMorScan(
     }
   }
 
+  // ---- deletion vectors: a position-delete entry in puffin format is a
+  // per-data-file bitmap. The LATEST vector per file is that file's
+  // complete position-delete set (merge-on-write); parquet position
+  // deletes newer than the vector (mixed-mode tables) still stack on
+  // top, older ones are subsumed by it and skipped. ----
+  private val (dvDeletes, pqPosDeletes) =
+    posDeletes.partition(_.file.isDeletionVector)
+  private val dvByFile: Map[String, PlannedFile] = dvDeletes
+    .groupBy(p => GraftTable.normPathStr(p.file.referencedDataFile.get))
+    .map { case (f, xs) => f -> xs.maxBy(_.seq) }
+
   private val metaNames = Set("_file", "_pos")
 
   /** the data columns the inner parquet read must produce */
@@ -133,7 +144,10 @@ class GraftMorScan(
   /** jumbo delete sets load executor-side; small ones resolve at plan
     * time (cheaper per task, bounded by the broadcast threshold) */
   private val executorSide: Boolean = {
-    val bytes = (posDeletes ++ eqDeletes).map(_.file.fileSizeInBytes).sum
+    // vectors count their blob bytes, not the shared puffin file's
+    val dvBytes = dvByFile.values
+      .map(p => p.file.contentSizeInBytes.getOrElse(p.file.fileSizeInBytes)).sum
+    val bytes = (pqPosDeletes ++ eqDeletes).map(_.file.fileSizeInBytes).sum + dvBytes
     bytes > 0 && bytes > GraftTable.deleteBroadcastMaxBytes(SparkSession.active)
   }
 
@@ -141,12 +155,12 @@ class GraftMorScan(
     * position delete applies to a data file when its sequence is >= the
     * file's */
   private lazy val posByFile: Map[String, Array[(Long, Long)]] = {
-    if (posDeletes.isEmpty || executorSide) Map.empty
+    if (pqPosDeletes.isEmpty || executorSide) Map.empty
     else {
       val spark = GraftTable.pinnedSession(SparkSession.active)
-      val seqOf = posDeletes
+      val seqOf = pqPosDeletes
         .map(p => (GraftTable.normPathStr(p.file.filePath), p.seq)).toMap
-      val df = spark.read.parquet(posDeletes.map(_.file.filePath): _*)
+      val df = spark.read.parquet(pqPosDeletes.map(_.file.filePath): _*)
         .select(col("file_path"), col("pos"),
           GraftTable.normPath(col("_metadata.file_path")).as("_src"))
       val rows = org.apache.spark.sql.GraftBridge.collectInternal(df)
@@ -191,6 +205,22 @@ class GraftMorScan(
       }
     }
 
+  /** plan-time decode of the latest vectors (small-delete tier):
+    * data file -> (sorted deleted positions, vector sequence) */
+  private lazy val dvPosByFile: Map[String, (Array[Long], Long)] =
+    if (dvByFile.isEmpty || executorSide) Map.empty
+    else {
+      val conf =
+        org.apache.spark.sql.GraftBridge.sessionHadoopConf(SparkSession.active)
+      dvByFile.map { case (f, p) =>
+        val blob = graft.tables.Puffin.readBlob(
+          conf, table.relocate(p.file.filePath),
+          p.file.contentOffset.getOrElse(0L),
+          p.file.contentSizeInBytes.getOrElse(p.file.fileSizeInBytes))
+        f -> ((graft.tables.Puffin.dvPositions(blob), p.seq))
+      }
+    }
+
   /** can this position-delete file contain entries for `dataPath`?
     * Pruned via the manifest bounds on the reserved file_path column
     * (2147483546). Bounds are truncated conservatively (lower = prefix,
@@ -225,10 +255,22 @@ class GraftMorScan(
     }
     currentData.zipWithIndex.map { case (p, i) =>
       val norm = GraftTable.normPathStr(p.file.filePath)
-      val positions: Array[Long] = pb.get(norm) match {
-        case Some(pairs) =>
-          pairs.collect { case (pos, pseq) if p.seq <= pseq => pos }.distinct.sorted
-        case None => Array.empty[Long]
+      val dv = dvByFile.get(norm)
+      val positions: Array[Long] = {
+        // the vector subsumes parquet deletes at or below its sequence;
+        // newer parquet deletes (mixed-mode) still stack on top
+        val pqPos: Array[Long] = pb.get(norm) match {
+          case Some(pairs) =>
+            pairs.collect { case (pos, pseq)
+              if p.seq <= pseq && dv.forall(d => pseq > d.seq) => pos }
+          case None => Array.empty[Long]
+        }
+        val dvPos: Array[Long] = dvPosByFile.get(norm) match {
+          case Some((ps, dseq)) if dseq >= p.seq => ps
+          case _ => Array.empty[Long]
+        }
+        if (pqPos.isEmpty && dvPos.isEmpty) Array.empty[Long]
+        else (pqPos ++ dvPos).distinct.sorted
       }
       // JSON carries defaults widened or stringly (Long/Double/String for
       // dates etc.): resolve to the CATALYST value at plan time with a
@@ -249,10 +291,17 @@ class GraftMorScan(
       // resolved positions — pruned per data file by seq + path bounds
       val posCandidates: Array[DeleteFileRef] =
         if (!executorSide) Array.empty
-        else posDeletes
-          .filter(pd => pd.seq >= p.seq && posFileMayContain(pd, norm))
-          .map(pd => DeleteFileRef(pd.file.filePath, pd.file.fileSizeInBytes, pd.seq))
-          .toArray
+        else {
+          val pq = pqPosDeletes
+            .filter(pd => pd.seq >= p.seq && dv.forall(d => pd.seq > d.seq) &&
+              posFileMayContain(pd, norm))
+            .map(pd => DeleteFileRef(pd.file.filePath, pd.file.fileSizeInBytes, pd.seq))
+          val dvRef = dv.filter(_.seq >= p.seq).map(d => DeleteFileRef(
+            table.relocate(d.file.filePath), d.file.fileSizeInBytes, d.seq,
+            d.file.contentOffset.getOrElse(0L),
+            d.file.contentSizeInBytes.getOrElse(d.file.fileSizeInBytes)))
+          (dvRef.toSeq ++ pq).toArray
+        }
       // a skewed jumbo file splits into byte ranges (row groups follow
       // their midpoints) instead of one straggler task. When positions
       // matter (deletes or `_pos` output), the DRIVER reads the footer
@@ -416,7 +465,8 @@ class GraftMorScan(
 
   override def description(): String =
     s"GraftMorScan(${table.location}, ${dataFiles.size} data files, " +
-      s"${posDeletes.size} pos-delete files, ${eqDeletes.size} eq-delete files)"
+      s"${pqPosDeletes.size} pos-delete files, ${dvDeletes.size} deletion " +
+      s"vectors, ${eqDeletes.size} eq-delete files)"
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(

@@ -126,7 +126,12 @@ private[spark] object GraftProcedures {
         }),
       new GraftProcedure(
         "rewrite_position_delete_files",
-        Seq(in("table", StringType)),
+        // to_vectors: merge into puffin deletion vectors (one per data
+        // file) instead of parquet chunks; defaults to the table's own
+        // write.delete.vector-enabled mode
+        Seq(in("table", StringType),
+          ProcedureParameter.in("to_vectors", BooleanType)
+            .defaultValue("NULL").build()),
         out("delete_files_before" -> LongType, "delete_files_after" -> LongType),
         (input, spark) => {
           val t = table(input)
@@ -134,7 +139,9 @@ private[spark] object GraftProcedures {
             .flatMap(s => tt.planFiles(s))
             .count(_.file.content == DataContent.PositionDeletes).toLong
           val before = count(t)
-          t.rewritePositionDeleteFiles(spark)
+          val toVectors =
+            if (input.isNullAt(1)) None else Some(input.getBoolean(1))
+          t.rewritePositionDeleteFiles(spark, toVectors = toVectors)
           Seq(Seq(before, count(t)))
         }),
       new GraftProcedure(

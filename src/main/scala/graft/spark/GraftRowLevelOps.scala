@@ -101,8 +101,26 @@ class GraftDeltaBatchWrite(table: GraftTable, cmd: RowLevelOperation.Command)
     val spark = SparkSession.active
     val msgs = messages.toList.collect { case m: GraftDeltaCommitMessage => m }
     val data = msgs.flatMap(_.dataFiles)
-    val deletes = msgs.flatMap(_.deleteFiles)
+    var deletes = msgs.flatMap(_.deleteFiles)
     if (data.isEmpty && deletes.isEmpty) return
+    // deletion-vector tables: the per-task parquet position deletes are
+    // a staging shape (one task cannot own a whole data file's vector) —
+    // fold them into per-file vectors in one pass and drop the staging
+    // files before the commit ever sees them
+    if (table.dvEnabled && deletes.nonEmpty) {
+      val posDf = spark.read.parquet(deletes.map(_.filePath): _*)
+        .select(org.apache.spark.sql.functions.col("file_path"),
+          org.apache.spark.sql.functions.col("pos"))
+      val vectors = table.writeDeletionVectors(spark, posDf)
+      val conf = table.conf
+      deletes.foreach { f =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(f.filePath)
+          p.getFileSystem(conf).delete(p, false)
+        } catch { case _: Throwable => }
+      }
+      deletes = vectors
+    }
     val op = if (cmd == RowLevelOperation.Command.DELETE) "delete" else "overwrite"
     // validated against concurrent rewrites of the files our position
     // deletes point into (otherwise old rows resurrect while new ones land)

@@ -411,9 +411,70 @@ class GraftTable(
     val posDeleted: Option[DataFrame] =
       if (posSnaps.isEmpty) None
       else {
-        val posRows = pinned.read
-          .parquet(posSnaps.flatMap(_._2).map(_.file.filePath): _*)
-          .select(GraftTable.normPath(col("file_path")).as("_df"), col("pos").as("_dp"))
+        val pqAdded = posSnaps.flatMap(_._2).filterNot(_.file.isDeletionVector)
+        val pqRows: Seq[DataFrame] =
+          if (pqAdded.isEmpty) Nil
+          else Seq(pinned.read
+            .parquet(pqAdded.map(_.file.filePath): _*)
+            .select(GraftTable.normPath(col("file_path")).as("_df"), col("pos").as("_dp")))
+        // A deletion-vector commit's changelog delta is its NEW bitmap
+        // minus the file's PRIOR delete state — merge-on-write folds all
+        // history into each vector, so the raw blob over-reports. The
+        // subtraction is the previous vector (bitmap andNot, executor-
+        // side) plus any older parquet delete rows (anti-join).
+        val dvRows: Seq[DataFrame] = posSnaps.flatMap { case (s, ents) =>
+          val dvEnts = ents.filter(_.file.isDeletionVector)
+          if (dvEnts.isEmpty) None
+          else {
+            val plan = fastPlan.getOrElse(planAt(s))
+            val priorPos = plan.filter(p =>
+              p.file.content == DataContent.PositionDeletes &&
+                p.seq < s.sequenceNumber)
+            val refs = dvEnts
+              .map(e => GraftTable.normPathStr(e.file.referencedDataFile.get)).toSet
+            val prevDv: Map[String, PlannedFile] = priorPos
+              .filter(_.file.isDeletionVector)
+              .filter(p => refs.contains(GraftTable.normPathStr(p.file.referencedDataFile.get)))
+              .groupBy(p => GraftTable.normPathStr(p.file.referencedDataFile.get))
+              .map { case (f, xs) => f -> xs.maxBy(_.seq) }
+            val serConf = new TableWrite.SerializableHadoopConf(conf)
+            val specs: Seq[(String, String, Long, Long, String, Long, Long)] =
+              dvEnts.map { e =>
+                val f = GraftTable.normPathStr(e.file.referencedDataFile.get)
+                val prev = prevDv.get(f)
+                (f, relocate(e.file.filePath), e.file.contentOffset.getOrElse(0L),
+                  e.file.contentSizeInBytes.getOrElse(e.file.fileSizeInBytes),
+                  prev.map(p => relocate(p.file.filePath)).getOrElse(""),
+                  prev.flatMap(_.file.contentOffset).getOrElse(0L),
+                  prev.map(p =>
+                    p.file.contentSizeInBytes.getOrElse(p.file.fileSizeInBytes)).getOrElse(0L))
+              }
+            val encIn = org.apache.spark.sql.Encoders
+              .product[(String, String, Long, Long, String, Long, Long)]
+            val encOut = org.apache.spark.sql.Encoders.product[(String, Long)]
+            val delta = spark.createDataset(specs)(encIn)
+              .flatMap { in =>
+                val (f, np, no, nl, pp, po, pl) = in
+                val bm = Puffin.dvDecode(Puffin.readBlob(serConf.value, np, no, nl))
+                if (pp.nonEmpty)
+                  bm.andNot(Puffin.dvDecode(Puffin.readBlob(serConf.value, pp, po, pl)))
+                val it = bm.getLongIterator
+                new Iterator[(String, Long)] {
+                  def hasNext: Boolean = it.hasNext
+                  def next(): (String, Long) = (f, it.next())
+                }
+              }(encOut).toDF("_df", "_dp")
+            val priorPq = priorPos.filterNot(_.file.isDeletionVector)
+            Some(
+              if (priorPq.isEmpty) delta
+              else delta.join(
+                pinned.read.parquet(priorPq.map(p => relocate(p.file.filePath)): _*)
+                  .select(GraftTable.normPath(col("file_path")).as("_df"),
+                    col("pos").as("_dp")),
+                Seq("_df", "_dp"), "left_anti"))
+          }
+        }
+        val posRows = (pqRows ++ dvRows).reduce(_.unionByName(_))
         // only open data files the deletes actually reference (the
         // distinct-path set is file-count sized — planning-scale, not
         // row-scale)
@@ -570,6 +631,11 @@ class GraftTable(
   }
 
   private[graft] def writePositionDeleteFiles(
+      spark: SparkSession, posDf: DataFrame): List[IceDataFile] =
+    if (dvEnabled) writeDeletionVectors(spark, posDf)
+    else writeParquetPositionDeleteFiles(spark, posDf)
+
+  private[graft] def writeParquetPositionDeleteFiles(
       spark: SparkSession, posDf: DataFrame): List[IceDataFile] = {
     val normalized = posDf
       .select(col("file_path").cast(StringType), col("pos").cast(LongType))
@@ -600,6 +666,142 @@ class GraftTable(
           .join(broadcast(idxDf), normPath(col("file_path")) === col("_dp_file"), "left")
           .drop("_dp_file")
         TableWrite.writePartitionedDeleteFiles(this, spark, routed, partitions)
+    }
+  }
+
+  /** Deletion-vector write mode: position deletes land as puffin DV
+    * blobs — ONE vector per referenced data file — instead of parquet
+    * delete files (Iceberg format-v3 semantics, property-gated here so a
+    * v2 table can opt in). The scale win is structural: a CDC-heavy MoR
+    * table accumulates thousands of small positional delete files between
+    * compactions and every scan pays their open cost; with vectors each
+    * data file carries exactly one compact bitmap, fetched positionally
+    * by the task that reads that file. */
+  def dvEnabled: Boolean =
+    metadata.formatVersion >= 3 ||
+      metadata.properties.get(GraftTable.DvEnabledProp).contains("true")
+
+  /** Write position deletes as deletion vectors. Merge-on-write: every
+    * live prior position delete of each referenced file (an older vector
+    * or parquet delete rows) folds into the new vector, so the newest
+    * vector for a file is always the COMPLETE delete set for that file —
+    * readers serve one blob per file, never a stack. */
+  private[graft] def writeDeletionVectors(
+      spark: SparkSession, posDf: DataFrame): List[IceDataFile] = {
+    val newPos = posDf.select(
+      GraftTable.normPath(col("file_path").cast(StringType)).as("file_path"),
+      col("pos").cast(LongType).as("pos"))
+    val priorDeletes = metadata.currentSnapshot.toList.flatMap(planFiles(_))
+      .filter(_.file.content == DataContent.PositionDeletes)
+    val merged =
+      if (priorDeletes.isEmpty) newPos
+      else newPos.unionByName(
+        positionDeleteRowsDf(spark, priorDeletes)
+          .join(newPos.select("file_path").distinct(), Seq("file_path"), "leftsemi"))
+    buildDeletionVectors(spark, merged)
+  }
+
+  /** (file_path, pos) rows of a mixed set of position-delete entries —
+    * parquet files read as parquet, vector entries decoded executor-side
+    * (one task per blob; the driver never holds positions). For files
+    * that have a vector, only the LATEST vector contributes (older ones
+    * are superseded); parquet rows always contribute — under merge-on-
+    * write any parquet delete at or below the vector's sequence is a
+    * subset of it, so the union is exactly the read-side delete set. */
+  private[graft] def positionDeleteRowsDf(
+      spark: SparkSession, entries: Seq[PlannedFile]): DataFrame = {
+    val (dvs, pq) = entries.partition(_.file.isDeletionVector)
+    val pinned = GraftTable.pinnedSession(spark)
+    var parts = List.empty[DataFrame]
+    if (pq.nonEmpty)
+      parts :+= pinned.read.parquet(pq.map(p => relocate(p.file.filePath)): _*)
+        .select(GraftTable.normPath(col("file_path")).as("file_path"),
+          col("pos").cast(LongType).as("pos"))
+    val latest = dvs
+      .groupBy(p => GraftTable.normPathStr(p.file.referencedDataFile.get))
+      .map { case (f, xs) => (f, xs.maxBy(_.seq)) }.toList
+    if (latest.nonEmpty) {
+      val refs: Seq[(String, String, Long, Long)] = latest.map { case (f, p) =>
+        (f, relocate(p.file.filePath), p.file.contentOffset.getOrElse(0L),
+          p.file.contentSizeInBytes.getOrElse(p.file.fileSizeInBytes))
+      }
+      val serConf = new TableWrite.SerializableHadoopConf(conf)
+      implicit val enc: org.apache.spark.sql.Encoder[(String, String, Long, Long)] =
+        org.apache.spark.sql.Encoders.product[(String, String, Long, Long)]
+      implicit val enc2: org.apache.spark.sql.Encoder[(String, Long)] =
+        org.apache.spark.sql.Encoders.product[(String, Long)]
+      parts :+= spark.createDataset(refs)
+        .flatMap { case (f, path, off, len) =>
+          Puffin.dvPositions(Puffin.readBlob(serConf.value, path, off, len))
+            .iterator.map(p => (f, p))
+        }.toDF("file_path", "pos")
+    }
+    if (parts.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("file_path", StringType), StructField("pos", LongType))))
+    else parts.reduce(_.unionByName(_))
+  }
+
+  /** Distributed vector build: positions shuffle once by data file, each
+    * task bitmaps its files and writes ONE puffin file holding a
+    * `deletion-vector-v1` blob per file, and only blob-level metadata
+    * (path, offsets, cardinality) returns to the driver. */
+  private def buildDeletionVectors(
+      spark: SparkSession, posDf: DataFrame): List[IceDataFile] = {
+    val loc = location
+    val serConf = new TableWrite.SerializableHadoopConf(conf)
+    implicit val enc: org.apache.spark.sql.Encoder[DvBlobRow] =
+      org.apache.spark.sql.Encoders.product[DvBlobRow]
+    val rows: Array[DvBlobRow] = posDf
+      .select(GraftTable.normPath(col("file_path")).as("file_path"),
+        col("pos").cast(LongType).as("pos"))
+      .repartition(col("file_path"))
+      .mapPartitions { it =>
+        val byFile = scala.collection.mutable.LinkedHashMap
+          .empty[String, org.roaringbitmap.longlong.Roaring64NavigableMap]
+        it.foreach { r =>
+          byFile.getOrElseUpdate(r.getString(0),
+            new org.roaringbitmap.longlong.Roaring64NavigableMap()).addLong(r.getLong(1))
+        }
+        if (byFile.isEmpty) Iterator.empty
+        else {
+          val files = byFile.toSeq.sortBy(_._1)
+          val path = s"$loc/data/${UUID.randomUUID()}-deletes.puffin"
+          val blobs = files.map { case (f, bm) =>
+            Puffin.BlobInput(Puffin.DeletionVectorV1, Nil,
+              Map("referenced-data-file" -> f,
+                "cardinality" -> bm.getLongCardinality.toString),
+              Puffin.dvEncode(bm))
+          }
+          val (size, metas) = Puffin.write(serConf.value, path, blobs)
+          files.zip(metas).iterator.map { case ((f, bm), m) =>
+            DvBlobRow(path, size, f, m.offset, m.length, bm.getLongCardinality)
+          }
+        }
+      }.collect()
+    if (rows.isEmpty) return Nil
+    // partition scoping mirrors the parquet path: the vector's manifest
+    // entry carries the partition tuple of its referenced data file when
+    // that file sits on the default spec (older-spec files stay global)
+    val spec = metadata.defaultSpec
+    val tupleOf: Map[String, Seq[Option[Any]]] =
+      if (spec.isUnpartitioned) Map.empty
+      else metadata.currentSnapshot.toList.flatMap(planFiles(_))
+        .filter(p => p.file.content == DataContent.Data &&
+          p.specId == metadata.defaultSpecId)
+        .map(p => GraftTable.normPathStr(p.file.filePath) -> p.file.partition).toMap
+    val emptyTuple: Seq[Option[Any]] = spec.fields.map(_ => None)
+    rows.toList.map { r =>
+      IceDataFile(
+        content = DataContent.PositionDeletes,
+        filePath = r.puffinPath,
+        fileFormat = "puffin",
+        partition = tupleOf.getOrElse(r.referencedFile, emptyTuple),
+        recordCount = r.cardinality,
+        fileSizeInBytes = r.puffinSize,
+        referencedDataFile = Some(r.referencedFile),
+        contentOffset = Some(r.offset),
+        contentSizeInBytes = Some(r.length))
     }
   }
 
@@ -909,16 +1111,17 @@ class GraftTable(
     * icelake/src/types/in_memory.rs:1722-1848 but their compaction is
     * deferred to engines — here we ARE the engine.) */
   def rewritePositionDeleteFiles(
-      spark: SparkSession, targetFileSizeBytes: Long = 64L * 1024 * 1024): GraftTable = {
+      spark: SparkSession, targetFileSizeBytes: Long = 64L * 1024 * 1024,
+      toVectors: Option[Boolean] = None): GraftTable = {
     val snap = metadata.currentSnapshot.getOrElse(return this)
     val planned = planFiles(snap)
     val posFiles = planned.filter(_.file.content == DataContent.PositionDeletes)
     if (posFiles.isEmpty) return this
     val liveData = planned.filter(_.file.content == DataContent.Data)
       .map(p => GraftTable.normPathStr(p.file.filePath)).toSet
-    val pinned = GraftTable.pinnedSession(spark)
-    val rows = pinned.read.parquet(posFiles.map(p => relocate(p.file.filePath)): _*)
-      .select(col("file_path"), col("pos"))
+    // mixed-format read: parquet rows plus latest-vector blobs (an older
+    // superseded vector contributes nothing and is dropped with the rest)
+    val rows = positionDeleteRowsDf(spark, posFiles)
     // drop positions aimed at retired data files (already absorbed by a
     // data rewrite); the live-path set is file-count sized -> broadcast
     val liveDf = kvDf(spark, liveData.toSeq.map(p => (p, 0L)), "_lp", "_lignore")
@@ -928,7 +1131,9 @@ class GraftTable(
     // delete bytes (the partitioned writer fans out per partition anyway)
     val chunks = math.max(1,
       (posFiles.map(_.file.fileSizeInBytes).sum / math.max(1L, targetFileSizeBytes)).toInt)
-    val merged = writePositionDeleteFiles(spark, kept.repartition(chunks))
+    val merged =
+      if (toVectors.getOrElse(dvEnabled)) buildDeletionVectors(spark, kept)
+      else writeParquetPositionDeleteFiles(spark, kept.repartition(chunks))
     val oldPaths = posFiles.map(p => GraftTable.normPathStr(p.file.filePath)).toSet
     retryCommit(() => ()) {
       // survivors re-planned inside the retry: data files and any delete
@@ -1602,11 +1807,16 @@ class GraftTable(
   /** data-file paths a set of position-delete files refers to (one small
     * read of the freshly written delete files) */
   private[graft] def referencedBy(
-      spark: SparkSession, deleteFiles: List[IceDataFile]): Set[String] =
-    if (deleteFiles.isEmpty) Set.empty
-    else spark.read.parquet(deleteFiles.map(_.filePath): _*)
-      .select(normPath(col("file_path"))).distinct()
-      .collect().map(_.getString(0)).toSet
+      spark: SparkSession, deleteFiles: List[IceDataFile]): Set[String] = {
+    val (dvs, pq) = deleteFiles.partition(_.isDeletionVector)
+    val fromDv = dvs.map(d => GraftTable.normPathStr(d.referencedDataFile.get)).toSet
+    val fromPq =
+      if (pq.isEmpty) Set.empty[String]
+      else spark.read.parquet(pq.map(_.filePath): _*)
+        .select(normPath(col("file_path"))).distinct()
+        .collect().map(_.getString(0)).toSet
+    fromDv ++ fromPq
+  }
 
   /** Replace-style commit that carries a surviving subset of the previous
     * snapshot's files forward as Existing entries (dynamic partition
@@ -1756,7 +1966,23 @@ class GraftTable(
   }
 }
 
+/** executor→driver row of one written deletion-vector blob: where it
+  * landed inside which puffin file, for which data file, how many
+  * positions — metadata-sized, never the positions themselves */
+private[graft] case class DvBlobRow(
+    puffinPath: String,
+    puffinSize: Long,
+    referencedFile: String,
+    offset: Long,
+    length: Long,
+    cardinality: Long)
+
 object GraftTable {
+
+  /** table property opting position deletes into puffin deletion vectors
+    * (format-v3 semantics on an opt-in basis; `formatVersion >= 3` tables
+    * vector automatically) */
+  val DvEnabledProp = "write.delete.vector-enabled"
 
   /** serializable slice of schema info the executor-side stats harvest needs */
   case class FieldInfo(name: String, id: Int, typeRepr: String)

@@ -85,6 +85,24 @@ case class PlannedFile(file: IceDataFile, seq: Long, specId: Int)
 
 case class IceLogEntry(timestampMs: Long, ref: String)
 
+/** footer metadata of one statistics blob, registered in table metadata
+  * so planners read NDV estimates without opening the puffin file */
+case class IceBlobMetadata(
+    blobType: String,
+    snapshotId: Long,
+    sequenceNumber: Long,
+    fields: List[Int],
+    properties: Map[String, String])
+
+/** a `statistics` entry of table metadata (Iceberg table-statistics
+  * shape): one puffin file of sketches computed at a snapshot */
+case class IceStatisticsFile(
+    snapshotId: Long,
+    statisticsPath: String,
+    fileSizeInBytes: Long,
+    fileFooterSizeInBytes: Long,
+    blobMetadata: List[IceBlobMetadata])
+
 case class TableMetadata(
     formatVersion: Int,
     tableUuid: String,
@@ -104,7 +122,8 @@ case class TableMetadata(
     metadataLog: List[IceLogEntry],
     sortOrders: List[IceSortOrder],
     defaultSortOrderId: Int,
-    refs: Map[String, IceSnapshotRef]) {
+    refs: Map[String, IceSnapshotRef],
+    statistics: List[IceStatisticsFile] = Nil) {
 
   def currentSchema: IceSchema =
     schemas.find(_.schemaId == currentSchemaId)
@@ -156,7 +175,16 @@ case class IceDataFile(
     upperBounds: Map[Int, Array[Byte]] = Map.empty,
     splitOffsets: Seq[Long] = Nil,
     equalityIds: Seq[Int] = Nil,
-    sortOrderId: Option[Int] = None)
+    sortOrderId: Option[Int] = None,
+    // deletion-vector entries (format-v3 shape): the puffin blob's
+    // referenced data file and its byte extent inside filePath
+    referencedDataFile: Option[String] = None,
+    contentOffset: Option[Long] = None,
+    contentSizeInBytes: Option[Long] = None) {
+  /** a position-delete entry stored as a puffin deletion vector */
+  def isDeletionVector: Boolean =
+    fileFormat == "puffin" && referencedDataFile.isDefined
+}
 
 object ManifestStatus {
   val Existing = 0

@@ -77,11 +77,22 @@ object ManifestIO {
     * `equality_ids` and requires `block_size_in_bytes` (spec evolution
     * rules — v2 removed/added exactly these) */
   private def dataFileSchema(
-      spec: IcePartitionSpec, schema: IceSchema, formatVersion: Int = 2): Schema = {
+      spec: IcePartitionSpec, schema: IceSchema, formatVersion: Int = 2,
+      withDv: Boolean = false): Schema = {
     val rec = Schema.createRecord("r2", null, null, false)
     val v2Head =
       if (formatVersion >= 2)
         List(field("content", 134, Schema.create(Schema.Type.INT), opt = false))
+      else Nil
+    // deletion-vector fields (format-v3 field ids) — only emitted into
+    // manifests that actually carry a DV entry, so plain tables' on-disk
+    // manifests are byte-identical to before
+    val dvFields =
+      if (withDv)
+        List(
+          field("referenced_data_file", 143, Schema.create(Schema.Type.STRING), opt = true),
+          field("content_offset", 144, Schema.create(Schema.Type.LONG), opt = true),
+          field("content_size_in_bytes", 145, Schema.create(Schema.Type.LONG), opt = true))
       else Nil
     val v1Block =
       if (formatVersion == 1)
@@ -109,13 +120,15 @@ object ManifestIO {
       field("split_offsets", 132,
         Schema.createArray(Schema.create(Schema.Type.LONG)), opt = true)) ++
       v2Tail ++ List(
-      field("sort_order_id", 140, Schema.create(Schema.Type.INT), opt = true))).asJava)
+      field("sort_order_id", 140, Schema.create(Schema.Type.INT), opt = true)) ++
+      dvFields).asJava)
     rec
   }
 
   /** manifest_entry schema; v1 has no inherited sequence numbers */
   private def manifestEntrySchema(
-      spec: IcePartitionSpec, schema: IceSchema, formatVersion: Int = 2): Schema = {
+      spec: IcePartitionSpec, schema: IceSchema, formatVersion: Int = 2,
+      withDv: Boolean = false): Schema = {
     val rec = Schema.createRecord("manifest_entry", null, null, false)
     val seqFields =
       if (formatVersion >= 2)
@@ -127,7 +140,7 @@ object ManifestIO {
       field("status", 0, Schema.create(Schema.Type.INT), opt = false),
       field("snapshot_id", 1, Schema.create(Schema.Type.LONG), opt = true)) ++
       seqFields :+
-      field("data_file", 2, dataFileSchema(spec, schema, formatVersion), opt = false)).asJava)
+      field("data_file", 2, dataFileSchema(spec, schema, formatVersion, withDv), opt = false)).asJava)
     rec
   }
 
@@ -367,7 +380,13 @@ object ManifestIO {
           equalityIds = Option(if (hasField(df, "equality_ids")) df.get("equality_ids") else null)
             .map(_.asInstanceOf[java.util.Collection[_]].asScala.toSeq
               .map(_.asInstanceOf[Number].intValue)).getOrElse(Nil),
-          sortOrderId = if (hasField(df, "sort_order_id")) intOf(df, "sort_order_id") else None))
+          sortOrderId = if (hasField(df, "sort_order_id")) intOf(df, "sort_order_id") else None,
+          referencedDataFile =
+            if (hasField(df, "referenced_data_file")) str(df, "referenced_data_file") else None,
+          contentOffset =
+            if (hasField(df, "content_offset")) lng(df, "content_offset") else None,
+          contentSizeInBytes =
+            if (hasField(df, "content_size_in_bytes")) lng(df, "content_size_in_bytes") else None))
     }
   }
 
@@ -411,7 +430,8 @@ object ManifestIO {
       schema: IceSchema,
       content: Int,
       formatVersion: Int = 2): IceManifestListEntry = {
-    val entrySchema = manifestEntrySchema(spec, schema, formatVersion)
+    val withDv = entries.exists(_.dataFile.referencedDataFile.isDefined)
+    val entrySchema = manifestEntrySchema(spec, schema, formatVersion, withDv)
     val out = new ByteArrayOutputStream()
     val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](entrySchema))
     writer.setMeta("format-version", formatVersion.toString)
@@ -483,6 +503,11 @@ object ManifestIO {
       if (formatVersion >= 2 && d.equalityIds.nonEmpty)
         df.put("equality_ids", d.equalityIds.map(Integer.valueOf).asJava)
       d.sortOrderId.foreach(v => df.put("sort_order_id", v: Integer))
+      if (withDv) {
+        d.referencedDataFile.foreach(v => df.put("referenced_data_file", v))
+        d.contentOffset.foreach(v => df.put("content_offset", v: java.lang.Long))
+        d.contentSizeInBytes.foreach(v => df.put("content_size_in_bytes", v: java.lang.Long))
+      }
       rec.put("data_file", df)
       writer.append(rec)
     }

@@ -212,6 +212,28 @@ object MetadataJson {
       case _ => Map.empty[String, IceSnapshotRef]
     }
 
+    val statistics: List[IceStatisticsFile] = (j \ "statistics") match {
+      case JArray(items) => items.map { st =>
+        IceStatisticsFile(
+          snapshotId = longOf(st \ "snapshot-id"),
+          statisticsPath = strOf(st \ "statistics-path"),
+          fileSizeInBytes = longOf(st \ "file-size-in-bytes", default = Some(0L)),
+          fileFooterSizeInBytes =
+            longOf(st \ "file-footer-size-in-bytes", default = Some(0L)),
+          blobMetadata = (st \ "blob-metadata").children.map { b =>
+            IceBlobMetadata(
+              blobType = strOf(b \ "type"),
+              snapshotId = longOf(b \ "snapshot-id", default = Some(-1L)),
+              sequenceNumber = longOf(b \ "sequence-number", default = Some(-1L)),
+              fields = (b \ "fields").children.collect {
+                case JInt(i) => i.toInt
+                case JLong(l) => l.toInt },
+              properties = strMap(b \ "properties"))
+          })
+      }
+      case _ => Nil
+    }
+
     def log(key: String, refKey: String): List[IceLogEntry] =
       (j \ key).children.map(e => IceLogEntry(longOf(e \ "timestamp-ms"),
         (e \ refKey).toOption.collect {
@@ -239,7 +261,8 @@ object MetadataJson {
       metadataLog = log("metadata-log", "metadata-file"),
       sortOrders = if (sortOrders.isEmpty) List(IceSortOrder(0, Nil)) else sortOrders,
       defaultSortOrderId = intOf(j \ "default-sort-order-id", default = Some(0)),
-      refs = refs)
+      refs = refs,
+      statistics = statistics)
   }
 
   private def parsePartitionField(v: JValue): IcePartitionField =
@@ -302,6 +325,20 @@ object MetadataJson {
       "metadata-log" -> JArray(m.metadataLog.map(e => JObject(
         "timestamp-ms" -> JLong(e.timestampMs),
         "metadata-file" -> JString(e.ref)))))
-    JsonMethods.pretty(JsonMethods.render(j)).getBytes("UTF-8")
+    val statsJson: JValue = JArray(m.statistics.map(st => JObject(
+      "snapshot-id" -> JLong(st.snapshotId),
+      "statistics-path" -> JString(st.statisticsPath),
+      "file-size-in-bytes" -> JLong(st.fileSizeInBytes),
+      "file-footer-size-in-bytes" -> JLong(st.fileFooterSizeInBytes),
+      "blob-metadata" -> JArray(st.blobMetadata.map(b => JObject(
+        "type" -> JString(b.blobType),
+        "snapshot-id" -> JLong(b.snapshotId),
+        "sequence-number" -> JLong(b.sequenceNumber),
+        "fields" -> JArray(b.fields.map(JInt(_): JValue)),
+        "properties" -> JObject(b.properties.toList.sortBy(_._1).map {
+          case (k, v) => k -> (JString(v): JValue) })))))))
+    val withStats =
+      if (m.statistics.isEmpty) j else JObject(j.obj :+ ("statistics" -> statsJson))
+    JsonMethods.pretty(JsonMethods.render(withStats)).getBytes("UTF-8")
   }
 }
