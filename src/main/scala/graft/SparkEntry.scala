@@ -21,14 +21,26 @@ object SparkEntry {
 
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which vanilla Spark rejects;
-      // read nanos as long and truncate to micros (what DuckDB does too).
+      // events.ts has shipped as both TIMESTAMP(NANOS) (which vanilla Spark
+      // only reads as long via the legacy conf) and plain TIMESTAMP(MICROS)
+      // (which Spark reads as TIMESTAMP_NTZ); normalize either encoding.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(s"$dir/$name.parquet")
-      // integer division — double division loses micro precision on ns longs
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      normEventsTs(s.read.parquet(s"$dir/$name.parquet"))
     } else s.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Normalize the events `ts` column to session-zone TIMESTAMP micros
+    * regardless of how the parquet encoded it: nanos-as-long (integer
+    * division — double division loses micro precision on ns longs) or a
+    * native timestamp column. NTZ→TZ cast is value-preserving because every
+    * entry point pins spark.sql.session.timeZone=UTC, matching DuckDB's
+    * naive-timestamp reading of the same file. Works on streaming DFs too. */
+  private[graft] def normEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 
   /** exact decimal view of a 2-decimal double column */
   private def money(c: Column): Column = c.cast(DecimalType(12, 2))
@@ -1733,9 +1745,8 @@ object SparkEntry {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val sch = s.read.parquet(s"$dir/events.parquet").schema
       val name = s"stream_hourly_${System.nanoTime()}"
-      val stream = s.readStream.schema(sch)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = normEventsTs(s.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"))
       val q = stream.writeStream.outputMode("complete")
@@ -1759,8 +1770,7 @@ object SparkEntry {
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val b = batch
-            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          val b = normEventsTs(batch)
             .select(latestCols.map(col): _*)
             .withColumn("_rn", row_number().over(w))
             .filter(col("_rn") === 1)
@@ -1861,9 +1871,9 @@ object SparkEntry {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val sch = s.read.parquet(s"$dir/events.parquet").schema
       val name = s"stream_sess_${System.nanoTime()}"
-      val src = s.readStream.schema(sch)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts_us", expr("ts div 1000"))
+      val src = normEventsTs(s.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+        .withColumn("ts_us", unix_micros(col("ts")))
       val q = graft.streaming.StatefulSessions.sessions(src, 1800L * 1000000L)
         .select(col("user_id"), col("session_idx"), col("n_events"),
           timestamp_micros(col("session_start_us")).as("session_start"),
