@@ -599,6 +599,22 @@ object SparkEntry {
         .select(col("a"), col("b"))
       Dedup.connectedComponents(pairs, "a", "b")
     }),
+    "dedup_semantic" -> ((s, dir) => {
+      // SemDeDup-shaped semantic dedup over EMBEDDINGS: near-dup pairs by
+      // banded sign-bit LSH + cosine verify -> connected components ->
+      // one canonical survivor per cluster. Same planted duplicates as
+      // dedup_embedding; the output is the deduped vector corpus itself.
+      val e = t(s, dir, "embeddings")
+      val jittered = e.filter(col("vec_id") < 10).select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      val corpus = e.select(col("vec_id"), col("embedding")).union(jittered)
+      val pairs = Dedup.embeddingNearDup(
+        corpus, "vec_id", "embedding", cosineThreshold = 0.95, bits = 40)
+        .select(col("vec_a").as("a"), col("vec_b").as("b"))
+      val comps = Dedup.connectedComponents(pairs, "a", "b")
+      Dedup.resolveDuplicates(corpus, "vec_id", comps).select(col("vec_id"))
+    }),
     "dedup_resolve" -> ((s, dir) => {
       // the full dedup pipeline ending in a deduped CORPUS: LSH pairs ->
       // connected components -> one canonical survivor per cluster (plus
@@ -702,6 +718,12 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) => {
       TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
     }),
+    "text_bm25" -> ((s, dir) => {
+      // corpus relevance scoring against a seed query — the weighting
+      // head of importance-based data selection
+      TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
+        Seq("data", "query", "spark"))
+    }),
     "text_fingerprint" -> ((s, dir) => {
       // DuckDB cannot reproduce the wrapping-Long rolling hash, so the
       // oracle is the winnowing decomposition law: the w-byte windows of
@@ -737,6 +759,38 @@ object SparkEntry {
       val tbl = freshTable(s, "ice_roundtrip", src)
       tbl.append(s, src)
       tbl.scan(s)
+    }),
+    // Iceberg's other two data-file formats (write.format.default):
+    // write + MoR position deletes + scan, end to end per format
+    "ice_orc_table" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+      val tbl = freshTable(s, "ice_orc_table", src)
+        .setProperties(Map("write.format.default" -> "orc"))
+      tbl.append(s, src)
+      val t2 = tbl.deleteWhere(s, pmod(col("o_orderkey"), lit(4)) === 1)
+      t2.scan(s)
+    }),
+    "ice_avro_table" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+      val tbl = freshTable(s, "ice_avro_table", src)
+        .setProperties(Map("write.format.default" -> "avro"))
+      tbl.append(s, src)
+      val t2 = tbl.deleteWhere(s, pmod(col("o_orderkey"), lit(6)) === 2)
+      t2.scan(s)
+    }),
+    // table statistics: one distributed NDV pass -> puffin statistics
+    // file -> `statistics` table metadata; the result reads the ndv blob
+    // PROPERTIES back from metadata (what planners consume, zero file IO)
+    "stats_ndv" -> ((s, dir) => {
+      import s.implicits._
+      val src = t(s, dir, "orders")
+      val tbl = freshTable(s, "stats_ndv", src)
+      tbl.append(s, src)
+      val t2 = tbl.computeTableStats(s)
+      val schema = t2.metadata.currentSchema
+      t2.metadata.statistics.last.blobMetadata.map { b =>
+        (schema.fieldById(b.fields.head).get.name, b.properties("ndv").toLong)
+      }.toDF("column_name", "ndv")
     }),
     "ice_partitioned_scan" -> ((s, dir) => {
       // hidden partitioning by month(l_shipdate); the filtered scan reads
@@ -2379,6 +2433,54 @@ object SparkEntry {
         |  UNION
         |  SELECT e.s AS id, reach.r AS r FROM edges e JOIN reach ON e.d = reach.id)
         |SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin,
+    "dedup_semantic" ->
+      """WITH RECURSIVE av AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    CAST(list_transform(embedding,
+        |      x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT)) AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 10),
+        |pr AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM av a JOIN av b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.e, b.e) >= 0.95),
+        |edges AS (SELECT a AS s, b AS d FROM pr UNION SELECT b AS s, a AS d FROM pr),
+        |reach AS (
+        |  SELECT s AS id, s AS r FROM edges
+        |  UNION
+        |  SELECT e.s AS id, reach.r AS r FROM edges e JOIN reach ON e.d = reach.id),
+        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+        |SELECT vec_id FROM av
+        |WHERE vec_id NOT IN (SELECT id FROM comp WHERE component <> id)""".stripMargin,
+    "text_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> length(x) > 0) AS t
+        |  FROM documents),
+        |d2 AS (SELECT doc_id, t, CAST(len(t) AS DOUBLE) AS dl FROM d),
+        |g AS (
+        |  SELECT count(*) AS n, avg(dl) AS avgdl,
+        |    sum(CASE WHEN list_contains(t, 'data') THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN list_contains(t, 'query') THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END) AS df2
+        |  FROM d2),
+        |tf AS (
+        |  SELECT doc_id, dl,
+        |    CAST(len(list_filter(t, x -> x = 'data')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(t, x -> x = 'query')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE) AS tf2
+        |  FROM d2)
+        |SELECT doc_id,
+        |  round(
+        |    ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * 2.2)
+        |      / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2)
+        |      / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2)
+        |      / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+        |FROM tf, g""".stripMargin,
     "dedup_resolve" ->
       """WITH RECURSIVE s AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)),
@@ -2507,6 +2609,15 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin,
     "ice_eq_delete" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",
+    "ice_orc_table" -> "SELECT * FROM orders WHERE o_orderkey % 4 <> 1",
+    "ice_avro_table" -> "SELECT * FROM orders WHERE o_orderkey % 6 <> 2",
+    "stats_ndv" ->
+      """SELECT 'o_orderkey' AS column_name, count(DISTINCT o_orderkey) AS ndv FROM orders
+        |UNION ALL SELECT 'o_custkey', count(DISTINCT o_custkey) FROM orders
+        |UNION ALL SELECT 'o_orderstatus', count(DISTINCT o_orderstatus) FROM orders
+        |UNION ALL SELECT 'o_totalprice', count(DISTINCT o_totalprice) FROM orders
+        |UNION ALL SELECT 'o_orderdate', count(DISTINCT o_orderdate) FROM orders
+        |UNION ALL SELECT 'o_orderpriority', count(DISTINCT o_orderpriority) FROM orders""".stripMargin,
     "ice_pos_delete" -> "SELECT * FROM orders WHERE o_orderkey % 10 <> 0",
     "ice_pos_delete_compact" -> "SELECT * FROM orders WHERE o_orderkey % 97 >= 12",
     "ice_dv_delete" ->

@@ -27,6 +27,54 @@ object TextAnalysis {
       regexp_count(t, lit(PhoneRe)).cast(LongType).as("n_phones"))
   }
 
+  /** BM25 relevance of every document against a fixed query term set —
+    * the corpus-weighting primitive of a training-data pipeline (score
+    * documents by similarity to a seed/reference query, then sample or
+    * weight by the score; CCNet/DSIR-style importance selection reduces
+    * to exactly this shape with a different scoring head).
+    *
+    * Scale design: TWO passes, no explode and no per-token shuffle —
+    * (1) one tiny global aggregate (corpus size, average doc length, and
+    * per-term document frequency; query terms are compile-time literals,
+    * so this is ONE row collected), (2) a map-only projection where each
+    * term's tf folds over the in-row token array and the idf rides as a
+    * plan literal. A posting-list join would shuffle every token in the
+    * corpus; this shuffles nothing.
+    *
+    * Scores are rounded to 6 decimals: per-doc arithmetic is a fixed
+    * expression tree evaluated identically everywhere (no reduction-order
+    * nondeterminism), rounding just guards cross-engine libm deltas. */
+  def bm25(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val toks = df.select(
+      col(idCol),
+      filter(
+        split(lower(col(textCol)), "[^a-z0-9]+"), x => length(x) > 0).as("_toks"))
+      .withColumn("_dl", size(col("_toks")).cast(DoubleType))
+    val aggs =
+      count(lit(1)).as("_n") +: avg(col("_dl")).as("_avgdl") +:
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("_toks"), t), 1L).otherwise(0L)).as(s"_df_$i")
+        }
+    val g = toks.agg(aggs.head, aggs.tail: _*).head()
+    val n = g.getLong(0).toDouble
+    val avgdl = g.getDouble(1)
+    val score = queryTerms.zipWithIndex.map { case (t, i) =>
+      val dft = g.getLong(2 + i).toDouble
+      val idf = math.log((n - dft + 0.5) / (dft + 0.5) + 1.0)
+      val tf = size(filter(col("_toks"), x => x === t)).cast(DoubleType)
+      lit(idf) * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / lit(avgdl)))
+    }.reduce(_ + _)
+    toks.select(col(idCol), round(score, 6).as("bm25"))
+  }
+
   /** Whitespace + punctuation-aware token count, plus a BPE-ish subword
     * estimate (chars/4 heuristic floor-bounded by word count — the standard
     * quick estimator when no tokenizer model is loaded). */

@@ -179,9 +179,27 @@ class GraftBatchWrite(
     }
     val props = metadata.properties
     val maxRecords = TableWrite.maxRecordsPerFile(metadata).getOrElse(Long.MaxValue)
-    val compression = props.getOrElse("write.parquet.compression-codec", "snappy")
-    val writerConf = org.apache.spark.sql.GraftBridge.parquetWriterConf(
-      spark, sparkSchema, compression, GraftBatchWrite.parquetKnobs(props))
+    val fmt = TableWrite.dataFormat(metadata)
+    val writerConf = fmt match {
+      case "orc" =>
+        // OrcFileFormat.prepareWrite sets the schema/compression keys the
+        // ORC OutputWriter reads back from the conf
+        org.apache.spark.sql.GraftBridge.orcWriterFactory(
+          spark, sparkSchema,
+          props.get("write.orc.compression-codec").map("compression" -> _).toMap)._2
+      case "avro" => org.apache.spark.sql.GraftBridge.sessionHadoopConf(spark)
+      case _ =>
+        val compression = props.getOrElse("write.parquet.compression-codec", "snappy")
+        org.apache.spark.sql.GraftBridge.parquetWriterConf(
+          spark, sparkSchema, compression, GraftBatchWrite.parquetKnobs(props))
+    }
+    val orcFactory = fmt match {
+      case "orc" =>
+        org.apache.spark.sql.GraftBridge.orcWriterFactory(
+          spark, sparkSchema,
+          props.get("write.orc.compression-codec").map("compression" -> _).toMap)._1
+      case _ => null
+    }
     val sortOrderId = metadata.sortOrders
       .find(o => o.orderId == metadata.defaultSortOrderId && o.fields.nonEmpty)
       .map(_.orderId)
@@ -192,7 +210,11 @@ class GraftBatchWrite(
       specFields,
       maxRecords,
       sortOrderId,
-      new SerializableHadoopConf(writerConf))
+      new SerializableHadoopConf(writerConf),
+      fmt,
+      orcFactory,
+      schema.fields,
+      props.getOrElse("write.avro.compression-codec", "snappy"))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -243,18 +265,23 @@ class GraftDataWriterFactory(
     specFields: List[SpecFieldEval],
     maxRecords: Long,
     sortOrderId: Option[Int],
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf,
+    format: String = "parquet",
+    orcFactory: org.apache.spark.sql.execution.datasources.OutputWriterFactory = null,
+    iceFields: Seq[graft.tables.IceField] = Nil,
+    avroCodec: String = "snappy")
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(
       outDir, sparkSchema, fieldInfos, specFields, maxRecords, sortOrderId,
-      conf, partitionId, taskId)
+      conf, partitionId, taskId, format, orcFactory, iceFields, avroCodec)
 }
 
-/** Fanout writer: one open parquet file per partition tuple (input is
+/** Fanout writer: one open data file per partition tuple (input is
   * clustered by the transforms, so open-file count per task stays small),
-  * rolling at `maxRecords`. Close harvests footer stats in-place. */
+  * rolling at `maxRecords`. Close harvests footer stats in-place
+  * (parquet/orc) or takes the inline-accumulated stats (avro). */
 class GraftDataWriter(
     outDir: String,
     sparkSchema: StructType,
@@ -264,20 +291,42 @@ class GraftDataWriter(
     sortOrderId: Option[Int],
     conf: SerializableHadoopConf,
     partitionId: Int,
-    taskId: Long)
+    taskId: Long,
+    format: String = "parquet",
+    orcFactory: org.apache.spark.sql.execution.datasources.OutputWriterFactory = null,
+    iceFields: Seq[graft.tables.IceField] = Nil,
+    avroCodec: String = "snappy")
     extends DataWriter[InternalRow] {
 
-  private case class Open(
-      writer: org.apache.spark.sql.execution.datasources.OutputWriter,
-      path: String,
-      var records: Long)
+  /** one open file of the configured format */
+  private trait Sink {
+    def path: String
+    def write(row: InternalRow): Unit
+    /** inline stats (avro); None -> harvest from the file tail on commit */
+    def close(): Option[TableWrite.FileStats]
+  }
+
+  private class OutputWriterSink(
+      w: org.apache.spark.sql.execution.datasources.OutputWriter,
+      val path: String) extends Sink {
+    def write(row: InternalRow): Unit = w.write(row)
+    def close(): Option[TableWrite.FileStats] = { w.close(); None }
+  }
+
+  private class AvroSink(w: graft.tables.AvroDataIO.RowWriter) extends Sink {
+    def path: String = w.path
+    def write(row: InternalRow): Unit = w.write(row)
+    def close(): Option[TableWrite.FileStats] = Some(w.close())
+  }
+
+  private case class Open(writer: Sink, path: String, var records: Long)
 
   private val srcTypes: Array[IceType] =
     specFields.map(sf => MetadataJson.parseType(org.json4s.JString(sf.srcTypeRepr))).toArray
   private val srcDataTypes: Array[DataType] = srcTypes.map(TransformEval.sparkTypeOf)
 
   private val open = mutable.HashMap.empty[Seq[Option[Any]], Open]
-  private val done = mutable.ListBuffer.empty[(String, Seq[Option[Any]])]
+  private val done = mutable.ListBuffer.empty[(String, Seq[Option[Any]], Option[TableWrite.FileStats])]
   private var fileCount = 0
   private var rowsWritten = 0L
 
@@ -290,18 +339,30 @@ class GraftDataWriter(
     }
 
   private def newFile(partition: Seq[Option[Any]]): Open = {
-    val path = f"$outDir/$partitionId%05d-$taskId-$fileCount%05d.parquet"
+    val path = f"$outDir/$partitionId%05d-$taskId-$fileCount%05d.$format"
     fileCount += 1
-    Open(org.apache.spark.sql.GraftBridge.openRowWriter(
-      conf.value, path, partitionId, taskId), path, 0L)
+    val sink: Sink = format match {
+      case "orc" =>
+        new OutputWriterSink(
+          org.apache.spark.sql.GraftBridge.newFormatWriter(
+            orcFactory, conf.value, path, sparkSchema, partitionId, taskId), path)
+      case "avro" =>
+        new AvroSink(new graft.tables.AvroDataIO.RowWriter(
+          conf.value, path, iceFields,
+          Array.tabulate(iceFields.size)(identity), avroCodec))
+      case _ =>
+        new OutputWriterSink(
+          org.apache.spark.sql.GraftBridge.openRowWriter(
+            conf.value, path, partitionId, taskId), path)
+    }
+    Open(sink, path, 0L)
   }
 
   override def write(row: InternalRow): Unit = {
     val partition = partitionOf(row)
     var o = open.getOrElseUpdate(partition, newFile(partition))
     if (o.records >= maxRecords) {
-      o.writer.close()
-      done += ((o.path, partition))
+      done += ((o.path, partition, o.writer.close()))
       o = newFile(partition)
       open(partition) = o
     }
@@ -312,20 +373,23 @@ class GraftDataWriter(
 
   override def commit(): WriterCommitMessage = {
     open.foreach { case (partition, o) =>
-      o.writer.close()
-      if (o.records > 0) done += ((o.path, partition))
+      val inline = o.writer.close()
+      if (o.records > 0) done += ((o.path, partition, inline))
       else try {
         val p = new org.apache.hadoop.fs.Path(o.path)
         p.getFileSystem(conf.value).delete(p, false)
       } catch { case _: Throwable => }
     }
     open.clear()
-    val files = done.toList.map { case (path, partition) =>
-      val st = TableWrite.statsOf(path, fieldInfos, conf.value)
+    val files = done.toList.map { case (path, partition, inline) =>
+      val st = inline.getOrElse(format match {
+        case "orc" => graft.tables.OrcDataIO.statsOf(path, fieldInfos, conf.value)
+        case _ => TableWrite.statsOf(path, fieldInfos, conf.value)
+      })
       IceDataFile(
         content = DataContent.Data,
         filePath = GraftTable.normPathStr(path),
-        fileFormat = "parquet",
+        fileFormat = format,
         partition = partition,
         recordCount = st.recordCount,
         fileSizeInBytes = st.fileSize,
@@ -341,7 +405,7 @@ class GraftDataWriter(
   }
 
   override def abort(): Unit = {
-    open.values.foreach(o => try o.writer.close() catch { case _: Throwable => })
+    open.values.foreach(o => try { o.writer.close(); () } catch { case _: Throwable => })
     (open.values.map(_.path) ++ done.map(_._1)).foreach { path =>
       try {
         val p = new org.apache.hadoop.fs.Path(path)

@@ -666,6 +666,37 @@ object GraftV2Table {
   val OnlyFilesOption = "graft.only-files"
 }
 
+/** Fixed-file-list RAW read (the changelog's internal read shape): serves
+  * exactly `planned` with NO delete application, any data-file format,
+  * optionally with the `_file`/`_pos` columns appended — rides the MoR
+  * scan, whose per-format readers count row positions for parquet, orc
+  * and avro alike. Historical files (not live in any current snapshot)
+  * are fine: nothing here resolves a snapshot. */
+class GraftRawFilesTable(
+    table: GraftTable,
+    planned: Seq[PlannedFile],
+    withPos: Boolean)
+    extends Table with SupportsRead {
+  private val iceSchema = table.metadata.currentSchema
+  private val dataSchema = SchemaConvert.toSparkSchema(iceSchema)
+  private val outSchema =
+    if (!withPos) dataSchema
+    else StructType(dataSchema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(
+        "_file", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "_pos", org.apache.spark.sql.types.LongType, nullable = false)))
+  override def name(): String = s"graft_raw(${table.location})"
+  override def schema(): StructType = outSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        new GraftMorScan(table, iceSchema, planned, Nil, Nil, dataSchema, outSchema)
+    }
+}
+
 class GraftScanBuilder(
     table: GraftTable,
     snapshotId: Option[Long],
@@ -817,7 +848,8 @@ object GraftScanStats {
       files: Seq[PlannedFile],
       dataSchema: StructType,
       requiredSchema: StructType,
-      iceSchema: IceSchema): org.apache.spark.sql.connector.read.Statistics = {
+      iceSchema: IceSchema,
+      ndv: Map[Int, Long] = Map.empty): org.apache.spark.sql.connector.read.Statistics = {
     val data = files.filter(_.file.content == DataContent.Data)
     val rows = data.map(_.file.recordCount).sum
     val totalBytes = data.map(_.file.fileSizeInBytes).sum
@@ -836,10 +868,37 @@ object GraftScanStats {
         (totalBytes * math.min(1.0,
           requiredSchema.fields.length.toDouble / dataSchema.fields.length)).toLong
       else totalBytes
+    // per-column stats for Spark's CBO: NDV from the table's registered
+    // statistics file (ANALYZE/compute_table_stats — blob properties read
+    // from metadata, zero plan-time I/O), null counts folded from the
+    // manifests. Drives join-size estimation when spark.sql.cbo.enabled.
+    val colStats = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    requiredSchema.fieldNames.foreach { n =>
+      iceSchema.findField(n).foreach { f =>
+        val d = ndv.get(f.id)
+        val nulls =
+          if (data.nonEmpty && data.forall(_.file.nullValueCounts.contains(f.id)))
+            Some(data.map(_.file.nullValueCounts(f.id)).sum)
+          else None
+        if (d.isDefined || nulls.isDefined)
+          colStats.put(Expressions.column(n),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                d.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty)
+              override def nullCount(): java.util.OptionalLong =
+                nulls.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty)
+            })
+      }
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(scaledBytes, 1L))
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
 }
@@ -890,7 +949,7 @@ class GraftNativeBatchScan(
     * dimension in a join — the single most important planning signal at
     * scale. Column scaling uses the footer column sizes when present. */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-    GraftScanStats.of(currentFiles, dataSchema, requiredSchema, iceSchema)
+    GraftScanStats.of(currentFiles, dataSchema, requiredSchema, iceSchema, table.ndvStats)
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
 
@@ -924,10 +983,13 @@ class GraftNativeBatchScan(
   private val keyedTransforms: Option[Array[Transform]] = {
     val conf = SparkSession.active.sessionState.conf
     val spec = table.metadata.defaultSpec
+    // SPJ stays parquet-only: the keyed factory unwraps straight into the
+    // parquet reader; a mixed-format snapshot falls back to normal planning
     val ok = conf.getConf(org.apache.spark.sql.internal.SQLConf.V2_BUCKETING_ENABLED) &&
       spec.fields.nonEmpty && files.nonEmpty &&
       files.forall(p => p.specId == spec.specId &&
-        p.file.partition.length == spec.fields.length)
+        p.file.partition.length == spec.fields.length &&
+        p.file.fileFormat == "parquet")
     if (ok) Some(KeyedPartitioning.v2Transforms(table)) else None
   }
 
@@ -957,13 +1019,21 @@ class GraftNativeBatchScan(
       case None =>
         // add_files imports (outside location/data, no field ids) pack
         // into their OWN partitions so the reader factory can give them
-        // name-based column resolution
-        val (ext, internal) = currentFiles.partition(isExternal)
+        // name-based column resolution; orc/avro files pack into
+        // format-homogeneous partitions routed to their own readers
+        val (nonParquet, parquet) = currentFiles.partition(p =>
+          p.file.fileFormat == "orc" || p.file.fileFormat == "avro")
+        val (ext, internal) = parquet.partition(isExternal)
         (org.apache.spark.sql.GraftBridge.filePartitions(
           internal.map(p => (p.file.filePath, p.file.fileSizeInBytes)), maxBytes) ++
           org.apache.spark.sql.GraftBridge.filePartitions(
             ext.map(p => (p.file.filePath, p.file.fileSizeInBytes)), maxBytes)
-            .map(ip => new GraftExternalPartition(ip))).toArray
+            .map(ip => new GraftExternalPartition(ip)) ++
+          nonParquet.groupBy(_.file.fileFormat).toSeq.flatMap { case (fmt, fs) =>
+            org.apache.spark.sql.GraftBridge.filePartitions(
+              fs.map(p => (p.file.filePath, p.file.fileSizeInBytes)), maxBytes)
+              .map(ip => new GraftFormatPartition(ip, fmt))
+          }).toArray
     }
   }
 
@@ -974,18 +1044,46 @@ class GraftNativeBatchScan(
       .startsWith(GraftTable.normPathStr(table.location) + "/data/")
 
   override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    val spark = SparkSession.active
     val base = org.apache.spark.sql.GraftBridge.parquetReaderFactory(
-      SparkSession.active, dataSchema, requiredSchema, filters)
+      spark, dataSchema, requiredSchema, filters)
+    def strip(st: StructType): StructType = StructType(st.fields.map { f =>
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).remove(SchemaConvert.FieldIdKey).build())
+    })
+    val hasOrc = currentFiles.exists(_.file.fileFormat == "orc")
+    val hasAvro = currentFiles.exists(_.file.fileFormat == "avro")
     if (keyedTransforms.isDefined) KeyUnwrapFactory(base)
-    else if (!currentFiles.exists(isExternal)) base
-    else {
-      def strip(st: StructType): StructType = StructType(st.fields.map { f =>
-        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(f.metadata).remove(SchemaConvert.FieldIdKey).build())
-      })
-      ExternalRouteFactory(base,
+    else if (!hasOrc && !hasAvro) {
+      if (!currentFiles.exists(isExternal)) base
+      else ExternalRouteFactory(base,
         org.apache.spark.sql.GraftBridge.parquetReaderFactory(
-          SparkSession.active, strip(dataSchema), strip(requiredSchema), filters))
+          spark, strip(dataSchema), strip(requiredSchema), filters))
+    } else {
+      val ext =
+        if (!currentFiles.exists(isExternal)) null
+        else org.apache.spark.sql.GraftBridge.parquetReaderFactory(
+          spark, strip(dataSchema), strip(requiredSchema), filters)
+      // ORC resolves by name (no field ids in ORC files)
+      val orc =
+        if (!hasOrc) null
+        else org.apache.spark.sql.GraftBridge.orcFactoryBuilder(
+          spark, strip(dataSchema), strip(requiredSchema)).build(filters)
+      val avro =
+        if (!hasAvro) null
+        else GraftAvroReaderFactory(requiredSchema,
+          new graft.tables.TableWrite.SerializableHadoopConf(
+            org.apache.spark.sql.GraftBridge.sessionHadoopConf(spark)))
+      // Spark refuses mixed row/columnar partition sets: columnar only
+      // when EVERY partition's underlying factory serves batches (avro is
+      // row-based, so any avro file flips the whole scan to rows)
+      val parts = planInputPartitions()
+      val allColumnar = !hasAvro && parts.nonEmpty && parts.forall {
+        case f: GraftFormatPartition => orc.supportColumnarReads(f.inner)
+        case e: GraftExternalPartition => ext.supportColumnarReads(e.inner)
+        case other => base.supportColumnarReads(other)
+      }
+      FormatRouteFactory(base, ext, orc, avro, allColumnar)
     }
   }
 

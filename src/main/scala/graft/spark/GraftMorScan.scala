@@ -82,7 +82,7 @@ class GraftMorScan(
     * bound — still vastly better than the infinite DSv2 default, and
     * safe: overestimating only forgoes a broadcast) */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-    GraftScanStats.of(currentData, dataSchema, requiredSchema, iceSchema)
+    GraftScanStats.of(currentData, dataSchema, requiredSchema, iceSchema, table.ndvStats)
 
   override def toBatch: Batch = this
 
@@ -307,9 +307,13 @@ class GraftMorScan(
       // matter (deletes or `_pos` output), the DRIVER reads the footer
       // ONCE here and ships each range's row-count seed in the partition
       // — range tasks never re-open the footer; when they don't, the
-      // seed is irrelevant and nobody reads it at all.
-      val ranges = org.apache.spark.sql.GraftBridge
-        .byteRanges(p.file.fileSizeInBytes, maxBytes)
+      // seed is irrelevant and nobody reads it at all. Non-parquet files
+      // stay whole (the range seed protocol is parquet-footer based).
+      val fmt = p.file.fileFormat
+      val ranges =
+        if (fmt != "parquet") Seq((0L, p.file.fileSizeInBytes))
+        else org.apache.spark.sql.GraftBridge
+          .byteRanges(p.file.fileSizeInBytes, maxBytes)
       val seeds: Array[Long] =
         if (ranges.length > 1 &&
           (positions.nonEmpty || posCandidates.nonEmpty || hasPosOut))
@@ -325,7 +329,7 @@ class GraftMorScan(
           org.apache.spark.sql.GraftBridge.rangeFilePartition(
             i, p.file.filePath, start, len, p.file.fileSizeInBytes),
           p.seq, positions, norm, defaults, posCandidates, start,
-          if (seeds != null) seeds(ri) else -1L, external): InputPartition
+          if (seeds != null) seeds(ri) else -1L, external, fmt): InputPartition
       }
     }.flatten.toArray
   }
@@ -418,10 +422,33 @@ class GraftMorScan(
     // ([[MaskedColumnVector]]), never row-by-row materialized. The inner
     // columnar read covers innerSchema (required + eq-key columns); the
     // batch projects back down to requiredSchema.
-    val hasMetaOut = requiredSchema.fieldNames.exists(metaNames.contains)
-    val colEligible = !hasMetaOut && plannedPartitions.forall {
-      _.asInstanceOf[GraftMorInputPartition].defaults.isEmpty
+    // non-parquet data files read through their own row factories; the
+    // columnar (batch-masking) path stays parquet-only in the MoR scan
+    val hasOrcPart = plannedPartitions.exists {
+      _.asInstanceOf[GraftMorInputPartition].format == "orc"
     }
+    val hasAvroPart = plannedPartitions.exists {
+      _.asInstanceOf[GraftMorInputPartition].format == "avro"
+    }
+    val orcNoPushF =
+      if (!hasOrcPart) null
+      else org.apache.spark.sql.GraftBridge.orcFactoryBuilder(
+        spark, stripIds(dataSchema), stripIds(innerSchema)).build(Array.empty[Filter])
+    val orcPushF =
+      if (!hasOrcPart) null
+      else if (pushedFilters.isEmpty) orcNoPushF
+      else org.apache.spark.sql.GraftBridge.orcFactoryBuilder(
+        spark, stripIds(dataSchema), stripIds(innerSchema)).build(pushedFilters)
+    val avroF =
+      if (!hasAvroPart) null
+      else GraftAvroReaderFactory(innerSchema,
+        new graft.tables.TableWrite.SerializableHadoopConf(
+          org.apache.spark.sql.GraftBridge.sessionHadoopConf(spark)))
+    val hasMetaOut = requiredSchema.fieldNames.exists(metaNames.contains)
+    val colEligible = !hasMetaOut && !hasOrcPart && !hasAvroPart &&
+      plannedPartitions.forall {
+        _.asInstanceOf[GraftMorInputPartition].defaults.isEmpty
+      }
     // position counting must see every row — partitions with position
     // deletes read through the push-free factory (no row-group skipping)
     val colPush =
@@ -460,7 +487,9 @@ class GraftMorScan(
       serConf, eqSpecs, eqCacheKey, colPush, eqExecMaxBytes,
       colNoPush, requiredSchema.length,
       if (needsExactPositions) extNoPush else extPush,
-      extNoPush, colPushExt, colNoPushExt)
+      extNoPush, colPushExt, colNoPushExt,
+      if (needsExactPositions) orcNoPushF else orcPushF,
+      orcNoPushF, avroF)
   }
 
   override def description(): String =
@@ -494,7 +523,8 @@ case class GraftMorInputPartition(
     posCandidates: Array[DeleteFileRef] = Array.empty,
     rangeStart: Long = 0L,
     posSeedPre: Long = -1L,
-    external: Boolean = false)
+    external: Boolean = false,
+    format: String = "parquet")
     extends InputPartition
 
 case class EqGroupState(
@@ -528,12 +558,21 @@ class GraftMorReaderFactory(
     extPush: PartitionReaderFactory = null,
     extNoPush: PartitionReaderFactory = null,
     colPushExt: PartitionReaderFactory = null,
-    colNoPushExt: PartitionReaderFactory = null)
+    colNoPushExt: PartitionReaderFactory = null,
+    // non-parquet data-file formats (whole-file partitions, row readers)
+    orcPush: PartitionReaderFactory = null,
+    orcNoPush: PartitionReaderFactory = null,
+    avroFactory: PartitionReaderFactory = null)
     extends PartitionReaderFactory {
 
   private def rowFactory(mor: GraftMorInputPartition, push: Boolean): PartitionReaderFactory =
-    if (mor.external && extNoPush != null) { if (push) extPush else extNoPush }
-    else { if (push) innerPush else innerNoPush }
+    mor.format match {
+      case "orc" => if (push) orcPush else orcNoPush
+      case "avro" => avroFactory // filters re-applied above the scan
+      case _ =>
+        if (mor.external && extNoPush != null) { if (push) extPush else extNoPush }
+        else { if (push) innerPush else innerNoPush }
+    }
 
   private def colFactory(mor: GraftMorInputPartition, push: Boolean): PartitionReaderFactory =
     if (mor.external && colNoPushExt != null) { if (push) colPushExt else colNoPushExt }

@@ -237,8 +237,29 @@ class GraftTable(
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
-    readDataParquet(spark, files.map(_.file.filePath), sparkSchema)
+    readDataFiles(spark, files, sparkSchema)
   }
+
+  /** Format-routing raw read over planned data files: an all-parquet set
+    * uses the vectorized V1 relation (`_metadata` row positions), any
+    * orc/avro presence rides [[graft.spark.GraftRawFilesTable]] — the MoR
+    * readers count row positions for every format. */
+  private def readDataFiles(
+      spark: SparkSession,
+      planned: Seq[PlannedFile],
+      sparkSchema: StructType,
+      withMeta: Boolean = false): DataFrame =
+    if (planned.forall(_.file.fileFormat == "parquet"))
+      readDataParquet(spark, planned.map(_.file.filePath), sparkSchema, withMeta)
+    else {
+      val df = org.apache.spark.sql.GraftBridge.v2ScanDataFrame(
+        spark, new graft.spark.GraftRawFilesTable(this, planned, withMeta), Map.empty)
+      if (!withMeta) df
+      else df
+        .withColumn("_cf", GraftTable.normPath(col("_file")))
+        .withColumn("_cp", col("_pos"))
+        .drop("_file", "_pos")
+    }
 
   /** Raw parquet read of table data files with correct column
     * resolution: graft-written files (under `location/data`) resolve by
@@ -373,8 +394,11 @@ class GraftTable(
       fastPlan.getOrElse(planAt(s))
         .filter(p => p.seq == s.sequenceNumber && p.file.content == content)
 
-    def rawWithPos(paths: Seq[String]): DataFrame =
-      readDataParquet(spark, paths, sparkSchema, withMeta = true)
+    def rawWithPos(files: Seq[PlannedFile]): DataFrame =
+      readDataFiles(spark,
+        files.groupBy(p => GraftTable.normPathStr(p.file.filePath))
+          .values.map(_.head).toSeq,
+        sparkSchema, withMeta = true)
 
     val inserts = scanIncremental(spark, fromSnapshotId, toSnapshotId)
       .withColumn("_change_type", lit("insert"))
@@ -385,12 +409,12 @@ class GraftTable(
         val parent = s.parentSnapshotId.map(id => byId.getOrElse(id,
           sys.error(s"changelog range needs expired parent snapshot $id of " +
             s"overwrite ${s.snapshotId}; expire-aware history is gone")))
-        val before = parent.toList.flatMap(planAt(_))
+        val beforePf = parent.toList.flatMap(planAt(_))
           .filter(_.file.content == DataContent.Data)
-          .map(p => GraftTable.normPathStr(p.file.filePath)).toSet
         val after = planAt(s).filter(_.file.content == DataContent.Data)
           .map(p => GraftTable.normPathStr(p.file.filePath)).toSet
-        val removed = (before -- after).toSeq
+        val removed = beforePf
+          .filterNot(p => after.contains(GraftTable.normPathStr(p.file.filePath)))
         if (removed.isEmpty) None
         else Some(rawWithPos(removed).drop("_cf", "_cp")
           .withColumn("_change_type", lit("delete")))
@@ -484,8 +508,7 @@ class GraftTable(
           fastPlan.getOrElse(planAt(s)).filter(p =>
             p.file.content == DataContent.Data &&
               referenced.contains(GraftTable.normPathStr(p.file.filePath)))
-            .map(_.file.filePath)
-        }.distinct
+        }
         if (candidates.isEmpty) None
         else Some(rawWithPos(candidates)
           .join(posRows, col("_cf") === col("_df") && col("_cp") === col("_dp"), "leftsemi")
@@ -547,7 +570,7 @@ class GraftTable(
             val seqMap = kvDf(spark,
               older.map(p => (GraftTable.normPathStr(p.file.filePath), p.seq)),
               "_sf", "_sseq")
-            val data = rawWithPos(older.map(_.file.filePath))
+            val data = rawWithPos(older)
               .join(org.apache.spark.sql.functions.broadcast(seqMap),
                 col("_cf") === col("_sf"))
             Some(data.join(keys,
@@ -1577,6 +1600,82 @@ class GraftTable(
     commitMetaOnly(newMeta)
   }
 
+  // ---------- table statistics ----------
+
+  /** Compute per-column NDV statistics for the CURRENT snapshot in ONE
+    * distributed pass, write them as a Puffin statistics file under
+    * `metadata/`, and register it in table metadata (`statistics`, the
+    * Iceberg table-statistics shape). Planners consume the `ndv` BLOB
+    * PROPERTY straight from table metadata — zero file I/O at plan time,
+    * the same contract Iceberg's theta-sketch stats follow (and foreign
+    * `apache-datasketches-theta-v1` entries are read the same way).
+    *
+    * `approximate = true` estimates via HyperLogLog++ — one pass with NO
+    * per-column expand, the 100 TB default; exact mode distinct-counts
+    * precisely (oracle-checkable, but costs an expand at scale). */
+  def computeTableStats(
+      spark: SparkSession,
+      columns: Seq[String] = Nil,
+      approximate: Boolean = false): GraftTable = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, count_distinct}
+    val snap = metadata.currentSnapshot.getOrElse(sys.error("no snapshot to analyze"))
+    val schema = metadata.currentSchema
+    val targets: Seq[IceField] =
+      if (columns.nonEmpty)
+        columns.map(c => schema.findField(c).getOrElse(sys.error(s"no column $c")))
+      else schema.fields.filter(_.fieldType match {
+        case IcePrim(_) | IceDecimal(_, _) | IceFixed(_) => true
+        case _ => false
+      })
+    require(targets.nonEmpty, "no primitive columns to analyze")
+    val aggs = targets.map { f =>
+      (if (approximate) approx_count_distinct(col(f.name))
+      else count_distinct(col(f.name))).as(s"ndv_${f.id}")
+    }
+    val row = scan(spark).agg(aggs.head, aggs.tail: _*).head()
+    val blobs = targets.zipWithIndex.map { case (f, i) =>
+      val ndv = row.getLong(i)
+      Puffin.BlobInput(
+        GraftTable.NdvBlobType, Seq(f.id),
+        Map("ndv" -> ndv.toString) ++
+          (if (approximate) Map("approximate" -> "true") else Map.empty),
+        java.nio.ByteBuffer.allocate(8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(ndv).array)
+    }
+    val path =
+      s"$location/metadata/stats-${snap.snapshotId}-${java.util.UUID.randomUUID()}.puffin"
+    val (len, metas) = Puffin.write(conf, path, blobs, snap.snapshotId, snap.sequenceNumber)
+    val blobsEnd = metas.lastOption.map(m => m.offset + m.length).getOrElse(4L)
+    val entry = IceStatisticsFile(
+      snap.snapshotId, path, len, len - blobsEnd,
+      metas.map(m => IceBlobMetadata(
+        m.blobType, m.snapshotId, m.sequenceNumber, m.fields.toList, m.properties)).toList)
+    val base = metadata
+    commitMetaOnly(base.copy(
+      statistics = base.statistics.filterNot(_.snapshotId == snap.snapshotId) :+ entry,
+      lastUpdatedMs = System.currentTimeMillis()))
+  }
+
+  /** NDV per field id from the newest registered statistics file at or
+    * below the current snapshot — read from the blob-metadata `ndv`
+    * property in TABLE METADATA (no puffin I/O at plan time). Accepts any
+    * blob type carrying the property, so foreign theta-sketch stats
+    * (`apache-datasketches-theta-v1`) serve planning too. */
+  def ndvStats: Map[Int, Long] = {
+    val seqOf = metadata.snapshots.map(s => s.snapshotId -> s.sequenceNumber).toMap
+    val curSeq = metadata.currentSnapshot.map(_.sequenceNumber).getOrElse(Long.MaxValue)
+    metadata.statistics
+      .filter(st => seqOf.get(st.snapshotId).exists(_ <= curSeq))
+      .sortBy(st => seqOf(st.snapshotId))
+      .lastOption.toList
+      .flatMap(_.blobMetadata)
+      .flatMap(b => for {
+        id <- b.fields.headOption
+        ndv <- b.properties.get("ndv")
+        v <- scala.util.Try(ndv.toLong).toOption
+      } yield id -> v).toMap
+  }
+
   // ---------- branches / tags ----------
 
   /** Write-audit-publish: append staged on a branch — main and the
@@ -1983,6 +2082,11 @@ object GraftTable {
     * (format-v3 semantics on an opt-in basis; `formatVersion >= 3` tables
     * vector automatically) */
   val DvEnabledProp = "write.delete.vector-enabled"
+
+  /** statistics blob type written by [[GraftTable.computeTableStats]]:
+    * body = the NDV as one little-endian i64, `ndv` property = the same
+    * value in decimal (the property is what planners read) */
+  val NdvBlobType = "graft-ndv-v1"
 
   /** serializable slice of schema info the executor-side stats harvest needs */
   case class FieldInfo(name: String, id: Int, typeRepr: String)

@@ -156,7 +156,15 @@ object TableWrite {
       v: Any,
       isUpper: Boolean): Option[Array[Byte]] = {
     val info = infos.find(_.id == id).getOrElse(return None)
-    val t = parseTypeRepr(info.typeRepr)
+    encodeBoundValue(parseTypeRepr(info.typeRepr), v, isUpper)
+  }
+
+  /** value-level bound encoding (shared with the avro write path, which
+    * accumulates bounds inline instead of harvesting footers) */
+  private[tables] def encodeBoundValue(
+      t: IceType,
+      v: Any,
+      isUpper: Boolean): Option[Array[Byte]] = {
     v match {
       case s: String if t == IcePrim("string") && s.codePointCount(0, s.length) > 16 =>
         val cut = s.offsetByCodePoints(0, 16)
@@ -241,7 +249,10 @@ object TableWrite {
   private def pinnedWrite(df: DataFrame, spark: SparkSession): DataFrame =
     org.apache.spark.sql.GraftBridge.rebind(df, GraftTable.pinnedSession(spark))
 
-  private def listParquet(conf: Configuration, dir: String): Seq[String] = {
+  private def listParquet(conf: Configuration, dir: String): Seq[String] =
+    listDataFiles(conf, dir, ".parquet")
+
+  private def listDataFiles(conf: Configuration, dir: String, ext: String): Seq[String] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return Nil
@@ -250,11 +261,21 @@ object TableWrite {
     while (it.hasNext) {
       val f = it.next()
       val name = f.getPath.getName
-      if (name.endsWith(".parquet") && !name.startsWith(".") && !name.startsWith("_"))
+      if (name.endsWith(ext) && !name.startsWith(".") && !name.startsWith("_"))
         out += f.getPath.toUri.getPath
     }
     out.toSeq
   }
+
+  /** data-file format of new writes (`write.format.default`, the Iceberg
+    * property) — parquet (default, vectorized end-to-end), orc (Spark's
+    * native ORC writer/reader, name-resolved columns) or avro
+    * ([[AvroDataIO]], field-id-resolved rows) */
+  def dataFormat(metadata: TableMetadata): String =
+    metadata.properties.getOrElse("write.format.default", "parquet").toLowerCase match {
+      case f @ ("parquet" | "orc" | "avro") => f
+      case other => sys.error(s"unsupported write.format.default: $other")
+    }
 
   /** distributed footer harvest; returns stats per file path. The
     * driver's Hadoop conf ships with the job (broadcast-equivalent), so
@@ -420,12 +441,35 @@ object TableWrite {
         case None => f
       }
 
+    val fmt = dataFormat(table.metadata)
+    if (fmt == "avro")
+      // no Spark writer for avro data files — a dedicated distributed
+      // write that accumulates the manifest stats inline
+      return writeAvroDataFiles(
+        table, spark, base, schema, spec, sortExprs, maxRecords, stampOrderId)
+
+    /** format hooks shared by the unpartitioned/partitioned flows */
+    def sink(df: DataFrame, parts: Seq[String] = Nil): Unit = {
+      var w = configured(df)
+      if (fmt == "orc")
+        props.get("write.orc.compression-codec").foreach(c => w = w.option("compression", c))
+      if (parts.nonEmpty) w = w.partitionBy(parts: _*)
+      if (fmt == "orc") w.orc(outDir) else w.parquet(outDir)
+    }
+    def listOut(): Seq[String] = listDataFiles(table.conf, outDir, s".$fmt")
+    def statsHarvest(paths: Seq[String]): Seq[FileStats] = fmt match {
+      case "orc" =>
+        val conf = org.apache.spark.sql.GraftBridge.sessionHadoopConf(spark)
+        paths.map(p => OrcDataIO.statsOf(p, infos, conf))
+      case _ => harvest(spark, paths, infos)
+    }
+
     if (spec.isUnpartitioned) {
-      configured(base).parquet(outDir)
-      val paths = listParquet(table.conf, outDir)
+      sink(base)
+      val paths = listOut()
       val ext = extOf(paths)
-      harvest(spark, paths, infos)
-        .map(statsToDataFile(_, Nil, DataContent.Data, Nil, stampOrderId))
+      statsHarvest(paths)
+        .map(statsToDataFile(_, Nil, DataContent.Data, Nil, stampOrderId, fmt))
         .map(enrich(_, ext)).toList
     } else {
       val pcols = spec.fields.map(pf => s"_p_${pf.name}")
@@ -436,13 +480,12 @@ object TableWrite {
           transformColumn(pf.transform, col(src.name), src.fieldType))
       }
       // cluster rows by partition value: one shuffle, bounded output files
-      configured(withParts.repartition(pcols.map(col): _*))
-        .partitionBy(pcols: _*).parquet(outDir)
-      val paths = listParquet(table.conf, outDir)
+      sink(withParts.repartition(pcols.map(col): _*), pcols)
+      val paths = listOut()
       val resultTypes = spec.fields.zip(srcByid).map { case (pf, src) =>
         SchemaConvert.transformResultType(pf.transform, src.fieldType) }
       val ext = extOf(paths)
-      val stats = harvest(spark, paths, infos)
+      val stats = statsHarvest(paths)
       stats.map { st =>
         // partition values ride in the directory names under outDir
         val rel = st.path.stripPrefix(outDir).stripPrefix("/")
@@ -451,9 +494,106 @@ object TableWrite {
           dirs.find(_.startsWith(s"_p_${pf.name}="))
             .flatMap(d => parsePartitionValue(rt, d.substring(d.indexOf('=') + 1)))
         }
-        enrich(statsToDataFile(st, values, DataContent.Data, Nil, stampOrderId), ext)
+        enrich(statsToDataFile(st, values, DataContent.Data, Nil, stampOrderId, fmt), ext)
       }.toList
     }
+  }
+
+  /** Distributed avro data write: partition-transform columns are
+    * computed in Catalyst (same clustering shuffle as the parquet path),
+    * then each task runs a fanout [[AvroDataIO.RowWriter]] per partition
+    * tuple with record-count rolling; the manifest stats come back
+    * accumulated inline (avro has no footer statistics to harvest). Only
+    * the tiny per-file descriptors return to the driver. */
+  private def writeAvroDataFiles(
+      table: GraftTable,
+      spark: SparkSession,
+      base: DataFrame,
+      schema: IceSchema,
+      spec: IcePartitionSpec,
+      sortExprs: Seq[Column],
+      maxRecords: Option[Long],
+      stampOrderId: Option[Int]): List[IceDataFile] = {
+    val writeId = UUID.randomUUID().toString
+    val outDir = s"${table.location}/data/$writeId"
+    val fields = schema.fields
+    val nData = fields.size
+    val codec = table.metadata.properties
+      .getOrElse("write.avro.compression-codec", "snappy")
+    val roll = maxRecords.getOrElse(Long.MaxValue)
+    val serConf = new SerializableHadoopConf(
+      org.apache.spark.sql.GraftBridge.sessionHadoopConf(spark))
+
+    val srcByid = spec.fields.map(pf =>
+      schema.fieldById(pf.sourceId).getOrElse(sys.error(s"no field ${pf.sourceId}")))
+    val withParts = spec.fields.zip(srcByid).foldLeft(base) { case (d, (pf, src)) =>
+      d.withColumn(s"_p_${pf.name}",
+        transformColumn(pf.transform, col(src.name), src.fieldType))
+    }
+    val clustered =
+      if (spec.isUnpartitioned) base
+      else withParts.repartition(spec.fields.map(pf => col(s"_p_${pf.name}")): _*)
+    val sorted =
+      if (sortExprs.nonEmpty) clustered.sortWithinPartitions(sortExprs: _*) else clustered
+    val resultTypes = spec.fields.zip(srcByid).map { case (pf, src) =>
+      SchemaConvert.transformResultType(pf.transform, src.fieldType) }
+    val partSparkTypes = resultTypes.map(SchemaConvert.toSparkType).toArray
+    val dataOrdinals = Array.tabulate(nData)(identity)
+
+    val collected = org.apache.spark.sql.GraftBridge.internalRdd(sorted)
+      .mapPartitionsWithIndex { (pid, rows) =>
+        val conf = serConf.value
+        val attempt = Option(org.apache.spark.TaskContext.get)
+          .map(_.taskAttemptId).getOrElse(0L)
+        val open = scala.collection.mutable.HashMap
+          .empty[Seq[Option[Any]], AvroDataIO.RowWriter]
+        val done = scala.collection.mutable.ListBuffer
+          .empty[(FileStats, Seq[Option[Any]])]
+        var fileCount = 0
+        def newWriter(): AvroDataIO.RowWriter = {
+          val path = f"$outDir/part-$pid%05d-$attempt-$fileCount%05d.avro"
+          fileCount += 1
+          new AvroDataIO.RowWriter(conf, path, fields, dataOrdinals, codec)
+        }
+        // manifest-boxed partition value (matches TransformEval.box)
+        def boxed(v: Any): Any = v match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+          case other => other
+        }
+        try {
+          rows.foreach { row =>
+            val partition: Seq[Option[Any]] = spec.fields.indices.map { i =>
+              val ord = nData + i
+              if (row.isNullAt(ord)) None
+              else Some(boxed(row.get(ord, partSparkTypes(i))))
+            }
+            var w = open.getOrElseUpdate(partition, newWriter())
+            if (w.records >= roll) {
+              done += ((w.close(), partition))
+              w = newWriter()
+              open(partition) = w
+            }
+            w.write(row)
+          }
+          open.foreach { case (partition, w) =>
+            val st = w.close()
+            if (st.recordCount > 0) done += ((st, partition))
+            else try {
+              val p = new Path(st.path)
+              p.getFileSystem(conf).delete(p, false)
+            } catch { case _: Throwable => }
+          }
+          done.iterator.map { case (st, partition) =>
+            statsToDataFile(st, partition, DataContent.Data, Nil, stampOrderId, "avro")
+          }
+        } catch {
+          case e: Throwable =>
+            open.values.foreach(_.abort())
+            throw e
+        }
+      }.collect().toList
+    collected
   }
 
   /** write position/equality delete files. Field ids are stamped into the
@@ -538,11 +678,12 @@ object TableWrite {
       partition: Seq[Option[Any]],
       content: Int,
       equalityIds: Seq[Int],
-      sortOrderId: Option[Int] = None): IceDataFile =
+      sortOrderId: Option[Int] = None,
+      fileFormat: String = "parquet"): IceDataFile =
     IceDataFile(
       content = content,
       filePath = st.path,
-      fileFormat = "parquet",
+      fileFormat = fileFormat,
       partition = partition,
       recordCount = st.recordCount,
       fileSizeInBytes = st.fileSize,

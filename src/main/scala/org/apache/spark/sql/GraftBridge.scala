@@ -245,6 +245,61 @@ object GraftBridge {
     new org.apache.spark.sql.execution.datasources.parquet.ParquetOutputWriter(path, ctx)
   }
 
+  /** executed-plan RDD of catalyst rows (rows are reused buffers — consume
+    * or copy within the partition) */
+  def internalRdd(df: DataFrame): org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
+
+  // ---- ORC data files: Spark's native reader/writer behind the same
+  // builder shape as parquet ----
+
+  /** Spark's ORC reader factory (vectorized) over a fixed schema —
+    * resolves columns by NAME (ORC carries no Iceberg field ids) */
+  def orcFactoryBuilder(
+      spark: SparkSession,
+      dataSchemaRaw: org.apache.spark.sql.types.StructType,
+      readSchemaRaw: org.apache.spark.sql.types.StructType): GraftOrcFactoryBuilder = {
+    import org.apache.spark.util.SerializableConfiguration
+    val dataSchema = dataSchemaRaw.asNullable
+    val readSchema = readSchemaRaw.asNullable
+    val classicSpark = spark.asInstanceOf[classic.SparkSession]
+    val sqlConf = classicSpark.sessionState.conf
+    val hadoopConf = classicSpark.sessionState.newHadoopConfWithOptions(Map.empty)
+    val broadcastConf = classicSpark.sparkContext.broadcast(
+      new SerializableConfiguration(hadoopConf))
+    GraftOrcFactoryBuilder(sqlConf, broadcastConf, dataSchema, readSchema)
+  }
+
+  /** ORC OutputWriterFactory via OrcFileFormat.prepareWrite (sets the
+    * schema/compression conf keys the writer expects); the returned conf
+    * ships to executors for [[newFormatWriter]] */
+  def orcWriterFactory(
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      options: Map[String, String]): (org.apache.spark.sql.execution.datasources.OutputWriterFactory, org.apache.hadoop.conf.Configuration) = {
+    val classicSpark = spark.asInstanceOf[classic.SparkSession]
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      classicSpark.sessionState.newHadoopConf())
+    val factory = new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat()
+      .prepareWrite(classicSpark, job, options, schema)
+    (factory, job.getConfiguration)
+  }
+
+  /** open one file through a V1 OutputWriterFactory (executor side) */
+  def newFormatWriter(
+      factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+      conf: org.apache.hadoop.conf.Configuration,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partitionId: Int,
+      taskId: Long): org.apache.spark.sql.execution.datasources.OutputWriter = {
+    import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+    import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+    val attempt = new TaskAttemptID(
+      new TaskID(new JobID("graft", 0), TaskType.MAP, partitionId), taskId.toInt)
+    factory.newInstance(path, schema, new TaskAttemptContextImpl(conf, attempt))
+  }
+
   /** Spark's vectorized parquet reader factory over a fixed schema */
   def parquetReaderFactory(
       spark: SparkSession,
@@ -303,6 +358,33 @@ object GraftBridge {
     val broadcastConf = classicSpark.sparkContext.broadcast(
       new SerializableConfiguration(hadoopConf))
     GraftParquetFactoryBuilder(sqlConf, broadcastConf, dataSchema, readSchema)
+  }
+}
+
+/** See [[GraftBridge.orcFactoryBuilder]]. */
+case class GraftOrcFactoryBuilder private[sql] (
+    private val sqlConf: org.apache.spark.sql.internal.SQLConf,
+    private val bcConf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration],
+    private val dataSchema: org.apache.spark.sql.types.StructType,
+    private val readSchema: org.apache.spark.sql.types.StructType)
+    extends Serializable {
+
+  def build(filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    import org.apache.spark.sql.execution.datasources.orc.OrcOptions
+    import org.apache.spark.sql.execution.datasources.v2.orc.OrcPartitionReaderFactory
+    OrcPartitionReaderFactory(
+      sqlConf,
+      bcConf,
+      dataSchema,
+      readSchema,
+      new org.apache.spark.sql.types.StructType(),
+      filters,
+      None,
+      new OrcOptions(
+        org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(Map.empty[String, String]),
+        sqlConf),
+      org.apache.spark.memory.MemoryMode.ON_HEAP)
   }
 }
 

@@ -1,0 +1,224 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tables._
+
+/** Data-file format coverage: Iceberg data files may be parquet, ORC or
+  * Avro (`write.format.default`). Round-trips, stats harvest, MoR
+  * deletes, schema evolution (field-id resolution for avro), partitioned
+  * writes, byte-range splits, and mixed-format snapshots. */
+class FormatSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+  private def tmpLocation(name: String): String = {
+    val d = Files.createTempDirectory(s"graft-$name").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def freshTable(name: String, fmt: String,
+      src: org.apache.spark.sql.DataFrame,
+      spec: IceSchema => IcePartitionSpec = _ => IcePartitionSpec(0, Nil)): GraftTable = {
+    val schema = SchemaConvert.fromSparkSchema(src.schema)
+    StorageCatalog.createOrReplaceTable(conf, tmpLocation(name), schema, spec(schema))
+      .setProperties(Map("write.format.default" -> fmt))
+  }
+
+  test("orc round-trip: append orders, scan back, stats harvested") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val t = freshTable("orc-rt", "orc", src).append(spark, src)
+    val files = t.planFiles(t.metadata.currentSnapshot.get)
+    assert(files.nonEmpty && files.forall(_.file.fileFormat === "orc"))
+    val f = files.head.file
+    assert(f.recordCount > 0 && f.valueCounts.nonEmpty && f.nullValueCounts.nonEmpty)
+    // int/long/string/double bounds harvested from the ORC tail
+    assert(f.lowerBounds.nonEmpty && f.upperBounds.nonEmpty)
+    val back = t.scan(spark)
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("orc bounds prune files") {
+    val src = spark.range(0, 1000).selectExpr("id AS k", "cast(id as string) AS v")
+    val t0 = freshTable("orc-prune", "orc", src)
+    // two appends -> two files with disjoint k ranges
+    val t1 = t0.append(spark, src.filter(col("k") < 500).coalesce(1))
+    val t = t1.append(spark, src.filter(col("k") >= 500).coalesce(1))
+    val planned = t.planFiles(t.metadata.currentSnapshot.get)
+    assert(planned.size === 2)
+    val pruned = PruneEval.prunePlanned(
+      planned, Some(col("k") === 7L), t.metadata, t.metadata.currentSchema)
+    assert(pruned.size === 1)
+  }
+
+  test("avro round-trip: append orders, scan back, inline stats") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val t = freshTable("avro-rt", "avro", src).append(spark, src)
+    val files = t.planFiles(t.metadata.currentSnapshot.get)
+    assert(files.nonEmpty && files.forall(_.file.fileFormat === "avro"))
+    val f = files.head.file
+    assert(f.recordCount > 0 && f.valueCounts.nonEmpty)
+    assert(f.lowerBounds.nonEmpty && f.upperBounds.nonEmpty)
+    // bounds carry real values (o_orderkey long)
+    val keyField = t.metadata.currentSchema.findField("o_orderkey").get
+    val lo = SingleValue.decode(keyField.fieldType, f.lowerBounds(keyField.id))
+    val hi = SingleValue.decode(keyField.fieldType, f.upperBounds(keyField.id))
+    assert(lo.asInstanceOf[Long] <= hi.asInstanceOf[Long])
+    val back = t.scan(spark)
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("avro nested types round-trip (array, map, struct, decimal, date, ts)") {
+    val src = spark.sql(
+      """SELECT id,
+        |  array(id, id + 1) AS arr,
+        |  map(concat('k', id), cast(id AS double)) AS m,
+        |  named_struct('a', id, 'b', concat('s', id)) AS st,
+        |  cast(id AS decimal(12, 2)) / 100 AS dec,
+        |  date_add(date'2024-01-01', cast(id AS int)) AS d,
+        |  timestamp_micros(1700000000000000 + id * 1000000) AS ts
+        |FROM range(0, 100)""".stripMargin)
+    val t = freshTable("avro-nested", "avro", src).append(spark, src)
+    val back = t.scan(spark)
+    assert(back.count() === 100)
+    // map columns refuse set operations — compare as sorted entries
+    def comparable(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("m", array_sort(map_entries(col("m"))))
+    assert(comparable(back).exceptAll(comparable(src)).isEmpty &&
+      comparable(src).exceptAll(comparable(back)).isEmpty)
+  }
+
+  test("avro rename keeps old files readable (field-id resolution)") {
+    val src = spark.range(0, 50).selectExpr("id AS k", "concat('v', id) AS v")
+    val t0 = freshTable("avro-rename", "avro", src).append(spark, src)
+    val t = t0.renameColumn("v", "label")
+    val back = t.scan(spark)
+    assert(back.columns.toSeq === Seq("k", "label"))
+    assert(back.filter(col("label") === "v7").count() === 1)
+  }
+
+  test("MoR position deletes on avro data files") {
+    val src = spark.range(0, 200).selectExpr("id AS k", "concat('v', id) AS v")
+    val t0 = freshTable("avro-mor", "avro", src).append(spark, src)
+    val t = t0.deleteWhere(spark, col("k") % 10 === 0)
+    val back = t.scan(spark)
+    assert(back.count() === 180)
+    assert(back.filter(col("k") % 10 === 0).count() === 0)
+    // and the deleted-row content still surfaces through the changelog
+    val snap0 = t.metadata.snapshots.minBy(_.sequenceNumber).snapshotId
+    val changes = t.changes(spark, snap0)
+    assert(changes.filter(col("_change_type") === "delete").count() === 20)
+  }
+
+  test("MoR position deletes on orc data files") {
+    val src = spark.range(0, 200).selectExpr("id AS k", "concat('v', id) AS v")
+    val t0 = freshTable("orc-mor", "orc", src).append(spark, src)
+    val t = t0.deleteWhere(spark, col("k") < 50)
+    val back = t.scan(spark)
+    assert(back.count() === 150)
+    assert(back.agg(min(col("k"))).head.getLong(0) === 50L)
+  }
+
+  test("partitioned avro write: partition tuples + pruning") {
+    val src = spark.range(0, 300)
+      .selectExpr("id AS k", "cast(id % 3 AS int) AS bucket3", "concat('v', id) AS v")
+    val t = freshTable("avro-part", "avro", src,
+      s => IcePartitionSpec(0, List(IcePartitionField(
+        s.findField("bucket3").get.id, 1000, "identity", "bucket3"))))
+      .append(spark, src)
+    val files = t.planFiles(t.metadata.currentSnapshot.get)
+    assert(files.map(_.file.partition).distinct.size === 3)
+    assert(files.forall(_.file.partition.head.isDefined))
+    val pruned = PruneEval.prunePlanned(
+      files, Some(col("bucket3") === 1), t.metadata, t.metadata.currentSchema)
+    assert(pruned.forall(_.file.partition.head.contains(1)))
+    assert(pruned.size < files.size)
+    val back = t.scan(spark, filter = Some(col("bucket3") === 1))
+    assert(back.count() === 100)
+  }
+
+  test("avro byte-range splits read every row exactly once") {
+    val src = spark.range(0, 20000)
+      .selectExpr("id AS k", "repeat('x', 200) AS pad")
+      .coalesce(1)
+    val t = freshTable("avro-split", "avro", src).append(spark, src)
+    val f = t.planFiles(t.metadata.currentSnapshot.get).head.file
+    assert(f.fileSizeInBytes > 256 * 1024) // big enough to split
+    val old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (128 * 1024).toString)
+      val back = t.scan(spark)
+      assert(back.count() === 20000)
+      assert(back.agg(sum(col("k"))).head.getLong(0) === 20000L * 19999 / 2)
+      assert(back.rdd.getNumPartitions > 1) // the file actually split
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+  }
+
+  test("mixed-format snapshot: parquet + orc + avro files in one scan") {
+    val src = spark.range(0, 90).selectExpr("id AS k", "concat('v', id) AS v")
+    val t0 = freshTable("mixed", "parquet", src)
+    val t1 = t0.append(spark, src.filter(col("k") < 30))
+    val t2 = t1.setProperties(Map("write.format.default" -> "orc"))
+      .append(spark, src.filter(col("k") >= 30 && col("k") < 60))
+    val t = t2.setProperties(Map("write.format.default" -> "avro"))
+      .append(spark, src.filter(col("k") >= 60))
+    val formats = t.planFiles(t.metadata.currentSnapshot.get).map(_.file.fileFormat).toSet
+    assert(formats === Set("parquet", "orc", "avro"))
+    val back = t.scan(spark)
+    assert(back.count() === 90)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("SparkEntry format queries match their oracle predicates") {
+    val dir = "/root/testdata/sf0.001"
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val orc = SparkEntry.queries("ice_orc_table")(spark, dir)
+    val orcExp = orders.filter(expr("pmod(o_orderkey, 4) <> 1"))
+    assert(orc.count() === orcExp.count())
+    assert(orc.exceptAll(orcExp).isEmpty && orcExp.exceptAll(orc).isEmpty)
+    val avro = SparkEntry.queries("ice_avro_table")(spark, dir)
+    val avroExp = orders.filter(expr("pmod(o_orderkey, 6) <> 2"))
+    assert(avro.count() === avroExp.count())
+    assert(avro.exceptAll(avroExp).isEmpty && avroExp.exceptAll(avro).isEmpty)
+  }
+
+  test("SQL: CREATE TABLE with write.format.default=orc, INSERT, SELECT") {
+    val wh = tmpLocation("fmt-sql-wh")
+    spark.conf.set("spark.sql.catalog.fmtcat", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.fmtcat.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS fmtcat.db")
+      spark.sql(
+        """CREATE TABLE fmtcat.db.t_orc (k BIGINT, v STRING)
+          |TBLPROPERTIES ('write.format.default' = 'orc')""".stripMargin)
+      spark.sql("INSERT INTO fmtcat.db.t_orc SELECT id, concat('v', id) FROM range(0, 100)")
+      val t = StorageCatalog.loadTable(conf, s"$wh/db/t_orc")
+      assert(t.planFiles(t.metadata.currentSnapshot.get)
+        .forall(_.file.fileFormat === "orc"))
+      assert(spark.sql("SELECT count(*) FROM fmtcat.db.t_orc").head.getLong(0) === 100)
+      assert(spark.sql("SELECT sum(k) FROM fmtcat.db.t_orc WHERE k < 10").head.getLong(0) === 45)
+      spark.sql(
+        """CREATE TABLE fmtcat.db.t_avro (k BIGINT, v STRING)
+          |TBLPROPERTIES ('write.format.default' = 'avro')""".stripMargin)
+      spark.sql("INSERT INTO fmtcat.db.t_avro SELECT id, concat('v', id) FROM range(0, 100)")
+      val ta = StorageCatalog.loadTable(conf, s"$wh/db/t_avro")
+      assert(ta.planFiles(ta.metadata.currentSnapshot.get)
+        .forall(_.file.fileFormat === "avro"))
+      assert(spark.sql("SELECT sum(k) FROM fmtcat.db.t_avro").head.getLong(0) === 4950)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS fmtcat.db.t_orc")
+      spark.sql("DROP TABLE IF EXISTS fmtcat.db.t_avro")
+      spark.conf.unset("spark.sql.catalog.fmtcat")
+      spark.conf.unset("spark.sql.catalog.fmtcat.warehouse")
+    }
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tables._
+
+/** Table statistics: NDV computation -> puffin statistics file ->
+  * `statistics` metadata -> planner consumption (DSv2 column stats). */
+class StatisticsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+  private def tmpLocation(name: String): String = {
+    val d = Files.createTempDirectory(s"graft-$name").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private def freshTable(name: String, src: org.apache.spark.sql.DataFrame): GraftTable =
+    StorageCatalog.createOrReplaceTable(
+      conf, tmpLocation(name), SchemaConvert.fromSparkSchema(src.schema),
+      IcePartitionSpec(0, Nil))
+
+  test("exact NDV stats: puffin file + metadata registration + ndvStats") {
+    val src = spark.range(0, 1000)
+      .selectExpr("id AS k", "cast(id % 37 AS string) AS v", "cast(id % 5 AS int) AS b")
+    val t0 = freshTable("stats-exact", src)
+    t0.append(spark, src)
+    val t = t0.computeTableStats(spark)
+    val st = t.metadata.statistics.last
+    assert(st.snapshotId === t.metadata.currentSnapshotId.get)
+    assert(st.blobMetadata.size === 3)
+    assert(st.fileSizeInBytes > 0 && st.fileFooterSizeInBytes > 0)
+    // blob properties carry the ndv planners read
+    val schema = t.metadata.currentSchema
+    val byName = st.blobMetadata
+      .map(b => schema.fieldById(b.fields.head).get.name -> b.properties("ndv").toLong)
+      .toMap
+    assert(byName("k") === 1000L)
+    assert(byName("v") === 37L)
+    assert(byName("b") === 5L)
+    // the puffin file itself round-trips (footer + blob body)
+    val (blobs, _) = Puffin.readFooter(conf, st.statisticsPath)
+    assert(blobs.forall(_.blobType === GraftTable.NdvBlobType))
+    val body = Puffin.readBlob(conf, st.statisticsPath, blobs.head.offset, blobs.head.length)
+    val v = java.nio.ByteBuffer.wrap(body)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    assert(v === blobs.head.properties("ndv").toLong)
+    // plan-time map (no file IO)
+    val ids = schema.fields.map(f => f.name -> f.id).toMap
+    assert(t.ndvStats(ids("k")) === 1000L && t.ndvStats(ids("v")) === 37L)
+  }
+
+  test("approximate mode (HLL++, the at-scale path) lands near exact") {
+    val src = spark.range(0, 10000).selectExpr("id AS k", "cast(id % 123 AS string) AS v")
+    val t0 = freshTable("stats-approx", src)
+    t0.append(spark, src)
+    val t = t0.computeTableStats(spark, approximate = true)
+    val st = t.metadata.statistics.last
+    assert(st.blobMetadata.forall(_.properties.get("approximate").contains("true")))
+    val schema = t.metadata.currentSchema
+    val kNdv = st.blobMetadata
+      .find(b => b.fields.headOption.contains(schema.findField("k").get.id))
+      .get.properties("ndv").toLong
+    assert(math.abs(kNdv - 10000L) < 1000L)
+  }
+
+  test("DSv2 scans report distinctCount + nullCount column stats") {
+    val src = spark.range(0, 500)
+      .selectExpr("id AS k", "CASE WHEN id % 10 = 0 THEN NULL ELSE concat('v', id % 25) END AS v")
+    val t0 = freshTable("stats-cbo", src)
+    t0.append(spark, src)
+    val t = t0.computeTableStats(spark)
+    val v2 = new graft.spark.GraftV2Table(t, None, None)
+    val scan = v2.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of())).build()
+    val est = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(est.numRows().getAsLong === 500L)
+    val cs = est.columnStats()
+    assert(!cs.isEmpty)
+    val vRef = cs.keySet().stream()
+      .filter(_.fieldNames().sameElements(Array("v"))).findFirst().get()
+    val vStats = cs.get(vRef)
+    assert(vStats.distinctCount().getAsLong === 25L)
+    assert(vStats.nullCount().getAsLong === 50L)
+  }
+
+  test("latest stats at-or-below current snapshot serve after more appends") {
+    val src = spark.range(0, 100).selectExpr("id AS k")
+    val t0 = freshTable("stats-stale", src)
+    t0.append(spark, src)
+    val t1 = t0.computeTableStats(spark)
+    val kId = t1.metadata.currentSchema.findField("k").get.id
+    assert(t1.ndvStats(kId) === 100L)
+    // a later append keeps serving the (now slightly stale) stats
+    val t2 = t1.append(spark, spark.range(100, 150).selectExpr("id AS k"))
+    assert(t2.ndvStats(kId) === 100L)
+    // recompute refreshes
+    val t3 = t2.computeTableStats(spark)
+    assert(t3.ndvStats(kId) === 150L)
+    assert(t3.metadata.statistics.size === 2) // one entry per analyzed snapshot
+  }
+
+  test("CALL compute_table_stats procedure") {
+    val wh = tmpLocation("stats-proc-wh")
+    spark.conf.set("spark.sql.catalog.statcat", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.statcat.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS statcat.db")
+      spark.sql("CREATE TABLE statcat.db.t (k BIGINT, v STRING)")
+      spark.sql("INSERT INTO statcat.db.t SELECT id, concat('v', id % 7) FROM range(0, 200)")
+      val res = spark.sql(
+        "CALL statcat.system.compute_table_stats(table => 'db.t', columns => 'v')")
+        .collect()
+      assert(res.length === 1 && res.head.getLong(1) === 1L)
+      val t = StorageCatalog.loadTable(conf, s"$wh/db/t")
+      val st = t.metadata.statistics.last
+      assert(st.blobMetadata.head.properties("ndv").toLong === 7L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS statcat.db.t")
+      spark.conf.unset("spark.sql.catalog.statcat")
+      spark.conf.unset("spark.sql.catalog.statcat.warehouse")
+    }
+  }
+}
