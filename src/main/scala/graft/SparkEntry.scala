@@ -50,11 +50,12 @@ object SparkEntry {
       s: SparkSession,
       name: String,
       src: DataFrame,
-      spec: IceSchema => IcePartitionSpec = _ => IcePartitionSpec(0, Nil)): GraftTable = {
+      spec: IceSchema => IcePartitionSpec = _ => IcePartitionSpec(0, Nil),
+      properties: Map[String, String] = Map.empty): GraftTable = {
     val loc = s"${System.getProperty("java.io.tmpdir")}/graft-q/$name"
     val schema = SchemaConvert.fromSparkSchema(src.schema)
     StorageCatalog.createOrReplaceTable(
-      s.sparkContext.hadoopConfiguration, loc, schema, spec(schema))
+      s.sparkContext.hadoopConfiguration, loc, schema, spec(schema), properties)
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -781,6 +782,37 @@ object SparkEntry {
     // table statistics: one distributed NDV pass -> puffin statistics
     // file -> `statistics` table metadata; the result reads the ndv blob
     // PROPERTIES back from metadata (what planners consume, zero file IO)
+    "ice_row_lineage" -> ((s, dir) => {
+      // format-v3 row lineage: two sorted single-file appends take
+      // disjoint [first_row_id, +records) slices, so _row_id is exactly
+      // the per-append row_number in key order — oracle-checkable
+      val src = t(s, dir, "orders").select(col("o_orderkey"))
+      val tbl = freshTable(s, "ice_row_lineage", src,
+        properties = Map("format-version" -> "3"))
+      val even = src.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .repartition(1).sortWithinPartitions("o_orderkey")
+      val odd = src.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .repartition(1).sortWithinPartitions("o_orderkey")
+      val t2 = tbl.append(s, even).append(s, odd)
+      val df = t2.scan(s)
+      df.select(col("o_orderkey"), df.metadataColumn("_row_id").as("row_id"))
+    }),
+    "stats_partitions" -> ((s, dir) => {
+      // partition-statistics FILE: per-partition rollups folded from the
+      // manifests (no data scan), registered in table metadata and read
+      // back as one O(partitions) parquet file
+      val src = t(s, dir, "orders")
+      val tbl = freshTable(s, "stats_partitions", src, schema =>
+        IcePartitionSpec(0, List(IcePartitionField(
+          schema.findField("o_orderpriority").get.id, 1000,
+          "identity", "o_orderpriority"))))
+      tbl.append(s, src)
+      val t2 = tbl.computePartitionStats(s)
+      val pf = t2.metadata.partitionStatistics.last
+      s.read.parquet(pf.statisticsPath).select(
+        col("partition.o_orderpriority").as("o_orderpriority"),
+        col("data_record_count"))
+    }),
     "stats_ndv" -> ((s, dir) => {
       import s.implicits._
       val src = t(s, dir, "orders")
@@ -2611,6 +2643,17 @@ object SparkEntry {
     "ice_eq_delete" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",
     "ice_orc_table" -> "SELECT * FROM orders WHERE o_orderkey % 4 <> 1",
     "ice_avro_table" -> "SELECT * FROM orders WHERE o_orderkey % 6 <> 2",
+    "ice_row_lineage" ->
+      """SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+        |  + row_number() OVER (ORDER BY o_orderkey) - 1
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
+    "stats_partitions" ->
+      """SELECT o_orderpriority, count(*) AS data_record_count
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "stats_ndv" ->
       """SELECT 'o_orderkey' AS column_name, count(DISTINCT o_orderkey) AS ndv FROM orders
         |UNION ALL SELECT 'o_custkey', count(DISTINCT o_custkey) FROM orders

@@ -599,6 +599,22 @@ class GraftV2Table(
           org.apache.spark.sql.types.LongType
         override def isNullable: Boolean = false
         override def comment(): String = "row position within its data file"
+      },
+      // format-v3 row lineage: file first_row_id + position; null when
+      // the file carries no ids (pre-v3 files, unmaterialized rewrites)
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_row_id"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = true
+        override def comment(): String = "format-v3 row lineage id"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_last_updated_sequence_number"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = true
+        override def comment(): String = "data sequence that last wrote the row"
       })
 
   /** `DELETE FROM t WHERE ...`: any exactly-translatable predicate is
@@ -782,7 +798,9 @@ class GraftScanBuilder(
     //  - no deletes: native batch scan, packed FilePartitions
     //  - deletes / metadata columns / defaults: native MoR scan (delete
     //    state plan-time for small sets, executor-side for jumbo ones)
-    val needsRowMeta = requiredSchema.fieldNames.exists(n => n == "_file" || n == "_pos")
+    val needsRowMeta = requiredSchema.fieldNames.exists(n =>
+      n == "_file" || n == "_pos" || n == "_row_id" ||
+        n == "_last_updated_sequence_number")
     table.resolveSnapshot(snapshotId, asOfTimestampMs) match {
       case None =>
         // no snapshot: an empty native scan (zero partitions)

@@ -125,7 +125,8 @@ class GraftMorScan(
     .groupBy(p => GraftTable.normPathStr(p.file.referencedDataFile.get))
     .map { case (f, xs) => f -> xs.maxBy(_.seq) }
 
-  private val metaNames = Set("_file", "_pos")
+  private val metaNames =
+    Set("_file", "_pos", "_row_id", "_last_updated_sequence_number")
 
   /** the data columns the inner parquet read must produce */
   private val requiredDataFields =
@@ -243,7 +244,8 @@ class GraftMorScan(
     partitionsPlanned = true
     val pb = posByFile
     val maxBytes = SparkSession.active.sessionState.conf.filesMaxPartitionBytes
-    val hasPosOut = requiredSchema.fieldNames.contains("_pos")
+    val hasPosOut = requiredSchema.fieldNames.contains("_pos") ||
+      requiredSchema.fieldNames.contains("_row_id")
     val planHadoopConf =
       org.apache.spark.sql.GraftBridge.sessionHadoopConf(SparkSession.active)
     // per-file initial-defaults: required-field index -> default value,
@@ -329,7 +331,8 @@ class GraftMorScan(
           org.apache.spark.sql.GraftBridge.rangeFilePartition(
             i, p.file.filePath, start, len, p.file.fileSizeInBytes),
           p.seq, positions, norm, defaults, posCandidates, start,
-          if (seeds != null) seeds(ri) else -1L, external, fmt): InputPartition
+          if (seeds != null) seeds(ri) else -1L, external, fmt,
+          p.file.firstRowId.getOrElse(-1L)): InputPartition
       }
     }.flatten.toArray
   }
@@ -475,12 +478,15 @@ class GraftMorScan(
     val outFields: Array[OutField] = requiredSchema.fields.map { f =>
       if (f.name == "_file") OutField.FileConst
       else if (f.name == "_pos") OutField.PosCounter
+      else if (f.name == "_row_id") OutField.RowId
+      else if (f.name == "_last_updated_sequence_number") OutField.LastSeqConst
       else OutField.Inner(nameToOrdinal(f.name), f.dataType)
     }
-    // _pos in the OUTPUT must be the true file position: row-group
+    // _pos/_row_id in the OUTPUT must see true file positions: row-group
     // skipping from pushed filters would shift the counter, so exact
     // positions force the no-push reader for every partition
-    val needsExactPositions = outFields.contains(OutField.PosCounter)
+    val needsExactPositions =
+      outFields.contains(OutField.PosCounter) || outFields.contains(OutField.RowId)
     new GraftMorReaderFactory(
       if (needsExactPositions) innerNoPush else innerPush,
       innerNoPush, groups, outFields, innerSchema.length,
@@ -524,7 +530,8 @@ case class GraftMorInputPartition(
     rangeStart: Long = 0L,
     posSeedPre: Long = -1L,
     external: Boolean = false,
-    format: String = "parquet")
+    format: String = "parquet",
+    firstRowId: Long = -1L)
     extends InputPartition
 
 case class EqGroupState(
@@ -539,6 +546,10 @@ object OutField {
   case class Inner(ordinal: Int, dataType: DataType) extends OutField
   case object FileConst extends OutField
   case object PosCounter extends OutField
+  /** v3 row lineage: file first_row_id + position (null without ids) */
+  case object RowId extends OutField
+  /** the data sequence that last wrote the row (its file's sequence) */
+  case object LastSeqConst extends OutField
 }
 
 class GraftMorReaderFactory(
@@ -713,6 +724,13 @@ class GraftMorReaderFactory(
             org.apache.spark.sql.types.StringType)
         case (OutField.PosCounter, _) =>
           BoundReference(innerLen, org.apache.spark.sql.types.LongType, nullable = false)
+        case (OutField.RowId, _) =>
+          if (mor.firstRowId < 0L)
+            Literal.create(null, org.apache.spark.sql.types.LongType)
+          else org.apache.spark.sql.catalyst.expressions.Add(
+            BoundReference(innerLen, org.apache.spark.sql.types.LongType, nullable = false),
+            Literal(mor.firstRowId))
+        case (OutField.LastSeqConst, _) => Literal(mor.dseq)
       })
       private val posRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       private val joined = new JoinedRow

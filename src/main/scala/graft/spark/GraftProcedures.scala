@@ -164,6 +164,17 @@ private[spark] object GraftProcedures {
           Seq(Seq(st.statisticsPath, st.blobMetadata.size.toLong))
         }),
       new GraftProcedure(
+        "compute_partition_stats",
+        Seq(in("table", StringType)),
+        out("statistics_path" -> StringType, "partition_count" -> LongType),
+        (input, spark) => {
+          val t = table(input)
+          t.computePartitionStats(spark)
+          val st = t.metadata.partitionStatistics.last
+          Seq(Seq(st.statisticsPath,
+            spark.read.parquet(st.statisticsPath).count()))
+        }),
+      new GraftProcedure(
         "rewrite_manifests",
         Seq(in("table", StringType)),
         out("manifests_before" -> LongType, "manifests_after" -> LongType),

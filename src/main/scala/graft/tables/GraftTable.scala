@@ -1656,6 +1656,78 @@ class GraftTable(
       lastUpdatedMs = System.currentTimeMillis()))
   }
 
+  /** Write an Iceberg partition-statistics file for the CURRENT snapshot:
+    * per-partition rollups (record/file counts, byte sizes, delete-file
+    * tallies) folded from the MANIFESTS — metadata-only, no data scan —
+    * written as one parquet file under `metadata/` and registered in the
+    * `partition-statistics` table-metadata list. At 100 TB this makes
+    * per-partition planning questions (how big is partition P, where is
+    * the skew) an O(partitions) file read instead of a manifest walk per
+    * query. Files from older partition specs fold into the unified tuple
+    * (missing fields null), like the `partitions` metadata view. */
+  def computePartitionStats(spark: SparkSession): GraftTable = {
+    import graft.spark.GraftMetadataTables
+    val snap = metadata.currentSnapshot.getOrElse(sys.error("no snapshot to analyze"))
+    val spec = metadata.defaultSpec
+    require(spec.fields.nonEmpty, "partition statistics need a partitioned table")
+    val files = planFiles(snap)
+    val defaults = spec.fields.map(_.name)
+    val grouped = files.groupBy { pf =>
+      val fileSpec = metadata.specById(pf.specId)
+      val rts = GraftMetadataTables.resultTypesOf(metadata, fileSpec)
+      val byName = fileSpec.fields.zip(rts).zip(pf.file.partition).map {
+        case ((f, rt), v) => f.name -> GraftMetadataTables.partitionValue(v.orNull, rt)
+      }.toMap
+      defaults.map(n => byName.getOrElse(n, null))
+    }
+    val rows: Seq[org.apache.spark.sql.Row] = grouped.toSeq.map { case (tuple, fs) =>
+      def of(content: Int) = fs.filter(_.file.content == content)
+      val data = of(DataContent.Data)
+      val pos = of(DataContent.PositionDeletes)
+      val eq = of(DataContent.EqualityDeletes)
+      org.apache.spark.sql.Row(
+        org.apache.spark.sql.Row.fromSeq(tuple),
+        fs.map(_.specId).max,
+        data.map(_.file.recordCount).sum,
+        data.size.toLong,
+        data.map(_.file.fileSizeInBytes).sum,
+        pos.map(_.file.recordCount).sum,
+        pos.size.toLong,
+        eq.map(_.file.recordCount).sum,
+        eq.size.toLong)
+    }
+    val schema = StructType(Seq(
+      StructField("partition", GraftMetadataTables.partitionStruct(metadata), nullable = false),
+      StructField("spec_id", IntegerType, nullable = false),
+      StructField("data_record_count", LongType, nullable = false),
+      StructField("data_file_count", LongType, nullable = false),
+      StructField("total_data_file_size_in_bytes", LongType, nullable = false),
+      StructField("position_delete_record_count", LongType, nullable = false),
+      StructField("position_delete_file_count", LongType, nullable = false),
+      StructField("equality_delete_record_count", LongType, nullable = false),
+      StructField("equality_delete_file_count", LongType, nullable = false)))
+    // one parquet file at a stable path: spark writes a directory, so
+    // write to a temp dir and move the single part file into place
+    val tmp = s"$location/metadata/_tmp-pstats-${UUID.randomUUID()}"
+    spark.createDataFrame(rows.asJava, schema).coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val tmpPath = new Path(tmp)
+    val fs = tmpPath.getFileSystem(conf)
+    val part = fs.listStatus(tmpPath)
+      .find(st => st.getPath.getName.endsWith(".parquet"))
+      .getOrElse(sys.error("partition-stats write produced no file"))
+    val target = s"$location/metadata/partition-stats-${snap.snapshotId}-${UUID.randomUUID()}.parquet"
+    fs.rename(part.getPath, new Path(target))
+    fs.delete(tmpPath, true)
+    val size = new Path(target).getFileSystem(conf).getFileStatus(new Path(target)).getLen
+    val base = metadata
+    commitMetaOnly(base.copy(
+      partitionStatistics =
+        base.partitionStatistics.filterNot(_.snapshotId == snap.snapshotId) :+
+          IcePartitionStatisticsFile(snap.snapshotId, target, size),
+      lastUpdatedMs = System.currentTimeMillis()))
+  }
+
   /** NDV per field id from the newest registered statistics file at or
     * below the current snapshot — read from the blob-metadata `ndv`
     * property in TABLE METADATA (no puffin I/O at plan time). Accepts any
@@ -1958,9 +2030,30 @@ class GraftTable(
     val mdir = StorageCatalog.metadataDir(location)
 
     val fv = base.formatVersion
+    // v3 row lineage: each added data file takes a first_row_id slice of
+    // [nextRowId, nextRowId + addedRecords) in list order. Content-
+    // preserving rewrites (compaction/z-order) get None instead — this
+    // engine does not materialize `_row_id` into rewritten files, and the
+    // spec's null means "ids unavailable", which readers serve as null
+    // rather than lying with freshly minted ids for pre-existing rows.
+    val lineage = fv >= 3
+    val isRewriteCommit = replace && operation == "replace"
+    val (assignedData, nextRowIdAfter): (List[IceDataFile], Long) =
+      if (!lineage) (addedData, base.nextRowId)
+      else if (isRewriteCommit)
+        (addedData.map(_.copy(firstRowId = None)), base.nextRowId)
+      else {
+        var next = base.nextRowId
+        val assigned = addedData.map { f =>
+          val a = f.copy(firstRowId = Some(next))
+          next += f.recordCount
+          a
+        }
+        (assigned, next)
+      }
     var listEntries = List.empty[IceManifestListEntry]
-    if (addedData.nonEmpty) {
-      val entries = addedData.map(f => IceManifestEntry(
+    if (assignedData.nonEmpty) {
+      val entries = assignedData.map(f => IceManifestEntry(
         ManifestStatus.Added, Some(snapshotId), Some(seq), Some(seq), f))
       listEntries :+= ManifestIO.writeManifest(
         conf, s"$mdir/${UUID.randomUUID()}-m0.avro", entries, spec, schema,
@@ -2036,9 +2129,11 @@ class GraftTable(
       timestampMs = now,
       manifestList = listPath,
       summary = summary,
-      schemaId = Some(schema.schemaId))
+      schemaId = Some(schema.schemaId),
+      firstRowId = if (lineage) Some(base.nextRowId) else None)
 
     val newMeta = base.copy(
+      nextRowId = nextRowIdAfter,
       lastSequenceNumber = seq,
       lastUpdatedMs = now,
       // a branch commit moves ONLY its ref; main and the current pointer

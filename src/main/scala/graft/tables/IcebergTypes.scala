@@ -57,6 +57,9 @@ case class IcePartitionSpec(specId: Int, fields: List[IcePartitionField]) {
 case class IceSortField(sourceId: Int, transform: String, direction: String, nullOrder: String)
 case class IceSortOrder(orderId: Int, fields: List[IceSortField])
 
+/** `firstRowId` is the format-v3 row-lineage base: the snapshot's added
+  * data files partition the id range `[firstRowId, firstRowId + added
+  * records)` in commit order. */
 case class IceSnapshot(
     snapshotId: Long,
     parentSnapshotId: Option[Long],
@@ -64,7 +67,8 @@ case class IceSnapshot(
     timestampMs: Long,
     manifestList: String,
     summary: Map[String, String],
-    schemaId: Option[Int])
+    schemaId: Option[Int],
+    firstRowId: Option[Long] = None)
 
 /** Branch/tag reference with retention knobs (the reference's
   * SnapshotReference, icelake/src/types/in_memory.rs:2360-2410). Retention
@@ -103,6 +107,14 @@ case class IceStatisticsFile(
     fileFooterSizeInBytes: Long,
     blobMetadata: List[IceBlobMetadata])
 
+/** a `partition-statistics` entry (Iceberg partition-statistics shape):
+  * one parquet file of per-partition rollups computed at a snapshot —
+  * O(partitions) to read, vs a manifest walk per query */
+case class IcePartitionStatisticsFile(
+    snapshotId: Long,
+    statisticsPath: String,
+    fileSizeInBytes: Long)
+
 case class TableMetadata(
     formatVersion: Int,
     tableUuid: String,
@@ -123,7 +135,10 @@ case class TableMetadata(
     sortOrders: List[IceSortOrder],
     defaultSortOrderId: Int,
     refs: Map[String, IceSnapshotRef],
-    statistics: List[IceStatisticsFile] = Nil) {
+    statistics: List[IceStatisticsFile] = Nil,
+    partitionStatistics: List[IcePartitionStatisticsFile] = Nil,
+    // format-v3 row lineage: next unassigned row id (`next-row-id`)
+    nextRowId: Long = 0L) {
 
   def currentSchema: IceSchema =
     schemas.find(_.schemaId == currentSchemaId)
@@ -180,7 +195,11 @@ case class IceDataFile(
     // referenced data file and its byte extent inside filePath
     referencedDataFile: Option[String] = None,
     contentOffset: Option[Long] = None,
-    contentSizeInBytes: Option[Long] = None) {
+    contentSizeInBytes: Option[Long] = None,
+    // format-v3 row lineage: `_row_id` of row at position p is
+    // firstRowId + p; None = ids unavailable for this file (spec-legal —
+    // rewrites that do not materialize ids null this out)
+    firstRowId: Option[Long] = None) {
   /** a position-delete entry stored as a puffin deletion vector */
   def isDeletionVector: Boolean =
     fileFormat == "puffin" && referencedDataFile.isDefined

@@ -121,6 +121,11 @@ object ManifestIO {
         Schema.createArray(Schema.create(Schema.Type.LONG)), opt = true)) ++
       v2Tail ++ List(
       field("sort_order_id", 140, Schema.create(Schema.Type.INT), opt = true)) ++
+      (if (formatVersion >= 3)
+        // v3 row lineage: base row id of this file (spec field 142);
+        // null = ids unavailable (e.g. an unmaterialized rewrite)
+        List(field("first_row_id", 142, Schema.create(Schema.Type.LONG), opt = true))
+      else Nil) ++
       dvFields).asJava)
     rec
   }
@@ -386,7 +391,9 @@ object ManifestIO {
           contentOffset =
             if (hasField(df, "content_offset")) lng(df, "content_offset") else None,
           contentSizeInBytes =
-            if (hasField(df, "content_size_in_bytes")) lng(df, "content_size_in_bytes") else None))
+            if (hasField(df, "content_size_in_bytes")) lng(df, "content_size_in_bytes") else None,
+          firstRowId =
+            if (hasField(df, "first_row_id")) lng(df, "first_row_id") else None))
     }
   }
 
@@ -503,6 +510,8 @@ object ManifestIO {
       if (formatVersion >= 2 && d.equalityIds.nonEmpty)
         df.put("equality_ids", d.equalityIds.map(Integer.valueOf).asJava)
       d.sortOrderId.foreach(v => df.put("sort_order_id", v: Integer))
+      if (formatVersion >= 3)
+        d.firstRowId.foreach(v => df.put("first_row_id", v: java.lang.Long))
       if (withDv) {
         d.referencedDataFile.foreach(v => df.put("referenced_data_file", v))
         d.contentOffset.foreach(v => df.put("content_offset", v: java.lang.Long))

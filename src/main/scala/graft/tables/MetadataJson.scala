@@ -180,7 +180,8 @@ object MetadataJson {
         timestampMs = longOf(s \ "timestamp-ms"),
         manifestList = strOf(s \ "manifest-list"),
         summary = strMap(s \ "summary"),
-        schemaId = (s \ "schema-id").toOption.flatMap(v => optLong(v)).map(_.toInt))
+        schemaId = (s \ "schema-id").toOption.flatMap(v => optLong(v)).map(_.toInt),
+        firstRowId = optLong(s \ "first-row-id"))
     }
 
     val sortOrders = (j \ "sort-orders").children.map { so =>
@@ -262,7 +263,17 @@ object MetadataJson {
       sortOrders = if (sortOrders.isEmpty) List(IceSortOrder(0, Nil)) else sortOrders,
       defaultSortOrderId = intOf(j \ "default-sort-order-id", default = Some(0)),
       refs = refs,
-      statistics = statistics)
+      statistics = statistics,
+      partitionStatistics = (j \ "partition-statistics") match {
+        case JArray(items) => items.map { st =>
+          IcePartitionStatisticsFile(
+            snapshotId = longOf(st \ "snapshot-id"),
+            statisticsPath = strOf(st \ "statistics-path"),
+            fileSizeInBytes = longOf(st \ "file-size-in-bytes", default = Some(0L)))
+        }
+        case _ => Nil
+      },
+      nextRowId = longOf(j \ "next-row-id", default = Some(0L)))
   }
 
   private def parsePartitionField(v: JValue): IcePartitionField =
@@ -277,6 +288,7 @@ object MetadataJson {
       "format-version" -> JInt(m.formatVersion),
       "table-uuid" -> JString(m.tableUuid),
       "location" -> JString(m.location),
+      "next-row-id" -> JLong(m.nextRowId),
       "last-sequence-number" -> JLong(m.lastSequenceNumber),
       "last-updated-ms" -> JLong(m.lastUpdatedMs),
       "last-column-id" -> JInt(m.lastColumnId),
@@ -318,7 +330,8 @@ object MetadataJson {
           "summary" -> (JObject(s.summary.toList.sortBy(_._1).map { case (k, v) =>
             k -> (JString(v): JValue) }): JValue)) ++
           s.parentSnapshotId.map(p => "parent-snapshot-id" -> (JLong(p): JValue)).toList ++
-          s.schemaId.map(id => "schema-id" -> (JInt(id): JValue)).toList))),
+          s.schemaId.map(id => "schema-id" -> (JInt(id): JValue)).toList ++
+          s.firstRowId.map(r => "first-row-id" -> (JLong(r): JValue)).toList))),
       "snapshot-log" -> JArray(m.snapshotLog.map(e => JObject(
         "timestamp-ms" -> JLong(e.timestampMs),
         "snapshot-id" -> JLong(e.ref.toLong)))),
@@ -337,8 +350,15 @@ object MetadataJson {
         "fields" -> JArray(b.fields.map(JInt(_): JValue)),
         "properties" -> JObject(b.properties.toList.sortBy(_._1).map {
           case (k, v) => k -> (JString(v): JValue) })))))))
+    val partStatsJson: JValue = JArray(m.partitionStatistics.map(st => JObject(
+      "snapshot-id" -> JLong(st.snapshotId),
+      "statistics-path" -> JString(st.statisticsPath),
+      "file-size-in-bytes" -> JLong(st.fileSizeInBytes))))
     val withStats =
-      if (m.statistics.isEmpty) j else JObject(j.obj :+ ("statistics" -> statsJson))
+      (if (m.statistics.isEmpty) j else JObject(j.obj :+ ("statistics" -> statsJson))) match {
+        case jj if m.partitionStatistics.isEmpty => jj
+        case jj => JObject(jj.obj :+ ("partition-statistics" -> partStatsJson))
+      }
     JsonMethods.pretty(JsonMethods.render(withStats)).getBytes("UTF-8")
   }
 }

@@ -89,9 +89,13 @@ object StorageCatalog {
       spec: IcePartitionSpec,
       properties: Map[String, String] = Map.empty,
       formatVersion: Int = 2): TableMetadata = {
-    require(formatVersion == 1 || formatVersion == 2, s"bad format version $formatVersion")
+    // the Iceberg `format-version` table property wins over the default
+    // (CREATE TABLE ... TBLPROPERTIES ('format-version'='3') opts into v3
+    // row lineage / deletion vectors)
+    val fv = properties.get("format-version").map(_.trim.toInt).getOrElse(formatVersion)
+    require(fv >= 1 && fv <= 3, s"bad format version $fv")
     TableMetadata(
-      formatVersion = formatVersion,
+      formatVersion = fv,
       tableUuid = UUID.randomUUID().toString,
       location = location,
       lastSequenceNumber = 0L,

@@ -106,6 +106,35 @@ class StatisticsSpec extends AnyFunSuite {
     assert(t3.metadata.statistics.size === 2) // one entry per analyzed snapshot
   }
 
+  test("partition statistics file: manifest rollups, registration, delete tallies") {
+    val src = spark.range(0, 300)
+      .selectExpr("id AS k", "cast(id % 3 AS int) AS b3", "concat('v', id) AS v")
+    val schema = SchemaConvert.fromSparkSchema(src.schema)
+    val t0 = StorageCatalog.createOrReplaceTable(
+      conf, tmpLocation("pstats"), schema,
+      IcePartitionSpec(0, List(IcePartitionField(
+        schema.findField("b3").get.id, 1000, "identity", "b3"))))
+    t0.append(spark, src)
+    val t1 = t0.deleteWhere(spark, col("k") < 30) // pos-delete files land per partition
+    val t = t1.computePartitionStats(spark)
+    val entry = t.metadata.partitionStatistics.last
+    assert(entry.snapshotId === t.metadata.currentSnapshotId.get)
+    assert(entry.fileSizeInBytes > 0)
+    val rows = spark.read.parquet(entry.statisticsPath)
+      .selectExpr("partition.b3", "data_record_count",
+        "position_delete_record_count", "position_delete_file_count")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(0, 1, 2))
+    assert(rows.map(_._2).toSeq === Seq(100L, 100L, 100L))
+    assert(rows.map(_._3).sum === 30L) // deleted positions tallied per partition
+    assert(rows.forall(_._4 >= 1L))
+    // reload from disk round-trips the registration
+    val re = StorageCatalog.loadTable(conf, t.location)
+    assert(re.metadata.partitionStatistics.map(_.statisticsPath) ===
+      List(entry.statisticsPath))
+  }
+
   test("CALL compute_table_stats procedure") {
     val wh = tmpLocation("stats-proc-wh")
     spark.conf.set("spark.sql.catalog.statcat", "graft.spark.GraftCatalog")
