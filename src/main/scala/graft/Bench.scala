@@ -238,7 +238,11 @@ object Bench {
     // pointer jumping) and the jumbo MoR tier, which the sf0.1 curve
     // can't stress.
     val sf1Results = sys.env.get("SPARK_GRAFT_SF1_DIR").map { dir =>
-      val reads = (headline ++ tpchHeadline ++ Seq("dedup_embedding", "dedup_components"))
+      val reads = (headline ++ tpchHeadline ++ Seq(
+        "dedup_embedding", "dedup_components",
+        // round 8: semantic dedup + BM25 (pipeline shapes) and the
+        // orc/avro write+MoR-delete+scan paths at 10x data
+        "dedup_semantic", "text_bm25", "ice_orc_table", "ice_avro_table"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

@@ -794,7 +794,10 @@ object SparkEntry {
       val odd = src.filter(pmod(col("o_orderkey"), lit(2)) === 1)
         .repartition(1).sortWithinPartitions("o_orderkey")
       val t2 = tbl.append(s, even).append(s, odd)
-      val df = t2.scan(s)
+      // compaction must PRESERVE ids (materialized lineage columns) —
+      // the oracle result is identical before and after the rewrite
+      val t3 = t2.rewriteSmallFiles(s, smallFileThresholdBytes = 1L << 30)
+      val df = t3.scan(s)
       df.select(col("o_orderkey"), df.metadataColumn("_row_id").as("row_id"))
     }),
     "stats_partitions" -> ((s, dir) => {

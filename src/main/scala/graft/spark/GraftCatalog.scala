@@ -615,6 +615,29 @@ class GraftV2Table(
           org.apache.spark.sql.types.LongType
         override def isNullable: Boolean = true
         override def comment(): String = "data sequence that last wrote the row"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_spec_id"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.IntegerType
+        override def isNullable: Boolean = false
+        override def comment(): String = "partition spec id of the row's data file"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_partition"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          GraftMetadataTables.partitionStruct(table.metadata)
+        override def isNullable: Boolean = true
+        override def comment(): String =
+          "partition tuple of the row's data file (default-spec shape)"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_deleted"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.BooleanType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "MoR delete flag: selecting it serves deleted rows flagged, not filtered"
       })
 
   /** `DELETE FROM t WHERE ...`: any exactly-translatable predicate is
@@ -800,7 +823,8 @@ class GraftScanBuilder(
     //    state plan-time for small sets, executor-side for jumbo ones)
     val needsRowMeta = requiredSchema.fieldNames.exists(n =>
       n == "_file" || n == "_pos" || n == "_row_id" ||
-        n == "_last_updated_sequence_number")
+        n == "_last_updated_sequence_number" || n == "_spec_id" ||
+        n == "_partition" || n == "_deleted")
     table.resolveSnapshot(snapshotId, asOfTimestampMs) match {
       case None =>
         // no snapshot: an empty native scan (zero partitions)

@@ -126,7 +126,8 @@ class GraftMorScan(
     .map { case (f, xs) => f -> xs.maxBy(_.seq) }
 
   private val metaNames =
-    Set("_file", "_pos", "_row_id", "_last_updated_sequence_number")
+    Set("_file", "_pos", "_row_id", "_last_updated_sequence_number",
+      "_spec_id", "_partition", "_deleted")
 
   /** the data columns the inner parquet read must produce */
   private val requiredDataFields =
@@ -139,8 +140,23 @@ class GraftMorScan(
     .flatMap(id => iceSchema.fieldById(id))
     .filterNot(f => requiredDataFields.exists(_.name == f.name))
 
+  /** lineage output reads the MATERIALIZED columns too (rewritten files
+    * carry them under reserved field ids; files without them read null
+    * and fall back to first_row_id + position / the file's sequence) */
+  private val wantsLineage = requiredSchema.fieldNames.exists(n =>
+    n == GraftTable.RowIdCol || n == GraftTable.LastUpdatedSeqCol)
+  private def reservedLong(name: String, id: Int) =
+    org.apache.spark.sql.types.StructField(
+      name, org.apache.spark.sql.types.LongType, nullable = true,
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong(SchemaConvert.FieldIdKey, id.toLong).build())
+
   private val innerSchema: StructType =
-    StructType(requiredDataFields ++ eqKeyFields.map(SchemaConvert.toSparkField))
+    StructType(requiredDataFields ++ eqKeyFields.map(SchemaConvert.toSparkField) ++
+      (if (!wantsLineage) Nil
+      else Seq(
+        reservedLong(GraftTable.RowIdCol, GraftTable.RowIdFieldId),
+        reservedLong(GraftTable.LastUpdatedSeqCol, GraftTable.LastUpdatedSeqFieldId))))
 
   /** jumbo delete sets load executor-side; small ones resolve at plan
     * time (cheaper per task, bounded by the broadcast threshold) */
@@ -240,10 +256,28 @@ class GraftMorScan(
 
   override def planInputPartitions(): Array[InputPartition] = plannedPartitions
 
+  private[spark] val partitionMetaType: StructType =
+    GraftMetadataTables.partitionStruct(table.metadata)
+
+  /** the row's file partition tuple in default-spec shape (same unified
+    * mapping as the `partitions` metadata view), as a catalyst struct */
+  private def partTupleOf(p: PlannedFile): InternalRow = {
+    val spec = table.metadata.specById(p.specId)
+    val rts = GraftMetadataTables.resultTypesOf(table.metadata, spec)
+    val byName = spec.fields.zip(rts).zip(p.file.partition).map {
+      case ((f, rt), v) => f.name -> GraftMetadataTables.partitionValue(v.orNull, rt)
+    }.toMap
+    val ext = table.metadata.defaultSpec.fields.map(f => byName.getOrElse(f.name, null))
+    org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(partitionMetaType)(
+        org.apache.spark.sql.Row.fromSeq(ext)).asInstanceOf[InternalRow]
+  }
+
   private lazy val plannedPartitions: Array[InputPartition] = {
     partitionsPlanned = true
     val pb = posByFile
     val maxBytes = SparkSession.active.sessionState.conf.filesMaxPartitionBytes
+    val wantsPartMeta = requiredSchema.fieldNames.contains("_partition")
     val hasPosOut = requiredSchema.fieldNames.contains("_pos") ||
       requiredSchema.fieldNames.contains("_row_id")
     val planHadoopConf =
@@ -332,7 +366,8 @@ class GraftMorScan(
             i, p.file.filePath, start, len, p.file.fileSizeInBytes),
           p.seq, positions, norm, defaults, posCandidates, start,
           if (seeds != null) seeds(ri) else -1L, external, fmt,
-          p.file.firstRowId.getOrElse(-1L)): InputPartition
+          p.file.firstRowId.getOrElse(-1L), p.specId,
+          if (wantsPartMeta) partTupleOf(p) else null): InputPartition
       }
     }.flatten.toArray
   }
@@ -480,13 +515,18 @@ class GraftMorScan(
       else if (f.name == "_pos") OutField.PosCounter
       else if (f.name == "_row_id") OutField.RowId
       else if (f.name == "_last_updated_sequence_number") OutField.LastSeqConst
+      else if (f.name == "_spec_id") OutField.SpecIdConst
+      else if (f.name == "_partition") OutField.PartitionConst
+      else if (f.name == "_deleted") OutField.DeletedFlag
       else OutField.Inner(nameToOrdinal(f.name), f.dataType)
     }
     // _pos/_row_id in the OUTPUT must see true file positions: row-group
     // skipping from pushed filters would shift the counter, so exact
     // positions force the no-push reader for every partition
     val needsExactPositions =
-      outFields.contains(OutField.PosCounter) || outFields.contains(OutField.RowId)
+      outFields.contains(OutField.PosCounter) || outFields.contains(OutField.RowId) ||
+        // flagged mode must SEE every row, so no row-group skipping
+        outFields.contains(OutField.DeletedFlag)
     new GraftMorReaderFactory(
       if (needsExactPositions) innerNoPush else innerPush,
       innerNoPush, groups, outFields, innerSchema.length,
@@ -495,7 +535,10 @@ class GraftMorScan(
       if (needsExactPositions) extNoPush else extPush,
       extNoPush, colPushExt, colNoPushExt,
       if (needsExactPositions) orcNoPushF else orcPushF,
-      orcNoPushF, avroF)
+      orcNoPushF, avroF,
+      nameToOrdinal.getOrElse(GraftTable.RowIdCol, -1),
+      nameToOrdinal.getOrElse(GraftTable.LastUpdatedSeqCol, -1),
+      partitionMetaType)
   }
 
   override def description(): String =
@@ -531,7 +574,9 @@ case class GraftMorInputPartition(
     posSeedPre: Long = -1L,
     external: Boolean = false,
     format: String = "parquet",
-    firstRowId: Long = -1L)
+    firstRowId: Long = -1L,
+    specId: Int = 0,
+    partTuple: InternalRow = null)
     extends InputPartition
 
 case class EqGroupState(
@@ -550,6 +595,13 @@ object OutField {
   case object RowId extends OutField
   /** the data sequence that last wrote the row (its file's sequence) */
   case object LastSeqConst extends OutField
+  /** partition spec id of the row's file (per-partition constant) */
+  case object SpecIdConst extends OutField
+  /** partition tuple of the row's file, default-spec shape */
+  case object PartitionConst extends OutField
+  /** MoR delete flag: selecting it serves EVERY row, deleted ones
+    * flagged true instead of filtered out (Iceberg's `_deleted`) */
+  case object DeletedFlag extends OutField
 }
 
 class GraftMorReaderFactory(
@@ -573,7 +625,12 @@ class GraftMorReaderFactory(
     // non-parquet data-file formats (whole-file partitions, row readers)
     orcPush: PartitionReaderFactory = null,
     orcNoPush: PartitionReaderFactory = null,
-    avroFactory: PartitionReaderFactory = null)
+    avroFactory: PartitionReaderFactory = null,
+    // inner ordinals of the materialized row-lineage columns (-1 = absent)
+    rowIdOrd: Int = -1,
+    lastSeqOrd: Int = -1,
+    // the `_partition` metadata column's struct type (default-spec shape)
+    partitionType: StructType = new StructType())
     extends PartitionReaderFactory {
 
   private def rowFactory(mor: GraftMorInputPartition, push: Boolean): PartitionReaderFactory =
@@ -725,14 +782,30 @@ class GraftMorReaderFactory(
         case (OutField.PosCounter, _) =>
           BoundReference(innerLen, org.apache.spark.sql.types.LongType, nullable = false)
         case (OutField.RowId, _) =>
-          if (mor.firstRowId < 0L)
-            Literal.create(null, org.apache.spark.sql.types.LongType)
-          else org.apache.spark.sql.catalyst.expressions.Add(
-            BoundReference(innerLen, org.apache.spark.sql.types.LongType, nullable = false),
-            Literal(mor.firstRowId))
-        case (OutField.LastSeqConst, _) => Literal(mor.dseq)
+          // materialized _row_id (rewritten files) wins; fallback is
+          // first_row_id + position, null when the file carries no ids
+          val fallback =
+            if (mor.firstRowId < 0L)
+              Literal.create(null, org.apache.spark.sql.types.LongType)
+            else org.apache.spark.sql.catalyst.expressions.Add(
+              BoundReference(innerLen, org.apache.spark.sql.types.LongType, nullable = false),
+              Literal(mor.firstRowId))
+          org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+            BoundReference(rowIdOrd, org.apache.spark.sql.types.LongType, nullable = true),
+            fallback))
+        case (OutField.LastSeqConst, _) =>
+          org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+            BoundReference(lastSeqOrd, org.apache.spark.sql.types.LongType, nullable = true),
+            Literal(mor.dseq)))
+        case (OutField.SpecIdConst, _) => Literal(mor.specId)
+        case (OutField.PartitionConst, _) => Literal(mor.partTuple, partitionType)
+        case (OutField.DeletedFlag, _) =>
+          BoundReference(innerLen + 1,
+            org.apache.spark.sql.types.BooleanType, nullable = false)
       })
-      private val posRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      private val emitDeleted = outFields.contains(OutField.DeletedFlag)
+      // [position, deleted-flag] appended after the inner columns
+      private val posRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
       private val joined = new JoinedRow
       private val keyProjs = keyProjsOf(eqGroups)
       private var pos = seed - 1L
@@ -758,11 +831,16 @@ class GraftMorReaderFactory(
         while (reader.next()) {
           pos += 1
           val row = reader.get()
-          if (!deleted(row)) {
+          val del = deleted(row)
+          if (del) rowsDeleted += 1
+          // `_deleted` output serves EVERY row with the flag instead of
+          // filtering (Iceberg's _deleted semantics)
+          if (!del || emitDeleted) {
             posRow.update(0, pos)
+            posRow.update(1, del)
             current = outProj(joined(row, posRow))
             return true
-          } else rowsDeleted += 1
+          }
         }
         false
       }

@@ -942,12 +942,23 @@ class GraftTable(
     val planned = planFiles(snap).filter(_.file.content == DataContent.Data)
     if (planned.isEmpty) return this
     val oldPaths = planned.map(p => GraftTable.normPathStr(p.file.filePath)).toSet
-    val rewritten = TableWrite.writeDataFiles(this, spark, scan(spark))
+    val rewritten = TableWrite.writeDataFiles(this, spark, withLineageCols(scan(spark)))
     commitReplace(spark, "replace",
       () => rewriteSurvivors(oldPaths, snap.sequenceNumber, "rewriteDataFiles")()
         .filter(_.file.content == DataContent.Data),
       rewritten)
   }
+
+  /** v3 row lineage through rewrites: append `_row_id` /
+    * `_last_updated_sequence_number` to a rewrite's scan so the writer
+    * MATERIALIZES them under their reserved field ids — rewritten rows
+    * keep their identity instead of nulling out (no-op below v3) */
+  private def withLineageCols(df: DataFrame): DataFrame =
+    if (metadata.formatVersion < 3) df
+    else df
+      .withColumn(GraftTable.RowIdCol, df.metadataColumn(GraftTable.RowIdCol))
+      .withColumn(GraftTable.LastUpdatedSeqCol,
+        df.metadataColumn(GraftTable.LastUpdatedSeqCol))
 
   /** Selective compaction for 100 TB tables: only files under
     * `smallFileThresholdBytes` are read (with deletes applied) and
@@ -974,7 +985,8 @@ class GraftTable(
     val targetFiles = math.max(1,
       (small.map(_.file.fileSizeInBytes).sum / math.max(1L, smallFileThresholdBytes)).toInt)
     val rewritten = TableWrite.writeDataFiles(
-      this, spark, scan(spark, onlyFiles = Some(smallPaths)).coalesce(targetFiles))
+      this, spark,
+      withLineageCols(scan(spark, onlyFiles = Some(smallPaths))).coalesce(targetFiles))
     commitReplace(spark, "replace",
       rewriteSurvivors(smallPaths, snap.sequenceNumber, "rewriteSmallFiles"), rewritten)
   }
@@ -1055,7 +1067,8 @@ class GraftTable(
     // exactly once instead of a min/max pre-scan plus the rewrite read
     val ranges = zRangesFromManifests(planned, cols)
     if (ranges.isEmpty) Metrics.inc(Metrics.ZOrderRangeScans)
-    val zed = graft.functions.ZOrder.withZColumn(scan(spark), cols, "_gz", ranges)
+    val zed = graft.functions.ZOrder
+      .withZColumn(withLineageCols(scan(spark)), cols, "_gz", ranges)
       .repartitionByRange(targetFiles, col("_gz"))
       .sortWithinPartitions("_gz")
       .drop("_gz")
@@ -2182,6 +2195,16 @@ object GraftTable {
     * body = the NDV as one little-endian i64, `ndv` property = the same
     * value in decimal (the property is what planners read) */
   val NdvBlobType = "graft-ndv-v1"
+
+  /** reserved field ids of the format-v3 row-lineage columns when
+    * MATERIALIZED into rewritten data files (spec: `_row_id` /
+    * `_last_updated_sequence_number`) — readers prefer the in-file
+    * column and fall back to first_row_id + position / the file's
+    * data sequence */
+  val RowIdFieldId = 2147483540
+  val LastUpdatedSeqFieldId = 2147483539
+  val RowIdCol = "_row_id"
+  val LastUpdatedSeqCol = "_last_updated_sequence_number"
 
   /** serializable slice of schema info the executor-side stats harvest needs */
   case class FieldInfo(name: String, id: Int, typeRepr: String)

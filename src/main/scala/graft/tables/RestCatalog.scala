@@ -119,6 +119,35 @@ object RestCatalog {
       }
     }
 
+    /** Atomic MULTI-TABLE commit (the Iceberg REST CommitTransaction
+      * shape): every change carries its own requirements; the server
+      * validates all of them against current state and applies all or
+      * none. The cross-table consistency primitive (e.g. publishing a
+      * consistent snapshot across fact + dim tables). Returns
+      * `ns.table -> new version`. */
+    def commitTransaction(
+        changes: Seq[(String, String, Int, TableMetadata)]): Map[String, Int] = {
+      val body = changes.map { case (ns, name, expected, meta) =>
+        val nsArr = ns.split('.').map(quote).mkString("[", ", ", "]")
+        s"""{"identifier": {"namespace": $nsArr, "name": ${quote(name)}},
+           | "requirements": [
+           |  {"type": "assert-table-uuid", "uuid": ${quote(meta.tableUuid)}},
+           |  {"type": "assert-version", "version": $expected}],
+           | "metadata": ${new String(MetadataJson.serialize(meta), "UTF-8")}}""".stripMargin
+      }.mkString("""{"table-changes": [""", ", ", "]}")
+      val (code, resp) = post("/v1/transactions/commit", body)
+      if (code == 409)
+        throw new CommitConflictException(s"transaction conflict: ${errMsg(resp)}")
+      require(code == 200, s"transaction failed: $code ${errMsg(resp)}")
+      (JsonMethods.parse(resp) \ "versions") match {
+        case JObject(kv) => kv.collect {
+          case (k, JInt(v)) => k -> v.toInt
+          case (k, JLong(v)) => k -> v.toInt
+        }.toMap
+        case _ => Map.empty
+      }
+    }
+
     def dropTable(ns: String, name: String): Unit = {
       val req = rb(s"/v1/namespaces/$ns/tables/$name").DELETE().build()
       val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
@@ -235,6 +264,9 @@ object RestCatalog {
     private case class Entry(version: Int, metadataJson: String)
     private val tables = new ConcurrentHashMap[String, Entry]()
     private val namespaces = ConcurrentHashMap.newKeySet[String]()
+    // multi-table transactions check-then-apply across keys; single-table
+    // commits share this lock so no commit interleaves mid-transaction
+    private val commitLock = new Object
     private val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
 
     def start(): String = {
@@ -439,10 +471,74 @@ object RestCatalog {
               // dropped and recreated underneath)
               err(ex, 409, "CommitFailedException", "requirement failed: uuid")
             case Some(e) =>
-              // CAS: replace only if unchanged since we read it
-              if (tables.replace(key, e, Entry(e.version + 1, meta)))
-                respond(ex, 200, s"""{"version": ${e.version + 1}}""")
+              // CAS: replace only if unchanged since we read it (under
+              // the shared lock so transactions stay atomic against it)
+              val ok = commitLock.synchronized {
+                tables.replace(key, e, Entry(e.version + 1, meta))
+              }
+              if (ok) respond(ex, 200, s"""{"version": ${e.version + 1}}""")
               else err(ex, 409, "CommitFailedException", "concurrent update")
+          }
+        case ("POST", "/v1/transactions/commit") =>
+          // multi-table transaction (Iceberg REST CommitTransaction
+          // shape): every change's requirements validate against the
+          // CURRENT state and either ALL tables commit or none do
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val j = JsonMethods.parse(body)
+          case class Change(key: String, expected: Int, uuid: Option[String], meta: String)
+          val changes = (j \ "table-changes").children.map { ch =>
+            val ns = (ch \ "identifier" \ "namespace").children
+              .collect { case JString(s) => s }.mkString(".")
+            val name = (ch \ "identifier" \ "name") match {
+              case JString(s) => s
+              case _ => ""
+            }
+            val expected = (ch \ "requirements").children.collectFirst {
+              case req if (req \ "type") == JString("assert-version") =>
+                (req \ "version") match {
+                  case JInt(v) => v.toInt
+                  case JLong(v) => v.toInt
+                  case _ => -1
+                }
+            }.getOrElse(-1)
+            val uuid = (ch \ "requirements").children.collectFirst {
+              case req if (req \ "type") == JString("assert-table-uuid") =>
+                (req \ "uuid") match { case JString(u) => u; case _ => "" }
+            }
+            Change(s"$ns.$name",
+              expected, uuid, JsonMethods.compact(JsonMethods.render(ch \ "metadata")))
+          }
+          if (changes.isEmpty)
+            err(ex, 400, "BadRequestException", "empty transaction")
+          else {
+            val result: Either[String, Seq[(String, Int)]] = commitLock.synchronized {
+              val checked = changes.map { c =>
+                Option(tables.get(c.key)) match {
+                  case None => Left(s"no such table ${c.key}")
+                  case Some(e) if e.version != c.expected =>
+                    Left(s"version conflict on ${c.key}: current is ${e.version}")
+                  case Some(e) if c.uuid.exists(u =>
+                      (JsonMethods.parse(e.metadataJson) \ "table-uuid") != JString(u)) =>
+                    Left(s"requirement failed on ${c.key}: uuid")
+                  case Some(e) => Right(c -> e)
+                }
+              }
+              checked.collectFirst { case Left(m) => m } match {
+                case Some(m) => Left(m)
+                case None => Right(checked.collect { case Right((c, e)) =>
+                  tables.put(c.key, Entry(e.version + 1, c.meta))
+                  c.key -> (e.version + 1)
+                })
+              }
+            }
+            result match {
+              case Left(msg) => err(ex, 409, "CommitFailedException", msg)
+              case Right(versions) =>
+                respond(ex, 200,
+                  versions.map { case (k, v) =>
+                    s"${JsonMethods.compact(JsonMethods.render(JString(k)))}: $v"
+                  }.mkString("""{"versions": {""", ", ", "}}"))
+            }
           }
         case ("DELETE", TableRe(ns, name)) =>
           tables.remove(s"$ns.$name")

@@ -231,8 +231,9 @@ object TableWrite {
 
   // ---------- write entry points ----------
 
-  private def prepared(df: DataFrame, schema: IceSchema): DataFrame = {
-    val cols = schema.fields.map { f =>
+  private def prepared(
+      df: DataFrame, schema: IceSchema, extra: Seq[IceField] = Nil): DataFrame = {
+    val cols = (schema.fields ++ extra).map { f =>
       val md = new MetadataBuilder().putLong(SchemaConvert.FieldIdKey, f.id.toLong).build()
       // a write may omit a column that carries a write-default
       val src =
@@ -242,6 +243,19 @@ object TableWrite {
     }
     df.select(cols: _*)
   }
+
+  /** Row-lineage columns MATERIALIZED into rewritten files (format v3):
+    * when the input carries `_row_id` / `_last_updated_sequence_number`
+    * (a rewrite scanned them as metadata columns), they are written as
+    * real columns under their reserved field ids so the rewritten rows
+    * KEEP their lineage — readers prefer the in-file column over the
+    * first_row_id-plus-position fallback. */
+  private def lineageFieldsOf(df: DataFrame): List[IceField] =
+    List(
+      (GraftTable.RowIdCol, GraftTable.RowIdFieldId),
+      (GraftTable.LastUpdatedSeqCol, GraftTable.LastUpdatedSeqFieldId))
+      .collect { case (n, id) if df.columns.contains(n) =>
+        IceField(id, n, required = false, IcePrim("long")) }
 
   /** Execute parquet writes under the pinned clone session, which has
     * field-id stamping and micros timestamps set (INT96 has no usable
@@ -373,11 +387,13 @@ object TableWrite {
   def writeDataFiles(table: GraftTable, spark: SparkSession, df: DataFrame): List[IceDataFile] = {
     val schema = table.metadata.currentSchema
     val spec = table.metadata.defaultSpec
-    val base = prepared(df, schema)
+    val lineageFields = lineageFieldsOf(df)
+    val base = prepared(df, schema, lineageFields)
     val writeId = UUID.randomUUID().toString
     val outDir = s"${table.location}/data/$writeId"
 
-    val infos = schema.fields.map(f => FieldInfo(f.name, f.id, f.fieldType.repr))
+    val infos = (schema.fields ++ lineageFields)
+      .map(f => FieldInfo(f.name, f.id, f.fieldType.repr))
 
     // rolling-writer controls (the reference's RollingWriter semantics,
     // icelake/src/io_v2/file_writer/base_file_writer.rs:77-82, expressed as
@@ -446,7 +462,8 @@ object TableWrite {
       // no Spark writer for avro data files — a dedicated distributed
       // write that accumulates the manifest stats inline
       return writeAvroDataFiles(
-        table, spark, base, schema, spec, sortExprs, maxRecords, stampOrderId)
+        table, spark, base, schema, spec, sortExprs, maxRecords, stampOrderId,
+        lineageFields)
 
     /** format hooks shared by the unpartitioned/partitioned flows */
     def sink(df: DataFrame, parts: Seq[String] = Nil): Unit = {
@@ -513,10 +530,11 @@ object TableWrite {
       spec: IcePartitionSpec,
       sortExprs: Seq[Column],
       maxRecords: Option[Long],
-      stampOrderId: Option[Int]): List[IceDataFile] = {
+      stampOrderId: Option[Int],
+      lineageFields: List[IceField] = Nil): List[IceDataFile] = {
     val writeId = UUID.randomUUID().toString
     val outDir = s"${table.location}/data/$writeId"
-    val fields = schema.fields
+    val fields = schema.fields ++ lineageFields
     val nData = fields.size
     val codec = table.metadata.properties
       .getOrElse("write.avro.compression-codec", "snappy")

@@ -178,6 +178,20 @@ class FormatSpec extends AnyFunSuite {
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
 
+  test("deletion vectors apply to avro data files") {
+    val src = spark.range(0, 200).selectExpr("id AS k", "concat('v', id) AS v")
+    val t0 = freshTable("avro-dv", "avro", src)
+      .setProperties(Map(GraftTable.DvEnabledProp -> "true"))
+    val t1 = t0.append(spark, src)
+    val t = t1.deleteWhere(spark, col("k") % 4 === 0)
+    val dvs = t.planFiles(t.metadata.currentSnapshot.get)
+      .filter(_.file.isDeletionVector)
+    assert(dvs.nonEmpty) // the delete landed as a puffin vector
+    val back = t.scan(spark)
+    assert(back.count() === 150)
+    assert(back.filter(col("k") % 4 === 0).count() === 0)
+  }
+
   test("SparkEntry format queries match their oracle predicates") {
     val dir = "/root/testdata/sf0.001"
     val orders = spark.read.parquet(s"$dir/orders.parquet")

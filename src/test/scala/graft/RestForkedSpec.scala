@@ -107,4 +107,40 @@ class RestForkedSpec extends AnyFunSuite {
       proc.waitFor()
     }
   }
+
+  test("multi-table transaction: all-or-nothing commit") {
+    val server = new RestCatalog.Server()
+    val uri = server.start()
+    try {
+      val client = new RestCatalog.Client(uri, new Configuration(false))
+      client.createNamespace("db")
+      val m1 = freshMeta(tmpLocation("txn-a"))
+      val m2 = freshMeta(tmpLocation("txn-b"))
+      client.createTable("db", "a", m1)
+      client.createTable("db", "b", m2)
+      // both tables advance in ONE atomic commit
+      val v = client.commitTransaction(Seq(
+        ("db", "a", 1, m1.copy(properties = Map("k" -> "1"))),
+        ("db", "b", 1, m2.copy(properties = Map("k" -> "1")))))
+      assert(v === Map("db.a" -> 2, "db.b" -> 2))
+      // ONE stale requirement fails the WHOLE transaction: b's version is
+      // stale, so a's update must not land either
+      intercept[CommitConflictException] {
+        client.commitTransaction(Seq(
+          ("db", "a", 2, m1.copy(properties = Map("k" -> "2"))),
+          ("db", "b", 1, m2.copy(properties = Map("k" -> "2")))))
+      }
+      val a = client.loadTable("db", "a")
+      assert(a.version === 2)
+      assert(a.metadata.properties.get("k") === Some("1"))
+      // a uuid requirement mismatch (table swapped underneath) refuses too
+      intercept[CommitConflictException] {
+        client.commitTransaction(Seq(
+          ("db", "a", 2, m1.copy(
+            tableUuid = java.util.UUID.randomUUID().toString,
+            properties = Map("k" -> "3")))))
+      }
+      assert(client.loadTable("db", "a").metadata.properties.get("k") === Some("1"))
+    } finally server.stop()
+  }
 }

@@ -75,25 +75,74 @@ class RowLineageSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(1) === r.getLong(0)))
   }
 
-  test("unmaterialized rewrite nulls _row_id instead of minting fresh ids") {
+  test("rewrite preserves row ids by materializing the lineage columns") {
     val a = spark.range(0, 50).selectExpr("id AS k").repartition(1)
     val b = spark.range(50, 100).selectExpr("id AS k").repartition(1)
     val t0 = v3Table("lineage-rw", a)
     val t1 = t0.append(spark, a).append(spark, b)
     assert(t1.metadata.nextRowId === 100L)
+    def idMap(t: GraftTable): Map[Long, Long] = {
+      val df = t.scan(spark)
+      df.select(col("k"), df.metadataColumn("_row_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val before = idMap(t1)
+    assert(before.values.toSeq.sorted === (0L until 100L))
     val t2 = t1.rewriteSmallFiles(spark, smallFileThresholdBytes = 10L * 1024 * 1024)
-    // the rewrite consumed no new ids
+    // the rewrite consumed no new ids, files carry no first_row_id slice
+    // (ids ride IN the files as materialized columns) ...
     assert(t2.metadata.nextRowId === 100L)
     val files = t2.planFiles(t2.metadata.currentSnapshot.get)
       .filter(_.file.content == DataContent.Data)
     assert(files.forall(_.file.firstRowId.isEmpty))
-    val df = t2.scan(spark)
-    val out = df.select(df.metadataColumn("_row_id").as("rid")).collect()
-    assert(out.forall(_.isNullAt(0)))
-    // but a fresh append AFTER the rewrite resumes the id sequence
+    // ... and every row keeps its exact pre-rewrite identity
+    assert(idMap(t2) === before)
+    // a fresh append AFTER the rewrite resumes the id sequence
     val t3 = t2.append(spark, spark.range(100, 110).selectExpr("id AS k").repartition(1))
     assert(t3.metadata.currentSnapshot.get.firstRowId === Some(100L))
     assert(t3.metadata.nextRowId === 110L)
+    val after = idMap(t3)
+    assert(after.filter(_._1 < 100) === before)
+    assert(after.filterKeys(_ >= 100).values.toSeq.sorted === (100L until 110L))
+  }
+
+  test("_spec_id and _partition metadata columns") {
+    val src = spark.range(0, 90)
+      .selectExpr("id AS k", "cast(id % 3 AS int) AS b3")
+    val schema = SchemaConvert.fromSparkSchema(src.schema)
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, tmpLocation("meta-part"), schema,
+      IcePartitionSpec(0, List(IcePartitionField(
+        schema.findField("b3").get.id, 1000, "identity", "b3"))))
+      .append(spark, src)
+    val df = t.scan(spark)
+    val rows = df.select(
+      col("b3"),
+      df.metadataColumn("_spec_id").as("sid"),
+      df.metadataColumn("_partition").getField("b3").as("pb3"))
+      .collect()
+    assert(rows.length === 90)
+    assert(rows.forall(_.getInt(1) === 0))
+    assert(rows.forall(r => r.getInt(0) === r.getInt(2)))
+  }
+
+  test("_deleted metadata column serves deleted rows flagged, not filtered") {
+    val a = spark.range(0, 100).selectExpr("id AS k").repartition(1)
+    val t1 = StorageCatalog.createOrReplaceTable(
+      conf, tmpLocation("meta-deleted"), SchemaConvert.fromSparkSchema(a.schema),
+      IcePartitionSpec(0, Nil)).append(spark, a)
+    val t = t1.deleteWhere(spark, col("k") < 20)
+    // plain scan filters; selecting _deleted flags instead
+    assert(t.scan(spark).count() === 80)
+    val df = t.scan(spark)
+    val flagged = df.select(col("k"), df.metadataColumn("_deleted").as("d"))
+    // note: flag semantics hold while the column survives pruning —
+    // count() prunes every column away and reverts to filtered rows
+    // (the same projection-dependence Spark applies to any metadata col)
+    val rows = flagged.collect()
+    assert(rows.length === 100)
+    assert(rows.count(_.getBoolean(1)) === 20)
+    assert(flagged.filter(col("d")).agg(max(col("k"))).head.getLong(0) === 19L)
   }
 
   test("v2 tables serve null _row_id (no lineage)") {

@@ -106,6 +106,41 @@ class StatisticsSpec extends AnyFunSuite {
     assert(t3.metadata.statistics.size === 2) // one entry per analyzed snapshot
   }
 
+  test("NDV column stats reach Spark's optimizer plan statistics (CBO)") {
+    val src = spark.range(0, 2000)
+      .selectExpr("id AS k", "cast(id % 50 AS string) AS v")
+    val t0 = freshTable("stats-cbo-plan", src)
+    t0.append(spark, src)
+    val t = t0.computeTableStats(spark)
+    val wh = t.location
+    spark.conf.set("spark.sql.catalog.cbocat", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cbocat.warehouse",
+      new java.io.File(wh).getParent)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      // the facade scan rides the same DSv2 planning; read the
+      // optimized-plan statistics of the bare scan (a filter on top
+      // would correctly RE-estimate ndv downward via FilterEstimation)
+      val df = t.scan(spark)
+      val stats = df.queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.exists(_.toLong === 2000L))
+      // per-attribute stats present: distinctCount flowed from the
+      // registered statistics file through estimateStatistics
+      val attr = stats.attributeStats.find(_._1.name == "v").map(_._2)
+      assert(attr.exists(_.distinctCount.exists(_.toLong === 50L)))
+      // and the estimator actually uses it: filtering v = '7' collapses
+      // the column's ndv estimate to 1
+      val fstats = t.scan(spark).filter(col("v") === "7")
+        .queryExecution.optimizedPlan.stats
+      val fattr = fstats.attributeStats.find(_._1.name == "v").map(_._2)
+      assert(fattr.exists(_.distinctCount.exists(_.toLong === 1L)))
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.catalog.cbocat")
+      spark.conf.unset("spark.sql.catalog.cbocat.warehouse")
+    }
+  }
+
   test("partition statistics file: manifest rollups, registration, delete tallies") {
     val src = spark.range(0, 300)
       .selectExpr("id AS k", "cast(id % 3 AS int) AS b3", "concat('v', id) AS v")
