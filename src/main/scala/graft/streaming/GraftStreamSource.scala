@@ -205,8 +205,10 @@ class GraftStreamSource(
           .filter(_.seq <= endSeq)
         if (files.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
-        else graft.tables.GraftTable.pinnedSession(spark).read.schema(sparkSchema)
-          .parquet(files.map(_.file.filePath): _*)
+        else
+          // format-routing read (parquet fast path; orc/avro tables
+          // stream through the same per-format readers as batch scans)
+          t.readDataFiles(spark, files, sparkSchema)
     }
     org.apache.spark.sql.GraftBridge.asStreamingDataFrame(batch)
   }

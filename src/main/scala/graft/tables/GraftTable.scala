@@ -244,7 +244,7 @@ class GraftTable(
     * uses the vectorized V1 relation (`_metadata` row positions), any
     * orc/avro presence rides [[graft.spark.GraftRawFilesTable]] — the MoR
     * readers count row positions for every format. */
-  private def readDataFiles(
+  private[graft] def readDataFiles(
       spark: SparkSession,
       planned: Seq[PlannedFile],
       sparkSchema: StructType,

@@ -38,6 +38,8 @@ object Metrics {
   val FilesScanned = "files_scanned_total"
   val ChangelogDataFilesRead = "changelog_data_files_read_total"
   val ZOrderRangeScans = "zorder_range_scans_total"
+  val ManifestCacheHits = "manifest_cache_hits_total"
+  val ManifestCacheMisses = "manifest_cache_misses_total"
   val MaintenanceFilesDeleted = "maintenance_files_deleted_total"
   val MaintenanceExecutorDeletes = "maintenance_executor_deletes_total"
 }

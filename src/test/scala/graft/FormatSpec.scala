@@ -192,6 +192,26 @@ class FormatSpec extends AnyFunSuite {
     assert(back.filter(col("k") % 4 === 0).count() === 0)
   }
 
+  test("streaming source feeds from avro tables") {
+    val src = spark.range(0, 30).selectExpr("id AS k", "concat('v', id) AS v")
+    val t0 = freshTable("avro-stream", "avro", src)
+    val t1 = t0.append(spark, src.filter(col("k") < 15))
+    t1.append(spark, src.filter(col("k") >= 15))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-stream")
+      .option("location", t1.location)
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen += b.count() }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.sum === 30L)
+  }
+
   test("SparkEntry format queries match their oracle predicates") {
     val dir = "/root/testdata/sf0.001"
     val orders = spark.read.parquet(s"$dir/orders.parquet")

@@ -975,4 +975,22 @@ class MaintenanceSpec extends AnyFunSuite {
     t.rewriteZOrder(spark, Seq("id", "d"), targetFileSizeBytes = 1024)
     assert(t.scan(spark).count() === 100)
   }
+
+  test("manifest parse cache: repeated planning hits memory, not the FS") {
+    val src = spark.range(0, 500).toDF("id")
+    val loc = tmpLocation("mcache")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src)
+    ManifestIO.invalidateCache()
+    val snap = t.metadata.currentSnapshot.get
+    val first = t.planFiles(snap)
+    val missesAfterFirst = Metrics.get(Metrics.ManifestCacheMisses)
+    val hitsBefore = Metrics.get(Metrics.ManifestCacheHits)
+    val second = t.planFiles(snap)
+    // identical plan, zero new parses — manifests are immutable
+    assert(second.map(_.file.filePath) === first.map(_.file.filePath))
+    assert(Metrics.get(Metrics.ManifestCacheMisses) === missesAfterFirst)
+    assert(Metrics.get(Metrics.ManifestCacheHits) > hitsBefore)
+  }
 }
