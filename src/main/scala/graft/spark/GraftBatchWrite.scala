@@ -109,9 +109,8 @@ class GraftWrite(
   private val schema = metadata.currentSchema
   private val spec = metadata.defaultSpec
 
-  override def requiredDistribution(): Distribution =
-    if (spec.isUnpartitioned) Distributions.unspecified()
-    else Distributions.clustered(spec.fields.map { pf =>
+  private def transformExprs: Array[org.apache.spark.sql.connector.expressions.Expression] =
+    spec.fields.map { pf =>
       val src = schema.fieldById(pf.sourceId).map(_.name).getOrElse(pf.name)
       pf.transform match {
         case "identity" => Expressions.identity(src)
@@ -123,7 +122,20 @@ class GraftWrite(
           Expressions.bucket(t.stripPrefix("bucket[").stripSuffix("]").toInt, src)
         case _ => Expressions.identity(src)
       }
-    }.toArray[org.apache.spark.sql.connector.expressions.Expression])
+    }.toArray[org.apache.spark.sql.connector.expressions.Expression]
+
+  /** `write.distribution-mode` on the DSv2 path: Spark plans the shuffle
+    * the mode asks for — hash-clustered (default, fewest files), ordered
+    * (range: clustered AND globally ordered; splits skewed partitions),
+    * or unspecified (none: zero shuffle, locally-fanned-out files) */
+  override def requiredDistribution(): Distribution =
+    if (spec.isUnpartitioned) Distributions.unspecified()
+    else TableWrite.distributionMode(metadata.properties) match {
+      case "none" => Distributions.unspecified()
+      case "range" => Distributions.ordered(
+        transformExprs.map(org.apache.spark.sql.GraftBridge.sortOrderFor))
+      case _ => Distributions.clustered(transformExprs)
+    }
 
   override def requiredNumPartitions(): Int = 0 // let Spark/AQE choose
 

@@ -291,6 +291,13 @@ object TableWrite {
       case other => sys.error(s"unsupported write.format.default: $other")
     }
 
+  /** write clustering (`write.distribution-mode`): hash | range | none */
+  def distributionMode(props: Map[String, String]): String =
+    props.getOrElse("write.distribution-mode", "hash").toLowerCase match {
+      case m @ ("hash" | "range" | "none") => m
+      case other => sys.error(s"unsupported write.distribution-mode: $other")
+    }
+
   /** distributed footer harvest; returns stats per file path. The
     * driver's Hadoop conf ships with the job (broadcast-equivalent), so
     * stores needing credentials/endpoints work on executors. */
@@ -496,8 +503,24 @@ object TableWrite {
         d.withColumn(s"_p_${pf.name}",
           transformColumn(pf.transform, col(src.name), src.fieldType))
       }
-      // cluster rows by partition value: one shuffle, bounded output files
-      sink(withParts.repartition(pcols.map(col): _*), pcols)
+      // Cluster rows by partition value before the fanout write — the
+      // Iceberg `write.distribution-mode` property:
+      //   hash (default) — ONE shuffle hash-clusters each partition
+      //     tuple into one task: fewest output files, the right default;
+      //   range — range-partition by the transforms (plus the table sort
+      //     order): keeps a global order across files, the choice when a
+      //     downstream read wants clustered+ordered data, and splits
+      //     SKEWED partitions across tasks instead of bottlenecking one;
+      //   none — no shuffle: each input task fans out to its local
+      //     partition values (more small files, zero shuffle cost — for
+      //     inputs already clustered upstream).
+      val clustered = distributionMode(props) match {
+        case "none" => withParts
+        case "range" =>
+          withParts.repartitionByRange((pcols.map(col) ++ sortExprs): _*)
+        case _ => withParts.repartition(pcols.map(col): _*)
+      }
+      sink(clustered, pcols)
       val paths = listOut()
       val resultTypes = spec.fields.zip(srcByid).map { case (pf, src) =>
         SchemaConvert.transformResultType(pf.transform, src.fieldType) }
@@ -550,7 +573,12 @@ object TableWrite {
     }
     val clustered =
       if (spec.isUnpartitioned) base
-      else withParts.repartition(spec.fields.map(pf => col(s"_p_${pf.name}")): _*)
+      else distributionMode(table.metadata.properties) match {
+        case "none" => withParts
+        case "range" => withParts.repartitionByRange(
+          (spec.fields.map(pf => col(s"_p_${pf.name}")) ++ sortExprs): _*)
+        case _ => withParts.repartition(spec.fields.map(pf => col(s"_p_${pf.name}")): _*)
+      }
     val sorted =
       if (sortExprs.nonEmpty) clustered.sortWithinPartitions(sortExprs: _*) else clustered
     val resultTypes = spec.fields.zip(srcByid).map { case (pf, src) =>

@@ -204,6 +204,15 @@ object GraftBridge {
       if (nullsLast) NullOrdering.NULLS_LAST else NullOrdering.NULLS_FIRST)
   }
 
+  /** ascending connector SortOrder over an arbitrary expression (e.g. a
+    * partition transform) — the range write-distribution mode */
+  def sortOrderFor(
+      expr: org.apache.spark.sql.connector.expressions.Expression)
+      : org.apache.spark.sql.connector.expressions.SortOrder = {
+    import org.apache.spark.sql.connector.expressions._
+    LogicalExpressions.sort(expr, SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)
+  }
+
   // ---- native DSv2 write path: executor-side parquet row writer ----
 
   /** Hadoop conf pre-configured for Spark's InternalRow parquet

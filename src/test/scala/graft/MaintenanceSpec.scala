@@ -976,6 +976,61 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.scan(spark).count() === 100)
   }
 
+  test("write.distribution-mode: hash clusters, none fans out, range orders") {
+    val src = spark.range(0, 3000)
+      .selectExpr("id AS k", "cast(id % 3 AS int) AS b3")
+      .repartition(8) // many input tasks, so `none` visibly fans out
+    def build(mode: String): GraftTable = {
+      val schema = SchemaConvert.fromSparkSchema(src.schema)
+      val t = StorageCatalog.createOrReplaceTable(
+        conf, tmpLocation(s"dist-$mode"), schema,
+        IcePartitionSpec(0, List(IcePartitionField(
+          schema.findField("b3").get.id, 1000, "identity", "b3"))),
+        properties = Map("write.distribution-mode" -> mode))
+      t.append(spark, src)
+      t
+    }
+    def dataFiles(t: GraftTable) =
+      t.planFiles(t.metadata.currentSnapshot.get).filter(_.file.content == DataContent.Data)
+    // hash: one shuffle clusters each partition value -> one file each
+    val hashFiles = dataFiles(build("hash"))
+    assert(hashFiles.size === 3)
+    // none: zero shuffle -> each of the 8 input tasks fans out locally
+    val noneT = build("none")
+    val noneFiles = dataFiles(noneT)
+    assert(noneFiles.size > 3)
+    assert(noneT.scan(spark).count() === 3000)
+    // range: clustered too (3 values -> 3 range buckets minimum), rows intact
+    val rangeT = build("range")
+    assert(rangeT.scan(spark).count() === 3000)
+    assert(dataFiles(rangeT).map(_.file.partition).distinct.size === 3)
+    // the DSv2 write path honors the mode too: range asks Spark for an
+    // ORDERED distribution and the insert still lands every row
+    val wh = tmpLocation("dist-sql-wh")
+    spark.conf.set("spark.sql.catalog.distcat", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.distcat.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS distcat.db")
+      spark.sql(
+        """CREATE TABLE distcat.db.t (k BIGINT, b3 INT) PARTITIONED BY (b3)
+          |TBLPROPERTIES ('write.distribution-mode' = 'range')""".stripMargin)
+      spark.sql("INSERT INTO distcat.db.t SELECT id, cast(id % 3 AS int) FROM range(0, 3000)")
+      assert(spark.sql("SELECT count(*) FROM distcat.db.t").head.getLong(0) === 3000)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS distcat.db.t")
+      spark.conf.unset("spark.sql.catalog.distcat")
+      spark.conf.unset("spark.sql.catalog.distcat.warehouse")
+    }
+    // bad mode refuses (the mode is consulted on partitioned writes)
+    val badSchema = SchemaConvert.fromSparkSchema(src.schema)
+    val bad = StorageCatalog.createOrReplaceTable(
+      conf, tmpLocation("dist-bad"), badSchema,
+      IcePartitionSpec(0, List(IcePartitionField(
+        badSchema.findField("b3").get.id, 1000, "identity", "b3"))),
+      properties = Map("write.distribution-mode" -> "zigzag"))
+    intercept[RuntimeException] { bad.append(spark, src) }
+  }
+
   test("manifest parse cache: repeated planning hits memory, not the FS") {
     val src = spark.range(0, 500).toDF("id")
     val loc = tmpLocation("mcache")
