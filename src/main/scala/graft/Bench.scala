@@ -63,6 +63,18 @@ object Bench {
     "ice_changelog",
   )
 
+  /** Round-8 additions as their own group (kept out of [[headline]] so
+    * `legacy_total` stays comparable): the ORC/Avro format paths, the
+    * statistics pass, v3 row lineage, and the new pipeline operators. */
+  val round8Headline: Seq[String] = Seq(
+    "ice_orc_table",
+    "ice_avro_table",
+    "stats_ndv",
+    "ice_row_lineage",
+    "text_bm25",
+    "dedup_semantic",
+  )
+
   /** Op-only DML benchmarks: the outer call performs table setup
     * (untimed), the returned thunk performs ONLY the measured operation.
     * Setup reruns before every timed run so the op does identical work
@@ -215,6 +227,7 @@ object Bench {
 
     val readResults = headline.filter(qs.contains).map(n => n -> median(n))
     val tpchResults = tpchHeadline.filter(qs.contains).map(n => n -> median(n))
+    val r8Results = round8Headline.filter(qs.contains).map(n => n -> median(n))
     val dmlResults = dmlHeadline.filter(dmlOps.contains).map(n => n -> medianOp(n))
     // jumbo-mode MoR scan: same sql_mor_delete surface with both delete
     // thresholds forced to 0 — executor-side loading + the disk-backed
@@ -230,7 +243,7 @@ object Bench {
           spark.conf.unset("spark.graft.eq-delete-executor-max-bytes")
         }
       }
-    val results = readResults ++ tpchResults ++ dmlResults ++ jumbo
+    val results = readResults ++ tpchResults ++ r8Results ++ dmlResults ++ jumbo
     // optional 10x scaling group: SPARK_GRAFT_SF1_DIR points at a dir
     // built by `runMain graft.ScaleData <sfDir> <out> 10` — single run
     // per query (10x data dominates noise); catches super-linear plans.
