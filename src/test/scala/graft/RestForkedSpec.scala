@@ -143,4 +143,51 @@ class RestForkedSpec extends AnyFunSuite {
       assert(client.loadTable("db", "a").metadata.properties.get("k") === Some("1"))
     } finally server.stop()
   }
+
+  test("transactions serialize against racing single-table commits") {
+    val server = new RestCatalog.Server()
+    val uri = server.start()
+    try {
+      val client = new RestCatalog.Client(uri, new Configuration(false))
+      client.createNamespace("race")
+      val m1 = freshMeta(tmpLocation("race-a"))
+      val m2 = freshMeta(tmpLocation("race-b"))
+      client.createTable("race", "a", m1)
+      client.createTable("race", "b", m2)
+      val singles = new java.util.concurrent.atomic.AtomicInteger(0)
+      val txns = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (0 until 4).map { i =>
+        new Thread(() => {
+          (0 until 10).foreach { _ =>
+            try {
+              if (i % 2 == 0) {
+                // single-table commit on a at its CURRENT version
+                val cur = client.loadTable("race", "a")
+                client.commitTable("race", "a", cur.version, cur.metadata)
+                singles.incrementAndGet()
+              } else {
+                // transaction advancing BOTH at their current versions
+                val ca = client.loadTable("race", "a")
+                val cb = client.loadTable("race", "b")
+                client.commitTransaction(Seq(
+                  ("race", "a", ca.version, ca.metadata),
+                  ("race", "b", cb.version, cb.metadata)))
+                txns.incrementAndGet()
+              }
+            } catch { case _: CommitConflictException => /* lost the race */ }
+          }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      // serializability invariant: a advanced once per success of either
+      // kind, b once per successful transaction — no lost updates, no
+      // partial transactions
+      val va = client.loadTable("race", "a").version
+      val vb = client.loadTable("race", "b").version
+      assert(va === 1 + singles.get + txns.get)
+      assert(vb === 1 + txns.get)
+      assert(singles.get + txns.get > 0) // the race actually ran
+    } finally server.stop()
+  }
 }
