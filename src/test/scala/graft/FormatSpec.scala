@@ -192,6 +192,24 @@ class FormatSpec extends AnyFunSuite {
     assert(back.filter(col("k") % 4 === 0).count() === 0)
   }
 
+  test("orc/avro compression codec properties apply") {
+    // highly repetitive payload: any real codec shrinks it dramatically
+    val src = spark.range(0, 5000)
+      .selectExpr("id AS k", "repeat('abcdef', 50) AS pad").coalesce(1)
+    def sizeOf(fmt: String, props: Map[String, String]): Long = {
+      val t = freshTable(s"codec-$fmt-${props.hashCode}", fmt, src)
+        .setProperties(props)
+      t.append(spark, src)
+      t.planFiles(t.metadata.currentSnapshot.get).map(_.file.fileSizeInBytes).sum
+    }
+    val avroRaw = sizeOf("avro", Map("write.avro.compression-codec" -> "uncompressed"))
+    val avroZstd = sizeOf("avro", Map("write.avro.compression-codec" -> "zstd"))
+    assert(avroZstd < avroRaw / 2)
+    val orcNone = sizeOf("orc", Map("write.orc.compression-codec" -> "none"))
+    val orcZstd = sizeOf("orc", Map("write.orc.compression-codec" -> "zstd"))
+    assert(orcZstd < orcNone)
+  }
+
   test("streaming source feeds from avro tables") {
     val src = spark.range(0, 30).selectExpr("id AS k", "concat('v', id) AS v")
     val t0 = freshTable("avro-stream", "avro", src)
