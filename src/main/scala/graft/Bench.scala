@@ -46,6 +46,10 @@ object Bench {
     "q17_small_quantity",
     "q18_large_orders",
     "q21_blamed_supplier",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q16_supplier_count",
+    "q20_promotion_parts",
   )
 
   /** DML / MoR / streaming paths (write + merge-on-read + stream sink) —

@@ -374,6 +374,92 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"),
           sum(money(col("c_acctbal"))).cast(DoubleType).as("totacctbal"))
     }),
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      // min-cost supplier per part (TPC-H Q2 shape; testdata has no
+      // partsupp, so the part-supplier offer relation is distilled from
+      // lineitem): correlated MIN realized as an aggregate + join-back,
+      // dims broadcast, total ORDER BY so the LIMIT is deterministic
+      val offers = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(money(col("l_extendedprice")) ).as("offer_cost"))
+      val slice = broadcast(t(s, dir, "part")
+        .filter(col("p_size") === 15).select(col("p_partkey"), col("p_brand")))
+      val sliced = offers.join(slice, col("l_partkey") === col("p_partkey"))
+      val minCost = sliced.groupBy(col("l_partkey").as("mc_pk"))
+        .agg(min(col("offer_cost")).as("min_cost"))
+      sliced
+        .join(minCost, col("l_partkey") === col("mc_pk") &&
+          col("offer_cost") === col("min_cost"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(money(col("s_acctbal")).cast(DoubleType).as("s_acctbal"),
+          col("s_name"), col("n_name"), col("p_partkey"), col("p_brand"),
+          col("offer_cost").cast(DoubleType).as("supply_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+    "q11_important_parts" -> ((s, dir) => {
+      // value-concentration (TPC-H Q11 shape): per-part value for one
+      // nation's suppliers, kept only above a fraction of the TOTAL value
+      // — the threshold is a broadcast scalar aggregate; comparisons on
+      // exact decimals, doubles only at the output boundary
+      val natSupp = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_1")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey")))
+      val li = t(s, dir, "lineitem")
+        .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      val perPart = li.groupBy(col("l_partkey"))
+        .agg(sum(money(col("l_extendedprice"))).as("value_dec"))
+      val thresh = perPart.agg(
+        (sum(col("value_dec")) * lit(0.001).cast(DecimalType(12, 6))).as("min_value"))
+      perPart.crossJoin(broadcast(thresh))
+        .filter(col("value_dec") > col("min_value"))
+        .select(col("l_partkey"), col("value_dec").cast(DoubleType).as("part_value"))
+    }),
+    "q16_supplier_count" -> ((s, dir) => {
+      // supplier-count by part attributes (TPC-H Q16 shape): DISTINCT
+      // suppliers per (brand,type,size) from the lineitem-derived offer
+      // relation, minus an excluded-supplier anti-join (acctbal<0 stands
+      // in for the complaints predicate)
+      val parts = broadcast(t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1" && col("p_size").isin(5, 10, 15, 20, 25, 30))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")))
+      val excl = broadcast(t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey")))
+      t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+    "q20_promotion_parts" -> ((s, dir) => {
+      // qualifying-supplier chain (TPC-H Q20 shape): suppliers of one
+      // nation whose 1997 shipments of a name-sliced part exceed half of
+      // that (part,supplier)'s all-time quantity — correlated aggregate
+      // as a join of two co-keyed aggregates, then a semi-join up the
+      // chain to the supplier dim (quantities are integer-valued, so the
+      // double sums are exact and the 0.5* threshold is engine-portable)
+      val green = broadcast(t(s, dir, "part")
+        .filter(col("p_name").contains("blue")).select(col("p_partkey")))
+      val li = t(s, dir, "lineitem")
+        .join(green, col("l_partkey") === col("p_partkey"), "left_semi")
+      val all = li.groupBy(col("l_partkey").as("a_pk"), col("l_suppkey").as("a_sk"))
+        .agg(sum(col("l_quantity")).as("qty_all"))
+      val y97 = li
+        .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty_97"))
+      val qual = y97.join(all,
+          col("l_partkey") === col("a_pk") && col("l_suppkey") === col("a_sk"))
+        .filter(col("qty_97") > lit(0.5) * col("qty_all"))
+        .select(col("l_suppkey"))
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_2")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    }),
     "q4_order_priority" -> ((s, dir) => {
       // EXISTS semi-join (with a non-equi condition) + count per priority
       val o = t(s, dir, "orders")
@@ -846,6 +932,27 @@ object SparkEntry {
       tbl.equalityDelete(s,
         src.filter(col("o_orderstatus") === "F").select(col("o_orderkey")),
         Seq("o_orderkey"))
+      tbl.scan(s)
+    }),
+    "ice_eq_convert" -> ((s, dir) => {
+      // equality→position delete conversion: upsert-style eq deletes land,
+      // convert_equality_deletes swaps them for exact positional deletes
+      // (no eq-delete file survives), and the scan content is unchanged —
+      // subsequent scans skip the read-time equality join entirely
+      val src = t(s, dir, "orders")
+      val tbl = freshTable(s, "ice_eq_convert", src)
+      tbl.append(s, src)
+      tbl.equalityDelete(s,
+        src.filter(col("o_orderstatus") === "F").select(col("o_orderkey")),
+        Seq("o_orderkey"))
+      tbl.equalityDelete(s,
+        src.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey")), Seq("o_orderkey"))
+      tbl.convertEqualityDeletes(s)
+      val stillEq = tbl.metadata.currentSnapshot.toList
+        .flatMap(sn => tbl.planFiles(sn))
+        .count(_.file.content == graft.tables.DataContent.EqualityDeletes)
+      require(stillEq == 0, s"conversion left $stillEq eq-delete files")
       tbl.scan(s)
     }),
     "ice_pos_delete" -> ((s, dir) => {
@@ -2293,6 +2400,60 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_nationkey""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS offer_cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |sliced AS (
+        |  SELECT o.*, p_partkey, p_brand FROM offers o
+        |  JOIN part ON l_partkey = p_partkey WHERE p_size = 15)
+        |SELECT CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS s_acctbal,
+        |  s_name, n_name, p_partkey, p_brand,
+        |  CAST(offer_cost AS DOUBLE) AS supply_cost
+        |FROM sliced
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |WHERE offer_cost = (SELECT MIN(offer_cost) FROM sliced s2
+        |                    WHERE s2.l_partkey = sliced.l_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q11_important_parts" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS value_dec
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name = 'NATION_1')
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+        |FROM per_part
+        |WHERE value_dec > (SELECT SUM(value_dec) * 0.001 FROM per_part)""".stripMargin,
+    "q16_supplier_count" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20, 25, 30)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+    "q20_promotion_parts" ->
+      """WITH blueparts AS (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%'),
+        |li AS (SELECT * FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM blueparts)),
+        |alltime AS (
+        |  SELECT l_partkey AS a_pk, l_suppkey AS a_sk, SUM(l_quantity) AS qty_all
+        |  FROM li GROUP BY l_partkey, l_suppkey),
+        |y97 AS (
+        |  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty_97
+        |  FROM li
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY l_partkey, l_suppkey)
+        |SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_2'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM y97 JOIN alltime
+        |      ON l_partkey = a_pk AND l_suppkey = a_sk
+        |    WHERE qty_97 > 0.5 * qty_all)""".stripMargin,
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  COUNT(*) AS n_events,
@@ -2644,6 +2805,8 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin,
     "ice_eq_delete" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",
+    "ice_eq_convert" ->
+      "SELECT * FROM orders WHERE o_orderstatus <> 'F' AND o_orderpriority <> '1-URGENT'",
     "ice_orc_table" -> "SELECT * FROM orders WHERE o_orderkey % 4 <> 1",
     "ice_avro_table" -> "SELECT * FROM orders WHERE o_orderkey % 6 <> 2",
     "ice_row_lineage" ->

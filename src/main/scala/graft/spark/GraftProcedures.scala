@@ -145,6 +145,22 @@ private[spark] object GraftProcedures {
           Seq(Seq(before, count(t)))
         }),
       new GraftProcedure(
+        "convert_equality_deletes",
+        // resolve equality deletes to positional form once, so scans stop
+        // paying the read-time eq join
+        Seq(in("table", StringType)),
+        out("eq_files_before" -> LongType, "pos_files_after" -> LongType),
+        (input, spark) => {
+          val t = table(input)
+          def count(tt: GraftTable, content: Int): Long =
+            tt.metadata.currentSnapshot.toList
+              .flatMap(s => tt.planFiles(s))
+              .count(_.file.content == content).toLong
+          val before = count(t, DataContent.EqualityDeletes)
+          t.convertEqualityDeletes(spark)
+          Seq(Seq(before, count(t, DataContent.PositionDeletes)))
+        }),
+      new GraftProcedure(
         "compute_table_stats",
         // columns: optional comma-separated list (default: all primitive
         // columns); approximate: HLL++ one-pass mode (the 100 TB path)

@@ -1182,6 +1182,68 @@ class GraftTable(
     this
   }
 
+  /** Convert live equality-delete files into position deletes (or
+    * deletion vectors under `write.delete.vector-enabled` / v3): each eq
+    * key set resolves ONCE against raw rows of the data files with lower
+    * data sequence — the same one-pass seq-visibility join the changelog
+    * uses — into exact (file, position) pairs, and one replace commit
+    * swaps every eq-delete file for the positional form. Scan content is
+    * unchanged, but every subsequent scan drops the read-time equality
+    * join: CDC upserts pay the resolution cost once at maintenance time
+    * instead of on EVERY scan — at 100 TB the eq-delete key broadcast +
+    * per-row hash probe is the MoR read path's dominant overhead.
+    * (Delete-file shapes: reference `icelake/src/types/in_memory.rs`
+    * 1722-1848; conversion itself is engine territory — ours.) */
+  def convertEqualityDeletes(spark: SparkSession): GraftTable = {
+    val snap = metadata.currentSnapshot.getOrElse(return this)
+    val planned = planFiles(snap)
+    val eqFiles = planned.filter(_.file.content == DataContent.EqualityDeletes)
+    if (eqFiles.isEmpty) return this
+    val schema = metadata.currentSchema
+    val sparkSchema = SchemaConvert.toSparkSchema(schema)
+    val pinned = GraftTable.pinnedSession(spark)
+    val dataFiles = planned.filter(_.file.content == DataContent.Data)
+    val positions: Seq[DataFrame] = eqFiles.groupBy(_.file.equalityIds.sorted)
+      .toSeq.flatMap { case (ids, group) =>
+        val keyNames = ids.flatMap(id => schema.fieldById(id).map(_.name))
+        val maxDseq = group.map(_.seq).max
+        val older = dataFiles.filter(_.seq < maxDseq)
+        if (older.isEmpty || keyNames.isEmpty) None
+        else {
+          val keys = group.groupBy(_.seq).toSeq.map { case (dseq, g) =>
+            pinned.read.parquet(g.map(p => relocate(p.file.filePath)): _*)
+              .select(keyNames.map(col): _*).distinct()
+              .withColumn("_dseq", lit(dseq))
+          }.reduce(_.unionByName(_))
+          val seqMap = kvDf(spark,
+            older.map(p => (GraftTable.normPathStr(p.file.filePath), p.seq)),
+            "_sf", "_sseq")
+          val data = readDataFiles(spark, older, sparkSchema, withMeta = true)
+            .join(broadcast(seqMap), col("_cf") === col("_sf"))
+          Some(data.join(keys,
+              keyNames.map(n => data(n) === keys(n)).reduce(_ && _) &&
+                data("_sseq") < keys("_dseq"),
+              "leftsemi")
+            .select(col("_cf").as("file_path"), col("_cp").as("pos")))
+        }
+      }
+    // the new positional files land at the conversion commit's sequence —
+    // higher than every data file they reference, so visibility holds;
+    // duplicates against existing pos deletes are harmless (sets union at
+    // read, and a later rewrite_position_delete_files collapses them)
+    val newDeletes =
+      if (positions.isEmpty) Nil
+      else writePositionDeleteFiles(spark, positions.reduce(_.unionByName(_)))
+    val toDrop = eqFiles.map(p => GraftTable.normPathStr(p.file.filePath)).toSet
+    retryCommit(() => ()) {
+      val now = metadata.currentSnapshot.toList.flatMap(planFiles(_))
+      val survivors = now.filterNot(p =>
+        toDrop.contains(GraftTable.normPathStr(p.file.filePath)))
+      commitOnce("replace", Nil, newDeletes, replace = true, existing = survivors)
+    }
+    this
+  }
+
   /** Remove files under `location/data` that no snapshot references and
     * that are older than `olderThanMs` (grace period: a concurrent write
     * may have files on disk before its commit lands). Returns the paths
@@ -1542,13 +1604,48 @@ class GraftTable(
     * this, schema/ref/rollback/expire versions would be invisible to the
     * `metadata_log_entries` view and external log walkers). */
   private def commitMetaOnly(newMeta: TableMetadata): GraftTable = {
-    val logged = newMeta.copy(metadataLog = metadata.metadataLog :+
-      IceLogEntry(metadata.lastUpdatedMs,
-        s"${StorageCatalog.metadataDir(location)}/v$version.metadata.json"))
+    val (logged, trimmed) = trimMetadataLog(
+      newMeta.copy(metadataLog = metadata.metadataLog :+
+        IceLogEntry(metadata.lastUpdatedMs,
+          s"${StorageCatalog.metadataDir(location)}/v$version.metadata.json")))
     val newVersion = committer(logged, version)
     metadata = logged
     version = newVersion
+    deleteTrimmedMetadata(trimmed)
     this
+  }
+
+  /** Iceberg metadata-log retention (`write.metadata.previous-versions-max`,
+    * default 100): keep only the newest N log entries; with
+    * `write.metadata.delete-after-commit.enabled=true` the dropped
+    * entries' metadata FILES are deleted once the commit that trimmed
+    * them succeeds. Without trimming a long-lived table (10^5+ commits at
+    * 100 TB) grows an unbounded array inside EVERY metadata.json it ever
+    * writes — the log itself becomes the metadata bloat. Returns the
+    * trimmed metadata plus the file paths eligible for deletion. */
+  private def trimMetadataLog(m: TableMetadata): (TableMetadata, Seq[String]) = {
+    val max = m.properties.get(GraftTable.PreviousVersionsMaxProp)
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(100).max(1)
+    if (m.metadataLog.size <= max) (m, Nil)
+    else {
+      val dropped = m.metadataLog.dropRight(max)
+      val doomed =
+        if (m.properties.get(GraftTable.DeleteAfterCommitProp).contains("true"))
+          dropped.map(_.ref)
+        else Nil
+      (m.copy(metadataLog = m.metadataLog.takeRight(max)), doomed)
+    }
+  }
+
+  /** best-effort removal of trimmed metadata files AFTER a successful
+    * commit — a failed delete must never fail the commit (the log entry
+    * is already gone; orphan cleanup will sweep stragglers) */
+  private def deleteTrimmedMetadata(paths: Seq[String]): Unit = paths.foreach { p =>
+    try {
+      val fp = new Path(relocate(p))
+      fp.getFileSystem(conf).delete(fp, false)
+      ()
+    } catch { case _: Exception => () }
   }
 
   private def commitSchema(newSchema: IceSchema, lastColumnId: Int): GraftTable = {
@@ -2162,9 +2259,11 @@ class GraftTable(
       refs = base.refs + (branch.getOrElse("main") ->
         IceSnapshotRef(snapshotId, "branch")))
 
-    val newVersion = committer(newMeta, version)
-    metadata = newMeta
+    val (trimmedMeta, trimmedFiles) = trimMetadataLog(newMeta)
+    val newVersion = committer(trimmedMeta, version)
+    metadata = trimmedMeta
     version = newVersion
+    deleteTrimmedMetadata(trimmedFiles)
     Metrics.inc(Metrics.CommitsTotal)
     Metrics.inc(Metrics.DataFilesWritten, addedData.size.toLong)
     Metrics.inc(Metrics.DeleteFilesWritten, addedDeletes.size.toLong)
@@ -2190,6 +2289,10 @@ object GraftTable {
     * (format-v3 semantics on an opt-in basis; `formatVersion >= 3` tables
     * vector automatically) */
   val DvEnabledProp = "write.delete.vector-enabled"
+
+  /** Iceberg metadata-log retention properties */
+  val PreviousVersionsMaxProp = "write.metadata.previous-versions-max"
+  val DeleteAfterCommitProp = "write.metadata.delete-after-commit.enabled"
 
   /** statistics blob type written by [[GraftTable.computeTableStats]]:
     * body = the NDV as one little-endian i64, `ndv` property = the same

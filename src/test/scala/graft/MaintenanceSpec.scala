@@ -1048,4 +1048,98 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Metrics.get(Metrics.ManifestCacheMisses) === missesAfterFirst)
     assert(Metrics.get(Metrics.ManifestCacheHits) > hitsBefore)
   }
+
+  test("convert_equality_deletes: eq files become positional, scan unchanged, later appends unaffected") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val loc = tmpLocation("eqconvert")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src.filter($"o_orderkey" % 2 === 0))
+    t.append(spark, src.filter($"o_orderkey" % 2 === 1))
+    t.equalityDelete(spark,
+      src.filter($"o_orderstatus" === "P").select($"o_orderkey"), Seq("o_orderkey"))
+    t.equalityDelete(spark,
+      src.filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey"),
+      Seq("o_orderkey"))
+    val exp = t.scan(spark).collect().toSet
+    def files(content: Int) = t.metadata.currentSnapshot.toList
+      .flatMap(t.planFiles(_)).filter(_.file.content == content)
+    assert(files(DataContent.EqualityDeletes).size === 2)
+
+    t.convertEqualityDeletes(spark)
+    assert(files(DataContent.EqualityDeletes).isEmpty)
+    assert(files(DataContent.PositionDeletes).nonEmpty)
+    assert(t.scan(spark).collect().toSet === exp)
+
+    // rows appended AFTER conversion with previously-deleted keys stay
+    // visible: positional deletes pin exact (file,pos), never keys
+    val resurrect = src.filter($"o_orderstatus" === "P").limit(5)
+    t.append(spark, resurrect)
+    assert(t.scan(spark).filter($"o_orderstatus" === "P").count() === 5)
+
+    // DV-mode table converts into vectors through the SQL procedure
+    val wh = tmpLocation("eqconvert-wh")
+    val loc2 = s"$wh/db/t"
+    val t2 = StorageCatalog.createTable(
+      conf, loc2, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil),
+      properties = Map(GraftTable.DvEnabledProp -> "true"))
+    t2.append(spark, src)
+    t2.equalityDelete(spark,
+      src.filter($"o_orderstatus" === "P").select($"o_orderkey"), Seq("o_orderkey"))
+    val exp2 = t2.scan(spark).count()
+    spark.conf.set("spark.sql.catalog.eqcv", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.eqcv.warehouse", wh)
+    try {
+      val res = spark.sql(
+        "CALL eqcv.system.convert_equality_deletes(table => 'db.t')").collect()(0)
+      assert(res.getLong(0) === 1) // one eq file existed
+      val t2b = StorageCatalog.loadTable(conf, loc2)
+      val after = t2b.metadata.currentSnapshot.toList.flatMap(t2b.planFiles(_))
+      assert(!after.exists(_.file.content == DataContent.EqualityDeletes))
+      assert(after.filter(_.file.content == DataContent.PositionDeletes)
+        .forall(_.file.isDeletionVector))
+      assert(t2b.scan(spark).count() === exp2)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.eqcv")
+      spark.conf.unset("spark.sql.catalog.eqcv.warehouse")
+    }
+  }
+
+  test("metadata-log trimming: previous-versions-max caps the log, delete-after-commit reclaims files") {
+    val src = spark.range(0, 10).toDF("id")
+    val loc = tmpLocation("mdlog")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil),
+      properties = Map(GraftTable.PreviousVersionsMaxProp -> "3"))
+    (0 until 8).foreach(_ => t.append(spark, src))
+    // log capped at 3, newest entries survive (the immediately-previous version is last)
+    assert(t.metadata.metadataLog.size === 3)
+    assert(t.metadata.metadataLog.last.ref.endsWith(s"v${t.version - 1}.metadata.json"))
+    // without delete-after-commit the trimmed FILES remain on disk
+    val mdir = new java.io.File(s"$loc/metadata")
+    def mdFiles() = mdir.listFiles().map(_.getName).filter(_.endsWith(".metadata.json")).toSet
+    assert(mdFiles().size > 4)
+
+    // opt into file deletion: subsequent commits reclaim what THEY trim
+    // (entries dropped before the opt-in stay on disk as orphans)
+    t.setProperties(Map(GraftTable.DeleteAfterCommitProp -> "true"))
+    val beforeEnabled = mdFiles()
+    val logAtEnable = t.metadata.metadataLog.map(_.ref.split('/').last).toSet
+    (0 until 4).foreach(_ => t.append(spark, src))
+    assert(t.metadata.metadataLog.size === 3)
+    val names = mdFiles()
+    // every file named by the surviving log entries is still there...
+    t.metadata.metadataLog.foreach { e =>
+      assert(names.contains(e.ref.split('/').last), s"trimmed a live log entry: ${e.ref}")
+    }
+    // ...and the entries the enabled commits trimmed (in the log at enable
+    // time, not in it now) had their files deleted
+    val reclaimed = logAtEnable -- t.metadata.metadataLog.map(_.ref.split('/').last).toSet
+    assert(reclaimed.nonEmpty)
+    reclaimed.foreach(f => assert(!names.contains(f), s"trimmed file $f not deleted"))
+    assert(beforeEnabled.exists(f => !names.contains(f)))
+    // table still loads and reads fine after trimming
+    val re = StorageCatalog.loadTable(conf, loc)
+    assert(re.scan(spark).count() === 120)
+  }
 }
