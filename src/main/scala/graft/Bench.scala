@@ -77,6 +77,7 @@ object Bench {
     "ice_row_lineage",
     "text_bm25",
     "dedup_semantic",
+    "text_dsir",
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup

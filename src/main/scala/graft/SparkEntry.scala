@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{text, transforms, vectors}
-import graft.operators.{Decontamination, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Decontamination, Dedup, Multimodal, Packing, Sampling, Selection, Similarity, TextAnalysis}
 import graft.tables._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -810,6 +810,24 @@ object SparkEntry {
       // head of importance-based data selection
       TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
         Seq("data", "query", "spark"))
+    }),
+    "text_dsir" -> ((s, dir) => {
+      // DSIR importance weights: every document scored by how much its
+      // hashed-unigram profile looks like the TARGET slice (English docs)
+      // vs the raw corpus — one tiny global aggregate, then a map-only
+      // literal-weighted score
+      Selection.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en")
+    }),
+    "sample_mixture" -> ((s, dir) => {
+      // target-mixture sampling: re-weight three sources to a 20/30/50
+      // token mixture at a 10% global budget, deterministically by key
+      // hash (src2's rate caps at 1.0 — never upsampled)
+      Selection.mixtureSample(t(s, dir, "documents"), "doc_id", "source",
+        "n_chars", Map("src0" -> 0.2, "src1" -> 0.3, "src2" -> 0.5),
+        budget = 0.1)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast(LongType).as("n_chars"))
     }),
     "text_fingerprint" -> ((s, dir) => {
       // DuckDB cannot reproduce the wrapping-Long rolling hash, so the
@@ -2677,6 +2695,59 @@ object SparkEntry {
         |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2)
         |      / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
         |FROM tf, g""".stripMargin,
+    // exact replica of Selection.dsirWeights: md5-hex-digit buckets,
+    // add-one-smoothed log-ratios rounded to 6dp, score = the same fixed
+    // left-to-right literal-weighted chain (list_sum in list order)
+    "text_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, (lang = 'en') AS is_t,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |bc AS (
+        |  SELECT doc_id, is_t, len(tk) AS n,
+        |    list_transform(range(0, 16), i ->
+        |      CAST(len(list_filter(tk,
+        |        w -> substr(md5(w), 1, 1) = substr('0123456789abcdef', CAST(i AS INT) + 1, 1)))
+        |      AS BIGINT)) AS c
+        |  FROM toks),
+        |persum AS (
+        |  SELECT i,
+        |    CAST(SUM(CASE WHEN is_t THEN c[CAST(i AS INT) + 1] ELSE 0 END) AS BIGINT) AS ti,
+        |    CAST(SUM(c[CAST(i AS INT) + 1]) AS BIGINT) AS ri
+        |  FROM bc, (SELECT unnest(range(0, 16)) AS i)
+        |  GROUP BY i),
+        |sums AS (SELECT list(ti ORDER BY i) AS t, list(ri ORDER BY i) AS r FROM persum),
+        |ratios AS (
+        |  SELECT list_transform(range(0, 16), i ->
+        |    round(ln(((t[CAST(i AS INT) + 1] + 1.0) / (list_sum(t) + 16.0))
+        |           / ((r[CAST(i AS INT) + 1] + 1.0) / (list_sum(r) + 16.0))), 6)) AS rr
+        |  FROM sums)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  round(list_sum(list_transform(range(0, 16), i ->
+        |    CAST(c[CAST(i AS INT) + 1] AS DOUBLE) * rr[CAST(i AS INT) + 1])), 6) AS dsir_score
+        |FROM bc, ratios""".stripMargin,
+    // exact replica of Selection.mixtureSample over Sampling's md5
+    // threshold: per-source keep-rate min(1, budget*w*T/tok), threshold
+    // printf('%04x', round(rate*65536)), same md5-prefix comparison
+    "sample_mixture" ->
+      """WITH hist AS (
+        |  SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS tok
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT * FROM (VALUES ('src0', 0.2), ('src1', 0.3), ('src2', 0.5)) AS t(source, wt)),
+        |tot AS (SELECT SUM(tok) AS T FROM hist),
+        |rates AS (
+        |  SELECT w.source, LEAST(1.0, 0.1 * wt * T / tok) AS rate
+        |  FROM w JOIN hist ON w.source = hist.source, tot),
+        |thr AS (
+        |  SELECT source,
+        |    CASE WHEN rate >= 1.0 OR CAST(round(rate * 65536) AS BIGINT) >= 65536
+        |         THEN 'g'
+        |         ELSE printf('%04x', CAST(round(rate * 65536) AS BIGINT)) END AS h
+        |  FROM rates)
+        |SELECT doc_id, d.source, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents d JOIN thr ON d.source = thr.source
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < h""".stripMargin,
     "dedup_resolve" ->
       """WITH RECURSIVE s AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)),

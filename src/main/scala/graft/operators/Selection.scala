@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Importance-based data selection for training-data pipelines: DSIR-style
+  * hashed-feature importance weights and target-mixture sampling.
+  *
+  * Both operators follow the same scale recipe as the rest of the
+  * pipeline surface: ONE tiny global aggregate (bucket/domain counts —
+  * bytes, collected to the driver and re-emitted as plan literals),
+  * then a MAP-ONLY scoring/filter pass over the corpus. Nothing shuffles
+  * with the data; the corpus-sized side never leaves its input splits.
+  */
+object Selection {
+
+  /** lower-cased word tokens, same tokenizer as TextAnalysis/bm25 */
+  private def toks(textCol: Column): Column =
+    filter(split(lower(textCol), "[^a-z0-9]+"), x => length(x) > 0)
+
+  /** engine-portable feature hash: first `hexChars` hex digits of md5 —
+    * the same trick Sampling uses for thresholds, here as the bucket id
+    * (16^hexChars buckets; strings compare/equate identically in Spark,
+    * DuckDB, Trino) */
+  private def bucketIds(hexChars: Int): Seq[String] = {
+    require(hexChars >= 1 && hexChars <= 2, "1 or 2 hex chars (16 or 256 buckets)")
+    val digits = "0123456789abcdef"
+    if (hexChars == 1) digits.map(_.toString)
+    else for (a <- digits; b <- digits) yield s"$a$b"
+  }
+
+  /** DSIR importance weights (Data Selection via Importance Resampling,
+    * Xie et al. 2023): score every raw document by how much more likely
+    * its hashed-unigram profile is under a TARGET distribution than under
+    * the RAW distribution — `score(d) = Σ_b n_b(d) · log(p_t(b)/p_r(b))`
+    * with add-one smoothing. High scorers "look like" the target corpus;
+    * feed the scores to [[Sampling.hashSample]]-style selection or a
+    * softmax resampler.
+    *
+    * Scale design: pass 1 computes per-bucket token counts for the target
+    * slice and the full corpus as ONE aggregate row (2·B longs — the
+    * "distribution" is driver-tiny by construction); the per-bucket
+    * log-ratios come back as plan LITERALS. Pass 2 is map-only: each
+    * doc's bucket counts fold over its in-row token array (array HOFs,
+    * no explode) and the score is a fixed literal-weighted sum — the
+    * expression tree is identical on every engine, so scores are
+    * bit-reproducible (ratios rounded to 6dp to absorb libm ln deltas).
+    *
+    * The reference has no selection surface (it is a table-format
+    * engine); this is part of the §2.14 pipeline obligations. */
+  def dsirWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      hexChars: Int = 1): DataFrame = {
+    val ids = bucketIds(hexChars)
+    // per-doc bucket counts computed ONCE into an array column (16/256
+    // filter-folds over the in-row token array; no explode, no shuffle)
+    val based = df.select(
+      col(idCol), toks(col(textCol)).as("_toks"), isTarget.as("_is_t"))
+      .withColumn("_bc", array(ids.map(b =>
+        size(filter(col("_toks"),
+          w => substring(md5(w), 1, hexChars) === b)).cast(LongType)): _*))
+
+    def bucketCount(i: Int): Column = col("_bc")(i)
+
+    // pass 1: per-bucket token totals, target slice vs full corpus — one
+    // aggregate row regardless of corpus size
+    val aggs =
+      ids.indices.map(i =>
+        sum(when(col("_is_t"), bucketCount(i)).otherwise(0L)).as(s"t_$i")) ++
+      ids.indices.map(i => sum(bucketCount(i)).as(s"r_$i"))
+    val row = based.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val tCounts = ids.indices.map(i => row.getLong(i))
+    val rCounts = ids.indices.map(i => row.getLong(ids.size + i))
+    val (tTot, rTot) = (tCounts.sum, rCounts.sum)
+    val b = ids.size.toDouble
+    def smoothed(n: Long, tot: Long): Double = (n + 1.0) / (tot + b)
+    val ratios: Seq[Double] = ids.indices.map { i =>
+      val v = math.log(smoothed(tCounts(i), tTot) / smoothed(rCounts(i), rTot))
+      math.rint(v * 1e6) / 1e6
+    }
+
+    // pass 2: map-only literal-weighted score; the sum is a FIXED
+    // left-to-right chain so every engine adds in the same order
+    val score = ids.indices
+      .map(i => bucketCount(i).cast(DoubleType) * lit(ratios(i)))
+      .reduce(_ + _)
+    based.select(
+      col(idCol),
+      size(col("_toks")).cast(LongType).as("n_tokens"),
+      round(score, 6).as("dsir_score"))
+  }
+
+  /** Target-mixture sampling (the "data mix" knob of a training run):
+    * given desired domain WEIGHTS (fractions of the output token budget)
+    * and a global `budget` (fraction of total corpus tokens to keep),
+    * compute each domain's keep-rate and hash-sample it deterministically.
+    * A domain whose natural share already undershoots its target keeps
+    * everything (rate caps at 1 — this operator never upsamples, matching
+    * single-epoch pipeline practice; run it per epoch for repetition).
+    *
+    * rate_d = min(1, budget · weight_d · T / tokens_d)   (T = total tokens)
+    *
+    * Scale: the domain token histogram is ONE aggregate (domains are
+    * few); the sample itself is [[Sampling]]'s map-only md5-threshold
+    * filter with per-domain thresholds broadcast — nothing about the
+    * corpus shuffles. Deterministic by key: re-runs and backfills pick
+    * the same documents. */
+  def mixtureSample(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      tokenCountCol: String,
+      weights: Map[String, Double],
+      budget: Double,
+      salt: String = ""): DataFrame = {
+    require(budget > 0 && budget <= 1.0, s"budget in (0,1], got $budget")
+    val wSum = weights.values.sum
+    require(math.abs(wSum - 1.0) < 1e-9, s"weights must sum to 1, got $wSum")
+    val hist = df.groupBy(col(domainCol)).agg(
+      sum(col(tokenCountCol)).cast(DoubleType).as("tok")).collect()
+    val total = hist.map(_.getDouble(1)).sum
+    val tokOf = hist.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rates: Map[String, Double] = weights.map { case (d, w) =>
+      val tok = tokOf.getOrElse(d, 0.0)
+      d -> (if (tok <= 0) 0.0 else math.min(1.0, budget * w * total / tok))
+    }
+    Sampling.stratifiedSample(df, idCol, domainCol, rates,
+      defaultFraction = 0.0, salt = salt)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{text, vectors, TextUtil}
-import graft.operators.{Decontamination, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Decontamination, Dedup, Multimodal, Packing, Sampling, Selection, Similarity, TextAnalysis}
 
 class OperatorsSpec extends AnyFunSuite {
 
@@ -432,5 +432,54 @@ class OperatorsSpec extends AnyFunSuite {
     val out = Decontamination.flagged(train, bench, "doc_id", "text", n = 4)
       .collect().map(_.getLong(0)).toSet
     assert(out === Set(1L))
+  }
+
+  test("dsir weights rank target-looking docs above off-target docs") {
+    import org.apache.spark.sql.functions.col
+    // target = "science" vocabulary; raw corpus mixes it with a disjoint
+    // "cooking" vocabulary. A held-out science doc must outscore a
+    // held-out cooking doc.
+    val sci = "quantum relativity neutrino boson entropy tensor"
+    val cook = "butter flour saute simmer whisk garlic"
+    val rows = (
+      (1L to 20L).map(i => (i, s"$sci token$i", true)) ++
+      (21L to 40L).map(i => (i, s"$cook token$i", false)) ++
+      Seq((98L, s"$sci extra", false), (99L, s"$cook extra", false))
+    ).toDF("doc_id", "text", "is_target")
+    val scores = Selection.dsirWeights(rows, "doc_id", "text", col("is_target"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(98L) > scores(99L))
+    // determinism: identical literals -> identical scores on re-run
+    val again = Selection.dsirWeights(rows, "doc_id", "text", col("is_target"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again === scores)
+  }
+
+  test("mixture sampling hits per-domain keep-rates and never upsamples") {
+    // three domains with 60/30/10 token shares; target mixture 20/30/50
+    // at a 0.5 budget -> rates 1/6, 1/2, 1 (capped)
+    val rows = (
+      (1L to 600L).map(i => (i, "web", 10L)) ++
+      (601L to 900L).map(i => (i, "forum", 10L)) ++
+      (901L to 1000L).map(i => (i, "wiki", 10L)) ++
+      (1001L to 1100L).map(i => (i, "junk", 10L))
+    ).toDF("doc_id", "source", "n_tokens")
+    val weighted = rows.filter($"source" =!= "junk")
+    val out = Selection.mixtureSample(weighted, "doc_id", "source", "n_tokens",
+      Map("web" -> 0.2, "forum" -> 0.3, "wiki" -> 0.5), budget = 0.5)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("wiki") === 100) // rate capped at 1.0: keep everything
+    assert(math.abs(bySrc("web") - 100.0) < 40)   // ~600/6
+    assert(math.abs(bySrc("forum") - 150.0) < 45) // ~300/2
+    // unweighted domains drop; weights must sum to 1
+    val withJunk = Selection.mixtureSample(rows, "doc_id", "source", "n_tokens",
+      Map("web" -> 0.2, "forum" -> 0.3, "wiki" -> 0.5), budget = 0.5)
+    assert(!withJunk.select("source").distinct().collect()
+      .map(_.getString(0)).contains("junk"))
+    intercept[IllegalArgumentException] {
+      Selection.mixtureSample(rows, "doc_id", "source", "n_tokens",
+        Map("web" -> 0.5), budget = 0.5)
+    }
   }
 }
