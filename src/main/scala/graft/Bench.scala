@@ -78,6 +78,7 @@ object Bench {
     "text_bm25",
     "dedup_semantic",
     "text_dsir",
+    "ann_ivf_pq",
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup

@@ -757,6 +757,18 @@ object SparkEntry {
         .filter(col("rank") === 1)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
+    "ann_ivf_pq" -> ((s, dir) => {
+      // product quantization with exact re-rank: the same planted-match
+      // oracle (jitter is normalized away, so the source vector reaches
+      // the ADC shortlist and the exact re-rank must put it first)
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 4).select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      Similarity.pqTopK(e, queries, "vec_id", "embedding", 5)
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
     "ann_ivf_centroids" -> ((s, dir) => {
       // trained-centroid IVF (k-means cells) with the same planted-match
       // oracle as ann_ivf: normalization makes the ×1.001 jitter a no-op
@@ -2613,6 +2625,9 @@ object SparkEntry {
       """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id, 1 AS rank
         |FROM embeddings WHERE vec_id < 4""".stripMargin,
     "ann_ivf_centroids" ->
+      """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id, 1 AS rank
+        |FROM embeddings WHERE vec_id < 4""".stripMargin,
+    "ann_ivf_pq" ->
       """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id, 1 AS rank
         |FROM embeddings WHERE vec_id < 4""".stripMargin,
     "ann_ivf_index" ->

@@ -244,6 +244,105 @@ object Similarity {
     transform(c, x => x / greatest(n, lit(1e-12d)))
   }
 
+  /** Product-quantization ANN (IVF-PQ's scoring half, Jégou et al. 2011):
+    * vectors split into `m` subspaces, each subspace k-means-quantized to
+    * a `numCodes`-entry codebook, every corpus vector stored as `m` small
+    * codes. A query scores candidates by ADC (asymmetric distance
+    * computation): one per-query lookup table of subspace dot products,
+    * then each candidate's approximate score is `m` table lookups — no
+    * float arithmetic against corpus vectors at all. The ADC top
+    * `k·refine` then re-ranks EXACTLY against the true vectors.
+    *
+    * Scale design: codebooks train on a bounded sample (m tiny k-means
+    * fits); encoding is map-only (m model.transforms); the LUT build is
+    * queries × m × numCodes — broadcast-sized by construction; ADC scoring
+    * streams the compact code table map-side (codes are m bytes vs 4·D
+    * vector bytes — a 32× scan-footprint cut at D=64, which is the whole
+    * point at 100 TB: the float corpus is only touched for the final
+    * queries × k·refine re-rank join). */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 8,
+      numCodes: Int = 16,
+      refine: Int = 4,
+      trainLimit: Int = 100000,
+      seed: Long = 7L): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
+    val d = dim / m
+
+    def sub(c: Column, j: Int): Column = slice(c, j * d + 1, d)
+    val c0 = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      unitNorm(col(vecCol)).as("nv"))
+    // one bounded-sample k-means per subspace; the m models ARE the index
+    val subCols = (0 until m).map(j => array_to_vector(sub(col("nv"), j)).as(s"_s$j"))
+    val withSubs = c0.select(col("neighbor_id") +: col("cv") +: subCols: _*)
+    val sample = withSubs.limit(trainLimit).cache()
+    val models = (0 until m).map { j =>
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(numCodes).setSeed(seed + j).setMaxIter(10)
+        .setFeaturesCol(s"_s$j").setPredictionCol(s"_c$j")
+        .fit(sample)
+    }
+    sample.unpersist()
+    // encode: m predictions fold into one small code array per vector
+    val encoded = models.zipWithIndex
+      .foldLeft(withSubs) { case (df, (mod, _)) => mod.transform(df) }
+      .select(col("neighbor_id"),
+        array((0 until m).map(j => col(s"_c$j")): _*).as("pq_codes"))
+    // codebook rows (subspace, code, centroid) — m × numCodes, broadcast
+    val cb = models.zipWithIndex.flatMap { case (mod, j) =>
+      mod.clusterCenters.zipWithIndex.map { case (v, kk) => (j, kk, v.toArray) }
+    }.toDF("sub_j", "code", "centroid")
+    // per-query ADC lookup table: lut[(j·numCodes)+code] = <q_j, centroid>
+    val q0 = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"),
+      unitNorm(col(vecCol)).as("nq"))
+    val partial = aggregate(
+      zip_with(element_at(col("subs"), col("sub_j") + 1), col("centroid"),
+        (a, b) => a * b),
+      lit(0.0d), (acc, x) => acc + x)
+    val lutDf = q0
+      .withColumn("subs", array((0 until m).map(j => sub(col("nq"), j)): _*))
+      .crossJoin(broadcast(cb))
+      .withColumn("p", partial)
+      .groupBy(col("query_id"))
+      .agg(
+        first(col("qv")).as("qv"),
+        transform(
+          sort_array(collect_list(struct(
+            (col("sub_j") * numCodes + col("code")).as("slot"), col("p").as("p")))),
+          s => s("p")).as("lut"))
+    // ADC scan: per candidate, m lookups into the broadcast LUT
+    val adc = aggregate(
+      zip_with(col("pq_codes"), sequence(lit(0), lit(m - 1)),
+        (c, j) => element_at(col("lut"), (j * numCodes + c).cast("int") + 1)),
+      lit(0.0d), (acc, x) => acc + x)
+    val scored = encoded
+      .join(broadcast(lutDf), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("cosine"), col("qv"))
+    // ADC shortlist (k·refine per query; qv rides along through the heap),
+    // then EXACT re-rank: floats are touched only for this bounded join
+    val shortlist = partialTopK(scored, k * refine)
+    val exact = c0.select(col("neighbor_id"), col("cv"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        vectors.cosineSim(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    partialTopK(exact, k)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF-style ANN: assign corpus vectors to deterministic LSH cells
     * (random-hyperplane sign bits), probe only the query's cell plus
     * `nprobe-1` nearest cells by signature Hamming distance. At 100 TB the

@@ -434,6 +434,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out === Set(1L))
   }
 
+  test("pq top-k with exact re-rank recovers brute-force top-1 on clustered vectors") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    // 8 well-separated cluster centers in 16-d; 25 jittered members each
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian().toFloat * 5f))
+    val rows = (0 until 200).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.1f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = rows.filter($"vec_id" < 6).select(
+      ($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    val pq = Similarity.pqTopK(rows, queries, "vec_id", "embedding", 3,
+      m = 4, numCodes = 8, refine = 4)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bf = Similarity.bruteForceTopK(rows, queries, "vec_id", "embedding", 3)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pq === bf) // exact re-rank: the planted source vector wins
+  }
+
   test("dsir weights rank target-looking docs above off-target docs") {
     import org.apache.spark.sql.functions.col
     // target = "science" vocabulary; raw corpus mixes it with a disjoint
