@@ -2053,6 +2053,31 @@ object SparkEntry {
       q.stop()
       s.table(name)
     }),
+    "stream_changelog" -> ((s, dir) => {
+      // streaming CDC source (mode=changelog): each micro-batch carries
+      // its snapshot range's changelog — inserts AND full-content deletes
+      // — rate-limited to one commit per batch; the memory sink collects
+      // the whole feed
+      val src = t(s, dir, "orders")
+      val even = src.filter(col("o_orderkey") % 2 === 0)
+      val odd = src.filter(col("o_orderkey") % 2 === 1)
+      val tbl = freshTable(s, "stream_changelog", src)
+      tbl.append(s, even)
+      tbl.equalityDelete(s,
+        even.filter(col("o_orderstatus") === "P").select(col("o_orderkey")),
+        Seq("o_orderkey"))
+      tbl.append(s, odd)
+      val name = s"stream_cdc_${System.nanoTime()}"
+      val q = s.readStream.format("graft-stream")
+        .option("location", tbl.location)
+        .option("mode", "changelog")
+        .option("max-seqs-per-trigger", "1")
+        .load()
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+    }),
     "stream_stream_join" -> ((s, dir) => {
       // stream-stream inner join with event-time range bounds: clicks
       // joined to same-user purchases within 30 minutes, both sides
@@ -3072,6 +3097,11 @@ object SparkEntry {
         |WHERE rn = 1""".stripMargin,
     "stream_sink_append" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+    "stream_changelog" ->
+      """SELECT *, 'insert' AS _change_type FROM orders
+        |UNION ALL
+        |SELECT *, 'delete' AS _change_type FROM orders
+        |WHERE o_orderkey % 2 = 0 AND o_orderstatus = 'P'""".stripMargin,
     "stream_stream_join" ->
       // micros-truncated comparisons on BOTH bounds: Spark reads the
       // nanos timestamps truncated to micros, so the oracle must compare

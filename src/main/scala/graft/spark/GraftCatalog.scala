@@ -744,10 +744,25 @@ class GraftScanBuilder(
     onlyFiles: Option[Set[String]] = None,
     startSnapshotId: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var pushedFiltersArr: Array[Filter] = Array.empty
   private var requiredSchema: StructType = fullSchema
+  private var pushedLimit: Option[Int] = None
+
+  /** LIMIT pushdown = FILE-LIST truncation: an unfiltered, delete-free
+    * `LIMIT n` needs only enough files to cover n rows by manifest
+    * recordCount, so planning stops enumerating splits after them — at
+    * 10^5 files a `SELECT * ... LIMIT 10` plans one split instead of all.
+    * Returns false (partial): Spark re-applies the limit above the scan,
+    * so over-delivery is always safe; with filters/deletes/row-meta the
+    * truncation is skipped entirely (recordCount no longer bounds live
+    * matching rows). */
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = Some(limit)
+    false
+  }
 
   // metadata-only aggregate pushdown (COUNT/MIN/MAX from manifest stats).
   // Memoized: Spark probes supportCompletePushDown before pushAggregation
@@ -852,7 +867,6 @@ class GraftScanBuilder(
           .filter(p => onlyFiles.forall(_.contains(GraftTable.normPathStr(p.file.filePath))))
         val data = PruneEval.prunePlanned(allData, pruneFilter, table.metadata, iceSchema)
         Metrics.inc(Metrics.ScansPlanned)
-        Metrics.inc(Metrics.FilesScanned, data.size.toLong)
         Metrics.inc(Metrics.FilesPruned, (allData.size - data.size).toLong)
         val deletes =
           if (fromSeq.isDefined) Nil
@@ -871,12 +885,28 @@ class GraftScanBuilder(
         val needsDefaults = iceSchema.fields.exists(f =>
           f.initialDefault.isDefined && data.exists(p =>
             p.file.columnSizes.nonEmpty && !p.file.columnSizes.contains(f.id)))
-        if (posD.nonEmpty || eqD.nonEmpty || needsRowMeta || needsDefaults)
+        if (posD.nonEmpty || eqD.nonEmpty || needsRowMeta || needsDefaults) {
+          Metrics.inc(Metrics.FilesScanned, data.size.toLong)
           new GraftMorScan(table, iceSchema, data, posD, eqD, fullSchema, requiredSchema,
             pushedFiltersArr)
-        else
+        } else {
+          // safe truncation point: no deletes, no filters, no row metadata
+          // — every planned file's recordCount is fully live, so a prefix
+          // covering the limit suffices (Spark re-applies the LIMIT above)
+          val limited = pushedLimit match {
+            case Some(n) if pushedFiltersArr.isEmpty =>
+              var acc = 0L
+              data.takeWhile { p =>
+                val need = acc < n
+                acc += p.file.recordCount
+                need
+              }
+            case _ => data
+          }
+          Metrics.inc(Metrics.FilesScanned, limited.size.toLong)
           new GraftNativeBatchScan(
-            table, iceSchema, data, fullSchema, requiredSchema, pushedFiltersArr)
+            table, iceSchema, limited, fullSchema, requiredSchema, pushedFiltersArr)
+        }
     }
   }
 }

@@ -19,6 +19,12 @@ import graft.tables.{GraftTable, SchemaConvert, StorageCatalog, TableWrite}
   *   spark.readStream.format("graft-stream")
   *     .option("location", "/path/to/table").load()
   *
+  * With `.option("mode", "changelog")` each micro-batch is the CDC
+  * changelog of its snapshot range instead of just appended rows: the
+  * table schema plus `_change_type` ('insert' | 'delete'), deletes
+  * carrying the full deleted-row content, rewrites contributing nothing
+  * — the streaming form of `GraftTable.changes`.
+  *
   * Sink: each micro-batch commits one snapshot — append by default, or a
   * keyed CDC upsert when `upsert-keys` is set (the reference's
   * EqualityDeltaWriter stack driven by Structured Streaming; an optional
@@ -65,6 +71,14 @@ class GraftStreamSourceProvider extends StreamSourceProvider with StreamSinkProv
       sinkId)
   }
 
+  private def changelogMode(parameters: Map[String, String]): Boolean =
+    parameters.get("mode").map(_.trim.toLowerCase) match {
+      case Some("changelog") => true
+      case Some("append") | None => false
+      case Some(other) => sys.error(s"unknown graft-stream mode '$other' " +
+        "(expected 'append' or 'changelog')")
+    }
+
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
@@ -73,7 +87,11 @@ class GraftStreamSourceProvider extends StreamSourceProvider with StreamSinkProv
     val t = StorageCatalog.loadTable(
       org.apache.spark.sql.GraftBridge.sessionHadoopConf(sqlContext.sparkSession),
       location(parameters))
-    ("graft-stream", SchemaConvert.toSparkSchema(t.metadata.currentSchema))
+    val base = SchemaConvert.toSparkSchema(t.metadata.currentSchema)
+    ("graft-stream",
+      if (changelogMode(parameters))
+        base.add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)
+      else base)
   }
 
   override def createSource(
@@ -83,7 +101,8 @@ class GraftStreamSourceProvider extends StreamSourceProvider with StreamSinkProv
       providerName: String,
       parameters: Map[String, String]): Source =
     new GraftStreamSource(sqlContext.sparkSession, location(parameters),
-      parameters.get("max-seqs-per-trigger").map(_.toLong))
+      parameters.get("max-seqs-per-trigger").map(_.toLong),
+      changelog = changelogMode(parameters))
 }
 
 case class SeqOffset(seq: Long) extends Offset {
@@ -104,7 +123,8 @@ case class SeqOffset(seq: Long) extends Offset {
 class GraftStreamSource(
     spark: SparkSession,
     location: String,
-    maxSeqsPerTrigger: Option[Long] = None) extends Source
+    maxSeqsPerTrigger: Option[Long] = None,
+    changelog: Boolean = false) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit}
@@ -131,8 +151,12 @@ class GraftStreamSource(
   /** AvailableNow: head sequence latched at query start; None = unbounded */
   @volatile private var latchedHeadSeq: Option[Long] = None
 
-  override def schema: StructType =
-    SchemaConvert.toSparkSchema(table.metadata.currentSchema)
+  override def schema: StructType = {
+    val base = SchemaConvert.toSparkSchema(table.metadata.currentSchema)
+    if (changelog)
+      base.add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)
+    else base
+  }
 
   private def nextOffset(rateLimit: Option[Long]): Option[Offset] = {
     val t = table
@@ -190,6 +214,22 @@ class GraftStreamSource(
     val startSeq = start.map(_.json().toLong).getOrElse(0L)
     val endSeq = end.json().toLong
     if (endSeq > lastSeenSeq) lastSeenSeq = endSeq
+    if (changelog) {
+      // CDC micro-batch: the batch-range changelog (inserts + delete-row
+      // content + overwrite drops, replace-aware) addressed by sequence —
+      // each batch is exactly `changes()` over (startSeq, endSeq]
+      val cdcSchema = schema
+      val to = t.metadata.snapshots.filter(_.sequenceNumber <= endSeq)
+        .sortBy(_.sequenceNumber).lastOption
+      val batch = to match {
+        case Some(s) if s.sequenceNumber > startSeq =>
+          t.changesRawBySeq(spark, startSeq, s)
+        case _ =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cdcSchema)
+      }
+      return org.apache.spark.sql.GraftBridge.asStreamingDataFrame(batch)
+    }
     val snap = t.metadata.snapshots.find(_.sequenceNumber == endSeq)
       .orElse(t.metadata.currentSnapshot)
     val sparkSchema = SchemaConvert.toSparkSchema(t.metadata.currentSchema)

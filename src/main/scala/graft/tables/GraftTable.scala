@@ -368,15 +368,25 @@ class GraftTable(
       spark: SparkSession,
       fromSnapshotId: Long,
       toSnapshotId: Option[Long]): DataFrame = {
-    import org.apache.spark.sql.functions.lit
     val from = metadata.snapshotById(fromSnapshotId)
       .getOrElse(sys.error(s"no snapshot $fromSnapshotId"))
     val to = toSnapshotId.flatMap(metadata.snapshotById)
       .orElse(metadata.currentSnapshot)
       .getOrElse(sys.error("no current snapshot"))
+    changesRawBySeq(spark, from.sequenceNumber, to)
+  }
+
+  /** Seq-addressed changelog core — the streaming CDC source hands out
+    * sequence-number offsets, not snapshot ids, and `fromSeq = 0` means
+    * "from before the first snapshot" (everything emits as inserts). */
+  private[graft] def changesRawBySeq(
+      spark: SparkSession,
+      fromSeq: Long,
+      to: IceSnapshot): DataFrame = {
+    import org.apache.spark.sql.functions.lit
     val schema = metadata.currentSchema
     val sparkSchema = SchemaConvert.toSparkSchema(schema)
-    val range = snapshotsInRange(from.sequenceNumber, to.sequenceNumber)
+    val range = snapshotsInRange(fromSeq, to.sequenceNumber)
     val pinned = GraftTable.pinnedSession(spark)
     val byId = metadata.snapshots.map(s => s.snapshotId -> s).toMap
 
@@ -400,8 +410,15 @@ class GraftTable(
           .values.map(_.head).toSeq,
         sparkSchema, withMeta = true)
 
-    val inserts = scanIncremental(spark, fromSnapshotId, toSnapshotId)
-      .withColumn("_change_type", lit("insert"))
+    val inserts = {
+      val files = incrementalAddedFiles(fromSeq, to)
+      val df =
+        if (files.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
+        else readDataFiles(spark, files, sparkSchema)
+      df.withColumn("_change_type", lit("insert"))
+    }
 
     // overwrite/TRUNCATE commits -> rows of the data files they dropped
     val overwritten: Seq[DataFrame] =

@@ -577,4 +577,35 @@ class CatalogSpec extends AnyFunSuite {
       .properties()
     assert(!props.containsKey("x"))
   }
+
+  test("LIMIT pushdown truncates the planned file list; filters/deletes disable it") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.lim")
+    spark.sql("CREATE TABLE graft.db.lim (id BIGINT, v STRING)")
+    // 12 separate single-file commits
+    (0 until 12).foreach { i =>
+      spark.sql(s"INSERT INTO graft.db.lim VALUES ($i, 'x$i'), (${i + 100}, 'y$i')")
+    }
+    def filesScannedDelta(q: String, expectRows: Long): Long = {
+      val before = graft.tables.Metrics.get(graft.tables.Metrics.FilesScanned)
+      // collect, not count: COUNT(*) would answer from manifest stats
+      // without opening (or planning) any file at all
+      assert(spark.sql(q).collect().length.toLong === expectRows)
+      graft.tables.Metrics.get(graft.tables.Metrics.FilesScanned) - before
+    }
+    // unlimited scan plans every file (each 2-row INSERT may fan out)
+    val base = filesScannedDelta("SELECT * FROM graft.db.lim", 24)
+    assert(base >= 12)
+    // LIMIT 3 plans only the file prefix covering 3 rows
+    val lim = filesScannedDelta("SELECT * FROM graft.db.lim LIMIT 3", 3)
+    assert(lim <= 3 && lim < base, s"limit pushdown planned $lim of $base files")
+    // a filter disables truncation (recordCount no longer bounds matching
+    // rows) — use a predicate no file's bounds can prune, so any file-count
+    // drop could only have come from (unsafe) limit truncation
+    assert(filesScannedDelta(
+      "SELECT * FROM graft.db.lim WHERE id >= 0 LIMIT 30", 24) === base)
+    // deletes route through the MoR scan: truncation off, results exact
+    spark.sql("DELETE FROM graft.db.lim WHERE id = 0")
+    assert(spark.sql("SELECT * FROM graft.db.lim LIMIT 30").collect().length === 23)
+  }
 }

@@ -98,4 +98,44 @@ class StreamingStateSpec extends AnyFunSuite {
     // commits: events 1,2 from batch 1 plus event 4 from batch 2
     assert(out.toSeq === Seq((10L, 1L, 3L, 0L, 25L * m)))
   }
+
+  test("changelog stream: per-batch CDC rows, deletes carry content, rewrites emit nothing") {
+    val loc = Files.createTempDirectory("graft-cdcstream").toFile.getAbsolutePath + "/t"
+    val src = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
+    val schema = SchemaConvert.fromSparkSchema(src.schema)
+    val tbl = StorageCatalog.createOrReplaceTable(
+      spark.sparkContext.hadoopConfiguration, loc, schema, IcePartitionSpec(0, Nil))
+    tbl.append(spark, src.filter(col("id") <= 10))          // seq 1
+    tbl.equalityDelete(spark,                               // seq 2
+      Seq(3L, 7L).toDF("id"), Seq("id"))
+    tbl.rewriteDataFiles(spark)                             // seq 3 (rewrite)
+    tbl.append(spark, src.filter(col("id") > 10))           // seq 4
+
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, String, String)]]
+    val q = spark.readStream.format("graft-stream")
+      .option("location", loc)
+      .option("mode", "changelog")
+      .option("max-seqs-per-trigger", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+        batches.synchronized { if (rows.nonEmpty) batches += rows }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val nonEmpty = batches.toSeq
+    // 3 non-empty batches: insert 1-10, delete {3,7} WITH content, insert
+    // 11-20; the compaction batch contributes nothing
+    assert(nonEmpty.size === 3)
+    assert(nonEmpty(0).map(_._1).sorted === (1L to 10L))
+    assert(nonEmpty(0).forall(_._3 == "insert"))
+    assert(nonEmpty(1).toSet === Set((3L, "v3", "delete"), (7L, "v7", "delete")))
+    assert(nonEmpty(2).map(_._1).sorted === (11L to 20L))
+    assert(nonEmpty(2).forall(_._3 == "insert"))
+  }
 }
