@@ -56,13 +56,16 @@ object Selection {
       isTarget: Column,
       hexChars: Int = 1): DataFrame = {
     val ids = bucketIds(hexChars)
-    // per-doc bucket counts computed ONCE into an array column (16/256
-    // filter-folds over the in-row token array; no explode, no shuffle)
+    // per-doc bucket counts computed ONCE into an array column: hash each
+    // token ONCE (md5 is the expensive step — hashing inside each bucket
+    // filter would cost B md5s per token), then B cheap string-equality
+    // folds over the tiny bucket strings; no explode, no shuffle
     val based = df.select(
       col(idCol), toks(col(textCol)).as("_toks"), isTarget.as("_is_t"))
+      .withColumn("_tb",
+        transform(col("_toks"), w => substring(md5(w), 1, hexChars)))
       .withColumn("_bc", array(ids.map(b =>
-        size(filter(col("_toks"),
-          w => substring(md5(w), 1, hexChars) === b)).cast(LongType)): _*))
+        size(filter(col("_tb"), x => x === b)).cast(LongType)): _*))
 
     def bucketCount(i: Int): Column = col("_bc")(i)
 

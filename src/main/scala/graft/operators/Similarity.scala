@@ -5,6 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StructField, StructType}
 
 import graft.functions.vectors
 
@@ -238,6 +239,52 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Plain Lloyd's k-means over a driver-resident sample (seeded shuffle
+    * init, fixed iterations, empty clusters keep their centroid) —
+    * deterministic for a fixed seed and sample, which is what makes the
+    * PQ oracle reproducible. */
+  private def kmeansDriver(
+      vs: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    val dim = vs.head.length
+    val rnd = new scala.util.Random(seed)
+    val initIdx = rnd.shuffle(vs.indices.toVector).take(k)
+    val cents = Array.tabulate(k)(i =>
+      if (i < initIdx.length) vs(initIdx(i)).clone() else new Array[Double](dim))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      var r = 0
+      while (r < vs.length) {
+        val v = vs(r)
+        var best = 0
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var s = 0.0
+          var i = 0
+          while (i < dim) { val t = v(i) - cents(c)(i); s += t * t; i += 1 }
+          if (s < bd) { bd = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        r += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { cents(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
   /** shared unit-normalization (cosine-consistent k-means space) */
   private def unitNorm(c: Column): Column = {
     val n = sqrt(aggregate(c, lit(0.0d), (acc, x) => acc + x * x))
@@ -271,36 +318,74 @@ object Similarity {
       refine: Int = 4,
       trainLimit: Int = 100000,
       seed: Long = 7L): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val c0 = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      unitNorm(col(vecCol)).as("nv"))
+    // codebook training is small-data BY CONSTRUCTION (bounded sample —
+    // faiss trains PQ the same way), so it runs as plain driver loops:
+    // no per-subspace distributed fit, no ML pipeline overhead. 64k rows
+    // × 64 dims × 8B ≈ 33 MB driver ceiling. The sample also supplies
+    // the dimensionality (no separate probing action).
+    val sampleRows: Array[Array[Double]] = c0
+      .select(col("nv")).limit(math.min(trainLimit, 65536))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sampleRows.nonEmpty, "empty corpus")
+    val dim = sampleRows.head.length
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
     val d = dim / m
 
     def sub(c: Column, j: Int): Column = slice(c, j * d + 1, d)
-    val c0 = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      unitNorm(col(vecCol)).as("nv"))
-    // one bounded-sample k-means per subspace; the m models ARE the index
-    val subCols = (0 until m).map(j => array_to_vector(sub(col("nv"), j)).as(s"_s$j"))
-    val withSubs = c0.select(col("neighbor_id") +: col("cv") +: subCols: _*)
-    val sample = withSubs.limit(trainLimit).cache()
-    val models = (0 until m).map { j =>
-      new org.apache.spark.ml.clustering.KMeans()
-        .setK(numCodes).setSeed(seed + j).setMaxIter(10)
-        .setFeaturesCol(s"_s$j").setPredictionCol(s"_c$j")
-        .fit(sample)
+    val codebooks: IndexedSeq[Array[Array[Double]]] = (0 until m).map { j =>
+      kmeansDriver(
+        sampleRows.map(v => java.util.Arrays.copyOfRange(v, j * d, (j + 1) * d)),
+        numCodes, iters = 10, seed = seed + j)
     }
-    sample.unpersist()
-    // encode: m predictions fold into one small code array per vector
-    val encoded = models.zipWithIndex
-      .foldLeft(withSubs) { case (df, (mod, _)) => mod.transform(df) }
-      .select(col("neighbor_id"),
-        array((0 until m).map(j => col(s"_c$j")): _*).as("pq_codes"))
+
+    // encode map-only with broadcast codebooks in a tight JVM kernel:
+    // the expression form (m × numCodes distance folds per row) is either
+    // interpreted (array HOFs are CodegenFallback) or a 1000+-node
+    // codegen tree that pays Janino compilation per query — a
+    // mapPartitions numeric loop (same pattern as partialTopK) does the
+    // m·numCodes·d flops per row with zero plan overhead
+    val cbB = spark.sparkContext.broadcast(codebooks.toArray)
+    val encInput = c0.select(col("neighbor_id"), col("nv"))
+    val encSchema = StructType(Seq(
+      encInput.schema.fields(0),
+      StructField("pq_codes", ArrayType(IntegerType, containsNull = false))))
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(encSchema)
+    val mm = m
+    val dd = d
+    val encoded = encInput.mapPartitions { it =>
+      val cbs = cbB.value
+      it.map { r =>
+        val v = r.getSeq[Double](1)
+        val codes = new Array[Int](mm)
+        var j = 0
+        while (j < mm) {
+          val cents = cbs(j)
+          var best = 0
+          var bd = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            val cent = cents(c)
+            var s = 0.0
+            var i = 0
+            while (i < dd) { val t = v(j * dd + i) - cent(i); s += t * t; i += 1 }
+            if (s < bd) { bd = s; best = c }
+            c += 1
+          }
+          codes(j) = best
+          j += 1
+        }
+        Row(r.get(0), codes.toSeq)
+      }
+    }
     // codebook rows (subspace, code, centroid) — m × numCodes, broadcast
-    val cb = models.zipWithIndex.flatMap { case (mod, j) =>
-      mod.clusterCenters.zipWithIndex.map { case (v, kk) => (j, kk, v.toArray) }
+    val cb = codebooks.zipWithIndex.flatMap { case (cents, j) =>
+      cents.zipWithIndex.map { case (v, kk) => (j, kk, v.toSeq) }
     }.toDF("sub_j", "code", "centroid")
     // per-query ADC lookup table: lut[(j·numCodes)+code] = <q_j, centroid>
     val q0 = queries.select(

@@ -33,6 +33,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+(BRANCH|TAG)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
   private val WriteOrdered =
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+WRITE\s+ORDERED\s+BY\s+(.+?)\s*;?\s*""".r
+  private val SetIdFields =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+SET\s+IDENTIFIER\s+FIELDS\s+(.+?)\s*;?\s*""".r
+  private val DropIdFields =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+IDENTIFIER\s+FIELDS\s*;?\s*""".r
 
   private def parts(s: String): Seq[String] =
     s.split('.').map(_.stripPrefix("`").stripSuffix("`")).toSeq
@@ -48,6 +52,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       AlterRefCommand(parts(tbl), create = false, kind.toLowerCase, name)
     case WriteOrdered(tbl, order) =>
       WriteOrderedCommand(parts(tbl), order.trim)
+    case SetIdFields(tbl, cols) =>
+      SetIdentifierFieldsCommand(parts(tbl),
+        cols.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty).toSeq)
+    case DropIdFields(tbl) =>
+      SetIdentifierFieldsCommand(parts(tbl), Nil)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -167,6 +177,17 @@ case class AlterRefCommand(
       require((kind == "tag") == isTag, s"$refName is not a $kind")
       t.dropRef(refName)
     }
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t SET IDENTIFIER FIELDS a, b` / `DROP IDENTIFIER FIELDS`
+  * — declares the schema's row-identity key (`identifier-field-ids`);
+  * upserts and CDC default their equality keys to it. */
+case class SetIdentifierFieldsCommand(table: Seq[String], cols: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftDdl.resolve(session, table).setIdentifierFields(cols)
     Seq.empty
   }
 }

@@ -919,19 +919,29 @@ class GraftTable(
     * equality-delete file of the incoming keys. Equality deletes only hit
     * strictly-older sequence numbers, so the new rows survive their own
     * delete. Rows with op=DELETE contribute only the delete. */
+  /** Empty `keyCols` defaults to the schema's declared identifier fields
+    * (`identifier-field-ids` — see [[setIdentifierFields]]). */
   def upsert(
       spark: SparkSession,
       df: DataFrame,
-      keyCols: Seq[String],
+      keyCols: Seq[String] = Nil,
       opCol: Option[String] = None,
       extraSummary: Map[String, String] = Map.empty,
       validate: () => Unit = () => ()): GraftTable = {
     val schema = metadata.currentSchema
-    val ids = keyCols.map(n => schema.findField(n).getOrElse(sys.error(s"no field $n")).id)
+    val keys0 =
+      if (keyCols.nonEmpty) keyCols
+      else {
+        val idf = schema.identifierFieldNames
+        require(idf.nonEmpty,
+          "upsert needs key columns (none given and the schema declares no identifier fields)")
+        idf
+      }
+    val ids = keys0.map(n => schema.findField(n).getOrElse(sys.error(s"no field $n")).id)
     val (inserts, allKeys) = opCol match {
       case Some(oc) =>
-        (df.filter(col(oc) =!= lit(2)).drop(oc), df.select(keyCols.map(col): _*).distinct())
-      case None => (df, df.select(keyCols.map(col): _*).distinct())
+        (df.filter(col(oc) =!= lit(2)).drop(oc), df.select(keys0.map(col): _*).distinct())
+      case None => (df, df.select(keys0.map(col): _*).distinct())
     }
     val deleteFiles = TableWrite.writeDeleteFiles(
       this, spark, allKeys, DataContent.EqualityDeletes, ids)
@@ -1543,7 +1553,8 @@ class GraftTable(
     val newSchema = IceSchema(
       schema.schemaId + 1,
       schema.fields :+ IceField(newId, name, required, fieldType, doc,
-        initialDefault = default, writeDefault = default))
+        initialDefault = default, writeDefault = default),
+      schema.identifierFieldIds)
     commitSchema(newSchema, newId)
   }
 
@@ -1556,7 +1567,8 @@ class GraftTable(
     val f = schema.findField(from).getOrElse(sys.error(s"no column $from"))
     val newSchema = IceSchema(
       schema.schemaId + 1,
-      schema.fields.map(x => if (x.id == f.id) x.copy(name = to) else x))
+      schema.fields.map(x => if (x.id == f.id) x.copy(name = to) else x),
+      schema.identifierFieldIds)
     commitSchema(newSchema, base.lastColumnId)
   }
 
@@ -1582,7 +1594,8 @@ class GraftTable(
       "(Iceberg spec allows int->long, float->double, decimal precision growth)")
     val newSchema = IceSchema(
       schema.schemaId + 1,
-      schema.fields.map(x => if (x.id == f.id) x.copy(fieldType = to) else x))
+      schema.fields.map(x => if (x.id == f.id) x.copy(fieldType = to) else x),
+      schema.identifierFieldIds)
     commitSchema(newSchema, base.lastColumnId)
   }
 
@@ -1596,7 +1609,8 @@ class GraftTable(
       s"cannot make $name required on a non-empty table")
     val newSchema = IceSchema(
       schema.schemaId + 1,
-      schema.fields.map(x => if (x.id == f.id) x.copy(required = !nullable) else x))
+      schema.fields.map(x => if (x.id == f.id) x.copy(required = !nullable) else x),
+      schema.identifierFieldIds)
     commitSchema(newSchema, base.lastColumnId)
   }
 
@@ -1610,10 +1624,35 @@ class GraftTable(
   def dropColumn(name: String): GraftTable = {
     val base = metadata
     val schema = base.currentSchema
-    require(schema.findField(name).isDefined, s"no column $name")
+    val f = schema.findField(name).getOrElse(sys.error(s"no column $name"))
+    require(!schema.identifierFieldIds.contains(f.id),
+      s"cannot drop identifier field $name (unset identifier fields first)")
     val newSchema = IceSchema(
-      schema.schemaId + 1, schema.fields.filterNot(_.name == name))
+      schema.schemaId + 1, schema.fields.filterNot(_.name == name),
+      schema.identifierFieldIds)
     commitSchema(newSchema, base.lastColumnId)
+  }
+
+  /** Declare the schema's row-identity key (Iceberg
+    * `identifier-field-ids`): upserts and the CDC streaming sink default
+    * their equality keys to it. Spec constraints enforced: fields must
+    * exist, be primitive, and not float/double (NaN breaks equality). */
+  def setIdentifierFields(names: Seq[String]): GraftTable = {
+    val base = metadata
+    val schema = base.currentSchema
+    val ids = names.map { n =>
+      val f = schema.findField(n).getOrElse(sys.error(s"no column $n"))
+      f.fieldType match {
+        case IcePrim("float") | IcePrim("double") =>
+          sys.error(s"identifier field $n cannot be float/double")
+        case IceStruct(_) | IceList(_, _, _) | IceMap(_, _, _, _, _) =>
+          sys.error(s"identifier field $n must be a primitive column")
+        case _ => f.id
+      }
+    }
+    commitSchema(
+      IceSchema(schema.schemaId + 1, schema.fields, ids.toList),
+      base.lastColumnId)
   }
 
   /** metadata-only commit: record the metadata file this commit REPLACES

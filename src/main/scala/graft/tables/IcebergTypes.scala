@@ -32,8 +32,16 @@ case class IceField(
     initialDefault: Option[Any] = None,
     writeDefault: Option[Any] = None)
 
-case class IceSchema(schemaId: Int, fields: List[IceField]) {
+case class IceSchema(
+    schemaId: Int,
+    fields: List[IceField],
+    /** Iceberg `identifier-field-ids`: the schema-declared row-identity
+      * key (spec: required, primitive, non-float top-level fields) —
+      * upserts/CDC default their equality keys to it */
+    identifierFieldIds: List[Int] = Nil) {
   def findField(name: String): Option[IceField] = fields.find(_.name == name)
+  def identifierFieldNames: List[String] =
+    identifierFieldIds.flatMap(id => fieldById(id).map(_.name))
   def fieldById(id: Int): Option[IceField] = fields.find(_.id == id)
   def maxFieldId: Int = {
     def maxIn(t: IceType): Int = t match {

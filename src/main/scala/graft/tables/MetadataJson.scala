@@ -106,13 +106,20 @@ object MetadataJson {
   def parseSchema(v: JValue): IceSchema =
     IceSchema(
       schemaId = intOf(v \ "schema-id", default = Some(0)),
-      fields = (v \ "fields").children.map(parseField))
+      fields = (v \ "fields").children.map(parseField),
+      identifierFieldIds = (v \ "identifier-field-ids").toOption
+        .map(_.children.map(intOf(_))).getOrElse(Nil))
 
   def schemaToJson(s: IceSchema): JValue =
     JObject(
-      "type" -> JString("struct"),
-      "schema-id" -> JInt(s.schemaId),
-      "fields" -> JArray(s.fields.map(fieldToJson)))
+      List[(String, JValue)](
+        "type" -> JString("struct"),
+        "schema-id" -> JInt(s.schemaId),
+        "fields" -> JArray(s.fields.map(fieldToJson))) ++
+      (if (s.identifierFieldIds.nonEmpty)
+        List("identifier-field-ids" ->
+          (JArray(s.identifierFieldIds.map(JInt(_))): JValue))
+      else Nil))
 
   // ---------- helpers ----------
 

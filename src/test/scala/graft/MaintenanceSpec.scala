@@ -1105,6 +1105,41 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("identifier fields: SQL DDL, JSON round-trip, keyless upsert, drop guard") {
+    val wh = tmpLocation("idf-wh")
+    spark.conf.set("spark.sql.catalog.idf", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.idf.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS idf.db")
+      spark.sql("CREATE TABLE idf.db.t (k BIGINT, v STRING, score DOUBLE)")
+      spark.sql("INSERT INTO idf.db.t VALUES (1, 'a', 0.5), (2, 'b', 0.7)")
+      spark.sql("ALTER TABLE idf.db.t SET IDENTIFIER FIELDS k")
+      // persisted + reloaded through the JSON round-trip
+      val t = StorageCatalog.loadTable(conf, s"$wh/db/t")
+      assert(t.metadata.currentSchema.identifierFieldNames === List("k"))
+      // keyless upsert defaults to the identifier fields
+      t.upsert(spark, Seq((2L, "B", 0.9), (3L, "c", 0.1)).toDF("k", "v", "score"))
+      val rows = spark.sql("SELECT k, v FROM idf.db.t ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows === Seq((1L, "a"), (2L, "B"), (3L, "c")))
+      // schema evolution carries the declaration; dropping the key refuses
+      t.renameColumn("v", "val")
+      assert(t.metadata.currentSchema.identifierFieldNames === List("k"))
+      intercept[RuntimeException] { t.dropColumn("k") }
+      // float keys refuse (NaN breaks equality); DROP clears
+      intercept[RuntimeException] { t.setIdentifierFields(Seq("score")) }
+      spark.sql("ALTER TABLE idf.db.t DROP IDENTIFIER FIELDS")
+      val t2 = StorageCatalog.loadTable(conf, s"$wh/db/t")
+      assert(t2.metadata.currentSchema.identifierFieldIds.isEmpty)
+      intercept[IllegalArgumentException] {
+        t2.upsert(spark, Seq((4L, "d", 0.2)).toDF("k", "val", "score"))
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.idf")
+      spark.conf.unset("spark.sql.catalog.idf.warehouse")
+    }
+  }
+
   test("metadata-log trimming: previous-versions-max caps the log, delete-after-commit reclaims files") {
     val src = spark.range(0, 10).toDF("id")
     val loc = tmpLocation("mdlog")
