@@ -261,7 +261,11 @@ object Bench {
         "dedup_embedding", "dedup_components",
         // round 8: semantic dedup + BM25 (pipeline shapes) and the
         // orc/avro write+MoR-delete+scan paths at 10x data
-        "dedup_semantic", "text_bm25", "ice_orc_table", "ice_avro_table"))
+        "dedup_semantic", "text_bm25", "ice_orc_table", "ice_avro_table",
+        // round-8 second wave: PQ ANN, DSIR scoring, mixture sampling,
+        // eq->pos conversion, CDC streaming
+        "ann_ivf_pq", "text_dsir", "sample_mixture", "ice_eq_convert",
+        "stream_changelog"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

@@ -823,6 +823,11 @@ object SparkEntry {
       TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
         Seq("data", "query", "spark"))
     }),
+    "text_topngrams" -> ((s, dir) => {
+      // corpus-wide bigram frequency top-50: the vocabulary/statistics
+      // pass (stopword discovery, boilerplate and contamination audits)
+      TextAnalysis.topNgrams(t(s, dir, "documents"), "text", n = 2, k = 50)
+    }),
     "text_dsir" -> ((s, dir) => {
       // DSIR importance weights: every document scored by how much its
       // hashed-unigram profile looks like the TARGET slice (English docs)
@@ -2735,6 +2740,17 @@ object SparkEntry {
         |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2)
         |      / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
         |FROM tf, g""".stripMargin,
+    "text_topngrams" ->
+      """WITH w AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    x -> length(x) > 0) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT unnest(list_transform(range(1, len(t) - 0),
+        |    i -> t[i] || ' ' || t[i + 1])) AS ngram
+        |  FROM w WHERE len(t) >= 2)
+        |SELECT ngram, COUNT(*) AS freq FROM grams
+        |GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 50""".stripMargin,
     // exact replica of Selection.dsirWeights: md5-hex-digit buckets,
     // add-one-smoothed log-ratios rounded to 6dp, score = the same fixed
     // left-to-right literal-weighted chain (list_sum in list order)

@@ -78,6 +78,38 @@ object TextAnalysis {
   /** Whitespace + punctuation-aware token count, plus a BPE-ish subword
     * estimate (chars/4 heuristic floor-bounded by word count — the standard
     * quick estimator when no tokenizer model is loaded). */
+  /** Corpus-wide top-k n-gram frequencies — the vocabulary/statistics
+    * pass of a pipeline (stopword discovery, contamination-phrase audits,
+    * boilerplate detection). One explode + hash-aggregate: the explode is
+    * inherent (a GLOBAL count must shuffle n-grams once), but partial
+    * map-side aggregation bounds the shuffle to distinct n-grams per
+    * partition, and the final top-k plans as TakeOrderedAndProject — per
+    * partition k rows, never the full vocabulary, reach the driver.
+    * Ordering is total (count desc, ngram asc), so the k-boundary is
+    * deterministic across engines. */
+  def topNgrams(
+      df: DataFrame,
+      textCol: String,
+      n: Int,
+      k: Int): DataFrame = {
+    require(n >= 1 && k >= 1, "n and k must be positive")
+    val w = filter(split(lower(col(textCol)), "[^a-z0-9]+"), x => length(x) > 0)
+    val grams =
+      if (n == 1) w
+      // sequence(a, b) counts DOWN when b < a, so short docs must gate
+      // to an empty array instead of relying on an empty sequence
+      else when(size(w) >= n,
+        transform(
+          sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*)))
+        .otherwise(array().cast("array<string>"))
+    df.select(explode(grams).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("ngram"))
+      .limit(k)
+  }
+
   def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     df.select(

@@ -434,6 +434,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out === Set(1L))
   }
 
+  test("top n-grams: exact counts, deterministic tie order, top-k plan") {
+    val rows = Seq(
+      (1L, "a b c a b"),   // bigrams: "a b" x2, "b c", "c a"
+      (2L, "a b"),         // "a b"
+      (3L, "x"),           // shorter than n -> contributes nothing
+      (4L, "")             // empty
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.topNgrams(rows, "text", n = 2, k = 3)
+    val got = out.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("a b", 3L), ("b c", 1L), ("c a", 1L)))
+    // global top-k must plan as TakeOrdered (per-partition k), never a
+    // full sort of the vocabulary
+    assert(out.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
   test("pq top-k with exact re-rank recovers brute-force top-1 on clustered vectors") {
     import org.apache.spark.sql.functions.col
     val rnd = new scala.util.Random(11)
