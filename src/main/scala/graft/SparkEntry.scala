@@ -1728,6 +1728,29 @@ object SparkEntry {
           |  SUM(record_count) AS record_count
           |FROM graft.db.mfiles.files GROUP BY 1, 2, 3""".stripMargin)
     }),
+    "meta_position_deletes" -> ((s, dir) => {
+      // row-level position_deletes view: parquet delete files and
+      // deletion-vector blobs both surface their (file,pos) rows, one
+      // task per delete artifact — counts must match the deleted keys
+      val src = t(s, dir, "orders")
+      def build(dv: Boolean): Long = {
+        val tbl = freshTable(s, s"meta_posdel_${if (dv) "dv" else "pq"}", src,
+          properties =
+            if (dv) Map(graft.tables.GraftTable.DvEnabledProp -> "true")
+            else Map.empty)
+        tbl.append(s, src)
+        val pos = tbl.scan(s, keepFilePos = true)
+          .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .select(col("_file").as("file_path"), col("_pos").as("pos"))
+        tbl.positionDelete(s, pos)
+        org.apache.spark.sql.GraftBridge.v2ScanDataFrame(
+          s, new graft.spark.GraftMetadataTable(tbl, "position_deletes"), Map.empty)
+          .count()
+      }
+      val (nPq, nDv) = (build(dv = false), build(dv = true))
+      import s.implicits._
+      Seq((nPq, nDv)).toDF("n_parquet_deletes", "n_dv_deletes")
+    }),
     "meta_all_files" -> ((s, dir) => {
       // all_files = file inventory across EVERY valid snapshot (the GC /
       // audit view): an overwrite's retired files stay visible with their
@@ -3169,6 +3192,10 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1""".stripMargin,
     "meta_partitions" ->
       "SELECT l_returnflag, COUNT(*) AS record_count FROM lineitem GROUP BY 1",
+    "meta_position_deletes" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_parquet_deletes,
+        |  CAST(count(*) AS BIGINT) AS n_dv_deletes
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
     "meta_all_files" ->
       """SELECT 0 AS content,
         |  CAST(count(*) +

@@ -41,7 +41,10 @@ object GraftMetadataTables {
       "entries", "metadata_log_entries",
       // union across ALL valid snapshots (Iceberg's all_* views); like
       // Iceberg they may contain duplicates when snapshots share files
-      "all_files", "all_entries", "all_manifests")
+      "all_files", "all_entries", "all_manifests",
+      // row-level view of the live position-delete set (parquet delete
+      // files AND deletion-vector blobs), one task per delete file
+      "position_deletes")
 
   // ---------- schemas ----------
 
@@ -144,6 +147,16 @@ object GraftMetadataTables {
     StructField("file_count", LongType, nullable = false),
     StructField("total_size_in_bytes", LongType, nullable = false)))
 
+  /** Iceberg's `position_deletes` metadata table shape (minus the
+    * optional deleted-`row` struct): which positions of which data files
+    * are deleted, and by which delete file/vector. */
+  val positionDeletesSchema: StructType = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false),
+    StructField("delete_file_path", StringType, nullable = false),
+    StructField("data_sequence_number", LongType, nullable = false),
+    StructField("spec_id", IntegerType, nullable = false)))
+
   def schemaOf(kind: String, meta: TableMetadata): StructType = kind match {
     case "snapshots" => snapshotsSchema
     case "history" => historySchema
@@ -154,6 +167,7 @@ object GraftMetadataTables {
     case "partitions" => partitionsSchema(meta)
     case "entries" | "all_entries" => entriesSchema(meta)
     case "metadata_log_entries" => metadataLogSchema
+    case "position_deletes" => positionDeletesSchema
   }
 
   /** all_manifests = manifests of every valid snapshot, each row tagged
@@ -309,6 +323,7 @@ class GraftMetadataTable(val table: GraftTable, kind: String)
     () => kind match {
       case "files" | "entries" | "all_files" | "all_entries" =>
         new GraftFilesScan(table, kind)
+      case "position_deletes" => new GraftPositionDeletesScan(table)
       case _ => new GraftMetadataLocalScan(table, kind, schema())
     }
 }
@@ -445,4 +460,85 @@ case class GraftFilesPartition(
     defaultFieldNames: List[String],
     tableLocation: String,
     metadataLocation: String,
+    conf: TableWrite.SerializableHadoopConf) extends InputPartition
+
+/** `position_deletes`: the live position-delete ROW set, distributed —
+  * one task per delete artifact. Parquet delete files read their
+  * (file_path, pos) columns with parquet-mr; deletion vectors fetch only
+  * their own blob bytes and decode the bitmap. At 100 TB the delete set
+  * is spread over many files, so inspection queries (`how many deletes
+  * target file X?`) parallelize instead of funnelling the driver. */
+class GraftPositionDeletesScan(table: GraftTable)
+    extends Scan with Batch {
+  import GraftMetadataTables._
+
+  override def readSchema(): StructType = positionDeletesSchema
+  override def toBatch: Batch = this
+  override def description(): String = s"GraftPositionDeletesScan(${table.location})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val meta = table.metadata
+    meta.currentSnapshot.toSeq
+      .flatMap(table.planFiles(_))
+      .filter(_.file.content == DataContent.PositionDeletes)
+      .map { p =>
+        GraftPosDeletePartition(
+          table.relocate(p.file.filePath),
+          p.file.isDeletionVector,
+          p.file.referencedDataFile,
+          p.file.contentOffset.getOrElse(0L),
+          p.file.contentSizeInBytes.getOrElse(p.file.fileSizeInBytes),
+          p.seq, p.specId,
+          new TableWrite.SerializableHadoopConf(table.conf))
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val dp = p.asInstanceOf[GraftPosDeletePartition]
+        val rows: Seq[Seq[Any]] =
+          if (dp.isVector)
+            graft.tables.Puffin.dvPositions(graft.tables.Puffin.readBlob(
+                dp.conf.value, dp.path, dp.blobOffset, dp.blobLength))
+              .map(pos => Seq[Any](
+                dp.referencedFile.getOrElse(""), pos, dp.path, dp.seq, dp.specId))
+          else {
+            val reader = org.apache.parquet.hadoop.ParquetReader
+              .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+                new org.apache.hadoop.fs.Path(dp.path))
+              .withConf(dp.conf.value)
+              .build()
+            val buf = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+            try {
+              var g = reader.read()
+              while (g != null) {
+                buf += Seq[Any](
+                  g.getString("file_path", 0), g.getLong("pos", 0),
+                  dp.path, dp.seq, dp.specId)
+                g = reader.read()
+              }
+            } finally reader.close()
+            buf.toSeq
+          }
+        val it = GraftMetadataTables
+          .toInternal(positionDeletesSchema, rows).iterator
+        new PartitionReader[InternalRow] {
+          private var cur: InternalRow = _
+          override def next(): Boolean = { if (it.hasNext) { cur = it.next(); true } else false }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+case class GraftPosDeletePartition(
+    path: String,
+    isVector: Boolean,
+    referencedFile: Option[String],
+    blobOffset: Long,
+    blobLength: Long,
+    seq: Long,
+    specId: Int,
     conf: TableWrite.SerializableHadoopConf) extends InputPartition

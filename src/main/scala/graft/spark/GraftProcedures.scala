@@ -273,6 +273,29 @@ private[spark] object GraftProcedures {
           Seq(Seq(src, t.metadata.currentSnapshotId.get))
         }),
       new GraftProcedure(
+        "ancestors_of",
+        // the snapshot lineage walk (current head by default): one row
+        // per ancestor, newest first — metadata-only
+        Seq(in("table", StringType),
+          ProcedureParameter.in("snapshot_id", LongType)
+            .defaultValue("NULL").build()),
+        out("snapshot_id" -> LongType, "timestamp" -> LongType,
+          "sequence_number" -> LongType, "operation" -> StringType),
+        (input, _) => {
+          val t = table(input)
+          val startId =
+            if (input.isNullAt(1)) t.metadata.currentSnapshotId
+              .getOrElse(sys.error("table has no snapshots"))
+            else input.getLong(1)
+          val byId = t.metadata.snapshots.map(s => s.snapshotId -> s).toMap
+          val chain = Iterator.iterate(byId.get(startId))(
+              _.flatMap(_.parentSnapshotId).flatMap(byId.get))
+            .takeWhile(_.isDefined).flatten.toSeq
+          require(chain.nonEmpty, s"no snapshot $startId")
+          chain.map(s => Seq(s.snapshotId, s.timestampMs, s.sequenceNumber,
+            s.summary.getOrElse("operation", null)))
+        }),
+      new GraftProcedure(
         "fast_forward",
         Seq(in("table", StringType), in("branch", StringType), in("to", StringType)),
         out("branch" -> StringType, "current_snapshot_id" -> LongType),

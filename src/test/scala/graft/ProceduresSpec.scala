@@ -203,4 +203,23 @@ class ProceduresSpec extends AnyFunSuite {
         spark.conf.unset(s"spark.sql.catalog.greg$sfx"))
     }
   }
+
+  test("ancestors_of walks the lineage newest-first, from head or a given snapshot") {
+    freshSqlTable("procs_anc")
+    spark.sql("INSERT INTO gproc.db.procs_anc SELECT * FROM procs_anc_src WHERE o_orderkey % 2 = 0")
+    spark.sql("INSERT INTO gproc.db.procs_anc SELECT * FROM procs_anc_src WHERE o_orderkey % 2 = 1")
+    spark.sql("INSERT INTO gproc.db.procs_anc SELECT * FROM procs_anc_src LIMIT 1")
+    val rows = spark.sql("CALL gproc.system.ancestors_of(table => 'db.procs_anc')").collect()
+    assert(rows.length === 3)
+    // newest first, sequence numbers strictly descending
+    val seqs = rows.map(_.getLong(2)).toSeq
+    assert(seqs === seqs.sorted.reverse && seqs.distinct === seqs)
+    assert(rows.forall(_.getString(3) == "append"))
+    // explicit snapshot_id starts the walk mid-chain
+    val mid = rows(1).getLong(0)
+    val fromMid = spark.sql(
+      s"CALL gproc.system.ancestors_of(table => 'db.procs_anc', snapshot_id => ${mid}L)")
+      .collect()
+    assert(fromMid.length === 2 && fromMid.head.getLong(0) === mid)
+  }
 }
