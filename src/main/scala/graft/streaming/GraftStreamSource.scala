@@ -35,6 +35,9 @@ import graft.tables.{GraftTable, SchemaConvert, StorageCatalog, TableWrite}
   *     .option("upsert-keys", "user_id")       // optional
   *     .option("op-column", "_op")             // optional
   *     .start()
+  *
+  * `.option("mode", "upsert")` without `upsert-keys` upserts by the
+  * table's declared identifier fields (`identifier-field-ids`).
   */
 class GraftStreamSourceProvider extends StreamSourceProvider with StreamSinkProvider
     with DataSourceRegister {
@@ -63,10 +66,19 @@ class GraftStreamSourceProvider extends StreamSourceProvider with StreamSinkProv
         .digest(identity.getBytes("UTF-8"))
       d.take(8).map(b => f"$b%02x").mkString
     }
+    // upsert-keys names the equality key; `.option("mode", "upsert")`
+    // without keys defers to the table's declared identifier fields
+    // (schema `identifier-field-ids` — GraftTable.upsert's default)
+    val upsertKeys = parameters
+      .get("upsert-keys").map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .orElse(
+        if (parameters.get("mode").exists(_.trim.equalsIgnoreCase("upsert")))
+          Some(Seq.empty[String])
+        else None)
     new GraftStreamSink(
       location(parameters),
-      parameters.get("upsert-keys").map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-        .filter(_.nonEmpty),
+      upsertKeys,
       parameters.get("op-column"),
       sinkId)
   }

@@ -99,6 +99,33 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((10L, 1L, 3L, 0L, 25L * m)))
   }
 
+  test("sink mode=upsert with no keys upserts by the declared identifier fields") {
+    val loc = Files.createTempDirectory("graft-idsink").toFile.getAbsolutePath + "/t"
+    val src = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val tbl = StorageCatalog.createOrReplaceTable(
+      spark.sparkContext.hadoopConfiguration, loc,
+      SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    tbl.setIdentifierFields(Seq("id"))
+    tbl.append(spark, src)
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](
+      1, spark, None)
+    mem.addData((2L, "B"), (3L, "c"))
+    val q = mem.toDF().toDF("id", "v")
+      .writeStream.format("graft-stream")
+      .option("location", loc)
+      .option("mode", "upsert")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-idsink-ckpt").toFile.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val rows = StorageCatalog.loadTable(spark.sparkContext.hadoopConfiguration, loc)
+      .scan(spark).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows === Set((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
   test("changelog stream: per-batch CDC rows, deletes carry content, rewrites emit nothing") {
     val loc = Files.createTempDirectory("graft-cdcstream").toFile.getAbsolutePath + "/t"
     val src = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
