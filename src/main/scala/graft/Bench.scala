@@ -79,6 +79,7 @@ object Bench {
     "dedup_semantic",
     "text_dsir",
     "ann_ivf_pq",
+    "pipeline_corpus",
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup

@@ -728,6 +728,26 @@ object SparkEntry {
         size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
       Packing.packGreedy(toks, "doc_id", "n_tokens", budgetTokens = 2000L)
     }),
+    "pipeline_corpus" -> ((s, dir) => {
+      // the END-TO-END training-corpus pipeline, composed from the
+      // engine's own operators: quality gate → exact dedup →
+      // decontamination → target-mixture sampling → sequence packing.
+      // Each stage is individually oracle-gated elsewhere; this query
+      // gates their COMPOSITION — the thing a user actually runs.
+      val d = t(s, dir, "documents")
+      val q = d.filter(col("n_chars") >= 200)
+      val dd = Dedup.exact(q, Seq("text"), "doc_id").drop("n_copies")
+      val bench = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val train = dd.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      val flagged = Decontamination.flagged(train, bench, "doc_id", "text", n = 4)
+        .select(col("doc_id"))
+      val clean = train.join(flagged, Seq("doc_id"), "left_anti")
+      val mixed = Selection.mixtureSample(clean, "doc_id", "source", "n_chars",
+        Map("src0" -> 0.3, "src1" -> 0.3, "src2" -> 0.4), budget = 0.6)
+      val toks = mixed.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
+      Packing.packGreedy(toks, "doc_id", "n_tokens", budgetTokens = 2000L)
+    }),
     "decontaminate" -> ((s, dir) => {
       // benchmark set = every 97th doc; flag training docs sharing a word
       // 4-gram with it
@@ -2872,6 +2892,46 @@ object SparkEntry {
         |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0)
         |SELECT DISTINCT g.doc_id AS doc_id FROM g JOIN bench USING (ng)
         |WHERE g.doc_id % 97 <> 0""".stripMargin,
+    // full composed pipeline: each CTE replicates the matching stage's
+    // standalone oracle (quality gate, min-doc_id exact dedup, 4-gram
+    // decontamination, md5-threshold mixture sampling, prefix-sum packing)
+    "pipeline_corpus" ->
+      """WITH q AS (SELECT * FROM documents WHERE n_chars >= 200),
+        |dd AS (SELECT * FROM q
+        |       WHERE doc_id IN (SELECT MIN(doc_id) FROM q GROUP BY text)),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 2),
+        |    i -> list_aggregate(w[i:i+3], 'string_agg', ' ')))) AS ng
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0),
+        |flagged AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (ng)
+        |            WHERE g.doc_id % 97 <> 0),
+        |clean AS (SELECT * FROM dd WHERE doc_id % 97 <> 0
+        |          AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+        |hist AS (SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS tok
+        |         FROM clean GROUP BY source),
+        |wts AS (SELECT * FROM (VALUES ('src0', 0.3), ('src1', 0.3), ('src2', 0.4))
+        |        AS t(source, wt)),
+        |tot AS (SELECT SUM(tok) AS T FROM hist),
+        |rates AS (SELECT wts.source, LEAST(1.0, 0.6 * wt * T / tok) AS rate
+        |          FROM wts JOIN hist ON wts.source = hist.source, tot),
+        |thr AS (SELECT source,
+        |    CASE WHEN rate >= 1.0 OR CAST(round(rate * 65536) AS BIGINT) >= 65536
+        |         THEN 'g'
+        |         ELSE printf('%04x', CAST(round(rate * 65536) AS BIGINT)) END AS h
+        |  FROM rates),
+        |mixed AS (SELECT c.* FROM clean c JOIN thr ON c.source = thr.source
+        |          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < h),
+        |toks AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM mixed),
+        |c AS (SELECT doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM toks)
+        |SELECT doc_id, n_tokens,
+        |  CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id FROM c""".stripMargin,
     "dedup_lsh_pairs" ->
       """WITH s AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)),
