@@ -379,11 +379,16 @@ object SparkEntry {
       // partsupp, so the part-supplier offer relation is distilled from
       // lineitem): correlated MIN realized as an aggregate + join-back,
       // dims broadcast, total ORDER BY so the LIMIT is deterministic
-      val offers = t(s, dir, "lineitem")
-        .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(min(money(col("l_extendedprice")) ).as("offer_cost"))
       val slice = broadcast(t(s, dir, "part")
         .filter(col("p_size") === 15).select(col("p_partkey"), col("p_brand")))
+      // semi-join the fact to the part slice BEFORE the offer aggregate:
+      // only sliced parts need offers, so the groupBy shuffles a small
+      // fraction of lineitem instead of all of it (the at-scale shape)
+      val offers = t(s, dir, "lineitem")
+        .join(broadcast(slice.select(col("p_partkey").as("sl_pk"))),
+          col("l_partkey") === col("sl_pk"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(money(col("l_extendedprice")) ).as("offer_cost"))
       val sliced = offers.join(slice, col("l_partkey") === col("p_partkey"))
       val minCost = sliced.groupBy(col("l_partkey").as("mc_pk"))
         .agg(min(col("offer_cost")).as("min_cost"))

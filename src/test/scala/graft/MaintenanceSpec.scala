@@ -1105,6 +1105,31 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("convert_equality_deletes on a partitioned table: deletes stay partition-scoped") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val loc = tmpLocation("eqconvert-part")
+    val schema = SchemaConvert.fromSparkSchema(src.schema)
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, schema,
+      IcePartitionSpec(0, List(IcePartitionField(
+        schema.findField("o_orderstatus").get.id, 1000, "identity", "o_orderstatus"))))
+    t.append(spark, src)
+    t.equalityDelete(spark,
+      src.filter($"o_orderkey" % 7 === 0).select($"o_orderkey"), Seq("o_orderkey"))
+    val exp = t.scan(spark).collect().toSet
+    t.convertEqualityDeletes(spark)
+    val after = t.metadata.currentSnapshot.toList.flatMap(t.planFiles(_))
+    assert(!after.exists(_.file.content == DataContent.EqualityDeletes))
+    assert(t.scan(spark).collect().toSet === exp)
+    // positional deletes landed partition-scoped: a filter on one
+    // partition joins only that partition's delete files
+    val oneStatus = t.deleteFilesForScan(Some($"o_orderstatus" === "F"))
+    val allDeletes = after.filter(_.file.content == DataContent.PositionDeletes)
+    assert(allDeletes.size > 1, "expected per-partition delete files")
+    assert(oneStatus.size < allDeletes.size,
+      s"partition filter joined all ${allDeletes.size} delete files")
+  }
+
   test("identifier fields: SQL DDL, JSON round-trip, keyless upsert, drop guard") {
     val wh = tmpLocation("idf-wh")
     spark.conf.set("spark.sql.catalog.idf", "graft.spark.GraftCatalog")
