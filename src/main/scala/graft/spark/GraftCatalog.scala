@@ -267,25 +267,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = loadGraftTable(ident)
+    def iceTypeOf(dt: org.apache.spark.sql.types.DataType): graft.tables.IceType =
+      SchemaConvert.fromSparkSchema(StructType(Seq(
+        org.apache.spark.sql.types.StructField("x", dt)))).fields.head.fieldType
     changes.foreach {
       case add: TableChange.AddColumn =>
-        require(add.fieldNames().length == 1, "nested add not supported")
-        t.addColumn(add.fieldNames().head,
-          SchemaConvert.fromSparkSchema(StructType(Seq(
-            org.apache.spark.sql.types.StructField("x", add.dataType()))))
-            .fields.head.fieldType)
+        // multi-part names add INSIDE a struct column (nested evolution);
+        // ids are reassigned past lastColumnId either way
+        if (add.fieldNames().length == 1)
+          t.addColumn(add.fieldNames().head, iceTypeOf(add.dataType()))
+        else
+          t.addColumnPath(add.fieldNames().toSeq, iceTypeOf(add.dataType()))
       case del: TableChange.DeleteColumn =>
-        t.dropColumn(del.fieldNames().head)
+        t.dropColumnPath(del.fieldNames().toSeq)
       case ren: TableChange.RenameColumn =>
-        t.renameColumn(ren.fieldNames().head, ren.newName())
+        t.renameColumnPath(ren.fieldNames().toSeq, ren.newName())
       case upd: TableChange.UpdateColumnType =>
-        require(upd.fieldNames().length == 1, "nested type change not supported")
-        t.updateColumnType(upd.fieldNames().head,
-          SchemaConvert.fromSparkSchema(StructType(Seq(
-            org.apache.spark.sql.types.StructField("x", upd.newDataType()))))
-            .fields.head.fieldType)
+        t.updateColumnTypePath(upd.fieldNames().toSeq, iceTypeOf(upd.newDataType()))
       case nul: TableChange.UpdateColumnNullability =>
-        t.updateColumnNullability(nul.fieldNames().head, nul.nullable())
+        t.updateColumnNullabilityPath(nul.fieldNames().toSeq, nul.nullable())
       case set: TableChange.SetProperty =>
         t.setProperties(Map(set.property() -> set.value()))
       case rm: TableChange.RemoveProperty =>

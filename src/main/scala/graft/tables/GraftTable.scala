@@ -1549,13 +1549,19 @@ class GraftTable(
     require(schema.findField(name).isEmpty, s"column $name already exists")
     require(!required || default.isDefined || base.currentSnapshotId.isEmpty,
       s"required column $name on a non-empty table needs a default")
-    val newId = base.lastColumnId + 1
+    // the new field AND any ids inside its type (struct/list/map) get
+    // fresh ids past lastColumnId — inner ids from a standalone
+    // conversion would collide with live ones
+    var next = base.lastColumnId
+    def alloc(): Int = { next += 1; next }
+    val newId = alloc()
     val newSchema = IceSchema(
       schema.schemaId + 1,
-      schema.fields :+ IceField(newId, name, required, fieldType, doc,
+      schema.fields :+ IceField(newId, name, required,
+        reassignIds(fieldType, alloc _), doc,
         initialDefault = default, writeDefault = default),
       schema.identifierFieldIds)
-    commitSchema(newSchema, newId)
+    commitSchema(newSchema, next)
   }
 
   /** Rename keeps the field id; scans resolve parquet columns by field id
@@ -1631,6 +1637,134 @@ class GraftTable(
       schema.schemaId + 1, schema.fields.filterNot(_.name == name),
       schema.identifierFieldIds)
     commitSchema(newSchema, base.lastColumnId)
+  }
+
+  // ---------- nested (struct-path) schema evolution ----------
+
+  /** fresh pre-order ids for a type being ADDED to a live schema — ids
+    * from a standalone conversion start at 1 and would collide */
+  private def reassignIds(t: IceType, next: () => Int): IceType = t match {
+    case IceStruct(fs) => IceStruct(fs.map(f =>
+      f.copy(id = next(), fieldType = reassignIds(f.fieldType, next))))
+    case IceList(_, e, req) =>
+      val id = next(); IceList(id, reassignIds(e, next), req)
+    case IceMap(_, k, _, v, req) =>
+      val kid = next(); val kk = reassignIds(k, next)
+      val vid = next(); IceMap(kid, kk, vid, reassignIds(v, next), req)
+    case prim => prim
+  }
+
+  /** apply `f` to the field at a struct-nested `path`; `f` returning None
+    * drops it. Every intermediate segment must be a struct field — list
+    * element / map value evolution is refused explicitly. */
+  private def fieldsAt(
+      fields: List[IceField], path: Seq[String], fullPath: String)(
+      f: IceField => Option[IceField]): List[IceField] = path match {
+    case Seq(last) =>
+      require(fields.exists(_.name == last), s"no column $fullPath")
+      fields.flatMap(x => if (x.name == last) f(x) else Some(x))
+    case head +: rest =>
+      require(fields.exists(_.name == head), s"no column $fullPath")
+      fields.map { x =>
+        if (x.name != head) x
+        else x.fieldType match {
+          case IceStruct(fs) =>
+            x.copy(fieldType = IceStruct(fieldsAt(fs, rest, fullPath)(f)))
+          case other => sys.error(
+            s"$head is ${other.repr}, not a struct — cannot evolve $fullPath")
+        }
+      }
+  }
+
+  private def commitFields(newFields: List[IceField], lastColumnId: Int): GraftTable = {
+    val schema = metadata.currentSchema
+    commitSchema(
+      IceSchema(schema.schemaId + 1, newFields, schema.identifierFieldIds),
+      lastColumnId)
+  }
+
+  /** Add a field INSIDE a struct column (`path` = parent segments + new
+    * name, e.g. Seq("address", "zip")): new ids allocated past
+    * lastColumnId, so old files — which lack the field entirely — serve
+    * null through field-id resolution, the same mechanism as top-level
+    * adds. Required nested fields are only legal on an empty table
+    * (nested defaults are not supported). */
+  def addColumnPath(
+      path: Seq[String], fieldType: IceType, required: Boolean = false): GraftTable = {
+    require(path.length >= 2, "addColumnPath needs a parent struct path")
+    val base = metadata
+    require(!required || base.currentSnapshotId.isEmpty,
+      s"cannot add required nested ${path.mkString(".")} to a non-empty table")
+    var next = base.lastColumnId
+    def alloc(): Int = { next += 1; next }
+    val newField = {
+      val id = alloc()
+      IceField(id, path.last, required, reassignIds(fieldType, alloc _))
+    }
+    val full = path.mkString(".")
+    val parent = path.init
+    val withAdded = fieldsAt(base.currentSchema.fields, parent, full) { p =>
+      p.fieldType match {
+        case IceStruct(fs) =>
+          require(!fs.exists(_.name == path.last), s"column $full already exists")
+          Some(p.copy(fieldType = IceStruct(fs :+ newField)))
+        case other => sys.error(
+          s"${parent.mkString(".")} is ${other.repr}, not a struct")
+      }
+    }
+    commitFields(withAdded, next)
+  }
+
+  /** rename a struct-nested field; the id is stable so old files keep
+    * serving values through field-id resolution, like top-level renames */
+  def renameColumnPath(path: Seq[String], to: String): GraftTable = {
+    if (path.length == 1) return renameColumn(path.head, to)
+    val base = metadata
+    val updated = fieldsAt(base.currentSchema.fields, path, path.mkString("."))(
+      f => Some(f.copy(name = to)))
+    commitFields(updated, base.lastColumnId)
+  }
+
+  /** drop a struct-nested field (identifier fields refuse, as top-level) */
+  def dropColumnPath(path: Seq[String]): GraftTable = {
+    if (path.length == 1) return dropColumn(path.head)
+    val base = metadata
+    val schema = base.currentSchema
+    val updated = fieldsAt(schema.fields, path, path.mkString(".")) { f =>
+      require(!schema.identifierFieldIds.contains(f.id),
+        s"cannot drop identifier field ${path.mkString(".")}")
+      None
+    }
+    commitFields(updated, base.lastColumnId)
+  }
+
+  /** nested type widening — same spec-legal promotions as top-level */
+  def updateColumnTypePath(path: Seq[String], to: IceType): GraftTable = {
+    if (path.length == 1) return updateColumnType(path.head, to)
+    val base = metadata
+    val updated = fieldsAt(base.currentSchema.fields, path, path.mkString(".")) { f =>
+      val ok = (f.fieldType, to) match {
+        case (a, b) if a == b => true
+        case (IcePrim("int"), IcePrim("long")) => true
+        case (IcePrim("float"), IcePrim("double")) => true
+        case (IceDecimal(p1, s1), IceDecimal(p2, s2)) => s1 == s2 && p2 >= p1
+        case _ => false
+      }
+      require(ok, s"illegal type promotion ${f.fieldType} -> $to " +
+        s"for ${path.mkString(".")}")
+      Some(f.copy(fieldType = to))
+    }
+    commitFields(updated, base.lastColumnId)
+  }
+
+  def updateColumnNullabilityPath(path: Seq[String], nullable: Boolean): GraftTable = {
+    if (path.length == 1) return updateColumnNullability(path.head, nullable)
+    val base = metadata
+    require(nullable || base.currentSnapshotId.isEmpty,
+      s"cannot make ${path.mkString(".")} required on a non-empty table")
+    val updated = fieldsAt(base.currentSchema.fields, path, path.mkString("."))(
+      f => Some(f.copy(required = !nullable)))
+    commitFields(updated, base.lastColumnId)
   }
 
   /** Declare the schema's row-identity key (Iceberg

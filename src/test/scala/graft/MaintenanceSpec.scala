@@ -1130,6 +1130,58 @@ class MaintenanceSpec extends AnyFunSuite {
       s"partition filter joined all ${allDeletes.size} delete files")
   }
 
+  test("nested schema evolution: add/rename/widen/drop inside a struct, old files serve null") {
+    val wh = tmpLocation("nested-wh")
+    spark.conf.set("spark.sql.catalog.nst", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.nst.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS nst.db")
+      spark.sql(
+        "CREATE TABLE nst.db.t (id BIGINT, addr STRUCT<city: STRING, n: INT>)")
+      spark.sql("INSERT INTO nst.db.t VALUES (1, named_struct('city', 'oslo', 'n', 7))")
+      // nested ADD: old rows read null for the new field, new rows carry it
+      spark.sql("ALTER TABLE nst.db.t ADD COLUMNS (addr.zip STRING)")
+      spark.sql(
+        "INSERT INTO nst.db.t VALUES (2, named_struct('city', 'bergen', 'n', 9, 'zip', '5003'))")
+      val afterAdd = spark.sql("SELECT id, addr.zip FROM nst.db.t ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(afterAdd === Seq((1L, null), (2L, "5003")))
+      // nested RENAME keeps the field id: old files serve under the new name
+      spark.sql("ALTER TABLE nst.db.t RENAME COLUMN addr.city TO town")
+      val towns = spark.sql("SELECT addr.town FROM nst.db.t ORDER BY id")
+        .collect().map(_.getString(0)).toSeq
+      assert(towns === Seq("oslo", "bergen"))
+      // nested type WIDENING int -> bigint; old values still served
+      spark.sql("ALTER TABLE nst.db.t ALTER COLUMN addr.n TYPE BIGINT")
+      val ns = spark.sql("SELECT addr.n FROM nst.db.t ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ns === Seq(7L, 9L))
+      // nested DROP removes just the field
+      spark.sql("ALTER TABLE nst.db.t DROP COLUMN addr.zip")
+      val cols = spark.sql("SELECT addr.* FROM nst.db.t").schema.fieldNames.toSeq
+      assert(cols === Seq("town", "n"))
+      // ids stayed collision-free: a fresh struct-typed top-level add
+      // allocates past every live id (the latent id-collision case)
+      spark.sql("ALTER TABLE nst.db.t ADD COLUMNS (meta STRUCT<a: INT, b: STRING>)")
+      val t = StorageCatalog.loadTable(conf, s"$wh/db/t")
+      def allIds(fs: List[IceField]): List[Int] = fs.flatMap { f =>
+        f.id :: (f.fieldType match {
+          case IceStruct(inner) => allIds(inner)
+          case _ => Nil
+        })
+      }
+      val ids = allIds(t.metadata.currentSchema.fields)
+      assert(ids.distinct.size === ids.size, s"duplicate field ids: $ids")
+      spark.sql(
+        "INSERT INTO nst.db.t VALUES (3, named_struct('town', 'tromso', 'n', CAST(1 AS BIGINT)), named_struct('a', 5, 'b', 'x'))")
+      assert(spark.sql("SELECT meta.a FROM nst.db.t WHERE id = 3")
+        .collect().head.getInt(0) === 5)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.nst")
+      spark.conf.unset("spark.sql.catalog.nst.warehouse")
+    }
+  }
+
   test("identifier fields: SQL DDL, JSON round-trip, keyless upsert, drop guard") {
     val wh = tmpLocation("idf-wh")
     spark.conf.set("spark.sql.catalog.idf", "graft.spark.GraftCatalog")
