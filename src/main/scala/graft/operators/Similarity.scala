@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
 
 import graft.functions.vectors
 
@@ -336,7 +336,6 @@ object Similarity {
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
     val d = dim / m
 
-    def sub(c: Column, j: Int): Column = slice(c, j * d + 1, d)
     val codebooks: IndexedSeq[Array[Array[Double]]] = (0 until m).map { j =>
       kmeansDriver(
         sampleRows.map(v => java.util.Arrays.copyOfRange(v, j * d, (j + 1) * d)),
@@ -383,29 +382,38 @@ object Similarity {
         Row(r.get(0), codes.toSeq)
       }
     }
-    // codebook rows (subspace, code, centroid) — m × numCodes, broadcast
-    val cb = codebooks.zipWithIndex.flatMap { case (cents, j) =>
-      cents.zipWithIndex.map { case (v, kk) => (j, kk, v.toSeq) }
-    }.toDF("sub_j", "code", "centroid")
-    // per-query ADC lookup table: lut[(j·numCodes)+code] = <q_j, centroid>
+    // per-query ADC lookup table, built in driver loops: the query batch
+    // is small by contract (it broadcasts), so collecting it and dotting
+    // against the in-memory codebooks skips a crossJoin+groupBy subplan
+    // entirely — lutDf becomes a LocalRelation the broadcast reads as-is.
+    // lut[(j·numCodes)+code] = <q_j, centroid>
     val q0 = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qv"),
       unitNorm(col(vecCol)).as("nq"))
-    val partial = aggregate(
-      zip_with(element_at(col("subs"), col("sub_j") + 1), col("centroid"),
-        (a, b) => a * b),
-      lit(0.0d), (acc, x) => acc + x)
-    val lutDf = q0
-      .withColumn("subs", array((0 until m).map(j => sub(col("nq"), j)): _*))
-      .crossJoin(broadcast(cb))
-      .withColumn("p", partial)
-      .groupBy(col("query_id"))
-      .agg(
-        first(col("qv")).as("qv"),
-        transform(
-          sort_array(collect_list(struct(
-            (col("sub_j") * numCodes + col("code")).as("slot"), col("p").as("p")))),
-          s => s("p")).as("lut"))
+    val qRows = q0.collect()
+    val lutSchema = StructType(Seq(
+      q0.schema.fields(0), q0.schema.fields(1),
+      StructField("lut", ArrayType(DoubleType, containsNull = false))))
+    val lutRows: Seq[Row] = qRows.toSeq.map { r =>
+      val nq = r.getSeq[Double](2)
+      val lut = new Array[Double](m * numCodes)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < numCodes) {
+          val cent = codebooks(j)(c)
+          var s = 0.0
+          var i = 0
+          while (i < d) { s += nq(j * d + i) * cent(i); i += 1 }
+          lut(j * numCodes + c) = s
+          c += 1
+        }
+        j += 1
+      }
+      Row(r.get(0), r.get(1), lut.toSeq)
+    }
+    val lutDf = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(lutRows).asJava, lutSchema)
     // ADC scan: per candidate, m lookups into the broadcast LUT
     val adc = aggregate(
       zip_with(col("pq_codes"), sequence(lit(0), lit(m - 1)),

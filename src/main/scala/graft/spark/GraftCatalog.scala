@@ -286,6 +286,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         t.updateColumnTypePath(upd.fieldNames().toSeq, iceTypeOf(upd.newDataType()))
       case nul: TableChange.UpdateColumnNullability =>
         t.updateColumnNullabilityPath(nul.fieldNames().toSeq, nul.nullable())
+      case pos: TableChange.UpdateColumnPosition =>
+        val after = pos.position() match {
+          case a: TableChange.After => Some(a.column())
+          case _ => None // First
+        }
+        t.moveColumnPath(pos.fieldNames().toSeq, after)
+      case cmt: TableChange.UpdateColumnComment =>
+        t.setColumnDocPath(cmt.fieldNames().toSeq,
+          Option(cmt.newComment()).filter(_.nonEmpty))
+      case dflt: TableChange.UpdateColumnDefaultValue =>
+        // SET DEFAULT <literal> / DROP DEFAULT — write-default only
+        val v = Option(dflt.newDefaultValue()).filter(_.nonEmpty).map { sqlStr =>
+          val e = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseExpression(sqlStr)
+          require(e.foldable, s"default must be a literal: $sqlStr")
+          e.eval(null) match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+            case d: org.apache.spark.sql.types.Decimal => d.toBigDecimal.toString
+            case other => other
+          }
+        }
+        t.setColumnWriteDefaultPath(dflt.fieldNames().toSeq, v)
       case set: TableChange.SetProperty =>
         t.setProperties(Map(set.property() -> set.value()))
       case rm: TableChange.RemoveProperty =>

@@ -1738,6 +1738,64 @@ class GraftTable(
     commitFields(updated, base.lastColumnId)
   }
 
+  /** apply `f` to the CHILD LIST of the struct at `parentPath` (empty =
+    * top level) — the list-level counterpart of [[fieldsAt]], for
+    * reordering */
+  private def childrenAt(
+      fields: List[IceField], parentPath: Seq[String], full: String)(
+      f: List[IceField] => List[IceField]): List[IceField] =
+    if (parentPath.isEmpty) f(fields)
+    else {
+      require(fields.exists(_.name == parentPath.head), s"no column $full")
+      fields.map { x =>
+        if (x.name != parentPath.head) x
+        else x.fieldType match {
+          case IceStruct(fs) =>
+            x.copy(fieldType = IceStruct(childrenAt(fs, parentPath.tail, full)(f)))
+          case other => sys.error(
+            s"${parentPath.head} is ${other.repr}, not a struct — cannot evolve $full")
+        }
+      }
+    }
+
+  /** reorder a (possibly nested) column: FIRST among its siblings, or
+    * AFTER a named sibling — metadata-only (field ids are the identity;
+    * order only affects SELECT * shape) */
+  def moveColumnPath(path: Seq[String], after: Option[String]): GraftTable = {
+    val base = metadata
+    val full = path.mkString(".")
+    val updated = childrenAt(base.currentSchema.fields, path.init, full) { fs =>
+      val fld = fs.find(_.name == path.last).getOrElse(sys.error(s"no column $full"))
+      val rest = fs.filterNot(_.name == path.last)
+      after match {
+        case None => fld :: rest
+        case Some(a) =>
+          val idx = rest.indexWhere(_.name == a)
+          require(idx >= 0, s"no sibling column $a to move $full after")
+          (rest.take(idx + 1) :+ fld) ++ rest.drop(idx + 1)
+      }
+    }
+    commitFields(updated, base.lastColumnId)
+  }
+
+  /** update a column's doc/comment (nested paths included) */
+  def setColumnDocPath(path: Seq[String], doc: Option[String]): GraftTable = {
+    val base = metadata
+    val updated = fieldsAt(base.currentSchema.fields, path, path.mkString("."))(
+      f => Some(f.copy(doc = doc)))
+    commitFields(updated, base.lastColumnId)
+  }
+
+  /** ALTER COLUMN ... SET/DROP DEFAULT: updates `write-default` only —
+    * it fills FUTURE writes that omit the column; `initial-default`
+    * (what old files serve) is fixed at add time, per the spec */
+  def setColumnWriteDefaultPath(path: Seq[String], value: Option[Any]): GraftTable = {
+    val base = metadata
+    val updated = fieldsAt(base.currentSchema.fields, path, path.mkString("."))(
+      f => Some(f.copy(writeDefault = value)))
+    commitFields(updated, base.lastColumnId)
+  }
+
   /** nested type widening — same spec-legal promotions as top-level */
   def updateColumnTypePath(path: Seq[String], to: IceType): GraftTable = {
     if (path.length == 1) return updateColumnType(path.head, to)

@@ -48,11 +48,12 @@ object SchemaConvert {
         mb.putString(GraftTypeKey, f.fieldType.repr)
       case _ =>
     }
-    StructField(
+    val sf = StructField(
       f.name,
       toSparkType(f.fieldType),
       nullable = !f.required,
       metadata = mb.build())
+    f.doc.map(sf.withComment).getOrElse(sf)
   }
 
   def toSparkSchema(s: IceSchema): StructType = StructType(s.fields.map(toSparkField))

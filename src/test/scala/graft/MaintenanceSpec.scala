@@ -1182,6 +1182,41 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER COLUMN position, comment, and write-default via SQL") {
+    val wh = tmpLocation("altcol-wh")
+    spark.conf.set("spark.sql.catalog.alt", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.alt.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS alt.db")
+      spark.sql("CREATE TABLE alt.db.t (a INT, b STRING, c DOUBLE)")
+      spark.sql("INSERT INTO alt.db.t VALUES (1, 'x', 0.5)")
+      // reorder: c FIRST, then a AFTER b — SELECT * follows the new order
+      spark.sql("ALTER TABLE alt.db.t ALTER COLUMN c FIRST")
+      spark.sql("ALTER TABLE alt.db.t ALTER COLUMN a AFTER b")
+      assert(spark.table("alt.db.t").schema.fieldNames.toSeq === Seq("c", "b", "a"))
+      assert(spark.sql("SELECT * FROM alt.db.t").collect().head.toSeq
+        === Seq(0.5, "x", 1))
+      // comment round-trips through metadata JSON
+      spark.sql("ALTER TABLE alt.db.t ALTER COLUMN b COMMENT 'the label'")
+      val t = StorageCatalog.loadTable(conf, s"$wh/db/t")
+      assert(t.metadata.currentSchema.findField("b").get.doc === Some("the label"))
+      // SET DEFAULT fills writes that omit the column via the API path
+      spark.sql("ALTER TABLE alt.db.t ALTER COLUMN b SET DEFAULT 'filler'")
+      val t2 = StorageCatalog.loadTable(conf, s"$wh/db/t")
+      assert(t2.metadata.currentSchema.findField("b").get.writeDefault === Some("filler"))
+      t2.append(spark, Seq((9.9, 2)).toDF("c", "a"))
+      assert(spark.sql("SELECT b FROM alt.db.t WHERE a = 2")
+        .collect().head.getString(0) === "filler")
+      // DROP DEFAULT clears it
+      spark.sql("ALTER TABLE alt.db.t ALTER COLUMN b DROP DEFAULT")
+      val t3 = StorageCatalog.loadTable(conf, s"$wh/db/t")
+      assert(t3.metadata.currentSchema.findField("b").get.writeDefault === None)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.alt")
+      spark.conf.unset("spark.sql.catalog.alt.warehouse")
+    }
+  }
+
   test("identifier fields: SQL DDL, JSON round-trip, keyless upsert, drop guard") {
     val wh = tmpLocation("idf-wh")
     spark.conf.set("spark.sql.catalog.idf", "graft.spark.GraftCatalog")
