@@ -853,6 +853,14 @@ object SparkEntry {
       // pass (stopword discovery, boilerplate and contamination audits)
       TextAnalysis.topNgrams(t(s, dir, "documents"), "text", n = 2, k = 50)
     }),
+    "text_perplexity" -> ((s, dir) => {
+      // char-trigram LM quality scoring (CCNet shape): per-doc negative
+      // log-likelihood under a model trained on the English slice —
+      // integer micro-nat quantization makes the scores exact across
+      // engines regardless of aggregation order
+      Selection.charLmNll(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en")
+    }),
     "text_dsir" -> ((s, dir) => {
       // DSIR importance weights: every document scored by how much its
       // hashed-unigram profile looks like the TARGET slice (English docs)
@@ -2799,6 +2807,28 @@ object SparkEntry {
         |  FROM w WHERE len(t) >= 2)
         |SELECT ngram, COUNT(*) AS freq FROM grams
         |GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 50""".stripMargin,
+    // exact replica of Selection.charLmNll: add-one-smoothed char-trigram
+    // log-probs quantized to integer micro-nats (order-independent long
+    // sums), model kept at count >= 2, OOV = ln(1/(T+V+1))
+    "text_perplexity" ->
+      """WITH tg AS (
+        |  SELECT doc_id, (lang = 'en') AS is_t,
+        |    unnest(list_transform(range(1, length(lower(text)) - 1),
+        |      i -> substr(lower(text), CAST(i AS INT), 3))) AS g
+        |  FROM documents WHERE length(text) >= 3),
+        |model AS (SELECT g, COUNT(*) AS c FROM tg WHERE is_t GROUP BY g),
+        |stats AS (SELECT CAST(SUM(c) AS DOUBLE) AS T,
+        |                 CAST(COUNT(*) AS DOUBLE) AS V FROM model),
+        |kept AS (
+        |  SELECT g, CAST(round(ln((c + 1.0) / (T + V + 1.0)) * 1000000) AS BIGINT) AS lm
+        |  FROM model, stats WHERE c >= 2),
+        |oov AS (SELECT CAST(round(ln(1.0 / (T + V + 1.0)) * 1000000) AS BIGINT) AS lm
+        |        FROM stats)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  round(-(CAST(SUM(COALESCE(kept.lm, (SELECT lm FROM oov))) AS DOUBLE)
+        |    / 1000000) / COUNT(*), 6) AS nll
+        |FROM tg LEFT JOIN kept USING (g)
+        |GROUP BY doc_id""".stripMargin,
     // exact replica of Selection.dsirWeights: md5-hex-digit buckets,
     // add-one-smoothed log-ratios rounded to 6dp, score = the same fixed
     // left-to-right literal-weighted chain (list_sum in list order)

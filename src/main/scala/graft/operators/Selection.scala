@@ -97,6 +97,60 @@ object Selection {
       round(score, 6).as("dsir_score"))
   }
 
+  /** CCNet-style language-model quality scoring: per-document negative
+    * log-likelihood under a character-trigram model trained on the TARGET
+    * slice (Wenzek et al. 2020 — docs that "read like" the target score
+    * low, gibberish scores high; threshold or bucket on `nll` to filter).
+    *
+    * Scale design: the model is ONE aggregate over the target slice's
+    * trigrams (char-trigram vocabularies are small — collected to the
+    * driver, re-emitted as a broadcast relation); scoring explodes each
+    * doc's trigrams into a BROADCAST hash join + one groupBy(doc) — the
+    * corpus never shuffles except keyed by doc id for the final fold.
+    *
+    * Determinism across engines is engineered, not hoped for: per-trigram
+    * log-probs are quantized to integer MICRO-NATS and summed as longs
+    * (exact in any order), so the per-doc average is identical in Spark
+    * and DuckDB regardless of aggregation order; add-one smoothing over
+    * (T + V + 1) covers out-of-vocabulary grams. Docs shorter than 3
+    * chars carry no trigrams and are excluded (documented contract). */
+  def charLmNll(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      minCount: Long = 2L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lowered = lower(col(textCol))
+    val grams = transform(
+      sequence(lit(1), length(lowered) - 2),
+      i => lowered.substr(i, lit(3)))
+    val tg = df.filter(length(col(textCol)) >= 3)
+      .select(col(idCol), isTarget.as("_is_t"), explode(grams).as("g"))
+    // the model: one aggregate over the target slice, driver-collected
+    // (char-trigram vocab is bounded by construction)
+    val counts = tg.filter(col("_is_t")).groupBy(col("g"))
+      .agg(count(lit(1)).as("c")).collect()
+    val total = counts.map(_.getLong(1)).sum.toDouble
+    val vocab = counts.length.toDouble
+    // round HALF AWAY FROM ZERO to match SQL round() semantics exactly
+    def micro(v: Double): Long =
+      (if (v >= 0) math.floor(v * 1e6 + 0.5) else math.ceil(v * 1e6 - 0.5)).toLong
+    val denom = total + vocab + 1.0
+    val model = counts.toSeq
+      .filter(_.getLong(1) >= minCount)
+      .map(r => (r.getString(0), micro(math.log((r.getLong(1) + 1.0) / denom))))
+    val oovMicro = micro(math.log(1.0 / denom))
+    val modelDf = model.toDF("g", "_lm")
+    tg.join(broadcast(modelDf), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        round(-(sum(coalesce(col("_lm"), lit(oovMicro))).cast(DoubleType) / 1e6)
+          / count(lit(1)), 6).as("nll"))
+  }
+
   /** Target-mixture sampling (the "data mix" knob of a training run):
     * given desired domain WEIGHTS (fractions of the output token budget)
     * and a global `budget` (fraction of total corpus tokens to keep),

@@ -470,6 +470,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pq === bf) // exact re-rank: the planted source vector wins
   }
 
+  test("char-LM nll: gibberish scores higher than target-like text; deterministic") {
+    import org.apache.spark.sql.functions.col
+    val english = "the quick brown fox jumps over the lazy dog and then rests in the shade"
+    val rows = (
+      (1L to 15L).map(i => (i, s"$english part $i", true)) ++
+      Seq((98L, "the lazy brown dog jumps over the quick fox", false),
+          (99L, "zxq vvkj qqpw zzzx mmvv kkqq xxzz wwqq ppzz", false))
+    ).toDF("doc_id", "text", "is_target")
+    val nll = Selection.charLmNll(rows, "doc_id", "text", col("is_target"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(nll(98L) < nll(99L), s"target-like ${nll(98L)} should beat gibberish ${nll(99L)}")
+    val again = Selection.charLmNll(rows, "doc_id", "text", col("is_target"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again === nll)
+    // short docs carry no trigrams and are excluded by contract
+    val withShort = rows.union(Seq((100L, "ab", false)).toDF("doc_id", "text", "is_target"))
+    assert(!Selection.charLmNll(withShort, "doc_id", "text", col("is_target"))
+      .collect().map(_.getLong(0)).contains(100L))
+  }
+
   test("dsir weights rank target-looking docs above off-target docs") {
     import org.apache.spark.sql.functions.col
     // target = "science" vocabulary; raw corpus mixes it with a disjoint
