@@ -80,6 +80,7 @@ object Bench {
     "text_dsir",
     "ann_ivf_pq",
     "pipeline_corpus",
+    "text_perplexity",
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup

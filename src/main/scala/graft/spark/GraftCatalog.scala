@@ -308,6 +308,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           }
         }
         t.setColumnWriteDefaultPath(dflt.fieldNames().toSeq, v)
+      case cb: TableChange.ClusterBy =>
+        // ALTER TABLE ... CLUSTER BY (c1, c2) -> the declared write sort
+        // order (same effect as WRITE ORDERED BY: files cluster/sort by
+        // the columns and stamp the order id); CLUSTER BY () clears it
+        t.setSortOrder(cb.clusteringColumns().toSeq
+          .map(r => (r.fieldNames().mkString("."), "asc", "nulls-first")))
       case set: TableChange.SetProperty =>
         t.setProperties(Map(set.property() -> set.value()))
       case rm: TableChange.RemoveProperty =>

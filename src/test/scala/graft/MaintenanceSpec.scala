@@ -1182,6 +1182,29 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER TABLE CLUSTER BY declares the write sort order") {
+    val wh = tmpLocation("clby-wh")
+    spark.conf.set("spark.sql.catalog.clb", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.clb.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS clb.db")
+      spark.sql("CREATE TABLE clb.db.t (a BIGINT, b STRING)")
+      spark.sql("ALTER TABLE clb.db.t CLUSTER BY (a)")
+      val t = StorageCatalog.loadTable(conf, s"$wh/db/t")
+      val order = t.metadata.sortOrders.find(_.orderId == t.metadata.defaultSortOrderId).get
+      assert(order.fields.map(f => (f.sourceId, f.direction)) ===
+        List((t.metadata.currentSchema.findField("a").get.id, "asc")))
+      // writes sort by it and stamp the order id
+      t.append(spark, spark.range(100).select(
+        (lit(100) - $"id").as("a"), lit("x").as("b")))
+      val files = t.metadata.currentSnapshot.toList.flatMap(t.planFiles(_))
+      assert(files.forall(_.file.sortOrderId.contains(order.orderId)))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.clb")
+      spark.conf.unset("spark.sql.catalog.clb.warehouse")
+    }
+  }
+
   test("ALTER COLUMN position, comment, and write-default via SQL") {
     val wh = tmpLocation("altcol-wh")
     spark.conf.set("spark.sql.catalog.alt", "graft.spark.GraftCatalog")
