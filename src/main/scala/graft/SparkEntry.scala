@@ -2236,6 +2236,14 @@ object SparkEntry {
           col("channels").cast(LongType).as("channels"),
           col("n_samples"), col("duration_ms"))
     }),
+    "mm_keyframes" -> ((s, dir) => {
+      // scene-cut detection over REAL decoded frames: the synthetic
+      // per-frame colors follow id formulas, so every mean-RGB delta —
+      // and thus every keyframe decision — is oracle-predictable
+      implicit val sp: SparkSession = s
+      Multimodal.keyframes(
+        Multimodal.syntheticVideos(t(s, dir, "documents"), "doc_id"))
+    }),
     "mm_frames" -> ((s, dir) => {
       // container video -> REAL per-frame decode: every 2nd frame's
       // dimensions and corner pixel, all predictable from id formulas
@@ -2664,6 +2672,28 @@ object SparkEntry {
         |  CAST((400 + (doc_id % 100) * 4) * 1000.0
         |    / (8000 * (1 + doc_id % 3)) AS DOUBLE) AS duration_ms
         |FROM documents""".stripMargin,
+    "mm_keyframes" ->
+      """WITH f AS (
+        |  SELECT doc_id AS asset_id,
+        |    unnest(range(0, 2 + doc_id % 7)) AS frame_index
+        |  FROM documents),
+        |c AS (
+        |  SELECT asset_id, frame_index,
+        |    CAST((asset_id + frame_index) % 256 AS DOUBLE) AS r,
+        |    CAST((asset_id * 3 + frame_index) % 256 AS DOUBLE) AS g,
+        |    CAST((asset_id * 5 + frame_index) % 256 AS DOUBLE) AS b
+        |  FROM f),
+        |d AS (
+        |  SELECT asset_id, frame_index, r, g, b,
+        |    LAG(r) OVER w AS pr, LAG(g) OVER w AS pg, LAG(b) OVER w AS pb
+        |  FROM c WINDOW w AS (PARTITION BY asset_id ORDER BY frame_index))
+        |SELECT asset_id, frame_index,
+        |  round(CASE WHEN pr IS NULL THEN 0.0
+        |    ELSE (abs(r - pr) + abs(g - pg) + abs(b - pb)) / 3.0 END, 6)
+        |    AS color_delta,
+        |  (pr IS NULL OR (abs(r - pr) + abs(g - pg) + abs(b - pb)) / 3.0 > 8.0)
+        |    AS is_keyframe
+        |FROM d""".stripMargin,
     "mm_frames" ->
       """SELECT doc_id AS asset_id, f AS frame_index,
         |  8 + doc_id % 16 AS width, 8 + doc_id % 8 AS height,

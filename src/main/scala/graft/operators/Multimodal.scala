@@ -452,6 +452,50 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Scene-cut keyframe selection: decode EVERY frame, compute its mean
+    * RGB, and measure the L1 color delta against the previous frame —
+    * frame 0 and any frame whose delta exceeds `threshold` is a
+    * keyframe (the shot-boundary heuristic a video curation pipeline
+    * runs before captioning/dedup: keep one frame per scene, not one
+    * per tick). Map-only: an asset's frames never leave its task, so
+    * the operator scales with assets × frames like the samplers. Mean
+    * colors of solid synthetic frames are exact integers, so deltas are
+    * oracle-exact (rounded 6dp against real-image float means). */
+  def keyframes(assets: DataFrame, threshold: Double = 8.0)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    assets.as[Asset].flatMap { a =>
+      containerFrames(a.payload).toSeq.flatMap { frames =>
+        var prev: (Double, Double, Double) = null
+        frames.zipWithIndex.map { case (bytes, fi) =>
+          val img = decodeImage(bytes).getOrElse(
+            sys.error(s"undecodable frame $fi of asset ${a.asset_id}"))
+          val (w, h) = (img.getWidth, img.getHeight)
+          var r = 0L; var g = 0L; var b = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toDouble
+          val (mr, mg, mb) = (r / n, g / n, b / n)
+          val delta =
+            if (prev == null) 0.0
+            else (math.abs(mr - prev._1) + math.abs(mg - prev._2) +
+              math.abs(mb - prev._3)) / 3.0
+          val isKey = fi == 0 || delta > threshold
+          prev = (mr, mg, mb)
+          (a.asset_id, fi.toLong, math.rint(delta * 1e6) / 1e6, isKey)
+        }
+      }
+    }.toDF("asset_id", "frame_index", "color_delta", "is_keyframe")
+  }
+
   /** REAL frame extraction: parse the container, decode every `everyK`-th
     * frame with imageio, emit typed per-frame stats — the 1-to-N batched
     * flatMap shape of a production frame sampler, with a real decoder. */
