@@ -20,11 +20,19 @@ object Decontamination {
 
   /** Distinct word `n`-grams of `textC` (map-only; empty array when the
     * doc has fewer than `n` words). */
+  /** n-gram array via n-1 zip_withs over SHIFTED SLICES of the token
+    * array. The slices are function ARGUMENTS (evaluated once per row);
+    * the earlier sequence+transform form referenced the tokenization
+    * inside the lambda body, and higher-order lambdas re-evaluate outer
+    * expressions PER ELEMENT — an O(len²) re-split per document that
+    * project-collapsing can re-introduce even if staged as a column. */
   private[graft] def wordNgrams(textC: Column, n: Int): Column = {
     val w = split(trim(textC), "\\s+")
+    val cnt = size(w) - (n - 1)
     when(size(w) >= n,
-      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
-        i => array_join(slice(w, i, lit(n)), " "))))
+      array_distinct(
+        (0 until n).map(o => slice(w, lit(o + 1), cnt))
+          .reduce((acc, p) => zip_with(acc, p, (a, b) => concat_ws(" ", a, b)))))
       .otherwise(array().cast(ArrayType(StringType)))
   }
 

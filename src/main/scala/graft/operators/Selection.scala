@@ -122,10 +122,17 @@ object Selection {
       minCount: Long = 2L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val lowered = lower(col(textCol))
-    val grams = transform(
-      sequence(lit(1), length(lowered) - 2),
-      i => lowered.substr(i, lit(3)))
+    // trigrams via two zip_withs over shifted CHARACTER slices — the
+    // slices are function arguments (evaluated once per row); an
+    // index-transform whose lambda substr'd the lowered text would
+    // re-lowercase the whole document PER TRIGRAM (O(len²))
+    val chars = split(lower(col(textCol)), "")
+    val cnt = size(chars) - 2
+    val grams = zip_with(
+      zip_with(slice(chars, lit(1), cnt), slice(chars, lit(2), cnt),
+        (a, b) => concat(a, b)),
+      slice(chars, lit(3), cnt),
+      (ab, c) => concat(ab, c))
     val tg = df.filter(length(col(textCol)) >= 3)
       .select(col(idCol), isTarget.as("_is_t"), explode(grams).as("g"))
     // the model: one aggregate over the target slice, driver-collected

@@ -94,14 +94,15 @@ object TextAnalysis {
       k: Int): DataFrame = {
     require(n >= 1 && k >= 1, "n and k must be positive")
     val w = filter(split(lower(col(textCol)), "[^a-z0-9]+"), x => length(x) > 0)
+    // n-grams via n-1 zip_withs over shifted slices: the slices are
+    // function ARGUMENTS (evaluated once per row) — an index-transform
+    // whose lambda referenced `w` would re-tokenize PER ELEMENT (O(len²))
+    val cnt = size(w) - (n - 1)
     val grams =
       if (n == 1) w
-      // sequence(a, b) counts DOWN when b < a, so short docs must gate
-      // to an empty array instead of relying on an empty sequence
       else when(size(w) >= n,
-        transform(
-          sequence(lit(1), size(w) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*)))
+        (0 until n).map(o => slice(w, lit(o + 1), cnt))
+          .reduce((acc, p) => zip_with(acc, p, (a, b) => concat_ws(" ", a, b))))
         .otherwise(array().cast("array<string>"))
     df.select(explode(grams).as("ngram"))
       .groupBy(col("ngram"))
