@@ -707,6 +707,20 @@ object SparkEntry {
       val comps = Dedup.connectedComponents(pairs, "a", "b")
       Dedup.resolveDuplicates(corpus, "vec_id", comps).select(col("vec_id"))
     }),
+    "dedup_substrings" -> ((s, dir) => {
+      // exact-substring duplication coverage (Lee et al. 2021): a token
+      // span is duplicated when its 8-token gram occurs more than once
+      // anywhere in the corpus; per doc — duplicated-gram count, tokens
+      // covered by merged spans, span count, covered fraction
+      Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", k = 8)
+    }),
+    "dedup_winnow" -> ((s, dir) => {
+      // winnowing fingerprint overlap (MOSS): window-min of 4-gram hashes
+      // guarantees a shared fingerprint for any shared run of >= 7
+      // tokens; pairs sharing >= 2 distinct fingerprints are reported
+      Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 4, w = 4, minShared = 2)
+    }),
     "dedup_resolve" -> ((s, dir) => {
       // the full dedup pipeline ending in a deduped CORPUS: LSH pairs ->
       // connected components -> one canonical survivor per cluster (plus
@@ -868,6 +882,32 @@ object SparkEntry {
       // literal-weighted score
       Selection.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en")
+    }),
+    "text_linededup" -> ((s, dir) => {
+      // CCNet boilerplate-line removal: docs are re-lined
+      // deterministically (8 tokens per line — the corpus has no native
+      // newlines) so the operator sees real multi-line documents; any
+      // line occurring in >= 2 DISTINCT docs is boilerplate and is
+      // stripped from every doc, which is re-assembled in line order
+      val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
+        x => length(x) > 0)
+      val lined = t(s, dir, "documents").select(
+        col("doc_id"),
+        array_join(
+          transform(
+            sequence(lit(0), floor((size(toks) - 1) / 8).cast(IntegerType)),
+            i => array_join(slice(toks, i * lit(8) + lit(1), lit(8)), " ")),
+          "\n").as("text"))
+      TextAnalysis.lineDedup(lined, "doc_id", "text", "\n", minDocs = 2)
+    }),
+    "text_nb_classify" -> ((s, dir) => {
+      // fastText-style quality classifier: multinomial NB over hashed
+      // unigram buckets, trained on the doc_id%3==0 slice labeled
+      // English-vs-not, scored map-only over the whole corpus with
+      // micro-nat-quantized weights (exact across engines)
+      Selection.nbClassify(t(s, dir, "documents"), "doc_id", "text",
+        isPositive = col("lang") === "en",
+        isTrain = col("doc_id") % 3 === 0)
     }),
     "sample_mixture" -> ((s, dir) => {
       // target-mixture sampling: re-weight three sources to a 20/30/50
@@ -2114,6 +2154,36 @@ object SparkEntry {
       q.stop()
       s.table(name)
     }),
+    "stream_dedup" -> ((s, dir) => {
+      // streaming deduplication with dropDuplicatesWithinWatermark: the
+      // same rows are committed TWICE (two snapshots = two micro-batches,
+      // rate-limited to one commit each), so the second batch is an exact
+      // replay; keyed dedup state drops it. The watermark delay is set
+      // far past the data's time span so no dedup state expires mid-run —
+      // the output is exactly the distinct event set, proved by the
+      // batch aggregate over the sink (counts only: deterministic
+      // regardless of which arrival survived)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val tbl = freshTable(s, "stream_dedup", ev.limit(0))
+      tbl.append(s, ev)
+      tbl.append(s, ev) // exact replay commit
+      val name = s"stream_dedup_${System.nanoTime()}"
+      val q = s.readStream.format("graft-stream")
+        .option("location", tbl.location)
+        .option("max-seqs-per-trigger", "1")
+        .load()
+        .withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name).groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+    }),
     "stream_changelog" -> ((s, dir) => {
       // streaming CDC source (mode=changelog): each micro-batch carries
       // its snapshot range's changelog — inserts AND full-content deletes
@@ -2798,6 +2868,66 @@ object SparkEntry {
         |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
         |SELECT vec_id FROM av
         |WHERE vec_id NOT IN (SELECT id FROM comp WHERE component <> id)""".stripMargin,
+    // exact-substring coverage replica: same md5/16 gram hashes, same
+    // window identity (each duplicated start covers min(gap, k) tokens —
+    // interval union without interval state)
+    "dedup_substrings" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS s,
+        |    substr(md5(array_to_string(tk[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')), 1, 16) AS h
+        |  FROM toks, UNNEST(range(1, greatest(len(tk) - 6, 1))) AS t(i)),
+        |dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+        |win AS (
+        |  SELECT doc_id, s,
+        |    s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) AS gap
+        |  FROM grams WHERE h IN (SELECT h FROM dup)),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams,
+        |    CAST(SUM(CASE WHEN gap IS NULL THEN 8 ELSE LEAST(gap, 8) END) AS BIGINT)
+        |      AS covered_tokens,
+        |    CAST(SUM(CASE WHEN gap IS NULL OR gap > 8 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_spans
+        |  FROM win GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  coalesce(n_dup_grams, 0) AS n_dup_grams,
+        |  coalesce(covered_tokens, 0) AS covered_tokens,
+        |  coalesce(n_spans, 0) AS n_spans,
+        |  CASE WHEN len(tk) > 0
+        |    THEN round(coalesce(covered_tokens, 0) / CAST(len(tk) AS DOUBLE), 6)
+        |    ELSE 0.0 END AS dup_frac
+        |FROM toks t LEFT JOIN agg USING (doc_id)""".stripMargin,
+    // winnowing replica: window-min over md5/8 gram hashes (fixed-width
+    // hex compares lexicographically = numerically), same 2..200 bucket
+    // cap before pair generation
+    "dedup_winnow" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(tk) - 2, 1)), i ->
+        |      substr(md5(array_to_string(tk[CAST(i AS INT):CAST(i + 3 AS INT)], ' ')), 1, 8)) AS hs
+        |  FROM toks),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, fp FROM (
+        |    SELECT doc_id,
+        |      list_aggregate(hs[CAST(j AS INT):CAST(j + 3 AS INT)], 'min') AS fp
+        |    FROM grams, UNNEST(range(1, greatest(len(hs) - 2, 2))) AS t(j))
+        |  WHERE fp IS NOT NULL),
+        |ok AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 200),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        |  WHERE x.fp IN (SELECT fp FROM ok))
+        |SELECT a, b, CAST(count(*) AS BIGINT) AS shared_fps
+        |FROM pairs GROUP BY a, b HAVING count(*) >= 2""".stripMargin,
     "text_bm25" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -2891,6 +3021,73 @@ object SparkEntry {
         |  round(list_sum(list_transform(range(0, 16), i ->
         |    CAST(c[CAST(i AS INT) + 1] AS DOUBLE) * rr[CAST(i AS INT) + 1])), 6) AS dsir_score
         |FROM bc, ratios""".stripMargin,
+    // CCNet line-dedup replica: same 8-token re-lining, boilerplate =
+    // line in >= 2 distinct docs, docs re-assembled from surviving lines
+    // in order (empty string when every line was boilerplate)
+    "text_linededup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |lined AS (
+        |  SELECT doc_id, i,
+        |    array_to_string(tk[(CAST(i AS INT) * 8 + 1):(CAST(i AS INT) * 8 + 8)], ' ') AS line
+        |  FROM toks, UNNEST(range(0, ((len(tk) - 1) // 8) + 1)) AS t(i)),
+        |boiler AS (
+        |  SELECT line FROM lined GROUP BY line
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |kept AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY i) AS cleaned_text
+        |  FROM lined WHERE line NOT IN (SELECT line FROM boiler)
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(((len(tk) - 1) // 8) + 1 AS BIGINT) AS n_lines,
+        |  coalesce(n_kept, 0) AS n_kept,
+        |  coalesce(cleaned_text, '') AS cleaned_text
+        |FROM toks t LEFT JOIN kept USING (doc_id)""".stripMargin,
+    // NB classifier replica: same md5 bucket hashing, same micro-nat
+    // weight quantization (round() = half away from zero, matching the
+    // Scala micro()), LONG dot product so sums are order-exact
+    "text_nb_classify" ->
+      """WITH toks AS (
+        |  SELECT doc_id, (lang = 'en') AS pos, (doc_id % 3 = 0) AS tr,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |bc AS (
+        |  SELECT doc_id, pos, tr,
+        |    list_transform(range(0, 16), i ->
+        |      CAST(len(list_filter(tk,
+        |        w -> substr(md5(w), 1, 1) = substr('0123456789abcdef', CAST(i AS INT) + 1, 1)))
+        |      AS BIGINT)) AS c
+        |  FROM toks),
+        |persum AS (
+        |  SELECT i,
+        |    CAST(SUM(CASE WHEN tr AND pos THEN c[CAST(i AS INT) + 1] ELSE 0 END) AS BIGINT) AS pi,
+        |    CAST(SUM(CASE WHEN tr AND NOT pos THEN c[CAST(i AS INT) + 1] ELSE 0 END) AS BIGINT) AS ni
+        |  FROM bc, (SELECT unnest(range(0, 16)) AS i)
+        |  GROUP BY i),
+        |dcnt AS (
+        |  SELECT CAST(SUM(CASE WHEN tr AND pos THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+        |         CAST(SUM(CASE WHEN tr AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS dn
+        |  FROM bc),
+        |sums AS (SELECT list(pi ORDER BY i) AS p, list(ni ORDER BY i) AS n FROM persum),
+        |wts AS (
+        |  SELECT list_transform(range(0, 16), i ->
+        |    CAST(round((ln((p[CAST(i AS INT) + 1] + 1.0) / (list_sum(p) + 16.0))
+        |              - ln((n[CAST(i AS INT) + 1] + 1.0) / (list_sum(n) + 16.0))) * 1e6)
+        |    AS BIGINT)) AS w,
+        |    (SELECT CAST(round(ln((dp + 1.0) / (dn + 1.0)) * 1e6) AS BIGINT) FROM dcnt) AS prior
+        |  FROM sums),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 16), i ->
+        |      c[CAST(i AS INT) + 1] * w[CAST(i AS INT) + 1])) + prior AS BIGINT) AS lm
+        |  FROM bc, wts)
+        |SELECT doc_id, round(lm / 1e6, 6) AS nb_logit, lm > 0 AS nb_pred
+        |FROM scored""".stripMargin,
     // exact replica of Selection.mixtureSample over Sampling's md5
     // threshold: per-source keep-rate min(1, budget*w*T/tok), threshold
     // printf('%04x', round(rate*65536)), same md5-prefix comparison
@@ -3261,6 +3458,12 @@ object SparkEntry {
         |WHERE rn = 1""".stripMargin,
     "stream_sink_append" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+    // the doubled feed dedups back to exactly the distinct event set
+    "stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM events GROUP BY event_type""".stripMargin,
     "stream_changelog" ->
       """SELECT *, 'insert' AS _change_type FROM orders
         |UNION ALL

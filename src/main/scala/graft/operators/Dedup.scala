@@ -220,6 +220,126 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
+  /** word k-gram strings per doc via k-1 zip_withs over shifted slices —
+    * slices are function ARGUMENTS (evaluated once per row), never a
+    * lambda that re-tokenizes per element (O(len²)); array index i holds
+    * the gram starting at token position i+1 */
+  private def wordGrams(textCol: Column, k: Int): Column = {
+    val w = filter(split(lower(textCol), "[^a-z0-9]+"), x => length(x) > 0)
+    val cnt = size(w) - (k - 1)
+    if (k == 1) w
+    else when(size(w) >= k,
+      (0 until k).map(o => slice(w, lit(o + 1), cnt))
+        .reduce((acc, p) => zip_with(acc, p, (a, b) => concat_ws(" ", a, b))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact-substring duplication coverage (the "deduplicating training
+    * data makes language models better" pass, Lee et al. 2021): a token
+    * span is DUPLICATED when the k-token gram starting there occurs more
+    * than once anywhere in the corpus. Per document this reports the
+    * duplicated-gram count, the number of tokens covered by at least one
+    * duplicated gram (overlapping grams merged into spans), the merged
+    * span count, and the covered fraction — the signals a pipeline
+    * thresholds on to drop or trim substring-contaminated documents.
+    *
+    * Scale design: the corpus shuffles ONCE as narrow (doc, start,
+    * gram-hash) triples — the gram TEXT never leaves its split (md5/16
+    * hex ride the shuffle); duplicate detection is a hash-aggregate with
+    * map-side combine (shuffle ∝ distinct grams per partition); the
+    * join back is a semi-join on the hash; interval merging needs NO
+    * interval state — duplicated starts sort per doc and each start
+    * contributes `min(gap-to-previous, k)` covered tokens, a window
+    * function whose state is one row (never a per-doc array). */
+  def duplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val grams = df.select(
+      col(idCol).as("doc_id"),
+      posexplode(wordGrams(col(textCol), k)).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("start"),
+        substring(md5(col("g")), 1, 16).as("h"))
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("start"))
+    val hits = grams.join(dup, Seq("h"), "left_semi")
+      .withColumn("gap", col("start") - lag(col("start"), 1).over(win))
+    val agg = hits.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_dup_grams"),
+      sum(when(col("gap").isNull, k).otherwise(least(col("gap"), lit(k))))
+        .as("covered_tokens"),
+      sum(when(col("gap").isNull || col("gap") > k, 1L).otherwise(0L))
+        .as("n_spans"))
+    df.select(
+      col(idCol).as("doc_id"),
+      size(filter(split(lower(col(textCol)), "[^a-z0-9]+"), x => length(x) > 0))
+        .cast(LongType).as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        when(col("n_tokens") > 0,
+          round(coalesce(col("covered_tokens"), lit(0L)).cast(DoubleType) /
+            col("n_tokens"), 6)).otherwise(lit(0.0)).as("dup_frac"))
+  }
+
+  /** Winnowing fingerprint overlap (Schleimer et al. 2003, the MOSS
+    * algorithm): each document keeps the MINIMUM gram hash of every
+    * w-wide window over its k-gram sequence — winnowing guarantees any
+    * shared substring of length >= w+k-1 tokens produces at least one
+    * shared fingerprint, so pair recall over long overlaps is structural,
+    * not probabilistic (the difference from minhash, which samples the
+    * whole-document shingle SET and loses locality). Pairs sharing >=
+    * `minShared` distinct fingerprints are reported with the shared
+    * count — the plagiarism/near-dup detector tuned for partial overlap.
+    *
+    * Scale design: fingerprint selection is MAP-ONLY (window-min folds
+    * over the in-row hash array; hex strings of fixed width compare
+    * lexicographically = numerically, so the min is engine-portable);
+    * only distinct (doc, fingerprint) pairs shuffle; pair generation
+    * gathers per-fingerprint buckets with a `maxBucket` cap — bounded
+    * pair blowup, never an all-pairs product, same discipline as the
+    * LSH paths. */
+  def winnowPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxBucket: Int = 200): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    val hashes = transform(wordGrams(col(textCol), k),
+      g => substring(md5(g), 1, 8))
+    // windows: positions 1..m-w+1 (one whole-array window when 0<m<w)
+    val fps = docs.select(
+      col(idCol).as("doc_id"),
+      when(size(hashes) > 0,
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
+          j => array_min(slice(hashes, j, lit(w))))))
+        .otherwise(array().cast("array<string>")).as("fps"))
+    val pairsPerFp = fps
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y ->
+          |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a"), col("p.b"))
+    pairsPerFp.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Connected components over a near-duplicate pair list: every doc in a
     * pair gets the MIN doc id of its component — the canonical-survivor
     * assignment a dedup pipeline needs to collapse duplicate CLUSTERS

@@ -158,6 +158,75 @@ object Selection {
           / count(lit(1)), 6).as("nll"))
   }
 
+  /** Hashed-feature Naive-Bayes quality classifier (the fastText-style
+    * linear filter a pipeline trains on a small labeled slice and applies
+    * to the whole corpus — CCNet/GPT-3-style "looks like the curated set"
+    * filtering). TRAIN: multinomial NB with add-one smoothing over hashed
+    * unigram buckets, fit on the rows where `isTrain` holds, labeled by
+    * `isPositive`. SCORE: every row gets the log-odds
+    * `logit(d) = log(P(+)/P(-)) + Σ_b n_b(d)·log(p⁺_b/p⁻_b)` and
+    * `pred = logit > 0`.
+    *
+    * Scale design: training is ONE aggregate row (2·B bucket totals + 2
+    * doc counts — the model is driver-tiny by construction) re-emitted as
+    * plan literals; scoring is MAP-ONLY (per-doc bucket counts fold over
+    * the in-row token array, no explode, no shuffle). Determinism is
+    * engineered: per-bucket log-ratios and the prior are quantized to
+    * integer MICRO-NATS and the per-doc score is a LONG dot product —
+    * exact in any evaluation order, identical across engines. */
+  def nbClassify(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isPositive: Column,
+      isTrain: Column,
+      hexChars: Int = 1): DataFrame = {
+    val ids = bucketIds(hexChars)
+    val based = df.select(
+      col(idCol), toks(col(textCol)).as("_toks"),
+      isPositive.as("_pos"), isTrain.as("_tr"))
+      .withColumn("_tb",
+        transform(col("_toks"), w => substring(md5(w), 1, hexChars)))
+      .withColumn("_bc", array(ids.map(b =>
+        size(filter(col("_tb"), x => x === b)).cast(LongType)): _*))
+    def bucketCount(i: Int): Column = col("_bc")(i)
+
+    val aggs =
+      ids.indices.map(i =>
+        sum(when(col("_tr") && col("_pos"), bucketCount(i)).otherwise(0L))
+          .as(s"p_$i")) ++
+      ids.indices.map(i =>
+        sum(when(col("_tr") && !col("_pos"), bucketCount(i)).otherwise(0L))
+          .as(s"n_$i")) ++
+      Seq(
+        sum(when(col("_tr") && col("_pos"), 1L).otherwise(0L)).as("dp"),
+        sum(when(col("_tr") && !col("_pos"), 1L).otherwise(0L)).as("dn"))
+    val row = based.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val pC = ids.indices.map(i => row.getLong(i))
+    val nC = ids.indices.map(i => row.getLong(ids.size + i))
+    val (docsP, docsN) = (row.getLong(2 * ids.size), row.getLong(2 * ids.size + 1))
+    val b = ids.size.toDouble
+    // round HALF AWAY FROM ZERO to match SQL round() semantics exactly
+    def micro(v: Double): Long =
+      (if (v >= 0) math.floor(v * 1e6 + 0.5) else math.ceil(v * 1e6 - 0.5)).toLong
+    val (pTot, nTot) = (pC.sum, nC.sum)
+    val llr: Seq[Long] = ids.indices.map { i =>
+      micro(math.log((pC(i) + 1.0) / (pTot + b)) -
+        math.log((nC(i) + 1.0) / (nTot + b)))
+    }
+    val prior = micro(math.log((docsP + 1.0) / (docsN + 1.0)))
+
+    // map-only scoring: LONG dot product of bucket counts with the
+    // quantized weights — exact, order-independent
+    val logitMicro = ids.indices
+      .map(i => bucketCount(i) * lit(llr(i)))
+      .reduce(_ + _) + lit(prior)
+    based.select(
+      col(idCol),
+      round(logitMicro.cast(DoubleType) / 1e6, 6).as("nb_logit"),
+      (logitMicro > 0L).as("nb_pred"))
+  }
+
   /** Target-mixture sampling (the "data mix" knob of a training run):
     * given desired domain WEIGHTS (fractions of the output token budget)
     * and a global `budget` (fraction of total corpus tokens to keep),

@@ -187,6 +187,58 @@ object TextAnalysis {
   def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), text.langId(col(textCol)).as("lang_pred"))
 
+  /** Line-level corpus dedup (the CCNet boilerplate pass, Wenzek et al.
+    * 2020): a line that occurs in at least `minDocs` DISTINCT documents is
+    * boilerplate (headers, nav bars, cookie banners) and is removed from
+    * every document; each doc is re-assembled from its surviving lines in
+    * order. Documents that lose every line stay in the output with an
+    * empty `cleaned_text` (the caller decides whether to drop them).
+    *
+    * Scale design: lines shuffle ONCE keyed by their md5 hash (narrow —
+    * the line text never rides the frequency shuffle) with map-side
+    * partial aggregation; the boilerplate set is, by construction, the
+    * small head of the line-frequency distribution, so the anti-join
+    * back is AQE-broadcastable; re-assembly is one shuffle keyed by doc
+    * id with per-doc sorting only (no global order). Nothing here is
+    * O(corpus²). */
+  def lineDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n",
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val qsep = java.util.regex.Pattern.quote(sep)
+    val lines = df.select(
+      col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), qsep)).as(Seq("pos", "line")))
+      .withColumn("h", md5(col("line")))
+    // boilerplate = hashes seen in >= minDocs distinct docs; exact
+    // count_distinct — the aggregate output is #distinct lines, and the
+    // FILTERED set (what ships to the join) is boilerplate-small
+    val boiler = lines.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+    val kept = lines.join(boiler, Seq("h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")),
+          sep).as("cleaned_text"))
+    df.select(
+      col(idCol).as("doc_id"),
+      (size(split(col(textCol), qsep))).cast(LongType).as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** Winnowing-style rolling-hash fingerprints. */
   def fingerprints(
       df: DataFrame,

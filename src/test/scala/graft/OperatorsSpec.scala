@@ -53,6 +53,68 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out((1L, 3L)) < 0.1)
   }
 
+  test("line dedup strips cross-doc boilerplate, keeps within-doc repeats") {
+    val lined = Seq(
+      (1L, "boiler\nunique one\nfooter"),
+      (2L, "boiler\nunique two\nfooter"),
+      (3L, "solo line"),
+      (4L, "boiler"),          // loses every line
+      (5L, "rep\nrep"),        // repeated in ONE doc only -> not boilerplate
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lineDedup(lined, "doc_id", "text", "\n", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) === ((3L, 1L, "unique one")))
+    assert(out(2L) === ((3L, 1L, "unique two")))
+    assert(out(3L) === ((1L, 1L, "solo line")))
+    assert(out(4L) === ((1L, 0L, "")))
+    assert(out(5L) === ((2L, 2L, "rep\nrep")))
+  }
+
+  test("duplicated spans: shared 8-gram covered, overlapping grams merge") {
+    val d = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 x1 x2"),
+      (2L, "z1 w1 w2 w3 w4 w5 w6 w7 w8 z2"),  // same 8-gram, offset 2
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u0"),  // unrelated
+      (4L, "a1 a2 a3 a4 a5 a6 a7 a8 a9"),     // 2 grams, both duplicated
+      (5L, "a1 a2 a3 a4 a5 a6 a7 a8 a9"),     //   by this exact dup
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(d, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(1L) === ((10L, 1L, 8L, 1L, 0.8)))
+    assert(out(2L) === ((10L, 1L, 8L, 1L, 0.8)))
+    assert(out(3L) === ((10L, 0L, 0L, 0L, 0.0)))
+    // overlapping duplicated grams at starts 1,2 merge: 8 + min(1,8) = 9
+    assert(out(4L) === ((9L, 2L, 9L, 1L, 1.0)))
+    assert(out(5L) === out(4L))
+  }
+
+  test("winnowing pairs: shared long runs pair, unrelated docs do not") {
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text", k = 4, w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 4L))) // exact dup: every fingerprint shared
+    assert(pairs.contains((1L, 2L))) // 13-token shared prefix >= w+k-1=7
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(pairs((1L, 4L)) >= pairs((1L, 2L)))
+  }
+
+  test("NB classifier separates the planted vocabularies") {
+    val d = Seq(
+      (1L, "alpha beta alpha beta", true, true),
+      (2L, "beta alpha beta alpha", true, true),
+      (3L, "gamma delta gamma delta", false, true),
+      (4L, "delta gamma delta gamma", false, true),
+      (5L, "alpha beta beta", false, false),   // score-only rows: label unused
+      (6L, "gamma delta delta", true, false),
+    ).toDF("doc_id", "text", "pos", "tr")
+    val out = Selection.nbClassify(d, "doc_id", "text", col("pos"), col("tr"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(out(5L)._2 === true)   // looks positive despite its label column
+    assert(out(6L)._2 === false)
+    assert(out(1L)._1 > 0 && out(3L)._1 < 0)
+    assert(out(5L)._1 > out(6L)._1)
+  }
+
   test("brute-force ANN returns the planted nearest neighbor first") {
     val base = Array.tabulate(16)(i => (i + 1).toFloat)
     val nearly = base.map(_ * 1.01f)
