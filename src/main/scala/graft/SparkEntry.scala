@@ -1533,6 +1533,36 @@ object SparkEntry {
           |  VALUES (s.o_orderkey, 'M', s.o_totalprice)""".stripMargin)
       s.sql("SELECT * FROM graft.db.merge_orders")
     }),
+    "ice_variant" -> ((s, dir) => {
+      // Iceberg v3 VARIANT column end-to-end: the events table's JSON
+      // props parse into a semi-structured payload (string + long + int
+      // fields), land in a format-version-3 table through SQL INSERT,
+      // survive a MoR DELETE, and read back via typed variant_get paths.
+      // The physical layout is the Parquet Variant encoding (the spec's
+      // unshredded representation) written/read by Spark natively.
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.var_events")
+      s.sql(
+        """CREATE TABLE graft.db.var_events (event_id BIGINT, payload VARIANT)
+          |TBLPROPERTIES ('format-version' = '3')""".stripMargin)
+      t(s, dir, "events").createOrReplaceTempView("events_src_var")
+      s.sql(
+        """INSERT INTO graft.db.var_events
+          |SELECT event_id,
+          |  parse_json(concat('{"t":"', event_type, '","u":', user_id,
+          |                    ',"k":', get_json_object(props, '$.k'), '}'))
+          |FROM events_src_var""".stripMargin)
+      s.sql("DELETE FROM graft.db.var_events WHERE event_id % 7 = 0")
+      s.sql(
+        """SELECT event_id,
+          |  variant_get(payload, '$.t', 'string') AS etype,
+          |  variant_get(payload, '$.u', 'bigint') AS uid,
+          |  variant_get(payload, '$.k', 'int') AS k
+          |FROM graft.db.var_events""".stripMargin)
+    }),
     "sql_dml_cow" -> ((s, dir) => {
       // copy-on-write DML modes: DELETE + UPDATE + MERGE rewrite matched
       // FILES and swap them atomically — zero delete files ever exist, so
@@ -3419,6 +3449,12 @@ object SparkEntry {
         |       WHEN o_orderstatus = 'P' THEN o_totalprice * 2.0
         |       ELSE o_totalprice END AS o_totalprice
         |FROM orders""".stripMargin,
+    // variant round-trip: the typed extractions recover exactly the
+    // source fields the payload was built from
+    "ice_variant" ->
+      """SELECT event_id, event_type AS etype, user_id AS uid,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events WHERE event_id % 7 <> 0""".stripMargin,
     "sql_dml_cow" ->
       """SELECT o_orderkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 1.0

@@ -1837,7 +1837,8 @@ class GraftTable(
       f.fieldType match {
         case IcePrim("float") | IcePrim("double") =>
           sys.error(s"identifier field $n cannot be float/double")
-        case IceStruct(_) | IceList(_, _, _) | IceMap(_, _, _, _, _) =>
+        case IceStruct(_) | IceList(_, _, _) | IceMap(_, _, _, _, _) |
+            IcePrim("variant") =>
           sys.error(s"identifier field $n must be a primitive column")
         case _ => f.id
       }
@@ -1898,6 +1899,8 @@ class GraftTable(
 
   private def commitSchema(newSchema: IceSchema, lastColumnId: Int): GraftTable = {
     val base = metadata
+    require(base.formatVersion >= 3 || !newSchema.usesVariant,
+      "variant columns require format-version 3")
     val newMeta = base.copy(
       schemas = base.schemas :+ newSchema,
       currentSchemaId = newSchema.schemaId,

@@ -43,6 +43,20 @@ case class IceSchema(
   def identifierFieldNames: List[String] =
     identifierFieldIds.flatMap(id => fieldById(id).map(_.name))
   def fieldById(id: Int): Option[IceField] = fields.find(_.id == id)
+  /** whether any field (nested included) is the v3 `variant` type —
+    * callers gate it on `format-version >= 3` (spec: variant is a v3
+    * addition; older readers cannot decode it) */
+  def usesVariant: Boolean = {
+    def in(t: IceType): Boolean = t match {
+      case IcePrim("variant") => true
+      case IceStruct(fs) => fs.exists(f => in(f.fieldType))
+      case IceList(_, e, _) => in(e)
+      case IceMap(_, k, _, v, _) => in(k) || in(v)
+      case _ => false
+    }
+    fields.exists(f => in(f.fieldType))
+  }
+
   def maxFieldId: Int = {
     def maxIn(t: IceType): Int = t match {
       case IceStruct(fs) => (0 :: fs.map(f => math.max(f.id, maxIn(f.fieldType)))).max

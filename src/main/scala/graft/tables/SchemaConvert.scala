@@ -32,6 +32,10 @@ object SchemaConvert {
     case IcePrim("string") => StringType
     case IcePrim("uuid") => StringType
     case IcePrim("binary") => BinaryType
+    // Iceberg v3 variant — semi-structured values; Spark's VariantType is
+    // the same Parquet Variant encoding (metadata+value binaries), so the
+    // physical layout matches the spec's unshredded representation
+    case IcePrim("variant") => VariantType
     case IceDecimal(p, s) => DecimalType(p, s)
     case IceFixed(_) => BinaryType
     case IceStruct(fields) => StructType(fields.map(toSparkField))
@@ -74,6 +78,7 @@ object SchemaConvert {
       case TimestampType => IcePrim("timestamptz")
       case StringType => IcePrim("string")
       case BinaryType => IcePrim("binary")
+      case VariantType => IcePrim("variant")
       case d: DecimalType => IceDecimal(d.precision, d.scale)
       case ArrayType(e, containsNull) =>
         IceList(alloc(), conv(e), elementRequired = !containsNull)
