@@ -81,6 +81,14 @@ object Bench {
     "ann_ivf_pq",
     "pipeline_corpus",
     "text_perplexity",
+    // round-8 second wave: substring/line/winnow dedup, the NB quality
+    // classifier, streaming dedup, and the v3 variant path
+    "dedup_substrings",
+    "dedup_winnow",
+    "text_linededup",
+    "text_nb_classify",
+    "stream_dedup",
+    "ice_variant",
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup
@@ -267,7 +275,11 @@ object Bench {
         // round-8 second wave: PQ ANN, DSIR scoring, mixture sampling,
         // eq->pos conversion, CDC streaming
         "ann_ivf_pq", "text_dsir", "sample_mixture", "ice_eq_convert",
-        "stream_changelog"))
+        "stream_changelog",
+        // round-8 third wave: the corpus-shuffling dedup/classifier
+        // shapes whose cost scales with tokens, not documents
+        "dedup_substrings", "dedup_winnow", "text_linededup",
+        "text_nb_classify", "ice_variant"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }
