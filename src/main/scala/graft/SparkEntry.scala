@@ -747,6 +747,14 @@ object SparkEntry {
         size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
       Packing.packGreedy(toks, "doc_id", "n_tokens", budgetTokens = 2000L)
     }),
+    "pack_shards" -> ((s, dir) => {
+      // training-export shuffle: deterministic pseudo-random global order
+      // (md5-salted) split into 8 balanced shards with stable within-shard
+      // sequence — the re-run/backfill-reproducible form of "shuffle the
+      // corpus and write N shards"
+      Packing.shuffleShards(t(s, dir, "documents"), "doc_id",
+        numShards = 8, salt = "epoch0")
+    }),
     "pipeline_corpus" -> ((s, dir) => {
       // the END-TO-END training-corpus pipeline, composed from the
       // engine's own operators: quality gate → exact dedup →
@@ -3175,6 +3183,23 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, n_tokens,
         |  CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id FROM c""".stripMargin,
+    // shard-export replica: same md5(salt ‖ id) order key, same 4-hex
+    // shard hash (strpos folds the hex digits the way Spark's conv does)
+    "pack_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('epoch0 ' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, h,
+        |    ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+        |     + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+        |     + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 8 AS shard_id
+        |  FROM h)
+        |SELECT doc_id, CAST(shard_id AS BIGINT) AS shard_id,
+        |  CAST(row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id)
+        |    AS BIGINT) AS seq
+        |FROM sh""".stripMargin,
     "decontaminate" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 2),

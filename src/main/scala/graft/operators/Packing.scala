@@ -74,4 +74,36 @@ object Packing {
         expr(s"(cum_local + poffset - n_tokens) div ${budgetTokens}L")
           .as("shard_id"))
   }
+
+  /** Deterministic global shuffle + shard assignment — the EXPORT step of
+    * a training-data pipeline: break source/crawl ordering (adjacent docs
+    * from one domain must not land adjacent in training order) and split
+    * the corpus into `numShards` balanced output shards with a stable
+    * within-shard sequence. Order comes from md5(salt ‖ id): pseudo-random
+    * but fully deterministic, so re-runs, backfills, and other engines
+    * produce the SAME training order (no rand(), no partition-id
+    * dependence — both break under retries/AQE).
+    *
+    * shard_id = first 4 hex digits of the hash as an int, mod numShards
+    * (map-only); seq = rank within the shard by (hash, id). Scale: ONE
+    * shuffle keyed by shard_id; each shard sorts independently (corpus/
+    * numShards rows per task — pick numShards so a shard fits a task,
+    * e.g. 100k shards at 100 TB), never a single global order-by. */
+  def shuffleShards(
+      df: DataFrame,
+      idCol: String,
+      numShards: Int,
+      salt: String = ""): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val h = md5(concat_ws(" ", lit(salt), col(idCol).cast("string")))
+    val w = Window.partitionBy("shard_id").orderBy(col("h"), col("doc_id"))
+    val keyed = df.select(
+      col(idCol).as("doc_id"),
+      h.as("h"),
+      (conv(substring(h, 1, 4), 16, 10).cast(LongType) % numShards)
+        .as("shard_id"))
+    keyed
+      .withColumn("seq", row_number().over(w).cast(LongType))
+      .select(col("doc_id"), col("shard_id"), col("seq"))
+  }
 }

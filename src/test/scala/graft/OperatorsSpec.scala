@@ -484,6 +484,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(coalesced === expected)
   }
 
+  test("shard shuffle: deterministic, balanced-ish, salt changes the order") {
+    val ids = spark.range(0, 1000).select(col("id").as("doc_id"))
+    val a = Packing.shuffleShards(ids, "doc_id", numShards = 8, salt = "e0")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val b = Packing.shuffleShards(ids, "doc_id", numShards = 8, salt = "e0")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq) // bit-deterministic across runs
+    assert(a.forall(x => x._2 >= 0 && x._2 < 8))
+    val sizes = a.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.size === 8 && sizes.values.forall(n => n > 60 && n < 190))
+    // per-shard seq is dense 1..n
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length).map(_.toLong))
+    }
+    // a different salt reshuffles (some doc changes shard)
+    val c = Packing.shuffleShards(ids, "doc_id", numShards = 8, salt = "e1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a.exists(x => c(x._1) != x._2))
+    // the shuffle decorrelates id order: consecutive ids rarely stay
+    // consecutive in (shard, seq) order
+    val pos = a.map(x => x._1 -> (x._2, x._3)).toMap
+    val adjacentKept = (0L until 999L).count { i =>
+      val (s1, q1) = pos(i); val (s2, q2) = pos(i + 1)
+      s1 == s2 && q2 == q1 + 1
+    }
+    assert(adjacentKept < 30)
+  }
+
   test("decontamination flags only docs sharing a benchmark n-gram") {
     val bench = Seq((900L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val train = Seq(
