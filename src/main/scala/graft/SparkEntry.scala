@@ -2344,6 +2344,22 @@ object SparkEntry {
           col("channels").cast(LongType).as("channels"),
           col("n_samples"), col("duration_ms"))
     }),
+    "mm_audio_features" -> ((s, dir) => {
+      // windowed energy features over REAL decoded PCM: per (channel,
+      // 100-frame window) mean/RMS/peak — every number predictable from
+      // the synthetic sample formula (id*31 + i*7) % 8192, with exact
+      // long accumulation so the doubles are bit-identical cross-engine
+      implicit val sp: SparkSession = s
+      Multimodal.audioFeatures(
+        Multimodal.syntheticAudio(t(s, dir, "documents"), "doc_id"),
+        windowFrames = 100)
+        .select(col("asset_id"),
+          col("channel").cast(LongType).as("channel"),
+          col("window_index").cast(LongType).as("window_index"),
+          col("n_samples").cast(LongType).as("n_samples"),
+          col("mean_amp"), col("rms"),
+          col("peak").cast(LongType).as("peak"))
+    }),
     "mm_keyframes" -> ((s, dir) => {
       // scene-cut detection over REAL decoded frames: the synthetic
       // per-frame colors follow id formulas, so every mean-RGB delta —
@@ -2780,6 +2796,28 @@ object SparkEntry {
         |  CAST((400 + (doc_id % 100) * 4) * 1000.0
         |    / (8000 * (1 + doc_id % 3)) AS DOUBLE) AS duration_ms
         |FROM documents""".stripMargin,
+    // replay of the synthetic PCM formula: interleaved sample i of asset
+    // id is (id*31 + i*7) % 8192; channel = i % ch, frame = i // ch,
+    // window = frame // 100; exact BIGINT sums before the double division
+    "mm_audio_features" ->
+      """WITH params AS (
+        |  SELECT doc_id AS asset_id,
+        |    (1 + doc_id % 2) AS ch,
+        |    (400 + (doc_id % 100) * 4) AS frames
+        |  FROM documents),
+        |idx AS (
+        |  SELECT asset_id, ch, unnest(range(0, frames * ch)) AS i FROM params),
+        |s AS (
+        |  SELECT asset_id, CAST(i % ch AS BIGINT) AS channel,
+        |    CAST((i // ch) // 100 AS BIGINT) AS window_index,
+        |    CAST((asset_id * 31 + i * 7) % 8192 AS BIGINT) AS v
+        |  FROM idx)
+        |SELECT asset_id, channel, window_index,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  round(CAST(SUM(v) AS DOUBLE) / count(*), 6) AS mean_amp,
+        |  round(sqrt(CAST(SUM(v * v) AS DOUBLE) / count(*)), 6) AS rms,
+        |  CAST(MAX(v) AS BIGINT) AS peak
+        |FROM s GROUP BY asset_id, channel, window_index""".stripMargin,
     "mm_keyframes" ->
       """WITH f AS (
         |  SELECT doc_id AS asset_id,

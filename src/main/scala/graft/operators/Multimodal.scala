@@ -131,6 +131,81 @@ object Multimodal {
       } finally ais.close()
     } catch { case _: Exception => None }
 
+  /** REAL full-PCM decode via `javax.sound.sampled`: WAV payload ->
+    * (rate, channels, interleaved 16-bit LE samples). None when the
+    * payload is not decodable PCM16 audio. */
+  private[operators] def decodeWavSamples(
+      p: Array[Byte]): Option[(Int, Int, Array[Short])] =
+    if (p == null || p.length < 12 ||
+      p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F') None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(p))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        else {
+          val bytes = ais.readAllBytes()
+          val samples = new Array[Short](bytes.length / 2)
+          var i = 0
+          while (i < samples.length) {
+            samples(i) =
+              (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
+            i += 1
+          }
+          Some((fmt.getSampleRate.toInt, fmt.getChannels, samples))
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  case class AudioWindowFeat(
+      asset_id: Long,
+      channel: Int,
+      window_index: Int,
+      n_samples: Int,
+      mean_amp: Double,
+      rms: Double,
+      peak: Int)
+
+  /** Windowed audio feature extraction over REAL decoded PCM — the
+    * energy/level pass a speech/audio curation pipeline runs before VAD
+    * or loudness filtering: per (channel, fixed frame window) mean
+    * amplitude, RMS energy, and peak. Map-only (an asset's samples never
+    * leave its task); sums accumulate in exact longs before one double
+    * division, and rounding is half-away-from-zero — the per-window
+    * numbers are bit-identical across engines. */
+  def audioFeatures(assets: DataFrame, windowFrames: Int = 100)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(windowFrames > 0, "windowFrames must be positive")
+    // half away from zero — SQL round() semantics, sign-safe
+    def r6(v: Double): Double =
+      (if (v >= 0) math.floor(v * 1e6 + 0.5) else math.ceil(v * 1e6 - 0.5)) / 1e6
+    assets.as[Asset].mapPartitions { it =>
+      it.flatMap { a =>
+        decodeWavSamples(a.payload).iterator.flatMap { case (_, ch, samples) =>
+          val frames = samples.length / ch
+          val nW = (frames + windowFrames - 1) / windowFrames
+          (0 until ch).iterator.flatMap { c =>
+            (0 until nW).iterator.map { w =>
+              val end = math.min((w + 1) * windowFrames, frames)
+              var f = w * windowFrames
+              var sum = 0L; var sumSq = 0L; var peak = Int.MinValue; var n = 0
+              while (f < end) {
+                val s = samples(f * ch + c).toInt
+                sum += s; sumSq += s.toLong * s
+                if (s > peak) peak = s
+                n += 1; f += 1
+              }
+              AudioWindowFeat(a.asset_id, c, w, n,
+                r6(sum.toDouble / n), r6(math.sqrt(sumSq.toDouble / n)), peak)
+            }
+          }
+        }
+      }
+    }.toDF()
+  }
+
   /** Deterministic real-WAV asset per id: rate/channels/length derived
     * from the id by integer formulas (an oracle predicts the DECODED
     * metadata without seeing the bytes); samples are a deterministic

@@ -379,6 +379,21 @@ class OperatorsSpec extends AnyFunSuite {
       Multimodal.asAssets(docs, "doc_id", "text")).count() === 0)
   }
 
+  test("audio features: windowed mean/rms/peak over real decoded stereo PCM") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    // stereo, 3 frames: L = [100, -200, 300], R = [7, 7, 7], window of 2
+    val samples = Array[Short](100, 7, -200, 7, 300, 7)
+    val wav = Multimodal.encodeWav(8000, 2, samples)
+    val df = Seq((42L, wav, "audio/wav")).toDF("asset_id", "payload", "media_type")
+    val out = Multimodal.audioFeatures(df, windowFrames = 2)
+      .collect().map(r => (r.getInt(1), r.getInt(2)) ->
+        ((r.getInt(3), r.getDouble(4), r.getDouble(5), r.getInt(6)))).toMap
+    assert(out((0, 0)) === ((2, -50.0, math.floor(math.sqrt((100.0 * 100 + 200 * 200) / 2) * 1e6 + 0.5) / 1e6, 100)))
+    assert(out((0, 1)) === ((1, 300.0, 300.0, 300)))
+    assert(out((1, 0)) === ((2, 7.0, 7.0, 7)))
+    assert(out((1, 1)) === ((1, 7.0, 7.0, 7)))
+  }
+
   test("as-of join attaches the latest prior right row per key") {
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
       .toDF("k", "t", "lv")
