@@ -88,6 +88,23 @@ private[spark] object GraftProcedures {
           Seq(Seq(prev.orNull, t.metadata.currentSnapshotId.get))
         }),
       new GraftProcedure(
+        "rollback_to_timestamp",
+        // latest snapshot committed AT OR BEFORE the timestamp becomes
+        // current (Iceberg's rollback_to_timestamp semantics)
+        Seq(in("table", StringType), in("timestamp_ms", LongType)),
+        out("previous_snapshot_id" -> LongType, "current_snapshot_id" -> LongType),
+        (input, _) => {
+          val t = table(input)
+          val ts = input.getLong(1)
+          val target = t.metadata.snapshots
+            .filter(_.timestampMs <= ts)
+            .sortBy(_.timestampMs).lastOption
+            .getOrElse(sys.error(s"no snapshot at or before $ts"))
+          val prev = t.metadata.currentSnapshotId
+          t.rollbackTo(target.snapshotId)
+          Seq(Seq(prev.orNull, t.metadata.currentSnapshotId.get))
+        }),
+      new GraftProcedure(
         "expire_snapshots",
         Seq(in("table", StringType), in("older_than_ms", LongType),
           ProcedureParameter.in("delete_data_files", BooleanType)

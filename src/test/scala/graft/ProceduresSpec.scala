@@ -30,6 +30,29 @@ class ProceduresSpec extends AnyFunSuite {
       .createOrReplaceTempView(s"${name}_src")
   }
 
+  test("rollback_to_timestamp picks the latest snapshot at or before ts") {
+    freshSqlTable("procs_rbts")
+    spark.sql("INSERT INTO gproc.db.procs_rbts SELECT * FROM procs_rbts_src WHERE o_orderkey % 2 = 0")
+    val first = spark.sql(
+      "SELECT snapshot_id, committed_at FROM gproc.db.procs_rbts.snapshots ORDER BY committed_at")
+      .collect().head
+    val (snap1, ts1) = (first.getLong(0), first.getTimestamp(1).getTime)
+    Thread.sleep(5)
+    spark.sql("INSERT INTO gproc.db.procs_rbts SELECT * FROM procs_rbts_src WHERE o_orderkey % 2 = 1")
+    val res = spark.sql(
+      s"CALL gproc.system.rollback_to_timestamp(table => 'db.procs_rbts', timestamp_ms => ${ts1}L)")
+      .collect().head
+    assert(res.getLong(1) === snap1)
+    val evens = spark.table("gproc.db.procs_rbts").count()
+    assert(evens ===
+      spark.sql("SELECT count(*) FROM procs_rbts_src WHERE o_orderkey % 2 = 0").head.getLong(0))
+    // before every snapshot -> refuses
+    val err = intercept[Exception] {
+      spark.sql("CALL gproc.system.rollback_to_timestamp(table => 'db.procs_rbts', timestamp_ms => 1L)")
+    }
+    assert(err.getMessage.contains("no snapshot"))
+  }
+
   test("rollback_to_snapshot moves HEAD; previous id reported") {
     freshSqlTable("procs_rb")
     spark.sql("INSERT INTO gproc.db.procs_rb SELECT * FROM procs_rb_src WHERE o_orderkey % 2 = 0")
