@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{text, transforms, vectors}
-import graft.operators.{Decontamination, Dedup, Multimodal, Packing, Sampling, Selection, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Decontamination, Dedup, Multimodal, Packing, Sampling, Selection, Similarity, TextAnalysis}
 import graft.tables._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -746,6 +746,20 @@ object SparkEntry {
       val toks = d.select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
       Packing.packGreedy(toks, "doc_id", "n_tokens", budgetTokens = 2000L)
+    }),
+    "text_bpe" -> ((s, dir) => {
+      // REAL BPE tokenizer: merges trained on the doc_id%5==0 slice's
+      // word histogram (one corpus pass; rounds run over the bounded
+      // vocabulary), then greedy lowest-rank segmentation of every doc
+      // with the ranks broadcast. Iterative merge application is not
+      // SQL-expressible — no DuckDB oracle; the algorithm is
+      // spec-verified against hand-computed merges (rows-only gate here).
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.train(
+        docs.filter(col("doc_id") % 5 === 0), "text", numMerges = 40)
+      Bpe.segment(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          array_join(col("token_preview"), " ").as("preview"))
     }),
     "pack_shards" -> ((s, dir) => {
       // training-export shuffle: deterministic pseudo-random global order

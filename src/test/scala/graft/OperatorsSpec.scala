@@ -379,6 +379,33 @@ class OperatorsSpec extends AnyFunSuite {
       Multimodal.asAssets(docs, "doc_id", "text")).count() === 0)
   }
 
+  test("BPE: learns the textbook merges and segments unseen words") {
+    import graft.operators.Bpe
+    // classic Sennrich corpus: low x5, lower x2, newest x6, widest x3
+    val corpus = Seq(
+      (1L, ("low " * 5).trim),
+      (2L, ("lower " * 2).trim),
+      (3L, ("newest " * 6).trim),
+      (4L, ("widest " * 3).trim),
+    ).toDF("doc_id", "text")
+    val merges = Bpe.train(corpus, "text", numMerges = 5)
+    // hand-computed: ties break (count desc, pair lexicographic)
+    assert(merges === Seq(
+      ("e", "s"), ("es", "t"), ("est", Bpe.Eow), ("l", "o"), ("lo", "w")))
+    val out = Bpe.segment(
+      Seq((9L, "lowest lowest newest")).toDF("doc_id", "text"),
+      "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2))).head
+    // lowest -> [low, est</w>] (2), newest -> [n, e, w, est</w>] (4)
+    assert(out._2 === 8L)
+    assert(out._3.take(4) === Seq("low", s"est${Bpe.Eow}", "low", s"est${Bpe.Eow}"))
+    // zero merges degrades to characters + the end-of-word marker
+    val chars = Bpe.segment(
+      Seq((1L, "ab")).toDF("doc_id", "text"), "doc_id", "text", Nil)
+      .collect().head.getLong(1)
+    assert(chars === 3L)
+  }
+
   test("audio features: windowed mean/rms/peak over real decoded stereo PCM") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     // stereo, 3 frames: L = [100, -200, 300], R = [7, 7, 7], window of 2
