@@ -315,18 +315,38 @@ object Dedup {
       minShared: Int = 2,
       maxBucket: Int = 200): DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be positive")
-    val hashes = transform(wordGrams(col(textCol), k),
-      g => substring(md5(g), 1, 8))
-    // windows: positions 1..m-w+1 (one whole-array window when 0<m<w)
-    val fps = docs.select(
-      col(idCol).as("doc_id"),
-      when(size(hashes) > 0,
-        array_distinct(transform(
-          sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
-          j => array_min(slice(hashes, j, lit(w))))))
-        .otherwise(array().cast("array<string>")).as("fps"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // gram hashes per doc (codegen'd), then the sliding window-min in a
+    // per-partition kernel with a monotonic deque — O(m) per document.
+    // NOT an array-HOF `transform(j -> array_min(slice(hs, j, w)))`:
+    // CollapseProject inlines the hash-array expression into the lambda,
+    // re-tokenizing + re-md5ing the document PER WINDOW POSITION
+    // (O(len²·md5) — measured 100x slower at sf0.1). Emits distinct
+    // (doc, fingerprint) pairs directly; still map-only, no shuffle.
+    val hashed = docs.select(
+      col(idCol).cast(LongType).as("doc_id"),
+      transform(wordGrams(col(textCol), k),
+        g => substring(md5(g), 1, 8)).as("hs"))
+    val fps = hashed.as[(Long, Seq[String])].flatMap { case (id, hsSeq) =>
+      val hs = hsSeq.toArray
+      val m = hs.length
+      val out = scala.collection.mutable.HashSet[String]()
+      if (m > 0 && m < w) out += hs.min // one whole-array window
+      else if (m >= w) {
+        val dq = new java.util.ArrayDeque[Int]()
+        var j = 0
+        while (j < m) {
+          while (!dq.isEmpty && hs(dq.peekLast()) >= hs(j)) dq.pollLast()
+          dq.addLast(j)
+          if (dq.peekFirst() <= j - w) dq.pollFirst()
+          if (j >= w - 1) out += hs(dq.peekFirst())
+          j += 1
+        }
+      }
+      out.iterator.map(fp => (id, fp))
+    }.toDF("doc_id", "fp")
     val pairsPerFp = fps
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
       .groupBy(col("fp"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
