@@ -1853,6 +1853,28 @@ object SparkEntry {
           |  SUM(record_count) AS record_count
           |FROM graft.db.mfiles.files GROUP BY 1, 2, 3""".stripMargin)
     }),
+    "meta_split_files" -> ((s, dir) => {
+      // data_files / delete_files split views: a MoR table with an
+      // equality delete shows its data rows ONLY in data_files and the
+      // delete artifact ONLY in delete_files (manifest-level pruning —
+      // the unwanted manifest never opens)
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.msplit")
+      s.sql("CREATE TABLE graft.db.msplit (o_orderkey BIGINT, o_orderstatus STRING)")
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("msplit_src_gq")
+      s.sql("INSERT INTO graft.db.msplit SELECT * FROM msplit_src_gq")
+      s.sql("DELETE FROM graft.db.msplit WHERE o_orderkey % 10 = 0")
+      s.sql(
+        """SELECT 'data' AS side, SUM(record_count) AS records
+          |FROM graft.db.msplit.data_files
+          |UNION ALL
+          |SELECT 'delete' AS side, SUM(record_count) AS records
+          |FROM graft.db.msplit.delete_files""".stripMargin)
+    }),
     "meta_position_deletes" -> ((s, dir) => {
       // row-level position_deletes view: parquet delete files and
       // deletion-vector blobs both surface their (file,pos) rows, one
@@ -3633,6 +3655,11 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1""".stripMargin,
     "meta_partitions" ->
       "SELECT l_returnflag, COUNT(*) AS record_count FROM lineitem GROUP BY 1",
+    "meta_split_files" ->
+      """SELECT 'data' AS side, CAST(count(*) AS BIGINT) AS records FROM orders
+        |UNION ALL
+        |SELECT 'delete' AS side, CAST(count(*) AS BIGINT) AS records
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
     "meta_position_deletes" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_parquet_deletes,
         |  CAST(count(*) AS BIGINT) AS n_dv_deletes

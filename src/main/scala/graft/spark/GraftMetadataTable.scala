@@ -39,6 +39,8 @@ object GraftMetadataTables {
   val Kinds: Set[String] =
     Set("snapshots", "history", "refs", "manifests", "files", "partitions",
       "entries", "metadata_log_entries",
+      // content-filtered slices of `files` (Iceberg's split views)
+      "data_files", "delete_files", "all_data_files", "all_delete_files",
       // union across ALL valid snapshots (Iceberg's all_* views); like
       // Iceberg they may contain duplicates when snapshots share files
       "all_files", "all_entries", "all_manifests",
@@ -163,7 +165,9 @@ object GraftMetadataTables {
     case "refs" => refsSchema
     case "manifests" => manifestsSchema
     case "all_manifests" => allManifestsSchema
-    case "files" | "all_files" => filesSchema(meta)
+    case "files" | "all_files" | "data_files" | "delete_files" |
+        "all_data_files" | "all_delete_files" =>
+      filesSchema(meta)
     case "partitions" => partitionsSchema(meta)
     case "entries" | "all_entries" => entriesSchema(meta)
     case "metadata_log_entries" => metadataLogSchema
@@ -321,7 +325,8 @@ class GraftMetadataTable(val table: GraftTable, kind: String)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => kind match {
-      case "files" | "entries" | "all_files" | "all_entries" =>
+      case "files" | "entries" | "all_files" | "all_entries" |
+          "data_files" | "delete_files" | "all_data_files" | "all_delete_files" =>
         new GraftFilesScan(table, kind)
       case "position_deletes" => new GraftPositionDeletesScan(table)
       case _ => new GraftMetadataLocalScan(table, kind, schema())
@@ -388,6 +393,14 @@ class GraftFilesScan(table: GraftTable, kind: String = "files")
   private val baseKind = kind.stripPrefix("all_")
   private val schema =
     if (baseKind == "entries") entriesSchema(meta) else filesSchema(meta)
+  // data_files/delete_files prune at MANIFEST granularity: a manifest
+  // holds only data (content=0) or only delete (content=1) entries, so
+  // the filter costs zero row reads — unwanted manifests never open
+  private val manifestContentWanted: Option[Int => Boolean] = baseKind match {
+    case "data_files" => Some(_ == 0)
+    case "delete_files" => Some(_ != 0)
+    case _ => None
+  }
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -405,6 +418,7 @@ class GraftFilesScan(table: GraftTable, kind: String = "files")
     snaps
       .flatMap(s =>
         ManifestIO.readManifestList(table.conf, table.relocate(s.manifestList)))
+      .filter(m => manifestContentWanted.forall(_(m.content)))
       .groupBy(m => table.relocate(m.manifestPath)).values.map(_.head).toSeq
       .sortBy(_.sequenceNumber)
       .map { m =>

@@ -74,6 +74,25 @@ class MetadataTablesSpec extends AnyFunSuite {
     assert(stats.head.getAs[Map[Int, Long]](1).nonEmpty)
   }
 
+  test("data_files/delete_files split the files view by content") {
+    setup()
+    val data = spark.sql(
+      "SELECT content, record_count FROM gmeta.db.mt.data_files").collect()
+    assert(data.nonEmpty && data.forall(_.getInt(0) === 0))
+    assert(data.map(_.getLong(1)).sum === 5L)
+    val dels = spark.sql(
+      "SELECT content, record_count FROM gmeta.db.mt.delete_files").collect()
+    assert(dels.nonEmpty && dels.forall(_.getInt(0) !== 0))
+    assert(dels.map(_.getLong(1)).sum === 1L)
+    // the split views partition `files` exactly
+    val all = spark.sql("SELECT count(*) FROM gmeta.db.mt.files").head.getLong(0)
+    assert(data.length + dels.length === all)
+    // all_-prefixed variants union every snapshot's manifests
+    val allData = spark.sql(
+      "SELECT content FROM gmeta.db.mt.all_data_files").collect()
+    assert(allData.length >= data.length && allData.forall(_.getInt(0) === 0))
+  }
+
   test("entries view shows every manifest entry with status bookkeeping") {
     setup()
     val entries = spark.sql(
