@@ -782,7 +782,12 @@ object SparkEntry {
       val train = dd.filter(pmod(col("doc_id"), lit(97)) =!= 0)
       val flagged = Decontamination.flagged(train, bench, "doc_id", "text", n = 4)
         .select(col("doc_id"))
+      // stage boundary: the sampler's domain histogram, the packer's
+      // quantile probe, and the final job are three separate ACTIONS —
+      // uncached, each would re-run the gate→dedup→decontam prefix.
+      // (A production pipeline checkpoints here for the same reason.)
       val clean = train.join(flagged, Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val mixed = Selection.mixtureSample(clean, "doc_id", "source", "n_chars",
         Map("src0" -> 0.3, "src1" -> 0.3, "src2" -> 0.4), budget = 0.6)
       val toks = mixed.select(col("doc_id"),

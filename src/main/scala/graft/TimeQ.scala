@@ -1,0 +1,15 @@
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32").config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (name <- args; i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.1").count()
+      println(s"run$i $name rows=$n time=${(System.nanoTime()-t0)/1e9}")
+    }
+    spark.stop()
+  }
+}
