@@ -27,6 +27,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+PARTITION\s+FIELD\s+(.+?)(?:\s+AS\s+(\w+))?\s*;?\s*""".r
   private val Drop =
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
+  private val Replace =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+REPLACE\s+PARTITION\s+FIELD\s+(.+?)\s+WITH\s+(.+?)(?:\s+AS\s+(\w+))?\s*;?\s*""".r
   private val CreateRef =
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+CREATE\s+(BRANCH|TAG)\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
   private val DropRef =
@@ -44,6 +46,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Add(tbl, transform, alias) =>
       AlterPartitionFieldCommand(parts(tbl), add = true, transform.trim, Option(alias))
+    case Replace(tbl, oldF, newF, alias) =>
+      AlterPartitionFieldCommand(parts(tbl), add = true, newF.trim, Option(alias),
+        replaceOld = Some(oldF.trim))
     case Drop(tbl, transform) =>
       AlterPartitionFieldCommand(parts(tbl), add = false, transform.trim, None)
     case CreateRef(tbl, kind, name) =>
@@ -104,7 +109,11 @@ case class AlterPartitionFieldCommand(
     table: Seq[String],
     add: Boolean,
     transformSql: String,
-    alias: Option[String]) extends LeafRunnableCommand {
+    alias: Option[String],
+    /** `REPLACE PARTITION FIELD old WITH new`: drop `old` and add the new
+      * transform in ONE spec commit (no window where neither field
+      * partitions new writes) */
+    replaceOld: Option[String] = None) extends LeafRunnableCommand {
 
   private val FnRe = """(?i)(\w+)\s*\(\s*([^)]*)\s*\)""".r
 
@@ -124,36 +133,41 @@ case class AlterPartitionFieldCommand(
     case col => ("identity", col.stripPrefix("`").stripSuffix("`"), col)
   }
 
+  /** fields left after dropping the one named/denoted by `spec` */
+  private def afterDrop(
+      current: List[IcePartitionField],
+      schema: graft.tables.IceSchema,
+      spec: String): List[IcePartitionField] = {
+    val byName = current.filter(_.name == spec.trim)
+    if (byName.nonEmpty) current.filterNot(_.name == spec.trim)
+    else {
+      val (transform, srcCol, _) = parseTransform(spec)
+      val srcId = schema.findField(srcCol)
+        .getOrElse(sys.error(s"no column $srcCol")).id
+      val matched = current.filter(pf =>
+        pf.sourceId == srcId && pf.transform == transform)
+      if (matched.isEmpty)
+        sys.error(s"no partition field matches '$spec' " +
+          s"(have: ${current.map(pf => s"${pf.name}=${pf.transform}").mkString(", ")})")
+      current.filterNot(matched.contains)
+    }
+  }
+
   override def run(session: SparkSession): Seq[Row] = {
     val t = GraftDdl.resolve(session, table)
     val schema = t.metadata.currentSchema
     val current: List[IcePartitionField] = t.metadata.defaultSpec.fields
-    def nameOfField(pf: IcePartitionField): String = pf.name
     if (add) {
+      val base = replaceOld.map(afterDrop(current, schema, _)).getOrElse(current)
       val (transform, srcCol, defName) = parseTransform(transformSql)
       val src = schema.findField(srcCol)
         .getOrElse(sys.error(s"no column $srcCol in ${table.mkString(".")}"))
       val name = alias.getOrElse(defName)
-      require(!current.exists(_.name == name),
+      require(!base.exists(_.name == name),
         s"partition field $name already exists")
-      t.updatePartitionSpec(current :+ IcePartitionField(src.id, 0, transform, name))
+      t.updatePartitionSpec(base :+ IcePartitionField(src.id, 0, transform, name))
     } else {
-      // drop by field name, or by re-parsing the same transform expression
-      val byName = current.filter(pf => nameOfField(pf) == transformSql.trim)
-      val remaining =
-        if (byName.nonEmpty) current.filterNot(pf => nameOfField(pf) == transformSql.trim)
-        else {
-          val (transform, srcCol, _) = parseTransform(transformSql)
-          val srcId = schema.findField(srcCol)
-            .getOrElse(sys.error(s"no column $srcCol")).id
-          val matched = current.filter(pf =>
-            pf.sourceId == srcId && pf.transform == transform)
-          if (matched.isEmpty)
-            sys.error(s"no partition field matches '$transformSql' " +
-              s"(have: ${current.map(pf => s"${pf.name}=${pf.transform}").mkString(", ")})")
-          current.filterNot(matched.contains)
-        }
-      t.updatePartitionSpec(remaining)
+      t.updatePartitionSpec(afterDrop(current, schema, transformSql))
     }
     Seq.empty
   }

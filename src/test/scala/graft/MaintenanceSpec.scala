@@ -483,6 +483,19 @@ class MaintenanceSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("ALTER TABLE gsd.db.t ADD PARTITION FIELD no_such_col")
     }
+    // REPLACE swaps old for new in ONE spec commit
+    val verBefore = { t.refresh(); t.metadata.defaultSpecId }
+    spark.sql("ALTER TABLE gsd.db.t REPLACE PARTITION FIELD ts_day WITH hours(ts)")
+    t.refresh()
+    assert(t.metadata.defaultSpec.fields.map(f => (f.name, f.transform)) ===
+      List(("cat", "identity"), ("ts_hour", "hour")))
+    assert(t.metadata.defaultSpecId === verBefore + 1) // one commit, not two
+    spark.sql("ALTER TABLE gsd.db.t REPLACE PARTITION FIELD cat WITH bucket(4, cat) AS catb")
+    t.refresh()
+    assert(t.metadata.defaultSpec.fields.map(_.name) === List("ts_hour", "catb"))
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gsd.db.t REPLACE PARTITION FIELD nope WITH cat")
+    }
     // everything else still parses through the delegate
     assert(spark.sql("SELECT 1 + 1 AS two").head.getInt(0) === 2)
   }
