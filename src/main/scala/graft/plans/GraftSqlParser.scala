@@ -30,7 +30,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Replace =
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+REPLACE\s+PARTITION\s+FIELD\s+(.+?)\s+WITH\s+(.+?)(?:\s+AS\s+(\w+))?\s*;?\s*""".r
   private val CreateRef =
-    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+CREATE\s+(BRANCH|TAG)\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+CREATE\s+(BRANCH|TAG)\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)""" +
+      """(?:\s+AS\s+OF\s+VERSION\s+(\d+))?""" +
+      """(?:\s+RETAIN\s+(\d+)\s+(DAYS|HOURS|MINUTES))?""" +
+      """(?:\s+WITH\s+SNAPSHOT\s+RETENTION\s+(\d+)\s+SNAPSHOTS(?:\s+(\d+)\s+(DAYS|HOURS|MINUTES))?)?\s*;?\s*""").r
   private val DropRef =
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+(BRANCH|TAG)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
   private val WriteOrdered =
@@ -51,8 +54,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         replaceOld = Some(oldF.trim))
     case Drop(tbl, transform) =>
       AlterPartitionFieldCommand(parts(tbl), add = false, transform.trim, None)
-    case CreateRef(tbl, kind, name) =>
-      AlterRefCommand(parts(tbl), create = true, kind.toLowerCase, name)
+    case CreateRef(tbl, kind, name, asOf, retainN, retainU, keepN, ageN, ageU) =>
+      def ms(n: String, u: String): Long = n.toLong * (u.toUpperCase match {
+        case "DAYS" => 86400000L
+        case "HOURS" => 3600000L
+        case _ => 60000L
+      })
+      AlterRefCommand(parts(tbl), create = true, kind.toLowerCase, name,
+        asOfVersion = Option(asOf).map(_.toLong),
+        maxRefAgeMs = Option(retainN).map(ms(_, retainU)),
+        minSnapshotsToKeep = Option(keepN).map(_.toInt),
+        maxSnapshotAgeMs = Option(ageN).map(ms(_, ageU)))
     case DropRef(tbl, kind, name) =>
       AlterRefCommand(parts(tbl), create = false, kind.toLowerCase, name)
     case WriteOrdered(tbl, order) =>
@@ -176,15 +188,28 @@ case class AlterPartitionFieldCommand(
 /** `ALTER TABLE t CREATE|DROP BRANCH|TAG name` — branch forks from the
   * current head; drops refuse for "main". */
 case class AlterRefCommand(
-    table: Seq[String], create: Boolean, kind: String, refName: String)
+    table: Seq[String], create: Boolean, kind: String, refName: String,
+    /** `AS OF VERSION <snapshot-id>` — fork from history, not the head */
+    asOfVersion: Option[Long] = None,
+    /** `RETAIN n DAYS|HOURS|MINUTES` — the ref's own expiry age */
+    maxRefAgeMs: Option[Long] = None,
+    /** `WITH SNAPSHOT RETENTION m SNAPSHOTS [n DAYS]` (branches only) */
+    minSnapshotsToKeep: Option[Int] = None,
+    maxSnapshotAgeMs: Option[Long] = None)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val t = GraftDdl.resolve(session, table)
     if (create) {
-      val head = t.metadata.currentSnapshotId
+      val head = asOfVersion.map { id =>
+        require(t.metadata.snapshotById(id).isDefined, s"no snapshot $id")
+        id
+      }.orElse(t.metadata.currentSnapshotId)
         .getOrElse(sys.error(s"cannot create $kind on an empty table"))
-      if (kind == "tag") t.createTag(refName, head)
-      else t.createBranch(refName, head)
+      require(kind == "branch" || (minSnapshotsToKeep.isEmpty && maxSnapshotAgeMs.isEmpty),
+        "SNAPSHOT RETENTION applies to branches only")
+      if (kind == "tag") t.createTag(refName, head, maxRefAgeMs)
+      else t.createBranch(refName, head, maxRefAgeMs,
+        minSnapshotsToKeep, maxSnapshotAgeMs)
     } else {
       val isTag = t.metadata.refs.get(refName).exists(_.refType == "tag")
       require(t.metadata.refs.contains(refName), s"no $kind $refName")

@@ -2163,11 +2163,22 @@ class GraftTable(
       extraSummary = Map("graft.cherry-picked-snapshot-id" -> snapshotId.toString))
   }
 
-  def createTag(name: String, snapshotId: Long): GraftTable =
-    commitRef(name, IceSnapshotRef(snapshotId, "tag"))
+  def createTag(
+      name: String,
+      snapshotId: Long,
+      maxRefAgeMs: Option[Long] = None): GraftTable =
+    commitRef(name, IceSnapshotRef(snapshotId, "tag", maxRefAgeMs = maxRefAgeMs))
 
-  def createBranch(name: String, snapshotId: Long): GraftTable =
-    commitRef(name, IceSnapshotRef(snapshotId, "branch"))
+  def createBranch(
+      name: String,
+      snapshotId: Long,
+      maxRefAgeMs: Option[Long] = None,
+      minSnapshotsToKeep: Option[Int] = None,
+      maxSnapshotAgeMs: Option[Long] = None): GraftTable =
+    commitRef(name, IceSnapshotRef(snapshotId, "branch",
+      minSnapshotsToKeep = minSnapshotsToKeep,
+      maxSnapshotAgeMs = maxSnapshotAgeMs,
+      maxRefAgeMs = maxRefAgeMs))
 
   /** drop a branch or tag ("main" is not droppable) */
   def dropRef(name: String): GraftTable = {

@@ -529,6 +529,29 @@ class MaintenanceSpec extends AnyFunSuite {
     val newest = t.planFiles(t.metadata.currentSnapshot.get)
       .filter(_.seq == t.metadata.currentSnapshot.get.sequenceNumber)
     assert(newest.nonEmpty && newest.forall(_.file.sortOrderId === Some(orderId)))
+
+    // AS OF VERSION + retention clauses
+    val firstSnap = t.metadata.snapshots.minBy(_.sequenceNumber).snapshotId
+    spark.sql(s"ALTER TABLE grd.db.t CREATE TAG old AS OF VERSION $firstSnap RETAIN 2 DAYS")
+    spark.sql(
+      s"""ALTER TABLE grd.db.t CREATE BRANCH hist AS OF VERSION $firstSnap
+         |RETAIN 30 DAYS WITH SNAPSHOT RETENTION 3 SNAPSHOTS 7 DAYS""".stripMargin)
+    t.refresh()
+    val tag = t.metadata.refs("old")
+    assert(tag.snapshotId === firstSnap && tag.maxRefAgeMs === Some(2L * 86400000))
+    val br = t.metadata.refs("hist")
+    assert(br.snapshotId === firstSnap &&
+      br.maxRefAgeMs === Some(30L * 86400000) &&
+      br.minSnapshotsToKeep === Some(3) &&
+      br.maxSnapshotAgeMs === Some(7L * 86400000))
+    assert(spark.sql("SELECT count(*) FROM grd.db.t VERSION AS OF 'hist'")
+      .head.getLong(0) === 2)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE grd.db.t CREATE TAG bad AS OF VERSION 999999")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE grd.db.t CREATE TAG bad2 WITH SNAPSHOT RETENTION 3 SNAPSHOTS")
+    }
   }
 
   test("REST catalog namespaces + rename") {
