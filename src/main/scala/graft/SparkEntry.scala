@@ -2385,6 +2385,21 @@ object SparkEntry {
           col("channels").cast(LongType).as("channels"),
           col("n_samples"), col("duration_ms"))
     }),
+    "mm_dhash" -> ((s, dir) => {
+      // perceptual image hash (dHash) over REAL decoded PNGs: 18x16
+      // gradient images (gray = (id*7+x*3+y*5)%256) area-average to 9x8
+      // in exact 2x2 integer block means, so every bit of the hash is
+      // oracle-predictable; bits emit as a '01' string (no BIGINT sign
+      // traps in either engine)
+      implicit val sp: SparkSession = s
+      Multimodal.dHash(
+        Multimodal.syntheticGradientImages(t(s, dir, "documents"), "doc_id",
+          w = 18, h = 16))
+        .select(col("asset_id"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("dhash_bits"))
+    }),
     "mm_audio_features" -> ((s, dir) => {
       // windowed energy features over REAL decoded PCM: per (channel,
       // 100-frame window) mean/RMS/peak — every number predictable from
@@ -2837,6 +2852,28 @@ object SparkEntry {
         |  CAST((400 + (doc_id % 100) * 4) * 1000.0
         |    / (8000 * (1 + doc_id % 3)) AS DOUBLE) AS duration_ms
         |FROM documents""".stripMargin,
+    // dHash replay: same gradient formula, same 2x2 integer block means
+    // (floor of the sum over 4 pixels), same (y,x) bit order
+    "mm_dhash" ->
+      """WITH px AS (
+        |  SELECT doc_id, gx.i AS gx, gy.i AS gy, dx.i AS dx, dy.i AS dy
+        |  FROM documents,
+        |    UNNEST(range(0, 9)) gx(i), UNNEST(range(0, 8)) gy(i),
+        |    UNNEST(range(0, 2)) dx(i), UNNEST(range(0, 2)) dy(i)),
+        |blocks AS (
+        |  SELECT doc_id, gx, gy,
+        |    SUM((doc_id * 7 + (gx * 2 + dx) * 3 + (gy * 2 + dy) * 5) % 256) // 4 AS v
+        |  FROM px GROUP BY doc_id, gx, gy),
+        |bits AS (
+        |  SELECT b1.doc_id, b1.gy, b1.gx,
+        |    CASE WHEN b2.v > b1.v THEN '1' ELSE '0' END AS bit
+        |  FROM blocks b1 JOIN blocks b2
+        |    ON b1.doc_id = b2.doc_id AND b1.gy = b2.gy AND b2.gx = b1.gx + 1
+        |  WHERE b1.gx < 8)
+        |SELECT doc_id AS asset_id, CAST(18 AS BIGINT) AS width,
+        |  CAST(16 AS BIGINT) AS height,
+        |  string_agg(bit, '' ORDER BY gy, gx) AS dhash_bits
+        |FROM bits GROUP BY doc_id""".stripMargin,
     // replay of the synthetic PCM formula: interleaved sample i of asset
     // id is (id*31 + i*7) % 8192; channel = i % ch, frame = i // ch,
     // window = frame // 100; exact BIGINT sums before the double division

@@ -286,6 +286,97 @@ object Multimodal {
     * dims. Batched per-partition like every decode step — the training
     * preprocessing shape (normalize resolution before feature/VLM
     * stages). */
+  /** Deterministic real-PNG GRADIENT asset per id: every pixel's gray
+    * level follows `(id*7 + x*3 + y*5) % 256` (written as R=G=B), so a
+    * downstream perceptual hash is oracle-predictable pixel by pixel.
+    * Solid-color assets ([[syntheticImages]]) are useless for hashing —
+    * a dHash of a flat image is all zeros. */
+  def syntheticGradientImages(df: DataFrame, idCol: String, w: Int, h: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType).as("asset_id"))
+      .as[Long].mapPartitions { it =>
+        it.map { id =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = ((id * 7 + x * 3 + y * 5) % 256).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Asset(id, bos.toByteArray, "image/png")
+        }
+      }.toDF()
+  }
+
+  /** Difference-hash (dHash) perceptual fingerprint over REAL decoded
+    * pixels — the image near-duplicate primitive (re-encodes, light
+    * crops, and recompression keep a small Hamming distance; unrelated
+    * images land ~32/64 apart). Pipeline: decode → integer grayscale
+    * (floor((r+g+b)/3)) → area-average downscale to (hashW+1)×hashH
+    * (exact integer block mean when dimensions divide, the deterministic
+    * path an oracle can replay) → bit (x,y) = gray(x+1,y) > gray(x,y),
+    * emitted as a '01' string MSB-first by (y,x) so the 64-bit value
+    * never meets BIGINT sign issues in any engine. Map-only; feed the
+    * bits to [[Dedup.simhashPairs]]-style pigeonhole bucketing for pair
+    * generation at corpus scale. */
+  def dHash(assets: DataFrame, hashW: Int = 8, hashH: Int = 8)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (gw, gh) = (hashW + 1, hashH)
+    assets.as[Asset].mapPartitions { it =>
+      it.flatMap { a =>
+        decodeImage(a.payload).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          // area-average to gw x gh: exact integer block mean on exact
+          // multiples; otherwise pixel-dropping nearest sampling of
+          // block corners (still deterministic, documented)
+          val grid = Array.ofDim[Int](gh, gw)
+          var gy = 0
+          while (gy < gh) {
+            var gx = 0
+            while (gx < gw) {
+              val x0 = gx * w / gw; val x1 = math.max((gx + 1) * w / gw, x0 + 1)
+              val y0 = gy * h / gh; val y1 = math.max((gy + 1) * h / gh, y0 + 1)
+              var sum = 0L; var n = 0
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val rgb = img.getRGB(x, y)
+                  sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                  n += 1; x += 1
+                }
+                y += 1
+              }
+              grid(gy)(gx) = (sum / (3L * n)).toInt
+              gx += 1
+            }
+            gy += 1
+          }
+          val bits = new StringBuilder(hashW * hashH)
+          var y = 0
+          while (y < gh) {
+            var x = 0
+            while (x < hashW) {
+              bits.append(if (grid(y)(x + 1) > grid(y)(x)) '1' else '0')
+              x += 1
+            }
+            y += 1
+          }
+          (a.asset_id, w, h, bits.toString)
+        }
+      }
+    }.toDF("asset_id", "width", "height", "dhash_bits")
+  }
+
   def resizeImages(assets: DataFrame, width: Int, height: Int)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._

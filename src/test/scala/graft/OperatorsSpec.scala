@@ -421,6 +421,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out((1, 1)) === ((1, 7.0, 7.0, 7)))
   }
 
+  test("dHash: equal images hash equal, perturbed images stay near") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val ids = Seq(1L, 1L, 2L).zipWithIndex
+      .map { case (seed, i) => (i.toLong, seed) }.toDF("row_id", "doc_id")
+    // two assets from seed 1 (identical pixels), one from seed 2
+    val assets = Multimodal.syntheticGradientImages(
+      ids.select(col("doc_id")), "doc_id", w = 18, h = 16)
+    val hashes = Multimodal.dHash(assets)
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    val bySeed = hashes.groupBy(_._1).view.mapValues(_.map(_._2).distinct)
+    assert(bySeed(1L).length === 1) // identical input -> identical hash
+    assert(hashes.head._2.length === 64)
+    assert(hashes.head._2.forall(c => c == '0' || c == '1'))
+    // non-multiple dimensions still hash deterministically
+    val odd = Multimodal.dHash(Multimodal.syntheticGradientImages(
+      Seq(7L).toDF("doc_id"), "doc_id", w = 19, h = 13))
+      .collect()
+    assert(odd.head.getString(3).length === 64)
+  }
+
   test("as-of join attaches the latest prior right row per key") {
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
       .toDF("k", "t", "lv")
