@@ -2387,10 +2387,10 @@ object SparkEntry {
     }),
     "mm_dhash" -> ((s, dir) => {
       // perceptual image hash (dHash) over REAL decoded PNGs: 18x16
-      // gradient images (gray = (id*7+x*3+y*5)%256) area-average to 9x8
-      // in exact 2x2 integer block means, so every bit of the hash is
-      // oracle-predictable; bits emit as a '01' string (no BIGINT sign
-      // traps in either engine)
+      // textured images (gray = (id*7 + 3x² + 5y² + xy) % 256)
+      // area-average to 9x8 in exact 2x2 integer block means, so every
+      // bit of the hash is oracle-predictable; bits emit as a '01'
+      // string (no BIGINT sign traps in either engine)
       implicit val sp: SparkSession = s
       Multimodal.dHash(
         Multimodal.syntheticGradientImages(t(s, dir, "documents"), "doc_id",
@@ -2399,6 +2399,21 @@ object SparkEntry {
           col("width").cast(LongType).as("width"),
           col("height").cast(LongType).as("height"),
           col("dhash_bits"))
+    }),
+    "dedup_image_pairs" -> ((s, dir) => {
+      // image near-dup pipeline composed end-to-end: real PNG decode →
+      // dHash → pigeonhole bit-block bucketing → exact-Hamming verify.
+      // Planted duplicates: ids offset by 1000192 (a multiple of 256)
+      // produce pixel-identical images, so every original pairs with its
+      // re-encoded copy at distance 0 — plus the formula's own id±256k
+      // coincidences, which the oracle replays identically
+      implicit val sp: SparkSession = s
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val corpus = ids.union(ids.select(col("doc_id") + 1000192L))
+      val hashes = Multimodal.dHash(
+        Multimodal.syntheticGradientImages(corpus, "doc_id", w = 18, h = 16))
+      Dedup.bitstringPairs(hashes, "asset_id", "dhash_bits",
+        maxHamming = 2, maxBucket = 1000)
     }),
     "mm_audio_features" -> ((s, dir) => {
       // windowed energy features over REAL decoded PCM: per (channel,
@@ -2852,7 +2867,39 @@ object SparkEntry {
         |  CAST((400 + (doc_id % 100) * 4) * 1000.0
         |    / (8000 * (1 + doc_id % 3)) AS DOUBLE) AS duration_ms
         |FROM documents""".stripMargin,
-    // dHash replay: same gradient formula, same 2x2 integer block means
+    // image-pair replay: hashes recomputed from the texture formula for
+    // originals AND +1000192 copies, then ALL pairs within Hamming 2 via
+    // DuckDB bitstrings — the all-pairs ground truth the pigeonhole
+    // bucketing must recall exactly
+    "dedup_image_pairs" ->
+      """WITH ids AS (
+        |  SELECT doc_id FROM documents
+        |  UNION ALL SELECT doc_id + 1000192 FROM documents),
+        |px AS (
+        |  SELECT doc_id, gx.i AS gx, gy.i AS gy, dx.i AS dx, dy.i AS dy
+        |  FROM ids,
+        |    UNNEST(range(0, 9)) gx(i), UNNEST(range(0, 8)) gy(i),
+        |    UNNEST(range(0, 2)) dx(i), UNNEST(range(0, 2)) dy(i)),
+        |blocks AS (
+        |  SELECT doc_id, gx, gy,
+        |    SUM((doc_id * 7 + 3 * (gx * 2 + dx) * (gx * 2 + dx)
+        |         + 5 * (gy * 2 + dy) * (gy * 2 + dy)
+        |         + (gx * 2 + dx) * (gy * 2 + dy)) % 256) // 4 AS v
+        |  FROM px GROUP BY doc_id, gx, gy),
+        |bits AS (
+        |  SELECT b1.doc_id, b1.gy, b1.gx,
+        |    CASE WHEN b2.v > b1.v THEN '1' ELSE '0' END AS bit
+        |  FROM blocks b1 JOIN blocks b2
+        |    ON b1.doc_id = b2.doc_id AND b1.gy = b2.gy AND b2.gx = b1.gx + 1
+        |  WHERE b1.gx < 8),
+        |h AS (
+        |  SELECT doc_id, CAST(string_agg(bit, '' ORDER BY gy, gx) AS BIT) AS v
+        |  FROM bits GROUP BY doc_id)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(bit_count(xor(x.v, y.v)) AS BIGINT) AS hamming
+        |FROM h x JOIN h y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.v, y.v)) <= 2""".stripMargin,
+    // dHash replay: same texture formula, same 2x2 integer block means
     // (floor of the sum over 4 pixels), same (y,x) bit order
     "mm_dhash" ->
       """WITH px AS (
@@ -2862,7 +2909,9 @@ object SparkEntry {
         |    UNNEST(range(0, 2)) dx(i), UNNEST(range(0, 2)) dy(i)),
         |blocks AS (
         |  SELECT doc_id, gx, gy,
-        |    SUM((doc_id * 7 + (gx * 2 + dx) * 3 + (gy * 2 + dy) * 5) % 256) // 4 AS v
+        |    SUM((doc_id * 7 + 3 * (gx * 2 + dx) * (gx * 2 + dx)
+        |         + 5 * (gy * 2 + dy) * (gy * 2 + dy)
+        |         + (gx * 2 + dx) * (gy * 2 + dy)) % 256) // 4 AS v
         |  FROM px GROUP BY doc_id, gx, gy),
         |bits AS (
         |  SELECT b1.doc_id, b1.gy, b1.gx,

@@ -360,6 +360,54 @@ object Dedup {
       .filter(col("shared_fps") >= minShared)
   }
 
+  /** Near-duplicate pairs over any fixed-width '01' bit-string
+    * fingerprint (dHash, simhash-as-string, …) by the pigeonhole trick:
+    * split the string into `maxHamming+1` contiguous blocks — any pair
+    * within the distance agrees on at least one whole block — bucket per
+    * (block index, block value), cap pathological buckets, emit pairs
+    * from the gathered id arrays, then verify with the exact Hamming
+    * distance (a 1-char-per-position fold, O(bits) per CANDIDATE pair,
+    * never all-pairs). Same scale discipline as [[simhashPairs]], minus
+    * the 64-bit ceiling: works at any fingerprint width. */
+  def bitstringPairs(
+      df: DataFrame,
+      idCol: String,
+      bitsCol: String,
+      maxHamming: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 0, "maxHamming must be >= 0")
+    val blocks = maxHamming + 1
+    val base = df.select(col(idCol).as("doc_id"), col(bitsCol).as("bits"))
+    val n = length(col("bits"))
+    val keyed = base.select(
+      col("doc_id"), col("bits"),
+      posexplode(transform(sequence(lit(0), lit(blocks - 1)), b => {
+        // near-equal contiguous blocks: [b*n/blocks, (b+1)*n/blocks)
+        val lo = floor((b * n) / lit(blocks)).cast("int")
+        val hi = floor(((b + 1) * n) / lit(blocks)).cast("int")
+        col("bits").substr(lo + 1, hi - lo)
+      })).as(Seq("block", "key")))
+    val buckets = keyed
+      .groupBy(col("block"), col("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val candidates = buckets
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y ->
+          |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .distinct()
+    val ha = base.select(col("doc_id").as("a"), col("bits").as("ba"))
+    val hb = base.select(col("doc_id").as("b"), col("bits").as("bb"))
+    candidates.join(ha, "a").join(hb, "b")
+      .withColumn("hamming",
+        size(filter(zip_with(split(col("ba"), ""), split(col("bb"), ""),
+          (x, y) => x =!= y), v => v)).cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
   /** Connected components over a near-duplicate pair list: every doc in a
     * pair gets the MIN doc id of its component — the canonical-survivor
     * assignment a dedup pipeline needs to collapse duplicate CLUSTERS

@@ -286,11 +286,15 @@ object Multimodal {
     * dims. Batched per-partition like every decode step — the training
     * preprocessing shape (normalize resolution before feature/VLM
     * stages). */
-  /** Deterministic real-PNG GRADIENT asset per id: every pixel's gray
-    * level follows `(id*7 + x*3 + y*5) % 256` (written as R=G=B), so a
-    * downstream perceptual hash is oracle-predictable pixel by pixel.
-    * Solid-color assets ([[syntheticImages]]) are useless for hashing —
-    * a dHash of a flat image is all zeros. */
+  /** Deterministic real-PNG textured asset per id: every pixel's gray
+    * level follows `(id*7 + 3x² + 5y² + xy) % 256` (written as R=G=B), so
+    * a downstream perceptual hash is oracle-predictable pixel by pixel.
+    * The NONLINEAR terms matter: a pure linear gradient makes every
+    * dHash comparison point the same way (near-all-ones hashes — a
+    * degenerate hash space); solid colors ([[syntheticImages]]) are
+    * worse still (all zeros). Ids that differ by a multiple of 256
+    * produce IDENTICAL pixels (id enters as id·7 mod 256) — the planted
+    * exact-duplicate mechanism image-dedup queries lean on. */
   def syntheticGradientImages(df: DataFrame, idCol: String, w: Int, h: Int)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -303,7 +307,7 @@ object Multimodal {
           while (y < h) {
             var x = 0
             while (x < w) {
-              val g = ((id * 7 + x * 3 + y * 5) % 256).toInt
+              val g = ((id * 7 + 3L * x * x + 5L * y * y + x.toLong * y) % 256).toInt
               img.setRGB(x, y, (g << 16) | (g << 8) | g)
               x += 1
             }

@@ -421,6 +421,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out((1, 1)) === ((1, 7.0, 7.0, 7)))
   }
 
+  test("bitstring pairs: pigeonhole recall within the distance, none beyond") {
+    val rows = Seq(
+      (1L, "0000000011111111"),
+      (2L, "0000000011111110"), // d=1 from 1
+      (3L, "0000100011111110"), // d=1 from 2, d=2 from 1
+      (4L, "1111111100000000"), // far from everything
+      (5L, "0000000011111111"), // exact dup of 1
+    ).toDF("doc_id", "bits")
+    val pairs = Dedup.bitstringPairs(rows, "doc_id", "bits", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs === Map(
+      (1L, 2L) -> 1L, (2L, 3L) -> 1L, (1L, 3L) -> 2L,
+      (1L, 5L) -> 0L, (2L, 5L) -> 1L, (3L, 5L) -> 2L))
+  }
+
   test("dHash: equal images hash equal, perturbed images stay near") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val ids = Seq(1L, 1L, 2L).zipWithIndex
