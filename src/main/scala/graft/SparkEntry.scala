@@ -714,6 +714,12 @@ object SparkEntry {
       // covered by merged spans, span count, covered fraction
       Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", k = 8)
     }),
+    "dedup_substrings_cut" -> ((s, dir) => {
+      // the REMOVAL half: every token covered by a corpus-duplicated
+      // 8-gram is cut and the doc re-assembled from survivors — the
+      // as-of-window formulation (no per-position range join)
+      Dedup.removeDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text", k = 8)
+    }),
     "dedup_winnow" -> ((s, dir) => {
       // winnowing fingerprint overlap (MOSS): window-min of 4-gram hashes
       // guarantees a shared fingerprint for any shared run of >= 7
@@ -3104,6 +3110,39 @@ object SparkEntry {
         |    THEN round(coalesce(covered_tokens, 0) / CAST(len(tk) AS DOUBLE), 6)
         |    ELSE 0.0 END AS dup_frac
         |FROM toks t LEFT JOIN agg USING (doc_id)""".stripMargin,
+    // removal replica: same duplicated starts, same union-stream
+    // running-max window (start events sort before the token at the
+    // same position), survivors re-joined in order
+    "dedup_substrings_cut" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[CAST(i AS INT)] AS tok
+        |  FROM toks, UNNEST(range(1, len(tk) + 1)) AS t(i)),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS s,
+        |    substr(md5(array_to_string(tk[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')), 1, 16) AS h
+        |  FROM toks, UNNEST(range(1, greatest(len(tk) - 6, 1))) AS t(i)),
+        |dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+        |hits AS (SELECT doc_id, s FROM grams WHERE h IN (SELECT h FROM dup)),
+        |ev AS (
+        |  SELECT doc_id, s AS pos, 0 AS kind, s, NULL AS tok FROM hits
+        |  UNION ALL
+        |  SELECT doc_id, pos, 1 AS kind, NULL AS s, tok FROM tok),
+        |m AS (
+        |  SELECT doc_id, pos, kind, tok,
+        |    MAX(s) OVER (PARTITION BY doc_id ORDER BY pos, kind
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_s
+        |  FROM ev)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN last_s IS NULL OR pos - last_s >= 8
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS kept_tokens,
+        |  coalesce(string_agg(CASE WHEN last_s IS NULL OR pos - last_s >= 8
+        |    THEN tok END, ' ' ORDER BY pos), '') AS cleaned_text
+        |FROM m WHERE kind = 1 GROUP BY doc_id""".stripMargin,
     // winnowing replica: window-min over md5/8 gram hashes (fixed-width
     // hex compares lexicographically = numerically), same 2..200 bucket
     // cap before pair generation

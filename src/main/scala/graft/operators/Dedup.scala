@@ -289,6 +289,63 @@ object Dedup {
             col("n_tokens"), 6)).otherwise(lit(0.0)).as("dup_frac"))
   }
 
+  /** Exact-substring REMOVAL (the cut half of Lee et al. 2021): every
+    * token covered by a corpus-duplicated k-gram is dropped and the
+    * document re-assembled from the survivors — dedup_substrings' stats
+    * tell you how much would go; this actually cuts it.
+    *
+    * Scale design: duplicate detection is the same narrow-triple shuffle
+    * as [[duplicatedSpans]]; the cut avoids a per-position × per-span
+    * range join with an AS-OF window — tokens and duplicated starts
+    * union into one per-doc ordered stream, a running `max(start)`
+    * window attaches each position's latest duplicated start at or
+    * before it, and the position is covered iff that start is within
+    * k-1. One per-doc sort, state of one row, never an interval list. */
+  def removeDuplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val grams = df.select(
+      col(idCol).as("doc_id"),
+      posexplode(wordGrams(col(textCol), k)).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"),
+        substring(md5(col("g")), 1, 16).as("h"))
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    val starts = grams.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"), col("pos").as("start"),
+        lit(null).cast("string").as("tok"))
+    val toks = df.select(
+      col(idCol).as("doc_id"),
+      posexplode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+        x => length(x) > 0)).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"),
+        lit(null).cast("int").as("start"), col("tok"))
+    // one ordered stream per doc: at equal pos the START sorts first
+    // (null tok), so a gram starting AT a position covers that position
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("pos"), col("tok").asc_nulls_first)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val marked = starts.unionByName(toks)
+      .withColumn("last_start", max(col("start")).over(w))
+      .filter(col("tok").isNotNull)
+      .withColumn("covered",
+        col("last_start").isNotNull && col("pos") - col("last_start") < k)
+    marked.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(!col("covered"), 1L).otherwise(0L)).as("kept_tokens"),
+      // collect_list drops the NULLs the `when` leaves for covered rows
+      array_join(
+        transform(
+          sort_array(collect_list(
+            when(!col("covered"), struct(col("pos"), col("tok"))))),
+          x => x.getField("tok")),
+        " ").as("cleaned_text"))
+  }
+
   /** Winnowing fingerprint overlap (Schleimer et al. 2003, the MOSS
     * algorithm): each document keeps the MINIMUM gram hash of every
     * w-wide window over its k-gram sequence — winnowing guarantees any

@@ -89,6 +89,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(5L) === out(4L))
   }
 
+  test("substring removal cuts exactly the covered tokens, in order") {
+    val d = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 x1 x2"),
+      (2L, "z1 w1 w2 w3 w4 w5 w6 w7 w8 z2"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u0"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(d, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) === ((10L, 2L, "x1 x2")))
+    assert(out(2L) === ((10L, 2L, "z1 z2")))
+    assert(out(3L) === ((10L, 10L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u0")))
+  }
+
   test("winnowing pairs: shared long runs pair, unrelated docs do not") {
     val pairs = Dedup.winnowPairs(docs, "doc_id", "text", k = 4, w = 4, minShared = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
