@@ -809,6 +809,17 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(97)) === 0),
         "doc_id", "text", n = 4)
     }),
+    "decontaminate_bloom" -> ((s, dir) => {
+      // Bloom-prefiltered decontamination: identical answer to
+      // `decontaminate` (the filter only prunes definite non-matches;
+      // survivors are exactly re-verified), but the bench n-gram set
+      // ships as a ~10-bit-per-element sketch instead of exact strings
+      val d = t(s, dir, "documents")
+      Decontamination.flaggedBloom(
+        d.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text", n = 4)
+    }),
     // ---- similarity search ----
     "ann_brute_force" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -932,6 +943,12 @@ object SparkEntry {
             i => array_join(slice(toks, i * lit(8) + lit(1), lit(8)), " ")),
           "\n").as("text"))
       TextAnalysis.lineDedup(lined, "doc_id", "text", "\n", minDocs = 2)
+    }),
+    "text_chunks" -> ((s, dir) => {
+      // context-window chunking: 32-token windows advancing by 24 (8-token
+      // overlap) — every doc yields >= 1 chunk, 33+-token docs split
+      TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 32, overlap = 8)
     }),
     "text_nb_classify" -> ((s, dir) => {
       // fastText-style quality classifier: multinomial NB over hashed
@@ -3413,6 +3430,33 @@ object SparkEntry {
         |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0)
         |SELECT DISTINCT g.doc_id AS doc_id FROM g JOIN bench USING (ng)
         |WHERE g.doc_id % 97 <> 0""".stripMargin,
+    // the Bloom prefilter provably changes nothing (survivors are exactly
+    // re-verified), so the oracle is decontaminate's, verbatim
+    "decontaminate_bloom" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 2),
+        |    i -> list_aggregate(w[i:i+3], 'string_agg', ' ')))) AS ng
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0)
+        |SELECT DISTINCT g.doc_id AS doc_id FROM g JOIN bench USING (ng)
+        |WHERE g.doc_id % 97 <> 0""".stripMargin,
+    // chunking law replayed in SQL: nchunks from the ceil formula, each
+    // chunk a 1-based list_slice of the shared token array
+    "text_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, len(w) AS n,
+        |  CASE WHEN len(w) <= 32 THEN 1
+        |       ELSE CAST(ceil((len(w) - 32)::DOUBLE / 24) AS BIGINT) + 1
+        |  END AS nc FROM d),
+        |e AS (SELECT doc_id, w, n, unnest(range(nc)) AS chunk_id FROM c)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(list_slice(w, chunk_id * 24 + 1, chunk_id * 24 + 32),
+        |    ' ') AS chunk_text,
+        |  least(32, n - chunk_id * 24) AS n_tokens
+        |FROM e""".stripMargin,
     // full composed pipeline: each CTE replicates the matching stage's
     // standalone oracle (quality gate, min-doc_id exact dedup, 4-gram
     // decontamination, md5-threshold mixture sampling, prefix-sum packing)

@@ -154,6 +154,40 @@ object TextUtil {
     min
   }
 
+  /** Token-window chunking: split the document into windows of `size`
+    * whitespace tokens advancing by `size - overlap` (the training-prep
+    * chunker for context-window-bounded models / RAG passage splits).
+    * Tokenizes ONCE and slices index ranges — an array-HOF formulation
+    * (`transform(sequence(...), i -> slice(w, ...))`) would re-evaluate
+    * the tokenization per chunk after project-collapsing (O(len²)); this
+    * kernel is O(len + output chars). A document always yields >= 1 chunk
+    * (short/empty docs yield themselves), and the last chunk may be short
+    * but is never empty. */
+  def chunkTokens(text: UTF8String, size: Int, overlap: Int): ArrayData = {
+    val tokens = text.toString.trim.split("\\s+")
+    val n = tokens.length
+    val stride = size - overlap
+    val nChunks =
+      if (n <= size) 1
+      else math.ceil((n - size).toDouble / stride).toInt + 1
+    val out = new Array[AnyRef](nChunks)
+    var i = 0
+    while (i < nChunks) {
+      val start = i * stride
+      val end = math.min(start + size, n)
+      val sb = new java.lang.StringBuilder
+      var j = start
+      while (j < end) {
+        if (j > start) sb.append(' ')
+        sb.append(tokens(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // --- language-ID: tiny n-gram/stopword heuristic over common words ---
   private val langMarkers: Array[(String, Array[String])] = Array(
     "en" -> Array("the", "and", "of", "to", "is", "in", "that", "it", "was", "for", "with", "not", "this"),
@@ -287,6 +321,20 @@ case class RollingFingerprint(child: Expression, window: Int)
     copy(child = c)
 }
 
+case class ChunkTokens(child: Expression, size: Int, overlap: Int)
+    extends TextKernelExpression {
+  require(size > 0 && overlap >= 0 && overlap < size,
+    s"chunk size must be positive and overlap in [0, size): size=$size overlap=$overlap")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "chunk_tokens"
+  override def nullSafeEval(v: Any): Any =
+    TextUtil.chunkTokens(v.asInstanceOf[UTF8String], size, overlap)
+  override protected def helperCall(c: String): String =
+    s"$H.chunkTokens($c, $size, $overlap)"
+  override protected def withNewChildInternal(c: Expression): ChunkTokens =
+    copy(child = c)
+}
+
 case class LangId(child: Expression) extends TextKernelExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "lang_id"
@@ -308,6 +356,8 @@ object text {
   def fingerprint(c: Column, window: Int = 32): Column =
     column(RollingFingerprint(expression(c), window))
   def langId(c: Column): Column = column(LangId(expression(c)))
+  def chunks(c: Column, size: Int, overlap: Int): Column =
+    column(ChunkTokens(expression(c), size, overlap))
 
   /** whitespace token count (composed from codegen'd built-ins) */
   def tokenCount(c: Column): Column =

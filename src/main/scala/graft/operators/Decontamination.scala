@@ -36,6 +36,42 @@ object Decontamination {
       .otherwise(array().cast(ArrayType(StringType)))
   }
 
+  /** Bloom-filter decontamination — the scale path when the benchmark
+    * n-gram set is too big to broadcast exactly (a full eval-suite union
+    * can run to billions of 13-grams; exact strings broadcast at ~50+
+    * bytes each, a Bloom filter at ~10 BITS per element for 1% fpp).
+    *
+    * Two stages, same answer as [[flagged]]:
+    *  1. map-only prefilter: the bench n-gram set folds into ONE Bloom
+    *     filter (tiny driver-side sketch), broadcast to every task; the
+    *     100 TB training side drops every n-gram the filter rejects —
+    *     definitely-absent is exact, so nothing true is lost.
+    *  2. exact confirm: only the surviving (doc_id, ngram) candidates —
+    *     true matches plus the fpp sliver — join the real bench set.
+    *     With the big side pre-shrunk, AQE picks a broadcast or small
+    *     shuffle join; false positives die here, so the result is
+    *     EXACTLY [[flagged]]'s, bit for bit.
+    */
+  def flaggedBloom(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13,
+      fpp: Double = 0.01): DataFrame = {
+    val bg = bench
+      .select(explode(wordNgrams(col(textCol), n)).as("ng")).distinct()
+    val expected = math.max(bg.count(), 1L)
+    val bloom = bg.stat.bloomFilter("ng", expected, fpp)
+    val bloomB = train.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bloomB.value.mightContainString(s))
+    train
+      .select(col(idCol).as("doc_id"), explode(wordNgrams(col(textCol), n)).as("ng"))
+      .filter(mightContain(col("ng")))
+      .join(bg, Seq("ng"), "leftsemi")
+      .select(col("doc_id")).distinct()
+  }
+
   /** doc_ids of `train` rows sharing at least one word `n`-gram with any
     * `bench` row. */
   def flagged(

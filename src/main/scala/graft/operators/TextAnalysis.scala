@@ -239,6 +239,27 @@ object TextAnalysis {
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
 
+  /** Token-window chunking: one row per (doc, chunk) with the chunk text
+    * and its token count — the context-window splitter every training /
+    * RAG pipeline runs before packing or embedding. Map-only (the explode
+    * multiplies rows but never shuffles); the tokenize-once kernel keeps
+    * per-doc cost O(tokens + output chars), not O(tokens × chunks). */
+  def chunk(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      overlap: Int): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      posexplode(text.chunks(col(textCol), chunkSize, overlap))
+        .as(Seq("chunk_id", "chunk_text")))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast(LongType).as("chunk_id"),
+        col("chunk_text"),
+        size(split(col("chunk_text"), "\\s+")).cast(LongType).as("n_tokens"))
+
   /** Winnowing-style rolling-hash fingerprints. */
   def fingerprints(
       df: DataFrame,

@@ -19,6 +19,42 @@ class OperatorsSpec extends AnyFunSuite {
     (5L, "yet another unrelated document mentioning parquet manifests and snapshots"),
   ).toDF("doc_id", "text")
 
+  test("token chunking: windows, overlap, short/empty docs, last-chunk rule") {
+    // 10 tokens, size 4, overlap 1 -> stride 3 -> ceil((10-4)/3)+1 = 3 chunks
+    val d = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (2L, "short doc"), // <= size: one chunk, itself
+      (3L, "   "),       // whitespace-only: one empty chunk of 1 "token"
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(d, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3))).toMap
+    assert(out((1L, 0L)) === ("t1 t2 t3 t4", 4L))
+    assert(out((1L, 1L)) === ("t4 t5 t6 t7", 4L)) // overlap carries t4
+    assert(out((1L, 2L)) === ("t7 t8 t9 t10", 4L))
+    assert(out((2L, 0L)) === ("short doc", 2L))
+    assert(out((3L, 0L)) === ("", 1L))
+    assert(out.size === 5)
+    // ragged tail: 6 tokens size 4 stride 3 -> chunks at 0 and 3, last is short
+    val tail = TextAnalysis.chunk(
+      Seq((9L, "a b c d e f")).toDF("doc_id", "text"), "doc_id", "text", 4, 1)
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(tail === Map(0L -> "a b c d", 1L -> "d e f"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunk(d, "doc_id", "text", chunkSize = 4, overlap = 4).collect()
+    }
+  }
+
+  test("bloom decontamination equals the exact path") {
+    val train = docs.filter($"doc_id" =!= 2L)
+    val bench = docs.filter($"doc_id" === 2L)
+    val exact = Decontamination.flagged(train, bench, "doc_id", "text", n = 4)
+      .collect().map(_.getLong(0)).sorted
+    val bloom = Decontamination.flaggedBloom(train, bench, "doc_id", "text", n = 4)
+      .collect().map(_.getLong(0)).sorted
+    assert(bloom === exact)
+    assert(exact.nonEmpty) // docs 1/4 share 4-grams with the near-dup bench doc
+  }
+
   test("exact dedup keeps one row per text, smallest id") {
     val out = Dedup.exact(docs, Seq("text"), "doc_id")
       .select("doc_id", "n_copies").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
