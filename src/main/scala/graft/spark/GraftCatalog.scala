@@ -1151,6 +1151,14 @@ class GraftNativeBatchScan(
       f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
         .withMetadata(f.metadata).remove(SchemaConvert.FieldIdKey).build())
     })
+    // imported files resolve by the table's name mapping when set (each
+    // field id reads under the name the files were imported with —
+    // rename-safe), else by current name; rows are positional either way
+    val extResolve: StructType => StructType =
+      graft.tables.NameMapping.of(table.metadata) match {
+        case Some(m) => st => graft.tables.NameMapping.toFileNames(m, st)
+        case None => strip
+      }
     val hasOrc = currentFiles.exists(_.file.fileFormat == "orc")
     val hasAvro = currentFiles.exists(_.file.fileFormat == "avro")
     if (keyedTransforms.isDefined) KeyUnwrapFactory(base)
@@ -1158,12 +1166,12 @@ class GraftNativeBatchScan(
       if (!currentFiles.exists(isExternal)) base
       else ExternalRouteFactory(base,
         org.apache.spark.sql.GraftBridge.parquetReaderFactory(
-          spark, strip(dataSchema), strip(requiredSchema), filters))
+          spark, extResolve(dataSchema), extResolve(requiredSchema), filters))
     } else {
       val ext =
         if (!currentFiles.exists(isExternal)) null
         else org.apache.spark.sql.GraftBridge.parquetReaderFactory(
-          spark, strip(dataSchema), strip(requiredSchema), filters)
+          spark, extResolve(dataSchema), extResolve(requiredSchema), filters)
       // ORC resolves by name (no field ids in ORC files)
       val orc =
         if (!hasOrc) null

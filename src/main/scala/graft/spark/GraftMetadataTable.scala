@@ -210,7 +210,9 @@ object GraftMetadataTables {
     val past = meta.metadataLog.map(e =>
       Seq(ts(e.timestampMs), table.relocate(e.ref), false))
     past :+ Seq(ts(meta.lastUpdatedMs),
-      s"${table.location}/metadata/v${table.version}.metadata.json", true)
+      s"${table.location}/metadata/" +
+        graft.tables.StorageCatalog.metadataFileName(
+          table.version, meta.properties), true)
   }
 
   def refRows(meta: TableMetadata): Seq[Seq[Any]] =

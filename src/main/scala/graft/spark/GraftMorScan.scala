@@ -384,8 +384,14 @@ class GraftMorScan(
         SparkSession.active, dataSchema, innerSchema, pushedFilters)
     // add_files imports carry no field ids: an id-carrying read schema
     // would silently null their columns (fieldId resolution finds no
-    // match), so external partitions read through id-STRIPPED factories
-    // that resolve by name
+    // match), so external partitions read through factories that resolve
+    // by name — under the table's name mapping when it has one (each
+    // requested field id reads the NAME the imported files use for it, so
+    // later renames stay metadata-only), else by current name.
+    // Row layout is positional: rows come back under the scan's own
+    // schema regardless of the resolution names. Parquet-level filter
+    // pushdown may skip mapped-renamed columns (name no longer matches) —
+    // an optimization loss only, every filter is re-applied row-level.
     val hasExternal = plannedPartitions.exists {
       _.asInstanceOf[GraftMorInputPartition].external
     }
@@ -394,16 +400,21 @@ class GraftMorScan(
         .withMetadata(f.metadata).remove(SchemaConvert.FieldIdKey).build()
       f.copy(metadata = md)
     })
+    lazy val extResolve: StructType => StructType =
+      graft.tables.NameMapping.of(table.metadata) match {
+        case Some(m) => st => graft.tables.NameMapping.toFileNames(m, st)
+        case None => stripIds
+      }
     val extNoPush =
       if (!hasExternal) null
       else org.apache.spark.sql.GraftBridge.parquetReaderFactory(
-        SparkSession.active, stripIds(dataSchema), stripIds(innerSchema),
+        SparkSession.active, extResolve(dataSchema), extResolve(innerSchema),
         Array.empty[Filter])
     val extPush =
       if (!hasExternal) null
       else if (pushedFilters.isEmpty) extNoPush
       else org.apache.spark.sql.GraftBridge.parquetReaderFactory(
-        SparkSession.active, stripIds(dataSchema), stripIds(innerSchema),
+        SparkSession.active, extResolve(dataSchema), extResolve(innerSchema),
         pushedFilters)
     val nameToOrdinal = innerSchema.fieldNames.zipWithIndex.toMap
     val groups = eqGroups.map { case (keyNames, types, map, maxSeq) =>

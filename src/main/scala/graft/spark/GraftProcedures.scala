@@ -108,13 +108,16 @@ private[spark] object GraftProcedures {
         "expire_snapshots",
         Seq(in("table", StringType), in("older_than_ms", LongType),
           ProcedureParameter.in("delete_data_files", BooleanType)
-            .defaultValue("false").build()),
+            .defaultValue("false").build(),
+          ProcedureParameter.in("retain_last", IntegerType)
+            .defaultValue("1").build()),
         out("expired_snapshots" -> LongType, "remaining_snapshots" -> LongType),
         (input, _) => {
           val t = table(input)
           val before = t.metadata.snapshots.size
           t.expireSnapshots(input.getLong(1),
-            deleteDataFiles = !input.isNullAt(2) && input.getBoolean(2))
+            deleteDataFiles = !input.isNullAt(2) && input.getBoolean(2),
+            retainLast = if (input.isNullAt(3)) 1 else input.getInt(3))
           val after = t.metadata.snapshots.size
           Seq(Seq((before - after).toLong, after.toLong))
         }),

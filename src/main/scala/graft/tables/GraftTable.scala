@@ -275,19 +275,33 @@ class GraftTable(
     val dataPrefix = GraftTable.normPathStr(location) + "/data/"
     val (internal, external) =
       paths.partition(p => GraftTable.normPathStr(p).startsWith(dataPrefix))
-    val parts = Seq(
-      internal -> sparkSchema,
-      external -> StructType(sparkSchema.fields.map { f =>
+    // external resolution schema: the table's name mapping when set (field
+    // ids read under the names the imported files use — rename-safe), else
+    // the current names with ids stripped
+    val extSchema = NameMapping.of(metadata)
+      .map(m => NameMapping.toFileNames(m, sparkSchema))
+      .getOrElse(StructType(sparkSchema.fields.map { f =>
         f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
           .remove(SchemaConvert.FieldIdKey).build())
-      })).collect { case (ps, sch) if ps.nonEmpty =>
-      val df = pinned.read.schema(sch).parquet(ps: _*)
-      // _metadata is per-relation: project it BEFORE the union
-      if (withMeta)
-        df.withColumn("_cf", GraftTable.normPath(col("_metadata.file_path")))
-          .withColumn("_cp", col("_metadata.row_index"))
-      else df
-    }
+      }))
+    val parts = Seq(internal -> sparkSchema, external -> extSchema)
+      .collect { case (ps, sch) if ps.nonEmpty =>
+        var df = pinned.read.schema(sch).parquet(ps: _*)
+        // _metadata is per-relation: project it BEFORE the union
+        if (withMeta)
+          df = df.withColumn("_cf", GraftTable.normPath(col("_metadata.file_path")))
+            .withColumn("_cp", col("_metadata.row_index"))
+        // restore current column names/types positionally (mapping may
+        // have renamed both top-level fields and struct children)
+        if (sch ne sparkSchema) {
+          val restored = sparkSchema.fields.zip(sch.fields).map {
+            case (cur, ext) => col(ext.name).cast(cur.dataType).as(cur.name)
+          }
+          val meta = if (withMeta) Seq(col("_cf"), col("_cp")) else Nil
+          df = df.select(restored.toSeq ++ meta: _*)
+        }
+        df
+      }
     parts.reduce(_.unionByName(_))
   }
 
@@ -1152,6 +1166,13 @@ class GraftTable(
     metadata.currentSchema.fields.filter(_.required).foreach(f =>
       require(fileSchema.fieldNames.contains(f.name),
         s"required column ${f.name} missing from imported files"))
+    // pin a name mapping at first import (field id -> the name imported
+    // files use NOW) so later column renames don't orphan these files'
+    // columns; never overwrite an existing mapping — files already
+    // imported under it depend on its names
+    if (!metadata.properties.contains(NameMapping.PropertyKey))
+      setProperties(Map(NameMapping.PropertyKey ->
+        NameMapping.serialize(NameMapping.fromSchema(metadata.currentSchema))))
     val files = TableWrite.importDataFiles(this, spark, paths)
     commit(spark, "append", files, Nil, replace = false,
       extraSummary = Map("graft.add-files-source" -> source))
@@ -1447,7 +1468,11 @@ class GraftTable(
     * from metadata BEFORE anything is deleted, and an unreadable
     * surviving manifest aborts file deletion (an unknown live set must
     * never decide what dies) while metadata expiry still proceeds. */
-  def expireSnapshots(olderThanMs: Long, deleteDataFiles: Boolean = false): GraftTable = {
+  def expireSnapshots(
+      olderThanMs: Long,
+      deleteDataFiles: Boolean = false,
+      retainLast: Int = 1): GraftTable = {
+    require(retainLast >= 1, s"retain_last must be >= 1, got $retainLast")
     val base = metadata
     val now = System.currentTimeMillis()
     val byId = base.snapshots.map(s => s.snapshotId -> s).toMap
@@ -1476,7 +1501,11 @@ class GraftTable(
         }
       }
     }.toSet
-    val keepIds = base.currentSnapshotId.toSet ++ refKeep ++
+    // retain_last: the N most recent ancestors of the current snapshot
+    // stay regardless of age (Iceberg's expire_snapshots retain_last)
+    val retained = base.currentSnapshotId.toList
+      .flatMap(id => ancestors(id).take(retainLast)).map(_.snapshotId)
+    val keepIds = base.currentSnapshotId.toSet ++ refKeep ++ retained ++
       base.snapshots.filter(_.timestampMs >= olderThanMs).map(_.snapshotId)
     val (kept, expired) = base.snapshots.partition(s => keepIds.contains(s.snapshotId))
     if (expired.isEmpty && liveRefs.size == base.refs.size) return this
@@ -1856,7 +1885,8 @@ class GraftTable(
     val (logged, trimmed) = trimMetadataLog(
       newMeta.copy(metadataLog = metadata.metadataLog :+
         IceLogEntry(metadata.lastUpdatedMs,
-          s"${StorageCatalog.metadataDir(location)}/v$version.metadata.json")))
+          s"${StorageCatalog.metadataDir(location)}/" +
+            StorageCatalog.metadataFileName(version, metadata.properties))))
     val newVersion = committer(logged, version)
     metadata = logged
     version = newVersion
@@ -2517,7 +2547,8 @@ class GraftTable(
         if (branch.isEmpty) base.snapshotLog :+ IceLogEntry(now, snapshotId.toString)
         else base.snapshotLog,
       metadataLog = base.metadataLog :+
-        IceLogEntry(base.lastUpdatedMs, s"$mdir/v$version.metadata.json"),
+        IceLogEntry(base.lastUpdatedMs,
+          s"$mdir/${StorageCatalog.metadataFileName(version, base.properties)}"),
       refs = base.refs + (branch.getOrElse("main") ->
         IceSnapshotRef(snapshotId, "branch")))
 

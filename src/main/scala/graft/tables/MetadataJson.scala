@@ -154,8 +154,27 @@ object MetadataJson {
 
   // ---------- table metadata ----------
 
+  /** Transparent gunzip: `write.metadata.compression-codec=gzip` tables
+    * name their files `vN.gz.metadata.json`, but sniffing the gzip magic
+    * makes every reader agnostic to naming (mis-suffixed files still
+    * load, matching Iceberg's TableMetadataParser tolerance). */
+  private def gunzipIfNeeded(bytes: Array[Byte]): Array[Byte] =
+    if (bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte) {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try in.readAllBytes() finally in.close()
+    } else bytes
+
+  /** Gzip bytes for a `.gz.metadata.json` target. */
+  def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.util.zip.GZIPOutputStream(bos)
+    try out.write(bytes) finally out.close()
+    bos.toByteArray
+  }
+
   def parse(jsonBytes: Array[Byte]): TableMetadata = {
-    val j = JsonMethods.parse(new String(jsonBytes, "UTF-8"))
+    val j = JsonMethods.parse(new String(gunzipIfNeeded(jsonBytes), "UTF-8"))
     val formatVersion = intOf(j \ "format-version")
 
     val schemas: List[IceSchema] = (j \ "schemas") match {

@@ -11,7 +11,32 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * check-and-retry loop the reference left unfinished). */
 object StorageCatalog {
 
-  private val VersionRe = """v(\d+)\.metadata\.json""".r
+  private val VersionRe = """v(\d+)(?:\.gz)?\.metadata\.json""".r
+
+  /** Metadata file name for a version under the table's compression codec
+    * (`write.metadata.compression-codec`: none | gzip, Iceberg naming —
+    * gzip versions are `vN.gz.metadata.json`). */
+  def metadataFileName(version: Int, properties: Map[String, String]): String =
+    if (gzipMetadata(properties)) s"v$version.gz.metadata.json"
+    else s"v$version.metadata.json"
+
+  def gzipMetadata(properties: Map[String, String]): Boolean =
+    properties.get("write.metadata.compression-codec")
+      .exists(_.trim.equalsIgnoreCase("gzip"))
+
+  /** The committed metadata file for `version`, whichever codec wrote it
+    * (plain probed first — the overwhelmingly common case). */
+  def existingMetadataFile(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path,
+      version: Int): Option[Path] = {
+    val plain = new Path(dir, s"v$version.metadata.json")
+    if (fs.exists(plain)) Some(plain)
+    else {
+      val gz = new Path(dir, s"v$version.gz.metadata.json")
+      if (fs.exists(gz)) Some(gz) else None
+    }
+  }
 
   def metadataDir(location: String) = s"$location/metadata"
 
@@ -40,11 +65,11 @@ object StorageCatalog {
           // under concurrent commits): verify it, then walk forward to the
           // newest committed version — O(versions-ahead) exists() probes,
           // no directory listing in the common case
-          if (!fs.exists(new Path(dir, s"v$hintV.metadata.json"))) None
+          if (existingMetadataFile(fs, dir, hintV).isEmpty) None
           else {
             var v = hintV
-            while (fs.exists(new Path(dir, s"v${v + 1}.metadata.json"))) v += 1
-            Some((new Path(dir, s"v$v.metadata.json").toUri.getPath, v))
+            while (existingMetadataFile(fs, dir, v + 1).isDefined) v += 1
+            Some((existingMetadataFile(fs, dir, v).get.toUri.getPath, v))
           }
         } catch { case _: Throwable => None }
       } else None
@@ -245,15 +270,19 @@ object StorageCatalog {
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
     val next = expectedVersion + 1
-    val target = new Path(dir, s"v$next.metadata.json")
+    val gz = gzipMetadata(meta.properties)
+    val target = new Path(dir, metadataFileName(next, meta.properties))
     val isLocal = fs.getUri.getScheme == "file"
 
     def writeAndRename(): Unit = {
-      if (fs.exists(target))
+      // a concurrent committer may be on the OTHER codec suffix — either
+      // name claims the version
+      if (existingMetadataFile(fs, dir, next).isDefined)
         throw new CommitConflictException(s"version $next already exists")
       val tmp = new Path(dir, s".tmp-${UUID.randomUUID()}.metadata.json")
       val out = fs.create(tmp, false)
-      try out.write(MetadataJson.serialize(meta))
+      val bytes = MetadataJson.serialize(meta)
+      try out.write(if (gz) MetadataJson.gzip(bytes) else bytes)
       finally out.close()
       // HDFS: rename(src, dst) returns false if dst exists => lost the race
       if (!fs.rename(tmp, target)) {

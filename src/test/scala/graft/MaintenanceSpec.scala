@@ -192,6 +192,24 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.scan(spark).count() === src.count())
   }
 
+  test("expire_snapshots retain_last keeps recent ancestors past the cutoff") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val loc = tmpLocation("retainlast")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    (0 until 4).foreach(i => t.append(spark, src.filter($"r_regionkey" === i)))
+    assert(t.metadata.snapshots.size === 4)
+    // everything is older than the cutoff, but retain_last=3 keeps the
+    // three newest ancestors of current
+    t.expireSnapshots(
+      olderThanMs = System.currentTimeMillis() + 1000, retainLast = 3)
+    assert(t.metadata.snapshots.size === 3)
+    assert(t.scan(spark).count() === 4)
+    intercept[IllegalArgumentException] {
+      t.expireSnapshots(olderThanMs = 0L, retainLast = 0)
+    }
+  }
+
   test("fused expiry reclaims files unreachable from surviving snapshots") {
     val src = spark.read.parquet(s"$sfDir/region.parquet")
     val loc = tmpLocation("expiregc")
@@ -923,6 +941,36 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gaf.db.t").head.getLong(0) === src.count() + 1)
     // re-import would double rows: refuse
     intercept[Exception] { spark.sql(s"CALL gaf.system.add_files('db.t', '$ext')") }
+  }
+
+  test("name mapping keeps imported columns alive across renames") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val ext = tmpLocation("nmext")
+    src.write.parquet(ext)
+    val loc = tmpLocation("nmtable")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.addFiles(spark, ext)
+    // import pinned a default name mapping (field id -> import-time name)
+    val mapping = t.metadata.properties(NameMapping.PropertyKey)
+    assert(mapping.contains("\"names\":[\"r_name\"]"))
+    // rename AFTER import: without the mapping, by-name resolution would
+    // silently null the imported files' column under its new name
+    t.renameColumn("r_name", "region_title")
+    val rows = t.scan(spark).select("r_regionkey", "region_title").collect()
+    assert(rows.length === src.count())
+    assert(rows.forall(r => r.getString(1) != null && r.getString(1).nonEmpty))
+    val expected = src.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(rows.map(r => r.getInt(0) -> r.getString(1)).toMap === expected)
+    // graft-written (id-carrying) files still resolve by id alongside
+    t.append(spark, t.scan(spark).limit(1))
+    assert(t.scan(spark).where(org.apache.spark.sql.functions.col("region_title").isNotNull)
+      .count() === src.count() + 1)
+    // a pre-existing mapping is never overwritten by a second import
+    val ext2 = tmpLocation("nmext2")
+    src.withColumnRenamed("r_name", "region_title").write.parquet(ext2)
+    t.addFiles(spark, ext2)
+    assert(t.metadata.properties(NameMapping.PropertyKey) === mapping)
   }
 
   test("cherry-pick publishes ONE staged append; non-appends refuse") {

@@ -62,6 +62,36 @@ class TableSpec extends AnyFunSuite {
     assert(f.lowerBounds.nonEmpty && f.upperBounds.nonEmpty)
   }
 
+  test("gzip metadata: vN.gz.metadata.json round-trips, codec flips mid-table") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val loc = tmpLocation("gzmeta")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil),
+      Map("write.metadata.compression-codec" -> "gzip"))
+    t.append(spark, src)
+    val mdir = new java.io.File(s"$loc/metadata")
+    assert(mdir.listFiles().exists(_.getName == "v1.gz.metadata.json"))
+    assert(mdir.listFiles().exists(_.getName == "v2.gz.metadata.json"))
+    assert(!mdir.listFiles().exists(_.getName == "v2.metadata.json"))
+    // discovery + parse work through the hint walk and the gzip sniff
+    val back = StorageCatalog.loadTable(conf, loc)
+    assert(back.version === 2)
+    assert(back.scan(spark).count() === src.count())
+    // the metadata log records the real (gz) name of the previous file
+    assert(back.metadata.metadataLog.last.ref.endsWith("v1.gz.metadata.json"))
+    // flip the codec off: the UNSET commit and everything after are plain
+    back.removeProperties(Seq("write.metadata.compression-codec"))
+    back.append(spark, src)
+    assert(mdir.listFiles().exists(_.getName == "v3.metadata.json"))
+    assert(mdir.listFiles().exists(_.getName == "v4.metadata.json"))
+    val plain = StorageCatalog.loadTable(conf, loc)
+    assert(plain.version === 4)
+    assert(plain.scan(spark).count() === 2 * src.count())
+    // no-hint discovery also resolves mixed-codec histories
+    new java.io.File(s"$loc/metadata/version-hint.text").delete()
+    assert(StorageCatalog.loadTable(conf, loc).version === 4)
+  }
+
   test("partitioned append with month transform + partition pruning") {
     val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val schema = SchemaConvert.fromSparkSchema(src.schema)
