@@ -89,6 +89,9 @@ object Bench {
     "text_nb_classify",
     "stream_dedup",
     "ice_variant",
+    // round-8 third wave: chunking + bloom decontamination
+    "text_chunks",
+    "decontaminate_bloom",
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup
@@ -279,7 +282,10 @@ object Bench {
         // round-8 third wave: the corpus-shuffling dedup/classifier
         // shapes whose cost scales with tokens, not documents
         "dedup_substrings", "dedup_winnow", "text_linededup",
-        "text_nb_classify", "ice_variant"))
+        "text_nb_classify", "ice_variant",
+        // chunking explodes rows, bloom decon shuffles candidates — both
+        // must stay linear at 10x
+        "text_chunks", "decontaminate_bloom"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{text, transforms, vectors}
-import graft.operators.{Bpe, Decontamination, Dedup, Multimodal, Packing, Sampling, Selection, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Clustering, Decontamination, Dedup, Multimodal, Packing, Profiling, Sampling, Selection, Similarity, TextAnalysis}
 import graft.tables._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -819,6 +819,20 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(97)) =!= 0),
         d.filter(pmod(col("doc_id"), lit(97)) === 0),
         "doc_id", "text", n = 4)
+    }),
+    "cluster_kmeans" -> ((s, dir) => {
+      // corpus topic-bucketing: deterministic Lloyd k-means over integer-
+      // quantized embeddings (power-of-two scaling is FP-exact, distances
+      // are integer arithmetic, ties break to the lowest centroid id —
+      // assignments are bit-identical across engines)
+      Clustering.kmeansAssign(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 4, iters = 1)
+    }),
+    "profile_columns" -> ((s, dir) => {
+      // ANALYZE-style column profile of the corpus table: one aggregation
+      // pass, one output row per column
+      Profiling.profile(t(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
     }),
     // ---- similarity search ----
     "ann_brute_force" -> ((s, dir) => {
@@ -3430,6 +3444,54 @@ object SparkEntry {
         |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0)
         |SELECT DISTINCT g.doc_id AS doc_id FROM g JOIN bench USING (ng)
         |WHERE g.doc_id % 97 <> 0""".stripMargin,
+    // Lloyd k-means replayed in SQL: quantize, assign to seed centroids
+    // (ids < 4), one integer-mean update, final assignment. All arithmetic
+    // integer or IEEE-deterministic (floor of a double division).
+    "cluster_kmeans" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(x::DOUBLE * 1024) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, e AS c FROM q WHERE vec_id < 4),
+        |d0 AS (SELECT q.vec_id, q.e, c0.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (q.e[i] - c0.c[i]) * (q.e[i] - c0.c[i]))) AS dist
+        |  FROM q CROSS JOIN c0),
+        |a0 AS (SELECT vec_id, e, cid FROM (
+        |    SELECT vec_id, e, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d0) WHERE rn = 1),
+        |s1 AS (SELECT cid, i,
+        |    CAST(floor(sum(e[i])::DOUBLE / count(*)) AS BIGINT) AS v
+        |  FROM a0 CROSS JOIN range(1, 65) t(i) GROUP BY cid, i),
+        |c1 AS (SELECT cid, list(v ORDER BY i) AS c FROM s1 GROUP BY cid),
+        |d1 AS (SELECT q.vec_id, c1.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (q.e[i] - c1.c[i]) * (q.e[i] - c1.c[i]))) AS dist
+        |  FROM q CROSS JOIN c1)
+        |SELECT vec_id, cid AS cluster FROM (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM d1) WHERE rn = 1""".stripMargin,
+    "profile_columns" ->
+      """SELECT 'doc_id' AS "column", count(*) AS n_rows,
+        |  count(*) - count(doc_id) AS n_nulls,
+        |  count(DISTINCT doc_id) AS n_distinct,
+        |  CAST(min(doc_id) AS VARCHAR) AS min_value,
+        |  CAST(max(doc_id) AS VARCHAR) AS max_value FROM documents
+        |UNION ALL
+        |SELECT 'text', count(*), count(*) - count(text),
+        |  count(DISTINCT text), min(text), max(text) FROM documents
+        |UNION ALL
+        |SELECT 'lang', count(*), count(*) - count(lang),
+        |  count(DISTINCT lang), min(lang), max(lang) FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*), count(*) - count(source),
+        |  count(DISTINCT source), min(source), max(source) FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*), count(*) - count(n_chars),
+        |  count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+        |  CAST(max(n_chars) AS VARCHAR) FROM documents""".stripMargin,
     // the Bloom prefilter provably changes nothing (survivors are exactly
     // re-verified), so the oracle is decontaminate's, verbatim
     "decontaminate_bloom" ->

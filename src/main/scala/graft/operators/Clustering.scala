@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deterministic k-means clustering over an embedding column — the corpus
+  * organization pass (topic bucketing, per-cluster sampling quotas,
+  * cluster-balanced shard export) of a training-data pipeline.
+  *
+  * Exactness: floats are quantized to integers (`floor(x * scale)` with a
+  * power-of-two scale, exact in binary FP), so distances are integer
+  * arithmetic with NO accumulation-order sensitivity, and centroid
+  * updates divide integer sums — every engine computes bit-identical
+  * assignments. Ties break toward the lowest centroid id.
+  *
+  * Scale design: centroids are k×d literals folded into the row-level
+  * assignment expression (map-only, codegen'd; k·d small by construction
+  * — for k beyond a few hundred, swap to a broadcast centroid table and a
+  * crossJoin+min shape). The update step shuffles (cid, dim, partial-sum)
+  * triples — k·d rows per map partition after partial aggregation, never
+  * the vectors. Iterations are driver-coordinated like every distributed
+  * k-means (Lloyd's algorithm is inherently synchronous).
+  */
+object Clustering {
+
+  /** Assign every row to one of `k` clusters seeded from the `k`
+    * smallest-id vectors, after `iters` Lloyd iterations. Output:
+    * (idCol, cluster). */
+  def kmeansAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 1,
+      scale: Int = 1024): DataFrame = {
+    require(k >= 1 && iters >= 0, s"bad k=$k / iters=$iters")
+    // power-of-two scaling is exact for binary floats: no cross-engine
+    // rounding surface in the quantization itself
+    require((scale & (scale - 1)) == 0, s"scale must be a power of two: $scale")
+    val q = df.select(
+      col(idCol),
+      transform(col(vecCol), x =>
+        floor(x.cast("double") * lit(scale)).cast(LongType)).as("e"))
+
+    def assignExpr(cents: Seq[(Long, Array[Long])]): Column = {
+      val cands = cents.map { case (cid, c) =>
+        val carr = array(c.map(lit): _*)
+        struct(
+          aggregate(
+            zip_with(col("e"), carr, (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("dist"),
+          lit(cid).as("cid"))
+      }
+      array_min(array(cands: _*)).getField("cid")
+    }
+
+    // seeds: the k smallest ids' quantized vectors (deterministic)
+    var cents: Seq[(Long, Array[Long])] = q.orderBy(col(idCol)).limit(k)
+      .collect().map { r =>
+        (r.getLong(0), r.getSeq[Long](1).toArray)
+      }.toSeq
+    var it = 0
+    while (it < iters) {
+      val stats = q.withColumn("cid", assignExpr(cents))
+        .select(col("cid"), posexplode(col("e")).as(Seq("dim", "v")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      cents = stats.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map {
+        case (cid, rows) =>
+          val dims = rows.map(r =>
+            r.getInt(1) -> math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong)
+            .sortBy(_._1).map(_._2)
+          (cid, dims)
+      }
+      it += 1
+    }
+    q.select(col(idCol), assignExpr(cents).as("cluster"))
+  }
+}

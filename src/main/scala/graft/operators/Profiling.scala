@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column profiling (the ANALYZE/data-quality pass a pipeline runs before
+  * and after every transform): per-column row/null/distinct counts and
+  * min/max, one result row per column.
+  *
+  * Scale design: ONE aggregation job over the input. count/min/max are
+  * plain partial aggregates; the exact distinct counts ride Spark's
+  * multi-distinct expand (one shuffle keyed by the expand id — at 100 TB
+  * swap `countDistinct` for `approx_count_distinct` via `exact = false`
+  * and the whole profile collapses to a map-side-partial single pass).
+  * The per-column result pivot is driver-side over k rows, not data.
+  */
+object Profiling {
+
+  def profile(
+      df: DataFrame,
+      cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"__rows_$c"),
+        count(col(c)).as(s"__nonnull_$c"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"__ndv_$c"),
+        min(col(c)).cast(StringType).as(s"__min_$c"),
+        max(col(c)).cast(StringType).as(s"__max_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val spark = df.sparkSession
+    val out = cols.zipWithIndex.map { case (c, i) =>
+      val b = i * 5
+      org.apache.spark.sql.Row(
+        c, row.getLong(b), row.getLong(b) - row.getLong(b + 1),
+        row.getLong(b + 2), row.getString(b + 3), row.getString(b + 4))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
+      StructType(Seq(
+        StructField("column", StringType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("n_nulls", LongType, nullable = false),
+        StructField("n_distinct", LongType, nullable = false),
+        StructField("min_value", StringType, nullable = true),
+        StructField("max_value", StringType, nullable = true))))
+  }
+}

@@ -55,6 +55,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exact.nonEmpty) // docs 1/4 share 4-grams with the near-dup bench doc
   }
 
+  test("kmeans assignment: seeds, one Lloyd step, deterministic ties") {
+    // two tight groups on a line; seeds are ids 0 and 1 (one per group)
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 0.0f)),
+      (2L, Array(0.1f, 0.0f)), (3L, Array(9.9f, 0.0f)),
+      (4L, Array(0.2f, 0.0f)), (5L, Array(10.2f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Clustering
+      .kmeansAssign(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(0L, 2L, 4L).forall(out(_) === 0L))
+    assert(Seq(1L, 3L, 5L).forall(out(_) === 1L))
+    // a point equidistant to both centroids ties to the LOWER centroid id
+    val tie = Seq((0L, Array(0.0f)), (1L, Array(4.0f)), (2L, Array(2.0f)))
+      .toDF("vec_id", "embedding")
+    val t2 = graft.operators.Clustering
+      .kmeansAssign(tie, "vec_id", "embedding", k = 2, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t2(2L) === 0L)
+  }
+
+  test("column profile counts rows, nulls, distincts, min/max in one pass") {
+    val d = Seq(
+      (1L, Some("b"), 10L), (2L, Some("a"), 10L),
+      (3L, None, 30L), (4L, Some("a"), 40L),
+    ).toDF("id", "s", "v")
+    val out = graft.operators.Profiling.profile(d, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(out("id") === ((4L, 0L, 4L, "1", "4")))
+    assert(out("s") === ((4L, 1L, 2L, "a", "b"))) // nulls excluded from ndv/min/max
+    assert(out("v") === ((4L, 0L, 3L, "10", "40")))
+  }
+
   test("exact dedup keeps one row per text, smallest id") {
     val out = Dedup.exact(docs, Seq("text"), "doc_id")
       .select("doc_id", "n_copies").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
