@@ -1037,11 +1037,49 @@ class GraftNativeBatchScan(
     extends Scan with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   @volatile private var currentFiles: Seq[PlannedFile] = files
 
   override def readSchema(): StructType = requiredSchema
+
+  /** Sorted-scan reporting: when every planned file was written under the
+    * table's current default sort order (identity fields, all projected),
+    * each FILE's rows are sorted, so with one-file-per-partition packing
+    * (see [[planInputPartitions]]) every partition satisfies the order
+    * and Spark's RemoveRedundantSorts elides downstream local sorts —
+    * the payoff of `write.sort-order` at read time. File RANGES preserve
+    * it too (a contiguous slice of a sorted file is sorted). Declared
+    * ordering must survive column pruning: a pruned-away sort column
+    * would leave an unresolvable ordering expression, so reporting is
+    * dropped instead. */
+  private lazy val reportedOrdering: Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection}
+    val order = table.metadata.sortOrders
+      .find(_.orderId == table.metadata.defaultSortOrderId)
+      .filter(_.fields.nonEmpty)
+    val names = order.map(_.fields.map(f =>
+      iceSchema.fieldById(f.sourceId).map(_.name).getOrElse("")))
+    // SPJ groups same-key files into one partition — concatenated sorted
+    // files are not sorted, so the two reports are mutually exclusive
+    val ok = order.isDefined && files.nonEmpty && keyedTransforms.isEmpty &&
+      files.forall(p => p.file.sortOrderId.contains(order.get.orderId) &&
+        p.file.fileFormat == "parquet") &&
+      order.get.fields.forall(_.transform == "identity") &&
+      names.get.forall(n => n.nonEmpty && requiredSchema.fieldNames.contains(n))
+    if (!ok) Array.empty
+    else order.get.fields.zip(names.get).map { case (f, n) =>
+      Expressions.sort(
+        Expressions.column(n),
+        if (f.direction == "desc") SortDirection.DESCENDING else SortDirection.ASCENDING,
+        if (f.nullOrder == "nulls-last") NullOrdering.NULLS_LAST
+        else NullOrdering.NULLS_FIRST)
+    }.toArray
+  }
+
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    reportedOrdering
 
   /** Planned-file statistics, scaled to the projected columns. Without
     * this a DSv2 relation sizes as `defaultSizeInBytes` (effectively
@@ -1124,8 +1162,18 @@ class GraftNativeBatchScan(
         val (nonParquet, parquet) = currentFiles.partition(p =>
           p.file.fileFormat == "orc" || p.file.fileFormat == "avro")
         val (ext, internal) = parquet.partition(isExternal)
-        (org.apache.spark.sql.GraftBridge.filePartitions(
-          internal.map(p => (p.file.filePath, p.file.fileSizeInBytes)), maxBytes) ++
+        // sorted-scan contract: a partition mixing two sorted files is no
+        // longer sorted, so when ordering is reported each file packs
+        // alone (its byte-ranges may still split across partitions —
+        // slices of a sorted file stay sorted)
+        val internalParts =
+          if (reportedOrdering.isEmpty)
+            org.apache.spark.sql.GraftBridge.filePartitions(
+              internal.map(p => (p.file.filePath, p.file.fileSizeInBytes)), maxBytes)
+          else internal.flatMap(p =>
+            org.apache.spark.sql.GraftBridge.filePartitions(
+              Seq((p.file.filePath, p.file.fileSizeInBytes)), maxBytes))
+        (internalParts ++
           org.apache.spark.sql.GraftBridge.filePartitions(
             ext.map(p => (p.file.filePath, p.file.fileSizeInBytes)), maxBytes)
             .map(ip => new GraftExternalPartition(ip)) ++

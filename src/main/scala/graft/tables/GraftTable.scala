@@ -1113,7 +1113,7 @@ class GraftTable(
       .repartitionByRange(targetFiles, col("_gz"))
       .sortWithinPartitions("_gz")
       .drop("_gz")
-    val rewritten = TableWrite.writeDataFiles(this, spark, zed)
+    val rewritten = TableWrite.writeDataFiles(this, spark, zed, applyDeclaredSort = false)
     val oldPaths = planned.map(p => GraftTable.normPathStr(p.file.filePath)).toSet
     commitReplace(spark, "replace",
       rewriteSurvivors(oldPaths, snap.sequenceNumber, "rewriteZOrder"), rewritten)

@@ -391,7 +391,17 @@ object TableWrite {
       })
   }
 
-  def writeDataFiles(table: GraftTable, spark: SparkSession, df: DataFrame): List[IceDataFile] = {
+  /** `applyDeclaredSort = false` keeps the CALLER's within-partition row
+    * layout: a z-order rewrite has already clustered rows by the
+    * interleaved key, and re-sorting by the table's declared order here
+    * would silently undo it (the files would also get the declared order
+    * id stamped, making the layout loss invisible). Those files carry NO
+    * sort-order id — sorted-scan reporting correctly turns off. */
+  def writeDataFiles(
+      table: GraftTable,
+      spark: SparkSession,
+      df: DataFrame,
+      applyDeclaredSort: Boolean = true): List[IceDataFile] = {
     val schema = table.metadata.currentSchema
     val spec = table.metadata.defaultSpec
     val lineageFields = lineageFieldsOf(df)
@@ -412,8 +422,10 @@ object TableWrite {
     // DEFAULT SortOrder metadata wins (direction + null order honored and
     // the order id stamped on each DataFile); the write.sort-order
     // property is the untyped fallback (no declared id to stamp)
-    val declaredOrder = table.metadata.sortOrders
-      .find(o => o.orderId == table.metadata.defaultSortOrderId && o.fields.nonEmpty)
+    val declaredOrder =
+      if (!applyDeclaredSort) None
+      else table.metadata.sortOrders
+        .find(o => o.orderId == table.metadata.defaultSortOrderId && o.fields.nonEmpty)
     val sortExprs: Seq[Column] = declaredOrder match {
       case Some(o) =>
         o.fields.flatMap { sf =>
@@ -427,9 +439,10 @@ object TableWrite {
             }
           }
         }
-      case None =>
+      case None if applyDeclaredSort =>
         props.get("write.sort-order").toSeq
           .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)).map(col)
+      case None => Nil
     }
     val stampOrderId: Option[Int] = declaredOrder.map(_.orderId)
 

@@ -608,4 +608,42 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DELETE FROM graft.db.lim WHERE id = 0")
     assert(spark.sql("SELECT * FROM graft.db.lim LIMIT 30").collect().length === 23)
   }
+
+  test("sorted tables report output ordering; redundant local sorts vanish") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.sorted")
+    spark.sql("CREATE TABLE graft.db.sorted (id BIGINT, v DOUBLE)")
+    spark.sql("ALTER TABLE graft.db.sorted WRITE ORDERED BY id")
+    spark.sql(
+      """INSERT INTO graft.db.sorted
+        |SELECT CAST(id AS BIGINT), CAST(id % 7 AS DOUBLE) FROM range(1000)""".stripMargin)
+    def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution.executedPlan
+    def scanOrdering(df: org.apache.spark.sql.DataFrame) = plan(df).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.outputOrdering
+    }.flatten
+    def hasSort(df: org.apache.spark.sql.DataFrame) = plan(df).collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.nonEmpty
+    val sorted = spark.table("graft.db.sorted").sortWithinPartitions("id")
+    assert(scanOrdering(sorted).nonEmpty, "scan must report the declared order")
+    assert(!hasSort(sorted), "partition-local sort on the sort key is redundant")
+    assert(sorted.collect().length === 1000)
+    // the contract behind the report: every partition's rows ARE sorted
+    val partsSorted = spark.table("graft.db.sorted").select("id").rdd
+      .mapPartitions(it => Iterator(it.map(_.getLong(0)).toSeq)).collect()
+      .forall(s => s === s.sorted)
+    assert(partsSorted)
+    // pruning away the sort column drops the report (the ordering would
+    // not resolve against the scan output)
+    assert(scanOrdering(spark.table("graft.db.sorted").select("v")).isEmpty)
+    // a table whose files were not written under a declared order stays
+    // unordered and keeps its local sort
+    spark.sql("DROP TABLE IF EXISTS graft.db.unsorted")
+    spark.sql("CREATE TABLE graft.db.unsorted (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.unsorted SELECT CAST(id AS BIGINT) FROM range(100)")
+    val un = spark.table("graft.db.unsorted").sortWithinPartitions("id")
+    assert(scanOrdering(un).isEmpty)
+    assert(hasSort(un))
+  }
 }

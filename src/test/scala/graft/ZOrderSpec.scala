@@ -90,4 +90,36 @@ class ZOrderSpec extends AnyFunSuite {
     assert(back.count() === 2000)
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
+
+  test("z-order wins over the declared write order and clears the stamp") {
+    import graft.tables._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val d = java.nio.file.Files.createTempDirectory("graft-zvsorder").toFile
+    d.delete()
+    // b is a's mirror: declared-order-sorted (by a) is exactly b-descending.
+    // c duplicates b so the 2-column z-curve stays monotone in b.
+    val n = 1000L
+    val src = (1L to n).map(i => (i, n - i, n - i)).toDF("a", "b", "c")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, d.getAbsolutePath, SchemaConvert.fromSparkSchema(src.schema),
+      IcePartitionSpec(0, Nil))
+    t.setSortOrder(Seq(("a", "asc", "nulls-first")))
+    t.append(spark, src)
+    val orderId = t.metadata.defaultSortOrderId
+    assert(t.planFiles(t.metadata.currentSnapshot.get)
+      .forall(_.file.sortOrderId === Some(orderId)))
+    t.rewriteZOrder(spark, Seq("b", "c"), targetFileSizeBytes = 1L << 20)
+    val files = t.planFiles(t.metadata.currentSnapshot.get)
+      .filter(_.file.content == DataContent.Data)
+    // rewritten files carry NO declared-order stamp (their layout is the
+    // z-curve, and sorted-scan reporting must not claim otherwise)
+    assert(files.forall(_.file.sortOrderId.isEmpty))
+    // and the rows INSIDE a file follow the z-key (b asc), not the
+    // declared order (a asc == b desc) — the regression would show rows
+    // re-sorted by a
+    val one = spark.read.parquet(files.head.file.filePath).select("b").collect()
+      .map(_.getLong(0)).toSeq
+    assert(one === one.sorted,
+      "z-order rewrite output was re-sorted by the declared write order")
+  }
 }
