@@ -89,9 +89,13 @@ object Bench {
     "text_nb_classify",
     "stream_dedup",
     "ice_variant",
-    // round-8 third wave: chunking + bloom decontamination
+    // round-8 third wave: chunking + bloom decontamination + clustering,
+    // profiling and embedding quantization
     "text_chunks",
     "decontaminate_bloom",
+    "cluster_kmeans",
+    "profile_columns",
+    "embed_quantize",
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup
@@ -283,9 +287,10 @@ object Bench {
         // shapes whose cost scales with tokens, not documents
         "dedup_substrings", "dedup_winnow", "text_linededup",
         "text_nb_classify", "ice_variant",
-        // chunking explodes rows, bloom decon shuffles candidates — both
-        // must stay linear at 10x
-        "text_chunks", "decontaminate_bloom"))
+        // chunking explodes rows, bloom decon shuffles candidates, kmeans
+        // shuffles (cid,dim) triples — all must stay linear at 10x
+        "text_chunks", "decontaminate_bloom", "cluster_kmeans",
+        "embed_quantize"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

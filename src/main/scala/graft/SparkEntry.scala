@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{text, transforms, vectors}
-import graft.operators.{Bpe, Clustering, Decontamination, Dedup, Multimodal, Packing, Profiling, Sampling, Selection, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Clustering, Decontamination, Dedup, Multimodal, Packing, Profiling, Quantization, Sampling, Selection, Similarity, TextAnalysis}
 import graft.tables._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -827,6 +827,11 @@ object SparkEntry {
       // assignments are bit-identical across engines)
       Clustering.kmeansAssign(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 4, iters = 1)
+    }),
+    "embed_quantize" -> ((s, dir) => {
+      // int8 embedding quantization (4x smaller storage): per-vector
+      // scale + floor round-half-up, exact in both engines
+      Quantization.quantizeStats(t(s, dir, "embeddings"), "vec_id", "embedding")
     }),
     "profile_columns" -> ((s, dir) => {
       // ANALYZE-style column profile of the corpus table: one aggregation
@@ -3473,6 +3478,25 @@ object SparkEntry {
         |  SELECT vec_id, cid,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
         |  FROM d1) WHERE rn = 1""".stripMargin,
+    // same floor(x/s + 0.5) arithmetic; arrays reduce to sum/min/max so
+    // the compare stays scalar
+    "embed_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127
+        |      AS scale
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(floor(x::DOUBLE / scale + 0.5) AS BIGINT))
+        |    END AS qv
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS qsum,
+        |  CAST(list_min(qv) AS BIGINT) AS qmin,
+        |  CAST(list_max(qv) AS BIGINT) AS qmax
+        |FROM q""".stripMargin,
     "profile_columns" ->
       """SELECT 'doc_id' AS "column", count(*) AS n_rows,
         |  count(*) - count(doc_id) AS n_nulls,

@@ -89,6 +89,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out("v") === ((4L, 0L, 3L, "10", "40")))
   }
 
+  test("int8 quantization: bounds, zero vectors, reconstruction error") {
+    val vecs = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f, 2.54f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector
+      (3L, Array(-1.0f, 1.0f, -1.0f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Quantization
+      .quantizeInt8(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Int](2))).toMap
+    val (s1, q1) = out(1L)
+    assert(math.abs(s1 - 2.54 / 127) < 1e-9)
+    assert(q1.max === 127 && q1.min >= -127) // extremes hit the int8 range
+    // reconstruction error bounded by scale/2 (float source read as double)
+    val src = Array(1.0f, -2.0f, 0.5f, 2.54f)
+    q1.zip(src).foreach { case (q, x) =>
+      assert(math.abs(q * s1 - x.toDouble) <= s1 / 2 + 1e-9)
+    }
+    assert(out(2L) === ((0.0, Seq(0, 0, 0, 0))))
+    assert(out(3L)._2 === Seq(-127, 127, -127, 127))
+  }
+
   test("exact dedup keeps one row per text, smallest id") {
     val out = Dedup.exact(docs, Seq("text"), "doc_id")
       .select("doc_id", "n_copies").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
