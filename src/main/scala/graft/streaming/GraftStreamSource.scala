@@ -76,11 +76,21 @@ class GraftStreamSourceProvider extends StreamSourceProvider with StreamSinkProv
         if (parameters.get("mode").exists(_.trim.equalsIgnoreCase("upsert")))
           Some(Seq.empty[String])
         else None)
+    // `.option("branch", "audit")` stages every micro-batch on a branch
+    // (streaming write-audit-publish): main stays untouched until a
+    // fastForward publishes. Upsert mode is refused — its equality
+    // deletes resolve against main's head, not the branch lineage.
+    val branch = parameters.get("branch").map(_.trim).filter(_.nonEmpty)
+    require(branch.isEmpty || upsertKeys.isEmpty,
+      "graft-stream: .option(\"branch\", ...) requires append mode " +
+        "(upsert deltas cannot stage on a branch)")
+    require(!branch.contains("main"), "stage on a non-main branch")
     new GraftStreamSink(
       location(parameters),
       upsertKeys,
       parameters.get("op-column"),
-      sinkId)
+      sinkId,
+      branch)
   }
 
   private def changelogMode(parameters: Map[String, String]): Boolean =
@@ -278,7 +288,8 @@ class GraftStreamSink(
     location: String,
     upsertKeys: Option[Seq[String]],
     opColumn: Option[String],
-    sinkId: String)
+    sinkId: String,
+    branch: Option[String] = None)
     extends Sink {
 
   private def batchKey = s"streaming-batch-id-$sinkId"
@@ -314,7 +325,7 @@ class GraftStreamSink(
         case None =>
           val files = TableWrite.writeDataFiles(t, spark, batch)
           t.commit(spark, "append", files, Nil, replace = false,
-            extraSummary = stamp, validate = guard)
+            extraSummary = stamp, validate = guard, branch = branch)
       }
     } catch { case _: BatchAlreadyCommitted => }
     ()

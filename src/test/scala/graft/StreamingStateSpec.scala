@@ -126,6 +126,46 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(rows === Set((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
+  test("sink stages on a branch: main untouched until fast-forward publish") {
+    val loc = Files.createTempDirectory("graft-brsink").toFile.getAbsolutePath + "/t"
+    val src = Seq((1L, "a")).toDF("id", "v")
+    val tbl = StorageCatalog.createOrReplaceTable(
+      spark.sparkContext.hadoopConfiguration, loc,
+      SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    tbl.append(spark, src)
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](
+      2, spark, None)
+    mem.addData((2L, "b"), (3L, "c"))
+    val q = mem.toDF().toDF("id", "v")
+      .writeStream.format("graft-stream")
+      .option("location", loc)
+      .option("branch", "audit")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-brsink-ckpt").toFile.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val t2 = StorageCatalog.loadTable(spark.sparkContext.hadoopConfiguration, loc)
+    // staged rows live only on the branch
+    assert(t2.scan(spark).count() === 1)
+    assert(t2.scanRef(spark, "audit").count() === 3)
+    // publish = fast-forward main to the audit head
+    t2.fastForward("main", "audit")
+    assert(t2.scan(spark).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // branch + upsert is refused at sink construction
+    val bad = mem.toDF().toDF("id", "v")
+      .writeStream.format("graft-stream")
+      .option("location", loc)
+      .option("branch", "audit")
+      .option("mode", "upsert")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-brsink-ckpt2").toFile.getAbsolutePath)
+    intercept[Exception] { val s = bad.start(); s.awaitTermination(); }
+  }
+
   test("changelog stream: per-batch CDC rows, deletes carry content, rewrites emit nothing") {
     val loc = Files.createTempDirectory("graft-cdcstream").toFile.getAbsolutePath + "/t"
     val src = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
