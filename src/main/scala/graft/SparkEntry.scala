@@ -978,6 +978,14 @@ object SparkEntry {
         isPositive = col("lang") === "en",
         isTrain = col("doc_id") % 3 === 0)
     }),
+    "select_budget" -> ((s, dir) => {
+      // token-budget data selection: highest-score (here: longest) docs
+      // win until 15k tokens fill — the greedy cut after importance
+      // scoring. Distributed prefix sum; no global window.
+      val d = t(s, dir, "documents")
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast(LongType))
+      Selection.budgetSelect(d, "doc_id", "n_chars", "n_tokens", budgetTokens = 15000L)
+    }),
     "sample_mixture" -> ((s, dir) => {
       // target-mixture sampling: re-weight three sources to a 20/30/50
       // token mixture at a 10% global budget, deterministically by key
@@ -2250,6 +2258,30 @@ object SparkEntry {
       q.awaitTermination()
       StorageCatalog.loadTable(s.sparkContext.hadoopConfiguration, tbl.location).scan(s)
     }),
+    "stream_branch" -> ((s, dir) => {
+      // streaming write-audit-publish: micro-batches stage on a branch
+      // (main stays empty), then fastForward publishes — the read after
+      // publish must equal the whole feed
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val cols = Seq("event_id", "user_id", "event_type", "value")
+      val seed = t(s, dir, "events").select(cols.map(col): _*).limit(0)
+      val tbl = freshTable(s, "stream_branch", seed)
+      val q = s.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(cols.map(col): _*)
+        .writeStream.format("graft-stream")
+        .option("location", tbl.location)
+        .option("branch", "audit")
+        .option("checkpointLocation", s"${tbl.location}/_chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val staged = StorageCatalog.loadTable(s.sparkContext.hadoopConfiguration, tbl.location)
+      require(staged.scan(s).count() == 0L, "main must stay empty until publish")
+      staged.fastForward("main", "audit")
+      staged.scan(s)
+    }),
     "stream_watermark_windows" -> ((s, dir) => {
       // event-time watermark + tumbling window in APPEND mode over the
       // graft streaming source, rate-limited to one snapshot per
@@ -3449,6 +3481,20 @@ object SparkEntry {
         |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0)
         |SELECT DISTINCT g.doc_id AS doc_id FROM g JOIN bench USING (ng)
         |WHERE g.doc_id % 97 <> 0""".stripMargin,
+    // greedy budget cut replayed as one global window (fine at oracle
+    // scale; the engine side is the distributed prefix sum)
+    "select_budget" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id) - n_tokens
+        |      AS cum_before
+        |  FROM s)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(cum_before AS BIGINT) AS cum_before
+        |FROM c WHERE cum_before < 15000""".stripMargin,
     // Lloyd k-means replayed in SQL: quantize, assign to seed centroids
     // (ids < 4), one integer-mean update, final assignment. All arithmetic
     // integer or IEEE-deterministic (floor of a double division).
@@ -3852,6 +3898,9 @@ object SparkEntry {
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1""".stripMargin,
     "stream_sink_append" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
+    // staged on a branch then published: same rows as a direct append
+    "stream_branch" ->
       "SELECT event_id, user_id, event_type, value FROM events",
     // the doubled feed dedups back to exactly the distinct event set
     "stream_dedup" ->

@@ -19,6 +19,62 @@ object Selection {
   private def toks(textCol: Column): Column =
     filter(split(lower(textCol), "[^a-z0-9]+"), x => length(x) > 0)
 
+  /** Token-budget selection: keep the highest-scoring documents until a
+    * global token budget fills — the final cut of importance-based data
+    * selection (score with DSIR/BM25/a classifier, then take the best
+    * `budget` tokens). A doc is kept iff the tokens of all
+    * strictly-better docs (score desc, id asc ties) stay below the
+    * budget, so the result is the exact greedy prefix.
+    *
+    * Scale design: the running total is a DISTRIBUTED prefix sum in score
+    * order — approx-quantile score cut points bucket the data (bucketing
+    * by VALUE, monotone along the order, so boundary imprecision shifts
+    * bucket sizes, never the result), one windowed cumsum per bucket, a
+    * broadcast of per-bucket offsets. No global single-partition window
+    * at any size. */
+  def budgetSelect(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      tokensCol: String,
+      budgetTokens: Long,
+      numBuckets: Int = 0): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val spark = df.sparkSession
+    val nB =
+      if (numBuckets > 0) numBuckets
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = df.select(
+      col(idCol).cast(LongType).as("doc_id"),
+      col(scoreCol).cast(DoubleType).as("score"),
+      coalesce(col(tokensCol).cast(LongType), lit(0L)).as("n_tokens"))
+    val qs = (1 until nB).map(_.toDouble / nB).toArray
+    val bounds =
+      if (qs.isEmpty) Array.empty[Double]
+      else base.stat.approxQuantile("score", qs, 0.01)
+    // descending traversal: bucket = #cut-points strictly above the score
+    // (non-decreasing along score desc — ties never straddle a bucket)
+    val bucketCol =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(typedLit(bounds.toSeq), b => b > col("score")))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val local = base
+      .withColumn("bucket", bucketCol)
+      .withColumn("cum_local", sum("n_tokens").over(wLocal))
+    val totals = local.groupBy("bucket").agg(sum("n_tokens").as("ptot"))
+    val ow = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("poffset", coalesce(sum("ptot").over(ow), lit(0L)))
+      .select("bucket", "poffset")
+    local.join(broadcast(offsets), "bucket")
+      .withColumn("cum_before", col("cum_local") + col("poffset") - col("n_tokens"))
+      .filter(col("cum_before") < budgetTokens)
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"))
+  }
+
   /** engine-portable feature hash: first `hexChars` hex digits of md5 —
     * the same trick Sampling uses for thresholds, here as the bucket id
     * (16^hexChars buckets; strings compare/equate identically in Spark,

@@ -783,6 +783,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again === scores)
   }
 
+  test("budget selection keeps the exact greedy score-order prefix") {
+    // scores force order 5,4,3,2,1; tokens 10 each; budget 25 -> top 2
+    // whole docs plus the straddling third (its cum_before=20 < 25)
+    val rows = (1L to 5L).map(i => (i, i.toDouble, 10L))
+      .toDF("doc_id", "score", "n_tokens")
+    val out = Selection.budgetSelect(rows, "doc_id", "score", "n_tokens", 25L,
+      numBuckets = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(5L -> 0L, 4L -> 10L, 3L -> 20L))
+    // ties: equal scores break by doc_id ascending
+    val tied = Seq((1L, 1.0, 10L), (2L, 1.0, 10L), (3L, 1.0, 10L))
+      .toDF("doc_id", "score", "n_tokens")
+    val t2 = Selection.budgetSelect(tied, "doc_id", "score", "n_tokens", 15L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(t2 === Seq(1L, 2L))
+  }
+
   test("mixture sampling hits per-domain keep-rates and never upsamples") {
     // three domains with 60/30/10 token shares; target mixture 20/30/50
     // at a 0.5 budget -> rates 1/6, 1/2, 1 (capped)
