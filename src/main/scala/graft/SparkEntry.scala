@@ -1032,6 +1032,27 @@ object SparkEntry {
       tbl.append(s, src)
       tbl.scan(s)
     }),
+    "ice_metadata_delete" -> ((s, dir) => {
+      // partition-scoped DELETE is pure metadata: the strict evaluator
+      // proves every row of the partition's files matches, so files drop
+      // from the snapshot unread — no delete files, no data scan
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val tbl = freshTable(s, "ice_metadata_delete", src,
+        spec = sch => IcePartitionSpec(0, List(IcePartitionField(
+          sch.findField("o_orderstatus").get.id, 1000, "identity", "status_p"))))
+      tbl.append(s, src)
+      val before = graft.tables.Metrics.get(
+        graft.tables.Metrics.MetadataOnlyDeletedFiles)
+      tbl.deleteWhere(s, col("o_orderstatus") === "F")
+      require(graft.tables.Metrics.get(
+        graft.tables.Metrics.MetadataOnlyDeletedFiles) > before,
+        "partition delete did not take the metadata-only path")
+      require(!tbl.planFiles(tbl.metadata.currentSnapshot.get)
+        .exists(_.file.content != DataContent.Data),
+        "metadata-only delete must write no delete files")
+      tbl.scan(s)
+    }),
     // Iceberg's other two data-file formats (write.format.default):
     // write + MoR position deletes + scan, end to end per format
     "ice_orc_table" -> ((s, dir) => {
@@ -3714,6 +3735,9 @@ object SparkEntry {
     "ice_eq_delete" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",
     "ice_eq_convert" ->
       "SELECT * FROM orders WHERE o_orderstatus <> 'F' AND o_orderpriority <> '1-URGENT'",
+    "ice_metadata_delete" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderstatus <> 'F'""".stripMargin,
     "ice_orc_table" -> "SELECT * FROM orders WHERE o_orderkey % 4 <> 1",
     "ice_avro_table" -> "SELECT * FROM orders WHERE o_orderkey % 6 <> 2",
     "ice_row_lineage" ->

@@ -862,12 +862,72 @@ class GraftTable(
   /** Row-level DELETE by predicate: position deletes for every matching
     * row in one snapshot (SQL `DELETE FROM t WHERE ...`). Validated
     * against concurrent rewrites of the referenced files. */
+  /** Row-level DELETE with a metadata fast path: files whose EVERY row
+    * provably matches `cond` (strict bounds/partition evaluation —
+    * [[PruneEval.strictMatch]]) are dropped from the snapshot without
+    * being read; only partially-matching files get position deletes. A
+    * partition-scoped DELETE (`WHERE day = ...`) on a 100 TB table is
+    * then pure metadata — the scan-and-write cost is proportional to the
+    * boundary files, not the deleted volume (Iceberg's
+    * metadata-delete + StrictMetricsEvaluator behavior). */
   def deleteWhere(spark: SparkSession, cond: Column): GraftTable = {
-    val matching = scan(spark, keepFilePos = true).filter(cond)
-      .select(col("_file").as("file_path"), col("_pos").as("pos"))
-    val deleteFiles = writePositionDeleteFiles(spark, matching)
-    if (deleteFiles.isEmpty) return this
-    commitRowDelta("delete", Nil, deleteFiles, referencedBy(spark, deleteFiles))
+    val snap = metadata.currentSnapshot.getOrElse(return this)
+    val dataFiles = planFiles(snap).filter(_.file.content == DataContent.Data)
+    val full = PruneEval.strictlyMatching(dataFiles, cond, metadata, metadata.currentSchema)
+    if (full.isEmpty) {
+      val matching = scan(spark, keepFilePos = true).filter(cond)
+        .select(col("_file").as("file_path"), col("_pos").as("pos"))
+      val deleteFiles = writePositionDeleteFiles(spark, matching)
+      if (deleteFiles.isEmpty) return this
+      return commitRowDelta("delete", Nil, deleteFiles, referencedBy(spark, deleteFiles))
+    }
+    strictSplitCommit(spark, cond, "delete", Nil, dataFiles, full)
+  }
+
+  /** shared tail of the metadata-accelerated row-filter commits (DELETE
+    * WHERE / INSERT OVERWRITE WHERE): drop the strictly-matching files,
+    * position-delete the boundary files, commit once as replace-style. */
+  private def strictSplitCommit(
+      spark: SparkSession,
+      cond: Column,
+      operation: String,
+      addedData: List[IceDataFile],
+      dataFiles: Seq[PlannedFile],
+      full: Seq[PlannedFile]): GraftTable = {
+    val fullSet = full.map(p => GraftTable.normPathStr(p.file.filePath)).toSet
+    val partialPaths = dataFiles.map(p => GraftTable.normPathStr(p.file.filePath))
+      .filterNot(fullSet).toSet
+    val deleteFiles =
+      if (partialPaths.isEmpty) Nil
+      else {
+        val matching = scan(spark, keepFilePos = true, onlyFiles = Some(partialPaths))
+          .filter(cond)
+          .select(col("_file").as("file_path"), col("_pos").as("pos"))
+        writePositionDeleteFiles(spark, matching)
+      }
+    val referenced = fullSet ++
+      (if (deleteFiles.isEmpty) Set.empty[String] else referencedBy(spark, deleteFiles))
+    // survivors recomputed PER ATTEMPT (commitReplace contract); any
+    // involved file rewritten concurrently aborts instead of silently
+    // dropping the rewrite's output
+    def survivors(): List[PlannedFile] = {
+      val planned = metadata.currentSnapshot.toList.flatMap(planFiles(_))
+      val live = planned.filter(_.file.content == DataContent.Data)
+        .map(p => GraftTable.normPathStr(p.file.filePath)).toSet
+      val gone = referenced.diff(live)
+      if (gone.nonEmpty)
+        sys.error(s"$operation conflicts with a concurrent rewrite of " +
+          s"${gone.size} data file(s) (e.g. ${gone.head}); re-run the statement")
+      planned.filterNot(p =>
+        p.file.content == DataContent.Data &&
+          fullSet(GraftTable.normPathStr(p.file.filePath)))
+    }
+    Metrics.inc(Metrics.MetadataOnlyDeletedFiles, full.size.toLong)
+    retryCommit(() => ()) {
+      commitOnce(operation, addedData, deleteFiles, replace = true,
+        existing = survivors())
+    }
+    this
   }
 
   /** Filtered overwrite (`INSERT OVERWRITE ... WHERE`-style semantics, the
@@ -882,6 +942,14 @@ class GraftTable(
     * table API and the native DSv2 write) */
   private[graft] def overwriteWhereFiles(
       spark: SparkSession, cond: Column, dataFiles: List[IceDataFile]): GraftTable = {
+    // metadata acceleration (same strict split as DELETE WHERE): files
+    // the predicate provably covers are replaced without being read — a
+    // partition overwrite on 100 TB scans only boundary files
+    val existing = metadata.currentSnapshot.toList.flatMap(planFiles(_))
+      .filter(_.file.content == DataContent.Data)
+    val full = PruneEval.strictlyMatching(existing, cond, metadata, metadata.currentSchema)
+    if (full.nonEmpty)
+      return strictSplitCommit(spark, cond, "overwrite", dataFiles, existing, full)
     val matching = scan(spark, keepFilePos = true).filter(cond)
       .select(col("_file").as("file_path"), col("_pos").as("pos"))
     val deleteFiles = writePositionDeleteFiles(spark, matching)

@@ -41,5 +41,6 @@ object Metrics {
   val ManifestCacheHits = "manifest_cache_hits_total"
   val ManifestCacheMisses = "manifest_cache_misses_total"
   val MaintenanceFilesDeleted = "maintenance_files_deleted_total"
+  val MetadataOnlyDeletedFiles = "metadata_only_deleted_files_total"
   val MaintenanceExecutorDeletes = "maintenance_executor_deletes_total"
 }

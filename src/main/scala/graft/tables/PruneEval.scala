@@ -322,4 +322,134 @@ object PruneEval {
         val expr = GraftBridge.catalystExpression(c)
         files.filter(p => mayMatch(expr, p.file, metadata.specById(p.specId), schema))
     }
+
+  /** Does EVERY row of the file satisfy the predicate? (The role of
+    * Iceberg's StrictMetricsEvaluator.) Sound in the other direction from
+    * [[mayMatch]]: unknown ⇒ FALSE. A strictly-matching file can be
+    * deleted as pure metadata — no read, no delete-file write. Null
+    * semantics: a row where the predicate is NULL is not a match, so
+    * bounds-based proofs additionally require a recorded null count of 0
+    * (an identity partition value is exempt — a non-null tuple value
+    * already proves the column constant and non-null file-wide). String
+    * bounds may be truncated (lower ≤ min, upper ≥ max), which only
+    * weakens proofs, never falsifies them. */
+  def strictMatch(
+      expr: Expression,
+      file: IceDataFile,
+      spec: IcePartitionSpec,
+      schema: IceSchema): Boolean = expr match {
+    case And(l, r) =>
+      strictMatch(l, file, spec, schema) && strictMatch(r, file, spec, schema)
+    case Or(l, r) =>
+      strictMatch(l, file, spec, schema) || strictMatch(r, file, spec, schema)
+    case EqualTo(Attr(a), l: Literal) => strictCompare(a, litValue(l), file, spec, schema, "=")
+    case EqualTo(l: Literal, Attr(a)) => strictCompare(a, litValue(l), file, spec, schema, "=")
+    case LessThan(Attr(a), l: Literal) => strictCompare(a, litValue(l), file, spec, schema, "<")
+    case LessThanOrEqual(Attr(a), l: Literal) => strictCompare(a, litValue(l), file, spec, schema, "<=")
+    case GreaterThan(Attr(a), l: Literal) => strictCompare(a, litValue(l), file, spec, schema, ">")
+    case GreaterThanOrEqual(Attr(a), l: Literal) => strictCompare(a, litValue(l), file, spec, schema, ">=")
+    case LessThan(l: Literal, Attr(a)) => strictCompare(a, litValue(l), file, spec, schema, ">")
+    case LessThanOrEqual(l: Literal, Attr(a)) => strictCompare(a, litValue(l), file, spec, schema, ">=")
+    case GreaterThan(l: Literal, Attr(a)) => strictCompare(a, litValue(l), file, spec, schema, "<")
+    case GreaterThanOrEqual(l: Literal, Attr(a)) => strictCompare(a, litValue(l), file, spec, schema, "<=")
+    case In(Attr(a), lits) if lits.forall(_.isInstanceOf[Literal]) =>
+      lits.exists(l =>
+        strictCompare(a, litValue(l.asInstanceOf[Literal]), file, spec, schema, "="))
+    case uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+      val name = uf.nameParts.last.toLowerCase
+      val flip = Map("<" -> ">", "<=" -> ">=", ">" -> "<", ">=" -> "<=", "=" -> "=", "==" -> "=")
+      val norm = Map("<" -> "<", "<=" -> "<=", ">" -> ">", ">=" -> ">=", "=" -> "=", "==" -> "=")
+      (name, uf.arguments) match {
+        case ("and", Seq(l, r)) =>
+          strictMatch(l, file, spec, schema) && strictMatch(r, file, spec, schema)
+        case ("or", Seq(l, r)) =>
+          strictMatch(l, file, spec, schema) || strictMatch(r, file, spec, schema)
+        case (op, Seq(Attr(a), l: Literal)) if norm.contains(op) =>
+          strictCompare(a, litValue(l), file, spec, schema, norm(op))
+        case (op, Seq(l: Literal, Attr(a))) if flip.contains(op) =>
+          strictCompare(a, litValue(l), file, spec, schema, flip(op))
+        case ("in", Attr(a) +: lits) if lits.forall(_.isInstanceOf[Literal]) =>
+          lits.exists(l =>
+            strictCompare(a, litValue(l.asInstanceOf[Literal]), file, spec, schema, "="))
+        case _ => false
+      }
+    case _ => false
+  }
+
+  /** exact comparison for the STRICT side: `cmp`'s double widening is
+    * fine for may-match (a spurious equality only keeps a file), but a
+    * strict proof must not equate longs differing past 2^53 */
+  private def cmpExact(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: java.lang.Long, y: java.lang.Long) => Some(java.lang.Long.compare(x, y))
+    case (x: java.lang.Integer, y: java.lang.Long) => Some(java.lang.Long.compare(x.longValue, y))
+    case (x: java.lang.Long, y: java.lang.Integer) => Some(java.lang.Long.compare(x, y.longValue))
+    case _ => cmp(a, b)
+  }
+
+  private def strictCompare(
+      colName: String,
+      lit0: Any,
+      file: IceDataFile,
+      spec: IcePartitionSpec,
+      schema: IceSchema,
+      op: String): Boolean = {
+    val fid = schema.findField(colName).map(_.id).getOrElse(return false)
+    val lit: Any = (lit0, schema.fieldById(fid).map(_.fieldType)) match {
+      case (s: String, Some(IcePrim("date"))) =>
+        try java.time.LocalDate.parse(s).toEpochDay.toInt catch { case _: Throwable => s }
+      case (s: String, Some(IcePrim("timestamp")) | Some(IcePrim("timestamptz"))) =>
+        try {
+          val ld =
+            if (s.length <= 10) java.time.LocalDate.parse(s).atStartOfDay()
+            else java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          ld.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+        } catch { case _: Throwable => s }
+      case _ => lit0
+    }
+    def decide(c: Int): Boolean = op match {
+      case "=" => c == 0
+      case "<" => c < 0
+      case "<=" => c <= 0
+      case ">" => c > 0
+      case ">=" => c >= 0
+      case _ => false
+    }
+    // identity partition value: column constant (and non-null) file-wide
+    val identityPv = spec.fields.zipWithIndex.collectFirst {
+      case (pf, idx) if pf.sourceId == fid && pf.transform == "identity" &&
+        file.partition.lift(idx).flatten.isDefined =>
+        file.partition(idx).get
+    }
+    identityPv.flatMap(pv => cmpExact(pv, lit)).map(decide).getOrElse {
+      // bounds proof: needs a recorded zero null count
+      if (!file.nullValueCounts.get(fid).contains(0L)) false
+      else {
+        val fieldType = schema.fieldById(fid).map(_.fieldType)
+        val lower = file.lowerBounds.get(fid).flatMap(b =>
+          fieldType.map(t => SingleValue.decode(t, b)))
+        val upper = file.upperBounds.get(fid).flatMap(b =>
+          fieldType.map(t => SingleValue.decode(t, b)))
+        op match {
+          case "=" =>
+            lower.flatMap(lo => cmpExact(lo, lit)).contains(0) &&
+              upper.flatMap(up => cmpExact(up, lit)).contains(0)
+          case "<" => upper.flatMap(up => cmpExact(up, lit)).exists(_ < 0)
+          case "<=" => upper.flatMap(up => cmpExact(up, lit)).exists(_ <= 0)
+          case ">" => lower.flatMap(lo => cmpExact(lo, lit)).exists(_ > 0)
+          case ">=" => lower.flatMap(lo => cmpExact(lo, lit)).exists(_ >= 0)
+          case _ => false
+        }
+      }
+    }
+  }
+
+  /** files of which EVERY row matches `filter` (metadata-only deletable) */
+  def strictlyMatching(
+      files: Seq[PlannedFile],
+      filter: Column,
+      metadata: TableMetadata,
+      schema: IceSchema): Seq[PlannedFile] = {
+    val expr = GraftBridge.catalystExpression(filter)
+    files.filter(p => strictMatch(expr, p.file, metadata.specById(p.specId), schema))
+  }
 }

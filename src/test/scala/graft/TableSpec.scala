@@ -92,6 +92,65 @@ class TableSpec extends AnyFunSuite {
     assert(StorageCatalog.loadTable(conf, loc).version === 4)
   }
 
+  test("metadata-only delete: strict files drop unread, boundary files get positions") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val src = (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v")
+    val loc = tmpLocation("metadel")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    // two files with disjoint id ranges via separate appends
+    t.append(spark, src.filter(col("id") <= 100).coalesce(1))
+    t.append(spark, src.filter(col("id") > 100).coalesce(1))
+    val before = Metrics.get(Metrics.MetadataOnlyDeletedFiles)
+    // id <= 150: file1 strictly matches (bounds 1..100), file2 partially
+    t.deleteWhere(spark, col("id") <= lit(150L))
+    assert(Metrics.get(Metrics.MetadataOnlyDeletedFiles) === before + 1)
+    val planned = t.planFiles(t.metadata.currentSnapshot.get)
+    assert(planned.count(_.file.content == DataContent.Data) === 1)
+    assert(planned.exists(_.file.content != DataContent.Data)) // positions for file2
+    val back = t.scan(spark).collect().map(_.getLong(0)).sorted
+    assert(back.toSeq === (151L to 200L))
+    // changelog still emits every deleted row exactly once
+    val changes = t.changes(spark,
+      t.metadata.snapshots.minBy(_.sequenceNumber).snapshotId)
+    val deleted = changes.filter(col("_change_type") === "delete")
+      .collect().map(_.getLong(0)).sorted
+    assert(deleted.toSeq === (1L to 150L))
+    // strict path respects nulls: no file drops when the column may be null
+    val srcN = Seq((Some(1L), "a"), (None, "b"), (Some(2L), "c"))
+      .toDF("id", "v")
+    val locN = tmpLocation("metadeln")
+    val tN = StorageCatalog.createOrReplaceTable(
+      conf, locN, SchemaConvert.fromSparkSchema(srcN.schema), IcePartitionSpec(0, Nil))
+    tN.append(spark, srcN.coalesce(1))
+    val b2 = Metrics.get(Metrics.MetadataOnlyDeletedFiles)
+    tN.deleteWhere(spark, col("id") <= lit(100L)) // null row must survive
+    assert(Metrics.get(Metrics.MetadataOnlyDeletedFiles) === b2)
+    assert(tN.scan(spark).count() === 1)
+  }
+
+  test("overwrite WHERE takes the metadata path for fully-covered files") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val src = (1L to 100L).map(i => (i, "old")).toDF("id", "v")
+    val loc = tmpLocation("metaow")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src.filter(col("id") <= 50).coalesce(1))
+    t.append(spark, src.filter(col("id") > 50).coalesce(1))
+    val before = Metrics.get(Metrics.MetadataOnlyDeletedFiles)
+    // replace ids 1..50 (exactly file1) with fresh rows: file1 drops
+    // unread, no position deletes exist afterwards
+    val repl = (1L to 50L).map(i => (i, "new")).toDF("id", "v")
+    t.overwriteWhere(spark, col("id") <= lit(50L), repl)
+    assert(Metrics.get(Metrics.MetadataOnlyDeletedFiles) === before + 1)
+    assert(!t.planFiles(t.metadata.currentSnapshot.get)
+      .exists(_.file.content != DataContent.Data))
+    val back = t.scan(spark).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back.length === 100)
+    assert(back.filter(_._1 <= 50).forall(_._2 == "new"))
+    assert(back.filter(_._1 > 50).forall(_._2 == "old"))
+  }
+
   test("partitioned append with month transform + partition pruning") {
     val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val schema = SchemaConvert.fromSparkSchema(src.schema)
