@@ -123,12 +123,18 @@ private[spark] object GraftProcedures {
         }),
       new GraftProcedure(
         "rewrite_data_files",
-        Seq(in("table", StringType), in("small_file_threshold_bytes", LongType)),
+        // optional `where` scopes the compaction to files that may hold
+        // matching rows (one hot partition, not the table)
+        Seq(in("table", StringType), in("small_file_threshold_bytes", LongType),
+          ProcedureParameter.in("where", StringType).defaultValue("''").build()),
         out("files_before" -> LongType, "files_after" -> LongType),
         (input, spark) => {
           val t = table(input)
           val before = liveDataFiles(t)
-          t.rewriteSmallFiles(spark, input.getLong(1))
+          val where = if (input.isNullAt(2)) "" else input.getString(2)
+          if (where.trim.isEmpty) t.rewriteSmallFiles(spark, input.getLong(1))
+          else t.rewriteDataFiles(spark,
+            Some(org.apache.spark.sql.functions.expr(where)))
           Seq(Seq(before, liveDataFiles(t)))
         }),
       new GraftProcedure(

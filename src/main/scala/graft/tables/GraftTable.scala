@@ -1046,15 +1046,32 @@ class GraftTable(
     * higher sequence, so old equality deletes no longer apply and old
     * position deletes reference retired paths); a delete landing
     * concurrently aborts the commit via [[rewriteSurvivors]]. */
-  def rewriteDataFiles(spark: SparkSession): GraftTable = {
+  /** `where` scopes the compaction (Iceberg's `rewrite_data_files(where)`):
+    * only files that MAY hold matching rows are read and rewritten —
+    * compacting one hot partition of a 100 TB table costs that partition,
+    * not the table. File selection is may-match (content preserved
+    * exactly; the filter never drops rows, it only picks files). */
+  def rewriteDataFiles(
+      spark: SparkSession,
+      where: Option[Column] = None): GraftTable = {
     val snap = metadata.currentSnapshot.getOrElse(return this)
-    val planned = planFiles(snap).filter(_.file.content == DataContent.Data)
+    val all = planFiles(snap).filter(_.file.content == DataContent.Data)
+    val planned = where match {
+      case Some(c) => PruneEval.prunePlanned(all, Some(c), metadata, metadata.currentSchema)
+      case None => all
+    }
     if (planned.isEmpty) return this
     val oldPaths = planned.map(p => GraftTable.normPathStr(p.file.filePath)).toSet
-    val rewritten = TableWrite.writeDataFiles(this, spark, withLineageCols(scan(spark)))
+    val scoped =
+      if (where.isEmpty) scan(spark)
+      else scan(spark, onlyFiles = Some(oldPaths))
+    val rewritten = TableWrite.writeDataFiles(this, spark, withLineageCols(scoped))
     commitReplace(spark, "replace",
       () => rewriteSurvivors(oldPaths, snap.sequenceNumber, "rewriteDataFiles")()
-        .filter(_.file.content == DataContent.Data),
+        .filter(p => p.file.content == DataContent.Data ||
+          // deletes scoped to untouched files stay; a full rewrite (no
+          // where) absorbs every delete as before
+          where.isDefined),
       rewritten)
   }
 

@@ -151,6 +151,29 @@ class TableSpec extends AnyFunSuite {
     assert(back.filter(_._1 > 50).forall(_._2 == "old"))
   }
 
+  test("scoped compaction rewrites only files the predicate may touch") {
+    import org.apache.spark.sql.functions.col
+    val src = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b")).toDF("id", "p")
+    val schema = SchemaConvert.fromSparkSchema(src.schema)
+    val spec = IcePartitionSpec(0, List(IcePartitionField(
+      schema.findField("p").get.id, 1000, "identity", "p_part")))
+    val loc = tmpLocation("scopedrw")
+    val t = StorageCatalog.createOrReplaceTable(conf, loc, schema, spec)
+    (1L to 4L).foreach(i => t.append(spark, src.filter(col("id") === i)))
+    def pathsOf(part: String): Set[String] = t.planFiles(t.metadata.currentSnapshot.get)
+      .filter(_.file.partition.headOption.flatten.contains(part))
+      .map(_.file.filePath).toSet
+    val aBefore = pathsOf("a")
+    val bBefore = pathsOf("b")
+    assert(aBefore.size === 2 && bBefore.size === 2)
+    t.rewriteDataFiles(spark, Some(col("p") === "a"))
+    assert(pathsOf("b") === bBefore, "untouched partition must keep its files")
+    assert(pathsOf("a").intersect(aBefore).isEmpty, "scoped partition rewritten")
+    assert(pathsOf("a").size === 1)
+    assert(t.scan(spark).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === src.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
+
   test("partitioned append with month transform + partition pruning") {
     val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val schema = SchemaConvert.fromSparkSchema(src.schema)
