@@ -96,6 +96,9 @@ object Bench {
     "cluster_kmeans",
     "profile_columns",
     "embed_quantize",
+    "select_budget",
+    "text_deciles",
+    "corpus_stats",
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup
@@ -290,7 +293,10 @@ object Bench {
         // chunking explodes rows, bloom decon shuffles candidates, kmeans
         // shuffles (cid,dim) triples — all must stay linear at 10x
         "text_chunks", "decontaminate_bloom", "cluster_kmeans",
-        "embed_quantize"))
+        "embed_quantize",
+        // the two prefix-sum selection shapes: bucketed windows must not
+        // degenerate to a single global partition at 10x
+        "select_budget", "text_deciles"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

@@ -978,6 +978,16 @@ object SparkEntry {
         isPositive = col("lang") === "en",
         isTrain = col("doc_id") % 3 === 0)
     }),
+    "text_deciles" -> ((s, dir) => {
+      // exact global quality-decile assignment (by n_chars): the
+      // curriculum/quality-bucket pass, as a distributed prefix COUNT
+      Selection.quantileBuckets(t(s, dir, "documents"), "doc_id", "n_chars",
+        nBuckets = 10)
+    }),
+    "corpus_stats" -> ((s, dir) => {
+      // per-source corpus composition: docs/tokens/chars + token share
+      Profiling.corpusStats(t(s, dir, "documents"), "source", "text")
+    }),
     "select_budget" -> ((s, dir) => {
       // token-budget data selection: highest-score (here: longest) docs
       // win until 15k tokens fill — the greedy cut after importance
@@ -3502,6 +3512,27 @@ object SparkEntry {
         |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0)
         |SELECT DISTINCT g.doc_id AS doc_id FROM g JOIN bench USING (ng)
         |WHERE g.doc_id % 97 <> 0""".stripMargin,
+    // exact NTILE-form bucketing: floor(k * (rank-1) / n) over the same
+    // (score, id) order
+    "text_deciles" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM documents)
+        |SELECT doc_id, CAST((10 * (rk - 1)) // n AS BIGINT) AS bucket
+        |FROM r""".stripMargin,
+    "corpus_stats" ->
+      """WITH g AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, n_tokens, n_chars,
+        |  round(n_tokens::DOUBLE / (SELECT sum(n_tokens) FROM g), 6)
+        |    AS token_share
+        |FROM g""".stripMargin,
     // greedy budget cut replayed as one global window (fine at oracle
     // scale; the engine side is the distributed prefix sum)
     "select_budget" ->

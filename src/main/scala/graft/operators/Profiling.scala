@@ -17,6 +17,24 @@ import org.apache.spark.sql.types._
   */
 object Profiling {
 
+  /** Per-source corpus accounting (docs / tokens / chars / token share)
+    * — the composition report every mixture decision starts from. One
+    * hash aggregate over the corpus plus a one-row total broadcast. */
+  def corpusStats(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val base = df.select(
+      col(groupCol).as("source"),
+      size(split(trim(col(textCol)), "\\s+")).cast(LongType).as("_tok"),
+      length(col(textCol)).cast(LongType).as("_chars"))
+    val g = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("_tok")).as("n_tokens"),
+      sum(col("_chars")).as("n_chars"))
+    val total = math.max(1L,
+      g.agg(sum(col("n_tokens"))).head().getLong(0))
+    g.withColumn("token_share",
+      round(col("n_tokens").cast(DoubleType) / lit(total.toDouble), 6))
+  }
+
   def profile(
       df: DataFrame,
       cols: Seq[String],

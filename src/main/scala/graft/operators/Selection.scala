@@ -19,6 +19,53 @@ object Selection {
   private def toks(textCol: Column): Column =
     filter(split(lower(textCol), "[^a-z0-9]+"), x => length(x) > 0)
 
+  /** Exact quantile bucketing (curriculum/quality deciles): assign every
+    * document its global rank-derived bucket in (score, id) order —
+    * `bucket = floor(nBuckets * (rank-1) / total)`, the exact form of
+    * NTILE-style bucketing that stays deterministic across engines.
+    * Same distributed scaffolding as [[budgetSelect]]: value-bucketed
+    * prefix COUNT, no global window. Curriculum schedules, per-quality
+    * mixing weights, and decile-capped filtering all start here. */
+  def quantileBuckets(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      nBuckets: Int,
+      numBuckets: Int = 0): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be positive")
+    val spark = df.sparkSession
+    val nB =
+      if (numBuckets > 0) numBuckets
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = df.select(
+      col(idCol).cast(LongType).as("doc_id"),
+      col(scoreCol).cast(DoubleType).as("score"))
+    val total = base.count()
+    if (total == 0) return base.select(col("doc_id"), lit(0L).as("bucket"))
+    val qs = (1 until nB).map(_.toDouble / nB).toArray
+    val bounds =
+      if (qs.isEmpty) Array.empty[Double]
+      else base.stat.approxQuantile("score", qs, 0.01)
+    val vbucket =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(typedLit(bounds.toSeq), b => b < col("score")))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("vb").orderBy(col("score"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val local = base.withColumn("vb", vbucket)
+      .withColumn("rank_local", count(lit(1)).over(wLocal))
+    val totals = local.groupBy("vb").agg(count(lit(1)).as("n"))
+    val ow = org.apache.spark.sql.expressions.Window.orderBy("vb")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("off", coalesce(sum("n").over(ow), lit(0L)))
+      .select("vb", "off")
+    local.join(broadcast(offsets), "vb")
+      .select(col("doc_id"),
+        expr(s"(${nBuckets}L * (rank_local + off - 1)) div ${total}L")
+          .as("bucket"))
+  }
+
   /** Token-budget selection: keep the highest-scoring documents until a
     * global token budget fills — the final cut of importance-based data
     * selection (score with DSIR/BM25/a classifier, then take the best

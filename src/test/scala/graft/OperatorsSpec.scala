@@ -800,6 +800,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(t2 === Seq(1L, 2L))
   }
 
+  test("quantile buckets equal the exact NTILE-form assignment") {
+    // 20 docs, scores shuffled; 4 buckets of 5 by (score, id) rank
+    val rows = (1L to 20L).map(i => (i, ((i * 7) % 20).toDouble))
+      .toDF("doc_id", "score")
+    val out = Selection.quantileBuckets(rows, "doc_id", "score", nBuckets = 4,
+      numBuckets = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: rank in (score, id) order
+    val ref = rows.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, s) => (s, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (4L * i / 20) }.toMap
+    assert(out === ref)
+    assert(out.values.groupBy(identity).values.map(_.size).toSet === Set(5))
+  }
+
+  test("corpus stats: per-source counts and token shares") {
+    val rows = Seq(
+      (1L, "web", "a b c"), (2L, "web", "d e"),
+      (3L, "wiki", "f g h i j"),
+    ).toDF("doc_id", "source", "text")
+    val out = graft.operators.Profiling.corpusStats(rows, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("web") === ((2L, 5L, 8L, 0.5)))
+    assert(out("wiki") === ((1L, 5L, 9L, 0.5)))
+  }
+
   test("mixture sampling hits per-domain keep-rates and never upsamples") {
     // three domains with 60/30/10 token shares; target mixture 20/30/50
     // at a 0.5 budget -> rates 1/6, 1/2, 1 (capped)
