@@ -99,6 +99,7 @@ object Bench {
     "select_budget",
     "text_deciles",
     "corpus_stats",
+    "pipeline_curriculum",
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup

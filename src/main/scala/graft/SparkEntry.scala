@@ -978,6 +978,24 @@ object SparkEntry {
         isPositive = col("lang") === "en",
         isTrain = col("doc_id") % 3 === 0)
     }),
+    "pipeline_curriculum" -> ((s, dir) => {
+      // composed curriculum pipeline over this round's operators: quality
+      // QUARTILE assignment (exact NTILE form) -> keep the top quartile ->
+      // greedy 8k-token budget cut within it -> context-window chunking.
+      // Every stage is the standalone operator; the oracle replays each
+      // as a CTE.
+      val d = t(s, dir, "documents")
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast(LongType))
+      val top = d.join(
+        Selection.quantileBuckets(d, "doc_id", "n_chars", nBuckets = 4)
+          .filter(col("bucket") === 3).select("doc_id"),
+        "doc_id")
+      val kept = Selection
+        .budgetSelect(top, "doc_id", "n_chars", "n_tokens", budgetTokens = 8000L)
+        .select("doc_id")
+      TextAnalysis.chunk(top.join(kept, "doc_id"), "doc_id", "text",
+        chunkSize = 32, overlap = 8)
+    }),
     "text_deciles" -> ((s, dir) => {
       // exact global quality-decile assignment (by n_chars): the
       // curriculum/quality-bucket pass, as a distributed prefix COUNT
@@ -3512,6 +3530,34 @@ object SparkEntry {
         |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0)
         |SELECT DISTINCT g.doc_id AS doc_id FROM g JOIN bench USING (ng)
         |WHERE g.doc_id % 97 <> 0""".stripMargin,
+    // each stage replayed as a CTE: quartile formula, desc prefix-sum
+    // budget, chunking law
+    "pipeline_curriculum" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, n_chars,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rk,
+        |    count(*) OVER () AS n FROM d),
+        |b AS (SELECT doc_id FROM r WHERE (4 * (rk - 1)) // n = 3),
+        |s AS (SELECT d.doc_id, d.text,
+        |    SUM(d.n_tokens) OVER (ORDER BY d.n_chars DESC, d.doc_id)
+        |      - d.n_tokens AS cb
+        |  FROM d JOIN b USING (doc_id)),
+        |k AS (SELECT doc_id, text FROM s WHERE cb < 8000),
+        |c AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM k),
+        |e AS (SELECT doc_id, w, len(w) AS n,
+        |  CASE WHEN len(w) <= 32 THEN 1
+        |       ELSE CAST(ceil((len(w) - 32)::DOUBLE / 24) AS BIGINT) + 1
+        |  END AS nc FROM c),
+        |x AS (SELECT doc_id, w, n, unnest(range(nc)) AS chunk_id FROM e)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(list_slice(w, chunk_id * 24 + 1, chunk_id * 24 + 32),
+        |    ' ') AS chunk_text,
+        |  least(32, n - chunk_id * 24) AS n_tokens
+        |FROM x""".stripMargin,
     // exact NTILE-form bucketing: floor(k * (rank-1) / n) over the same
     // (score, id) order
     "text_deciles" ->
