@@ -45,6 +45,26 @@ class TableSpec extends AnyFunSuite {
     assert(t.metadata.currentSchema.fields.nonEmpty)
   }
 
+  test("load the reference fixture table (partition_table): v1 identity partitioning") {
+    import org.apache.spark.sql.functions.col
+    val t = StorageCatalog.loadTable(conf, "/root/reference/testdata/partition_table")
+    assert(t.metadata.formatVersion === 1)
+    val spec = t.metadata.defaultSpec
+    assert(spec.fields.map(f => (f.name, f.transform)) === List(("category", "identity")))
+    val rows = t.scan(spark).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      === Seq((1L, "a", "x")))
+    // the file entry carries the identity partition tuple from the
+    // fixture's own manifests; pruning honors it in both directions
+    val files = t.planFiles(t.metadata.currentSnapshot.get)
+    assert(files.map(_.file.partition) === List(List(Some("x"))))
+    assert(PruneEval.prunePlanned(files, Some(col("category") === "y"),
+      t.metadata, t.metadata.currentSchema).isEmpty)
+    assert(PruneEval.prunePlanned(files, Some(col("category") === "x"),
+      t.metadata, t.metadata.currentSchema).size === 1)
+    assert(t.scan(spark, filter = Some(col("category") === "x")).count() === 1)
+  }
+
   test("unpartitioned round-trip: append customer, scan back") {
     val src = spark.read.parquet(s"$sfDir/customer.parquet")
     val loc = tmpLocation("rt")
