@@ -235,9 +235,16 @@ object GraftMetadataTables {
   def partitionValue(raw: Any, resultType: IceType): Any = (resultType, raw) match {
     case (_, null) => null
     case (IcePrim("date"), i: Int) => java.time.LocalDate.ofEpochDay(i.toLong)
-    case (IcePrim("timestamp") | IcePrim("timestamptz"), l: Long) =>
+    case (IcePrim("timestamptz"), l: Long) =>
       java.time.Instant.ofEpochSecond(
         Math.floorDiv(l, 1000000L), Math.floorMod(l, 1000000L) * 1000L)
+    // iceberg `timestamp` is zone-LESS -> Spark TIMESTAMP_NTZ wants a
+    // LocalDateTime, not an Instant
+    case (IcePrim("timestamp"), l: Long) =>
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(l, 1000000L),
+        (Math.floorMod(l, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
     case (IceDecimal(_, scale), b: Array[Byte]) =>
       BigDecimal(BigInt(b), scale)
     case (IceDecimal(_, _), s: String) => BigDecimal(s)

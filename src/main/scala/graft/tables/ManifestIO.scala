@@ -58,6 +58,12 @@ object ManifestIO {
     case IcePrim("double") => Schema.create(Schema.Type.DOUBLE)
     case IcePrim("boolean") => Schema.create(Schema.Type.BOOLEAN)
     case IcePrim("string") => Schema.create(Schema.Type.STRING)
+    // decimal partition values (identity/truncate on a decimal source):
+    // unscaled big-endian bytes under the Avro decimal logical type, so
+    // readers recover the exact value + scale
+    case IceDecimal(p, s) =>
+      org.apache.avro.LogicalTypes.decimal(p, s)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
     case _ => Schema.create(Schema.Type.BYTES)
   }
 
@@ -397,11 +403,32 @@ object ManifestIO {
       val partition: Seq[Option[Any]] = partRec match {
         case Some(pr) =>
           names.map { n =>
-            if (pr.getSchema.getField(n) == null) None
-            else Option(pr.get(n)).map {
-              case u: org.apache.avro.util.Utf8 => u.toString
-              case bb: ByteBuffer => bytesOf(bb)
-              case other => other
+            val fld = pr.getSchema.getField(n)
+            if (fld == null) None
+            else {
+              // unwrap [null, T] unions, then honor the decimal logical
+              // type: partition decimals round-trip as BigDecimal values,
+              // not opaque bytes (pruning and tuple equality need values)
+              val fs = fld.schema()
+              val inner =
+                if (fs.getType == Schema.Type.UNION)
+                  fs.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(fs)
+                else fs
+              val dec = inner.getLogicalType match {
+                case d: org.apache.avro.LogicalTypes.Decimal => Some(d.getScale)
+                case _ => None
+              }
+              Option(pr.get(n)).map {
+                case u: org.apache.avro.util.Utf8 => u.toString
+                case bb: ByteBuffer if dec.isDefined =>
+                  new java.math.BigDecimal(
+                    new java.math.BigInteger(bytesOf(bb)), dec.get)
+                case bb: ByteBuffer => bytesOf(bb)
+                case f: org.apache.avro.generic.GenericFixed if dec.isDefined =>
+                  new java.math.BigDecimal(
+                    new java.math.BigInteger(f.bytes()), dec.get)
+                case other => other
+              }
             }
           }
         case None => names.map(_ => None)
@@ -527,6 +554,10 @@ object ManifestIO {
       spec.fields.zip(d.partition).foreach { case (pf, v) =>
         part.put(pf.name, v.orNull match {
           case b: Array[Byte] => ByteBuffer.wrap(b)
+          case bd: java.math.BigDecimal =>
+            ByteBuffer.wrap(bd.unscaledValue.toByteArray)
+          case sd: org.apache.spark.sql.types.Decimal =>
+            ByteBuffer.wrap(sd.toJavaBigDecimal.unscaledValue.toByteArray)
           case other => other
         })
       }

@@ -51,6 +51,54 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("strict evaluation is SOUND: a strict match implies every row matches") {
+    // the metadata-delete fast path drops files UNREAD on strictMatch —
+    // a single unsound proof silently loses rows. Property: for random
+    // row sets (with nulls) and random range/equality predicates over
+    // real harvested bounds, strictMatch => rows.forall(pred is TRUE),
+    // and !mayMatch => rows.forall(pred is not TRUE).
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.scalacheck.Prop.propBoolean
+    val schema = IceSchema(0, List(IceField(1, "v", required = false, IcePrim("long"))))
+    val spec = IcePartitionSpec(0, Nil)
+    val meta = StorageCatalog.newTableMetadata("/tmp/unused-strict", schema, spec)
+    val rowsGen = Gen.nonEmptyListOf(
+      Gen.oneOf(Gen.const(Option.empty[Long]), Gen.choose(-100L, 100L).map(Some(_))))
+    val opGen = Gen.oneOf("=", "<", "<=", ">", ">=")
+    val cmpOf: Map[String, (Long, Long) => Boolean] = Map(
+      "=" -> (_ == _), "<" -> (_ < _), "<=" -> (_ <= _),
+      ">" -> (_ > _), ">=" -> (_ >= _))
+    check(Prop.forAllNoShrink(rowsGen, opGen, Gen.choose(-120L, 120L)) { (rows, op, k) =>
+      val present = rows.flatten
+      val file = IceDataFile(
+        content = 0, filePath = "f", fileFormat = "parquet",
+        partition = Nil, recordCount = rows.size.toLong, fileSizeInBytes = 1L,
+        nullValueCounts = Map(1 -> rows.count(_.isEmpty).toLong),
+        lowerBounds =
+          if (present.isEmpty) Map.empty
+          else Map(1 -> SingleValue.encode(IcePrim("long"), present.min)),
+        upperBounds =
+          if (present.isEmpty) Map.empty
+          else Map(1 -> SingleValue.encode(IcePrim("long"), present.max)))
+      val cond = op match {
+        case "=" => col("v") === lit(k)
+        case "<" => col("v") < lit(k)
+        case "<=" => col("v") <= lit(k)
+        case ">" => col("v") > lit(k)
+        case ">=" => col("v") >= lit(k)
+      }
+      val expr = org.apache.spark.sql.GraftBridge.catalystExpression(cond)
+      val strict = PruneEval.strictMatch(expr, file, spec, schema)
+      val may = PruneEval.mayMatch(expr, file, spec, schema)
+      // SQL three-valued: null rows are never TRUE matches
+      val allTrue = rows.forall(_.exists(v => cmpOf(op)(v, k)))
+      val anyTrue = rows.exists(_.exists(v => cmpOf(op)(v, k)))
+      (!strict || allTrue) :| s"UNSOUND strict: rows=$rows $op $k" &&
+        (may || !anyTrue) :| s"UNSOUND prune: rows=$rows $op $k" &&
+        (!strict || may) :| "strict must imply may"
+    })
+  }
+
   test("string truncate keeps a prefix of at most W code points") {
     check(forAll(Gen.asciiPrintableStr, Gen.choose(1, 32)) { (s, w) =>
       val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
