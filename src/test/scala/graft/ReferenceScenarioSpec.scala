@@ -40,6 +40,57 @@ class ReferenceScenarioSpec extends AnyFunSuite {
     """'([^']+)'""".r.findAllMatchIn(body).map(_.group(1)).toSeq
   }
 
+  test("reference scan_test: truncate-partitioned table matches the csv fixtures") {
+    // icelake/tests/scan_test.rs: 9 rows into truncate(1, v_varchar) ->
+    // three partitions, each expected to equal one committed csv fixture
+    import org.apache.spark.sql.types._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gref.scan")
+    spark.sql("DROP TABLE IF EXISTS gref.scan.t1")
+    spark.sql(
+      """CREATE TABLE gref.scan.t1 (
+        |  id BIGINT, v_int INT, v_long BIGINT, v_float FLOAT, v_double DOUBLE,
+        |  v_varchar STRING, v_bool BOOLEAN, v_date DATE, v_decimal DECIMAL(36,10))
+        |PARTITIONED BY (truncate(1, v_varchar))
+        |TBLPROPERTIES ('format-version'='2')""".stripMargin)
+    spark.sql(
+      """INSERT INTO gref.scan.t1 VALUES
+        |(1, 1, 1, 1.1, 1.1, '1abc', true, date '2020-01-01', 1.1),
+        |(2, 2, 2, 2.2, 2.2, '2abc', true, date '2020-02-02', 2.2),
+        |(3, 3, 3, 3.3, 3.3, '3abc', true, date '2020-03-03', 3.3),
+        |(4, 4, 4, 4.4, 4.4, '1abc', true, date '2020-04-04', 4.4),
+        |(5, 5, 5, 5.5, 5.5, '2abc', true, date '2020-05-05', 5.5),
+        |(6, 6, 6, 6.6, 6.6, '3abc', true, date '2020-06-06', 6.6),
+        |(7, 7, 7, 7.7, 7.7, '1abc', true, date '2020-07-07', 7.7),
+        |(8, 8, 8, 8.8, 8.8, '2abc', true, date '2020-08-08', 8.8),
+        |(9, 9, 9, 9.9, 9.9, '3abc', true, date '2020-09-09', 9.9)""".stripMargin)
+    val csvSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v_int", IntegerType),
+      StructField("v_long", LongType), StructField("v_float", FloatType),
+      StructField("v_double", DoubleType), StructField("v_varchar", StringType),
+      StructField("v_bool", BooleanType), StructField("v_date", DateType),
+      StructField("v_decimal", DecimalType(36, 10))))
+    def csv(n: Int) = spark.read.schema(csvSchema)
+      .csv(s"/root/reference/testdata/csv/$n.csv")
+    // scan-all equals the union of the reference's three expected fixtures
+    val all = spark.sql("SELECT * FROM gref.scan.t1")
+    val expected = csv(1).union(csv(2)).union(csv(3))
+    assert(all.count() === 9)
+    assert(all.exceptAll(expected).isEmpty && expected.exceptAll(all).isEmpty)
+    // partition-filtered scan equals exactly 1.csv, via REAL file pruning
+    // on the truncate transform
+    import org.apache.spark.sql.functions.col
+    val t = StorageCatalog.loadTable(
+      spark.sparkContext.hadoopConfiguration,
+      s"${spark.conf.get("spark.sql.catalog.gref.warehouse")}/scan/t1")
+    val files = t.planFiles(t.metadata.currentSnapshot.get)
+    assert(files.map(_.file.partition).distinct.size === 3)
+    val pruned = PruneEval.prunePlanned(files, Some(col("v_varchar") === "1abc"),
+      t.metadata, t.metadata.currentSchema)
+    assert(pruned.map(_.file.partition).distinct === List(List(Some("1"))))
+    val part1 = spark.sql("SELECT * FROM gref.scan.t1 WHERE v_varchar LIKE '1%'")
+    assert(part1.exceptAll(csv(1)).isEmpty && csv(1).exceptAll(part1).isEmpty)
+  }
+
   private val colNames = Seq("id", "v_int", "v_long", "v_float", "v_double",
     "v_varchar", "v_bool", "v_date", "v_timestamp", "v_decimal", "v_ts_ntz")
   private val castTypes = Seq("BIGINT", "INT", "BIGINT", "FLOAT", "DOUBLE",
