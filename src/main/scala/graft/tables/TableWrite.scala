@@ -201,7 +201,12 @@ object TableWrite {
       source: Column,
       srcType: IceType = IcePrim("unknown")): Column = transform match {
     case "identity" => source
-    case "void" => lit(null)
+    case "void" =>
+      // a TYPED null: Spark refuses VOID-typed partition columns, and the
+      // manifest partition schema types the field by its source anyway
+      lit(null).cast(
+        try SchemaConvert.toSparkType(srcType)
+        catch { case _: Throwable => org.apache.spark.sql.types.StringType })
     case "year" => transforms.yearsT(source)
     case "month" => transforms.monthsT(source)
     case "day" => transforms.daysT(source)

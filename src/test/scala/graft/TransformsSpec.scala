@@ -114,4 +114,23 @@ class TransformsSpec extends AnyFunSuite {
     assert(row.getInt(2) === 17486) // days since epoch
     assert(row.getInt(3) === 17486 * 24 + 22)
   }
+
+  test("void transform: always null, end to end through a partition spec") {
+    // void is how spec evolution retires a partition field in v1 metadata:
+    // rows route to the null partition, scans stay correct
+    assert(Seq(1).toDF("x").select(transforms.voidT(col("x"))).head().isNullAt(0))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val d = java.nio.file.Files.createTempDirectory("graft-void").toFile
+    d.delete()
+    val src = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val schema = tables.SchemaConvert.fromSparkSchema(src.schema)
+    val t = tables.StorageCatalog.createOrReplaceTable(
+      conf, d.getAbsolutePath, schema,
+      tables.IcePartitionSpec(0, List(tables.IcePartitionField(
+        schema.findField("id").get.id, 1000, "void", "id_void"))))
+    t.append(spark, src)
+    val files = t.planFiles(t.metadata.currentSnapshot.get)
+    assert(files.nonEmpty && files.forall(_.file.partition == List(None)))
+    assert(t.scan(spark).count() === 2)
+  }
 }
