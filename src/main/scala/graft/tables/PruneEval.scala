@@ -50,6 +50,17 @@ object PruneEval {
         case i: Int => Some(TransformUtil.truncateInt(i, w.toInt))
         case l: Long => Some(TransformUtil.truncateLong(l, w.toLong))
         case s: String => Some(s.substring(0, math.min(s.length, w.toInt)))
+        case d: java.math.BigDecimal =>
+          // truncate acts on the unscaled value — rescale the literal to
+          // the column's declared scale first
+          srcType match {
+            case Some(IceDecimal(_, s)) =>
+              try Some(TransformUtil.truncateDecimal(
+                org.apache.spark.sql.types.Decimal(d.setScale(s)), w.toInt)
+                .toJavaBigDecimal)
+              catch { case _: ArithmeticException => None }
+            case _ => None
+          }
         case _ => None
       }
       case BucketRe(n) => lit match {
@@ -61,6 +72,17 @@ object PruneEval {
           catch { case _: IllegalArgumentException => None }
         case s: String => Some(TransformUtil.bucketString(
           org.apache.spark.unsafe.types.UTF8String.fromString(s), n.toInt))
+        case d: java.math.BigDecimal =>
+          // bucket hashes the UNSCALED value: the literal must be
+          // rescaled to the column's declared scale first (1.1 vs
+          // 1.1000000000 hash differently otherwise)
+          srcType match {
+            case Some(IceDecimal(p, s)) =>
+              try Some(TransformUtil.bucketDecimal(
+                org.apache.spark.sql.types.Decimal(d.setScale(s)), n.toInt))
+              catch { case _: ArithmeticException => None }
+            case _ => None
+          }
         case _ => None
       }
       case _ => None

@@ -75,6 +75,38 @@ class PruneEvalSpec extends AnyFunSuite {
     assert(kept.map(_._1) === Seq(ab))
   }
 
+  test("decimal partitions prune: identity, truncate, bucket") {
+    val decSchema = IceSchema(0, List(
+      IceField(1, "d", required = false, IceDecimal(36, 10))))
+    def bd(s: String) = new java.math.BigDecimal(s).setScale(10)
+    def prune(spec: IcePartitionSpec, pv: java.math.BigDecimal,
+        c: org.apache.spark.sql.Column) =
+      PruneEval.prune(Seq((file(Seq(Some(pv))), 1L)), Some(c), spec, decSchema).nonEmpty
+    // identity: exact value comparison (scale-insensitive via numeric cmp)
+    val idSpec = IcePartitionSpec(0, List(IcePartitionField(1, 1000, "identity", "d_p")))
+    assert(prune(idSpec, bd("389.1111"), col("d") === new java.math.BigDecimal("389.1111")))
+    assert(!prune(idSpec, bd("389.2222"), col("d") === new java.math.BigDecimal("389.1111")))
+    assert(prune(idSpec, bd("389.2222"), col("d") > new java.math.BigDecimal("389.1111")))
+    assert(!prune(idSpec, bd("1.0"), col("d") > new java.math.BigDecimal("389.1111")))
+    // truncate[40]: the literal rescales to the column scale before the
+    // unscaled floor-mod, so equality on any member of the bucket hits
+    val trSpec = IcePartitionSpec(0, List(IcePartitionField(1, 1000, "truncate[40]", "d_t")))
+    val pv = graft.functions.TransformUtil
+      .truncateDecimal(org.apache.spark.sql.types.Decimal(bd("389.1111")), 40)
+      .toJavaBigDecimal
+    assert(prune(trSpec, pv, col("d") === new java.math.BigDecimal("389.1111")))
+    assert(!prune(trSpec, pv, col("d") === new java.math.BigDecimal("123.4567")))
+    // bucket[16]: equality prunes to the hashed cell, ranges keep
+    val buSpec = IcePartitionSpec(0, List(IcePartitionField(1, 1000, "bucket[16]", "d_b")))
+    val cell = graft.functions.TransformUtil
+      .bucketDecimal(org.apache.spark.sql.types.Decimal(bd("389.1111")), 16)
+    def pruneCell(c: Int, lit: String) =
+      PruneEval.prune(Seq((file(Seq(Some(c))), 1L)),
+        Some(col("d") === new java.math.BigDecimal(lit)), buSpec, decSchema).nonEmpty
+    assert(pruneCell(cell, "389.1111"))
+    assert(!pruneCell((cell + 1) % 16, "389.1111"))
+  }
+
   test("unknown predicates keep all files (conservative)") {
     val spec = IcePartitionSpec(0, Nil)
     val f = file(Nil)
