@@ -408,6 +408,7 @@ class GraftDataWriter(
         columnSizes = st.columnSizes,
         valueCounts = st.valueCounts,
         nullValueCounts = st.nullCounts,
+        nanValueCounts = st.nanCounts,
         lowerBounds = st.lowerBounds,
         upperBounds = st.upperBounds,
         splitOffsets = st.splitOffsets,

@@ -234,6 +234,7 @@ object AvroDataIO {
     }
     var records = 0L
     private val nulls = new Array[Long](fields.size)
+    private val nans = new Array[Long](fields.size)
     private val mins = new Array[Any](fields.size)
     private val maxs = new Array[Any](fields.size)
 
@@ -243,8 +244,10 @@ object AvroDataIO {
     private def comparable(t: IceType, v: Any): Any = t match {
       case IcePrim("int") | IcePrim("date") => v
       case IcePrim("long") | IcePrim("time") | IcePrim("timestamp") | IcePrim("timestamptz") => v
-      case IcePrim("float") => if (v.asInstanceOf[Float].isNaN) null else v
-      case IcePrim("double") => if (v.asInstanceOf[Double].isNaN) null else v
+      case IcePrim("float") =>
+        if (v.asInstanceOf[Float].isNaN) null else v
+      case IcePrim("double") =>
+        if (v.asInstanceOf[Double].isNaN) null else v
       case IcePrim("string") => v.asInstanceOf[UTF8String].toString
       case _ => null
     }
@@ -259,6 +262,14 @@ object AvroDataIO {
     }
 
     private def bound(i: Int, v: Any): Unit = {
+      // NaN is excluded from bounds (spec rule) but MUST be counted:
+      // strict metadata deletes refuse float/double bounds proofs unless
+      // the file records a zero NaN count
+      v match {
+        case f: Float if f.isNaN => nans(i) += 1
+        case d: Double if d.isNaN => nans(i) += 1
+        case _ =>
+      }
       val c = comparable(fields(i).fieldType, v)
       if (c == null) return
       if (mins(i) == null) { mins(i) = c; maxs(i) = c }
@@ -301,12 +312,19 @@ object AvroDataIO {
           TableWrite.encodeBoundValue(fields(i).fieldType, v, isUpper = true)
             .map(ids(i) -> _))
       }.toMap
+      // recorded for EVERY float/double field — an explicit zero is what
+      // authorizes strict bounds proofs on these columns
+      val nanCounts = fields.indices.collect {
+        case i if fields(i).fieldType == IcePrim("float") ||
+          fields(i).fieldType == IcePrim("double") => ids(i) -> nans(i)
+      }.toMap
       TableWrite.FileStats(
         GraftTable.normPathStr(path), records, size,
         columnSizes = Map.empty,
         valueCounts = ids.map(_ -> records).toMap,
         nullCounts = fields.indices.map(i => ids(i) -> nulls(i)).toMap,
-        lowerBounds = lower, upperBounds = upper, splitOffsets = Nil)
+        lowerBounds = lower, upperBounds = upper, splitOffsets = Nil,
+        nanCounts = nanCounts)
     }
 
     def abort(): Unit = {

@@ -59,12 +59,34 @@ object ManifestIO {
     case IcePrim("boolean") => Schema.create(Schema.Type.BOOLEAN)
     case IcePrim("string") => Schema.create(Schema.Type.STRING)
     // decimal partition values (identity/truncate on a decimal source):
-    // unscaled big-endian bytes under the Avro decimal logical type, so
-    // readers recover the exact value + scale
+    // the Iceberg spec's Avro mapping is fixed[minBytesFor(P)] with the
+    // decimal logical type (NOT bytes — Java Iceberg manifest readers
+    // project the spec schema and would reject a bytes-typed field);
+    // unscaled value big-endian, sign-extended to the fixed size
     case IceDecimal(p, s) =>
-      org.apache.avro.LogicalTypes.decimal(p, s)
-        .addToSchema(Schema.create(Schema.Type.BYTES))
+      org.apache.avro.LogicalTypes.decimal(p, s).addToSchema(
+        Schema.createFixed(s"decimal_${p}_$s", null, null, decimalFixedBytes(p)))
     case _ => Schema.create(Schema.Type.BYTES)
+  }
+
+  /** minimum two's-complement byte size holding any unscaled value of the
+    * given precision (the spec's `minBytesFor`): bits = bitLength(10^P - 1) + 1 */
+  private[tables] def decimalFixedBytes(precision: Int): Int = {
+    val bits = java.math.BigInteger.TEN.pow(precision)
+      .subtract(java.math.BigInteger.ONE).bitLength + 1
+    (bits + 7) / 8
+  }
+
+  /** sign-extend a minimal two's-complement big-endian array to `size` */
+  private[tables] def signExtend(bytes: Array[Byte], size: Int): Array[Byte] = {
+    if (bytes.length >= size) bytes
+    else {
+      val out = new Array[Byte](size)
+      val sign: Byte = if (bytes.nonEmpty && bytes(0) < 0) -1 else 0
+      java.util.Arrays.fill(out, 0, size - bytes.length, sign)
+      System.arraycopy(bytes, 0, out, size - bytes.length, bytes.length)
+      out
+    }
   }
 
   /** r102: the partition tuple struct for a given spec+schema */
@@ -552,12 +574,20 @@ object ManifestIO {
       df.put("file_format", d.fileFormat.toUpperCase)
       val part = new GenericData.Record(partSchema)
       spec.fields.zip(d.partition).foreach { case (pf, v) =>
+        // decimals land in the spec-mandated fixed[n] slot, unscaled
+        // big-endian sign-extended to the fixed size
+        def decimalFixed(bd: java.math.BigDecimal): AnyRef = {
+          val fs = unwrapNullable(partSchema.getField(pf.name).schema())
+          val raw = bd.unscaledValue.toByteArray
+          if (fs.getType == Schema.Type.FIXED)
+            new GenericData.Fixed(fs, signExtend(raw, fs.getFixedSize))
+          else ByteBuffer.wrap(raw)
+        }
         part.put(pf.name, v.orNull match {
           case b: Array[Byte] => ByteBuffer.wrap(b)
-          case bd: java.math.BigDecimal =>
-            ByteBuffer.wrap(bd.unscaledValue.toByteArray)
+          case bd: java.math.BigDecimal => decimalFixed(bd)
           case sd: org.apache.spark.sql.types.Decimal =>
-            ByteBuffer.wrap(sd.toJavaBigDecimal.unscaledValue.toByteArray)
+            decimalFixed(sd.toJavaBigDecimal)
           case other => other
         })
       }

@@ -73,11 +73,17 @@ object NameMapping {
   /** Rewrite a field-id-carrying Spark read schema to the names the
     * mapping assigns those ids (recursing through structs), so BY-NAME
     * parquet resolution finds the imported files' columns regardless of
-    * later renames. Unmapped fields keep their current name. Field-id
-    * metadata is STRIPPED (these files have none — stale ids would
-    * re-trigger id resolution). Row layout is positional, so readers can
-    * use the rewritten schema directly and hand rows back under the
-    * table's current names. */
+    * later renames. A field whose id has NO mapping entry is ABSENT from
+    * the mapped files (Iceberg rule: mapping-absent ⇒ read as null), so
+    * it is renamed to a sentinel the files cannot contain — keeping its
+    * POSITION (row layout is positional) while by-name resolution yields
+    * null. Resolving it by current name instead would break after
+    * rename-a-to-b-then-add-new-a: the read schema would hold 'a' twice
+    * (mapped old id → a, plus the unmapped new a) — an ambiguous
+    * duplicate-column parquet read. Field-id metadata is STRIPPED (these
+    * files have none — stale ids would re-trigger id resolution).
+    * Readers use the rewritten schema directly and hand rows back under
+    * the table's current names. */
   def toFileNames(entries: List[Entry], schema: StructType): StructType = {
     val byId: Map[Int, Entry] =
       entries.flatMap(e => e.fieldId.map(_ -> e)).toMap
@@ -87,7 +93,12 @@ object NameMapping {
           Some(f.metadata.getLong(SchemaConvert.FieldIdKey).toInt)
         else None
       val entry = id.flatMap(byId.get)
-      val newName = entry.flatMap(_.names.headOption).getOrElse(f.name)
+      val newName = entry.flatMap(_.names.headOption).getOrElse {
+        id match {
+          case Some(i) => s"_graft_absent_$i" // mapping-absent ⇒ null
+          case None => f.name
+        }
+      }
       val newType = f.dataType match {
         case st: StructType =>
           toFileNames(entry.map(_.fields).getOrElse(Nil), st)
@@ -95,7 +106,9 @@ object NameMapping {
       }
       val md = new MetadataBuilder().withMetadata(f.metadata)
         .remove(SchemaConvert.FieldIdKey).build()
-      StructField(newName, newType, f.nullable, md)
+      // an absent column reads null even if the table column is required
+      val nullable = f.nullable || newName.startsWith("_graft_absent_")
+      StructField(newName, newType, nullable, md)
     }
     StructType(schema.fields.map(renameField))
   }

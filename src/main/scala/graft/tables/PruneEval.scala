@@ -98,6 +98,19 @@ object PruneEval {
     case _ => None
   }
 
+  /** string timestamp literal -> epoch MICROS at full precision (a
+    * millis-truncated literal would make strict '>'/'=' proofs unsound
+    * for sub-millisecond timestamps, and is needlessly lossy even on the
+    * conservative may-match side) */
+  private def parseTimestampMicros(s: String): Any =
+    try {
+      val ld =
+        if (s.length <= 10) java.time.LocalDate.parse(s).atStartOfDay()
+        else java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      val inst = ld.toInstant(java.time.ZoneOffset.UTC)
+      inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+    } catch { case _: Throwable => s }
+
   private def litValue(l: Literal): Any = l.value match {
     case u: org.apache.spark.unsafe.types.UTF8String => u.toString
     case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
@@ -173,12 +186,7 @@ object PruneEval {
       case (s: String, Some(IcePrim("date"))) =>
         try java.time.LocalDate.parse(s).toEpochDay.toInt catch { case _: Throwable => s }
       case (s: String, Some(IcePrim("timestamp")) | Some(IcePrim("timestamptz"))) =>
-        try {
-          val ld =
-            if (s.length <= 10) java.time.LocalDate.parse(s).atStartOfDay()
-            else java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-          ld.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
-        } catch { case _: Throwable => s }
+        parseTimestampMicros(s)
       case _ => lit0
     }
 
@@ -252,12 +260,7 @@ object PruneEval {
         case (s: String, Some(IcePrim("date"))) =>
           try java.time.LocalDate.parse(s).toEpochDay.toInt catch { case _: Throwable => s }
         case (s: String, Some(IcePrim("timestamp")) | Some(IcePrim("timestamptz"))) =>
-          try {
-            val ld =
-              if (s.length <= 10) java.time.LocalDate.parse(s).atStartOfDay()
-              else java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-            ld.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
-          } catch { case _: Throwable => s }
+          parseTimestampMicros(s)
         case _ => lit0
       }
       spec.fields.zipWithIndex.forall { case (pf, idx) =>
@@ -405,6 +408,15 @@ object PruneEval {
     case (x: java.lang.Long, y: java.lang.Long) => Some(java.lang.Long.compare(x, y))
     case (x: java.lang.Integer, y: java.lang.Long) => Some(java.lang.Long.compare(x.longValue, y))
     case (x: java.lang.Long, y: java.lang.Integer) => Some(java.lang.Long.compare(x, y.longValue))
+    // decimals must compare at full unscaled precision — doubleValue
+    // equates distinct decimal(38,0) ids beyond 2^53, which would let
+    // strict '=' wrongly prove a full-file match and metadata-delete
+    // non-matching rows
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => Some(x.compareTo(y))
+    case (x: java.math.BigDecimal, y: Number) =>
+      Some(x.compareTo(new java.math.BigDecimal(y.toString)))
+    case (x: Number, y: java.math.BigDecimal) =>
+      Some(new java.math.BigDecimal(x.toString).compareTo(y))
     case _ => cmp(a, b)
   }
 
@@ -420,12 +432,7 @@ object PruneEval {
       case (s: String, Some(IcePrim("date"))) =>
         try java.time.LocalDate.parse(s).toEpochDay.toInt catch { case _: Throwable => s }
       case (s: String, Some(IcePrim("timestamp")) | Some(IcePrim("timestamptz"))) =>
-        try {
-          val ld =
-            if (s.length <= 10) java.time.LocalDate.parse(s).atStartOfDay()
-            else java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-          ld.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
-        } catch { case _: Throwable => s }
+        parseTimestampMicros(s)
       case _ => lit0
     }
     def decide(c: Int): Boolean = op match {
@@ -443,10 +450,22 @@ object PruneEval {
         file.partition(idx).get
     }
     identityPv.flatMap(pv => cmpExact(pv, lit)).map(decide).getOrElse {
-      // bounds proof: needs a recorded zero null count
+      val fieldType = schema.fieldById(fid).map(_.fieldType)
+      // bounds proof: needs a recorded zero null count, and — because
+      // NaN-containing files still get NaN-excluding bounds (parquet
+      // footer harvest / Avro inline stats both drop NaN per the spec)
+      // — float/double additionally need a recorded ZERO NaN count;
+      // missing counts are unsafe (Iceberg's StrictMetricsEvaluator
+      // returns ROWS_MIGHT_NOT_MATCH there). Without this a file whose
+      // NaN rows match no predicate could be strictly "proved" and
+      // dropped whole — silent data loss.
+      val floatLike = fieldType.exists {
+        case IcePrim("float") | IcePrim("double") => true
+        case _ => false
+      }
       if (!file.nullValueCounts.get(fid).contains(0L)) false
+      else if (floatLike && !file.nanValueCounts.get(fid).contains(0L)) false
       else {
-        val fieldType = schema.fieldById(fid).map(_.fieldType)
         val lower = file.lowerBounds.get(fid).flatMap(b =>
           fieldType.map(t => SingleValue.decode(t, b)))
         val upper = file.upperBounds.get(fid).flatMap(b =>

@@ -34,7 +34,12 @@ object TableWrite {
       nullCounts: Map[Int, Long],
       lowerBounds: Map[Int, Array[Byte]],
       upperBounds: Map[Int, Array[Byte]],
-      splitOffsets: Seq[Long])
+      splitOffsets: Seq[Long],
+      // float/double NaN counts when the writer could observe them
+      // (Avro inline stats); strict metadata deletes on float/double
+      // REQUIRE a recorded zero here — parquet/ORC footers don't expose
+      // NaN counts, so those formats need the extended-stats pass
+      nanCounts: Map[Int, Long] = Map.empty)
 
   private def parseTypeRepr(repr: String): IceType =
     MetadataJson.parseType(org.json4s.JString(repr))
@@ -754,6 +759,7 @@ object TableWrite {
       columnSizes = st.columnSizes,
       valueCounts = st.valueCounts,
       nullValueCounts = st.nullCounts,
+      nanValueCounts = st.nanCounts,
       lowerBounds = st.lowerBounds,
       upperBounds = st.upperBounds,
       splitOffsets = st.splitOffsets,

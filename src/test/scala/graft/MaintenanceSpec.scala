@@ -971,6 +971,20 @@ class MaintenanceSpec extends AnyFunSuite {
     src.withColumnRenamed("r_name", "region_title").write.parquet(ext2)
     t.addFiles(spark, ext2)
     assert(t.metadata.properties(NameMapping.PropertyKey) === mapping)
+    // rename-then-READD: the new 'r_name' column's id has no mapping
+    // entry, so for the imported files it is ABSENT (reads null) — it
+    // must NOT resolve by current name, which would put 'r_name' in the
+    // read schema twice (the mapped old id also reads under 'r_name')
+    // and make the parquet read ambiguous
+    val t2 = t.addColumn("r_name", IcePrim("string"))
+    val rows2 = t2.scan(spark)
+      .select("r_regionkey", "region_title", "r_name").collect()
+    assert(rows2.length === 2 * src.count() + 1)
+    assert(rows2.forall(_.getString(2) == null), "new column reads null from imports")
+    // first-import + graft-written rows still resolve region_title (the
+    // ext2 files carry the post-rename name, outside the pinned mapping)
+    assert(rows2.count(r => r.getString(1) != null && r.getString(1).nonEmpty)
+      >= src.count() + 1)
   }
 
   test("cherry-pick publishes ONE staged append; non-appends refuse") {

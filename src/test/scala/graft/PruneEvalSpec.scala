@@ -107,6 +107,62 @@ class PruneEvalSpec extends AnyFunSuite {
     assert(!pruneCell((cell + 1) % 16, "389.1111"))
   }
 
+  test("strict float/double proofs require a recorded ZERO NaN count") {
+    // NaN rows are excluded from bounds but match no predicate: a bounds
+    // "proof" over a NaN-containing file would metadata-delete rows that
+    // do not satisfy the predicate. Missing counts are equally unsafe.
+    val fSchema = IceSchema(0, List(IceField(1, "x", required = false, IcePrim("double"))))
+    val spec = IcePartitionSpec(0, Nil)
+    def f(nan: Option[Long]) = IceDataFile(0, "/f.parquet", "parquet", Nil, 10L, 100L,
+      nullValueCounts = Map(1 -> 0L),
+      nanValueCounts = nan.map(1 -> _).toMap,
+      lowerBounds = Map(1 -> SingleValue.encode(IcePrim("double"), 1.0)),
+      upperBounds = Map(1 -> SingleValue.encode(IcePrim("double"), 5.0)))
+    val expr = org.apache.spark.sql.GraftBridge.catalystExpression(col("x") < 10.0)
+    assert(!PruneEval.strictMatch(expr, f(None), spec, fSchema), "missing NaN count is unsafe")
+    assert(!PruneEval.strictMatch(expr, f(Some(2L)), spec, fSchema), "NaN rows present")
+    assert(PruneEval.strictMatch(expr, f(Some(0L)), spec, fSchema))
+    // the may-match side stays conservative and keeps the file
+    assert(PruneEval.mayMatch(expr, f(None), spec, fSchema))
+  }
+
+  test("timestamp string literals keep sub-millisecond precision") {
+    val spec = IcePartitionSpec(0, Nil)
+    // all rows between 500µs and 900µs after epoch
+    val f = file(Nil,
+      lower = Map(3 -> SingleValue.encode(IcePrim("timestamptz"), 500L)),
+      upper = Map(3 -> SingleValue.encode(IcePrim("timestamptz"), 900L)))
+      .copy(nullValueCounts = Map(3 -> 0L))
+    // strict: ts > 00:00:00.000999 must NOT be proved (a millis-truncated
+    // literal of 0µs would "prove" it and delete non-matching rows)
+    val gt = org.apache.spark.sql.GraftBridge.catalystExpression(
+      col("ts") > lit("1970-01-01 00:00:00.000999"))
+    assert(!PruneEval.strictMatch(gt, f, spec, schema))
+    // may: equality at 00:00:00.000500 must keep the file (truncation to
+    // 0µs would prune it even though rows at 500µs match)
+    val eq = org.apache.spark.sql.GraftBridge.catalystExpression(
+      col("ts") === lit("1970-01-01 00:00:00.000500"))
+    assert(PruneEval.mayMatch(eq, f, spec, schema))
+    // and a provable strict case still proves
+    val gt0 = org.apache.spark.sql.GraftBridge.catalystExpression(
+      col("ts") > lit("1970-01-01 00:00:00.000000"))
+    assert(PruneEval.strictMatch(gt0, f, spec, schema))
+  }
+
+  test("strict decimal equality compares beyond double precision") {
+    val decSchema = IceSchema(0, List(
+      IceField(1, "d", required = true, IceDecimal(38, 0))))
+    val spec = IcePartitionSpec(0, List(IcePartitionField(1, 1000, "identity", "d_p")))
+    val pv = new java.math.BigDecimal("99999999999999999999")
+    val f = file(Seq(Some(pv)))
+    def eq(s: String) = org.apache.spark.sql.GraftBridge.catalystExpression(
+      col("d") === lit(new java.math.BigDecimal(s)))
+    // differs only in the last digit — doubleValue collapses both to the
+    // same IEEE double; an exact compare must distinguish them
+    assert(!PruneEval.strictMatch(eq("99999999999999999998"), f, spec, decSchema))
+    assert(PruneEval.strictMatch(eq("99999999999999999999"), f, spec, decSchema))
+  }
+
   test("unknown predicates keep all files (conservative)") {
     val spec = IcePartitionSpec(0, Nil)
     val f = file(Nil)

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -352,6 +354,43 @@ class TableSpec extends AnyFunSuite {
     assert(entries.size === 1)
     assert(entries.head.manifestPath === path)
     assert(entries.head.sequenceNumber === 3L)
+  }
+
+  test("decimal partition values write as spec fixed[n], round-trip exact") {
+    // the Iceberg spec's Avro mapping for decimals is fixed[minBytesFor(P)]
+    // with the decimal logical type — Java Iceberg manifest readers
+    // project that schema and reject a bytes-typed field
+    val schema = IceSchema(0, List(
+      IceField(1, "id", required = true, IcePrim("long")),
+      IceField(2, "d", required = false, IceDecimal(9, 2))))
+    val spec = IcePartitionSpec(0, List(IcePartitionField(2, 1000, "identity", "d_p")))
+    val pv = new java.math.BigDecimal("-123.45")
+    val df = IceDataFile(
+      content = 0, filePath = "/tmp/d.parquet", fileFormat = "parquet",
+      partition = Seq(Some(pv)), recordCount = 1L, fileSizeInBytes = 10L)
+    val entry = IceManifestEntry(ManifestStatus.Added, Some(1L), Some(1L), Some(1L), df)
+    val dir = tmpLocation("decfixed")
+    new java.io.File(dir).mkdirs()
+    val path = s"$dir/m0.avro"
+    ManifestIO.writeManifest(conf, path, List(entry), spec, schema, 0)
+    // raw Avro: the partition field's schema must be FIXED (not BYTES),
+    // sized for precision 9 (4 bytes), carrying the decimal logical type
+    val reader = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      new java.io.File(path),
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    try {
+      val partField = reader.getSchema.getField("data_file").schema()
+        .getField("partition").schema().getField("d_p").schema()
+      val inner = partField.getTypes.asScala.find(
+        _.getType != org.apache.avro.Schema.Type.NULL).get
+      assert(inner.getType === org.apache.avro.Schema.Type.FIXED)
+      assert(inner.getFixedSize === 4)
+      val lt = inner.getLogicalType.asInstanceOf[org.apache.avro.LogicalTypes.Decimal]
+      assert(lt.getPrecision === 9 && lt.getScale === 2)
+    } finally reader.close()
+    // sign extension must round-trip the negative value exactly
+    val back = ManifestIO.readManifest(conf, path, spec.fields.map(_.name))
+    assert(back.head.dataFile.partition === Seq(Some(new java.math.BigDecimal("-123.45"))))
   }
 
   test("manifest-level pruning skips whole manifests via field summaries") {
