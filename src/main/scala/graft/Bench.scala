@@ -206,10 +206,15 @@ object Bench {
     )
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  /** benchmark groups, runnable in isolation (`--group=<key>`): the
+    * per-group JVM fork keeps the legacy curve comparable across rounds —
+    * by round 8 one JVM executed 62 queries and the untouched legacy
+    * group drifted 22% from accumulated JVM state (codegen cache, GC
+    * history, metaspace), rotting the signal */
+  val groups: Seq[String] = Seq("legacy", "tpch", "r8", "dml")
+
+  private def openSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -219,6 +224,13 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** run one group in THIS JVM and return (name, seconds) rows */
+  def runGroup(spark: SparkSession, group: String): Seq[(String, Double)] = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     // warm up the JVM/codegen/FS paths once so timings reflect steady state
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
@@ -252,33 +264,42 @@ object Bench {
       ts(runs / 2)
     }
 
-    val readResults = headline.filter(qs.contains).map(n => n -> median(n))
-    val tpchResults = tpchHeadline.filter(qs.contains).map(n => n -> median(n))
-    val r8Results = round8Headline.filter(qs.contains).map(n => n -> median(n))
-    val dmlResults = dmlHeadline.filter(dmlOps.contains).map(n => n -> medianOp(n))
-    // jumbo-mode MoR scan: same sql_mor_delete surface with both delete
-    // thresholds forced to 0 — executor-side loading + the disk-backed
-    // equality store are on the measured path
-    val jumbo =
-      if (!dmlOps.contains("sql_mor_delete")) Nil
-      else {
-        spark.conf.set("spark.graft.delete-broadcast-max-bytes", "0")
-        spark.conf.set("spark.graft.eq-delete-executor-max-bytes", "0")
-        try Seq("sql_mor_delete_jumbo" -> medianOp("sql_mor_delete"))
-        finally {
-          spark.conf.unset("spark.graft.delete-broadcast-max-bytes")
-          spark.conf.unset("spark.graft.eq-delete-executor-max-bytes")
-        }
-      }
-    val results = readResults ++ tpchResults ++ r8Results ++ dmlResults ++ jumbo
-    // optional 10x scaling group: SPARK_GRAFT_SF1_DIR points at a dir
-    // built by `runMain graft.ScaleData <sfDir> <out> 10` — single run
-    // per query (10x data dominates noise); catches super-linear plans.
-    // Includes the two stateful dedup designs (disk-backed eq store /
-    // pointer jumping) and the jumbo MoR tier, which the sf0.1 curve
-    // can't stress.
-    val sf1Results = sys.env.get("SPARK_GRAFT_SF1_DIR").map { dir =>
-      val reads = (headline ++ tpchHeadline ++ Seq(
+    group match {
+      case "legacy" => headline.filter(qs.contains).map(n => n -> median(n))
+      case "tpch" => tpchHeadline.filter(qs.contains).map(n => n -> median(n))
+      case "r8" => round8Headline.filter(qs.contains).map(n => n -> median(n))
+      case "dml" =>
+        val dmlResults = dmlHeadline.filter(dmlOps.contains).map(n => n -> medianOp(n))
+        // jumbo-mode MoR scan: same sql_mor_delete surface with both delete
+        // thresholds forced to 0 — executor-side loading + the disk-backed
+        // equality store are on the measured path
+        val jumbo =
+          if (!dmlOps.contains("sql_mor_delete")) Nil
+          else {
+            spark.conf.set("spark.graft.delete-broadcast-max-bytes", "0")
+            spark.conf.set("spark.graft.eq-delete-executor-max-bytes", "0")
+            try Seq("sql_mor_delete_jumbo" -> medianOp("sql_mor_delete"))
+            finally {
+              spark.conf.unset("spark.graft.delete-broadcast-max-bytes")
+              spark.conf.unset("spark.graft.eq-delete-executor-max-bytes")
+            }
+          }
+        dmlResults ++ jumbo
+      case "sf1" =>
+        sys.env.get("SPARK_GRAFT_SF1_DIR").map(d => sf1Group(spark, d)).getOrElse(Nil)
+      case other => sys.error(s"unknown bench group $other")
+    }
+  }
+
+  /** optional 10x scaling group: SPARK_GRAFT_SF1_DIR points at a dir
+    * built by `runMain graft.ScaleData <sfDir> <out> 10` — single run
+    * per query (10x data dominates noise); catches super-linear plans.
+    * Includes the two stateful dedup designs (disk-backed eq store /
+    * pointer jumping) and the jumbo MoR tier, which the sf0.1 curve
+    * can't stress. */
+  private def sf1Group(spark: SparkSession, dir: String): Seq[(String, Double)] = {
+    val qs = SparkEntry.queries
+    val reads = (headline ++ tpchHeadline ++ Seq(
         "dedup_embedding", "dedup_components",
         // round 8: semantic dedup + BM25 (pipeline shapes) and the
         // orc/avro write+MoR-delete+scan paths at 10x data
@@ -323,12 +344,83 @@ object Bench {
         }
       reads ++ jumbo10
     }
+
+  /** child mode: run ONE group in this JVM, dump `name\tseconds` lines */
+  private def childMain(group: String, outPath: String): Unit = {
+    val spark = openSession()
+    val rows =
+      try runGroup(spark, group)
+      finally spark.stop()
+    val text = rows.map { case (n, v) => f"$n\t$v%.6f" }.mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), text)
+  }
+
+  /** fork `--group=g` into a FRESH JVM (same java, module opens, heap and
+    * classpath as this one); None when the fork cannot run or fails —
+    * the caller falls back to in-process execution */
+  private def forkGroup(group: String): Option[Seq[(String, Double)]] = {
+    try {
+      val javaBin = s"${System.getProperty("java.home")}/bin/java"
+      if (!new java.io.File(javaBin).canExecute) return None
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.toArray.map(_.toString)
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      val out = java.io.File.createTempFile(s"graft-bench-$group", ".tsv")
+      out.deleteOnExit()
+      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
+        "-cp", System.getProperty("java.class.path"),
+        "graft.Bench", s"--group=$group", s"--out=${out.getAbsolutePath}")
+      val pb = new ProcessBuilder(cmd: _*)
+      // the parent's stdout must stay ONE parseable JSON line: child
+      // stdout is discarded (results travel via the tsv file), child
+      // stderr inherits for diagnostics
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val rc = pb.start().waitFor()
+      if (rc != 0) { System.err.println(s"[bench] fork $group rc=$rc"); return None }
+      val rows = scala.io.Source.fromFile(out).getLines().toList.flatMap { l =>
+        l.split('\t') match {
+          case Array(n, v) => Some(n -> v.toDouble)
+          case _ => None
+        }
+      }
+      if (rows.isEmpty) None else Some(rows)
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] fork $group: $e"); None
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val argMap = args.flatMap(_.split('=') match {
+      case Array(k, v) => Some(k -> v)
+      case _ => None
+    }).toMap
+    argMap.get("--group").foreach { g =>
+      childMain(g, argMap.getOrElse("--out", sys.error("--group needs --out")))
+      return
+    }
+
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+    // one FRESH JVM per group (legacy first): cross-group JVM state
+    // (codegen caches, GC history) must not rot the per-round curve.
+    // SPARK_GRAFT_BENCH_NOFORK=1 or a failed fork degrades to in-process.
+    val noFork = sys.env.get("SPARK_GRAFT_BENCH_NOFORK").contains("1")
+    lazy val inProc = openSession()
+    val withSf1 = groups ++ (if (sys.env.contains("SPARK_GRAFT_SF1_DIR")) Seq("sf1") else Nil)
+    val byGroup: Seq[(String, Seq[(String, Double)])] = withSf1.map { g =>
+      val rows =
+        if (noFork) runGroup(inProc, g)
+        else forkGroup(g).getOrElse(runGroup(inProc, g))
+      g -> rows
+    }
+    val results = byGroup.filterNot(_._1 == "sf1").flatMap(_._2)
+    val sf1Results = byGroup.find(_._1 == "sf1").map(_._2).filter(_.nonEmpty)
+    val legacyTotal = byGroup.find(_._1 == "legacy").map(_._2.map(_._2).sum).getOrElse(0.0)
+
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // the round-1/2/3 curve summed only the read headline — keep that
-    // number comparable across rounds
-    val legacyTotal = readResults.map(_._2).sum
     val sf1Json = sf1Results.map { rs =>
       s""","sf1_total":${f"${rs.map(_._2).sum}%.3f"},"sf1_queries":""" +
         rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
@@ -336,12 +428,14 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
         s""""legacy_total":${f"$legacyTotal%.3f"},"runs":$runs,"dml_timing":"op_only",""" +
+        s""""jvm_per_group":${!noFork},""" +
         s""""queries":$qjson$sf1Json,"sf":"$sfDir"}"""
     println(line)
     // also drop the line in a file: sbt/log4j noise on stdout must not be
     // able to cost the round its bench parse
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_OUT.json"), line + "\n")
     catch { case _: Throwable => }
-    spark.stop()
+    // stop the in-process session iff one was created (nofork / fallback)
+    try SparkSession.getActiveSession.foreach(_.stop()) catch { case _: Throwable => }
   }
 }

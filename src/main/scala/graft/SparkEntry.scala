@@ -758,8 +758,10 @@ object SparkEntry {
       // word histogram (one corpus pass; rounds run over the bounded
       // vocabulary), then greedy lowest-rank segmentation of every doc
       // with the ranks broadcast. Iterative merge application is not
-      // SQL-expressible — no DuckDB oracle; the algorithm is
-      // spec-verified against hand-computed merges (rows-only gate here).
+      // SQL-expressible — the oracle is a committed fixture produced by
+      // an INDEPENDENT pure-Python implementation (tools/gen_bpe_fixture
+      // .py); the algorithm is also spec-verified against hand-computed
+      // merges in OperatorsSpec.
       val docs = t(s, dir, "documents")
       val merges = Bpe.train(
         docs.filter(col("doc_id") % 5 === 0), "text", numMerges = 40)
@@ -1141,7 +1143,9 @@ object SparkEntry {
       val src = t(s, dir, "orders")
       val tbl = freshTable(s, "stats_ndv", src)
       tbl.append(s, src)
-      val t2 = tbl.computeTableStats(s)
+      // exact mode opted in: the oracle compares precise distinct counts
+      // (approximate HLL++ is the library default for scale)
+      val t2 = tbl.computeTableStats(s, approximate = false)
       val schema = t2.metadata.currentSchema
       t2.metadata.statistics.last.blobMetadata.map { b =>
         (schema.fieldById(b.fields.head).get.name, b.properties("ndv").toLong)
@@ -3348,6 +3352,14 @@ object SparkEntry {
         |    / 1000000) / COUNT(*), 6) AS nll
         |FROM tg LEFT JOIN kept USING (g)
         |GROUP BY doc_id""".stripMargin,
+    // BPE merges are iterative (not SQL-expressible), so the oracle is a
+    // committed FIXTURE generated by an independent pure-Python
+    // implementation of the same algorithm (tools/gen_bpe_fixture.py) —
+    // two from-scratch implementations must agree byte-for-byte.
+    // Regenerate the fixture if documents.parquet regenerates.
+    "text_bpe" ->
+      """SELECT doc_id, n_bpe_tokens, preview
+        |FROM read_parquet('/root/repo/fixtures/text_bpe_expected.parquet')""".stripMargin,
     // exact replica of Selection.dsirWeights: md5-hex-digit buckets,
     // add-one-smoothed log-ratios rounded to 6dp, score = the same fixed
     // left-to-right literal-weighted chain (list_sum in list order)

@@ -238,18 +238,27 @@ object Selection {
       (ab, c) => concat(ab, c))
     val tg = df.filter(length(col(textCol)) >= 3)
       .select(col(idCol), isTarget.as("_is_t"), explode(grams).as("g"))
-    // the model: one aggregate over the target slice, driver-collected
-    // (char-trigram vocab is bounded by construction)
-    val counts = tg.filter(col("_is_t")).groupBy(col("g"))
-      .agg(count(lit(1)).as("c")).collect()
-    val total = counts.map(_.getLong(1)).sum.toDouble
-    val vocab = counts.length.toDouble
+    // the model: one aggregate over the target slice. total/vocab fold to
+    // ONE distributed row, and the minCount filter runs BELOW the collect
+    // — only the kept vocabulary reaches the driver. (The singleton long
+    // tail of a 100 TB multilingual slice — CJK trigram spaces run to
+    // millions+ — must never land on the driver.)
+    val gcounts = tg.filter(col("_is_t")).groupBy(col("g"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (total, vocab, counts) =
+      try {
+        val trow = gcounts
+          .agg(coalesce(sum(col("c")), lit(0L)).as("t"), count(lit(1)).as("v"))
+          .head()
+        (trow.getLong(0).toDouble, trow.getLong(1).toDouble,
+          gcounts.filter(col("c") >= minCount).collect())
+      } finally gcounts.unpersist()
     // round HALF AWAY FROM ZERO to match SQL round() semantics exactly
     def micro(v: Double): Long =
       (if (v >= 0) math.floor(v * 1e6 + 0.5) else math.ceil(v * 1e6 - 0.5)).toLong
     val denom = total + vocab + 1.0
     val model = counts.toSeq
-      .filter(_.getLong(1) >= minCount)
       .map(r => (r.getString(0), micro(math.log((r.getLong(1) + 1.0) / denom))))
     val oovMicro = micro(math.log(1.0 / denom))
     val modelDf = model.toDF("g", "_lm")

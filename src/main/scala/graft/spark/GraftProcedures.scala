@@ -189,18 +189,19 @@ private[spark] object GraftProcedures {
       new GraftProcedure(
         "compute_table_stats",
         // columns: optional comma-separated list (default: all primitive
-        // columns); approximate: HLL++ one-pass mode (the 100 TB path)
+        // columns); approximate: HLL++ one-pass mode — DEFAULT true, the
+        // 100 TB path (exact count_distinct expands rows × columns)
         Seq(in("table", StringType),
           ProcedureParameter.in("columns", StringType).defaultValue("NULL").build(),
           ProcedureParameter.in("approximate", BooleanType)
-            .defaultValue("false").build()),
+            .defaultValue("true").build()),
         out("statistics_path" -> StringType, "blob_count" -> LongType),
         (input, spark) => {
           val t = table(input)
           val cols =
             if (input.isNullAt(1)) Nil
             else input.getString(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
-          val approx = !input.isNullAt(2) && input.getBoolean(2)
+          val approx = input.isNullAt(2) || input.getBoolean(2)
           t.computeTableStats(spark, cols, approx)
           val st = t.metadata.statistics.last
           Seq(Seq(st.statisticsPath, st.blobMetadata.size.toLong))

@@ -1020,10 +1020,26 @@ class GraftTable(
         idf
       }
     val ids = keys0.map(n => schema.findField(n).getOrElse(sys.error(s"no field $n")).id)
+    // WITHIN-BATCH last-wins (the reference's EqualityDeltaWriter
+    // semantics, icelake/src/io_v2/equality_delta_writer.rs — a later
+    // same-key row position-deletes earlier ones in the same writer;
+    // icelake/tests/delta_test_v2.rs:354-395 exercises it): only each
+    // key's LAST op survives, and only if it is an insert. The equality
+    // delete covers every batch key (removing prior-commit rows); batch
+    // rows all land at the new sequence, so the within-batch winner is
+    // selected here, before the write. Batch order = input row order
+    // (monotonic id per partition, partitions in order) — CDC sources
+    // with a meaningful op order should sort the input first. One keyed
+    // window shuffle, inherent to upsert semantics.
+    val ordered = df.withColumn("_graft_seq", monotonically_increasing_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys0.map(col): _*).orderBy(col("_graft_seq").desc)
+    val lastOps = ordered.withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1).drop("_graft_seq", "_graft_rn")
     val (inserts, allKeys) = opCol match {
       case Some(oc) =>
-        (df.filter(col(oc) =!= lit(2)).drop(oc), df.select(keys0.map(col): _*).distinct())
-      case None => (df, df.select(keys0.map(col): _*).distinct())
+        (lastOps.filter(col(oc) =!= lit(2)).drop(oc), df.select(keys0.map(col): _*).distinct())
+      case None => (lastOps, df.select(keys0.map(col): _*).distinct())
     }
     val deleteFiles = TableWrite.writeDeleteFiles(
       this, spark, allKeys, DataContent.EqualityDeletes, ids)
@@ -2086,13 +2102,14 @@ class GraftTable(
     * the same contract Iceberg's theta-sketch stats follow (and foreign
     * `apache-datasketches-theta-v1` entries are read the same way).
     *
-    * `approximate = true` estimates via HyperLogLog++ — one pass with NO
-    * per-column expand, the 100 TB default; exact mode distinct-counts
-    * precisely (oracle-checkable, but costs an expand at scale). */
+    * `approximate = true` (the DEFAULT) estimates via HyperLogLog++ — one
+    * pass with NO per-column expand, the 100 TB path; exact mode is
+    * opt-in (oracle-checkable, but `count_distinct` over every column in
+    * one aggregate triggers Catalyst's expand: rows × columns). */
   def computeTableStats(
       spark: SparkSession,
       columns: Seq[String] = Nil,
-      approximate: Boolean = false): GraftTable = {
+      approximate: Boolean = true): GraftTable = {
     import org.apache.spark.sql.functions.{approx_count_distinct, count_distinct}
     val snap = metadata.currentSnapshot.getOrElse(sys.error("no snapshot to analyze"))
     val schema = metadata.currentSchema

@@ -9,21 +9,151 @@ import org.apache.orc.{ColumnStatistics, OrcFile}
 import graft.tables.GraftTable.FieldInfo
 
 /** ORC data files (the third Iceberg data-file format; parquet and avro
-  * are the other two). Writes ride Spark's native `OrcOutputWriter` /
-  * `DataFrameWriter.orc` (vectorized, codegen-friendly); this object
-  * harvests the manifest statistics from the ORC file tail — record
-  * count, per-column sizes/null counts, min/max bounds, stripe offsets —
-  * the same role [[TableWrite.statsOf]] plays for parquet footers.
+  * are the other two). Writes go through orc-core directly with
+  * `iceberg.id` / `iceberg.required` type attributes stamped per the
+  * Iceberg spec's ORC appendix ([[RowWriter]] — row conversion reuses
+  * Spark's own `OrcSerializer`, so the data layout is byte-identical to
+  * Spark's writer; only the footer gains the attributes). Reads resolve
+  * columns BY ID when the attributes are present (see
+  * `graft.spark.GraftOrcIdFactory`), falling back to names for legacy /
+  * imported files — which makes column renames metadata-only for ORC
+  * exactly as for parquet and avro. This object also harvests the
+  * manifest statistics from the ORC file tail — record count, per-column
+  * sizes/null counts, min/max bounds, stripe offsets — the same role
+  * [[TableWrite.statsOf]] plays for parquet footers.
   *
-  * ORC files resolve columns by NAME on read (Spark's ORC reader has no
-  * field-id resolution, and Spark's writer cannot stamp Iceberg ids into
-  * ORC attributes), so a column rename after ORC files were written will
-  * read those files' column as null — documented format limitation;
-  * parquet and avro files stay rename-safe via field ids. Timestamp and
-  * date bounds are deliberately NOT harvested (ORC's timestamp statistics
-  * carry writer-zone semantics; a wrong bound could prune a matching
-  * file, while a missing bound is always safe). */
+  * Timestamp and date bounds are deliberately NOT harvested (ORC's
+  * timestamp statistics carry writer-zone semantics; a wrong bound could
+  * prune a matching file, while a missing bound is always safe). */
 object OrcDataIO {
+
+  val IdAttr = "iceberg.id"
+  val RequiredAttr = "iceberg.required"
+
+  /** ORC TypeDescription for the fields, Spark-compatible layout (built
+    * by Spark's own mapping) with Iceberg id/required attributes stamped
+    * on every nested type */
+  def typeDescription(
+      fields: Seq[IceField],
+      sparkSchema: org.apache.spark.sql.types.StructType): org.apache.orc.TypeDescription = {
+    val td = org.apache.spark.sql.execution.datasources.orc.OrcUtils
+      .orcTypeDescription(sparkSchema)
+    stamp(td, IceStruct(fields.toList))
+    td
+  }
+
+  private def stamp(td: org.apache.orc.TypeDescription, t: IceType): Unit = t match {
+    case IceStruct(fs) =>
+      fs.zip(td.getChildren.asScala).foreach { case (f, c) =>
+        c.setAttribute(IdAttr, f.id.toString)
+        c.setAttribute(RequiredAttr, f.required.toString)
+        stamp(c, f.fieldType)
+      }
+    case IceList(eid, e, eReq) =>
+      val c = td.getChildren.get(0)
+      c.setAttribute(IdAttr, eid.toString)
+      c.setAttribute(RequiredAttr, eReq.toString)
+      stamp(c, e)
+    case IceMap(kid, k, vid, v, vReq) =>
+      val kc = td.getChildren.get(0)
+      kc.setAttribute(IdAttr, kid.toString)
+      kc.setAttribute(RequiredAttr, "true")
+      stamp(kc, k)
+      val vc = td.getChildren.get(1)
+      vc.setAttribute(IdAttr, vid.toString)
+      vc.setAttribute(RequiredAttr, vReq.toString)
+      stamp(vc, v)
+    case _ =>
+  }
+
+  def compressionKind(name: String): org.apache.orc.CompressionKind = {
+    import org.apache.orc.CompressionKind
+    name.toLowerCase match {
+      case "none" | "uncompressed" => CompressionKind.NONE
+      case "zlib" => CompressionKind.ZLIB
+      case "zstd" => CompressionKind.ZSTD
+      case "lzo" => CompressionKind.LZO
+      case "lz4" => CompressionKind.LZ4
+      case _ => CompressionKind.SNAPPY
+    }
+  }
+
+  /** can every field write through [[RowWriter]]? (variant has no ORC
+    * mapping here — such tables keep the legacy Spark-sink path) */
+  def canWrite(fields: Seq[IceField]): Boolean = {
+    def ok(t: IceType): Boolean = t match {
+      case IcePrim("variant") => false
+      case IceStruct(fs) => fs.forall(f => ok(f.fieldType))
+      case IceList(_, e, _) => ok(e)
+      case IceMap(_, k, _, v, _) => ok(k) && ok(v)
+      case _ => true
+    }
+    fields.forall(f => ok(f.fieldType))
+  }
+
+  /** One ORC data file, id-stamped, inline NaN counting; manifest stats
+    * harvested from the file tail on close. Row conversion is Spark's
+    * OrcSerializer over the DATA prefix of the row — trailing partition
+    * columns (fanout writes) are never read. */
+  class RowWriter(
+      conf: Configuration,
+      val path: String,
+      fields: Seq[IceField],
+      sparkSchema: org.apache.spark.sql.types.StructType,
+      compression: String) extends TableWrite.RowFileWriter {
+    private val dataSchema = org.apache.spark.sql.types.StructType(
+      sparkSchema.fields.take(fields.size))
+    private val writer = OrcFile.createWriter(
+      new Path(path),
+      OrcFile.writerOptions(conf)
+        .setSchema(typeDescription(fields, dataSchema))
+        .compress(compressionKind(compression)))
+    private val rec =
+      new org.apache.orc.mapreduce.OrcMapreduceRecordWriter[org.apache.orc.mapred.OrcStruct](writer)
+    private val ser =
+      new org.apache.spark.sql.execution.datasources.orc.OrcSerializer(dataSchema)
+    private val floatOrds = fields.indices.filter(i =>
+      fields(i).fieldType == IcePrim("float")).toArray
+    private val doubleOrds = fields.indices.filter(i =>
+      fields(i).fieldType == IcePrim("double")).toArray
+    private val nans = scala.collection.mutable.Map[Int, Long]()
+    var records = 0L
+
+    def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+      var i = 0
+      while (i < floatOrds.length) {
+        val o = floatOrds(i)
+        if (!row.isNullAt(o) && row.getFloat(o).isNaN)
+          nans(o) = nans.getOrElse(o, 0L) + 1
+        i += 1
+      }
+      i = 0
+      while (i < doubleOrds.length) {
+        val o = doubleOrds(i)
+        if (!row.isNullAt(o) && row.getDouble(o).isNaN)
+          nans(o) = nans.getOrElse(o, 0L) + 1
+        i += 1
+      }
+      rec.write(org.apache.hadoop.io.NullWritable.get(), ser.serialize(row))
+      records += 1
+    }
+
+    def close(): TableWrite.FileStats = {
+      rec.close(null)
+      val infos = fields.map(f => FieldInfo(f.name, f.id, f.fieldType.repr))
+      val nanCounts = (floatOrds ++ doubleOrds).map(o =>
+        fields(o).id -> nans.getOrElse(o, 0L)).toMap
+      statsOf(path, infos, conf).copy(nanCounts = nanCounts)
+    }
+
+    def abort(): Unit = {
+      try rec.close(null) catch { case _: Throwable => }
+      try {
+        val p = new Path(path)
+        p.getFileSystem(conf).delete(p, false)
+      } catch { case _: Throwable => }
+    }
+  }
 
   def statsOf(pathStr: String, infos: Seq[FieldInfo], conf: Configuration): TableWrite.FileStats = {
     val path = new Path(pathStr)

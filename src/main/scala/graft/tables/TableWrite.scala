@@ -41,6 +41,16 @@ object TableWrite {
       // NaN counts, so those formats need the extended-stats pass
       nanCounts: Map[Int, Long] = Map.empty)
 
+  /** one open data file in a distributed fanout write (avro/orc): rolls
+    * by record count, returns its manifest stats on close */
+  trait RowFileWriter {
+    def path: String
+    def records: Long
+    def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit
+    def close(): FileStats
+    def abort(): Unit
+  }
+
   private def parseTypeRepr(repr: String): IceType =
     MetadataJson.parseType(org.json4s.JString(repr))
 

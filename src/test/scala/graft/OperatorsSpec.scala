@@ -511,6 +511,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(chars === 3L)
   }
 
+  test("BPE: word-histogram collect is capped by a distributed top-K") {
+    import graft.operators.Bpe
+    // a huge singleton tail (the web-scale shape: URLs, hashes, typos)
+    // must never reach the driver whole — only the top-K by (count desc,
+    // word asc) comes back
+    val tail = (0 until 500).map(i => (i.toLong, s"uniq$i")).toDF("doc_id", "text")
+    val corpus = tail.union(Seq((9999L, ("low " * 50).trim)).toDF("doc_id", "text"))
+    val hist = Bpe.wordHistogram(corpus, "text", maxVocab = 10)
+    assert(hist.length === 10)
+    assert(hist.head === ("low" -> 50L), "highest-count word survives the cap")
+    // capped training still learns the dominant word's merges
+    val merges = Bpe.train(corpus, "text", numMerges = 2, maxVocab = 10)
+    assert(merges.take(2) === Seq(("l", "o"), ("lo", "w")))
+  }
+
+  test("charLmNll: only >=minCount trigrams reach the driver; totals unchanged") {
+    // the model collect must exclude the singleton tail BELOW the collect
+    // while total/vocab still count it (smoothing denominator identical
+    // to the unfiltered formulation)
+    val target = Seq(
+      (1L, "aaaaaaaa", true), // trigram 'aaa' x6
+      (2L, "zqxjkvbw", true)  // 6 singleton trigrams
+    ).toDF("doc_id", "text", "is_target")
+    val out = Selection.charLmNll(target, "doc_id", "text", col("is_target"))
+      .orderBy("doc_id").collect()
+    // hand-computed: T=12 grams total, V=7 distinct, denom=20
+    // doc 1: all 'aaa' (count 6 >= 2, in model): -log(7/20)
+    val exp1 = -math.log(7.0 / 20.0)
+    assert(math.abs(out(0).getDouble(2) - exp1) < 1e-5)
+    // doc 2: singletons are OOV after the minCount filter: -log(1/20)
+    val exp2 = -math.log(1.0 / 20.0)
+    assert(math.abs(out(1).getDouble(2) - exp2) < 1e-5)
+  }
+
   test("audio features: windowed mean/rms/peak over real decoded stereo PCM") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     // stereo, 3 frames: L = [100, -200, 300], R = [7, 7, 7], window of 2

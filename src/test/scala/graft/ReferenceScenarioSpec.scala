@@ -91,6 +91,66 @@ class ReferenceScenarioSpec extends AnyFunSuite {
     assert(part1.exceptAll(csv(1)).isEmpty && csv(1).exceptAll(part1).isEmpty)
   }
 
+  test("reference delta_test_v2: equality-delta writes against a MoR table") {
+    // icelake/tests/delta_test_v2.rs:354-395 — the EqualityDeltaWriter
+    // scenario: table (id, key, value) partitioned by identity(id),
+    // format-version 2, write.delete.mode=merge-on-read, equality ids
+    // (id, key). Two cases, replayed natively through GraftTable.upsert
+    // (the same CDC op surface: 1=insert/upsert, 2=delete).
+    val wh = spark.conf.get("spark.sql.catalog.gref.warehouse")
+    def freshT1(name: String): GraftTable = {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gref.delta")
+      spark.sql(s"DROP TABLE IF EXISTS gref.delta.$name")
+      spark.sql(
+        s"""CREATE TABLE gref.delta.$name (id BIGINT, key BIGINT, value BIGINT)
+           |PARTITIONED BY (id)
+           |TBLPROPERTIES ('format-version'='2',
+           |  'write.delete.mode'='merge-on-read')""".stripMargin)
+      StorageCatalog.loadTable(
+        spark.sparkContext.hadoopConfiguration, s"$wh/delta/$name")
+    }
+    import spark.implicits._
+    def rows(t: String) = spark.sql(s"SELECT * FROM gref.delta.$t")
+      .as[(Long, Long, Long)].collect().toSet
+
+    // equality_delta_write_test: two delta writes, one commit; later
+    // same-key rows replace earlier ones WITHIN the writer
+    val t1 = freshT1("t1w")
+    val batch1 = Seq( // (id, key, value) with op=1 throughout
+      (1L, 1L, 1L, 1), (1L, 2L, 4L, 1), (1L, 3L, 5L, 1),
+      (1L, 2L, 2L, 1), (1L, 3L, 3L, 1), (1L, 4L, 4L, 1)
+    ).toDF("id", "key", "value", "_op")
+    t1.upsert(spark, batch1, Seq("id", "key"), opCol = Some("_op"))
+    assert(rows("t1w") === Set((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L), (1L, 4L, 4L)),
+      "reference check: select * from s1.t1 == s1.t2 after the write test")
+
+    // equality_delta_delete_test: commit 1 writes (1,1,1),(1,2,2),(1,4,4);
+    // commit 2 inserts (1,3,3),(1,5,5) then deletes keys (1,5) [in-writer]
+    // and (1,4) [prior commit]
+    val t2 = freshT1("t1d")
+    t2.upsert(spark,
+      Seq((1L, 1L, 1L, 1), (1L, 2L, 2L, 1), (1L, 4L, 4L, 1))
+        .toDF("id", "key", "value", "_op"),
+      Seq("id", "key"), opCol = Some("_op"))
+    val t2b = StorageCatalog.loadTable(
+      spark.sparkContext.hadoopConfiguration, s"$wh/delta/t1d")
+    t2b.upsert(spark,
+      Seq((1L, 3L, 3L, 1), (1L, 5L, 5L, 1), (1L, 5L, 5L, 2), (1L, 4L, 4L, 2))
+        .toDF("id", "key", "value", "_op"),
+      Seq("id", "key"), opCol = Some("_op"))
+    assert(rows("t1d") === Set((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L)),
+      "reference check: select * from s1.t1 == s1.t2 after the delete test")
+    // the MoR property held: the delete landed as delete files, not a rewrite
+    val reloaded = StorageCatalog.loadTable(
+      spark.sparkContext.hadoopConfiguration, s"$wh/delta/t1d")
+    val snap = reloaded.metadata.currentSnapshot.get
+    assert(snap.summary.get("total-delete-files").exists(_.toLong > 0),
+      "delete files present (merge-on-read, not copy-on-write)")
+    assert(reloaded.planFiles(snap)
+      .exists(_.file.content == DataContent.EqualityDeletes),
+      "the prior-commit delete landed as an EQUALITY delete file")
+  }
+
   private val colNames = Seq("id", "v_int", "v_long", "v_float", "v_double",
     "v_varchar", "v_bool", "v_date", "v_timestamp", "v_decimal", "v_ts_ntz")
   private val castTypes = Seq("BIGINT", "INT", "BIGINT", "FLOAT", "DOUBLE",

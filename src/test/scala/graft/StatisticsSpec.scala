@@ -30,7 +30,7 @@ class StatisticsSpec extends AnyFunSuite {
       .selectExpr("id AS k", "cast(id % 37 AS string) AS v", "cast(id % 5 AS int) AS b")
     val t0 = freshTable("stats-exact", src)
     t0.append(spark, src)
-    val t = t0.computeTableStats(spark)
+    val t = t0.computeTableStats(spark, approximate = false)
     val st = t.metadata.statistics.last
     assert(st.snapshotId === t.metadata.currentSnapshotId.get)
     assert(st.blobMetadata.size === 3)
@@ -55,11 +55,13 @@ class StatisticsSpec extends AnyFunSuite {
     assert(t.ndvStats(ids("k")) === 1000L && t.ndvStats(ids("v")) === 37L)
   }
 
-  test("approximate mode (HLL++, the at-scale path) lands near exact") {
+  test("approximate mode (HLL++, the at-scale path) is the DEFAULT") {
     val src = spark.range(0, 10000).selectExpr("id AS k", "cast(id % 123 AS string) AS v")
     val t0 = freshTable("stats-approx", src)
     t0.append(spark, src)
-    val t = t0.computeTableStats(spark, approximate = true)
+    // no approximate argument: the default must be the no-expand HLL++
+    // path (exact count_distinct over every column is the at-scale foot-gun)
+    val t = t0.computeTableStats(spark)
     val st = t.metadata.statistics.last
     assert(st.blobMetadata.forall(_.properties.get("approximate").contains("true")))
     val schema = t.metadata.currentSchema
@@ -74,7 +76,7 @@ class StatisticsSpec extends AnyFunSuite {
       .selectExpr("id AS k", "CASE WHEN id % 10 = 0 THEN NULL ELSE concat('v', id % 25) END AS v")
     val t0 = freshTable("stats-cbo", src)
     t0.append(spark, src)
-    val t = t0.computeTableStats(spark)
+    val t = t0.computeTableStats(spark, approximate = false)
     val v2 = new graft.spark.GraftV2Table(t, None, None)
     val scan = v2.newScanBuilder(
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of())).build()
@@ -94,14 +96,14 @@ class StatisticsSpec extends AnyFunSuite {
     val src = spark.range(0, 100).selectExpr("id AS k")
     val t0 = freshTable("stats-stale", src)
     t0.append(spark, src)
-    val t1 = t0.computeTableStats(spark)
+    val t1 = t0.computeTableStats(spark, approximate = false)
     val kId = t1.metadata.currentSchema.findField("k").get.id
     assert(t1.ndvStats(kId) === 100L)
     // a later append keeps serving the (now slightly stale) stats
     val t2 = t1.append(spark, spark.range(100, 150).selectExpr("id AS k"))
     assert(t2.ndvStats(kId) === 100L)
     // recompute refreshes
-    val t3 = t2.computeTableStats(spark)
+    val t3 = t2.computeTableStats(spark, approximate = false)
     assert(t3.ndvStats(kId) === 150L)
     assert(t3.metadata.statistics.size === 2) // one entry per analyzed snapshot
   }
@@ -111,7 +113,7 @@ class StatisticsSpec extends AnyFunSuite {
       .selectExpr("id AS k", "cast(id % 50 AS string) AS v")
     val t0 = freshTable("stats-cbo-plan", src)
     t0.append(spark, src)
-    val t = t0.computeTableStats(spark)
+    val t = t0.computeTableStats(spark, approximate = false)
     val wh = t.location
     spark.conf.set("spark.sql.catalog.cbocat", "graft.spark.GraftCatalog")
     spark.conf.set("spark.sql.catalog.cbocat.warehouse",
@@ -184,6 +186,9 @@ class StatisticsSpec extends AnyFunSuite {
       assert(res.length === 1 && res.head.getLong(1) === 1L)
       val t = StorageCatalog.loadTable(conf, s"$wh/db/t")
       val st = t.metadata.statistics.last
+      // procedure default is the approximate path; HLL++ is exact at this
+      // tiny cardinality so the value assertion stays precise
+      assert(st.blobMetadata.head.properties.get("approximate").contains("true"))
       assert(st.blobMetadata.head.properties("ndv").toLong === 7L)
     } finally {
       spark.sql("DROP TABLE IF EXISTS statcat.db.t")
