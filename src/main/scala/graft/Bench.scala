@@ -318,7 +318,13 @@ object Bench {
         "embed_quantize",
         // the two prefix-sum selection shapes: bucketed windows must not
         // degenerate to a single global partition at 10x
-        "select_budget", "text_deciles"))
+        "select_budget", "text_deciles",
+        // round-9 heavy-tail additions: the statistics pass, v3 row
+        // lineage, the trigram LM (driver model now bounded), and the two
+        // composed pipelines — each a multi-stage shape whose scaling the
+        // sf0.1 curve can't certify
+        "stats_ndv", "ice_row_lineage", "text_perplexity",
+        "pipeline_corpus", "pipeline_curriculum"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

@@ -192,8 +192,13 @@ class GraftBatchWrite(
     val props = metadata.properties
     val maxRecords = TableWrite.maxRecordsPerFile(metadata).getOrElse(Long.MaxValue)
     val fmt = TableWrite.dataFormat(metadata)
+    val orcNative = fmt == "orc" && graft.tables.OrcDataIO.canWrite(schema.fields)
     val writerConf = fmt match {
+      case "orc" if orcNative =>
+        // id-stamped orc-core writes only need the session conf
+        org.apache.spark.sql.GraftBridge.sessionHadoopConf(spark)
       case "orc" =>
+        // legacy Spark ORC writer (schemas OrcSerializer can't map):
         // OrcFileFormat.prepareWrite sets the schema/compression keys the
         // ORC OutputWriter reads back from the conf
         org.apache.spark.sql.GraftBridge.orcWriterFactory(
@@ -206,7 +211,7 @@ class GraftBatchWrite(
           spark, sparkSchema, compression, GraftBatchWrite.parquetKnobs(props))
     }
     val orcFactory = fmt match {
-      case "orc" =>
+      case "orc" if !orcNative =>
         org.apache.spark.sql.GraftBridge.orcWriterFactory(
           spark, sparkSchema,
           props.get("write.orc.compression-codec").map("compression" -> _).toMap)._1
@@ -226,7 +231,9 @@ class GraftBatchWrite(
       fmt,
       orcFactory,
       schema.fields,
-      props.getOrElse("write.avro.compression-codec", "snappy"))
+      props.getOrElse(
+        if (fmt == "orc") "write.orc.compression-codec"
+        else "write.avro.compression-codec", "snappy"))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -331,6 +338,12 @@ class GraftDataWriter(
     def close(): Option[TableWrite.FileStats] = Some(w.close())
   }
 
+  private class RowFileSink(w: TableWrite.RowFileWriter) extends Sink {
+    def path: String = w.path
+    def write(row: InternalRow): Unit = w.write(row)
+    def close(): Option[TableWrite.FileStats] = Some(w.close())
+  }
+
   private case class Open(writer: Sink, path: String, var records: Long)
 
   private val srcTypes: Array[IceType] =
@@ -354,6 +367,10 @@ class GraftDataWriter(
     val path = f"$outDir/$partitionId%05d-$taskId-$fileCount%05d.$format"
     fileCount += 1
     val sink: Sink = format match {
+      case "orc" if orcFactory == null =>
+        // id-stamped orc-core writer (inline stats incl. NaN counts)
+        new RowFileSink(new graft.tables.OrcDataIO.RowWriter(
+          conf.value, path, iceFields, sparkSchema, avroCodec))
       case "orc" =>
         new OutputWriterSink(
           org.apache.spark.sql.GraftBridge.newFormatWriter(

@@ -1220,11 +1220,13 @@ class GraftNativeBatchScan(
         if (!currentFiles.exists(isExternal)) null
         else org.apache.spark.sql.GraftBridge.parquetReaderFactory(
           spark, extResolve(dataSchema), extResolve(requiredSchema), filters)
-      // ORC resolves by name (no field ids in ORC files)
+      // ORC resolves by field id when the files carry iceberg.id
+      // attributes (rename-safe), by name for legacy/imported files
       val orc =
         if (!hasOrc) null
-        else org.apache.spark.sql.GraftBridge.orcFactoryBuilder(
-          spark, strip(dataSchema), strip(requiredSchema)).build(filters)
+        else GraftOrcIdFactory(
+          org.apache.spark.sql.GraftBridge.orcFactoryBuilder(
+            spark, dataSchema, requiredSchema), filters)
       val avro =
         if (!hasAvro) null
         else GraftAvroReaderFactory(requiredSchema,

@@ -479,15 +479,19 @@ class GraftMorScan(
     val hasAvroPart = plannedPartitions.exists {
       _.asInstanceOf[GraftMorInputPartition].format == "avro"
     }
+    // ORC: field-id resolution when the files carry iceberg.id
+    // attributes, name fallback otherwise (see GraftOrcIdFactory)
     val orcNoPushF =
       if (!hasOrcPart) null
-      else org.apache.spark.sql.GraftBridge.orcFactoryBuilder(
-        spark, stripIds(dataSchema), stripIds(innerSchema)).build(Array.empty[Filter])
+      else GraftOrcIdFactory(
+        org.apache.spark.sql.GraftBridge.orcFactoryBuilder(
+          spark, dataSchema, innerSchema), Array.empty[Filter])
     val orcPushF =
       if (!hasOrcPart) null
       else if (pushedFilters.isEmpty) orcNoPushF
-      else org.apache.spark.sql.GraftBridge.orcFactoryBuilder(
-        spark, stripIds(dataSchema), stripIds(innerSchema)).build(pushedFilters)
+      else GraftOrcIdFactory(
+        org.apache.spark.sql.GraftBridge.orcFactoryBuilder(
+          spark, dataSchema, innerSchema), pushedFilters)
     val avroF =
       if (!hasAvroPart) null
       else GraftAvroReaderFactory(innerSchema,

@@ -220,7 +220,7 @@ object AvroDataIO {
       val path: String,
       fields: Seq[IceField],
       ordinals: Array[Int],
-      codec: String) {
+      codec: String) extends TableWrite.RowFileWriter {
 
     private val schema = avroSchema(fields)
     private val sparkTypes = fields.map(f => SchemaConvert.toSparkType(f.fieldType)).toArray

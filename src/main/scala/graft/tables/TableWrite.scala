@@ -501,9 +501,16 @@ object TableWrite {
     if (fmt == "avro")
       // no Spark writer for avro data files — a dedicated distributed
       // write that accumulates the manifest stats inline
-      return writeAvroDataFiles(
+      return writeFanoutDataFiles(
         table, spark, base, schema, spec, sortExprs, maxRecords, stampOrderId,
-        lineageFields)
+        "avro", lineageFields)
+    if (fmt == "orc" && OrcDataIO.canWrite(schema.fields ++ lineageFields))
+      // orc goes through orc-core so every file carries iceberg.id
+      // attributes (rename-safe id resolution on read); data layout is
+      // Spark's own (OrcSerializer)
+      return writeFanoutDataFiles(
+        table, spark, base, schema, spec, sortExprs, maxRecords, stampOrderId,
+        "orc", lineageFields)
 
     /** format hooks shared by the unpartitioned/partitioned flows */
     def sink(df: DataFrame, parts: Seq[String] = Nil): Unit = {
@@ -572,13 +579,14 @@ object TableWrite {
     }
   }
 
-  /** Distributed avro data write: partition-transform columns are
-    * computed in Catalyst (same clustering shuffle as the parquet path),
-    * then each task runs a fanout [[AvroDataIO.RowWriter]] per partition
-    * tuple with record-count rolling; the manifest stats come back
-    * accumulated inline (avro has no footer statistics to harvest). Only
-    * the tiny per-file descriptors return to the driver. */
-  private def writeAvroDataFiles(
+  /** Distributed row-fanout data write (avro + orc): partition-transform
+    * columns are computed in Catalyst (same clustering shuffle as the
+    * parquet path), then each task runs a fanout [[RowFileWriter]] per
+    * partition tuple with record-count rolling; the manifest stats come
+    * back accumulated inline (avro) or harvested from the file tail on
+    * close (orc). Only the tiny per-file descriptors return to the
+    * driver. */
+  private def writeFanoutDataFiles(
       table: GraftTable,
       spark: SparkSession,
       base: DataFrame,
@@ -587,13 +595,18 @@ object TableWrite {
       sortExprs: Seq[Column],
       maxRecords: Option[Long],
       stampOrderId: Option[Int],
+      fmt: String,
       lineageFields: List[IceField] = Nil): List[IceDataFile] = {
     val writeId = UUID.randomUUID().toString
     val outDir = s"${table.location}/data/$writeId"
     val fields = schema.fields ++ lineageFields
     val nData = fields.size
-    val codec = table.metadata.properties
-      .getOrElse("write.avro.compression-codec", "snappy")
+    val codec = table.metadata.properties.getOrElse(
+      if (fmt == "orc") "write.orc.compression-codec" else "write.avro.compression-codec",
+      "snappy")
+    val sparkDataSchema = org.apache.spark.sql.types.StructType(
+      fields.map(f => org.apache.spark.sql.types.StructField(
+        f.name, SchemaConvert.toSparkType(f.fieldType), !f.required)))
     val roll = maxRecords.getOrElse(Long.MaxValue)
     val serConf = new SerializableHadoopConf(
       org.apache.spark.sql.GraftBridge.sessionHadoopConf(spark))
@@ -625,14 +638,17 @@ object TableWrite {
         val attempt = Option(org.apache.spark.TaskContext.get)
           .map(_.taskAttemptId).getOrElse(0L)
         val open = scala.collection.mutable.HashMap
-          .empty[Seq[Option[Any]], AvroDataIO.RowWriter]
+          .empty[Seq[Option[Any]], RowFileWriter]
         val done = scala.collection.mutable.ListBuffer
           .empty[(FileStats, Seq[Option[Any]])]
         var fileCount = 0
-        def newWriter(): AvroDataIO.RowWriter = {
-          val path = f"$outDir/part-$pid%05d-$attempt-$fileCount%05d.avro"
+        def newWriter(): RowFileWriter = {
+          val path = f"$outDir/part-$pid%05d-$attempt-$fileCount%05d.$fmt"
           fileCount += 1
-          new AvroDataIO.RowWriter(conf, path, fields, dataOrdinals, codec)
+          if (fmt == "orc")
+            new OrcDataIO.RowWriter(conf, path, fields, sparkDataSchema, codec)
+          else
+            new AvroDataIO.RowWriter(conf, path, fields, dataOrdinals, codec)
         }
         // manifest-boxed partition value (matches TransformEval.box)
         def boxed(v: Any): Any = v match {
@@ -664,7 +680,7 @@ object TableWrite {
             } catch { case _: Throwable => }
           }
           done.iterator.map { case (st, partition) =>
-            statsToDataFile(st, partition, DataContent.Data, Nil, stampOrderId, "avro")
+            statsToDataFile(st, partition, DataContent.Data, Nil, stampOrderId, fmt)
           }
         } catch {
           case e: Throwable =>

@@ -276,7 +276,11 @@ object GraftBridge {
     val hadoopConf = classicSpark.sessionState.newHadoopConfWithOptions(Map.empty)
     val broadcastConf = classicSpark.sparkContext.broadcast(
       new SerializableConfiguration(hadoopConf))
-    GraftOrcFactoryBuilder(sqlConf, broadcastConf, dataSchema, readSchema)
+    // the explicit conf entries, NOT the live SQLConf: a deserialized
+    // SQLConf has a null ConfigReader, so factories built EXECUTOR-side
+    // (per-file ORC field-id resolution) would NPE on any default read —
+    // each side rebuilds a live SQLConf from these entries instead
+    GraftOrcFactoryBuilder(sqlConf.getAllConfs, broadcastConf, dataSchema, readSchema)
   }
 
   /** ORC OutputWriterFactory via OrcFileFormat.prepareWrite (sets the
@@ -372,11 +376,19 @@ object GraftBridge {
 
 /** See [[GraftBridge.orcFactoryBuilder]]. */
 case class GraftOrcFactoryBuilder private[sql] (
-    private val sqlConf: org.apache.spark.sql.internal.SQLConf,
+    private val sqlConfEntries: Map[String, String],
     private val bcConf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration],
     private val dataSchema: org.apache.spark.sql.types.StructType,
     private val readSchema: org.apache.spark.sql.types.StructType)
     extends Serializable {
+
+  /** live SQLConf rebuilt from the captured entries — usable on both the
+    * driver and executors (a serialized session SQLConf is not) */
+  @transient private lazy val sqlConf: org.apache.spark.sql.internal.SQLConf = {
+    val c = new org.apache.spark.sql.internal.SQLConf()
+    sqlConfEntries.foreach { case (k, v) => c.setConfString(k, v) }
+    c
+  }
 
   def build(filters: Array[org.apache.spark.sql.sources.Filter])
       : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
@@ -395,6 +407,21 @@ case class GraftOrcFactoryBuilder private[sql] (
         sqlConf),
       org.apache.spark.memory.MemoryMode.ON_HEAP)
   }
+
+  /** per-file variant: same conf, substituted schemas (ORC field-id
+    * resolution rewrites the schemas into the file's own column names) */
+  def buildResolved(
+      data: org.apache.spark.sql.types.StructType,
+      read: org.apache.spark.sql.types.StructType,
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    copy(dataSchema = data.asNullable, readSchema = read.asNullable).build(filters)
+
+  /** the broadcast hadoop conf (executor-side footer reads) */
+  def hadoopConf: org.apache.hadoop.conf.Configuration = bcConf.value.value
+
+  def schemas: (org.apache.spark.sql.types.StructType, org.apache.spark.sql.types.StructType) =
+    (dataSchema, readSchema)
 }
 
 /** See [[GraftBridge.parquetFactoryBuilder]]. Lives in this package so it

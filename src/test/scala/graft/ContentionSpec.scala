@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tables._
+
+/** Contended-commit soak: N concurrent writers hammer ONE table with a
+  * mix of appends, row deletes and full compactions. The optimistic
+  * retry loop (`GraftTable.retryCommit` + `rewriteSurvivors` validation)
+  * must keep every version chain linear and lose no committed row —
+  * this is the property 1000 executors on one 100 TB table depend on. */
+class ContentionSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  test("8 contending writers x 20 mixed commits: linear history, no lost rows") {
+    val loc = {
+      val d = Files.createTempDirectory("graft-contend").toFile
+      d.delete()
+      d.getAbsolutePath
+    }
+    val schema = IceSchema(0, List(
+      IceField(1, "k", required = true, IcePrim("long")),
+      IceField(2, "batch", required = true, IcePrim("long"))))
+    StorageCatalog.createOrReplaceTable(conf, loc, schema, IcePartitionSpec(0, Nil))
+
+    val writers = 8
+    val opsEach = 20
+    val rowsPerBatch = 10
+    // per-writer k range: writer w, batch i, row j -> w*1000000 + i*1000 + j
+    def lo(w: Int, i: Int): Long = w * 1000000L + i * 1000L
+
+    // surviving (k, batch) rows each writer believes it committed
+    val survivors = new ConcurrentLinkedQueue[(Long, Long)]()
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+
+    val threads = (0 until writers).map { w =>
+      new Thread(() => {
+        try {
+          val t = StorageCatalog.loadTable(conf, loc)
+          val myBatches = scala.collection.mutable.ArrayBuffer[Int]()
+          for (i <- 0 until opsEach) {
+            val op = i % 5
+            if (op == 3 && myBatches.nonEmpty) {
+              // delete one of my own earlier batches (MoR or metadata path)
+              val b = myBatches.remove(0)
+              t.deleteWhere(spark,
+                col("k") >= lo(w, b) && col("k") < lo(w, b) + rowsPerBatch)
+            } else if (op == 4 && w % 2 == 0) {
+              // compaction concurrent with everyone else's appends and
+              // deletes. The DESIGNED contract is refusal when a
+              // concurrent row-level change lands mid-rewrite ("re-run")
+              // — a content-preserving op that simply didn't happen; the
+              // maintenance job re-runs it later. Anything else is a bug.
+              try t.rewriteDataFiles(spark)
+              catch {
+                case e: RuntimeException if Option(e.getMessage).exists(
+                  _.contains("re-run")) => // documented abort, no-op
+              }
+            } else {
+              val rows = (0 until rowsPerBatch).map(j => (lo(w, i) + j, i.toLong))
+              import spark.implicits._
+              t.append(spark, rows.toDF("k", "batch"))
+              myBatches += i
+            }
+          }
+          myBatches.foreach { b =>
+            (0 until rowsPerBatch).foreach(j => survivors.add((lo(w, b) + j, b.toLong)))
+          }
+        } catch { case e: Throwable => failures.add(e) }
+      }, s"contend-$w")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(600000))
+    assert(failures.isEmpty, s"writer failed: ${Option(failures.peek())}")
+
+    val t = StorageCatalog.loadTable(conf, loc)
+    val meta = t.metadata
+
+    // 1) the version chain is LINEAR: snapshots ordered by sequence form
+    // a single parent chain with no branches and no duplicate sequences
+    val chain = meta.snapshots.sortBy(_.sequenceNumber)
+    assert(chain.map(_.sequenceNumber).distinct.size === chain.size,
+      "duplicate sequence numbers (two winners of one CAS)")
+    chain.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(b.parentSnapshotId.contains(a.snapshotId),
+          s"non-linear history at seq ${b.sequenceNumber}")
+      case _ =>
+    }
+    assert(meta.currentSnapshotId.contains(chain.last.snapshotId))
+
+    // 2) no committed row lost, no deleted row resurrected, no duplicates
+    import spark.implicits._
+    val got = t.scan(spark).as[(Long, Long)].collect().sorted
+    val expected = {
+      import scala.jdk.CollectionConverters._
+      survivors.asScala.toArray.sorted
+    }
+    assert(got.length === expected.length,
+      s"row count ${got.length} != expected ${expected.length}")
+    assert(got.sameElements(expected), "row content diverged under contention")
+
+    // 3) every live file the final snapshot references exists on disk
+    val missing = t.planFiles(meta.currentSnapshot.get)
+      .map(_.file.filePath)
+      .filterNot(p => new java.io.File(
+        p.stripPrefix("file:")).exists())
+    assert(missing.isEmpty, s"lost files: ${missing.take(3)}")
+  }
+}

@@ -97,6 +97,57 @@ class FormatSpec extends AnyFunSuite {
       comparable(src).exceptAll(comparable(back)).isEmpty)
   }
 
+  test("orc rename keeps old files readable (iceberg.id attribute resolution)") {
+    val src = spark.range(0, 50).selectExpr("id AS k", "concat('v', id) AS v")
+    val t0 = freshTable("orc-rename", "orc", src).append(spark, src)
+    // files carry the spec's ORC attributes
+    val f = t0.planFiles(t0.metadata.currentSnapshot.get).head.file
+    val reader = org.apache.orc.OrcFile.createReader(
+      new org.apache.hadoop.fs.Path(f.filePath),
+      org.apache.orc.OrcFile.readerOptions(conf))
+    try {
+      val td = reader.getSchema
+      assert(td.getChildren.get(0).getAttributeValue("iceberg.id") === "1")
+      assert(td.getChildren.get(1).getAttributeValue("iceberg.id") === "2")
+    } finally reader.close()
+    // rename AFTER the write: id resolution keeps the column readable
+    val t = t0.renameColumn("v", "label")
+    val back = t.scan(spark)
+    assert(back.columns.toSeq === Seq("k", "label"))
+    assert(back.filter(col("label") === "v7").count() === 1)
+    assert(back.filter(col("label").isNull).count() === 0)
+    // a column added after the write reads null from the old files
+    val t2 = t.addColumn("extra", IcePrim("string"))
+    val back2 = t2.scan(spark)
+    assert(back2.count() === 50 && back2.filter(col("extra").isNull).count() === 50)
+  }
+
+  test("legacy orc files without id attributes still resolve by name") {
+    val src = spark.range(0, 30).selectExpr("id AS k", "concat('v', id) AS v")
+    val t = freshTable("orc-legacy", "orc", src).append(spark, src)
+    // fabricate a legacy file: Spark's own ORC writer (no attributes)
+    val tmp = tmpLocation("orc-legacy-ext")
+    spark.range(100, 120).selectExpr("id AS k", "concat('v', id) AS v")
+      .coalesce(1).write.orc(tmp)
+    val raw = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".orc")).head
+    val legacyPath = s"${t.location}/data/legacy-0.orc"
+    Files.createDirectories(java.nio.file.Paths.get(s"${t.location}/data"))
+    Files.copy(raw.toPath, java.nio.file.Paths.get(legacyPath))
+    val infos = t.metadata.currentSchema.fields.map(fl =>
+      GraftTable.FieldInfo(fl.name, fl.id, fl.fieldType.repr))
+    val st = OrcDataIO.statsOf(legacyPath, infos, conf)
+    t.commit(spark, "append", List(IceDataFile(
+      content = 0, filePath = legacyPath, fileFormat = "orc", partition = Nil,
+      recordCount = st.recordCount, fileSizeInBytes = st.fileSize)), Nil, replace = false)
+    val t2 = StorageCatalog.loadTable(conf, t.location)
+    val back = t2.scan(spark)
+    assert(back.count() === 50)
+    // both the attributed and the legacy file's rows resolve
+    assert(back.filter(col("v") === "v7").count() === 1)
+    assert(back.filter(col("v") === "v107").count() === 1)
+    assert(back.filter(col("v").isNull).count() === 0)
+  }
+
   test("avro rename keeps old files readable (field-id resolution)") {
     val src = spark.range(0, 50).selectExpr("id AS k", "concat('v', id) AS v")
     val t0 = freshTable("avro-rename", "avro", src).append(spark, src)
