@@ -1026,6 +1026,24 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           col("n_chars").cast(LongType).as("n_chars"))
     }),
+    "select_auc" -> ((s, dir) => {
+      // exact tie-corrected ROC-AUC of a score against labels — the
+      // calibration gate before a classifier filters 100 TB. Numerator
+      // accumulated as the integer 2U (order-independent, engine-exact);
+      // negBelow via the value-bucketed distributed prefix sum.
+      val d = t(s, dir, "documents")
+        .withColumn("score", length(col("text")).cast(DoubleType))
+      Selection.classifierAuc(d, "score", col("lang") === "en")
+    }),
+    "sample_stratified_k" -> ((s, dir) => {
+      // EXACT-k per-stratum sample (eval-set construction): the 5
+      // smallest md5(doc_id) per language — deterministic, two bounded
+      // window stages (per-shard top-k, then top-k over shards*k), no
+      // whole-stratum single-task window
+      Sampling.stratifiedSampleExact(
+        t(s, dir, "documents"), "doc_id", "lang", k = 5)
+        .select(col("doc_id"), col("lang"))
+    }),
     "text_fingerprint" -> ((s, dir) => {
       // DuckDB cannot reproduce the wrapping-Long rolling hash, so the
       // oracle is the winnowing decomposition law: the w-byte windows of
@@ -3480,6 +3498,35 @@ object SparkEntry {
         |SELECT doc_id, d.source, CAST(n_chars AS BIGINT) AS n_chars
         |FROM documents d JOIN thr ON d.source = thr.source
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < h""".stripMargin,
+    // exact replica of Selection.classifierAuc: tie-corrected
+    // Mann-Whitney over score groups, numerator as the INTEGER 2U
+    // (order-independent in both engines), one division at the end
+    "select_auc" ->
+      """WITH g AS (
+        |  SELECT CAST(length(text) AS DOUBLE) AS s,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+        |    SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS neg
+        |  FROM documents GROUP BY 1),
+        |pre AS (
+        |  SELECT s, pos, neg,
+        |    COALESCE(SUM(neg) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+        |  FROM g)
+        |SELECT
+        |  round(CAST(SUM(pos * (2 * nb + neg)) AS DOUBLE)
+        |    / (2.0 * SUM(pos) * SUM(neg)), 6) AS auc,
+        |  CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |  CAST(SUM(neg) AS BIGINT) AS n_neg
+        |FROM pre""".stripMargin,
+    // exact replica of Sampling.stratifiedSampleExact: the k smallest
+    // (md5(key), key) per stratum — the salted two-stage form selects
+    // the same rows as the direct window
+    "sample_stratified_k" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 5""".stripMargin,
     "dedup_resolve" ->
       """WITH RECURSIVE s AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)),

@@ -46,6 +46,45 @@ object Sampling {
       salt: String = ""): DataFrame =
     df.filter(hashBucket(col(keyCol), salt) < lit(hexThreshold(fraction)))
 
+  /** EXACT-k per-stratum sample: the k rows with the smallest
+    * `(md5(salt:key), key)` per stratum — eval-set construction where
+    * sizes must be exact, not expected (a rate-based sample of a small
+    * stratum can land anywhere around its target). Deterministic and
+    * engine-portable like every sampler here: the chosen rows are a pure
+    * function of the keys.
+    *
+    * Scale design: a single `row_number() OVER (PARTITION BY stratum)`
+    * would funnel each stratum through ONE task — a skew bottleneck when
+    * one stratum holds half the corpus. Instead two bounded stages: (1)
+    * per (stratum, salt-shard) local top-k — each shard's candidate set
+    * is ≤ k rows; (2) top-k over the ≤ shards×k survivors per stratum.
+    * Stage-2 input is k-bounded, so the per-stratum window is safe at
+    * any corpus size. Result identical to the one-window form: the k
+    * global smallest are each smallest within their shard. */
+  def stratifiedSampleExact(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      k: Int,
+      salt: String = "",
+      shards: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(lit(salt), col(keyCol).cast(StringType)))
+    val keyed = df.withColumn("__graft_h", h)
+      .withColumn("__graft_shard", pmod(hash(col(keyCol)), lit(shards)))
+    val w1 = Window.partitionBy(col(stratumCol), col("__graft_shard"))
+      .orderBy(col("__graft_h"), col(keyCol))
+    val w2 = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__graft_h"), col(keyCol))
+    keyed
+      .withColumn("__graft_r1", row_number().over(w1))
+      .filter(col("__graft_r1") <= k)
+      .withColumn("__graft_r2", row_number().over(w2))
+      .filter(col("__graft_r2") <= k)
+      .drop("__graft_h", "__graft_shard", "__graft_r1", "__graft_r2")
+  }
+
   /** Per-stratum sampling rates (the "data mix" operator: e.g. keep 10%
     * of web text but 100% of books). Strata absent from `fractions` fall
     * back to `defaultFraction`. */

@@ -232,11 +232,18 @@ private[spark] object GraftProcedures {
         }),
       new GraftProcedure(
         "remove_orphan_files",
-        Seq(in("table", StringType), in("older_than_ms", LongType)),
+        Seq(in("table", StringType), in("older_than_ms", LongType),
+          ProcedureParameter.in("dry_run", BooleanType)
+            .defaultValue("false").build()),
         out("removed_files" -> LongType),
-        (input, _) =>
+        (input, _) => {
+          val dry = !input.isNullAt(2) && input.getBoolean(2)
           // count-only: never materializes the orphan path list on the driver
-          Seq(Seq(table(input).removeOrphanFilesCount(input.getLong(1))))),
+          val n =
+            if (dry) table(input).removeOrphanFiles(input.getLong(1), dryRun = true).size.toLong
+            else table(input).removeOrphanFilesCount(input.getLong(1))
+          Seq(Seq(n))
+        }),
       new GraftProcedure(
         "add_files",
         Seq(in("table", StringType), in("source", StringType)),

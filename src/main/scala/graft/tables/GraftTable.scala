@@ -1393,14 +1393,19 @@ class GraftTable(
     this
   }
 
-  /** Remove files under `location/data` that no snapshot references and
-    * that are older than `olderThanMs` (grace period: a concurrent write
-    * may have files on disk before its commit lands). Returns the paths
-    * it deleted (driver-resident — fine for interactive use; the SQL
-    * procedure goes through [[removeOrphanFilesCount]] which never
-    * materializes the list). */
-  def removeOrphanFiles(olderThanMs: Long): Seq[String] =
-    reclaimOrphans(olderThanMs, collectPaths = true)._2
+  /** Remove files under `location/data` and `location/metadata` that no
+    * table metadata references and that are older than `olderThanMs`
+    * (grace period: a concurrent write may have files on disk before its
+    * commit lands). The referenced set spans every snapshot's manifest
+    * ENTRIES regardless of status (a DELETED entry's file stays
+    * protected while any retained manifest names it), every manifest and
+    * manifest list, and the statistics files; `*.metadata.json[.gz]` and
+    * `version-hint.text` are never candidates. `dryRun` returns the
+    * candidates without deleting. Returns the paths (driver-resident —
+    * fine for interactive use; the SQL procedure goes through
+    * [[removeOrphanFilesCount]] which never materializes the list). */
+  def removeOrphanFiles(olderThanMs: Long, dryRun: Boolean = false): Seq[String] =
+    reclaimOrphans(olderThanMs, collectPaths = true, dryRun = dryRun)._2
 
   /** Count-only orphan reclamation: at 100 TB the orphan set can be
     * millions of paths — the procedure needs the count, not a
@@ -1416,23 +1421,42 @@ class GraftTable(
     * tree or issues a delete. A serial fallback covers bare library use
     * with no session. */
   private def reclaimOrphans(
-      olderThanMs: Long, collectPaths: Boolean): (Long, Seq[String]) = {
+      olderThanMs: Long, collectPaths: Boolean,
+      dryRun: Boolean = false): (Long, Seq[String]) = {
     // a stale in-memory handle must not decide what is "unreferenced":
     // another writer's committed files would look orphaned
     refresh()
     // an unreadable manifest means the reference set is UNKNOWN — abort
-    // rather than deleting files that might be live
+    // rather than deleting files that might be live. Every manifest
+    // ENTRY's file is protected regardless of status, plus the manifests,
+    // manifest lists and statistics files themselves (metadata/ is listed
+    // too).
     val referenced: Set[String] =
-      try metadata.snapshots.flatMap(s =>
-        planFiles(s).map(p => GraftTable.normPathStr(p.file.filePath))).toSet
-      catch { case _: Throwable => return (0L, Nil) }
+      try {
+        val b = Set.newBuilder[String]
+        def ref0(p: String): Unit = b += GraftTable.normPathStr(relocate(p))
+        metadata.statistics.foreach(st => ref0(st.statisticsPath))
+        metadata.partitionStatistics.foreach(st => ref0(st.statisticsPath))
+        metadata.snapshots.foreach { s =>
+          ref0(s.manifestList)
+          ManifestIO.readManifestList(conf, relocate(s.manifestList)).foreach { le =>
+            ref0(le.manifestPath)
+            // partition names irrelevant — only file paths are harvested
+            ManifestIO.readManifest(conf, relocate(le.manifestPath), Nil)
+              .foreach(e => ref0(e.dataFile.filePath))
+          }
+        }
+        b.result()
+      } catch { case _: Throwable => return (0L, Nil) }
     val dataDir = new Path(s"$location/data")
+    val metaDir = new Path(s"$location/metadata")
     val fs = dataDir.getFileSystem(conf)
-    if (!fs.exists(dataDir)) return (0L, Nil)
+    if (!fs.exists(dataDir) && !fs.exists(metaDir)) return (0L, Nil)
     SparkSession.getActiveSession match {
       case Some(spark) =>
         import spark.implicits._
-        val prefixes = fs.listStatus(dataDir).map(_.getPath.toString).toSeq
+        val prefixes = Seq(dataDir, metaDir).filter(fs.exists)
+          .flatMap(d => fs.listStatus(d).map(_.getPath.toString))
         if (prefixes.isEmpty) return (0L, Nil)
         val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
         val listParts = math.max(1, math.min(prefixes.size, 256))
@@ -1448,7 +1472,8 @@ class GraftTable(
               while (it.hasNext) {
                 val f = it.next()
                 if (f.isFile && f.getModificationTime < olderThanMs &&
-                  !f.getPath.getName.startsWith("."))
+                  !f.getPath.getName.startsWith(".") &&
+                  !GraftTable.orphanProtected(f.getPath.getName))
                   out += ((GraftTable.normPathStr(f.getPath.toUri.getPath),
                     f.getPath.toString))
               }
@@ -1481,27 +1506,32 @@ class GraftTable(
           done.iterator
         }
         val paths: Seq[String] =
-          if (collectPaths) orphans.mapPartitions(del).collect().toSeq
+          if (dryRun) orphans.collect().map(_._2).toSeq
+          else if (collectPaths) orphans.mapPartitions(del).collect().toSeq
           else {
             orphans.foreachPartition((it: Iterator[(String, String)]) => { del(it); () })
             Nil
           }
         Metrics.inc(Metrics.MaintenanceFilesDeleted, deletedAcc.value)
         Metrics.inc(Metrics.MaintenanceExecutorDeletes, execAcc.value)
-        (deletedAcc.value, paths)
+        (if (dryRun) paths.size.toLong else deletedAcc.value, paths)
       case None =>
-        val it = fs.listFiles(dataDir, true)
         val deleted = scala.collection.mutable.ArrayBuffer[String]()
-        while (it.hasNext) {
-          val f = it.next()
-          val p = GraftTable.normPathStr(f.getPath.toUri.getPath)
-          if (f.isFile && !referenced.contains(p) &&
-            f.getModificationTime < olderThanMs &&
-            !f.getPath.getName.startsWith(".")) {
-            if (fs.delete(f.getPath, false)) deleted += p
+        Seq(dataDir, metaDir).filter(fs.exists).foreach { d =>
+          val it = fs.listFiles(d, true)
+          while (it.hasNext) {
+            val f = it.next()
+            val p = GraftTable.normPathStr(f.getPath.toUri.getPath)
+            if (f.isFile && !referenced.contains(p) &&
+              f.getModificationTime < olderThanMs &&
+              !f.getPath.getName.startsWith(".") &&
+              !GraftTable.orphanProtected(f.getPath.getName)) {
+              if (dryRun) deleted += p
+              else if (fs.delete(f.getPath, false)) deleted += p
+            }
           }
         }
-        Metrics.inc(Metrics.MaintenanceFilesDeleted, deleted.size.toLong)
+        if (!dryRun) Metrics.inc(Metrics.MaintenanceFilesDeleted, deleted.size.toLong)
         (deleted.size.toLong, deleted.toSeq)
     }
   }
@@ -2750,4 +2780,11 @@ object GraftTable {
 
   def normPath(c: Column): Column =
     org.apache.spark.sql.functions.regexp_replace(c, "^file:/+", "/")
+
+  /** names orphan reclamation must NEVER delete: the version files and
+    * hint carry the table's recovery chain (protected even when a
+    * metadata-log retention pass dropped them from the log) */
+  def orphanProtected(name: String): Boolean =
+    name.endsWith(".metadata.json") || name.endsWith(".metadata.json.gz") ||
+      name == "version-hint.text"
 }

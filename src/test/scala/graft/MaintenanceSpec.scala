@@ -179,6 +179,58 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.scan(spark).count() === src.count())
   }
 
+  test("remove_orphan_files deletes only old unreferenced files") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val loc = tmpLocation("orphans")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(src.schema), IcePartitionSpec(0, Nil))
+    t.append(spark, src)
+    t.append(spark, src.limit(2))
+    // plant orphans: a stale leftover under data/ and one under metadata/
+    val staleData = new java.io.File(s"$loc/data/aborted-write/leftover.parquet")
+    staleData.getParentFile.mkdirs()
+    Files.write(staleData.toPath, Array[Byte](1, 2, 3))
+    val staleMeta = new java.io.File(s"$loc/metadata/stale.avro")
+    Files.write(staleMeta.toPath, Array[Byte](4, 5))
+    staleData.setLastModified(System.currentTimeMillis() - 10L * 24 * 3600 * 1000)
+    staleMeta.setLastModified(System.currentTimeMillis() - 10L * 24 * 3600 * 1000)
+    // a FRESH unreferenced file must survive (in-flight writer guard)
+    val freshData = new java.io.File(s"$loc/data/in-flight/fresh.parquet")
+    freshData.getParentFile.mkdirs()
+    Files.write(freshData.toPath, Array[Byte](9))
+
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    // dry run reports, deletes nothing
+    val dry = t.removeOrphanFiles(cutoff, dryRun = true)
+    assert(dry.map(new java.io.File(_).getName).toSet === Set("leftover.parquet", "stale.avro"))
+    assert(staleData.exists() && staleMeta.exists())
+    // real run deletes exactly those
+    val removed = t.removeOrphanFiles(cutoff)
+    assert(removed.size === 2)
+    assert(!staleData.exists() && !staleMeta.exists())
+    assert(freshData.exists(), "fresh unreferenced file must survive")
+    // nothing referenced was touched: table reads intact, every metadata
+    // version still present
+    assert(t.scan(spark).count() === src.count() + 2)
+    val t2 = StorageCatalog.loadTable(conf, loc)
+    assert(t2.metadata.snapshots.size === 2)
+    // the procedure surface
+    val wh = new java.io.File(loc).getParent
+    spark.conf.set("spark.sql.catalog.orphcat", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.orphcat.warehouse", wh)
+    try {
+      val res = spark.sql(
+        s"""CALL orphcat.system.remove_orphan_files(
+           |  table => '${new java.io.File(loc).getName}',
+           |  older_than_ms => $cutoff, dry_run => true)""".stripMargin)
+        .collect()
+      assert(res.head.getLong(0) === 0L) // nothing old+unreferenced remains
+    } finally {
+      spark.conf.unset("spark.sql.catalog.orphcat")
+      spark.conf.unset("spark.sql.catalog.orphcat.warehouse")
+    }
+  }
+
   test("expire snapshots drops old history but keeps current") {
     val src = spark.read.parquet(s"$sfDir/region.parquet")
     val loc = tmpLocation("expire")

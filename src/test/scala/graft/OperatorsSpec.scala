@@ -545,6 +545,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(out(1).getDouble(2) - exp2) < 1e-5)
   }
 
+  test("classifier AUC: exact tie-corrected rank sum") {
+    // scores [1,1,2,3] labels [F,T,F,T]: pairs (1,1)=0.5 (1,2)=0
+    // (3,1)=1 (3,2)=1 -> AUC = 2.5/4 = 0.625
+    val d = Seq((1.0, false), (1.0, true), (2.0, false), (3.0, true))
+      .toDF("score", "lab")
+    val r = Selection.classifierAuc(d, "score", col("lab")).collect().head
+    assert(r.getDouble(0) === 0.625)
+    assert(r.getLong(1) === 2L && r.getLong(2) === 2L)
+    // perfect separation and inverse separation
+    val sep = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true)).toDF("score", "lab")
+    assert(Selection.classifierAuc(sep, "score", col("lab")).collect().head.getDouble(0) === 1.0)
+    assert(Selection.classifierAuc(sep, "score", !col("lab")).collect().head.getDouble(0) === 0.0)
+  }
+
+  test("stratified exact-k equals the direct window; small strata keep all") {
+    val d = (0 until 200).map(i => (i.toLong, s"g${i % 3}"))
+      .toDF("id", "grp")
+      .union(Seq((9001L, "tiny"), (9002L, "tiny")).toDF("id", "grp"))
+    val got = Sampling.stratifiedSampleExact(d, "id", "grp", k = 7, shards = 4)
+      .select("id", "grp").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // direct one-window reference
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("grp")
+      .orderBy(md5(col("id").cast(org.apache.spark.sql.types.StringType)), col("id"))
+    val ref = d.withColumn("rn", row_number().over(w)).filter(col("rn") <= 7)
+      .select("id", "grp").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === ref)
+    assert(got.count(_._2 == "g0") === 7)
+    assert(got.count(_._2 == "tiny") === 2, "stratum smaller than k keeps all rows")
+  }
+
   test("audio features: windowed mean/rms/peak over real decoded stereo PCM") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     // stereo, 3 frames: L = [100, -200, 300], R = [7, 7, 7], window of 2
