@@ -915,6 +915,12 @@ object SparkEntry {
           col("n_tokens").cast(LongType).as("n_tokens"),
           col("mean_word_len"), col("stopword_ratio"))
     }),
+    "text_gopher" -> ((s, dir) => {
+      // the published Gopher quality rules as one map-only composite
+      // filter (per-rule booleans + conjunction) — the first gate of a
+      // web pipeline, before dedup/classifiers see the junk
+      TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")
+    }),
     "text_langid" -> ((s, dir) => {
       TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")
     }),
@@ -2991,6 +2997,51 @@ object SparkEntry {
         |        x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE)
         |    / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio
         |FROM documents""".stripMargin,
+    // exact replica of TextAnalysis.gopherRules: same splits, same
+    // integer counts, same exact-double divisions — rule booleans agree
+    // bit-for-bit (boundary comparisons divide exact integers)
+    "text_gopher" ->
+      """WITH base AS (
+        |  SELECT doc_id, text AS t,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> length(x) > 0) AS words,
+        |    list_filter(list_transform(string_split(text, chr(10)),
+        |      l -> trim(l)), l -> length(l) > 0) AS lines
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, t, words, lines,
+        |    len(words) AS nw, len(lines) AS nl,
+        |    CASE WHEN len(words) > 0 THEN
+        |      CAST(list_aggregate(list_transform(words, x -> length(x)), 'sum') AS DOUBLE)
+        |        / len(words) ELSE 0.0 END AS mean_len,
+        |    CASE WHEN len(words) > 0 THEN
+        |      CAST((length(t) - length(regexp_replace(t, '#', '', 'g')))
+        |        + (length(t) - length(regexp_replace(t, '\.\.\.', '', 'g'))) / 3
+        |        AS DOUBLE) / len(words) ELSE 0.0 END AS sym_ratio,
+        |    CASE WHEN len(lines) > 0 THEN
+        |      CAST(len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%')) AS DOUBLE)
+        |        / len(lines) ELSE 0.0 END AS bullet_frac,
+        |    CASE WHEN len(lines) > 0 THEN
+        |      CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE)
+        |        / len(lines) ELSE 0.0 END AS ellipsis_frac,
+        |    CASE WHEN len(words) > 0 THEN
+        |      CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |        / len(words) ELSE 0.0 END AS alpha_frac,
+        |    len(list_intersect(list_distinct(list_transform(words, x -> lower(x))),
+        |      ['the','be','to','of','and','that','have','with'])) AS req_stops
+        |  FROM base)
+        |SELECT doc_id,
+        |  nw >= 50 AND nw <= 100000 AS r_word_count,
+        |  mean_len >= 3.0 AND mean_len <= 10.0 AS r_mean_word_len,
+        |  sym_ratio <= 0.1 AS r_symbol_ratio,
+        |  bullet_frac <= 0.9 AS r_bullet_lines,
+        |  ellipsis_frac <= 0.3 AS r_ellipsis_lines,
+        |  alpha_frac >= 0.8 AS r_alpha_words,
+        |  req_stops >= 2 AS r_stopwords,
+        |  (nw >= 50 AND nw <= 100000) AND (mean_len >= 3.0 AND mean_len <= 10.0)
+        |    AND sym_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+        |    AND alpha_frac >= 0.8 AND req_stops >= 2 AS pass
+        |FROM m""".stripMargin,
     // decoded-image oracles: the PNG payloads are generated from doc_id by
     // fixed integer formulas, so DuckDB predicts what imageio must decode
     "mm_resize" ->

@@ -187,6 +187,64 @@ object TextAnalysis {
   def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), text.langId(col(textCol)).as("lang_pred"))
 
+  /** The published Gopher document-quality rules (Rae et al. 2021,
+    * A1.1) as ONE composite filter — the standard first gate of a web
+    * pipeline, run BEFORE the expensive stages so dedup/classifiers
+    * never see the junk. Each rule surfaces as its own boolean (a
+    * rejected doc says WHY) plus the conjunction `pass`:
+    *
+    *  - 50 ≤ word count ≤ 100000
+    *  - 3 ≤ mean word length ≤ 10
+    *  - symbol-to-word ratio ('#' and '...') ≤ 0.1
+    *  - ≤ 90% of lines start with a bullet ('-', '*')
+    *  - ≤ 30% of lines end with an ellipsis
+    *  - ≥ 80% of words contain an alphabetic character
+    *  - ≥ 2 distinct members of the required-stopword set
+    *    {the, be, to, of, and, that, have, with}
+    *
+    * Map-only over built-in expressions (split/filter/size — all
+    * codegen'd); zero-word docs fail with ratios defined as 0 so both
+    * engines agree on degenerate inputs. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(trim(t), "\\s+"), w => length(w) > 0)
+    val nW = size(words)
+    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => length(l) > 0)
+    val nL = size(lines)
+    val meanLen = when(nW > 0,
+      aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast(DoubleType) / nW)
+      .otherwise(lit(0.0))
+    val nHash = length(t) - length(regexp_replace(t, "#", ""))
+    val nEll = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    val symRatio = when(nW > 0, (nHash + nEll).cast(DoubleType) / nW).otherwise(lit(0.0))
+    val bulletFrac = when(nL > 0,
+      size(filter(lines, l => l.startsWith("-") || l.startsWith("*")))
+        .cast(DoubleType) / nL).otherwise(lit(0.0))
+    val ellipsisFrac = when(nL > 0,
+      size(filter(lines, l => l.endsWith("..."))).cast(DoubleType) / nL)
+      .otherwise(lit(0.0))
+    val alphaFrac = when(nW > 0,
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast(DoubleType) / nW)
+      .otherwise(lit(0.0))
+    val reqStops = size(array_intersect(
+      array_distinct(transform(words, w => lower(w))),
+      typedLit(Seq("the", "be", "to", "of", "and", "that", "have", "with"))))
+    val rWords = nW >= 50 && nW <= 100000
+    val rMean = meanLen >= 3.0 && meanLen <= 10.0
+    val rSym = symRatio <= 0.1
+    val rBullet = bulletFrac <= 0.9
+    val rEll = ellipsisFrac <= 0.3
+    val rAlpha = alphaFrac >= 0.8
+    val rStops = reqStops >= 2
+    df.select(
+      col(idCol),
+      rWords.as("r_word_count"), rMean.as("r_mean_word_len"),
+      rSym.as("r_symbol_ratio"), rBullet.as("r_bullet_lines"),
+      rEll.as("r_ellipsis_lines"), rAlpha.as("r_alpha_words"),
+      rStops.as("r_stopwords"),
+      (rWords && rMean && rSym && rBullet && rEll && rAlpha && rStops).as("pass"))
+  }
+
   /** Line-level corpus dedup (the CCNet boilerplate pass, Wenzek et al.
     * 2020): a line that occurs in at least `minDocs` DISTINCT documents is
     * boilerplate (headers, nav bars, cookie banners) and is removed from

@@ -545,6 +545,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(out(1).getDouble(2) - exp2) < 1e-5)
   }
 
+  test("Gopher rules: each rule trips on its own pathology") {
+    import graft.operators.TextAnalysis
+    // 75 words, mean length 4.5, five required stopwords — passes all
+    val good =
+      ("the quick brown foxes jumped over those lazy dogs and that have with great energy " * 5).trim
+    val docs = Seq(
+      (1L, good),
+      (2L, "the be short"), // < 50 words
+      (3L, ("a " * 60).trim + " the be"), // mean word length < 3
+      (4L, (("the be of and that have with " + "#### " * 3) * 8).trim), // symbols
+      (5L, (0 until 20).map(i => s"- the be of and that have with item$i x1 x2")
+        .mkString("\n")), // 100% bullet lines
+      (6L, (0 until 20).map(i => s"the be of and that have with line$i x1 x2...")
+        .mkString("\n")), // 100% ellipsis endings
+      (7L, ("1 2 3 4 5 6 7 8 " * 8).trim + " the be"), // < 80% alphabetic words
+      (8L, ("apple banana cherry dog egg fox grape hat ice jug " * 6).trim) // no req stopwords
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getBoolean(8), "clean doc passes")
+    assert(!r(2L).getBoolean(1) && !r(2L).getBoolean(8), "word count")
+    assert(!r(3L).getBoolean(2), "mean word length")
+    assert(!r(4L).getBoolean(3), "symbol ratio")
+    assert(!r(5L).getBoolean(4), "bullet lines")
+    assert(!r(6L).getBoolean(5), "ellipsis lines")
+    assert(!r(7L).getBoolean(6), "alpha words")
+    assert(!r(8L).getBoolean(7) && !r(8L).getBoolean(8), "required stopwords")
+  }
+
   test("classifier AUC: exact tie-corrected rank sum") {
     // scores [1,1,2,3] labels [F,T,F,T]: pairs (1,1)=0.5 (1,2)=0
     // (3,1)=1 (3,2)=1 -> AUC = 2.5/4 = 0.625
