@@ -206,12 +206,16 @@ object Bench {
     )
   }
 
+  /** round-9 additions: the quality-gate/calibration/sampling trio */
+  val round9Headline: Seq[String] = Seq(
+    "text_gopher", "select_auc", "sample_stratified_k")
+
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —
     * by round 8 one JVM executed 62 queries and the untouched legacy
     * group drifted 22% from accumulated JVM state (codegen cache, GC
     * history, metaspace), rotting the signal */
-  val groups: Seq[String] = Seq("legacy", "tpch", "r8", "dml")
+  val groups: Seq[String] = Seq("legacy", "tpch", "r8", "r9", "dml")
 
   private def openSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -268,6 +272,7 @@ object Bench {
       case "legacy" => headline.filter(qs.contains).map(n => n -> median(n))
       case "tpch" => tpchHeadline.filter(qs.contains).map(n => n -> median(n))
       case "r8" => round8Headline.filter(qs.contains).map(n => n -> median(n))
+      case "r9" => round9Headline.filter(qs.contains).map(n => n -> median(n))
       case "dml" =>
         val dmlResults = dmlHeadline.filter(dmlOps.contains).map(n => n -> medianOp(n))
         // jumbo-mode MoR scan: same sql_mor_delete surface with both delete
@@ -324,7 +329,9 @@ object Bench {
         // composed pipelines — each a multi-stage shape whose scaling the
         // sf0.1 curve can't certify
         "stats_ndv", "ice_row_lineage", "text_perplexity",
-        "pipeline_corpus", "pipeline_curriculum"))
+        "pipeline_corpus", "pipeline_curriculum",
+        // round-9 trio: map-only rules, AUC prefix sum, two-stage top-k
+        "text_gopher", "select_auc", "sample_stratified_k"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }
