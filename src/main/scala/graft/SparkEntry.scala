@@ -1484,6 +1484,24 @@ object SparkEntry {
       tbl.rewriteDataFiles(s)
       tbl.scan(s)
     }),
+    "ice_merge_schema" -> ((s, dir) => {
+      // append(mergeSchema = true): a wider input evolves the table
+      // union-by-name FIRST (new optional column + int->long widening)
+      // instead of silently dropping the extra column
+      val src = t(s, dir, "nation")
+      val tbl = freshTable(s, "ice_merge_schema",
+        src.select(col("n_nationkey").cast(IntegerType).as("n_nationkey"),
+          col("n_name")))
+      tbl.append(s, src.select(
+        col("n_nationkey").cast(IntegerType).as("n_nationkey"), col("n_name")))
+      tbl.append(s,
+        src.select(col("n_nationkey").cast(LongType).as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast(LongType).as("n_regionkey")),
+        mergeSchema = true)
+      tbl.scan(s).select(
+        col("n_nationkey").cast(LongType).as("n_nationkey"),
+        col("n_name"), col("n_regionkey").cast(LongType).as("n_regionkey"))
+    }),
     "ice_schema_evolution" -> ((s, dir) => {
       // add a column with a fresh field id (old files surface null), then
       // a REQUIRED column with a default (old files surface the default —
@@ -4032,6 +4050,12 @@ object SparkEntry {
         |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
         |FROM lineitem""".stripMargin,
     "ice_compact" -> "SELECT * FROM orders WHERE o_orderstatus <> 'P'",
+    "ice_merge_schema" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(NULL AS BIGINT) AS n_regionkey FROM nation
+        |UNION ALL
+        |SELECT CAST(n_nationkey AS BIGINT), n_name,
+        |  CAST(n_regionkey AS BIGINT) FROM nation""".stripMargin,
     "ice_schema_evolution" ->
       """SELECT n_nationkey, n_name, n_regionkey, CAST(NULL AS DOUBLE) AS score,
         |  'standard' AS grade FROM nation

@@ -640,9 +640,74 @@ class GraftTable(
 
   // ---------- write paths ----------
 
-  def append(spark: SparkSession, df: DataFrame): GraftTable = {
-    val files = TableWrite.writeDataFiles(this, spark, df)
-    commit(spark, "append", addedData = files, addedDeletes = Nil, replace = false)
+  def append(spark: SparkSession, df: DataFrame): GraftTable =
+    append(spark, df, mergeSchema = false)
+
+  /** `mergeSchema = true` (or the `write.merge-schema` table property)
+    * evolves the table FIRST so a wider input is kept instead of
+    * silently dropped: union-by-name new columns (top-level and nested
+    * struct fields) are added as optional, and spec-legal type widenings
+    * (int→long, float→double, decimal scale-preserving precision growth)
+    * are applied — the same rules as Iceberg's mergeSchema write option.
+    * Anything else (narrowing, incompatible types) still fails the
+    * write. Evolution is metadata-only and commits with the data in the
+    * usual two steps (schema commit retries independently). */
+  def append(spark: SparkSession, df: DataFrame, mergeSchema: Boolean): GraftTable = {
+    val t =
+      if (mergeSchema || metadata.properties.get("write.merge-schema").contains("true"))
+        mergeSchemaWith(df)
+      else this
+    val files = TableWrite.writeDataFiles(t, spark, df)
+    t.commit(spark, "append", addedData = files, addedDeletes = Nil, replace = false)
+  }
+
+  /** union-by-name schema evolution toward `df`'s schema (see append) */
+  private def mergeSchemaWith(df: DataFrame): GraftTable = {
+    def iceTypeOf(dt: org.apache.spark.sql.types.DataType): IceType =
+      SchemaConvert.fromSparkSchema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x", dt)))).fields.head.fieldType
+    def widened(cur: IceType, in: IceType): Option[IceType] = (cur, in) match {
+      case (IcePrim("int"), IcePrim("long")) => Some(IcePrim("long"))
+      case (IcePrim("float"), IcePrim("double")) => Some(IcePrim("double"))
+      case (IceDecimal(p1, s1), IceDecimal(p2, s2)) if s1 == s2 && p2 > p1 =>
+        Some(IceDecimal(p2, s1))
+      case _ => None
+    }
+    var t = this
+    def walk(path: Seq[String], inType: org.apache.spark.sql.types.DataType): Unit = {
+      t.findPathIn(path) match {
+        case None =>
+          val ice = iceTypeOf(inType)
+          if (path.length == 1) t = t.addColumn(path.head, ice)
+          else t = t.addColumnPath(path, ice)
+        case Some(f) =>
+          (f.fieldType, inType) match {
+            case (_: IceStruct, st: org.apache.spark.sql.types.StructType) =>
+              st.fields.foreach(sf => walk(path :+ sf.name, sf.dataType))
+            case (curT, _) =>
+              widened(curT, iceTypeOf(inType)).foreach { w =>
+                t =
+                  if (path.length == 1) t.updateColumnType(path.head, w)
+                  else t.updateColumnTypePath(path, w)
+              }
+          }
+      }
+    }
+    df.schema.fields.foreach(f => walk(Seq(f.name), f.dataType))
+    t
+  }
+
+  /** path lookup in THIS handle's current schema (helper for merge) */
+  private def findPathIn(path: Seq[String]): Option[IceField] = {
+    def go(fs: List[IceField], p: Seq[String]): Option[IceField] = p match {
+      case Seq(h) => fs.find(_.name == h)
+      case h +: rest => fs.find(_.name == h).flatMap(_.fieldType match {
+        case IceStruct(children) => go(children, rest)
+        case _ => None
+      })
+      case _ => None
+    }
+    go(metadata.currentSchema.fields, path)
   }
 
   def overwrite(spark: SparkSession, df: DataFrame): GraftTable = {

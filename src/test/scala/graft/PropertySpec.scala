@@ -159,6 +159,32 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("classifier AUC equals brute-force pair counting on random data") {
+    // AUC is DEFINED as P(score_pos > score_neg) + 0.5*P(=) over all
+    // (pos, neg) pairs; the distributed rank-sum must match the O(n^2)
+    // definition exactly (2U is integer arithmetic — no tolerance)
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val gen = for {
+      n <- Gen.choose(2, 60)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(-5, 5), Gen.oneOf(true, false)))
+      if rows.exists(_._2) && rows.exists(!_._2) // both classes present
+    } yield rows.map { case (s, l) => (s.toDouble, l) }
+    check(Prop.forAllNoShrink(gen) { rows =>
+      val got = graft.operators.Selection
+        .classifierAuc(rows.toDF("score", "lab"), "score", col("lab"), numBuckets = 3)
+        .collect().head.getDouble(0)
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      val u = (for { p <- pos; q <- neg } yield
+        if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+      val expect = BigDecimal(u / (pos.size.toDouble * neg.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      got == expect
+    })
+  }
+
   test("partition-transform row evaluator agrees with the Catalyst expressions") {
     // TransformEval (native writer) and transforms.* (facade writer) must
     // compute identical partition values — shuffles and manifests both

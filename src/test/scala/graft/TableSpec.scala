@@ -356,6 +356,37 @@ class TableSpec extends AnyFunSuite {
     assert(entries.head.sequenceNumber === 3L)
   }
 
+  test("append mergeSchema: wider input evolves the table instead of dropping") {
+    val loc = tmpLocation("mergeschema")
+    val base = spark.range(0, 10).selectExpr(
+      "cast(id as int) AS k", "concat('v', id) AS v")
+    val t0 = StorageCatalog.createOrReplaceTable(
+      conf, loc, SchemaConvert.fromSparkSchema(base.schema), IcePartitionSpec(0, Nil))
+    t0.append(spark, base)
+    // wider input: k widened int->long, new column w
+    val wide = spark.range(10, 20).selectExpr(
+      "id AS k", "concat('v', id) AS v", "id * 2 AS w")
+    // without mergeSchema the new column is dropped (documented behavior)
+    t0.append(spark, wide)
+    assert(!t0.metadata.currentSchema.fields.exists(_.name == "w"))
+    // with mergeSchema the table evolves first
+    t0.append(spark, wide, mergeSchema = true)
+    val sch = t0.metadata.currentSchema
+    assert(sch.findField("k").get.fieldType === IcePrim("long"))
+    assert(sch.findField("w").get.fieldType === IcePrim("long"))
+    assert(!sch.findField("w").get.required)
+    val back = t0.scan(spark)
+    assert(back.count() === 30)
+    // pre-evolution rows read w as null; merged rows carry values
+    assert(back.filter(col("w").isNull).count() === 20)
+    assert(back.filter(col("w") === 30L).count() === 1)
+    // an int input into the now-long column upcasts; NEVER narrows back
+    val n2 = spark.range(30, 31).selectExpr(
+      "cast(id as int) AS k", "concat('v', id) AS v", "id * 2 AS w")
+    t0.append(spark, n2, mergeSchema = true) // int input into long column: fine, upcast
+    assert(t0.metadata.currentSchema.findField("k").get.fieldType === IcePrim("long"))
+  }
+
   test("decimal partition values write as spec fixed[n], round-trip exact") {
     // the Iceberg spec's Avro mapping for decimals is fixed[minBytesFor(P)]
     // with the decimal logical type — Java Iceberg manifest readers
