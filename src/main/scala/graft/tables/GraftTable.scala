@@ -1096,11 +1096,20 @@ class GraftTable(
     // (monotonic id per partition, partitions in order) — CDC sources
     // with a meaningful op order should sort the input first. One keyed
     // window shuffle, inherent to upsert semantics.
-    val ordered = df.withColumn("_graft_seq", monotonically_increasing_id())
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys0.map(col): _*).orderBy(col("_graft_seq").desc)
-    val lastOps = ordered.withColumn("_graft_rn", row_number().over(w))
-      .filter(col("_graft_rn") === 1).drop("_graft_seq", "_graft_rn")
+    // pipelines that GUARANTEE unique keys per batch can skip the keyed
+    // window with `write.upsert.dedup=false` (one shuffle saved; the
+    // semantics are then the caller's responsibility — duplicate keys
+    // would all land as rows, like Iceberg MERGE refusing dup sources)
+    val dedup = !metadata.properties.get("write.upsert.dedup").contains("false")
+    val lastOps =
+      if (!dedup) df
+      else {
+        val ordered = df.withColumn("_graft_seq", monotonically_increasing_id())
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys0.map(col): _*).orderBy(col("_graft_seq").desc)
+        ordered.withColumn("_graft_rn", row_number().over(w))
+          .filter(col("_graft_rn") === 1).drop("_graft_seq", "_graft_rn")
+      }
     val (inserts, allKeys) = opCol match {
       case Some(oc) =>
         (lastOps.filter(col(oc) =!= lit(2)).drop(oc), df.select(keys0.map(col): _*).distinct())
