@@ -1050,6 +1050,16 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "lang", k = 5)
         .select(col("doc_id"), col("lang"))
     }),
+    "sample_epochs" -> ((s, dir) => {
+      // epoch-aware mixture: domains above their natural share UPSAMPLE
+      // by repetition (epoch index per copy, capped at 3) — rate floor
+      // gives full copies, the hash-selected fraction gets one more
+      Selection.mixtureSampleEpochs(t(s, dir, "documents"), "doc_id",
+        "source", "n_chars",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+        budget = 0.5, maxEpochs = 3)
+        .select(col("doc_id"), col("source"), col("epoch"))
+    }),
     "text_fingerprint" -> ((s, dir) => {
       // DuckDB cannot reproduce the wrapping-Long rolling hash, so the
       // oracle is the winnowing decomposition law: the w-byte windows of
@@ -3596,6 +3606,34 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY lang
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) WHERE rn <= 5""".stripMargin,
+    // exact replica of Selection.mixtureSampleEpochs: same rate formula
+    // (no 1.0 cap, LEAST(maxEpochs)), floor -> full copies, md5-prefix
+    // threshold on the FRACTIONAL part -> one extra, epoch = copy index
+    "sample_epochs" ->
+      """WITH hist AS (
+        |  SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS tok
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)) AS t(source, wt)),
+        |tot AS (SELECT SUM(tok) AS T FROM hist),
+        |rates AS (
+        |  SELECT w.source, LEAST(3.0, 0.5 * wt * T / tok) AS rate
+        |  FROM w JOIN hist ON w.source = hist.source, tot),
+        |spec AS (
+        |  SELECT source, CAST(floor(rate) AS BIGINT) AS cfull,
+        |    rate - floor(rate) AS frac FROM rates),
+        |thr AS (
+        |  SELECT source, cfull,
+        |    CASE WHEN frac >= 1.0 OR CAST(round(frac * 65536) AS BIGINT) >= 65536
+        |         THEN 'g'
+        |         ELSE printf('%04x', CAST(round(frac * 65536) AS BIGINT)) END AS h
+        |  FROM spec),
+        |base AS (
+        |  SELECT d.doc_id, d.source,
+        |    cfull + (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < h
+        |             THEN 1 ELSE 0 END) AS n
+        |  FROM documents d JOIN thr ON d.source = thr.source)
+        |SELECT doc_id, source, CAST(unnest(range(n)) AS BIGINT) AS epoch
+        |FROM base WHERE n > 0""".stripMargin,
     "dedup_resolve" ->
       """WITH RECURSIVE s AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)),

@@ -377,6 +377,53 @@ object Selection {
       defaultFraction = 0.0, salt = salt)
   }
 
+  /** Epoch-aware mixture sampling: like [[mixtureSample]] but domains
+    * whose target share EXCEEDS their natural share UPSAMPLE by
+    * repetition — the "N epochs of the small high-quality domain"
+    * pattern every real mixture uses (capped at `maxEpochs`; repeating
+    * data past a few epochs hurts). Each kept row carries an `epoch`
+    * index: rate r yields floor(r) full copies plus one more for the
+    * hash-selected frac(r) of keys — deterministic by key, so re-runs
+    * and backfills produce identical copies.
+    *
+    * Scale: the domain histogram is ONE aggregate; the expansion is a
+    * map-side broadcast join + `explode(sequence(...))` — output rows
+    * are exactly the repetition budget, nothing about the corpus
+    * shuffles. */
+  def mixtureSampleEpochs(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      tokenCountCol: String,
+      weights: Map[String, Double],
+      budget: Double,
+      maxEpochs: Int = 4,
+      salt: String = ""): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df.groupBy(col(domainCol)).agg(
+      sum(col(tokenCountCol)).cast(DoubleType).as("tok")).collect()
+    val total = hist.map(_.getDouble(1)).sum
+    val tokOf = hist.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val spec = weights.toSeq.map { case (d, w) =>
+      val tok = tokOf.getOrElse(d, 0.0)
+      val rate =
+        if (tok <= 0) 0.0 else math.min(maxEpochs.toDouble, budget * w * total / tok)
+      val full = math.floor(rate).toInt
+      (d, full, Sampling.hexThreshold(rate - full))
+    }.toDF(domainCol, "_full", "_thr")
+    df.join(broadcast(spec), Seq(domainCol))
+      .withColumn("_extra",
+        when(substring(md5(concat(lit(salt), col(idCol).cast(StringType))), 1, 4)
+          < col("_thr"), 1).otherwise(0))
+      .withColumn("_n", col("_full") + col("_extra"))
+      .filter(col("_n") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("_n").cast(LongType) - 1L)))
+      .drop("_full", "_thr", "_extra", "_n")
+  }
+
   /** Exact ROC-AUC of a score column against boolean labels — the
     * calibration gate a quality classifier passes BEFORE it filters
     * 100 TB (ship a filter with AUC 0.55 and the corpus it keeps is

@@ -574,6 +574,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!r(8L).getBoolean(7) && !r(8L).getBoolean(8), "required stopwords")
   }
 
+  test("epoch mixture: upsampling repeats deterministically, capped") {
+    // tiny domain with half the target share of a big one: rate > 1 for
+    // the small one (full copies + fractional extra), rate < 1 downsamples
+    // the big one; epochs are contiguous 0..n-1 per kept doc
+    val docs = ((0 until 10).map(i => (i.toLong, "small", 10L)) ++
+      (100 until 200).map(i => (i.toLong, "big", 10L)))
+      .toDF("doc_id", "source", "n_tok")
+    val out = Selection.mixtureSampleEpochs(
+      docs, "doc_id", "source", "n_tok",
+      Map("small" -> 0.5, "big" -> 0.5), budget = 1.0, maxEpochs = 3)
+      .select("doc_id", "source", "epoch").collect()
+    val bySrc = out.groupBy(_.getString(1))
+    // small: rate = min(3, 1.0*0.5*1100/100) = 3.0 -> every doc x3
+    assert(bySrc("small").length === 30)
+    assert(bySrc("small").groupBy(_.getLong(0)).values.forall(
+      g => g.map(_.getLong(2)).sorted.sameElements(Seq(0L, 1L, 2L))))
+    // big: rate = 0.5*1100/1000 = 0.55 -> hash-sampled subset, epoch 0 only
+    assert(bySrc("big").forall(_.getLong(2) === 0L))
+    assert(bySrc("big").length > 30 && bySrc("big").length < 80)
+    // deterministic: second run identical
+    val again = Selection.mixtureSampleEpochs(
+      docs, "doc_id", "source", "n_tok",
+      Map("small" -> 0.5, "big" -> 0.5), budget = 1.0, maxEpochs = 3)
+      .select("doc_id", "source", "epoch").collect()
+    assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("classifier AUC: exact tie-corrected rank sum") {
     // scores [1,1,2,3] labels [F,T,F,T]: pairs (1,1)=0.5 (1,2)=0
     // (3,1)=1 (3,2)=1 -> AUC = 2.5/4 = 0.625
