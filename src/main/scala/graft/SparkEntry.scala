@@ -691,6 +691,24 @@ object SparkEntry {
         .select(col("a"), col("b"))
       Dedup.connectedComponents(pairs, "a", "b")
     }),
+    "dedup_softweight" -> ((s, dir) => {
+      // SOFT dedup: near-duplicates are DOWNWEIGHTED (weight = 1/cluster
+      // size) instead of dropped — the loss-weighting alternative when
+      // exact-one-copy is too aggressive (repeated boilerplate still
+      // contributes, proportionally); singletons keep weight 1. Same
+      // banded LSH -> connected components; one broadcast-size join back.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleSize = 2, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4)
+        .select(col("a"), col("b"))
+      val comps = Dedup.connectedComponents(pairs, "a", "b")
+      val sizes = comps.groupBy("component").agg(count(lit(1)).as("csize"))
+      docs.select(col("doc_id"))
+        .join(comps.join(sizes, "component").select(col("doc_id"), col("csize")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          round(lit(1.0) / coalesce(col("csize"), lit(1L)), 6).as("weight"))
+    }),
     "dedup_semantic" -> ((s, dir) => {
       // SemDeDup-shaped semantic dedup over EMBEDDINGS: near-dup pairs by
       // banded sign-bit LSH + cosine verify -> connected components ->
@@ -3275,6 +3293,32 @@ object SparkEntry {
         |  UNION
         |  SELECT e.s AS id, reach.r AS r FROM edges e JOIN reach ON e.d = reach.id)
         |SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin,
+    // same component CTE as dedup_components, extended with cluster
+    // sizes; docs outside any pair default to weight 1
+    "dedup_softweight" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        |pr AS (SELECT a, b FROM p WHERE jaccard >= 0.4),
+        |edges AS (SELECT a AS s, b AS d FROM pr UNION SELECT b AS s, a AS d FROM pr),
+        |reach AS (
+        |  SELECT s AS id, s AS r FROM edges
+        |  UNION
+        |  SELECT e.s AS id, reach.r AS r FROM edges e JOIN reach ON e.d = reach.id),
+        |comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+        |sizes AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component)
+        |SELECT d.doc_id,
+        |  round(1.0 / COALESCE(csize, 1), 6) AS weight
+        |FROM documents d
+        |LEFT JOIN (SELECT doc_id, csize FROM comp JOIN sizes USING (component)) c
+        |  ON d.doc_id = c.doc_id""".stripMargin,
     "dedup_semantic" ->
       """WITH RECURSIVE av AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
