@@ -47,10 +47,26 @@ class ContentionSpec extends AnyFunSuite {
           for (i <- 0 until opsEach) {
             val op = i % 5
             if (op == 3 && myBatches.nonEmpty) {
-              // delete one of my own earlier batches (MoR or metadata path)
+              // delete one of my own earlier batches (MoR or metadata
+              // path). A concurrent compaction can retire the files the
+              // delete planned against — the DESIGNED contract refuses
+              // with "re-run the statement" (proceeding would aim
+              // position deletes at retired paths and lose rows); the
+              // caller re-runs and the re-plan lands. That retry IS the
+              // contract, so the soak performs it.
               val b = myBatches.remove(0)
-              t.deleteWhere(spark,
-                col("k") >= lo(w, b) && col("k") < lo(w, b) + rowsPerBatch)
+              val pred = col("k") >= lo(w, b) && col("k") < lo(w, b) + rowsPerBatch
+              var tries = 0
+              var done = false
+              while (!done) {
+                try { t.deleteWhere(spark, pred); done = true }
+                catch {
+                  case e: RuntimeException if Option(e.getMessage).exists(
+                    _.contains("re-run")) && tries < 30 =>
+                    tries += 1
+                    Thread.sleep(30L + tries * 10L)
+                }
+              }
             } else if (op == 4 && w % 2 == 0) {
               // compaction concurrent with everyone else's appends and
               // deletes. The DESIGNED contract is refusal when a

@@ -159,6 +159,32 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("stratified exact-k equals the direct window on random data") {
+    // the salted two-stage top-k must select EXACTLY the k smallest
+    // (md5(key), key) per stratum for any data shape / k / shard count
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, md5, row_number}
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      ids <- Gen.listOfN(n, Gen.choose(0L, 500L))
+      k <- Gen.choose(1, 9)
+      shards <- Gen.oneOf(1, 3, 8)
+    } yield (ids.distinct.map(i => (i, s"g${i % 4}")), k, shards)
+    check(Prop.forAllNoShrink(gen) { case (rows, k, shards) =>
+      // n >= 1 and distinct of a nonempty list is nonempty
+      val d = rows.toDF("id", "grp")
+      val got = graft.operators.Sampling
+        .stratifiedSampleExact(d, "id", "grp", k, shards = shards)
+        .select("id").as[Long].collect().toSet
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+        .orderBy(md5(col("id").cast(org.apache.spark.sql.types.StringType)), col("id"))
+      val ref = d.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).select("id").as[Long].collect().toSet
+      got == ref
+    })
+  }
+
   test("classifier AUC equals brute-force pair counting on random data") {
     // AUC is DEFINED as P(score_pos > score_neg) + 0.5*P(=) over all
     // (pos, neg) pairs; the distributed rank-sum must match the O(n^2)
