@@ -151,6 +151,54 @@ class ReferenceScenarioSpec extends AnyFunSuite {
       "the prior-commit delete landed as an EQUALITY delete file")
   }
 
+  test("reference precompute_partition_test: partition tuples computed upstream") {
+    // icelake/tests/precompute_partition_test.rs: the engine computes
+    // partition values UPSTREAM of the file writer (its
+    // `precompute_partition_writer_builder`); graft's equivalent is the
+    // Catalyst transform columns + clustering shuffle that feed the
+    // fanout writers. Both scenario cases write (1,1,1),(1,2,2),(1,3,3),
+    // (1,4,4) into identity(id) partition 1 — scan-back exact AND the
+    // manifest tuples must carry the precomputed value.
+    val wh = spark.conf.get("spark.sql.catalog.gref.warehouse")
+    import spark.implicits._
+    def fresh(name: String): GraftTable = {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gref.pre")
+      spark.sql(s"DROP TABLE IF EXISTS gref.pre.$name")
+      spark.sql(
+        s"""CREATE TABLE gref.pre.$name (id BIGINT, key BIGINT, value BIGINT)
+           |PARTITIONED BY (id)
+           |TBLPROPERTIES ('format-version'='2',
+           |  'write.delete.mode'='merge-on-read')""".stripMargin)
+      StorageCatalog.loadTable(
+        spark.sparkContext.hadoopConfiguration, s"$wh/pre/$name")
+    }
+    val expected = Set((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L), (1L, 4L, 4L))
+    val rows = Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L), (1L, 4L, 4L))
+
+    // append_only_test
+    val ta = fresh("t1a")
+    ta.append(spark, rows.toDF("id", "key", "value"))
+    assert(spark.sql("SELECT * FROM gref.pre.t1a")
+      .as[(Long, Long, Long)].collect().toSet === expected)
+    val files = ta.planFiles(ta.metadata.currentSnapshot.get)
+    assert(files.nonEmpty &&
+      files.forall(_.file.partition === Seq(Some(1L))),
+      "manifest tuples carry the precomputed identity partition value")
+
+    // delta_test (all ops = insert through the equality-delta surface)
+    val td = fresh("t1d")
+    td.upsert(spark,
+      rows.map { case (a, b, c) => (a, b, c, 1) }.toDF("id", "key", "value", "_op"),
+      Seq("id", "key"), opCol = Some("_op"))
+    assert(spark.sql("SELECT * FROM gref.pre.t1d")
+      .as[(Long, Long, Long)].collect().toSet === expected)
+    // DATA files carry the precomputed tuple; the equality-delete file
+    // is global-scope (partition-less) by design
+    val dFiles = td.planFiles(td.metadata.currentSnapshot.get)
+      .filter(_.file.content == DataContent.Data)
+    assert(dFiles.nonEmpty && dFiles.forall(_.file.partition === Seq(Some(1L))))
+  }
+
   private val colNames = Seq("id", "v_int", "v_long", "v_float", "v_double",
     "v_varchar", "v_bool", "v_date", "v_timestamp", "v_decimal", "v_ts_ntz")
   private val castTypes = Seq("BIGINT", "INT", "BIGINT", "FLOAT", "DOUBLE",
