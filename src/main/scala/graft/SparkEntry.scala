@@ -691,6 +691,22 @@ object SparkEntry {
         .select(col("a"), col("b"))
       Dedup.connectedComponents(pairs, "a", "b")
     }),
+    "dedup_incremental" -> ((s, dir) => {
+      // INCREMENTAL dedup — the production shape: the historical corpus
+      // keeps a signature INDEX (here: even doc_ids, staged through a
+      // graft table — the pipeline state lives in the table layer); a
+      // new batch (odd ids) flags against the index in O(batch), never
+      // re-scanning history
+      val docs = t(s, dir, "documents")
+      val idx = Dedup.minhashIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        shingleSize = 2, bands = 16, rowsPerBand = 4)
+      val tbl = freshTable(s, "dedup_incremental", idx)
+      tbl.append(s, idx)
+      Dedup.incrementalFlags(
+        docs.filter(col("doc_id") % 2 === 1), tbl.scan(s), "doc_id", "text",
+        shingleSize = 2, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4)
+    }),
     "dedup_softweight" -> ((s, dir) => {
       // SOFT dedup: near-duplicates are DOWNWEIGHTED (weight = 1/cluster
       // size) instead of dropped — the loss-weighting alternative when
@@ -3293,6 +3309,24 @@ object SparkEntry {
         |  UNION
         |  SELECT e.s AS id, reach.r AS r FROM edges e JOIN reach ON e.d = reach.id)
         |SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin,
+    // exact cross-batch near-dup existence: a new (odd-id) doc is a dup
+    // iff SOME indexed (even-id) doc reaches the jaccard threshold —
+    // same text-bigram shingle convention as dedup_components
+    "dedup_incremental" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |old AS (SELECT * FROM s WHERE doc_id % 2 = 0),
+        |new_b AS (SELECT * FROM s WHERE doc_id % 2 = 1),
+        |hit AS (
+        |  SELECT n.doc_id FROM new_b n JOIN old o
+        |    ON CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
+        |      / (len(n.sh) + len(o.sh) - len(list_intersect(n.sh, o.sh))) >= 0.4
+        |  GROUP BY n.doc_id)
+        |SELECT n.doc_id, h.doc_id IS NOT NULL AS is_dup
+        |FROM new_b n LEFT JOIN hit h ON n.doc_id = h.doc_id""".stripMargin,
     // same component CTE as dedup_components, extended with cluster
     // sizes; docs outside any pair default to weight 1
     "dedup_softweight" ->

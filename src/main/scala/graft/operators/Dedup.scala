@@ -97,6 +97,66 @@ object Dedup {
     withSets
   }
 
+  /** Signature-index rows for a corpus slice: `(doc_id, shingle_set,
+    * band_keys)` — persist these as a (graft) table and new batches
+    * dedup against the INDEX instead of re-scanning the corpus. At
+    * 100 TB this is the only sane shape: each new crawl is O(batch),
+    * never O(history). Map-only. */
+  def minhashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      text.shingles(col(textCol), shingleSize).as("shingle_set"))
+      .withColumn("band_keys", text.lshBands(
+        text.minhashOfShingles(col("shingle_set"), bands * rowsPerBand),
+        bands, rowsPerBand))
+
+  /** Incremental dedup: flag NEW documents that near-duplicate ANY
+    * indexed document. Band-bucket join between the batch's keys and
+    * the index's keys (the shuffle carries ids + band keys only — the
+    * index's shingle sets join in once, only for candidates), exact
+    * Jaccard verify, one flag per new doc. Hot index buckets above
+    * `maxBucket` are skipped (the minhashLsh recall trade, documented
+    * there); every new doc appears in the output with `is_dup`. */
+  def incrementalFlags(
+      newDocs: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      jaccardThreshold: Double = 0.5,
+      maxBucket: Int = 200): DataFrame = {
+    val fresh = minhashIndex(newDocs, idCol, textCol, shingleSize, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nk = fresh.select(col("doc_id").as("nid"),
+      posexplode(col("band_keys")).as(Seq("band", "key")))
+    val ik = index.select(col("doc_id").as("iid"),
+      posexplode(col("band_keys")).as(Seq("band", "key")))
+    // cap pathological buckets on the INDEX side (boilerplate shingles)
+    val bucketSizes = ik.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bs")).filter(col("bs") <= maxBucket)
+    val candidates = nk
+      .join(ik.join(bucketSizes.select("band", "key"), Seq("band", "key")),
+        Seq("band", "key"))
+      .select(col("nid"), col("iid")).distinct()
+    val verified = candidates
+      .join(fresh.select(col("doc_id").as("nid"), col("shingle_set").as("sn")), "nid")
+      .join(index.select(col("doc_id").as("iid"), col("shingle_set").as("si")), "iid")
+      .filter(text.jaccard(col("sn"), col("si")) >= jaccardThreshold)
+      .select(col("nid")).distinct()
+    fresh.select(col("doc_id"))
+      .join(verified.withColumnRenamed("nid", "doc_id")
+        .withColumn("_hit", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("_hit"), lit(false)).as("is_dup"))
+  }
+
   /** SimHash fingerprints per document (map-only). Near-dups = small
     * Hamming distance; pair generation buckets on rotated prefixes. */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =

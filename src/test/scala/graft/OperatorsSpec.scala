@@ -574,6 +574,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!r(8L).getBoolean(7) && !r(8L).getBoolean(8), "required stopwords")
   }
 
+  test("incremental dedup flags new docs against a signature index") {
+    import graft.operators.Dedup
+    val base = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, "completely different content about distributed query engines")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.minhashIndex(base, "doc_id", "text", shingleSize = 2)
+    val fresh = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 2
+      (3L, "unrelated text with zero overlap whatsoever in any shingle here")
+    ).toDF("doc_id", "text")
+    val flags = Dedup.incrementalFlags(fresh, idx, "doc_id", "text",
+      shingleSize = 2, jaccardThreshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags === Map(1L -> true, 3L -> false))
+    // a hot index bucket above maxBucket is skipped (recall trade): with
+    // maxBucket=0 nothing can match
+    val none = Dedup.incrementalFlags(fresh, idx, "doc_id", "text",
+      shingleSize = 2, jaccardThreshold = 0.5, maxBucket = 0)
+      .collect().map(r => r.getBoolean(1))
+    assert(none.forall(_ == false))
+  }
+
   test("epoch mixture: upsampling repeats deterministically, capped") {
     // tiny domain with half the target share of a big one: rate > 1 for
     // the small one (full copies + fractional extra), rate < 1 downsamples
