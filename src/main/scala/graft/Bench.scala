@@ -209,7 +209,8 @@ object Bench {
   /** round-9 additions: quality gate, calibration, exact sampling */
   val round9Headline: Seq[String] = Seq(
     "text_gopher", "select_auc", "sample_stratified_k", "sample_epochs",
-    "ice_merge_schema", "dedup_softweight", "dedup_incremental")
+    "ice_merge_schema", "dedup_softweight", "dedup_incremental",
+    "decontaminate_report")
 
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —

@@ -845,6 +845,17 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(97)) === 0),
         "doc_id", "text", n = 4)
     }),
+    "decontaminate_report" -> ((s, dir) => {
+      // per-suite contamination decision table: three synthetic suites
+      // (every 97th doc, labeled by doc_id%3), flagged-doc counts and
+      // corpus rates per suite — zero-hit suites still report
+      val d = t(s, dir, "documents")
+      Decontamination.contaminationReport(
+        d.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(97)) === 0)
+          .withColumn("suite", concat(lit("s"), pmod(col("doc_id"), lit(3)))),
+        "doc_id", "text", "suite", n = 4)
+    }),
     "decontaminate_bloom" -> ((s, dir) => {
       // Bloom-prefiltered decontamination: identical answer to
       // `decontaminate` (the filter only prunes definite non-matches;
@@ -3774,6 +3785,26 @@ object SparkEntry {
         |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0)
         |SELECT DISTINCT g.doc_id AS doc_id FROM g JOIN bench USING (ng)
         |WHERE g.doc_id % 97 <> 0""".stripMargin,
+    // per-suite variant of the decontaminate oracle: same 4-gram
+    // convention, suite = 's' || doc_id%3, zero-hit suites kept
+    "decontaminate_report" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 2),
+        |    i -> list_aggregate(w[i:i+3], 'string_agg', ' ')))) AS ng
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |bg AS (SELECT DISTINCT 's' || CAST(doc_id % 3 AS VARCHAR) AS suite, ng
+        |       FROM g WHERE doc_id % 97 = 0),
+        |hits AS (
+        |  SELECT suite, COUNT(DISTINCT g.doc_id) AS c
+        |  FROM g JOIN bg USING (ng) WHERE g.doc_id % 97 <> 0
+        |  GROUP BY suite),
+        |suites AS (SELECT DISTINCT suite FROM bg),
+        |tot AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 97 <> 0)
+        |SELECT s.suite,
+        |  CAST(COALESCE(h.c, 0) AS BIGINT) AS flagged_docs,
+        |  round(CAST(COALESCE(h.c, 0) AS DOUBLE) / n, 6) AS flagged_rate
+        |FROM suites s LEFT JOIN hits h ON s.suite = h.suite, tot""".stripMargin,
     // each stage replayed as a CTE: quartile formula, desc prefix-sum
     // budget, chunking law
     "pipeline_curriculum" ->

@@ -87,4 +87,40 @@ object Decontamination {
       .join(broadcast(bg), Seq("ng"), "leftsemi")
       .select(col("doc_id")).distinct()
   }
+
+  /** Per-SUITE contamination report: for each benchmark suite, how many
+    * training documents share an n-gram with it and what corpus
+    * fraction that is — the decision table a pipeline reviews before
+    * committing to a decontamination pass (one suite at 8% forces a
+    * filter; one at 0.01% may not be worth the recall loss).
+    *
+    * Scale: ALL suites' n-grams broadcast ONCE with the suite label
+    * attached (eval suites are tiny by construction); one exploded
+    * broadcast join over the corpus; per-suite distinct-doc counts.
+    * Suites with zero hits still report (left join from the suite
+    * list). The corpus total is one count, re-emitted as a literal. */
+  def contaminationReport(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      suiteCol: String,
+      n: Int = 13): DataFrame = {
+    val total = train.count()
+    val bg = bench
+      .select(col(suiteCol).as("suite"), explode(wordNgrams(col(textCol), n)).as("ng"))
+      .distinct()
+    val hits = train
+      .select(col(idCol).as("doc_id"), explode(wordNgrams(col(textCol), n)).as("ng"))
+      .join(broadcast(bg), Seq("ng"))
+      .select(col("suite"), col("doc_id")).distinct()
+      .groupBy(col("suite")).agg(count(lit(1)).as("flagged_docs"))
+    bench.select(col(suiteCol).as("suite")).distinct()
+      .join(hits, Seq("suite"), "left")
+      .select(
+        col("suite"),
+        coalesce(col("flagged_docs"), lit(0L)).as("flagged_docs"),
+        round(coalesce(col("flagged_docs"), lit(0L)).cast(
+          org.apache.spark.sql.types.DoubleType) / total, 6).as("flagged_rate"))
+  }
 }
