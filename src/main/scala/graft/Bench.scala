@@ -210,7 +210,7 @@ object Bench {
   val round9Headline: Seq[String] = Seq(
     "text_gopher", "select_auc", "sample_stratified_k", "sample_epochs",
     "ice_merge_schema", "dedup_softweight", "dedup_incremental",
-    "decontaminate_report")
+    "decontaminate_report", "dedup_incremental_embed")
 
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —

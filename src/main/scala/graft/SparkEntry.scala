@@ -725,6 +725,23 @@ object SparkEntry {
         .select(col("doc_id"),
           round(lit(1.0) / coalesce(col("csize"), lit(1L)), 6).as("weight"))
     }),
+    "dedup_incremental_embed" -> ((s, dir) => {
+      // incremental SemDeDup: history = the embeddings table as a
+      // sign-bit index; the new batch = jittered copies of the first 10
+      // vectors (planted dups) + fresh random-ish vectors (shifted ids)
+      // — flags in O(batch) against the index
+      val e = t(s, dir, "embeddings")
+      val index = Dedup.embeddingIndex(e, "vec_id", "embedding", bits = 40)
+      val jittered = e.filter(col("vec_id") < 10).select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      val reversed = e.filter(col("vec_id") >= 10 && col("vec_id") < 20).select(
+        (col("vec_id") + lit(2000000L)).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+      Dedup.embeddingIncrementalFlags(
+        jittered.union(reversed), index, "vec_id", "embedding",
+        cosineThreshold = 0.95, bits = 40)
+    }),
     "dedup_semantic" -> ((s, dir) => {
       // SemDeDup-shaped semantic dedup over EMBEDDINGS: near-dup pairs by
       // banded sign-bit LSH + cosine verify -> connected components ->
@@ -3364,6 +3381,26 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN (SELECT doc_id, csize FROM comp JOIN sizes USING (component)) c
         |  ON d.doc_id = c.doc_id""".stripMargin,
+    // exact cross-batch cosine existence (same float-jitter convention
+    // as dedup_semantic; reversed vectors are the planted non-dups)
+    "dedup_incremental_embed" ->
+      """WITH av AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |nb AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    CAST(list_transform(embedding,
+        |      x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT)) AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id < 10
+        |  UNION ALL
+        |  SELECT vec_id + 2000000 AS vec_id,
+        |    CAST(list_reverse(embedding) AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 20),
+        |hit AS (
+        |  SELECT n.vec_id FROM nb n JOIN av o
+        |    ON list_cosine_similarity(n.e, o.e) >= 0.95
+        |  GROUP BY n.vec_id)
+        |SELECT n.vec_id AS id, h.vec_id IS NOT NULL AS is_dup
+        |FROM nb n LEFT JOIN hit h ON n.vec_id = h.vec_id""".stripMargin,
     "dedup_semantic" ->
       """WITH RECURSIVE av AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

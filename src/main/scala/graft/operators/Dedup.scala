@@ -280,6 +280,63 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
+  /** Embedding-side signature index: `(id, vec, sig)` rows to persist as
+    * pipeline state for [[embeddingIncrementalFlags]] (the SemDeDup
+    * shape, incremental: new embeddings flag against history in
+    * O(batch)). Map-only. */
+  def embeddingIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bits: Int = 16): DataFrame =
+    df.select(
+      col(idCol).as("id"), col(vecCol).as("vec"),
+      vectors.signBits(col(vecCol), bits).as("sig"))
+
+  /** Flag NEW embeddings that near-duplicate ANY indexed one: band the
+    * sign-bit signatures on both sides, join on (band, block-key) — ids
+    * and block keys only on the shuffle — cap hot index buckets, cosine
+    * verify against the index vectors, one flag per new id. */
+  def embeddingIncrementalFlags(
+      newDf: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cosineThreshold: Double = 0.95,
+      bits: Int = 16,
+      bands: Int = 4,
+      maxBucket: Int = 200): DataFrame = {
+    val width = bits / bands
+    def bandKeys(sigs: DataFrame, idName: String): DataFrame = sigs.select(
+      col("id").as(idName),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("key"))
+      }: _*)).as("bk"))
+      .select(col(idName), col("bk.band"), col("bk.key"))
+    val fresh = embeddingIndex(newDf, idCol, vecCol, bits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nk = bandKeys(fresh, "nid")
+    val ik = bandKeys(index.select(col("id"), col("sig")), "iid")
+    val okBuckets = ik.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bs")).filter(col("bs") <= maxBucket)
+      .select("band", "key")
+    val candidates = nk
+      .join(ik.join(okBuckets, Seq("band", "key")), Seq("band", "key"))
+      .select(col("nid"), col("iid")).distinct()
+    val verified = candidates
+      .join(fresh.select(col("id").as("nid"), col("vec").as("vn")), "nid")
+      .join(index.select(col("id").as("iid"), col("vec").as("vi")), "iid")
+      .filter(vectors.cosineSim(col("vn"), col("vi")) >= cosineThreshold)
+      .select(col("nid")).distinct()
+    fresh.select(col("id"))
+      .join(verified.withColumnRenamed("nid", "id")
+        .withColumn("_hit", lit(true)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_hit"), lit(false)).as("is_dup"))
+  }
+
   /** word k-gram strings per doc via k-1 zip_withs over shifted slices —
     * slices are function ARGUMENTS (evaluated once per row), never a
     * lambda that re-tokenizes per element (O(len²)); array index i holds
