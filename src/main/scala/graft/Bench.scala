@@ -332,8 +332,12 @@ object Bench {
         // sf0.1 curve can't certify
         "stats_ndv", "ice_row_lineage", "text_perplexity",
         "pipeline_corpus", "pipeline_curriculum",
-        // round-9 trio: map-only rules, AUC prefix sum, two-stage top-k
-        "text_gopher", "select_auc", "sample_stratified_k"))
+        // round-9 set: map-only rules, AUC prefix sum, two-stage top-k,
+        // epoch expansion, soft weights, incremental dedup (text +
+        // embedding), contamination report
+        "text_gopher", "select_auc", "sample_stratified_k",
+        "sample_epochs", "dedup_softweight", "dedup_incremental",
+        "decontaminate_report", "dedup_incremental_embed"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }
