@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{text, transforms, vectors}
-import graft.operators.{Bpe, Clustering, Decontamination, Dedup, Multimodal, Packing, Profiling, Quantization, Sampling, Selection, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Clustering, Decontamination, Dedup, Multimodal, Packing, Profiling, Quantization, Retrieval, Sampling, Selection, Similarity, TextAnalysis}
 import graft.tables._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -995,6 +995,32 @@ object SparkEntry {
       TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
         Seq("data", "query", "spark"))
     }),
+    "text_normalize" -> ((s, dir) => {
+      // canonicalization pass run before any hashing/dedup/tokenization:
+      // NFC-compose, strip control chars, collapse whitespace. The corpus
+      // is ASCII, so a decomposed e+COMBINING ACUTE, control bytes and
+      // messy whitespace are injected to exercise every rule. Map-only
+      // codegen'd kernel — no shuffle, no UDF.
+      val messy = concat(
+        lit("é  "), col("text"), lit(" \txy "))
+      t(s, dir, "documents")
+        .select(col("doc_id"), text.normalize(messy).as("norm_text"))
+        .withColumn("norm_chars", length(col("norm_text")).cast(LongType))
+    }),
+    "search_hybrid" -> ((s, dir) => {
+      // hybrid retrieval: dense cosine top-20 + BM25 top-20 fused by
+      // Reciprocal Rank Fusion — only ranks (ints) cross the engine
+      // boundary, so fusion is engine-exact
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents").withColumnRenamed("doc_id", "vec_id")
+      Retrieval.hybridRrf(
+        emb, docs, "vec_id", "embedding", "text",
+        Seq(
+          0L -> Seq("data", "query", "spark"),
+          1L -> Seq("join", "hash", "merge"),
+          2L -> Seq("stream", "window", "batch")),
+        kDense = 20, kSparse = 20, topN = 10)
+    }),
     "text_topngrams" -> ((s, dir) => {
       // corpus-wide bigram frequency top-50: the vocabulary/statistics
       // pass (stopword discovery, boilerplate and contamination audits)
@@ -1178,6 +1204,42 @@ object SparkEntry {
         .exists(_.file.content != DataContent.Data),
         "metadata-only delete must write no delete files")
       tbl.scan(s)
+    }),
+    "ice_metrics_mode" -> ((s, dir) => {
+      // write.metadata.metrics.* modes drive what the manifests store:
+      // `counts` default drops every bound, text keeps 4-code-point
+      // truncated bounds (upper rounded UP so pruning stays sound),
+      // doc_id keeps full bounds. The query decodes the committed
+      // manifest bounds and checks them against the raw data: truncated
+      // prefixes are monotonic, so min/max over per-file bounds equal
+      // the transform of the global min/max.
+      val src = t(s, dir, "documents")
+      val tbl = freshTable(s, "ice_metrics_mode", src,
+        properties = Map(
+          "write.metadata.metrics.default" -> "counts",
+          "write.metadata.metrics.column.text" -> "truncate(4)",
+          "write.metadata.metrics.column.doc_id" -> "full"))
+      val t2 = tbl.append(s, src)
+      val schema = t2.metadata.currentSchema
+      def idOf(n: String): Int = schema.findField(n).get.id
+      val (textId, docId, langId) = (idOf("text"), idOf("doc_id"), idOf("lang"))
+      val files = t2.planFiles(t2.metadata.currentSnapshot.get).map(_.file)
+      require(files.nonEmpty, "metrics-mode table wrote no files")
+      val perFile = files.map { f =>
+        def str(m: Map[Int, Array[Byte]]) = m.get(textId).map(new String(_, "UTF-8"))
+        def lng(m: Map[Int, Array[Byte]]) = m.get(docId)
+          .map(b => SingleValue.decode(IcePrim("long"), b).asInstanceOf[Long])
+        val langBounded =
+          if (f.lowerBounds.contains(langId) || f.upperBounds.contains(langId)) 1L else 0L
+        (str(f.lowerBounds).get, str(f.upperBounds).get,
+          lng(f.lowerBounds).get, lng(f.upperBounds).get, langBounded, f.recordCount)
+      }
+      import s.implicits._
+      perFile.toDF("lt", "ut", "dl", "du", "lb", "rc")
+        .agg(
+          min($"lt").as("lower_text"), max($"ut").as("upper_text"),
+          min($"dl").as("doc_lo"), max($"du").as("doc_hi"),
+          sum($"lb").as("lang_bound_files"), sum($"rc").as("rows_total"))
     }),
     // Iceberg's other two data-file formats (write.format.default):
     // write + MoR position deletes + scan, end to end per format
@@ -3542,6 +3604,118 @@ object SparkEntry {
         |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2)
         |      / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
         |FROM tf, g""".stripMargin,
+    "text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |    nfc_normalize('e' || chr(769) || ' ' || chr(1) || ' ' || text
+        |                  || ' ' || chr(9) || 'x' || chr(7) || 'y '),
+        |    '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS norm_chars
+        |FROM n""".stripMargin,
+    "search_hybrid" ->
+      """WITH dense AS (
+        |  SELECT query_id, id, dr FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                        CAST(c.embedding AS DOUBLE[])) DESC,
+        |          c.vec_id) AS dr
+        |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |    WHERE q.vec_id IN (0, 1, 2))
+        |  WHERE dr <= 20),
+        |d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> length(x) > 0) AS t
+        |  FROM documents),
+        |d2 AS (SELECT doc_id, t, CAST(len(t) AS DOUBLE) AS dl FROM d),
+        |g0 AS (
+        |  SELECT count(*) AS n, avg(dl) AS avgdl,
+        |    sum(CASE WHEN list_contains(t, 'data') THEN 1 ELSE 0 END) AS dfa,
+        |    sum(CASE WHEN list_contains(t, 'query') THEN 1 ELSE 0 END) AS dfb,
+        |    sum(CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END) AS dfc
+        |  FROM d2),
+        |g1 AS (
+        |  SELECT count(*) AS n, avg(dl) AS avgdl,
+        |    sum(CASE WHEN list_contains(t, 'join') THEN 1 ELSE 0 END) AS dfa,
+        |    sum(CASE WHEN list_contains(t, 'hash') THEN 1 ELSE 0 END) AS dfb,
+        |    sum(CASE WHEN list_contains(t, 'merge') THEN 1 ELSE 0 END) AS dfc
+        |  FROM d2),
+        |g2 AS (
+        |  SELECT count(*) AS n, avg(dl) AS avgdl,
+        |    sum(CASE WHEN list_contains(t, 'stream') THEN 1 ELSE 0 END) AS dfa,
+        |    sum(CASE WHEN list_contains(t, 'window') THEN 1 ELSE 0 END) AS dfb,
+        |    sum(CASE WHEN list_contains(t, 'batch') THEN 1 ELSE 0 END) AS dfc
+        |  FROM d2),
+        |s0 AS (
+        |  SELECT CAST(0 AS BIGINT) AS query_id, doc_id AS id,
+        |    round(
+        |      ln((n - dfa + 0.5) / (dfa + 0.5) + 1.0)
+        |        * (CAST(len(list_filter(t, x -> x = 'data')) AS DOUBLE) * 2.2)
+        |        / (CAST(len(list_filter(t, x -> x = 'data')) AS DOUBLE)
+        |           + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |      + ln((n - dfb + 0.5) / (dfb + 0.5) + 1.0)
+        |        * (CAST(len(list_filter(t, x -> x = 'query')) AS DOUBLE) * 2.2)
+        |        / (CAST(len(list_filter(t, x -> x = 'query')) AS DOUBLE)
+        |           + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |      + ln((n - dfc + 0.5) / (dfc + 0.5) + 1.0)
+        |        * (CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE) * 2.2)
+        |        / (CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE)
+        |           + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+        |  FROM d2, g0 ORDER BY bm25 DESC, id LIMIT 20),
+        |s1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS query_id, doc_id AS id,
+        |    round(
+        |      ln((n - dfa + 0.5) / (dfa + 0.5) + 1.0)
+        |        * (CAST(len(list_filter(t, x -> x = 'join')) AS DOUBLE) * 2.2)
+        |        / (CAST(len(list_filter(t, x -> x = 'join')) AS DOUBLE)
+        |           + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |      + ln((n - dfb + 0.5) / (dfb + 0.5) + 1.0)
+        |        * (CAST(len(list_filter(t, x -> x = 'hash')) AS DOUBLE) * 2.2)
+        |        / (CAST(len(list_filter(t, x -> x = 'hash')) AS DOUBLE)
+        |           + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |      + ln((n - dfc + 0.5) / (dfc + 0.5) + 1.0)
+        |        * (CAST(len(list_filter(t, x -> x = 'merge')) AS DOUBLE) * 2.2)
+        |        / (CAST(len(list_filter(t, x -> x = 'merge')) AS DOUBLE)
+        |           + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+        |  FROM d2, g1 ORDER BY bm25 DESC, id LIMIT 20),
+        |s2 AS (
+        |  SELECT CAST(2 AS BIGINT) AS query_id, doc_id AS id,
+        |    round(
+        |      ln((n - dfa + 0.5) / (dfa + 0.5) + 1.0)
+        |        * (CAST(len(list_filter(t, x -> x = 'stream')) AS DOUBLE) * 2.2)
+        |        / (CAST(len(list_filter(t, x -> x = 'stream')) AS DOUBLE)
+        |           + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |      + ln((n - dfb + 0.5) / (dfb + 0.5) + 1.0)
+        |        * (CAST(len(list_filter(t, x -> x = 'window')) AS DOUBLE) * 2.2)
+        |        / (CAST(len(list_filter(t, x -> x = 'window')) AS DOUBLE)
+        |           + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |      + ln((n - dfc + 0.5) / (dfc + 0.5) + 1.0)
+        |        * (CAST(len(list_filter(t, x -> x = 'batch')) AS DOUBLE) * 2.2)
+        |        / (CAST(len(list_filter(t, x -> x = 'batch')) AS DOUBLE)
+        |           + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+        |  FROM d2, g2 ORDER BY bm25 DESC, id LIMIT 20),
+        |sparse AS (
+        |  SELECT query_id, id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY bm25 DESC, id) AS sr
+        |  FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+        |        UNION ALL SELECT * FROM s2)),
+        |fused AS (
+        |  SELECT COALESCE(dense.query_id, sparse.query_id) AS query_id,
+        |         COALESCE(dense.id, sparse.id) AS id, dr, sr
+        |  FROM dense FULL OUTER JOIN sparse
+        |    ON dense.query_id = sparse.query_id AND dense.id = sparse.id),
+        |r AS (
+        |  SELECT query_id, id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+        |      COALESCE(1.0 / (60 + dr), 0) + COALESCE(1.0 / (60 + sr), 0)
+        |        DESC, id) AS fused_rank,
+        |    COALESCE(dr, 0) AS dense_rank, COALESCE(sr, 0) AS sparse_rank
+        |  FROM fused)
+        |SELECT query_id, id AS doc_id, fused_rank, dense_rank, sparse_rank
+        |FROM r WHERE fused_rank <= 10""".stripMargin,
     "text_topngrams" ->
       """WITH w AS (
         |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -4117,6 +4291,13 @@ object SparkEntry {
         |       ELSE 'pt' END AS lang_pred
         |FROM sc""".stripMargin,
     "ice_roundtrip" -> "SELECT * FROM customer",
+    "ice_metrics_mode" ->
+      """SELECT substring(min(text),1,4) AS lower_text,
+        |       substring(max(text),1,3) || chr(unicode(substring(max(text),4,1))+1) AS upper_text,
+        |       min(doc_id) AS doc_lo, max(doc_id) AS doc_hi,
+        |       CAST(0 AS BIGINT) AS lang_bound_files,
+        |       CAST(count(*) AS BIGINT) AS rows_total
+        |FROM documents""".stripMargin,
     "ice_partitioned_scan" ->
       """SELECT * FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'

@@ -28,6 +28,25 @@ object TextUtil {
   private def splitWs(s: String): Array[String] =
     s.trim.split("\\s+").filter(_.nonEmpty)
 
+  // text normalization: NFC-compose, strip ASCII control chars (tab and
+  // newline count as whitespace, not controls), collapse whitespace runs,
+  // trim. Patterns precompiled — the kernel runs once per row at corpus
+  // scale. The \s class is the ASCII set on both sides of the oracle
+  // (java.util.regex and RE2 agree on [ \t\n\x0B\f\r]).
+  private val ControlRe = java.util.regex.Pattern.compile("[\\x00-\\x08\\x0E-\\x1F\\x7F]")
+  private val WsRunRe = java.util.regex.Pattern.compile("\\s+")
+
+  /** Unicode NFC normalization + control strip + whitespace collapse —
+    * the canonicalization pass a training corpus runs before hashing,
+    * dedup or tokenization (byte-identical text must hash identically
+    * regardless of the producer's Unicode composition form). */
+  def normalizeText(v: UTF8String): UTF8String = {
+    val composed = java.text.Normalizer.normalize(
+      v.toString, java.text.Normalizer.Form.NFC)
+    val stripped = ControlRe.matcher(composed).replaceAll("")
+    UTF8String.fromString(WsRunRe.matcher(stripped).replaceAll(" ").trim)
+  }
+
   /** SimHash-64 over whitespace tokens: per token a 64-bit hash votes +1/-1
     * on each bit; the sign of each bit's tally forms the fingerprint.
     * Near-duplicate docs land at small Hamming distance. */
@@ -256,6 +275,15 @@ abstract class TextKernelExpression extends UnaryExpression {
   protected final val H = "graft.functions.TextUtil"
 }
 
+case class NormalizeText(child: Expression) extends TextKernelExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+  override def nullSafeEval(v: Any): Any =
+    TextUtil.normalizeText(v.asInstanceOf[UTF8String])
+  override protected def helperCall(c: String): String = s"$H.normalizeText($c)"
+  override protected def withNewChildInternal(c: Expression): NormalizeText = copy(c)
+}
+
 case class SimHash64(child: Expression) extends TextKernelExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -345,6 +373,7 @@ case class LangId(child: Expression) extends TextKernelExpression {
 
 /** Column-level text analysis API. */
 object text {
+  def normalize(c: Column): Column = column(NormalizeText(expression(c)))
   def simhash(c: Column): Column = column(SimHash64(expression(c)))
   def shingles(c: Column, n: Int): Column = column(ShingleHashes(expression(c), n))
   def minhash(c: Column, shingleSize: Int, numHashes: Int): Column =

@@ -233,7 +233,8 @@ class GraftBatchWrite(
       schema.fields,
       props.getOrElse(
         if (fmt == "orc") "write.orc.compression-codec"
-        else "write.avro.compression-codec", "snappy"))
+        else "write.avro.compression-codec", "snappy"),
+      graft.tables.MetricsConfig.fromProperties(props, schema))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -288,13 +289,14 @@ class GraftDataWriterFactory(
     format: String = "parquet",
     orcFactory: org.apache.spark.sql.execution.datasources.OutputWriterFactory = null,
     iceFields: Seq[graft.tables.IceField] = Nil,
-    avroCodec: String = "snappy")
+    avroCodec: String = "snappy",
+    metrics: graft.tables.MetricsConfig = graft.tables.MetricsConfig.default)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(
       outDir, sparkSchema, fieldInfos, specFields, maxRecords, sortOrderId,
-      conf, partitionId, taskId, format, orcFactory, iceFields, avroCodec)
+      conf, partitionId, taskId, format, orcFactory, iceFields, avroCodec, metrics)
 }
 
 /** Fanout writer: one open data file per partition tuple (input is
@@ -314,7 +316,8 @@ class GraftDataWriter(
     format: String = "parquet",
     orcFactory: org.apache.spark.sql.execution.datasources.OutputWriterFactory = null,
     iceFields: Seq[graft.tables.IceField] = Nil,
-    avroCodec: String = "snappy")
+    avroCodec: String = "snappy",
+    metrics: graft.tables.MetricsConfig = graft.tables.MetricsConfig.default)
     extends DataWriter[InternalRow] {
 
   /** one open file of the configured format */
@@ -370,7 +373,7 @@ class GraftDataWriter(
       case "orc" if orcFactory == null =>
         // id-stamped orc-core writer (inline stats incl. NaN counts)
         new RowFileSink(new graft.tables.OrcDataIO.RowWriter(
-          conf.value, path, iceFields, sparkSchema, avroCodec))
+          conf.value, path, iceFields, sparkSchema, avroCodec, metrics))
       case "orc" =>
         new OutputWriterSink(
           org.apache.spark.sql.GraftBridge.newFormatWriter(
@@ -378,7 +381,7 @@ class GraftDataWriter(
       case "avro" =>
         new AvroSink(new graft.tables.AvroDataIO.RowWriter(
           conf.value, path, iceFields,
-          Array.tabulate(iceFields.size)(identity), avroCodec))
+          Array.tabulate(iceFields.size)(identity), avroCodec, metrics))
       case _ =>
         new OutputWriterSink(
           org.apache.spark.sql.GraftBridge.openRowWriter(
@@ -412,8 +415,8 @@ class GraftDataWriter(
     open.clear()
     val files = done.toList.map { case (path, partition, inline) =>
       val st = inline.getOrElse(format match {
-        case "orc" => graft.tables.OrcDataIO.statsOf(path, fieldInfos, conf.value)
-        case _ => TableWrite.statsOf(path, fieldInfos, conf.value)
+        case "orc" => graft.tables.OrcDataIO.statsOf(path, fieldInfos, conf.value, metrics)
+        case _ => TableWrite.statsOf(path, fieldInfos, conf.value, metrics)
       })
       IceDataFile(
         content = DataContent.Data,

@@ -220,7 +220,8 @@ object AvroDataIO {
       val path: String,
       fields: Seq[IceField],
       ordinals: Array[Int],
-      codec: String) extends TableWrite.RowFileWriter {
+      codec: String,
+      metrics: MetricsConfig = MetricsConfig.default) extends TableWrite.RowFileWriter {
 
     private val schema = avroSchema(fields)
     private val sparkTypes = fields.map(f => SchemaConvert.toSparkType(f.fieldType)).toArray
@@ -237,6 +238,10 @@ object AvroDataIO {
     private val nans = new Array[Long](fields.size)
     private val mins = new Array[Any](fields.size)
     private val maxs = new Array[Any](fields.size)
+    private val boundWanted: Array[Boolean] =
+      fields.map(f => metrics.boundsTrunc(f.id).isDefined).toArray
+    private val boundTrunc: Array[Option[Int]] =
+      fields.map(f => metrics.boundsTrunc(f.id).flatten).toArray
 
     /** bound-trackable form of a value, null when the type is unbounded
       * here (same primitive set the parquet footer harvest bounds); NaN
@@ -270,6 +275,7 @@ object AvroDataIO {
         case d: Double if d.isNaN => nans(i) += 1
         case _ =>
       }
+      if (!boundWanted(i)) return
       val c = comparable(fields(i).fieldType, v)
       if (c == null) return
       if (mins(i) == null) { mins(i) = c; maxs(i) = c }
@@ -304,25 +310,27 @@ object AvroDataIO {
       val ids = fields.map(_.id).toArray
       val lower = fields.indices.flatMap { i =>
         Option(mins(i)).flatMap(v =>
-          TableWrite.encodeBoundValue(fields(i).fieldType, v, isUpper = false)
+          TableWrite.encodeBoundValue(fields(i).fieldType, v, isUpper = false, boundTrunc(i))
             .map(ids(i) -> _))
       }.toMap
       val upper = fields.indices.flatMap { i =>
         Option(maxs(i)).flatMap(v =>
-          TableWrite.encodeBoundValue(fields(i).fieldType, v, isUpper = true)
+          TableWrite.encodeBoundValue(fields(i).fieldType, v, isUpper = true, boundTrunc(i))
             .map(ids(i) -> _))
       }.toMap
       // recorded for EVERY float/double field — an explicit zero is what
       // authorizes strict bounds proofs on these columns
       val nanCounts = fields.indices.collect {
-        case i if fields(i).fieldType == IcePrim("float") ||
-          fields(i).fieldType == IcePrim("double") => ids(i) -> nans(i)
+        case i if (fields(i).fieldType == IcePrim("float") ||
+          fields(i).fieldType == IcePrim("double")) &&
+          metrics.keepCounts(ids(i)) => ids(i) -> nans(i)
       }.toMap
+      val counted = fields.indices.filter(i => metrics.keepCounts(ids(i)))
       TableWrite.FileStats(
         GraftTable.normPathStr(path), records, size,
         columnSizes = Map.empty,
-        valueCounts = ids.map(_ -> records).toMap,
-        nullCounts = fields.indices.map(i => ids(i) -> nulls(i)).toMap,
+        valueCounts = counted.map(i => ids(i) -> records).toMap,
+        nullCounts = counted.map(i => ids(i) -> nulls(i)).toMap,
         lowerBounds = lower, upperBounds = upper, splitOffsets = Nil,
         nanCounts = nanCounts)
     }

@@ -100,7 +100,8 @@ object OrcDataIO {
       val path: String,
       fields: Seq[IceField],
       sparkSchema: org.apache.spark.sql.types.StructType,
-      compression: String) extends TableWrite.RowFileWriter {
+      compression: String,
+      metrics: MetricsConfig = MetricsConfig.default) extends TableWrite.RowFileWriter {
     private val dataSchema = org.apache.spark.sql.types.StructType(
       sparkSchema.fields.take(fields.size))
     private val writer = OrcFile.createWriter(
@@ -141,9 +142,10 @@ object OrcDataIO {
     def close(): TableWrite.FileStats = {
       rec.close(null)
       val infos = fields.map(f => FieldInfo(f.name, f.id, f.fieldType.repr))
-      val nanCounts = (floatOrds ++ doubleOrds).map(o =>
-        fields(o).id -> nans.getOrElse(o, 0L)).toMap
-      statsOf(path, infos, conf).copy(nanCounts = nanCounts)
+      val nanCounts = (floatOrds ++ doubleOrds).collect {
+        case o if metrics.keepCounts(fields(o).id) =>
+          fields(o).id -> nans.getOrElse(o, 0L) }.toMap
+      statsOf(path, infos, conf, metrics).copy(nanCounts = nanCounts)
     }
 
     def abort(): Unit = {
@@ -155,7 +157,11 @@ object OrcDataIO {
     }
   }
 
-  def statsOf(pathStr: String, infos: Seq[FieldInfo], conf: Configuration): TableWrite.FileStats = {
+  def statsOf(
+      pathStr: String,
+      infos: Seq[FieldInfo],
+      conf: Configuration,
+      metrics: MetricsConfig = MetricsConfig.default): TableWrite.FileStats = {
     val path = new Path(pathStr)
     val reader = OrcFile.createReader(path, OrcFile.readerOptions(conf))
     try {
@@ -177,14 +183,18 @@ object OrcDataIO {
         byName.get(name).foreach { info =>
           val id = info.id
           val cs: ColumnStatistics = allStats(child.getId)
-          valCounts(id) = rows
-          nullCounts(id) = rows - cs.getNumberOfValues
           val bytes = cs.getBytesOnDisk
           if (bytes > 0) colSizes(id) = bytes
-          boundsOf(cs, info.typeRepr).foreach { case (mn, mx) =>
-            val t = MetadataJson.parseType(org.json4s.JString(info.typeRepr))
-            TableWrite.encodeBoundValue(t, mn, isUpper = false).foreach(lower(id) = _)
-            TableWrite.encodeBoundValue(t, mx, isUpper = true).foreach(upper(id) = _)
+          if (metrics.keepCounts(id)) {
+            valCounts(id) = rows
+            nullCounts(id) = rows - cs.getNumberOfValues
+            metrics.boundsTrunc(id).foreach { trunc =>
+              boundsOf(cs, info.typeRepr).foreach { case (mn, mx) =>
+                val t = MetadataJson.parseType(org.json4s.JString(info.typeRepr))
+                TableWrite.encodeBoundValue(t, mn, isUpper = false, trunc).foreach(lower(id) = _)
+                TableWrite.encodeBoundValue(t, mx, isUpper = true, trunc).foreach(upper(id) = _)
+              }
+            }
           }
         }
       }

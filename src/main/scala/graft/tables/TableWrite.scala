@@ -69,8 +69,14 @@ object TableWrite {
     }
   }
 
-  /** executor-side footer read using the driver's shipped Configuration */
-  def statsOf(pathStr: String, infos: Seq[FieldInfo], conf: Configuration): FileStats = {
+  /** executor-side footer read using the driver's shipped Configuration;
+    * `metrics` governs which counts/bounds each column keeps (the
+    * `write.metadata.metrics.*` table properties) */
+  def statsOf(
+      pathStr: String,
+      infos: Seq[FieldInfo],
+      conf: Configuration,
+      metrics: MetricsConfig = MetricsConfig.default): FileStats = {
     val inputFile = HadoopInputFile.fromPath(new Path(pathStr), conf)
     val reader = ParquetFileReader.open(inputFile)
     try {
@@ -94,18 +100,20 @@ object TableWrite {
           byName.get(name).foreach { info =>
             val id = info.id
             colSizes(id) = colSizes.getOrElse(id, 0L) + c.getTotalSize
-            valCounts(id) = valCounts.getOrElse(id, 0L) + c.getValueCount
-            val st = c.getStatistics
-            if (st != null && !st.isEmpty) {
-              if (st.isNumNullsSet)
-                nullCounts(id) = nullCounts.getOrElse(id, 0L) + st.getNumNulls
-              if (st.hasNonNullValue) {
-                val (mn, mx) = statValues(st, info.typeRepr)
-                (mn, mx) match {
-                  case (Some(a), Some(z)) =>
-                    mins(id) = mins.get(id).map(m => minOf(m, a)).getOrElse(a)
-                    maxs(id) = maxs.get(id).map(m => maxOf(m, z)).getOrElse(z)
-                  case _ =>
+            if (metrics.keepCounts(id)) {
+              valCounts(id) = valCounts.getOrElse(id, 0L) + c.getValueCount
+              val st = c.getStatistics
+              if (st != null && !st.isEmpty) {
+                if (st.isNumNullsSet)
+                  nullCounts(id) = nullCounts.getOrElse(id, 0L) + st.getNumNulls
+                if (st.hasNonNullValue && metrics.boundsTrunc(id).isDefined) {
+                  val (mn, mx) = statValues(st, info.typeRepr)
+                  (mn, mx) match {
+                    case (Some(a), Some(z)) =>
+                      mins(id) = mins.get(id).map(m => minOf(m, a)).getOrElse(a)
+                      maxs(id) = maxs.get(id).map(m => maxOf(m, z)).getOrElse(z)
+                    case _ =>
+                  }
                 }
               }
             }
@@ -114,9 +122,11 @@ object TableWrite {
       }
 
       val lower = mins.toMap.flatMap { case (id, v) =>
-        encodeBound(byName, infos, id, v, isUpper = false).map(id -> _) }
+        encodeBound(infos, id, v, isUpper = false,
+          metrics.boundsTrunc(id).flatten).map(id -> _) }
       val upper = maxs.toMap.flatMap { case (id, v) =>
-        encodeBound(byName, infos, id, v, isUpper = true).map(id -> _) }
+        encodeBound(infos, id, v, isUpper = true,
+          metrics.boundsTrunc(id).flatten).map(id -> _) }
 
       FileStats(pathStr, recordCount, inputFile.getLength,
         colSizes.toMap, valCounts.toMap, nullCounts.toMap,
@@ -165,29 +175,34 @@ object TableWrite {
     * encode as '?' and produce an upper bound SMALLER than the real max,
     * wrongly pruning files. */
   private def encodeBound(
-      byName: Map[String, FieldInfo],
       infos: Seq[FieldInfo],
       id: Int,
       v: Any,
-      isUpper: Boolean): Option[Array[Byte]] = {
+      isUpper: Boolean,
+      trunc: Option[Int]): Option[Array[Byte]] = {
     val info = infos.find(_.id == id).getOrElse(return None)
-    encodeBoundValue(parseTypeRepr(info.typeRepr), v, isUpper)
+    encodeBoundValue(parseTypeRepr(info.typeRepr), v, isUpper, trunc)
   }
 
   /** value-level bound encoding (shared with the avro write path, which
-    * accumulates bounds inline instead of harvesting footers) */
+    * accumulates bounds inline instead of harvesting footers).
+    * `trunc` = Some(n): string bounds cut at n code points, binary bounds
+    * at n bytes; None: full bounds (`write.metadata.metrics.* = full`). */
   private[tables] def encodeBoundValue(
       t: IceType,
       v: Any,
-      isUpper: Boolean): Option[Array[Byte]] = {
+      isUpper: Boolean,
+      trunc: Option[Int] = Some(16)): Option[Array[Byte]] = {
     v match {
-      case s: String if t == IcePrim("string") && s.codePointCount(0, s.length) > 16 =>
-        val cut = s.offsetByCodePoints(0, 16)
+      case s: String if t == IcePrim("string") &&
+          trunc.exists(n => s.codePointCount(0, s.length) > n) =>
+        val n = trunc.get
+        val cut = s.offsetByCodePoints(0, n)
         val prefix = s.substring(0, cut)
         if (!isUpper) Some(SingleValue.encode(t, prefix))
         else {
           // bump the LAST code point; walk back over unbumpable ones
-          var i = 16
+          var i = n
           var res: Option[String] = None
           while (i > 0 && res.isEmpty) {
             val start = s.offsetByCodePoints(0, i - 1)
@@ -201,6 +216,22 @@ object TableWrite {
             else i -= 1
           }
           res.map(b => SingleValue.encode(t, b))
+        }
+      case b: Array[Byte] if (t == IcePrim("binary") || t.isInstanceOf[IceFixed]) &&
+          trunc.exists(b.length > _) =>
+        val n = trunc.get
+        if (!isUpper) Some(b.take(n))
+        else {
+          // round the prefix UP: bump the last byte < 0xFF, dropping the
+          // unbumpable 0xFF tail; an all-0xFF prefix has no sound upper
+          var i = n - 1
+          while (i >= 0 && (b(i) & 0xFF) == 0xFF) i -= 1
+          if (i < 0) None
+          else {
+            val out = b.slice(0, i + 1)
+            out(i) = ((out(i) & 0xFF) + 1).toByte
+            Some(out)
+          }
         }
       case other => Some(SingleValue.encode(t, other))
     }
@@ -334,11 +365,16 @@ object TableWrite {
       table: GraftTable, spark: SparkSession, paths: Seq[String]): List[IceDataFile] = {
     val schema = table.metadata.currentSchema
     val infos = schema.fields.map(f => FieldInfo(f.name, f.id, f.fieldType.repr))
-    harvest(spark, paths, infos).filter(_.recordCount > 0)
+    val metricsCfg = MetricsConfig.fromProperties(table.metadata.properties, schema)
+    harvest(spark, paths, infos, metricsCfg).filter(_.recordCount > 0)
       .map(statsToDataFile(_, Nil, DataContent.Data, Nil)).toList
   }
 
-  def harvest(spark: SparkSession, paths: Seq[String], infos: Seq[FieldInfo]): Seq[FileStats] =
+  def harvest(
+      spark: SparkSession,
+      paths: Seq[String],
+      infos: Seq[FieldInfo],
+      metrics: MetricsConfig = MetricsConfig.default): Seq[FileStats] =
     if (paths.isEmpty) Nil
     else {
       // session-scoped conf, not the raw SparkContext one: per-session
@@ -349,7 +385,7 @@ object TableWrite {
           math.min(paths.size, 16))
         try paths
           .map(p => pool.submit(new java.util.concurrent.Callable[FileStats] {
-            override def call(): FileStats = statsOf(p, infos, conf)
+            override def call(): FileStats = statsOf(p, infos, conf, metrics)
           }))
           .map(_.get())
         finally pool.shutdown()
@@ -357,7 +393,7 @@ object TableWrite {
         val par = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
         val bc = spark.sparkContext.broadcast(new SerializableHadoopConf(conf))
         spark.sparkContext.parallelize(paths, par)
-          .map(p => statsOf(p, infos, bc.value.value)).collect().toSeq
+          .map(p => statsOf(p, infos, bc.value.value, metrics)).collect().toSeq
       }
     }
 
@@ -497,20 +533,24 @@ object TableWrite {
         case None => f
       }
 
+    // metrics modes resolved once on the driver; internal lineage fields
+    // keep the engine default (they are not user schema columns)
+    val metricsCfg = MetricsConfig.fromProperties(props, schema)
+
     val fmt = dataFormat(table.metadata)
     if (fmt == "avro")
       // no Spark writer for avro data files — a dedicated distributed
       // write that accumulates the manifest stats inline
       return writeFanoutDataFiles(
         table, spark, base, schema, spec, sortExprs, maxRecords, stampOrderId,
-        "avro", lineageFields)
+        "avro", lineageFields, metricsCfg)
     if (fmt == "orc" && OrcDataIO.canWrite(schema.fields ++ lineageFields))
       // orc goes through orc-core so every file carries iceberg.id
       // attributes (rename-safe id resolution on read); data layout is
       // Spark's own (OrcSerializer)
       return writeFanoutDataFiles(
         table, spark, base, schema, spec, sortExprs, maxRecords, stampOrderId,
-        "orc", lineageFields)
+        "orc", lineageFields, metricsCfg)
 
     /** format hooks shared by the unpartitioned/partitioned flows */
     def sink(df: DataFrame, parts: Seq[String] = Nil): Unit = {
@@ -524,8 +564,8 @@ object TableWrite {
     def statsHarvest(paths: Seq[String]): Seq[FileStats] = fmt match {
       case "orc" =>
         val conf = org.apache.spark.sql.GraftBridge.sessionHadoopConf(spark)
-        paths.map(p => OrcDataIO.statsOf(p, infos, conf))
-      case _ => harvest(spark, paths, infos)
+        paths.map(p => OrcDataIO.statsOf(p, infos, conf, metricsCfg))
+      case _ => harvest(spark, paths, infos, metricsCfg)
     }
 
     if (spec.isUnpartitioned) {
@@ -596,7 +636,8 @@ object TableWrite {
       maxRecords: Option[Long],
       stampOrderId: Option[Int],
       fmt: String,
-      lineageFields: List[IceField] = Nil): List[IceDataFile] = {
+      lineageFields: List[IceField] = Nil,
+      metricsCfg: MetricsConfig = MetricsConfig.default): List[IceDataFile] = {
     val writeId = UUID.randomUUID().toString
     val outDir = s"${table.location}/data/$writeId"
     val fields = schema.fields ++ lineageFields
@@ -646,9 +687,9 @@ object TableWrite {
           val path = f"$outDir/part-$pid%05d-$attempt-$fileCount%05d.$fmt"
           fileCount += 1
           if (fmt == "orc")
-            new OrcDataIO.RowWriter(conf, path, fields, sparkDataSchema, codec)
+            new OrcDataIO.RowWriter(conf, path, fields, sparkDataSchema, codec, metricsCfg)
           else
-            new AvroDataIO.RowWriter(conf, path, fields, dataOrdinals, codec)
+            new AvroDataIO.RowWriter(conf, path, fields, dataOrdinals, codec, metricsCfg)
         }
         // manifest-boxed partition value (matches TransformEval.box)
         def boxed(v: Any): Any = v match {
