@@ -210,7 +210,12 @@ object Bench {
   val round9Headline: Seq[String] = Seq(
     "text_gopher", "select_auc", "sample_stratified_k", "sample_epochs",
     "ice_merge_schema", "dedup_softweight", "dedup_incremental",
-    "decontaminate_report", "dedup_incremental_embed")
+    "decontaminate_report", "dedup_incremental_embed",
+    // continuation wave: metrics modes (write + harvest), manifest
+    // auto-merge (6 commits + merged planning), normalization kernel,
+    // hybrid RRF retrieval
+    "ice_metrics_mode", "ice_manifest_merge", "text_normalize",
+    "search_hybrid")
 
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —
@@ -337,7 +342,12 @@ object Bench {
         // embedding), contamination report
         "text_gopher", "select_auc", "sample_stratified_k",
         "sample_epochs", "dedup_softweight", "dedup_incremental",
-        "decontaminate_report", "dedup_incremental_embed"))
+        "decontaminate_report", "dedup_incremental_embed",
+        // continuation wave: the normalization kernel is pure map (must
+        // stay ~linear), hybrid RRF's fusion join must stay bounded by
+        // queries x k, manifest auto-merge re-reads small manifests on
+        // each merging commit (cost bounded by min-count x entries)
+        "text_normalize", "search_hybrid", "ice_manifest_merge"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

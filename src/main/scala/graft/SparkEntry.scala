@@ -1205,6 +1205,27 @@ object SparkEntry {
         "metadata-only delete must write no delete files")
       tbl.scan(s)
     }),
+    "ice_manifest_merge" -> ((s, dir) => {
+      // continuous ingest with commit.manifest-merge.enabled: six appends
+      // accrete manifests until min-count-to-merge collapses them; the
+      // scan must read back the exact union regardless of how manifests
+      // were regrouped (statuses, snapshot ids and inherited sequence
+      // numbers are preserved through the merge)
+      val src = t(s, dir, "orders")
+      val tbl = freshTable(s, "ice_manifest_merge", src,
+        properties = Map(
+          "commit.manifest-merge.enabled" -> "true",
+          "commit.manifest.min-count-to-merge" -> "4"))
+      var cur = tbl
+      (0 until 6).foreach { i =>
+        cur = cur.append(s, src.filter(pmod(col("o_orderkey"), lit(6)) === i))
+      }
+      val ms = ManifestIO.readManifestList(
+        s.sparkContext.hadoopConfiguration,
+        cur.relocate(cur.metadata.currentSnapshot.get.manifestList))
+      require(ms.size < 6, s"manifest merge did not trigger (${ms.size} manifests)")
+      cur.scan(s)
+    }),
     "ice_metrics_mode" -> ((s, dir) => {
       // write.metadata.metrics.* modes drive what the manifests store:
       // `counts` default drops every bound, text keeps 4-code-point
@@ -4291,6 +4312,7 @@ object SparkEntry {
         |       ELSE 'pt' END AS lang_pred
         |FROM sc""".stripMargin,
     "ice_roundtrip" -> "SELECT * FROM customer",
+    "ice_manifest_merge" -> "SELECT * FROM orders",
     "ice_metrics_mode" ->
       """SELECT substring(min(text),1,4) AS lower_text,
         |       substring(max(text),1,3) || chr(unicode(substring(max(text),4,1))+1) AS upper_text,

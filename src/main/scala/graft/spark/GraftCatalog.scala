@@ -878,7 +878,11 @@ class GraftScanBuilder(
         val iceSchema =
           if (timeTravel) table.metadata.schemaFor(s) else table.metadata.currentSchema
         val pruneFilter = FilterToColumn.convert(pushedFiltersArr)
-        val planned = table.planFiles(s, pruneFilter)
+        // distributed planning above the manifest threshold: file-level
+        // pruning moves into executors and only survivors are collected
+        // (the prunePlanned calls below are idempotent re-applications)
+        val planned = table.planFilesPruned(
+          org.apache.spark.sql.SparkSession.active, s, pruneFilter, iceSchema)
         // incremental append scan: only files committed AFTER the start
         // snapshot (by data sequence). Deletes do not apply — the result
         // is the appended-rows changelog between the two snapshots.

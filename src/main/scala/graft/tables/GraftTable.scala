@@ -118,6 +118,90 @@ class GraftTable(
     }
   }
 
+  /** Scan planning with file-level pruning, DISTRIBUTED above a manifest
+    * threshold. The driver path materializes every live DataFile before
+    * pruning — fine to a few thousand manifests, but a 100 TB table can
+    * carry 10^5 manifests / 10^7 live files, where driver-side planning
+    * becomes the scan's serial bottleneck. Here surviving manifests
+    * (after manifest-list summary pruning, driver-side and cheap) are
+    * read in a Spark job that applies [[PruneEval.mayMatch]] executor-
+    * side, so only SURVIVING descriptors are collected. Pruning is
+    * idempotent — callers may re-apply `prunePlanned` with the same
+    * filter and get the identical set — and conservative for delete
+    * files exactly like the driver path (unknown ⇒ keep).
+    *
+    * `schema` must be the schema the caller resolves the filter against
+    * (the snapshot's schema under time travel, not the current one). */
+  def planFilesPruned(
+      spark: SparkSession,
+      snapshot: IceSnapshot,
+      filter: Option[Column],
+      schema: IceSchema,
+      distributedThreshold: Int = GraftTable.DistributedPlanThreshold): List[PlannedFile] = {
+    val exprOpt = filter.map(c => org.apache.spark.sql.GraftBridge.catalystExpression(c))
+    def filePrune(planned: List[PlannedFile]): List[PlannedFile] = exprOpt match {
+      case Some(expr) =>
+        val kept = planned.filter(p =>
+          PruneEval.mayMatch(expr, p.file, metadata.specById(p.specId), schema))
+        Metrics.inc(Metrics.FilesPruned, (planned.size - kept.size).toLong)
+        kept
+      case None => planned
+    }
+    val allEntries = ManifestIO.readManifestList(conf, relocate(snapshot.manifestList))
+    val entries = exprOpt match {
+      case Some(expr) => allEntries.filter { mf =>
+        mf.content != 0 || PruneEval.manifestMayMatch(
+          expr, mf.partitions, metadata.specById(mf.partitionSpecId), schema)
+      }
+      case None => allEntries
+    }
+    if (entries.size < distributedThreshold) filePrune(planFiles(snapshot, filter))
+    else {
+      Metrics.inc(Metrics.PlanFilesCalls)
+      Metrics.inc(Metrics.DistributedPlans)
+      // locals only below this line: the task closure must not capture
+      // `this` (the table holds a non-serializable Hadoop Configuration)
+      val specsLocal: Map[Int, IcePartitionSpec] =
+        entries.map(_.partitionSpecId).distinct
+          .map(id => id -> metadata.specById(id)).toMap
+      val loc = location
+      val metaLoc = metadata.location
+      val schemaLocal = schema
+      val exprLocal = exprOpt
+      val serConf = spark.sparkContext.broadcast(
+        new TableWrite.SerializableHadoopConf(conf))
+      val prunedAcc = spark.sparkContext.longAccumulator("graft.plan.files.pruned")
+      val items = entries.map(mf =>
+        (relocate(mf.manifestPath), mf.partitionSpecId, mf.sequenceNumber))
+      val par = math.max(1, math.min(items.size, spark.sparkContext.defaultParallelism))
+      val survivors = spark.sparkContext.parallelize(items, par)
+        .flatMap { case (mpath, specId, mseq) =>
+          val spec = specsLocal(specId)
+          ManifestIO.readManifest(serConf.value.value, mpath, spec.fields.map(_.name))
+            .iterator
+            .filter(_.status != ManifestStatus.Deleted)
+            .map { e =>
+              val seq = e.dataSequenceNumber.getOrElse(mseq)
+              val fp = e.dataFile.filePath
+              val rel =
+                if (fp.startsWith(loc)) fp
+                else if (fp.startsWith(metaLoc)) loc + fp.stripPrefix(metaLoc)
+                else fp
+              PlannedFile(e.dataFile.copy(filePath = rel), seq, specId)
+            }
+            .filter { p =>
+              val keep = exprLocal.forall(ex =>
+                PruneEval.mayMatch(ex, p.file, specsLocal(p.specId), schemaLocal))
+              if (!keep) prunedAcc.add(1L)
+              keep
+            }
+        }
+        .collect().toList
+      Metrics.inc(Metrics.FilesPruned, prunedAcc.value)
+      survivors
+    }
+  }
+
   def resolveSnapshot(
       snapshotId: Option[Long],
       asOfTimestampMs: Option[Long]): Option[IceSnapshot] =
@@ -2614,6 +2698,59 @@ class GraftTable(
     this
   }
 
+  /** Automatic manifest merging on commit — Iceberg's
+    * `commit.manifest-merge.enabled` / `commit.manifest.min-count-to-merge`
+    * / `commit.manifest.target-size-bytes` properties. Without it,
+    * continuous ingest accretes one manifest per commit and planning cost
+    * grows with COMMITS, not files; with it, once a (spec, content)
+    * group accumulates `min-count-to-merge` manifests below the target
+    * size they collapse into one. Entry semantics are preserved exactly:
+    * statuses stay (Added flips to Existing — the adding snapshot is now
+    * an earlier one), original snapshot ids stay, and inherited sequence
+    * numbers are materialized as explicit values (the merged manifest's
+    * own inherit position would lie). Older snapshots keep their own
+    * manifest lists, so time travel and changelogs are untouched. */
+  private def mergeSmallManifests(
+      previous: List[IceManifestListEntry],
+      snapshotId: Long,
+      schema: IceSchema,
+      mdir: String,
+      fv: Int): List[IceManifestListEntry] = {
+    val props = metadata.properties
+    val enabled = props.getOrElse("commit.manifest-merge.enabled", "false") == "true"
+    if (!enabled || previous.isEmpty) return previous
+    val minCount = props.getOrElse("commit.manifest.min-count-to-merge", "100").toInt
+    val targetBytes =
+      props.getOrElse("commit.manifest.target-size-bytes", (8L * 1024 * 1024).toString).toLong
+    previous.groupBy(m => (m.partitionSpecId, m.content)).toList
+      .sortBy(_._1) // deterministic list order across commits
+      .flatMap { case ((specId, content), ms) =>
+        val (small, big) = ms.partition(_.manifestLength < targetBytes)
+        if (small.size < minCount) ms
+        else {
+          val spec = metadata.specById(specId)
+          val entries = small.flatMap { mf =>
+            ManifestIO.readManifest(conf, relocate(mf.manifestPath), spec.fields.map(_.name))
+              .map { e =>
+                val dseq = e.dataSequenceNumber.getOrElse(mf.sequenceNumber)
+                val fseq = e.fileSequenceNumber.getOrElse(mf.sequenceNumber)
+                val st =
+                  if (e.status == ManifestStatus.Added) ManifestStatus.Existing
+                  else e.status
+                IceManifestEntry(st, e.snapshotId.orElse(Some(mf.addedSnapshotId)),
+                  Some(dseq), Some(fseq),
+                  e.dataFile.copy(filePath = relocate(e.dataFile.filePath)))
+              }
+          }
+          Metrics.inc(Metrics.ManifestsMerged, small.size.toLong)
+          big :+ ManifestIO.writeManifest(
+            conf, s"$mdir/${UUID.randomUUID()}-g$specId-$content.avro",
+            entries, spec, schema, content = content,
+            formatVersion = if (content == 0) fv else math.max(fv, 2))
+        }
+      }
+  }
+
   private def commitOnce(
       operation: String,
       addedData: List[IceDataFile],
@@ -2692,7 +2829,8 @@ class GraftTable(
       if (replace) Nil
       else headSnap.toList.flatMap(s =>
         ManifestIO.readManifestList(conf, relocate(s.manifestList)))
-    val allEntries = previous ++ listEntries
+    val allEntries = mergeSmallManifests(previous, snapshotId, schema, mdir, fv) ++
+      listEntries
 
     val listPath = s"$mdir/snap-$snapshotId-$seq-${UUID.randomUUID()}.avro"
     ManifestIO.writeManifestList(
@@ -2813,6 +2951,10 @@ object GraftTable {
 
   /** driver-side manifest Avro reads fan out on this many threads */
   val ManifestReadParallelism = 8
+
+  /** manifest count above which scan planning runs as a Spark job
+    * ([[GraftTable.planFilesPruned]]) instead of on driver threads */
+  val DistributedPlanThreshold = 64
 
   /** delete sides at or below this on-disk size broadcast; larger ones go
     * through AQE-planned shuffle joins (an unconditional broadcast of a

@@ -34,6 +34,8 @@ object Metrics {
   val BytesWritten = "bytes_written_total"
   val ScansPlanned = "scans_planned_total"
   val PlanFilesCalls = "plan_files_calls_total"
+  val DistributedPlans = "distributed_plans_total"
+  val ManifestsMerged = "manifests_merged_total"
   val FilesPruned = "files_pruned_total"
   val FilesScanned = "files_scanned_total"
   val ChangelogDataFilesRead = "changelog_data_files_read_total"
