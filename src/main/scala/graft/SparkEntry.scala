@@ -535,6 +535,23 @@ object SparkEntry {
           min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"))
     }),
+    "q_events_range" -> ((s, dir) => {
+      // point-in-interval range join: clicks landing inside the 6-hour
+      // window after each purchase by the same user. Bucketized at the
+      // window width — a hash join on (user, bucket), never a
+      // nested-loop BETWEEN join
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("event_id").as("interval_id"),
+        col("ts").as("start_ts"),
+        (col("ts") + expr("INTERVAL 6 HOURS")).as("end_ts"))
+      val clicks = ev.filter(col("event_type") === "click").select(
+        col("user_id"), col("event_id").as("click_id"), col("ts"))
+      graft.operators.RangeJoin.pointInInterval(
+          clicks, purchases, Seq("user_id"), "ts", "start_ts", "end_ts",
+          bucketSeconds = 6 * 3600L)
+        .select(col("interval_id"), col("click_id"))
+    }),
     "q_events_asof" -> ((s, dir) => {
       // point-in-time join: each purchase gets the user's latest click at
       // or before it (union + carry-forward, no range join)
@@ -3119,6 +3136,17 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM sessions GROUP BY user_id, session_idx""".stripMargin,
+    "q_events_range" ->
+      """WITH p AS (
+        |  SELECT event_id AS interval_id, user_id, ts AS s,
+        |    ts + INTERVAL 6 HOUR AS e
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.interval_id, c.click_id
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.ts >= p.s AND c.ts <= p.e""".stripMargin,
     "q_events_asof" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, event_id FROM (

@@ -1229,11 +1229,10 @@ class GraftTable(
       spark: SparkSession,
       where: Option[Column] = None): GraftTable = {
     val snap = metadata.currentSnapshot.getOrElse(return this)
-    val all = planFiles(snap).filter(_.file.content == DataContent.Data)
-    val planned = where match {
-      case Some(c) => PruneEval.prunePlanned(all, Some(c), metadata, metadata.currentSchema)
-      case None => all
-    }
+    // distributed planning above the manifest threshold; file-level
+    // pruning for a scoped rewrite happens executor-side there
+    val planned = planFilesPruned(spark, snap, where, metadata.currentSchema)
+      .filter(_.file.content == DataContent.Data)
     if (planned.isEmpty) return this
     val oldPaths = planned.map(p => GraftTable.normPathStr(p.file.filePath)).toSet
     val scoped =
@@ -2717,7 +2716,10 @@ class GraftTable(
       mdir: String,
       fv: Int): List[IceManifestListEntry] = {
     val props = metadata.properties
-    val enabled = props.getOrElse("commit.manifest-merge.enabled", "false") == "true"
+    // enabled by default, matching Iceberg: with the stock
+    // min-count-to-merge of 100 nothing changes until a table really
+    // accretes that many small manifests
+    val enabled = props.getOrElse("commit.manifest-merge.enabled", "true") == "true"
     if (!enabled || previous.isEmpty) return previous
     val minCount = props.getOrElse("commit.manifest.min-count-to-merge", "100").toInt
     val targetBytes =

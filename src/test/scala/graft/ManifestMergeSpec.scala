@@ -40,8 +40,15 @@ class ManifestMergeSpec extends AnyFunSuite {
     ManifestIO.readManifestList(
       conf, t.relocate(t.metadata.currentSnapshot.get.manifestList))
 
-  test("disabled (default): one manifest per commit accretes") {
-    val t = build("nomerge", Map.empty)
+  test("below min-count-to-merge (default 100): one manifest per commit") {
+    val t = build("nomerge-default", Map.empty)
+    assert(manifests(t).size === 6)
+  }
+
+  test("explicitly disabled: no merging even past the count") {
+    val t = build("nomerge-off", Map(
+      "commit.manifest-merge.enabled" -> "false",
+      "commit.manifest.min-count-to-merge" -> "3"))
     assert(manifests(t).size === 6)
   }
 

@@ -998,4 +998,35 @@ class OperatorsSpec extends AnyFunSuite {
         Map("web" -> 0.5), budget = 0.5)
     }
   }
+
+  test("range join: bucketed hash path, boundary inclusivity, long-interval fallback") {
+    import java.sql.Timestamp
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val points = Seq(
+      (1L, 101L, ts(0)),   // == interval A start (inclusive)
+      (1L, 102L, ts(10)),  // inside A
+      (1L, 103L, ts(20)),  // == A end (inclusive)
+      (1L, 104L, ts(21)),  // just past A
+      (2L, 105L, ts(10)),  // other key: no interval
+      (1L, 106L, ts(500)), // inside the LONG interval only
+    ).toDF("user_id", "click_id", "ts")
+    val intervals = Seq(
+      (1L, 900L, ts(0), ts(20)),    // A: spans 20 min
+      (1L, 901L, ts(400), ts(4000)) // long: 3600 min -> broadcast path
+    ).toDF("user_id", "interval_id", "start_ts", "end_ts")
+    // bucket = 10 min; maxBuckets = 8 -> A explodes (3 buckets), the
+    // 360-bucket interval takes the broadcast fallback
+    val got = graft.operators.RangeJoin.pointInInterval(
+        points, intervals, Seq("user_id"), "ts", "start_ts", "end_ts",
+        bucketSeconds = 600L, maxBucketsPerInterval = 8)
+      .select("interval_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((900L, 101L), (900L, 102L), (900L, 103L), (901L, 106L)))
+    // no keys: pure time join still answers (single bucket column join)
+    val nk = graft.operators.RangeJoin.pointInInterval(
+        points.drop("user_id"), intervals.drop("user_id"),
+        Nil, "ts", "start_ts", "end_ts", bucketSeconds = 600L,
+        maxBucketsPerInterval = 8)
+      .select("interval_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(nk === Set((900L, 101L), (900L, 102L), (900L, 103L), (900L, 105L), (901L, 106L)))
+  }
 }
