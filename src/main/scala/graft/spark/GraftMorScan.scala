@@ -189,10 +189,48 @@ class GraftMorScan(
     }
   }
 
+  /** Descriptor-level applicability of an eq-delete FILE: it loads only
+    * if (1) some data file strictly predates it (`eseq > dseq` is the
+    * row rule) and (2) for that data file, every equality column whose
+    * bounds exist on BOTH sides overlaps — with the delete file proving
+    * a zero null count for the column (a delete row with a null key
+    * matches null-key data rows, which bounds don't cover). Everything
+    * missing stays conservative. At scale this is what keeps a scan from
+    * loading thousands of accumulated eq-delete files that only touch
+    * other partitions' key ranges. */
+  private def eqBoundsOverlap(data: IceDataFile, del: IceDataFile, id: Int): Boolean =
+    iceSchema.fieldById(id).forall { f =>
+      if (!del.nullValueCounts.get(id).contains(0L)) true // may hold null keys
+      else {
+        def v(b: Array[Byte]): Any = SingleValue.decode(f.fieldType, b)
+        val disjointBelow = (data.upperBounds.get(id), del.lowerBounds.get(id)) match {
+          case (Some(du), Some(dl)) => PruneEval.compareValues(v(du), v(dl)) < 0
+          case _ => false
+        }
+        val disjointAbove = (del.upperBounds.get(id), data.lowerBounds.get(id)) match {
+          case (Some(eu), Some(al)) => PruneEval.compareValues(v(eu), v(al)) < 0
+          case _ => false
+        }
+        !disjointBelow && !disjointAbove
+      }
+    }
+
+  /** evaluated lazily — AFTER runtime filter() may have shrunk
+    * `currentData`, so runtime pruning also narrows delete applicability */
+  private lazy val liveEqDeletes: Seq[PlannedFile] = {
+    val live = eqDeletes.filter { d =>
+      currentData.exists(p =>
+        d.seq > p.seq &&
+          d.file.equalityIds.forall(id => eqBoundsOverlap(p.file, d.file, id)))
+    }
+    Metrics.inc(Metrics.EqDeleteFilesSkipped, (eqDeletes.size - live.size).toLong)
+    live
+  }
+
   /** per equality-id group: key types and (key -> max delete sequence) */
   private lazy val eqGroups: Seq[(Seq[String], Array[DataType], JHashMap[UnsafeRow, java.lang.Long], Long)] =
     (if (executorSide) Nil
-    else eqDeletes.groupBy(_.file.equalityIds).toSeq).flatMap { case (eqIds, files) =>
+    else liveEqDeletes.groupBy(_.file.equalityIds).toSeq).flatMap { case (eqIds, files) =>
       val keyFields = eqIds.flatMap(id => iceSchema.fieldById(id))
       if (keyFields.isEmpty) None
       else {
@@ -426,7 +464,7 @@ class GraftMorScan(
     val spark = SparkSession.active
     val eqSpecs: Array[EqLoadSpec] =
       if (!executorSide) Array.empty
-      else eqDeletes.groupBy(_.file.equalityIds).toSeq.flatMap { case (eqIds, files) =>
+      else liveEqDeletes.groupBy(_.file.equalityIds).toSeq.flatMap { case (eqIds, files) =>
         val keyFields = eqIds.flatMap(id => iceSchema.fieldById(id))
         if (keyFields.isEmpty) None
         else {
@@ -450,7 +488,7 @@ class GraftMorScan(
         s.keyOrdinals.mkString("o", ".", "") + s.keyTypes.map(_.catalogString).mkString("t", ".", ""))
         .mkString(";")
       val sig = table.location + "#" +
-        eqDeletes.map(p => s"${p.file.filePath}:${p.seq}").sorted.mkString(",") +
+        liveEqDeletes.map(p => s"${p.file.filePath}:${p.seq}").sorted.mkString(",") +
         "#" + schemaSig + "#" + eqExecMaxBytes
       java.security.MessageDigest.getInstance("MD5")
         .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -570,7 +608,7 @@ class GraftMorScan(
     Array(
       GraftTaskMetric("graftDataFiles", currentData.size.toLong),
       GraftTaskMetric("graftPosDeleteFiles", posDeletes.size.toLong),
-      GraftTaskMetric("graftEqDeleteFiles", eqDeletes.size.toLong))
+      GraftTaskMetric("graftEqDeleteFiles", liveEqDeletes.size.toLong))
 }
 
 /** file (or byte-range split) partition + its data sequence, deleted

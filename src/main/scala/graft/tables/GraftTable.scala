@@ -2745,13 +2745,59 @@ class GraftTable(
               }
           }
           Metrics.inc(Metrics.ManifestsMerged, small.size.toLong)
-          big :+ ManifestIO.writeManifest(
-            conf, s"$mdir/${UUID.randomUUID()}-g$specId-$content.avro",
-            entries, spec, schema, content = content,
-            formatVersion = if (content == 0) fv else math.max(fv, 2))
+          // the merged output itself rolls at the target size: a merge
+          // must never create one giant manifest, and at-target outputs
+          // are excluded from FUTURE merges by the small-check above
+          big ++ chunkByTarget(entries, targetBytes)(e =>
+            estimatedEntryBytes(e.dataFile)).zipWithIndex.map { case (chunk, i) =>
+            ManifestIO.writeManifest(
+              conf, s"$mdir/${UUID.randomUUID()}-g$specId-$content-$i.avro",
+              chunk, spec, schema, content = content,
+              formatVersion = if (content == 0) fv else math.max(fv, 2))
+          }
         }
       }
   }
+
+  /** Rough serialized size of one manifest entry — path + encoded bounds
+    * + the fixed Avro framing of counts/offsets. Used to roll manifest
+    * files at `commit.manifest.target-size-bytes` WITHOUT serializing
+    * twice; a 2x estimate error just means manifests land at half or
+    * double the target, which only shifts the merge/split equilibrium. */
+  private def estimatedEntryBytes(f: IceDataFile): Long =
+    220L + f.filePath.length +
+      f.lowerBounds.values.map(_.length + 12).sum.toLong +
+      f.upperBounds.values.map(_.length + 12).sum.toLong +
+      16L * (f.columnSizes.size + f.valueCounts.size +
+        f.nullValueCounts.size + f.nanValueCounts.size) +
+      8L * f.splitOffsets.size
+
+  /** Greedy chunking of a commit's files so each manifest lands near the
+    * target size — one commit adding 10^5 files must not produce one
+    * giant manifest (it would serialize planning and defeat per-manifest
+    * parallel reads). Everyday commits fit one chunk. */
+  private def chunkByTarget[A](
+      files: List[A], targetBytes: Long)(size: A => Long): List[List[A]] = {
+    val out = scala.collection.mutable.ListBuffer.empty[List[A]]
+    var cur = scala.collection.mutable.ListBuffer.empty[A]
+    var bytes = 0L
+    files.foreach { f =>
+      val e = size(f)
+      if (cur.nonEmpty && bytes + e > targetBytes) {
+        out += cur.toList
+        cur = scala.collection.mutable.ListBuffer.empty[A]
+        bytes = 0L
+      }
+      cur += f
+      bytes += e
+    }
+    if (cur.nonEmpty) out += cur.toList
+    out.toList
+  }
+
+  private def manifestTargetBytes: Long =
+    metadata.properties
+      .getOrElse("commit.manifest.target-size-bytes", (8L * 1024 * 1024).toString).toLong
 
   private def commitOnce(
       operation: String,
@@ -2800,18 +2846,26 @@ class GraftTable(
       }
     var listEntries = List.empty[IceManifestListEntry]
     if (assignedData.nonEmpty) {
-      val entries = assignedData.map(f => IceManifestEntry(
-        ManifestStatus.Added, Some(snapshotId), Some(seq), Some(seq), f))
-      listEntries :+= ManifestIO.writeManifest(
-        conf, s"$mdir/${UUID.randomUUID()}-m0.avro", entries, spec, schema,
-        content = 0, formatVersion = fv)
+      // rolled at commit.manifest.target-size-bytes: mega-commits split
+      // across manifests (parallel planning), everyday commits fit one
+      chunkByTarget(assignedData, manifestTargetBytes)(estimatedEntryBytes).zipWithIndex.foreach {
+        case (chunk, i) =>
+          val entries = chunk.map(f => IceManifestEntry(
+            ManifestStatus.Added, Some(snapshotId), Some(seq), Some(seq), f))
+          listEntries :+= ManifestIO.writeManifest(
+            conf, s"$mdir/${UUID.randomUUID()}-m$i.avro", entries, spec, schema,
+            content = 0, formatVersion = fv)
+      }
     }
     if (addedDeletes.nonEmpty) {
       require(fv >= 2, "delete files require format version 2")
-      val entries = addedDeletes.map(f => IceManifestEntry(
-        ManifestStatus.Added, Some(snapshotId), Some(seq), Some(seq), f))
-      listEntries :+= ManifestIO.writeManifest(
-        conf, s"$mdir/${UUID.randomUUID()}-d0.avro", entries, spec, schema, content = 1)
+      chunkByTarget(addedDeletes, manifestTargetBytes)(estimatedEntryBytes).zipWithIndex.foreach {
+        case (chunk, i) =>
+          val entries = chunk.map(f => IceManifestEntry(
+            ManifestStatus.Added, Some(snapshotId), Some(seq), Some(seq), f))
+          listEntries :+= ManifestIO.writeManifest(
+            conf, s"$mdir/${UUID.randomUUID()}-d$i.avro", entries, spec, schema, content = 1)
+      }
     }
     // carried-forward survivors (dynamic overwrite): Existing entries with
     // their original data sequence numbers, grouped per (spec, content)

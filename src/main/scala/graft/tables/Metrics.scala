@@ -36,6 +36,7 @@ object Metrics {
   val PlanFilesCalls = "plan_files_calls_total"
   val DistributedPlans = "distributed_plans_total"
   val ManifestsMerged = "manifests_merged_total"
+  val EqDeleteFilesSkipped = "eq_delete_files_skipped_total"
   val FilesPruned = "files_pruned_total"
   val FilesScanned = "files_scanned_total"
   val ChangelogDataFilesRead = "changelog_data_files_read_total"

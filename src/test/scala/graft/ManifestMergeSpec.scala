@@ -92,6 +92,23 @@ class ManifestMergeSpec extends AnyFunSuite {
     assert(t.scan(spark, snapshotId = Some(third.snapshotId)).count() === 30)
   }
 
+  test("mega-commit rolls manifests at the target size") {
+    val big = spark.range(0, 3000).selectExpr("id AS k", "cast(id as string) AS v")
+    val schema = SchemaConvert.fromSparkSchema(big.schema)
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, tmpLocation("split"), schema, IcePartitionSpec(0, Nil),
+      Map(
+        "write.max-records-per-file" -> "100", // ~30 files in one commit
+        "commit.manifest.target-size-bytes" -> "4096"))
+      .append(spark, big.coalesce(1))
+    val ms = manifests(t)
+    assert(ms.size > 1, "one giant manifest — split did not roll")
+    assert(ms.map(_.addedFilesCount).sum === 30)
+    val back = t.scan(spark)
+    assert(back.count() === 3000)
+    assert(back.exceptAll(big).isEmpty)
+  }
+
   test("MoR deletes survive merging with their applicability") {
     val schema = SchemaConvert.fromSparkSchema(src.schema)
     var t = StorageCatalog.createOrReplaceTable(

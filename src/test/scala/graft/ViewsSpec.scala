@@ -143,4 +143,81 @@ class ViewsSpec extends AnyFunSuite {
     spark.sql("CREATE OR REPLACE VIEW gview.db.v3 AS SELECT r_name FROM gview.db.vt WHERE r_regionkey = 0")
     assert(spark.table("gview.db.v3").count() === 1)
   }
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+  private def locOf(name: String): String =
+    s"${spark.conf.get("spark.sql.catalog.gview.warehouse")}/db/$name"
+
+  test("replace appends a version; old definitions stay readable") {
+    setup()
+    spark.sql("DROP VIEW IF EXISTS gview.db.vv")
+    spark.sql("CREATE VIEW gview.db.vv AS SELECT r_name FROM gview.db.vt")
+    spark.sql("CREATE OR REPLACE VIEW gview.db.vv AS SELECT r_name FROM gview.db.vt WHERE r_regionkey < 2")
+    spark.sql("CREATE OR REPLACE VIEW gview.db.vv AS SELECT r_regionkey FROM gview.db.vt")
+    val versions = graft.spark.GraftViews.versionsOf(conf, locOf("vv"))
+    assert(versions.map(_._1) === List(1, 2, 3))
+    assert(versions.map(_._3).distinct.size === 3) // three distinct SQLs
+    // version time travel: read the middle definition
+    val v2 = graft.spark.GraftViews.readVersion(conf, locOf("vv"), "vv", Some(2))
+    assert(v2.query().contains("r_regionkey < 2"))
+    assert(v2.schema().fieldNames.toSeq === Seq("r_name"))
+    // current resolves to version 3
+    assert(spark.table("gview.db.vv").schema.fieldNames.toSeq === Seq("r_regionkey"))
+  }
+
+  test("property-only ALTER does not mint a version") {
+    setup()
+    spark.sql("DROP VIEW IF EXISTS gview.db.vprop")
+    spark.sql("CREATE VIEW gview.db.vprop AS SELECT r_name FROM gview.db.vt")
+    val before = graft.spark.GraftViews.versionsOf(conf, locOf("vprop")).size
+    spark.sql("ALTER VIEW gview.db.vprop SET TBLPROPERTIES ('tier' = 'gold')")
+    val after = graft.spark.GraftViews.versionsOf(conf, locOf("vprop"))
+    assert(after.size === before)
+    val cat = spark.sessionState.catalogManager.catalog("gview")
+      .asInstanceOf[graft.spark.GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "vprop")
+    assert(cat.loadView(ident).properties().get("tier") === "gold")
+  }
+
+  test("version history is capped by version.history.num-entries") {
+    setup()
+    spark.sql("DROP VIEW IF EXISTS gview.db.vcap")
+    spark.sql("""CREATE VIEW gview.db.vcap
+      TBLPROPERTIES ('version.history.num-entries' = '3')
+      AS SELECT r_name FROM gview.db.vt""")
+    (0 until 5).foreach { i =>
+      spark.sql(s"""CREATE OR REPLACE VIEW gview.db.vcap
+        TBLPROPERTIES ('version.history.num-entries' = '3')
+        AS SELECT r_name FROM gview.db.vt WHERE r_regionkey <= $i""")
+    }
+    val versions = graft.spark.GraftViews.versionsOf(conf, locOf("vcap"))
+    assert(versions.size === 3)
+    assert(versions.map(_._1) === List(4, 5, 6)) // oldest trimmed
+    assert(spark.table("gview.db.vcap").count() === 5) // current = <= 4
+  }
+
+  test("legacy single-version documents read and upgrade on replace") {
+    setup()
+    // hand-write the PRE-versioning document shape
+    val loc = locOf("vlegacy")
+    val fs = new org.apache.hadoop.fs.Path(loc).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(loc))
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("r_name",
+        org.apache.spark.sql.types.StringType))).json
+    val legacy = s"""{"name":"vlegacy",
+      "sql":"SELECT r_name FROM gview.db.vt",
+      "current-catalog":"gview","current-namespace":["db"],
+      "schema":${com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        .writeValueAsString(schemaJson)},
+      "query-column-names":[],"column-aliases":[],"column-comments":[],
+      "properties":{}}"""
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$loc/view.json"), true)
+    try out.write(legacy.getBytes("UTF-8")) finally out.close()
+    assert(spark.table("gview.db.vlegacy").count() === 5)
+    spark.sql("CREATE OR REPLACE VIEW gview.db.vlegacy AS SELECT r_regionkey FROM gview.db.vt")
+    val versions = graft.spark.GraftViews.versionsOf(conf, locOf("vlegacy"))
+    assert(versions.map(_._1) === List(1, 2)) // legacy became version 1
+    assert(spark.table("gview.db.vlegacy").schema.fieldNames.toSeq === Seq("r_regionkey"))
+  }
 }
