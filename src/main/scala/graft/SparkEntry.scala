@@ -1137,6 +1137,16 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           col("n_chars").cast(LongType).as("n_chars"))
     }),
+    "sample_temperature" -> ((s, dir) => {
+      // temperature-scaled mixture at T=0.7: domain weights derived from
+      // the corpus (tokens^(1/T)), then the same deterministic 16-bit
+      // hash selection as sample_mixture — the LLaMA-style "alpha
+      // sampling" of source domains
+      Selection.temperatureMixture(t(s, dir, "documents"), "doc_id",
+          "source", "n_chars", temperature = 0.7, budget = 0.1)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast(LongType).as("n_chars"))
+    }),
     "select_auc" -> ((s, dir) => {
       // exact tie-corrected ROC-AUC of a score against labels — the
       // calibration gate before a classifier filters 100 TB. Numerator
@@ -3917,6 +3927,24 @@ object SparkEntry {
         |rates AS (
         |  SELECT w.source, LEAST(1.0, 0.1 * wt * T / tok) AS rate
         |  FROM w JOIN hist ON w.source = hist.source, tot),
+        |thr AS (
+        |  SELECT source,
+        |    CASE WHEN rate >= 1.0 OR CAST(round(rate * 65536) AS BIGINT) >= 65536
+        |         THEN 'g'
+        |         ELSE printf('%04x', CAST(round(rate * 65536) AS BIGINT)) END AS h
+        |  FROM rates)
+        |SELECT doc_id, d.source, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents d JOIN thr ON d.source = thr.source
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < h""".stripMargin,
+    "sample_temperature" ->
+      """WITH hist AS (
+        |  SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS tok
+        |  FROM documents GROUP BY source),
+        |pw AS (SELECT source, tok, pow(tok, 1.0/0.7) AS pk FROM hist),
+        |tot AS (SELECT SUM(tok) AS ttot, SUM(pk) AS psum FROM pw),
+        |rates AS (
+        |  SELECT source, LEAST(1.0, 0.1 * (pk / psum) * ttot / tok) AS rate
+        |  FROM pw, tot),
         |thr AS (
         |  SELECT source,
         |    CASE WHEN rate >= 1.0 OR CAST(round(rate * 65536) AS BIGINT) >= 65536

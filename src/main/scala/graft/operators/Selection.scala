@@ -377,6 +377,37 @@ object Selection {
       defaultFraction = 0.0, salt = salt)
   }
 
+  /** Temperature-scaled mixture (the "sample domains by size^(1/T)"
+    * recipe): target weights are derived FROM the corpus itself,
+    * w_d ∝ tokens_d^(1/T), instead of being hand-specified — T = 1
+    * reproduces natural proportions, T → ∞ approaches uniform over
+    * domains, T < 1 exaggerates big domains. Rates quantize through the
+    * same 16-bit md5 threshold as every sampler here, so the float
+    * `pow` is engine-robust. One domain histogram (bounded by #domains),
+    * then map-only hash selection — nothing about the corpus shuffles. */
+  def temperatureMixture(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      tokenCountCol: String,
+      temperature: Double,
+      budget: Double,
+      salt: String = ""): DataFrame = {
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    require(budget > 0 && budget <= 1.0, s"budget in (0,1], got $budget")
+    val hist = df.groupBy(col(domainCol)).agg(
+      sum(col(tokenCountCol)).cast(DoubleType).as("tok")).collect()
+    val total = hist.map(_.getDouble(1)).sum
+    val pw = hist.map(r => (r.getString(0), r.getDouble(1),
+      math.pow(r.getDouble(1), 1.0 / temperature)))
+    val psum = pw.map(_._3).sum
+    val rates: Map[String, Double] = pw.map { case (d, tok, p) =>
+      d -> (if (tok <= 0) 0.0 else math.min(1.0, budget * (p / psum) * total / tok))
+    }.toMap
+    Sampling.stratifiedSample(df, idCol, domainCol, rates,
+      defaultFraction = 0.0, salt = salt)
+  }
+
   /** Epoch-aware mixture sampling: like [[mixtureSample]] but domains
     * whose target share EXCEEDS their natural share UPSAMPLE by
     * repetition — the "N epochs of the small high-quality domain"

@@ -422,41 +422,80 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   // ----- persisted SQL views (CREATE VIEW graft.db.v AS SELECT ...) -----
 
-  override def listViews(namespace: String*): Array[Identifier] = {
-    val nsDir = (warehouse +: namespace).mkString("/")
-    GraftViews.list(conf, nsDir)
-      .map(n => Identifier.of(namespace.toArray, n)).toArray
+  override def listViews(namespace: String*): Array[Identifier] = rest match {
+    case Some(c) =>
+      c.listViews(namespace.mkString("."))
+        .map(n => Identifier.of(namespace.toArray, n)).toArray
+    case None =>
+      val nsDir = (warehouse +: namespace).mkString("/")
+      GraftViews.list(conf, nsDir)
+        .map(n => Identifier.of(namespace.toArray, n)).toArray
   }
 
-  override def loadView(ident: Identifier): org.apache.spark.sql.connector.catalog.View = {
-    val loc = locationOf(ident)
-    if (!GraftViews.exists(conf, loc))
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
-    GraftViews.read(conf, loc, ident.name())
+  override def loadView(ident: Identifier): org.apache.spark.sql.connector.catalog.View = rest match {
+    case Some(c) =>
+      val doc =
+        try c.loadViewDoc(nsOf(ident), ident.name())
+        catch {
+          case _: NoSuchElementException =>
+            throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+        }
+      GraftViews.viewFromDoc(
+        GraftViews.upgraded(doc, locationOf(ident)), ident.name(), None)
+    case None =>
+      val loc = locationOf(ident)
+      if (!GraftViews.exists(conf, loc))
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+      GraftViews.read(conf, loc, ident.name())
   }
 
-  override def viewExists(ident: Identifier): Boolean =
-    GraftViews.exists(conf, locationOf(ident))
+  override def viewExists(ident: Identifier): Boolean = rest match {
+    case Some(c) => c.viewExists(nsOf(ident), ident.name())
+    case None => GraftViews.exists(conf, locationOf(ident))
+  }
 
   override def createView(info: org.apache.spark.sql.connector.catalog.ViewInfo)
       : org.apache.spark.sql.connector.catalog.View = {
-    val loc = locationOf(info.ident())
     if (tableExists(info.ident()))
       sys.error(s"a table already exists at ${info.ident()}")
-    GraftViews.write(conf, loc, info, orReplace = false)
-    GraftViews.read(conf, loc, info.ident().name())
+    rest match {
+      case Some(c) =>
+        val loc = locationOf(info.ident())
+        c.createView(nsOf(info.ident()), info.ident().name(),
+          GraftViews.buildDoc(None, loc, info))
+        loadView(info.ident())
+      case None =>
+        val loc = locationOf(info.ident())
+        GraftViews.write(conf, loc, info, orReplace = false)
+        GraftViews.read(conf, loc, info.ident().name())
+    }
   }
 
   override def replaceView(
       info: org.apache.spark.sql.connector.catalog.ViewInfo,
       orCreate: Boolean): org.apache.spark.sql.connector.catalog.View = {
-    val loc = locationOf(info.ident())
     if (tableExists(info.ident()))
       sys.error(s"a table already exists at ${info.ident()}")
-    if (!orCreate && !GraftViews.exists(conf, loc))
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(info.ident())
-    GraftViews.write(conf, loc, info, orReplace = true)
-    GraftViews.read(conf, loc, info.ident().name())
+    rest match {
+      case Some(c) =>
+        val ns = nsOf(info.ident())
+        val name = info.ident().name()
+        val loc = locationOf(info.ident())
+        val prior =
+          try Some(GraftViews.upgraded(c.loadViewDoc(ns, name), loc))
+          catch { case _: NoSuchElementException => None }
+        if (prior.isEmpty && !orCreate)
+          throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(info.ident())
+        val doc = GraftViews.buildDoc(prior, loc, info)
+        if (prior.isEmpty) c.createView(ns, name, doc) else c.replaceView(ns, name, doc)
+        loadView(info.ident())
+      case None =>
+        val loc = locationOf(info.ident())
+        if (!orCreate && !GraftViews.exists(conf, loc))
+          throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(info.ident())
+        GraftViews.write(conf, loc, info, orReplace = true)
+        GraftViews.read(conf, loc, info.ident().name())
+    }
   }
 
   override def alterView(
@@ -475,24 +514,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val info = new org.apache.spark.sql.connector.catalog.ViewInfo(
       ident, v.query(), v.currentCatalog(), v.currentNamespace(), v.schema(),
       v.queryColumnNames(), v.columnAliases(), v.columnComments(), props)
-    GraftViews.write(conf, locationOf(ident), info, orReplace = true)
+    rest match {
+      case Some(c) =>
+        val ns = nsOf(ident)
+        val prior = GraftViews.upgraded(
+          c.loadViewDoc(ns, ident.name()), locationOf(ident))
+        c.replaceView(ns, ident.name(),
+          GraftViews.buildDoc(Some(prior), locationOf(ident), info))
+      case None =>
+        GraftViews.write(conf, locationOf(ident), info, orReplace = true)
+    }
     loadView(ident)
   }
 
-  override def dropView(ident: Identifier): Boolean =
-    GraftViews.drop(conf, locationOf(ident))
+  override def dropView(ident: Identifier): Boolean = rest match {
+    case Some(c) => c.dropView(nsOf(ident), ident.name())
+    case None => GraftViews.drop(conf, locationOf(ident))
+  }
 
   override def renameView(from: Identifier, to: Identifier): Unit = {
     if (!viewExists(from))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(from)
     if (tableExists(to))
       sys.error(s"cannot rename view $from to $to: a table already exists there")
-    val v = loadView(from)
-    val info = new org.apache.spark.sql.connector.catalog.ViewInfo(
-      to, v.query(), v.currentCatalog(), v.currentNamespace(), v.schema(),
-      v.queryColumnNames(), v.columnAliases(), v.columnComments(), v.properties())
-    GraftViews.write(conf, locationOf(to), info, orReplace = false)
-    GraftViews.drop(conf, locationOf(from))
+    rest match {
+      case Some(c) =>
+        // the server moves the metadata pointer; versions ride along
+        c.renameView(nsOf(from), from.name(), nsOf(to), to.name())
+      case None =>
+        val v = loadView(from)
+        val info = new org.apache.spark.sql.connector.catalog.ViewInfo(
+          to, v.query(), v.currentCatalog(), v.currentNamespace(), v.schema(),
+          v.queryColumnNames(), v.columnAliases(), v.columnComments(), v.properties())
+        GraftViews.write(conf, locationOf(to), info, orReplace = false)
+        GraftViews.drop(conf, locationOf(from))
+    }
   }
 
   // ----- namespaces -----

@@ -85,7 +85,7 @@ object GraftViews {
   }
 
   /** Upgrade a legacy (pre-versioning) document to the versioned shape. */
-  private def upgraded(doc: JValue, location: String): JValue = {
+  private[spark] def upgraded(doc: JValue, location: String): JValue = {
     if ((doc \ "versions") != JNothing) return doc
     val sql = (doc \ "sql").extract[String]
     val sparkSchema = org.apache.spark.sql.types.DataType
@@ -125,7 +125,31 @@ object GraftViews {
         if (!orReplace) sys.error(s"view already exists at $location")
         Some(upgraded(parseDoc(conf, location), location))
       } else None
+    val doc = buildDoc(priorRaw, location, info)
+    val bytes = JsonMethods.compact(JsonMethods.render(doc)).getBytes("UTF-8")
+    val tmp = new Path(s"$location/.view-${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    // replace must be one atomic rename (no delete-then-rename window in
+    // which the view doesn't exist): FileContext supports OVERWRITE
+    try {
+      org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf).rename(
+        tmp, p,
+        (if (orReplace) org.apache.hadoop.fs.Options.Rename.OVERWRITE
+         else org.apache.hadoop.fs.Options.Rename.NONE))
+    } catch {
+      case e: Throwable =>
+        fs.delete(tmp, false)
+        if (!orReplace && fs.exists(p)) sys.error(s"view already exists at $location")
+        else throw e
+    }
+  }
 
+  /** Build the next view-metadata document from the prior one (already
+    * version-upgraded) and the new definition — shared by the storage
+    * path above and the REST catalog (which ships the document to the
+    * server instead of a file). */
+  def buildDoc(priorRaw: Option[JValue], location: String, info: ViewInfo): JValue = {
     val now = System.currentTimeMillis()
     val ice = SchemaConvert.fromSparkSchema(info.schema())
     val props: JObject = JObject(
@@ -196,24 +220,7 @@ object GraftViews {
             ("version-log" -> JArray(newLog))
         }
     }
-
-    val bytes = JsonMethods.compact(JsonMethods.render(doc)).getBytes("UTF-8")
-    val tmp = new Path(s"$location/.view-${java.util.UUID.randomUUID()}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(bytes) finally out.close()
-    // replace must be one atomic rename (no delete-then-rename window in
-    // which the view doesn't exist): FileContext supports OVERWRITE
-    try {
-      org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf).rename(
-        tmp, p,
-        (if (orReplace) org.apache.hadoop.fs.Options.Rename.OVERWRITE
-         else org.apache.hadoop.fs.Options.Rename.NONE))
-    } catch {
-      case e: Throwable =>
-        fs.delete(tmp, false)
-        if (!orReplace && fs.exists(p)) sys.error(s"view already exists at $location")
-        else throw e
-    }
+    doc
   }
 
   private def schemaJsonWithId(ice: graft.tables.IceSchema, id: Int): JValue =
@@ -236,7 +243,12 @@ object GraftViews {
       conf: Configuration, location: String, viewName: String,
       versionId: Option[Int]): View = {
     val raw = parseDoc(conf, location)
-    val doc = upgraded(raw, location)
+    viewFromDoc(upgraded(raw, location), viewName, versionId)
+  }
+
+  /** Materialize a Spark [[View]] from a (versioned) metadata document —
+    * shared by the storage and REST paths. */
+  def viewFromDoc(doc: JValue, viewName: String, versionId: Option[Int]): View = {
     val curId = versionId.getOrElse((doc \ "current-version-id").extract[Int])
     val v = (doc \ "versions").children
       .find(x => (x \ "version-id") == JInt(curId))

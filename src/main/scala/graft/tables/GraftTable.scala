@@ -2871,15 +2871,20 @@ class GraftTable(
     // their original data sequence numbers, grouped per (spec, content)
     existing.groupBy(p => (p.specId, p.file.content)).foreach {
       case ((specId, content), files) =>
-        val entries = files.map(p => IceManifestEntry(
-          ManifestStatus.Existing, Some(snapshotId), Some(p.seq), Some(p.seq), p.file))
-        // data manifests follow the table's format version; delete
-        // manifests only exist on v2+ tables
-        listEntries :+= ManifestIO.writeManifest(
-          conf, s"$mdir/${UUID.randomUUID()}-e$specId-$content.avro", entries,
-          metadata.specById(specId), schema,
-          content = if (content == DataContent.Data) 0 else 1,
-          formatVersion = if (content == DataContent.Data) fv else math.max(fv, 2))
+        // rolled at the target size like added files: a full compaction
+        // of a huge table must not carry its survivors in one giant
+        // manifest. Data manifests follow the table's format version;
+        // delete manifests only exist on v2+ tables.
+        chunkByTarget(files.toList, manifestTargetBytes)(p =>
+          estimatedEntryBytes(p.file)).zipWithIndex.foreach { case (chunk, i) =>
+          val entries = chunk.map(p => IceManifestEntry(
+            ManifestStatus.Existing, Some(snapshotId), Some(p.seq), Some(p.seq), p.file))
+          listEntries :+= ManifestIO.writeManifest(
+            conf, s"$mdir/${UUID.randomUUID()}-e$specId-$content-$i.avro", entries,
+            metadata.specById(specId), schema,
+            content = if (content == DataContent.Data) 0 else 1,
+            formatVersion = if (content == DataContent.Data) fv else math.max(fv, 2))
+        }
     }
     val previous: List[IceManifestListEntry] =
       if (replace) Nil

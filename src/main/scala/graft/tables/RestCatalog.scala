@@ -179,6 +179,70 @@ object RestCatalog {
       out.result()
     }
 
+    // ----- views (Iceberg REST view endpoints: the catalog stores the
+    // versioned view-metadata document; the engine builds/reads it with
+    // the same code as the storage catalog) -----
+
+    def loadViewDoc(ns: String, name: String): JValue = {
+      val (code, body) = get(s"/v1/namespaces/$ns/views/$name")
+      if (code == 404) throw new NoSuchElementException(s"no view $ns.$name")
+      require(code == 200, s"load view failed: $code ${errMsg(body)}")
+      JsonMethods.parse(body) \ "metadata"
+    }
+
+    def viewExists(ns: String, name: String): Boolean =
+      get(s"/v1/namespaces/$ns/views/$name")._1 == 200
+
+    def createView(ns: String, name: String, doc: JValue): Unit = {
+      val (code, body) = post(s"/v1/namespaces/$ns/views",
+        s"""{"name": ${quote(name)}, "metadata": ${JsonMethods.compact(JsonMethods.render(doc))}}""")
+      require(code == 200, s"create view failed: $code ${errMsg(body)}")
+    }
+
+    def replaceView(ns: String, name: String, doc: JValue): Unit = {
+      val (code, body) = post(s"/v1/namespaces/$ns/views/$name",
+        s"""{"metadata": ${JsonMethods.compact(JsonMethods.render(doc))}}""")
+      if (code == 404) throw new NoSuchElementException(s"no view $ns.$name")
+      require(code == 200, s"replace view failed: $code ${errMsg(body)}")
+    }
+
+    def dropView(ns: String, name: String): Boolean = {
+      val req = rb(s"/v1/namespaces/$ns/views/$name").DELETE().build()
+      val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200 || resp.statusCode() == 404,
+        s"drop view failed: ${resp.statusCode()} ${resp.body()}")
+      resp.statusCode() == 200
+    }
+
+    /** follows `next-page-token` like the table listing */
+    def listViews(ns: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var token: Option[String] = Some("")
+      while (token.isDefined) {
+        val q = token.filter(_.nonEmpty).map(t => s"?pageToken=$t").getOrElse("")
+        val (code, body) = get(s"/v1/namespaces/$ns/views$q")
+        if (code != 200) return out.result()
+        val j = JsonMethods.parse(body)
+        out ++= (j \ "identifiers").children.flatMap(_ \ "name" match {
+          case JString(s) => Some(s)
+          case _ => None
+        })
+        token = (j \ "next-page-token") match {
+          case JString(t) if t.nonEmpty => Some(t)
+          case _ => None
+        }
+      }
+      out.result()
+    }
+
+    def renameView(ns: String, name: String, toNs: String, toName: String): Unit = {
+      val body =
+        s"""{"source": {"namespace": [${quote(ns)}], "name": ${quote(name)}},
+           | "destination": {"namespace": [${quote(toNs)}], "name": ${quote(toName)}}}""".stripMargin
+      val (code, respBody) = post("/v1/views/rename", body)
+      require(code == 200, s"rename view failed: $code ${errMsg(respBody)}")
+    }
+
     // ----- namespace CRUD + rename (the reference's full Catalog trait,
     // icelake/src/catalog/mod.rs:44-138) -----
 
@@ -263,6 +327,7 @@ object RestCatalog {
   class Server(port: Int = 0, pageSize: Int = 100, token: Option[String] = None) {
     private case class Entry(version: Int, metadataJson: String)
     private val tables = new ConcurrentHashMap[String, Entry]()
+    private val views = new ConcurrentHashMap[String, String]()
     private val namespaces = ConcurrentHashMap.newKeySet[String]()
     // multi-table transactions check-then-apply across keys; single-table
     // commits share this lock so no commit interleaves mid-transaction
@@ -336,6 +401,8 @@ object RestCatalog {
       val method = ex.getRequestMethod
       val TablesRe = "/v1/namespaces/([^/]+)/tables".r
       val TableRe = "/v1/namespaces/([^/]+)/tables/([^/]+)".r
+      val ViewsRe = "/v1/namespaces/([^/]+)/views".r
+      val ViewRe = "/v1/namespaces/([^/]+)/views/([^/]+)".r
       val RegisterRe = "/v1/namespaces/([^/]+)/register".r
       val NamespaceRe = "/v1/namespaces/([^/]+)".r
       (method, path) match {
@@ -403,6 +470,62 @@ object RestCatalog {
             .map(k => s"""{"namespace": ["$ns"], "name": "${k.stripPrefix(s"$ns.")}"}""")
           respond(ex, 200,
             s"""{"identifiers": [${names.mkString(",")}]${withNext(next)}}""")
+        case ("GET", ViewRe(ns, name)) =>
+          Option(views.get(s"$ns.$name")) match {
+            case None => err(ex, 404, "NoSuchViewException", "no such view")
+            case Some(doc) => respond(ex, 200, s"""{"metadata": $doc}""")
+          }
+        case ("POST", ViewsRe(ns)) =>
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val j = JsonMethods.parse(body)
+          (j \ "name") match {
+            case JString(name) =>
+              val doc = JsonMethods.compact(JsonMethods.render(j \ "metadata"))
+              if (views.putIfAbsent(s"$ns.$name", doc) != null)
+                err(ex, 409, "AlreadyExistsException", "view exists")
+              else respond(ex, 200, s"""{"metadata": $doc}""")
+            case _ => err(ex, 400, "BadRequestException", "missing name")
+          }
+        case ("POST", ViewRe(ns, name)) =>
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val doc = JsonMethods.compact(
+            JsonMethods.render(JsonMethods.parse(body) \ "metadata"))
+          if (views.replace(s"$ns.$name", doc) == null)
+            err(ex, 404, "NoSuchViewException", "no such view")
+          else respond(ex, 200, s"""{"metadata": $doc}""")
+        case ("DELETE", ViewRe(ns, name)) =>
+          if (views.remove(s"$ns.$name") != null) respond(ex, 200, "{}")
+          else err(ex, 404, "NoSuchViewException", "no such view")
+        case ("GET", ViewsRe(ns)) =>
+          import scala.jdk.CollectionConverters._
+          val names = views.keys.asScala.toSeq
+            .filter(_.startsWith(s"$ns.")).map(_.stripPrefix(s"$ns.")).sorted
+          val (page, next) = paged(names, ex.getRequestURI.getQuery)
+          val ids = page.map(n =>
+            s"""{"namespace": ["$ns"], "name": "$n"}""")
+          respond(ex, 200,
+            s"""{"identifiers": [${ids.mkString(",")}]${withNext(next)}}""")
+        case ("POST", "/v1/views/rename") =>
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val j = JsonMethods.parse(body)
+          def ident(sel: JValue): Option[String] = for {
+            ns <- (sel \ "namespace") match {
+              case JArray(parts) => Some(parts.collect { case JString(x) => x }.mkString("."))
+              case _ => None
+            }
+            n <- (sel \ "name") match { case JString(x) => Some(x); case _ => None }
+          } yield s"$ns.$n"
+          (ident(j \ "source"), ident(j \ "destination")) match {
+            case (Some(src), Some(dst)) =>
+              Option(views.get(src)) match {
+                case None => err(ex, 404, "NoSuchViewException", "no such view")
+                case Some(doc) =>
+                  if (views.putIfAbsent(dst, doc) != null)
+                    err(ex, 409, "AlreadyExistsException", "rename destination exists")
+                  else { views.remove(src); respond(ex, 200, "{}") }
+              }
+            case _ => err(ex, 400, "BadRequestException", "bad rename request")
+          }
         case ("POST", TablesRe(ns)) =>
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           val j = JsonMethods.parse(body)

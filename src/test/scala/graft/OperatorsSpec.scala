@@ -999,6 +999,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature mixture: T=1 is the natural mix, high T flattens domains") {
+    val rows = (0 until 400).map { i =>
+      val d = if (i < 360) "big" else "small" // 90/10 natural split
+      (i.toLong, d, 100L)
+    }.toDF("doc_id", "source", "n_tokens")
+    // T=1: every domain's rate equals the budget — identical to a plain
+    // hash sample at that budget
+    val t1 = Selection.temperatureMixture(rows, "doc_id", "source", "n_tokens",
+      temperature = 1.0, budget = 0.5)
+    val plain = Sampling.hashSample(rows, "doc_id", 0.5)
+    assert(t1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      plain.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // high T: the small domain upweights — its keep-rate must exceed the
+    // big domain's
+    val t5 = Selection.temperatureMixture(rows, "doc_id", "source", "n_tokens",
+      temperature = 5.0, budget = 0.3)
+    val kept = t5.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rateSmall = kept.getOrElse("small", 0L).toDouble / 40
+    val rateBig = kept.getOrElse("big", 0L).toDouble / 360
+    assert(rateSmall > rateBig,
+      s"high temperature must favor the small domain ($rateSmall vs $rateBig)")
+    intercept[IllegalArgumentException] {
+      Selection.temperatureMixture(rows, "doc_id", "source", "n_tokens", 0.0, 0.5)
+    }
+  }
+
   test("range join: bucketed hash path, boundary inclusivity, long-interval fallback") {
     import java.sql.Timestamp
     def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)

@@ -196,6 +196,51 @@ class ViewsSpec extends AnyFunSuite {
     assert(spark.table("gview.db.vcap").count() === 5) // current = <= 4
   }
 
+  test("views through the REST catalog: round-trip, versions, rename, drop") {
+    val server = new graft.tables.RestCatalog.Server()
+    val uri = server.start()
+    val wh = Files.createTempDirectory("graft-grv-wh").toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.grv", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grv.uri", uri)
+    spark.conf.set("spark.sql.catalog.grv.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS grv.db")
+      spark.sql("CREATE TABLE grv.db.t (k INT, v STRING)")
+      spark.sql("INSERT INTO grv.db.t VALUES (1, 'a'), (2, 'b')")
+      spark.sql("CREATE VIEW grv.db.rv AS SELECT v FROM grv.db.t WHERE k = 1")
+      assert(spark.table("grv.db.rv").collect().map(_.getString(0)).toSeq === Seq("a"))
+      // replace appends a version ON THE SERVER
+      spark.sql("CREATE OR REPLACE VIEW grv.db.rv AS SELECT v FROM grv.db.t")
+      assert(spark.table("grv.db.rv").count() === 2)
+      val client = new graft.tables.RestCatalog.Client(uri, conf)
+      val doc = client.loadViewDoc("db", "rv")
+      import org.json4s._
+      assert((doc \ "versions").children.size === 2)
+      assert((doc \ "current-version-id") === JInt(2))
+      // listing + property alter through REST
+      assert(spark.sql("SHOW VIEWS IN grv.db").collect().map(_.getString(1)).contains("rv"))
+      spark.sql("ALTER VIEW grv.db.rv SET TBLPROPERTIES ('tier' = 'gold')")
+      val cat = spark.sessionState.catalogManager.catalog("grv")
+        .asInstanceOf[graft.spark.GraftCatalog]
+      val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "rv")
+      assert(cat.loadView(ident).properties().get("tier") === "gold")
+      assert((client.loadViewDoc("db", "rv") \ "versions").children.size === 2)
+      // rename keeps the version history (server-side pointer move)
+      val ident2 = org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "rv2")
+      cat.renameView(ident, ident2)
+      assert(!cat.viewExists(ident) && cat.viewExists(ident2))
+      assert((client.loadViewDoc("db", "rv2") \ "versions").children.size === 2)
+      assert(spark.table("grv.db.rv2").count() === 2)
+      spark.sql("DROP VIEW grv.db.rv2")
+      assert(!cat.viewExists(ident2))
+    } finally {
+      server.stop()
+      spark.conf.unset("spark.sql.catalog.grv")
+      spark.conf.unset("spark.sql.catalog.grv.uri")
+      spark.conf.unset("spark.sql.catalog.grv.warehouse")
+    }
+  }
+
   test("legacy single-version documents read and upgrade on replace") {
     setup()
     // hand-write the PRE-versioning document shape
