@@ -215,7 +215,7 @@ object Bench {
     // auto-merge (6 commits + merged planning), normalization kernel,
     // hybrid RRF retrieval
     "ice_metrics_mode", "ice_manifest_merge", "text_normalize",
-    "search_hybrid", "q_events_range")
+    "search_hybrid", "q_events_range", "sample_temperature")
 
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —
@@ -347,7 +347,8 @@ object Bench {
         // stay ~linear), hybrid RRF's fusion join must stay bounded by
         // queries x k, manifest auto-merge re-reads small manifests on
         // each merging commit (cost bounded by min-count x entries)
-        "text_normalize", "search_hybrid", "ice_manifest_merge"))
+        "text_normalize", "search_hybrid", "ice_manifest_merge",
+        "q_events_range", "sample_temperature"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, Str
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
-import graft.tables.{GraftTable, SchemaConvert, StorageCatalog, TableWrite}
+import graft.tables.{GraftTable, IceSnapshot, SchemaConvert, StorageCatalog, TableWrite}
 
 /** Streaming source AND sink over a graft table.
   *
@@ -124,7 +124,8 @@ class GraftStreamSourceProvider extends StreamSourceProvider with StreamSinkProv
       parameters: Map[String, String]): Source =
     new GraftStreamSource(sqlContext.sparkSession, location(parameters),
       parameters.get("max-seqs-per-trigger").map(_.toLong),
-      changelog = changelogMode(parameters))
+      changelog = changelogMode(parameters),
+      ref = parameters.get("ref").map(_.trim).filter(_.nonEmpty))
 }
 
 case class SeqOffset(seq: Long) extends Offset {
@@ -146,7 +147,8 @@ class GraftStreamSource(
     spark: SparkSession,
     location: String,
     maxSeqsPerTrigger: Option[Long] = None,
-    changelog: Boolean = false) extends Source
+    changelog: Boolean = false,
+    ref: Option[String] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit}
@@ -166,6 +168,28 @@ class GraftStreamSource(
     t
   }
 
+  /** stream head: main's current snapshot, or — with `.option("ref",
+    * ...)` — the named branch/tag's head (the WAP-audit consumer shape:
+    * stream the audit branch while main stays quiet). A missing ref
+    * means "nothing to stream yet", not an error: the branch may be
+    * created after the query starts. */
+  private def headSnapshot(t: GraftTable): Option[IceSnapshot] = ref match {
+    case None => t.metadata.currentSnapshot
+    case Some(r) =>
+      t.metadata.refs.get(r).flatMap(x => t.metadata.snapshotById(x.snapshotId))
+  }
+
+  /** ancestry of the head — sequence numbers are table-global, so a
+    * rate-limited END sequence can land on a snapshot of ANOTHER lineage
+    * (main commits interleaving with the branch); batch selection must
+    * resolve within the ref's own chain */
+  private def lineageOf(t: GraftTable, head: IceSnapshot): List[IceSnapshot] = {
+    val byId = t.metadata.snapshots.map(s => s.snapshotId -> s).toMap
+    def walk(s: IceSnapshot): List[IceSnapshot] =
+      s :: s.parentSnapshotId.flatMap(byId.get).map(walk).getOrElse(Nil)
+    walk(head)
+  }
+
   /** highest sequence already handed out, for rate limiting; recovered
     * batches re-delivered after restart only ever lower-bound this */
   @volatile private var lastSeenSeq = 0L
@@ -182,7 +206,7 @@ class GraftStreamSource(
 
   private def nextOffset(rateLimit: Option[Long]): Option[Offset] = {
     val t = table
-    t.metadata.currentSnapshot.flatMap { s =>
+    headSnapshot(t).flatMap { s =>
       val head = latchedHeadSeq.map(math.min(_, s.sequenceNumber))
         .getOrElse(s.sequenceNumber)
       val end = rateLimit match {
@@ -220,15 +244,15 @@ class GraftStreamSource(
   }
 
   override def reportLatestOffset(): V2Offset =
-    Option(lastLoaded).getOrElse(table)
-      .metadata.currentSnapshot.map(s => SeqOffset(s.sequenceNumber)).orNull
+    headSnapshot(Option(lastLoaded).getOrElse(table))
+      .map(s => SeqOffset(s.sequenceNumber)).orNull
 
   override def prepareForTriggerAvailableNow(): Unit = {
     // latch UNCONDITIONALLY: an empty-at-start table must latch 0 (process
     // nothing, terminate) — leaving None would track a live writer's head
     // and the AvailableNow query would never self-terminate
     latchedHeadSeq = Some(
-      table.metadata.currentSnapshot.map(_.sequenceNumber).getOrElse(0L))
+      headSnapshot(table).map(_.sequenceNumber).getOrElse(0L))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
@@ -241,7 +265,8 @@ class GraftStreamSource(
       // content + overwrite drops, replace-aware) addressed by sequence —
       // each batch is exactly `changes()` over (startSeq, endSeq]
       val cdcSchema = schema
-      val to = t.metadata.snapshots.filter(_.sequenceNumber <= endSeq)
+      val to = headSnapshot(t).toList.flatMap(lineageOf(t, _))
+        .filter(_.sequenceNumber <= endSeq)
         .sortBy(_.sequenceNumber).lastOption
       val batch = to match {
         case Some(s) if s.sequenceNumber > startSeq =>
@@ -252,8 +277,13 @@ class GraftStreamSource(
       }
       return org.apache.spark.sql.GraftBridge.asStreamingDataFrame(batch)
     }
-    val snap = t.metadata.snapshots.find(_.sequenceNumber == endSeq)
-      .orElse(t.metadata.currentSnapshot)
+    val snap = {
+      val lineage = headSnapshot(t).toList.flatMap(lineageOf(t, _))
+      lineage.find(_.sequenceNumber == endSeq)
+        .orElse(lineage.filter(_.sequenceNumber <= endSeq)
+          .sortBy(_.sequenceNumber).lastOption)
+        .orElse(headSnapshot(t))
+    }
     val sparkSchema = SchemaConvert.toSparkSchema(t.metadata.currentSchema)
     val batch = snap match {
       case None =>

@@ -38,6 +38,38 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(batchSizes.filter(_ > 0).toSeq === Seq(1L, 1L, 1L))
   }
 
+  test("ref option streams a branch's lineage, not main's") {
+    val loc = Files.createTempDirectory("graft-refstream").toFile.getAbsolutePath + "/t"
+    val src = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+    val schema = SchemaConvert.fromSparkSchema(src.schema)
+    var tbl = StorageCatalog.createOrReplaceTable(
+      spark.sparkContext.hadoopConfiguration, loc, schema, IcePartitionSpec(0, Nil))
+    tbl = tbl.append(spark, src.filter(col("id") === 1)) // main: id 1
+    // audit branch forks from main and takes ids 2,3; main then takes 4 —
+    // the interleaved MAIN commit's sequence sits inside the branch range
+    tbl = tbl.appendToBranch(spark, src.filter(col("id") === 2), "audit")
+    tbl = tbl.append(spark, src.filter(col("id") === 4))
+    tbl = tbl.appendToBranch(spark, src.filter(col("id") === 3), "audit")
+
+    def drain(refOpt: Option[String]): Set[Long] = {
+      val seen = scala.collection.mutable.Set[Long]()
+      var r = spark.readStream.format("graft-stream").option("location", loc)
+      refOpt.foreach(x => r = r.option("ref", x))
+      val q = r.load().writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized { seen ++= b.select("id").collect().map(_.getLong(0)) }
+          ()
+        }
+        .start()
+      q.awaitTermination(60000)
+      q.stop()
+      seen.toSet
+    }
+    assert(drain(Some("audit")) === Set(1L, 2L, 3L)) // fork base + branch commits
+    assert(drain(None) === Set(1L, 4L))              // main lineage only
+  }
+
   test("Trigger.AvailableNow drains the backlog and terminates on its own") {
     val loc = Files.createTempDirectory("graft-avnow").toFile.getAbsolutePath + "/t"
     val src = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
