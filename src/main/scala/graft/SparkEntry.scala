@@ -578,6 +578,22 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("event_type"),
           money(col("value")).cast(DoubleType).as("value"))
     }),
+    "q_skew_join" -> ((s, dir) => {
+      // salted skew join (operators/SkewJoin.scala): a power-law key joined
+      // to a per-key dim without a straggler — every left row lands in one
+      // of 8 salt buckets, the dim row replicates across all 8, and the
+      // result is EXACTLY the plain inner join (the oracle). At 100 TB this
+      // is the remedy when one hot key defeats hash partitioning and the
+      // dim side is too big to broadcast.
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val dim = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("user_events"))
+      graft.operators.SkewJoin.salted(ev, dim, "user_id", saltFactor = 8)
+        .groupBy(col("user_id"), col("user_events"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("value"))).cast(DoubleType).as("total_value"))
+    }),
     // ---- Iceberg partition transforms (SURVEY §2.10) ----
     "t_temporal_transforms" -> ((s, dir) => {
       t(s, dir, "lineitem").select(
@@ -3175,6 +3191,14 @@ object SparkEntry {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1""".stripMargin,
+    "q_skew_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, COUNT(*) AS user_events FROM events GROUP BY user_id)
+        |SELECT e.user_id AS user_id, d.user_events AS user_events,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "t_temporal_transforms" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(year(l_shipdate) - 1970 AS INT) AS t_year,
