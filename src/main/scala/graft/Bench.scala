@@ -215,7 +215,8 @@ object Bench {
     // auto-merge (6 commits + merged planning), normalization kernel,
     // hybrid RRF retrieval
     "ice_metrics_mode", "ice_manifest_merge", "text_normalize",
-    "search_hybrid", "q_events_range", "sample_temperature", "q_skew_join")
+    "search_hybrid", "q_events_range", "sample_temperature", "q_skew_join",
+    "ice_timestamp_ns")
 
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —

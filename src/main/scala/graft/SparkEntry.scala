@@ -1933,6 +1933,36 @@ object SparkEntry {
           |  variant_get(payload, '$.k', 'int') AS k
           |FROM graft.db.var_events""".stripMargin)
     }),
+    "ice_timestamp_ns" -> ((s, dir) => {
+      // Iceberg v3 nanosecond timestamps end-to-end: events' micros ts
+      // lifts to the ns LongType carrier, lands day-partitioned in a
+      // format-v3 table (partition tuples derive via exact long floorDiv
+      // — double math corrupts any post-1971 nanos value), a
+      // 3-days-past-min filter prunes whole day partitions at plan time,
+      // and the scan aggregates per day. The oracle replays the nanos
+      // arithmetic over raw events.
+      val src0 = t(s, dir, "events").select(
+        col("event_id"), col("event_type"),
+        (unix_micros(col("ts").cast(TimestampType)) * lit(1000L)).as("ts_ns"))
+      val ice = IceSchema(0, List(
+        IceField(1, "event_id", required = false, IcePrim("long")),
+        IceField(2, "event_type", required = false, IcePrim("string")),
+        IceField(3, "ts_ns", required = false, IcePrim("timestamp_ns"))))
+      val spec = IcePartitionSpec(0, List(IcePartitionField(3, 1000, "day", "ts_day")))
+      val loc = s"${System.getProperty("java.io.tmpdir")}/graft-q/ice_ts_ns"
+      val tbl = StorageCatalog.createOrReplaceTable(
+        s.sparkContext.hadoopConfiguration, loc, ice, spec, formatVersion = 3)
+      tbl.append(s, src0)
+      val minNs = src0.agg(min(col("ts_ns"))).head.getLong(0)
+      val cut = minNs + 3L * 86400000000000L
+      tbl.scan(s, filter = Some(col("ts_ns") >= lit(cut)))
+        .groupBy(
+          transforms.daysNsT(col("ts_ns")).cast(LongType).as("ts_day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ts_ns")).as("min_ns"),
+          max(col("ts_ns")).as("max_ns"))
+    }),
     "sql_dml_cow" -> ((s, dir) => {
       // copy-on-write DML modes: DELETE + UPDATE + MERGE rewrite matched
       // FILES and swap them atomically — zero delete files ever exist, so
@@ -4562,6 +4592,14 @@ object SparkEntry {
       """SELECT event_id, event_type AS etype, user_id AS uid,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k
         |FROM events WHERE event_id % 7 <> 0""".stripMargin,
+    "ice_timestamp_ns" ->
+      """WITH ns AS (
+        |  SELECT event_id, event_type, epoch_us(ts) * 1000 AS ts_ns FROM events),
+        |cut AS (SELECT MIN(ts_ns) + 3 * 86400000000000 AS c FROM ns)
+        |SELECT ts_ns // 86400000000000 AS ts_day, event_type,
+        |  COUNT(*) AS n, MIN(ts_ns) AS min_ns, MAX(ts_ns) AS max_ns
+        |FROM ns, cut WHERE ts_ns >= c
+        |GROUP BY 1, 2""".stripMargin,
     "sql_dml_cow" ->
       """SELECT o_orderkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 1.0

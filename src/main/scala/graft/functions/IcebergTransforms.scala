@@ -248,4 +248,24 @@ object transforms {
   def voidT(col: Column): Column = lit(null)
 
   def identityT(col: Column): Column = col
+
+  /** exact floor-division of a long column: (c - pmod(c,d)) is exactly
+    * divisible, so decimal division + truncation equals floorDiv. A double
+    * `/` is lossy past 2^53 — any post-1971 nanosecond value. */
+  private def floorDivL(c: Column, d: Long): Column =
+    ((c - pmod(c, lit(d))).cast(DecimalType(38, 0)) / lit(d)).cast(LongType)
+
+  /** v3 nanosecond timestamps ride a LongType carrier (nanos since epoch):
+    * temporal transform values derive by exact integer floor-division —
+    * the micros helpers need a timestamp column, and Spark has no
+    * nanosecond timestamp to cast to. year/month go through the epoch-day
+    * (calendar math on a DateType is timezone-free). */
+  def daysNsT(col: Column): Column =
+    floorDivL(col, 86400000000000L).cast(IntegerType)
+  def hoursNsT(col: Column): Column =
+    floorDivL(col, 3600000000000L).cast(IntegerType)
+  def yearsNsT(col: Column): Column =
+    yearsT(date_from_unix_date(daysNsT(col)))
+  def monthsNsT(col: Column): Column =
+    monthsT(date_from_unix_date(daysNsT(col)))
 }

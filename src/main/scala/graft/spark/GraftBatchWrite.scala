@@ -37,6 +37,10 @@ object TransformEval {
       case "year" | "month" | "day" | "hour" =>
         val micros: Long = t match {
           case IcePrim("date") => v.asInstanceOf[Int].toLong * 86400000000L
+          // v3 ns timestamps carry nanos in their long: floorDiv to micros
+          // (1000 divides every temporal unit width, so the floor is exact)
+          case IcePrim("timestamp_ns") | IcePrim("timestamptz_ns") =>
+            Math.floorDiv(v.asInstanceOf[Long], 1000L)
           case _ => v.asInstanceOf[Long] // timestamp/timestamptz micros
         }
         val days = Math.floorDiv(micros, 86400000000L)
@@ -53,7 +57,8 @@ object TransformEval {
         val nb = n.toInt
         t match {
           case IcePrim("int") | IcePrim("date") => TransformUtil.bucketInt(v.asInstanceOf[Int], nb)
-          case IcePrim("long") | IcePrim("time") | IcePrim("timestamp") | IcePrim("timestamptz") =>
+          case IcePrim("long") | IcePrim("time") | IcePrim("timestamp") | IcePrim("timestamptz") |
+          IcePrim("timestamp_ns") | IcePrim("timestamptz_ns") =>
             TransformUtil.bucketLong(v.asInstanceOf[Long], nb)
           case IcePrim("uuid") => TransformUtil.bucketUuid(v.asInstanceOf[UTF8String], nb)
           case IcePrim("string") => TransformUtil.bucketString(v.asInstanceOf[UTF8String], nb)
@@ -112,7 +117,14 @@ class GraftWrite(
   private def transformExprs: Array[org.apache.spark.sql.connector.expressions.Expression] =
     spec.fields.map { pf =>
       val src = schema.fieldById(pf.sourceId).map(_.name).getOrElse(pf.name)
+      val nsSource = schema.fieldById(pf.sourceId).exists(f =>
+        f.fieldType == IcePrim("timestamp_ns") || f.fieldType == IcePrim("timestamptz_ns"))
       pf.transform match {
+        // Spark's temporal V2 transforms reject the ns LongType carrier:
+        // cluster by the raw value instead (finer-grained but correct —
+        // the fanout writers still route rows to the right partition)
+        case "year" | "month" | "day" | "hour" if nsSource =>
+          Expressions.identity(src)
         case "identity" => Expressions.identity(src)
         case "year" => Expressions.years(src)
         case "month" => Expressions.months(src)

@@ -84,7 +84,8 @@ object StatsAggregate {
     * width, no truncation */
   private def exactBoundType(t: IceType): Boolean = t match {
     case IcePrim("boolean" | "int" | "long" | "date" | "time" |
-        "timestamp" | "timestamptz" | "float" | "double") => true
+        "timestamp" | "timestamptz" | "timestamp_ns" | "timestamptz_ns" |
+        "float" | "double") => true
     case IceDecimal(_, _) => true
     case _ => false
   }

@@ -83,6 +83,16 @@ object AvroDataIO {
       val s = LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
       s.addProp("adjust-to-utc", true: java.lang.Boolean)
       s
+    // v3 ns timestamps: the spec's Avro mapping is long + timestamp-nanos
+    // with the adjust-to-utc marker distinguishing tz from local
+    case IcePrim("timestamp_ns") =>
+      val s = LogicalTypes.timestampNanos().addToSchema(Schema.create(Schema.Type.LONG))
+      s.addProp("adjust-to-utc", false: java.lang.Boolean)
+      s
+    case IcePrim("timestamptz_ns") =>
+      val s = LogicalTypes.timestampNanos().addToSchema(Schema.create(Schema.Type.LONG))
+      s.addProp("adjust-to-utc", true: java.lang.Boolean)
+      s
     case IcePrim("string") => Schema.create(Schema.Type.STRING)
     case IcePrim("uuid") =>
       LogicalTypes.uuid().addToSchema(Schema.createFixed(s"${name}_uuid", null, "graft", 16))
@@ -134,7 +144,8 @@ object AvroDataIO {
     t match {
       case IcePrim("boolean") | IcePrim("int") | IcePrim("long") |
           IcePrim("float") | IcePrim("double") | IcePrim("date") |
-          IcePrim("time") | IcePrim("timestamp") | IcePrim("timestamptz") =>
+          IcePrim("time") | IcePrim("timestamp") | IcePrim("timestamptz") |
+          IcePrim("timestamp_ns") | IcePrim("timestamptz_ns") =>
         v.asInstanceOf[AnyRef]
       case IcePrim("string") => v.toString
       case IcePrim("uuid") =>
@@ -248,7 +259,8 @@ object AvroDataIO {
       * must not taint float/double bounds (spec rule) */
     private def comparable(t: IceType, v: Any): Any = t match {
       case IcePrim("int") | IcePrim("date") => v
-      case IcePrim("long") | IcePrim("time") | IcePrim("timestamp") | IcePrim("timestamptz") => v
+      case IcePrim("long") | IcePrim("time") | IcePrim("timestamp") | IcePrim("timestamptz") |
+          IcePrim("timestamp_ns") | IcePrim("timestamptz_ns") => v
       case IcePrim("float") =>
         if (v.asInstanceOf[Float].isNaN) null else v
       case IcePrim("double") =>

@@ -2217,8 +2217,8 @@ class GraftTable(
 
   private def commitSchema(newSchema: IceSchema, lastColumnId: Int): GraftTable = {
     val base = metadata
-    require(base.formatVersion >= 3 || !newSchema.usesVariant,
-      "variant columns require format-version 3")
+    require(base.formatVersion >= 3 || !newSchema.usesV3Types,
+      "variant/timestamp_ns columns require format-version 3")
     val newMeta = base.copy(
       schemas = base.schemas :+ newSchema,
       currentSchemaId = newSchema.schemaId,

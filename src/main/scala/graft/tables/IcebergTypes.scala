@@ -43,9 +43,23 @@ case class IceSchema(
   def identifierFieldNames: List[String] =
     identifierFieldIds.flatMap(id => fieldById(id).map(_.name))
   def fieldById(id: Int): Option[IceField] = fields.find(_.id == id)
-  /** whether any field (nested included) is the v3 `variant` type —
-    * callers gate it on `format-version >= 3` (spec: variant is a v3
-    * addition; older readers cannot decode it) */
+  /** whether any field (nested included) is a v3-only type (`variant`,
+    * `timestamp_ns`, `timestamptz_ns`) — callers gate these on
+    * `format-version >= 3` (spec: v3 additions; older readers cannot
+    * decode them) */
+  def usesV3Types: Boolean = {
+    def in(t: IceType): Boolean = t match {
+      case IcePrim("variant") | IcePrim("timestamp_ns") |
+          IcePrim("timestamptz_ns") => true
+      case IceStruct(fs) => fs.exists(f => in(f.fieldType))
+      case IceList(_, e, _) => in(e)
+      case IceMap(_, k, _, v, _) => in(k) || in(v)
+      case _ => false
+    }
+    fields.exists(f => in(f.fieldType))
+  }
+
+  /** kept for callers that ask specifically about variant */
   def usesVariant: Boolean = {
     def in(t: IceType): Boolean = t match {
       case IcePrim("variant") => true

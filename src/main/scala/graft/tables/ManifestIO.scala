@@ -52,7 +52,8 @@ object ManifestIO {
   /** avro type for a partition value of the given iceberg type */
   private def partitionAvroType(t: IceType): Schema = t match {
     case IcePrim("int") | IcePrim("date") => Schema.create(Schema.Type.INT)
-    case IcePrim("long") | IcePrim("time") | IcePrim("timestamp") | IcePrim("timestamptz") =>
+    case IcePrim("long") | IcePrim("time") | IcePrim("timestamp") | IcePrim("timestamptz") |
+          IcePrim("timestamp_ns") | IcePrim("timestamptz_ns") =>
       Schema.create(Schema.Type.LONG)
     case IcePrim("float") => Schema.create(Schema.Type.FLOAT)
     case IcePrim("double") => Schema.create(Schema.Type.DOUBLE)

@@ -30,8 +30,13 @@ object PruneEval {
     transform match {
       case "identity" => Some(lit)
       case "year" | "month" | "day" | "hour" =>
+        val nsSource = srcType.exists(t =>
+          t == IcePrim("timestamp_ns") || t == IcePrim("timestamptz_ns"))
         val micros: Option[Long] = lit match {
           case i: Int => Some(i.toLong * 86400L * 1000000L) // date days
+          // ns carriers hold nanos: exact floor to micros (1000 divides
+          // every temporal unit width)
+          case l: Long if nsSource => Some(Math.floorDiv(l, 1000L))
           case l: Long => Some(l) // timestamp micros
           case _ => None
         }
@@ -111,6 +116,16 @@ object PruneEval {
       inst.getEpochSecond * 1000000L + inst.getNano / 1000L
     } catch { case _: Throwable => s }
 
+  /** string timestamp literal -> epoch NANOS (v3 ns carriers) */
+  private def parseTimestampNanos(s: String): Any =
+    try {
+      val ld =
+        if (s.length <= 10) java.time.LocalDate.parse(s).atStartOfDay()
+        else java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      val inst = ld.toInstant(java.time.ZoneOffset.UTC)
+      inst.getEpochSecond * 1000000000L + inst.getNano
+    } catch { case _: Throwable => s }
+
   private def litValue(l: Literal): Any = l.value match {
     case u: org.apache.spark.unsafe.types.UTF8String => u.toString
     case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
@@ -187,6 +202,8 @@ object PruneEval {
         try java.time.LocalDate.parse(s).toEpochDay.toInt catch { case _: Throwable => s }
       case (s: String, Some(IcePrim("timestamp")) | Some(IcePrim("timestamptz"))) =>
         parseTimestampMicros(s)
+      case (s: String, Some(IcePrim("timestamp_ns")) | Some(IcePrim("timestamptz_ns"))) =>
+        parseTimestampNanos(s)
       case _ => lit0
     }
 
@@ -433,6 +450,8 @@ object PruneEval {
         try java.time.LocalDate.parse(s).toEpochDay.toInt catch { case _: Throwable => s }
       case (s: String, Some(IcePrim("timestamp")) | Some(IcePrim("timestamptz"))) =>
         parseTimestampMicros(s)
+      case (s: String, Some(IcePrim("timestamp_ns")) | Some(IcePrim("timestamptz_ns"))) =>
+        parseTimestampNanos(s)
       case _ => lit0
     }
     def decide(c: Int): Boolean = op match {

@@ -29,6 +29,12 @@ object SchemaConvert {
     case IcePrim("time") => LongType // micros since midnight; no Spark type
     case IcePrim("timestamp") => TimestampNTZType
     case IcePrim("timestamptz") => TimestampType
+    // Iceberg v3 nanosecond timestamps: Spark has no ns-precision
+    // timestamp, so — like `time` — they ride a LongType carrier (nanos
+    // since epoch, floorDiv semantics for negatives) flagged through
+    // [[GraftTypeKey]]. Micros types would silently truncate; a long
+    // carrier is lossless and keeps bounds/pruning exact.
+    case IcePrim("timestamp_ns") | IcePrim("timestamptz_ns") => LongType
     case IcePrim("string") => StringType
     case IcePrim("uuid") => StringType
     case IcePrim("binary") => BinaryType
@@ -48,7 +54,8 @@ object SchemaConvert {
   def toSparkField(f: IceField): StructField = {
     val mb = new MetadataBuilder().putLong(FieldIdKey, f.id.toLong)
     f.fieldType match {
-      case IcePrim("time") | IcePrim("uuid") | IceFixed(_) =>
+      case IcePrim("time") | IcePrim("uuid") | IceFixed(_) |
+          IcePrim("timestamp_ns") | IcePrim("timestamptz_ns") =>
         mb.putString(GraftTypeKey, f.fieldType.repr)
       case _ =>
     }
@@ -98,6 +105,8 @@ object SchemaConvert {
         if (f.metadata.contains(GraftTypeKey))
           f.metadata.getString(GraftTypeKey) match {
             case "time" => Some(IcePrim("time"))
+            case "timestamp_ns" => Some(IcePrim("timestamp_ns"))
+            case "timestamptz_ns" => Some(IcePrim("timestamptz_ns"))
             case "uuid" => Some(IcePrim("uuid"))
             case FixedRe(n) => Some(IceFixed(n.toInt))
             case _ => None
@@ -131,7 +140,8 @@ object SingleValue {
     case IcePrim("int") | IcePrim("date") =>
       ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
         .putInt(v.asInstanceOf[Number].intValue).array
-    case IcePrim("long") | IcePrim("time") | IcePrim("timestamp") | IcePrim("timestamptz") =>
+    case IcePrim("long") | IcePrim("time") | IcePrim("timestamp") | IcePrim("timestamptz") |
+        IcePrim("timestamp_ns") | IcePrim("timestamptz_ns") =>
       ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
         .putLong(v.asInstanceOf[Number].longValue).array
     case IcePrim("float") =>
@@ -164,7 +174,8 @@ object SingleValue {
     // (int -> long) the CURRENT schema says long, but manifests written
     // before the promotion carry 4-byte bounds — decode by buffer width
     // and promote (the same contract Iceberg's Conversions follows)
-    case IcePrim("long") | IcePrim("time") | IcePrim("timestamp") | IcePrim("timestamptz") =>
+    case IcePrim("long") | IcePrim("time") | IcePrim("timestamp") | IcePrim("timestamptz") |
+        IcePrim("timestamp_ns") | IcePrim("timestamptz_ns") =>
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       if (bytes.length == 4) bb.getInt.toLong else bb.getLong
     case IcePrim("float") => ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getFloat

@@ -119,8 +119,8 @@ object StorageCatalog {
     // row lineage / deletion vectors)
     val fv = properties.get("format-version").map(_.trim.toInt).getOrElse(formatVersion)
     require(fv >= 1 && fv <= 3, s"bad format version $fv")
-    require(fv >= 3 || !schema.usesVariant,
-      "variant columns require format-version 3")
+    require(fv >= 3 || !schema.usesV3Types,
+      "variant/timestamp_ns columns require format-version 3")
     TableMetadata(
       formatVersion = fv,
       tableUuid = UUID.randomUUID().toString,

@@ -140,7 +140,8 @@ object TableWrite {
     import org.apache.parquet.column.statistics._
     (st, typeRepr) match {
       case (s: IntStatistics, "int" | "date") => (Some(s.getMin), Some(s.getMax))
-      case (s: LongStatistics, "long" | "timestamp" | "timestamptz" | "time") =>
+      case (s: LongStatistics, "long" | "timestamp" | "timestamptz" | "time" |
+          "timestamp_ns" | "timestamptz_ns") =>
         (Some(s.getMin), Some(s.getMax))
       // spec: float/double bounds must not be NaN — a NaN-tainted stat
       // would wrongly prune (NaN compares greater than everything in
@@ -242,6 +243,9 @@ object TableWrite {
   private val BucketRe = """bucket\[(\d+)\]""".r
   private val TruncRe = """truncate\[(\d+)\]""".r
 
+  private def isNsTimestamp(t: IceType): Boolean =
+    t == IcePrim("timestamp_ns") || t == IcePrim("timestamptz_ns")
+
   def transformColumn(
       transform: String,
       source: Column,
@@ -253,6 +257,12 @@ object TableWrite {
       lit(null).cast(
         try SchemaConvert.toSparkType(srcType)
         catch { case _: Throwable => org.apache.spark.sql.types.StringType })
+    // v3 ns timestamps ride LongType — the timestamp-column helpers
+    // below would misread the carrier; use the exact long-floorDiv forms
+    case "year" if isNsTimestamp(srcType) => transforms.yearsNsT(source)
+    case "month" if isNsTimestamp(srcType) => transforms.monthsNsT(source)
+    case "day" if isNsTimestamp(srcType) => transforms.daysNsT(source)
+    case "hour" if isNsTimestamp(srcType) => transforms.hoursNsT(source)
     case "year" => transforms.yearsT(source)
     case "month" => transforms.monthsT(source)
     case "day" => transforms.daysT(source)
