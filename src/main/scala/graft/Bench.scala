@@ -349,7 +349,11 @@ object Bench {
         // queries x k, manifest auto-merge re-reads small manifests on
         // each merging commit (cost bounded by min-count x entries)
         "text_normalize", "search_hybrid", "ice_manifest_merge",
-        "q_events_range", "sample_temperature"))
+        "q_events_range", "sample_temperature",
+        // final wave: the salted skew join doubles the probe side xsalt
+        // (must stay linear), the ns-timestamp table day-partitions and
+        // prunes at 10x the day count
+        "q_skew_join", "ice_timestamp_ns"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

@@ -5,9 +5,10 @@ object TimeQ {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for (name <- args; i <- 1 to 3) {
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.1").count()
+      val n = graft.SparkEntry.queries(name)(spark, dir).count()
       println(s"run$i $name rows=$n time=${(System.nanoTime()-t0)/1e9}")
     }
     spark.stop()
