@@ -147,6 +147,27 @@ class TimestampNsSpec extends AnyFunSuite {
     assert(backA.exceptAll(srcA).isEmpty)
   }
 
+  test("ns column works as an upsert key and in MoR deletes") {
+    import spark.implicits._
+    val src = spark.range(0, 200).select(
+      col("id"), (col("id") * lit(Day / 24)).as("ts_ns"), col("id").as("tstz_ns"))
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, tmp("mor"), nsSchema, IcePartitionSpec(0, Nil), formatVersion = 3)
+    t.append(spark, src)
+    // equality delete keyed on the ns carrier (plain long equality)
+    t.equalityDelete(spark, Seq(5L * (Day / 24), 7L * (Day / 24)).toDF("ts_ns"), Seq("ts_ns"))
+    // upsert: same key column — replaces id 10's row, adds id 1000
+    t.upsert(spark, Seq(
+      (10L, 10L * (Day / 24), 999L),
+      (1000L, 1000L * (Day / 24), 1L)).toDF("id", "ts_ns", "tstz_ns"), Seq("ts_ns"))
+    val out = t.scan(spark).select("id", "ts_ns", "tstz_ns").as[(Long, Long, Long)]
+      .collect().map(r => r._2 -> ((r._1, r._3))).toMap
+    assert(out.size === 199) // 200 - 2 deleted + 1 inserted
+    assert(!out.contains(5L * (Day / 24)) && !out.contains(7L * (Day / 24)))
+    assert(out(10L * (Day / 24)) === ((10L, 999L)))
+    assert(out(1000L * (Day / 24)) === ((1000L, 1L)))
+  }
+
   test("metadata json round-trips ns types on reload") {
     val loc = tmp("reload")
     val t = StorageCatalog.createOrReplaceTable(
