@@ -216,7 +216,7 @@ object Bench {
     // hybrid RRF retrieval
     "ice_metrics_mode", "ice_manifest_merge", "text_normalize",
     "search_hybrid", "q_events_range", "sample_temperature", "q_skew_join",
-    "ice_timestamp_ns")
+    "ice_timestamp_ns", "pipeline_incremental")
 
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —
@@ -352,8 +352,9 @@ object Bench {
         "q_events_range", "sample_temperature",
         // final wave: the salted skew join doubles the probe side xsalt
         // (must stay linear), the ns-timestamp table day-partitions and
-        // prunes at 10x the day count
-        "q_skew_join", "ice_timestamp_ns"))
+        // prunes at 10x the day count, and the incremental curation loop
+        // must stay O(batch) — its whole point
+        "q_skew_join", "ice_timestamp_ns", "pipeline_incremental"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

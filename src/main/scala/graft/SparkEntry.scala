@@ -861,6 +861,38 @@ object SparkEntry {
       Packing.shuffleShards(t(s, dir, "documents"), "doc_id",
         numShards = 8, salt = "epoch0")
     }),
+    "pipeline_incremental" -> ((s, dir) => {
+      // the INCREMENTAL curation loop — the production shape at 100 TB:
+      // raw docs land in a graft table in batches; each new batch is read
+      // INCREMENTALLY (snapshot-range scan — history is never re-read),
+      // quality-gated, exact-deduped within the batch (min doc_id wins)
+      // and against the curated table (anti-join on content
+      // fingerprint), and survivors append to the curated table. The
+      // state between runs is the curated TABLE itself — no external
+      // index service. Output = the curated corpus after two rounds.
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("text"), col("n_chars"))
+      def curate(d: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+        d.filter(col("n_chars") >= 200)
+          .withColumn("fp", md5(col("text")))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .select(col("doc_id"), col("fp"))
+      }
+      val raw = freshTable(s, "pipe_incr_raw", docs)
+      raw.append(s, docs.filter(pmod(col("doc_id"), lit(3)) =!= 2))
+      val snap1 = raw.metadata.currentSnapshotId.get
+      val seed = curate(raw.scan(s))
+      val curated = freshTable(s, "pipe_incr_curated", seed)
+      curated.append(s, seed)
+      // batch 2 lands in raw; the incremental scan sees ONLY its rows
+      raw.append(s, docs.filter(pmod(col("doc_id"), lit(3)) === 2))
+      val survivors = curate(raw.scanIncremental(s, fromSnapshotId = snap1))
+        .join(curated.scan(s).select(col("fp")), Seq("fp"), "left_anti")
+      curated.append(s, survivors.select(col("doc_id"), col("fp")))
+      curated.scan(s).select(col("doc_id"), col("fp"))
+    }),
     "pipeline_corpus" -> ((s, dir) => {
       // the END-TO-END training-corpus pipeline, composed from the
       // engine's own operators: quality gate → exact dedup →
@@ -4305,6 +4337,18 @@ object SparkEntry {
         |  least(32, n - chunk_id * 24) AS n_tokens
         |FROM e""".stripMargin,
     // full composed pipeline: each CTE replicates the matching stage's
+    // two-batch incremental curation: batch boundaries replayed by the
+    // doc_id % 3 split; curated = quality gate + min-doc_id dedup within
+    // batch + fingerprint anti-join against the earlier batch
+    "pipeline_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(text) AS fp FROM documents WHERE n_chars >= 200),
+        |b1 AS (SELECT MIN(doc_id) AS doc_id, fp FROM d
+        |       WHERE doc_id % 3 <> 2 GROUP BY fp),
+        |b2 AS (SELECT MIN(doc_id) AS doc_id, fp FROM d
+        |       WHERE doc_id % 3 = 2 AND fp NOT IN (SELECT fp FROM b1)
+        |       GROUP BY fp)
+        |SELECT doc_id, fp FROM b1 UNION ALL SELECT doc_id, fp FROM b2""".stripMargin,
     // standalone oracle (quality gate, min-doc_id exact dedup, 4-gram
     // decontamination, md5-threshold mixture sampling, prefix-sum packing)
     "pipeline_corpus" ->
