@@ -204,7 +204,7 @@ class GraftBatchWrite(
     val props = metadata.properties
     val maxRecords = TableWrite.maxRecordsPerFile(metadata).getOrElse(Long.MaxValue)
     val fmt = TableWrite.dataFormat(metadata)
-    val orcNative = fmt == "orc" && graft.tables.OrcDataIO.canWrite(schema.fields)
+    val orcNative = fmt == "orc" && graft.tables.OrcDataIO.canWrite(schema.visibleFields)
     val writerConf = fmt match {
       case "orc" if orcNative =>
         // id-stamped orc-core writes only need the session conf
@@ -235,14 +235,14 @@ class GraftBatchWrite(
     new GraftDataWriterFactory(
       s"${table.location}/data/${java.util.UUID.randomUUID()}",
       sparkSchema,
-      schema.fields.map(f => GraftTable.FieldInfo(f.name, f.id, f.fieldType.repr)),
+      schema.visibleFields.map(f => GraftTable.FieldInfo(f.name, f.id, f.fieldType.repr)),
       specFields,
       maxRecords,
       sortOrderId,
       new SerializableHadoopConf(writerConf),
       fmt,
       orcFactory,
-      schema.fields,
+      schema.visibleFields,
       props.getOrElse(
         if (fmt == "orc") "write.orc.compression-codec"
         else "write.avro.compression-codec", "snappy"),

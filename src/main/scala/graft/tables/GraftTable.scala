@@ -1911,10 +1911,16 @@ class GraftTable(
       case (IcePrim("int"), IcePrim("long")) => true
       case (IcePrim("float"), IcePrim("double")) => true
       case (IceDecimal(p1, s1), IceDecimal(p2, s2)) => s1 == s2 && p2 >= p1
+      // v3: `unknown` promotes to any concrete type — the column never
+      // reached a data file, so every pre-promotion row reads null
+      // through the absent-column path (same machinery as add-column)
+      case (IcePrim("unknown"), b) if b != IcePrim("unknown") =>
+        metadata.formatVersion >= 3
       case _ => false
     }
     require(ok, s"illegal type promotion ${f.fieldType} -> $to for $name " +
-      "(Iceberg spec allows int->long, float->double, decimal precision growth)")
+      "(Iceberg spec allows int->long, float->double, decimal precision " +
+      "growth, and unknown->any at format-version 3)")
     val newSchema = IceSchema(
       schema.schemaId + 1,
       schema.fields.map(x => if (x.id == f.id) x.copy(fieldType = to) else x),
@@ -2155,7 +2161,7 @@ class GraftTable(
         case IcePrim("float") | IcePrim("double") =>
           sys.error(s"identifier field $n cannot be float/double")
         case IceStruct(_) | IceList(_, _, _) | IceMap(_, _, _, _, _) |
-            IcePrim("variant") =>
+            IcePrim("variant") | IcePrim("unknown") =>
           sys.error(s"identifier field $n must be a primitive column")
         case _ => f.id
       }
@@ -2218,7 +2224,8 @@ class GraftTable(
   private def commitSchema(newSchema: IceSchema, lastColumnId: Int): GraftTable = {
     val base = metadata
     require(base.formatVersion >= 3 || !newSchema.usesV3Types,
-      "variant/timestamp_ns columns require format-version 3")
+      "variant/timestamp_ns/unknown columns require format-version 3")
+    newSchema.invalidUnknown.foreach(e => sys.error(e))
     val newMeta = base.copy(
       schemas = base.schemas :+ newSchema,
       currentSchemaId = newSchema.schemaId,
@@ -2235,8 +2242,12 @@ class GraftTable(
   def updatePartitionSpec(fields: List[IcePartitionField]): GraftTable = {
     val base = metadata
     val schema = base.currentSchema
-    fields.foreach(pf => require(schema.fieldById(pf.sourceId).isDefined,
-      s"partition source field ${pf.sourceId} not in schema"))
+    fields.foreach { pf =>
+      val src = schema.fieldById(pf.sourceId)
+      require(src.isDefined, s"partition source field ${pf.sourceId} not in schema")
+      require(src.get.fieldType != IcePrim("unknown"),
+        s"cannot partition by unknown-typed column ${src.get.name}")
+    }
     val newSpecId = (0 :: base.partitionSpecs.map(_.specId)).max + 1
     val assigned = fields.zipWithIndex.map { case (pf, i) =>
       pf.copy(fieldId = base.lastPartitionId + 1 + i)

@@ -44,19 +44,49 @@ case class IceSchema(
     identifierFieldIds.flatMap(id => fieldById(id).map(_.name))
   def fieldById(id: Int): Option[IceField] = fields.find(_.id == id)
   /** whether any field (nested included) is a v3-only type (`variant`,
-    * `timestamp_ns`, `timestamptz_ns`) — callers gate these on
+    * `timestamp_ns`, `timestamptz_ns`, `unknown`) — callers gate these on
     * `format-version >= 3` (spec: v3 additions; older readers cannot
     * decode them) */
   def usesV3Types: Boolean = {
     def in(t: IceType): Boolean = t match {
       case IcePrim("variant") | IcePrim("timestamp_ns") |
-          IcePrim("timestamptz_ns") => true
+          IcePrim("timestamptz_ns") | IcePrim("unknown") => true
       case IceStruct(fs) => fs.exists(f => in(f.fieldType))
       case IceList(_, e, _) => in(e)
       case IceMap(_, k, _, v, _) => in(k) || in(v)
       case _ => false
     }
     fields.exists(f => in(f.fieldType))
+  }
+
+  /** The fields the SPARK surface sees: v3 `unknown` columns are
+    * declare-now-type-later placeholders — they hold no data (the spec
+    * omits them from data files, every value is null) and Spark has no
+    * type for an always-null stored column, so scans and writes simply
+    * exclude them until a type promotion makes them real. The metadata
+    * surface (schema JSON, metadata tables) keeps the full field list. */
+  def visibleFields: List[IceField] =
+    fields.filterNot(_.fieldType == IcePrim("unknown"))
+
+  /** spec constraints on `unknown` columns: optional only (a required
+    * always-null column is unsatisfiable) and top-level only here (a
+    * nested unknown cannot be excluded from the Spark surface without
+    * rewriting the containing struct). Returns an error, or None. */
+  def invalidUnknown: Option[String] = {
+    def nested(t: IceType): Boolean = t match {
+      case IceStruct(fs) => fs.exists(f =>
+        f.fieldType == IcePrim("unknown") || nested(f.fieldType))
+      case IceList(_, e, _) => e == IcePrim("unknown") || nested(e)
+      case IceMap(_, k, _, v, _) =>
+        k == IcePrim("unknown") || v == IcePrim("unknown") || nested(k) || nested(v)
+      case _ => false
+    }
+    fields.collectFirst {
+      case f if f.fieldType == IcePrim("unknown") && f.required =>
+        s"unknown column ${f.name} must be optional"
+      case f if nested(f.fieldType) =>
+        s"nested unknown type under ${f.name} is not supported"
+    }
   }
 
   /** kept for callers that ask specifically about variant */

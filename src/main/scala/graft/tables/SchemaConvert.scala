@@ -35,6 +35,10 @@ object SchemaConvert {
     // [[GraftTypeKey]]. Micros types would silently truncate; a long
     // carrier is lossless and keeps bounds/pruning exact.
     case IcePrim("timestamp_ns") | IcePrim("timestamptz_ns") => LongType
+    // v3 `unknown` — declare-now-type-later; always null, omitted from
+    // data files. The Spark surface EXCLUDES these fields (toSparkSchema
+    // maps visibleFields); NullType here only serves direct conversions.
+    case IcePrim("unknown") => NullType
     case IcePrim("string") => StringType
     case IcePrim("uuid") => StringType
     case IcePrim("binary") => BinaryType
@@ -67,7 +71,8 @@ object SchemaConvert {
     f.doc.map(sf.withComment).getOrElse(sf)
   }
 
-  def toSparkSchema(s: IceSchema): StructType = StructType(s.fields.map(toSparkField))
+  def toSparkSchema(s: IceSchema): StructType =
+    StructType(s.visibleFields.map(toSparkField))
 
   /** Spark -> Iceberg, assigning fresh sequential field ids (create-table
     * path). Nested ids get allocated after all top-level ids, spec-style. */
@@ -86,6 +91,7 @@ object SchemaConvert {
       case StringType => IcePrim("string")
       case BinaryType => IcePrim("binary")
       case VariantType => IcePrim("variant")
+      case NullType => IcePrim("unknown")
       case d: DecimalType => IceDecimal(d.precision, d.scale)
       case ArrayType(e, containsNull) =>
         IceList(alloc(), conv(e), elementRequired = !containsNull)

@@ -120,7 +120,8 @@ object StorageCatalog {
     val fv = properties.get("format-version").map(_.trim.toInt).getOrElse(formatVersion)
     require(fv >= 1 && fv <= 3, s"bad format version $fv")
     require(fv >= 3 || !schema.usesV3Types,
-      "variant/timestamp_ns columns require format-version 3")
+      "variant/timestamp_ns/unknown columns require format-version 3")
+    schema.invalidUnknown.foreach(e => throw new IllegalArgumentException(e))
     TableMetadata(
       formatVersion = fv,
       tableUuid = UUID.randomUUID().toString,

@@ -294,7 +294,7 @@ object TableWrite {
 
   private def prepared(
       df: DataFrame, schema: IceSchema, extra: Seq[IceField] = Nil): DataFrame = {
-    val cols = (schema.fields ++ extra).map { f =>
+    val cols = (schema.visibleFields ++ extra).map { f =>
       val md = new MetadataBuilder().putLong(SchemaConvert.FieldIdKey, f.id.toLong).build()
       // a write may omit a column that carries a write-default
       val src =
@@ -650,7 +650,7 @@ object TableWrite {
       metricsCfg: MetricsConfig = MetricsConfig.default): List[IceDataFile] = {
     val writeId = UUID.randomUUID().toString
     val outDir = s"${table.location}/data/$writeId"
-    val fields = schema.fields ++ lineageFields
+    val fields = schema.visibleFields ++ lineageFields
     val nData = fields.size
     val codec = table.metadata.properties.getOrElse(
       if (fmt == "orc") "write.orc.compression-codec" else "write.avro.compression-codec",
