@@ -216,7 +216,7 @@ object Bench {
     // hybrid RRF retrieval
     "ice_metrics_mode", "ice_manifest_merge", "text_normalize",
     "search_hybrid", "q_events_range", "sample_temperature", "q_skew_join",
-    "ice_timestamp_ns", "pipeline_incremental")
+    "ice_timestamp_ns", "pipeline_incremental", "ann_hard_negatives")
 
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —

@@ -974,6 +974,15 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 4), "vec_id", "embedding", 5)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
+    "ann_hard_negatives" -> ((s, dir) => {
+      // contrastive hard-negative mining: per anchor, the 3 most-similar
+      // vectors of a DIFFERENT label — the negatives that actually move
+      // a contrastive loss. Broadcast anchors, stream the corpus once,
+      // partial top-k before the final window.
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegatives(
+        e, e.filter(col("vec_id") < 4), "vec_id", "embedding", "label", 3)
+    }),
     "ann_ivf" -> ((s, dir) => {
       // Planted-match oracle: queries are jittered copies (×1.001, ids
       // +1000000) of corpus vectors. Positive scaling preserves the LSH
@@ -3503,6 +3512,17 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 4)
         |WHERE rank <= 5""".stripMargin,
+    "ann_hard_negatives" ->
+      """SELECT anchor_id, neighbor_id, rank FROM (
+        |  SELECT q.vec_id AS anchor_id, c.vec_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                      CAST(c.embedding AS DOUBLE[])) DESC,
+        |        c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id <> c.vec_id AND q.label <> c.label
+        |  WHERE q.vec_id < 4)
+        |WHERE rank <= 3""".stripMargin,
     "ann_ivf" ->
       """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id, 1 AS rank
         |FROM embeddings WHERE vec_id < 4""".stripMargin,

@@ -83,6 +83,39 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor, the
+    * top-k most-similar corpus vectors with a DIFFERENT label — "looks
+    * the same, means something else", the negatives that actually move a
+    * contrastive loss (random negatives are trivially separated). Same
+    * broadcast-anchors + per-partition partial-top-k shape as
+    * [[bruteForceTopK]]: the corpus streams once, only k rows per anchor
+    * survive any partition. At 100 TB, mine against an IVF-probed
+    * candidate slice instead of the full corpus — the operator shape is
+    * unchanged. */
+  def hardNegatives(
+      corpus: DataFrame,
+      anchors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val q = anchors.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("q_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("c_label"))
+    val scored = c
+      .join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") && col("q_label") =!= col("c_label"))
+      .select(col("query_id"), col("neighbor_id"),
+        vectors.cosineSim(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    partialTopK(scored, k)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id").as("anchor_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** IVF with TRAINED centroids (the classic inverted-file ANN layout):
     * k-means over unit-normalized vectors partitions the corpus into
     * `numCells` lists; a query probes only its `nprobe` nearest cells.
