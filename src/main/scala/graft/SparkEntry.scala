@@ -4356,7 +4356,6 @@ object SparkEntry {
         |    ' ') AS chunk_text,
         |  least(32, n - chunk_id * 24) AS n_tokens
         |FROM e""".stripMargin,
-    // full composed pipeline: each CTE replicates the matching stage's
     // two-batch incremental curation: batch boundaries replayed by the
     // doc_id % 3 split; curated = quality gate + min-doc_id dedup within
     // batch + fingerprint anti-join against the earlier batch
@@ -4369,6 +4368,7 @@ object SparkEntry {
         |       WHERE doc_id % 3 = 2 AND fp NOT IN (SELECT fp FROM b1)
         |       GROUP BY fp)
         |SELECT doc_id, fp FROM b1 UNION ALL SELECT doc_id, fp FROM b2""".stripMargin,
+    // full composed pipeline: each CTE replicates the matching stage's
     // standalone oracle (quality gate, min-doc_id exact dedup, 4-gram
     // decontamination, md5-threshold mixture sampling, prefix-sum packing)
     "pipeline_corpus" ->

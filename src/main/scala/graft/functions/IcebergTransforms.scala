@@ -251,9 +251,12 @@ object transforms {
 
   /** exact floor-division of a long column: (c - pmod(c,d)) is exactly
     * divisible, so decimal division + truncation equals floorDiv. A double
-    * `/` is lossy past 2^53 — any post-1971 nanosecond value. */
+    * `/` is lossy past 2^53 — any post-1971 nanosecond value. The
+    * subtraction happens in DECIMAL: in long arithmetic c - pmod(c,d)
+    * underflows for c within pmod of Long.MinValue (ANSI mode would
+    * throw; legacy mode wraps to a garbage positive day). */
   private def floorDivL(c: Column, d: Long): Column =
-    ((c - pmod(c, lit(d))).cast(DecimalType(38, 0)) / lit(d)).cast(LongType)
+    ((c.cast(DecimalType(38, 0)) - pmod(c, lit(d))) / lit(d)).cast(LongType)
 
   /** v3 nanosecond timestamps ride a LongType carrier (nanos since epoch):
     * temporal transform values derive by exact integer floor-division —

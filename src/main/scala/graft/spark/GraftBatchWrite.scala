@@ -114,6 +114,15 @@ class GraftWrite(
   private val schema = metadata.currentSchema
   private val spec = metadata.defaultSpec
 
+  /** any temporal transform over a ns LongType carrier? Spark's V2
+    * years/months/days/hours reject a long input, so these specs cannot
+    * express their clustering as a transform expression */
+  private def hasNsTemporal: Boolean = spec.fields.exists { pf =>
+    Set("year", "month", "day", "hour").contains(pf.transform) &&
+      schema.fieldById(pf.sourceId).exists(f =>
+        f.fieldType == IcePrim("timestamp_ns") || f.fieldType == IcePrim("timestamptz_ns"))
+  }
+
   private def transformExprs: Array[org.apache.spark.sql.connector.expressions.Expression] =
     spec.fields.map { pf =>
       val src = schema.fieldById(pf.sourceId).map(_.name).getOrElse(pf.name)
@@ -121,8 +130,10 @@ class GraftWrite(
         f.fieldType == IcePrim("timestamp_ns") || f.fieldType == IcePrim("timestamptz_ns"))
       pf.transform match {
         // Spark's temporal V2 transforms reject the ns LongType carrier:
-        // cluster by the raw value instead (finer-grained but correct —
-        // the fanout writers still route rows to the right partition)
+        // fall back to the raw value (requiredDistribution switches to a
+        // RANGE distribution for these specs — hash-clustering on a
+        // near-unique nanos value would scatter each day across every
+        // task and fan out day-count x task-count small files)
         case "year" | "month" | "day" | "hour" if nsSource =>
           Expressions.identity(src)
         case "identity" => Expressions.identity(src)
@@ -145,6 +156,12 @@ class GraftWrite(
     else TableWrite.distributionMode(metadata.properties) match {
       case "none" => Distributions.unspecified()
       case "range" => Distributions.ordered(
+        transformExprs.map(org.apache.spark.sql.GraftBridge.sortOrderFor))
+      // ns-temporal specs express their cluster key as the raw nanos
+      // value: range-distribute so each day lands contiguous in one
+      // task (plus boundaries) — hash on near-unique nanos would write
+      // day-count x task-count files
+      case _ if hasNsTemporal => Distributions.ordered(
         transformExprs.map(org.apache.spark.sql.GraftBridge.sortOrderFor))
       case _ => Distributions.clustered(transformExprs)
     }

@@ -278,6 +278,8 @@ object PruneEval {
           try java.time.LocalDate.parse(s).toEpochDay.toInt catch { case _: Throwable => s }
         case (s: String, Some(IcePrim("timestamp")) | Some(IcePrim("timestamptz"))) =>
           parseTimestampMicros(s)
+        case (s: String, Some(IcePrim("timestamp_ns")) | Some(IcePrim("timestamptz_ns"))) =>
+          parseTimestampNanos(s)
         case _ => lit0
       }
       spec.fields.zipWithIndex.forall { case (pf, idx) =>

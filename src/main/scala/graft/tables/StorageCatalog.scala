@@ -122,6 +122,19 @@ object StorageCatalog {
     require(fv >= 3 || !schema.usesV3Types,
       "variant/timestamp_ns/unknown columns require format-version 3")
     schema.invalidUnknown.foreach(e => throw new IllegalArgumentException(e))
+    // unknown columns hold no data: a spec or identity key sourcing one
+    // would route/match on a column every write drops (the later append
+    // fails confusingly; refuse at create instead)
+    spec.fields.foreach { pf =>
+      val src = schema.fieldById(pf.sourceId)
+      require(src.isDefined, s"partition source field ${pf.sourceId} not in schema")
+      require(src.get.fieldType != IcePrim("unknown"),
+        s"cannot partition by unknown-typed column ${src.get.name}")
+    }
+    schema.identifierFieldIds.foreach { id =>
+      require(schema.fieldById(id).exists(_.fieldType != IcePrim("unknown")),
+        s"identifier field id $id must not be unknown-typed")
+    }
     TableMetadata(
       formatVersion = fv,
       tableUuid = UUID.randomUUID().toString,

@@ -49,7 +49,10 @@ class TimestampNsSpec extends AnyFunSuite {
   test("ns transform columns are exact past 2^53 and floor pre-1970") {
     // 4102444800000000000 ns = 2100-01-01, far beyond double's 2^53;
     // -1 ns must floor to day -1 / hour -1 / year -1 (1969-12-31)
-    val vals = Seq(-1L, 0L, Day - 1, Day, -2 * Day + 1, 4102444800000000000L)
+    // Long.MinValue + 999 probes the decimal-domain subtraction: long
+    // `c - pmod(c,d)` would underflow there and route to a garbage day
+    val vals = Seq(-1L, 0L, Day - 1, Day, -2 * Day + 1, 4102444800000000000L,
+      Long.MinValue + 999L, Long.MaxValue)
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(vals.map(org.apache.spark.sql.Row(_)), 2),
       org.apache.spark.sql.types.StructType(Seq(
@@ -166,6 +169,22 @@ class TimestampNsSpec extends AnyFunSuite {
     assert(!out.contains(5L * (Day / 24)) && !out.contains(7L * (Day / 24)))
     assert(out(10L * (Day / 24)) === ((10L, 999L)))
     assert(out(1000L * (Day / 24)) === ((1000L, 1L)))
+  }
+
+  test("manifest-level pruning adapts ns string literals") {
+    // one manifest whose ts_day summary spans days 0..4: a predicate past
+    // day 9 (as a STRING timestamp literal) must skip the whole manifest
+    val spec = IcePartitionSpec(0, List(IcePartitionField(2, 1000, "day", "ts_day")))
+    val summaries = Seq(IceFieldSummary(
+      containsNull = false,
+      lowerBound = Some(SingleValue.encode(IcePrim("int"), 0)),
+      upperBound = Some(SingleValue.encode(IcePrim("int"), 4))))
+    def expr(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftBridge.catalystExpression(c)
+    assert(!PruneEval.manifestMayMatch(
+      expr(col("ts_ns") >= lit("1970-01-10")), summaries, spec, nsSchema))
+    assert(PruneEval.manifestMayMatch(
+      expr(col("ts_ns") >= lit("1970-01-03")), summaries, spec, nsSchema))
   }
 
   test("metadata json round-trips ns types on reload") {

@@ -90,5 +90,19 @@ class UnknownTypeSpec extends AnyFunSuite {
       t.updatePartitionSpec(List(IcePartitionField(2, 1000, "identity", "m")))
     }
     assert(e2.getMessage.contains("cannot partition by unknown"))
+    // and at CREATE time, through the shared metadata constructor
+    val e3 = intercept[Exception] {
+      StorageCatalog.createOrReplaceTable(
+        conf, tmp("createpart"), schemaWithUnknown,
+        IcePartitionSpec(0, List(IcePartitionField(2, 1000, "identity", "m"))),
+        formatVersion = 3)
+    }
+    assert(e3.getMessage.contains("cannot partition by unknown"))
+    val idSchema = IceSchema(0, schemaWithUnknown.fields, identifierFieldIds = List(2))
+    val e4 = intercept[Exception] {
+      StorageCatalog.createOrReplaceTable(
+        conf, tmp("createid"), idSchema, IcePartitionSpec(0, Nil), formatVersion = 3)
+    }
+    assert(e4.getMessage.contains("must not be unknown-typed"))
   }
 }
