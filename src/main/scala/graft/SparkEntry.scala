@@ -837,6 +837,16 @@ object SparkEntry {
         size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
       Packing.packGreedy(toks, "doc_id", "n_tokens", budgetTokens = 2000L)
     }),
+    "pack_concat" -> ((s, dir) => {
+      // concat-and-split packing: the doc-id-ordered token stream cut
+      // into exactly-full 512-token sequences, each doc mapped to its
+      // (seq_id, in-sequence span) rows — the document-mask map a
+      // sequence-packed trainer consumes
+      val d = t(s, dir, "documents")
+      val toks = d.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
+      Packing.packConcat(toks, "doc_id", "n_tokens", seqLen = 512L)
+    }),
     "text_bpe" -> ((s, dir) => {
       // REAL BPE tokenizer: merges trained on the doc_id%5==0 slice's
       // word histogram (one corpus pass; rounds run over the bounded
@@ -2293,6 +2303,39 @@ object SparkEntry {
           |UNION ALL
           |SELECT 'delete' AS side, SUM(record_count) AS records
           |FROM graft.db.msplit.delete_files""".stripMargin)
+    }),
+    "meta_readable_metrics" -> ((s, dir) => {
+      // readable_metrics: per-file stats decoded into each column's own
+      // type — global min/max/counts recomputed FROM THE FILES VIEW must
+      // equal a recomputation over the source rows (the extended-stats
+      // pass supplies NaN counts; parquet footers supply the rest)
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.mread")
+      s.sql(
+        """CREATE TABLE graft.db.mread (
+          |  o_orderkey BIGINT, o_totalprice DOUBLE, nanv DOUBLE, o_orderstatus STRING)
+          |TBLPROPERTIES ('write.stats.extended' = 'true')""".stripMargin)
+      t(s, dir, "orders").createOrReplaceTempView("mread_src_gq")
+      s.sql(
+        """INSERT INTO graft.db.mread
+          |SELECT o_orderkey, o_totalprice,
+          |  CASE WHEN o_orderkey % 11 = 0 THEN CAST('NaN' AS DOUBLE)
+          |       ELSE CAST(o_custkey AS DOUBLE) END,
+          |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END
+          |FROM mread_src_gq""".stripMargin)
+      s.sql(
+        """SELECT
+          |  SUM(readable_metrics.o_orderkey.value_count) AS n_values,
+          |  SUM(readable_metrics.o_orderstatus.null_value_count) AS null_status,
+          |  SUM(readable_metrics.nanv.nan_value_count) AS nan_vals,
+          |  MIN(readable_metrics.o_orderkey.lower_bound) AS min_key,
+          |  MAX(readable_metrics.o_orderkey.upper_bound) AS max_key,
+          |  MIN(readable_metrics.o_totalprice.lower_bound) AS min_price,
+          |  MAX(readable_metrics.o_totalprice.upper_bound) AS max_price
+          |FROM graft.db.mread.files""".stripMargin)
     }),
     "meta_position_deletes" -> ((s, dir) => {
       // row-level position_deletes view: parquet delete files and
@@ -4153,6 +4196,26 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, n_tokens,
         |  CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id FROM c""".stripMargin,
+    "pack_concat" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |    AS BIGINT) AS gstart
+        |  FROM t WHERE n_tokens > 0),
+        |e AS (
+        |  SELECT doc_id, gstart, gstart + n_tokens AS gend,
+        |    UNNEST(generate_series(gstart // 512, (gstart + n_tokens - 1) // 512))
+        |      AS seq_id
+        |  FROM c)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+        |  CAST(GREATEST(gstart, seq_id * 512) - seq_id * 512 AS BIGINT) AS tok_begin,
+        |  CAST(LEAST(gend, (seq_id + 1) * 512) - seq_id * 512 AS BIGINT) AS tok_end
+        |FROM e""".stripMargin,
     // shard-export replica: same md5(salt ‖ id) order key, same 4-hex
     // shard hash (strpos folds the hex digits the way Spark's conv does)
     "pack_shards" ->
@@ -4773,6 +4836,15 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'delete' AS side, CAST(count(*) AS BIGINT) AS records
         |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
+    "meta_readable_metrics" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_values,
+        |  CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_status,
+        |  CAST(sum(CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nan_vals,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders""".stripMargin,
     "meta_position_deletes" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_parquet_deletes,
         |  CAST(count(*) AS BIGINT) AS n_dv_deletes

@@ -41,6 +41,21 @@ object Packing {
       budgetTokens: Long,
       numBuckets: Int = 0): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
+    // SQL `div` = exact integer division on longs (a double `/` would
+    // lose precision once cumulative counts pass 2^53)
+    globalOffsets(df, idCol, tokensCol, numBuckets)
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"gstart div ${budgetTokens}L").as("shard_id"))
+  }
+
+  /** (doc_id, n_tokens, gstart): each doc's starting offset in the
+    * doc-id-ordered global token stream, via the distributed prefix sum
+    * described above. */
+  private def globalOffsets(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      numBuckets: Int): DataFrame = {
     val spark = df.sparkSession
     val nB =
       if (numBuckets > 0) numBuckets
@@ -68,11 +83,42 @@ object Packing {
       .withColumn("poffset", coalesce(sum("ptot").over(ow), lit(0L)))
       .select("bucket", "poffset")
     local.join(broadcast(offsets), "bucket")
-      // SQL `div` = exact integer division on longs (a double `/` would
-      // lose precision once cumulative counts pass 2^53)
       .select(col("doc_id"), col("n_tokens"),
-        expr(s"(cum_local + poffset - n_tokens) div ${budgetTokens}L")
-          .as("shard_id"))
+        (col("cum_local") + col("poffset") - col("n_tokens")).as("gstart"))
+  }
+
+  /** Concat-and-split packing (the GPT pretraining shape): documents are
+    * concatenated in doc-id order into ONE global token stream, the
+    * stream is cut into fixed `seqLen`-token training sequences, and
+    * each doc emits one row per sequence it overlaps:
+    * (seq_id, doc_id, tok_begin, tok_end) — begin inclusive, end
+    * exclusive, offsets WITHIN the sequence. This span map is the
+    * attention-boundary/document-mask input a packed trainer needs (no
+    * cross-document attention) and the inverse map for sample
+    * attribution. Unlike [[packGreedy]] no token is padded or dropped:
+    * every sequence except the last is exactly full.
+    *
+    * Scale: global offsets come from the same value-bucketed distributed
+    * prefix sum (never a single-partition window); the explode emits
+    * ceil(n_tokens/seqLen)+1 rows per doc — output-linear and map-only
+    * after the prefix sum. Zero-token docs emit nothing. */
+  def packConcat(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      seqLen: Long,
+      numBuckets: Int = 0): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    globalOffsets(df, idCol, tokensCol, numBuckets)
+      .filter(col("n_tokens") > 0)
+      .withColumn("gend", col("gstart") + col("n_tokens"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"gstart div ${seqLen}L"), expr(s"(gend - 1) div ${seqLen}L"))))
+      .select(col("seq_id"), col("doc_id"),
+        (greatest(col("gstart"), col("seq_id") * seqLen)
+          - col("seq_id") * seqLen).as("tok_begin"),
+        (least(col("gend"), (col("seq_id") + lit(1L)) * seqLen)
+          - col("seq_id") * seqLen).as("tok_end"))
   }
 
   /** Deterministic global shuffle + shard assignment — the EXPORT step of

@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, S
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.TransformUtil
@@ -376,14 +376,36 @@ class GraftDataWriter(
     def close(): Option[TableWrite.FileStats] = Some(w.close())
   }
 
-  private case class Open(writer: Sink, path: String, var records: Long)
+  private case class Open(
+      writer: Sink, path: String, var records: Long,
+      nanCounts: Array[Long])
 
   private val srcTypes: Array[IceType] =
     specFields.map(sf => MetadataJson.parseType(org.json4s.JString(sf.srcTypeRepr))).toArray
   private val srcDataTypes: Array[DataType] = srcTypes.map(TransformEval.sparkTypeOf)
 
+  /** inline NaN counting for float/double columns: parquet/orc footers
+    * don't expose NaN counts, but strict metadata deletes and
+    * `readable_metrics` need them RECORDED (explicit zero included) —
+    * one branch per float/double cell, no second read pass.
+    * (ordinal, field id, isFloat) per tracked column. */
+  private val nanTracked: Array[(Int, Int, Boolean)] =
+    sparkSchema.fields.zipWithIndex.flatMap { case (f, ord) =>
+      fieldInfos.find(_.name == f.name).collect {
+        case fi if (f.dataType == FloatType || f.dataType == DoubleType) &&
+            metrics.keepCounts(fi.id) =>
+          (ord, fi.id, f.dataType == FloatType)
+      }
+    }.toArray
+
   private val open = mutable.HashMap.empty[Seq[Option[Any]], Open]
-  private val done = mutable.ListBuffer.empty[(String, Seq[Option[Any]], Option[TableWrite.FileStats])]
+  private val done = mutable.ListBuffer
+    .empty[(String, Seq[Option[Any]], Option[TableWrite.FileStats], Map[Int, Long])]
+
+  private def nanMapOf(o: Open): Map[Int, Long] =
+    nanTracked.iterator.zipWithIndex.map { case ((_, fid, _), i) =>
+      fid -> o.nanCounts(i)
+    }.toMap
   private var fileCount = 0
   private var rowsWritten = 0L
 
@@ -416,16 +438,25 @@ class GraftDataWriter(
           org.apache.spark.sql.GraftBridge.openRowWriter(
             conf.value, path, partitionId, taskId), path)
     }
-    Open(sink, path, 0L)
+    Open(sink, path, 0L, new Array[Long](nanTracked.length))
   }
 
   override def write(row: InternalRow): Unit = {
     val partition = partitionOf(row)
     var o = open.getOrElseUpdate(partition, newFile(partition))
     if (o.records >= maxRecords) {
-      done += ((o.path, partition, o.writer.close()))
+      done += ((o.path, partition, o.writer.close(), nanMapOf(o)))
       o = newFile(partition)
       open(partition) = o
+    }
+    var i = 0
+    while (i < nanTracked.length) {
+      val (ord, _, isF) = nanTracked(i)
+      if (!row.isNullAt(ord) &&
+          (if (isF) java.lang.Float.isNaN(row.getFloat(ord))
+           else java.lang.Double.isNaN(row.getDouble(ord))))
+        o.nanCounts(i) += 1
+      i += 1
     }
     o.writer.write(row)
     o.records += 1
@@ -435,18 +466,21 @@ class GraftDataWriter(
   override def commit(): WriterCommitMessage = {
     open.foreach { case (partition, o) =>
       val inline = o.writer.close()
-      if (o.records > 0) done += ((o.path, partition, inline))
+      if (o.records > 0) done += ((o.path, partition, inline, nanMapOf(o)))
       else try {
         val p = new org.apache.hadoop.fs.Path(o.path)
         p.getFileSystem(conf.value).delete(p, false)
       } catch { case _: Throwable => }
     }
     open.clear()
-    val files = done.toList.map { case (path, partition, inline) =>
-      val st = inline.getOrElse(format match {
+    val files = done.toList.map { case (path, partition, inline, nanMap) =>
+      // avro/orc RowFileSinks already count NaNs inline; the footer-harvest
+      // formats take the writer-side counts collected above
+      val st0 = inline.getOrElse(format match {
         case "orc" => graft.tables.OrcDataIO.statsOf(path, fieldInfos, conf.value, metrics)
         case _ => TableWrite.statsOf(path, fieldInfos, conf.value, metrics)
       })
+      val st = if (inline.isEmpty && nanMap.nonEmpty) st0.copy(nanCounts = nanMap) else st0
       IceDataFile(
         content = DataContent.Data,
         filePath = GraftTable.normPathStr(path),

@@ -112,6 +112,31 @@ object GraftMetadataTables {
         nullable = true)
     })
 
+  /** columns whose per-file stats surface in `readable_metrics`: the
+    * top-level primitive fields of the CURRENT schema — the granularity
+    * the stats harvest records (nested/variant/unknown carry no bounds) */
+  def metricsFields(meta: TableMetadata): List[IceField] =
+    meta.currentSchema.fields.filter(f => f.fieldType match {
+      case IcePrim("variant") | IcePrim("unknown") => false
+      case _: IcePrim | _: IceDecimal | _: IceFixed => true
+      case _ => false
+    })
+
+  /** Iceberg's `files.readable_metrics`: per-column stats decoded from
+    * their single-value binary into the column's own Spark type — the
+    * human-readable face of lower/upper_bounds + the count maps. */
+  def readableMetricsStruct(meta: TableMetadata): StructType = StructType(
+    metricsFields(meta).map { f =>
+      StructField(f.name, StructType(Seq(
+        StructField("column_size", LongType, nullable = true),
+        StructField("value_count", LongType, nullable = true),
+        StructField("null_value_count", LongType, nullable = true),
+        StructField("nan_value_count", LongType, nullable = true),
+        StructField("lower_bound", SchemaConvert.toSparkType(f.fieldType), nullable = true),
+        StructField("upper_bound", SchemaConvert.toSparkType(f.fieldType), nullable = true))),
+        nullable = true)
+    })
+
   def filesSchema(meta: TableMetadata): StructType = StructType(Seq(
     StructField("content", IntegerType, nullable = false),
     StructField("file_path", StringType, nullable = false),
@@ -128,7 +153,8 @@ object GraftMetadataTables {
     StructField("split_offsets", ArrayType(LongType, containsNull = false), nullable = true),
     StructField("equality_ids", ArrayType(IntegerType, containsNull = false), nullable = true),
     StructField("sort_order_id", IntegerType, nullable = true),
-    StructField("data_sequence_number", LongType, nullable = false)))
+    StructField("data_sequence_number", LongType, nullable = false),
+    StructField("readable_metrics", readableMetricsStruct(meta), nullable = false)))
 
   /** `entries`: manifest-entry level — every entry INCLUDING deleted ones
     * (liveness debugging / snapshot forensics), with its bookkeeping */
@@ -260,6 +286,7 @@ object GraftMetadataTables {
       spec: IcePartitionSpec,
       resultTypes: List[IceType],
       defaultFieldNames: List[String],
+      metricsFields: List[(String, Int, IceType)],
       relocate: String => String): Seq[Seq[Any]] =
     entries.filter(_.status != ManifestStatus.Deleted).map { e =>
       val f = e.dataFile
@@ -271,6 +298,17 @@ object GraftMetadataTables {
       // Product (the :: case class) and corrupts multi-field tuples
       val tuple = org.apache.spark.sql.Row.fromSeq(
         defaultFieldNames.map(n => byName.getOrElse(n, null)))
+      // bounds decode tolerates pre-widening byte widths (SingleValue),
+      // then converts to the external Spark value (dates/timestamps)
+      val readable = org.apache.spark.sql.Row.fromSeq(
+        metricsFields.map { case (_, fid, t) =>
+          def bound(m: Map[Int, Array[Byte]]): Any =
+            m.get(fid).map(b => partitionValue(SingleValue.decode(t, b), t)).orNull
+          org.apache.spark.sql.Row(
+            f.columnSizes.get(fid).orNull, f.valueCounts.get(fid).orNull,
+            f.nullValueCounts.get(fid).orNull, f.nanValueCounts.get(fid).orNull,
+            bound(f.lowerBounds), bound(f.upperBounds))
+        })
       Seq(f.content, relocate(f.filePath), f.fileFormat, specId, tuple,
         f.recordCount, f.fileSizeInBytes,
         f.valueCounts, f.nullValueCounts, f.nanValueCounts,
@@ -278,7 +316,8 @@ object GraftMetadataTables {
         if (f.splitOffsets.isEmpty) null else f.splitOffsets,
         if (f.equalityIds.isEmpty) null else f.equalityIds,
         e.dataFile.sortOrderId.orNull,
-        e.dataSequenceNumber.getOrElse(listSeq))
+        e.dataSequenceNumber.getOrElse(listSeq),
+        readable)
     }
 
   /** one `entries` row per manifest entry, deleted entries INCLUDED */
@@ -436,6 +475,7 @@ class GraftFilesScan(table: GraftTable, kind: String = "files")
           table.relocate(m.manifestPath), m.sequenceNumber, m.partitionSpecId,
           spec, resultTypesOf(meta, spec),
           meta.defaultSpec.fields.map(_.name),
+          metricsFields(meta).map(f => (f.name, f.id, f.fieldType)),
           table.location, meta.location,
           new TableWrite.SerializableHadoopConf(table.conf))
       }.toArray
@@ -461,7 +501,7 @@ class GraftFilesScan(table: GraftTable, kind: String = "files")
               fp.defaultFieldNames, reloc)
           else fileRows(
             entries, fp.listSeq, fp.specId, fp.spec, fp.resultTypes,
-            fp.defaultFieldNames, reloc))
+            fp.defaultFieldNames, fp.metricsFields, reloc))
         val it = rows.iterator
         new PartitionReader[InternalRow] {
           private var cur: InternalRow = _
@@ -481,6 +521,7 @@ case class GraftFilesPartition(
     spec: IcePartitionSpec,
     resultTypes: List[IceType],
     defaultFieldNames: List[String],
+    metricsFields: List[(String, Int, IceType)],
     tableLocation: String,
     metadataLocation: String,
     conf: TableWrite.SerializableHadoopConf) extends InputPartition

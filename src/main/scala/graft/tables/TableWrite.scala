@@ -154,7 +154,29 @@ object TableWrite {
         else (Some(s.getMin), Some(s.getMax))
       case (s: BinaryStatistics, "string" | "uuid") =>
         (Some(s.genericGetMin.toStringUsingUTF8), Some(s.genericGetMax.toStringUsingUTF8))
+      // decimals: Spark writes int32 (p<=9), int64 (p<=18) or fixed
+      // big-endian unscaled bytes — rescale to the declared scale so the
+      // bound rides manifests as an exact BigDecimal
+      case (s: IntStatistics, DecimalRepr(scale)) =>
+        (Some(java.math.BigDecimal.valueOf(s.getMin.toLong, scale)),
+          Some(java.math.BigDecimal.valueOf(s.getMax.toLong, scale)))
+      case (s: LongStatistics, DecimalRepr(scale)) =>
+        (Some(java.math.BigDecimal.valueOf(s.getMin, scale)),
+          Some(java.math.BigDecimal.valueOf(s.getMax, scale)))
+      case (s: BinaryStatistics, DecimalRepr(scale)) =>
+        def bd(b: Array[Byte]) =
+          new java.math.BigDecimal(new java.math.BigInteger(b), scale)
+        (Some(bd(s.genericGetMin.getBytes)), Some(bd(s.genericGetMax.getBytes)))
       case _ => (None, None)
+    }
+  }
+
+  /** extracts the scale from an `IceDecimal.repr` ("decimal(P, S)") */
+  private object DecimalRepr {
+    private val P = """decimal\(\s*\d+\s*,\s*(\d+)\s*\)""".r
+    def unapply(repr: String): Option[Int] = repr match {
+      case P(s) => Some(s.toInt)
+      case _ => None
     }
   }
 
@@ -166,6 +188,7 @@ object TableWrite {
     case (x: Float, y: Float) => java.lang.Float.compare(x, y)
     case (x: Double, y: Double) => java.lang.Double.compare(x, y)
     case (x: String, y: String) => x.compareTo(y)
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
     case _ => 0
   }
 

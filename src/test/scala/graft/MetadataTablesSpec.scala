@@ -155,4 +155,39 @@ class MetadataTablesSpec extends AnyFunSuite {
     assert(files.map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq ===
       Seq(("a", 10, 1L), ("a", 20, 1L), ("b", 10, 1L)))
   }
+
+  test("readable_metrics decodes per-file bounds into column types") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmeta.db")
+    spark.sql("DROP TABLE IF EXISTS gmeta.db.mt3")
+    spark.sql(
+      """CREATE TABLE gmeta.db.mt3 (
+        |  id BIGINT, price DECIMAL(10,2), d DATE, ts TIMESTAMP, s STRING)""".stripMargin)
+    spark.sql(
+      """INSERT INTO gmeta.db.mt3 VALUES
+        |  (5, 12.50, DATE'2024-03-01', TIMESTAMP'2024-03-01 10:00:00', 'beta'),
+        |  (1, 99.99, DATE'2023-01-15', TIMESTAMP'2023-01-15 01:30:00', 'alpha'),
+        |  (9, 7.25, DATE'2025-06-30', TIMESTAMP'2025-06-30 23:59:59', NULL)""".stripMargin)
+    val r = spark.sql(
+      """SELECT MIN(readable_metrics.id.lower_bound),
+        |  MAX(readable_metrics.id.upper_bound),
+        |  MIN(readable_metrics.price.lower_bound),
+        |  MAX(readable_metrics.price.upper_bound),
+        |  MIN(readable_metrics.d.lower_bound), MAX(readable_metrics.d.upper_bound),
+        |  MIN(readable_metrics.ts.lower_bound),
+        |  SUM(readable_metrics.s.null_value_count),
+        |  SUM(readable_metrics.s.value_count),
+        |  SUM(readable_metrics.id.column_size)
+        |FROM gmeta.db.mt3.files""".stripMargin).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getLong(0) === 1L && row.getLong(1) === 9L)
+    assert(row.getDecimal(2) === new java.math.BigDecimal("7.25"))
+    assert(row.getDecimal(3) === new java.math.BigDecimal("99.99"))
+    assert(row.getDate(4).toString === "2023-01-15")
+    assert(row.getDate(5).toString === "2025-06-30")
+    // compare as epoch millis — Timestamp.toString renders in JVM-default tz
+    assert(row.getTimestamp(6).getTime === 1673746200000L)
+    assert(row.getLong(7) === 1L && row.getLong(8) === 3L)
+    assert(row.getLong(9) > 0L) // column_size harvested from the footer
+  }
 }

@@ -810,6 +810,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(coalesced === expected)
   }
 
+  test("concat-and-split packing tiles the token stream exactly") {
+    val rnd = new scala.util.Random(41)
+    // zero-token docs (id % 13) must vanish; spans must tile the stream
+    val rows = (1L to 403L).map(i =>
+      (i, if (i % 13 == 0) 0L else rnd.nextInt(180).toLong + 1))
+    val total = rows.map(_._2).sum
+    val df = rows.toDF("doc_id", "n_tokens")
+    val L = 64L
+    for (buckets <- Seq(1, 7)) {
+      val got = Packing.packConcat(df, "doc_id", "n_tokens", L, numBuckets = buckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.forall { case (_, doc, b, e) => doc % 13 != 0 && b >= 0 && b < e && e <= L })
+      // spans cover every token exactly once
+      assert(got.map { case (_, _, b, e) => e - b }.sum === total)
+      // every sequence except the last is exactly full
+      val bySeq = got.groupBy(_._1).view.mapValues(_.map(x => x._4 - x._3).sum)
+      val lastSeq = bySeq.keys.max
+      assert(bySeq.forall { case (s, n) => if (s == lastSeq) n > 0 else n === L })
+      assert(bySeq.keys.toSeq.sorted === (0L to lastSeq).toSeq)
+      // a doc's spans are contiguous across consecutive sequences
+      got.groupBy(_._2).foreach { case (_, spans) =>
+        val s = spans.sortBy(_._1)
+        assert(s.map(_._1).toSeq === (s.head._1 to s.last._1).toSeq)
+        s.init.foreach(x => assert(x._4 === L))
+        s.tail.foreach(x => assert(x._3 === 0L))
+      }
+    }
+  }
+
   test("shard shuffle: deterministic, balanced-ish, salt changes the order") {
     val ids = spark.range(0, 1000).select(col("id").as("doc_id"))
     val a = Packing.shuffleShards(ids, "doc_id", numShards = 8, salt = "e0")
