@@ -1091,6 +1091,24 @@ object SparkEntry {
         .select(col("doc_id"), text.normalize(messy).as("norm_text"))
         .withColumn("norm_chars", length(col("norm_text")).cast(LongType))
     }),
+    "text_html_extract" -> ((s, dir) => {
+      // WET-style HTML→text extraction. The corpus is plain text, so
+      // each doc is wrapped in a deterministic HTML template first
+      // (script/style/comment junk + entities included); the oracle
+      // rebuilds the SAME template and replays the rule chain with
+      // DuckDB's RE2 regexps — two independent implementations of the
+      // cleaning spec must agree exactly.
+      val d = t(s, dir, "documents")
+      val html = d.select(col("doc_id"), concat(
+        lit("<html><head><title>d</title><style>p {color: red}</style>"),
+        lit("<script type=\"text/javascript\">var x = 1 && 2 < 3;</script>"),
+        lit("</head><body><!-- crawl: header --><h1 class=\"t\">"),
+        col("source"),
+        lit("</h1>\n<p>"), col("text"),
+        lit("</p><br/><div>footer &amp; legal&nbsp;&lt;fine&gt;</div></body></html>"))
+        .as("html"))
+      TextAnalysis.htmlExtract(html, "doc_id", "html")
+    }),
     "search_hybrid" -> ((s, dir) => {
       // hybrid retrieval: dense cosine top-20 + BM25 top-20 fused by
       // Reciprocal Rank Fusion — only ranks (ints) cross the engine
@@ -3821,6 +3839,28 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS norm_chars
         |FROM n""".stripMargin,
+    "text_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>d</title><style>p {color: red}</style>'
+        |    || '<script type="text/javascript">var x = 1 && 2 < 3;</script>'
+        |    || '</head><body><!-- crawl: header --><h1 class="t">' || source
+        |    || '</h1>' || chr(10) || '<p>' || text
+        |    || '</p><br/><div>footer &amp; legal&nbsp;&lt;fine&gt;</div></body></html>'
+        |      AS html
+        |  FROM documents)
+        |SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      html,
+        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '(?s)<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |      '&#39;', chr(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+        |      '\s+', ' ', 'g')) AS text
+        |FROM h""".stripMargin,
     "search_hybrid" ->
       """WITH dense AS (
         |  SELECT query_id, id, dr FROM (

@@ -27,6 +27,36 @@ object TextAnalysis {
       regexp_count(t, lit(PhoneRe)).cast(LongType).as("n_phones"))
   }
 
+  /** HTML → text extraction: the first step of a web-crawl pipeline
+    * (WET-style text out of raw markup). Rule chain, applied in order:
+    * script/style blocks and comments drop WITH their content, remaining
+    * tags drop (content kept), the six ubiquitous entities decode
+    * (`&amp;` LAST so `&amp;lt;` yields the literal `&lt;`), whitespace
+    * runs collapse, trim. Deliberately regex-only — every pattern stays
+    * in the Java-regex ∩ RE2 subset (no backreferences, inline `(?is)`
+    * flags only) so the pass is reproducible on any engine, and entirely
+    * codegen'd (map-only, no UDF, no shuffle). Not a DOM parser by
+    * design: at 100 TB, malformed markup must degrade to extra
+    * whitespace, never to a parser exception. */
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val steps: Seq[(String, String)] = Seq(
+      "(?is)<script[^>]*>.*?</script>" -> " ",
+      "(?is)<style[^>]*>.*?</style>" -> " ",
+      "(?s)<!--.*?-->" -> " ",
+      "(?s)<[^>]*>" -> " ",
+      "&lt;" -> "<",
+      "&gt;" -> ">",
+      "&quot;" -> "\"",
+      "&#39;" -> "'",
+      "&nbsp;" -> " ",
+      "&amp;" -> "&",
+      "\\s+" -> " ")
+    val cleaned = steps.foldLeft(col(htmlCol)) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+    df.select(col(idCol), trim(cleaned).as("text"))
+  }
+
   /** BM25 relevance of every document against a fixed query term set —
     * the corpus-weighting primitive of a training-data pipeline (score
     * documents by similarity to a seed/reference query, then sample or

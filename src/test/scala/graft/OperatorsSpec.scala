@@ -574,6 +574,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!r(8L).getBoolean(7) && !r(8L).getBoolean(8), "required stopwords")
   }
 
+  test("html extraction: tags drop, script/style content drops, entities decode") {
+    val docs = Seq(
+      (1L, "<html><body><h1>Title</h1><p>hello <b>world</b></p></body></html>"),
+      // script/STYLE content must vanish entirely, case-insensitive,
+      // even when it contains < and quotes
+      (2L, "a<SCRIPT>var x = '<p>' + 1 < 2;</SCRIPT>b<Style>h1 {x:\"<\"} </Style>c"),
+      (3L, "pre<!-- a <b> comment\nspanning lines -->post"),
+      // entity order: &amp;lt; must yield the literal string "&lt;"
+      (4L, "&amp; &lt;tag&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b &amp;lt;"),
+      // malformed markup degrades to whitespace, never throws
+      (5L, "unclosed <div attr=\"x\" and >then<  spaced"),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.htmlExtract(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) === "Title hello world")
+    assert(r(2L) === "a b c")
+    assert(r(3L) === "pre post")
+    assert(r(4L) === "& <tag> \"q\" 's' a b &lt;")
+    assert(r(5L) === "unclosed then< spaced")
+    assert(r(6L) === "")
+  }
+
   test("incremental dedup flags new docs against a signature index") {
     import graft.operators.Dedup
     val base = Seq(
