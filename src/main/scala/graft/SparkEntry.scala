@@ -1204,6 +1204,17 @@ object SparkEntry {
       // per-source corpus composition: docs/tokens/chars + token share
       Profiling.corpusStats(t(s, dir, "documents"), "source", "text")
     }),
+    "corpus_overlap" -> ((s, dir) => {
+      // cross-source duplicate-leakage matrix. The synthesizer's exact
+      // duplicates stay within one source, so a mirror source is
+      // PLANTED (the doc_id%17 slice re-labeled); the matrix must
+      // report exactly that leakage and nothing else.
+      val d = t(s, dir, "documents")
+      val planted = d.unionByName(
+        d.filter(pmod(col("doc_id"), lit(17)) === 0)
+          .withColumn("source", lit("mirror")))
+      Profiling.sourceOverlap(planted, "source", "text")
+    }),
     "select_budget" -> ((s, dir) => {
       // token-budget data selection: highest-score (here: longest) docs
       // win until 15k tokens fill — the greedy cut after importance
@@ -4351,6 +4362,16 @@ object SparkEntry {
         |  round(n_tokens::DOUBLE / (SELECT sum(n_tokens) FROM g), 6)
         |    AS token_share
         |FROM g""".stripMargin,
+    "corpus_overlap" ->
+      """WITH all_docs AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'mirror' AS source, text FROM documents WHERE doc_id % 17 = 0),
+        |fp AS (SELECT DISTINCT source, md5(text) AS fp FROM all_docs)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS shared_fps
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
     // greedy budget cut replayed as one global window (fine at oracle
     // scale; the engine side is the distributed prefix sum)
     "select_budget" ->

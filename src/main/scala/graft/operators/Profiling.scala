@@ -35,6 +35,25 @@ object Profiling {
       round(col("n_tokens").cast(DoubleType) / lit(total.toDouble), 6))
   }
 
+  /** Cross-source duplicate-leakage matrix: for every pair of sources,
+    * how many DISTINCT document fingerprints appear in both — the
+    * governance view run before mixing sources (high overlap means one
+    * source mirrors/re-crawls another and mixture weights double-count
+    * it). Shape: distinct (source, fp) hash aggregate first (corpus-
+    * linear, shuffles 16-byte fps not documents), then a self-join on
+    * fp — each fp joins at most #sources rows, so pair fan-out is
+    * bounded by the source count, never by corpus size. */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val fp = df
+      .select(col(srcCol).as("source"), md5(col(textCol)).as("fp"))
+      .distinct()
+    fp.as("a")
+      .join(fp.as("b"), col("a.fp") === col("b.fp") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+  }
+
   def profile(
       df: DataFrame,
       cols: Seq[String],

@@ -574,6 +574,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!r(8L).getBoolean(7) && !r(8L).getBoolean(8), "required stopwords")
   }
 
+  test("source overlap counts distinct shared fingerprints per source pair") {
+    import graft.operators.Profiling
+    val docs = Seq(
+      ("s1", "alpha"), ("s1", "beta"), ("s1", "beta"), // within-source dup: once
+      ("s2", "alpha"), ("s2", "beta"), ("s2", "gamma"),
+      ("s3", "gamma"), ("s3", "delta")
+    ).toDF("source", "text")
+    val got = Profiling.sourceOverlap(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("s1", "s2") -> 2L, ("s2", "s3") -> 1L))
+  }
+
   test("html extraction: tags drop, script/style content drops, entities decode") {
     val docs = Seq(
       (1L, "<html><body><h1>Title</h1><p>hello <b>world</b></p></body></html>"),
