@@ -216,7 +216,11 @@ object Bench {
     // hybrid RRF retrieval
     "ice_metrics_mode", "ice_manifest_merge", "text_normalize",
     "search_hybrid", "q_events_range", "sample_temperature", "q_skew_join",
-    "ice_timestamp_ns", "pipeline_incremental", "ann_hard_negatives")
+    "ice_timestamp_ns", "pipeline_incremental", "ann_hard_negatives",
+    // third wave: readable_metrics view, concat-split packing, HTML
+    // extraction, cross-source leakage matrix
+    "meta_readable_metrics", "pack_concat", "text_html_extract",
+    "corpus_overlap")
 
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —
@@ -354,7 +358,13 @@ object Bench {
         // (must stay linear), the ns-timestamp table day-partitions and
         // prunes at 10x the day count, and the incremental curation loop
         // must stay O(batch) — its whole point
-        "q_skew_join", "ice_timestamp_ns", "pipeline_incremental"))
+        "q_skew_join", "ice_timestamp_ns", "pipeline_incremental",
+        // third wave: concat-split packing rides the same prefix sum as
+        // select_budget (must stay bucketed), HTML extraction and the
+        // leakage matrix are map-only + one fp self-join, and the
+        // readable_metrics view reads one task per manifest
+        "pack_concat", "text_html_extract", "corpus_overlap",
+        "meta_readable_metrics"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }
