@@ -2254,6 +2254,29 @@ object SparkEntry {
         Seq("", ".warehouse", ".uri").foreach(x => s.conf.unset(s"spark.sql.catalog.$cat$x"))
       }
     }),
+    "sql_changelog_view" -> ((s, dir) => {
+      // CALL create_changelog_view registers the batch changelog as a
+      // temp view in the USER's session (re-bound out of the pinned
+      // planning clone); CDC consumers then read it with plain SQL
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.cvq")
+      s.sql("CREATE TABLE graft.db.cvq (o_orderkey BIGINT, o_totalprice DOUBLE)")
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("cvq_src_gq")
+      s.sql("INSERT INTO graft.db.cvq SELECT * FROM cvq_src_gq WHERE o_orderkey % 2 = 0")
+      val snap1 = StorageCatalog.loadTable(
+        s.sparkContext.hadoopConfiguration, s"$wh/db/cvq")
+        .metadata.currentSnapshotId.get
+      s.sql("INSERT INTO graft.db.cvq SELECT * FROM cvq_src_gq WHERE o_orderkey % 2 = 1")
+      s.sql("DELETE FROM graft.db.cvq WHERE o_orderkey % 10 = 0")
+      s.sql(
+        s"""CALL graft.system.create_changelog_view(table => 'db.cvq',
+           |  changelog_view => 'cvq_changes', start_snapshot_id => ${snap1}L)""".stripMargin)
+      s.sql("SELECT _change_type, count(*) AS n FROM cvq_changes GROUP BY 1")
+    }),
     "ice_incremental_sql" -> ((s, dir) => {
       // incremental append scan through DSv2 read options: rows committed
       // after start-snapshot-id only (the CDC-style batch increment)
@@ -4693,6 +4716,12 @@ object SparkEntry {
         |SELECT *, 'delete' FROM orders WHERE o_orderkey % 10 = 0
         |UNION ALL
         |SELECT *, 'delete' FROM orders WHERE o_orderkey % 7 = 3""".stripMargin,
+    "sql_changelog_view" ->
+      """SELECT 'insert' AS _change_type, CAST(count(*) AS BIGINT) AS n
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |UNION ALL
+        |SELECT 'delete' AS _change_type, CAST(count(*) AS BIGINT) AS n
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
     "ice_changelog_net" ->
       """SELECT *, 'insert' AS _change_type FROM orders WHERE o_orderkey % 2 = 1
         |UNION ALL

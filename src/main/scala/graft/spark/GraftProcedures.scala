@@ -88,6 +88,70 @@ private[spark] object GraftProcedures {
           Seq(Seq(prev.orNull, t.metadata.currentSnapshotId.get))
         }),
       new GraftProcedure(
+        // Iceberg's set_current_snapshot: point main at ANY retained
+        // snapshot (rollback_to_snapshot's forward/sideways sibling —
+        // e.g. jump onto a cherry-picked or WAP-published lineage)
+        "set_current_snapshot",
+        Seq(in("table", StringType), in("snapshot_id", LongType)),
+        out("previous_snapshot_id" -> LongType, "current_snapshot_id" -> LongType),
+        (input, _) => {
+          val t = table(input)
+          val prev = t.metadata.currentSnapshotId
+          t.rollbackTo(input.getLong(1))
+          Seq(Seq(prev.orNull, t.metadata.currentSnapshotId.get))
+        }),
+      new GraftProcedure(
+        // Iceberg's create_changelog_view: register the batch changelog
+        // as a temp view (default name <table>_changes). Default range =
+        // everything after the OLDEST retained snapshot; identifier
+        // columns upgrade delete+insert pairs to update pre/postimages
+        // (implies net-change collapsing, as in Iceberg's
+        // compute_updates).
+        "create_changelog_view",
+        Seq(in("table", StringType),
+          ProcedureParameter.in("changelog_view", StringType)
+            .defaultValue("''").build(),
+          ProcedureParameter.in("start_snapshot_id", LongType)
+            .defaultValue("0").build(),
+          ProcedureParameter.in("end_snapshot_id", LongType)
+            .defaultValue("0").build(),
+          ProcedureParameter.in("net_changes", BooleanType)
+            .defaultValue("false").build(),
+          ProcedureParameter.in("identifier_columns", StringType)
+            .defaultValue("''").build()),
+        out("changelog_view" -> StringType),
+        (input, spark) => {
+          val t = table(input)
+          val oldest = t.metadata.snapshots.sortBy(_.sequenceNumber)
+            .headOption.map(_.snapshotId)
+            .getOrElse(sys.error(s"${input.getString(0)} has no snapshots"))
+          val start =
+            if (input.isNullAt(2) || input.getLong(2) == 0L) oldest
+            else input.getLong(2)
+          val end =
+            if (input.isNullAt(3) || input.getLong(3) == 0L) None
+            else Some(input.getLong(3))
+          val keys =
+            if (input.isNullAt(5)) Nil
+            else input.getString(5).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val net = (!input.isNullAt(4) && input.getBoolean(4)) || keys.nonEmpty
+          val viewName = {
+            val given = if (input.isNullAt(1)) "" else input.getString(1)
+            if (given.nonEmpty) given
+            else identOf(input.getString(0), catalogName).name() + "_changes"
+          }
+          // register on the USER's session: `spark` here can be the
+          // cloned execution session whose temp-view registry is
+          // discarded when the CALL finishes
+          val owner = SparkSession.getDefaultSession.getOrElse(spark)
+          // changes() plans under a pinned session CLONE — re-bind onto
+          // the user's session or the temp view dies with the clone
+          val df = t.changes(owner, start, end, net = net, netKeys = keys)
+          org.apache.spark.sql.GraftBridge.onSession(owner, df)
+            .createOrReplaceTempView(viewName)
+          Seq(Seq(viewName))
+        }),
+      new GraftProcedure(
         "rollback_to_timestamp",
         // latest snapshot committed AT OR BEFORE the timestamp becomes
         // current (Iceberg's rollback_to_timestamp semantics)

@@ -24,6 +24,16 @@ object GraftBridge {
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** Re-bind a DataFrame's logical plan onto `owner` — a DataFrame built
+    * inside a pinned session clone registers temp views in the CLONE's
+    * registry, which is discarded with it; re-binding makes
+    * session-scoped registrations land in the user's session. Resolved
+    * file relations inside the plan keep their original session (and so
+    * their pinned read confs). */
+  def onSession(owner: SparkSession, df: DataFrame): DataFrame =
+    classic.Dataset.ofRows(
+      owner.asInstanceOf[classic.SparkSession], df.queryExecution.logical)
+
   /** The inverse, for V1 streaming Sink.addBatch inputs: the micro-batch
     * is bounded, but its DataFrame is streaming-tagged and refuses batch
     * writers — re-wrap the executed plan as a batch DataFrame. */

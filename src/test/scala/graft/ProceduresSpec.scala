@@ -227,6 +227,56 @@ class ProceduresSpec extends AnyFunSuite {
     }
   }
 
+  test("set_current_snapshot jumps HEAD anywhere; create_changelog_view registers the diff") {
+    freshSqlTable("procs_cv")
+    spark.sql("INSERT INTO gproc.db.procs_cv SELECT * FROM procs_cv_src WHERE o_orderkey % 2 = 0")
+    val snap1 = spark.sql("SELECT snapshot_id FROM gproc.db.procs_cv.snapshots " +
+      "ORDER BY committed_at").collect().head.getLong(0)
+    spark.sql("INSERT INTO gproc.db.procs_cv SELECT * FROM procs_cv_src WHERE o_orderkey % 2 = 1")
+    spark.sql("DELETE FROM gproc.db.procs_cv WHERE o_orderkey % 10 = 0")
+
+    // default view name <table>_changes; default range = after the oldest snapshot
+    val v = spark.sql("CALL gproc.system.create_changelog_view(table => 'db.procs_cv')")
+      .collect().head.getString(0)
+    assert(v === "procs_cv_changes")
+    val byType = spark.sql(s"SELECT _change_type, count(*) FROM $v GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val odd = spark.sql("SELECT count(*) FROM procs_cv_src WHERE o_orderkey % 2 = 1")
+      .collect().head.getLong(0)
+    val del = spark.sql("SELECT count(*) FROM procs_cv_src WHERE o_orderkey % 10 = 0")
+      .collect().head.getLong(0)
+    assert(byType("insert") === odd)
+    // deletes in range: %10==0 rows live in BOTH snapshots' files, but only
+    // the baseline file set existed before the range — emitted deletes are
+    // the even-keyed ones plus the odd inserts already counted? No: deletes
+    // resolve per their own snapshot, so all %10 rows emit as deletes
+    assert(byType("delete") === del)
+
+    // explicit start: only the delete commit
+    spark.sql(
+      """CALL gproc.system.create_changelog_view(table => 'db.procs_cv',
+        |  changelog_view => 'cv2',
+        |  start_snapshot_id => __SNAP2__L)""".stripMargin.replace(
+        "__SNAP2__", spark.sql(
+          "SELECT snapshot_id FROM gproc.db.procs_cv.snapshots ORDER BY committed_at")
+          .collect()(1).getLong(0).toString))
+    assert(spark.sql("SELECT DISTINCT _change_type FROM cv2").collect()
+      .map(_.getString(0)).toSeq === Seq("delete"))
+
+    // set_current_snapshot: jump back, then forward again (non-ancestor ok)
+    val head = spark.sql("SELECT count(*) FROM gproc.db.procs_cv").collect().head.getLong(0)
+    val r = spark.sql(
+      s"CALL gproc.system.set_current_snapshot(table => 'db.procs_cv', snapshot_id => ${snap1}L)")
+      .collect().head
+    assert(r.getLong(1) === snap1)
+    val atSnap1 = spark.sql("SELECT count(*) FROM gproc.db.procs_cv").collect().head.getLong(0)
+    assert(atSnap1 < head && atSnap1 > 0)
+    spark.sql(
+      s"CALL gproc.system.set_current_snapshot(table => 'db.procs_cv', snapshot_id => ${r.getLong(0)}L)")
+    assert(spark.sql("SELECT count(*) FROM gproc.db.procs_cv")
+      .collect().head.getLong(0) === head)
+  }
+
   test("ancestors_of walks the lineage newest-first, from head or a given snapshot") {
     freshSqlTable("procs_anc")
     spark.sql("INSERT INTO gproc.db.procs_anc SELECT * FROM procs_anc_src WHERE o_orderkey % 2 = 0")
