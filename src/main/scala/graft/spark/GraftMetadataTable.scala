@@ -386,6 +386,14 @@ class GraftMetadataLocalScan(table: GraftTable, kind: String, schema: StructType
     extends LocalScan {
   import GraftMetadataTables._
 
+  /** manifest count above which the `partitions` rollup runs as a
+    * distributed aggregate over the files scan instead of a driver fold
+    * (same threshold shape as GraftTable.planFilesPruned; conf override
+    * for tests and tuning) */
+  private def DistributedRollupMin: Int =
+    org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.graft.partitions-rollup-distributed-min", "64").toInt
+
   override def readSchema(): StructType = schema
 
   override def rows(): Array[InternalRow] = {
@@ -401,26 +409,46 @@ class GraftMetadataLocalScan(table: GraftTable, kind: String, schema: StructType
         meta.snapshots.sortBy(_.sequenceNumber).flatMap(s =>
           manifestRows(table, s).map(_ :+ s.snapshotId))
       case "partitions" =>
-        // rollup over planFiles — same driver-side cost as planning any
-        // scan; the distributed alternative is an aggregate over `files`
         val snap = meta.currentSnapshot
-        val files = snap.map(table.planFiles(_, None)).getOrElse(Nil)
-        val defaults = meta.defaultSpec.fields.map(_.name)
-        files
-          .filter(_.file.content == DataContent.Data)
-          .groupBy { pf =>
-            val spec = meta.specById(pf.specId)
-            val rts = resultTypesOf(meta, spec)
-            val byName = spec.fields.zip(rts).zip(pf.file.partition).map {
-              case ((f, rt), v) => f.name -> partitionValue(v.orNull, rt)
-            }.toMap
-            defaults.map(n => byName.getOrElse(n, null))
-          }
-          .toSeq.map { case (tuple, fs) =>
-            Seq(org.apache.spark.sql.Row.fromSeq(tuple),
-              fs.map(_.file.recordCount).sum, fs.size.toLong,
-              fs.map(_.file.fileSizeInBytes).sum)
-          }
+        val manifestCount = snap.map(s =>
+          ManifestIO.readManifestList(
+            table.conf, table.relocate(s.manifestList)).size).getOrElse(0)
+        if (manifestCount > DistributedRollupMin) {
+          // big table: aggregate over the DISTRIBUTED data_files scan —
+          // the driver sees only the final per-partition rows, never the
+          // O(files) descriptor list (at 100 TB that list is millions of
+          // entries; this rollup is one manifest-parallel job + a hash
+          // aggregate)
+          import org.apache.spark.sql.functions.{col, count, lit, sum}
+          org.apache.spark.sql.GraftBridge.v2ScanDataFrame(
+            org.apache.spark.sql.SparkSession.active,
+            new GraftMetadataTable(table, "data_files"), Map.empty)
+            .groupBy(col("partition"))
+            .agg(sum(col("record_count")).as("rc"), count(lit(1)).as("fc"),
+              sum(col("file_size_in_bytes")).as("sz"))
+            .collect().toSeq
+            .map(r => Seq(r.getStruct(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        } else {
+          // small table: driver rollup over planFiles (a Spark job's fixed
+          // scheduling cost dwarfs reading a handful of manifests)
+          val files = snap.map(table.planFiles(_, None)).getOrElse(Nil)
+          val defaults = meta.defaultSpec.fields.map(_.name)
+          files
+            .filter(_.file.content == DataContent.Data)
+            .groupBy { pf =>
+              val spec = meta.specById(pf.specId)
+              val rts = resultTypesOf(meta, spec)
+              val byName = spec.fields.zip(rts).zip(pf.file.partition).map {
+                case ((f, rt), v) => f.name -> partitionValue(v.orNull, rt)
+              }.toMap
+              defaults.map(n => byName.getOrElse(n, null))
+            }
+            .toSeq.map { case (tuple, fs) =>
+              Seq(org.apache.spark.sql.Row.fromSeq(tuple),
+                fs.map(_.file.recordCount).sum, fs.size.toLong,
+                fs.map(_.file.fileSizeInBytes).sum)
+            }
+        }
       case other => sys.error(s"unknown metadata table: $other")
     }
     toInternal(schema, external)

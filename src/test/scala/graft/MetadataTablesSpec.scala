@@ -156,6 +156,28 @@ class MetadataTablesSpec extends AnyFunSuite {
       Seq(("a", 10, 1L), ("a", 20, 1L), ("b", 10, 1L)))
   }
 
+  test("partitions view: distributed rollup equals the driver fold") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmeta.db")
+    spark.sql("DROP TABLE IF EXISTS gmeta.db.mt4")
+    spark.sql(
+      "CREATE TABLE gmeta.db.mt4 (id BIGINT, cat STRING) PARTITIONED BY (cat)")
+    // several commits -> several manifests; a delete so liveness matters
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO gmeta.db.mt4 VALUES ($i,'a'),(${i + 10},'b')")
+    }
+    spark.sql("DELETE FROM gmeta.db.mt4 WHERE id = 1")
+    def rows() = spark.sql(
+      "SELECT partition.cat, record_count, file_count FROM gmeta.db.mt4.partitions " +
+        "ORDER BY 1").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val driver = rows()
+    spark.conf.set("spark.graft.partitions-rollup-distributed-min", "0")
+    try {
+      val dist = rows()
+      assert(dist === driver)
+      assert(driver.map(x => (x._1, x._2)) === Seq(("a", 3L), ("b", 4L)))
+    } finally spark.conf.unset("spark.graft.partitions-rollup-distributed-min")
+  }
+
   test("readable_metrics decodes per-file bounds into column types") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gmeta.db")
     spark.sql("DROP TABLE IF EXISTS gmeta.db.mt3")
