@@ -685,6 +685,25 @@ object SparkEntry {
       Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 2, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4)
     }),
+    "dedup_sweep" -> ((s, dir) => {
+      // threshold governance: decile histogram of exact jaccard over the
+      // verified candidate pairs + cumulative pairs at-or-above each cut
+      // — the table read before committing to a dedup threshold (how
+      // much would t=0.8 vs t=0.9 remove?). Candidate recall is exact
+      // down to 0.4 on this corpus (dedup_lsh_pairs proves it), so the
+      // histogram is exact over its domain.
+      val pairs = Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 2, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4)
+      val hist = pairs
+        .withColumn("bucket",
+          least(floor(col("jaccard") * 10), lit(9L)).cast(LongType))
+        .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      hist.withColumn("pairs_at_or_above",
+        sum("n_pairs").over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("bucket").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+    }),
     "dedup_simhash_pairs" -> ((s, dir) => {
       // pigeonhole Hamming candidates -> exact-Jaccard verify. Every
       // near-dup in this corpus sits at Hamming <= 15 (measured at BOTH
@@ -4570,6 +4589,25 @@ object SparkEntry {
     "dedup_minhash_sigs" ->
       """SELECT doc_id, CAST(64 AS BIGINT) AS n_hashes, true AS union_min_ok
         |FROM documents""".stripMargin,
+    "dedup_sweep" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        |h AS (
+        |  SELECT LEAST(CAST(floor(jaccard * 10) AS BIGINT), 9) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM p WHERE jaccard >= 0.4 GROUP BY 1)
+        |SELECT bucket, n_pairs,
+        |  CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC) AS BIGINT)
+        |    AS pairs_at_or_above
+        |FROM h""".stripMargin,
     "dedup_simhash_pairs" ->
       """WITH s AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)),
