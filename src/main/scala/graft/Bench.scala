@@ -220,7 +220,8 @@ object Bench {
     // third wave: readable_metrics view, concat-split packing, HTML
     // extraction, cross-source leakage matrix
     "meta_readable_metrics", "pack_concat", "text_html_extract",
-    "corpus_overlap")
+    "corpus_overlap", "dedup_sweep", "cluster_affinity",
+    "corpus_source_quality")
 
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —

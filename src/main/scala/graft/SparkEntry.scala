@@ -986,6 +986,14 @@ object SparkEntry {
       Clustering.kmeansAssign(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 4, iters = 1)
     }),
+    "cluster_affinity" -> ((s, dir) => {
+      // label-noise screen: distance to the own-label centroid vs the
+      // nearest other-label centroid; a negative margin flags a row whose
+      // embedding sits in another class's territory (integer-quantized —
+      // margins are bit-identical across engines)
+      Clustering.labelAffinity(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label")
+    }),
     "embed_quantize" -> ((s, dir) => {
       // int8 embedding quantization (4x smaller storage): per-vector
       // scale + floor round-half-up, exact in both engines
@@ -1233,6 +1241,13 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(17)) === 0)
           .withColumn("source", lit("mirror")))
       Profiling.sourceOverlap(planted, "source", "text")
+    }),
+    "corpus_source_quality" -> ((s, dir) => {
+      // domain-pruning decision table: per-source integer quality
+      // evidence + Gopher pass rate + keep/drop verdict in ONE
+      // map-side-combined aggregate (rows = source vocabulary)
+      TextAnalysis.sourceQuality(t(s, dir, "documents"), "source",
+        "doc_id", "text")
     }),
     "select_budget" -> ((s, dir) => {
       // token-budget data selection: highest-score (here: longest) docs
@@ -4414,6 +4429,66 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS shared_fps
         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,
+    // the Gopher per-doc pass replayed (same CTEs as text_gopher) then
+    // aggregated per source; ratios divide exactly-summed integers
+    "corpus_source_quality" ->
+      """WITH base AS (
+        |  SELECT source, text AS t,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> length(x) > 0) AS words,
+        |    list_filter(list_transform(string_split(text, chr(10)),
+        |      l -> trim(l)), l -> length(l) > 0) AS lines
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, t,
+        |    len(words) AS nw,
+        |    CASE WHEN len(words) > 0 THEN
+        |      CAST(list_aggregate(list_transform(words, x -> length(x)), 'sum') AS DOUBLE)
+        |        / len(words) ELSE 0.0 END AS mean_len,
+        |    CASE WHEN len(words) > 0 THEN
+        |      CAST((length(t) - length(regexp_replace(t, '#', '', 'g')))
+        |        + (length(t) - length(regexp_replace(t, '\.\.\.', '', 'g'))) / 3
+        |        AS DOUBLE) / len(words) ELSE 0.0 END AS sym_ratio,
+        |    CASE WHEN len(lines) > 0 THEN
+        |      CAST(len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%')) AS DOUBLE)
+        |        / len(lines) ELSE 0.0 END AS bullet_frac,
+        |    CASE WHEN len(lines) > 0 THEN
+        |      CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE)
+        |        / len(lines) ELSE 0.0 END AS ellipsis_frac,
+        |    CASE WHEN len(words) > 0 THEN
+        |      CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |        / len(words) ELSE 0.0 END AS alpha_frac,
+        |    len(list_intersect(list_distinct(list_transform(words, x -> lower(x))),
+        |      ['the','be','to','of','and','that','have','with'])) AS req_stops
+        |  FROM base),
+        |p AS (
+        |  SELECT source, t,
+        |    (nw >= 50 AND nw <= 100000) AND (mean_len >= 3.0 AND mean_len <= 10.0)
+        |      AND sym_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+        |      AND alpha_frac >= 0.8 AND req_stops >= 2 AS pass
+        |  FROM m),
+        |a AS (
+        |  SELECT source,
+        |    CAST(count(*) AS BIGINT) AS docs,
+        |    CAST(sum(length(t)) AS BIGINT) AS chars,
+        |    CAST(sum(len(regexp_split_to_array(trim(t), '\s+'))) AS BIGINT) AS tokens,
+        |    CAST(sum(length(t) - length(regexp_replace(t, '[.,!?;:]', '', 'g'))) AS BIGINT)
+        |      AS punct_chars,
+        |    CAST(sum(length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))) AS BIGINT)
+        |      AS digit_chars,
+        |    CAST(sum(len(list_filter(regexp_split_to_array(trim(t), '\s+'),
+        |      x -> x IN ('the','a','an','and','of','to','in','is','it','that')))) AS BIGINT)
+        |      AS stopword_hits,
+        |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS gopher_pass
+        |  FROM p GROUP BY source)
+        |SELECT source, docs, chars, tokens, punct_chars, digit_chars,
+        |  stopword_hits, gopher_pass,
+        |  punct_chars::DOUBLE / chars AS punct_ratio,
+        |  digit_chars::DOUBLE / chars AS digit_ratio,
+        |  stopword_hits::DOUBLE / tokens AS stops_per_token,
+        |  gopher_pass::DOUBLE / docs AS pass_rate,
+        |  gopher_pass::DOUBLE / docs >= 0.5 AS keep
+        |FROM a""".stripMargin,
     // greedy budget cut replayed as one global window (fine at oracle
     // scale; the engine side is the distributed prefix sum)
     "select_budget" ->
@@ -4457,6 +4532,32 @@ object SparkEntry {
         |  SELECT vec_id, cid,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
         |  FROM d1) WHERE rn = 1""".stripMargin,
+    // centroid affinity replayed in SQL: per-label integer-mean centroids,
+    // own vs nearest-other squared distance (tie to lowest label id)
+    "cluster_affinity" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, list_transform(
+        |    embedding, x -> CAST(floor(x::DOUBLE * 1024) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |cs AS (SELECT label AS clbl, i,
+        |    CAST(floor(sum(e[i])::DOUBLE / count(*)) AS BIGINT) AS v
+        |  FROM q CROSS JOIN range(1, 65) t(i) GROUP BY label, i),
+        |cl AS (SELECT clbl, list(v ORDER BY i) AS c FROM cs GROUP BY clbl),
+        |d AS (SELECT q.vec_id, q.label, cl.clbl,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (q.e[i] - cl.c[i]) * (q.e[i] - cl.c[i]))) AS BIGINT)
+        |      AS dist
+        |  FROM q CROSS JOIN cl),
+        |own AS (SELECT vec_id, label, dist AS d_own FROM d
+        |  WHERE label = clbl),
+        |oth AS (SELECT vec_id, clbl AS near_label, dist AS d_other FROM (
+        |    SELECT vec_id, clbl, dist, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist, clbl) AS rn
+        |    FROM d WHERE label <> clbl) WHERE rn = 1)
+        |SELECT own.vec_id, own.label, own.d_own, oth.near_label,
+        |  oth.d_other, oth.d_other - own.d_own AS margin,
+        |  oth.d_other - own.d_own < 0 AS mislabeled
+        |FROM own JOIN oth ON own.vec_id = oth.vec_id""".stripMargin,
     // same floor(x/s + 0.5) arithmetic; arrays reduce to sum/min/max so
     // the compare stays scalar
     "embed_quantize" ->

@@ -78,4 +78,69 @@ object Clustering {
     }
     q.select(col(idCol), assignExpr(cents).as("cluster"))
   }
+
+  /** Label-noise detection by centroid affinity: for every labeled vector,
+    * the squared distance to its OWN label's centroid vs the nearest OTHER
+    * label's centroid. A negative margin (`d_other < d_own`) flags a row
+    * whose embedding sits closer to a different class — the cheap,
+    * training-free label-noise screen run before a labeled set is trusted
+    * (confident-learning's first approximation).
+    *
+    * Exactness: same integer-quantization scheme as [[kmeansAssign]] —
+    * centroids are floor-of-integer-mean vectors, distances are integer
+    * sums, the nearest-other tie breaks to the lowest label id. Every
+    * engine computes bit-identical margins.
+    *
+    * Scale: one (label, dim) partial-sum aggregate (labels×dims rows — the
+    * only collect, bounded by the label vocabulary), then a map-only
+    * scoring pass with the centroids folded in as literals. Nothing joins,
+    * nothing shuffles vectors.
+    *
+    * Output: (idCol, label, d_own, near_label, d_other, margin,
+    * mislabeled). */
+  def labelAffinity(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      scale: Int = 1024): DataFrame = {
+    require((scale & (scale - 1)) == 0, s"scale must be a power of two: $scale")
+    val q = df.select(
+      col(idCol),
+      col(labelCol).cast(LongType).as("lbl"),
+      transform(col(vecCol), x =>
+        floor(x.cast("double") * lit(scale)).cast(LongType)).as("e"))
+    val stats = q
+      .select(col("lbl"), posexplode(col("e")).as(Seq("dim", "v")))
+      .groupBy(col("lbl"), col("dim"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val cents: Seq[(Long, Array[Long])] =
+      stats.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (lbl, rows) =>
+        val dims = rows.map(r =>
+          r.getInt(1) -> math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong)
+          .sortBy(_._1).map(_._2)
+        (lbl, dims)
+      }
+    // (dist, label) candidate structs; array_min orders lexicographically,
+    // so ties on dist resolve to the lowest label id
+    val cands = array(cents.map { case (lbl, c) =>
+      val carr = array(c.map(lit): _*)
+      struct(
+        aggregate(
+          zip_with(col("e"), carr, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist"),
+        lit(lbl).as("clbl"))
+    }: _*)
+    val own = filter(cands, s => s.getField("clbl") === col("lbl"))
+    val other = array_min(filter(cands, s => s.getField("clbl") =!= col("lbl")))
+    q.select(
+        col(idCol),
+        col("lbl").as("label"),
+        element_at(own, 1).getField("dist").as("d_own"),
+        other.getField("clbl").as("near_label"),
+        other.getField("dist").as("d_other"))
+      .withColumn("margin", col("d_other") - col("d_own"))
+      .withColumn("mislabeled", col("margin") < 0)
+  }
 }

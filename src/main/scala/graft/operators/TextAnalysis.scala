@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -235,7 +235,11 @@ object TextAnalysis {
     * Map-only over built-in expressions (split/filter/size — all
     * codegen'd); zero-word docs fail with ratios defined as 0 so both
     * engines agree on degenerate inputs. */
-  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def gopherRules(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      keepCols: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val words = filter(split(trim(t), "\\s+"), w => length(w) > 0)
     val nW = size(words)
@@ -267,12 +271,57 @@ object TextAnalysis {
     val rAlpha = alphaFrac >= 0.8
     val rStops = reqStops >= 2
     df.select(
-      col(idCol),
+      (col(idCol) +: keepCols.map(col)) ++ Seq[Column](
       rWords.as("r_word_count"), rMean.as("r_mean_word_len"),
       rSym.as("r_symbol_ratio"), rBullet.as("r_bullet_lines"),
       rEll.as("r_ellipsis_lines"), rAlpha.as("r_alpha_words"),
       rStops.as("r_stopwords"),
-      (rWords && rMean && rSym && rBullet && rEll && rAlpha && rStops).as("pass"))
+      (rWords && rMean && rSym && rBullet && rEll && rAlpha && rStops)
+        .as("pass")): _*)
+  }
+
+  /** Source-level quality governance: one hash aggregate over the corpus
+    * produces, per source, the integer evidence (docs, chars, tokens,
+    * punctuation/digit chars, stopword hits, Gopher-pass count) plus
+    * derived ratios and a keep/drop verdict (`pass_rate >= minPassRate`).
+    * This is the domain-pruning decision table of a web pipeline (the
+    * C4/RefinedWeb move of dropping whole low-quality hosts) — at 100 TB
+    * it costs a single map-side-combined aggregate with output rows
+    * bounded by the source vocabulary; every ratio is one bigint/bigint
+    * division of exactly-aggregated integers, so engines agree
+    * bit-for-bit. */
+  def sourceQuality(
+      df: DataFrame,
+      srcCol: String,
+      idCol: String,
+      textCol: String,
+      minPassRate: Double = 0.5): DataFrame = {
+    val withPass = gopherRules(df, idCol, textCol, keepCols = Seq(srcCol, textCol))
+    val t = col(textCol)
+    val tokens = split(trim(t), "\\s+")
+    val nStop = size(filter(tokens, tok =>
+      tok.isin("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")))
+    withPass
+      .groupBy(col(srcCol).as("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(length(t).cast("long")).as("chars"),
+        sum(text.tokenCount(t).cast("long")).as("tokens"),
+        sum((length(t) - length(regexp_replace(t, "[.,!?;:]", "")))
+          .cast("long")).as("punct_chars"),
+        sum((length(t) - length(regexp_replace(t, "[0-9]", "")))
+          .cast("long")).as("digit_chars"),
+        sum(nStop.cast("long")).as("stopword_hits"),
+        sum(col("pass").cast("long")).as("gopher_pass"))
+      .withColumn("punct_ratio",
+        col("punct_chars").cast(DoubleType) / col("chars"))
+      .withColumn("digit_ratio",
+        col("digit_chars").cast(DoubleType) / col("chars"))
+      .withColumn("stops_per_token",
+        col("stopword_hits").cast(DoubleType) / col("tokens"))
+      .withColumn("pass_rate",
+        col("gopher_pass").cast(DoubleType) / col("docs"))
+      .withColumn("keep", col("pass_rate") >= minPassRate)
   }
 
   /** Line-level corpus dedup (the CCNet boilerplate pass, Wenzek et al.

@@ -76,6 +76,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(t2(2L) === 0L)
   }
 
+  test("label affinity flags the planted mislabel, exact margins") {
+    // label 0 clusters near x=0, label 1 near x=10; vec 4 carries label 0
+    // but sits in label 1's territory — the planted label-noise row
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f), 0), (1L, Array(0.2f, 0.0f), 0),
+      (2L, Array(10.0f, 0.0f), 1), (3L, Array(9.8f, 0.0f), 1),
+      (4L, Array(9.9f, 0.1f), 0),
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Clustering
+      .labelAffinity(vecs, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(5), r.getBoolean(6)))).toMap
+    // only the planted row is mislabeled, and its nearest other is label 1
+    assert(out(4L)._4 && out(4L)._2 === 1L && out(4L)._3 < 0)
+    assert(Seq(0L, 1L, 2L, 3L).forall(i => !out(i)._4))
+    // exact margin for vec 0: own centroid is the label-0 mean (includes
+    // the outlier), other is label-1's mean — recompute by hand at x1024
+    val c0 = Seq(0, 204, 10137).map(_.toLong) // floor(1024*{0,.2,9.9})
+    val c1 = Seq(10240, 10035).map(_.toLong)
+    val m0 = math.floor(c0.sum.toDouble / 3).toLong
+    val m1 = math.floor(c1.sum.toDouble / 2).toLong
+    val y0 = math.floor(Seq(0L, 0L, 102L).sum.toDouble / 3).toLong
+    val dOwn = m0 * m0 + y0 * y0
+    assert(m1 > m0) // sanity on the hand-built centroids
+    val row0 = graft.operators.Clustering
+      .labelAffinity(vecs, "vec_id", "embedding", "label")
+      .filter(col("vec_id") === 0L).collect().head
+    assert(row0.getLong(2) === dOwn)
+  }
+
   test("column profile counts rows, nulls, distincts, min/max in one pass") {
     val d = Seq(
       (1L, Some("b"), 10L), (2L, Some("a"), 10L),
@@ -572,6 +602,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!r(6L).getBoolean(5), "ellipsis lines")
     assert(!r(7L).getBoolean(6), "alpha words")
     assert(!r(8L).getBoolean(7) && !r(8L).getBoolean(8), "required stopwords")
+  }
+
+  test("source quality: per-source integer evidence + keep verdict") {
+    // clean source: every doc passes gopher; junk source: digit soup fails
+    val clean = "the be to of and that have with " +
+      ("alpha beta gamma delta " * 15).trim // 68 words, all alphabetic
+    val junk = ("1 2 3 4 5 6 7 8 9 0 " * 8).trim // all-digit words
+    val docs = Seq(
+      (1L, "good", clean), (2L, "good", clean),
+      (3L, "bad", junk), (4L, "bad", junk), (5L, "bad", clean)
+    ).toDF("doc_id", "source", "text")
+    val r = TextAnalysis.sourceQuality(docs, "source", "doc_id", "text")
+      .collect().map(x => x.getString(0) -> x).toMap
+    val good = r("good"); val bad = r("bad")
+    assert(good.getLong(1) === 2L && bad.getLong(1) === 3L) // docs
+    assert(good.getLong(7) === 2L, "both clean docs pass gopher")
+    assert(bad.getLong(7) === 1L, "only the planted clean doc passes")
+    assert(good.getBoolean(12) && !bad.getBoolean(12), "keep verdict")
+    // integer evidence: chars sum exactly
+    assert(good.getLong(2) === 2L * clean.length)
+    // digit_ratio of the junk source is dominated by digit chars
+    assert(bad.getDouble(9) > 0.1 && good.getDouble(9) === 0.0)
   }
 
   test("source overlap counts distinct shared fingerprints per source pair") {
