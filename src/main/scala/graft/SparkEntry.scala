@@ -1188,6 +1188,22 @@ object SparkEntry {
           "\n").as("text"))
       TextAnalysis.lineDedup(lined, "doc_id", "text", "\n", minDocs = 2)
     }),
+    "text_derep" -> ((s, dir) => {
+      // within-doc de-repetition: docs are re-lined deterministically
+      // (6 tokens per line), then each doc's own FIRST line is appended
+      // again — every doc carries exactly one planted internal repeat
+      // the cleaner must drop (plus any natural line repeats)
+      val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
+        x => length(x) > 0)
+      val lines = transform(
+        sequence(lit(0), floor((size(toks) - 1) / 6).cast(IntegerType)),
+        i => array_join(slice(toks, i * lit(6) + lit(1), lit(6)), " "))
+      val lined = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat_ws("\n", array_join(lines, "\n"), element_at(lines, 1))
+          .as("text"))
+      TextAnalysis.derepeat(lined, "doc_id", "text")
+    }),
     "text_chunks" -> ((s, dir) => {
       // context-window chunking: 32-token windows advancing by 24 (8-token
       // overlap) — every doc yields >= 1 chunk, 33+-token docs split
@@ -4131,6 +4147,32 @@ object SparkEntry {
         |  coalesce(n_kept, 0) AS n_kept,
         |  coalesce(cleaned_text, '') AS cleaned_text
         |FROM toks t LEFT JOIN kept USING (doc_id)""".stripMargin,
+    // same re-lining + planted first-line repeat, then the duplicate-line
+    // filter replayed with DuckDB's 1-based lambda index
+    "text_derep" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |lined AS (
+        |  SELECT doc_id, list_transform(range(0, ((len(tk) - 1) // 6) + 1),
+        |      i -> array_to_string(
+        |        tk[(CAST(i AS INT) * 6 + 1):(CAST(i AS INT) * 6 + 6)], ' '))
+        |    AS ls
+        |  FROM toks),
+        |sp AS (SELECT doc_id,
+        |    string_split(array_to_string(ls, chr(10)) || chr(10) || ls[1],
+        |      chr(10)) AS l
+        |  FROM lined),
+        |k AS (SELECT doc_id, l,
+        |    list_filter(l, (x, i) -> length(trim(x)) = 0
+        |      OR coalesce(list_position(l[1:i-1], x), 0) = 0) AS kept
+        |  FROM sp)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS cleaned_text,
+        |  CAST(len(l) AS BIGINT) AS n_lines,
+        |  CAST(len(l) - len(kept) AS BIGINT) AS n_removed
+        |FROM k""".stripMargin,
     // NB classifier replica: same md5 bucket hashing, same micro-nat
     // weight quantization (round() = half away from zero, matching the
     // Scala micro()), LONG dot product so sums are order-exact

@@ -324,6 +324,33 @@ object TextAnalysis {
       .withColumn("keep", col("pass_rate") >= minPassRate)
   }
 
+  /** Within-document de-repetition: drop every repeat of a non-empty
+    * line AFTER its first occurrence, preserving order and blank-line
+    * structure — the cleaning pass for pages that loop their own nav
+    * bars / disclaimers (cross-document boilerplate is [[lineDedup]]'s
+    * job; this one never needs to see another document).
+    *
+    * Map-only over array HOFs (codegen'd, no shuffle, no UDF). The
+    * first-occurrence test is an array_position over the line's prefix —
+    * O(L²) in LINES per document, which is fine where winnowing's
+    * char-level O(n²) was not: L is ~100× smaller than n and bounded by
+    * document size; a pathological million-line doc should go through
+    * the explode+window shape of [[lineDedup]] instead. */
+  def derepeat(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val kept = filter(lines, (l, i) =>
+      length(trim(l)) === 0 || array_position(slice(lines, lit(1), i), l) === 0)
+    df.select(
+      col(idCol),
+      array_join(kept, sep).as("cleaned_text"),
+      size(lines).cast("long").as("n_lines"),
+      (size(lines) - size(kept)).cast("long").as("n_removed"))
+  }
+
   /** Line-level corpus dedup (the CCNet boilerplate pass, Wenzek et al.
     * 2020): a line that occurs in at least `minDocs` DISTINCT documents is
     * boilerplate (headers, nav bars, cookie banners) and is removed from

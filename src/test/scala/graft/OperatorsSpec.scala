@@ -604,6 +604,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!r(8L).getBoolean(7) && !r(8L).getBoolean(8), "required stopwords")
   }
 
+  test("derepeat drops later repeats of non-empty lines, keeps blanks") {
+    val docs = Seq(
+      (1L, "a\nb\na\n\n\nb\nc"), // repeats of a and b; two blanks survive
+      (2L, "x\ny\nz"),           // nothing repeated
+      (3L, "s\ns\ns\ns")         // three repeats removed
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.derepeat(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) === (("a\nb\n\n\nc", 7L, 2L)))
+    assert(r(2L) === (("x\ny\nz", 3L, 0L)))
+    assert(r(3L) === (("s", 4L, 3L)))
+  }
+
   test("source quality: per-source integer evidence + keep verdict") {
     // clean source: every doc passes gopher; junk source: digit soup fails
     val clean = "the be to of and that have with " +
