@@ -221,7 +221,8 @@ object Bench {
     // extraction, cross-source leakage matrix
     "meta_readable_metrics", "pack_concat", "text_html_extract",
     "corpus_overlap", "dedup_sweep", "cluster_affinity",
-    "corpus_source_quality", "text_derep")
+    "corpus_source_quality", "text_derep", "ice_object_storage",
+    "pack_balanced")
 
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —

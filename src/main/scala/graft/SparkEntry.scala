@@ -890,6 +890,14 @@ object SparkEntry {
       Packing.shuffleShards(t(s, dir, "documents"), "doc_id",
         numShards = 8, salt = "epoch0")
     }),
+    "pack_balanced" -> ((s, dir) => {
+      // token-BALANCED sharding: size-rank round-robin (the distributed
+      // LPT heuristic) — shard token totals stay within one max-doc of
+      // each other instead of hash-striping's in-expectation balance
+      val d = t(s, dir, "documents")
+        .withColumn("n_tokens", graft.functions.text.tokenCount(col("text")))
+      Packing.balancedShards(d, "doc_id", "n_tokens", numShards = 7)
+    }),
     "pipeline_incremental" -> ((s, dir) => {
       // the INCREMENTAL curation loop — the production shape at 100 TB:
       // raw docs land in a graft table in batches; each new batch is read
@@ -1355,6 +1363,23 @@ object SparkEntry {
       val src = t(s, dir, "customer")
       val tbl = freshTable(s, "ice_roundtrip", src)
       tbl.append(s, src)
+      tbl.scan(s)
+    }),
+    "ice_object_storage" -> ((s, dir) => {
+      // S3-prefix-spreading layout (write.object-storage.enabled): every
+      // file lands under a 20-bit murmur3 hash prefix rendered as binary
+      // dirs instead of one shared /data/ prefix — the store-side
+      // request-rate fix at 100 TB. Scan-back must be byte-exact, and
+      // every planned file must sit under a hash-dir path.
+      val src = t(s, dir, "supplier")
+      val tbl = freshTable(s, "ice_object_storage", src,
+        properties = Map("write.object-storage.enabled" -> "true"))
+      tbl.append(s, src)
+      val paths = tbl.planFiles(tbl.metadata.currentSnapshot.get)
+        .map(_.file.filePath)
+      require(paths.nonEmpty && paths.forall(
+        _.matches(""".*/data/[01]{4}/[01]{4}/[01]{4}/[01]{8}/.*""")),
+        s"object-storage layout expected, got: ${paths.take(2)}")
       tbl.scan(s)
     }),
     "ice_metadata_delete" -> ((s, dir) => {
@@ -4383,6 +4408,18 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id)
         |    AS BIGINT) AS seq
         |FROM sh""".stripMargin,
+    // LPT striping replayed as one window (oracle scale); the engine side
+    // is the value-bucketed distributed rank
+    "pack_balanced" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST((row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1) % 7
+        |    AS BIGINT) AS shard_id
+        |FROM s""".stripMargin,
     "decontaminate" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 2),
@@ -4814,6 +4851,7 @@ object SparkEntry {
         |       ELSE 'pt' END AS lang_pred
         |FROM sc""".stripMargin,
     "ice_roundtrip" -> "SELECT * FROM customer",
+    "ice_object_storage" -> "SELECT * FROM supplier",
     "ice_manifest_merge" -> "SELECT * FROM orders",
     "ice_metrics_mode" ->
       """SELECT substring(min(text),1,4) AS lower_text,

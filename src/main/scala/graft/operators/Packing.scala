@@ -152,4 +152,57 @@ object Packing {
       .withColumn("seq", row_number().over(w).cast(LongType))
       .select(col("doc_id"), col("shard_id"), col("seq"))
   }
+
+  /** Token-BALANCED shard assignment: documents stripe round-robin in
+    * (n_tokens desc, doc_id) rank order — the distributed form of the
+    * longest-processing-time heuristic. Because consecutive ranks land on
+    * different shards and sizes shrink monotonically along the rank
+    * order, shard token totals stay within one max-document of each
+    * other — the equal-work sharding [[shuffleShards]]' hash striping
+    * only achieves in expectation.
+    *
+    * The global rank is the same value-bucketed distributed machinery as
+    * [[packGreedy]]: bucket by token-value quantiles (equal values never
+    * straddle a bucket, so ranks are exact), one per-bucket window, tiny
+    * bucket-count aggregate, broadcast offsets — no global window.
+    * Deterministic integer arithmetic end to end. */
+  def balancedShards(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      numShards: Int,
+      numBuckets: Int = 0): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val spark = df.sparkSession
+    val nB =
+      if (numBuckets > 0) numBuckets
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = df.select(
+      col(idCol).cast(LongType).as("doc_id"),
+      coalesce(col(tokensCol).cast(LongType), lit(0L)).as("n_tokens"))
+    val qs = (1 until nB).map(_.toDouble / nB).toArray
+    val bounds =
+      if (qs.isEmpty) Array.empty[Double]
+      else base.stat.approxQuantile("n_tokens", qs, 0.01)
+    // monotone in the rank order: vb = #bounds strictly below the value,
+    // so a larger vb ranks strictly earlier and ties share one bucket
+    val vbucket =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(typedLit(bounds.toSeq),
+        b => col("n_tokens").cast("double") > b))
+    val wLocal = Window.partitionBy("vb")
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("vb", vbucket)
+      .withColumn("rank_local", count(lit(1)).over(wLocal))
+    val totals = local.groupBy("vb").agg(count(lit(1)).as("n"))
+    val ow = Window.orderBy(col("vb").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("off", coalesce(sum("n").over(ow), lit(0L)))
+      .select("vb", "off")
+    local.join(broadcast(offsets), "vb")
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("rank_local") + col("off") - 1) % numShards).as("shard_id"))
+  }
 }

@@ -250,7 +250,8 @@ class GraftBatchWrite(
       .find(o => o.orderId == metadata.defaultSortOrderId && o.fields.nonEmpty)
       .map(_.orderId)
     new GraftDataWriterFactory(
-      s"${table.location}/data/${java.util.UUID.randomUUID()}",
+      graft.tables.Locations.specFor(
+        metadata, table.location, java.util.UUID.randomUUID().toString),
       sparkSchema,
       schema.visibleFields.map(f => GraftTable.FieldInfo(f.name, f.id, f.fieldType.repr)),
       specFields,
@@ -308,7 +309,7 @@ class GraftBatchWrite(
 }
 
 class GraftDataWriterFactory(
-    outDir: String,
+    loc: graft.tables.LocationSpec,
     sparkSchema: StructType,
     fieldInfos: Seq[GraftTable.FieldInfo],
     specFields: List[SpecFieldEval],
@@ -324,7 +325,7 @@ class GraftDataWriterFactory(
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(
-      outDir, sparkSchema, fieldInfos, specFields, maxRecords, sortOrderId,
+      loc, sparkSchema, fieldInfos, specFields, maxRecords, sortOrderId,
       conf, partitionId, taskId, format, orcFactory, iceFields, avroCodec, metrics)
 }
 
@@ -333,7 +334,7 @@ class GraftDataWriterFactory(
   * rolling at `maxRecords`. Close harvests footer stats in-place
   * (parquet/orc) or takes the inline-accumulated stats (avro). */
 class GraftDataWriter(
-    outDir: String,
+    loc: graft.tables.LocationSpec,
     sparkSchema: StructType,
     fieldInfos: Seq[GraftTable.FieldInfo],
     specFields: List[SpecFieldEval],
@@ -418,7 +419,7 @@ class GraftDataWriter(
     }
 
   private def newFile(partition: Seq[Option[Any]]): Open = {
-    val path = f"$outDir/$partitionId%05d-$taskId-$fileCount%05d.$format"
+    val path = loc.path(f"$partitionId%05d-$taskId-$fileCount%05d.$format")
     fileCount += 1
     val sink: Sink = format match {
       case "orc" if orcFactory == null =>

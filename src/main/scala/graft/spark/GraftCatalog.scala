@@ -1248,8 +1248,8 @@ class GraftNativeBatchScan(
   /** files outside the table's data dir were registered via add_files:
     * no Iceberg field ids — columns must resolve by NAME */
   private def isExternal(p: PlannedFile): Boolean =
-    !GraftTable.normPathStr(p.file.filePath)
-      .startsWith(GraftTable.normPathStr(table.location) + "/data/")
+    !graft.tables.Locations.isInternal(
+      table.metadata, table.location, p.file.filePath)
 
   override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory = {
     val spark = SparkSession.active

@@ -397,7 +397,7 @@ class GraftMorScan(
       // files outside the table's data dir were registered via add_files:
       // they carry no Iceberg field ids and must resolve columns by NAME
       val external =
-        !norm.startsWith(GraftTable.normPathStr(table.location) + "/data/")
+        !graft.tables.Locations.isInternal(table.metadata, table.location, norm)
       ranges.zipWithIndex.map { case ((start, len), ri) =>
         GraftMorInputPartition(
           org.apache.spark.sql.GraftBridge.rangeFilePartition(

@@ -85,7 +85,8 @@ class GraftDeltaBatchWrite(table: GraftTable, cmd: RowLevelOperation.Command)
     val posDeleteConf = org.apache.spark.sql.GraftBridge.parquetWriterConf(
       spark, posDeleteSchema, compression)
     new GraftDeltaWriterFactory(
-      s"${table.location}/data/${java.util.UUID.randomUUID()}",
+      graft.tables.Locations.specFor(
+        metadata, table.location, java.util.UUID.randomUUID().toString),
       sparkSchema,
       schema.fields.map(f => GraftTable.FieldInfo(f.name, f.id, f.fieldType.repr)),
       specFields,
@@ -311,7 +312,7 @@ class GraftCowBatchWrite(table: GraftTable, state: CowState)
 }
 
 class GraftDeltaWriterFactory(
-    outDir: String,
+    loc: graft.tables.LocationSpec,
     sparkSchema: StructType,
     fieldInfos: Seq[GraftTable.FieldInfo],
     specFields: List[SpecFieldEval],
@@ -322,7 +323,7 @@ class GraftDeltaWriterFactory(
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriter(
-      outDir, sparkSchema, fieldInfos, specFields, maxRecords,
+      loc, sparkSchema, fieldInfos, specFields, maxRecords,
       dataConf, posDeleteConf, partitionId, taskId)
 }
 
@@ -330,7 +331,7 @@ class GraftDeltaWriterFactory(
   * buffer (file, pos) pairs and flush as one sorted position-delete file
   * at commit; update = delete + insert. */
 class GraftDeltaWriter(
-    outDir: String,
+    loc: graft.tables.LocationSpec,
     sparkSchema: StructType,
     fieldInfos: Seq[GraftTable.FieldInfo],
     specFields: List[SpecFieldEval],
@@ -342,7 +343,7 @@ class GraftDeltaWriter(
     extends DeltaWriter[InternalRow] {
 
   private val dataWriter = new GraftDataWriter(
-    outDir, sparkSchema, fieldInfos, specFields, maxRecords, None,
+    loc, sparkSchema, fieldInfos, specFields, maxRecords, None,
     dataConf, partitionId, taskId)
 
   private val deletes = mutable.ArrayBuffer.empty[(String, Long)]
@@ -366,7 +367,7 @@ class GraftDeltaWriter(
     val deleteFiles =
       if (deletes.isEmpty) Nil
       else {
-        val path = f"$outDir/$partitionId%05d-$taskId-deletes.parquet"
+        val path = loc.path(f"$partitionId%05d-$taskId-deletes.parquet")
         val w = org.apache.spark.sql.GraftBridge.openRowWriter(
           posDeleteConf.value, path, partitionId, taskId)
         // spec order: position deletes sort by (file_path, pos)

@@ -356,9 +356,8 @@ class GraftTable(
       sparkSchema: StructType,
       withMeta: Boolean = false): DataFrame = {
     val pinned = GraftTable.pinnedSession(spark)
-    val dataPrefix = GraftTable.normPathStr(location) + "/data/"
     val (internal, external) =
-      paths.partition(p => GraftTable.normPathStr(p).startsWith(dataPrefix))
+      paths.partition(p => Locations.isInternal(metadata, location, p))
     // external resolution schema: the table's name mapping when set (field
     // ids read under the names the imported files use — rename-safe), else
     // the current names with ids stripped
@@ -951,7 +950,7 @@ class GraftTable(
     * (path, offsets, cardinality) returns to the driver. */
   private def buildDeletionVectors(
       spark: SparkSession, posDf: DataFrame): List[IceDataFile] = {
-    val loc = location
+    val dvLoc = Locations.specFor(metadata, location, UUID.randomUUID().toString)
     val serConf = new TableWrite.SerializableHadoopConf(conf)
     implicit val enc: org.apache.spark.sql.Encoder[DvBlobRow] =
       org.apache.spark.sql.Encoders.product[DvBlobRow]
@@ -969,7 +968,7 @@ class GraftTable(
         if (byFile.isEmpty) Iterator.empty
         else {
           val files = byFile.toSeq.sortBy(_._1)
-          val path = s"$loc/data/${UUID.randomUUID()}-deletes.puffin"
+          val path = dvLoc.path(s"${UUID.randomUUID()}-deletes.puffin")
           val blobs = files.map { case (f, bm) =>
             Puffin.BlobInput(Puffin.DeletionVectorV1, Nil,
               Map("referenced-data-file" -> f,
@@ -1605,14 +1604,20 @@ class GraftTable(
         }
         b.result()
       } catch { case _: Throwable => return (0L, Nil) }
-    val dataDir = new Path(s"$location/data")
+    // sweep the configured data path too (write.data.path may place data
+    // outside {location}/data); recursive listing below also walks the
+    // object-storage hash directories
+    val dataDir = new Path(Locations.dataPath(metadata, location))
+    val defaultDataDir = new Path(s"$location/data")
     val metaDir = new Path(s"$location/metadata")
     val fs = dataDir.getFileSystem(conf)
-    if (!fs.exists(dataDir) && !fs.exists(metaDir)) return (0L, Nil)
+    if (!fs.exists(dataDir) && !fs.exists(defaultDataDir) && !fs.exists(metaDir))
+      return (0L, Nil)
     SparkSession.getActiveSession match {
       case Some(spark) =>
         import spark.implicits._
-        val prefixes = Seq(dataDir, metaDir).filter(fs.exists)
+        val prefixes = Seq(dataDir, defaultDataDir, metaDir).distinct
+          .filter(fs.exists)
           .flatMap(d => fs.listStatus(d).map(_.getPath.toString))
         if (prefixes.isEmpty) return (0L, Nil)
         val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
@@ -1674,7 +1679,7 @@ class GraftTable(
         (if (dryRun) paths.size.toLong else deletedAcc.value, paths)
       case None =>
         val deleted = scala.collection.mutable.ArrayBuffer[String]()
-        Seq(dataDir, metaDir).filter(fs.exists).foreach { d =>
+        Seq(dataDir, defaultDataDir, metaDir).distinct.filter(fs.exists).foreach { d =>
           val it = fs.listFiles(d, true)
           while (it.hasNext) {
             val f = it.next()

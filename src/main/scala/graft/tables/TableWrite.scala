@@ -496,7 +496,7 @@ object TableWrite {
     val lineageFields = lineageFieldsOf(df)
     val base = prepared(df, schema, lineageFields)
     val writeId = UUID.randomUUID().toString
-    val outDir = s"${table.location}/data/$writeId"
+    val outDir = Locations.writeDir(table.metadata, table.location, writeId)
 
     val infos = (schema.fields ++ lineageFields)
       .map(f => FieldInfo(f.name, f.id, f.fieldType.repr))
@@ -672,7 +672,10 @@ object TableWrite {
       lineageFields: List[IceField] = Nil,
       metricsCfg: MetricsConfig = MetricsConfig.default): List[IceDataFile] = {
     val writeId = UUID.randomUUID().toString
-    val outDir = s"${table.location}/data/$writeId"
+    // per-FILE location minting: each file can land under its own
+    // object-store hash prefix (full Iceberg object-storage semantics on
+    // this executor-side writer path)
+    val locSpec = Locations.specFor(table.metadata, table.location, writeId)
     val fields = schema.visibleFields ++ lineageFields
     val nData = fields.size
     val codec = table.metadata.properties.getOrElse(
@@ -717,7 +720,7 @@ object TableWrite {
           .empty[(FileStats, Seq[Option[Any]])]
         var fileCount = 0
         def newWriter(): RowFileWriter = {
-          val path = f"$outDir/part-$pid%05d-$attempt-$fileCount%05d.$fmt"
+          val path = locSpec.path(f"part-$pid%05d-$attempt-$fileCount%05d.$fmt")
           fileCount += 1
           if (fmt == "orc")
             new OrcDataIO.RowWriter(conf, path, fields, sparkDataSchema, codec, metricsCfg)
@@ -777,7 +780,7 @@ object TableWrite {
       equalityIds: Seq[Int],
       partition: Seq[Option[Any]] = Nil): List[IceDataFile] = {
     val writeId = UUID.randomUUID().toString
-    val outDir = s"${table.location}/data/$writeId"
+    val outDir = Locations.writeDir(table.metadata, table.location, writeId)
     val infos: Seq[FieldInfo] =
       if (content == DataContent.PositionDeletes)
         Seq(FieldInfo("file_path", 2147483546, "string"), FieldInfo("pos", 2147483545, "long"))
@@ -814,7 +817,7 @@ object TableWrite {
       routed: DataFrame,
       partitions: List[Seq[Option[Any]]]): List[IceDataFile] = {
     val writeId = UUID.randomUUID().toString
-    val outDir = s"${table.location}/data/$writeId"
+    val outDir = Locations.writeDir(table.metadata, table.location, writeId)
     val infos = Seq(
       FieldInfo("file_path", 2147483546, "string"), FieldInfo("pos", 2147483545, "long"))
     val md = (i: FieldInfo) =>

@@ -604,6 +604,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!r(8L).getBoolean(7) && !r(8L).getBoolean(8), "required stopwords")
   }
 
+  test("balanced shards: LPT striping, exact ranks, near-equal totals") {
+    // sizes 100,90,...,10 into 3 shards: rank order is size desc, so
+    // shard = (rank-1) % 3 and totals differ by at most one mid doc
+    val docs = (1 to 10).map(i => (i.toLong, (11 - i) * 10L))
+      .toDF("doc_id", "n_tokens")
+    val r = Packing.balancedShards(docs, "doc_id", "n_tokens", numShards = 3)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // doc 1 has 100 tokens -> rank 1 -> shard 0; doc 2 90 -> shard 1; ...
+    (1 to 10).foreach(i => assert(r(i.toLong)._2 === (i - 1) % 3, s"doc $i"))
+    val totals = r.values.groupBy(_._2).view.mapValues(_.map(_._1).sum).toMap
+    assert(totals.values.max - totals.values.min <= 100L)
+    // ties break by doc_id: equal sizes stripe deterministically
+    val tie = Seq((5L, 7L), (1L, 7L), (9L, 7L)).toDF("doc_id", "n_tokens")
+    val t2 = Packing.balancedShards(tie, "doc_id", "n_tokens", numShards = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(t2 === Map(1L -> 0L, 5L -> 1L, 9L -> 0L))
+  }
+
   test("derepeat drops later repeats of non-empty lines, keeps blanks") {
     val docs = Seq(
       (1L, "a\nb\na\n\n\nb\nc"), // repeats of a and b; two blanks survive
