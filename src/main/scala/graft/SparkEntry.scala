@@ -1266,6 +1266,20 @@ object SparkEntry {
           .withColumn("source", lit("mirror")))
       Profiling.sourceOverlap(planted, "source", "text")
     }),
+    "profile_drift" -> ((s, dir) => {
+      // embedding drift monitor: the vec_id%5 slice is PLANTED as a
+      // shifted "new batch" (+0.25 per dim — a retrained embedder); every
+      // dimension must flag at the 128-quantum threshold while the means
+      // stay integer-exact
+      val e = t(s, dir, "embeddings")
+      val ref = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+        .select(transform(col("embedding"), _.cast("double")).as("embedding"),
+          lit(false).as("is_new"))
+      val batch = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select(transform(col("embedding"), x => x.cast("double") + lit(0.25))
+          .as("embedding"), lit(true).as("is_new"))
+      Profiling.embeddingDrift(ref.unionByName(batch), "embedding", "is_new")
+    }),
     "corpus_source_quality" -> ((s, dir) => {
       // domain-pruning decision table: per-source integer quality
       // evidence + Gopher pass rate + keep/drop verdict in ONE
@@ -4508,6 +4522,29 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS shared_fps
         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,
+    // same planted +0.25 shift, same floor-of-integer-mean arithmetic
+    "profile_drift" ->
+      """WITH u AS (
+        |  SELECT list_transform(embedding, x -> x::DOUBLE) AS e,
+        |    false AS is_new
+        |  FROM embeddings WHERE vec_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT list_transform(embedding, x -> x::DOUBLE + 0.25),
+        |    true
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |x AS (SELECT is_new, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(floor(e[i] * 1024) AS BIGINT) AS v
+        |  FROM u CROSS JOIN range(1, 65) t(i)),
+        |a AS (SELECT dim,
+        |    CAST(floor(sum(CASE WHEN NOT is_new THEN v END)::DOUBLE
+        |      / count(CASE WHEN NOT is_new THEN 1 END)) AS BIGINT) AS mean_ref,
+        |    CAST(floor(sum(CASE WHEN is_new THEN v END)::DOUBLE
+        |      / count(CASE WHEN is_new THEN 1 END)) AS BIGINT) AS mean_new
+        |  FROM x GROUP BY dim)
+        |SELECT dim, mean_ref, mean_new,
+        |  abs(mean_new - mean_ref) AS drift,
+        |  abs(mean_new - mean_ref) >= 128 AS flagged
+        |FROM a""".stripMargin,
     // the Gopher per-doc pass replayed (same CTEs as text_gopher) then
     // aggregated per source; ratios divide exactly-summed integers
     "corpus_source_quality" ->

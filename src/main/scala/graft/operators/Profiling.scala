@@ -87,4 +87,42 @@ object Profiling {
         StructField("min_value", StringType, nullable = true),
         StructField("max_value", StringType, nullable = true))))
   }
+
+  /** Embedding distribution-drift monitor: per-dimension integer-quantized
+    * mean of an incoming batch vs the reference corpus, with a drift flag
+    * — the ingestion check that catches a retrained/upgraded embedder (or
+    * a broken feature pipe) BEFORE a mismatched batch pollutes the ANN
+    * index and dedup thresholds.
+    *
+    * Exactness: the same power-of-two quantization as k-means — means are
+    * floor(int-sum / count), drift is an integer difference; engines
+    * agree bit-for-bit. Scale: one (dim, side) partial-aggregated shuffle
+    * of dims×2 rows; nothing but per-dim sums leaves the executors. */
+  def embeddingDrift(
+      df: DataFrame,
+      vecCol: String,
+      isNewCol: String,
+      scale: Int = 1024,
+      flagThreshold: Long = 128): DataFrame = {
+    require((scale & (scale - 1)) == 0, s"scale must be a power of two: $scale")
+    val q = df.select(
+      col(isNewCol).cast("boolean").as("is_new"),
+      posexplode(transform(col(vecCol), x =>
+        floor(x.cast("double") * lit(scale)).cast(LongType)))
+        .as(Seq("dim", "v")))
+    q.groupBy(col("dim").cast(LongType).as("dim"))
+      .agg(
+        sum(when(!col("is_new"), col("v"))).as("sum_ref"),
+        count(when(!col("is_new"), lit(1))).as("n_ref"),
+        sum(when(col("is_new"), col("v"))).as("sum_new"),
+        count(when(col("is_new"), lit(1))).as("n_new"))
+      .select(
+        col("dim"),
+        floor(col("sum_ref").cast(DoubleType) / col("n_ref"))
+          .cast(LongType).as("mean_ref"),
+        floor(col("sum_new").cast(DoubleType) / col("n_new"))
+          .cast(LongType).as("mean_new"))
+      .withColumn("drift", abs(col("mean_new") - col("mean_ref")))
+      .withColumn("flagged", col("drift") >= flagThreshold)
+  }
 }

@@ -604,6 +604,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!r(8L).getBoolean(7) && !r(8L).getBoolean(8), "required stopwords")
   }
 
+  test("embedding drift: planted shift flags, identical batch does not") {
+    import graft.operators.Profiling
+    val ref = Seq(
+      (Array(0.0, 1.0), false), (Array(0.5, 1.0), false),
+    ).toDF("embedding", "is_new")
+    // identical distribution: zero drift, nothing flagged
+    val same = ref.unionByName(
+      Seq((Array(0.0, 1.0), true), (Array(0.5, 1.0), true))
+        .toDF("embedding", "is_new"))
+    val r0 = Profiling.embeddingDrift(same, "embedding", "is_new")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(r0.values.forall { case (d, f) => d === 0L && !f })
+    // dim-0 shifted by +0.5 (512 quanta): flagged; dim-1 unchanged
+    val shifted = ref.unionByName(
+      Seq((Array(0.5, 1.0), true), (Array(1.0, 1.0), true))
+        .toDF("embedding", "is_new"))
+    val r1 = Profiling.embeddingDrift(shifted, "embedding", "is_new")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(r1(0L) === ((512L, true)))
+    assert(r1(1L) === ((0L, false)))
+  }
+
   test("balanced shards: LPT striping, exact ranks, near-equal totals") {
     // sizes 100,90,...,10 into 3 shards: rank order is size desc, so
     // shard = (rank-1) % 3 and totals differ by at most one mid doc
