@@ -222,7 +222,7 @@ object Bench {
     "meta_readable_metrics", "pack_concat", "text_html_extract",
     "corpus_overlap", "dedup_sweep", "cluster_affinity",
     "corpus_source_quality", "text_derep", "ice_object_storage",
-    "pack_balanced", "profile_drift")
+    "pack_balanced", "profile_drift", "sample_diverse")
 
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —

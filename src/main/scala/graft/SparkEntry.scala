@@ -1333,6 +1333,16 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "lang", k = 5)
         .select(col("doc_id"), col("lang"))
     }),
+    "sample_diverse" -> ((s, dir) => {
+      // diversity-balanced sampling: cluster the embedding space (the
+      // deterministic integer k-means), then take an EXACT 25 per
+      // cluster — topic-balanced eval/seed sets instead of frequency-
+      // biased uniform draws; both stages are the standalone operators
+      val assigned = Clustering.kmeansAssign(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 4, iters = 1)
+      Sampling.stratifiedSampleExact(assigned, "vec_id", "cluster", k = 25)
+        .select(col("vec_id"), col("cluster"))
+    }),
     "sample_epochs" -> ((s, dir) => {
       // epoch-aware mixture: domains above their natural share UPSAMPLE
       // by repetition (epoch index per copy, capped at 3) — rate floor
@@ -4315,6 +4325,37 @@ object SparkEntry {
     // exact replica of Sampling.stratifiedSampleExact: the k smallest
     // (md5(key), key) per stratum — the salted two-stage form selects
     // the same rows as the direct window
+    // kmeans oracle CTEs + exact-25 per cluster by md5 rank
+    "sample_diverse" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(x::DOUBLE * 1024) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, e AS c FROM q WHERE vec_id < 4),
+        |d0 AS (SELECT q.vec_id, q.e, c0.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (q.e[i] - c0.c[i]) * (q.e[i] - c0.c[i]))) AS dist
+        |  FROM q CROSS JOIN c0),
+        |a0 AS (SELECT vec_id, e, cid FROM (
+        |    SELECT vec_id, e, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d0) WHERE rn = 1),
+        |s1 AS (SELECT cid, i,
+        |    CAST(floor(sum(e[i])::DOUBLE / count(*)) AS BIGINT) AS v
+        |  FROM a0 CROSS JOIN range(1, 65) t(i) GROUP BY cid, i),
+        |c1 AS (SELECT cid, list(v ORDER BY i) AS c FROM s1 GROUP BY cid),
+        |d1 AS (SELECT q.vec_id, c1.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (q.e[i] - c1.c[i]) * (q.e[i] - c1.c[i]))) AS dist
+        |  FROM q CROSS JOIN c1),
+        |asg AS (SELECT vec_id, cid AS cluster FROM (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM d1) WHERE rn = 1)
+        |SELECT vec_id, cluster FROM (
+        |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY cluster
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |  FROM asg) WHERE rn <= 25""".stripMargin,
     "sample_stratified_k" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,
