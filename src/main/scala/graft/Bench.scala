@@ -222,7 +222,8 @@ object Bench {
     "meta_readable_metrics", "pack_concat", "text_html_extract",
     "corpus_overlap", "dedup_sweep", "cluster_affinity",
     "corpus_source_quality", "text_derep", "ice_object_storage",
-    "pack_balanced", "profile_drift", "sample_diverse")
+    "pack_balanced", "profile_drift", "sample_diverse",
+    "meta_compaction_plan")
 
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —
@@ -366,7 +367,16 @@ object Bench {
         // leakage matrix are map-only + one fp self-join, and the
         // readable_metrics view reads one task per manifest
         "pack_concat", "text_html_extract", "corpus_overlap",
-        "meta_readable_metrics"))
+        "meta_readable_metrics",
+        // round-9 continuation: the affinity + drift monitors are one
+        // bounded aggregate each, source quality is one hash aggregate,
+        // derep is map-only (O(lines^2) per doc must not matter at 10x),
+        // balanced sharding rides the bucketed rank, diverse sampling
+        // composes kmeans + exact-k, object-storage layout must not tax
+        // the write path
+        "cluster_affinity", "corpus_source_quality", "text_derep",
+        "pack_balanced", "profile_drift", "sample_diverse",
+        "ice_object_storage", "dedup_sweep"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

@@ -2529,6 +2529,35 @@ object SparkEntry {
         """SELECT content, CAST(SUM(record_count) AS BIGINT) AS record_count
           |FROM graft.db.mall.all_files GROUP BY content""".stripMargin)
     }),
+    "meta_compaction_plan" -> ((s, dir) => {
+      // maintenance planning: which partitions hold small files worth a
+      // rewrite — the report a 100 TB table's compaction scheduler runs
+      // INSTEAD of blindly compacting everything. The rolling writer cuts
+      // at exactly 4096 records, so per-partition file counts (and the
+      // single short tail file) are deterministic.
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.mcplan")
+      s.sql(
+        """CREATE TABLE graft.db.mcplan (l_orderkey BIGINT, l_returnflag STRING)
+          |PARTITIONED BY (l_returnflag)
+          |TBLPROPERTIES ('write.max-records-per-file'='4096')""".stripMargin)
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_returnflag"))
+        .createOrReplaceTempView("mcplan_src_gq")
+      s.sql("INSERT INTO graft.db.mcplan SELECT * FROM mcplan_src_gq")
+      s.sql(
+        """SELECT partition.l_returnflag AS l_returnflag,
+          |  CAST(count(*) AS BIGINT) AS n_files,
+          |  CAST(sum(record_count) AS BIGINT) AS records,
+          |  CAST(sum(CASE WHEN record_count < 4096 THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_small,
+          |  count(*) > 1 AND
+          |    sum(CASE WHEN record_count < 4096 THEN 1 ELSE 0 END) >= 1
+          |    AS needs_compaction
+          |FROM graft.db.mcplan.files GROUP BY 1""".stripMargin)
+    }),
     "meta_partitions" -> ((s, dir) => {
       val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
       s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
@@ -5218,6 +5247,18 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1""".stripMargin,
     "meta_partitions" ->
       "SELECT l_returnflag, COUNT(*) AS record_count FROM lineitem GROUP BY 1",
+    // the 4096-record rolling cut makes file counts a pure function of
+    // per-partition row counts
+    "meta_compaction_plan" ->
+      """WITH p AS (
+        |  SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        |  CAST(ceil(n / 4096.0) AS BIGINT) AS n_files,
+        |  CAST(n AS BIGINT) AS records,
+        |  CAST(CASE WHEN n % 4096 <> 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_small,
+        |  ceil(n / 4096.0) > 1 AND (n % 4096) <> 0 AS needs_compaction
+        |FROM p""".stripMargin,
     "meta_split_files" ->
       """SELECT 'data' AS side, CAST(count(*) AS BIGINT) AS records FROM orders
         |UNION ALL
