@@ -3061,6 +3061,19 @@ object SparkEntry {
           col("height").cast(LongType).as("height"),
           col("dhash_bits"))
     }),
+    "dedup_prefix" -> ((s, dir) => {
+      // truncated-re-crawl detection: the doc_id%11 slice is PLANTED as
+      // half-length truncations (jaccard ~0.5 — MinHash-invisible); the
+      // operator must report exactly the planted prefix pairs plus any
+      // natural ones, bucket-capped like every pair generator
+      val d = t(s, dir, "documents")
+      val planted = d.select(col("doc_id"), col("text")).unionByName(
+        d.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            expr("substring(trim(text), 1, CAST(floor(length(trim(text)) / 2) AS INT))")
+              .as("text")))
+      Dedup.prefixDups(planted, "doc_id", "text")
+    }),
     "dedup_image_pairs" -> ((s, dir) => {
       // image near-dup pipeline composed end-to-end: real PNG decode →
       // dHash → pigeonhole bit-block bucketing → exact-Hamming verify.
@@ -3596,6 +3609,27 @@ object SparkEntry {
     // originals AND +1000192 copies, then ALL pairs within Hamming 2 via
     // DuckDB bitstrings — the all-pairs ground truth the pigeonhole
     // bucketing must recall exactly
+    // same planted truncations, same 16-char bucket key + cap + prefix
+    // verify
+    "dedup_prefix" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    substr(trim(text), 1,
+        |      CAST(floor(length(trim(text)) / 2) AS INT))
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |k1 AS (
+        |  SELECT doc_id, trim(text) AS t, length(trim(text)) AS len,
+        |    md5(substr(trim(text), 1, 16)) AS key
+        |  FROM d WHERE length(trim(text)) >= 16),
+        |cap AS (SELECT doc_id, t, len, key FROM (
+        |    SELECT k1.*, row_number() OVER (PARTITION BY key ORDER BY doc_id)
+        |      AS rn FROM k1) WHERE rn <= 256)
+        |SELECT a.doc_id AS prefix_id, b.doc_id AS full_id
+        |FROM cap a JOIN cap b ON a.key = b.key
+        |  AND (a.len < b.len OR (a.len = b.len AND a.doc_id < b.doc_id))
+        |WHERE starts_with(b.t, a.t)""".stripMargin,
     "dedup_image_pairs" ->
       """WITH ids AS (
         |  SELECT doc_id FROM documents

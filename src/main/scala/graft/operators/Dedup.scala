@@ -645,4 +645,44 @@ object Dedup {
       components.filter(col("doc_id") =!= col("component"))
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
+
+  /** Prefix-duplicate detection: pairs where one document's (trimmed)
+    * text is a strict character prefix of another's — the truncated
+    * re-crawl / cut-off-fetch shape MinHash misses when the truncation is
+    * aggressive (jaccard of a half-doc vs its full text is ~0.5, well
+    * under near-dup thresholds).
+    *
+    * Bucketing: documents sharing their first `keyChars` characters land
+    * in one md5-keyed bucket — any prefix pair (both sides >= keyChars
+    * long; shorter docs are skipped, the standard minimum-length floor)
+    * agrees on that opening, so pairs generate only within buckets.
+    * Oversized buckets (boilerplate openings) are capped like every
+    * other pair generator here. Verification is one `startsWith`.
+    * Output: (prefix_id, full_id). */
+  def prefixDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      keyChars: Int = 16,
+      maxBucket: Int = 256): DataFrame = {
+    val base = df.select(
+      col(idCol).cast(LongType).as("doc_id"),
+      trim(col(textCol)).as("t"))
+      .filter(length(col("t")) >= keyChars)
+      .select(col("doc_id"), col("t"), length(col("t")).as("len"),
+        md5(substring(col("t"), 1, keyChars)).as("key"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("doc_id"))
+    val capped = base.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxBucket).drop("_rn")
+    val a = capped.select(col("key"), col("doc_id").as("prefix_id"),
+      col("t").as("ta"), col("len").as("la"))
+    val b = capped.select(col("key"), col("doc_id").as("full_id"),
+      col("t").as("tb"), col("len").as("lb"))
+    a.join(b, Seq("key"))
+      .filter(col("la") < col("lb") ||
+        (col("la") === col("lb") && col("prefix_id") < col("full_id")))
+      .filter(col("tb").startsWith(col("ta")))
+      .select(col("prefix_id"), col("full_id"))
+  }
 }

@@ -604,6 +604,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!r(8L).getBoolean(7) && !r(8L).getBoolean(8), "required stopwords")
   }
 
+  test("prefix dups: truncations pair with their source, floor + cap hold") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta" // 45 chars
+    val docs = Seq(
+      (1L, base),
+      (2L, base.substring(0, 22)),     // strict prefix of 1
+      (3L, "alpha beta gamma XYZ an entirely different tail"), // same 16-char key, not a prefix
+      (4L, base),                      // exact dup of 1: equal-len pair
+      (5L, "short doc")                // < 16 chars: below the floor
+    ).toDF("doc_id", "text")
+    val got = Dedup.prefixDups(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((2L, 1L), (2L, 4L), (1L, 4L)))
+  }
+
   test("embedding drift: planted shift flags, identical batch does not") {
     import graft.operators.Profiling
     val ref = Seq(
