@@ -332,6 +332,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val fs = p.getFileSystem(conf)
       fs.exists(p) && fs.delete(p, true)
     }
+    // with write.data.path set, data files live OUTSIDE the table dir —
+    // a purge-style drop must remove that prefix too (best-effort: the
+    // metadata may already be unreadable)
+    def externalDataDir(l: String): Option[String] =
+      try {
+        val m = graft.tables.StorageCatalog.loadTable(conf, l).metadata
+        m.properties.get("write.data.path")
+      } catch { case _: Throwable => None }
     rest match {
       case Some(c) =>
         val loc =
@@ -340,11 +348,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         loc match {
           case None => false
           case Some(l) =>
+            val ext = externalDataDir(l)
             c.dropTable(nsOf(ident), ident.name())
             deleteDir(l)
+            ext.foreach(deleteDir)
             true
         }
-      case None => deleteDir(locationOf(ident))
+      case None =>
+        val l = locationOf(ident)
+        val ext = externalDataDir(l)
+        val ok = deleteDir(l)
+        if (ok) ext.foreach(deleteDir)
+        ok
     }
   }
 

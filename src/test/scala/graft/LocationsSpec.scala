@@ -106,4 +106,21 @@ class LocationsSpec extends AnyFunSuite {
     assert(n === src.count())
     spark.sql("DROP TABLE graft.db.loc_obj")
   }
+
+  test("DROP TABLE purges an external write.data.path prefix too") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val ext = tmpLocation("drop-ext")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.loc_drop")
+    spark.sql(
+      s"""CREATE TABLE graft.db.loc_drop (r_regionkey BIGINT, r_name STRING)
+         |TBLPROPERTIES ('write.data.path'='$ext')""".stripMargin)
+    src.select("r_regionkey", "r_name").createOrReplaceTempView("loc_drop_src")
+    spark.sql("INSERT INTO graft.db.loc_drop SELECT * FROM loc_drop_src")
+    val p = new org.apache.hadoop.fs.Path(ext)
+    val fs = p.getFileSystem(conf)
+    assert(fs.exists(p) && fs.listStatus(p).nonEmpty)
+    spark.sql("DROP TABLE graft.db.loc_drop")
+    assert(!fs.exists(p), "external data prefix must purge with the table")
+  }
 }
