@@ -223,7 +223,7 @@ object Bench {
     "corpus_overlap", "dedup_sweep", "cluster_affinity",
     "corpus_source_quality", "text_derep", "ice_object_storage",
     "pack_balanced", "profile_drift", "sample_diverse",
-    "meta_compaction_plan", "dedup_prefix")
+    "meta_compaction_plan", "dedup_prefix", "decontaminate_cut")
 
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —
@@ -376,7 +376,8 @@ object Bench {
         // the write path
         "cluster_affinity", "corpus_source_quality", "text_derep",
         "pack_balanced", "profile_drift", "sample_diverse",
-        "ice_object_storage", "dedup_sweep", "dedup_prefix"))
+        "ice_object_storage", "dedup_sweep", "dedup_prefix",
+        "decontaminate_cut"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

@@ -964,6 +964,16 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(97)) === 0),
         "doc_id", "text", n = 4)
     }),
+    "decontaminate_cut" -> ((s, dir) => {
+      // span-level decontamination: remove just the matched 4-token
+      // windows instead of dropping whole docs — the surgical form that
+      // keeps the book and cuts the quiz question
+      val d = t(s, dir, "documents")
+      Decontamination.cutSpans(
+        d.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text", n = 4)
+    }),
     "decontaminate_report" -> ((s, dir) => {
       // per-suite contamination decision table: three synthetic suites
       // (every 97th doc, labeled by doc_id%3), flagged-doc counts and
@@ -4547,6 +4557,31 @@ object SparkEntry {
         |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0)
         |SELECT DISTINCT g.doc_id AS doc_id FROM g JOIN bench USING (ng)
         |WHERE g.doc_id % 97 <> 0""".stripMargin,
+    // span surgery replayed: positional 4-grams, matched window
+    // positions, nested-lambda cut, single-space rebuild
+    "decontaminate_cut" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |b AS (SELECT DISTINCT unnest(list_transform(range(1, len(w) - 2),
+        |    i -> list_aggregate(w[i:i+3], 'string_agg', ' '))) AS ng
+        |  FROM t WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, w FROM t WHERE doc_id % 97 <> 0),
+        |g AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        |    list_aggregate(w[i:i+3], 'string_agg', ' ') AS ng
+        |  FROM tr, UNNEST(range(1, len(w) - 2)) AS r(i)),
+        |m AS (SELECT doc_id, list(pos) AS hits FROM g JOIN b USING (ng)
+        |  GROUP BY doc_id),
+        |k AS (SELECT tr.doc_id, tr.w, coalesce(m.hits, []) AS hits
+        |  FROM tr LEFT JOIN m USING (doc_id)),
+        |f AS (SELECT doc_id, w, list_filter(w, (x, j) ->
+        |    len(list_filter(hits, h -> (j - 1) >= h AND (j - 1) <= h + 3))
+        |      = 0) AS kept
+        |  FROM k)
+        |SELECT doc_id, array_to_string(kept, ' ') AS cleaned_text,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(w) - len(kept) AS BIGINT) AS n_cut
+        |FROM f""".stripMargin,
     // per-suite variant of the decontaminate oracle: same 4-gram
     // convention, suite = 's' || doc_id%3, zero-hit suites kept
     "decontaminate_report" ->

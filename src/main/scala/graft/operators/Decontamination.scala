@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
 
 /** Benchmark decontamination: flag training documents that share any
   * word n-gram with an evaluation/benchmark set (the standard 13-gram
@@ -70,6 +70,58 @@ object Decontamination {
       .filter(mightContain(col("ng")))
       .join(bg, Seq("ng"), "leftsemi")
       .select(col("doc_id")).distinct()
+  }
+
+  /** POSITIONAL n-grams (one entry per window, index-aligned with the
+    * token array) — [[wordNgrams]] minus the distinct, for span math. */
+  private[graft] def wordNgramsPositional(textC: Column, n: Int): Column = {
+    val w = split(trim(textC), "\\s+")
+    val cnt = size(w) - (n - 1)
+    when(size(w) >= n,
+      (0 until n).map(o => slice(w, lit(o + 1), cnt))
+        .reduce((acc, p) => zip_with(acc, p, (a, b) => concat_ws(" ", a, b))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Span-level decontamination: instead of dropping every training doc
+    * that shares an n-gram with the benchmark ([[flagged]] — the blunt
+    * instrument), REMOVE just the matched n-token windows and keep the
+    * rest of the document. This is how pipelines avoid throwing away a
+    * whole book because one quiz question appears on page 312.
+    *
+    * Output text is rebuilt with single spaces (canonical whitespace —
+    * token-level surgery cannot preserve the original runs).
+    *
+    * Scale: bench n-grams broadcast (eval suites are MBs); the train side
+    * is a map-only positional-gram explode into that broadcast join, so
+    * only MATCHED (doc, pos) rows shuffle (groupBy doc, bounded by hits);
+    * the cut itself is one array HOF over the per-doc hit list. */
+  def cutSpans(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13): DataFrame = {
+    val bg = bench
+      .select(explode(wordNgrams(col(textCol), n)).as("ng")).distinct()
+    val toks = split(trim(col(textCol)), "\\s+")
+    val hits = train
+      .select(col(idCol).as("doc_id"),
+        posexplode(wordNgramsPositional(col(textCol), n))
+          .as(Seq("pos", "ng")))
+      .join(broadcast(bg), Seq("ng"))
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("hits"))
+    train
+      .select(col(idCol).as("doc_id"), toks.as("toks"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("hitsA",
+        coalesce(col("hits"), array().cast(ArrayType(IntegerType))))
+      .withColumn("kept", filter(col("toks"), (t, j) =>
+        size(filter(col("hitsA"), h => j >= h && j <= h + (n - 1))) === 0))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("cleaned_text"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_cut"))
   }
 
   /** doc_ids of `train` rows sharing at least one word `n`-gram with any

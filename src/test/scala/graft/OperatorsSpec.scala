@@ -604,6 +604,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!r(8L).getBoolean(7) && !r(8L).getBoolean(8), "required stopwords")
   }
 
+  test("cutSpans removes matched n-gram windows, keeps the rest") {
+    val train = Seq(
+      (1L, "keep one two three four keep2"), // middle 4-gram contaminated
+      (2L, "nothing matches here at all"),
+      (3L, "one two three four"),            // doc IS the contaminated gram
+    ).toDF("doc_id", "text")
+    val bench = Seq((9L, "xx one two three four yy")).toDF("doc_id", "text")
+    val r = Decontamination.cutSpans(train, bench, "doc_id", "text", n = 4)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) === (("keep keep2", 6L, 4L)))
+    assert(r(2L) === (("nothing matches here at all", 5L, 0L)))
+    assert(r(3L) === (("", 4L, 4L)))
+    // overlapping windows union their spans (doc 1 with two hits)
+    val t2 = Seq((7L, "a one two three four five b")).toDF("doc_id", "text")
+    val b2 = Seq((9L, "p one two three four q"), (10L, "p two three four five q"))
+      .toDF("doc_id", "text")
+    val r2 = Decontamination.cutSpans(t2, b2, "doc_id", "text", n = 4)
+      .collect().head
+    assert(r2.getString(1) === "a b" && r2.getLong(3) === 5L)
+  }
+
   test("prefix dups: truncations pair with their source, floor + cap hold") {
     val base = "alpha beta gamma delta epsilon zeta eta theta" // 45 chars
     val docs = Seq(
