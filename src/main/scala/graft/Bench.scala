@@ -223,7 +223,8 @@ object Bench {
     "corpus_overlap", "dedup_sweep", "cluster_affinity",
     "corpus_source_quality", "text_derep", "ice_object_storage",
     "pack_balanced", "profile_drift", "sample_diverse",
-    "meta_compaction_plan", "dedup_prefix", "decontaminate_cut")
+    "meta_compaction_plan", "dedup_prefix", "decontaminate_cut",
+    "ann_recall")
 
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —

@@ -1029,6 +1029,40 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 4), "vec_id", "embedding", 5)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
+    "ann_recall" -> ((s, dir) => {
+      // the ANN quality gate: recall@5 of a probe-1 IVF (cells = the
+      // deterministic integer k-means) against brute-force ground truth,
+      // per query — the measurement every approximate index must pass
+      // before it replaces the exact scan. Runs on a query SAMPLE (the
+      // production shape at 100 TB).
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val truth = Similarity
+        .bruteForceTopK(e, q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val cells = Clustering.kmeansAssign(e, "vec_id", "embedding",
+        k = 4, iters = 1)
+      val corpusC = e.join(cells, "vec_id")
+      val qC = q.join(cells, "vec_id").select(
+        col("vec_id").as("qid"), col("embedding").as("qv"), col("cluster"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val candTop = corpusC.join(qC, Seq("cluster"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+          graft.functions.vectors.cosineSim(col("qv"), col("embedding"))
+            .as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = truth.join(candTop, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+        .withColumn("recall", col("hits").cast(DoubleType) / 5)
+    }),
     "ann_hard_negatives" -> ((s, dir) => {
       // contrastive hard-negative mining: per anchor, the 3 most-similar
       // vectors of a DIFFERENT label — the negatives that actually move
@@ -3779,6 +3813,65 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 4)
         |WHERE rank <= 5""".stripMargin,
+    // brute truth + kmeans-cell probe-1 candidates + intersection count
+    "ann_recall" ->
+      """WITH truth AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                        CAST(c.embedding AS DOUBLE[])) DESC,
+        |          c.vec_id) AS rank
+        |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |    WHERE q.vec_id < 8)
+        |  WHERE rank <= 5),
+        |qz AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(x::DOUBLE * 1024) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, e AS c FROM qz WHERE vec_id < 4),
+        |d0 AS (SELECT qz.vec_id, qz.e, c0.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (qz.e[i] - c0.c[i]) * (qz.e[i] - c0.c[i]))) AS dist
+        |  FROM qz CROSS JOIN c0),
+        |a0 AS (SELECT vec_id, e, cid FROM (
+        |    SELECT vec_id, e, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d0) WHERE rn = 1),
+        |s1 AS (SELECT cid, i,
+        |    CAST(floor(sum(e[i])::DOUBLE / count(*)) AS BIGINT) AS v
+        |  FROM a0 CROSS JOIN range(1, 65) t(i) GROUP BY cid, i),
+        |c1 AS (SELECT cid, list(v ORDER BY i) AS c FROM s1 GROUP BY cid),
+        |d1 AS (SELECT qz.vec_id, c1.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (qz.e[i] - c1.c[i]) * (qz.e[i] - c1.c[i]))) AS dist
+        |  FROM qz CROSS JOIN c1),
+        |cells AS (SELECT vec_id, cid AS cluster FROM (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM d1) WHERE rn = 1),
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT qc.vec_id AS query_id, cc.vec_id AS neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY qc.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q2.embedding AS DOUBLE[]),
+        |                                        CAST(c2.embedding AS DOUBLE[])) DESC,
+        |          cc.vec_id) AS rank
+        |    FROM cells qc
+        |    JOIN cells cc ON qc.cluster = cc.cluster
+        |      AND qc.vec_id <> cc.vec_id
+        |    JOIN embeddings q2 ON q2.vec_id = qc.vec_id
+        |    JOIN embeddings c2 ON c2.vec_id = cc.vec_id
+        |    WHERE qc.vec_id < 8)
+        |  WHERE rank <= 5),
+        |hits AS (
+        |  SELECT t.query_id, CAST(count(*) AS BIGINT) AS hits
+        |  FROM truth t JOIN cand USING (query_id, neighbor_id)
+        |  GROUP BY t.query_id)
+        |SELECT q.vec_id AS query_id, coalesce(h.hits, 0) AS hits,
+        |  coalesce(h.hits, 0)::DOUBLE / 5 AS recall
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 8) q
+        |LEFT JOIN hits h ON h.query_id = q.vec_id""".stripMargin,
     "ann_hard_negatives" ->
       """SELECT anchor_id, neighbor_id, rank FROM (
         |  SELECT q.vec_id AS anchor_id, c.vec_id AS neighbor_id,
