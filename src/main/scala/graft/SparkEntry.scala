@@ -1240,6 +1240,19 @@ object SparkEntry {
           "\n").as("text"))
       TextAnalysis.lineDedup(lined, "doc_id", "text", "\n", minDocs = 2)
     }),
+    "text_mojibake" -> ((s, dir) => {
+      // encoding-artifact screen: the doc_id%13 slice is PLANTED with one
+      // of each corruption signature (U+FFFD, a Latin-1 re-decode pair,
+      // the curly-quote triple, a BEL control) — those docs must flag
+      // with exact counts, everything else scores clean
+      val d = t(s, dir, "documents")
+      val planted = d.withColumn("text",
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(col("text"),
+            lit(" caf\u00C3\u00A9 x\u00E2\u20AC\u2122y z\uFFFDw \u0007")))
+          .otherwise(col("text")))
+      TextAnalysis.mojibake(planted, "doc_id", "text")
+    }),
     "text_derep" -> ((s, dir) => {
       // within-doc de-repetition: docs are re-lined deterministically
       // (6 tokens per line), then each doc's own FIRST line is appended
@@ -4362,6 +4375,36 @@ object SparkEntry {
         |  coalesce(n_kept, 0) AS n_kept,
         |  coalesce(cleaned_text, '') AS cleaned_text
         |FROM toks t LEFT JOIN kept USING (doc_id)""".stripMargin,
+    // same planted corruption suffix (chr() codepoints), same RE2-safe
+    // signature patterns; // keeps the halved counts integer
+    "text_mojibake" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN
+        |      text || ' caf' || chr(195) || chr(169) || ' x' || chr(226)
+        |        || chr(8364) || chr(8482) || 'y z' || chr(65533) || 'w '
+        |        || chr(7)
+        |    ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(t) - length(regexp_replace(t, '\x{FFFD}', '', 'g'))
+        |    AS BIGINT) AS n_replacement,
+        |  CAST((length(t) - length(regexp_replace(t,
+        |    '\x{00C3}[\x{0080}-\x{00BF}]', '', 'g'))) // 2 AS BIGINT)
+        |    AS n_latin1_sigs,
+        |  CAST((length(t) - length(regexp_replace(t, '\x{00E2}\x{20AC}',
+        |    '', 'g'))) // 2 AS BIGINT) AS n_quote_sigs,
+        |  CAST(length(t) - length(regexp_replace(t,
+        |    '[\x{0001}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}-\x{009F}]',
+        |    '', 'g')) AS BIGINT) AS n_control,
+        |  (length(t) - length(regexp_replace(t, '\x{FFFD}', '', 'g')))
+        |    + (length(t) - length(regexp_replace(t,
+        |        '\x{00C3}[\x{0080}-\x{00BF}]', '', 'g'))) // 2
+        |    + (length(t) - length(regexp_replace(t, '\x{00E2}\x{20AC}',
+        |        '', 'g'))) // 2
+        |    + (length(t) - length(regexp_replace(t,
+        |        '[\x{0001}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}-\x{009F}]',
+        |        '', 'g'))) > 0 AS suspect
+        |FROM d""".stripMargin,
     // same re-lining + planted first-line repeat, then the duplicate-line
     // filter replayed with DuckDB's 1-based lambda index
     "text_derep" ->

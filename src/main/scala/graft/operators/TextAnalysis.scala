@@ -213,6 +213,38 @@ object TextAnalysis {
       (nDigit.cast(DoubleType) / nChars).as("digit_ratio"))
   }
 
+  /** Encoding-artifact (mojibake) detection: counts of the signatures a
+    * double-decoded or lossily-transcoded page leaves behind -- U+FFFD
+    * replacement chars, the U+00C3 / U+00E2-U+20AC bigrams a UTF-8 byte
+    * pair shows when re-decoded as Latin-1, and C0/C1 control chars --
+    * plus a verdict. The crawl-hygiene screen run before tokenization (a
+    * mojibake doc poisons n-gram stats and BPE merges). Map-only,
+    * precompiled regexes, codegen'd. */
+  def mojibake(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nRepl = length(t) - length(regexp_replace(t, "\uFFFD", ""))
+    // Latin-1 re-decode signatures: U+00C3 followed by a char in the
+    // re-decoded UTF-8 continuation range, and the U+00E2 U+20AC pair
+    // (curly quotes / dashes double-decoded)
+    val nLatin =
+      (length(t) - length(regexp_replace(t, "\u00C3[\u0080-\u00BF]", ""))) / 2
+    val nQuote =
+      (length(t) - length(regexp_replace(t, "\u00E2\u20AC", ""))) / 2
+    // C0/C1 controls except tab / newline / carriage-return
+    val nCtrl = length(t) - length(regexp_replace(t,
+      "[\u0000-\u0008\u000B\u000C\u000E-\u001F\u007F-\u009F]", ""))
+    df.select(
+      col(idCol),
+      nRepl.cast(LongType).as("n_replacement"),
+      nLatin.cast(LongType).as("n_latin1_sigs"),
+      nQuote.cast(LongType).as("n_quote_sigs"),
+      nCtrl.cast(LongType).as("n_control"),
+      (nRepl + nLatin + nQuote + nCtrl > 0).as("suspect"))
+  }
+
   /** Heuristic language ID (marker stopwords + CJK codepoint ranges). */
   def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), text.langId(col(textCol)).as("lang_pred"))

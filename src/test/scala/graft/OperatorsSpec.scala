@@ -604,6 +604,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!r(8L).getBoolean(7) && !r(8L).getBoolean(8), "required stopwords")
   }
 
+  test("mojibake counts each corruption signature, clean text passes") {
+    val docs = Seq(
+      (1L, "perfectly clean ascii text"),
+      (2L, "caf\u00C3\u00A9 and caf\u00C3\u00A9 again"), // two latin-1 pairs
+      (3L, "it\u00E2\u20AC\u2122s \uFFFDbad \u0007\u0007")  // quote+repl+2 ctrl
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.mojibake(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          x.getBoolean(5)))).toMap
+    assert(r(1L) === ((0L, 0L, 0L, 0L, false)))
+    assert(r(2L) === ((0L, 2L, 0L, 0L, true)))
+    assert(r(3L) === ((1L, 0L, 1L, 2L, true)))
+  }
+
   test("cutSpans removes matched n-gram windows, keeps the rest") {
     val train = Seq(
       (1L, "keep one two three four keep2"), // middle 4-gram contaminated
