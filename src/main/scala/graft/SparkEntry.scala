@@ -1312,6 +1312,39 @@ object SparkEntry {
       // per-source corpus composition: docs/tokens/chars + token share
       Profiling.corpusStats(t(s, dir, "documents"), "source", "text")
     }),
+    "select_calibration" -> ((s, dir) => {
+      // threshold calibration: score deciles x label counts -> per-bucket
+      // positive rate and cumulative precision/recall from the TOP bucket
+      // down — the table that picks the filter threshold AFTER select_auc
+      // says the scorer separates. Score = English-stopword ratio, label
+      // = lang'en'; deciles via the exact distributed prefix rank; the
+      // cumulative window runs over the 10-row AGGREGATE, not the data.
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+      val toks = split(trim(col("text")), "\\s+")
+      val nStop = size(filter(toks, tok =>
+        tok.isin("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")))
+      val scored = d.select(
+        col("doc_id"),
+        (nStop.cast(DoubleType) / size(toks)).as("score"),
+        (col("lang") === "en").as("pos"))
+      val buckets = Selection.quantileBuckets(scored, "doc_id", "score", 10)
+      val agg = scored.join(buckets, "doc_id")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("docs"),
+          sum(col("pos").cast("long")).as("pos"))
+      val w = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      agg
+        .withColumn("cdocs", sum("docs").over(w))
+        .withColumn("cpos", sum("pos").over(w))
+        .withColumn("tpos", sum("pos").over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("bucket"), col("docs"), col("pos"),
+          (col("pos").cast(DoubleType) / col("docs")).as("pos_rate"),
+          (col("cpos").cast(DoubleType) / col("cdocs")).as("cum_precision"),
+          (col("cpos").cast(DoubleType) / col("tpos")).as("cum_recall"))
+    }),
     "corpus_overlap" -> ((s, dir) => {
       // cross-source duplicate-leakage matrix. The synthesizer's exact
       // duplicates stay within one source, so a mirror source is
@@ -4776,6 +4809,36 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, CAST((10 * (rk - 1)) // n AS BIGINT) AS bucket
         |FROM r""".stripMargin,
+    // same stopword score, same NTILE-form deciles, cumulative from the
+    // top bucket down
+    "select_calibration" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x IN ('the','a','an','and','of','to','in','is','it','that')))
+        |      AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+'))
+        |      AS score,
+        |    lang = 'en' AS pos
+        |  FROM documents),
+        |r AS (SELECT doc_id, score, pos,
+        |    row_number() OVER (ORDER BY score, doc_id) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM s),
+        |b AS (SELECT CAST((10 * (rk - 1)) // n AS BIGINT) AS bucket, pos
+        |  FROM r),
+        |a AS (SELECT bucket, CAST(count(*) AS BIGINT) AS docs,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM b GROUP BY bucket),
+        |c AS (SELECT bucket, docs, pos,
+        |    sum(docs) OVER (ORDER BY bucket DESC) AS cdocs,
+        |    sum(pos) OVER (ORDER BY bucket DESC) AS cpos,
+        |    sum(pos) OVER () AS tpos
+        |  FROM a)
+        |SELECT bucket, docs, pos,
+        |  pos::DOUBLE / docs AS pos_rate,
+        |  cpos::DOUBLE / cdocs AS cum_precision,
+        |  cpos::DOUBLE / tpos AS cum_recall
+        |FROM c""".stripMargin,
     "corpus_stats" ->
       """WITH g AS (
         |  SELECT source, count(*) AS n_docs,
