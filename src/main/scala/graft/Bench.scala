@@ -224,7 +224,8 @@ object Bench {
     "corpus_source_quality", "text_derep", "ice_object_storage",
     "pack_balanced", "profile_drift", "sample_diverse",
     "meta_compaction_plan", "dedup_prefix", "decontaminate_cut",
-    "ann_recall", "text_mojibake", "select_calibration")
+    "ann_recall", "text_mojibake", "select_calibration",
+    "text_langmix")
 
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —

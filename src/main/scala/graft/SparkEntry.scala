@@ -1240,6 +1240,27 @@ object SparkEntry {
           "\n").as("text"))
       TextAnalysis.lineDedup(lined, "doc_id", "text", "\n", minDocs = 2)
     }),
+    "text_langmix" -> ((s, dir) => {
+      // mixed-language detection: language-ID each HALF of the doc —
+      // halves that disagree (both confidently) expose concatenated
+      // multi-language junk a whole-doc vote hides. The doc_id%19 slice
+      // is PLANTED with a 1200-word French tail.
+      val d = t(s, dir, "documents")
+      val planted = d.withColumn("text",
+        when(pmod(col("doc_id"), lit(19)) === 0,
+          concat(col("text"), repeat(lit(" le la de et est une"), 200)))
+          .otherwise(col("text")))
+      val w = split(trim(lower(col("text"))), "\\s+")
+      val n2 = (size(w) / 2).cast(IntegerType)
+      val ha = array_join(slice(w, lit(1), n2), " ")
+      val hb = array_join(slice(w, n2 + 1, size(w)), " ")
+      planted.select(col("doc_id"),
+        text.langId(ha).as("lang_a"),
+        text.langId(hb).as("lang_b"))
+        .withColumn("mixed",
+          col("lang_a") =!= col("lang_b") &&
+            col("lang_a") =!= "und" && col("lang_b") =!= "und")
+    }),
     "text_mojibake" -> ((s, dir) => {
       // encoding-artifact screen: the doc_id%13 slice is PLANTED with one
       // of each corruption signature (U+FFFD, a Latin-1 re-decode pair,
@@ -4408,6 +4429,45 @@ object SparkEntry {
         |  coalesce(n_kept, 0) AS n_kept,
         |  coalesce(cleaned_text, '') AS cleaned_text
         |FROM toks t LEFT JOIN kept USING (doc_id)""".stripMargin,
+    // same planted tail, same half split, the langid stopword vote
+    // replayed per half
+    "text_langmix" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 19 = 0 THEN
+        |      text || repeat(' le la de et est une', 200)
+        |    ELSE text END AS text
+        |  FROM documents),
+        |base AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM d),
+        |h AS (
+        |  SELECT doc_id, 'a' AS side, w[1:(len(w) // 2)] AS hw FROM base
+        |  UNION ALL
+        |  SELECT doc_id, 'b', w[(len(w) // 2) + 1:len(w)] FROM base),
+        |sc AS (SELECT doc_id, side,
+        |    len(list_filter(hw, x -> x IN ('the','and','of','to','is','in','that','it','was','for','with','not','this'))) AS s_en,
+        |    len(list_filter(hw, x -> x IN ('le','la','les','de','des','et','est','une','un','dans','que','pour','pas'))) AS s_fr,
+        |    len(list_filter(hw, x -> x IN ('el','la','los','las','de','y','es','en','que','un','una','por','con','no'))) AS s_es,
+        |    len(list_filter(hw, x -> x IN ('der','die','das','und','ist','in','von','den','mit','nicht','ein','eine','zu'))) AS s_de,
+        |    len(list_filter(hw, x -> x IN ('il','la','di','che','e','un','una','per','non','sono','con','del'))) AS s_it,
+        |    len(list_filter(hw, x -> x IN ('o','a','os','as','de','que','e','um','uma','para','com','nao'))) AS s_pt
+        |  FROM h),
+        |l AS (SELECT doc_id, side,
+        |  CASE WHEN GREATEST(s_en,s_fr,s_es,s_de,s_it,s_pt) = 0 THEN 'und'
+        |       WHEN s_en = GREATEST(s_en,s_fr,s_es,s_de,s_it,s_pt) THEN 'en'
+        |       WHEN s_fr = GREATEST(s_en,s_fr,s_es,s_de,s_it,s_pt) THEN 'fr'
+        |       WHEN s_es = GREATEST(s_en,s_fr,s_es,s_de,s_it,s_pt) THEN 'es'
+        |       WHEN s_de = GREATEST(s_en,s_fr,s_es,s_de,s_it,s_pt) THEN 'de'
+        |       WHEN s_it = GREATEST(s_en,s_fr,s_es,s_de,s_it,s_pt) THEN 'it'
+        |       ELSE 'pt' END AS lang
+        |  FROM sc),
+        |p AS (SELECT doc_id,
+        |    max(CASE WHEN side = 'a' THEN lang END) AS lang_a,
+        |    max(CASE WHEN side = 'b' THEN lang END) AS lang_b
+        |  FROM l GROUP BY doc_id)
+        |SELECT doc_id, lang_a, lang_b,
+        |  lang_a <> lang_b AND lang_a <> 'und' AND lang_b <> 'und' AS mixed
+        |FROM p""".stripMargin,
     // same planted corruption suffix (chr() codepoints), same RE2-safe
     // signature patterns; // keeps the halved counts integer
     "text_mojibake" ->
