@@ -2640,6 +2640,31 @@ object SparkEntry {
         """SELECT content, CAST(SUM(record_count) AS BIGINT) AS record_count
           |FROM graft.db.mall.all_files GROUP BY content""".stripMargin)
     }),
+    "sql_branch_ident" -> ((s, dir) => {
+      // the Iceberg ref-scoped identifier surface: INSERT INTO
+      // db.t.branch_x commits to the branch (main untouched), SELECT
+      // FROM db.t.branch_x reads its head
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.brident")
+      s.sql(
+        """CREATE TABLE graft.db.brident
+          |(o_orderkey BIGINT, o_totalprice DOUBLE)""".stripMargin)
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("brident_src_gq")
+      s.sql("INSERT INTO graft.db.brident SELECT * FROM brident_src_gq")
+      s.sql("ALTER TABLE graft.db.brident CREATE BRANCH audit")
+      s.sql(
+        """INSERT INTO graft.db.brident.branch_audit
+          |SELECT * FROM brident_src_gq WHERE o_orderkey % 7 = 0""".stripMargin)
+      val mainCnt = s.sql("SELECT count(*) FROM graft.db.brident")
+        .collect()(0).getLong(0)
+      val srcCnt = s.table("brident_src_gq").count()
+      require(mainCnt == srcCnt, s"branch write leaked to main: $mainCnt")
+      s.sql("SELECT * FROM graft.db.brident.branch_audit")
+    }),
     "meta_compaction_plan" -> ((s, dir) => {
       // maintenance planning: which partitions hold small files worth a
       // rewrite — the report a 100 TB table's compaction scheduler runs
@@ -5575,6 +5600,11 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1""".stripMargin,
     "meta_partitions" ->
       "SELECT l_returnflag, COUNT(*) AS record_count FROM lineitem GROUP BY 1",
+    "sql_branch_ident" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 7 = 0""".stripMargin,
     // the 4096-record rolling cut makes file counts a pure function of
     // per-partition row counts
     "meta_compaction_plan" ->

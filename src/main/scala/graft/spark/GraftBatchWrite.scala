@@ -107,7 +107,8 @@ class GraftWrite(
     table: GraftTable,
     overwriteAll: Boolean,
     overwriteCond: Option[Column],
-    dynamic: Boolean)
+    dynamic: Boolean,
+    writeBranch: Option[String] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   private val metadata = table.metadata
@@ -181,7 +182,7 @@ class GraftWrite(
   }
 
   override def toBatch: BatchWrite = new GraftBatchWrite(
-    table, overwriteAll, overwriteCond, dynamic)
+    table, overwriteAll, overwriteCond, dynamic, writeBranch)
 
   override def supportedCustomMetrics(): Array[CustomMetric] =
     Array(new RowsWrittenMetric)
@@ -204,7 +205,8 @@ class GraftBatchWrite(
     table: GraftTable,
     overwriteAll: Boolean,
     overwriteCond: Option[Column],
-    dynamic: Boolean)
+    dynamic: Boolean,
+    writeBranch: Option[String] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -288,7 +290,8 @@ class GraftBatchWrite(
         // Iceberg session-property convention). Row-level ops (MERGE /
         // DELETE / filtered overwrite) intentionally don't stage: their
         // delete files reference main's current files.
-        val wap = spark.conf.getOption("spark.wap.branch").map(_.trim).filter(_.nonEmpty)
+        val wap = writeBranch.orElse(
+          spark.conf.getOption("spark.wap.branch").map(_.trim).filter(_.nonEmpty))
         if (overwriteAll)
           table.commit(spark, "overwrite", files, Nil, replace = true, branch = wap)
         else

@@ -103,7 +103,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // metadata view of `db.t` (see GraftMetadataTables)
         val kind = ident.name().toLowerCase(java.util.Locale.ROOT)
         val ns = ident.namespace()
-        if (ns.length >= 1 && GraftMetadataTables.Kinds.contains(kind)) {
+        if (ns.length >= 1 &&
+          (ident.name().startsWith("branch_") || ident.name().startsWith("tag_"))) {
+          // `db.t.branch_x` / `db.t.tag_x`: the Iceberg ref-scoped
+          // identifier form - reads pin to the ref head; branch
+          // identifiers also accept appends/overwrites (committed to the
+          // branch), tags refuse writes
+          val isBranch = ident.name().startsWith("branch_")
+          val ref = ident.name().stripPrefix(if (isBranch) "branch_" else "tag_")
+          val parent = Identifier.of(ns.init, ns.last)
+          val t =
+            try loadGraftTable(parent)
+            catch {
+              case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException =>
+                throw e
+            }
+          val r = t.metadata.refs.getOrElse(ref, throw e)
+          new GraftV2Table(t, Some(r.snapshotId), None,
+            writeBranch = if (isBranch) Some(ref) else None,
+            refReadOnly = !isBranch)
+        } else if (ns.length >= 1 && GraftMetadataTables.Kinds.contains(kind)) {
           val parent = Identifier.of(ns.init, ns.last)
           // only a MISSING parent falls back to the original error —
           // corrupt metadata / IO failures must surface, not masquerade
@@ -641,15 +660,24 @@ class GraftStagedV2Table(
 class GraftV2Table(
     val table: GraftTable,
     snapshotId: Option[Long],
-    asOfTimestampMs: Option[Long])
+    asOfTimestampMs: Option[Long],
+    writeBranch: Option[String] = None,
+    refReadOnly: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
+  private def requireMain(op: String): Unit =
+    if (writeBranch.isDefined || refReadOnly)
+      sys.error(s"$op on a branch/tag identifier is not supported - " +
+        "run it against the table and publish with fast_forward")
+
   /** TRUNCATE TABLE: metadata-only drop-everything snapshot */
-  override def truncateTable(): Boolean = { table.truncate(); true }
+  override def truncateTable(): Boolean = {
+    requireMain("TRUNCATE"); table.truncate(); true
+  }
 
   /** UPDATE / MERGE INTO / subquery DELETE. The write mode decides the
     * shape: `merge-on-read` (the default — matched rows become position
@@ -663,6 +691,7 @@ class GraftV2Table(
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    requireMain("a row-level operation")
     import org.apache.spark.sql.connector.write.RowLevelOperation.Command
     val prop = info.command() match {
       case Command.DELETE => "write.delete.mode"
@@ -796,8 +825,11 @@ class GraftV2Table(
       schema(), onlyFiles, startSnap)
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(table)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (refReadOnly)
+      sys.error(s"${name()}: a tag is immutable - writes need a branch")
+    new GraftWriteBuilder(table, writeBranch)
+  }
 }
 
 object GraftV2Table {
@@ -1382,7 +1414,7 @@ object FilterToColumn {
   }
 }
 
-class GraftWriteBuilder(table: GraftTable)
+class GraftWriteBuilder(table: GraftTable, writeBranch: Option[String] = None)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
@@ -1409,5 +1441,5 @@ class GraftWriteBuilder(table: GraftTable)
   override def overwriteDynamicPartitions(): WriteBuilder = { dynamic = true; this }
 
   override def build(): Write =
-    new GraftWrite(table, overwriteAll, overwriteCond, dynamic)
+    new GraftWrite(table, overwriteAll, overwriteCond, dynamic, writeBranch)
 }

@@ -646,4 +646,43 @@ class CatalogSpec extends AnyFunSuite {
     assert(scanOrdering(un).isEmpty)
     assert(hasSort(un))
   }
+
+  test("branch_/tag_ identifiers: ref-scoped reads, branch writes, tag immutability") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.refid")
+    spark.sql("CREATE TABLE graft.db.refid (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.refid VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE graft.db.refid CREATE BRANCH audit")
+    spark.sql("ALTER TABLE graft.db.refid CREATE TAG v1")
+
+    // a write through the branch identifier stays off main
+    spark.sql("INSERT INTO graft.db.refid.branch_audit VALUES (3, 'c')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.refid").collect()(0).getLong(0) === 2)
+    assert(spark.sql("SELECT count(*) FROM graft.db.refid.branch_audit")
+      .collect()(0).getLong(0) === 3)
+    assert(spark.sql("SELECT count(*) FROM graft.db.refid.tag_v1")
+      .collect()(0).getLong(0) === 2)
+    // equivalent to the VERSION AS OF form
+    assert(spark.sql("SELECT count(*) FROM graft.db.refid VERSION AS OF 'audit'")
+      .collect()(0).getLong(0) === 3)
+
+    // publish and confirm main catches up
+    spark.sql("CALL graft.system.fast_forward('db.refid', 'main', 'audit')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.refid").collect()(0).getLong(0) === 3)
+
+    // a tag refuses writes; row-level ops refuse the ref form
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT INTO graft.db.refid.tag_v1 VALUES (9, 'x')")
+    }
+    assert(e1.getMessage.contains("immutable"))
+    val e2 = intercept[Exception] {
+      spark.sql("DELETE FROM graft.db.refid.branch_audit WHERE k = 1")
+    }
+    assert(e2.getMessage != null)
+    // an unknown ref surfaces as no-such-table, not a silent main read
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.db.refid.branch_nope").collect()
+    }
+    assert(e3.getMessage.toLowerCase.contains("table"))
+  }
 }
