@@ -842,6 +842,26 @@ object SparkEntry {
       Dedup.resolveDuplicates(docs, "doc_id", comps)
         .select(col("doc_id"), col("lang"))
     }),
+    "dedup_stats" -> ((s, dir) => {
+      // per-source dedup impact accounting: the report reviewed AFTER a
+      // dedup pass and BEFORE the cut ships — which sources lose how
+      // much (a source bleeding 40% is a crawler bug, not a cleanup)
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text", shingleSize = 2,
+        bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4)
+        .select(col("a"), col("b"))
+      val comps = Dedup.connectedComponents(pairs, "a", "b")
+      val kept = Dedup.resolveDuplicates(docs, "doc_id", comps)
+        .select(col("doc_id"), lit(1L).as("k"))
+      docs.select(col("doc_id"), col("source"))
+        .join(kept, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(coalesce(col("k"), lit(0L))).as("kept"))
+        .withColumn("dropped", col("docs") - col("kept"))
+        .withColumn("drop_rate",
+          col("dropped").cast(DoubleType) / col("docs"))
+    }),
     // ---- pipeline ops: sampling / packing / decontamination ----
     "sample_stratified" -> ((s, dir) => {
       // data-mix sampling: keep 25% of English, 50% of everything else,
@@ -4737,6 +4757,34 @@ object SparkEntry {
         |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
         |SELECT doc_id, lang FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE component <> id)""".stripMargin,
+    // the dedup_resolve recursive-CTE components + a per-source rollup
+    "dedup_stats" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        |pr AS (SELECT a, b FROM p WHERE jaccard >= 0.4),
+        |edges AS (SELECT a AS s, b AS d FROM pr UNION SELECT b AS s, a AS d FROM pr),
+        |reach AS (
+        |  SELECT s AS id, s AS r FROM edges
+        |  UNION
+        |  SELECT e.s AS id, reach.r AS r FROM edges e JOIN reach ON e.d = reach.id),
+        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        |k AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id NOT IN (SELECT id FROM comp WHERE component <> id)
+        |      THEN 1 ELSE 0 END AS kept
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(kept) AS BIGINT) AS kept,
+        |  CAST(count(*) - sum(kept) AS BIGINT) AS dropped,
+        |  (count(*) - sum(kept))::DOUBLE / count(*) AS drop_rate
+        |FROM k GROUP BY source""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
