@@ -225,7 +225,8 @@ object Bench {
     "pack_balanced", "profile_drift", "sample_diverse",
     "meta_compaction_plan", "dedup_prefix", "decontaminate_cut",
     "ann_recall", "text_mojibake", "select_calibration",
-    "text_langmix", "sql_branch_ident", "dedup_stats")
+    "text_langmix", "sql_branch_ident", "dedup_stats",
+    "pack_efficiency")
 
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —

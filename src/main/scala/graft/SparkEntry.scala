@@ -876,6 +876,28 @@ object SparkEntry {
         size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
       Packing.packGreedy(toks, "doc_id", "n_tokens", budgetTokens = 2000L)
     }),
+    "pack_efficiency" -> ((s, dir) => {
+      // packing-policy governance: padding waste of one-doc-per-sequence
+      // vs concat-and-split at a 512 context — the two ends of the
+      // packing spectrum, quantified before choosing (the middle —
+      // greedy whole-doc packing — is pack_sequences). One aggregate
+      // row, integer arithmetic, two output rows.
+      val d = t(s, dir, "documents")
+      val toks = d.select(
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("n"))
+      val a = toks.agg(
+        sum(col("n")).as("total"),
+        sum(expr("(n + 511) div 512")).as("seq_per_doc")).head()
+      val (total, perDoc) = (a.getLong(0), a.getLong(1))
+      val concatSeq = (total + 511) / 512
+      import s.implicits._
+      Seq(
+        ("per_doc", perDoc, perDoc * 512 - total,
+          total.toDouble / (perDoc * 512)),
+        ("concat_split", concatSeq, concatSeq * 512 - total,
+          total.toDouble / (concatSeq * 512)))
+        .toDF("packer", "n_sequences", "pad_tokens", "fill_rate")
+    }),
     "pack_concat" -> ((s, dir) => {
       // concat-and-split packing: the doc-id-ordered token stream cut
       // into exactly-full 512-token sequences, each doc mapped to its
@@ -4801,6 +4823,24 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, n_tokens,
         |  CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id FROM c""".stripMargin,
+    // same integer ceilings, one aggregate, two literal rows
+    "pack_efficiency" ->
+      """WITH t AS (
+        |  SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |    AS n
+        |  FROM documents),
+        |a AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+        |    CAST(sum((n + 511) // 512) AS BIGINT) AS seq_per_doc
+        |  FROM t)
+        |SELECT 'per_doc' AS packer, seq_per_doc AS n_sequences,
+        |  seq_per_doc * 512 - total AS pad_tokens,
+        |  total::DOUBLE / (seq_per_doc * 512) AS fill_rate
+        |FROM a
+        |UNION ALL
+        |SELECT 'concat_split', (total + 511) // 512,
+        |  ((total + 511) // 512) * 512 - total,
+        |  total::DOUBLE / (((total + 511) // 512) * 512)
+        |FROM a""".stripMargin,
     "pack_concat" ->
       """WITH t AS (
         |  SELECT doc_id,
