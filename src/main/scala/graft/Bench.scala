@@ -380,7 +380,13 @@ object Bench {
         "cluster_affinity", "corpus_source_quality", "text_derep",
         "pack_balanced", "profile_drift", "sample_diverse",
         "ice_object_storage", "dedup_sweep", "dedup_prefix",
-        "decontaminate_cut"))
+        "decontaminate_cut",
+        // last wave: recall eval (brute truth is the quadratic side --
+        // query-sample-bounded), mojibake + langmix are map-only, the
+        // calibration table windows over 10 aggregate rows, dedup_stats
+        // rides the LSH pipeline + one rollup
+        "ann_recall", "text_mojibake", "text_langmix",
+        "select_calibration", "dedup_stats", "pack_efficiency"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }
