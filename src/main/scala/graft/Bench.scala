@@ -226,7 +226,10 @@ object Bench {
     "meta_compaction_plan", "dedup_prefix", "decontaminate_cut",
     "ann_recall", "text_mojibake", "select_calibration",
     "text_langmix", "sql_branch_ident", "dedup_stats",
-    "pack_efficiency")
+    "pack_efficiency",
+    // last wave: the C4 line/page filter (map-only) and the DoReMi
+    // mixture-weight table (one bounded aggregate)
+    "text_c4", "mix_domain_weights")
 
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —

@@ -377,6 +377,52 @@ object Selection {
       defaultFraction = 0.0, salt = salt)
   }
 
+  /** Domain reweighting table (the DoReMi-style "what mixture should I
+    * train on" artifact): per domain, the observed token share and the
+    * multiplicative sampling weight that moves the mix to a TARGET
+    * distribution — uniform across domains unless explicit target shares
+    * are given. `weight_d = target_share_d / observed_share_d`, so
+    * feeding these weights to [[mixtureSample]] / [[epochMixture]]
+    * reproduces the target mix exactly; `weight > 1` marks domains that
+    * need upsampling, `< 1` downsampling.
+    *
+    * Scale: ONE map-side-combined aggregate (output rows bounded by the
+    * domain vocabulary) plus a broadcast one-row total — nothing about
+    * the corpus shuffles, no driver collect. Every share/weight is a
+    * single division of exactly-aggregated integers rounded at 1e-6, so
+    * engines agree bit-for-bit. */
+  def domainWeights(
+      df: DataFrame,
+      domainCol: String,
+      tokenCount: Column,
+      targets: Map[String, Double] = Map.empty): DataFrame = {
+    val hist = df.groupBy(col(domainCol).as("domain")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCount.cast(LongType)).as("n_tokens"))
+    val tot = hist.agg(
+      sum(col("n_tokens")).as("_total"),
+      count(lit(1)).as("_nd"))
+    val targetShare: Column =
+      if (targets.isEmpty) lit(1.0) / col("_nd")
+      else {
+        val wSum = targets.values.sum
+        require(math.abs(wSum - 1.0) < 1e-9, s"target shares must sum to 1, got $wSum")
+        coalesce(
+          element_at(
+            typedLit(targets),
+            col("domain")),
+          lit(0.0))
+      }
+    hist.crossJoin(broadcast(tot))
+      .select(
+        col("domain"),
+        col("n_docs"),
+        col("n_tokens"),
+        round(col("n_tokens").cast(DoubleType) / col("_total"), 6).as("tok_share"),
+        round(targetShare, 6).as("target_share"),
+        round(targetShare * col("_total") / col("n_tokens"), 6).as("weight"))
+  }
+
   /** Temperature-scaled mixture (the "sample domains by size^(1/T)"
     * recipe): target weights are derived FROM the corpus itself,
     * w_d ∝ tokens_d^(1/T), instead of being hand-specified — T = 1

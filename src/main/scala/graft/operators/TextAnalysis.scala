@@ -463,4 +463,48 @@ object TextAnalysis {
       textCol: String,
       window: Int = 32): DataFrame =
     df.select(col(idCol), text.fingerprint(col(textCol), window).as("fingerprint"))
+
+  /** The published C4 cleaning rules (Raffel et al. 2020 §2.2), the OTHER
+    * canonical web filter next to [[gopherRules]] — C4 is line-level
+    * where Gopher is ratio-level, so pipelines run both. Deterministic
+    * subset, applied exactly as published:
+    *
+    *  - a LINE is retained only if it ends in terminal punctuation
+    *    (`.` `!` `?` `"`), has >= 5 words, and does not contain the word
+    *    "javascript" (case-insensitive);
+    *  - the PAGE is dropped if it contains `{` (code), contains
+    *    "lorem ipsum" (boilerplate, case-insensitive), or retains fewer
+    *    than 3 sentences (sentence = terminal-punctuation occurrence in
+    *    the retained lines).
+    *
+    * Emits per-line evidence (`n_lines`, `n_lines_kept`), the retained
+    * character count, per-rule booleans and the page verdict. Map-only
+    * over codegen'd builtins (split/filter/size/regexp) — no shuffle, no
+    * UDF; linear in input bytes at any scale. */
+  def c4Rules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => length(l) > 0)
+    def lineKept(l: Column): Column = {
+      val words = size(filter(split(l, "\\s+"), w => length(w) > 0))
+      l.rlike("[.!?\"]$") && words >= 5 && !lower(l).contains("javascript")
+    }
+    val kept = filter(lines, lineKept _)
+    val keptText = array_join(kept, "\n")
+    // sentence count over RETAINED text only — C4 counts what survives
+    val nSent = (length(keptText) -
+      length(regexp_replace(keptText, "[.!?]", ""))).cast(LongType)
+    val rBrace = !t.contains("{")
+    val rLorem = !lower(t).contains("lorem ipsum")
+    val rSent = nSent >= 3
+    df.select(
+      col(idCol),
+      size(lines).cast(LongType).as("n_lines"),
+      size(kept).cast(LongType).as("n_lines_kept"),
+      length(keptText).cast(LongType).as("kept_chars"),
+      nSent.as("n_sentences"),
+      rBrace.as("r_no_brace"),
+      rLorem.as("r_no_lorem"),
+      rSent.as("r_min_sentences"),
+      (rBrace && rLorem && rSent).as("pass"))
+  }
 }

@@ -604,6 +604,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!r(8L).getBoolean(7) && !r(8L).getBoolean(8), "required stopwords")
   }
 
+  test("c4 rules: line retention, sentence floor, brace and lorem page drops") {
+    val goodLine = "This line has more than five words and ends properly."
+    val docs = Seq(
+      (1L, Seq(goodLine, goodLine, goodLine).mkString("\n")), // 3 sentences: pass
+      (2L, Seq(goodLine, "short line.", goodLine).mkString("\n")), // <5 words line drops -> 2 sentences
+      (3L, Seq(goodLine, "no terminal punctuation here at all", goodLine).mkString("\n")),
+      (4L, Seq(goodLine, "Enable javascript to view this page now.", goodLine,
+        goodLine).mkString("\n")), // javascript line drops, still 3 kept
+      (5L, Seq(goodLine, goodLine, goodLine).mkString("\n") + " {"), // brace page-drop
+      (6L, "Lorem Ipsum dolor sit amet consectetur adipiscing elit.\n" +
+        goodLine + "\n" + goodLine + "\n" + goodLine) // lorem page-drop
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.c4Rules(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getBoolean(8), "3 clean sentences pass")
+    assert(r(1L).getLong(2) === 3L && r(1L).getLong(4) === 3L)
+    assert(r(2L).getLong(2) === 2L && !r(2L).getBoolean(8),
+      "short line drops, sentence floor fails the page")
+    assert(r(3L).getLong(2) === 2L && !r(3L).getBoolean(8),
+      "unterminated line drops")
+    assert(r(4L).getLong(1) === 4L && r(4L).getLong(2) === 3L &&
+      r(4L).getBoolean(8), "javascript line drops but the page survives")
+    assert(!r(5L).getBoolean(5) && !r(5L).getBoolean(8), "brace drops the page")
+    assert(!r(6L).getBoolean(6) && !r(6L).getBoolean(8),
+      "lorem ipsum drops the page (case-insensitive)")
+  }
+
   test("mojibake counts each corruption signature, clean text passes") {
     val docs = Seq(
       (1L, "perfectly clean ascii text"),
@@ -1244,6 +1271,33 @@ class OperatorsSpec extends AnyFunSuite {
       s"high temperature must favor the small domain ($rateSmall vs $rateBig)")
     intercept[IllegalArgumentException] {
       Selection.temperatureMixture(rows, "doc_id", "source", "n_tokens", 0.0, 0.5)
+    }
+  }
+
+  test("domain weights: uniform target inverts the observed token share") {
+    val rows = Seq(
+      (1L, "web", "a b c d e f"), (2L, "web", "g h"),     // 8 tokens
+      (3L, "wiki", "i j"),                                 // 2 tokens
+      (4L, "code", "k l m n o p q r s t")                  // 10 tokens
+    ).toDF("doc_id", "source", "text")
+    val out = Selection.domainWeights(rows, "source",
+      graft.functions.text.tokenCount($"text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out("web") === ((2L, 8L, 0.4, 0.333333, 0.833333)))
+    assert(out("wiki") === ((1L, 2L, 0.1, 0.333333, 3.333333)))
+    assert(out("code") === ((1L, 10L, 0.5, 0.333333, 0.666667)))
+    // explicit target shares override uniform; weight>1 flags upsampling
+    val tgt = Selection.domainWeights(rows, "source",
+      graft.functions.text.tokenCount($"text"),
+      targets = Map("web" -> 0.5, "wiki" -> 0.25, "code" -> 0.25))
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(tgt("web") === 1.25 && tgt("wiki") === 2.5 && tgt("code") === 0.5)
+    intercept[IllegalArgumentException] {
+      Selection.domainWeights(rows, "source",
+        graft.functions.text.tokenCount($"text"),
+        targets = Map("web" -> 0.9)).collect()
     }
   }
 

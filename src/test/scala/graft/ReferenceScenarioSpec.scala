@@ -263,4 +263,72 @@ class ReferenceScenarioSpec extends AnyFunSuite {
         assert(tuples.size > 1, s"$name: expected multiple partitions")
     }
   }
+
+  test("reference insert_compact_test: 100 task writes per commit, then compaction") {
+    // icelake/tests/insert_compact_test.rs — TIMES(=100) append-only task
+    // writers each close into their own data files, ONE Transaction
+    // commits them all (`tx.append_data_file(results.flatten)`,
+    // insert_compact_test.rs:190-195), then Spark's
+    // `rewrite_data_files(target-file-size-bytes)` compacts and the count
+    // is re-checked at 5*TIMES; the whole cycle runs twice (run(),
+    // insert_compact_test.rs:214-220). Table = partition_month_test.toml.
+    val Times = 100
+    val text = new String(Files.readAllBytes(
+      Paths.get(s"$tomlDir/partition_month_test.toml")), "UTF-8")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gref.cmp")
+    spark.sql("DROP TABLE IF EXISTS gref.cmp.t1")
+    spark.sql(block(text, "create_table_sql")
+      .replace("s1.t1", "gref.cmp.t1").replace("USING iceberg", ""))
+
+    import spark.implicits._
+    val rows = block(text, "data").split('\n').map(_.trim).filter(_.nonEmpty)
+    val typed = rows.map(_.split(',').toSeq).toSeq
+      .map(s => (s(0), s(1), s(2), s(3), s(4), s(5), s(6), s(7), s(8), s(9), s(10)))
+      .toDF(colNames.map("raw_" + _): _*)
+      .select(colNames.zip(castTypes).map { case (c, t) =>
+        expr(s"CAST(raw_$c AS $t)").as(c)
+      }: _*)
+      // one in-memory batch, replayed Times over — the write path is
+      // what's under test, not the source scan
+      .cache()
+
+    val wh = spark.conf.get("spark.sql.catalog.gref.warehouse")
+    def load() = StorageCatalog.loadTable(
+      spark.sparkContext.hadoopConfiguration, s"$wh/cmp/t1")
+    def liveDataFiles() = {
+      val t = load()
+      t.planFiles(t.metadata.currentSnapshot.get)
+        .count(_.file.content == DataContent.Data)
+    }
+    def count() = spark.sql("SELECT count(*) FROM gref.cmp.t1").head.getLong(0)
+
+    // one write round: Times independent task-writer closes, one commit
+    def writeRound(): Unit = {
+      val t = load()
+      val files = (1 to Times).toList
+        .flatMap(_ => TableWrite.writeDataFiles(t, spark, typed))
+      assert(files.length >= Times, "each task writer closes its own file(s)")
+      t.commit(spark, "append",
+        addedData = files, addedDeletes = Nil, replace = false)
+    }
+
+    writeRound()
+    assert(count() === 5L * Times)
+    val before1 = liveDataFiles()
+    assert(before1 >= Times, "many small files in one commit pre-compaction")
+    spark.sql(
+      s"CALL gref.system.rewrite_data_files('cmp.t1', ${100L * 1024 * 1024})")
+    assert(count() === 5L * Times, "compaction preserves rows")
+    val after1 = liveDataFiles()
+    assert(after1 < before1 / 10,
+      s"compaction shrinks the file count ($before1 -> $after1)")
+
+    writeRound()
+    assert(count() === 5L * Times * 2)
+    spark.sql(
+      s"CALL gref.system.rewrite_data_files('cmp.t1', ${100L * 1024 * 1024})")
+    assert(count() === 5L * Times * 2, "second cycle preserves rows")
+    assert(liveDataFiles() < before1 / 10)
+    typed.unpersist()
+  }
 }
