@@ -227,9 +227,10 @@ object Bench {
     "ann_recall", "text_mojibake", "select_calibration",
     "text_langmix", "sql_branch_ident", "dedup_stats",
     "pack_efficiency",
-    // last wave: the C4 line/page filter (map-only) and the DoReMi
-    // mixture-weight table (one bounded aggregate)
-    "text_c4", "mix_domain_weights")
+    // last wave: the C4 line/page filter (map-only), the DoReMi
+    // mixture-weight table (one bounded aggregate), and the Hilbert
+    // clustering rewrite (one range shuffle, kernel-in-codegen curve)
+    "text_c4", "mix_domain_weights", "ice_hilbert")
 
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —

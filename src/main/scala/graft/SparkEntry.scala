@@ -1188,6 +1188,11 @@ object SparkEntry {
       // web pipeline, before dedup/classifiers see the junk
       TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")
     }),
+    "text_c4" -> ((s, dir) => {
+      // the published C4 line/page cleaning rules — line-level where
+      // Gopher is ratio-level; map-only codegen'd builtins, no shuffle
+      TextAnalysis.c4Rules(t(s, dir, "documents"), "doc_id", "text")
+    }),
     "text_langid" -> ((s, dir) => {
       TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")
     }),
@@ -1467,6 +1472,15 @@ object SparkEntry {
           "source", "n_chars", temperature = 0.7, budget = 0.1)
         .select(col("doc_id"), col("source"),
           col("n_chars").cast(LongType).as("n_chars"))
+    }),
+    "mix_domain_weights" -> ((s, dir) => {
+      // DoReMi-style mixture artifact: observed token share per source vs
+      // a uniform target, plus the multiplicative sampling weight that
+      // would equalize the mix (feedable straight into sample_mixture).
+      // ONE bounded aggregate + a broadcast one-row total — the corpus
+      // never shuffles
+      Selection.domainWeights(t(s, dir, "documents"), "source",
+        text.tokenCount(col("text")))
     }),
     "select_auc" -> ((s, dir) => {
       // exact tie-corrected ROC-AUC of a score against labels — the
@@ -1817,6 +1831,17 @@ object SparkEntry {
       val tbl = freshTable(s, "ice_zorder", src)
       tbl.append(s, src.sortWithinPartitions(col("o_orderkey")))
       tbl.rewriteZOrder(s, Seq("o_custkey", "o_orderdate"),
+        targetFileSizeBytes = 256L * 1024)
+      tbl.scan(s)
+    }),
+    "ice_hilbert" -> ((s, dir) => {
+      // Hilbert-curve rewrite: same contract as ice_zorder with tighter
+      // locality (unit curve steps, no Morton quadrant jumps); content
+      // unchanged — the oracle is the plain table
+      val src = t(s, dir, "orders")
+      val tbl = freshTable(s, "ice_hilbert", src)
+      tbl.append(s, src.sortWithinPartitions(col("o_orderkey")))
+      tbl.rewriteHilbert(s, Seq("o_custkey", "o_orderdate"),
         targetFileSizeBytes = 256L * 1024)
       tbl.scan(s)
     }),
@@ -3762,6 +3787,52 @@ object SparkEntry {
         |    AND sym_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
         |    AND alpha_frac >= 0.8 AND req_stops >= 2 AS pass
         |FROM m""".stripMargin,
+    "text_c4" ->
+      """WITH base AS (
+        |  SELECT doc_id, text AS t,
+        |    list_filter(list_transform(string_split(text, chr(10)),
+        |      l -> trim(l)), l -> length(l) > 0) AS lines
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, t, lines,
+        |    list_filter(lines, l ->
+        |      regexp_matches(l, '[.!?"]$')
+        |      AND len(list_filter(regexp_split_to_array(l, '\s+'),
+        |            x -> length(x) > 0)) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM base),
+        |m AS (
+        |  SELECT doc_id, t, lines, kept,
+        |    COALESCE(array_to_string(kept, chr(10)), '') AS kt
+        |  FROM k),
+        |s AS (
+        |  SELECT doc_id, t, lines, kept, kt,
+        |    CAST(length(kt) - length(regexp_replace(kt, '[.!?]', '', 'g'))
+        |      AS BIGINT) AS n_sent,
+        |    NOT contains(t, '{') AS r_no_brace,
+        |    NOT contains(lower(t), 'lorem ipsum') AS r_no_lorem
+        |  FROM m)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+        |  CAST(length(kt) AS BIGINT) AS kept_chars,
+        |  n_sent AS n_sentences,
+        |  r_no_brace, r_no_lorem,
+        |  n_sent >= 3 AS r_min_sentences,
+        |  r_no_brace AND r_no_lorem AND n_sent >= 3 AS pass
+        |FROM s""".stripMargin,
+    "mix_domain_weights" ->
+      """WITH hist AS (
+        |  SELECT source AS domain, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT SUM(n_tokens) AS T, COUNT(*) AS nd FROM hist)
+        |SELECT domain, n_docs, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / T, 6) AS tok_share,
+        |  round(CAST(1.0 AS DOUBLE) / nd, 6) AS target_share,
+        |  round(CAST(1.0 AS DOUBLE) / nd * T / n_tokens, 6) AS weight
+        |FROM hist, tot""".stripMargin,
     // decoded-image oracles: the PNG payloads are generated from doc_id by
     // fixed integer formulas, so DuckDB predicts what imageio must decode
     "mm_resize" ->
@@ -5452,6 +5523,7 @@ object SparkEntry {
         |FROM orders WHERE o_orderkey % 13 <> 0""".stripMargin,
     "ice_time_travel" -> "SELECT * FROM orders WHERE o_orderkey % 2 = 0",
     "ice_zorder" -> "SELECT * FROM orders",
+    "ice_hilbert" -> "SELECT * FROM orders",
     "ice_wap" -> "SELECT * FROM orders",
     "ice_incremental_sql" ->
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 1",

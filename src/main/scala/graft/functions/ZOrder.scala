@@ -48,17 +48,16 @@ object ZOrder {
     planes.reduce(_.bitwiseOR(_))
   }
 
-  /** append a `_z` column computed from `colNames`. Ranges come from
-    * `precomputed` when given (metadata-only — e.g. folded from manifest
-    * bounds, no data scanned) and otherwise from one min/max agg pass
-    * over `df`. Out-of-range values clamp to the curve's ends, so a
-    * slightly stale precomputed range only affects clustering quality,
-    * never row content. */
-  def withZColumn(
+  /** each column linearly scaled into a [0, 2^bits-1] long grid cell —
+    * the shared front half of both space-filling curves (Morton here,
+    * [[Hilbert]] for the locality-preserving variant). Ranges fold from
+    * `precomputed` (metadata-only) when given, else one min/max agg
+    * pass; nulls land in cell 0, out-of-range values clamp. */
+  private[functions] def scaledCoords(
       df: DataFrame,
       colNames: Seq[String],
-      zCol: String = "_z",
-      precomputed: Option[Seq[(Double, Double)]] = None): DataFrame = {
+      bits: Int,
+      precomputed: Option[Seq[(Double, Double)]]): Seq[Column] = {
     val types = colNames.map(n => df.schema(n).dataType)
     val ranges = precomputed.getOrElse {
       val aggs = colNames.zip(types).flatMap { case (n, dt) =>
@@ -71,7 +70,35 @@ object ZOrder {
         (lo, hi)
       }
     }
-    val z = zvalue(colNames.zip(types).zip(ranges).map { case ((n, dt), r) => (col(n), dt, r) })
-    df.withColumn(zCol, z)
+    val maxVal = (1L << bits) - 1
+    colNames.zip(types).zip(ranges).map { case ((n, dt), (lo, hi)) =>
+      val d = asDouble(col(n), dt)
+      val range = math.max(hi - lo, Double.MinPositiveValue)
+      val frac = coalesce((d - lit(lo)) / lit(range), lit(0.0))
+      val clamped = least(greatest(frac, lit(0.0)), lit(1.0))
+      (clamped * lit(maxVal.toDouble)).cast(LongType)
+    }
+  }
+
+  /** append a `_z` column computed from `colNames`. Ranges come from
+    * `precomputed` when given (metadata-only — e.g. folded from manifest
+    * bounds, no data scanned) and otherwise from one min/max agg pass
+    * over `df`. Out-of-range values clamp to the curve's ends, so a
+    * slightly stale precomputed range only affects clustering quality,
+    * never row content. */
+  def withZColumn(
+      df: DataFrame,
+      colNames: Seq[String],
+      zCol: String = "_z",
+      precomputed: Option[Seq[(Double, Double)]] = None): DataFrame = {
+    val n = colNames.size
+    require(n >= 2 && n <= 8, s"zorder needs 2..8 columns, got $n")
+    val bits = 63 / n
+    val scaled = scaledCoords(df, colNames, bits, precomputed)
+    val planes = for {
+      b <- 0 until bits
+      (s, i) <- scaled.zipWithIndex
+    } yield shiftleft(shiftrightunsigned(s, b).bitwiseAND(lit(1L)), b * n + i)
+    df.withColumn(zCol, planes.reduce(_.bitwiseOR(_)))
   }
 }

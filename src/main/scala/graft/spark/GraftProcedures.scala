@@ -215,6 +215,20 @@ private[spark] object GraftProcedures {
           Seq(Seq(before, liveDataFiles(t)))
         }),
       new GraftProcedure(
+        "rewrite_hilbert",
+        // Hilbert-curve sibling of rewrite_zorder (tighter locality —
+        // no Morton quadrant jumps); columns as 'c1,c2'
+        Seq(in("table", StringType), in("columns", StringType),
+          in("target_file_size_bytes", LongType)),
+        out("files_before" -> LongType, "files_after" -> LongType),
+        (input, spark) => {
+          val t = table(input)
+          val cols = input.getString(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val before = liveDataFiles(t)
+          t.rewriteHilbert(spark, cols, input.getLong(2))
+          Seq(Seq(before, liveDataFiles(t)))
+        }),
+      new GraftProcedure(
         "rewrite_position_delete_files",
         // to_vectors: merge into puffin deletion vectors (one per data
         // file) instead of parquet chunks; defaults to the table's own

@@ -98,6 +98,20 @@ class ProceduresSpec extends AnyFunSuite {
     assert(got.toSeq === exp.toSeq)
   }
 
+  test("rewrite_hilbert re-clusters; content unchanged") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gproc.db")
+    spark.sql("DROP TABLE IF EXISTS gproc.db.procs_hi")
+    spark.sql("CREATE TABLE gproc.db.procs_hi (o_orderkey BIGINT, o_custkey BIGINT)")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select($"o_orderkey", $"o_custkey").createOrReplaceTempView("procs_hi_src")
+    spark.sql("INSERT INTO gproc.db.procs_hi SELECT * FROM procs_hi_src")
+    spark.sql(
+      "CALL gproc.system.rewrite_hilbert('db.procs_hi', 'o_orderkey,o_custkey', 1048576L)")
+    val got = spark.table("gproc.db.procs_hi").orderBy("o_orderkey").collect()
+    val exp = spark.table("procs_hi_src").orderBy("o_orderkey").collect()
+    assert(got.toSeq === exp.toSeq)
+  }
+
   test("expire_snapshots + remove_orphan_files reclaim history") {
     freshSqlTable("procs_gc")
     spark.sql("INSERT INTO gproc.db.procs_gc SELECT * FROM procs_gc_src WHERE o_orderkey % 2 = 0")

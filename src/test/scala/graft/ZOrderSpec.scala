@@ -122,4 +122,83 @@ class ZOrderSpec extends AnyFunSuite {
     assert(one === one.sorted,
       "z-order rewrite output was re-sorted by the declared write order")
   }
+
+  test("hilbert: bijective on the grid and every curve step is a unit step") {
+    import graft.functions.HilbertUtil
+    // 2 dims x 3 bits and 3 dims x 2 bits: every cell visited exactly
+    // once and consecutive indices are Manhattan-distance-1 neighbors —
+    // the defining Hilbert properties (Morton fails the second at every
+    // quadrant boundary)
+    for ((dims, bits) <- Seq((2, 3), (3, 2))) {
+      val side = 1 << bits
+      val cells = Seq.fill(dims)(0 until side).foldLeft(Seq(Seq.empty[Int])) {
+        (acc, r) => acc.flatMap(p => r.map(p :+ _))
+      }
+      val byIndex = cells.map { c =>
+        HilbertUtil.index(c.map(_.toLong).toArray, bits) -> c
+      }.sortBy(_._1)
+      assert(byIndex.map(_._1) === (0L until (1L << (dims * bits))),
+        s"$dims-dim curve must visit every cell exactly once")
+      byIndex.sliding(2).foreach { case Seq((_, a), (_, b)) =>
+        val dist = a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+        assert(dist === 1, s"non-unit step $a -> $b")
+      }
+    }
+  }
+
+  test("hilbert expression: codegen path matches the driver kernel") {
+    import graft.functions.{HilbertIndex, HilbertUtil}
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    val rng = new scala.util.Random(11)
+    val rows = Seq.fill(300)((rng.nextLong() & ((1L << 31) - 1),
+      rng.nextLong() & ((1L << 31) - 1)))
+    val got = rows.toDF("x", "y")
+      .withColumn("h", column(HilbertIndex(
+        Seq(expression(col("x")), expression(col("y"))), 31)))
+      .select("x", "y", "h").as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, h) =>
+      assert(h === HilbertUtil.index(Array(x, y), 31), s"mismatch at ($x,$y)")
+    }
+  }
+
+  test("hilbert rewrite clusters both columns and preserves content") {
+    import graft.tables._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val d = java.nio.file.Files.createTempDirectory("graft-hilb").toFile
+    d.delete()
+    // k and c are independent dimensions; row order is k-sequential, so
+    // pre-rewrite file bounds on c span the whole range
+    val n = 4000L
+    val src = (1L to n).map(i => (i, (i * 2654435761L) % 1024, s"r$i"))
+      .toDF("k", "c", "v")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, d.getAbsolutePath, SchemaConvert.fromSparkSchema(src.schema),
+      IcePartitionSpec(0, Nil))
+    t.append(spark, src)
+    t.rewriteHilbert(spark, Seq("k", "c"), targetFileSizeBytes = 16L * 1024)
+    val back = t.scan(spark)
+    assert(back.count() === n)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    val files = t.planFiles(t.metadata.currentSnapshot.get)
+      .filter(_.file.content == DataContent.Data)
+    assert(files.size >= 4, s"expected a multi-file rewrite, got ${files.size}")
+    // clustering evidence: the summed bounding-box area of the output
+    // files is a small fraction of (#files x full area) — each file holds
+    // a compact curve segment, tight in BOTH dimensions
+    val kField = t.metadata.currentSchema.findField("k").get
+    val cField = t.metadata.currentSchema.findField("c").get
+    def widthOf(f: IceDataFile, fid: Int, full: Double): Double = {
+      def dec(b: Option[Array[Byte]]) = b.map(bb =>
+        SingleValue.decode(IcePrim("long"), bb).asInstanceOf[Long].toDouble)
+      (for {
+        lo <- dec(f.lowerBounds.get(fid))
+        hi <- dec(f.upperBounds.get(fid))
+      } yield (hi - lo) / full).getOrElse(1.0)
+    }
+    val frac = files.map(p =>
+      widthOf(p.file, kField.id, n.toDouble) *
+        widthOf(p.file, cField.id, 1024.0)).sum / files.size
+    assert(frac < 0.45,
+      s"hilbert files should be tight in both dims, mean box fraction $frac")
+  }
 }
