@@ -228,9 +228,10 @@ object Bench {
     "text_langmix", "sql_branch_ident", "dedup_stats",
     "pack_efficiency",
     // last wave: the C4 line/page filter (map-only), the DoReMi
-    // mixture-weight table (one bounded aggregate), and the Hilbert
-    // clustering rewrite (one range shuffle, kernel-in-codegen curve)
-    "text_c4", "mix_domain_weights", "ice_hilbert")
+    // mixture-weight table (one bounded aggregate), the Hilbert
+    // clustering rewrite (one range shuffle, kernel-in-codegen curve),
+    // and keyword extraction (two (doc,term) shuffles + vocab join)
+    "text_c4", "mix_domain_weights", "ice_hilbert", "text_keywords")
 
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —
@@ -390,7 +391,14 @@ object Bench {
         // calibration table windows over 10 aggregate rows, dedup_stats
         // rides the LSH pipeline + one rollup
         "ann_recall", "text_mojibake", "text_langmix",
-        "select_calibration", "dedup_stats", "pack_efficiency"))
+        "select_calibration", "dedup_stats", "pack_efficiency",
+        // round-9 close: the C4 filter is map-only, the mixture-weight
+        // table is one bounded aggregate, and the Hilbert rewrite rides
+        // the same single range-shuffle as z-order
+        "text_c4", "mix_domain_weights", "ice_hilbert",
+        // keywords: the (doc,term) shuffles scale with tokens, the term
+        // join with vocabulary — both must stay linear at 10x
+        "text_keywords"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

@@ -1188,6 +1188,11 @@ object SparkEntry {
       // web pipeline, before dedup/classifiers see the junk
       TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")
     }),
+    "text_keywords" -> ((s, dir) => {
+      // per-doc top-3 tf-idf keywords with the integer bit-bucket idf —
+      // exact integer scores, engine-parity by construction
+      TextAnalysis.keywords(t(s, dir, "documents"), "doc_id", "text")
+    }),
     "text_c4" -> ((s, dir) => {
       // the published C4 line/page cleaning rules — line-level where
       // Gopher is ratio-level; map-only codegen'd builtins, no shuffle
@@ -3787,6 +3792,26 @@ object SparkEntry {
         |    AND sym_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
         |    AND alpha_frac >= 0.8 AND req_stops >= 2 AS pass
         |FROM m""".stripMargin,
+    "text_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+        |      '[^a-z0-9]+'), x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |    t.tf * GREATEST(0, 40 - CAST(FLOOR(log2(d.df)) AS BIGINT)) AS score
+        |  FROM tf t JOIN dfx d USING (term)),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+        |  FROM sc)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+        |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  CAST(score AS BIGINT) AS score
+        |FROM r WHERE rank <= 3""".stripMargin,
     "text_c4" ->
       """WITH base AS (
         |  SELECT doc_id, text AS t,

@@ -464,6 +464,44 @@ object TextAnalysis {
       window: Int = 32): DataFrame =
     df.select(col(idCol), text.fingerprint(col(textCol), window).as("fingerprint"))
 
+  /** Per-document keyword extraction: top-`k` terms by tf·idf with an
+    * INTEGER-quantized idf — `idf_q = max(0, B − floor(log2(df)))`, the
+    * document frequency's bit-bucket — so scores are exact integers and
+    * engines agree bit-for-bit (a float `ln` idf differs across libm
+    * implementations at the last ulp; `floor(log2)` of an integer can
+    * only flip at exact powers of two, where log2 is IEEE-exact). The
+    * topic-tagging pass of a curation pipeline (cluster labeling,
+    * facet search, mixture analysis).
+    *
+    * Scale: explode → two partial-aggregated (doc,term) shuffles + one
+    * term-keyed join (df side is pre-aggregated: rows = vocabulary, not
+    * corpus) + a per-doc window over that doc's own distinct terms.
+    * Nothing global, no driver state. */
+  def keywords(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      idfBits: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = filter(
+      split(lower(trim(col(textCol))), "[^a-z0-9]+"), x => length(x) > 0)
+    val tok = df.select(col(idCol).as("doc_id"), explode(terms).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("score",
+        col("tf") * greatest(lit(0L),
+          lit(idfBits.toLong) - floor(log2(col("df"))).cast(LongType)))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"),
+        col("tf"), col("df"), col("score"))
+  }
+
   /** The published C4 cleaning rules (Raffel et al. 2020 §2.2), the OTHER
     * canonical web filter next to [[gopherRules]] — C4 is line-level
     * where Gopher is ratio-level, so pipelines run both. Deterministic

@@ -631,6 +631,30 @@ class OperatorsSpec extends AnyFunSuite {
       "lorem ipsum drops the page (case-insensitive)")
   }
 
+  test("keywords: integer bit-bucket tf-idf, deterministic tie order, top-k cut") {
+    val docs = Seq(
+      (1L, "apple apple banana common common common"),
+      (2L, "banana banana cherry common"),
+      (3L, "cherry date common common")
+    ).toDF("doc_id", "text")
+    // df: apple 1, banana 2, cherry 2, date 1, common 3
+    // idf_q: df=1 -> 40, df=2 -> 39, df=3 -> 39
+    val r = TextAnalysis.keywords(docs, "doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getString(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    assert(r((1L, 1L)) === (("common", 3L, 3L, 117L)))
+    assert(r((1L, 2L)) === (("apple", 2L, 1L, 80L)))
+    assert(r((1L, 3L)) === (("banana", 1L, 2L, 39L)))
+    assert(r((2L, 1L)) === (("banana", 2L, 2L, 78L)))
+    // 39-point tie: term asc puts cherry before common
+    assert(r((2L, 2L))._1 === "cherry" && r((2L, 3L))._1 === "common")
+    assert(r((3L, 1L)) === (("common", 2L, 3L, 78L)))
+    assert(r((3L, 2L)) === (("date", 1L, 1L, 40L)))
+    // top-k truncation
+    val k2 = TextAnalysis.keywords(docs, "doc_id", "text", k = 2)
+    assert(k2.count() === 6 && k2.agg(max("rank")).head.getLong(0) === 2L)
+  }
+
   test("mojibake counts each corruption signature, clean text passes") {
     val docs = Seq(
       (1L, "perfectly clean ascii text"),
