@@ -231,7 +231,8 @@ object Bench {
     // mixture-weight table (one bounded aggregate), the Hilbert
     // clustering rewrite (one range shuffle, kernel-in-codegen curve),
     // and keyword extraction (two (doc,term) shuffles + vocab join)
-    "text_c4", "mix_domain_weights", "ice_hilbert", "text_keywords")
+    "text_c4", "mix_domain_weights", "ice_hilbert", "text_keywords",
+    "pipeline_webclean")
 
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —
@@ -397,8 +398,9 @@ object Bench {
         // the same single range-shuffle as z-order
         "text_c4", "mix_domain_weights", "ice_hilbert",
         // keywords: the (doc,term) shuffles scale with tokens, the term
-        // join with vocabulary — both must stay linear at 10x
-        "text_keywords"))
+        // join with vocabulary — both must stay linear at 10x; webclean
+        // is the one-pass composed front door (pure map)
+        "text_keywords", "pipeline_webclean"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

@@ -1188,6 +1188,37 @@ object SparkEntry {
       // web pipeline, before dedup/classifiers see the junk
       TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")
     }),
+    "pipeline_webclean" -> ((s, dir) => {
+      // the crawl-hygiene FRONT DOOR as one composed, single-pass filter:
+      // encoding screen → language gate → C4 page rules → Gopher ratio
+      // rules, each verdict surfaced. The word-soup corpus is shaped so
+      // EVERY gate sees both outcomes: docs re-line into 8-token
+      // '.'-terminated sentences (C4 passes at >=3 kept lines, short docs
+      // fail), the %3 slice gains a stopword sentence (Gopher's
+      // required-stopword rule has passers), the %7 slice keeps its raw
+      // unpunctuated single line (C4 retains nothing), and the %13 slice
+      // is corruption-planted as in text_mojibake. ONE map-only select —
+      // no join, no shuffle, one pass over the corpus bytes.
+      val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
+        x => length(x) > 0)
+      val lines = transform(
+        sequence(lit(0), floor((size(toks) - 1) / 8).cast(IntegerType)),
+        i => concat(array_join(slice(toks, i * lit(8) + lit(1), lit(8)), " "),
+          lit(".")))
+      val base = array_join(lines, "\n")
+      val withStops = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(base, lit("\nthe data have to be of use and that with scale.")))
+        .otherwise(base)
+      val shaped = when(pmod(col("doc_id"), lit(7)) === 0, col("text"))
+        .otherwise(withStops)
+      val planted = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(shaped,
+            lit(" caf\u00C3\u00A9 x\u00E2\u20AC\u2122y z\uFFFDw \u0007")))
+          .otherwise(shaped).as("text"))
+      TextAnalysis.webClean(planted, "doc_id", "text")
+    }),
     "text_keywords" -> ((s, dir) => {
       // per-doc top-3 tf-idf keywords with the integer bit-bucket idf —
       // exact integer scores, engine-parity by construction
@@ -3792,6 +3823,114 @@ object SparkEntry {
         |    AND sym_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
         |    AND alpha_frac >= 0.8 AND req_stops >= 2 AS pass
         |FROM m""".stripMargin,
+    // the four hygiene gates replayed as CTEs over the SAME planted text,
+    // joined on doc_id — the composition's truth is the per-gate oracles'
+    "pipeline_webclean" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |lined AS (
+        |  SELECT doc_id, text,
+        |    array_to_string(list_transform(range(0, ((len(tk) - 1) // 8) + 1),
+        |      i -> array_to_string(
+        |        tk[(CAST(i AS INT) * 8 + 1):(CAST(i AS INT) * 8 + 8)], ' ')
+        |        || '.'), chr(10)) AS base
+        |  FROM toks),
+        |shaped AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text
+        |    WHEN doc_id % 3 = 0 THEN base || chr(10) ||
+        |      'the data have to be of use and that with scale.'
+        |    ELSE base END AS s0
+        |  FROM lined),
+        |d AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN
+        |      s0 || ' caf' || chr(195) || chr(169) || ' x' || chr(226)
+        |        || chr(8364) || chr(8482) || 'y z' || chr(65533) || 'w '
+        |        || chr(7)
+        |    ELSE s0 END AS t
+        |  FROM shaped),
+        |moji AS (
+        |  SELECT doc_id,
+        |    ((length(t) - length(regexp_replace(t, '\x{FFFD}', '', 'g')))
+        |     + (length(t) - length(regexp_replace(t,
+        |         '\x{00C3}[\x{0080}-\x{00BF}]', '', 'g'))) // 2
+        |     + (length(t) - length(regexp_replace(t, '\x{00E2}\x{20AC}',
+        |         '', 'g'))) // 2
+        |     + (length(t) - length(regexp_replace(t,
+        |         '[\x{0001}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}-\x{009F}]',
+        |         '', 'g')))) = 0 AS encoding_ok
+        |  FROM d),
+        |lsc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(w, x -> x IN ('the','and','of','to','is','in','that','it','was','for','with','not','this'))) AS s_en,
+        |    len(list_filter(w, x -> x IN ('le','la','les','de','des','et','est','une','un','dans','que','pour','pas'))) AS s_fr,
+        |    len(list_filter(w, x -> x IN ('el','la','los','las','de','y','es','en','que','un','una','por','con','no'))) AS s_es,
+        |    len(list_filter(w, x -> x IN ('der','die','das','und','ist','in','von','den','mit','nicht','ein','eine','zu'))) AS s_de,
+        |    len(list_filter(w, x -> x IN ('il','la','di','che','e','un','una','per','non','sono','con','del'))) AS s_it,
+        |    len(list_filter(w, x -> x IN ('o','a','os','as','de','que','e','um','uma','para','com','nao'))) AS s_pt
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(t)), '\s+') AS w FROM d)),
+        |lang AS (
+        |  SELECT doc_id,
+        |    GREATEST(s_en,s_fr,s_es,s_de,s_it,s_pt) > 0
+        |      AND s_en = GREATEST(s_en,s_fr,s_es,s_de,s_it,s_pt) AS lang_ok
+        |  FROM lsc),
+        |c4k AS (
+        |  SELECT doc_id, t,
+        |    COALESCE(array_to_string(list_filter(
+        |      list_filter(list_transform(string_split(t, chr(10)),
+        |        l -> trim(l)), l -> length(l) > 0),
+        |      l -> regexp_matches(l, '[.!?"]$')
+        |        AND len(list_filter(regexp_split_to_array(l, '\s+'),
+        |              x -> length(x) > 0)) >= 5
+        |        AND NOT contains(lower(l), 'javascript')), chr(10)), '') AS kt
+        |  FROM d),
+        |c4 AS (
+        |  SELECT doc_id,
+        |    NOT contains(t, '{') AND NOT contains(lower(t), 'lorem ipsum')
+        |      AND (length(kt) - length(regexp_replace(kt, '[.!?]', '', 'g'))) >= 3
+        |      AS c4_ok
+        |  FROM c4k),
+        |gb AS (
+        |  SELECT doc_id, t,
+        |    list_filter(regexp_split_to_array(trim(t), '\s+'),
+        |      x -> length(x) > 0) AS words,
+        |    list_filter(list_transform(string_split(t, chr(10)),
+        |      l -> trim(l)), l -> length(l) > 0) AS lines
+        |  FROM d),
+        |gm AS (
+        |  SELECT doc_id,
+        |    len(words) AS nw,
+        |    CASE WHEN len(words) > 0 THEN
+        |      CAST(list_aggregate(list_transform(words, x -> length(x)), 'sum') AS DOUBLE)
+        |        / len(words) ELSE 0.0 END AS mean_len,
+        |    CASE WHEN len(words) > 0 THEN
+        |      CAST((length(t) - length(regexp_replace(t, '#', '', 'g')))
+        |        + (length(t) - length(regexp_replace(t, '\.\.\.', '', 'g'))) / 3
+        |        AS DOUBLE) / len(words) ELSE 0.0 END AS sym_ratio,
+        |    CASE WHEN len(lines) > 0 THEN
+        |      CAST(len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%')) AS DOUBLE)
+        |        / len(lines) ELSE 0.0 END AS bullet_frac,
+        |    CASE WHEN len(lines) > 0 THEN
+        |      CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE)
+        |        / len(lines) ELSE 0.0 END AS ellipsis_frac,
+        |    CASE WHEN len(words) > 0 THEN
+        |      CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |        / len(words) ELSE 0.0 END AS alpha_frac,
+        |    len(list_intersect(list_distinct(list_transform(words, x -> lower(x))),
+        |      ['the','be','to','of','and','that','have','with'])) AS req_stops
+        |  FROM gb),
+        |go AS (
+        |  SELECT doc_id,
+        |    (nw >= 50 AND nw <= 100000) AND (mean_len >= 3.0 AND mean_len <= 10.0)
+        |      AND sym_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+        |      AND alpha_frac >= 0.8 AND req_stops >= 2 AS gopher_ok
+        |  FROM gm)
+        |SELECT doc_id, encoding_ok, lang_ok, c4_ok, gopher_ok,
+        |  encoding_ok AND lang_ok AND c4_ok AND gopher_ok AS keep
+        |FROM moji JOIN lang USING (doc_id) JOIN c4 USING (doc_id)
+        |  JOIN go USING (doc_id)""".stripMargin,
     "text_keywords" ->
       """WITH tok AS (
         |  SELECT doc_id,

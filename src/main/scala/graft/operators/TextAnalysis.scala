@@ -225,6 +225,21 @@ object TextAnalysis {
       idCol: String,
       textCol: String): DataFrame = {
     val t = col(textCol)
+    val Seq(nRepl, nLatin, nQuote, nCtrl) = mojibakeCounts(t)
+    df.select(
+      col(idCol),
+      nRepl.cast(LongType).as("n_replacement"),
+      nLatin.cast(LongType).as("n_latin1_sigs"),
+      nQuote.cast(LongType).as("n_quote_sigs"),
+      nCtrl.cast(LongType).as("n_control"),
+      (nRepl + nLatin + nQuote + nCtrl > 0).as("suspect"))
+  }
+
+  private def mojibakeSuspect(t: Column): Column =
+    mojibakeCounts(t).reduce(_ + _) > 0
+
+  /** the four corruption-signature counts, shared with [[webClean]] */
+  private def mojibakeCounts(t: Column): Seq[Column] = {
     val nRepl = length(t) - length(regexp_replace(t, "\uFFFD", ""))
     // Latin-1 re-decode signatures: U+00C3 followed by a char in the
     // re-decoded UTF-8 continuation range, and the U+00E2 U+20AC pair
@@ -236,13 +251,7 @@ object TextAnalysis {
     // C0/C1 controls except tab / newline / carriage-return
     val nCtrl = length(t) - length(regexp_replace(t,
       "[\u0000-\u0008\u000B\u000C\u000E-\u001F\u007F-\u009F]", ""))
-    df.select(
-      col(idCol),
-      nRepl.cast(LongType).as("n_replacement"),
-      nLatin.cast(LongType).as("n_latin1_sigs"),
-      nQuote.cast(LongType).as("n_quote_sigs"),
-      nCtrl.cast(LongType).as("n_control"),
-      (nRepl + nLatin + nQuote + nCtrl > 0).as("suspect"))
+    Seq(nRepl, nLatin, nQuote, nCtrl)
   }
 
   /** Heuristic language ID (marker stopwords + CJK codepoint ranges). */
@@ -272,7 +281,20 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       keepCols: Seq[String] = Nil): DataFrame = {
-    val t = col(textCol)
+    val Seq(rWords, rMean, rSym, rBullet, rEll, rAlpha, rStops) =
+      gopherChecks(col(textCol))
+    df.select(
+      (col(idCol) +: keepCols.map(col)) ++ Seq[Column](
+      rWords.as("r_word_count"), rMean.as("r_mean_word_len"),
+      rSym.as("r_symbol_ratio"), rBullet.as("r_bullet_lines"),
+      rEll.as("r_ellipsis_lines"), rAlpha.as("r_alpha_words"),
+      rStops.as("r_stopwords"),
+      (rWords && rMean && rSym && rBullet && rEll && rAlpha && rStops)
+        .as("pass")): _*)
+  }
+
+  /** the seven Gopher rule booleans, shared with [[webClean]] */
+  private def gopherChecks(t: Column): Seq[Column] = {
     val words = filter(split(trim(t), "\\s+"), w => length(w) > 0)
     val nW = size(words)
     val lines = filter(transform(split(t, "\n"), l => trim(l)), l => length(l) > 0)
@@ -295,21 +317,14 @@ object TextAnalysis {
     val reqStops = size(array_intersect(
       array_distinct(transform(words, w => lower(w))),
       typedLit(Seq("the", "be", "to", "of", "and", "that", "have", "with"))))
-    val rWords = nW >= 50 && nW <= 100000
-    val rMean = meanLen >= 3.0 && meanLen <= 10.0
-    val rSym = symRatio <= 0.1
-    val rBullet = bulletFrac <= 0.9
-    val rEll = ellipsisFrac <= 0.3
-    val rAlpha = alphaFrac >= 0.8
-    val rStops = reqStops >= 2
-    df.select(
-      (col(idCol) +: keepCols.map(col)) ++ Seq[Column](
-      rWords.as("r_word_count"), rMean.as("r_mean_word_len"),
-      rSym.as("r_symbol_ratio"), rBullet.as("r_bullet_lines"),
-      rEll.as("r_ellipsis_lines"), rAlpha.as("r_alpha_words"),
-      rStops.as("r_stopwords"),
-      (rWords && rMean && rSym && rBullet && rEll && rAlpha && rStops)
-        .as("pass")): _*)
+    Seq(
+      nW >= 50 && nW <= 100000,
+      meanLen >= 3.0 && meanLen <= 10.0,
+      symRatio <= 0.1,
+      bulletFrac <= 0.9,
+      ellipsisFrac <= 0.3,
+      alphaFrac >= 0.8,
+      reqStops >= 2)
   }
 
   /** Source-level quality governance: one hash aggregate over the corpus
@@ -520,7 +535,23 @@ object TextAnalysis {
     * over codegen'd builtins (split/filter/size/regexp) — no shuffle, no
     * UDF; linear in input bytes at any scale. */
   def c4Rules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+    val (lines, kept, keptText, nSent, rBrace, rLorem, rSent) =
+      c4Checks(col(textCol))
+    df.select(
+      col(idCol),
+      size(lines).cast(LongType).as("n_lines"),
+      size(kept).cast(LongType).as("n_lines_kept"),
+      length(keptText).cast(LongType).as("kept_chars"),
+      nSent.as("n_sentences"),
+      rBrace.as("r_no_brace"),
+      rLorem.as("r_no_lorem"),
+      rSent.as("r_min_sentences"),
+      (rBrace && rLorem && rSent).as("pass"))
+  }
+
+  /** the C4 line/page machinery, shared with [[webClean]] */
+  private def c4Checks(
+      t: Column): (Column, Column, Column, Column, Column, Column, Column) = {
     val lines = filter(transform(split(t, "\n"), l => trim(l)), l => length(l) > 0)
     def lineKept(l: Column): Column = {
       val words = size(filter(split(l, "\\s+"), w => length(w) > 0))
@@ -534,15 +565,34 @@ object TextAnalysis {
     val rBrace = !t.contains("{")
     val rLorem = !lower(t).contains("lorem ipsum")
     val rSent = nSent >= 3
+    (lines, kept, keptText, nSent, rBrace, rLorem, rSent)
+  }
+
+  /** The crawl-hygiene FRONT DOOR as one composed, single-pass filter:
+    * encoding screen ([[mojibake]]'s suspect verdict) → language gate
+    * (keep `lang`) → C4 page rules → Gopher ratio rules, with each
+    * gate's verdict surfaced so a rejected doc says which door stopped
+    * it. Because every underlying check is a pure projection, the whole
+    * composition is ONE map-only select over codegen'd builtins — no
+    * join, no shuffle, one pass over the corpus bytes; at 100 TB this is
+    * the difference between one read and four. */
+  def webClean(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lang: String = "en"): DataFrame = {
+    val t = col(textCol)
+    val mojiOk = !mojibakeSuspect(t)
+    val langOk = text.langId(t) === lang
+    val (_, _, _, _, rBrace, rLorem, rSent) = c4Checks(t)
+    val c4Ok = rBrace && rLorem && rSent
+    val gopherOk = gopherChecks(t).reduce(_ && _)
     df.select(
       col(idCol),
-      size(lines).cast(LongType).as("n_lines"),
-      size(kept).cast(LongType).as("n_lines_kept"),
-      length(keptText).cast(LongType).as("kept_chars"),
-      nSent.as("n_sentences"),
-      rBrace.as("r_no_brace"),
-      rLorem.as("r_no_lorem"),
-      rSent.as("r_min_sentences"),
-      (rBrace && rLorem && rSent).as("pass"))
+      mojiOk.as("encoding_ok"),
+      langOk.as("lang_ok"),
+      c4Ok.as("c4_ok"),
+      gopherOk.as("gopher_ok"),
+      (mojiOk && langOk && c4Ok && gopherOk).as("keep"))
   }
 }

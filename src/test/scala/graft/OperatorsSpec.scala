@@ -655,6 +655,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(k2.count() === 6 && k2.agg(max("rank")).head.getLong(0) === 2L)
   }
 
+  test("webClean: each hygiene gate trips independently in the one-pass composition") {
+    val goodLine = "the data have to be of use and that with scale today."
+    val page = Seq.fill(6)(goodLine).mkString("\n")
+    val docs = Seq(
+      (1L, page),                                         // all gates pass
+      (2L, page + " z�w"),                           // replacement char
+      (3L, Seq.fill(6)(
+        "le chat est dans la maison pour une vie bonne aussi.").mkString("\n")),
+      (4L, ("word " * 60).trim),                          // no structure at all
+      (5L, page + "\n{")                                  // code brace
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.webClean(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getBoolean(1), x.getBoolean(2), x.getBoolean(3), x.getBoolean(4),
+          x.getBoolean(5)))).toMap
+    assert(r(1L) === ((true, true, true, true, true)))
+    assert(!r(2L)._1 && !r(2L)._5, "corruption trips the encoding gate")
+    assert(r(3L)._1 && !r(3L)._2, "french trips the language gate")
+    assert(!r(4L)._3 && !r(4L)._4, "unpunctuated soup fails C4 and Gopher")
+    assert(r(5L)._1 && r(5L)._2 && !r(5L)._3, "a brace fails only the C4 gate")
+  }
+
   test("mojibake counts each corruption signature, clean text passes") {
     val docs = Seq(
       (1L, "perfectly clean ascii text"),

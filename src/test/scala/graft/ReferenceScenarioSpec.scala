@@ -264,6 +264,34 @@ class ReferenceScenarioSpec extends AnyFunSuite {
     }
   }
 
+  test("reference rest_catalog_tests: SQL-created tables list and load via REST") {
+    // icelake/tests/rest_catalog_tests.rs — test_list_tables (s1.t1, s1.t2,
+    // s2.t1 created through Spark SQL, then list_tables per namespace) and
+    // test_load_table (format v2 + schema round-trip through the catalog)
+    val server = new RestCatalog.Server()
+    val uri = server.start()
+    val cat = s"grref${System.nanoTime()}"
+    try {
+      val wh = Files.createTempDirectory("graft-refrest").toFile.getAbsolutePath
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      spark.conf.set(s"spark.sql.catalog.$cat.uri", uri)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.s1")
+      spark.sql(s"CREATE TABLE $cat.s1.t1 (id BIGINT)")
+      spark.sql(s"CREATE TABLE $cat.s1.t2 (id BIGINT)")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.s2")
+      spark.sql(s"CREATE TABLE $cat.s2.t1 (id BIGINT)")
+      val client = new RestCatalog.Client(
+        uri, spark.sparkContext.hadoopConfiguration)
+      assert(client.listTables("s1").sorted === Seq("t1", "t2"))
+      assert(client.listTables("s2") === Seq("t1"))
+      val loaded = client.loadTable("s1", "t1").metadata
+      assert(loaded.formatVersion === 2)
+      assert(loaded.currentSchema.fields.map(f => (f.name, f.fieldType)) ===
+        List(("id", IcePrim("long"))))
+    } finally server.stop()
+  }
+
   test("reference insert_compact_test: 100 task writes per commit, then compaction") {
     // icelake/tests/insert_compact_test.rs — TIMES(=100) append-only task
     // writers each close into their own data files, ONE Transaction
