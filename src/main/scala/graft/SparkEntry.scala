@@ -1432,8 +1432,11 @@ object SparkEntry {
         col("doc_id"),
         (nStop.cast(DoubleType) / size(toks)).as("score"),
         (col("lang") === "en").as("pos"))
-      val buckets = Selection.quantileBuckets(scored, "doc_id", "score", 10)
-      val agg = scored.join(buckets, "doc_id")
+      // pos rides THROUGH the bucketer (carry) — no join back on doc_id,
+      // no second tokenization pass
+      val buckets = Selection.quantileBuckets(scored, "doc_id", "score", 10,
+        carry = Seq("pos"))
+      val agg = buckets
         .groupBy("bucket")
         .agg(count(lit(1)).as("docs"),
           sum(col("pos").cast("long")).as("pos"))

@@ -70,8 +70,8 @@ object Packing {
     // monotone in doc_id: #boundaries strictly below the id
     val bucketCol =
       if (bounds.isEmpty) lit(0)
-      else size(filter(typedLit(bounds.toSeq),
-        b => col("doc_id").cast("double") > b))
+      else Selection.boundsBucket(bounds.toSeq,
+        col("doc_id").cast("double"), above = false)
     val wLocal = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = base
@@ -188,8 +188,8 @@ object Packing {
     // so a larger vb ranks strictly earlier and ties share one bucket
     val vbucket =
       if (bounds.isEmpty) lit(0)
-      else size(filter(typedLit(bounds.toSeq),
-        b => col("n_tokens").cast("double") > b))
+      else Selection.boundsBucket(bounds.toSeq,
+        col("n_tokens").cast("double"), above = false)
     val wLocal = Window.partitionBy("vb")
       .orderBy(col("n_tokens").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
