@@ -74,10 +74,12 @@ object Packing {
         col("doc_id").cast("double"), above = false)
     val wLocal = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = base
-      .withColumn("bucket", bucketCol)
-      .withColumn("cum_local", sum("n_tokens").over(wLocal))
-    val totals = local.groupBy("bucket").agg(sum("n_tokens").as("ptot"))
+    // repartition by bucket FIRST: the window branch and the totals
+    // branch then share ONE reused exchange (see Selection.boundsBucket)
+    val parted = base.withColumn("bucket", bucketCol)
+      .repartition(nB, col("bucket"))
+    val local = parted.withColumn("cum_local", sum("n_tokens").over(wLocal))
+    val totals = parted.groupBy("bucket").agg(sum("n_tokens").as("ptot"))
     val ow = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals
       .withColumn("poffset", coalesce(sum("ptot").over(ow), lit(0L)))
@@ -193,9 +195,9 @@ object Packing {
     val wLocal = Window.partitionBy("vb")
       .orderBy(col("n_tokens").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = base.withColumn("vb", vbucket)
-      .withColumn("rank_local", count(lit(1)).over(wLocal))
-    val totals = local.groupBy("vb").agg(count(lit(1)).as("n"))
+    val parted = base.withColumn("vb", vbucket).repartition(nB, col("vb"))
+    val local = parted.withColumn("rank_local", count(lit(1)).over(wLocal))
+    val totals = parted.groupBy("vb").agg(count(lit(1)).as("n"))
     val ow = Window.orderBy(col("vb").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals

@@ -133,10 +133,10 @@ object Selection {
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy("bucket").orderBy(col("score").desc, col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val local = base
-      .withColumn("bucket", bucketCol)
-      .withColumn("cum_local", sum("n_tokens").over(wLocal))
-    val totals = local.groupBy("bucket").agg(sum("n_tokens").as("ptot"))
+    val parted = base.withColumn("bucket", bucketCol)
+      .repartition(nB, col("bucket"))
+    val local = parted.withColumn("cum_local", sum("n_tokens").over(wLocal))
+    val totals = parted.groupBy("bucket").agg(sum("n_tokens").as("ptot"))
     val ow = org.apache.spark.sql.expressions.Window.orderBy("bucket")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val offsets = totals
@@ -568,9 +568,10 @@ object Selection {
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy("vb").orderBy("s")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val local = g.withColumn("vb", vbucket)
+    val parted = g.withColumn("vb", vbucket).repartition(nB, col("vb"))
+    val local = parted
       .withColumn("neg_below_local", coalesce(sum("neg").over(wLocal), lit(0L)))
-    val totals = local.groupBy("vb").agg(sum("neg").as("bneg"))
+    val totals = parted.groupBy("vb").agg(sum("neg").as("bneg"))
     val ow = org.apache.spark.sql.expressions.Window.orderBy("vb")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val offsets = totals
