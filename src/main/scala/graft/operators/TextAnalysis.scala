@@ -499,8 +499,10 @@ object TextAnalysis {
       k: Int = 3,
       idfBits: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // null text explodes to zero terms — the doc simply yields no keywords
     val terms = filter(
-      split(lower(trim(col(textCol))), "[^a-z0-9]+"), x => length(x) > 0)
+      split(lower(trim(coalesce(col(textCol), lit("")))), "[^a-z0-9]+"),
+      x => length(x) > 0)
     val tok = df.select(col(idCol).as("doc_id"), explode(terms).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -535,8 +537,9 @@ object TextAnalysis {
     * over codegen'd builtins (split/filter/size/regexp) — no shuffle, no
     * UDF; linear in input bytes at any scale. */
   def c4Rules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // null text = empty doc (never null verdicts)
     val (lines, kept, keptText, nSent, rBrace, rLorem, rSent) =
-      c4Checks(col(textCol))
+      c4Checks(coalesce(col(textCol), lit("")))
     df.select(
       col(idCol),
       size(lines).cast(LongType).as("n_lines"),
@@ -581,7 +584,7 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       lang: String = "en"): DataFrame = {
-    val t = col(textCol)
+    val t = coalesce(col(textCol), lit("")) // null text = empty doc
     val mojiOk = !mojibakeSuspect(t)
     val langOk = text.langId(t) === lang
     val (_, _, _, _, rBrace, rLorem, rSent) = c4Checks(t)

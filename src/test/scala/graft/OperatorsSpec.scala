@@ -677,6 +677,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(5L)._1 && r(5L)._2 && !r(5L)._3, "a brace fails only the C4 gate")
   }
 
+  test("c4/webClean/keywords: null and empty text degrade, never crash or null out") {
+    val docs = Seq[(Long, String)]((1L, null), (2L, ""), (3L, "   \n  \n"))
+      .toDF("doc_id", "text")
+    val c4 = TextAnalysis.c4Rules(docs, "doc_id", "text").collect()
+    assert(c4.length === 3)
+    c4.foreach { r =>
+      assert(r.getLong(1) === 0L && !r.getBoolean(8),
+        "degenerate docs have zero lines and fail the page verdict")
+      assert(!r.isNullAt(5) && !r.isNullAt(8), "verdicts are never null")
+    }
+    val wc = TextAnalysis.webClean(docs, "doc_id", "text").collect()
+    assert(wc.length === 3)
+    wc.foreach(r => assert(!r.isNullAt(5) && !r.getBoolean(5),
+      "keep is false, not null, on degenerate docs"))
+    assert(TextAnalysis.keywords(docs, "doc_id", "text").count() === 0,
+      "no terms -> no keyword rows")
+  }
+
   test("mojibake counts each corruption signature, clean text passes") {
     val docs = Seq(
       (1L, "perfectly clean ascii text"),
