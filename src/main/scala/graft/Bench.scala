@@ -232,7 +232,7 @@ object Bench {
     // clustering rewrite (one range shuffle, kernel-in-codegen curve),
     // and keyword extraction (two (doc,term) shuffles + vocab join)
     "text_c4", "mix_domain_weights", "ice_hilbert", "text_keywords",
-    "pipeline_webclean")
+    "pipeline_webclean", "ice_sort_rewrite")
 
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —

@@ -1873,6 +1873,17 @@ object SparkEntry {
         targetFileSizeBytes = 256L * 1024)
       tbl.scan(s)
     }),
+    "ice_sort_rewrite" -> ((s, dir) => {
+      // global sort rewrite along the declared write order: one range
+      // shuffle, file bounds tile o_orderdate across files (the spec
+      // asserts tiling; here content preservation is the oracle)
+      val src = t(s, dir, "orders")
+      val tbl = freshTable(s, "ice_sort_rewrite", src)
+      tbl.setSortOrder(Seq(("o_orderdate", "asc", "nulls-first")))
+      tbl.append(s, src)
+      tbl.rewriteSorted(s, targetFileSizeBytes = 256L * 1024)
+      tbl.scan(s)
+    }),
     "ice_hilbert" -> ((s, dir) => {
       // Hilbert-curve rewrite: same contract as ice_zorder with tighter
       // locality (unit curve steps, no Morton quadrant jumps); content
@@ -5691,6 +5702,7 @@ object SparkEntry {
     "ice_time_travel" -> "SELECT * FROM orders WHERE o_orderkey % 2 = 0",
     "ice_zorder" -> "SELECT * FROM orders",
     "ice_hilbert" -> "SELECT * FROM orders",
+    "ice_sort_rewrite" -> "SELECT * FROM orders",
     "ice_wap" -> "SELECT * FROM orders",
     "ice_incremental_sql" ->
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 1",

@@ -215,6 +215,18 @@ private[spark] object GraftProcedures {
           Seq(Seq(before, liveDataFiles(t)))
         }),
       new GraftProcedure(
+        "rewrite_sort",
+        // global sort rewrite along the table's DECLARED write order —
+        // file bounds tile the sort key across files
+        Seq(in("table", StringType), in("target_file_size_bytes", LongType)),
+        out("files_before" -> LongType, "files_after" -> LongType),
+        (input, spark) => {
+          val t = table(input)
+          val before = liveDataFiles(t)
+          t.rewriteSorted(spark, input.getLong(1))
+          Seq(Seq(before, liveDataFiles(t)))
+        }),
+      new GraftProcedure(
         "rewrite_hilbert",
         // Hilbert-curve sibling of rewrite_zorder (tighter locality —
         // no Morton quadrant jumps); columns as 'c1,c2'

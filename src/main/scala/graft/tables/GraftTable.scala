@@ -1267,6 +1267,51 @@ class GraftTable(
     * longer apply to them (they were applied during the rewrite read),
     * while surviving files keep their original sequences and delete
     * files. Position deletes referencing rewritten paths become inert. */
+  /** Global sort rewrite (Iceberg's `rewrite_data_files` sort strategy):
+    * range-partition the WHOLE table by the declared sort order and
+    * rewrite, so file min/max bounds TILE the sort key across files — a
+    * filter on the leading sort column then prunes to O(1) files, where
+    * the write path's per-file local sort only tightens bounds within
+    * whatever file a row landed in. One range shuffle (Spark samples
+    * boundaries — the at-scale sort path); the write re-applies the
+    * declared order within files and stamps the order id, so sorted-scan
+    * reporting holds. On a partitioned table the writer's partition
+    * clustering takes over file routing; the declared order still holds
+    * within each file. Same concurrent-delete safety as compaction. */
+  def rewriteSorted(
+      spark: SparkSession,
+      targetFileSizeBytes: Long = 128L * 1024 * 1024): GraftTable = {
+    val order = metadata.sortOrders
+      .find(o => o.orderId == metadata.defaultSortOrderId && o.fields.nonEmpty)
+      .getOrElse(sys.error(
+        "rewriteSorted requires a non-empty default sort order (ALTER TABLE ... WRITE ORDERED BY)"))
+    val snap = metadata.currentSnapshot.getOrElse(return this)
+    val planned = planFiles(snap).filter(_.file.content == DataContent.Data)
+    if (planned.isEmpty) return this
+    val totalBytes = planned.map(_.file.fileSizeInBytes).sum
+    val targetFiles = math.max(1,
+      (totalBytes / math.max(1L, targetFileSizeBytes)).toInt +
+        (if (totalBytes % math.max(1L, targetFileSizeBytes) > 0) 1 else 0))
+    val sortCols: Seq[Column] = order.fields.flatMap { sf =>
+      metadata.currentSchema.fieldById(sf.sourceId).map { f =>
+        val c = col(f.name)
+        (sf.direction, sf.nullOrder) match {
+          case ("desc", "nulls-last") => c.desc_nulls_last
+          case ("desc", _) => c.desc_nulls_first
+          case (_, "nulls-last") => c.asc_nulls_last
+          case _ => c.asc_nulls_first
+        }
+      }
+    }
+    require(sortCols.nonEmpty, "no sort-order fields resolve in the current schema")
+    val ranged = withLineageCols(scan(spark))
+      .repartitionByRange(targetFiles, sortCols: _*)
+    val rewritten = TableWrite.writeDataFiles(this, spark, ranged)
+    val oldPaths = planned.map(p => GraftTable.normPathStr(p.file.filePath)).toSet
+    commitReplace(spark, "replace",
+      rewriteSurvivors(oldPaths, snap.sequenceNumber, "rewriteSorted"), rewritten)
+  }
+
   def rewriteSmallFiles(
       spark: SparkSession,
       smallFileThresholdBytes: Long): GraftTable = {

@@ -123,6 +123,55 @@ class ZOrderSpec extends AnyFunSuite {
       "z-order rewrite output was re-sorted by the declared write order")
   }
 
+  test("sort rewrite: file bounds tile the declared order across files") {
+    import graft.tables._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val d = java.nio.file.Files.createTempDirectory("graft-sortrw").toFile
+    d.delete()
+    val n = 4000L
+    // id-scrambled order: every append's files span most of the k range,
+    // so pre-rewrite bounds overlap heavily across files
+    val src = (1L to n).map(i => ((i * 2654435761L) % n, s"r$i"))
+      .toDF("k", "v")
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, d.getAbsolutePath, SchemaConvert.fromSparkSchema(src.schema),
+      IcePartitionSpec(0, Nil))
+    intercept[RuntimeException] { t.rewriteSorted(spark) }
+    t.setSortOrder(Seq(("k", "asc", "nulls-first")))
+    t.append(spark, src.filter(col("v").endsWith("1") || col("v").endsWith("2")))
+    t.append(spark, src.filter(!(col("v").endsWith("1") || col("v").endsWith("2"))))
+    val kField = t.metadata.currentSchema.findField("k").get
+    def ranges(): Seq[(Double, Double)] = t
+      .planFiles(t.metadata.currentSnapshot.get)
+      .filter(_.file.content == DataContent.Data)
+      .flatMap { p =>
+        for {
+          lo <- p.file.lowerBounds.get(kField.id)
+          hi <- p.file.upperBounds.get(kField.id)
+        } yield (
+          SingleValue.decode(IcePrim("long"), lo).asInstanceOf[Long].toDouble,
+          SingleValue.decode(IcePrim("long"), hi).asInstanceOf[Long].toDouble)
+      }.sortBy(_._1)
+    val before = ranges()
+    assert(before.size >= 2 &&
+      before.sliding(2).exists { case Seq(a, b) => b._1 <= a._2 },
+      "setup should produce overlapping file ranges")
+    t.rewriteSorted(spark, targetFileSizeBytes = 16L * 1024)
+    val back = t.scan(spark)
+    assert(back.count() === n)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    val after = ranges()
+    assert(after.size >= 3, s"expected a multi-file rewrite, got ${after.size}")
+    after.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._2 <= b._1, s"file ranges must tile, got $a then $b")
+    }
+    // the declared order id is stamped — sorted-scan reporting holds
+    val orderId = t.metadata.defaultSortOrderId
+    assert(t.planFiles(t.metadata.currentSnapshot.get)
+      .filter(_.file.content == DataContent.Data)
+      .forall(_.file.sortOrderId === Some(orderId)))
+  }
+
   test("hilbert: bijective on the grid and every curve step is a unit step") {
     import graft.functions.HilbertUtil
     // 2 dims x 3 bits and 3 dims x 2 bits: every cell visited exactly
