@@ -215,6 +215,32 @@ private[spark] object GraftProcedures {
           Seq(Seq(before, liveDataFiles(t)))
         }),
       new GraftProcedure(
+        "auto_maintain",
+        // the one-call runbook: bin-pack small files, compact position
+        // deletes, collapse manifests, expire history, reclaim orphans
+        Seq(in("table", StringType),
+          in("small_file_threshold_bytes", LongType),
+          in("expire_older_than_ms", LongType),
+          ProcedureParameter.in("retain_last", LongType).defaultValue("3").build()),
+        out(
+          "data_files_before" -> LongType, "data_files_after" -> LongType,
+          "pos_delete_files_before" -> LongType,
+          "pos_delete_files_after" -> LongType,
+          "manifests_before" -> LongType, "manifests_after" -> LongType,
+          "snapshots_before" -> LongType, "snapshots_after" -> LongType,
+          "orphans_removed" -> LongType),
+        (input, spark) => {
+          val retain = if (input.isNullAt(3)) 3 else input.getLong(3).toInt
+          val r = table(input).autoMaintain(
+            spark, input.getLong(1), input.getLong(2), retainLast = retain)
+          Seq(Seq(
+            r("data_files_before"), r("data_files_after"),
+            r("pos_delete_files_before"), r("pos_delete_files_after"),
+            r("manifests_before"), r("manifests_after"),
+            r("snapshots_before"), r("snapshots_after"),
+            r("orphans_removed")))
+        }),
+      new GraftProcedure(
         "rewrite_sort",
         // global sort rewrite along the table's DECLARED write order —
         // file bounds tile the sort key across files

@@ -1312,6 +1312,48 @@ class GraftTable(
       rewriteSurvivors(oldPaths, snap.sequenceNumber, "rewriteSorted"), rewritten)
   }
 
+  /** One-call maintenance runbook (`CALL system.auto_maintain`) — the
+    * composition a production scheduler runs per table instead of
+    * hand-sequencing four procedures: bin-pack small data files (no-op
+    * when the metadata-only plan says the table is healthy), compact
+    * accumulated position-delete files, collapse an overgrown manifest
+    * list, expire history (branch/tag retention honored), and reclaim
+    * orphans past the same horizon (count-only — the orphan path list
+    * never lands on the driver). Each step is itself oracle/spec-gated;
+    * this only sequences them and reports what changed. */
+  def autoMaintain(
+      spark: SparkSession,
+      smallFileThresholdBytes: Long,
+      expireOlderThanMs: Long,
+      retainLast: Int = 3,
+      maxManifests: Int = 8): Map[String, Long] = {
+    def live(content: Int): Long = metadata.currentSnapshot.toList
+      .flatMap(planFiles(_)).count(_.file.content == content).toLong
+    def manifestCount: Long = metadata.currentSnapshot
+      .map(s => ManifestIO.readManifestList(conf, relocate(s.manifestList)).size.toLong)
+      .getOrElse(0L)
+    val dataBefore = live(DataContent.Data)
+    val posBefore = live(DataContent.PositionDeletes)
+    val manifestsBefore = manifestCount
+    val snapsBefore = metadata.snapshots.size.toLong
+    rewriteSmallFiles(spark, smallFileThresholdBytes)
+    if (live(DataContent.PositionDeletes) >= 2)
+      rewritePositionDeleteFiles(spark)
+    if (manifestCount > maxManifests) rewriteManifests(spark)
+    expireSnapshots(expireOlderThanMs, retainLast = retainLast)
+    val orphans = removeOrphanFilesCount(expireOlderThanMs)
+    Map(
+      "data_files_before" -> dataBefore,
+      "data_files_after" -> live(DataContent.Data),
+      "pos_delete_files_before" -> posBefore,
+      "pos_delete_files_after" -> live(DataContent.PositionDeletes),
+      "manifests_before" -> manifestsBefore,
+      "manifests_after" -> manifestCount,
+      "snapshots_before" -> snapsBefore,
+      "snapshots_after" -> metadata.snapshots.size.toLong,
+      "orphans_removed" -> orphans)
+  }
+
   def rewriteSmallFiles(
       spark: SparkSession,
       smallFileThresholdBytes: Long): GraftTable = {

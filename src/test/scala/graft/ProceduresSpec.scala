@@ -112,6 +112,34 @@ class ProceduresSpec extends AnyFunSuite {
     assert(got.toSeq === exp.toSeq)
   }
 
+  test("auto_maintain: one call compacts, expires and reclaims; rows intact") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gproc.db")
+    spark.sql("DROP TABLE IF EXISTS gproc.db.procs_am")
+    spark.sql(
+      "CREATE TABLE gproc.db.procs_am (o_orderkey BIGINT, o_totalprice DOUBLE)")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select($"o_orderkey", $"o_totalprice")
+      .createOrReplaceTempView("procs_am_src")
+    // messy history: 3 small-file appends + a MoR delete
+    (0 until 3).foreach(i => spark.sql(
+      s"INSERT INTO gproc.db.procs_am SELECT * FROM procs_am_src WHERE o_orderkey % 3 = $i"))
+    spark.sql("DELETE FROM gproc.db.procs_am WHERE o_orderkey % 10 = 0")
+    val expected = spark.sql(
+      "SELECT * FROM procs_am_src WHERE o_orderkey % 10 <> 0")
+      .orderBy("o_orderkey").collect()
+    val r = spark.sql(
+      s"""CALL gproc.system.auto_maintain('db.procs_am',
+         |${64L * 1024 * 1024}L, ${System.currentTimeMillis() + 60000}L, 1L)"""
+        .stripMargin).collect().head
+    assert(r.getLong(1) < r.getLong(0),
+      s"small files must bin-pack (${r.getLong(0)} -> ${r.getLong(1)})")
+    assert(r.getLong(3) === 0L, "compaction absorbs the position deletes")
+    assert(r.getLong(7) <= 2L, "history expires down to the retained tail")
+    assert(r.getLong(8) >= 1L, "expired snapshots' files reclaim as orphans")
+    val got = spark.table("gproc.db.procs_am").orderBy("o_orderkey").collect()
+    assert(got.toSeq === expected.toSeq, "maintenance must not change rows")
+  }
+
   test("expire_snapshots + remove_orphan_files reclaim history") {
     freshSqlTable("procs_gc")
     spark.sql("INSERT INTO gproc.db.procs_gc SELECT * FROM procs_gc_src WHERE o_orderkey % 2 = 0")
