@@ -232,7 +232,13 @@ object Bench {
     // clustering rewrite (one range shuffle, kernel-in-codegen curve),
     // and keyword extraction (two (doc,term) shuffles + vocab join)
     "text_c4", "mix_domain_weights", "ice_hilbert", "text_keywords",
-    "pipeline_webclean", "ice_sort_rewrite")
+    "pipeline_webclean", "ice_sort_rewrite",
+    // round-9 close wave: containment dedup (df-capped inverted index),
+    // weight-proportional sampling (one broadcast aggregate), the
+    // hash-cut dataset split (map-only), OOV coverage (two bounded
+    // shuffles + broadcast vocab), block-wise int4 quantization
+    "dedup_containment", "sample_weighted", "sample_split", "text_oov",
+    "embed_quantize_int4")
 
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —

@@ -1059,6 +1059,13 @@ object SparkEntry {
       // scale + floor round-half-up, exact in both engines
       Quantization.quantizeStats(t(s, dir, "embeddings"), "vec_id", "embedding")
     }),
+    "embed_quantize_int4" -> ((s, dir) => {
+      // block-wise int4 (the QLoRA storage shape): per-16-dim absmax
+      // scales so an outlier dim can't flatten the rest at a [-7,7]
+      // grid; same floor round-half-up, scalar folds for the oracle
+      Quantization.quantizeInt4Stats(
+        t(s, dir, "embeddings"), "vec_id", "embedding", blockSize = 16)
+    }),
     "profile_columns" -> ((s, dir) => {
       // ANALYZE-style column profile of the corpus table: one aggregation
       // pass, one output row per column
@@ -1181,6 +1188,14 @@ object SparkEntry {
           col("n_chars").cast(LongType).as("n_chars"),
           col("n_tokens").cast(LongType).as("n_tokens"),
           col("mean_word_len"), col("stopword_ratio"))
+    }),
+    "text_oov" -> ((s, dir) => {
+      // tokenizer-fit report: per-doc out-of-vocabulary rate against the
+      // corpus's own top-1000 word vocabulary (count desc, word asc at
+      // the cut — deterministic); two partial-aggregated shuffles + one
+      // broadcast vocab join, the corpus never shuffles by word twice
+      TextAnalysis.vocabCoverage(
+        t(s, dir, "documents"), "doc_id", "text", vocabSize = 1000)
     }),
     "text_gopher" -> ((s, dir) => {
       // the published Gopher quality rules as one map-only composite
@@ -1511,6 +1526,24 @@ object SparkEntry {
           "source", "n_chars", temperature = 0.7, budget = 0.1)
         .select(col("doc_id"), col("source"),
           col("n_chars").cast(LongType).as("n_chars"))
+    }),
+    "sample_weighted" -> ((s, dir) => {
+      // weight-proportional Poisson sampling: inclusion probability
+      // ∝ n_chars (min(1, f·w·N/ΣW)), the same 16-bit md5 threshold as
+      // every sampler but computed PER ROW from one broadcast one-row
+      // aggregate — a doc twice as heavy is twice as likely to survive
+      Sampling.weightedSample(
+          t(s, dir, "documents"), "doc_id", "n_chars", fraction = 0.1)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast(LongType).as("n_chars"))
+    }),
+    "sample_split" -> ((s, dir) => {
+      // deterministic train/val/test assignment from the key hash alone
+      // — reproducible across runs and engines, new rows never reshuffle
+      // old assignments (unlike randomSplit)
+      Sampling.splitAssign(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
     }),
     "mix_domain_weights" -> ((s, dir) => {
       // DoReMi-style mixture artifact: observed token share per source vs
@@ -3326,6 +3359,23 @@ object SparkEntry {
             expr("substring(trim(text), 1, CAST(floor(length(trim(text)) / 2) AS INT))")
               .as("text")))
       Dedup.prefixDups(planted, "doc_id", "text")
+    }),
+    "dedup_containment" -> ((s, dir) => {
+      // embedded-document detection: the doc_id%13 slice is PLANTED as
+      // middle-half excerpts (jaccard ~0.5 against the source — under
+      // every near-dup threshold — but containment ~1). Candidates from
+      // a df-capped shingle inverted index, exact intersect verify;
+      // the oracle replays the same cap
+      val d = t(s, dir, "documents")
+      val planted = d.select(col("doc_id"), col("text")).unionByName(
+        d.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+            expr("""substring(trim(text),
+                 |  CAST(floor(length(trim(text)) / 4) AS INT) + 1,
+                 |  CAST(floor(length(trim(text)) / 2) AS INT))""".stripMargin)
+              .as("text")))
+      Dedup.containmentPairs(planted, "doc_id", "text",
+        shingleSize = 2, threshold = 0.8, maxDf = 64, minShingles = 4)
     }),
     "dedup_image_pairs" -> ((s, dir) => {
       // image near-dup pipeline composed end-to-end: real PNG decode →
@@ -5453,6 +5503,116 @@ object SparkEntry {
         |  CAST(list_min(qv) AS BIGINT) AS qmin,
         |  CAST(list_max(qv) AS BIGINT) AS qmax
         |FROM q""".stripMargin,
+    // exact replica of Quantization.quantizeInt4Block: per-16-dim-block
+    // absmax scales, floor round-half-up, scalar folds
+    "embed_quantize_int4" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding AS v,
+        |    list_transform(range(0, CAST(ceil(len(embedding) / 16.0) AS INT)),
+        |      j -> list_max(list_transform(
+        |             list_slice(embedding, j*16 + 1, j*16 + 16),
+        |             x -> abs(x::DOUBLE))) / 7.0) AS scales
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, scales,
+        |    list_transform(range(1, len(v) + 1),
+        |      i -> CASE WHEN scales[(i-1)//16 + 1] = 0 THEN 0
+        |                ELSE CAST(floor(v[i]::DOUBLE / scales[(i-1)//16 + 1]
+        |                                + 0.5) AS BIGINT) END) AS qv
+        |  FROM s)
+        |SELECT vec_id,
+        |  CAST(len(scales) AS BIGINT) AS n_blocks,
+        |  list_max(scales) AS scale_max,
+        |  CAST(list_sum(qv) AS BIGINT) AS qsum,
+        |  CAST(list_min(qv) AS BIGINT) AS qmin,
+        |  CAST(list_max(qv) AS BIGINT) AS qmax
+        |FROM q""".stripMargin,
+    // exact replica of Sampling.weightedSample: per-row rate
+    // min(1, 0.1·w·N/ΣW) rendered to the 16-bit hex threshold
+    "sample_weighted" ->
+      """WITH tot AS (
+        |  SELECT CAST(SUM(n_chars) AS DOUBLE) AS W,
+        |         CAST(count(*) AS DOUBLE) AS N
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    LEAST(1.0, 0.1 * CAST(n_chars AS DOUBLE) * N / W) AS rate
+        |  FROM documents, tot)
+        |SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM r
+        |WHERE n_chars > 0
+        |  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |    CASE WHEN rate >= 1.0
+        |           OR CAST(round(rate * 65536) AS BIGINT) >= 65536 THEN 'g'
+        |         ELSE printf('%04x', CAST(round(rate * 65536) AS BIGINT))
+        |    END""".stripMargin,
+    // exact replica of Sampling.splitAssign's cumulative hex cuts
+    "sample_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |         printf('%04x', CAST(round(0.8 * 65536) AS BIGINT))
+        |       THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |         printf('%04x', CAST(round((0.8 + 0.1) * 65536) AS BIGINT))
+        |       THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    // exact replica of TextAnalysis.vocabCoverage: corpus top-1000 word
+    // vocabulary (count desc, word asc), per-doc OOV counts
+    "text_oov" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |v AS (SELECT w FROM (
+        |  SELECT w, count(*) AS c FROM toks GROUP BY w
+        |  ORDER BY c DESC, w ASC LIMIT 1000)),
+        |pd AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN w IN (SELECT w FROM v) THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS noov
+        |  FROM toks GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(nt, 0) AS n_tokens,
+        |  COALESCE(noov, 0) AS n_oov,
+        |  CASE WHEN COALESCE(nt, 0) = 0 THEN 0.0
+        |       ELSE CAST(noov AS DOUBLE) / nt END AS oov_rate
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
+    // exact replica of Dedup.containmentPairs incl. the df cap: planted
+    // middle-half excerpts, df-capped inverted-index candidates, exact
+    // intersect containment
+    "dedup_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, substr(trim(text),
+        |    CAST(floor(length(trim(text)) / 4) AS INT) + 1,
+        |    CAST(floor(length(trim(text)) / 2) AS INT))
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM corpus)),
+        |f AS (SELECT doc_id, sh FROM s WHERE len(sh) >= 4),
+        |inv AS (SELECT doc_id, unnest(sh) AS h FROM f),
+        |hot AS (SELECT h FROM inv GROUP BY h HAVING count(*) BETWEEN 2 AND 64),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM inv x JOIN inv y ON x.h = y.h AND x.doc_id < y.doc_id
+        |  WHERE x.h IN (SELECT h FROM hot)),
+        |p AS (
+        |  SELECT c.a, c.b,
+        |    CAST(len(sa.sh) AS BIGINT) AS size_a,
+        |    CAST(len(sb.sh) AS BIGINT) AS size_b,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS shared
+        |  FROM cand c JOIN f sa ON sa.doc_id = c.a
+        |              JOIN f sb ON sb.doc_id = c.b)
+        |SELECT a, b, size_a, size_b, shared,
+        |  CAST(shared AS DOUBLE) / LEAST(size_a, size_b) AS containment
+        |FROM p
+        |WHERE CAST(shared AS DOUBLE) / LEAST(size_a, size_b) >= 0.8""".stripMargin,
     "profile_columns" ->
       """SELECT 'doc_id' AS "column", count(*) AS n_rows,
         |  count(*) - count(doc_id) AS n_nulls,

@@ -685,4 +685,60 @@ object Dedup {
       .filter(col("tb").startsWith(col("ta")))
       .select(col("prefix_id"), col("full_id"))
   }
+
+  /** Containment-duplicate pairs: C(A,B) = |S(a)∩S(b)| / min(|S(a)|,
+    * |S(b)|) over word-shingle sets — the asymmetric-size duplication
+    * Jaccard misses (a document EMBEDDED in a longer one scores jaccard
+    * ≈ |small|/|large| but containment ≈ 1; [[prefixDups]] catches only
+    * the strict-prefix special case). The standard near-dup companion
+    * for quote-heavy / aggregated / re-crawled web corpora.
+    *
+    * Scale design: candidates come from a shingle inverted index — only
+    * docs SHARING a shingle ever pair, never all-pairs. Two caps bound
+    * the fan-out: shingles occurring in more than `maxDf` documents are
+    * dropped from the index (boilerplate grams pair everything with
+    * everything while carrying no identity — dropping them is the
+    * df-cut every inverted index at scale applies; a contained pair
+    * shares its CONTENT grams, which are low-df), and surviving buckets
+    * generate at most |bucket|² bounded pairs from sorted id arrays.
+    * Only (hash, id) rows shuffle; shingle arrays join back once for
+    * the EXACT intersection verify on candidates. `minShingles` floors
+    * trivially-small documents whose containment is noise. */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 2,
+      threshold: Double = 0.8,
+      maxDf: Int = 64,
+      minShingles: Int = 4): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val sets = df.select(
+      col(idCol).cast(LongType).as("id"),
+      text.shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) >= minShingles)
+    val candidates = sets
+      .select(col("id"), explode(col("sh")).as("h"))
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y ->
+          |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .distinct()
+    candidates
+      .join(sets.select(col("id").as("a"), col("sh").as("sa")), "a")
+      .join(sets.select(col("id").as("b"), col("sh").as("sb")), "b")
+      .select(
+        col("a"), col("b"),
+        size(col("sa")).cast(LongType).as("size_a"),
+        size(col("sb")).cast(LongType).as("size_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast(LongType)
+          .as("shared"))
+      .withColumn("containment",
+        col("shared").cast(DoubleType) / least(col("size_a"), col("size_b")))
+      .filter(col("containment") >= threshold)
+  }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** Deterministic, engine-portable sampling for training-data pipelines.
   *
@@ -105,5 +105,66 @@ object Sampling {
         coalesce(col("__graft_thr"), lit(hexThreshold(defaultFraction))))
       .filter(hashBucket(col(keyCol), salt) < col("__graft_thr"))
       .drop("__graft_thr")
+  }
+
+  /** Weight-proportional (Poisson) sampling: row i kept with probability
+    * `min(1, fraction · w_i · N / ΣW)` — inclusion proportional to its
+    * weight, expected kept ≈ `fraction · N` absent clipping. The
+    * "sample by quality score / token count" primitive between uniform
+    * hash sampling and the per-domain mixture rates: a row twice as
+    * heavy is twice as likely to survive, deterministically.
+    *
+    * Scale + exactness: ONE one-row aggregate (ΣW, N) broadcast back —
+    * nothing about the corpus shuffles, no driver collect. Weights
+    * should be integer-valued (token counts, quantized scores) so ΣW
+    * aggregates exactly in any order; the per-row rate renders to a
+    * 16-bit threshold compared as a 4-hex string against the md5 key
+    * prefix — the same quantization every sampler here uses, so engines
+    * agree bit-for-bit. Zero/negative weights never survive. */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      fraction: Double,
+      salt: String = ""): DataFrame = {
+    require(fraction > 0.0, s"fraction must be > 0, got $fraction")
+    val totals = df.agg(
+      sum(col(weightCol)).cast(DoubleType).as("__graft_W"),
+      count(lit(1)).cast(DoubleType).as("__graft_N"))
+    val rate = least(
+      lit(1.0),
+      lit(fraction) * col(weightCol).cast(DoubleType) *
+        col("__graft_N") / col("__graft_W"))
+    val bucket = round(rate * 65536).cast(LongType)
+    val thr = when(rate >= 1.0 || bucket >= lit(65536L), lit("g"))
+      .otherwise(format_string("%04x", bucket))
+    df.crossJoin(broadcast(totals))
+      .filter(col(weightCol) > 0 && hashBucket(col(keyCol), salt) < thr)
+      .drop("__graft_W", "__graft_N")
+  }
+
+  /** Deterministic dataset split: each row gets a split label from the
+    * cumulative `fractions` intervals of its 16-bit key hash — the
+    * train/val/test assignment every pipeline needs, reproducible from
+    * keys alone (new rows never reshuffle old assignments, unlike
+    * `randomSplit`). Map-only, no shuffle, no state. Fractions must sum
+    * to ≤ 1; any remainder falls in the LAST split (so (0.8, 0.1, 0.1)
+    * and (0.8, 0.1) with a tail both cover every row). */
+  def splitAssign(
+      df: DataFrame,
+      keyCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = ""): DataFrame = {
+    require(splits.nonEmpty, "at least one split")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val thresholds = cuts.map(hexThreshold)
+    val h = hashBucket(col(keyCol), salt)
+    // walk the cumulative cuts; the last split absorbs the tail
+    val label = splits.init.zip(thresholds.init).reverse
+      .foldLeft(lit(splits.last._1): Column) { case (acc, ((name, _), cut)) =>
+        when(h < lit(cut), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", label)
   }
 }

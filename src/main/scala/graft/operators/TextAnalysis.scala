@@ -151,6 +151,52 @@ object TextAnalysis {
         .as("n_tokens_bpe_est"))
   }
 
+  /** Vocabulary-coverage / out-of-vocabulary report: per document, how
+    * many of its tokens fall outside the corpus's top-`vocabSize` word
+    * vocabulary — the tokenizer-fit measurement run before committing to
+    * a vocab size (a 5% OOV rate at 32k says grow the vocab or expect
+    * byte-fallback blowup; per-slice OOV exposes domains the tokenizer
+    * underserves). The vocabulary is derived from the corpus itself
+    * (count desc, word asc — deterministic at the cut), so the report
+    * needs no external artifact.
+    *
+    * Scale: the token stream shuffles twice with map-side combine — once
+    * keyed by WORD for the vocabulary histogram (rows ∝ distinct words),
+    * once keyed by DOC for the per-doc counts (rows ∝ documents); the
+    * top-K cut is a bounded TakeOrdered and ships back as a BROADCAST
+    * join, so scoring never shuffles the corpus by word. Zero-token
+    * documents report (0, 0, 0.0) via the outer join back. */
+  def vocabCoverage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val w = filter(
+      split(lower(coalesce(col(textCol), lit(""))), "[^a-z0-9]+"),
+      x => length(x) > 0)
+    val toks = df.select(col(idCol), explode(w).as("_w"))
+    val vocab = toks.groupBy(col("_w"))
+      .agg(count(lit(1)).as("_freq"))
+      .orderBy(col("_freq").desc, col("_w").asc)
+      .limit(vocabSize)
+      .select(col("_w"), lit(1).as("_in_vocab"))
+    val perDoc = toks
+      .join(broadcast(vocab), Seq("_w"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("_nt"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("_noov"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("_nt"), lit(0L)).as("n_tokens"),
+        coalesce(col("_noov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("_nt"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("_noov").cast(DoubleType) / col("_nt"))
+          .as("oov_rate"))
+  }
+
   /** Repetition signals (the Gopher-style repetition filters): type-token
     * ratio, most-frequent-word mass, and duplicate-bigram fraction —
     * heavily repetitive documents (boilerplate, keyword stuffing, broken

@@ -2675,6 +2675,21 @@ class GraftTable(
     * place for preconditions like "my referenced files still exist" or
     * "my batch id is not committed yet"). */
   private def retryCommit(validate: () => Unit)(body: => Unit): Unit = {
+    // retry budget and backoff are TABLE PROPERTIES (Iceberg's
+    // commit.retry.* knobs): a busy streaming table can buy a bigger
+    // budget, a fail-fast batch job can set num-retries=0 and surface
+    // the conflict to its own scheduler. Defaults stay generous — N
+    // contending writers can legitimately lose ~N commits in a row
+    // each — because a conflict loss is not an error, just a lost race.
+    def propLong(key: String, default: Long): Long =
+      metadata.properties.get(key)
+        .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+        .getOrElse(default)
+    val maxRetries = propLong("commit.retry.num-retries", 50L)
+    val minWaitMs = propLong("commit.retry.min-wait-ms", 5L)
+    val maxWaitMs = propLong("commit.retry.max-wait-ms", 200L)
+    val totalTimeoutMs = propLong("commit.retry.total-timeout-ms", 1800000L)
+    val startNs = System.nanoTime()
     var attempt = 0
     var done = false
     while (!done) {
@@ -2683,16 +2698,16 @@ class GraftTable(
         body
         done = true
       } catch {
-        // a conflict loss is not an error, just a lost race — the budget
-        // only guards against livelock, so keep it generous: N contending
-        // writers can legitimately lose ~N commits in a row each. Jittered
-        // backoff keeps losers from hot-spinning manifest rewrites against
-        // the same winner.
-        case _: CommitConflictException if attempt < 50 =>
+        // jittered linear backoff keeps losers from hot-spinning
+        // manifest rewrites against the same winner; the wall-clock
+        // budget bounds total stall even when the retry count is large
+        case _: CommitConflictException
+            if attempt < maxRetries &&
+              (System.nanoTime() - startNs) / 1000000L < totalTimeoutMs =>
           Metrics.inc(Metrics.CommitConflicts)
           attempt += 1
           Thread.sleep(
-            math.min(200L, 5L * attempt) +
+            math.min(maxWaitMs, minWaitMs * attempt) +
               java.util.concurrent.ThreadLocalRandom.current().nextLong(20L))
           refresh()
       }

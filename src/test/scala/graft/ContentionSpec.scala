@@ -282,4 +282,45 @@ class ContentionSpec extends AnyFunSuite {
     assert(snaps.map(_.sequenceNumber).distinct.size === snaps.size)
     assert(compactions > 0, "the soak never actually compacted")
   }
+
+  test("commit.retry.* table properties govern the conflict-retry budget") {
+    import spark.implicits._
+    val loc = {
+      val d = Files.createTempDirectory("graft-retryprops").toFile
+      d.delete()
+      d.getAbsolutePath
+    }
+    val schema = IceSchema(0, List(
+      IceField(1, "k", required = true, IcePrim("long"))))
+    StorageCatalog.createOrReplaceTable(conf, loc, schema, IcePartitionSpec(0, Nil))
+
+    // default budget: a stale handle refreshes and retries through
+    val a = StorageCatalog.loadTable(conf, loc)
+    val b = StorageCatalog.loadTable(conf, loc)
+    a.append(spark, Seq(1L).toDF("k")) // b is now stale
+    b.append(spark, Seq(2L).toDF("k")) // must win via refresh+retry
+    assert(StorageCatalog.loadTable(conf, loc).scan(spark).count() === 2L)
+
+    // num-retries=0: the same stale-handle race fails FAST with the
+    // conflict surfaced to the caller
+    StorageCatalog.loadTable(conf, loc)
+      .setProperties(Map("commit.retry.num-retries" -> "0"))
+    val c = StorageCatalog.loadTable(conf, loc)
+    val d = StorageCatalog.loadTable(conf, loc)
+    c.append(spark, Seq(3L).toDF("k")) // d is now stale
+    intercept[CommitConflictException] {
+      d.append(spark, Seq(4L).toDF("k"))
+    }
+
+    // an unparseable value falls back to the generous default
+    StorageCatalog.loadTable(conf, loc)
+      .setProperties(Map("commit.retry.num-retries" -> "not-a-number"))
+    val e = StorageCatalog.loadTable(conf, loc)
+    val f = StorageCatalog.loadTable(conf, loc)
+    e.append(spark, Seq(5L).toDF("k"))
+    f.append(spark, Seq(6L).toDF("k")) // retries through again
+    val rows = StorageCatalog.loadTable(conf, loc)
+      .scan(spark).select("k").collect().map(_.getLong(0)).toSet
+    assert(rows === Set(1L, 2L, 3L, 5L, 6L))
+  }
 }

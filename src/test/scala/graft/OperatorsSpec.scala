@@ -1395,4 +1395,129 @@ class OperatorsSpec extends AnyFunSuite {
       .select("interval_id", "click_id").as[(Long, Long)].collect().toSet
     assert(nk === Set((900L, 101L), (900L, 102L), (900L, 103L), (900L, 105L), (901L, 106L)))
   }
+
+  test("containment pairs: embedded excerpt, minShingles floor, df cap") {
+    val d = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), // 9 bigrams
+      (2L, "w3 w4 w5 w6 w7"),                 // 4 bigrams, all inside doc 1
+      (3L, "x1 x2 x3 x4 x5"),                 // unrelated
+      (4L, "w1 w2 w3"),                       // contained but only 2 bigrams
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, "doc_id", "text",
+        shingleSize = 2, threshold = 0.8, maxDf = 64, minShingles = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // jaccard of (1,2) is 4/9 ≈ 0.44 — invisible to a 0.8 jaccard gate;
+    // containment is 4/min(9,4) = 1.0
+    assert(got.keySet === Set((1L, 2L)))
+    assert(got((1L, 2L)) === ((9L, 4L, 4L, 1.0)))
+    // df cap 1 empties the inverted index -> no candidates at all
+    assert(Dedup.containmentPairs(d, "doc_id", "text",
+      shingleSize = 2, threshold = 0.8, maxDf = 1, minShingles = 4).count() === 0L)
+  }
+
+  test("weighted sample: rate formula, zero weights, clipping, determinism") {
+    val d = Seq((1L, 10L), (2L, 30L), (3L, 0L), (4L, 10L), (5L, 50L))
+      .toDF("k", "w")
+    def md5hex4(s: String): String = {
+      val dg = java.security.MessageDigest.getInstance("MD5")
+      dg.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(4)
+    }
+    // replicate the operator arithmetic exactly: rows with w=0 never
+    // survive; everyone else keeps iff md5 prefix < per-row threshold
+    val W = 100.0; val n = 5.0; val f = 0.4
+    val expected = Seq((1L, 10L), (2L, 30L), (4L, 10L), (5L, 50L)).filter {
+      case (k, w) =>
+        val rate = math.min(1.0, f * w * n / W)
+        val bucket = math.round(rate * 65536)
+        val thr = if (rate >= 1.0 || bucket >= 65536) "g" else f"$bucket%04x"
+        md5hex4(k.toString) < thr
+    }.map(_._1).toSet
+    val got = Sampling.weightedSample(d, "k", "w", fraction = f)
+      .select("k").as[Long].collect().toSet
+    assert(got === expected)
+    assert(!got.contains(3L))
+    // clipping: one row heavy enough that its rate saturates at 1.0
+    val clip = Seq((1L, 1L), (2L, 1000000L)).toDF("k", "w")
+    val kept = Sampling.weightedSample(clip, "k", "w", fraction = 0.5)
+      .select("k").as[Long].collect().toSet
+    assert(kept.contains(2L)) // rate 1.0 -> always kept
+    // determinism
+    val again = Sampling.weightedSample(d, "k", "w", fraction = f)
+      .select("k").as[Long].collect().toSet
+    assert(again === got)
+  }
+
+  test("split assign: total coverage, cumulative cuts, determinism") {
+    val d = (1L to 200L).toDF("k")
+    val out = Sampling.splitAssign(d, "k",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(out.count() === 200L)
+    val byLabel = out.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    assert(byLabel.keySet === Set("train", "val", "test"))
+    assert(byLabel.values.sum === 200L)
+    assert(byLabel("train") > byLabel("val") + byLabel("test"))
+    // manual replay of the cuts for a few keys
+    def md5hex4(s: String): String = {
+      val dg = java.security.MessageDigest.getInstance("MD5")
+      dg.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(4)
+    }
+    val t08 = f"${math.round(0.8 * 65536)}%04x"
+    val t09 = f"${math.round((0.8 + 0.1) * 65536)}%04x"
+    val assigned = out.as[(Long, String)].collect().toMap
+    for (k <- 1L to 20L) {
+      val h = md5hex4(k.toString)
+      val want = if (h < t08) "train" else if (h < t09) "val" else "test"
+      assert(assigned(k) === want, s"key $k hash $h")
+    }
+    // a single split takes everything
+    val one = Sampling.splitAssign(d, "k", Seq("all" -> 1.0))
+      .select("split").distinct().as[String].collect().toSeq
+    assert(one === Seq("all"))
+  }
+
+  test("vocab coverage: top-k cut, tie order, zero-token docs") {
+    val d = Seq(
+      (1L, "a a b"),
+      (2L, "a c"),
+      (3L, "   "),
+    ).toDF("doc_id", "text")
+    // freq: a=3, b=1, c=1; vocabSize 2 cuts at (count desc, word asc)
+    // -> {a, b}; c is OOV
+    val got = TextAnalysis.vocabCoverage(d, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) === ((3L, 0L, 0.0)))
+    assert(got(2L) === ((2L, 1L, 0.5)))
+    assert(got(3L) === ((0L, 0L, 0.0)))
+  }
+
+  test("int4 block quantization: per-block scales, outlier isolation, ragged tail") {
+    import graft.operators.Quantization
+    val d = Seq((1L, Seq(1.0f, 2.0f, 100.0f, 0.5f, 3.0f))).toDF("id", "v")
+    val row = Quantization.quantizeInt4Block(d, "id", "v", blockSize = 2)
+      .select("scales", "qvec").head()
+    val scales = row.getSeq[Double](0)
+    val q = row.getSeq[Int](1)
+    // blocks: [1,2] scale 2/7, [100,0.5] scale 100/7, ragged [3] scale 3/7
+    val s0 = 2.0 / 7.0; val s1 = 100.0 / 7.0; val s2 = 3.0 / 7.0
+    assert(scales === Seq(s0, s1, s2))
+    assert(q === Seq(
+      math.floor(1.0 / s0 + 0.5).toInt, // 4 — survives the outlier
+      math.floor(2.0 / s0 + 0.5).toInt, // 7
+      math.floor(100.0 / s1 + 0.5).toInt, // 7
+      math.floor(0.5 / s1 + 0.5).toInt, // 0
+      math.floor(3.0 / s2 + 0.5).toInt)) // 7
+    // contrast: one per-VECTOR int8 scale collapses dim 4 to zero but a
+    // per-vector int4 grid would also flatten dims 1/2 — the block scales
+    // keep them at 4/7 resolution (asserted above via q(0) = 4)
+    assert(q(0) === 4 && q(1) === 7)
+    // zero block quantizes to zeros with scale 0
+    val z = Quantization.quantizeInt4Block(
+        Seq((1L, Seq(0.0f, 0.0f, 1.0f))).toDF("id", "v"), "id", "v", blockSize = 2)
+      .select("scales", "qvec").head()
+    assert(z.getSeq[Double](0).head === 0.0)
+    assert(z.getSeq[Int](1).take(2) === Seq(0, 0))
+  }
 }
