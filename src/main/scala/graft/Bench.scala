@@ -406,7 +406,15 @@ object Bench {
         // keywords: the (doc,term) shuffles scale with tokens, the term
         // join with vocabulary — both must stay linear at 10x; webclean
         // is the one-pass composed front door (pure map)
-        "text_keywords", "pipeline_webclean"))
+        "text_keywords", "pipeline_webclean",
+        // this round's close: containment's inverted index shuffles one
+        // row per (shingle, doc) with df-capped buckets — the pair count,
+        // not the corpus, is the quadratic side; OOV re-shuffles the
+        // token stream twice (by word, by doc); the weighted sampler and
+        // hash split are map-only + one broadcast row; int4 blocks are
+        // pure per-row lambdas
+        "dedup_containment", "text_oov", "sample_weighted",
+        "sample_split", "embed_quantize_int4"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

@@ -602,7 +602,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(namespace))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
-    Map.empty[String, String].asJava
+    rest match {
+      case Some(c) => c.namespaceProperties(namespace.mkString(".")).asJava
+      case None =>
+        val dir = (warehouse +: namespace.toSeq).mkString("/")
+        (readNsProps(namespace) + ("location" -> dir)).asJava
+    }
+  }
+
+  // ---- storage-catalog namespace properties: one small JSON dotfile per
+  // namespace dir (tables are sibling DIRECTORIES, so the file never
+  // collides with discovery; REST namespaces keep properties server-side)
+  private def nsPropsPath(namespace: Array[String]): Path =
+    new Path((warehouse +: namespace.toSeq).mkString("/"), ".graft_namespace.json")
+
+  private def readNsProps(namespace: Array[String]): Map[String, String] = {
+    val p = nsPropsPath(namespace)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val body =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      org.json4s.jackson.JsonMethods.parse(body) match {
+        case org.json4s.JObject(fields) =>
+          fields.collect { case (k, org.json4s.JString(v)) => k -> v }.toMap
+        case _ => Map.empty
+      }
+    }
+  }
+
+  private def writeNsProps(namespace: Array[String], props: Map[String, String]): Unit = {
+    val p = nsPropsPath(namespace)
+    val fs = p.getFileSystem(conf)
+    if (props.isEmpty) { fs.delete(p, false); () }
+    else {
+      val json = org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(org.json4s.JObject(
+          props.toList.sortBy(_._1).map { case (k, v) =>
+            k -> (org.json4s.JString(v): org.json4s.JValue)
+          })))
+      val out = fs.create(p, true)
+      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean = rest match {
@@ -613,16 +657,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def createNamespace(
-      namespace: Array[String], metadata: util.Map[String, String]): Unit = rest match {
-    case Some(c) => c.createNamespace(namespace.mkString("."))
-    case None =>
-      val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
-      dir.getFileSystem(conf).mkdirs(dir)
-      ()
+      namespace: Array[String], metadata: util.Map[String, String]): Unit = {
+    // Spark owns the reserved keys (location/comment/owner arrive via
+    // dedicated clauses); everything handed here is stored verbatim,
+    // except location — this catalog lays namespaces out under its
+    // warehouse root and cannot honor a foreign one
+    val props = metadata.asScala.toMap - "location"
+    rest match {
+      case Some(c) => c.createNamespace(namespace.mkString("."), props)
+      case None =>
+        val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+        dir.getFileSystem(conf).mkdirs(dir)
+        if (props.nonEmpty) writeNsProps(namespace, props)
+    }
   }
 
   override def alterNamespace(
-      namespace: Array[String], changes: NamespaceChange*): Unit = ()
+      namespace: Array[String], changes: NamespaceChange*): Unit = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+    val updates = changes.collect {
+      case s: NamespaceChange.SetProperty => s.property -> s.value
+    }.toMap
+    val removals = changes.collect {
+      case r: NamespaceChange.RemoveProperty => r.property
+    }
+    rest match {
+      case Some(c) =>
+        c.updateNamespaceProperties(namespace.mkString("."), updates, removals.toSeq)
+      case None =>
+        writeNsProps(namespace, readNsProps(namespace) -- removals ++ updates)
+    }
+  }
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = rest match {
     case Some(c) =>
@@ -639,7 +705,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     case None =>
       val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
       val fs = dir.getFileSystem(conf)
-      fs.exists(dir) && fs.delete(dir, cascade)
+      if (!fs.exists(dir)) false
+      else {
+        // the properties dotfile doesn't make a namespace non-empty
+        val onlyProps = fs.listStatus(dir)
+          .forall(st => st.isFile && st.getPath.getName == ".graft_namespace.json")
+        fs.delete(dir, cascade || onlyProps)
+      }
   }
 }
 

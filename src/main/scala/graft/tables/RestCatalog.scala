@@ -267,12 +267,40 @@ object RestCatalog {
       out.result()
     }
 
-    def createNamespace(ns: String): Unit = {
-      val (code, body) = post("/v1/namespaces", s"""{"namespace": [${quote(ns)}]}""")
+    def createNamespace(ns: String, props: Map[String, String] = Map.empty): Unit = {
+      val propsJson =
+        if (props.isEmpty) ""
+        else ", \"properties\": " + JsonMethods.compact(JsonMethods.render(
+          JObject(props.toList.map { case (k, v) => k -> (JString(v): JValue) })))
+      val (code, body) =
+        post("/v1/namespaces", s"""{"namespace": [${quote(ns)}]$propsJson}""")
       require(code == 200 || code == 409, s"create namespace failed: $code $body")
     }
 
     def namespaceExists(ns: String): Boolean = get(s"/v1/namespaces/$ns")._1 == 200
+
+    /** stored namespace properties (spec: GET /v1/namespaces/{ns}) */
+    def namespaceProperties(ns: String): Map[String, String] = {
+      val (code, body) = get(s"/v1/namespaces/$ns")
+      require(code == 200, s"load namespace failed: $code ${errMsg(body)}")
+      (JsonMethods.parse(body) \ "properties") match {
+        case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+        case _ => Map.empty
+      }
+    }
+
+    /** spec: POST /v1/namespaces/{ns}/properties with removals+updates */
+    def updateNamespaceProperties(
+        ns: String,
+        updates: Map[String, String],
+        removals: Seq[String]): Unit = {
+      val up = JsonMethods.compact(JsonMethods.render(
+        JObject(updates.toList.map { case (k, v) => k -> (JString(v): JValue) })))
+      val rm = removals.map(quote).mkString(",")
+      val (code, body) = post(s"/v1/namespaces/$ns/properties",
+        s"""{"removals": [$rm], "updates": $up}""")
+      require(code == 200, s"update namespace properties failed: $code ${errMsg(body)}")
+    }
 
     /** false when the server refuses (409: namespace not empty) */
     def dropNamespace(ns: String): Boolean = {
@@ -329,6 +357,7 @@ object RestCatalog {
     private val tables = new ConcurrentHashMap[String, Entry]()
     private val views = new ConcurrentHashMap[String, String]()
     private val namespaces = ConcurrentHashMap.newKeySet[String]()
+    private val nsProps = new ConcurrentHashMap[String, Map[String, String]]()
     // multi-table transactions check-then-apply across keys; single-table
     // commits share this lock so no commit interleaves mid-transaction
     private val commitLock = new Object
@@ -378,6 +407,9 @@ object RestCatalog {
     private def withNext(next: Option[String]): String =
       next.map(t => s""", "next-page-token": "$t"""").getOrElse("")
 
+    private def quoteJson(s: String): String =
+      JsonMethods.compact(JsonMethods.render(JString(s)))
+
     private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.add("Content-Type", "application/json")
@@ -405,6 +437,7 @@ object RestCatalog {
       val ViewRe = "/v1/namespaces/([^/]+)/views/([^/]+)".r
       val RegisterRe = "/v1/namespaces/([^/]+)/register".r
       val NamespaceRe = "/v1/namespaces/([^/]+)".r
+      val NsPropsRe = "/v1/namespaces/([^/]+)/properties".r
       (method, path) match {
         case ("GET", "/v1/config") =>
           respond(ex, 200, """{"defaults": {}, "overrides": {}}""")
@@ -417,22 +450,63 @@ object RestCatalog {
             s"""{"namespaces": [${names.mkString(",")}]${withNext(next)}}""")
         case ("POST", "/v1/namespaces") =>
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-          (JsonMethods.parse(body) \ "namespace") match {
+          val parsed = JsonMethods.parse(body)
+          (parsed \ "namespace") match {
             case JArray(parts) =>
               val ns = parts.collect { case JString(s) => s }.mkString(".")
-              if (namespaces.add(ns)) respond(ex, 200, s"""{"namespace": ["$ns"]}""")
-              else err(ex, 409, "AlreadyExistsException", "namespace exists")
+              if (namespaces.add(ns)) {
+                (parsed \ "properties") match {
+                  case JObject(fields) =>
+                    val p = fields.collect { case (k, JString(v)) => k -> v }.toMap
+                    if (p.nonEmpty) nsProps.put(ns, p)
+                  case _ =>
+                }
+                respond(ex, 200, s"""{"namespace": ["$ns"]}""")
+              } else err(ex, 409, "AlreadyExistsException", "namespace exists")
             case _ => err(ex, 400, "BadRequestException", "missing namespace")
           }
+        // spec: POST /v1/namespaces/{ns}/properties with
+        // {"removals": [...], "updates": {...}} -> updated/removed/missing
+        case ("POST", NsPropsRe(ns)) =>
+          if (!namespaces.contains(ns))
+            err(ex, 404, "NoSuchNamespaceException", "no such namespace")
+          else {
+            val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+            val j = JsonMethods.parse(body)
+            val removals = (j \ "removals") match {
+              case JArray(items) => items.collect { case JString(s) => s }
+              case _ => Nil
+            }
+            val updates = (j \ "updates") match {
+              case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+              case _ => Map.empty[String, String]
+            }
+            if (removals.exists(updates.contains))
+              err(ex, 422, "UnprocessableEntityException",
+                "a key appears in both removals and updates")
+            else {
+              val before = Option(nsProps.get(ns)).getOrElse(Map.empty)
+              val (present, missing) = removals.partition(before.contains)
+              nsProps.put(ns, before -- removals ++ updates)
+              def arr(xs: Seq[String]) = xs.map(quoteJson).mkString(",")
+              respond(ex, 200,
+                s"""{"updated": [${arr(updates.keys.toSeq.sorted)}],
+                   | "removed": [${arr(present)}],
+                   | "missing": [${arr(missing)}]}""".stripMargin)
+            }
+          }
         case ("GET", NamespaceRe(ns)) =>
-          if (namespaces.contains(ns))
-            respond(ex, 200, s"""{"namespace": ["$ns"], "properties": {}}""")
-          else err(ex, 404, "NoSuchNamespaceException", "no such namespace")
+          if (namespaces.contains(ns)) {
+            val props = Option(nsProps.get(ns)).getOrElse(Map.empty)
+            val propsJson = JsonMethods.compact(JsonMethods.render(
+              JObject(props.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) })))
+            respond(ex, 200, s"""{"namespace": ["$ns"], "properties": $propsJson}""")
+          } else err(ex, 404, "NoSuchNamespaceException", "no such namespace")
         case ("DELETE", NamespaceRe(ns)) =>
           import scala.jdk.CollectionConverters._
           if (tables.keys.asScala.exists(_.startsWith(s"$ns.")))
             err(ex, 409, "NamespaceNotEmptyException", "namespace not empty")
-          else { namespaces.remove(ns); respond(ex, 200, "{}") }
+          else { namespaces.remove(ns); nsProps.remove(ns); respond(ex, 200, "{}") }
         case ("POST", "/v1/tables/rename") =>
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           val j = JsonMethods.parse(body)

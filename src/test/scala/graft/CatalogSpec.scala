@@ -435,6 +435,59 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("namespace properties: create/set/unset/describe on both catalog backends") {
+    import org.apache.spark.sql.connector.catalog.NamespaceChange
+    // ---- storage backend: properties persist in the namespace dotfile
+    spark.sql(
+      "CREATE NAMESPACE graft.nsp WITH PROPERTIES ('team'='data', 'tier'='gold')")
+    val desc0 = spark.sql("DESCRIBE NAMESPACE EXTENDED graft.nsp")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc0("Properties").contains("team") && desc0("Properties").contains("gold"))
+    spark.sql("ALTER NAMESPACE graft.nsp SET PROPERTIES ('tier'='silver', 'new'='x')")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.spark.GraftCatalog]
+    val ns = Array("nsp")
+    def props() = cat.loadNamespaceMetadata(ns)
+    assert(props().get("team") === "data")
+    assert(props().get("tier") === "silver")
+    assert(props().get("new") === "x")
+    assert(Option(props().get("location")).exists(_.nonEmpty))
+    // removal via the DSv2 change API (the SQL UNSET path drives the same)
+    cat.alterNamespace(ns, NamespaceChange.removeProperty("new"))
+    assert(!props().containsKey("new") && props().get("tier") === "silver")
+    // tables list clean despite the dotfile; non-cascade drop still works
+    assert(cat.listTables(ns).isEmpty)
+    spark.sql("DROP NAMESPACE graft.nsp")
+    assert(!cat.namespaceExists(ns))
+
+    // ---- REST backend: properties live server-side via the spec's
+    // POST /v1/namespaces/{ns}/properties
+    val server = new tables.RestCatalog.Server()
+    val uri = server.start()
+    val wh = Files.createTempDirectory("graft-restnsp").toString
+    spark.conf.set("spark.sql.catalog.grp", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grp.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.grp.uri", uri)
+    try {
+      spark.sql("CREATE NAMESPACE grp.db WITH PROPERTIES ('owner_team'='ml')")
+      val rcat = spark.sessionState.catalogManager.catalog("grp")
+        .asInstanceOf[graft.spark.GraftCatalog]
+      assert(rcat.loadNamespaceMetadata(Array("db")).get("owner_team") === "ml")
+      spark.sql("ALTER NAMESPACE grp.db SET PROPERTIES ('owner_team'='infra', 'sla'='tight')")
+      val m = rcat.loadNamespaceMetadata(Array("db"))
+      assert(m.get("owner_team") === "infra" && m.get("sla") === "tight")
+      rcat.alterNamespace(Array("db"), NamespaceChange.removeProperty("sla"))
+      assert(!rcat.loadNamespaceMetadata(Array("db")).containsKey("sla"))
+      // removing a missing key is tolerated (spec reports it as missing)
+      rcat.alterNamespace(Array("db"), NamespaceChange.removeProperty("ghost"))
+      spark.sql("DROP NAMESPACE grp.db")
+    } finally {
+      server.stop()
+      Seq("", ".warehouse", ".uri").foreach(sfx =>
+        spark.conf.unset(s"spark.sql.catalog.grp$sfx"))
+    }
+  }
+
   test("ALTER TABLE ADD/RENAME column via SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("DROP TABLE IF EXISTS graft.db.alt")
