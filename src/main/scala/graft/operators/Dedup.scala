@@ -701,9 +701,14 @@ object Dedup {
     * df-cut every inverted index at scale applies; a contained pair
     * shares its CONTENT grams, which are low-df), and surviving buckets
     * generate at most |bucket|² bounded pairs from sorted id arrays.
-    * Only (hash, id) rows shuffle; shingle arrays join back once for
-    * the EXACT intersection verify on candidates. `minShingles` floors
-    * trivially-small documents whose containment is noise. */
+    * Unlike the winnow/band generators (whose keys are selective by
+    * construction), raw word shingles are ZIPFIAN — "of the" appears in
+    * essentially every document — so the df cut runs as a partial-
+    * aggregated COUNT + semi-join BEFORE any id list materializes:
+    * no aggregation buffer ever holds a stopword shingle's posting
+    * list. Only (hash, id) rows shuffle; shingle arrays join back once
+    * for the EXACT intersection verify on candidates. `minShingles`
+    * floors trivially-small documents whose containment is noise. */
   def containmentPairs(
       df: DataFrame,
       idCol: String,
@@ -717,11 +722,18 @@ object Dedup {
       col(idCol).cast(LongType).as("id"),
       text.shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) >= minShingles)
-    val candidates = sets
-      .select(col("id"), explode(col("sh")).as("h"))
+    val inv = sets.select(col("id"), explode(col("sh")).as("h"))
+    // df gate first (partial-aggregated count, narrow rows), so the
+    // posting-list collect below is bounded by maxDf per key even when
+    // a shingle occurs in every document of a 100 TB corpus
+    val keep = inv.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2L, maxDf.toLong))
+      .select(col("h"))
+    val candidates = inv
+      .join(keep, Seq("h"), "left_semi")
       .groupBy(col("h"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxDf))
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)), y ->
