@@ -587,17 +587,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   // ----- namespaces -----
 
-  override def listNamespaces(): Array[Array[String]] = rest match {
-    case Some(c) => c.listNamespaces().map(n => n.split('.')).toArray
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = rest match {
+    case Some(c) =>
+      // direct children of `namespace` from the catalog's full listing
+      c.listNamespaces().map(_.split('.'))
+        .filter(parts => parts.length == namespace.length + 1 &&
+          parts.startsWith(namespace))
+        .toArray
     case None =>
-      val dir = new Path(warehouse)
+      if (namespace.nonEmpty && !namespaceExists(namespace))
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+      val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
       val fs = dir.getFileSystem(conf)
       if (!fs.exists(dir)) return Array.empty
-      fs.listStatus(dir).filter(_.isDirectory).map(s => Array(s.getPath.getName))
+      // a child DIRECTORY is a namespace unless it is a table root
+      fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+        .filterNot(n => StorageCatalog.tableExists(conf, s"$dir/$n"))
+        .map(n => namespace :+ n)
   }
-
-  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
-    if (namespace.isEmpty) listNamespaces() else Array.empty
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(namespace))
@@ -652,8 +662,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def namespaceExists(namespace: Array[String]): Boolean = rest match {
     case Some(c) => c.namespaceExists(namespace.mkString("."))
     case None =>
-      val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
-      dir.getFileSystem(conf).exists(dir)
+      // a table root is NOT a namespace (both are directories on disk)
+      val loc = (warehouse +: namespace.toSeq).mkString("/")
+      val dir = new Path(loc)
+      dir.getFileSystem(conf).exists(dir) &&
+        !StorageCatalog.tableExists(conf, loc)
   }
 
   override def createNamespace(

@@ -63,7 +63,7 @@ object RestCatalog {
     }
 
     def loadTable(ns: String, name: String): GraftTable = {
-      val (code, body) = get(s"/v1/namespaces/$ns/tables/$name")
+      val (code, body) = get(s"/v1/namespaces/${nsPath(ns)}/tables/$name")
       if (code == 404) throw new NoSuchElementException(s"no table $ns.$name")
       require(code == 200, s"load failed: $code ${errMsg(body)}")
       val j = JsonMethods.parse(body)
@@ -80,7 +80,7 @@ object RestCatalog {
     def createTable(ns: String, name: String, meta: TableMetadata): GraftTable = {
       val body =
         s"""{"name": ${quote(name)}, "metadata": ${new String(MetadataJson.serialize(meta), "UTF-8")}}"""
-      val (code, respBody) = post(s"/v1/namespaces/$ns/tables", body)
+      val (code, respBody) = post(s"/v1/namespaces/${nsPath(ns)}/tables", body)
       require(code == 200, s"create failed: $code ${errMsg(respBody)}")
       wire(ns, name, new GraftTable(meta.location, meta, 1, conf))
     }
@@ -92,7 +92,7 @@ object RestCatalog {
       * catalog as usual while data/manifest paths keep pointing at the
       * original location. */
     def registerTable(ns: String, name: String, metadataLocation: String): GraftTable = {
-      val (code, body) = post(s"/v1/namespaces/$ns/register",
+      val (code, body) = post(s"/v1/namespaces/${nsPath(ns)}/register",
         s"""{"name": ${quote(name)}, "metadata-location": ${quote(metadataLocation)}}""")
       require(code == 200, s"register $ns.$name failed: HTTP $code ${errMsg(body)}")
       val j = JsonMethods.parse(body)
@@ -109,7 +109,7 @@ object RestCatalog {
            | {"type": "assert-version", "version": $expectedVersion}]""".stripMargin
       val body =
         s"""{"requirements": $reqs, "metadata": ${new String(MetadataJson.serialize(meta), "UTF-8")}}"""
-      val (code, respBody) = post(s"/v1/namespaces/$ns/tables/$name", body)
+      val (code, respBody) = post(s"/v1/namespaces/${nsPath(ns)}/tables/$name", body)
       if (code == 409) throw new CommitConflictException(s"rest commit conflict: ${errMsg(respBody)}")
       require(code == 200, s"commit failed: $code ${errMsg(respBody)}")
       (JsonMethods.parse(respBody) \ "version") match {
@@ -149,7 +149,7 @@ object RestCatalog {
     }
 
     def dropTable(ns: String, name: String): Unit = {
-      val req = rb(s"/v1/namespaces/$ns/tables/$name").DELETE().build()
+      val req = rb(s"/v1/namespaces/${nsPath(ns)}/tables/$name").DELETE().build()
       val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
       // a failed catalog-side drop must NOT look like success — callers
       // delete the data directory afterwards (404 = already gone, fine)
@@ -164,7 +164,7 @@ object RestCatalog {
       var token: Option[String] = Some("")
       while (token.isDefined) {
         val q = token.filter(_.nonEmpty).map(t => s"?pageToken=$t").getOrElse("")
-        val (code, body) = get(s"/v1/namespaces/$ns/tables$q")
+        val (code, body) = get(s"/v1/namespaces/${nsPath(ns)}/tables$q")
         if (code != 200) return out.result()
         val j = JsonMethods.parse(body)
         out ++= (j \ "identifiers").children.flatMap(_ \ "name" match {
@@ -184,30 +184,30 @@ object RestCatalog {
     // the same code as the storage catalog) -----
 
     def loadViewDoc(ns: String, name: String): JValue = {
-      val (code, body) = get(s"/v1/namespaces/$ns/views/$name")
+      val (code, body) = get(s"/v1/namespaces/${nsPath(ns)}/views/$name")
       if (code == 404) throw new NoSuchElementException(s"no view $ns.$name")
       require(code == 200, s"load view failed: $code ${errMsg(body)}")
       JsonMethods.parse(body) \ "metadata"
     }
 
     def viewExists(ns: String, name: String): Boolean =
-      get(s"/v1/namespaces/$ns/views/$name")._1 == 200
+      get(s"/v1/namespaces/${nsPath(ns)}/views/$name")._1 == 200
 
     def createView(ns: String, name: String, doc: JValue): Unit = {
-      val (code, body) = post(s"/v1/namespaces/$ns/views",
+      val (code, body) = post(s"/v1/namespaces/${nsPath(ns)}/views",
         s"""{"name": ${quote(name)}, "metadata": ${JsonMethods.compact(JsonMethods.render(doc))}}""")
       require(code == 200, s"create view failed: $code ${errMsg(body)}")
     }
 
     def replaceView(ns: String, name: String, doc: JValue): Unit = {
-      val (code, body) = post(s"/v1/namespaces/$ns/views/$name",
+      val (code, body) = post(s"/v1/namespaces/${nsPath(ns)}/views/$name",
         s"""{"metadata": ${JsonMethods.compact(JsonMethods.render(doc))}}""")
       if (code == 404) throw new NoSuchElementException(s"no view $ns.$name")
       require(code == 200, s"replace view failed: $code ${errMsg(body)}")
     }
 
     def dropView(ns: String, name: String): Boolean = {
-      val req = rb(s"/v1/namespaces/$ns/views/$name").DELETE().build()
+      val req = rb(s"/v1/namespaces/${nsPath(ns)}/views/$name").DELETE().build()
       val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
       require(resp.statusCode() == 200 || resp.statusCode() == 404,
         s"drop view failed: ${resp.statusCode()} ${resp.body()}")
@@ -220,7 +220,7 @@ object RestCatalog {
       var token: Option[String] = Some("")
       while (token.isDefined) {
         val q = token.filter(_.nonEmpty).map(t => s"?pageToken=$t").getOrElse("")
-        val (code, body) = get(s"/v1/namespaces/$ns/views$q")
+        val (code, body) = get(s"/v1/namespaces/${nsPath(ns)}/views$q")
         if (code != 200) return out.result()
         val j = JsonMethods.parse(body)
         out ++= (j \ "identifiers").children.flatMap(_ \ "name" match {
@@ -272,16 +272,17 @@ object RestCatalog {
         if (props.isEmpty) ""
         else ", \"properties\": " + JsonMethods.compact(JsonMethods.render(
           JObject(props.toList.map { case (k, v) => k -> (JString(v): JValue) })))
+      val parts = ns.split('.').map(quote).mkString(", ")
       val (code, body) =
-        post("/v1/namespaces", s"""{"namespace": [${quote(ns)}]$propsJson}""")
+        post("/v1/namespaces", s"""{"namespace": [$parts]$propsJson}""")
       require(code == 200 || code == 409, s"create namespace failed: $code $body")
     }
 
-    def namespaceExists(ns: String): Boolean = get(s"/v1/namespaces/$ns")._1 == 200
+    def namespaceExists(ns: String): Boolean = get(s"/v1/namespaces/${nsPath(ns)}")._1 == 200
 
     /** stored namespace properties (spec: GET /v1/namespaces/{ns}) */
     def namespaceProperties(ns: String): Map[String, String] = {
-      val (code, body) = get(s"/v1/namespaces/$ns")
+      val (code, body) = get(s"/v1/namespaces/${nsPath(ns)}")
       require(code == 200, s"load namespace failed: $code ${errMsg(body)}")
       (JsonMethods.parse(body) \ "properties") match {
         case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
@@ -297,14 +298,14 @@ object RestCatalog {
       val up = JsonMethods.compact(JsonMethods.render(
         JObject(updates.toList.map { case (k, v) => k -> (JString(v): JValue) })))
       val rm = removals.map(quote).mkString(",")
-      val (code, body) = post(s"/v1/namespaces/$ns/properties",
+      val (code, body) = post(s"/v1/namespaces/${nsPath(ns)}/properties",
         s"""{"removals": [$rm], "updates": $up}""")
       require(code == 200, s"update namespace properties failed: $code ${errMsg(body)}")
     }
 
     /** false when the server refuses (409: namespace not empty) */
     def dropNamespace(ns: String): Boolean = {
-      val req = rb(s"/v1/namespaces/$ns").DELETE().build()
+      val req = rb(s"/v1/namespaces/${nsPath(ns)}").DELETE().build()
       val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
       if (resp.statusCode() == 409) false
       else {
@@ -331,6 +332,15 @@ object RestCatalog {
     }
 
     private def quote(s: String): String = JsonMethods.compact(JsonMethods.render(JString(s)))
+
+    /** spec path form for a (possibly multipart) namespace: parts joined
+      * by the URL-encoded unit separator %1F — `a.b` → `a%1Fb` — which is
+      * how real Iceberg REST services address nested namespaces. Parts
+      * themselves are URL-encoded. */
+    private def nsPath(ns: String): String =
+      ns.split('.').map(p =>
+        java.net.URLEncoder.encode(p, "UTF-8").replace("+", "%20"))
+        .mkString("%1F")
 
     /** human-readable message from a spec-shaped error body
       * (`{"error": {"message", "type", "code"}}`), falling back to the
@@ -429,7 +439,10 @@ object RestCatalog {
     }
 
     private def handleAuthorized(ex: HttpExchange): Unit = try {
-      val path = ex.getRequestURI.getPath
+      // multipart namespaces arrive as parts joined by the %1F unit
+      // separator (decoded to the raw 0x1f char by URI parsing); internal keys stay
+      // dot-joined
+      val path = ex.getRequestURI.getPath.replace('\u001f', '.')
       val method = ex.getRequestMethod
       val TablesRe = "/v1/namespaces/([^/]+)/tables".r
       val TableRe = "/v1/namespaces/([^/]+)/tables/([^/]+)".r
@@ -445,7 +458,8 @@ object RestCatalog {
           import scala.jdk.CollectionConverters._
           val (page, next) = paged(
             namespaces.asScala.toSeq.sorted, ex.getRequestURI.getQuery)
-          val names = page.map(n => s"""["${n}"]""")
+          val names = page.map(n =>
+            n.split('.').map(quoteJson).mkString("[", ",", "]"))
           respond(ex, 200,
             s"""{"namespaces": [${names.mkString(",")}]${withNext(next)}}""")
         case ("POST", "/v1/namespaces") =>
@@ -461,7 +475,8 @@ object RestCatalog {
                     if (p.nonEmpty) nsProps.put(ns, p)
                   case _ =>
                 }
-                respond(ex, 200, s"""{"namespace": ["$ns"]}""")
+                respond(ex, 200,
+                  s"""{"namespace": ${ns.split('.').map(quoteJson).mkString("[", ",", "]")}}""")
               } else err(ex, 409, "AlreadyExistsException", "namespace exists")
             case _ => err(ex, 400, "BadRequestException", "missing namespace")
           }
@@ -500,7 +515,8 @@ object RestCatalog {
             val props = Option(nsProps.get(ns)).getOrElse(Map.empty)
             val propsJson = JsonMethods.compact(JsonMethods.render(
               JObject(props.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) })))
-            respond(ex, 200, s"""{"namespace": ["$ns"], "properties": $propsJson}""")
+            respond(ex, 200,
+              s"""{"namespace": ${ns.split('.').map(quoteJson).mkString("[", ",", "]")}, "properties": $propsJson}""")
           } else err(ex, 404, "NoSuchNamespaceException", "no such namespace")
         case ("DELETE", NamespaceRe(ns)) =>
           import scala.jdk.CollectionConverters._

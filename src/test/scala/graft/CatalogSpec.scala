@@ -488,6 +488,58 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("nested namespaces: create/list/use on both catalog backends") {
+    // ---- storage backend
+    spark.sql("CREATE NAMESPACE graft.lv1")
+    spark.sql("CREATE NAMESPACE graft.lv1.lv2")
+    spark.sql("CREATE TABLE graft.lv1.lv2.t (k BIGINT)")
+    spark.sql("INSERT INTO graft.lv1.lv2.t VALUES (1), (2)")
+    assert(spark.sql("SELECT count(*) FROM graft.lv1.lv2.t").head().getLong(0) === 2L)
+    // SHOW NAMESPACES IN <parent> lists direct children, full path form
+    val kids = spark.sql("SHOW NAMESPACES IN graft.lv1")
+      .collect().map(_.getString(0)).toSeq
+    assert(kids === Seq("lv1.lv2"))
+    // a TABLE directory is not a namespace and never lists as one
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.spark.GraftCatalog]
+    assert(!cat.namespaceExists(Array("lv1", "lv2", "t")))
+    assert(cat.listNamespaces(Array("lv1", "lv2")).isEmpty)
+    assert(spark.sql("SHOW TABLES IN graft.lv1.lv2")
+      .collect().map(_.getString(1)).toSeq === Seq("t"))
+    spark.sql("DROP TABLE graft.lv1.lv2.t")
+    spark.sql("DROP NAMESPACE graft.lv1.lv2")
+    spark.sql("DROP NAMESPACE graft.lv1")
+
+    // ---- REST backend: multipart namespaces ride %1F-joined paths
+    val server = new tables.RestCatalog.Server()
+    val uri = server.start()
+    val wh = Files.createTempDirectory("graft-restnest").toString
+    spark.conf.set("spark.sql.catalog.grn", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grn.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.grn.uri", uri)
+    try {
+      spark.sql("CREATE NAMESPACE grn.a")
+      spark.sql("CREATE NAMESPACE grn.a.b WITH PROPERTIES ('depth'='2')")
+      spark.sql("CREATE TABLE grn.a.b.t (k BIGINT)")
+      spark.sql("INSERT INTO grn.a.b.t VALUES (7)")
+      assert(spark.sql("SELECT k FROM grn.a.b.t").head().getLong(0) === 7L)
+      val rkids = spark.sql("SHOW NAMESPACES IN grn.a")
+        .collect().map(_.getString(0)).toSeq
+      assert(rkids === Seq("a.b"))
+      val rcat = spark.sessionState.catalogManager.catalog("grn")
+        .asInstanceOf[graft.spark.GraftCatalog]
+      assert(rcat.loadNamespaceMetadata(Array("a", "b")).get("depth") === "2")
+      assert(spark.sql("SHOW TABLES IN grn.a.b")
+        .collect().map(_.getString(1)).toSeq === Seq("t"))
+      spark.sql("DROP TABLE grn.a.b.t")
+      spark.sql("DROP NAMESPACE grn.a.b")
+    } finally {
+      server.stop()
+      Seq("", ".warehouse", ".uri").foreach(sfx =>
+        spark.conf.unset(s"spark.sql.catalog.grn$sfx"))
+    }
+  }
+
   test("ALTER TABLE ADD/RENAME column via SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("DROP TABLE IF EXISTS graft.db.alt")
