@@ -238,7 +238,10 @@ object Bench {
     // hash-cut dataset split (map-only), OOV coverage (two bounded
     // shuffles + broadcast vocab), block-wise int4 quantization
     "dedup_containment", "sample_weighted", "sample_split", "text_oov",
-    "embed_quantize_int4")
+    "embed_quantize_int4",
+    // leak-free split: LSH pairs -> pointer-jumping components -> one
+    // left join + the map-only hash cut
+    "sample_split_leakfree")
 
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —
@@ -414,7 +417,10 @@ object Bench {
         // hash split are map-only + one broadcast row; int4 blocks are
         // pure per-row lambdas
         "dedup_containment", "text_oov", "sample_weighted",
-        "sample_split", "embed_quantize_int4"))
+        "sample_split", "embed_quantize_int4",
+        // leak-free split rides the LSH pair generator + pointer
+        // jumping — both already certified, the join is new
+        "sample_split_leakfree"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

@@ -1545,6 +1545,18 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split"))
     }),
+    "sample_split_leakfree" -> ((s, dir) => {
+      // leakage-free split: LSH near-dup pairs (same recall-proven
+      // params as dedup_resolve) feed pointer-jumping components; every
+      // doc splits on its component REPRESENTATIVE, so a train/test
+      // near-duplicate pair is impossible by construction
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.minhashLsh(d, "doc_id", "text",
+        shingleSize = 2, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4)
+      Sampling.splitAssignLeakFree(d.select(col("doc_id")), "doc_id",
+          pairs, "a", "b", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+    }),
     "mix_domain_weights" -> ((s, dir) => {
       // DoReMi-style mixture artifact: observed token share per source vs
       // a uniform target, plus the multiplicative sampling weight that
@@ -5557,6 +5569,38 @@ object SparkEntry {
         |       THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    // the dedup_resolve recursive-CTE components + sample_split's hash
+    // cuts keyed on each doc's component representative
+    "sample_split_leakfree" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        |pr AS (SELECT a, b FROM p WHERE jaccard >= 0.4),
+        |edges AS (SELECT a AS s, b AS d FROM pr UNION SELECT b AS s, a AS d FROM pr),
+        |reach AS (
+        |  SELECT s AS id, s AS r FROM edges
+        |  UNION
+        |  SELECT e.s AS id, reach.r AS r FROM edges e JOIN reach ON e.d = reach.id),
+        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        |rep AS (
+        |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS r
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+        |SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(r AS VARCHAR)), 1, 4) <
+        |         printf('%04x', CAST(round(0.8 * 65536) AS BIGINT))
+        |       THEN 'train'
+        |       WHEN substr(md5(CAST(r AS VARCHAR)), 1, 4) <
+        |         printf('%04x', CAST(round((0.8 + 0.1) * 65536) AS BIGINT))
+        |       THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM rep""".stripMargin,
     // exact replica of TextAnalysis.vocabCoverage: corpus top-1000 word
     // vocabulary (count desc, word asc), per-doc OOV counts
     "text_oov" ->

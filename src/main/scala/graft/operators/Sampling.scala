@@ -154,17 +154,50 @@ object Sampling {
       df: DataFrame,
       keyCol: String,
       splits: Seq[(String, Double)],
-      salt: String = ""): DataFrame = {
+      salt: String = ""): DataFrame =
+    df.withColumn("split", cutLabel(col(keyCol), splits, salt))
+
+  /** split label from the cumulative hash cuts of `key`; the last split
+    * absorbs the tail */
+  private def cutLabel(
+      key: Column, splits: Seq[(String, Double)], salt: String): Column = {
     require(splits.nonEmpty, "at least one split")
     require(splits.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
     val cuts = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
     val thresholds = cuts.map(hexThreshold)
-    val h = hashBucket(col(keyCol), salt)
-    // walk the cumulative cuts; the last split absorbs the tail
-    val label = splits.init.zip(thresholds.init).reverse
+    val h = hashBucket(key, salt)
+    splits.init.zip(thresholds.init).reverse
       .foldLeft(lit(splits.last._1): Column) { case (acc, ((name, _), cut)) =>
         when(h < lit(cut), lit(name)).otherwise(acc)
       }
-    df.withColumn("split", label)
+  }
+
+  /** Leakage-FREE dataset split: near-duplicate CLUSTERS land wholly in
+    * one split. A plain hash split assigns each copy of a near-dup pair
+    * independently, so ~2·p·(1−p) of duplicate mass straddles the
+    * train/test boundary — the classic eval-contamination bug. Here
+    * every document takes the split of its connected COMPONENT's
+    * representative (min id over any near-dup pair list — LSH,
+    * containment, embedding — via pointer-jumping components), so two
+    * near-duplicates can never land in different splits; documents in
+    * no pair key on their own id as before.
+    *
+    * Scale: components are O(log n) rounds of narrow (id, label)
+    * shuffles; the assignment is ONE left join against the (bounded by
+    * paired-doc count) component table + the map-only cut. */
+  def splitAssignLeakFree(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = ""): DataFrame = {
+    val comps = Dedup.connectedComponents(pairs, aCol, bCol)
+      .select(col("doc_id").as("__graft_cid"), col("component").as("__graft_comp"))
+    df.join(comps, col(idCol) === col("__graft_cid"), "left")
+      .withColumn("split",
+        cutLabel(coalesce(col("__graft_comp"), col(idCol)), splits, salt))
+      .drop("__graft_cid", "__graft_comp")
   }
 }

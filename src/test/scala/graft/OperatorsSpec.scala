@@ -1477,6 +1477,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(one === Seq("all"))
   }
 
+  test("leak-free split: components share one split, singletons keep their own key") {
+    val d = (1L to 10L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val splits = Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2)
+    val got = Sampling.splitAssignLeakFree(d, "doc_id", pairs, "a", "b", splits)
+      .as[(Long, String)].collect().toMap
+    assert(got.size === 10)
+    // cluster {1,2,3} and cluster {7,8} are each wholly in ONE split
+    assert(got(1L) === got(2L) && got(2L) === got(3L))
+    assert(got(7L) === got(8L))
+    // the cluster split is the plain split of its representative (min id)
+    val plain = Sampling.splitAssign(d, "doc_id", splits)
+      .as[(Long, String)].collect().toMap
+    assert(got(3L) === plain(1L))
+    assert(got(8L) === plain(7L))
+    // docs in no pair are untouched
+    for (k <- Seq(4L, 5L, 6L, 9L, 10L)) assert(got(k) === plain(k))
+  }
+
   test("vocab coverage: top-k cut, tie order, zero-token docs") {
     val d = Seq(
       (1L, "a a b"),
