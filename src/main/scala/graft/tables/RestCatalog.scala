@@ -29,13 +29,50 @@ object RestCatalog {
   class Client(baseUri: String, conf: Configuration) {
     private val http = HttpClient.newHttpClient()
 
-    /** request builder with credential pass-through: a bearer token from
-      * `graft.rest.token` (hadoop conf / spark session conf) rides every
-      * request as `Authorization: Bearer <token>` */
+    /** OAuth2 client-credentials token, exchanged ONCE at the spec's
+      * `POST /v1/oauth/tokens` when `graft.rest.credential` is set to
+      * `<client_id>:<client_secret>` (form-encoded grant, scope
+      * `catalog`). A static `graft.rest.token` wins when both are set. */
+    @volatile private var oauthToken: Option[String] = None
+
+    private def fetchOauthToken(cred: String): String = {
+      val Array(id, secret) = cred.split(":", 2)
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      val form = s"grant_type=client_credentials&client_id=${enc(id)}" +
+        s"&client_secret=${enc(secret)}&scope=catalog"
+      val req = HttpRequest.newBuilder(URI.create(s"$baseUri/v1/oauth/tokens"))
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(HttpRequest.BodyPublishers.ofString(form, StandardCharsets.UTF_8))
+        .build()
+      val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200,
+        s"oauth token exchange failed: ${resp.statusCode()} ${errMsg(resp.body())}")
+      (JsonMethods.parse(resp.body()) \ "access_token") match {
+        case JString(t) => t
+        case _ => sys.error("oauth response missing access_token")
+      }
+    }
+
+    private def bearerToken(): Option[String] =
+      Option(conf.get("graft.rest.token")).filter(_.nonEmpty).orElse(
+        Option(conf.get("graft.rest.credential")).filter(_.contains(":"))
+          .map { cred =>
+            oauthToken.getOrElse(this.synchronized {
+              oauthToken.getOrElse {
+                val t = fetchOauthToken(cred)
+                oauthToken = Some(t)
+                t
+              }
+            })
+          })
+
+    /** request builder with credential pass-through: a bearer token
+      * (static `graft.rest.token`, or one exchanged via OAuth2 from
+      * `graft.rest.credential`) rides every request as
+      * `Authorization: Bearer <token>` */
     private def rb(path: String): HttpRequest.Builder = {
       val b = HttpRequest.newBuilder(URI.create(s"$baseUri$path"))
-      Option(conf.get("graft.rest.token")).filter(_.nonEmpty)
-        .foreach(t => b.header("Authorization", s"Bearer $t"))
+      bearerToken().foreach(t => b.header("Authorization", s"Bearer $t"))
       b
     }
 
@@ -362,12 +399,18 @@ object RestCatalog {
     * would persist). Thread-safe CAS on the per-table version. With a
     * `token`, every request must carry `Authorization: Bearer <token>` or
     * gets a spec-shaped 401. */
-  class Server(port: Int = 0, pageSize: Int = 100, token: Option[String] = None) {
+  class Server(
+      port: Int = 0,
+      pageSize: Int = 100,
+      token: Option[String] = None,
+      credential: Option[String] = None) {
     private case class Entry(version: Int, metadataJson: String)
     private val tables = new ConcurrentHashMap[String, Entry]()
     private val views = new ConcurrentHashMap[String, String]()
     private val namespaces = ConcurrentHashMap.newKeySet[String]()
     private val nsProps = new ConcurrentHashMap[String, Map[String, String]]()
+    // bearer tokens minted by the OAuth2 endpoint (credential mode)
+    private val issuedTokens = ConcurrentHashMap.newKeySet[String]()
     // multi-table transactions check-then-apply across keys; single-table
     // commits share this lock so no commit interleaves mid-transaction
     private val commitLock = new Object
@@ -429,13 +472,49 @@ object RestCatalog {
     }
 
     private def handler(ex: HttpExchange): Unit = try {
-      if (token.exists(t =>
-        ex.getRequestHeaders.getFirst("Authorization") != s"Bearer $t"))
+      // the token endpoint itself must be reachable WITHOUT a bearer
+      if (ex.getRequestURI.getPath == "/v1/oauth/tokens" &&
+        ex.getRequestMethod == "POST") handleOauth(ex)
+      else if (!authorized(Option(ex.getRequestHeaders.getFirst("Authorization"))))
         err(ex, 401, "NotAuthorizedException", "missing or invalid credentials")
       else handleAuthorized(ex)
     } catch {
       case e: Throwable =>
         err(ex, 500, "InternalServerError", String.valueOf(e.getMessage))
+    }
+
+    private def authorized(auth: Option[String]): Boolean =
+      (token, credential) match {
+        case (None, None) => true // open server
+        case _ => auth.exists(a =>
+          token.exists(t => a == s"Bearer $t") ||
+            (a.startsWith("Bearer ") &&
+              issuedTokens.contains(a.stripPrefix("Bearer "))))
+      }
+
+    /** spec: `POST /v1/oauth/tokens`, form-encoded client_credentials
+      * grant → a minted bearer accepted by [[authorized]] */
+    private def handleOauth(ex: HttpExchange): Unit = {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val params = body.split('&').toSeq
+        .map(_.split("=", 2))
+        .collect { case Array(k, v) =>
+          k -> java.net.URLDecoder.decode(v, "UTF-8") }
+        .toMap
+      credential match {
+        case None =>
+          err(ex, 400, "BadRequestException", "oauth is not configured on this server")
+        case Some(c) =>
+          val Array(id, secret) = c.split(":", 2)
+          if (params.get("grant_type").contains("client_credentials") &&
+            params.get("client_id").contains(id) &&
+            params.get("client_secret").contains(secret)) {
+            val tok = java.util.UUID.randomUUID().toString.replace("-", "")
+            issuedTokens.add(tok)
+            respond(ex, 200,
+              s"""{"access_token": "$tok", "token_type": "bearer", "expires_in": 3600}""")
+          } else err(ex, 401, "NotAuthorizedException", "invalid client credentials")
+      }
     }
 
     private def handleAuthorized(ex: HttpExchange): Unit = try {

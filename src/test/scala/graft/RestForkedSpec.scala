@@ -190,4 +190,41 @@ class RestForkedSpec extends AnyFunSuite {
       assert(singles.get + txns.get > 0) // the race actually ran
     } finally server.stop()
   }
+
+  test("OAuth2 client-credentials: token exchange gates the catalog") {
+    val server = new RestCatalog.Server(credential = Some("svc:oauth-secret"))
+    val uri = server.start()
+    try {
+      // no credentials at all -> spec-shaped 401 on any catalog call
+      val bare = new RestCatalog.Client(
+        uri, new org.apache.hadoop.conf.Configuration(false))
+      val e1 = intercept[IllegalArgumentException] { bare.createNamespace("db") }
+      assert(e1.getMessage.contains("401"))
+      // wrong secret -> the EXCHANGE itself fails with 401
+      val badConf = new org.apache.hadoop.conf.Configuration(false)
+      badConf.set("graft.rest.credential", "svc:wrong")
+      val e2 = intercept[IllegalArgumentException] {
+        new RestCatalog.Client(uri, badConf).createNamespace("db")
+      }
+      assert(e2.getMessage.contains("oauth token exchange failed"))
+      // right credential: exchanged once, then the minted bearer rides
+      // every request — full namespace round-trip works
+      val goodConf = new org.apache.hadoop.conf.Configuration(false)
+      goodConf.set("graft.rest.credential", "svc:oauth-secret")
+      val client = new RestCatalog.Client(uri, goodConf)
+      client.createNamespace("db", Map("team" -> "ml"))
+      assert(client.namespaceExists("db"))
+      assert(client.namespaceProperties("db") === Map("team" -> "ml"))
+      client.updateNamespaceProperties("db", Map("team" -> "infra"), Nil)
+      assert(client.namespaceProperties("db") === Map("team" -> "infra"))
+      // a static token config still wins and is rejected if bogus
+      val staticConf = new org.apache.hadoop.conf.Configuration(false)
+      staticConf.set("graft.rest.token", "not-a-minted-token")
+      staticConf.set("graft.rest.credential", "svc:oauth-secret")
+      val e3 = intercept[IllegalArgumentException] {
+        new RestCatalog.Client(uri, staticConf).createNamespace("db2")
+      }
+      assert(e3.getMessage.contains("401"))
+    } finally server.stop()
+  }
 }
