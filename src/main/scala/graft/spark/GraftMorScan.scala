@@ -158,6 +158,14 @@ class GraftMorScan(
         reservedLong(GraftTable.RowIdCol, GraftTable.RowIdFieldId),
         reservedLong(GraftTable.LastUpdatedSeqCol, GraftTable.LastUpdatedSeqFieldId))))
 
+  /** foreign-FORMAT delete files (ORC/Avro — spec-legal, written by
+    * other engines; this engine writes parquet deletes) resolve at PLAN
+    * time only: the executor tiers are parquet-optimized (footer
+    * position seeds, row-group pushdown on file_path) */
+  private def deleteFmt(p: PlannedFile): String = p.file.fileFormat.toLowerCase
+  private val hasForeignFmtDeletes: Boolean =
+    (pqPosDeletes ++ eqDeletes).exists(p => deleteFmt(p) != "parquet")
+
   /** jumbo delete sets load executor-side; small ones resolve at plan
     * time (cheaper per task, bounded by the broadcast threshold) */
   private val executorSide: Boolean = {
@@ -165,7 +173,8 @@ class GraftMorScan(
     val dvBytes = dvByFile.values
       .map(p => p.file.contentSizeInBytes.getOrElse(p.file.fileSizeInBytes)).sum
     val bytes = (pqPosDeletes ++ eqDeletes).map(_.file.fileSizeInBytes).sum + dvBytes
-    bytes > 0 && bytes > GraftTable.deleteBroadcastMaxBytes(SparkSession.active)
+    bytes > 0 && bytes > GraftTable.deleteBroadcastMaxBytes(SparkSession.active) &&
+      !hasForeignFmtDeletes
   }
 
   /** file -> (position, delete sequence) pairs resolved at plan time: a
@@ -175,15 +184,41 @@ class GraftMorScan(
     if (pqPosDeletes.isEmpty || executorSide) Map.empty
     else {
       val spark = GraftTable.pinnedSession(SparkSession.active)
-      val seqOf = pqPosDeletes
-        .map(p => (GraftTable.normPathStr(p.file.filePath), p.seq)).toMap
-      val df = spark.read.parquet(pqPosDeletes.map(_.file.filePath): _*)
-        .select(col("file_path"), col("pos"),
-          GraftTable.normPath(col("_metadata.file_path")).as("_src"))
-      val rows = org.apache.spark.sql.GraftBridge.collectInternal(df)
-      rows.toSeq
-        .map(r => (GraftTable.normPathStr(r.getUTF8String(0).toString),
-          r.getLong(1), seqOf.getOrElse(r.getUTF8String(2).toString, Long.MaxValue)))
+      val triples: Seq[(String, Long, Long)] =
+        pqPosDeletes.groupBy(deleteFmt).toSeq.flatMap { case (fmt, files) =>
+          val seqOf = files
+            .map(p => (GraftTable.normPathStr(p.file.filePath), p.seq)).toMap
+          fmt match {
+            case "avro" =>
+              // driver-side container read (no spark-avro source on the
+              // classpath); plan-time sets are broadcast-bounded anyway.
+              // Columns resolve by the spec's reserved field ids.
+              val posSchema = StructType(Seq(
+                SchemaConvert.toSparkField(
+                  IceField(2147483546, "file_path", required = true, IcePrim("string"))),
+                SchemaConvert.toSparkField(
+                  IceField(2147483545, "pos", required = true, IcePrim("long")))))
+              files.flatMap { p =>
+                // length must be the REAL file size: Long.MaxValue
+                // overflows DataFileReader.pastSync(end + SYNC) and reads
+                // nothing
+                val it = graft.tables.AvroDataIO.rows(
+                  table.conf, p.file.filePath, posSchema, 0L, p.file.fileSizeInBytes)
+                try it.map(r =>
+                  (GraftTable.normPathStr(r.getUTF8String(0).toString),
+                    r.getLong(1), p.seq)).toVector
+                finally it.close()
+              }
+            case other => // "parquet" | "orc" — native Spark sources
+              val df = spark.read.format(other).load(files.map(_.file.filePath): _*)
+                .select(col("file_path"), col("pos"),
+                  GraftTable.normPath(col("_metadata.file_path")).as("_src"))
+              org.apache.spark.sql.GraftBridge.collectInternal(df).toSeq
+                .map(r => (GraftTable.normPathStr(r.getUTF8String(0).toString),
+                  r.getLong(1), seqOf.getOrElse(r.getUTF8String(2).toString, Long.MaxValue)))
+          }
+        }
+      triples
         .groupBy(_._1)
         .map { case (f, xs) => f -> xs.map(x => (x._2, x._3)).toArray }
     }
@@ -242,19 +277,36 @@ class GraftMorScan(
         val keyNames = keyFields.map(_.name)
         val readSchema = StructType(keyFields.map(SchemaConvert.toSparkField))
         val seqOf = files.map(p => (GraftTable.normPathStr(p.file.filePath), p.seq)).toMap
-        val df = spark.read.schema(readSchema).parquet(files.map(_.file.filePath): _*)
-          .select(keyNames.map(col) :+
-            GraftTable.normPath(col("_metadata.file_path")).as("_src"): _*)
-        val rows = org.apache.spark.sql.GraftBridge.collectInternal(df)
         val types = keyFields.map(f => SchemaConvert.toSparkType(f.fieldType)).toArray
         val proj = UnsafeProjection.create(
           types.zipWithIndex.map { case (t, i) => BoundReference(i, t, nullable = true) })
         val map = new JHashMap[UnsafeRow, java.lang.Long]()
-        rows.foreach { r =>
-          val eseq = seqOf.getOrElse(r.getUTF8String(types.length).toString, Long.MinValue)
-          val key = proj(r).copy()
-          val prev = map.get(key)
-          if (prev == null || prev < eseq) map.put(key, eseq)
+        // (key row, delete sequence) across the group's files, any format
+        files.groupBy(deleteFmt).foreach { case (fmt, fs) =>
+          fmt match {
+            case "avro" => // driver-side container read, id-resolved
+              fs.foreach { p =>
+                val it = graft.tables.AvroDataIO.rows(
+                  table.conf, p.file.filePath, readSchema, 0L, p.file.fileSizeInBytes)
+                try it.foreach { r =>
+                  val key = proj(r).copy()
+                  val prev = map.get(key)
+                  if (prev == null || prev < p.seq) map.put(key, p.seq)
+                } finally it.close()
+              }
+            case other => // "parquet" | "orc" — native Spark sources
+              val df = spark.read.schema(readSchema).format(other)
+                .load(fs.map(_.file.filePath): _*)
+                .select(keyNames.map(col) :+
+                  GraftTable.normPath(col("_metadata.file_path")).as("_src"): _*)
+              val rows = org.apache.spark.sql.GraftBridge.collectInternal(df)
+              rows.foreach { r =>
+                val eseq = seqOf.getOrElse(r.getUTF8String(types.length).toString, Long.MinValue)
+                val key = proj(r).copy()
+                val prev = map.get(key)
+                if (prev == null || prev < eseq) map.put(key, eseq)
+              }
+          }
         }
         Some((keyNames, types, map, files.map(_.seq).max))
       }

@@ -324,4 +324,78 @@ class FormatSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.catalog.fmtcat.warehouse")
     }
   }
+
+  test("foreign avro delete files: position and equality deletes apply on read") {
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import spark.implicits._
+    // parquet-data table written by this engine; delete files arrive in
+    // AVRO as a foreign engine would write them (spec: delete files may
+    // use any data-file format) — they must apply on read
+    val src = (0L until 100L).map(k => (k, s"v$k")).toDF("k", "v")
+    // one ordered data file so position p holds key p
+    val t = freshTable("foreign-del", "parquet", src).append(spark, src.coalesce(1))
+    val dataPath = t.planFiles(t.metadata.currentSnapshot.get).head.file.filePath
+
+    def writeAvro(path: String, fields: Seq[IceField],
+        rows: Seq[Map[String, AnyRef]]): Long = {
+      val sch = AvroDataIO.avroSchema(fields, "foreign_delete")
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](sch))
+      w.create(sch, new java.io.File(path))
+      rows.foreach { m =>
+        val r = new GenericData.Record(sch)
+        m.foreach { case (k, v) => r.put(k, v) }
+        w.append(r)
+      }
+      w.close()
+      new java.io.File(path).length()
+    }
+
+    // avro POSITION deletes for rows 0..9 of the data file
+    val posPath = s"${t.location}/data/foreign-pos.avro"
+    val posLen = writeAvro(posPath, Seq(
+      IceField(2147483546, "file_path", required = true, IcePrim("string")),
+      IceField(2147483545, "pos", required = true, IcePrim("long"))),
+      (0L until 10L).map(p => Map[String, AnyRef](
+        "file_path" -> dataPath, "pos" -> java.lang.Long.valueOf(p))))
+    t.commit(spark, "overwrite", Nil, List(IceDataFile(
+      content = 1, filePath = posPath, fileFormat = "avro",
+      partition = Seq.empty, recordCount = 10, fileSizeInBytes = posLen)),
+      replace = false)
+    assert(t.scan(spark).count() === 90L)
+    assert(t.scan(spark).agg(min(col("k"))).head().getLong(0) === 10L)
+
+    // avro EQUALITY deletes for k in {10, 11} (field id 1)
+    val eqPath = s"${t.location}/data/foreign-eq.avro"
+    val eqLen = writeAvro(eqPath,
+      Seq(IceField(1, "k", required = true, IcePrim("long"))),
+      Seq(10L, 11L).map(k => Map[String, AnyRef]("k" -> java.lang.Long.valueOf(k))))
+    t.commit(spark, "overwrite", Nil, List(IceDataFile(
+      content = 2, filePath = eqPath, fileFormat = "avro",
+      partition = Seq.empty, recordCount = 2, fileSizeInBytes = eqLen,
+      equalityIds = Seq(1))),
+      replace = false)
+    assert(t.scan(spark).count() === 88L)
+    assert(t.scan(spark).agg(min(col("k"))).head().getLong(0) === 12L)
+
+    // ORC position deletes (name-resolved, as a foreign writer without
+    // field-id attributes would produce): delete positions 12..13
+    val orcDir = Files.createTempDirectory("graft-orcdel").toString
+    Seq((dataPath, 12L), (dataPath, 13L)).toDF("file_path", "pos")
+      .coalesce(1).write.mode("overwrite").orc(orcDir)
+    val orcFile = new java.io.File(orcDir).listFiles()
+      .find(f => f.getName.endsWith(".orc")).get
+    t.commit(spark, "overwrite", Nil, List(IceDataFile(
+      content = 1, filePath = orcFile.getAbsolutePath, fileFormat = "orc",
+      partition = Seq.empty, recordCount = 2, fileSizeInBytes = orcFile.length())),
+      replace = false)
+    assert(t.scan(spark).count() === 86L)
+    assert(t.scan(spark).agg(min(col("k"))).head().getLong(0) === 14L)
+
+    // the foreign-format presence forces the plan-time tier even when the
+    // executor threshold is zeroed
+    spark.conf.set("spark.graft.delete-broadcast-max-bytes", "0")
+    try assert(t.scan(spark).count() === 86L)
+    finally spark.conf.unset("spark.graft.delete-broadcast-max-bytes")
+  }
 }
