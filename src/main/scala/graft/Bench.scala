@@ -241,7 +241,9 @@ object Bench {
     "embed_quantize_int4",
     // leak-free split: LSH pairs -> pointer-jumping components -> one
     // left join + the map-only hash cut
-    "sample_split_leakfree")
+    "sample_split_leakfree",
+    // script-mix gate: eight codegen'd regexp counts, pure map
+    "text_scripts")
 
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —
@@ -420,7 +422,9 @@ object Bench {
         "sample_split", "embed_quantize_int4",
         // leak-free split rides the LSH pair generator + pointer
         // jumping — both already certified, the join is new
-        "sample_split_leakfree"))
+        "sample_split_leakfree",
+        // script mix is pure map (eight regexp counts per row)
+        "text_scripts"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

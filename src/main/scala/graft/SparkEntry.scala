@@ -1197,6 +1197,18 @@ object SparkEntry {
       TextAnalysis.vocabCoverage(
         t(s, dir, "documents"), "doc_id", "text", vocabSize = 1000)
     }),
+    "text_scripts" -> ((s, dir) => {
+      // script-mix hygiene: the %11 slice is REPLACED by CJK text
+      // (dominant flips), the %9 slice gains a Cyrillic sentence (mixed
+      // where the suffix clears the 15% share), the rest stay pure Latin
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          lit("汉字文本处理流水线质量检查"))
+          .when(pmod(col("doc_id"), lit(9)) === 0,
+            concat(col("text"), lit(" добавленный русский текст для проверки")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.scriptMix(d, "doc_id", "text")
+    }),
     "text_gopher" -> ((s, dir) => {
       // the published Gopher quality rules as one map-only composite
       // filter (per-rule booleans + conjunction) — the first gate of a
@@ -5601,6 +5613,48 @@ object SparkEntry {
         |       THEN 'val'
         |       ELSE 'test' END AS split
         |FROM rep""".stripMargin,
+    // exact replica of TextAnalysis.scriptMix: per-script regexp counts,
+    // fixed-priority dominance, 15% non-dominant mixed flag
+    "text_scripts" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN '汉字文本处理流水线质量检查'
+        |         WHEN doc_id % 9 = 0
+        |           THEN text || ' добавленный русский текст для проверки'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+        |    CAST(length(regexp_replace(text, '[^\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |    CAST(length(regexp_replace(text, '[^\x{0370}-\x{03FF}]', '', 'g')) AS BIGINT) AS n_greek,
+        |    CAST(length(regexp_replace(text, '[^\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic,
+        |    CAST(length(regexp_replace(text, '[^\x{0900}-\x{097F}]', '', 'g')) AS BIGINT) AS n_devanagari,
+        |    CAST(length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk,
+        |    CAST(length(regexp_replace(text, '[^\x{AC00}-\x{D7AF}]', '', 'g')) AS BIGINT) AS n_hangul,
+        |    CAST(length(regexp_replace(text, '[^\x{3040}-\x{30FF}]', '', 'g')) AS BIGINT) AS n_kana
+        |  FROM d),
+        |g AS (
+        |  SELECT *,
+        |    n_latin + n_cyrillic + n_greek + n_arabic + n_devanagari
+        |      + n_cjk + n_hangul + n_kana AS n_letters,
+        |    GREATEST(n_latin, n_cyrillic, n_greek, n_arabic, n_devanagari,
+        |      n_cjk, n_hangul, n_kana) AS top
+        |  FROM c)
+        |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic,
+        |  n_devanagari, n_cjk, n_hangul, n_kana, n_letters,
+        |  CASE WHEN top = 0 THEN 'none'
+        |       WHEN n_latin = top THEN 'latin'
+        |       WHEN n_cyrillic = top THEN 'cyrillic'
+        |       WHEN n_greek = top THEN 'greek'
+        |       WHEN n_arabic = top THEN 'arabic'
+        |       WHEN n_devanagari = top THEN 'devanagari'
+        |       WHEN n_cjk = top THEN 'cjk'
+        |       WHEN n_hangul = top THEN 'hangul'
+        |       ELSE 'kana' END AS dominant,
+        |  n_letters > 0 AND
+        |    CAST(n_letters - top AS DOUBLE) / n_letters >= 0.15 AS mixed
+        |FROM g""".stripMargin,
     // exact replica of TextAnalysis.vocabCoverage: corpus top-1000 word
     // vocabulary (count desc, word asc), per-doc OOV counts
     "text_oov" ->

@@ -151,6 +151,49 @@ object TextAnalysis {
         .as("n_tokens_bpe_est"))
   }
 
+  /** Unicode SCRIPT mix per document: counts of Latin / Cyrillic / Greek /
+    * Arabic / Devanagari / CJK / Hangul / Kana letters, the dominant
+    * script, and a mixed flag (non-dominant letter share ≥ 0.15) — the
+    * crawl gate that catches script-level junk the stopword language-ID
+    * can't see (a Latin-stopword page stuffed with CJK spam, transliterated
+    * boilerplate, wrong-script injection). Complements [[mojibake]]
+    * (encoding damage) and `langId` (lexical vote).
+    *
+    * Map-only: one codegen'd regexp count per script class (BMP ranges —
+    * identical semantics in Java regex and RE2, so the oracle replays
+    * exactly); dominance is a fixed-priority CASE chain, deterministic
+    * under ties in both engines. */
+  def scriptMix(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    def cnt(range: String): Column =
+      length(regexp_replace(t, s"[^$range]", "")).cast(LongType)
+    val scripts = Seq(
+      "latin" -> "A-Za-z",
+      "cyrillic" -> "\\x{0400}-\\x{04FF}",
+      "greek" -> "\\x{0370}-\\x{03FF}",
+      "arabic" -> "\\x{0600}-\\x{06FF}",
+      "devanagari" -> "\\x{0900}-\\x{097F}",
+      "cjk" -> "\\x{4E00}-\\x{9FFF}",
+      "hangul" -> "\\x{AC00}-\\x{D7AF}",
+      "kana" -> "\\x{3040}-\\x{30FF}")
+    val counted = df.select(
+      col(idCol) +: scripts.map { case (n, r) => cnt(r).as(s"n_$n") }: _*)
+    val names = scripts.map(_._1)
+    val total = names.map(n => col(s"n_$n")).reduce(_ + _)
+    val top = greatest(names.map(n => col(s"n_$n")): _*)
+    // fixed-priority dominance: first script (in declaration order) whose
+    // count reaches the maximum
+    val dominant = names.reverse.foldLeft(lit("none"): Column) {
+      case (acc, n) => when(col(s"n_$n") === top && top > 0L, lit(n)).otherwise(acc)
+    }
+    counted
+      .withColumn("n_letters", total)
+      .withColumn("dominant", dominant)
+      .withColumn("mixed",
+        col("n_letters") > 0L &&
+          (col("n_letters") - top).cast(DoubleType) / col("n_letters") >= 0.15)
+  }
+
   /** Vocabulary-coverage / out-of-vocabulary report: per document, how
     * many of its tokens fall outside the corpus's top-`vocabSize` word
     * vocabulary — the tokenizer-fit measurement run before committing to

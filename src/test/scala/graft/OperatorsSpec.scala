@@ -1496,6 +1496,25 @@ class OperatorsSpec extends AnyFunSuite {
     for (k <- Seq(4L, 5L, 6L, 9L, 10L)) assert(got(k) === plain(k))
   }
 
+  test("script mix: counts, dominance priority, mixed flag, empty doc") {
+    val d = Seq(
+      (1L, "hello world"),   // pure latin
+      (2L, "汉字文本"),        // cjk dominant, no latin
+      (3L, "abc привет"),    // cyrillic 6 > latin 3 -> cyrillic, mixed
+      (4L, ""),              // none
+      (5L, "abcdef л"),      // 1/7 non-dominant = 0.143 < 0.15 -> not mixed
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptMix(d, "doc_id", "text")
+      .select("doc_id", "n_latin", "n_cjk", "n_cyrillic", "dominant", "mixed")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getBoolean(5))).toMap
+    assert(got(1L) === ((10L, 0L, 0L, "latin", false)))
+    assert(got(2L) === ((0L, 4L, 0L, "cjk", false)))
+    assert(got(3L) === ((3L, 0L, 6L, "cyrillic", true)))
+    assert(got(4L) === ((0L, 0L, 0L, "none", false)))
+    assert(got(5L) === ((6L, 0L, 1L, "latin", false)))
+  }
+
   test("vocab coverage: top-k cut, tie order, zero-token docs") {
     val d = Seq(
       (1L, "a a b"),
