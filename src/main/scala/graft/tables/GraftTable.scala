@@ -1945,9 +1945,26 @@ class GraftTable(
           val dead = try refsOf(expired) catch { case _: Throwable => Refs(Set.empty, Set.empty) }
           Some((dead.files.diff(live.files), dead.manifests.diff(live.manifests)))
         } catch { case _: Throwable => None }
+    // statistics entries are snapshot-scoped: entries of expired
+    // snapshots leave the metadata with the snapshots, and their
+    // puffin/parquet files reclaim with the manifest lists (a kept
+    // entry's path is never touched)
+    val (keptStats, deadStats) =
+      base.statistics.partition(s => keepIds.contains(s.snapshotId))
+    val (keptPartStats, deadPartStats) =
+      base.partitionStatistics.partition(s => keepIds.contains(s.snapshotId))
+    val keptStatsPaths =
+      (keptStats.map(_.statisticsPath) ++ keptPartStats.map(_.statisticsPath))
+        .map(p => GraftTable.normPathStr(relocate(p))).toSet
+    val deadStatsPaths =
+      (deadStats.map(_.statisticsPath) ++ deadPartStats.map(_.statisticsPath))
+        .map(p => relocate(p))
+        .filterNot(p => keptStatsPaths.contains(GraftTable.normPathStr(p)))
     val newMeta = base.copy(
       snapshots = keptWithStamps,
       refs = liveRefs,
+      statistics = keptStats,
+      partitionStatistics = keptPartStats,
       snapshotLog = base.snapshotLog.filter(e => keepIds.contains(e.ref.toLong)),
       lastUpdatedMs = System.currentTimeMillis())
     commitMetaOnly(newMeta)
@@ -1958,7 +1975,7 @@ class GraftTable(
       files.toSeq ++ manifests.toSeq
     }
     deletePathsDistributed(
-      reclaimPaths ++ expired.map(s => relocate(s.manifestList)))
+      reclaimPaths ++ expired.map(s => relocate(s.manifestList)) ++ deadStatsPaths)
     this
   }
 

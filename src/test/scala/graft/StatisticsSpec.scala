@@ -196,4 +196,37 @@ class StatisticsSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.catalog.statcat.warehouse")
     }
   }
+
+  test("snapshot expiry drops expired snapshots' statistics entries and files") {
+    import spark.implicits._
+    val src = spark.range(0, 500).selectExpr("id AS k", "cast(id % 7 AS string) AS v")
+    val schema = SchemaConvert.fromSparkSchema(src.schema)
+    val vId = schema.findField("v").get.id
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, tmpLocation("stats-expire"), schema,
+      IcePartitionSpec(0, List(IcePartitionField(vId, 1000, "identity", "v"))))
+    t.append(spark, src)
+    t.computeTableStats(spark).computePartitionStats(spark)
+    val oldStats = t.metadata.statistics.last
+    val oldPart = t.metadata.partitionStatistics.last
+    val s1 = t.metadata.currentSnapshotId.get
+    // a second snapshot with its own stats generation
+    t.append(spark, Seq((10001L, "x")).toDF("k", "v"))
+    t.computeTableStats(spark).computePartitionStats(spark)
+    val s2 = t.metadata.currentSnapshotId.get
+    assert(t.metadata.statistics.map(_.snapshotId).toSet === Set(s1, s2))
+    // expire everything but the current snapshot
+    t.expireSnapshots(System.currentTimeMillis() + 1000L, retainLast = 1)
+    val after = t.metadata
+    assert(after.snapshots.map(_.snapshotId) === List(s2))
+    assert(after.statistics.map(_.snapshotId) === List(s2))
+    assert(after.partitionStatistics.map(_.snapshotId) === List(s2))
+    // expired generations' files are reclaimed; kept ones remain
+    def exists(p: String) = new java.io.File(new java.net.URI(
+      if (p.startsWith("file:")) p else s"file://$p").getPath).exists()
+    assert(!exists(oldStats.statisticsPath), "expired puffin file not reclaimed")
+    assert(!exists(oldPart.statisticsPath), "expired partition-stats file not reclaimed")
+    assert(exists(after.statistics.last.statisticsPath))
+    assert(exists(after.partitionStatistics.last.statisticsPath))
+  }
 }
