@@ -243,7 +243,10 @@ object Bench {
     // left join + the map-only hash cut
     "sample_split_leakfree",
     // script-mix gate: eight codegen'd regexp counts, pure map
-    "text_scripts")
+    "text_scripts",
+    // interval-overlap join: bucketized hash join + later-start-bucket
+    // emission (no distinct), broadcast fallback for outlier spans
+    "q_events_overlap")
 
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —
@@ -424,7 +427,10 @@ object Bench {
         // jumping — both already certified, the join is new
         "sample_split_leakfree",
         // script mix is pure map (eight regexp counts per row)
-        "text_scripts"))
+        "text_scripts",
+        // overlap join: pair count grows with co-occurrence density, the
+        // shuffle stays (keys, bucket)-hashed — must stay near-linear
+        "q_events_overlap"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

@@ -552,6 +552,28 @@ object SparkEntry {
           bucketSeconds = 6 * 3600L)
         .select(col("interval_id"), col("click_id"))
     }),
+    "q_events_overlap" -> ((s, dir) => {
+      // interval-OVERLAP (range x range) join: purchase windows vs view
+      // windows of the same user whose spans intersect. Bucketized hash
+      // join emitting each pair ONLY in the later-start bucket (no
+      // distinct stage); the %97 purchase slice carries 10-day windows
+      // that exceed the bucket cap and take the broadcast fallback
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_start"),
+        when(pmod(col("event_id"), lit(97)) === 0,
+          col("ts") + expr("INTERVAL 10 DAYS"))
+          .otherwise(col("ts") + expr("INTERVAL 2 HOURS")).as("p_end"))
+      val views = ev.filter(col("event_type") === "view").select(
+        col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("v_start"),
+        (col("ts") + expr("INTERVAL 1 HOURS")).as("v_end"))
+      graft.operators.RangeJoin.intervalOverlap(
+          purchases, views, Seq("user_id"),
+          "p_start", "p_end", "v_start", "v_end", bucketSeconds = 3600L)
+        .select(col("purchase_id"), col("view_id"))
+    }),
     "q_events_asof" -> ((s, dir) => {
       // point-in-time join: each purchase gets the user's latest click at
       // or before it (union + carry-forward, no range join)
@@ -3807,6 +3829,19 @@ object SparkEntry {
         |SELECT p.interval_id, c.click_id
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.ts >= p.s AND c.ts <= p.e""".stripMargin,
+    "q_events_overlap" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS ps,
+        |    CASE WHEN event_id % 97 = 0 THEN ts + INTERVAL 10 DAY
+        |         ELSE ts + INTERVAL 2 HOUR END AS pe
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT event_id AS view_id, user_id, ts AS vs,
+        |    ts + INTERVAL 1 HOUR AS ve
+        |  FROM events WHERE event_type = 'view')
+        |SELECT p.purchase_id, v.view_id
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND p.ps <= v.ve AND v.vs <= p.pe""".stripMargin,
     "q_events_asof" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, event_id FROM (

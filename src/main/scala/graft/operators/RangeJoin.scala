@@ -84,4 +84,89 @@ object RangeJoin {
 
     joinedShort.unionByName(joinedLong)
   }
+
+  /** Interval-OVERLAP join — pairs whose closed spans intersect
+    * (`lStart <= rEnd && rStart <= lEnd`) with optional equi-keys; the
+    * range×range sibling of [[pointInInterval]] (session-vs-session
+    * overlap, campaign-vs-outage attribution, co-occurrence windows).
+    * The naive form is again a nested-loop/cartesian.
+    *
+    * Same bucketization, plus a DEDUP-FREE emission rule: a matching
+    * pair is emitted only in the bucket of the LATER start —
+    * `max(lStart, rStart)` lies inside both spans whenever they overlap,
+    * so that bucket is covered by both sides and is unique per pair (no
+    * distinct stage over the join output). Long outliers on either side
+    * take the broadcast fallback; long×long pairs ride the left-long
+    * branch only, so nothing double-emits. */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      lStart: String,
+      lEnd: String,
+      rStart: String,
+      rEnd: String,
+      bucketSeconds: Long,
+      maxBucketsPerInterval: Int = 64): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
+    val w = bucketSeconds * 1000000L // micros per bucket
+
+    val outCols: Seq[Column] =
+      keys.map(col) ++
+        left.columns.filterNot(keys.contains).map(col) ++
+        right.columns.filterNot(keys.contains).map(col)
+    val overlap = col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd)
+
+    def spans(df: DataFrame, s: String, e: String): DataFrame = df
+      .filter(col(s) <= col(e))
+      .withColumn("_bs", floor(unix_micros(col(s)) / w))
+      .withColumn("_be", floor(unix_micros(col(e)) / w))
+    def short(df: DataFrame): DataFrame = df
+      .filter(col("_be") - col("_bs") < maxBucketsPerInterval)
+      .withColumn("_rb", explode(sequence(col("_bs"), col("_be"))))
+      .drop("_bs", "_be")
+    def long(df: DataFrame): DataFrame = df
+      .filter(col("_be") - col("_bs") >= maxBucketsPerInterval)
+      .drop("_bs", "_be")
+
+    val l = spans(left, lStart, lEnd)
+    val r = spans(right, rStart, rEnd)
+
+    // emitted only in the later-start bucket: inside both spans on
+    // overlap, and unique per pair
+    val canonical = col("_rb") === greatest(
+      floor(unix_micros(col(lStart)) / w),
+      floor(unix_micros(col(rStart)) / w))
+    val joinedShort = short(l)
+      .join(short(r), (keys :+ "_rb").toSeq, "inner")
+      .filter(overlap && canonical)
+      .select(outCols: _*)
+
+    def broadcastSide(
+        probe: DataFrame, build: DataFrame, buildIsRight: Boolean): DataFrame = {
+      val a = probe.as("_ol")
+      val b = build.as("_or")
+      val (ls, le, rs, re) =
+        if (buildIsRight) (s"_ol.$lStart", s"_ol.$lEnd", s"_or.$rStart", s"_or.$rEnd")
+        else (s"_or.$lStart", s"_or.$lEnd", s"_ol.$rStart", s"_ol.$rEnd")
+      val cond = keys
+        .map(k => col(s"_ol.$k") === col(s"_or.$k"))
+        .foldLeft(col(ls) <= col(re) && col(rs) <= col(le))(_ && _)
+      val (lAlias, rAlias) = if (buildIsRight) ("_ol", "_or") else ("_or", "_ol")
+      a.join(broadcast(b), cond, "inner").select(
+        (keys.map(k => col(s"$lAlias.$k")) ++
+          left.columns.filterNot(keys.contains).map(c => col(s"$lAlias.$c")) ++
+          right.columns.filterNot(keys.contains).map(c => col(s"$rAlias.$c"))): _*)
+    }
+
+    // long right × SHORT left only (long-left × all-right covers
+    // long×long exactly once)
+    val lShortRows = l.filter(col("_be") - col("_bs") < maxBucketsPerInterval)
+      .drop("_bs", "_be")
+    val longRight = broadcastSide(lShortRows, long(r), buildIsRight = true)
+    val longLeft = broadcastSide(r.drop("_bs", "_be"), long(l), buildIsRight = false)
+
+    joinedShort.unionByName(longLeft).unionByName(longRight)
+  }
 }

@@ -1396,6 +1396,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nk === Set((900L, 101L), (900L, 102L), (900L, 103L), (900L, 105L), (901L, 106L)))
   }
 
+  test("interval overlap join: boundary touch, no dedup, long-side fallbacks") {
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val l = Seq(
+      (1L, 10L, ts(0), ts(60)),     // A: [0, 60]
+      (1L, 11L, ts(100), ts(160)),  // B: [100, 160]
+      (1L, 12L, ts(0), ts(100000)), // C: long -> broadcast branch (left)
+      (2L, 13L, ts(0), ts(60)),     // other key
+    ).toDF("user_id", "l_id", "l_start", "l_end")
+    val r = Seq(
+      (1L, 20L, ts(60), ts(90)),    // touches A at minute 60 (closed), overlaps C
+      (1L, 21L, ts(61), ts(99)),    // gap between A and B, inside C
+      (1L, 22L, ts(150), ts(250)),  // overlaps B (and C) across many buckets
+      (1L, 23L, ts(0), ts(90000)),  // long right -> broadcast branch
+      (3L, 24L, ts(0), ts(60)),     // key with no left rows
+    ).toDF("user_id", "r_id", "r_start", "r_end")
+    val got = graft.operators.RangeJoin.intervalOverlap(
+        l, r, Seq("user_id"), "l_start", "l_end", "r_start", "r_end",
+        bucketSeconds = 600L, maxBucketsPerInterval = 8)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toList
+    // exactly once per overlapping pair, no duplicates from shared buckets
+    assert(got.size === got.distinct.size)
+    val expected = for {
+      (k1, li, ls, le) <- Seq(
+        (1L, 10L, 0L, 60L), (1L, 11L, 100L, 160L), (1L, 12L, 0L, 100000L),
+        (2L, 13L, 0L, 60L))
+      (k2, ri, rs, re) <- Seq(
+        (1L, 20L, 60L, 90L), (1L, 21L, 61L, 99L), (1L, 22L, 150L, 250L),
+        (1L, 23L, 0L, 90000L), (3L, 24L, 0L, 60L))
+      if k1 == k2 && ls <= re && rs <= le
+    } yield (li, ri)
+    assert(got.toSet === expected.toSet)
+    assert(got.toSet.contains((10L, 20L)), "closed-boundary touch must match")
+    assert(!got.toSet.contains((10L, 21L)), "gap must not match")
+  }
+
   test("containment pairs: embedded excerpt, minShingles floor, df cap") {
     val d = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), // 9 bigrams
