@@ -246,7 +246,10 @@ object Bench {
     "text_scripts",
     // interval-overlap join: bucketized hash join + later-start-bucket
     // emission (no distinct), broadcast fallback for outlier spans
-    "q_events_overlap")
+    "q_events_overlap",
+    // readability is map-only per-word folds; the length histogram is
+    // one bounded aggregate
+    "text_readability", "corpus_lengths")
 
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —
@@ -430,7 +433,10 @@ object Bench {
         "text_scripts",
         // overlap join: pair count grows with co-occurrence density, the
         // shuffle stays (keys, bucket)-hashed — must stay near-linear
-        "q_events_overlap"))
+        "q_events_overlap",
+        // readability folds per word (map-only); the histogram is one
+        // bounded aggregate
+        "text_readability", "corpus_lengths"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

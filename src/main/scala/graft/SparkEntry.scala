@@ -1219,6 +1219,16 @@ object SparkEntry {
       TextAnalysis.vocabCoverage(
         t(s, dir, "documents"), "doc_id", "text", vocabSize = 1000)
     }),
+    "text_readability" -> ((s, dir) => {
+      // Flesch reading-ease with the vowel-group syllable heuristic:
+      // exact integer counts, one fixed-order double expression
+      TextAnalysis.readability(t(s, dir, "documents"), "doc_id", "text")
+    }),
+    "corpus_lengths" -> ((s, dir) => {
+      // sequence-length profile in log2 bands: the packing/context-size
+      // planning table; one bounded aggregate
+      TextAnalysis.tokenLengthHistogram(t(s, dir, "documents"), "text")
+    }),
     "text_scripts" -> ((s, dir) => {
       // script-mix hygiene: the %11 slice is REPLACED by CJK text
       // (dominant flips), the %9 slice gains a Cyrillic sentence (mixed
@@ -5648,6 +5658,46 @@ object SparkEntry {
         |       THEN 'val'
         |       ELSE 'test' END AS split
         |FROM rep""".stripMargin,
+    // exact replica of TextAnalysis.readability: vowel-group syllables,
+    // [.!?]+ sentences (floor 1), fixed-order Flesch expression
+    "text_readability" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> len(x) > 0) AS ws,
+        |    GREATEST(1, len(list_filter(
+        |      regexp_split_to_array(lower(trim(text)), '[.!?]+'),
+        |      s -> len(trim(s)) > 0))) AS ns
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(ns AS BIGINT) AS n_sentences,
+        |    CAST(COALESCE(list_sum(list_transform(ws,
+        |      x -> GREATEST(1, len(list_filter(
+        |             regexp_split_to_array(x, '[^aeiouy]+'),
+        |             g -> len(g) > 0))))), 0) AS BIGINT) AS n_syllables
+        |  FROM w)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words = 0 THEN NULL
+        |       ELSE 206.835
+        |            - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |            - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+        |  END AS flesch
+        |FROM c""".stripMargin,
+    // exact replica of TextAnalysis.tokenLengthHistogram: log2 bands
+    "corpus_lengths" ->
+      """WITH n AS (
+        |  SELECT CAST(len(list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0))
+        |    AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT
+        |  CASE WHEN n = 0 THEN -1
+        |       ELSE CAST(floor(log2(n)) AS BIGINT) END AS band,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS n_tokens
+        |FROM n GROUP BY 1""".stripMargin,
     // exact replica of TextAnalysis.scriptMix: per-script regexp counts,
     // fixed-priority dominance, 15% non-dominant mixed flag
     "text_scripts" ->

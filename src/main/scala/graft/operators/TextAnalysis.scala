@@ -151,6 +151,60 @@ object TextAnalysis {
         .as("n_tokens_bpe_est"))
   }
 
+  /** Readability scoring (Flesch reading-ease with the standard
+    * vowel-group syllable heuristic): per doc, word / sentence /
+    * syllable counts and `206.835 − 1.015·(W/S) − 84.6·(Syl/W)` — the
+    * quality signal educational-content classifiers start from (very
+    * low scores flag legalese/boilerplate, very high ones flag
+    * fragment soup). Counts are exact integers (sentence = non-empty
+    * `[.!?]+` segment, syllables = `[aeiouy]+` groups per word, floor
+    * 1); the score is one fixed-order double expression, so engines
+    * agree bit-for-bit. Map-only, codegen'd, no shuffle. */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = lower(trim(coalesce(col(textCol), lit(""))))
+    val words = filter(split(t, "\\s+"), x => length(x) > 0)
+    val sentences = greatest(lit(1L),
+      size(filter(split(t, "[.!?]+"), s => length(trim(s)) > 0)).cast(LongType))
+    val syllables = aggregate(
+      words, lit(0L),
+      (acc, w) => acc + greatest(lit(1),
+        size(filter(split(w, "[^aeiouy]+"), g => length(g) > 0))).cast(LongType))
+    df.select(col(idCol), words.as("_w"), sentences.as("n_sentences"),
+        syllables.as("n_syllables"))
+      .select(
+        col(idCol),
+        size(col("_w")).cast(LongType).as("n_words"),
+        col("n_sentences"), col("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") === 0L, lit(null).cast(DoubleType))
+          .otherwise(
+            lit(206.835)
+              - lit(1.015) * (col("n_words").cast(DoubleType) / col("n_sentences"))
+              - lit(84.6) * (col("n_syllables").cast(DoubleType) / col("n_words"))))
+  }
+
+  /** Token-length histogram in log2 buckets: docs and token mass per
+    * `floor(log2(n_tokens))` band — the sequence-length profile consulted
+    * before choosing a packing context size (how much mass sits past 2k?
+    * how many fragments under 32?). One map-side-combined aggregate,
+    * output bounded by ~40 bands; `floor(log2)` of an integer flips only
+    * at exact powers of two where log2 is IEEE-exact, so bands are
+    * engine-exact. Zero-token docs land in band -1. */
+  def tokenLengthHistogram(df: DataFrame, textCol: String): DataFrame = {
+    val n = size(filter(
+      split(trim(coalesce(col(textCol), lit(""))), "\\s+"),
+      x => length(x) > 0)).cast(LongType)
+    df.select(
+        when(n === 0L, lit(-1L))
+          .otherwise(floor(log2(n.cast(DoubleType))).cast(LongType))
+          .as("band"),
+        n.as("_n"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_n")).as("n_tokens"))
+  }
+
   /** Unicode SCRIPT mix per document: counts of Latin / Cyrillic / Greek /
     * Arabic / Devanagari / CJK / Hangul / Kana letters, the dominant
     * script, and a mixed flag (non-dominant letter share ≥ 0.15) — the

@@ -1532,6 +1532,42 @@ class OperatorsSpec extends AnyFunSuite {
     for (k <- Seq(4L, 5L, 6L, 9L, 10L)) assert(got(k) === plain(k))
   }
 
+  test("readability: syllable heuristic, sentence floor, flesch formula, empty doc") {
+    val d = Seq(
+      (1L, "The cat sat. The dog ran!"),  // 6 words, 2 sentences, 6 syllables
+      (2L, "strength"),                    // 1 word, 1 syllable group ("e")
+      (3L, "xyz"),                         // no vowel group -> floor 1 syllable
+      (4L, ""),                            // empty: 0 words, flesch null
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got(1L)._1 === 6L && got(1L)._2 === 2L && got(1L)._3 === 6L)
+    val expected1 = 206.835 - 1.015 * (6.0 / 2) - 84.6 * (6.0 / 6)
+    assert(got(1L)._4.get === expected1)
+    assert(got(2L) === ((1L, 1L, 1L,
+      Some(206.835 - 1.015 * (1.0 / 1) - 84.6 * (1.0 / 1)))))
+    assert(got(3L)._3 === 1L) // vowel-less word floors at one syllable
+    assert(got(4L) === ((0L, 1L, 0L, None)))
+  }
+
+  test("token length histogram: log2 bands, zero-token band, mass totals") {
+    val d = Seq(
+      (1L, "a"),                 // 1 token  -> band 0
+      (2L, "a b"),               // 2 tokens -> band 1
+      (3L, "a b c"),             // 3 tokens -> band 1
+      (4L, "a b c d"),           // 4 tokens -> band 2
+      (5L, "   "),               // 0 tokens -> band -1
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenLengthHistogram(d, "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(-1L) === ((1L, 0L)))
+    assert(got(0L) === ((1L, 1L)))
+    assert(got(1L) === ((2L, 5L)))
+    assert(got(2L) === ((1L, 4L)))
+  }
+
   test("script mix: counts, dominance priority, mixed flag, empty doc") {
     val d = Seq(
       (1L, "hello world"),   // pure latin
