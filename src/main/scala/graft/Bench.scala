@@ -249,7 +249,10 @@ object Bench {
     "q_events_overlap",
     // readability is map-only per-word folds; the length histogram is
     // one bounded aggregate
-    "text_readability", "corpus_lengths")
+    "text_readability", "corpus_lengths",
+    // the Gopher gate inside Structured Streaming: micro-batch commits
+    // to the table, setup-bound like the other stream_ rows
+    "stream_quality_gate")
 
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —

@@ -3187,6 +3187,38 @@ object SparkEntry {
       q.awaitTermination()
       StorageCatalog.loadTable(s.sparkContext.hadoopConfiguration, tbl.location).scan(s)
     }),
+    "stream_quality_gate" -> ((s, dir) => {
+      // the pipeline's quality gate RUNS IN STRUCTURED STREAMING
+      // unchanged (the Gopher rules are map-only column expressions):
+      // documents stream through the gate, only passers commit to the
+      // graft table, exactly-once per micro-batch
+      val sch = s.read.parquet(s"$dir/documents.parquet").schema
+      val seed = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .limit(0)
+      val tbl = freshTable(s, "stream_quality_gate", seed)
+      // the %3 slice gains a stopword sentence (as in pipeline_webclean)
+      // so the required-stopwords rule has passers; the word-count rule
+      // still splits the stream both ways
+      val shaped = s.readStream.schema(sch)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(col("text"), lit(" the data would be part of and that we have with it")))
+            .otherwise(col("text")))
+      val q = TextAnalysis.gopherRules(
+          shaped, "doc_id", "text", keepCols = Seq("lang", "source", "n_chars"))
+        .filter(col("pass"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .writeStream.format("graft-stream")
+        .option("location", tbl.location)
+        .option("checkpointLocation", s"${tbl.location}/_chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      StorageCatalog.loadTable(s.sparkContext.hadoopConfiguration, tbl.location)
+        .scan(s)
+    }),
     "stream_branch" -> ((s, dir) => {
       // streaming write-audit-publish: micro-batches stage on a branch
       // (main stays empty), then fastForward publishes — the read after
@@ -3956,6 +3988,52 @@ object SparkEntry {
         |    AND sym_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
         |    AND alpha_frac >= 0.8 AND req_stops >= 2 AS pass
         |FROM m""".stripMargin,
+    // the text_gopher oracle body with the carry columns threaded
+    // through and the conjunction applied as the filter — what the
+    // streaming gate must produce after its micro-batches land
+    "stream_quality_gate" ->
+      """WITH shaped AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN text || ' the data would be part of and that we have with it'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, lang, source, n_chars, text AS t,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> length(x) > 0) AS words,
+        |    list_filter(list_transform(string_split(text, chr(10)),
+        |      l -> trim(l)), l -> length(l) > 0) AS lines
+        |  FROM shaped),
+        |m AS (
+        |  SELECT doc_id, lang, source, n_chars, t, words, lines,
+        |    len(words) AS nw, len(lines) AS nl,
+        |    CASE WHEN len(words) > 0 THEN
+        |      CAST(list_aggregate(list_transform(words, x -> length(x)), 'sum') AS DOUBLE)
+        |        / len(words) ELSE 0.0 END AS mean_len,
+        |    CASE WHEN len(words) > 0 THEN
+        |      CAST((length(t) - length(regexp_replace(t, '#', '', 'g')))
+        |        + (length(t) - length(regexp_replace(t, '\.\.\.', '', 'g'))) / 3
+        |        AS DOUBLE) / len(words) ELSE 0.0 END AS sym_ratio,
+        |    CASE WHEN len(lines) > 0 THEN
+        |      CAST(len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%')) AS DOUBLE)
+        |        / len(lines) ELSE 0.0 END AS bullet_frac,
+        |    CASE WHEN len(lines) > 0 THEN
+        |      CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE)
+        |        / len(lines) ELSE 0.0 END AS ellipsis_frac,
+        |    CASE WHEN len(words) > 0 THEN
+        |      CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |        / len(words) ELSE 0.0 END AS alpha_frac,
+        |    len(list_intersect(list_distinct(list_transform(words, x -> lower(x))),
+        |      ['the','be','to','of','and','that','have','with'])) AS req_stops
+        |  FROM base)
+        |SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM m
+        |WHERE (nw >= 50 AND nw <= 100000)
+        |  AND (mean_len >= 3.0 AND mean_len <= 10.0)
+        |  AND sym_ratio <= 0.1 AND bullet_frac <= 0.9
+        |  AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+        |  AND req_stops >= 2""".stripMargin,
     // the four hygiene gates replayed as CTEs over the SAME planted text,
     // joined on doc_id — the composition's truth is the per-gate oracles'
     "pipeline_webclean" ->
