@@ -252,7 +252,9 @@ object Bench {
     "text_readability", "corpus_lengths",
     // the Gopher gate inside Structured Streaming: micro-batch commits
     // to the table, setup-bound like the other stream_ rows
-    "stream_quality_gate")
+    "stream_quality_gate",
+    // funnel: three per-user hash aggregates, stage joins shrink
+    "q_events_funnel")
 
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
     * per-group JVM fork keeps the legacy curve comparable across rounds —

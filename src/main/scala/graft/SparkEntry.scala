@@ -552,6 +552,27 @@ object SparkEntry {
           bucketSeconds = 6 * 3600L)
         .select(col("interval_id"), col("click_id"))
     }),
+    "q_events_funnel" -> ((s, dir) => {
+      // sequential funnel: users whose first view precedes a click that
+      // precedes a purchase — per-stage user counts. Each stage is one
+      // per-user hash aggregate joined to the (shrinking) previous stage:
+      // no window over the event stream, no ordering shuffle
+      val e = t(s, dir, "events")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      v.agg(count(lit(1)).as("users"))
+        .select(lit("1_view").as("stage"), col("users"))
+        .unionByName(c.agg(count(lit(1)).as("users"))
+          .select(lit("2_click").as("stage"), col("users")))
+        .unionByName(p.agg(count(lit(1)).as("users"))
+          .select(lit("3_purchase").as("stage"), col("users")))
+    }),
     "q_events_overlap" -> ((s, dir) => {
       // interval-OVERLAP (range x range) join: purchase windows vs view
       // windows of the same user whose spans intersect. Bucketized hash
@@ -3871,6 +3892,23 @@ object SparkEntry {
         |SELECT p.interval_id, c.click_id
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.ts >= p.s AND c.ts <= p.e""".stripMargin,
+    "q_events_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS users FROM v
+        |UNION ALL
+        |SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+        |UNION ALL
+        |SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p""".stripMargin,
     "q_events_overlap" ->
       """WITH p AS (
         |  SELECT event_id AS purchase_id, user_id, ts AS ps,
