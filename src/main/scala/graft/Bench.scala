@@ -67,39 +67,63 @@ object Bench {
     "ice_changelog",
   )
 
-  /** Round-8 additions as their own group (kept out of [[headline]] so
-    * `legacy_total` stays comparable): the ORC/Avro format paths, the
-    * statistics pass, v3 row lineage, and the new pipeline operators. */
-  val round8Headline: Seq[String] = Seq(
-    "ice_orc_table",
-    "ice_avro_table",
-    "stats_ndv",
-    "ice_row_lineage",
-    "text_bm25",
-    "dedup_semantic",
-    "text_dsir",
-    "ann_ivf_pq",
-    "pipeline_corpus",
-    "text_perplexity",
-    // round-8 second wave: substring/line/winnow dedup, the NB quality
-    // classifier, streaming dedup, and the v3 variant path
-    "dedup_substrings",
-    "dedup_winnow",
-    "text_linededup",
-    "text_nb_classify",
-    "stream_dedup",
-    "ice_variant",
-    // round-8 third wave: chunking + bloom decontamination + clustering,
-    // profiling and embedding quantization
-    "text_chunks",
-    "decontaminate_bloom",
-    "cluster_kmeans",
-    "profile_columns",
-    "embed_quantize",
-    "select_budget",
-    "text_deciles",
-    "corpus_stats",
-    "pipeline_curriculum",
+  /** Round 10 split the old r8 (25-query) and r9 (59-query) mega-groups
+    * into seven thematic groups of at most 12 queries, each forked into
+    * its own fresh JVM: by round 9 the same within-JVM rot the per-group
+    * fork eliminated ACROSS groups had accrued WITHIN them (one degraded
+    * r8-group run inflated `text_perplexity` 11x / `pipeline_corpus` 13x
+    * while the committed warm measurements and code audit were clean).
+    * Twelve queries per JVM keeps accumulated codegen-cache/GC state
+    * bounded, so each group's total is a trustworthy round-over-round
+    * signal; sanctioned per-group baselines live in BASELINE.md.
+    * Membership is FROZEN for existing groups — new queries go into the
+    * current round's group (`r10`, then `r11`, ...) so history stays
+    * comparable. */
+  val pipelineGroups: Seq[(String, Seq[String])] = Seq(
+    // table-format engine paths: format routing, lineage, v3 types,
+    // layout/clustering rewrites, branch DDL
+    "ice" -> Seq(
+      "ice_orc_table", "ice_avro_table", "ice_row_lineage", "ice_variant",
+      "ice_merge_schema", "ice_metrics_mode", "ice_manifest_merge",
+      "ice_timestamp_ns", "ice_object_storage", "ice_hilbert",
+      "ice_sort_rewrite", "sql_branch_ident"),
+    // metadata/statistics views, streaming ingestion, event joins, ANN
+    "meta" -> Seq(
+      "stats_ndv", "meta_readable_metrics", "meta_compaction_plan",
+      "stream_dedup", "stream_quality_gate", "q_events_range",
+      "q_events_overlap", "q_events_funnel", "q_skew_join",
+      "search_hybrid", "ann_recall", "ann_hard_negatives"),
+    // the dedup family: banded/inverted-index pair generators + components
+    "dedup" -> Seq(
+      "dedup_semantic", "dedup_substrings", "dedup_winnow",
+      "dedup_softweight", "dedup_incremental", "dedup_incremental_embed",
+      "dedup_sweep", "dedup_prefix", "dedup_stats", "dedup_containment",
+      "sample_split_leakfree", "text_linededup"),
+    // text scoring/filter gates, mostly map-only
+    "texta" -> Seq(
+      "text_bm25", "text_dsir", "text_perplexity", "text_nb_classify",
+      "text_chunks", "text_normalize", "text_html_extract", "text_derep",
+      "text_mojibake", "text_langmix", "text_gopher", "text_c4"),
+    // corpus analytics and profiling
+    "textb" -> Seq(
+      "text_keywords", "text_oov", "text_scripts", "text_readability",
+      "text_deciles", "corpus_lengths", "corpus_stats", "corpus_overlap",
+      "corpus_source_quality", "profile_columns", "profile_drift",
+      "cluster_affinity"),
+    // data selection and sampling
+    "select" -> Seq(
+      "select_budget", "select_auc", "select_calibration",
+      "sample_stratified_k", "sample_epochs", "sample_temperature",
+      "sample_diverse", "sample_weighted", "sample_split",
+      "mix_domain_weights", "decontaminate_bloom", "decontaminate_report"),
+    // composed pipelines, clustering, quantization, packing
+    "pipe" -> Seq(
+      "pipeline_corpus", "pipeline_curriculum", "pipeline_incremental",
+      "pipeline_webclean", "cluster_kmeans", "embed_quantize",
+      "embed_quantize_int4", "ann_ivf_pq", "pack_concat", "pack_balanced",
+      "pack_efficiency", "decontaminate_cut"),
+    // round-10 additions accrue here (split into r10a/r10b past 12)
+    "r10" -> Seq(),
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup
@@ -206,62 +230,13 @@ object Bench {
     )
   }
 
-  /** round-9 additions: quality gate, calibration, exact sampling */
-  val round9Headline: Seq[String] = Seq(
-    "text_gopher", "select_auc", "sample_stratified_k", "sample_epochs",
-    "ice_merge_schema", "dedup_softweight", "dedup_incremental",
-    "decontaminate_report", "dedup_incremental_embed",
-    // continuation wave: metrics modes (write + harvest), manifest
-    // auto-merge (6 commits + merged planning), normalization kernel,
-    // hybrid RRF retrieval
-    "ice_metrics_mode", "ice_manifest_merge", "text_normalize",
-    "search_hybrid", "q_events_range", "sample_temperature", "q_skew_join",
-    "ice_timestamp_ns", "pipeline_incremental", "ann_hard_negatives",
-    // third wave: readable_metrics view, concat-split packing, HTML
-    // extraction, cross-source leakage matrix
-    "meta_readable_metrics", "pack_concat", "text_html_extract",
-    "corpus_overlap", "dedup_sweep", "cluster_affinity",
-    "corpus_source_quality", "text_derep", "ice_object_storage",
-    "pack_balanced", "profile_drift", "sample_diverse",
-    "meta_compaction_plan", "dedup_prefix", "decontaminate_cut",
-    "ann_recall", "text_mojibake", "select_calibration",
-    "text_langmix", "sql_branch_ident", "dedup_stats",
-    "pack_efficiency",
-    // last wave: the C4 line/page filter (map-only), the DoReMi
-    // mixture-weight table (one bounded aggregate), the Hilbert
-    // clustering rewrite (one range shuffle, kernel-in-codegen curve),
-    // and keyword extraction (two (doc,term) shuffles + vocab join)
-    "text_c4", "mix_domain_weights", "ice_hilbert", "text_keywords",
-    "pipeline_webclean", "ice_sort_rewrite",
-    // round-9 close wave: containment dedup (df-capped inverted index),
-    // weight-proportional sampling (one broadcast aggregate), the
-    // hash-cut dataset split (map-only), OOV coverage (two bounded
-    // shuffles + broadcast vocab), block-wise int4 quantization
-    "dedup_containment", "sample_weighted", "sample_split", "text_oov",
-    "embed_quantize_int4",
-    // leak-free split: LSH pairs -> pointer-jumping components -> one
-    // left join + the map-only hash cut
-    "sample_split_leakfree",
-    // script-mix gate: eight codegen'd regexp counts, pure map
-    "text_scripts",
-    // interval-overlap join: bucketized hash join + later-start-bucket
-    // emission (no distinct), broadcast fallback for outlier spans
-    "q_events_overlap",
-    // readability is map-only per-word folds; the length histogram is
-    // one bounded aggregate
-    "text_readability", "corpus_lengths",
-    // the Gopher gate inside Structured Streaming: micro-batch commits
-    // to the table, setup-bound like the other stream_ rows
-    "stream_quality_gate",
-    // funnel: three per-user hash aggregates, stage joins shrink
-    "q_events_funnel")
-
   /** benchmark groups, runnable in isolation (`--group=<key>`): the
-    * per-group JVM fork keeps the legacy curve comparable across rounds —
+    * per-group JVM fork keeps each curve comparable across rounds —
     * by round 8 one JVM executed 62 queries and the untouched legacy
     * group drifted 22% from accumulated JVM state (codegen cache, GC
     * history, metaspace), rotting the signal */
-  val groups: Seq[String] = Seq("legacy", "tpch", "r8", "r9", "dml")
+  val groups: Seq[String] =
+    Seq("legacy", "tpch") ++ pipelineGroups.map(_._1) ++ Seq("dml")
 
   private def openSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -314,11 +289,12 @@ object Bench {
       ts(runs / 2)
     }
 
+    val pipelineByKey = pipelineGroups.toMap
     group match {
       case "legacy" => headline.filter(qs.contains).map(n => n -> median(n))
       case "tpch" => tpchHeadline.filter(qs.contains).map(n => n -> median(n))
-      case "r8" => round8Headline.filter(qs.contains).map(n => n -> median(n))
-      case "r9" => round9Headline.filter(qs.contains).map(n => n -> median(n))
+      case g if pipelineByKey.contains(g) =>
+        pipelineByKey(g).filter(qs.contains).map(n => n -> median(n))
       case "dml" =>
         val dmlResults = dmlHeadline.filter(dmlOps.contains).map(n => n -> medianOp(n))
         // jumbo-mode MoR scan: same sql_mor_delete surface with both delete
@@ -531,33 +507,51 @@ object Bench {
     val noFork = sys.env.get("SPARK_GRAFT_BENCH_NOFORK").contains("1")
     lazy val inProc = openSession()
     val withSf1 = groups ++ (if (sys.env.contains("SPARK_GRAFT_SF1_DIR")) Seq("sf1") else Nil)
-    val byGroup: Seq[(String, Seq[(String, Double)])] = withSf1.map { g =>
+
+    // BENCH_OUT.json is the CANONICAL artifact (the round-9 driver parse
+    // lost the stdout tail mid-JSON): it is (re)written after EVERY group
+    // completes, so a killed or truncated run still leaves a valid,
+    // parseable JSON line on disk with everything measured so far.
+    def render(byGroup: Seq[(String, Seq[(String, Double)])]): String = {
+      val results = byGroup.filterNot(_._1 == "sf1").flatMap(_._2)
+      val sf1Results = byGroup.find(_._1 == "sf1").map(_._2).filter(_.nonEmpty)
+      val legacyTotal =
+        byGroup.find(_._1 == "legacy").map(_._2.map(_._2).sum).getOrElse(0.0)
+      val groupTotals = byGroup.filterNot(_._1 == "sf1")
+        .map { case (g, rs) => "\"" + g + "\":" + f"${rs.map(_._2).sum}%.3f" }
+        .mkString("{", ",", "}")
+      val qjson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).sum
+      val sf1Json = sf1Results.map { rs =>
+        s""","sf1_total":${f"${rs.map(_._2).sum}%.3f"},"sf1_queries":""" +
+          rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      }.getOrElse("")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+        s""""legacy_total":${f"$legacyTotal%.3f"},"runs":$runs,"dml_timing":"op_only",""" +
+        s""""jvm_per_group":${!noFork},"group_totals":$groupTotals,""" +
+        s""""queries":$qjson$sf1Json,"sf":"$sfDir"}"""
+    }
+    def writeOut(line: String): Unit =
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_OUT.json"), line + "\n")
+      catch { case _: Throwable => }
+
+    val byGroup = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[(String, Double)])]
+    withSf1.foreach { g =>
       val rows =
         if (noFork) runGroup(inProc, g)
         else forkGroup(g).getOrElse(runGroup(inProc, g))
-      g -> rows
+      byGroup += (g -> rows)
+      writeOut(render(byGroup.toSeq)) // partial results survive a kill
     }
-    val results = byGroup.filterNot(_._1 == "sf1").flatMap(_._2)
-    val sf1Results = byGroup.find(_._1 == "sf1").map(_._2).filter(_.nonEmpty)
-    val legacyTotal = byGroup.find(_._1 == "legacy").map(_._2.map(_._2).sum).getOrElse(0.0)
-
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val sf1Json = sf1Results.map { rs =>
-      s""","sf1_total":${f"${rs.map(_._2).sum}%.3f"},"sf1_queries":""" +
-        rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    }.getOrElse("")
-    val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
-        s""""legacy_total":${f"$legacyTotal%.3f"},"runs":$runs,"dml_timing":"op_only",""" +
-        s""""jvm_per_group":${!noFork},""" +
-        s""""queries":$qjson$sf1Json,"sf":"$sfDir"}"""
+    val line = render(byGroup.toSeq)
+    // print the line TWICE with a flush: if the driver's stdout capture
+    // truncates the tail (round-9 failure mode), the earlier copy parses
     println(line)
-    // also drop the line in a file: sbt/log4j noise on stdout must not be
-    // able to cost the round its bench parse
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_OUT.json"), line + "\n")
-    catch { case _: Throwable => }
+    System.out.flush()
+    println(line)
+    System.out.flush()
+    writeOut(line)
     // stop the in-process session iff one was created (nofork / fallback)
     try SparkSession.getActiveSession.foreach(_.stop()) catch { case _: Throwable => }
   }

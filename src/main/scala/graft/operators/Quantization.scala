@@ -62,10 +62,14 @@ object Quantization {
     df.select(col(idCol), col(vecCol).as("_v"))
       .select(
         col(idCol), col("_v"),
-        transform(sequence(lit(0), nBlocks - 1), j =>
-          aggregate(
-            slice(col("_v"), j * blockSize + 1, lit(blockSize)), lit(0.0d),
-            (acc, x) => greatest(acc, abs(x.cast(DoubleType)))) / lit(7.0d))
+        // empty-vector guard: nBlocks=0 would make sequence(0, -1) COUNT
+        // DOWN (Spark defaults to step -1 when start > stop), minting two
+        // phantom scale entries where range(0,0) engines yield none
+        when(size(col("_v")) <= 0, array().cast("array<double>"))
+          .otherwise(transform(sequence(lit(0), nBlocks - 1), j =>
+            aggregate(
+              slice(col("_v"), j * blockSize + 1, lit(blockSize)), lit(0.0d),
+              (acc, x) => greatest(acc, abs(x.cast(DoubleType)))) / lit(7.0d)))
           .as("scales"))
       .select(
         col(idCol), col("scales"),

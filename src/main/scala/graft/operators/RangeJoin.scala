@@ -23,10 +23,30 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** The broadcast fallback must stay BOUNDED: on an adversarial
+    * distribution (many always-on intervals) every span is an "outlier"
+    * and the fallback becomes an unbounded broadcast + nested-loop join.
+    * This guard counts the outlier side (early-exit `limit(cap+1)` scan);
+    * past the cap the caller WIDENS `bucketSeconds` ×8 and retries — wide
+    * buckets turn the outliers back into explodable spans (predictable
+    * degradation: more candidates per bucket, exact post-filter keeps
+    * correctness) — and after `widenAttempts` it fails with instructions
+    * rather than OOM the driver. */
+  private def tooManyLong(longSide: DataFrame, cap: Long): Boolean =
+    longSide.limit((cap + 1).toInt).count() > cap
+
+  /** Outlier-broadcast cap: spans per broadcast build side. ~100k rows of
+    * (keys, start, end) is well under Spark's broadcast limits. */
+  val DefaultMaxBroadcastRows: Long = 100000L
+
   /** @param points    one row per point; `pointTs` timestamp column
-    * @param intervals one row per interval; `[startCol, endCol]` closed
+    * @param intervals one row per interval; `[startCol, endCol]` closed;
+    *                  INVERTED spans (start > end) are treated as empty
+    *                  and dropped, never matched
     * @param keys      equi-join columns present on BOTH sides (may be
-    *                  empty for a pure time join — skew warning applies)
+    *                  empty for a pure time join — skew warning applies);
+    *                  all NON-key column names must be disjoint between
+    *                  the two sides
     * @return points ⋈ intervals (keys once, then point columns, then
     *         non-key interval columns) */
   def pointInInterval(
@@ -37,9 +57,14 @@ object RangeJoin {
       startCol: String,
       endCol: String,
       bucketSeconds: Long,
-      maxBucketsPerInterval: Int = 64): DataFrame = {
+      maxBucketsPerInterval: Int = 64,
+      maxBroadcastRows: Long = DefaultMaxBroadcastRows,
+      widenAttempts: Int = 3): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
+    require(points.columns.intersect(intervals.columns).forall(keys.contains),
+      "pointInInterval: non-key column names must be disjoint between points and " +
+        s"intervals (shared: ${points.columns.intersect(intervals.columns).filterNot(keys.contains).mkString(",")})")
     val w = bucketSeconds * 1000000L // micros per bucket
 
     val outCols: Seq[Column] =
@@ -54,6 +79,20 @@ object RangeJoin {
       .withColumn("_bs", floor(unix_micros(col(startCol)) / w))
       .withColumn("_be", floor(unix_micros(col(endCol)) / w))
 
+    // outlier intervals broadcast instead of exploding — bounded by
+    // construction when the width is near the typical span, but GUARDED
+    // here: past the cap, widen the bucket ×8 and retry (every widening
+    // shrinks _be-_bs for every span, so the recursion terminates)
+    val longPre = iv.filter(col("_be") - col("_bs") >= maxBucketsPerInterval)
+    if (tooManyLong(longPre, maxBroadcastRows)) {
+      if (widenAttempts <= 0) throw new IllegalStateException(
+        s"pointInInterval: more than $maxBroadcastRows intervals span >= " +
+          s"$maxBucketsPerInterval buckets even after widening to " +
+          s"$bucketSeconds s buckets — raise bucketSeconds or maxBucketsPerInterval")
+      return pointInInterval(points, intervals, keys, pointTs, startCol, endCol,
+        bucketSeconds * 8, maxBucketsPerInterval, maxBroadcastRows, widenAttempts - 1)
+    }
+
     val short = iv
       .filter(col("_be") - col("_bs") < maxBucketsPerInterval)
       .withColumn("_rb", explode(sequence(col("_bs"), col("_be"))))
@@ -63,12 +102,7 @@ object RangeJoin {
       .filter(between)
       .select(outCols: _*)
 
-    // outlier intervals: broadcast instead of exploding. Bounded by
-    // construction — when most intervals are near the bucket width, the
-    // tail past maxBuckets is a handful of rows.
-    val long = iv
-      .filter(col("_be") - col("_bs") >= maxBucketsPerInterval)
-      .drop("_bs", "_be")
+    val long = longPre.drop("_bs", "_be")
     val a = p.drop("_rb").as("_rjl")
     val b = long.as("_rjr")
     val keyCond = keys
@@ -97,7 +131,12 @@ object RangeJoin {
     * so that bucket is covered by both sides and is unique per pair (no
     * distinct stage over the join output). Long outliers on either side
     * take the broadcast fallback; long×long pairs ride the left-long
-    * branch only, so nothing double-emits. */
+    * branch only, so nothing double-emits.
+    *
+    * INVERTED spans (start > end) are treated as empty intervals and
+    * dropped — they never match, even though the naive closed-span
+    * predicate `lStart <= rEnd && rStart <= lEnd` can nominally hold for
+    * them. Non-key column names must be disjoint between the sides. */
   def intervalOverlap(
       left: DataFrame,
       right: DataFrame,
@@ -107,9 +146,14 @@ object RangeJoin {
       rStart: String,
       rEnd: String,
       bucketSeconds: Long,
-      maxBucketsPerInterval: Int = 64): DataFrame = {
+      maxBucketsPerInterval: Int = 64,
+      maxBroadcastRows: Long = DefaultMaxBroadcastRows,
+      widenAttempts: Int = 3): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
+    require(left.columns.intersect(right.columns).forall(keys.contains),
+      "intervalOverlap: non-key column names must be disjoint between left and " +
+        s"right (shared: ${left.columns.intersect(right.columns).filterNot(keys.contains).mkString(",")})")
     val w = bucketSeconds * 1000000L // micros per bucket
 
     val outCols: Seq[Column] =
@@ -132,6 +176,18 @@ object RangeJoin {
 
     val l = spans(left, lStart, lEnd)
     val r = spans(right, rStart, rEnd)
+
+    // broadcast-fallback guard (see tooManyLong): both build sides must
+    // stay under the cap or the buckets widen and the whole join retries
+    if (tooManyLong(long(l), maxBroadcastRows) ||
+        tooManyLong(long(r), maxBroadcastRows)) {
+      if (widenAttempts <= 0) throw new IllegalStateException(
+        s"intervalOverlap: more than $maxBroadcastRows spans cover >= " +
+          s"$maxBucketsPerInterval buckets even after widening to " +
+          s"$bucketSeconds s buckets — raise bucketSeconds or maxBucketsPerInterval")
+      return intervalOverlap(left, right, keys, lStart, lEnd, rStart, rEnd,
+        bucketSeconds * 8, maxBucketsPerInterval, maxBroadcastRows, widenAttempts - 1)
+    }
 
     // emitted only in the later-start bucket: inside both spans on
     // overlap, and unique per pair

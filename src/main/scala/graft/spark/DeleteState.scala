@@ -23,20 +23,32 @@ import graft.tables.GraftTable
   * data file fetches exactly its own vector, never the delete stack. */
 case class DeleteFileRef(
     path: String, size: Long, seq: Long,
-    blobOffset: Long = -1L, blobLength: Long = -1L) {
+    blobOffset: Long = -1L, blobLength: Long = -1L,
+    fmt: String = "parquet") {
   def isVector: Boolean = blobOffset >= 0L
 }
 
 /** Plan-time spec of one equality-delete group for EXECUTOR-side loading:
   * which key columns (by inner-read ordinal + type), which delete files,
-  * and a DRIVER-BUILT reader factory over the group's key schema (the
-  * factory serializes into tasks exactly like a normal parquet scan's). */
+  * and DRIVER-BUILT reader factories over the group's key schema (the
+  * factories serialize into tasks exactly like a normal parquet scan's).
+  * Foreign-FORMAT delete files (ORC/Avro, spec-legal for other engines)
+  * route through their own factories so jumbo foreign delete sets load
+  * executor-side like parquet ones instead of stalling plan time. */
 case class EqLoadSpec(
     keyOrdinals: Array[Int],
     keyTypes: Array[DataType],
     files: Array[DeleteFileRef],
-    factory: PartitionReaderFactory)
-    extends Serializable
+    factory: PartitionReaderFactory,
+    orcFactory: PartitionReaderFactory = null,
+    avroFactory: PartitionReaderFactory = null)
+    extends Serializable {
+  def factoryFor(ref: DeleteFileRef): PartitionReaderFactory = ref.fmt match {
+    case "orc" => orcFactory
+    case "avro" => avroFactory
+    case _ => factory
+  }
+}
 
 /** key -> max delete sequence lookup, memory- or disk-backed.
   * Serializable: plan-time in-memory lookups ride the task closure. */
@@ -324,7 +336,9 @@ object DeleteState {
       dataPathNorm: String,
       dseq: Long,
       candidates: Array[DeleteFileRef],
-      conf: Configuration): Array[Long] = {
+      conf: Configuration,
+      orcFactory: PartitionReaderFactory = null,
+      avroFactory: PartitionReaderFactory = null): Array[Long] = {
     if (candidates.isEmpty) return Array.emptyLongArray
     // predicate covers every stored form; rows are still verified below,
     // so a false row-group keep only costs I/O, never correctness
@@ -338,6 +352,23 @@ object DeleteState {
         // positional blob fetch: I/O is the vector's own bytes, nothing else
         buf ++= graft.tables.Puffin.dvPositions(
           graft.tables.Puffin.readBlob(conf, ref.path, ref.blobOffset, ref.blobLength))
+      } else if (ref.seq >= dseq && ref.fmt != "parquet") {
+        // foreign-format (ORC/Avro) delete file: no parquet-mr pushdown,
+        // but the read still happens EXECUTOR-side through a driver-built
+        // row factory — whole-file scan of (file_path, pos), filtered here
+        // (foreign deletes are an interop tail; per-task full reads beat
+        // stalling the driver on a jumbo foreign set)
+        val f = if (ref.fmt == "orc") orcFactory else avroFactory
+        require(f != null, s"no reader factory for foreign delete format ${ref.fmt}")
+        val reader = f.createReader(
+          org.apache.spark.sql.GraftBridge.wholeFilePartition(0, ref.path, ref.size))
+        try {
+          while (reader.next()) {
+            val r = reader.get()
+            if (GraftTable.normPathStr(r.getUTF8String(0).toString) == dataPathNorm)
+              buf += r.getLong(1)
+          }
+        } finally reader.close()
       } else if (ref.seq >= dseq) {
         val reader = ParquetReader
           .builder(new GroupReadSupport(), new HPath(ref.path))
@@ -463,7 +494,7 @@ object DeleteState {
     val proj = UnsafeProjection.create(
       spec.keyTypes.zipWithIndex.map { case (t, i) => BoundReference(i, t, nullable = true) })
     def rows: Iterator[(UnsafeRow, Long)] = spec.files.iterator.flatMap { ref =>
-      val reader = spec.factory.createReader(
+      val reader = spec.factoryFor(ref).createReader(
         org.apache.spark.sql.GraftBridge.wholeFilePartition(0, ref.path, ref.size))
       // hasNext must be idempotent (iterator contract): buffer the
       // lookahead instead of advancing the reader on every call

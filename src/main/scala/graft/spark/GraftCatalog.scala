@@ -653,9 +653,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           props.toList.sortBy(_._1).map { case (k, v) =>
             k -> (org.json4s.JString(v): org.json4s.JValue)
           })))
-      val out = fs.create(p, true)
+      // write-to-temp + rename: a concurrent reader never sees a torn
+      // file (rename is atomic on HDFS/posix; object stores degrade to
+      // copy+delete but the dotfile is tiny and namespace props are
+      // low-stakes)
+      val tmp = new Path(p.getParent, s".graft_namespace.${java.util.UUID.randomUUID}.tmp")
+      val out = fs.create(tmp, true)
       try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p)) { fs.delete(tmp, false); sys.error(s"rename $tmp -> $p failed") }
     }
   }
 
@@ -699,7 +706,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case Some(c) =>
         c.updateNamespaceProperties(namespace.mkString("."), updates, removals.toSeq)
       case None =>
-        writeNsProps(namespace, readNsProps(namespace) -- removals ++ updates)
+        // the read-modify-write is serialized within the JVM (the local
+        // `local[n]` case where concurrent ALTER NAMESPACE is realistic);
+        // cross-process writers still race, but each write is now atomic
+        // via temp+rename so no reader observes a torn dotfile
+        GraftCatalog.nsPropsLock.synchronized {
+          writeNsProps(namespace, readNsProps(namespace) -- removals ++ updates)
+        }
     }
   }
 
@@ -1527,4 +1540,10 @@ class GraftWriteBuilder(table: GraftTable, writeBranch: Option[String] = None)
 
   override def build(): Write =
     new GraftWrite(table, overwriteAll, overwriteCond, dynamic, writeBranch)
+}
+
+object GraftCatalog {
+  /** serializes storage-backend namespace-property read-modify-writes
+    * within the JVM (see [[GraftCatalog.alterNamespace]]) */
+  private[spark] val nsPropsLock = new Object
 }

@@ -159,12 +159,12 @@ class GraftMorScan(
         reservedLong(GraftTable.LastUpdatedSeqCol, GraftTable.LastUpdatedSeqFieldId))))
 
   /** foreign-FORMAT delete files (ORC/Avro — spec-legal, written by
-    * other engines; this engine writes parquet deletes) resolve at PLAN
-    * time only: the executor tiers are parquet-optimized (footer
-    * position seeds, row-group pushdown on file_path) */
+    * other engines; this engine writes parquet deletes): small sets
+    * resolve at plan time like parquet ones; JUMBO sets load executor-
+    * side through driver-built ORC/Avro row factories (whole-file reads —
+    * no parquet-mr pushdown, but no driver stall either; the escape hatch
+    * for heavy foreign churn remains `rewrite_position_delete_files`) */
   private def deleteFmt(p: PlannedFile): String = p.file.fileFormat.toLowerCase
-  private val hasForeignFmtDeletes: Boolean =
-    (pqPosDeletes ++ eqDeletes).exists(p => deleteFmt(p) != "parquet")
 
   /** jumbo delete sets load executor-side; small ones resolve at plan
     * time (cheaper per task, bounded by the broadcast threshold) */
@@ -173,8 +173,7 @@ class GraftMorScan(
     val dvBytes = dvByFile.values
       .map(p => p.file.contentSizeInBytes.getOrElse(p.file.fileSizeInBytes)).sum
     val bytes = (pqPosDeletes ++ eqDeletes).map(_.file.fileSizeInBytes).sum + dvBytes
-    bytes > 0 && bytes > GraftTable.deleteBroadcastMaxBytes(SparkSession.active) &&
-      !hasForeignFmtDeletes
+    bytes > 0 && bytes > GraftTable.deleteBroadcastMaxBytes(SparkSession.active)
   }
 
   /** file -> (position, delete sequence) pairs resolved at plan time: a
@@ -421,7 +420,8 @@ class GraftMorScan(
           val pq = pqPosDeletes
             .filter(pd => pd.seq >= p.seq && dv.forall(d => pd.seq > d.seq) &&
               posFileMayContain(pd, norm))
-            .map(pd => DeleteFileRef(pd.file.filePath, pd.file.fileSizeInBytes, pd.seq))
+            .map(pd => DeleteFileRef(pd.file.filePath, pd.file.fileSizeInBytes,
+              pd.seq, fmt = deleteFmt(pd)))
           val dvRef = dv.filter(_.seq >= p.seq).map(d => DeleteFileRef(
             table.relocate(d.file.filePath), d.file.fileSizeInBytes, d.seq,
             d.file.contentOffset.getOrElse(0L),
@@ -512,8 +512,12 @@ class GraftMorScan(
         keyNames.map(nameToOrdinal).toArray, types, new InMemoryEqLookup(map), maxSeq)
     }.toArray
     // executor-side mode: ship load SPECS (files + driver-built reader
-    // factories), not maps — executors build and cache the delete state
+    // factories), not maps — executors build and cache the delete state.
+    // Foreign-format (ORC/Avro) delete files get their own factories over
+    // the same key schema, so jumbo foreign sets stay executor-side too.
     val spark = SparkSession.active
+    val specSerConf = new graft.tables.TableWrite.SerializableHadoopConf(
+      org.apache.spark.sql.GraftBridge.sessionHadoopConf(spark))
     val eqSpecs: Array[EqLoadSpec] =
       if (!executorSide) Array.empty
       else liveEqDeletes.groupBy(_.file.equalityIds).toSeq.flatMap { case (eqIds, files) =>
@@ -525,10 +529,18 @@ class GraftMorScan(
           Some(EqLoadSpec(
             keyFields.map(f => nameToOrdinal(f.name)).toArray,
             types,
-            files.map(p =>
-              DeleteFileRef(p.file.filePath, p.file.fileSizeInBytes, p.seq)).toArray,
+            files.map(p => DeleteFileRef(
+              p.file.filePath, p.file.fileSizeInBytes, p.seq,
+              fmt = deleteFmt(p))).toArray,
             org.apache.spark.sql.GraftBridge.parquetReaderFactory(
-              spark, keySchema, keySchema, Array.empty)))
+              spark, keySchema, keySchema, Array.empty),
+            orcFactory =
+              if (!files.exists(deleteFmt(_) == "orc")) null
+              else GraftOrcIdFactory(org.apache.spark.sql.GraftBridge
+                .orcFactoryBuilder(spark, keySchema, keySchema), Array.empty),
+            avroFactory =
+              if (!files.exists(deleteFmt(_) == "avro")) null
+              else GraftAvroReaderFactory(keySchema, specSerConf)))
         }
       }.toArray
     val eqExecMaxBytes = GraftTable.eqDeleteExecutorMaxBytes(spark)
@@ -632,6 +644,20 @@ class GraftMorScan(
       outFields.contains(OutField.PosCounter) || outFields.contains(OutField.RowId) ||
         // flagged mode must SEE every row, so no row-group skipping
         outFields.contains(OutField.DeletedFlag)
+    // executor-tier FOREIGN position-delete reads: driver-built row
+    // factories over the spec's (file_path, pos) schema (reserved ids)
+    val posDelSchema = StructType(Seq(
+      SchemaConvert.toSparkField(
+        IceField(2147483546, "file_path", required = true, IcePrim("string"))),
+      SchemaConvert.toSparkField(
+        IceField(2147483545, "pos", required = true, IcePrim("long")))))
+    val posOrcF =
+      if (!executorSide || !pqPosDeletes.exists(deleteFmt(_) == "orc")) null
+      else GraftOrcIdFactory(org.apache.spark.sql.GraftBridge
+        .orcFactoryBuilder(spark, posDelSchema, posDelSchema), Array.empty)
+    val posAvroF =
+      if (!executorSide || !pqPosDeletes.exists(deleteFmt(_) == "avro")) null
+      else GraftAvroReaderFactory(posDelSchema, specSerConf)
     new GraftMorReaderFactory(
       if (needsExactPositions) innerNoPush else innerPush,
       innerNoPush, groups, outFields, innerSchema.length,
@@ -643,7 +669,8 @@ class GraftMorScan(
       orcNoPushF, avroF,
       nameToOrdinal.getOrElse(GraftTable.RowIdCol, -1),
       nameToOrdinal.getOrElse(GraftTable.LastUpdatedSeqCol, -1),
-      partitionMetaType)
+      partitionMetaType,
+      posOrcF, posAvroF)
   }
 
   override def description(): String =
@@ -735,7 +762,10 @@ class GraftMorReaderFactory(
     rowIdOrd: Int = -1,
     lastSeqOrd: Int = -1,
     // the `_partition` metadata column's struct type (default-spec shape)
-    partitionType: StructType = new StructType())
+    partitionType: StructType = new StructType(),
+    // executor-tier FOREIGN (orc/avro) position-delete read factories
+    posOrcFactory: PartitionReaderFactory = null,
+    posAvroFactory: PartitionReaderFactory = null)
     extends PartitionReaderFactory {
 
   private def rowFactory(mor: GraftMorInputPartition, push: Boolean): PartitionReaderFactory =
@@ -768,7 +798,8 @@ class GraftMorReaderFactory(
     // executor-side mode: pushdown position-delete reads for THIS file
     val positions: Array[Long] =
       if (mor.posCandidates.isEmpty) mor.positions
-      else DeleteState.positionsFor(mor.path, mor.dseq, mor.posCandidates, serConf.value)
+      else DeleteState.positionsFor(mor.path, mor.dseq, mor.posCandidates,
+        serConf.value, posOrcFactory, posAvroFactory)
     // byte-range split: positions are absolute within the file, so the
     // counter seeds with the rows preceding this range. The driver ships
     // the seed when positions matter; -1 with no position consumers means

@@ -29,13 +29,22 @@ object RestCatalog {
   class Client(baseUri: String, conf: Configuration) {
     private val http = HttpClient.newHttpClient()
 
-    /** OAuth2 client-credentials token, exchanged ONCE at the spec's
+    /** OAuth2 client-credentials token, exchanged at the spec's
       * `POST /v1/oauth/tokens` when `graft.rest.credential` is set to
       * `<client_id>:<client_secret>` (form-encoded grant, scope
-      * `catalog`). A static `graft.rest.token` wins when both are set. */
-    @volatile private var oauthToken: Option[String] = None
+      * `catalog`). A static `graft.rest.token` wins when both are set.
+      *
+      * LIFECYCLE: the response's `expires_in` (seconds) is honored — the
+      * cached token re-exchanges [[OauthRefreshMarginMs]] before expiry,
+      * so a streaming job outliving its first token keeps authenticating;
+      * and any 401 on a normal request clears the cache and retries ONCE
+      * with a freshly minted token (revocation / server restart). */
+    @volatile private var oauthToken: Option[(String, Long)] = None
 
-    private def fetchOauthToken(cred: String): String = {
+    /** re-mint this long before the advertised expiry */
+    private val OauthRefreshMarginMs = 60000L
+
+    private def fetchOauthToken(cred: String): (String, Long) = {
       val Array(id, secret) = cred.split(":", 2)
       def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
       val form = s"grant_type=client_credentials&client_id=${enc(id)}" +
@@ -47,24 +56,53 @@ object RestCatalog {
       val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
       require(resp.statusCode() == 200,
         s"oauth token exchange failed: ${resp.statusCode()} ${errMsg(resp.body())}")
-      (JsonMethods.parse(resp.body()) \ "access_token") match {
+      val j = JsonMethods.parse(resp.body())
+      val token = (j \ "access_token") match {
         case JString(t) => t
         case _ => sys.error("oauth response missing access_token")
       }
+      val expiresAt = (j \ "expires_in") match {
+        case JInt(s) => System.currentTimeMillis() + s.toLong * 1000L
+        case JLong(s) => System.currentTimeMillis() + s * 1000L
+        case _ => Long.MaxValue // no advertised expiry: cache until a 401
+      }
+      (token, expiresAt)
     }
+
+    /** true when auth flows through minted OAuth tokens (the only mode
+      * where a 401-retry re-mint can help) */
+    private def usesOauth: Boolean =
+      Option(conf.get("graft.rest.token")).filter(_.nonEmpty).isEmpty &&
+        Option(conf.get("graft.rest.credential")).exists(_.contains(":"))
+
+    private[tables] def invalidateOauthToken(): Unit = oauthToken = None
 
     private def bearerToken(): Option[String] =
       Option(conf.get("graft.rest.token")).filter(_.nonEmpty).orElse(
         Option(conf.get("graft.rest.credential")).filter(_.contains(":"))
           .map { cred =>
-            oauthToken.getOrElse(this.synchronized {
-              oauthToken.getOrElse {
+            def live(t: Option[(String, Long)]): Option[String] = t.collect {
+              case (tok, exp)
+                  if System.currentTimeMillis() < exp - OauthRefreshMarginMs => tok
+            }
+            live(oauthToken).getOrElse(this.synchronized {
+              live(oauthToken).getOrElse {
                 val t = fetchOauthToken(cred)
                 oauthToken = Some(t)
-                t
+                t._1
               }
             })
           })
+
+    /** sends a request; on a 401 under OAuth the cached token is dropped
+      * and the request rebuilt (fresh bearer) and retried exactly once */
+    private def sendAuth(mk: => HttpRequest): HttpResponse[String] = {
+      val resp = http.send(mk, HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() == 401 && usesOauth) {
+        invalidateOauthToken()
+        http.send(mk, HttpResponse.BodyHandlers.ofString())
+      } else resp
+    }
 
     /** request builder with credential pass-through: a bearer token
       * (static `graft.rest.token`, or one exchanged via OAuth2 from
@@ -77,16 +115,15 @@ object RestCatalog {
     }
 
     private def get(path: String): (Int, String) = {
-      val resp = http.send(rb(path).GET().build(), HttpResponse.BodyHandlers.ofString())
+      val resp = sendAuth(rb(path).GET().build())
       (resp.statusCode(), resp.body())
     }
 
     private def post(path: String, body: String): (Int, String) = {
-      val req = rb(path)
+      val resp = sendAuth(rb(path)
         .header("Content-Type", "application/json")
         .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
-        .build()
-      val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+        .build())
       (resp.statusCode(), resp.body())
     }
 
@@ -186,8 +223,8 @@ object RestCatalog {
     }
 
     def dropTable(ns: String, name: String): Unit = {
-      val req = rb(s"/v1/namespaces/${nsPath(ns)}/tables/$name").DELETE().build()
-      val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+      val resp = sendAuth(
+        rb(s"/v1/namespaces/${nsPath(ns)}/tables/$name").DELETE().build())
       // a failed catalog-side drop must NOT look like success — callers
       // delete the data directory afterwards (404 = already gone, fine)
       require(resp.statusCode() == 200 || resp.statusCode() == 404,
@@ -244,8 +281,8 @@ object RestCatalog {
     }
 
     def dropView(ns: String, name: String): Boolean = {
-      val req = rb(s"/v1/namespaces/${nsPath(ns)}/views/$name").DELETE().build()
-      val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+      val resp = sendAuth(
+        rb(s"/v1/namespaces/${nsPath(ns)}/views/$name").DELETE().build())
       require(resp.statusCode() == 200 || resp.statusCode() == 404,
         s"drop view failed: ${resp.statusCode()} ${resp.body()}")
       resp.statusCode() == 200
@@ -342,8 +379,8 @@ object RestCatalog {
 
     /** false when the server refuses (409: namespace not empty) */
     def dropNamespace(ns: String): Boolean = {
-      val req = rb(s"/v1/namespaces/${nsPath(ns)}").DELETE().build()
-      val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+      val resp = sendAuth(
+        rb(s"/v1/namespaces/${nsPath(ns)}").DELETE().build())
       if (resp.statusCode() == 409) false
       else {
         require(resp.statusCode() == 200 || resp.statusCode() == 404,
@@ -403,7 +440,8 @@ object RestCatalog {
       port: Int = 0,
       pageSize: Int = 100,
       token: Option[String] = None,
-      credential: Option[String] = None) {
+      credential: Option[String] = None,
+      tokenExpiresInSec: Long = 3600L) {
     private case class Entry(version: Int, metadataJson: String)
     private val tables = new ConcurrentHashMap[String, Entry]()
     private val views = new ConcurrentHashMap[String, String]()
@@ -411,6 +449,14 @@ object RestCatalog {
     private val nsProps = new ConcurrentHashMap[String, Map[String, String]]()
     // bearer tokens minted by the OAuth2 endpoint (credential mode)
     private val issuedTokens = ConcurrentHashMap.newKeySet[String]()
+    private val minted = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    /** test hook: server-side revocation — every outstanding bearer
+      * starts 401ing, exactly like a catalog restart or a real expiry */
+    def revokeTokens(): Unit = issuedTokens.clear()
+
+    /** how many tokens the OAuth endpoint has minted so far */
+    def mintedCount: Int = minted.get()
     // multi-table transactions check-then-apply across keys; single-table
     // commits share this lock so no commit interleaves mid-transaction
     private val commitLock = new Object
@@ -511,8 +557,9 @@ object RestCatalog {
             params.get("client_secret").contains(secret)) {
             val tok = java.util.UUID.randomUUID().toString.replace("-", "")
             issuedTokens.add(tok)
+            minted.incrementAndGet()
             respond(ex, 200,
-              s"""{"access_token": "$tok", "token_type": "bearer", "expires_in": 3600}""")
+              s"""{"access_token": "$tok", "token_type": "bearer", "expires_in": $tokenExpiresInSec}""")
           } else err(ex, 401, "NotAuthorizedException", "invalid client credentials")
       }
     }

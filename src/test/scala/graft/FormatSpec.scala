@@ -392,10 +392,19 @@ class FormatSpec extends AnyFunSuite {
     assert(t.scan(spark).count() === 86L)
     assert(t.scan(spark).agg(min(col("k"))).head().getLong(0) === 14L)
 
-    // the foreign-format presence forces the plan-time tier even when the
-    // executor threshold is zeroed
+    // jumbo tier: zeroed thresholds force EXECUTOR-side resolution of the
+    // foreign avro/orc position deletes (driver-built row factories) and
+    // the avro equality deletes (including the disk-backed lookup path) —
+    // a foreign CDC writer accumulating GBs of deletes must not stall
+    // plan time on the driver
     spark.conf.set("spark.graft.delete-broadcast-max-bytes", "0")
-    try assert(t.scan(spark).count() === 86L)
-    finally spark.conf.unset("spark.graft.delete-broadcast-max-bytes")
+    spark.conf.set("spark.graft.eq-delete-executor-max-bytes", "0")
+    try {
+      assert(t.scan(spark).count() === 86L)
+      assert(t.scan(spark).agg(min(col("k"))).head().getLong(0) === 14L)
+    } finally {
+      spark.conf.unset("spark.graft.delete-broadcast-max-bytes")
+      spark.conf.unset("spark.graft.eq-delete-executor-max-bytes")
+    }
   }
 }

@@ -1432,6 +1432,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!got.toSet.contains((10L, 21L)), "gap must not match")
   }
 
+  test("range-join broadcast guard: 1e5 always-on spans widen instead of broadcasting") {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_seconds}
+    // 100k intervals ALL spanning ~3600 s: at bucketSeconds=1 every span
+    // covers >8 buckets, so without the guard the whole table is one
+    // unbounded broadcast build. The guard widens 1->8->64->512 s; at
+    // 512 s the spans cover <=7 buckets and explode as plain hash rows.
+    val intervals = spark.range(100000L).select(
+      col("id").as("interval_id"),
+      timestamp_seconds(col("id") % 100).as("start_ts"),
+      timestamp_seconds(lit(3600) + col("id") % 50).as("end_ts"))
+    val points = Seq((1L, new java.sql.Timestamp(1800L * 1000))).toDF("click_id", "ts")
+    val n = graft.operators.RangeJoin.pointInInterval(
+      points, intervals, Nil, "ts", "start_ts", "end_ts",
+      bucketSeconds = 1L, maxBucketsPerInterval = 8, maxBroadcastRows = 100).count()
+    assert(n === 100000L)
+    // with widening disabled the operator fails fast instead of OOMing
+    intercept[IllegalStateException] {
+      graft.operators.RangeJoin.pointInInterval(
+        points, intervals, Nil, "ts", "start_ts", "end_ts",
+        bucketSeconds = 1L, maxBucketsPerInterval = 8, maxBroadcastRows = 100,
+        widenAttempts = 0)
+    }
+    // non-key output columns must be disjoint (documented contract)
+    intercept[IllegalArgumentException] {
+      graft.operators.RangeJoin.intervalOverlap(
+        intervals, intervals, Nil, "start_ts", "end_ts", "start_ts", "end_ts", 60L)
+    }
+  }
+
   test("containment pairs: embedded excerpt, minShingles floor, df cap") {
     val d = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), // 9 bigrams
@@ -1629,5 +1658,11 @@ class OperatorsSpec extends AnyFunSuite {
       .select("scales", "qvec").head()
     assert(z.getSeq[Double](0).head === 0.0)
     assert(z.getSeq[Int](1).take(2) === Seq(0, 0))
+    // EMPTY vector: zero blocks, zero scales (sequence(0,-1) would count
+    // DOWN and mint two phantom scales without the size guard)
+    val e = Quantization.quantizeInt4Stats(
+        Seq((1L, Seq.empty[Float])).toDF("id", "v"), "id", "v", blockSize = 2)
+      .select("n_blocks", "qsum").head()
+    assert(e.getLong(0) === 0L)
   }
 }

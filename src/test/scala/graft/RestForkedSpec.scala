@@ -227,4 +227,40 @@ class RestForkedSpec extends AnyFunSuite {
       assert(e3.getMessage.contains("401"))
     } finally server.stop()
   }
+
+  test("OAuth2 lifecycle: 401 re-mints once; advertised expiry re-exchanges") {
+    // 1) server-side revocation mid-session (catalog restart / real
+    //    expiry): the client's next request 401s, transparently re-mints,
+    //    and succeeds — a long-lived streaming job never sees the 401
+    val server = new RestCatalog.Server(credential = Some("svc:s3cr3t"))
+    val uri = server.start()
+    try {
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.set("graft.rest.credential", "svc:s3cr3t")
+      val client = new RestCatalog.Client(uri, conf)
+      client.createNamespace("db")
+      assert(server.mintedCount === 1)
+      server.revokeTokens() // every outstanding bearer now 401s
+      assert(client.namespaceExists("db")) // transparent re-mint + retry
+      assert(server.mintedCount === 2)
+      // the re-minted token is then CACHED (no per-request exchange)
+      assert(client.namespaceProperties("db") === Map.empty)
+      assert(server.mintedCount === 2)
+    } finally server.stop()
+
+    // 2) expiry honoring: a token advertised as already-inside-the-refresh-
+    //    margin is never reused — each call re-exchanges BEFORE sending,
+    //    so no request ever rides an expired bearer
+    val fast = new RestCatalog.Server(
+      credential = Some("svc:s3cr3t"), tokenExpiresInSec = 30L) // < 60 s margin
+    val fastUri = fast.start()
+    try {
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.set("graft.rest.credential", "svc:s3cr3t")
+      val client = new RestCatalog.Client(fastUri, conf)
+      client.createNamespace("db")
+      assert(client.namespaceExists("db"))
+      assert(fast.mintedCount >= 2, "near-expiry tokens must re-exchange")
+    } finally fast.stop()
+  }
 }
