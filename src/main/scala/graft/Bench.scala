@@ -193,8 +193,7 @@ object Bench {
         val seed = SparkEntry.t(s, dir, "events").select(cols.map(col): _*).limit(0)
         val tbl = SparkEntry.freshTable(s, "bench_stream_sink", seed)
         () => {
-          val q = s.readStream.schema(sch)
-            .option("pathGlobFilter", "events.parquet").parquet(dir)
+          val q = SparkEntry.streamTable(s, dir, "events", sch)
             .select(cols.map(col): _*)
             .writeStream.format("graft-stream")
             .option("location", tbl.location)
@@ -417,7 +416,13 @@ object Bench {
         "q_events_overlap",
         // readability folds per word (map-only); the histogram is one
         // bounded aggregate
-        "text_readability", "corpus_lengths"))
+        "text_readability", "corpus_lengths",
+        // round-10 sf1 closure: the streaming Gopher gate (micro-batch
+        // commits must stay setup-bound), the funnel's shrinking per-user
+        // aggregates, and the two clustering rewrites (one range shuffle
+        // each — file count, not data order, is the 10x variable)
+        "stream_quality_gate", "q_events_funnel", "ice_sort_rewrite",
+        "ice_hilbert"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

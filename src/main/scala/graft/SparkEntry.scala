@@ -29,6 +29,21 @@ object SparkEntry {
     } else s.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Streaming source over `<dir>/<name>.parquet`, adapting to both
+    * testdata layouts: the generated SFs ship a single FILE (matched via
+    * pathGlobFilter against the dir listing), while ScaleData's 10x
+    * corpora are DIRECTORIES of part files (which that filter matches
+    * nothing inside — every stream read 0 rows at sf1 before this). */
+  private[graft] def streamTable(
+      s: SparkSession, dir: String, name: String,
+      sch: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = s"$dir/$name.parquet"
+    val isDir = new java.io.File(p.stripPrefix("file:")).isDirectory
+    if (isDir) s.readStream.schema(sch).parquet(p)
+    else s.readStream.schema(sch)
+      .option("pathGlobFilter", s"$name.parquet").parquet(dir)
+  }
+
   /** Normalize the events `ts` column to session-zone TIMESTAMP micros
     * regardless of how the parquet encoded it: nanos-as-long (integer
     * division — double division loses micro precision on ns longs) or a
@@ -780,11 +795,12 @@ object SparkEntry {
     }),
     "dedup_components" -> ((s, dir) => {
       // collapse the verified near-dup PAIRS into clusters: every doc in a
-      // component maps to its min-id canonical survivor
-      val pairs = Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+      // component maps to its min-id canonical survivor. Exact-duplicate
+      // pre-collapse (textComponents) keeps the pair count tracking
+      // UNIQUE content — same labels, quadratic-to-linear on copy-heavy
+      // corpora
+      Dedup.textComponents(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 2, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4)
-        .select(col("a"), col("b"))
-      Dedup.connectedComponents(pairs, "a", "b")
     }),
     "dedup_incremental" -> ((s, dir) => {
       // INCREMENTAL dedup — the production shape: the historical corpus
@@ -807,12 +823,11 @@ object SparkEntry {
       // size) instead of dropped — the loss-weighting alternative when
       // exact-one-copy is too aggressive (repeated boilerplate still
       // contributes, proportionally); singletons keep weight 1. Same
-      // banded LSH -> connected components; one broadcast-size join back.
+      // banded LSH -> connected components (exact-dup pre-collapsed);
+      // one broadcast-size join back.
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      val comps = Dedup.textComponents(docs, "doc_id", "text",
         shingleSize = 2, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4)
-        .select(col("a"), col("b"))
-      val comps = Dedup.connectedComponents(pairs, "a", "b")
       val sizes = comps.groupBy("component").agg(count(lit(1)).as("csize"))
       docs.select(col("doc_id"))
         .join(comps.join(sizes, "component").select(col("doc_id"), col("csize")),
@@ -875,13 +890,11 @@ object SparkEntry {
     }),
     "dedup_resolve" -> ((s, dir) => {
       // the full dedup pipeline ending in a deduped CORPUS: LSH pairs ->
-      // connected components -> one canonical survivor per cluster (plus
-      // all unclustered docs), via a single anti-join
+      // connected components (exact-dup pre-collapsed) -> one canonical
+      // survivor per cluster (plus all unclustered docs), one anti-join
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashLsh(docs, "doc_id", "text", shingleSize = 2,
-        bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4)
-        .select(col("a"), col("b"))
-      val comps = Dedup.connectedComponents(pairs, "a", "b")
+      val comps = Dedup.textComponents(docs, "doc_id", "text",
+        shingleSize = 2, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4)
       Dedup.resolveDuplicates(docs, "doc_id", comps)
         .select(col("doc_id"), col("lang"))
     }),
@@ -890,10 +903,8 @@ object SparkEntry {
       // dedup pass and BEFORE the cut ships — which sources lose how
       // much (a source bleeding 40% is a crawler bug, not a cleanup)
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashLsh(docs, "doc_id", "text", shingleSize = 2,
-        bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4)
-        .select(col("a"), col("b"))
-      val comps = Dedup.connectedComponents(pairs, "a", "b")
+      val comps = Dedup.textComponents(docs, "doc_id", "text",
+        shingleSize = 2, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4)
       val kept = Dedup.resolveDuplicates(docs, "doc_id", comps)
         .select(col("doc_id"), lit(1L).as("k"))
       docs.select(col("doc_id"), col("source"))
@@ -1611,15 +1622,15 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
     }),
     "sample_split_leakfree" -> ((s, dir) => {
-      // leakage-free split: LSH near-dup pairs (same recall-proven
-      // params as dedup_resolve) feed pointer-jumping components; every
-      // doc splits on its component REPRESENTATIVE, so a train/test
-      // near-duplicate pair is impossible by construction
+      // leakage-free split: LSH near-dup components (same recall-proven
+      // params as dedup_resolve, exact-dup pre-collapsed) key every doc
+      // on its component REPRESENTATIVE, so a train/test near-duplicate
+      // pair is impossible by construction
       val d = t(s, dir, "documents")
-      val pairs = Dedup.minhashLsh(d, "doc_id", "text",
+      val comps = Dedup.textComponents(d, "doc_id", "text",
         shingleSize = 2, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4)
-      Sampling.splitAssignLeakFree(d.select(col("doc_id")), "doc_id",
-          pairs, "a", "b", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      Sampling.splitAssignByComponents(d.select(col("doc_id")), "doc_id",
+          comps, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split"))
     }),
     "mix_domain_weights" -> ((s, dir) => {
@@ -3151,8 +3162,7 @@ object SparkEntry {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val sch = s.read.parquet(s"$dir/events.parquet").schema
       val name = s"stream_hourly_${System.nanoTime()}"
-      val stream = normEventsTs(s.readStream.schema(sch)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val stream = normEventsTs(streamTable(s, dir, "events", sch))
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"))
       val q = stream.writeStream.outputMode("complete")
@@ -3172,8 +3182,7 @@ object SparkEntry {
       val tbl = freshTable(s, "stream_cdc_upsert", seed)
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").desc, col("event_id").desc)
-      val q = s.readStream.schema(sch)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val q = streamTable(s, dir, "events", sch)
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val b = normEventsTs(batch)
@@ -3197,8 +3206,7 @@ object SparkEntry {
       val cols = Seq("event_id", "user_id", "event_type", "value")
       val seed = t(s, dir, "events").select(cols.map(col): _*).limit(0)
       val tbl = freshTable(s, "stream_sink_append", seed)
-      val q = s.readStream.schema(sch)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val q = streamTable(s, dir, "events", sch)
         .select(cols.map(col): _*)
         .writeStream.format("graft-stream")
         .option("location", tbl.location)
@@ -3221,8 +3229,7 @@ object SparkEntry {
       // the %3 slice gains a stopword sentence (as in pipeline_webclean)
       // so the required-stopwords rule has passers; the word-count rule
       // still splits the stream both ways
-      val shaped = s.readStream.schema(sch)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val shaped = streamTable(s, dir, "documents", sch)
         .withColumn("text",
           when(pmod(col("doc_id"), lit(3)) === 0,
             concat(col("text"), lit(" the data would be part of and that we have with it")))
@@ -3249,8 +3256,7 @@ object SparkEntry {
       val cols = Seq("event_id", "user_id", "event_type", "value")
       val seed = t(s, dir, "events").select(cols.map(col): _*).limit(0)
       val tbl = freshTable(s, "stream_branch", seed)
-      val q = s.readStream.schema(sch)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val q = streamTable(s, dir, "events", sch)
         .select(cols.map(col): _*)
         .writeStream.format("graft-stream")
         .option("location", tbl.location)
@@ -3388,8 +3394,7 @@ object SparkEntry {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val sch = s.read.parquet(s"$dir/events.parquet").schema
       val name = s"stream_sess_${System.nanoTime()}"
-      val src = normEventsTs(s.readStream.schema(sch)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val src = normEventsTs(streamTable(s, dir, "events", sch))
         .withColumn("ts_us", unix_micros(col("ts")))
       val q = graft.streaming.StatefulSessions.sessions(src, 1800L * 1000000L)
         .select(col("user_id"), col("session_idx"), col("n_events"),

@@ -192,10 +192,22 @@ object Sampling {
       aCol: String,
       bCol: String,
       splits: Seq[(String, Double)],
+      salt: String = ""): DataFrame =
+    splitAssignByComponents(df, idCol,
+      Dedup.connectedComponents(pairs, aCol, bCol), splits, salt)
+
+  /** same leak-free cut keyed on PRECOMPUTED `(doc_id, component)` labels
+    * (e.g. [[Dedup.textComponents]], whose exact-duplicate pre-collapse
+    * keeps the pair stage linear on copy-heavy corpora) */
+  def splitAssignByComponents(
+      df: DataFrame,
+      idCol: String,
+      comps: DataFrame,
+      splits: Seq[(String, Double)],
       salt: String = ""): DataFrame = {
-    val comps = Dedup.connectedComponents(pairs, aCol, bCol)
+    val c = comps
       .select(col("doc_id").as("__graft_cid"), col("component").as("__graft_comp"))
-    df.join(comps, col(idCol) === col("__graft_cid"), "left")
+    df.join(c, col(idCol) === col("__graft_cid"), "left")
       .withColumn("split",
         cutLabel(coalesce(col("__graft_comp"), col(idCol)), splits, salt))
       .drop("__graft_cid", "__graft_comp")

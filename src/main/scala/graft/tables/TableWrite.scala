@@ -593,7 +593,19 @@ object TableWrite {
       if (parts.nonEmpty) w = w.partitionBy(parts: _*)
       if (fmt == "orc") w.orc(outDir) else w.parquet(outDir)
     }
-    def listOut(): Seq[String] = listDataFiles(table.conf, outDir, s".$fmt")
+    // v3 ns timestamps: restamp the parquet footers with TIMESTAMP(NANOS)
+    // so cross-engine readers see the real type, not a bare int64 (the
+    // Spark writer has no ns type — the columns ride LongType carriers)
+    val nsFields: Map[String, Boolean] = (schema.fields ++ lineageFields).collect {
+      case f if f.fieldType == IcePrim("timestamp_ns") => f.name -> false
+      case f if f.fieldType == IcePrim("timestamptz_ns") => f.name -> true
+    }.toMap
+    def listOut(): Seq[String] = {
+      val paths = listDataFiles(table.conf, outDir, s".$fmt")
+      if (fmt == "parquet" && nsFields.nonEmpty)
+        paths.foreach(p => ParquetFooter.stampNanos(table.conf, p, nsFields))
+      paths
+    }
     def statsHarvest(paths: Seq[String]): Seq[FileStats] = fmt match {
       case "orc" =>
         val conf = org.apache.spark.sql.GraftBridge.sessionHadoopConf(spark)

@@ -1047,6 +1047,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(comp.size === 45)
   }
 
+  test("textComponents: exact-dup pre-collapse matches uncollapsed LSH+CC labels") {
+    // exact copies (same shingle set), near-dups, a short doc below the
+    // shingle floor whose exact copies must NOT link, and singletons
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // exact of 1
+      (9L, "the quick brown fox jumps over the lazy dog tonight"), // exact of 1
+      (3L, "the quick brown fox jumps over the lazy dog today ok"), // near-dup of 1
+      (4L, "completely different text about something else entirely here now"),
+      (5L, "word"),                                                 // empty shingle set
+      (6L, "word"),                                                 // exact of 5: still no link
+      (7L, "an exact pair with no fuzzy neighbors at all right"),
+      (8L, "an exact pair with no fuzzy neighbors at all right"),   // exact of 7
+    ).toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val collapsed = asMap(Dedup.textComponents(docs, "doc_id", "text",
+      shingleSize = 2, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4))
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleSize = 2, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4)
+      .select(col("a"), col("b"))
+    val plain = asMap(Dedup.connectedComponents(pairs, "a", "b"))
+    assert(collapsed === plain)
+    assert(collapsed(2L) === 1L && collapsed(9L) === 1L && collapsed(3L) === 1L)
+    assert(collapsed(8L) === 7L && collapsed.get(7L).contains(7L))
+    assert(!collapsed.contains(5L) && !collapsed.contains(6L)) // sub-shingle docs never pair
+    assert(!collapsed.contains(4L)) // singleton emits no row
+  }
+
   test("hash sampling is deterministic, salted, and fraction-accurate") {
     val ids = (1L to 2000L).toDF("id")
     val s1 = Sampling.hashSample(ids, "id", 0.25).collect().map(_.getLong(0)).toSet

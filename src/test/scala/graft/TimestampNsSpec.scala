@@ -198,4 +198,38 @@ class TimestampNsSpec extends AnyFunSuite {
       IcePrim("timestamp_ns"))
     assert(re.scan(spark).select("ts_ns").as[Long].collect().toSeq === Seq(10L))
   }
+
+  test("parquet footers carry TIMESTAMP(NANOS) annotations for cross-engine readers") {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import spark.implicits._
+    val src = spark.range(0, 100).select(
+      col("id"), (col("id") * 1000L + Long.MaxValue / 2).as("ts_ns"),
+      (col("id") * 7L).as("tstz_ns"))
+    val t = StorageCatalog.createOrReplaceTable(
+      conf, tmp("footer"), nsSchema, IcePartitionSpec(0, Nil), formatVersion = 3)
+    t.append(spark, src)
+    val files = t.planFiles(t.metadata.currentSnapshot.get)
+    assert(files.nonEmpty)
+    files.foreach { p =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.file.filePath), conf))
+      val schema = try reader.getFooter.getFileMetaData.getSchema finally reader.close()
+      def ann(name: String) = schema.getFields.get(schema.getFieldIndex(name)).asPrimitiveType()
+        .getLogicalTypeAnnotation.asInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
+      assert(ann("ts_ns").getUnit === LogicalTypeAnnotation.TimeUnit.NANOS)
+      assert(!ann("ts_ns").isAdjustedToUTC)
+      assert(ann("tstz_ns").getUnit === LogicalTypeAnnotation.TimeUnit.NANOS)
+      assert(ann("tstz_ns").isAdjustedToUTC)
+      // field ids survive the restamp (id resolution must keep working)
+      assert(schema.getFields.get(schema.getFieldIndex("ts_ns")).getId.intValue() === 2)
+    }
+    // the stamped files read back exactly (values past 2^53 intact)
+    val back = t.scan(spark).select("id", "ts_ns", "tstz_ns")
+    assert(back.count() === 100)
+    assert(back.exceptAll(src).isEmpty)
+    // and MoR delete state still applies above stamped files
+    t.deleteWhere(spark, col("id") < 10L)
+    assert(t.scan(spark).count() === 90)
+  }
 }
