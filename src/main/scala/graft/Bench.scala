@@ -123,7 +123,10 @@ object Bench {
       "embed_quantize_int4", "ann_ivf_pq", "pack_concat", "pack_balanced",
       "pack_efficiency", "decontaminate_cut"),
     // round-10 additions accrue here (split into r10a/r10b past 12)
-    "r10" -> Seq(),
+    "r10" -> Seq(
+      "text_boilerplate", "text_novelty", "embed_matryoshka",
+      "embed_outliers", "ann_range", "stream_decontaminate",
+      "ice_rewrite_deletes", "mix_token_budget", "q_events_retention"),
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup

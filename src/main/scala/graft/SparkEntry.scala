@@ -567,6 +567,142 @@ object SparkEntry {
           bucketSeconds = 6 * 3600L)
         .select(col("interval_id"), col("click_id"))
     }),
+    // ---- round 10 (§2.25) ----
+    "text_boilerplate" -> ((s, dir) => {
+      // per-source boilerplate-line report: docs are re-lined (8 tokens
+      // per line, the corpus has no native newlines) and every doc of a
+      // source gains that source's footer line — the report must surface
+      // exactly those planted footers (plus any organically repeated
+      // line) with per-source df and doc share
+      val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
+        x => length(x) > 0)
+      val lined = t(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        concat(
+          array_join(
+            transform(
+              sequence(lit(0), floor((size(toks) - 1) / 8).cast(IntegerType)),
+              i => array_join(slice(toks, i * lit(8) + lit(1), lit(8)), " ")),
+            "\n"),
+          lit("\n"), concat(lit("subscribe to "), col("source"),
+            lit(" for daily updates"))).as("text"))
+      TextAnalysis.boilerplateLines(lined, "doc_id", "text", "source",
+        sep = "\n", minDocs = 10L)
+    }),
+    "text_novelty" -> ((s, dir) => {
+      // bigram novelty of the odd-id half against the even-id reference:
+      // the freshness audit a "new" crawl batch gets before it is paid
+      // for — novelty collapsing to zero means the batch re-serves the
+      // reference corpus
+      val d = t(s, dir, "documents")
+      TextAnalysis.ngramNovelty(
+        d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", n = 2)
+    }),
+    "embed_matryoshka" -> ((s, dir) => {
+      // matryoshka 64->16 truncation audit: per-vector norm of the kept
+      // prefix and the squared-mass fraction it retains
+      Quantization.matryoshkaStats(t(s, dir, "embeddings"),
+        "vec_id", "embedding", dims = 16)
+    }),
+    "embed_outliers" -> ((s, dir) => {
+      // centroid-cosine outlier gate over the embedding corpus
+      // (integer-quantized sums — engine-exact); planted junk: vec_id<3
+      // are NEGATED copies of themselves (anti-centroid direction)
+      val e = t(s, dir, "embeddings")
+      val shaped = e.select(col("vec_id"),
+        when(col("vec_id") < 3,
+          transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+      Similarity.centroidOutliers(shaped, "vec_id", "embedding",
+        minCosine = -0.05)
+    }),
+    "ann_range" -> ((s, dir) => {
+      // radius search: all corpus vectors within cosine >= 0.5 of each
+      // jittered query (the planted near-dups score ~1, everything else
+      // ~0 — the threshold sits in the void between the two modes)
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 4).select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      Similarity.rangeSearch(e, queries, "vec_id", "embedding", minCosine = 0.5)
+    }),
+    "stream_decontaminate" -> ((s, dir) => {
+      // decontamination INSIDE Structured Streaming: the bench set (every
+      // doc_id % 50 == 0 text) broadcasts as the static side of a
+      // stream-static left-anti join; only clean docs commit to the table
+      val sch = s.read.parquet(s"$dir/documents.parquet").schema
+      val seed = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source")).limit(0)
+      val tbl = freshTable(s, "stream_decontaminate", seed)
+      val bench = t(s, dir, "documents")
+        .filter(col("doc_id") % 50 === 0).select(col("text")).distinct()
+      val q = streamTable(s, dir, "documents", sch)
+        .join(bench, Seq("text"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .writeStream.format("graft-stream")
+        .option("location", tbl.location)
+        .option("checkpointLocation", s"${tbl.location}/_chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      StorageCatalog.loadTable(s.sparkContext.hadoopConfiguration, tbl.location)
+        .scan(s)
+    }),
+    "ice_rewrite_deletes" -> ((s, dir) => {
+      // rewrite_position_delete_files: two DELETE WHERE passes stack two
+      // position-delete files; the rewrite compacts them into one (per
+      // partition) and drops fully-deleted entries — the scan afterwards
+      // must be byte-identical to the logical state
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val tbl = freshTable(s, "ice_rewrite_deletes", src)
+      tbl.append(s, src)
+      tbl.deleteWhere(s, col("o_orderkey") % 10 === 0)
+      tbl.deleteWhere(s, col("o_orderkey") % 7 === 3)
+      val after = tbl.rewritePositionDeleteFiles(s)
+      val posLeft = after.planFiles(after.metadata.currentSnapshot.get)
+        .count(_.file.content == 1)
+      require(posLeft <= 1, s"rewrite left $posLeft pos-delete files")
+      after.scan(s).select(col("o_orderkey"), col("o_orderstatus"))
+    }),
+    "mix_token_budget" -> ((s, dir) => {
+      // token-budget planning table: per-source observed tokens vs a
+      // uniform target share of a 10M-token budget — allocation and the
+      // epochs over each source it implies. ONE bounded aggregate + a
+      // broadcast one-row total; integer token counts keep every share
+      // engine-exact
+      val budget = 10000000L
+      val d = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(text.tokenCount(col("text")).cast(LongType))
+          .as("tokens"))
+      val nSrc = d.select(countDistinct(col("source")).as("n")).crossJoin(
+        d.select(sum(col("tokens")).as("total")))
+      d.crossJoin(broadcast(nSrc))
+        .select(col("source"), col("tokens"),
+          round(col("tokens").cast(DoubleType) / col("total"), 6).as("obs_share"),
+          floor(lit(budget) / col("n")).cast(LongType).as("alloc_tokens"))
+        .withColumn("epochs",
+          round(col("alloc_tokens").cast(DoubleType) / col("tokens"), 6))
+    }),
+    "q_events_retention" -> ((s, dir) => {
+      // cohort retention matrix: users grouped by FIRST-seen day, distinct
+      // users active at each day offset — two per-user hash aggregates +
+      // one (cohort, offset) rollup, no event-stream window
+      val e = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val cohorts = e.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+      e.join(cohorts, "user_id")
+        .select(col("user_id"), col("cohort_day"),
+          datediff(col("d"), col("cohort_day")).cast(LongType).as("day_offset"))
+        .distinct()
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        // DATE parquet reads back as python date objects the comparator
+        // cannot canon — ship the cohort as a timestamp on both sides
+        .withColumn("cohort_day", col("cohort_day").cast(TimestampType))
+    }),
     "q_events_funnel" -> ((s, dir) => {
       // sequential funnel: users whose first view precedes a click that
       // precedes a purchase — per-stage user counts. Each stage is one
@@ -3897,6 +4033,149 @@ object SparkEntry {
         |SELECT p.interval_id, c.click_id
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.ts >= p.s AND c.ts <= p.e""".stripMargin,
+    // ---- round 10 (§2.25) ----
+    // same 8-token re-lining as text_linededup plus the per-source
+    // planted footer; report = per-source lines in >= 10 distinct docs
+    "text_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |lined AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(tk[(CAST(i AS INT) * 8 + 1):(CAST(i AS INT) * 8 + 8)], ' ') AS line
+        |  FROM toks, UNNEST(range(0, ((len(tk) - 1) // 8) + 1)) AS t(i)
+        |  UNION ALL
+        |  SELECT doc_id, source,
+        |    'subscribe to ' || source || ' for daily updates' AS line
+        |  FROM toks),
+        |dl AS (
+        |  SELECT DISTINCT doc_id, source, trim(line) AS line
+        |  FROM lined WHERE length(trim(line)) > 0),
+        |src AS (SELECT source, COUNT(*) AS src_docs FROM documents GROUP BY source)
+        |SELECT d.source, d.line, COUNT(*) AS line_docs,
+        |  round(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(src_docs), 6) AS doc_share
+        |FROM dl d JOIN src USING (source)
+        |GROUP BY d.source, d.line HAVING COUNT(*) >= 10""".stripMargin,
+    // distinct-bigram novelty of odd ids against the even-id reference
+    "text_novelty" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> length(x) > 0) AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, UNNEST(
+        |      CASE WHEN len(w) >= 2
+        |        THEN list_transform(range(0, len(w) - 1),
+        |          i -> w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2])
+        |        ELSE [] END) AS gram
+        |    FROM w)),
+        |ref AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
+        |per AS (
+        |  SELECT g.doc_id, COUNT(*) AS n_grams,
+        |    SUM(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END) AS n_novel
+        |  FROM g LEFT JOIN ref r USING (gram)
+        |  WHERE g.doc_id % 2 = 1 GROUP BY g.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+        |  round(CAST(coalesce(n_novel, 0) AS DOUBLE)
+        |    / greatest(coalesce(n_grams, 0), 1), 6) AS novelty
+        |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        |LEFT JOIN per USING (doc_id)""".stripMargin,
+    // sequential double folds of squared components, prefix vs full
+    "embed_matryoshka" ->
+      """WITH m AS (
+        |  SELECT vec_id,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS f,
+        |    list_sum(list_transform(embedding[1:16],
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS tr
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  round(sqrt(f), 6) AS norm_full,
+        |  round(sqrt(tr), 6) AS norm_trunc,
+        |  CASE WHEN f = 0 THEN 0.0 ELSE round(tr / f, 6) END AS mass_kept
+        |FROM m""".stripMargin,
+    // integer-quantized centroid sums (cosine is 1/n-invariant); the
+    // vec_id<3 rows are negated, landing in the anti-centroid direction
+    "embed_outliers" ->
+      """WITH shaped AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id < 3
+        |      THEN list_transform(embedding, x -> CAST(-x AS FLOAT))
+        |      ELSE embedding END AS v
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, list_transform(v,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS e
+        |  FROM shaped),
+        |c AS (
+        |  SELECT i, SUM(e[CAST(i AS INT)]) AS s
+        |  FROM q CROSS JOIN range(1, 65) t(i) GROUP BY i),
+        |cs AS (
+        |  SELECT list(s ORDER BY i) AS sv,
+        |    CAST(SUM(s * s) AS DOUBLE) AS ss FROM c),
+        |sc AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> e[CAST(i AS INT)] * sv[CAST(i AS INT)])) AS DOUBLE) AS dot,
+        |    CAST(list_sum(list_transform(e, x -> x * x)) AS DOUBLE) AS qq,
+        |    ss
+        |  FROM q CROSS JOIN cs)
+        |SELECT vec_id,
+        |  round(CASE WHEN qq = 0 OR ss = 0 THEN 0.0
+        |    ELSE dot / (sqrt(qq) * sqrt(ss)) END, 6) AS centroid_cos,
+        |  (CASE WHEN qq = 0 OR ss = 0 THEN 0.0
+        |    ELSE dot / (sqrt(qq) * sqrt(ss)) END) < -0.05 AS is_outlier
+        |FROM sc""".stripMargin,
+    // radius search: planted jittered queries score ~1, the rest ~0 —
+    // the 0.5 threshold sits in the void between the modes
+    "ann_range" ->
+      """SELECT q.vec_id + 1000000 AS query_id, c.vec_id AS neighbor_id
+        |FROM embeddings q JOIN embeddings c
+        |  ON list_cosine_similarity(
+        |       CAST(list_transform(q.embedding,
+        |         x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT)) AS DOUBLE[]),
+        |       CAST(c.embedding AS DOUBLE[])) >= 0.5
+        |  AND c.vec_id <> q.vec_id + 1000000
+        |WHERE q.vec_id < 4""".stripMargin,
+    // stream-static anti-join against the %50 bench slice
+    "stream_decontaminate" ->
+      """SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents b
+        |  WHERE b.doc_id % 50 = 0 AND b.text = d.text)""".stripMargin,
+    // the rewrite is metadata-only for the logical state: the scan after
+    // compaction equals the two stacked DELETE WHERE predicates
+    "ice_rewrite_deletes" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 3""".stripMargin,
+    // uniform-target token budget planning over integer token counts
+    "mix_token_budget" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT COUNT(*) AS n, SUM(tokens) AS total FROM t)
+        |SELECT source, tokens,
+        |  round(CAST(tokens AS DOUBLE) / total, 6) AS obs_share,
+        |  CAST(floor(10000000 / n) AS BIGINT) AS alloc_tokens,
+        |  round(floor(10000000 / n) / tokens, 6) AS epochs
+        |FROM t CROSS JOIN tot""".stripMargin,
+    // cohort = first-seen day; distinct active users per day offset
+    "q_events_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+        |  CAST(datediff('day', cohort_day, d) AS BIGINT) AS day_offset,
+        |  COUNT(DISTINCT user_id) AS active_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY cohort_day, datediff('day', cohort_day, d)""".stripMargin,
     "q_events_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS t1 FROM events

@@ -97,6 +97,36 @@ object Quantization {
       array_min(col("qvec")).cast(LongType).as("qmin"),
       array_max(col("qvec")).cast(LongType).as("qmax"))
 
+  /** Matryoshka truncation: keep the first `dims` dimensions and report
+    * how much of the vector's mass they retain — the storage/latency
+    * lever of MRL-trained embeddings (a 64->16 cut is 4x smaller and
+    * 4x faster to scan; the `mass_kept` column is the evidence the cut
+    * is safe for THIS corpus). Map-only; norms are sequential IEEE folds
+    * over double-cast components (engine-exact, same convention as the
+    * cosine kernels). The renormalized prefix is `slice / norm_trunc` —
+    * not materialized here because the stats are the decision surface;
+    * compose `transform(slice(...), x -> x / norm)` where the cut
+    * vectors themselves ship. */
+  def matryoshkaStats(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1: $dims")
+    def sq(c: org.apache.spark.sql.Column) = aggregate(
+      c, lit(0.0d), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
+    df.select(
+        col(idCol),
+        sq(col(vecCol)).as("_full"),
+        sq(slice(col(vecCol), 1, dims)).as("_trunc"))
+      .select(
+        col(idCol),
+        round(sqrt(col("_full")), 6).as("norm_full"),
+        round(sqrt(col("_trunc")), 6).as("norm_trunc"),
+        when(col("_full") === 0.0d, lit(0.0d))
+          .otherwise(round(col("_trunc") / col("_full"), 6)).as("mass_kept"))
+  }
+
   /** Scalar summary of a quantized corpus (the oracle surface: DuckDB
     * replays the same floor arithmetic; arrays reduce to sum/min/max so
     * the comparison stays scalar). */

@@ -505,4 +505,68 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** RANGE search — every corpus vector within `minCosine` of each query
+    * (the radius twin of top-k: dedup sweeps and recall audits want "all
+    * neighbors above the duplicate threshold", not a fixed k). Queries
+    * broadcast, scoring is map-only, and ONLY matches survive to the
+    * output — at a sane threshold that is a tiny fraction of the corpus,
+    * so nothing quadratic ever shuffles. At 100 TB, feed an IVF-probed
+    * candidate slice instead of the full corpus — the operator shape is
+    * unchanged. */
+  def rangeSearch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        vectors.cosineSim(col("qv"), col("cv")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** Embedding-corpus OUTLIER scores: cosine of every vector against the
+    * corpus centroid, flagged below `minCosine` — the embedding-space
+    * quality gate (encoder failures, empty inputs, and off-distribution
+    * junk land far from the mass of the corpus).
+    *
+    * Exactness: vectors quantize to integers (`floor(x * 1024)`, the
+    * power-of-two scheme of [[Clustering.kmeansAssign]]) and the
+    * "centroid" is the per-dimension integer SUM — cosine is invariant
+    * to the 1/n scaling, so dividing never happens and every engine
+    * computes identical doubles from identical integers. One bounded
+    * (dim)-keyed aggregate builds the sums; scoring is map-only against
+    * the broadcast sum vector. */
+  def centroidOutliers(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      scale: Int = 1024): DataFrame = {
+    require((scale & (scale - 1)) == 0, s"scale must be a power of two: $scale")
+    val q = df.select(
+      col(idCol).as("vec_id"),
+      transform(col(vecCol), x =>
+        floor(x.cast("double") * lit(scale)).cast("long")).as("e"))
+    val sums: Array[Long] = q
+      .select(posexplode(col("e")).as(Seq("dim", "v")))
+      .groupBy("dim").agg(sum("v").as("s"))
+      .orderBy("dim").collect().map(_.getLong(1)) // bounded: one row per dim
+    val cArr = array(sums.map(lit): _*)
+    val dot = aggregate(zip_with(col("e"), cArr, (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x).cast("double")
+    val qq = aggregate(transform(col("e"), a => a * a),
+      lit(0L), (acc, x) => acc + x).cast("double")
+    val ss = lit(sums.map(s => s * s).sum).cast("double")
+    q.select(col("vec_id"),
+        when(qq === 0d || ss === 0d, lit(0d))
+          .otherwise(dot / (sqrt(qq) * sqrt(ss))).as("_cos"))
+      .select(col("vec_id"),
+        round(col("_cos"), 6).as("centroid_cos"),
+        (col("_cos") < minCosine).as("is_outlier"))
+  }
 }

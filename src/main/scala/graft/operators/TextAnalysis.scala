@@ -741,4 +741,83 @@ object TextAnalysis {
       gopherOk.as("gopher_ok"),
       (mojiOk && langOk && c4Ok && gopherOk).as("keep"))
   }
+
+  /** Per-SOURCE boilerplate-line REPORT (the governance table read before
+    * configuring a [[lineDedup]]-style strip): lines occurring in at
+    * least `minDocs` distinct documents OF THE SAME SOURCE, with their
+    * document frequency and the share of the source's docs they infect —
+    * nav bars, cookie banners and subscribe footers are per-DOMAIN
+    * artifacts, so global df (what lineDedup keys on) underestimates
+    * their density inside the offending source.
+    *
+    * Scale: one (source, line) hash aggregate over exploded lines +
+    * a broadcast-size per-source doc count — the narrow shuffle carries
+    * (source, line-hash-sized strings), never documents. */
+  def boilerplateLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      srcCol: String,
+      sep: String = "\n",
+      minDocs: Long = 2L): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+      col(textCol).as("text"))
+    val perSource = docs.groupBy("source").agg(count(lit(1)).as("src_docs"))
+    val lines = docs
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), java.util.regex.Pattern.quote(sep))).as("line"))
+      .select(col("doc_id"), col("source"), trim(col("line")).as("line"))
+      .filter(length(col("line")) > 0)
+      .distinct() // one vote per (doc, line)
+    lines.groupBy(col("source"), col("line"))
+      .agg(count(lit(1)).as("line_docs"))
+      .filter(col("line_docs") >= minDocs)
+      .join(broadcast(perSource), "source")
+      .select(col("source"), col("line"), col("line_docs"),
+        round(col("line_docs").cast(DoubleType) / col("src_docs"), 6).as("doc_share"))
+  }
+
+  /** N-gram NOVELTY against a reference corpus slice: per new document,
+    * how many of its distinct word `n`-grams never occur in the
+    * reference — the dedup-adjacent freshness signal (a "new" crawl
+    * whose novelty collapses is re-serving the old corpus; a fine-tune
+    * batch with near-zero novelty adds nothing).
+    *
+    * Scale: reference n-grams deduplicate FIRST (hash aggregate keyed by
+    * the gram), then one (gram)-keyed left join of the new side's
+    * distinct (doc, gram) pairs — both shuffles carry grams, not
+    * documents, and the reference side is its distinct-gram count no
+    * matter how many copies the corpus holds. */
+  def ngramNovelty(
+      newDocs: DataFrame,
+      refDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2): DataFrame = {
+    def grams(df: DataFrame): DataFrame = {
+      val w = filter(split(lower(col(textCol)), "[^a-z0-9]+"), x => length(x) > 0)
+      df.select(col(idCol).as("doc_id"),
+          (size(w) - (n - 1)).as("_ng"),
+          explode(
+            when(size(w) >= n,
+              transform(sequence(lit(0), size(w) - n),
+                i => array_join(slice(w, i + 1, lit(n)), " ")))
+              .otherwise(array().cast("array<string>"))).as("gram"))
+        .select(col("doc_id"), col("gram")).distinct()
+    }
+    val refGrams = grams(refDocs).select(col("gram")).distinct()
+      .withColumn("_seen", lit(1))
+    val newGrams = grams(newDocs)
+    val perDoc = newGrams.join(refGrams, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+    newDocs.select(col(idCol).as("doc_id")).distinct()
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast(DoubleType) /
+          greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)), 6).as("novelty"))
+  }
 }

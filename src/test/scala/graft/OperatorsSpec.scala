@@ -1076,6 +1076,67 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!collapsed.contains(4L)) // singleton emits no row
   }
 
+  test("boilerplate lines: per-source df, share, threshold floor") {
+    val docs = Seq(
+      (1L, "s1", "alpha beta\nsubscribe now\nunique one"),
+      (2L, "s1", "gamma delta\nsubscribe now"),
+      (3L, "s1", "subscribe now\nsubscribe now"), // duplicate line in one doc: one vote
+      (4L, "s2", "subscribe now\nother text"),    // different source: separate count
+    ).toDF("doc_id", "source", "text")
+    val got = graft.operators.TextAnalysis
+      .boilerplateLines(docs, "doc_id", "text", "source", "\n", minDocs = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got === Map(("s1", "subscribe now") -> ((3L, 1.0))))
+  }
+
+  test("ngram novelty: reference grams seen, sub-shingle docs, zero-gram rows") {
+    val ref = Seq((2L, "the quick brown fox")).toDF("doc_id", "text")
+    val nw = Seq(
+      (1L, "the quick red fox"), // grams: the quick(seen), quick red, red fox
+      (3L, "word"),              // no bigrams -> 0/0
+      (5L, "the quick brown fox")) // all seen
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.ngramNovelty(nw, ref, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((3L, 2L, 0.666667)))
+    assert(got(3L) === ((0L, 0L, 0.0)))
+    assert(got(5L) === ((3L, 0L, 0.0)))
+  }
+
+  test("matryoshka stats: mass fraction, zero vector, prefix shorter than dims") {
+    import graft.operators.Quantization
+    val d = Seq(
+      (1L, Seq(3.0f, 4.0f, 0.0f, 0.0f)), // trunc@2 keeps all mass
+      (2L, Seq(0.0f, 0.0f, 3.0f, 4.0f)), // trunc@2 keeps none
+      (3L, Seq.empty[Float]),
+    ).toDF("id", "v")
+    val got = Quantization.matryoshkaStats(d, "id", "v", dims = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) === ((5.0, 5.0, 1.0)))
+    assert(got(2L) === ((5.0, 0.0, 0.0)))
+    assert(got(3L) === ((0.0, 0.0, 0.0)))
+  }
+
+  test("centroid outliers: anti-centroid vector flags; range search radius") {
+    import graft.operators.Similarity
+    // 3 aligned vectors + 1 negated: centroid points along (1,0), the
+    // negated vector's cosine is negative
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.1f)), (2L, Seq(1.0f, -0.1f)), (3L, Seq(1.0f, 0.0f)),
+      (9L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.centroidOutliers(vecs, "vec_id", "embedding", minCosine = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out === Map(1L -> false, 2L -> false, 3L -> false, 9L -> true))
+
+    val q = Seq((100L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val near = Similarity.rangeSearch(vecs, q, "vec_id", "embedding", minCosine = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(near === Set((100L, 1L), (100L, 2L), (100L, 3L)))
+  }
+
   test("hash sampling is deterministic, salted, and fraction-accurate") {
     val ids = (1L to 2000L).toDF("id")
     val s1 = Sampling.hashSample(ids, "id", 0.25).collect().map(_.getLong(0)).toSet
