@@ -126,7 +126,8 @@ object Bench {
     "r10" -> Seq(
       "text_boilerplate", "text_novelty", "embed_matryoshka",
       "embed_outliers", "ann_range", "stream_decontaminate",
-      "ice_rewrite_deletes", "mix_token_budget", "q_events_retention"),
+      "ice_rewrite_deletes", "mix_token_budget", "q_events_retention",
+      "ann_matryoshka", "embed_binary_search", "text_diversity"),
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup

@@ -686,6 +686,50 @@ object SparkEntry {
         .withColumn("epochs",
           round(col("alloc_tokens").cast(DoubleType) / col("tokens"), 6))
     }),
+    "ann_matryoshka" -> ((s, dir) => {
+      // two-stage MRL retrieval: the 16-dim PREFIX screens candidates
+      // (top-20, 4x less I/O and compute), the full vector reranks the
+      // survivors to top-5 — the production matryoshka read path
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 4).select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      val cand = Similarity.bruteForceTopK(
+          e.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding")),
+          q.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding")),
+          "vec_id", "embedding", 20)
+        .select(col("query_id"), col("neighbor_id"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      cand
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+          "neighbor_id")
+        .join(q.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          vectors.cosineSim(col("qv"), col("cv")).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+    "embed_binary_search" -> ((s, dir) => {
+      // sign-bit binary quantization + Hamming radius retrieval: one
+      // long per vector, xor+popcount per comparison — the 32x-cheaper
+      // first stage before exact rerank. Jittered queries preserve every
+      // sign, so each finds its original at Hamming 0.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 4).select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      Similarity.binaryHammingSearch(e, q, "vec_id", "embedding",
+        bits = 32, maxHamming = 2)
+    }),
+    "text_diversity" -> ((s, dir) => {
+      // lexical diversity per doc: type-token ratio + Simpson index —
+      // exact integer sums, no transcendentals (a log2-entropy variant
+      // measurably flipped on last-ulp engine disagreements)
+      TextAnalysis.lexicalDiversity(t(s, dir, "documents"), "doc_id", "text")
+    }),
     "q_events_retention" -> ((s, dir) => {
       // cohort retention matrix: users grouped by FIRST-seen day, distinct
       // users active at each day offset — two per-user hash aggregates +
@@ -4166,6 +4210,68 @@ object SparkEntry {
         |  CAST(floor(10000000 / n) AS BIGINT) AS alloc_tokens,
         |  round(floor(10000000 / n) / tokens, 6) AS epochs
         |FROM t CROSS JOIN tot""".stripMargin,
+    // prefix top-20 screen, full-vector top-5 rerank — both stages
+    // replayed; ranking-only cosine use (no raw doubles cross)
+    "ann_matryoshka" ->
+      """WITH q AS (
+        |  SELECT vec_id + 1000000 AS qid,
+        |    CAST(list_transform(embedding,
+        |      x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT)) AS DOUBLE[]) AS qv,
+        |    CAST(list_transform(embedding[1:16],
+        |      x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT)) AS DOUBLE[]) AS qp
+        |  FROM embeddings WHERE vec_id < 4),
+        |c AS (
+        |  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv,
+        |    CAST(embedding[1:16] AS DOUBLE[]) AS cp
+        |  FROM embeddings),
+        |cand AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT q.qid, c.nid,
+        |      ROW_NUMBER() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(q.qp, c.cp) DESC, c.nid) AS r
+        |    FROM q JOIN c ON q.qid <> c.nid) WHERE r <= 20)
+        |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+        |  SELECT cand.qid, cand.nid,
+        |    ROW_NUMBER() OVER (PARTITION BY cand.qid
+        |      ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, cand.nid) AS rank
+        |  FROM cand JOIN q USING (qid) JOIN c USING (nid)) WHERE rank <= 5""".stripMargin,
+    // identical sign tests + bit arithmetic (jitter preserves signs)
+    "embed_binary_search" ->
+      """WITH sig AS (
+        |  SELECT vec_id,
+        |    list_sum(list_transform(range(1, 33),
+        |      i -> CASE WHEN embedding[CAST(i AS INT)] > 0
+        |        THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS s
+        |  FROM embeddings),
+        |q AS (SELECT vec_id + 1000000 AS query_id, s FROM sig WHERE vec_id < 4)
+        |SELECT q.query_id, c.vec_id AS neighbor_id,
+        |  CAST(bit_count(xor(q.s, c.s)) AS BIGINT) AS hamming
+        |FROM q JOIN sig c ON q.query_id <> c.vec_id
+        |WHERE bit_count(xor(q.s, c.s)) <= 2""".stripMargin,
+    // same tokenization; exact integer sums, one final division
+    "text_diversity" ->
+      """WITH w AS (
+        |  SELECT doc_id, UNNEST(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    x -> length(x) > 0)) AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+        |p AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    COUNT(*) AS n_types,
+        |    CAST(SUM(c * c) AS BIGINT) AS c2
+        |  FROM c GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(n_tokens, 0) AS n_tokens,
+        |  coalesce(n_types, 0) AS n_types,
+        |  round(CAST(coalesce(n_types, 0) AS DOUBLE)
+        |    / greatest(coalesce(n_tokens, 0), 1), 6) AS ttr,
+        |  CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+        |    ELSE round(1.0 - CAST(c2 AS DOUBLE) / (n_tokens * n_tokens), 6)
+        |  END AS simpson
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN p USING (doc_id)""".stripMargin,
     // cohort = first-seen day; distinct active users per day offset
     "q_events_retention" ->
       """WITH e AS (

@@ -529,6 +529,45 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
   }
 
+  /** Sign-bit binarization: bit i of the signature is set when component
+    * i is positive — the 32x-compression retrieval path (a 64-dim float
+    * vector becomes one long; Hamming distance approximates angular
+    * distance). Engine-portable by construction: sign tests and bit
+    * shifts only, no hashing. `bits` <= 62 keeps the shift inside a
+    * signed long on every engine. */
+  def signBitSignature(vecCol: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62]: $bits")
+    aggregate(
+      transform(slice(vecCol, 1, bits), (x, i) =>
+        // the DataFrame-API shiftleft only takes a literal shift; the SQL
+        // function accepts the lambda index column
+        when(x > lit(0f), call_function("shiftleft", lit(1L), i))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Binary (sign-bit) Hamming retrieval: all corpus vectors within
+    * `maxHamming` of each query's signature. Signatures compute map-only,
+    * queries broadcast, and the scan touches one LONG per vector instead
+    * of the float array — the first-stage filter of a binary-quantized
+    * index (exact re-rank composes on the survivors). */
+  def binaryHammingSearch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bits: Int,
+      maxHamming: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      signBitSignature(col(vecCol), bits).as("_cs"))
+    val q = queries.select(col(idCol).as("query_id"),
+      signBitSignature(col(vecCol), bits).as("_qs"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        bit_count(col("_qs").bitwiseXOR(col("_cs"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Embedding-corpus OUTLIER scores: cosine of every vector against the
     * corpus centroid, flagged below `minCosine` — the embedding-space
     * quality gate (encoder failures, empty inputs, and off-distribution

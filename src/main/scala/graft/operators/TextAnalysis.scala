@@ -777,6 +777,39 @@ object TextAnalysis {
         round(col("line_docs").cast(DoubleType) / col("src_docs"), 6).as("doc_share"))
   }
 
+  /** Per-document LEXICAL DIVERSITY — the repeated-token degeneracy
+    * signal (the unigram complement of [[repetition]]'s n-gram view):
+    * type-token ratio and the Simpson diversity index
+    * `1 - Σc_i² / n²`. Chosen over Shannon entropy DELIBERATELY: both
+    * rank degenerate docs the same way, but Simpson is a ratio of exact
+    * INTEGER sums (no transcendentals), so every engine computes
+    * bit-identical results — a log-based entropy quantization was
+    * measured to flip on last-ulp log2 disagreements between engines.
+    * Two (doc, word)- and (doc)-keyed hash aggregates — narrow shuffles,
+    * map-side combined. */
+  def lexicalDiversity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = filter(split(lower(col(textCol)), "[^a-z0-9]+"), x => length(x) > 0)
+    val counts = df
+      .select(col(idCol).as("doc_id"), explode(words).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val perDoc = counts.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("_c2"))
+    df.select(col(idCol).as("doc_id")).distinct()
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        round(coalesce(col("n_types"), lit(0L)).cast(DoubleType) /
+          greatest(coalesce(col("n_tokens"), lit(0L)), lit(1L)), 6).as("ttr"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0L, lit(0.0d))
+          .otherwise(round(lit(1.0d) -
+            coalesce(col("_c2"), lit(0L)).cast(DoubleType) /
+              (col("n_tokens") * col("n_tokens")), 6))
+          .as("simpson"))
+  }
+
   /** N-gram NOVELTY against a reference corpus slice: per new document,
     * how many of its distinct word `n`-grams never occur in the
     * reference — the dedup-adjacent freshness signal (a "new" crawl

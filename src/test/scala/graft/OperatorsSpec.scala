@@ -1137,6 +1137,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(near === Set((100L, 1L), (100L, 2L), (100L, 3L)))
   }
 
+  test("sign-bit signature + Hamming search; lexical diversity exactness") {
+    import graft.operators.{Similarity, TextAnalysis}
+    val vecs = Seq(
+      (1L, Seq(1.0f, -1.0f, 0.5f, -0.5f)),  // bits 0,2 -> 0b0101 = 5
+      (2L, Seq(1.0f, 1.0f, 0.5f, -0.5f)),   // bits 0,1,2 -> 0b0111 = 7 (hamming 1 from 5)
+      (3L, Seq(-1.0f, 1.0f, -0.5f, 0.5f)),  // 0b1010 = 10 (hamming 4 from 5)
+      (4L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),    // zero vector -> signature 0
+    ).toDF("vec_id", "embedding")
+    val sig = vecs.select(col("vec_id"),
+        graft.operators.Similarity.signBitSignature(col("embedding"), 4).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig === Map(1L -> 5L, 2L -> 7L, 3L -> 10L, 4L -> 0L))
+    val q = Seq((100L, Seq(1.0f, -1.0f, 0.5f, -0.5f))).toDF("vec_id", "embedding")
+    val got = Similarity.binaryHammingSearch(vecs, q, "vec_id", "embedding",
+        bits = 4, maxHamming = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 0L), (2L, 1L))) // exact match + one-bit neighbor
+
+    val docs = Seq(
+      (1L, "a a a a"),           // 1 type / 4 tokens; simpson = 1 - 16/16 = 0
+      (2L, "a b c d"),           // 4 types; simpson = 1 - 4/16 = 0.75
+      (3L, ""),                  // empty
+    ).toDF("doc_id", "text")
+    val div = TextAnalysis.lexicalDiversity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(div(1L) === ((4L, 1L, 0.25, 0.0)))
+    assert(div(2L) === ((4L, 4L, 1.0, 0.75)))
+    assert(div(3L) === ((0L, 0L, 0.0, 0.0)))
+  }
+
   test("hash sampling is deterministic, salted, and fraction-accurate") {
     val ids = (1L to 2000L).toDF("id")
     val s1 = Sampling.hashSample(ids, "id", 0.25).collect().map(_.getLong(0)).toSet
