@@ -426,7 +426,15 @@ object Bench {
         // aggregates, and the two clustering rewrites (one range shuffle
         // each — file count, not data order, is the 10x variable)
         "stream_quality_gate", "q_events_funnel", "ice_sort_rewrite",
-        "ice_hilbert"))
+        "ice_hilbert",
+        // round-10 wave: boilerplate's (source, line) aggregate and
+        // novelty's gram joins scale with tokens; the embedding ops are
+        // map-only or broadcast-query scans; retention is two hash aggs;
+        // the rewrite/stream queries commit 10x rows through the table
+        "text_boilerplate", "text_novelty", "embed_matryoshka",
+        "embed_outliers", "ann_range", "stream_decontaminate",
+        "ice_rewrite_deletes", "mix_token_budget", "q_events_retention",
+        "ann_matryoshka", "embed_binary_search", "text_diversity"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

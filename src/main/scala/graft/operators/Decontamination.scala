@@ -16,6 +16,46 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
   * the n-gram set in a Bloom filter first and re-verify the survivors —
   * the join shape stays the same.
   */
+/** Codegen'd Bloom-filter membership probe: `true` iff the (non-null)
+  * string child MIGHT be in the sketch. The sketch is a plan-constant
+  * reference object (shipped once per task via the codegen reference
+  * table), so the probe stays inside whole-stage codegen — a Scala udf
+  * here would fence the surrounding operators out of codegen and
+  * serialize rows through the box/unbox boundary on the 100 TB side. */
+case class BloomMightContain(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bloom_might_contain"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    v != null && bloom.mightContainString(v.toString)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        boolean ${ev.value} = !${c.isNull} && $ref.mightContainString(${c.value}.toString());
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): BloomMightContain =
+    copy(child = c)
+}
+
 object Decontamination {
 
   /** Distinct word `n`-grams of `textC` (map-only; empty array when the
@@ -63,11 +103,13 @@ object Decontamination {
       .select(explode(wordNgrams(col(textCol), n)).as("ng")).distinct()
     val expected = math.max(bg.count(), 1L)
     val bloom = bg.stat.bloomFilter("ng", expected, fpp)
-    val bloomB = train.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((s: String) => s != null && bloomB.value.mightContainString(s))
+    // codegen'd probe expression (not a Scala udf): the filter stays
+    // inside whole-stage codegen, the sketch ships as a task reference
+    val mightContain = org.apache.spark.sql.GraftBridge.column(
+      BloomMightContain(org.apache.spark.sql.GraftBridge.expression(col("ng")), bloom))
     train
       .select(col(idCol).as("doc_id"), explode(wordNgrams(col(textCol), n)).as("ng"))
-      .filter(mightContain(col("ng")))
+      .filter(mightContain)
       .join(bg, Seq("ng"), "leftsemi")
       .select(col("doc_id")).distinct()
   }
