@@ -128,6 +128,9 @@ object Bench {
       "embed_outliers", "ann_range", "stream_decontaminate",
       "ice_rewrite_deletes", "mix_token_budget", "q_events_retention",
       "ann_matryoshka", "embed_binary_search", "text_diversity"),
+    "r10b" -> Seq(
+      "meta_orphan_files", "q_events_anomaly", "text_watermark",
+      "sample_kfold"),
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup
@@ -434,7 +437,11 @@ object Bench {
         "text_boilerplate", "text_novelty", "embed_matryoshka",
         "embed_outliers", "ann_range", "stream_decontaminate",
         "ice_rewrite_deletes", "mix_token_budget", "q_events_retention",
-        "ann_matryoshka", "embed_binary_search", "text_diversity"))
+        "ann_matryoshka", "embed_binary_search", "text_diversity",
+        // r10b: anomaly scales with event hours, watermark/kfold are
+        // map-only + one rollup, orphan sweep lists 10x data dirs
+        "meta_orphan_files", "q_events_anomaly", "text_watermark",
+        "sample_kfold"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

@@ -686,6 +686,82 @@ object SparkEntry {
         .withColumn("epochs",
           round(col("alloc_tokens").cast(DoubleType) / col("tokens"), 6))
     }),
+    "meta_orphan_files" -> ((s, dir) => {
+      // remove_orphan_files as a query surface: two planted unreferenced
+      // files under data/ are reclaimed (distributed listing + anti-join
+      // against the referenced set), committed data is untouched
+      val src = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val tbl = freshTable(s, "meta_orphan_files", src)
+      tbl.append(s, src)
+      // sweep write-time strays (e.g. _SUCCESS markers) first so the
+      // second pass counts EXACTLY the planted orphans
+      tbl.removeOrphanFilesCount(System.currentTimeMillis() + 60000L)
+      Seq("orphan-a.parquet" -> 300, "orphan-b.bin" -> 477).foreach {
+        case (name, size) =>
+          val out = new java.io.FileOutputStream(
+            s"${tbl.location.stripPrefix("file:")}/data/$name")
+          try out.write(new Array[Byte](size)) finally out.close()
+      }
+      val removed = tbl.removeOrphanFilesCount(System.currentTimeMillis() + 60000L)
+      tbl.scan(s).agg(count(lit(1)).as("table_rows"))
+        .withColumn("orphans_removed", lit(removed))
+    }),
+    "q_events_anomaly" -> ((s, dir) => {
+      // hourly spike detection: per event type, hours whose count exceeds
+      // 2x that type's exact MEDIAN hourly count (medians of integers are
+      // engine-exact — at most an average of two longs). One planted
+      // spike: the 2024-01-05 00:00 hour is counted 4x. Two hash
+      // aggregates + a broadcast per-type median join.
+      val e = t(s, dir, "events")
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      val spikeHour = lit("2024-01-05 00:00:00").cast(TimestampType)
+      val boost = e.filter(col("hour") === spikeHour)
+      val all = e.unionAll(boost).unionAll(boost).unionAll(boost)
+      val hourly = all.groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n_events"))
+      val med = hourly.groupBy("event_type")
+        .agg(median(col("n_events")).as("med"))
+      hourly.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("hour"), col("n_events"), col("med"),
+          (col("n_events").cast(DoubleType) > lit(2.0) * col("med")).as("is_spike"))
+    }),
+    "text_watermark" -> ((s, dir) => {
+      // canary-string contamination scan (the planted-watermark check
+      // run before any corpus ships): per source, docs carrying the
+      // canary GUID and total hits — map-only regexp counts + one rollup
+      val canary = "canary-guid-8f4e2a"
+      val seeded = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 62 === 0,
+          concat(col("text"), lit(s" $canary repeat $canary")))
+          .when(col("doc_id") % 31 === 0,
+            concat(col("text"), lit(s" $canary do not train")))
+          .otherwise(col("text")))
+      seeded
+        .select(col("source"),
+          regexp_count(col("text"), lit(canary)).as("_hits"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("_hits") > 0, 1L).otherwise(0L)).as("canary_docs"),
+          sum(col("_hits")).cast(LongType).as("canary_hits"))
+    }),
+    "sample_kfold" -> ((s, dir) => {
+      // k-fold assignment audit: the same salted md5 cut as sample_split
+      // over 5 equal folds; per fold — held-out size, training-side size
+      // and held-out token mass (the table a CV harness reads)
+      val folds = (0 until 5).map(i => s"f$i" -> 0.2)
+      val d = t(s, dir, "documents")
+        .withColumn("_tok", text.tokenCount(col("text")).cast(LongType))
+      val assigned = Sampling.splitAssign(d, "doc_id", folds)
+      val total = d.count()
+      assigned.groupBy(col("split").as("fold"))
+        .agg(count(lit(1)).as("test_docs"),
+          sum(col("_tok")).as("test_tokens"))
+        .select(col("fold"), col("test_docs"),
+          (lit(total) - col("test_docs")).as("train_docs"),
+          col("test_tokens"))
+    }),
     "ann_matryoshka" -> ((s, dir) => {
       // two-stage MRL retrieval: the 16-dim PREFIX screens candidates
       // (top-20, 4x less I/O and compute), the full vector reranks the
@@ -4210,6 +4286,66 @@ object SparkEntry {
         |  CAST(floor(10000000 / n) AS BIGINT) AS alloc_tokens,
         |  round(floor(10000000 / n) / tokens, 6) AS epochs
         |FROM t CROSS JOIN tot""".stripMargin,
+    // planted orphans reclaimed; the committed rows are untouched
+    "meta_orphan_files" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS table_rows,
+        |  CAST(2 AS BIGINT) AS orphans_removed
+        |FROM orders WHERE o_orderkey % 4 = 0""".stripMargin,
+    // exact integer hourly counts; median = avg of two longs at worst
+    "q_events_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour FROM events),
+        |allr AS (
+        |  SELECT * FROM e
+        |  UNION ALL SELECT * FROM e WHERE hour = TIMESTAMP '2024-01-05 00:00:00'
+        |  UNION ALL SELECT * FROM e WHERE hour = TIMESTAMP '2024-01-05 00:00:00'
+        |  UNION ALL SELECT * FROM e WHERE hour = TIMESTAMP '2024-01-05 00:00:00'),
+        |hourly AS (
+        |  SELECT event_type, hour, COUNT(*) AS n_events
+        |  FROM allr GROUP BY event_type, hour),
+        |med AS (
+        |  SELECT event_type, median(n_events) AS med
+        |  FROM hourly GROUP BY event_type)
+        |SELECT h.event_type, h.hour, h.n_events, m.med,
+        |  CAST(h.n_events AS DOUBLE) > 2.0 * m.med AS is_spike
+        |FROM hourly h JOIN med m USING (event_type)""".stripMargin,
+    // same planted canaries; regexp hit counts + one rollup
+    "text_watermark" ->
+      """WITH seeded AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 62 = 0
+        |        THEN text || ' canary-guid-8f4e2a repeat canary-guid-8f4e2a'
+        |      WHEN doc_id % 31 = 0
+        |        THEN text || ' canary-guid-8f4e2a do not train'
+        |      ELSE text END AS text
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS docs,
+        |  CAST(SUM(CASE WHEN len(regexp_extract_all(text, 'canary-guid-8f4e2a')) > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS canary_docs,
+        |  CAST(SUM(len(regexp_extract_all(text, 'canary-guid-8f4e2a'))) AS BIGINT)
+        |    AS canary_hits
+        |FROM seeded GROUP BY source""".stripMargin,
+    // the sample_split md5 cut over five equal folds
+    "sample_kfold" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok,
+        |    CASE
+        |      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |        printf('%04x', CAST(round(0.2 * 65536) AS BIGINT)) THEN 'f0'
+        |      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |        printf('%04x', CAST(round(0.4 * 65536) AS BIGINT)) THEN 'f1'
+        |      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |        printf('%04x', CAST(round(0.6 * 65536) AS BIGINT)) THEN 'f2'
+        |      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |        printf('%04x', CAST(round(0.8 * 65536) AS BIGINT)) THEN 'f3'
+        |      ELSE 'f4' END AS fold
+        |  FROM documents),
+        |tot AS (SELECT COUNT(*) AS n FROM a)
+        |SELECT fold, COUNT(*) AS test_docs,
+        |  CAST(n - COUNT(*) AS BIGINT) AS train_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS test_tokens
+        |FROM a CROSS JOIN tot GROUP BY fold, n""".stripMargin,
     // prefix top-20 screen, full-vector top-5 rerank — both stages
     // replayed; ranking-only cosine use (no raw doubles cross)
     "ann_matryoshka" ->
