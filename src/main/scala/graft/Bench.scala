@@ -130,7 +130,7 @@ object Bench {
       "ann_matryoshka", "embed_binary_search", "text_diversity"),
     "r10b" -> Seq(
       "meta_orphan_files", "q_events_anomaly", "text_watermark",
-      "sample_kfold"),
+      "sample_kfold", "sql_merge_evolution"),
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup

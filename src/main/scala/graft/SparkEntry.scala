@@ -686,6 +686,33 @@ object SparkEntry {
         .withColumn("epochs",
           round(col("alloc_tokens").cast(DoubleType) / col("tokens"), 6))
     }),
+    "sql_merge_evolution" -> ((s, dir) => {
+      // MERGE WITH SCHEMA EVOLUTION: the CDC source carries a column the
+      // target lacks (o_totalprice); the analyzer widens the target
+      // through the id-assigning AddColumn evolution path, matches
+      // update in place, non-matches insert — one merge-on-read snapshot
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-q/warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      s.sql("DROP TABLE IF EXISTS graft.db.mevo")
+      s.sql("CREATE TABLE graft.db.mevo (o_orderkey BIGINT, o_orderstatus STRING)")
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("mevo_base")
+      s.sql("INSERT INTO graft.db.mevo SELECT * FROM mevo_base")
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .createOrReplaceTempView("mevo_src")
+      s.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO graft.db.mevo t USING mevo_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql("SELECT o_orderkey, o_orderstatus, o_totalprice FROM graft.db.mevo")
+    }),
     "meta_orphan_files" -> ((s, dir) => {
       // remove_orphan_files as a query surface: two planted unreferenced
       // files under data/ are reclaimed (distributed listing + anti-join
@@ -4286,6 +4313,13 @@ object SparkEntry {
         |  CAST(floor(10000000 / n) AS BIGINT) AS alloc_tokens,
         |  round(floor(10000000 / n) / tokens, 6) AS epochs
         |FROM t CROSS JOIN tot""".stripMargin,
+    // the evolved target: %3 base rows (null o_totalprice unless also
+    // %2-matched), %2 source rows updated/inserted with the new column
+    "sql_merge_evolution" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 3 = 0 OR o_orderkey % 2 = 0""".stripMargin,
     // planted orphans reclaimed; the committed rows are untouched
     "meta_orphan_files" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS table_rows,

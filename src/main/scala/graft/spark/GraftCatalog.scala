@@ -906,7 +906,12 @@ class GraftV2Table(
       TableCapability.BATCH_WRITE,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE,
+      // `MERGE INTO ... WITH SCHEMA EVOLUTION`: the analyzer adds the
+      // source's new columns through alterTable (AddColumn — the same
+      // id-assigning evolution path as ALTER TABLE) before resolving the
+      // merge, so CDC sources can widen the target mid-stream
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // facade option: restrict the DATA side to a path subset (selective

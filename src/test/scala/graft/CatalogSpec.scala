@@ -260,6 +260,32 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM graft.db.rl").head().getLong(0) === 98)
   }
 
+  test("MERGE INTO ... WITH SCHEMA EVOLUTION adds the source's new columns") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("DROP TABLE IF EXISTS graft.db.mse")
+    spark.sql("CREATE TABLE graft.db.mse (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.mse VALUES (1, 'a'), (2, 'b')")
+    // the source carries an extra column the target lacks
+    Seq((2L, "b2", 7.5), (3L, "c", 9.0)).toDF("k", "v", "score")
+      .createOrReplaceTempView("mse_src")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft.db.mse t USING mse_src s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql("SELECT k, v, score FROM graft.db.mse ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, "a", null), (2L, "b2", 7.5), (3L, "c", 9.0)))
+    // the evolved column is REAL schema evolution: it has a field id and
+    // survives a reload through the table metadata
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val t = graft.tables.StorageCatalog.loadTable(
+      spark.sparkContext.hadoopConfiguration, s"$wh/db/mse")
+    val f = t.metadata.currentSchema.findField("score")
+    assert(f.isDefined && f.get.fieldType === graft.tables.IcePrim("double"))
+  }
+
   test("DELETE/UPDATE on an empty table are no-ops, not analysis errors") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql("DROP TABLE IF EXISTS graft.db.emptyt")
