@@ -130,7 +130,8 @@ object Bench {
       "ann_matryoshka", "embed_binary_search", "text_diversity"),
     "r10b" -> Seq(
       "meta_orphan_files", "q_events_anomaly", "text_watermark",
-      "sample_kfold", "sql_merge_evolution"),
+      "sample_kfold", "sql_merge_evolution", "q_events_paths",
+      "ice_ref_retention"),
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup
@@ -441,7 +442,7 @@ object Bench {
         // r10b: anomaly scales with event hours, watermark/kfold are
         // map-only + one rollup, orphan sweep lists 10x data dirs
         "meta_orphan_files", "q_events_anomaly", "text_watermark",
-        "sample_kfold"))
+        "sample_kfold", "sql_merge_evolution", "q_events_paths"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

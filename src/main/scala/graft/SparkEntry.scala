@@ -686,6 +686,46 @@ object SparkEntry {
         .withColumn("epochs",
           round(col("alloc_tokens").cast(DoubleType) / col("tokens"), 6))
     }),
+    "q_events_paths" -> ((s, dir) => {
+      // user-journey path analysis: each user's first three event types
+      // in time order (event_id tiebreak) joined into a path, counted
+      // across users — one per-user window bounded to 3 rows + one hash
+      // aggregate over short strings
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          row_number().over(w).as("_rn"))
+        .filter(col("_rn") <= 3)
+        .groupBy("user_id")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("_rn"), col("event_type")))),
+            e => e.getField("event_type")), ">").as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+    "ice_ref_retention" -> ((s, dir) => {
+      // ref retention policies on expiry: a tag with a tiny max-ref-age
+      // drops, a branch with a generous one survives, and main never
+      // expires — the refs view after expireSnapshots is the proof
+      val src = t(s, dir, "orders").select(col("o_orderkey")).limit(100)
+      val tbl = freshTable(s, "ice_ref_retention", src)
+      val t1 = tbl.append(s, src)
+      val snap1 = t1.metadata.currentSnapshotId.get
+      val t2 = t1
+        .createTag("old-tag", snap1, maxRefAgeMs = Some(1L)) // expires at once
+        .createBranch("audit", snap1, maxRefAgeMs = Some(365L * 86400000L))
+        .append(s, src.limit(10))
+      Thread.sleep(5)
+      val t3 = t2.expireSnapshots(
+        olderThanMs = System.currentTimeMillis() + 1000L, retainLast = 1)
+      val refs = t3.metadata.refs.keys.toSeq.sorted
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(
+        refs.map(org.apache.spark.sql.Row(_)).asJava,
+        StructType(Seq(StructField("ref_name", StringType))))
+    }),
     "sql_merge_evolution" -> ((s, dir) => {
       // MERGE WITH SCHEMA EVOLUTION: the CDC source carries a column the
       // target lacks (o_totalprice); the analyzer widens the target
@@ -4313,6 +4353,19 @@ object SparkEntry {
         |  CAST(floor(10000000 / n) AS BIGINT) AS alloc_tokens,
         |  round(floor(10000000 / n) / tokens, 6) AS epochs
         |FROM t CROSS JOIN tot""".stripMargin,
+    // first-3-event paths per user, counted across users
+    "q_events_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, COUNT(*) AS n_users FROM p GROUP BY path""".stripMargin,
+    // the aged-out tag drops, the fresh branch and main survive
+    "ice_ref_retention" ->
+      """SELECT 'audit' AS ref_name UNION ALL SELECT 'main'""".stripMargin,
     // the evolved target: %3 base rows (null o_totalprice unless also
     // %2-matched), %2 source rows updated/inserted with the new column
     "sql_merge_evolution" ->
