@@ -32,8 +32,12 @@ object RangeJoin {
     * degradation: more candidates per bucket, exact post-filter keeps
     * correctness) — and after `widenAttempts` it fails with instructions
     * rather than OOM the driver. */
-  private def tooManyLong(longSide: DataFrame, cap: Long): Boolean =
-    longSide.limit((cap + 1).toInt).count() > cap
+  private def tooManyLong(longSide: DataFrame, cap: Long): Boolean = {
+    // limit() takes an Int — clamp so a huge caller-supplied cap cannot
+    // overflow into a negative limit
+    val probe = math.min(cap + 1, Int.MaxValue.toLong).toInt
+    longSide.limit(probe).count() > cap
+  }
 
   /** Outlier-broadcast cap: spans per broadcast build side. ~100k rows of
     * (keys, start, end) is well under Spark's broadcast limits. */
