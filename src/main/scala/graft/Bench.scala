@@ -131,7 +131,7 @@ object Bench {
     "r10b" -> Seq(
       "meta_orphan_files", "q_events_anomaly", "text_watermark",
       "sample_kfold", "sql_merge_evolution", "q_events_paths",
-      "ice_ref_retention"),
+      "ice_ref_retention", "text_collocations", "dedup_shingle_profile"),
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup
@@ -442,7 +442,8 @@ object Bench {
         // r10b: anomaly scales with event hours, watermark/kfold are
         // map-only + one rollup, orphan sweep lists 10x data dirs
         "meta_orphan_files", "q_events_anomaly", "text_watermark",
-        "sample_kfold", "sql_merge_evolution", "q_events_paths"))
+        "sample_kfold", "sql_merge_evolution", "q_events_paths",
+        "text_collocations", "dedup_shingle_profile"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

@@ -574,18 +574,22 @@ object SparkEntry {
       // source gains that source's footer line — the report must surface
       // exactly those planted footers (plus any organically repeated
       // line) with per-source df and doc share
+      // tokens materialize ONCE per row ("_tk"): an index lambda over
+      // the raw split expression re-tokenizes the doc per line (O(len²))
       val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
         x => length(x) > 0)
-      val lined = t(s, dir, "documents").select(
-        col("doc_id"), col("source"),
-        concat(
-          array_join(
-            transform(
-              sequence(lit(0), floor((size(toks) - 1) / 8).cast(IntegerType)),
-              i => array_join(slice(toks, i * lit(8) + lit(1), lit(8)), " ")),
-            "\n"),
-          lit("\n"), concat(lit("subscribe to "), col("source"),
-            lit(" for daily updates"))).as("text"))
+      val lined = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), toks.as("_tk"))
+        .select(
+          col("doc_id"), col("source"),
+          concat(
+            array_join(
+              transform(
+                sequence(lit(0), floor((size(col("_tk")) - 1) / 8).cast(IntegerType)),
+                i => array_join(slice(col("_tk"), i * lit(8) + lit(1), lit(8)), " ")),
+              "\n"),
+            lit("\n"), concat(lit("subscribe to "), col("source"),
+              lit(" for daily updates"))).as("text"))
       TextAnalysis.boilerplateLines(lined, "doc_id", "text", "source",
         sep = "\n", minDocs = 10L)
     }),
@@ -685,6 +689,63 @@ object SparkEntry {
           floor(lit(budget) / col("n")).cast(LongType).as("alloc_tokens"))
         .withColumn("epochs",
           round(col("alloc_tokens").cast(DoubleType) / col("tokens"), 6))
+    }),
+    "text_collocations" -> ((s, dir) => {
+      // collocation mining: top-50 adjacent word pairs by LIFT
+      // `P(xy) / (P(x)P(y)) = c_xy * N / (c_x * c_y)` — exact long
+      // products cast to double (all < 2^53 at these counts, so the
+      // ranking is engine-exact; log-PMI would rank identically but
+      // compare transcendentals). Two token-keyed hash aggregates + one
+      // broadcast vocab join; the corpus never shuffles as documents.
+      // the token array MATERIALIZES once per row ("_w") — an index
+      // lambda over the raw split expression would re-tokenize the whole
+      // document PER ELEMENT (O(len²), measured 9 s vs <1 s at sf0.1)
+      val w = filter(split(lower(col("text")), "[^a-z0-9]+"), x => length(x) > 0)
+      val docsW = t(s, dir, "documents").select(w.as("_w"))
+      val toks = docsW.select(explode(col("_w")).as("tok"))
+      val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val nTotal = toks.count()
+      val bi = docsW
+        .select(explode(
+          when(size(col("_w")) >= 2,
+            transform(sequence(lit(0), size(col("_w")) - 2),
+              i => struct(
+                element_at(col("_w"), i + 1).as("x"),
+                element_at(col("_w"), i + 2).as("y"))))
+            .otherwise(array().cast("array<struct<x:string,y:string>>"))).as("p"))
+        .select(col("p.x"), col("p.y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+      bi
+        .join(broadcast(uni.select(col("tok").as("x"), col("c").as("c_x"))), "x")
+        .join(broadcast(uni.select(col("tok").as("y"), col("c").as("c_y"))), "y")
+        .select(
+          concat_ws(" ", col("x"), col("y")).as("bigram"),
+          col("c_xy"),
+          ((col("c_xy") * lit(nTotal)).cast(DoubleType) /
+            (col("c_x") * col("c_y")).cast(DoubleType)).as("_lift"))
+        .orderBy(col("_lift").desc, col("bigram"))
+        .limit(50)
+        .select(col("bigram"), col("c_xy"), round(col("_lift"), 6).as("lift"))
+    }),
+    "dedup_shingle_profile" -> ((s, dir) => {
+      // shingle document-frequency profile in log2 bands — the table
+      // read BEFORE choosing a dedup maxDf cap (how Zipfian is this
+      // corpus? how many grams would a df gate drop?). One (gram)-keyed
+      // aggregate over distinct (doc, gram) pairs + one bounded rollup.
+      val w = filter(split(lower(col("text")), "[^a-z0-9]+"), x => length(x) > 0)
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), w.as("_w")) // materialized once (see above)
+        .select(col("doc_id"), explode(
+          when(size(col("_w")) >= 2,
+            transform(sequence(lit(0), size(col("_w")) - 2),
+              i => concat_ws(" ",
+                element_at(col("_w"), i + 1), element_at(col("_w"), i + 2))))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+        .distinct()
+      grams.groupBy("gram").agg(count(lit(1)).as("df"))
+        .groupBy(floor(log2(col("df"))).cast(LongType).as("df_band"))
+        .agg(count(lit(1)).as("n_shingles"), max(col("df")).as("max_df"))
     }),
     "q_events_paths" -> ((s, dir) => {
       // user-journey path analysis: each user's first three event types
@@ -1728,13 +1789,15 @@ object SparkEntry {
       // stripped from every doc, which is re-assembled in line order
       val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
         x => length(x) > 0)
-      val lined = t(s, dir, "documents").select(
-        col("doc_id"),
-        array_join(
-          transform(
-            sequence(lit(0), floor((size(toks) - 1) / 8).cast(IntegerType)),
-            i => array_join(slice(toks, i * lit(8) + lit(1), lit(8)), " ")),
-          "\n").as("text"))
+      val lined = t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("_tk")) // materialized once
+        .select(
+          col("doc_id"),
+          array_join(
+            transform(
+              sequence(lit(0), floor((size(col("_tk")) - 1) / 8).cast(IntegerType)),
+              i => array_join(slice(col("_tk"), i * lit(8) + lit(1), lit(8)), " ")),
+            "\n").as("text"))
       TextAnalysis.lineDedup(lined, "doc_id", "text", "\n", minDocs = 2)
     }),
     "text_langmix" -> ((s, dir) => {
@@ -1776,15 +1839,17 @@ object SparkEntry {
       // (6 tokens per line), then each doc's own FIRST line is appended
       // again — every doc carries exactly one planted internal repeat
       // the cleaner must drop (plus any natural line repeats)
-      val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
-        x => length(x) > 0)
       val lines = transform(
-        sequence(lit(0), floor((size(toks) - 1) / 6).cast(IntegerType)),
-        i => array_join(slice(toks, i * lit(6) + lit(1), lit(6)), " "))
-      val lined = t(s, dir, "documents").select(
-        col("doc_id"),
-        concat_ws("\n", array_join(lines, "\n"), element_at(lines, 1))
-          .as("text"))
+        sequence(lit(0), floor((size(col("_tk")) - 1) / 6).cast(IntegerType)),
+        i => array_join(slice(col("_tk"), i * lit(6) + lit(1), lit(6)), " "))
+      val lined = t(s, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(lower(col("text")), "[^a-z0-9]+"),
+            x => length(x) > 0).as("_tk")) // materialized once
+        .select(
+          col("doc_id"),
+          concat_ws("\n", array_join(lines, "\n"), element_at(lines, 1))
+            .as("text"))
       TextAnalysis.derepeat(lined, "doc_id", "text")
     }),
     "text_chunks" -> ((s, dir) => {
@@ -4353,6 +4418,44 @@ object SparkEntry {
         |  CAST(floor(10000000 / n) AS BIGINT) AS alloc_tokens,
         |  round(floor(10000000 / n) / tokens, 6) AS epochs
         |FROM t CROSS JOIN tot""".stripMargin,
+    // exact long products rank the lift; top-50 by (lift desc, bigram)
+    "text_collocations" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    x -> length(x) > 0) AS w
+        |  FROM documents),
+        |toks AS (SELECT UNNEST(w) AS tok FROM w),
+        |uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS n FROM toks),
+        |bi AS (
+        |  SELECT gx AS x, gy AS y, COUNT(*) AS c_xy FROM (
+        |    SELECT w[CAST(i AS INT) + 1] AS gx, w[CAST(i AS INT) + 2] AS gy
+        |    FROM w, UNNEST(range(0, greatest(len(w) - 1, 0))) AS t(i))
+        |  GROUP BY gx, gy HAVING COUNT(*) >= 5)
+        |SELECT bigram, c_xy, round(lift, 6) AS lift FROM (
+        |  SELECT b.x || ' ' || b.y AS bigram, b.c_xy,
+        |    CAST(b.c_xy * n.n AS DOUBLE) / CAST(ux.c * uy.c AS DOUBLE) AS lift
+        |  FROM bi b
+        |  JOIN uni ux ON b.x = ux.tok
+        |  JOIN uni uy ON b.y = uy.tok
+        |  CROSS JOIN n)
+        |ORDER BY lift DESC, bigram LIMIT 50""".stripMargin,
+    // df bands of distinct (doc, gram) pairs; log2 of exact integers
+    "dedup_shingle_profile" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    x -> length(x) > 0) AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2] AS gram
+        |  FROM w, UNNEST(range(0, greatest(len(w) - 1, 0))) AS t(i)),
+        |df AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+        |SELECT CAST(floor(log2(df)) AS BIGINT) AS df_band,
+        |  COUNT(*) AS n_shingles, MAX(df) AS max_df
+        |FROM df GROUP BY df_band""".stripMargin,
     // first-3-event paths per user, counted across users
     "q_events_paths" ->
       """WITH r AS (

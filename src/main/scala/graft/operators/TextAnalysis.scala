@@ -828,13 +828,15 @@ object TextAnalysis {
       textCol: String,
       n: Int = 2): DataFrame = {
     def grams(df: DataFrame): DataFrame = {
+      // tokens materialize ONCE per row ("_w"): an index lambda over the
+      // raw split expression re-tokenizes the document PER GRAM (O(len²))
       val w = filter(split(lower(col(textCol)), "[^a-z0-9]+"), x => length(x) > 0)
-      df.select(col(idCol).as("doc_id"),
-          (size(w) - (n - 1)).as("_ng"),
+      df.select(col(idCol).as("doc_id"), w.as("_w"))
+        .select(col("doc_id"),
           explode(
-            when(size(w) >= n,
-              transform(sequence(lit(0), size(w) - n),
-                i => array_join(slice(w, i + 1, lit(n)), " ")))
+            when(size(col("_w")) >= n,
+              transform(sequence(lit(0), size(col("_w")) - n),
+                i => array_join(slice(col("_w"), i + 1, lit(n)), " ")))
               .otherwise(array().cast("array<string>"))).as("gram"))
         .select(col("doc_id"), col("gram")).distinct()
     }
