@@ -132,6 +132,92 @@ object Bench {
       "meta_orphan_files", "q_events_anomaly", "text_watermark",
       "sample_kfold", "sql_merge_evolution", "q_events_paths",
       "ice_ref_retention", "text_collocations", "dedup_shingle_profile"),
+    // round-11 additions accrue here
+    "r11" -> Seq(
+      "ann_index_update"),
+  )
+
+  /** Sanctioned per-query medians (seconds at sf0.1), mirrored from
+    * BASELINE.md so the bench is SELF-AUDITING: every run emits
+    * `cur/sanctioned` ratios and flags rows beyond 1.3x in
+    * BENCH_OUT.json, so single-run ambient anomalies are adjudicated
+    * in-round instead of at verdict time. EntrySpec asserts this map
+    * covers every benched query — a new bench row ships with its
+    * quiet-median baseline or not at all. */
+  val sanctioned: Map[String, Double] = Map(
+    // legacy (round-9 re-baseline)
+    "q1_pricing_summary" -> 0.546, "q3_shipping_priority" -> 1.078,
+    "q5_local_suppliers" -> 1.045, "q4_order_priority" -> 0.776,
+    "q10_returned_items" -> 0.946, "q12_shipmode" -> 0.517,
+    "q14_promo_share" -> 0.305, "q_top_customers" -> 0.383,
+    "pipeline_quality_filter" -> 0.374, "q_window_running" -> 0.161,
+    "q_events_sessions" -> 0.610, "q_events_hourly" -> 0.287,
+    "t_temporal_transforms" -> 0.161, "t_bucket_transforms" -> 0.196,
+    "dedup_exact" -> 0.254, "dedup_lsh_pairs" -> 0.785,
+    "dedup_simhash" -> 0.149, "ann_brute_force" -> 0.348,
+    "text_quality" -> 0.146, "text_langid" -> 0.138,
+    // ice
+    "ice_orc_table" -> 1.995, "ice_avro_table" -> 1.847,
+    "ice_row_lineage" -> 1.304, "ice_variant" -> 1.815,
+    "ice_merge_schema" -> 0.634, "ice_metrics_mode" -> 0.467,
+    "ice_manifest_merge" -> 1.940, "ice_timestamp_ns" -> 2.147,
+    "ice_object_storage" -> 0.334, "ice_hilbert" -> 1.424,
+    "ice_sort_rewrite" -> 1.003, "sql_branch_ident" -> 0.656,
+    // meta
+    "stats_ndv" -> 2.011, "meta_readable_metrics" -> 0.658,
+    "meta_compaction_plan" -> 1.960, "stream_dedup" -> 3.156,
+    "stream_quality_gate" -> 1.493, "q_events_range" -> 0.662,
+    "q_events_overlap" -> 0.968, "q_events_funnel" -> 0.518,
+    "q_skew_join" -> 0.419, "search_hybrid" -> 1.966,
+    "ann_recall" -> 0.653, "ann_hard_negatives" -> 0.319,
+    // dedup
+    "dedup_semantic" -> 3.333, "dedup_substrings" -> 0.312,
+    "dedup_winnow" -> 2.080, "dedup_softweight" -> 3.471,
+    "dedup_incremental" -> 0.613, "dedup_incremental_embed" -> 0.223,
+    "dedup_sweep" -> 0.630, "dedup_prefix" -> 0.472,
+    "dedup_stats" -> 2.849, "dedup_containment" -> 1.528,
+    "sample_split_leakfree" -> 3.170, "text_linededup" -> 0.189,
+    // texta
+    "text_bm25" -> 0.824, "text_dsir" -> 1.147,
+    "text_perplexity" -> 2.978, "text_nb_classify" -> 0.952,
+    "text_chunks" -> 0.224, "text_normalize" -> 0.153,
+    "text_html_extract" -> 0.166, "text_derep" -> 0.195,
+    "text_mojibake" -> 0.169, "text_langmix" -> 0.164,
+    "text_gopher" -> 0.203, "text_c4" -> 0.166,
+    // textb
+    "text_keywords" -> 1.421, "text_oov" -> 0.263,
+    "text_scripts" -> 0.233, "text_readability" -> 0.192,
+    "text_deciles" -> 0.689, "corpus_lengths" -> 0.353,
+    "corpus_stats" -> 0.428, "corpus_overlap" -> 0.474,
+    "corpus_source_quality" -> 0.285, "profile_columns" -> 0.773,
+    "profile_drift" -> 0.352, "cluster_affinity" -> 0.422,
+    // select
+    "select_budget" -> 1.183, "select_auc" -> 0.752,
+    "select_calibration" -> 1.110, "sample_stratified_k" -> 0.293,
+    "sample_epochs" -> 0.350, "sample_temperature" -> 0.308,
+    "sample_diverse" -> 0.768, "sample_weighted" -> 0.287,
+    "sample_split" -> 0.146, "mix_domain_weights" -> 0.213,
+    "decontaminate_bloom" -> 1.812, "decontaminate_report" -> 0.309,
+    // pipe
+    "pipeline_corpus" -> 1.558, "pipeline_curriculum" -> 2.383,
+    "pipeline_incremental" -> 1.359, "pipeline_webclean" -> 0.274,
+    "cluster_kmeans" -> 0.578, "embed_quantize" -> 0.154,
+    "embed_quantize_int4" -> 0.165, "ann_ivf_pq" -> 2.106,
+    "pack_concat" -> 0.675, "pack_balanced" -> 0.655,
+    "pack_efficiency" -> 0.301, "decontaminate_cut" -> 0.192,
+    // r10
+    "text_boilerplate" -> 2.077, "text_novelty" -> 0.627,
+    "embed_matryoshka" -> 0.305, "embed_outliers" -> 0.568,
+    "ann_range" -> 0.310, "stream_decontaminate" -> 1.392,
+    "ice_rewrite_deletes" -> 2.761, "mix_token_budget" -> 0.335,
+    "q_events_retention" -> 0.428, "ann_matryoshka" -> 0.575,
+    "embed_binary_search" -> 0.346, "text_diversity" -> 0.232,
+    // r10b
+    "meta_orphan_files" -> 1.131, "q_events_anomaly" -> 0.513,
+    "text_watermark" -> 0.214, "sample_kfold" -> 0.317,
+    "sql_merge_evolution" -> 1.333, "q_events_paths" -> 0.464,
+    "ice_ref_retention" -> 0.719, "text_collocations" -> 0.907,
+    "dedup_shingle_profile" -> 0.897,
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup
@@ -443,7 +529,10 @@ object Bench {
         // map-only + one rollup, orphan sweep lists 10x data dirs
         "meta_orphan_files", "q_events_anomaly", "text_watermark",
         "sample_kfold", "sql_merge_evolution", "q_events_paths",
-        "text_collocations", "dedup_shingle_profile"))
+        "text_collocations", "dedup_shingle_profile",
+        // r11: incremental IVF — the append must stay O(batch) at 10x
+        // (argmin is map-only; the drift aggregate is one dim-keyed pass)
+        "ann_index_update"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }
@@ -553,10 +642,44 @@ object Bench {
         s""","sf1_total":${f"${rs.map(_._2).sum}%.3f"},"sf1_queries":""" +
           rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
       }.getOrElse("")
+      // self-audit: cur/sanctioned per query, rows beyond 1.3x flagged —
+      // single-run ambient anomalies get adjudicated in-round, not at
+      // verdict time (re-measure flagged rows as quiet >=3-run medians
+      // before believing them; BASELINE.md documents 2x single-run spread)
+      val flagged = results.collect {
+        case (k, v) if sanctioned.get(k).exists(s => v > s * 1.3) =>
+          "\"" + k + "\":" + f"${v / sanctioned(k)}%.2f"
+      }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
         s""""legacy_total":${f"$legacyTotal%.3f"},"runs":$runs,"dml_timing":"op_only",""" +
         s""""jvm_per_group":${!noFork},"group_totals":$groupTotals,""" +
+        s""""flagged_over_1.3x":$flagged,""" +
         s""""queries":$qjson$sf1Json,"sf":"$sfDir"}"""
+    }
+
+    /** COMPACT summary for the driver's bounded stdout tail (~1.4 KB):
+      * rounds 9 and 10 both lost the full per-query line to tail
+      * truncation (`parsed: null`), so the LAST stdout line is now a few
+      * hundred bytes — group totals + the legacy headline queries — and
+      * the per-query detail lives only in BENCH_OUT.json. */
+    def renderCompact(byGroup: Seq[(String, Seq[(String, Double)])]): String = {
+      val results = byGroup.filterNot(_._1 == "sf1").flatMap(_._2)
+      val total = results.map(_._2).sum
+      val legacyRows = byGroup.find(_._1 == "legacy").map(_._2).getOrElse(Nil)
+      val legacyTotal = legacyRows.map(_._2).sum
+      val groupTotals = byGroup.filterNot(_._1 == "sf1")
+        .map { case (g, rs) => "\"" + g + "\":" + f"${rs.map(_._2).sum}%.2f" }
+        .mkString("{", ",", "}")
+      val qjson = legacyRows.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val nFlagged = results.count { case (k, v) =>
+        sanctioned.get(k).exists(s => v > s * 1.3)
+      }
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+        s""""legacy_total":${f"$legacyTotal%.3f"},"runs":$runs,""" +
+        s""""jvm_per_group":${!noFork},"group_totals":$groupTotals,""" +
+        s""""flagged_over_1.3x":$nFlagged,"detail":"BENCH_OUT.json",""" +
+        s""""queries":$qjson,"sf":"$sfDir"}"""
     }
     def writeOut(line: String): Unit =
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_OUT.json"), line + "\n")
@@ -571,13 +694,15 @@ object Bench {
       writeOut(render(byGroup.toSeq)) // partial results survive a kill
     }
     val line = render(byGroup.toSeq)
-    // print the line TWICE with a flush: if the driver's stdout capture
-    // truncates the tail (round-9 failure mode), the earlier copy parses
+    writeOut(line) // full per-query detail — canonical artifact
+    // the full line first (greppable when the capture is unbounded), then
+    // the COMPACT line LAST: the driver keeps only ~1.4 KB of stdout tail
+    // (rounds 9+10 both truncated the >4 KB full line mid-JSON), and a
+    // few-hundred-byte final line always survives that budget
     println(line)
     System.out.flush()
-    println(line)
+    println(renderCompact(byGroup.toSeq))
     System.out.flush()
-    writeOut(line)
     // stop the in-process session iff one was created (nofork / fallback)
     try SparkSession.getActiveSession.foreach(_.stop()) catch { case _: Throwable => }
   }

@@ -704,7 +704,12 @@ object SparkEntry {
       val docsW = t(s, dir, "documents").select(w.as("_w"))
       val toks = docsW.select(explode(col("_w")).as("tok"))
       val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-      val nTotal = toks.count()
+      // corpus token total derived IN-PLAN from the unigram aggregate
+      // (sum of its counts) instead of a second `toks.count()` action —
+      // at 100 TB that action was a full extra corpus read+tokenize;
+      // Catalyst's ReuseExchange shares the one unigram shuffle between
+      // the x-join, the y-join and this 1-row total
+      val nTotal = uni.agg(sum(col("c")).cast(LongType).as("n_total"))
       val bi = docsW
         .select(explode(
           when(size(col("_w")) >= 2,
@@ -719,10 +724,11 @@ object SparkEntry {
       bi
         .join(broadcast(uni.select(col("tok").as("x"), col("c").as("c_x"))), "x")
         .join(broadcast(uni.select(col("tok").as("y"), col("c").as("c_y"))), "y")
+        .crossJoin(broadcast(nTotal))
         .select(
           concat_ws(" ", col("x"), col("y")).as("bigram"),
           col("c_xy"),
-          ((col("c_xy") * lit(nTotal)).cast(DoubleType) /
+          ((col("c_xy") * col("n_total")).cast(DoubleType) /
             (col("c_x") * col("c_y")).cast(DoubleType)).as("_lift"))
         .orderBy(col("_lift").desc, col("bigram"))
         .limit(50)
@@ -882,12 +888,17 @@ object SparkEntry {
       val d = t(s, dir, "documents")
         .withColumn("_tok", text.tokenCount(col("text")).cast(LongType))
       val assigned = Sampling.splitAssign(d, "doc_id", folds)
-      val total = d.count()
+      // corpus doc total derived from the 5-row fold aggregate itself
+      // (window over the aggregate, not a second `d.count()` action —
+      // that action re-read + re-tokenized the whole corpus for one
+      // scalar); the global window runs over exactly 5 rows
+      val wAll = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
       assigned.groupBy(col("split").as("fold"))
         .agg(count(lit(1)).as("test_docs"),
           sum(col("_tok")).as("test_tokens"))
         .select(col("fold"), col("test_docs"),
-          (lit(total) - col("test_docs")).as("train_docs"),
+          (sum(col("test_docs")).over(wAll) - col("test_docs")).as("train_docs"),
           col("test_tokens"))
     }),
     "ann_matryoshka" -> ((s, dir) => {
@@ -1605,6 +1616,28 @@ object SparkEntry {
       val loc = java.nio.file.Files
         .createTempDirectory("graft-ivf-index").toUri.toString.stripSuffix("/")
       Similarity.buildIvfIndex(e, "vec_id", "embedding", loc)
+      val queries = e.filter(col("vec_id") < 4).select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      Similarity.ivfIndexTopK(s, loc, queries, "vec_id", "embedding", 5)
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+    "ann_index_update" -> ((s, dir) => {
+      // INCREMENTAL IVF maintenance: build the index over the even half
+      // of the corpus (generation 1), append the odd half as a new crawl
+      // batch — O(batch): argmin against the EXISTING centroids + one
+      // identity-partitioned append, no re-training — then probe with
+      // jittered copies of vectors from BOTH generations: the planted
+      // source must rank first whichever generation carries it. The
+      // batch passes the drift gate (same corpus distribution).
+      val e = t(s, dir, "embeddings")
+      val loc = java.nio.file.Files
+        .createTempDirectory("graft-ivf-update").toUri.toString.stripSuffix("/")
+      Similarity.buildIvfIndex(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", loc)
+      Similarity.addToIvfIndex(
+        s, loc, e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
       val queries = e.filter(col("vec_id") < 4).select(
         (col("vec_id") + lit(1000000L)).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
@@ -5227,6 +5260,11 @@ object SparkEntry {
       """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id, 1 AS rank
         |FROM embeddings WHERE vec_id < 4""".stripMargin,
     "ann_ivf_index" ->
+      """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id, 1 AS rank
+        |FROM embeddings WHERE vec_id < 4""".stripMargin,
+    // planted sources 0,2 live in the built generation and 1,3 in the
+    // appended batch — the probe must find all four at rank 1
+    "ann_index_update" ->
       """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id, 1 AS rank
         |FROM embeddings WHERE vec_id < 4""".stripMargin,
     "dedup_embedding" ->

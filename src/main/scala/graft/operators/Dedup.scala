@@ -641,13 +641,19 @@ object Dedup {
     * set), LSH + pointer-jumping run over one REPRESENTATIVE per group,
     * and the component labels expand back over group members.
     *
-    * Semantics-preserving by construction: Jaccard depends only on the
-    * shingle set, so same-set documents have identical neighbors and
-    * pairwise similarity 1 (>= any threshold) when the set is non-empty;
-    * empty-set documents (texts under `shingleSize` words) pair with
-    * nothing, exactly like the uncollapsed path. Labels stay the min doc
-    * id of the cluster: each group's representative is its min id, and
-    * the rep-graph min equals the full-cluster min.
+    * Semantics-preserving by construction — with one equal-or-better
+    * asymmetry: Jaccard depends only on the shingle set, so same-set
+    * documents have identical neighbors and pairwise similarity 1
+    * (>= any threshold) when the set is non-empty; empty-set documents
+    * (texts under `shingleSize` words) pair with nothing, exactly like
+    * the uncollapsed path. Labels stay the min doc id of the cluster:
+    * each group's representative is its min id, and the rep-graph min
+    * equals the full-cluster min. The asymmetry: a band bucket holding
+    * more than `maxBucket` exact copies is DROPPED (all its pairs lost)
+    * in the uncollapsed path but survives as one row after collapse, so
+    * on copy-heavy corpora the collapsed labels can RESCUE pairs the
+    * cap would have discarded — outputs are equal or better recall,
+    * never worse.
     *
     * The 100 TB lever: real corpora are DOMINATED by exact duplicates
     * (boilerplate, mirrors, re-crawls). A bucket holding m copies of one
@@ -686,12 +692,21 @@ object Dedup {
     // expansion: members inherit their rep's component; an exact-dup
     // group with no fuzzy neighbors is its own cluster labeled by its
     // rep (= min id); empty-set docs and unpaired singletons emit no row
+    // materialize via persist(DISK_ONLY) + eager count, NOT
+    // localCheckpoint: persist RETAINS the lineage, so on a real cluster
+    // an executor lost mid-query recomputes its missing label blocks
+    // instead of failing the job (localCheckpoint truncates lineage into
+    // non-reliable executor storage — a single executor loss at 100 TB
+    // would force a whole-query rerun). The labels frame is one row per
+    // clustered doc — far smaller than the corpus — so disk-only blocks
+    // are cheap; the eager count pins them before `keyed` unpersists.
     val out = members.filter(col("_nonempty"))
       .join(repComps, Seq("_rep"), "left")
       .filter(col("component").isNotNull || col("_gsize") > 1)
       .select(col("doc_id"),
         coalesce(col("component"), col("_rep")).as("component"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    out.count()
     keyed.unpersist()
     out
   }

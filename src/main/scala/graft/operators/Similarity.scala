@@ -272,6 +272,106 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Incrementally maintain a [[buildIvfIndex]] index: assign a new batch
+    * to the EXISTING cells (per-row argmin over the literal centroid
+    * table — map-only, no shuffle, no re-training) and APPEND it to the
+    * identity-partitioned assignments table. O(batch) per crawl — the
+    * same maintenance shape as the incremental dedup index — where a
+    * rebuild is O(corpus); at 100 TB that is the difference between
+    * indexing tonight's crawl and re-clustering the archive.
+    *
+    * Drift gate (the [[Profiling.embeddingDrift]] quantized-mean signal):
+    * the batch's per-dimension quantized means (one bounded dim-keyed
+    * aggregate; collect is one row per dim) are compared against the
+    * index's reference means — the cell-size-weighted centroid means,
+    * where cell sizes come from MANIFEST METADATA only (no data read).
+    * If more than `maxDriftDims` dimensions moved >= `driftQuanta`
+    * quanta, the append REFUSES with IllegalStateException: the stored
+    * centroids no longer describe the incoming distribution, and the fix
+    * is a re-center (rebuild), not more appends into wrong cells.
+    *
+    * The probe path needs no change: [[ivfIndexTopK]] ranks cells by the
+    * same euclidean metric the argmin uses, so an appended vector is
+    * found in exactly the cell its queries probe first. */
+  def addToIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      location: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      driftQuanta: Long = 128,
+      maxDriftDims: Int = 0,
+      scale: Int = 1024): Unit = {
+    require((scale & (scale - 1)) == 0, s"scale must be a power of two: $scale")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cents: Array[(Int, Array[Double])] = graft.tables.StorageCatalog
+      .loadTable(conf, s"$location/centroids").scan(spark)
+      .select(col("cell"), col("centroid"))
+      .collect() // bounded: one row per cell
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, s"no centroids at $location/centroids")
+    val dim = cents.head._2.length
+    val aTbl = graft.tables.StorageCatalog.loadTable(conf, s"$location/assignments")
+
+    // ---- drift gate ----
+    val cellSizes: Map[Int, Long] = aTbl.metadata.currentSnapshot match {
+      case Some(snap) => aTbl.planFiles(snap)
+        .filter(_.file.content == 0)
+        .groupBy(_.file.partition.headOption.flatten
+          .map(_.asInstanceOf[Number].intValue).getOrElse(-1))
+        .map { case (c, fs) => c -> fs.map(_.file.recordCount).sum }
+      case None => Map.empty
+    }
+    val total = cellSizes.values.sum
+    if (total > 0) {
+      val refQ: Array[Long] = Array.tabulate(dim) { d =>
+        val m = cents.map { case (c, v) =>
+          cellSizes.getOrElse(c, 0L).toDouble * v(d)
+        }.sum / total
+        math.floor(m * scale).toLong
+      }
+      val bq = batch.select(
+          posexplode(transform(unitNorm(col(vecCol)), x =>
+            floor(x.cast("double") * lit(scale)).cast("long")))
+            .as(Seq("dim", "v")))
+        .groupBy("dim").agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .orderBy("dim").collect() // bounded: one row per dim
+      val drifted = bq.filter { r =>
+        val d = r.getInt(0)
+        val mean = math.floor(r.getLong(1).toDouble / r.getLong(2)).toLong
+        d < dim && math.abs(mean - refQ(d)) >= driftQuanta
+      }.map(_.getInt(0))
+      if (drifted.length > maxDriftDims) throw new IllegalStateException(
+        s"IVF index at $location refuses batch: ${drifted.length} dims " +
+          s"drifted >= $driftQuanta quanta (dims ${drifted.take(8).mkString(",")}" +
+          s"${if (drifted.length > 8) ",…" else ""}) — re-center the index " +
+          "with buildIvfIndex instead of appending into stale cells")
+    }
+
+    // ---- assignment: per-row argmin over the literal centroid table ----
+    val centLit = array(cents.map { case (cell, cv) =>
+      struct(lit(cell).as("cell"), array(cv.map(lit): _*).as("centroid"))
+    }: _*)
+    val nq = unitNorm(col(vecCol))
+    // fold keeps the strictly-smaller d2, so ties keep the earlier
+    // (lower-numbered) cell — the same order the probe's (d2, cell)
+    // ranking uses
+    val best = aggregate(
+      centLit,
+      struct(lit(-1).as("cell"), lit(Double.MaxValue).as("d2")),
+      (acc, c) => {
+        val d2 = aggregate(zip_with(nq, c.getField("centroid"),
+          (a, b) => (a - b) * (a - b)), lit(0.0d), (s, x) => s + x)
+        when(d2 < acc.getField("d2"),
+          struct(c.getField("cell").as("cell"), d2.as("d2"))).otherwise(acc)
+      })
+    val assigned = batch.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
+      best.getField("cell").as("cell"))
+    aTbl.append(spark, assigned)
+  }
+
   /** Plain Lloyd's k-means over a driver-resident sample (seeded shuffle
     * init, fixed iterations, empty clusters keep their centroid) —
     * deterministic for a fixed seed and sample, which is what makes the
@@ -596,11 +696,20 @@ object Similarity {
       .groupBy("dim").agg(sum("v").as("s"))
       .orderBy("dim").collect().map(_.getLong(1)) // bounded: one row per dim
     val cArr = array(sums.map(lit): _*)
+    // overflow-safe beyond ~3M vectors: each centroid sum s grows with n,
+    // so s*s (and the dot-product accumulation against it) exceeds
+    // Long.MaxValue around n*scale > 2^31.5 — ss is summed exactly in
+    // BigInt on the driver, the in-plan dot accumulates in DECIMAL(38,0)
+    // (exact; the per-element product a*b stays in Long, safe to
+    // n ~ 2^43 vectors since |a| <= scale). qq sums dim*scale^2 <= 2^26
+    // regardless of corpus size, so Long suffices there.
+    val decZero = lit(java.math.BigDecimal.ZERO)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))
     val dot = aggregate(zip_with(col("e"), cArr, (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x).cast("double")
+      decZero, (acc, x) => acc + x).cast("double")
     val qq = aggregate(transform(col("e"), a => a * a),
       lit(0L), (acc, x) => acc + x).cast("double")
-    val ss = lit(sums.map(s => s * s).sum).cast("double")
+    val ss = lit(sums.map(s => BigInt(s) * BigInt(s)).sum.toDouble)
     q.select(col("vec_id"),
         when(qq === 0d || ss === 0d, lit(0d))
           .otherwise(dot / (sqrt(qq) * sqrt(ss))).as("_cos"))

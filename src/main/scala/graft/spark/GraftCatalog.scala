@@ -661,8 +661,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val out = fs.create(tmp, true)
       try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      fs.delete(p, false)
-      if (!fs.rename(tmp, p)) { fs.delete(tmp, false); sys.error(s"rename $tmp -> $p failed") }
+      // OVERWRITE-rename, not delete-then-rename: a concurrent reader
+      // must never observe the props file missing (= empty props), and a
+      // failed rename must keep the OLD state rather than lose it
+      try {
+        org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+          .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: UnsupportedOperationException =>
+          // filesystems without FileContext: shrink the window to the
+          // minimum and restore visibility on failure by keeping tmp
+          fs.delete(p, false)
+          if (!fs.rename(tmp, p)) sys.error(s"rename $tmp -> $p failed")
+        case e: Throwable =>
+          fs.delete(tmp, false); throw e
+      }
     }
   }
 

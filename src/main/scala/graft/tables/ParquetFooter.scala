@@ -70,30 +70,54 @@ object ParquetFooter {
       bos.toByteArray
     }
 
-    // locate the old footer: ... [footer bytes] [len LE 4B] [PAR1]
+    // locate the old footer: ... [footer bytes] [len LE 4B] [PAR1] —
+    // verify the trailing magic and that the length lands inside the
+    // file BEFORE rewriting anything (a bogus tail must fail loudly,
+    // not seed a corrupting in-place write)
     val oldLen = {
       val in = fs.open(hp)
       try {
         in.seek(fileLen - 8)
-        val b = new Array[Byte](4)
+        val b = new Array[Byte](8)
         in.readFully(b)
+        require(b(4) == Magic(0) && b(5) == Magic(1) &&
+          b(6) == Magic(2) && b(7) == Magic(3),
+          s"$path does not end in PAR1 — refusing to stamp")
         ((b(0) & 0xff)) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24)
       } finally in.close()
     }
     val footerStart = fileLen - 8 - oldLen
+    require(oldLen > 0 && footerStart >= Magic.length,
+      s"corrupt parquet footer length $oldLen in $path — refusing to stamp")
     val lenLe = Array[Byte](
       (bytes.length & 0xff).toByte, ((bytes.length >> 8) & 0xff).toByte,
       ((bytes.length >> 16) & 0xff).toByte, ((bytes.length >> 24) & 0xff).toByte)
 
     val local = Option(hp.toUri.getScheme).forall(s => s == "file" || s.isEmpty)
     if (local) {
-      // in-place tail swap: data pages untouched
-      val raf = new java.io.RandomAccessFile(hp.toUri.getPath, "rw")
+      // crash-atomic tail swap: copy the data region + new tail to a
+      // sibling temp file, then ATOMIC_MOVE over the original — a kill
+      // mid-stamp leaves the original file intact (the old in-place
+      // RandomAccessFile write could truncate/corrupt it). Costs one
+      // sequential re-copy of a file we just wrote (page cache warm).
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val src = Paths.get(hp.toUri.getPath)
+      val tmp = src.resolveSibling(s".${hp.getName}.nsstamp.tmp")
+      val inCh = java.nio.channels.FileChannel.open(src)
+      val outCh = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+        java.nio.file.StandardOpenOption.WRITE)
       try {
-        raf.seek(footerStart)
-        raf.write(bytes); raf.write(lenLe); raf.write(Magic)
-        raf.setLength(footerStart + bytes.length + 8)
-      } finally raf.close()
+        var pos = 0L
+        while (pos < footerStart)
+          pos += inCh.transferTo(pos, footerStart - pos, outCh)
+        outCh.write(java.nio.ByteBuffer.wrap(bytes))
+        outCh.write(java.nio.ByteBuffer.wrap(lenLe))
+        outCh.write(java.nio.ByteBuffer.wrap(Magic))
+      } finally { inCh.close(); outCh.close() }
+      Files.move(tmp, src,
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     } else {
       // generic filesystems: stream-copy the data region, new tail, rename
       val tmp = new Path(hp.getParent, s".${hp.getName}.nsstamp.tmp")
@@ -110,8 +134,18 @@ object ParquetFooter {
         }
         out.write(bytes); out.write(lenLe); out.write(Magic)
       } finally { in.close(); out.close() }
-      fs.delete(hp, false)
-      require(fs.rename(tmp, hp), s"rename $tmp -> $hp failed")
+      // overwrite-rename where the filesystem supports it (no window in
+      // which the data file does not exist); fall back to delete+rename —
+      // safe here because stamping happens pre-commit, so a lost file
+      // fails the (retryable) write job rather than the table
+      try {
+        org.apache.hadoop.fs.FileContext.getFileContext(hp.toUri, conf)
+          .rename(tmp, hp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: UnsupportedOperationException =>
+          fs.delete(hp, false)
+          require(fs.rename(tmp, hp), s"rename $tmp -> $hp failed")
+      }
     }
   }
 

@@ -596,10 +596,20 @@ object TableWrite {
     // v3 ns timestamps: restamp the parquet footers with TIMESTAMP(NANOS)
     // so cross-engine readers see the real type, not a bare int64 (the
     // Spark writer has no ns type — the columns ride LongType carriers)
-    val nsFields: Map[String, Boolean] = (schema.fields ++ lineageFields).collect {
-      case f if f.fieldType == IcePrim("timestamp_ns") => f.name -> false
-      case f if f.fieldType == IcePrim("timestamptz_ns") => f.name -> true
-    }.toMap
+    // ns columns nested inside structs stamp too: names dot-join down the
+    // struct path, matching ParquetFooter.restamp's prefix convention
+    // (list/map-nested ns carriers stay bare int64 — no dot-path analog)
+    def collectNs(fields: Seq[IceField], prefix: String): Seq[(String, Boolean)] =
+      fields.flatMap { f =>
+        f.fieldType match {
+          case IcePrim("timestamp_ns") => Seq((prefix + f.name) -> false)
+          case IcePrim("timestamptz_ns") => Seq((prefix + f.name) -> true)
+          case IceStruct(nested) => collectNs(nested, s"$prefix${f.name}.")
+          case _ => Nil
+        }
+      }
+    val nsFields: Map[String, Boolean] =
+      collectNs(schema.fields ++ lineageFields, "").toMap
     def listOut(): Seq[String] = {
       val paths = listDataFiles(table.conf, outDir, s".$fmt")
       if (fmt == "parquet" && nsFields.nonEmpty)

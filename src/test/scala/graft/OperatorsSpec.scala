@@ -351,6 +351,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cents.count() === 8)
   }
 
+  test("incremental IVF: append finds both generations; drift gate refuses a shifted batch") {
+    val rnd = new scala.util.Random(11)
+    val gen1 = (1L to 200L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding").repartition(8)
+    val gen2 = (201L to 400L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding").repartition(8)
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-ivf-incr").toUri.toString.stripSuffix("/")
+    Similarity.buildIvfIndex(gen1, "vec_id", "embedding", loc, numCells = 8)
+    Similarity.addToIvfIndex(spark, loc, gen2, "vec_id", "embedding")
+
+    // probes planted from BOTH generations rank their source first
+    val both = gen1.filter($"vec_id" <= 2)
+      .unionByName(gen2.filter($"vec_id".isin(201L, 202L)))
+    val queries = both.select(($"vec_id" + 1000L).as("vec_id"),
+      transform($"embedding", x => x * lit(1.001f)).as("embedding"))
+    val top1 = Similarity.ivfIndexTopK(spark, loc, queries, "vec_id", "embedding", 3)
+      .filter($"rank" === 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(top1 === Map(1001L -> 1L, 1002L -> 2L, 1201L -> 201L, 1202L -> 202L))
+
+    // the append landed in the existing identity partitions — still
+    // file-prunable, and the assignments row count covers both batches
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tbl = graft.tables.StorageCatalog.loadTable(conf, s"$loc/assignments")
+    assert(tbl.scan(spark).count() === 400L)
+
+    // a distribution-shifted batch (all-positive offset moves every
+    // unit-norm dimension) must REFUSE, not append into stale cells
+    val shifted = (401L to 500L)
+      .map(i => (i, Array.fill(16)(rnd.nextFloat() * 0.05f + 1.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalStateException] {
+      Similarity.addToIvfIndex(spark, loc, shifted, "vec_id", "embedding")
+    }
+    assert(ex.getMessage.contains("drift"))
+    val reloaded = graft.tables.StorageCatalog.loadTable(conf, s"$loc/assignments")
+    assert(reloaded.scan(spark).count() === 400L, "refused batch left no rows")
+  }
+
   test("langid identifies real multilingual samples") {
     val samples = Seq(
       (1L, "the cat is on the mat and it is not happy about that"),

@@ -14,7 +14,8 @@ import graft.tables._
   * partition-transform family over the full 11-type column set, insert
   * through SQL, scan back exactly, and partition bookkeeping consistent
   * with the files' manifest tuples. */
-class ReferenceScenarioSpec extends AnyFunSuite {
+class ReferenceScenarioSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
 
   lazy val spark = {
     val s = TestSpark.spark
@@ -22,6 +23,27 @@ class ReferenceScenarioSpec extends AnyFunSuite {
     s.conf.set("spark.sql.catalog.gref", "graft.spark.GraftCatalog")
     s.conf.set("spark.sql.catalog.gref.warehouse", wh)
     s
+  }
+
+  // the reference runs every TOML case against BOTH catalog backends
+  // (insert_tests_v2.rs:275-300 — storage and REST); the REST catalog
+  // here is a real socket server backed by its own warehouse
+  private var restStarted = false
+  private lazy val restEnv: (String, String) = {
+    val uri = restServer.start()
+    val cat = "grefrest"
+    val wh = Files.createTempDirectory("graft-refsc-rest").toFile.getAbsolutePath
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.conf.set(s"spark.sql.catalog.$cat.uri", uri)
+    restStarted = true
+    (cat, uri)
+  }
+  private lazy val restServer = new RestCatalog.Server()
+
+  override def afterAll(): Unit = {
+    if (restStarted) restServer.stop()
+    super.afterAll()
   }
 
   private val tomlDir = "/root/reference/testdata/toml"
@@ -207,11 +229,16 @@ class ReferenceScenarioSpec extends AnyFunSuite {
   private def scenarios = new java.io.File(tomlDir).listFiles()
     .filter(_.getName.endsWith(".toml")).map(_.getName).sorted
 
-  for (name <- scenarios) test(s"reference scenario $name replays natively") {
+  for (backend <- Seq("storage", "rest"); name <- scenarios)
+      test(s"reference scenario $name replays natively ($backend)") {
+    val cat = backend match {
+      case "storage" => "gref"
+      case "rest" => restEnv._1
+    }
     val text = new String(Files.readAllBytes(Paths.get(s"$tomlDir/$name")), "UTF-8")
     val ns = name.stripSuffix(".toml").replace('-', '_')
-    val tbl = s"gref.$ns.t1"
-    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS gref.$ns")
+    val tbl = s"$cat.$ns.t1"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.$ns")
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     // the scenario's own DDL, retargeted at the graft catalog
     val ddl = block(text, "create_table_sql")
@@ -231,8 +258,8 @@ class ReferenceScenarioSpec extends AnyFunSuite {
     val typed = raw.select(colNames.zip(castTypes).map { case (c, t) =>
       expr(s"CAST(raw_$c AS $t)").as(c)
     }: _*)
-    typed.createOrReplaceTempView(s"src_$ns")
-    spark.sql(s"INSERT INTO $tbl SELECT * FROM src_$ns")
+    typed.createOrReplaceTempView(s"src_${backend}_$ns")
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM src_${backend}_$ns")
 
     // scenario query 1: full scan — must round-trip the rows exactly
     val sel = queries(text).head.replace("s1.t1", tbl).stripSuffix(";")
@@ -242,10 +269,18 @@ class ReferenceScenarioSpec extends AnyFunSuite {
     assert(got.toSeq === expected.toSeq, s"$name: scan mismatch")
 
     // partition bookkeeping: the partitions metadata view agrees with the
-    // distinct manifest partition tuples of the files actually written
-    val t = StorageCatalog.loadTable(
-      spark.sparkContext.hadoopConfiguration,
-      s"${spark.conf.get("spark.sql.catalog.gref.warehouse")}/$ns/t1")
+    // distinct manifest partition tuples of the files actually written;
+    // the REST backend loads through the catalog PROTOCOL, not the disk
+    // layout — the same access path a foreign engine would use
+    val t = backend match {
+      case "rest" =>
+        new RestCatalog.Client(
+          restEnv._2, spark.sparkContext.hadoopConfiguration)
+          .loadTable(ns, "t1")
+      case _ => StorageCatalog.loadTable(
+        spark.sparkContext.hadoopConfiguration,
+        s"${spark.conf.get("spark.sql.catalog.gref.warehouse")}/$ns/t1")
+    }
     val tuples = t.planFiles(t.metadata.currentSnapshot.get)
       .map(_.file.partition).distinct
     if (queries(text).exists(_.contains(".partitions"))) {
