@@ -134,7 +134,8 @@ object Bench {
       "ice_ref_retention", "text_collocations", "dedup_shingle_profile"),
     // round-11 additions accrue here
     "r11" -> Seq(
-      "ann_index_update"),
+      "ann_index_update", "cluster_topics", "text_vocab_sweep",
+      "text_domains", "dedup_url"),
   )
 
   /** Sanctioned per-query medians (seconds at sf0.1), mirrored from
@@ -218,6 +219,16 @@ object Bench {
     "sql_merge_evolution" -> 1.333, "q_events_paths" -> 0.464,
     "ice_ref_retention" -> 0.719, "text_collocations" -> 0.907,
     "dedup_shingle_profile" -> 0.897,
+    // tpch + dml (round-11 sanctioning: 3 quiet forked runs, medians)
+    "q7_nation_volume" -> 1.293, "q9_product_profit" -> 0.890,
+    "q13_order_distribution" -> 0.569, "q17_small_quantity" -> 0.534,
+    "q18_large_orders" -> 0.670, "q21_blamed_supplier" -> 0.926,
+    "q2_min_cost_supplier" -> 0.683, "q11_important_parts" -> 0.630,
+    "q16_supplier_count" -> 0.477, "q20_promotion_parts" -> 0.717,
+    "sql_mor_delete" -> 0.779, "sql_merge_update" -> 1.086,
+    "ice_upsert" -> 0.729, "stream_sink_append" -> 0.542,
+    "ice_zorder" -> 0.872, "ice_changelog" -> 0.694,
+    "sql_mor_delete_jumbo" -> 0.568,
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup
@@ -531,8 +542,13 @@ object Bench {
         "sample_kfold", "sql_merge_evolution", "q_events_paths",
         "text_collocations", "dedup_shingle_profile",
         // r11: incremental IVF — the append must stay O(batch) at 10x
-        // (argmin is map-only; the drift aggregate is one dim-keyed pass)
-        "ann_index_update"))
+        // (argmin is map-only; the drift aggregate is one dim-keyed
+        // pass); topic labeling shuffles token rows by word and
+        // (cluster, word) — both must stay linear; the vocab sweep is
+        // one unigram shuffle + one conditional aggregate; domains and
+        // url-dedup are map-only + one keyed rollup each
+        "ann_index_update", "cluster_topics", "text_vocab_sweep",
+        "text_domains", "dedup_url"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

@@ -753,6 +753,137 @@ object SparkEntry {
         .groupBy(floor(log2(col("df"))).cast(LongType).as("df_band"))
         .agg(count(lit(1)).as("n_shingles"), max(col("df")).as("max_df"))
     }),
+    "cluster_topics" -> ((s, dir) => {
+      // cluster TOPIC LABELING: the deterministic integer k-means cells
+      // joined with their most DISTINCTIVE words — per cluster, top-5 by
+      // exact-integer cluster lift, the cross-multiplied comparison of
+      // in-cluster token share vs corpus token share:
+      //   score = c_in * total_tokens - c_total * cluster_tokens
+      // (> 0 iff the word is over-represented in the cell; boilerplate
+      // that saturates every cluster scores ~0 everywhere, so no df gate
+      // is needed). Ties break word asc. Long products stay < 2^63 up to
+      // ~1e14 corpus tokens; past that, pre-scale counts to ppm. The
+      // human-readable face of cluster_kmeans: what IS bucket 3?
+      //
+      // 100 TB: token rows shuffle by word once (corpus totals) and by
+      // (cluster, word) once; the doc->cluster and word-keyed joins
+      // carry NO broadcast hints — both sides are corpus/vocab-sized at
+      // scale, so they must stay shuffle joins (AQE auto-broadcasts at
+      // test scale); only the 1-row token total broadcasts. The final
+      // window runs over k × vocab rows, not the corpus.
+      val assigned = Clustering.kmeansAssign(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 4, iters = 1)
+      val w = filter(split(lower(col("text")), "[^a-z0-9]+"), x => length(x) > 0)
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), w.as("_w"))
+        .select(col("doc_id"), explode(col("_w")).as("word"))
+        .join(assigned.select(col("vec_id").as("doc_id"), col("cluster")), "doc_id")
+      val wordTot = toks.groupBy("word")
+        .agg(count(lit(1)).cast(LongType).as("c_total"))
+      val clTot = toks.groupBy("cluster")
+        .agg(count(lit(1)).cast(LongType).as("cluster_tokens"))
+      val grand = wordTot.agg(sum(col("c_total")).cast(LongType).as("total_tokens"))
+      val cw = toks
+        .groupBy(col("cluster"), col("word"))
+        .agg(count(lit(1)).cast(LongType).as("c"))
+        .join(wordTot, "word")
+        .join(clTot, "cluster")
+        .crossJoin(broadcast(grand))
+        .withColumn("score",
+          col("c") * col("total_tokens") - col("c_total") * col("cluster_tokens"))
+      val rw = Window.partitionBy(col("cluster"))
+        .orderBy(col("score").desc, col("word"))
+      cw.withColumn("rank", row_number().over(rw))
+        .filter(col("rank") <= 5)
+        .select(col("cluster"), col("rank").cast(LongType).as("rank"),
+          col("word"), col("c"), col("score"))
+    }),
+    "text_vocab_sweep" -> ((s, dir) => {
+      // tokenizer-fit sweep: the OOV-vs-vocab-size curve from ONE
+      // unigram aggregate — for each min-count cutoff m, the vocabulary
+      // is every word seen >= m times; the row reports the resulting
+      // vocab size, the OOV token mass and its integer ppm rate. The
+      // table a tokenizer-training run reads before picking a vocab.
+      //
+      // 100 TB: one token-keyed shuffle builds the unigram table, then
+      // ONE conditional aggregate computes every cutoff — no global
+      // per-word window, no second corpus pass; the unpivot runs over
+      // a single driver-free 1-row frame.
+      val w = filter(split(lower(col("text")), "[^a-z0-9]+"), x => length(x) > 0)
+      val uni = t(s, dir, "documents")
+        .select(w.as("_w"))
+        .select(explode(col("_w")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+      val cuts = Seq(2L, 4L, 8L, 16L, 32L)
+      val one = uni.agg(
+        sum(col("c")).cast(LongType).as("total_tokens"),
+        cuts.flatMap(m => Seq(
+          count(when(col("c") >= m, 1)).cast(LongType).as(s"vt_$m"),
+          coalesce(sum(when(col("c") < m, col("c"))), lit(0L))
+            .cast(LongType).as(s"oov_$m"))): _*)
+      val stacked = cuts
+        .map(m => s"${m}L, vt_$m, oov_$m")
+        .mkString(s"stack(${cuts.size}, ", ", ", ") AS (min_count, vocab_types, oov_tokens)")
+      one.select(col("total_tokens"), expr(stacked))
+        .select(col("min_count"), col("vocab_types"), col("oov_tokens"),
+          col("total_tokens"),
+          floor(col("oov_tokens") * lit(1000000L) / col("total_tokens"))
+            .cast(LongType).as("oov_ppm"))
+    }),
+    "text_domains" -> ((s, dir) => {
+      // URL/domain extraction + per-domain curation gates: each doc
+      // carries a deterministic synthetic url (host varies with source
+      // and doc_id, some www-prefixed, some with tracking params);
+      // extraction = regexp host -> registrable domain, then ONE hash
+      // aggregate per domain: docs, chars, corpus share in ppm, and the
+      // two gates a crawl curator applies first — trap-suspect (share
+      // above 2%) and thin-content (mean chars under 300). Map-only
+      // extraction; the rollup shuffles one row per doc by domain.
+      val d = t(s, dir, "documents").withColumn("url",
+        concat(lit("https://"),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit("www.")).otherwise(lit("")),
+          col("source"), lit("-"), pmod(col("doc_id"), lit(20)),
+          lit(".example.org/p/"), col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("?utm=tracker"))
+            .otherwise(lit(""))))
+      val host = regexp_extract(col("url"), "^https?://([^/?#]+)", 1)
+      val dom = regexp_replace(host, "^www\\.", "")
+      val per = d.select(dom.as("domain"), col("n_chars"))
+        .groupBy("domain")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum(col("n_chars")).cast(LongType).as("total_chars"))
+      val tot = per.agg(sum(col("n_docs")).as("corpus_docs")) // bounded
+      per.crossJoin(broadcast(tot))
+        .select(col("domain"), col("n_docs"), col("total_chars"),
+          floor(col("n_docs") * lit(1000000L) / col("corpus_docs"))
+            .cast(LongType).as("share_ppm"),
+          (col("n_docs") * lit(50) > col("corpus_docs")).as("trap_suspect"),
+          (col("total_chars") < col("n_docs") * lit(300)).as("thin_content"))
+    }),
+    "dedup_url" -> ((s, dir) => {
+      // URL-canonicalization dedup: the CHEAPEST dedup tier, applied
+      // before any content hashing — strip scheme variance, www, query
+      // strings and fragments, lowercase the host, and group. Output is
+      // one row per canonical url with >1 copies: copy count and the
+      // canonical survivor (min doc_id). Map-only normalization + one
+      // url-keyed aggregate; at 100 TB this collapses re-crawls and
+      // tracking-param variants for the price of a string hash.
+      val d = t(s, dir, "documents").withColumn("url",
+        concat(lit("https://"),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit("www.")).otherwise(lit("")),
+          col("source"), lit("-"), pmod(col("doc_id"), lit(20)),
+          lit(".example.org/p/"), pmod(col("doc_id"), lit(100)),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("?utm=tracker"))
+            .otherwise(lit(""))))
+      val canon = regexp_replace(
+        regexp_replace(lower(col("url")), "[?#].*$", ""),
+        "^https?://(www\\.)?", "")
+      d.select(canon.as("canonical_url"), col("doc_id"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).cast(LongType).as("n_copies"),
+          min(col("doc_id")).as("canonical_doc"))
+        .filter(col("n_copies") > 1)
+    }),
     "q_events_paths" -> ((s, dir) => {
       // user-journey path analysis: each user's first three event types
       // in time order (event_id tiebreak) joined into a path, counted
@@ -6423,6 +6554,104 @@ object SparkEntry {
         |  oth.d_other, oth.d_other - own.d_own AS margin,
         |  oth.d_other - own.d_own < 0 AS mislabeled
         |FROM own JOIN oth ON own.vec_id = oth.vec_id""".stripMargin,
+    // the cluster_kmeans CTE (1 Lloyd iteration, seeds vec_id<4, integer
+    // quantization) extended with the df-gated per-cluster keyword rank
+    "cluster_topics" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(x::DOUBLE * 1024) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, e AS c FROM q WHERE vec_id < 4),
+        |d0 AS (SELECT q.vec_id, q.e, c0.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (q.e[i] - c0.c[i]) * (q.e[i] - c0.c[i]))) AS dist
+        |  FROM q CROSS JOIN c0),
+        |a0 AS (SELECT vec_id, e, cid FROM (
+        |    SELECT vec_id, e, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d0) WHERE rn = 1),
+        |s1 AS (SELECT cid, i,
+        |    CAST(floor(sum(e[i])::DOUBLE / count(*)) AS BIGINT) AS v
+        |  FROM a0 CROSS JOIN range(1, 65) t(i) GROUP BY cid, i),
+        |c1 AS (SELECT cid, list(v ORDER BY i) AS c FROM s1 GROUP BY cid),
+        |d1 AS (SELECT q.vec_id, c1.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (q.e[i] - c1.c[i]) * (q.e[i] - c1.c[i]))) AS dist
+        |  FROM q CROSS JOIN c1),
+        |a1 AS (SELECT vec_id, cid AS cluster FROM (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM d1) WHERE rn = 1),
+        |toks AS (
+        |  SELECT w.doc_id, w.word, a.cluster FROM (
+        |    SELECT doc_id, word FROM (
+        |      SELECT doc_id,
+        |        unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+        |      FROM documents) WHERE word <> '') w
+        |  JOIN a1 a ON w.doc_id = a.vec_id),
+        |wt AS (SELECT word, CAST(count(*) AS BIGINT) AS c_total
+        |  FROM toks GROUP BY word),
+        |ct AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_tokens
+        |  FROM toks GROUP BY cluster),
+        |g AS (SELECT CAST(sum(c_total) AS BIGINT) AS total_tokens FROM wt),
+        |cw AS (SELECT t.cluster, t.word, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks t GROUP BY 1, 2),
+        |scored AS (SELECT cw.cluster, cw.word, cw.c,
+        |    cw.c * g.total_tokens - wt.c_total * ct.cluster_tokens AS score
+        |  FROM cw JOIN wt USING (word) JOIN ct USING (cluster) CROSS JOIN g)
+        |SELECT cluster, rank, word, c, score FROM (
+        |  SELECT cluster, word, c, score,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY cluster ORDER BY score DESC, word) AS BIGINT) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+    "text_vocab_sweep" ->
+      """WITH toks AS (
+        |  SELECT word FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+        |    FROM documents) WHERE word <> ''),
+        |uni AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY word),
+        |cuts AS (SELECT unnest([2, 4, 8, 16, 32]) AS min_count),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens FROM uni)
+        |SELECT CAST(min_count AS BIGINT) AS min_count,
+        |  CAST(count(CASE WHEN c >= min_count THEN 1 END) AS BIGINT) AS vocab_types,
+        |  CAST(coalesce(sum(CASE WHEN c < min_count THEN c END), 0) AS BIGINT)
+        |    AS oov_tokens,
+        |  t.total_tokens,
+        |  CAST(floor(coalesce(sum(CASE WHEN c < min_count THEN c END), 0)
+        |    * 1000000 / t.total_tokens) AS BIGINT) AS oov_ppm
+        |FROM cuts CROSS JOIN uni CROSS JOIN tot t
+        |GROUP BY min_count, t.total_tokens""".stripMargin,
+    "text_domains" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    'https://' || CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END ||
+        |    source || '-' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/p/' ||
+        |    CAST(doc_id AS VARCHAR) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '?utm=tracker' ELSE '' END AS url
+        |  FROM documents),
+        |x AS (SELECT regexp_replace(regexp_extract(url, '^https?://([^/?#]+)', 1),
+        |    '^www\.', '') AS domain, n_chars FROM d),
+        |per AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars FROM x GROUP BY domain),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS corpus_docs FROM per)
+        |SELECT domain, n_docs, total_chars,
+        |  CAST(floor(n_docs * 1000000 / corpus_docs) AS BIGINT) AS share_ppm,
+        |  n_docs * 50 > corpus_docs AS trap_suspect,
+        |  total_chars < n_docs * 300 AS thin_content
+        |FROM per CROSS JOIN tot""".stripMargin,
+    "dedup_url" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'https://' || CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END ||
+        |    source || '-' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/p/' ||
+        |    CAST(doc_id % 100 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '?utm=tracker' ELSE '' END AS url
+        |  FROM documents),
+        |c AS (SELECT regexp_replace(regexp_replace(lower(url), '[?#].*$', ''),
+        |    '^https?://(www\.)?', '') AS canonical_url, doc_id FROM d)
+        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_copies,
+        |  MIN(doc_id) AS canonical_doc
+        |FROM c GROUP BY canonical_url HAVING count(*) > 1""".stripMargin,
     // same floor(x/s + 0.5) arithmetic; arrays reduce to sum/min/max so
     // the compare stays scalar
     "embed_quantize" ->

@@ -22,4 +22,49 @@ class EntrySpec extends AnyFunSuite {
     assert(Bench.headline.size === 20)
     assert(Bench.tpchHeadline.size === 10)
   }
+
+  test("round-11 wave: structural invariants on sf0.001") {
+    val s = TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+
+    // topic labels: <=5 ranked rows per cluster, ranks contiguous from 1,
+    // counts positive, lift scores non-increasing down each ranking and
+    // positive at rank 1 (the top word IS over-represented in its cell)
+    val topics = SparkEntry.queries("cluster_topics")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(topics.nonEmpty)
+    topics.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.length <= 5)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq)
+      assert(sorted.forall(_._4 > 0))
+      assert(sorted.map(_._5).toSeq === sorted.map(_._5).sortBy(-_).toSeq)
+      assert(sorted.head._5 > 0)
+    }
+
+    // vocab sweep: raising min_count never grows the vocabulary and
+    // never shrinks the OOV mass; totals are constant across rows
+    val sweep = SparkEntry.queries("text_vocab_sweep")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(sweep.map(_._1).toSeq === Seq(2L, 4L, 8L, 16L, 32L))
+    assert(sweep.map(_._2).toSeq === sweep.map(_._2).sortBy(-_).toSeq)
+    assert(sweep.map(_._3).toSeq === sweep.map(_._3).sorted.toSeq)
+    assert(sweep.map(_._4).distinct.length === 1)
+
+    // domains: ppm shares sum to <= 1e6 and every gate agrees with the
+    // columns it is defined over
+    val doms = SparkEntry.queries("text_domains")(s, dir).collect()
+    assert(doms.nonEmpty)
+    assert(doms.map(_.getLong(3)).sum <= 1000000L)
+    val corpusDocs = doms.map(_.getLong(1)).sum
+    doms.foreach { r =>
+      assert(r.getBoolean(4) === (r.getLong(1) * 50 > corpusDocs))
+      assert(r.getBoolean(5) === (r.getLong(2) < r.getLong(1) * 300))
+    }
+
+    // url dedup: only multi-copy groups survive
+    val urls = SparkEntry.queries("dedup_url")(s, dir).collect()
+    assert(urls.forall(_.getLong(1) > 1))
+  }
 }
