@@ -135,7 +135,7 @@ object Bench {
     // round-11 additions accrue here
     "r11" -> Seq(
       "ann_index_update", "cluster_topics", "text_vocab_sweep",
-      "text_domains", "dedup_url"),
+      "text_domains", "dedup_url", "text_pii_sources", "cluster_cells"),
   )
 
   /** Sanctioned per-query medians (seconds at sf0.1), mirrored from
@@ -229,6 +229,12 @@ object Bench {
     "ice_upsert" -> 0.729, "stream_sink_append" -> 0.542,
     "ice_zorder" -> 0.872, "ice_changelog" -> 0.694,
     "sql_mor_delete_jumbo" -> 0.568,
+    // r11 (3 quiet forked runs, medians; ann_index_update times the
+    // full build + append + probe maintenance cycle by design)
+    "ann_index_update" -> 10.299, "cluster_topics" -> 1.364,
+    "text_vocab_sweep" -> 0.433, "text_domains" -> 0.193,
+    "dedup_url" -> 0.198, "text_pii_sources" -> 0.166,
+    "cluster_cells" -> 0.486,
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup
@@ -548,7 +554,10 @@ object Bench {
         // one unigram shuffle + one conditional aggregate; domains and
         // url-dedup are map-only + one keyed rollup each
         "ann_index_update", "cluster_topics", "text_vocab_sweep",
-        "text_domains", "dedup_url"))
+        "text_domains", "dedup_url",
+        // pii scan is map-only regexp counts; cell profile is one
+        // count aggregate over the kmeans assignment
+        "text_pii_sources", "cluster_cells"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

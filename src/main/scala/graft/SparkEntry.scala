@@ -860,6 +860,66 @@ object SparkEntry {
           (col("n_docs") * lit(50) > col("corpus_docs")).as("trap_suspect"),
           (col("total_chars") < col("n_docs") * lit(300)).as("thin_content"))
     }),
+    "text_pii_sources" -> ((s, dir) => {
+      // PII scan — the redaction-pipeline governance table: per source,
+      // docs carrying any PII, hits by type (email / phone / IPv4) and
+      // the char mass a redaction pass would remove. PII is planted
+      // deterministically (same convention as text_watermark's canary):
+      // every 11th doc an email, every 13th a phone, every 17th an IP.
+      // Map-only regexp counts + one rollup; the redaction delta is
+      // length(text) - length(redacted) computed IN the same pass — at
+      // 100 TB this is the audit that runs before any corpus ships.
+      val email = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"
+      val phone = "555-[0-9]{4}"
+      val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      val seeded = t(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            concat(lit(" call 555-01"),
+              lpad(pmod(col("doc_id"), lit(100)).cast(StringType), 2, "0")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(17)) === 0,
+            concat(lit(" from 192.168."), pmod(col("doc_id"), lit(256)),
+              lit("."), pmod(col("doc_id"), lit(100))))
+            .otherwise(lit(""))))
+      val redacted = regexp_replace(regexp_replace(regexp_replace(
+        col("text"), email, "[PII]"), phone, "[PII]"), ip, "[PII]")
+      seeded
+        .select(col("source"),
+          regexp_count(col("text"), lit(email)).as("_em"),
+          regexp_count(col("text"), lit(phone)).as("_ph"),
+          regexp_count(col("text"), lit(ip)).as("_ip"),
+          (length(col("text")) - length(redacted)).cast(LongType).as("_delta"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast(LongType).as("docs"),
+          sum(when(col("_em") + col("_ph") + col("_ip") > 0, 1L)
+            .otherwise(0L)).as("pii_docs"),
+          sum(col("_em")).cast(LongType).as("email_hits"),
+          sum(col("_ph")).cast(LongType).as("phone_hits"),
+          sum(col("_ip")).cast(LongType).as("ip_hits"),
+          sum(col("_delta")).cast(LongType).as("redact_char_delta"))
+    }),
+    "cluster_cells" -> ((s, dir) => {
+      // cell-balance governance for the clustered corpus — the table
+      // read before deciding "re-center or keep appending" (the drift
+      // gate's complement): per cell, size, corpus share in ppm, and an
+      // imbalance flag (cell holds >2x its fair share — a skew-salting
+      // or re-center trigger at scale). One count aggregate over the
+      // assignment; the share join broadcasts one row.
+      val assigned = Clustering.kmeansAssign(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 4, iters = 1)
+      val per = assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).cast(LongType).as("n_vectors"))
+      val tot = per.agg(sum(col("n_vectors")).cast(LongType).as("total"))
+      per.crossJoin(broadcast(tot))
+        .select(col("cluster"), col("n_vectors"),
+          floor(col("n_vectors") * lit(1000000L) / col("total"))
+            .cast(LongType).as("share_ppm"),
+          (col("n_vectors") * lit(4) > col("total") * lit(2)).as("imbalanced"))
+    }),
     "dedup_url" -> ((s, dir) => {
       // URL-canonicalization dedup: the CHEAPEST dedup tier, applied
       // before any content hashing — strip scheme variance, www, query
@@ -6604,6 +6664,72 @@ object SparkEntry {
         |    CAST(row_number() OVER (
         |      PARTITION BY cluster ORDER BY score DESC, word) AS BIGINT) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
+    "text_pii_sources" ->
+      """WITH seeded AS (
+        |  SELECT source,
+        |    text ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' contact user' ||
+        |      CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN ' call 555-01' ||
+        |      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ELSE '' END ||
+        |    CASE WHEN doc_id % 17 = 0 THEN ' from 192.168.' ||
+        |      CAST(doc_id % 256 AS VARCHAR) || '.' ||
+        |      CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS text
+        |  FROM documents),
+        |x AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9.]+\.[a-z]+')) AS em,
+        |    len(regexp_extract_all(text, '555-[0-9]{4}')) AS ph,
+        |    len(regexp_extract_all(text,
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS ip,
+        |    length(text) - length(regexp_replace(regexp_replace(regexp_replace(
+        |      text, '[a-z0-9]+@[a-z0-9.]+\.[a-z]+', '[PII]', 'g'),
+        |      '555-[0-9]{4}', '[PII]', 'g'),
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[PII]', 'g'))
+        |      AS delta
+        |  FROM seeded)
+        |SELECT source, CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(CASE WHEN em + ph + ip > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS pii_docs,
+        |  CAST(sum(em) AS BIGINT) AS email_hits,
+        |  CAST(sum(ph) AS BIGINT) AS phone_hits,
+        |  CAST(sum(ip) AS BIGINT) AS ip_hits,
+        |  CAST(sum(delta) AS BIGINT) AS redact_char_delta
+        |FROM x GROUP BY source""".stripMargin,
+    // the cluster_kmeans CTE reduced to per-cell occupancy + imbalance
+    "cluster_cells" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(x::DOUBLE * 1024) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, e AS c FROM q WHERE vec_id < 4),
+        |d0 AS (SELECT q.vec_id, q.e, c0.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (q.e[i] - c0.c[i]) * (q.e[i] - c0.c[i]))) AS dist
+        |  FROM q CROSS JOIN c0),
+        |a0 AS (SELECT vec_id, e, cid FROM (
+        |    SELECT vec_id, e, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d0) WHERE rn = 1),
+        |s1 AS (SELECT cid, i,
+        |    CAST(floor(sum(e[i])::DOUBLE / count(*)) AS BIGINT) AS v
+        |  FROM a0 CROSS JOIN range(1, 65) t(i) GROUP BY cid, i),
+        |c1 AS (SELECT cid, list(v ORDER BY i) AS c FROM s1 GROUP BY cid),
+        |d1 AS (SELECT q.vec_id, c1.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (q.e[i] - c1.c[i]) * (q.e[i] - c1.c[i]))) AS dist
+        |  FROM q CROSS JOIN c1),
+        |a1 AS (SELECT vec_id, cid AS cluster FROM (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM d1) WHERE rn = 1),
+        |per AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors
+        |  FROM a1 GROUP BY cluster),
+        |tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS total FROM per)
+        |SELECT cluster, n_vectors,
+        |  CAST(floor(n_vectors * 1000000 / total) AS BIGINT) AS share_ppm,
+        |  n_vectors * 4 > total * 2 AS imbalanced
+        |FROM per CROSS JOIN tot""".stripMargin,
     "text_vocab_sweep" ->
       """WITH toks AS (
         |  SELECT word FROM (

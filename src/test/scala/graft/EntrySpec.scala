@@ -23,6 +23,17 @@ class EntrySpec extends AnyFunSuite {
     assert(Bench.tpchHeadline.size === 10)
   }
 
+  test("every benched query carries a sanctioned median (self-audit coverage)") {
+    // a new bench row ships with its quiet >=3-run median committed to
+    // BASELINE.md and Bench.sanctioned, or it does not ship — the
+    // cur/sanctioned flags in BENCH_OUT.json depend on full coverage
+    val benched = Bench.headline ++ Bench.tpchHeadline ++
+      Bench.dmlHeadline ++ Bench.pipelineGroups.flatMap(_._2) ++
+      Seq("sql_mor_delete_jumbo")
+    val missing = benched.filterNot(Bench.sanctioned.contains)
+    assert(missing.isEmpty, s"benched queries without sanctioned medians: $missing")
+  }
+
   test("round-11 wave: structural invariants on sf0.001") {
     val s = TestSpark.spark
     val dir = "/root/testdata/sf0.001"
