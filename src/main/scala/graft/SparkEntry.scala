@@ -1448,10 +1448,12 @@ object SparkEntry {
         (col("vec_id") + lit(1000000L)).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
       val corpus = e.select(col("vec_id"), col("embedding")).union(jittered)
-      val pairs = Dedup.embeddingNearDup(
+      // exact-dup pre-collapse (round-11): LSH + CC run over one
+      // representative per distinct vector — measured at 100x, the
+      // uncollapsed path re-bucketed every identical copy (4.7x wall at
+      // the 10x step vs ~1.1-1.7x for the collapsed text family)
+      val comps = Dedup.embeddingComponents(
         corpus, "vec_id", "embedding", cosineThreshold = 0.95, bits = 40)
-        .select(col("vec_a").as("a"), col("vec_b").as("b"))
-      val comps = Dedup.connectedComponents(pairs, "a", "b")
       Dedup.resolveDuplicates(corpus, "vec_id", comps).select(col("vec_id"))
     }),
     "dedup_substrings" -> ((s, dir) => {

@@ -716,6 +716,72 @@ object Dedup {
     * cluster (the min-id member IS its component label) plus every
     * unclustered doc. One anti-join — the deduped corpus ships without
     * materializing clusters anywhere. */
+  /** Sign-LSH near-dup COMPONENTS over embeddings with an EXACT-duplicate
+    * pre-collapse — the embedding-side analog of [[textComponents]]
+    * (SemDeDup ordering: exact dedup before fuzzy): vectors group by
+    * their exact float contents, banded sign-bit LSH + pointer-jumping CC
+    * run over one REPRESENTATIVE per group (its min id), and labels
+    * expand back over group members.
+    *
+    * Semantics-preserving with the same equal-or-better asymmetry as
+    * [[textComponents]]: cosine depends only on the vector, so
+    * exact-equal non-zero vectors have identical neighbors and pairwise
+    * cosine 1 (>= any threshold); zero vectors pair with nothing (cosine
+    * undefined) and are excluded from the group-clustering shortcut, like
+    * the uncollapsed path leaves them unpaired. A band bucket holding
+    * more than `maxBucket` exact copies is dropped (its pairs lost) in
+    * the uncollapsed path but survives as one row after collapse —
+    * equal-or-better recall, never worse.
+    *
+    * The 100 TB lever, MEASURED at 100x: on the copies=100 corpus the
+    * uncollapsed `dedup_semantic` path ran 4.7x its sf1 wall while the
+    * pre-collapsed text family stayed ~1.1-1.7x — identical embeddings
+    * re-bucket every copy; collapsing first makes LSH shuffle volume
+    * track UNIQUE vectors. */
+  def embeddingComponents(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cosineThreshold: Double = 0.95,
+      bits: Int = 16,
+      bands: Int = 4,
+      maxBucket: Int = 200): DataFrame = {
+    val keyed = df
+      .select(
+        col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("_v"),
+        exists(col(vecCol), x => x =!= 0.0f).as("_nonzero"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // group BY the vector itself (Spark normalizes -0.0/NaN in grouping
+    // keys, so equality is value-exact and deterministic)
+    val groups = keyed.groupBy("_v")
+      .agg(min("vec_id").as("_rep"), count(lit(1)).as("_gsize"))
+    val members = keyed.join(groups, "_v")
+    val reps = df.join(
+      members.filter(col("vec_id") === col("_rep"))
+        .select(col("vec_id").as(idCol)),
+      Seq(idCol), "left_semi")
+    val pairs = embeddingNearDup(reps, idCol, vecCol,
+        cosineThreshold, bits, bands, maxBucket)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+    val repComps = connectedComponents(pairs, "a", "b")
+      .select(col("doc_id").as("_rep"), col("component"))
+    // expansion mirrors textComponents: members inherit the rep's
+    // component; an exact-dup group with no fuzzy neighbors is its own
+    // cluster labeled by its rep (= min id); zero vectors and unpaired
+    // singletons emit no row. persist(DISK_ONLY) + eager count keeps the
+    // lineage recomputable on executor loss (see textComponents).
+    val out = members.filter(col("_nonzero"))
+      .join(repComps, Seq("_rep"), "left")
+      .filter(col("component").isNotNull || col("_gsize") > 1)
+      .select(col("vec_id").as("doc_id"),
+        coalesce(col("component"), col("_rep")).as("component"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    out.count()
+    keyed.unpersist()
+    out
+  }
+
   def resolveDuplicates(df: DataFrame, idCol: String, components: DataFrame): DataFrame =
     df.join(
       components.filter(col("doc_id") =!= col("component"))

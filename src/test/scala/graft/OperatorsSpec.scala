@@ -303,6 +303,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped.count() === 0)
   }
 
+  test("embeddingComponents equals the uncollapsed LSH+CC path on a copy-heavy corpus") {
+    val rnd = new scala.util.Random(17)
+    val uniques = (1L to 40L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    // every unique gets 5 EXACT copies (ids 100i+j) plus one jittered
+    // near-dup (id 10000+i) — the copy-heavy shape the collapse targets
+    val rows = uniques.flatMap { case (i, v) =>
+      (0 until 5).map(j => (100L * i + j, v)) :+
+        (10000L + i, v.map(x => x * 1.001f))
+    }
+    val df = rows.toDF("vec_id", "embedding").repartition(8)
+    val collapsed = Dedup.embeddingComponents(
+      df, "vec_id", "embedding", cosineThreshold = 0.95, bits = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = Dedup.embeddingNearDup(
+      df, "vec_id", "embedding", cosineThreshold = 0.95, bits = 40)
+      .select($"vec_a".as("a"), $"vec_b".as("b"))
+    val uncollapsed = Dedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(collapsed === uncollapsed)
+    // zero vectors never cluster, even when exact-duplicated
+    val zeros = Seq((1L, Array.fill(16)(0.0f)), (2L, Array.fill(16)(0.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Dedup.embeddingComponents(
+      zeros, "vec_id", "embedding", 0.95, bits = 40).count() === 0)
+  }
+
   test("centroid IVF finds planted duplicates through its probed cells") {
     val rnd = new scala.util.Random(3)
     val corpus = (1L to 300L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
