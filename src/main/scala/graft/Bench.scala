@@ -132,10 +132,14 @@ object Bench {
       "meta_orphan_files", "q_events_anomaly", "text_watermark",
       "sample_kfold", "sql_merge_evolution", "q_events_paths",
       "ice_ref_retention", "text_collocations", "dedup_shingle_profile"),
-    // round-11 additions accrue here
+    // round-11 additions accrue here; stream_ann_index gets its own
+    // group — co-residency of the two ML-KMeans-heavy maintenance
+    // cycles in one JVM inflated ann_index_update ~1.4x (measured)
     "r11" -> Seq(
       "ann_index_update", "cluster_topics", "text_vocab_sweep",
       "text_domains", "dedup_url", "text_pii_sources", "cluster_cells"),
+    "r11b" -> Seq(
+      "stream_ann_index"),
   )
 
   /** Sanctioned per-query medians (seconds at sf0.1), mirrored from
@@ -172,7 +176,9 @@ object Bench {
     "q_skew_join" -> 0.419, "search_hybrid" -> 1.966,
     "ann_recall" -> 0.653, "ann_hard_negatives" -> 0.319,
     // dedup
-    "dedup_semantic" -> 3.333, "dedup_substrings" -> 0.312,
+    // dedup_semantic re-baselined in r11: embedding pre-collapse trade
+    // (~+2s at sf0.1 buys 100x linearity AND recall — see BENCH_SF1.md)
+    "dedup_semantic" -> 5.400, "dedup_substrings" -> 0.312,
     "dedup_winnow" -> 2.080, "dedup_softweight" -> 3.471,
     "dedup_incremental" -> 0.613, "dedup_incremental_embed" -> 0.223,
     "dedup_sweep" -> 0.630, "dedup_prefix" -> 0.472,
@@ -235,6 +241,9 @@ object Bench {
     "text_vocab_sweep" -> 0.433, "text_domains" -> 0.193,
     "dedup_url" -> 0.198, "text_pii_sources" -> 0.166,
     "cluster_cells" -> 0.486,
+    // r11b (solo group — the streaming maintenance cycle commits many
+    // micro-batch appends; spread 10.4-16.7 across quiet runs)
+    "stream_ann_index" -> 13.594,
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup
@@ -556,8 +565,9 @@ object Bench {
         "ann_index_update", "cluster_topics", "text_vocab_sweep",
         "text_domains", "dedup_url",
         // pii scan is map-only regexp counts; cell profile is one
-        // count aggregate over the kmeans assignment
-        "text_pii_sources", "cluster_cells"))
+        // count aggregate over the kmeans assignment; the streaming
+        // index-maintenance cycle must stay setup/commit-bound
+        "text_pii_sources", "cluster_cells", "stream_ann_index"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

@@ -653,6 +653,40 @@ object SparkEntry {
       StorageCatalog.loadTable(s.sparkContext.hadoopConfiguration, tbl.location)
         .scan(s)
     }),
+    "stream_ann_index" -> ((s, dir) => {
+      // STREAMING index maintenance: the IVF index builds over the even
+      // half of the corpus, then the odd half ARRIVES AS A STREAM
+      // (AvailableNow) and every micro-batch rides addToIvfIndex —
+      // drift-gated argmin assignment + identity-partitioned append,
+      // exactly-once per batch. The probe afterwards must find planted
+      // neighbors from BOTH the built and the streamed generations. The
+      // production shape: tonight's crawl embeds, streams into the
+      // index, and is searchable at dawn with no rebuild.
+      val e = t(s, dir, "embeddings")
+      val loc = java.nio.file.Files
+        .createTempDirectory("graft-ivf-stream").toUri.toString.stripSuffix("/")
+      Similarity.buildIvfIndex(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", loc)
+      val sch = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val q = streamTable(s, dir, "embeddings", sch)
+        .filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), col("embedding"))
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty)
+            Similarity.addToIvfIndex(s, loc, b, "vec_id", "embedding")
+        }
+        .option("checkpointLocation", s"$loc/_chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val queries = e.filter(col("vec_id") < 4).select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      Similarity.ivfIndexTopK(s, loc, queries, "vec_id", "embedding", 5)
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
     "ice_rewrite_deletes" -> ((s, dir) => {
       // rewrite_position_delete_files: two DELETE WHERE passes stack two
       // position-delete files; the rewrite compacts them into one (per
@@ -5458,6 +5492,11 @@ object SparkEntry {
     // planted sources 0,2 live in the built generation and 1,3 in the
     // appended batch — the probe must find all four at rank 1
     "ann_index_update" ->
+      """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id, 1 AS rank
+        |FROM embeddings WHERE vec_id < 4""".stripMargin,
+    // same planted-match contract with the odd half arriving via the
+    // streaming micro-batch path
+    "stream_ann_index" ->
       """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id, 1 AS rank
         |FROM embeddings WHERE vec_id < 4""".stripMargin,
     "dedup_embedding" ->
