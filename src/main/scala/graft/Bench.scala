@@ -137,9 +137,16 @@ object Bench {
     // cycles in one JVM inflated ann_index_update ~1.4x (measured)
     "r11" -> Seq(
       "ann_index_update", "cluster_topics", "text_vocab_sweep",
-      "text_domains", "dedup_url", "text_pii_sources", "cluster_cells"),
+      "text_domains", "dedup_url", "text_pii_sources", "cluster_cells",
+      "graph_domain_rank", "embed_anisotropy", "text_cdc_chunks"),
     "r11b" -> Seq(
       "stream_ann_index"),
+    // second r11 wave: the knn-graph build runs its own ML-free kmeans
+    // assignment, kept out of r11/r11b so the measured stream/index
+    // cycles stay comparable
+    "r11c" -> Seq(
+      "embed_knn_graph", "q_events_markov", "stream_markov",
+      "dedup_cdc_cut"),
   )
 
   /** Sanctioned per-query medians (seconds at sf0.1), mirrored from
@@ -241,9 +248,19 @@ object Bench {
     "text_vocab_sweep" -> 0.433, "text_domains" -> 0.193,
     "dedup_url" -> 0.198, "text_pii_sources" -> 0.166,
     "cluster_cells" -> 0.486,
+    // r11 close wave (3 quiet forked full-group runs, medians; the third
+    // run measured 1.3x ambient across the whole group and the medians
+    // absorb it)
+    "graph_domain_rank" -> 0.468, "embed_anisotropy" -> 3.507,
+    "text_cdc_chunks" -> 0.820,
     // r11b (solo group — the streaming maintenance cycle commits many
     // micro-batch appends; spread 10.4-16.7 across quiet runs)
     "stream_ann_index" -> 13.594,
+    // r11c (3 quiet forked runs, medians; the knn-graph build includes
+    // its adaptive-k kmeans assignment — k=8 at sf0.1 — by design;
+    // stream_markov times table setup + two streamed micro-batches)
+    "embed_knn_graph" -> 5.047, "q_events_markov" -> 0.592,
+    "stream_markov" -> 3.083, "dedup_cdc_cut" -> 0.387,
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup
@@ -567,7 +584,21 @@ object Bench {
         // pii scan is map-only regexp counts; cell profile is one
         // count aggregate over the kmeans assignment; the streaming
         // index-maintenance cycle must stay setup/commit-bound
-        "text_pii_sources", "cluster_cells", "stream_ann_index"))
+        "text_pii_sources", "cluster_cells", "stream_ann_index",
+        // r11 close: pagerank iterations run over the AGGREGATED edge
+        // table (O(E) independent of corpus size — only the edge rollup
+        // sees 10x rows); anisotropy's one-pass explode partial-aggregates
+        // to 2,145 rows per partition before its only shuffle; CDC chunk
+        // windows are per-doc bounded and the rollup ships hashes only
+        "graph_domain_rank", "embed_anisotropy", "text_cdc_chunks",
+        // r11c: the knn-graph cell count scales with the corpus
+        // (k = n div 250), holding cell sizes ~constant — the self-join
+        // must stay ~linear at 10x; markov is one lag window + rollup;
+        // the streaming variant must stay O(new events) per micro-batch
+        // with one state row per user; cdc-cut shuffles chunk strings
+        // twice (by hash, by doc) — both keyed, both ~linear
+        "embed_knn_graph", "q_events_markov", "stream_markov",
+        "dedup_cdc_cut"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{text, transforms, vectors}
-import graft.operators.{Bpe, Clustering, Decontamination, Dedup, Multimodal, Packing, Profiling, Quantization, Retrieval, Sampling, Selection, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Clustering, Decontamination, Dedup, Graph, Multimodal, Packing, Profiling, Quantization, Retrieval, Sampling, Selection, Similarity, TextAnalysis}
 import graft.tables._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -977,6 +977,154 @@ object SparkEntry {
         .agg(count(lit(1)).cast(LongType).as("n_copies"),
           min(col("doc_id")).as("canonical_doc"))
         .filter(col("n_copies") > 1)
+    }),
+    "graph_domain_rank" -> ((s, dir) => {
+      // domain-authority ranking for crawl-frontier prioritization:
+      // PageRank (3 iterations, exact integer arithmetic) over the
+      // synthesized domain link graph. The corpus is touched ONCE to
+      // aggregate edge multiplicities (each doc emits one deterministic
+      // src->dst domain link — the same source/doc_id modular scheme as
+      // text_domains, with the target source rotated by doc_id so links
+      // cross sources); every iteration then runs over the aggregated
+      // graph only — O(E) joins independent of corpus size.
+      val d = t(s, dir, "documents")
+      val si = d.select(col("source")).distinct()
+        .withColumn("sidx",
+          (row_number().over(Window.orderBy(col("source"))) - 1)
+            .cast(LongType))
+      val ns = si.agg(count(lit(1)).as("n_src"))
+      val edges0 = d.join(broadcast(si), "source").crossJoin(broadcast(ns))
+        .select(
+          (col("sidx") * 20 + pmod(col("doc_id"), lit(20))).as("src"),
+          (pmod(col("sidx") + col("doc_id"), col("n_src")) * 20 +
+            pmod(expr("doc_id div 7"), lit(20))).as("dst"))
+      val edges = edges0.groupBy("src", "dst")
+        .agg(count(lit(1)).as("w"))
+      val outw = edges.groupBy(col("src").as("node"))
+        .agg(sum(col("w")).as("out_weight"))
+      Graph.pageRank(edges, "src", "dst", "w", iterations = 3)
+        .join(outw, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("out_weight"), lit(0L)).as("out_weight"),
+          col("rank_scaled"))
+    }),
+    "embed_anisotropy" -> ((s, dir) => {
+      // embedding-space anisotropy audit: the top-20 strongest
+      // off-diagonal covariance pairs over quantized components — the
+      // table read before trusting cosine retrieval (anisotropic spaces
+      // compress cosine scores; mean-centering/whitening starts here).
+      // ONE embedding pass: upper-triangle products + moments + count
+      // explode in-task and partially aggregate map-side, so the only
+      // shuffle carries 2,145 rows per partition; DECIMAL(38,0) sums are
+      // overflow-safe at any corpus size.
+      Profiling.embeddingAnisotropy(
+        t(s, dir, "embeddings"), "embedding", dims = 64, topK = 20)
+    }),
+    "text_cdc_chunks" -> ((s, dir) => {
+      // content-defined chunking dedup: boundaries re-synchronize after
+      // insertions/deletions (unlike fixed-width chunks), so near-dup
+      // docs share all their unchanged chunks — the report lists every
+      // chunk appearing in >= 2 distinct docs (329 at sf0.01, all from
+      // natural near-dups; no planting needed). Windows are per-doc
+      // bounded; the rollup shuffles (hash, count) pairs only.
+      Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text")
+    }),
+    "embed_knn_graph" -> ((s, dir) => {
+      // k-NN graph construction — the backbone of semantic-dedup and
+      // graph-clustering pipelines (SemDeDup prunes within-cluster
+      // neighbor pairs; HNSW builds on exactly this edge set). Candidate
+      // generation is cell-bounded: vectors pair only WITHIN their
+      // deterministic k-means cell, and k GROWS WITH THE CORPUS
+      // (k = max(4, n div 250)) so cell sizes stay ~constant and the
+      // self-join stays linear in n — at sf0.01 that is k=4, matching
+      // the oracle's fixed seed set. Scoring is an exact
+      // integer-quantized dot product; top-5 per node via a cell-local
+      // window; ties break to the lower neighbor id. Bit-identical
+      // across engines. The count below is a parquet-metadata action.
+      val e = t(s, dir, "embeddings")
+      val k = math.max(4, (e.count() / 250).toInt)
+      val asg = Clustering.kmeansAssign(e, "vec_id", "embedding", k = k, iters = 1)
+      val q = e.select(col("vec_id"),
+          transform(col("embedding"), x =>
+            floor(x.cast(DoubleType) * 1024).cast(LongType)).as("q"))
+        .join(asg, "vec_id")
+      val a = q.select(col("cluster"), col("vec_id").as("a"), col("q").as("qa"))
+      val b = q.select(col("cluster"), col("vec_id").as("b"), col("q").as("qb"))
+      val pairs = a.join(b, Seq("cluster")).filter(col("a") =!= col("b"))
+        .withColumn("dot_q", aggregate(
+          zip_with(col("qa"), col("qb"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x))
+      pairs
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("a")).orderBy(col("dot_q").desc, col("b")))
+          .cast(LongType))
+        .filter(col("rank") <= 5)
+        .select(col("a").as("vec_id"), col("rank"),
+          col("b").as("neighbor"), col("dot_q"))
+    }),
+    "q_events_markov" -> ((s, dir) => {
+      // event-transition matrix: per-user consecutive event-type pairs
+      // (ts order, event_id tiebreak) counted across users, with each
+      // row's share of its source state in exact integer ppm — the
+      // Markov-chain view of user behavior (q_events_paths shows the
+      // first-3 journeys; this shows the full stationary structure).
+      // One per-user lag window + one hash aggregate + one broadcast
+      // per-prev total join.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = t(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("next_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "next_type")
+        .agg(count(lit(1)).as("n_transitions"))
+      val tot = trans.groupBy(col("prev_type").as("_p"))
+        .agg(sum(col("n_transitions")).as("_t"))
+      trans.join(broadcast(tot), col("prev_type") === col("_p"))
+        .select(col("prev_type"), col("next_type"), col("n_transitions"),
+          expr("(n_transitions * 1000000) div _t").as("ppm"))
+    }),
+    "stream_markov" -> ((s, dir) => {
+      // streaming/batch equivalence of the transition matrix: events
+      // arrive as two time-partitioned commits (one micro-batch each);
+      // flatMapGroupsWithState keeps ONE row of state per user (the last
+      // seen event), so cross-batch transitions are emitted exactly once
+      // — the oracle is the SAME SQL as q_events_markov, proving the
+      // incremental operator reproduces the batch lag-window bit-for-bit.
+      // At 100 TB this is the difference between re-reading history per
+      // refresh and O(new events) per micro-batch.
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val tbl = freshTable(s, "stream_markov", ev.limit(0))
+      tbl.append(s, ev.filter(col("ts") < lit("2024-01-08")))
+      tbl.append(s, ev.filter(col("ts") >= lit("2024-01-08")))
+      val name = s"stream_markov_${System.nanoTime()}"
+      val src = s.readStream.format("graft-stream")
+        .option("location", tbl.location)
+        .option("max-seqs-per-trigger", "1")
+        .load()
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      val q = graft.streaming.StatefulTransitions.transitions(src)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val trans = s.table(name)
+        .groupBy("prev_type", "next_type")
+        .agg(count(lit(1)).as("n_transitions"))
+      val tot = trans.groupBy(col("prev_type").as("_p"))
+        .agg(sum(col("n_transitions")).as("_t"))
+      trans.join(broadcast(tot), col("prev_type") === col("_p"))
+        .select(col("prev_type"), col("next_type"), col("n_transitions"),
+          expr("(n_transitions * 1000000) div _t").as("ppm"))
+    }),
+    "dedup_cdc_cut" -> ((s, dir) => {
+      // the ACT step of CDC dedup: duplicated chunks keep only their
+      // canonical first occurrence (min doc_id, then chunk index) and
+      // are cut everywhere else; docs reassemble from surviving chunks
+      // — the chunk-granular sibling of dedup_substrings_cut (same
+      // output shape, so curation gates swap freely between them)
+      Dedup.cdcChunkCut(t(s, dir, "documents"), "doc_id", "text")
     }),
     "q_events_paths" -> ((s, dir) => {
       // user-journey path analysis: each user's first three event types
@@ -6819,6 +6967,207 @@ object SparkEntry {
         |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_copies,
         |  MIN(doc_id) AS canonical_doc
         |FROM c GROUP BY canonical_url HAVING count(*) > 1""".stripMargin,
+    // integer-PageRank replica: same edge synthesis, same truncating
+    // division at every step ((r*w)//ow per edge, *85//100 damping,
+    // teleport = (mass//n)*15//100), three unrolled iterations
+    "graph_domain_rank" ->
+      """WITH si AS (
+        |  SELECT source,
+        |    CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS sidx
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM si),
+        |e0 AS (
+        |  SELECT si.sidx*20 + d.doc_id%20 AS src,
+        |    ((si.sidx + d.doc_id) % ns.n_src)*20 + (d.doc_id//7)%20 AS dst
+        |  FROM documents d JOIN si USING (source) CROSS JOIN ns),
+        |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+        |  FROM e0 GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |o AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY src),
+        |r0 AS (SELECT node, 1000000000000 // nn.n AS r
+        |  FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS node, CAST(sum((r.r*e.w)//o.ow) AS BIGINT) AS c
+        |  FROM e JOIN r0 r ON e.src = r.node JOIN o ON e.src = o.src
+        |  GROUP BY e.dst),
+        |r1 AS (SELECT n.node,
+        |    (coalesce(c.c, 0)*85)//100 + ((1000000000000//nn.n)*15)//100 AS r
+        |  FROM nodes n LEFT JOIN c1 c USING (node) CROSS JOIN nn),
+        |c2 AS (SELECT e.dst AS node, CAST(sum((r.r*e.w)//o.ow) AS BIGINT) AS c
+        |  FROM e JOIN r1 r ON e.src = r.node JOIN o ON e.src = o.src
+        |  GROUP BY e.dst),
+        |r2 AS (SELECT n.node,
+        |    (coalesce(c.c, 0)*85)//100 + ((1000000000000//nn.n)*15)//100 AS r
+        |  FROM nodes n LEFT JOIN c2 c USING (node) CROSS JOIN nn),
+        |c3 AS (SELECT e.dst AS node, CAST(sum((r.r*e.w)//o.ow) AS BIGINT) AS c
+        |  FROM e JOIN r2 r ON e.src = r.node JOIN o ON e.src = o.src
+        |  GROUP BY e.dst),
+        |r3 AS (SELECT n.node,
+        |    (coalesce(c.c, 0)*85)//100 + ((1000000000000//nn.n)*15)//100 AS r
+        |  FROM nodes n LEFT JOIN c3 c USING (node) CROSS JOIN nn)
+        |SELECT n.node, coalesce(o.ow, 0) AS out_weight,
+        |  CAST(r3.r AS BIGINT) AS rank_scaled
+        |FROM nodes n LEFT JOIN o ON n.node = o.src
+        |JOIN r3 ON n.node = r3.node""".stripMargin,
+    // knn-graph replica: the same one-Lloyd-iteration integer kmeans CTE
+    // as cluster_cells, then a within-cell self-join scored by the exact
+    // quantized dot, top-5 per node (dot desc, neighbor id asc). The
+    // engine's adaptive k = max(4, n div 250) resolves to 4 at the
+    // oracle's sf0.01 (500 vectors), matching the fixed vec_id < 4 seeds
+    "embed_knn_graph" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(x::DOUBLE * 1024) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, e AS c FROM q WHERE vec_id < 4),
+        |d0 AS (SELECT q.vec_id, q.e, c0.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (q.e[i] - c0.c[i]) * (q.e[i] - c0.c[i]))) AS dist
+        |  FROM q CROSS JOIN c0),
+        |a0 AS (SELECT vec_id, e, cid FROM (
+        |    SELECT vec_id, e, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d0) WHERE rn = 1),
+        |s1 AS (SELECT cid, i,
+        |    CAST(floor(sum(e[i])::DOUBLE / count(*)) AS BIGINT) AS v
+        |  FROM a0 CROSS JOIN range(1, 65) t(i) GROUP BY cid, i),
+        |c1 AS (SELECT cid, list(v ORDER BY i) AS c FROM s1 GROUP BY cid),
+        |d1 AS (SELECT q.vec_id, q.e, c1.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (q.e[i] - c1.c[i]) * (q.e[i] - c1.c[i]))) AS dist
+        |  FROM q CROSS JOIN c1),
+        |a1 AS (SELECT vec_id, e, cid AS cluster FROM (
+        |  SELECT vec_id, e, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM d1) WHERE rn = 1),
+        |p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> x.e[i] * y.e[i])) AS BIGINT) AS dot_q
+        |  FROM a1 x JOIN a1 y ON x.cluster = y.cluster
+        |    AND x.vec_id <> y.vec_id)
+        |SELECT a AS vec_id, rank, b AS neighbor, dot_q FROM (
+        |  SELECT a, b, dot_q,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY a ORDER BY dot_q DESC, b) AS BIGINT) AS rank
+        |  FROM p) WHERE rank <= 5""".stripMargin,
+    // transition-matrix replica: same lag window (ts, event_id order),
+    // same truncating-ppm normalization per source state
+    "q_events_markov" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type AS next_type,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |g AS (SELECT prev_type, next_type,
+        |    CAST(count(*) AS BIGINT) AS n_transitions
+        |  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, CAST(sum(n_transitions) AS BIGINT) AS tt
+        |  FROM g GROUP BY prev_type)
+        |SELECT g.prev_type, g.next_type, g.n_transitions,
+        |  (g.n_transitions * 1000000) // tot.tt AS ppm
+        |FROM g JOIN tot USING (prev_type)""".stripMargin,
+    // the STREAMING transition matrix must equal the batch lag-window's
+    // — the oracle is deliberately the same SQL as q_events_markov
+    // (streaming/batch equivalence is the claim under test)
+    "stream_markov" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type AS next_type,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |g AS (SELECT prev_type, next_type,
+        |    CAST(count(*) AS BIGINT) AS n_transitions
+        |  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, CAST(sum(n_transitions) AS BIGINT) AS tt
+        |  FROM g GROUP BY prev_type)
+        |SELECT g.prev_type, g.next_type, g.n_transitions,
+        |  (g.n_transitions * 1000000) // tot.tt AS ppm
+        |FROM g JOIN tot USING (prev_type)""".stripMargin,
+    // cdc-cut replica: same chunking CTEs, canonical occurrence = first
+    // (doc_id, chunk) per chunk md5, docs reassembled from survivors
+    "dedup_cdc_cut" ->
+      """WITH toks0 AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[CAST(i AS INT)] AS tok
+        |  FROM toks0, UNNEST(range(1, len(tk) + 1)) AS t(i)),
+        |b AS (SELECT doc_id, pos, tok,
+        |    CASE WHEN substr(md5(tok), 1, 1) < '2' THEN 1 ELSE 0 END AS f
+        |  FROM tok),
+        |c AS (SELECT doc_id, pos, tok,
+        |    coalesce(sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+        |  FROM b),
+        |ch AS (SELECT doc_id, chunk,
+        |    string_agg(tok, ' ' ORDER BY pos) AS chunk_str,
+        |    CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM c GROUP BY 1, 2),
+        |r AS (SELECT doc_id, chunk, chunk_str, n_tokens,
+        |    row_number() OVER (PARTITION BY md5(chunk_str)
+        |      ORDER BY doc_id, chunk) AS occ
+        |  FROM ch)
+        |SELECT doc_id, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(sum(CASE WHEN occ = 1 THEN n_tokens END), 0)
+        |    AS BIGINT) AS kept_tokens,
+        |  coalesce(string_agg(CASE WHEN occ = 1 THEN chunk_str END,
+        |    ' ' ORDER BY chunk), '') AS cleaned_text
+        |FROM r GROUP BY doc_id""".stripMargin,
+    // anisotropy replica: same floor(x*1024) quantization, hugeint sums,
+    // same sign*(abs(num)//n^2) truncating normalization
+    "embed_anisotropy" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(floor(x::DOUBLE * 1024) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM q),
+        |m AS (SELECT i, CAST(sum(q[i]) AS HUGEINT) AS m
+        |  FROM q CROSS JOIN range(1, 65) t(i) GROUP BY i),
+        |p AS (SELECT i, j, CAST(sum(q[i] * q[j]) AS HUGEINT) AS s
+        |  FROM q CROSS JOIN range(1, 65) t(i) CROSS JOIN range(1, 65) u(j)
+        |  WHERE j > i GROUP BY i, j),
+        |cov AS (SELECT p.i, p.j,
+        |    n.n * p.s - mi.m * mj.m AS num, n.n AS n
+        |  FROM p JOIN m mi ON p.i = mi.i JOIN m mj ON p.j = mj.i
+        |  CROSS JOIN n),
+        |c AS (SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
+        |    CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+        |      (abs(num) // (n * n)) AS BIGINT) AS cov_q2
+        |  FROM cov)
+        |SELECT rank, dim_i, dim_j, cov_q2 FROM (
+        |  SELECT dim_i, dim_j, cov_q2,
+        |    CAST(row_number() OVER (
+        |      ORDER BY abs(cov_q2) DESC, dim_i, dim_j) AS BIGINT) AS rank
+        |  FROM c) WHERE rank <= 20""".stripMargin,
+    // CDC replica: same md5-hex boundary rule, same strictly-before
+    // running boundary count, same ordered string_agg chunk hash
+    "text_cdc_chunks" ->
+      """WITH toks0 AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[CAST(i AS INT)] AS tok
+        |  FROM toks0, UNNEST(range(1, len(tk) + 1)) AS t(i)),
+        |b AS (SELECT doc_id, pos, tok,
+        |    CASE WHEN substr(md5(tok), 1, 1) < '2' THEN 1 ELSE 0 END AS f
+        |  FROM tok),
+        |c AS (SELECT doc_id, pos, tok,
+        |    coalesce(sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+        |  FROM b),
+        |ch AS (SELECT doc_id, chunk,
+        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash,
+        |    CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM c GROUP BY 1, 2)
+        |SELECT chunk_hash, n_tokens,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_copies
+        |FROM ch GROUP BY 1, 2
+        |HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
     // same floor(x/s + 0.5) arithmetic; arrays reduce to sum/min/max so
     // the compare stays scalar
     "embed_quantize" ->

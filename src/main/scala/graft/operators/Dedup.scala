@@ -895,4 +895,110 @@ object Dedup {
         col("shared").cast(DoubleType) / least(col("size_a"), col("size_b")))
       .filter(col("containment") >= threshold)
   }
+
+  /** Content-defined chunking (CDC) duplicate report: split every document
+    * at content-determined token boundaries (a token is a cut point when
+    * its hash falls in a fixed fraction of the hash space), hash each
+    * chunk, and report chunks appearing in >= 2 distinct documents.
+    *
+    * Why CDC instead of fixed-width chunks: an insertion or deletion
+    * shifts every fixed-width boundary after it, so near-identical
+    * documents share almost no fixed chunks — content-defined boundaries
+    * RE-SYNCHRONIZE one cut point after the edit, so all the unchanged
+    * material downstream still dedups (the rsync/backup-dedup trick,
+    * applied to corpus text). Complements `duplicatedSpans` (which finds
+    * fixed-k gram overlap): CDC chunks are variable-length and directly
+    * reusable as storage/transfer dedup units.
+    *
+    * Boundary rule: first hex digit of md5(token) < boundaryHexLt — with
+    * the default "2" that is 2/16 = 1/8 of tokens, so chunks average ~8
+    * tokens. md5 hex compares are engine-portable (same lowercase hex in
+    * Spark and DuckDB) — the same convention as every sampler here.
+    *
+    * Scale design: tokenization and boundary flags are map-only; the
+    * chunk id is a per-document running sum (window partitioned by doc —
+    * bounded by document length, never global); chunk assembly shuffles
+    * each doc's tokens once keyed by doc id; the final rollup shuffles
+    * only (chunk_hash, count) pairs with map-side partial aggregation.
+    * Nothing global, nothing driver-side. */
+  def cdcChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      boundaryHexLt: String = "2"): DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+        x => length(x) > 0)).as(Seq("pos", "tok")))
+    // chunk id = number of boundary tokens STRICTLY BEFORE this one: a
+    // boundary token CLOSES its chunk (the cut falls after it, so the
+    // boundary token is the last member — the rsync convention)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val withChunk = toks.withColumn("chunk",
+      coalesce(sum(when(substring(md5(col("tok")), 1, 1) < lit(boundaryHexLt),
+        lit(1L)).otherwise(lit(0L))).over(w), lit(0L)))
+    val chunks = withChunk.groupBy("doc_id", "chunk")
+      .agg(
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")))).as("chunk_hash"),
+        count(lit(1)).as("n_tokens"))
+    chunks.groupBy("chunk_hash", "n_tokens")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_copies"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  /** The ACT step of CDC dedup: every duplicated chunk keeps only its
+    * canonical first occurrence (lowest doc_id, then lowest chunk index)
+    * and is cut everywhere else; documents are reassembled from their
+    * surviving chunks in order. Same boundary rule as [[cdcChunks]].
+    *
+    * Scale design: the canonical-occurrence choice is a per-chunk-hash
+    * window bounded by the copy count of that chunk (never global); the
+    * reassembly is a per-doc aggregate. Chunk strings shuffle twice
+    * (by hash to rank occurrences, by doc to reassemble) — at 100 TB
+    * trade the second into a token-id re-join if chunk payloads dominate.
+    *
+    * Output: (doc_id, n_tokens, kept_tokens, cleaned_text) — the same
+    * shape as `removeDuplicatedSpans`' query, so downstream gates swap
+    * freely between span-cut and chunk-cut curation. */
+  def cdcChunkCut(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      boundaryHexLt: String = "2"): DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+        x => length(x) > 0)).as(Seq("pos", "tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val withChunk = toks.withColumn("chunk",
+      coalesce(sum(when(substring(md5(col("tok")), 1, 1) < lit(boundaryHexLt),
+        lit(1L)).otherwise(lit(0L))).over(w), lit(0L)))
+    val chunks = withChunk.groupBy("doc_id", "chunk")
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("chunk_str"),
+        count(lit(1)).as("n_tokens"))
+    val ranked = chunks.withColumn("occ", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("chunk_str")))
+        .orderBy(col("doc_id"), col("chunk"))))
+    ranked.groupBy("doc_id")
+      .agg(
+        sum(col("n_tokens")).as("n_tokens"),
+        coalesce(sum(when(col("occ") === 1, col("n_tokens"))), lit(0L))
+          .as("kept_tokens"),
+        coalesce(concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(col("occ") === 1,
+              struct(col("chunk"), col("chunk_str"))))),
+            x => x.getField("chunk_str"))), lit(""))
+          .as("cleaned_text"))
+  }
 }

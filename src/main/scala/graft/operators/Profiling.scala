@@ -125,4 +125,75 @@ object Profiling {
       .withColumn("drift", abs(col("mean_new") - col("mean_ref")))
       .withColumn("flagged", col("drift") >= flagThreshold)
   }
+
+  /** Embedding anisotropy audit: the top-k strongest OFF-DIAGONAL
+    * covariance pairs of the (quantized) embedding distribution — the
+    * governance table read before trusting cosine retrieval (a strongly
+    * anisotropic space concentrates similarity mass in few directions, so
+    * cosine scores compress and ANN recall targets need re-tuning; the
+    * standard fixes — mean-centering, whitening the top pairs — start
+    * from exactly this table).
+    *
+    * Scale design: ONE pass over the embeddings. Each vector explodes to
+    * the upper-triangle product entries (i<=j) plus its first-moment
+    * entries and one count marker — dims*(dims+3)/2 + 1 in-task rows that
+    * partially aggregate map-side down to that many rows PER PARTITION
+    * before the only shuffle; the reduced table (2,145 rows at dims=64)
+    * then runs through broadcast self-joins. Nothing row-sized crosses
+    * the wire.
+    *
+    * Exactness: components quantize to integers (floor(x*scale)); sums
+    * accumulate as DECIMAL(38,0) so no overflow at any corpus size; the
+    * covariance numerator n*S_ij - S_i*S_j is exact integer arithmetic,
+    * and the reported `cov_q2` = sign * (|num| div n^2) — covariance in
+    * quantized-unit^2, scale-invariant in magnitude — uses truncating
+    * division on the absolute value so engines with different negative-
+    * division conventions still agree. */
+  def embeddingAnisotropy(
+      df: DataFrame,
+      vecCol: String,
+      dims: Int,
+      scale: Int = 1024,
+      topK: Int = 20): DataFrame = {
+    require((scale & (scale - 1)) == 0, s"scale must be a power of two: $scale")
+    val q = df.select(transform(col(vecCol), x =>
+      floor(x.cast(DoubleType) * lit(scale)).cast(LongType)).as("q"))
+    val entries = q.select(explode(concat(
+        array(struct(lit(-1).as("i"), lit(-1).as("j"), lit(1L).as("v"))),
+        transform(sequence(lit(1), lit(dims)), i =>
+          struct(i.cast(IntegerType).as("i"), lit(-1).as("j"),
+            element_at(col("q"), i).as("v"))),
+        flatten(transform(sequence(lit(1), lit(dims)), i =>
+          transform(sequence(i, lit(dims)), j =>
+            struct(i.cast(IntegerType).as("i"), j.cast(IntegerType).as("j"),
+              (element_at(col("q"), i) * element_at(col("q"), j)).as("v")))))))
+        .as("x"))
+      .select(col("x.i").as("i"), col("x.j").as("j"), col("x.v").as("v"))
+    val sums = entries.groupBy("i", "j")
+      .agg(sum(col("v").cast(DecimalType(38, 0))).as("s"))
+    val nRow = sums.filter(col("i") === -1 && col("j") === -1)
+      .select(col("s").as("n"))
+    val moments = sums.filter(col("i") > 0 && col("j") === -1)
+    val pairs = sums.filter(col("i") > 0 && col("j") > col("i"))
+    val cov = pairs
+      .join(broadcast(moments.select(col("i").as("_mi_i"), col("s").as("mi"))),
+        col("i") === col("_mi_i"))
+      .join(broadcast(moments.select(col("i").as("_mj_i"), col("s").as("mj"))),
+        col("j") === col("_mj_i"))
+      .crossJoin(broadcast(nRow))
+      .select(col("i").cast(LongType).as("dim_i"),
+        col("j").cast(LongType).as("dim_j"),
+        (col("n") * col("s") - col("mi") * col("mj")).as("num"),
+        col("n"))
+      .select(col("dim_i"), col("dim_j"),
+        (when(col("num") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("abs(num) div (n * n)")).as("cov_q2"))
+    cov
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(abs(col("cov_q2")).desc, col("dim_i"), col("dim_j")))
+        .cast(LongType))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("dim_i"), col("dim_j"), col("cov_q2"))
+  }
 }

@@ -668,7 +668,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
           .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       } catch {
-        case _: UnsupportedOperationException =>
+        // UnsupportedFileSystemException: FileContext resolves through the
+        // fs.AbstractFileSystem.<scheme>.impl registry, which session-
+        // registered filesystems (fs.<scheme>.impl only) never populate
+        case _: UnsupportedOperationException |
+             _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
           // filesystems without FileContext: shrink the window to the
           // minimum and restore visibility on failure by keeping tmp
           fs.delete(p, false)

@@ -78,4 +78,83 @@ class EntrySpec extends AnyFunSuite {
     val urls = SparkEntry.queries("dedup_url")(s, dir).collect()
     assert(urls.forall(_.getLong(1) > 1))
   }
+
+  test("round-11 close wave: structural invariants on sf0.001") {
+    val s = TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+
+    // pagerank: every node holds at least its teleport share, total mass
+    // never exceeds the scale (truncating division only sheds mass), and
+    // out_weight is non-negative with at least one dangling-or-sink node
+    // receiving rank
+    val pr = SparkEntry.queries("graph_domain_rank")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pr.nonEmpty)
+    val n = pr.length.toLong
+    val teleport = (1000000000000L / n) * 15 / 100
+    assert(pr.forall(_._3 >= teleport))
+    assert(pr.map(_._3).sum <= 1000000000000L)
+    assert(pr.forall(_._2 >= 0L))
+
+    // anisotropy: ranks contiguous from 1, |cov| non-increasing, pairs
+    // strictly upper-triangular in [1, 64]
+    val an = SparkEntry.queries("embed_anisotropy")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(an.map(_._1).toSeq === (1L to an.length).toSeq)
+    assert(an.map(x => math.abs(x._4)).toSeq ===
+      an.map(x => math.abs(x._4)).sortBy(-_).toSeq)
+    assert(an.forall(x => x._2 >= 1 && x._2 < x._3 && x._3 <= 64))
+
+    // cdc chunks: every reported chunk is genuinely cross-doc and copy
+    // counts dominate doc counts
+    val cdc = SparkEntry.queries("text_cdc_chunks")(s, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(cdc.nonEmpty)
+    assert(cdc.forall { case (nt, nd, nc) => nt > 0 && nd >= 2 && nc >= nd })
+
+    // knn graph: <=5 ranked neighbors per node, ranks contiguous from 1,
+    // dots non-increasing down each ranking, no self-edges
+    val knn = SparkEntry.queries("embed_knn_graph")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(knn.nonEmpty)
+    knn.groupBy(_._1).foreach { case (v, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.length <= 5)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq)
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sortBy(-_).toSeq)
+      assert(sorted.forall(_._3 != v))
+    }
+
+    // markov: ppm shares per source state sum to <= 1e6 (truncation only
+    // sheds mass) and every transition was observed
+    val mk = SparkEntry.queries("q_events_markov")(s, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(mk.nonEmpty)
+    assert(mk.forall(x => x._3 > 0 && x._4 >= 0))
+    mk.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sum <= 1000000L)
+    }
+
+    // streaming/batch equivalence: the stateful streaming transition
+    // matrix equals the batch lag-window's, row for row
+    val smk = SparkEntry.queries("stream_markov")(s, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(smk === mk.toSet)
+
+    // cdc cut: kept <= total per doc, mass is conserved corpus-wide
+    // (every chunk survives in exactly one place), cleaned text token
+    // count equals kept_tokens
+    val cut = SparkEntry.queries("dedup_cdc_cut")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(cut.nonEmpty)
+    assert(cut.forall(x => x._3 <= x._2))
+    assert(cut.forall(x =>
+      x._4.split(" ").count(_.nonEmpty).toLong === x._3))
+    val rep = SparkEntry.queries("text_cdc_chunks")(s, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // cut mass = sum over duplicated chunks of (copies - 1) * n_tokens
+    val cutMass = rep.map { case (nt, _, nc) => (nc - 1) * nt }.sum
+    assert(cut.map(x => x._2 - x._3).sum === cutMass)
+  }
 }

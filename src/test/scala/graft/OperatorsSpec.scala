@@ -1853,4 +1853,135 @@ class OperatorsSpec extends AnyFunSuite {
       .select("n_blocks", "qsum").head()
     assert(e.getLong(0) === 0L)
   }
+
+  test("integer pagerank: matches a driver-side reference simulation exactly") {
+    import graft.operators.Graph
+    // 4 is a dangling node (appears only as a destination)
+    val edges = Seq(
+      (1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 1L), (3L, 1L, 1L), (2L, 4L, 2L),
+    ).toDF("src", "dst", "w")
+    val got = Graph.pageRank(edges, "src", "dst", "w", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent reference: same integer arithmetic over Scala maps
+    val es = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 1L), (3L, 1L, 1L), (2L, 4L, 2L))
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val ow = es.groupBy(_._1).map { case (s, g) => s -> g.map(_._3).sum }
+    val base = 1000000000000L / nodes.size
+    val teleport = base * 15 / 100
+    var r = nodes.map(_ -> base).toMap
+    for (_ <- 1 to 3) {
+      val contrib = es.groupBy(_._2).map { case (d, g) =>
+        d -> g.map(e => r(e._1) * e._3 / ow(e._1)).sum
+      }
+      r = nodes.map(v => v -> (contrib.getOrElse(v, 0L) * 85 / 100 + teleport)).toMap
+    }
+    assert(got === r)
+    // the dangling node holds exactly its inbound share (it redistributes
+    // nothing, by contract), and total mass never exceeds the scale
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    assert(got.values.sum <= 1000000000000L)
+  }
+
+  test("cdc chunks: boundary re-sync after an insertion; reference replica agrees") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val b = "INSERTED " + a // one-token insertion at the front
+    val d = Seq((1L, a), (2L, b), (3L, "unrelated filler words entirely")).toDF("doc_id", "text")
+    val got = Dedup.cdcChunks(d, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // reference replica: same tokenize/boundary/assemble rules in plain Scala
+    def chunksOf(text: String): Seq[String] = {
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      val out = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+      var cur = Vector.empty[String]
+      toks.foreach { t =>
+        cur = cur :+ t
+        // a boundary token CLOSES its chunk (the cut falls after it)
+        if (md5hex(t).head < '2') { out += cur; cur = Vector.empty }
+      }
+      if (cur.nonEmpty) out += cur
+      out.map(_.mkString(" ")).toSeq
+    }
+    val all = Seq(1L -> a, 2L -> b, 3L -> "unrelated filler words entirely")
+      .flatMap { case (id, t) => chunksOf(t).map(c => (id, c)) }
+    val expected = all.groupBy(_._2).collect {
+      case (c, occ) if occ.map(_._1).distinct.size >= 2 =>
+        (md5hex(c), c.split(" ").length.toLong,
+          occ.map(_._1).distinct.size.toLong, occ.size.toLong)
+    }.toSet
+    assert(got === expected)
+    // CDC's point: the docs share at least one re-synchronized chunk even
+    // though the insertion shifted every fixed-width boundary
+    assert(got.nonEmpty)
+  }
+
+  test("cdc chunk cut: canonical first occurrence survives, copies cut, reassembly ordered") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val b = "INSERTED " + a
+    val d = Seq((1L, a), (2L, b), (3L, "unrelated filler words entirely")).toDF("doc_id", "text")
+    val got = Dedup.cdcChunkCut(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // reference replica
+    def chunksOf(text: String): Seq[String] = {
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      val out = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+      var cur = Vector.empty[String]
+      toks.foreach { t =>
+        cur = cur :+ t
+        if (md5hex(t).head < '2') { out += cur; cur = Vector.empty }
+      }
+      if (cur.nonEmpty) out += cur
+      out.map(_.mkString(" ")).toSeq
+    }
+    val docs = Seq(1L -> a, 2L -> b, 3L -> "unrelated filler words entirely")
+    val occs = docs.flatMap { case (id, t) =>
+      chunksOf(t).zipWithIndex.map { case (c, i) => (id, i.toLong, c) }
+    }
+    val canonical = occs.groupBy(_._3).map { case (c, os) =>
+      c -> os.minBy(o => (o._1, o._2))
+    }
+    val expected = docs.map { case (id, t) =>
+      val cs = chunksOf(t).zipWithIndex
+      val kept = cs.filter { case (c, i) => canonical(c) == ((id, i.toLong, c)) }
+      id -> (
+        cs.map(_._1.split(" ").length.toLong).sum,
+        kept.map(_._1.split(" ").length.toLong).sum,
+        kept.map(_._1).mkString(" "))
+    }.toMap
+    assert(got === expected)
+    // doc 1 (lower id) keeps everything; doc 2 loses its re-synchronized
+    // shared chunks to doc 1's canonical copies
+    assert(got(1L)._1 === got(1L)._2)
+    assert(got(2L)._2 < got(2L)._1)
+  }
+
+  test("embedding anisotropy: exact integer covariance numerators, top-k order") {
+    import graft.operators.Profiling
+    // dims=3; values chosen so quantization floor(x*1024) is exact
+    val d = Seq(
+      (1L, Seq(1.0f, 0.5f, -0.25f)),
+      (2L, Seq(0.5f, 1.0f, 0.25f)),
+      (3L, Seq(-0.5f, -1.0f, 0.5f)),
+    ).toDF("id", "v")
+    val got = Profiling.embeddingAnisotropy(d, "v", dims = 3, topK = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val q = Seq(
+      Seq(1024L, 512L, -256L), Seq(512L, 1024L, 256L), Seq(-512L, -1024L, 512L))
+    def cov(i: Int, j: Int): Long = {
+      val n = BigInt(q.size)
+      val s = q.map(v => BigInt(v(i)) * BigInt(v(j))).sum
+      val mi = q.map(v => BigInt(v(i))).sum
+      val mj = q.map(v => BigInt(v(j))).sum
+      val num = n * s - mi * mj
+      (num.signum * (num.abs / (n * n))).toLong
+    }
+    assert(got === Map((1L, 2L) -> cov(0, 1), (1L, 3L) -> cov(0, 2), (2L, 3L) -> cov(1, 2)))
+  }
 }
