@@ -955,6 +955,10 @@ object Dedup {
     * canonical first occurrence (lowest doc_id, then lowest chunk index)
     * and is cut everywhere else; documents are reassembled from their
     * surviving chunks in order. Same boundary rule as [[cdcChunks]].
+    * NOTE: the cut removes within-doc repeats too, which the cross-doc
+    * report ([[cdcChunks]], n_docs >= 2) deliberately omits — cut mass
+    * therefore DOMINATES report mass (PropertySpec pins the exact
+    * all-duplicates accounting on random docs).
     *
     * Scale design: the canonical-occurrence choice is a per-chunk-hash
     * window bounded by the copy count of that chunk (never global); the

@@ -153,8 +153,11 @@ class EntrySpec extends AnyFunSuite {
       x._4.split(" ").count(_.nonEmpty).toLong === x._3))
     val rep = SparkEntry.queries("text_cdc_chunks")(s, dir).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
-    // cut mass = sum over duplicated chunks of (copies - 1) * n_tokens
-    val cutMass = rep.map { case (nt, _, nc) => (nc - 1) * nt }.sum
-    assert(cut.map(x => x._2 - x._3).sum === cutMass)
+    // the cut removes every non-canonical copy INCLUDING within-doc
+    // repeats, which the cross-doc report (n_docs >= 2) omits — so the
+    // cut mass DOMINATES the report's (exact equality over all-duplicate
+    // groups is PropertySpec's random-docs invariant)
+    val reportMass = rep.map { case (nt, _, nc) => (nc - 1) * nt }.sum
+    assert(cut.map(x => x._2 - x._3).sum >= reportMass)
   }
 }

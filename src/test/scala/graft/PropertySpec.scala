@@ -228,4 +228,122 @@ class PropertySpec extends AnyFunSuite {
       assert(graft.spark.TransformEval.eval("truncate[100]", IcePrim("long"), v) === row.getLong(1))
     }
   }
+
+  /** 15 cases for the Spark-job-per-case properties below: each case
+    * runs a multi-join distributed query, so the default 200 would tax
+    * the suite without adding coverage over the unit tests' fixed cases */
+  private def check15(p: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("integer pagerank equals the driver simulation on random weighted graphs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val gen = for {
+      ne <- Gen.choose(1, 20)
+      edges <- Gen.listOfN(ne, for {
+        s <- Gen.choose(0L, 11L); d <- Gen.choose(0L, 11L)
+        w <- Gen.choose(1L, 50L)
+      } yield (s, d, w))
+      iters <- Gen.choose(1, 3)
+    } yield (edges, iters)
+    check15(Prop.forAllNoShrink(gen) { case (edges, iters) =>
+      val got = graft.operators.Graph
+        .pageRank(edges.toDF("src", "dst", "w"), "src", "dst", "w", iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // independent integer simulation (duplicate edges NOT merged —
+      // the operator must be multiset-correct too)
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val ow = edges.groupBy(_._1).map { case (s, g) => s -> g.map(_._3).sum }
+      val base = 1000000000000L / nodes.size
+      var r = nodes.map(_ -> base).toMap
+      for (_ <- 1 to iters) {
+        val contrib = edges.groupBy(_._2).map { case (d, g) =>
+          d -> g.map(e => r(e._1) * e._3 / ow(e._1)).sum
+        }
+        r = nodes.map(v =>
+          v -> (contrib.getOrElse(v, 0L) * 85 / 100 + base * 15 / 100)).toMap
+      }
+      got == r
+    })
+  }
+
+  test("cdc chunk report + cut conserve token mass on random docs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "mu")
+    val gen = for {
+      nd <- Gen.choose(1, 6)
+      docs <- Gen.listOfN(nd, Gen.choose(1, 30)
+        .flatMap(len => Gen.listOfN(len, Gen.oneOf(words))))
+    } yield docs.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+    check15(Prop.forAllNoShrink(gen) { docs =>
+      val d = docs.toDF("doc_id", "text")
+      val cut = graft.operators.Dedup.cdcChunkCut(d, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      val rep = graft.operators.Dedup.cdcChunks(d, "doc_id", "text")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      val totalTokens = docs.map(_._2.split(" ").length.toLong).sum
+      // replica of the chunking to get ALL duplicate groups: the cut
+      // removes every non-canonical copy INCLUDING within-doc repeats,
+      // which the cross-doc report (n_docs >= 2) deliberately omits
+      def chunksOf(text: String): Seq[String] = {
+        def md5hex(s: String): String =
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val out = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+        var cur = Vector.empty[String]
+        text.split(" ").filter(_.nonEmpty).foreach { t =>
+          cur = cur :+ t
+          if (md5hex(t).head < '2') { out += cur; cur = Vector.empty }
+        }
+        if (cur.nonEmpty) out += cur
+        out.map(_.mkString(" ")).toSeq
+      }
+      val allOccs = docs.flatMap { case (id, t) => chunksOf(t).map(c => (id, c)) }
+      val expectCutMass = allOccs.groupBy(_._2).map { case (c, os) =>
+        (os.size - 1).toLong * c.split(" ").length
+      }.sum
+      val expectReportMass = allOccs.groupBy(_._2).collect {
+        case (c, os) if os.map(_._1).distinct.size >= 2 =>
+          (os.size - 1).toLong * c.split(" ").length
+      }.sum
+      // per-doc totals reconstruct the corpus; cut mass equals the
+      // all-duplicates expectation and dominates the cross-doc report's;
+      // cleaned text token count equals kept_tokens
+      cut.map(_._2).sum == totalTokens &&
+        cut.map(x => x._2 - x._3).sum == expectCutMass &&
+        rep.map { case (nt, _, nc) => (nc - 1) * nt }.sum == expectReportMass &&
+        expectCutMass >= expectReportMass &&
+        cut.forall(x => x._4.split(" ").count(_.nonEmpty).toLong == x._3)
+    })
+  }
+
+  test("embedding anisotropy equals BigInt brute force on random vectors") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(2, 12)
+      dims <- Gen.choose(2, 5)
+      vecs <- Gen.listOfN(n, Gen.listOfN(dims,
+        Gen.choose(-8, 8).map(x => x / 8.0f)))
+    } yield (vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }, dims)
+    check15(Prop.forAllNoShrink(gen) { case (rows, dims) =>
+      val got = graft.operators.Profiling
+        .embeddingAnisotropy(rows.toDF("id", "v"), "v", dims, topK = 1000)
+        .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+      val q = rows.map(_._2.map(x => math.floor(x * 1024.0).toLong))
+      val n = BigInt(q.size)
+      val expect = (for { i <- 0 until dims; j <- i + 1 until dims } yield {
+        val s = q.map(v => BigInt(v(i)) * BigInt(v(j))).sum
+        val mi = q.map(v => BigInt(v(i))).sum
+        val mj = q.map(v => BigInt(v(j))).sum
+        val num = n * s - mi * mj
+        ((i + 1).toLong, (j + 1).toLong) -> (num.signum * (num.abs / (n * n))).toLong
+      }).toMap
+      got == expect
+    })
+  }
 }
