@@ -988,12 +988,15 @@ object SparkEntry {
       // cross sources); every iteration then runs over the aggregated
       // graph only — O(E) joins independent of corpus size.
       val d = t(s, dir, "documents")
+      // sidx AND n_src ride ONE source-pruned aggregate (the count is a
+      // window over the distinct-source rows, not a second corpus pass)
       val si = d.select(col("source")).distinct()
         .withColumn("sidx",
           (row_number().over(Window.orderBy(col("source"))) - 1)
             .cast(LongType))
-      val ns = si.agg(count(lit(1)).as("n_src"))
-      val edges0 = d.join(broadcast(si), "source").crossJoin(broadcast(ns))
+        .withColumn("n_src", count(lit(1)).over(
+          Window.partitionBy(lit(1))).cast(LongType))
+      val edges0 = d.join(broadcast(si), "source")
         .select(
           (col("sidx") * 20 + pmod(col("doc_id"), lit(20))).as("src"),
           (pmod(col("sidx") + col("doc_id"), col("n_src")) * 20 +
@@ -1044,10 +1047,14 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val k = math.max(4, (e.count() / 250).toInt)
       val asg = Clustering.kmeansAssign(e, "vec_id", "embedding", k = k, iters = 1)
+      // persist the assigned+quantized frame: both self-join sides read
+      // it, so without this the k-literal assignment expression would be
+      // evaluated twice over the corpus
       val q = e.select(col("vec_id"),
           transform(col("embedding"), x =>
             floor(x.cast(DoubleType) * 1024).cast(LongType)).as("q"))
         .join(asg, "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = q.select(col("cluster"), col("vec_id").as("a"), col("q").as("qa"))
       val b = q.select(col("cluster"), col("vec_id").as("b"), col("q").as("qb"))
       val pairs = a.join(b, Seq("cluster")).filter(col("a") =!= col("b"))
@@ -1068,8 +1075,8 @@ object SparkEntry {
       // row's share of its source state in exact integer ppm — the
       // Markov-chain view of user behavior (q_events_paths shows the
       // first-3 journeys; this shows the full stationary structure).
-      // One per-user lag window + one hash aggregate + one broadcast
-      // per-prev total join.
+      // ONE corpus pass: per-user lag window + one hash aggregate; the
+      // per-state totals are a window over the aggregate itself.
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val trans = t(s, dir, "events")
         .select(col("user_id"), col("event_type").as("next_type"),
@@ -1077,9 +1084,12 @@ object SparkEntry {
         .filter(col("prev_type").isNotNull)
         .groupBy("prev_type", "next_type")
         .agg(count(lit(1)).as("n_transitions"))
-      val tot = trans.groupBy(col("prev_type").as("_p"))
-        .agg(sum(col("n_transitions")).as("_t"))
-      trans.join(broadcast(tot), col("prev_type") === col("_p"))
+      // per-state totals via a window OVER THE AGGREGATE (|types|^2 rows)
+      // — deriving them with a second groupBy from the source would
+      // re-scan and re-window the whole corpus for a 25-row table
+      trans
+        .withColumn("_t", sum(col("n_transitions")).over(
+          Window.partitionBy(col("prev_type"))))
         .select(col("prev_type"), col("next_type"), col("n_transitions"),
           expr("(n_transitions * 1000000) div _t").as("ppm"))
     }),
@@ -1109,12 +1119,11 @@ object SparkEntry {
         .start()
       q.processAllAvailable()
       q.stop()
-      val trans = s.table(name)
+      s.table(name)
         .groupBy("prev_type", "next_type")
         .agg(count(lit(1)).as("n_transitions"))
-      val tot = trans.groupBy(col("prev_type").as("_p"))
-        .agg(sum(col("n_transitions")).as("_t"))
-      trans.join(broadcast(tot), col("prev_type") === col("_p"))
+        .withColumn("_t", sum(col("n_transitions")).over(
+          Window.partitionBy(col("prev_type"))))
         .select(col("prev_type"), col("next_type"), col("n_transitions"),
           expr("(n_transitions * 1000000) div _t").as("ppm"))
     }),
