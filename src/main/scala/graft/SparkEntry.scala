@@ -1011,6 +1011,60 @@ object SparkEntry {
           coalesce(col("out_weight"), lit(0L)).as("out_weight"),
           col("rank_scaled"))
     }),
+    "pipeline_domains" -> ((s, dir) => {
+      // authority-gated curation: the graph op feeding an actual corpus
+      // decision. Docs map to their hosting domain node; a doc is
+      // dropped if its domain is (a) a trap suspect (>2% corpus share —
+      // the text_domains gate; every 13th doc routes through node 0, a
+      // planted "aggregator" domain concentrated enough to trip it) or
+      // (b) low-authority (its PageRank is in the bottom half of nodes
+      // by (rank, node) order — an exact integer median cut over the
+      // bounded rank table, never the corpus). The hosting mod uses
+      // doc_id div 20 because the generator correlates source with
+      // doc_id % 20 — the % 20 mapping would collapse to one domain per
+      // source (5% share each: every domain a trap, nothing kept).
+      // One persisted corpus pass feeds edges, shares and the gate join.
+      val d = t(s, dir, "documents")
+      val si = d.select(col("source")).distinct()
+        .withColumn("sidx",
+          (row_number().over(Window.orderBy(col("source"))) - 1)
+            .cast(LongType))
+        .withColumn("n_src", count(lit(1)).over(
+          Window.partitionBy(lit(1))).cast(LongType))
+      val docs = d.join(broadcast(si), "source")
+        .select(col("source"), col("doc_id"),
+          when(pmod(col("doc_id"), lit(13)) === 0, lit(0L))
+            .otherwise(col("sidx") * 20 +
+              pmod(expr("doc_id div 20"), lit(20))).as("src"),
+          (pmod(col("sidx") + col("doc_id"), col("n_src")) * 20 +
+            pmod(expr("doc_id div 7"), lit(20))).as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edges = docs.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val ranks = Graph.pageRank(edges, "src", "dst", "w", iterations = 3)
+      // bottom-half cut and trap share over the NODE table (bounded)
+      val ranked = ranks
+        .withColumn("_pos", row_number().over(
+          Window.orderBy(col("rank_scaled"), col("node"))).cast(LongType))
+        .withColumn("_n", count(lit(1)).over(
+          Window.partitionBy(lit(1))).cast(LongType))
+        .select(col("node").as("_node"),
+          (col("_pos") * 2 <= col("_n")).as("low_authority"))
+      val nodeDocs = docs.groupBy(col("src")).agg(count(lit(1)).as("_nd"))
+        .withColumn("_tot", sum(col("_nd")).over(Window.partitionBy(lit(1))))
+        .select(col("src").as("_tnode"),
+          (col("_nd") * 50 > col("_tot")).as("trap_suspect"))
+      docs
+        .join(broadcast(ranked), col("src") === col("_node"))
+        .join(broadcast(nodeDocs), col("src") === col("_tnode"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("low_authority") && !col("trap_suspect"), 1L)
+            .otherwise(0L)).as("kept_docs"),
+          sum(when(col("low_authority"), 1L).otherwise(0L))
+            .as("dropped_low_authority"),
+          sum(when(col("trap_suspect") && !col("low_authority"), 1L)
+            .otherwise(0L)).as("dropped_trap"))
+    }),
     "embed_anisotropy" -> ((s, dir) => {
       // embedding-space anisotropy audit: the top-20 strongest
       // off-diagonal covariance pairs over quantized components — the
@@ -7124,6 +7178,65 @@ object SparkEntry {
         |  coalesce(string_agg(CASE WHEN occ = 1 THEN chunk_str END,
         |    ' ' ORDER BY chunk), '') AS cleaned_text
         |FROM r GROUP BY doc_id""".stripMargin,
+    // authority-gated curation replica: the graph_domain_rank CTEs plus
+    // the bottom-half rank cut and the 2%-share trap gate
+    "pipeline_domains" ->
+      """WITH si AS (
+        |  SELECT source,
+        |    CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS sidx
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM si),
+        |docs AS (
+        |  SELECT d.source, d.doc_id,
+        |    CASE WHEN d.doc_id % 13 = 0 THEN 0
+        |         ELSE si.sidx*20 + (d.doc_id//20)%20 END AS src,
+        |    ((si.sidx + d.doc_id) % ns.n_src)*20 + (d.doc_id//7)%20 AS dst
+        |  FROM documents d JOIN si USING (source) CROSS JOIN ns),
+        |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+        |  FROM docs GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |o AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY src),
+        |r0 AS (SELECT node, 1000000000000 // nn.n AS r
+        |  FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS node, CAST(sum((r.r*e.w)//o.ow) AS BIGINT) AS c
+        |  FROM e JOIN r0 r ON e.src = r.node JOIN o ON e.src = o.src
+        |  GROUP BY e.dst),
+        |r1 AS (SELECT n.node,
+        |    (coalesce(c.c, 0)*85)//100 + ((1000000000000//nn.n)*15)//100 AS r
+        |  FROM nodes n LEFT JOIN c1 c USING (node) CROSS JOIN nn),
+        |c2 AS (SELECT e.dst AS node, CAST(sum((r.r*e.w)//o.ow) AS BIGINT) AS c
+        |  FROM e JOIN r1 r ON e.src = r.node JOIN o ON e.src = o.src
+        |  GROUP BY e.dst),
+        |r2 AS (SELECT n.node,
+        |    (coalesce(c.c, 0)*85)//100 + ((1000000000000//nn.n)*15)//100 AS r
+        |  FROM nodes n LEFT JOIN c2 c USING (node) CROSS JOIN nn),
+        |c3 AS (SELECT e.dst AS node, CAST(sum((r.r*e.w)//o.ow) AS BIGINT) AS c
+        |  FROM e JOIN r2 r ON e.src = r.node JOIN o ON e.src = o.src
+        |  GROUP BY e.dst),
+        |r3 AS (SELECT n.node,
+        |    (coalesce(c.c, 0)*85)//100 + ((1000000000000//nn.n)*15)//100 AS r
+        |  FROM nodes n LEFT JOIN c3 c USING (node) CROSS JOIN nn),
+        |ranked AS (SELECT node,
+        |    CAST(row_number() OVER (ORDER BY r, node) AS BIGINT) * 2
+        |      <= (SELECT n FROM nn) AS low_authority
+        |  FROM r3),
+        |nd AS (SELECT src, CAST(count(*) AS BIGINT) AS ndocs
+        |  FROM docs GROUP BY src),
+        |traps AS (SELECT src,
+        |    ndocs * 50 > (SELECT CAST(sum(ndocs) AS BIGINT) FROM nd)
+        |      AS trap_suspect
+        |  FROM nd)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN NOT rk.low_authority AND NOT tr.trap_suspect
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+        |  CAST(sum(CASE WHEN rk.low_authority THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dropped_low_authority,
+        |  CAST(sum(CASE WHEN tr.trap_suspect AND NOT rk.low_authority
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS dropped_trap
+        |FROM docs d JOIN ranked rk ON d.src = rk.node
+        |JOIN traps tr ON d.src = tr.src
+        |GROUP BY d.source""".stripMargin,
     // anisotropy replica: same floor(x*1024) quantization, hugeint sums,
     // same sign*(abs(num)//n^2) truncating normalization
     "embed_anisotropy" ->

@@ -159,5 +159,13 @@ class EntrySpec extends AnyFunSuite {
     // groups is PropertySpec's random-docs invariant)
     val reportMass = rep.map { case (nt, _, nc) => (nc - 1) * nt }.sum
     assert(cut.map(x => x._2 - x._3).sum >= reportMass)
+
+    // authority-gated curation: drop categories partition each source's
+    // docs exactly, and the gates drop SOMETHING but not everything
+    val pd = SparkEntry.queries("pipeline_domains")(s, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(pd.nonEmpty)
+    assert(pd.forall(x => x._2 === x._3 + x._4 + x._5))
+    assert(pd.map(_._3).sum > 0 && pd.map(_._4).sum > 0)
   }
 }
