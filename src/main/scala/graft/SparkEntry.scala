@@ -1173,13 +1173,25 @@ object SparkEntry {
         .start()
       q.processAllAvailable()
       q.stop()
-      s.table(name)
+      // the memory sink holds one driver row PER EVENT — aggregate it
+      // eagerly to the |types|^2-bounded matrix and release the sink, so
+      // repeated invocations (bench runs, 100x probes) don't accumulate
+      // event-sized driver tables (a production run writes transitions
+      // to a table sink and never materializes them on the driver)
+      val rows = s.table(name)
         .groupBy("prev_type", "next_type")
         .agg(count(lit(1)).as("n_transitions"))
         .withColumn("_t", sum(col("n_transitions")).over(
           Window.partitionBy(col("prev_type"))))
         .select(col("prev_type"), col("next_type"), col("n_transitions"),
           expr("(n_transitions * 1000000) div _t").as("ppm"))
+        .collect().toSeq
+      s.catalog.dropTempView(name)
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(
+          StructField("prev_type", StringType), StructField("next_type", StringType),
+          StructField("n_transitions", LongType), StructField("ppm", LongType))))
     }),
     "dedup_cdc_cut" -> ((s, dir) => {
       // the ACT step of CDC dedup: duplicated chunks keep only their

