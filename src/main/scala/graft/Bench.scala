@@ -146,7 +146,7 @@ object Bench {
     // cycles stay comparable
     "r11c" -> Seq(
       "embed_knn_graph", "q_events_markov", "stream_markov",
-      "dedup_cdc_cut", "pipeline_domains"),
+      "dedup_cdc_cut", "pipeline_domains", "ann_filtered"),
   )
 
   /** Sanctioned per-query medians (seconds at sf0.1), mirrored from
@@ -261,7 +261,7 @@ object Bench {
     // stream_markov times table setup + two streamed micro-batches)
     "embed_knn_graph" -> 5.047, "q_events_markov" -> 0.592,
     "stream_markov" -> 3.083, "dedup_cdc_cut" -> 0.387,
-    "pipeline_domains" -> 0.936,
+    "pipeline_domains" -> 0.936, "ann_filtered" -> 0.413,
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup
@@ -598,9 +598,11 @@ object Bench {
         // the streaming variant must stay O(new events) per micro-batch
         // with one state row per user; cdc-cut shuffles chunk strings
         // twice (by hash, by doc) — both keyed, both ~linear; the
-        // authority-gated pipeline rides the saturating domain graph
+        // authority-gated pipeline rides the saturating domain graph;
+        // filtered ann's selectivity count + brute slice scale with the
+        // filtered corpus
         "embed_knn_graph", "q_events_markov", "stream_markov",
-        "dedup_cdc_cut", "pipeline_domains"))
+        "dedup_cdc_cut", "pipeline_domains", "ann_filtered"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

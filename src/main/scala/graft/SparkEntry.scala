@@ -2034,6 +2034,25 @@ object SparkEntry {
         .filter(col("rank") === 1)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
+    "ann_filtered" -> ((s, dir) => {
+      // FILTERED vector search (the RAG tenant/language/date-filter
+      // problem): top-k among corpus vectors passing a metadata
+      // predicate, strategy switched on measured selectivity (exact
+      // brute over a selective slice, filtered-IVF probe otherwise —
+      // both paths exercised in OperatorsSpec). Planted-match oracle:
+      // queries are jittered copies of the four smallest EVEN-labeled
+      // vectors, and rank-1 must be the source among even labels only.
+      val e = t(s, dir, "embeddings")
+      val srcs = e.filter(pmod(col("label"), lit(2)) === 0)
+        .orderBy(col("vec_id")).limit(4)
+      val queries = srcs.select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      Similarity.filteredTopK(e, queries, "vec_id", "embedding",
+          pmod(col("label"), lit(2)) === 0, k = 5)
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
     "ann_ivf_pq" -> ((s, dir) => {
       // product quantization with exact re-rank: the same planted-match
       // oracle (jitter is normalized away, so the source vector reaches
@@ -5709,6 +5728,10 @@ object SparkEntry {
     "ann_ivf_pq" ->
       """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id, 1 AS rank
         |FROM embeddings WHERE vec_id < 4""".stripMargin,
+    "ann_filtered" ->
+      """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id, 1 AS rank
+        |FROM (SELECT vec_id FROM embeddings WHERE label % 2 = 0
+        |      ORDER BY vec_id LIMIT 4)""".stripMargin,
     "ann_ivf_index" ->
       """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id, 1 AS rank
         |FROM embeddings WHERE vec_id < 4""".stripMargin,

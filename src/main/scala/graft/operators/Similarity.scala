@@ -606,6 +606,37 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** FILTERED vector search: top-k among corpus vectors satisfying a
+    * metadata predicate — the hybrid problem every production vector
+    * store hits (RAG with tenant/language/date filters). The two naive
+    * strategies both fail at an extreme: search-then-filter probes cells
+    * where nothing passes (a selective filter starves every probe);
+    * filter-then-brute scans everything that passes (a permissive filter
+    * makes that the whole corpus). This switches on MEASURED selectivity:
+    * one bounded count of survivors, then either exact brute force over
+    * the filtered slice (selective side — and exactly correct) or the
+    * IVF probe built ON the filtered corpus (permissive side — cells are
+    * assigned post-filter, so probes only ever touch passing vectors and
+    * recall matches unfiltered IVF). At 100 TB the count is a pushed-down
+    * metadata aggregate and `bruteMax` bounds the exact path's scored
+    * rows to queries×bruteMax. */
+  def filteredTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      pred: Column,
+      k: Int,
+      bruteMax: Long = 100000): DataFrame = {
+    val filtered = corpus.filter(pred)
+    // one aggregate over the filtered slice; cheap next to any search
+    val n = filtered.count()
+    if (n <= bruteMax) bruteForceTopK(filtered, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    else ivfTopK(filtered, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** RANGE search — every corpus vector within `minCosine` of each query
     * (the radius twin of top-k: dedup sweeps and recall audits want "all
     * neighbors above the duplicate threshold", not a fixed k). Queries

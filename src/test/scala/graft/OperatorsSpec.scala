@@ -1962,6 +1962,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L)._2 < got(2L)._1)
   }
 
+  test("filtered ann: both strategy paths honor the predicate and find the planted match") {
+    import graft.operators.Similarity
+    // 40 near-orthogonal-ish deterministic vectors, half labeled even;
+    // query = jittered copy of an even vector whose nearest OVERALL
+    // neighbor is an odd-labeled exact-direction twin — the filter must
+    // exclude it on BOTH paths
+    val base = (0 until 40).map { i =>
+      val v = Array.tabulate(8)(d => if (d == i % 8) 1.0f else 0.01f * ((i + d) % 5))
+      (i.toLong, v.toSeq, i % 2)
+    }
+    // vec 1 (odd) duplicates vec 0's direction exactly: unfiltered rank-1
+    // for the query would be whichever of {0, 1} wins the tiebreak
+    val rows = base.map { case (id, v, l) =>
+      if (id == 1L) (id, base(0)._2, l) else (id, v, l)
+    }
+    val d = spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+    val q = spark.createDataFrame(Seq(
+      (1000000L, rows(0)._2.map(x => x * 1.001f)))).toDF("vec_id", "embedding")
+    for (bruteMax <- Seq(100000L, 0L)) {
+      val got = Similarity.filteredTopK(d, q, "vec_id", "embedding",
+          pmod(col("label"), lit(2)) === 0, k = 3, bruteMax = bruteMax)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(got.nonEmpty, s"bruteMax=$bruteMax")
+      // every neighbor is even-labeled (1, the odd twin, excluded)
+      assert(got.forall(_._2 % 2 == 0), s"bruteMax=$bruteMax: $got")
+      assert(got.find(_._3 == 1).map(_._2) === Some(0L), s"bruteMax=$bruteMax")
+    }
+  }
+
   test("kmeans assignment: large-k literal fold equals driver brute force") {
     import graft.operators.Clustering
     // 80 deterministic 4-dim vectors at k=32 and k=33 — the literal
