@@ -108,4 +108,44 @@ class EdgeCasesSpec extends AnyFunSuite {
     t.equalityDelete(spark, Seq(99999).toDF("r_regionkey"), Seq("r_regionkey"))
     assert(t.scan(spark).count() === src.count())
   }
+
+  test("round-11 operators: degenerate inputs neither crash nor fabricate rows") {
+    import graft.operators.{Dedup, Graph, Profiling, Similarity}
+
+    // pagerank: single self-loop node keeps all mass; singleton edge
+    // list with a dangling target still emits both nodes
+    val selfLoop = Graph.pageRank(
+      Seq((7L, 7L, 3L)).toDF("s", "d", "w"), "s", "d", "w", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(selfLoop.keySet === Set(7L))
+    // full mass cycles through the self-loop: 1e12*85/100 + teleport
+    assert(selfLoop(7L) === 1000000000000L * 85 / 100 + 1000000000000L * 15 / 100)
+
+    // cdc chunks/cut: empty and whitespace-only docs vanish (no tokens),
+    // a single doc can still self-duplicate in the cut but never reports
+    val weird = Seq((1L, ""), (2L, "   \t "), (3L, "x x x x x x x x")).toDF("doc_id", "text")
+    assert(Dedup.cdcChunks(weird, "doc_id", "text")
+      .collect().forall(_.getLong(2) >= 2)) // n_docs >= 2 only (likely empty)
+    val cut = Dedup.cdcChunkCut(weird, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!cut.contains(1L) && !cut.contains(2L)) // token-less docs emit nothing
+    assert(cut(3L)._1 === 8L) // total tokens preserved
+
+    // anisotropy: a single vector has zero covariance everywhere; empty
+    // input emits nothing
+    val one = Profiling.embeddingAnisotropy(
+      Seq((1L, Seq(0.5f, -0.25f, 1.0f))).toDF("id", "v"), "v", dims = 3, topK = 10)
+      .collect()
+    assert(one.length === 3 && one.forall(_.getLong(3) === 0L))
+    assert(Profiling.embeddingAnisotropy(
+      Seq.empty[(Long, Seq[Float])].toDF("id", "v"), "v", dims = 3).collect().isEmpty)
+
+    // filtered ann: a predicate matching nothing returns no neighbors
+    // (and must not error on the empty brute slice)
+    val e = Seq((1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val q = Seq((9L, Seq(1.0f, 0.1f))).toDF("vec_id", "embedding")
+    assert(Similarity.filteredTopK(e, q, "vec_id", "embedding",
+      col("label") === 42, k = 3).collect().isEmpty)
+  }
 }
