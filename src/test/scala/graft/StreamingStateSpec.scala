@@ -131,6 +131,39 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((10L, 1L, 3L, 0L, 25L * m)))
   }
 
+  test("stateful transitions carry the last event across micro-batches") {
+    // user 10's batch boundary falls between events 2 and 3: the (b->c)
+    // transition exists ONLY if state carried event 2 into batch 2.
+    // Within-batch order is scrambled on purpose (step sorts by ts, id).
+    val m = 60L * 1000000L
+    val rows = Seq(
+      (10L, 2L, 10L * m, "b"), (10L, 1L, 0L * m, "a"), // batch 1, out of order
+      (20L, 3L, 5L * m, "x"),
+      (10L, 4L, 30L * m, "c"), // batch 2: cross-boundary transition b->c
+      (20L, 5L, 20L * m, "y"))
+    val df = rows.toDF("user_id", "event_id", "ts_us", "event_type")
+    val schema = SchemaConvert.fromSparkSchema(df.schema)
+    val loc = Files.createTempDirectory("graft-trans").toFile.getAbsolutePath + "/t"
+    val tbl = StorageCatalog.createOrReplaceTable(
+      spark.sparkContext.hadoopConfiguration, loc, schema, IcePartitionSpec(0, Nil))
+    tbl.append(spark, df.filter(col("event_id") <= 3))
+    tbl.append(spark, df.filter(col("event_id") > 3))
+
+    val name = s"trans_state_${System.nanoTime()}"
+    val q = graft.streaming.StatefulTransitions.transitions(
+        spark.readStream.format("graft-stream")
+          .option("location", loc)
+          .option("max-seqs-per-trigger", "1")
+          .load())
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(name)
+      .as[(Long, String, String)].collect().sorted
+    assert(out.toSeq === Seq(
+      (10L, "a", "b"), (10L, "b", "c"), (20L, "x", "y")))
+  }
+
   test("sink mode=upsert with no keys upserts by the declared identifier fields") {
     val loc = Files.createTempDirectory("graft-idsink").toFile.getAbsolutePath + "/t"
     val src = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
