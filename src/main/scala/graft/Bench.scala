@@ -146,7 +146,8 @@ object Bench {
     // cycles stay comparable
     "r11c" -> Seq(
       "embed_knn_graph", "q_events_markov", "stream_markov",
-      "dedup_cdc_cut", "pipeline_domains", "ann_filtered"),
+      "dedup_cdc_cut", "pipeline_domains", "ann_filtered",
+      "dedup_cdc_incremental"),
   )
 
   /** Sanctioned per-query medians (seconds at sf0.1), mirrored from
@@ -262,6 +263,7 @@ object Bench {
     "embed_knn_graph" -> 5.047, "q_events_markov" -> 0.592,
     "stream_markov" -> 3.083, "dedup_cdc_cut" -> 0.387,
     "pipeline_domains" -> 0.936, "ann_filtered" -> 0.413,
+    "dedup_cdc_incremental" -> 0.953,
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup
@@ -600,9 +602,11 @@ object Bench {
         // twice (by hash, by doc) — both keyed, both ~linear; the
         // authority-gated pipeline rides the saturating domain graph;
         // filtered ann's selectivity count + brute slice scale with the
-        // filtered corpus
+        // filtered corpus; incremental CDC must stay O(batch) — history
+        // is a chunk-hash table, never re-chunked
         "embed_knn_graph", "q_events_markov", "stream_markov",
-        "dedup_cdc_cut", "pipeline_domains", "ann_filtered"))
+        "dedup_cdc_cut", "pipeline_domains", "ann_filtered",
+        "dedup_cdc_incremental"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

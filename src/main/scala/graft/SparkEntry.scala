@@ -1077,6 +1077,21 @@ object SparkEntry {
       Profiling.embeddingAnisotropy(
         t(s, dir, "embeddings"), "embedding", dims = 64, topK = 20)
     }),
+    "dedup_cdc_incremental" -> ((s, dir) => {
+      // incremental CDC dedup — the production re-crawl shape: even docs
+      // are history, persisted as a CHUNK-HASH INDEX in a graft table;
+      // the odd-doc batch chunks map-only and flags against the index
+      // with one hash-keyed join — history is never re-chunked. The
+      // mostly_known flag is the drop gate for re-crawls whose content
+      // shifted (CDC boundaries re-sync) but did not change.
+      val docs = t(s, dir, "documents")
+      val idx = Dedup.cdcChunkIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      val tbl = freshTable(s, "dedup_cdc_incremental", idx)
+      tbl.append(s, idx)
+      Dedup.cdcIncrementalFlags(
+        docs.filter(col("doc_id") % 2 === 1), tbl.scan(s), "doc_id", "text")
+    }),
     "text_cdc_chunks" -> ((s, dir) => {
       // content-defined chunking dedup: boundaries re-synchronize after
       // insertions/deletions (unlike fixed-width chunks), so near-dup
@@ -7298,6 +7313,41 @@ object SparkEntry {
         |    CAST(row_number() OVER (
         |      ORDER BY abs(cov_q2) DESC, dim_i, dim_j) AS BIGINT) AS rank
         |  FROM c) WHERE rank <= 20""".stripMargin,
+    // incremental-CDC replica: history chunks from even docs form the
+    // hash index; odd-doc batch chunks left-join it; same rollup
+    "dedup_cdc_incremental" ->
+      """WITH toks0 AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> length(x) > 0) AS tk
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[CAST(i AS INT)] AS tok
+        |  FROM toks0, UNNEST(range(1, len(tk) + 1)) AS t(i)),
+        |b AS (SELECT doc_id, pos, tok,
+        |    CASE WHEN substr(md5(tok), 1, 1) < '2' THEN 1 ELSE 0 END AS f
+        |  FROM tok),
+        |c AS (SELECT doc_id, pos, tok,
+        |    coalesce(sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+        |  FROM b),
+        |ch AS (SELECT doc_id, chunk,
+        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash,
+        |    CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM c GROUP BY 1, 2),
+        |idx AS (SELECT DISTINCT chunk_hash FROM ch WHERE doc_id % 2 = 0),
+        |batch AS (SELECT * FROM ch WHERE doc_id % 2 = 1)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(b.n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(sum(CASE WHEN i.chunk_hash IS NOT NULL
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS known_chunks,
+        |  CAST(coalesce(sum(CASE WHEN i.chunk_hash IS NOT NULL
+        |    THEN b.n_tokens ELSE 0 END), 0) AS BIGINT) AS known_tokens,
+        |  coalesce(sum(CASE WHEN i.chunk_hash IS NOT NULL
+        |    THEN b.n_tokens ELSE 0 END), 0) * 2 >= sum(b.n_tokens)
+        |    AS mostly_known
+        |FROM batch b LEFT JOIN idx i USING (chunk_hash)
+        |GROUP BY b.doc_id""".stripMargin,
     // CDC replica: same md5-hex boundary rule, same strictly-before
     // running boundary count, same ordered string_agg chunk hash
     "text_cdc_chunks" ->

@@ -925,30 +925,84 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
+      boundaryHexLt: String = "2"): DataFrame =
+    // chunk id = number of boundary tokens STRICTLY BEFORE each token: a
+    // boundary token CLOSES its chunk (the cut falls after it, so the
+    // boundary token is the last member — the rsync convention); see
+    // [[chunksOf]] for the shared chunking front
+    chunksOf(df, idCol, textCol, boundaryHexLt)
+      .groupBy("chunk_hash", "n_tokens")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_copies"))
+      .filter(col("n_docs") >= 2)
+
+  /** CDC chunk INDEX: one row per distinct chunk of the corpus —
+    * (chunk_hash, n_tokens, first_doc, n_copies) — the persistable state
+    * of content-defined-chunking dedup. Stored as a graft table, it lets
+    * a new crawl flag against history in O(batch) ([[cdcIncrementalFlags]])
+    * instead of re-chunking the corpus. */
+  def cdcChunkIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      boundaryHexLt: String = "2"): DataFrame =
+    chunksOf(df, idCol, textCol, boundaryHexLt)
+      .groupBy(col("chunk_hash"), col("n_tokens"))
+      .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("n_copies"))
+
+  /** Incremental CDC dedup: chunk the NEW batch (map-only + per-doc
+    * windows) and flag each chunk against the persisted index with one
+    * hash-keyed join — history is never re-chunked, shuffles carry batch
+    * rows only. Output per batch doc: chunk counts, how many chunks (and
+    * how much token mass) history already holds, and `mostly_known`
+    * (known mass >= half) — the gate that drops a re-crawl whose content
+    * shifted but did not change. */
+  def cdcIncrementalFlags(
+      batch: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
       boundaryHexLt: String = "2"): DataFrame = {
+    val bc = chunksOf(batch, idCol, textCol, boundaryHexLt)
+    val known = index.select(col("chunk_hash"), lit(true).as("_known"))
+    bc.join(known, Seq("chunk_hash"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).as("n_tokens"),
+        coalesce(sum(when(col("_known"), 1L).otherwise(0L)), lit(0L))
+          .as("known_chunks"),
+        coalesce(sum(when(col("_known"), col("n_tokens")).otherwise(0L)),
+          lit(0L)).as("known_tokens"))
+      .withColumn("mostly_known",
+        col("known_tokens") * 2 >= col("n_tokens"))
+  }
+
+  /** shared CDC chunking: one row per (doc, chunk) with the ordered
+    * chunk string's md5 and token count — the common front of the
+    * report/cut/index/incremental family */
+  private def chunksOf(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      boundaryHexLt: String): DataFrame = {
     val toks = df.select(col(idCol).cast("long").as("doc_id"),
       posexplode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
         x => length(x) > 0)).as(Seq("pos", "tok")))
-    // chunk id = number of boundary tokens STRICTLY BEFORE this one: a
-    // boundary token CLOSES its chunk (the cut falls after it, so the
-    // boundary token is the last member — the rsync convention)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val withChunk = toks.withColumn("chunk",
-      coalesce(sum(when(substring(md5(col("tok")), 1, 1) < lit(boundaryHexLt),
-        lit(1L)).otherwise(lit(0L))).over(w), lit(0L)))
-    val chunks = withChunk.groupBy("doc_id", "chunk")
+    toks
+      .withColumn("chunk",
+        coalesce(sum(when(substring(md5(col("tok")), 1, 1) < lit(boundaryHexLt),
+          lit(1L)).otherwise(lit(0L))).over(w), lit(0L)))
+      .groupBy("doc_id", "chunk")
       .agg(
         md5(concat_ws(" ",
           transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
             x => x.getField("tok")))).as("chunk_hash"),
         count(lit(1)).as("n_tokens"))
-    chunks.groupBy("chunk_hash", "n_tokens")
-      .agg(
-        countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_copies"))
-      .filter(col("n_docs") >= 2)
   }
 
   /** The ACT step of CDC dedup: every duplicated chunk keeps only its

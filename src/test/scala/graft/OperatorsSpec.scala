@@ -1962,6 +1962,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L)._2 < got(2L)._1)
   }
 
+  test("cdc incremental: shifted re-crawl flags mostly_known, fresh content does not") {
+    // history = doc 1; batch doc 2 is doc 1 with a front insertion (CDC
+    // boundaries re-sync, so its downstream chunks are already indexed),
+    // batch doc 5 is fresh
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val hist = Seq((1L, a)).toDF("doc_id", "text")
+    val idx = Dedup.cdcChunkIndex(hist, "doc_id", "text")
+    val batch = Seq(
+      (2L, "INSERTED " + a),
+      (5L, "entirely different words about nothing shared at all")).toDF("doc_id", "text")
+    val got = Dedup.cdcIncrementalFlags(batch, idx, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    // doc 2: most token mass is known (only the head chunk changed)
+    assert(got(2L)._5 === true)
+    assert(got(2L)._4 > 0 && got(2L)._4 < got(2L)._2)
+    // doc 5: nothing known
+    assert(got(5L)._3 === 0L && got(5L)._4 === 0L && got(5L)._5 === false)
+    // the index row shape: one row per distinct chunk with its copy count
+    val ix = idx.collect()
+    assert(ix.map(_.getString(0)).distinct.length === ix.length)
+    assert(ix.forall(_.getLong(3) >= 1L))
+  }
+
   test("filtered ann: both strategy paths honor the predicate and find the planted match") {
     import graft.operators.Similarity
     // 40 near-orthogonal-ish deterministic vectors, half labeled even;
