@@ -148,6 +148,11 @@ object Bench {
       "embed_knn_graph", "q_events_markov", "stream_markov",
       "dedup_cdc_cut", "pipeline_domains", "ann_filtered",
       "dedup_cdc_incremental"),
+    // third r11 wave: graph census/propagation, redaction write-path,
+    // gate-agreement audit, preference pairs, integrity checksums, MRR
+    "r11d" -> Seq(
+      "graph_triangles", "graph_label_prop", "text_redact",
+      "text_label_kappa", "pref_pairs", "corpus_checksum", "ann_mrr"),
   )
 
   /** Sanctioned per-query medians (seconds at sf0.1), mirrored from
@@ -264,6 +269,11 @@ object Bench {
     "stream_markov" -> 3.083, "dedup_cdc_cut" -> 0.387,
     "pipeline_domains" -> 0.936, "ann_filtered" -> 0.413,
     "dedup_cdc_incremental" -> 0.953,
+    // r11d (3 quiet forked runs, medians)
+    "graph_triangles" -> 0.641, "graph_label_prop" -> 0.660,
+    "text_redact" -> 0.310, "text_label_kappa" -> 0.142,
+    "pref_pairs" -> 0.220, "corpus_checksum" -> 0.145,
+    "ann_mrr" -> 0.955,
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup
@@ -606,7 +616,15 @@ object Bench {
         // is a chunk-hash table, never re-chunked
         "embed_knn_graph", "q_events_markov", "stream_markov",
         "dedup_cdc_cut", "pipeline_domains", "ann_filtered",
-        "dedup_cdc_incremental"))
+        "dedup_cdc_incremental",
+        // r11d: triangles/label-prop run over the AGGREGATED edge table
+        // (only the edge rollup and seed scan see 10x rows; the graph
+        // saturates, so wedge counts plateau); redact/kappa/checksum are
+        // map-only + one bounded aggregate each; pref_pairs is ONE hash
+        // aggregate (struct argmax/argmin — no window, no sort); MRR
+        // rides the broadcast-query brute pass + cell-pruned probe
+        "graph_triangles", "graph_label_prop", "text_redact",
+        "text_label_kappa", "pref_pairs", "corpus_checksum", "ann_mrr"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

@@ -1065,6 +1065,216 @@ object SparkEntry {
           sum(when(col("trap_suspect") && !col("low_authority"), 1L)
             .otherwise(0L)).as("dropped_trap"))
     }),
+    "graph_triangles" -> ((s, dir) => {
+      // triangle census over the domain link graph — the link-farm
+      // detector (organic neighborhoods close triangles; spam rings and
+      // scraped lists sit at the extremes). Same one-pass edge synthesis
+      // as graph_domain_rank; the count itself is compact-forward with
+      // DEGREE ORIENTATION, so wedge fan-out is bounded by oriented
+      // out-degree (O(sqrt E) even at celebrity hubs) — the id-ordered
+      // naive join would go quadratic on exactly the hub nodes a 100 TB
+      // crawl graph has. Output is orientation-invariant, so the oracle
+      // verifies with the simple id-order enumeration.
+      val d = t(s, dir, "documents")
+      val si = d.select(col("source")).distinct()
+        .withColumn("sidx",
+          (row_number().over(Window.orderBy(col("source"))) - 1)
+            .cast(LongType))
+        .withColumn("n_src", count(lit(1)).over(
+          Window.partitionBy(lit(1))).cast(LongType))
+      val edges0 = d.join(broadcast(si), "source")
+        .select(
+          (col("sidx") * 20 + pmod(col("doc_id"), lit(20))).as("src"),
+          (pmod(col("sidx") + col("doc_id"), col("n_src")) * 20 +
+            pmod(expr("doc_id div 7"), lit(20))).as("dst"))
+      Graph.triangleCounts(edges0, "src", "dst")
+    }),
+    "graph_label_prop" -> ((s, dir) => {
+      // semi-supervised label propagation: a seed set of hand-labeled
+      // domains (every 5th node, label = node mod 3 — the topic taxonomy
+      // proxy) pushes labels across the weighted link graph in 2 rounds
+      // of weighted-majority voting (ties to the smallest label). Each
+      // round is one edge-keyed join + two bounded aggregates over the
+      // AGGREGATED graph — O(E) per round, corpus-independent. The
+      // production shape: a few thousand labeled domains classify the
+      // whole 100 TB crawl frontier without touching document text.
+      val d = t(s, dir, "documents")
+      val si = d.select(col("source")).distinct()
+        .withColumn("sidx",
+          (row_number().over(Window.orderBy(col("source"))) - 1)
+            .cast(LongType))
+        .withColumn("n_src", count(lit(1)).over(
+          Window.partitionBy(lit(1))).cast(LongType))
+      val edges = d.join(broadcast(si), "source")
+        .select(
+          (col("sidx") * 20 + pmod(col("doc_id"), lit(20))).as("src"),
+          (pmod(col("sidx") + col("doc_id"), col("n_src")) * 20 +
+            pmod(expr("doc_id div 7"), lit(20))).as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      val seeds = nodes.filter(pmod(col("node"), lit(5)) === 0)
+        .select(col("node"), pmod(col("node"), lit(3)).as("label"))
+      Graph.labelPropagate(edges, "src", "dst", "w", seeds, rounds = 2)
+    }),
+    "text_redact" -> ((s, dir) => {
+      // PII REDACTION write-path (the per-doc companion of the
+      // text_pii_sources audit): emit, for every doc that carries PII,
+      // the typed mask counts, the char delta, and the md5 of the
+      // REDACTED text — the content hash downstream dedup and integrity
+      // checks run on after the redaction pass. Map-only: three
+      // regexp_replace + one regexp_count each, one corpus pass, no
+      // shuffle at all (the filter keeps ~1 in 4 docs).
+      val email = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"
+      val phone = "555-[0-9]{4}"
+      val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      val seeded = t(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            concat(lit(" call 555-01"),
+              lpad(pmod(col("doc_id"), lit(100)).cast(StringType), 2, "0")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(17)) === 0,
+            concat(lit(" from 192.168."), pmod(col("doc_id"), lit(256)),
+              lit("."), pmod(col("doc_id"), lit(100))))
+            .otherwise(lit(""))))
+      val redacted = regexp_replace(regexp_replace(regexp_replace(
+        col("text"), email, "[EMAIL]"), phone, "[PHONE]"), ip, "[IP]")
+      seeded
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit(email)).cast(LongType).as("emails"),
+          regexp_count(col("text"), lit(phone)).cast(LongType).as("phones"),
+          regexp_count(col("text"), lit(ip)).cast(LongType).as("ips"),
+          (length(col("text")) - length(redacted)).cast(LongType)
+            .as("char_delta"),
+          md5(redacted).as("redacted_md5"))
+        .filter(col("emails") + col("phones") + col("ips") > 0)
+    }),
+    "text_label_kappa" -> ((s, dir) => {
+      // label-quality audit: Cohen's kappa between two independent
+      // heuristic gates (length >= 500 chars; >= 5 sentence periods) —
+      // the agreement table read before trusting any single gate as a
+      // training signal. Exact integer arithmetic end to end: the four
+      // confusion cells sum in one hash aggregate (ONE corpus pass);
+      // kappa_ppm = (n*agree - chance) * 1e6 div (n^2 - chance) computes
+      // in DECIMAL(38,0), overflow-safe at any corpus size. The planted
+      // gates correlate positively by construction, so the numerator is
+      // non-negative and truncating vs flooring division agree.
+      val d = t(s, dir, "documents")
+      val cells = d.select(
+          (col("n_chars") >= 500).cast(LongType).as("a"),
+          (regexp_count(col("text"), lit("\\.")) >= 5).cast(LongType).as("b"))
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum(col("a") * col("b")).cast(LongType).as("n11"),
+          sum(col("a") * (lit(1L) - col("b"))).cast(LongType).as("n10"),
+          sum((lit(1L) - col("a")) * col("b")).cast(LongType).as("n01"),
+          sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).cast(LongType)
+            .as("n00"))
+      // all products ride DECIMAL(38,0); `div` is integral division (both
+      // engines floor identically on the non-negative operands here)
+      val chance = "(CAST(n11+n10 AS DECIMAL(38,0)) * (n11+n01)" +
+        " + CAST(n01+n00 AS DECIMAL(38,0)) * (n10+n00))"
+      cells.select(col("n").as("n_docs"),
+        col("n11").as("both_pass"), col("n00").as("both_fail"),
+        col("n10").as("only_length"), col("n01").as("only_periods"),
+        expr("(CAST(n11+n00 AS DECIMAL(38,0)) * 1000000) div n")
+          .as("agree_ppm"),
+        expr(s"((CAST(n11+n00 AS DECIMAL(38,0)) * n - $chance) * 1000000)" +
+          s" div (CAST(n AS DECIMAL(38,0)) * n - $chance)").as("kappa_ppm"))
+    }),
+    "pref_pairs" -> ((s, dir) => {
+      // preference-pair construction (the RLHF/DPO data shape): within
+      // each prompt group (source x doc_id mod 5 — the grouping proxy),
+      // pair the best- and worst-scoring docs by an exact integer
+      // quality score (chars + 10x sentence periods), emitting the
+      // margin. ONE hash aggregate over the corpus: chosen = max over
+      // (score, -doc_id) structs, rejected = min over (score, doc_id) —
+      // deterministic tie-breaks with no per-group sort and no window,
+      // so the plan is a partial-aggregated groupBy that scales to any
+      // group size. Single-doc groups self-pair and are dropped.
+      val scored = t(s, dir, "documents").select(
+        col("source"), pmod(col("doc_id"), lit(5)).cast(LongType).as("grp"),
+        col("doc_id"),
+        (col("n_chars") +
+          lit(10L) * regexp_count(col("text"), lit("[.!?]")))
+          .cast(LongType).as("score"))
+      scored.groupBy("source", "grp")
+        .agg(
+          max(struct(col("score"), (-col("doc_id")).as("nid"))).as("mx"),
+          min(struct(col("score"), col("doc_id").as("id"))).as("mn"),
+          count(lit(1)).cast(LongType).as("n_docs"))
+        .select(col("source"), col("grp"),
+          (-col("mx.nid")).as("chosen_doc"),
+          col("mx.score").as("chosen_score"),
+          col("mn.id").as("rejected_doc"),
+          col("mn.score").as("rejected_score"),
+          (col("mx.score") - col("mn.score")).as("margin"),
+          col("n_docs"))
+        .filter(col("chosen_doc") =!= col("rejected_doc"))
+    }),
+    "corpus_checksum" -> ((s, dir) => {
+      // shard integrity manifest: per shard (doc_id mod 16), doc count,
+      // char mass, and an ORDER-INDEPENDENT content checksum — the sum
+      // of each row's 60-bit md5 prefix, reduced mod 2^62. Any engine
+      // (and any partitioning, since addition commutes) reproduces the
+      // same manifest from the same rows; a single flipped byte moves
+      // the checksum. This is the cheap cross-site verification a 100 TB
+      // corpus runs after every copy/compaction: one map-only hash pass
+      // + one 16-row aggregate. Sums accumulate in DECIMAL(38,0) —
+      // overflow-safe to ~1e18 docs per shard.
+      val h = conv(substring(
+          md5(concat_ws("", col("doc_id").cast(StringType), col("text"))),
+          1, 15), 16, 10).cast(DecimalType(38, 0))
+      t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(16)).cast(LongType).as("shard"),
+          col("n_chars"), h.as("h"))
+        .groupBy("shard")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum(col("n_chars")).cast(LongType).as("total_chars"),
+          pmod(sum(col("h")), lit(4611686018427387904L).cast(DecimalType(38, 0)))
+            .cast(LongType).as("checksum"))
+    }),
+    "ann_mrr" -> ((s, dir) => {
+      // retrieval-eval MRR@10: for each query, the reciprocal rank of
+      // its TRUE nearest neighbor (brute-force rank 1) inside the
+      // probe-1 IVF candidate list — the single-number quality gate that
+      // decides whether the approximate index ships. Exact integers:
+      // rr_scaled = 2520 div rank (2520 = lcm(1..10)), 0 on miss. The
+      // truth pass runs on the 8-query sample only (broadcast queries,
+      // one corpus scan); candidates ride the same partition-pruned IVF
+      // probe the recall gate uses.
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val truth = Similarity
+        .bruteForceTopK(e, q, "vec_id", "embedding", 1)
+        .select(col("query_id"), col("neighbor_id"))
+      val cells = Clustering.kmeansAssign(e, "vec_id", "embedding",
+        k = 4, iters = 1)
+      val corpusC = e.join(cells, "vec_id")
+      val qC = q.join(cells, "vec_id").select(
+        col("vec_id").as("qid"), col("embedding").as("qv"), col("cluster"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val cand = corpusC.join(qC, Seq("cluster"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+          graft.functions.vectors.cosineSim(col("qv"), col("embedding"))
+            .as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+      val found = truth.join(cand, Seq("query_id", "neighbor_id"))
+        .select(col("query_id"), col("rank"))
+      q.select(col("vec_id").as("query_id"))
+        .join(found, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("rank"), lit(0)).cast(LongType).as("rank"),
+          coalesce(expr("2520 div rank"), lit(0L)).cast(LongType)
+            .as("rr_scaled"))
+    }),
     "embed_anisotropy" -> ((s, dir) => {
       // embedding-space anisotropy audit: the top-20 strongest
       // off-diagonal covariance pairs over quantized components — the
@@ -7122,6 +7332,213 @@ object SparkEntry {
         |  CAST(r3.r AS BIGINT) AS rank_scaled
         |FROM nodes n LEFT JOIN o ON n.node = o.src
         |JOIN r3 ON n.node = r3.node""".stripMargin,
+    // triangle replica: same edge synthesis, then the SIMPLE id-order
+    // enumeration ((x,y),(y,z),(x,z) with x<y<z) — per-node counts are
+    // orientation-invariant, so this verifies the engine's degree-ordered
+    // compact-forward exactly
+    "graph_triangles" ->
+      """WITH si AS (
+        |  SELECT source,
+        |    CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS sidx
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM si),
+        |e0 AS (
+        |  SELECT si.sidx*20 + d.doc_id%20 AS src,
+        |    ((si.sidx + d.doc_id) % ns.n_src)*20 + (d.doc_id//7)%20 AS dst
+        |  FROM documents d JOIN si USING (source) CROSS JOIN ns),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0 WHERE src <> dst),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (SELECT unnest([x, y, z]) AS node FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS triangles
+        |FROM corners GROUP BY node""".stripMargin,
+    // label-propagation replica: two unrolled weighted-majority rounds,
+    // argmax by (votes DESC, label ASC), seeds immutable
+    "graph_label_prop" ->
+      """WITH si AS (
+        |  SELECT source,
+        |    CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS sidx
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM si),
+        |e0 AS (
+        |  SELECT si.sidx*20 + d.doc_id%20 AS src,
+        |    ((si.sidx + d.doc_id) % ns.n_src)*20 + (d.doc_id//7)%20 AS dst
+        |  FROM documents d JOIN si USING (source) CROSS JOIN ns),
+        |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+        |  FROM e0 GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |seeds AS (SELECT node, node % 3 AS label FROM nodes
+        |  WHERE node % 5 = 0),
+        |v1 AS (SELECT e.dst AS node, s.label,
+        |    CAST(sum(e.w) AS BIGINT) AS votes
+        |  FROM e JOIN seeds s ON e.src = s.node GROUP BY 1, 2),
+        |a1 AS (SELECT node, label FROM (
+        |    SELECT node, label, row_number() OVER (PARTITION BY node
+        |      ORDER BY votes DESC, label) AS rn FROM v1) WHERE rn = 1),
+        |l1 AS (SELECT * FROM seeds UNION ALL
+        |  SELECT a.node, a.label FROM a1 a
+        |  WHERE a.node NOT IN (SELECT node FROM seeds)),
+        |v2 AS (SELECT e.dst AS node, l.label,
+        |    CAST(sum(e.w) AS BIGINT) AS votes
+        |  FROM e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+        |a2 AS (SELECT node, label FROM (
+        |    SELECT node, label, row_number() OVER (PARTITION BY node
+        |      ORDER BY votes DESC, label) AS rn FROM v2) WHERE rn = 1)
+        |SELECT node, CAST(label AS BIGINT) AS label FROM seeds
+        |UNION ALL
+        |SELECT a.node, CAST(a.label AS BIGINT) AS label FROM a2 a
+        |WHERE a.node NOT IN (SELECT node FROM seeds)""".stripMargin,
+    "text_redact" ->
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' contact user' ||
+        |      CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN ' call 555-01' ||
+        |      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ELSE '' END ||
+        |    CASE WHEN doc_id % 17 = 0 THEN ' from 192.168.' ||
+        |      CAST(doc_id % 256 AS VARCHAR) || '.' ||
+        |      CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS text
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9.]+\.[a-z]+'))
+        |      AS emails,
+        |    len(regexp_extract_all(text, '555-[0-9]{4}')) AS phones,
+        |    len(regexp_extract_all(text,
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS ips,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      text, '[a-z0-9]+@[a-z0-9.]+\.[a-z]+', '[EMAIL]', 'g'),
+        |      '555-[0-9]{4}', '[PHONE]', 'g'),
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g')
+        |      AS red
+        |  FROM seeded)
+        |SELECT doc_id, CAST(emails AS BIGINT) AS emails,
+        |  CAST(phones AS BIGINT) AS phones, CAST(ips AS BIGINT) AS ips,
+        |  CAST(length(text) - length(red) AS BIGINT) AS char_delta,
+        |  md5(red) AS redacted_md5
+        |FROM r WHERE emails + phones + ips > 0""".stripMargin,
+    // kappa replica: HUGEINT products, // floor division (numerator
+    // non-negative by construction — gates correlate positively)
+    "text_label_kappa" ->
+      """WITH g AS (
+        |  SELECT CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN len(regexp_extract_all(text, '\.')) >= 5
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM documents),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a*b) AS BIGINT) AS n11,
+        |    CAST(sum(a*(1-b)) AS BIGINT) AS n10,
+        |    CAST(sum((1-a)*b) AS BIGINT) AS n01,
+        |    CAST(sum((1-a)*(1-b)) AS BIGINT) AS n00
+        |  FROM g)
+        |SELECT n AS n_docs, n11 AS both_pass, n00 AS both_fail,
+        |  n10 AS only_length, n01 AS only_periods,
+        |  CAST((n11+n00)::HUGEINT * 1000000 // n AS BIGINT) AS agree_ppm,
+        |  CAST((((n11+n00)::HUGEINT * n
+        |      - ((n11+n10)::HUGEINT*(n11+n01) + (n01+n00)::HUGEINT*(n10+n00)))
+        |      * 1000000)
+        |    // (n::HUGEINT * n
+        |      - ((n11+n10)::HUGEINT*(n11+n01) + (n01+n00)::HUGEINT*(n10+n00)))
+        |    AS BIGINT) AS kappa_ppm
+        |FROM c""".stripMargin,
+    // pref-pair replica: the engine's single argmax/argmin aggregate
+    // re-expressed as two rank-1 window picks with the same tie-breaks
+    "pref_pairs" ->
+      """WITH s AS (
+        |  SELECT source, doc_id % 5 AS grp, doc_id,
+        |    CAST(n_chars + 10 * len(regexp_extract_all(text, '[.!?]'))
+        |      AS BIGINT) AS score
+        |  FROM documents),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY source, grp
+        |      ORDER BY score DESC, doc_id) AS rc,
+        |    row_number() OVER (PARTITION BY source, grp
+        |      ORDER BY score ASC, doc_id) AS rr,
+        |    CAST(count(*) OVER (PARTITION BY source, grp) AS BIGINT)
+        |      AS n_docs
+        |  FROM s)
+        |SELECT c.source, CAST(c.grp AS BIGINT) AS grp,
+        |  c.doc_id AS chosen_doc, c.score AS chosen_score,
+        |  j.doc_id AS rejected_doc, j.score AS rejected_score,
+        |  c.score - j.score AS margin, c.n_docs
+        |FROM r c JOIN r j ON c.source = j.source AND c.grp = j.grp
+        |WHERE c.rc = 1 AND j.rr = 1 AND c.doc_id <> j.doc_id""".stripMargin,
+    // checksum replica: DuckDB hex-literal cast for the 60-bit md5
+    // prefix, HUGEINT sum, identical 2^62 reduction
+    "corpus_checksum" ->
+      """WITH h AS (
+        |  SELECT doc_id % 16 AS shard, n_chars,
+        |    CAST(concat('0x',
+        |      substr(md5(CAST(doc_id AS VARCHAR) || text), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(h::HUGEINT) % 4611686018427387904 AS BIGINT) AS checksum
+        |FROM h GROUP BY shard""".stripMargin,
+    // MRR replica: brute-force rank-1 truth + the ann_recall IVF cell
+    // CTE, candidate rank <= 10, rr_scaled = 2520 // rank (0 on miss)
+    "ann_mrr" ->
+      """WITH truth AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                        CAST(c.embedding AS DOUBLE[])) DESC,
+        |          c.vec_id) AS rank
+        |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |    WHERE q.vec_id < 8)
+        |  WHERE rank = 1),
+        |qz AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(x::DOUBLE * 1024) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, e AS c FROM qz WHERE vec_id < 4),
+        |d0 AS (SELECT qz.vec_id, qz.e, c0.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (qz.e[i] - c0.c[i]) * (qz.e[i] - c0.c[i]))) AS dist
+        |  FROM qz CROSS JOIN c0),
+        |a0 AS (SELECT vec_id, e, cid FROM (
+        |    SELECT vec_id, e, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d0) WHERE rn = 1),
+        |s1 AS (SELECT cid, i,
+        |    CAST(floor(sum(e[i])::DOUBLE / count(*)) AS BIGINT) AS v
+        |  FROM a0 CROSS JOIN range(1, 65) t(i) GROUP BY cid, i),
+        |c1 AS (SELECT cid, list(v ORDER BY i) AS c FROM s1 GROUP BY cid),
+        |d1 AS (SELECT qz.vec_id, c1.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (qz.e[i] - c1.c[i]) * (qz.e[i] - c1.c[i]))) AS dist
+        |  FROM qz CROSS JOIN c1),
+        |cells AS (SELECT vec_id, cid AS cluster FROM (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM d1) WHERE rn = 1),
+        |cand AS (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT qc.vec_id AS query_id, cc.vec_id AS neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY qc.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q2.embedding AS DOUBLE[]),
+        |                                        CAST(c2.embedding AS DOUBLE[])) DESC,
+        |          cc.vec_id) AS rank
+        |    FROM cells qc
+        |    JOIN cells cc ON qc.cluster = cc.cluster
+        |      AND qc.vec_id <> cc.vec_id
+        |    JOIN embeddings q2 ON q2.vec_id = qc.vec_id
+        |    JOIN embeddings c2 ON c2.vec_id = cc.vec_id
+        |    WHERE qc.vec_id < 8)
+        |  WHERE rank <= 10),
+        |f AS (SELECT t.query_id, c.rank
+        |  FROM truth t JOIN cand c USING (query_id, neighbor_id))
+        |SELECT q.vec_id AS query_id,
+        |  CAST(coalesce(f.rank, 0) AS BIGINT) AS rank,
+        |  CAST(coalesce(2520 // f.rank, 0) AS BIGINT) AS rr_scaled
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 8) q
+        |LEFT JOIN f ON f.query_id = q.vec_id""".stripMargin,
     // knn-graph replica: the same one-Lloyd-iteration integer kmeans CTE
     // as cluster_cells, then a within-cell self-join scored by the exact
     // quantized dot, top-5 per node (dot desc, neighbor id asc). The

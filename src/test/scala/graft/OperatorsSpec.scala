@@ -1882,6 +1882,58 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.values.sum <= 1000000000000L)
   }
 
+  test("triangle counts: degree-oriented enumeration matches brute force") {
+    import graft.operators.Graph
+    // messy input: duplicates, both directions, self-loop, a hub (node 1
+    // touches everything — the degree orientation must not enumerate
+    // wedges at it). Triangles: {1,2,3}, {1,3,4}, {1,2,5} and {2,3,5}
+    // would need (2,5),(3,5),(2,3): present -> {2,3,5} too.
+    val raw = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L),
+      (3L, 4L), (2L, 5L), (3L, 5L), (2L, 3L), (6L, 6L), (6L, 7L),
+    )
+    val got = Graph.triangleCounts(raw.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force reference over the cleaned undirected edge set
+    val und = raw.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val tris = for {
+      x <- nodes; y <- nodes if x < y; z <- nodes if y < z
+      if und((x, y)) && und((y, z)) && und((x, z))
+    } yield (x, y, z)
+    val ref = tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (n, g) => n -> g.size.toLong }
+    assert(got === ref)
+    assert(!got.contains(6L) && !got.contains(7L)) // self-loop/leaf emit none
+  }
+
+  test("label propagation: two weighted-majority rounds match a simulation") {
+    import graft.operators.Graph
+    val es = Seq(
+      // node 10/20 seeded; 30 hears 10 (w=3) and 20 (w=1) -> adopts 10's
+      // label; 40 hears only 30 (labeled after round 1) -> adopts in
+      // round 2; 50 hears equal votes from both seeds -> smallest label
+      (10L, 30L, 3L), (20L, 30L, 1L), (30L, 40L, 5L),
+      (10L, 50L, 2L), (20L, 50L, 2L), (60L, 40L, 1L),
+    )
+    val seeds = Seq((10L, 7L), (20L, 2L)).toDF("node", "label")
+    val got = Graph.labelPropagate(
+        es.toDF("src", "dst", "w"), "src", "dst", "w", seeds, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: 30 -> 7 (votes 3 vs 1), 50 -> 2 (tie 2=2, smallest label),
+    // 40: only unlabeled voters (30, 60) -> stays unlabeled
+    // round 2: 30, 50 recompute identically; 40 hears 30 (label 7, w=5)
+    assert(got === Map(10L -> 7L, 20L -> 2L, 30L -> 7L, 50L -> 2L, 40L -> 7L))
+    // seeds never flip even when outvoted: re-run with an edge hammering
+    // seed 20 with label 7 mass
+    val es2 = es ++ Seq((10L, 20L, 100L))
+    val got2 = Graph.labelPropagate(
+        es2.toDF("src", "dst", "w"), "src", "dst", "w", seeds, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2(20L) === 2L)
+  }
+
   test("cdc chunks: boundary re-sync after an insertion; reference replica agrees") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
