@@ -153,6 +153,10 @@ object Bench {
     "r11d" -> Seq(
       "graph_triangles", "graph_label_prop", "text_redact",
       "text_label_kappa", "pref_pairs", "corpus_checksum", "ann_mrr"),
+    // fourth r11 wave: cross-engine deterministic sketches (HLL NDV,
+    // count-min) + no-global-sort exact quantiles + join-skew advisor
+    "r11e" -> Seq(
+      "stats_hll", "stats_countmin", "stats_quantiles", "profile_skew"),
   )
 
   /** Sanctioned per-query medians (seconds at sf0.1), mirrored from
@@ -274,6 +278,9 @@ object Bench {
     "text_redact" -> 0.310, "text_label_kappa" -> 0.142,
     "pref_pairs" -> 0.220, "corpus_checksum" -> 0.145,
     "ann_mrr" -> 0.955,
+    // r11e (3 quiet forked runs, medians)
+    "stats_hll" -> 0.828, "stats_countmin" -> 1.760,
+    "stats_quantiles" -> 0.760, "profile_skew" -> 0.236,
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup
@@ -624,7 +631,12 @@ object Bench {
         // aggregate (struct argmax/argmin — no window, no sort); MRR
         // rides the broadcast-query brute pass + cell-pruned probe
         "graph_triangles", "graph_label_prop", "text_redact",
-        "text_label_kappa", "pref_pairs", "corpus_checksum", "ann_mrr"))
+        "text_label_kappa", "pref_pairs", "corpus_checksum", "ann_mrr",
+        // r11e: both sketches reduce to fixed-size state (256 registers /
+        // 2,048 cells) after one map-only pass — only the explode sees
+        // 10x rows; quantiles histogram once then re-reads ~3 buckets;
+        // the skew advisor is one hash aggregate over 20 keys
+        "stats_hll", "stats_countmin", "stats_quantiles", "profile_skew"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

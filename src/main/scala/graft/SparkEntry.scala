@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{text, transforms, vectors}
-import graft.operators.{Bpe, Clustering, Decontamination, Dedup, Graph, Multimodal, Packing, Profiling, Quantization, Retrieval, Sampling, Selection, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Clustering, Decontamination, Dedup, Graph, Multimodal, Packing, Profiling, Quantization, Retrieval, Sampling, Selection, Similarity, Sketches, TextAnalysis}
 import graft.tables._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -59,6 +59,20 @@ object SparkEntry {
 
   /** exact decimal view of a 2-decimal double column */
   private def money(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** One row per word TRIGRAM of `documents.text` (column `sh`) — the
+    * shared key stream of the sketch queries. Tokens are the proven
+    * cross-engine split (lower + non-alnum boundaries, empties dropped);
+    * shingles join 3 consecutive tokens with single spaces. Map-only. */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(filter(
+        split(lower(coalesce(col("text"), lit(""))), "[^a-z0-9]+"),
+        x => length(x) > 0).as("w"))
+      .select(explode(expr(
+        "CASE WHEN size(w) < 3 THEN CAST(array() AS ARRAY<STRING>) " +
+          "ELSE transform(sequence(0, size(w) - 3), " +
+          "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])) END")).as("sh"))
 
   /** fresh Iceberg table under tmp for a query, seeded from a source df */
   private[graft] def freshTable(
@@ -1274,6 +1288,62 @@ object SparkEntry {
           coalesce(col("rank"), lit(0)).cast(LongType).as("rank"),
           coalesce(expr("2520 div rank"), lit(0L)).cast(LongType)
             .as("rr_scaled"))
+    }),
+    "stats_hll" -> ((s, dir) => {
+      // cross-engine-verifiable HLL cardinality sketch over the corpus's
+      // distinct word TRIGRAMS (the dedup-relevant cardinality — the
+      // tiny synthetic vocabulary makes single words too few for the
+      // raw estimator's regime, NDV >> 2.5m): md5-addressed registers +
+      // exact integer arithmetic, so ANY engine reproduces the estimate
+      // bit-for-bit (see Sketches.hllNdv). The 100 TB read: distinct-
+      // shingle/url/token counts come from 2 KB of mergeable state in
+      // one pass, not a corpus-wide distinct. exact_ndv is the audit
+      // column — affordable at test scale, dropped in production (it IS
+      // the expensive operator the sketch replaces).
+      val sh = shingleRows(s, dir)
+      val exact = sh.agg(countDistinct(col("sh")).as("exact_ndv"))
+      Sketches.hllNdv(sh, col("sh"), pHex = 2)
+        .crossJoin(broadcast(exact))
+        .select(col("m"), col("n_regs"), col("hll_ndv"),
+          col("exact_ndv").cast(LongType).as("exact_ndv"),
+          expr("CAST(abs(hll_ndv - exact_ndv) * 1000000 div exact_ndv" +
+            " AS BIGINT)").as("err_ppm"))
+    }),
+    "stats_countmin" -> ((s, dir) => {
+      // count-min heavy-hitter audit: the 20 most frequent trigram
+      // shingles' true counts vs their sketch estimates (4 salted rows x
+      // 512 cells = 2,048 Longs of mergeable state; ~16k distinct keys
+      // guarantee visible collision pressure). Estimates always dominate
+      // truth (collisions only inflate); the gap IS the pressure read.
+      // At 100 TB only the sketch pass runs per shard (cells sum across
+      // shards); the truth join here is the test-scale audit.
+      val sh = shingleRows(s, dir)
+      val sketch = Sketches.countMin(sh, col("sh"), depth = 4, width = 512)
+      val top = sh.groupBy("sh").agg(count(lit(1)).as("true_c"))
+        .orderBy(col("true_c").desc, col("sh").asc).limit(20)
+        .select(col("sh"), col("true_c").cast(LongType).as("true_c"))
+      Sketches.cmEstimate(top, col("sh"), sketch, depth = 4, width = 512)
+        .select(col("sh"), col("true_c"), col("cm_est"))
+    }),
+    "stats_quantiles" -> ((s, dir) => {
+      // exact doc-length permilles (p50/p90/p99) WITHOUT a global sort:
+      // one histogram aggregate over 64-char buckets, a cumulative pass
+      // over the bounded bucket table, then row_numbers only inside the
+      // few rank-carrying buckets. The naive ORDER BY form (what the
+      // oracle runs) serializes the corpus through one sort at 100 TB.
+      Sketches.exactPermilles(t(s, dir, "documents"), "n_chars", "doc_id",
+        permilles = Seq(500, 900, 990), bucketWidth = 64L)
+    }),
+    "profile_skew" -> ((s, dir) => {
+      // join-key skew advisor for documents.source: per-key share (ppm)
+      // and the salt factor a 32-way shuffle needs (ceil arithmetic,
+      // exact). With ~20 sources every key saturates its task at
+      // parallelism 32 — the textbook pre-join read that routes hot
+      // keys to the salted-join path instead of discovering the stall
+      // in production. One hash aggregate; output is key-bounded.
+      Sketches.skewAdvisor(t(s, dir, "documents"), "source",
+        parallelism = 32)
+        .withColumnRenamed("key", "source")
     }),
     "embed_anisotropy" -> ((s, dir) => {
       // embedding-space anisotropy audit: the top-20 strongest
@@ -7539,6 +7609,103 @@ object SparkEntry {
         |  CAST(coalesce(2520 // f.rank, 0) AS BIGINT) AS rr_scaled
         |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 8) q
         |LEFT JOIN f ON f.query_id = q.vec_id""".stripMargin,
+    // HLL replica: identical md5 register addressing, string-op leading
+    // zeros, and the exact-integer estimator in HUGEINT arithmetic
+    "stats_hll" ->
+      """WITH ws AS (
+        |  SELECT list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    x -> len(x) > 0) AS w
+        |  FROM documents),
+        |toks AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tok
+        |  FROM ws),
+        |parts AS (
+        |  SELECT CAST(concat('0x', substr(md5(tok), 1, 2)) AS BIGINT)
+        |      AS bucket,
+        |    substr(md5(tok), 3, 15) AS tail
+        |  FROM toks),
+        |ranked AS (
+        |  SELECT bucket,
+        |    CASE WHEN length(regexp_extract(tail, '^(0*)', 1)) = 15 THEN 61
+        |    ELSE length(regexp_extract(tail, '^(0*)', 1)) * 4 +
+        |      CASE substr(tail,
+        |          length(regexp_extract(tail, '^(0*)', 1)) + 1, 1)
+        |        WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |        WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+        |        WHEN '7' THEN 1 ELSE 0 END + 1 END AS rank
+        |  FROM parts),
+        |regs AS (SELECT bucket, max(rank) AS mr FROM ranked GROUP BY bucket),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_regs,
+        |    sum(CAST(1::BIGINT << (61 - mr) AS HUGEINT)) AS s_present
+        |  FROM regs),
+        |est AS (SELECT n_regs,
+        |    CAST((7213::HUGEINT * 256 * 256 * 256 *
+        |        CAST(1::BIGINT << 61 AS HUGEINT)) //
+        |      ((10000::HUGEINT * 256 + 10790) *
+        |        (s_present + CAST(1::BIGINT << 61 AS HUGEINT)
+        |          * (256 - n_regs))) AS BIGINT) AS hll_ndv
+        |  FROM agg),
+        |ex AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS exact_ndv
+        |  FROM toks)
+        |SELECT CAST(256 AS BIGINT) AS m, n_regs, hll_ndv, exact_ndv,
+        |  CAST(abs(hll_ndv - exact_ndv) * 1000000 // exact_ndv AS BIGINT)
+        |    AS err_ppm
+        |FROM est CROSS JOIN ex""".stripMargin,
+    // count-min replica: the same 4 salted md5 cell hashes, cell-count
+    // sketch, exact top-20 probes, min over the probed cells
+    "stats_countmin" ->
+      """WITH ws AS (
+        |  SELECT list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    x -> len(x) > 0) AS w
+        |  FROM documents),
+        |toks AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM ws),
+        |salts AS (SELECT unnest([0, 1, 2, 3]) AS salt),
+        |sketch AS (
+        |  SELECT salt, CAST(concat('0x',
+        |      substr(md5(salt::VARCHAR || '|' || sh), 1, 15))
+        |      AS BIGINT) % 512 AS cell,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM toks CROSS JOIN salts GROUP BY 1, 2),
+        |top AS (
+        |  SELECT sh, CAST(count(*) AS BIGINT) AS true_c FROM toks
+        |  GROUP BY sh ORDER BY true_c DESC, sh ASC LIMIT 20),
+        |probe AS (
+        |  SELECT t.sh, t.true_c, s.salt, CAST(concat('0x',
+        |      substr(md5(s.salt::VARCHAR || '|' || t.sh), 1, 15))
+        |      AS BIGINT) % 512 AS cell
+        |  FROM top t CROSS JOIN salts s)
+        |SELECT p.sh, p.true_c, CAST(min(sk.c) AS BIGINT) AS cm_est
+        |FROM probe p JOIN sketch sk ON p.salt = sk.salt AND p.cell = sk.cell
+        |GROUP BY p.sh, p.true_c""".stripMargin,
+    // quantile replica: the naive full-sort rank definition the engine's
+    // bucketed path is proven against — value at rank (n-1)*q/1000 + 1
+    "stats_quantiles" ->
+      """WITH s AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS value,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |q AS (SELECT unnest([500, 900, 990]) AS permille)
+        |SELECT CAST(q.permille AS BIGINT) AS permille,
+        |  CAST((n.n - 1) * q.permille // 1000 + 1 AS BIGINT) AS rank,
+        |  s.value
+        |FROM q CROSS JOIN n
+        |JOIN s ON s.rn = (n.n - 1) * q.permille // 1000 + 1""".stripMargin,
+    "profile_skew" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT count(*) AS total FROM documents)
+        |SELECT source, cnt,
+        |  CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+        |  CAST((cnt * 32 + total - 1) // total AS BIGINT) AS salt_factor
+        |FROM c CROSS JOIN t""".stripMargin,
     // knn-graph replica: the same one-Lloyd-iteration integer kmeans CTE
     // as cluster_cells, then a within-cell self-join scored by the exact
     // quantized dot, top-5 per node (dot desc, neighbor id asc). The

@@ -168,4 +168,40 @@ class EntrySpec extends AnyFunSuite {
     assert(pd.forall(x => x._2 === x._3 + x._4 + x._5))
     assert(pd.map(_._3).sum > 0 && pd.map(_._4).sum > 0)
   }
+
+  test("round-11 sketch wave: structural invariants on sf0.001") {
+    val s = TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+
+    // hll: registers bounded by m, the estimate within 20% of exact
+    // (3-sigma envelope at m=256 — deterministic hash, cannot flake),
+    // err_ppm consistent with the two counts it derives from
+    val hll = SparkEntry.queries("stats_hll")(s, dir).collect().head
+    val (m, nr, est, exact, err) =
+      (hll.getLong(0), hll.getLong(1), hll.getLong(2), hll.getLong(3), hll.getLong(4))
+    assert(m === 256L && nr >= 1 && nr <= m)
+    assert(math.abs(est - exact) <= exact / 5)
+    assert(err === math.abs(est - exact) * 1000000L / exact)
+
+    // count-min: estimates dominate true counts; true counts descend
+    val cm = SparkEntry.queries("stats_countmin")(s, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(cm.length === 20)
+    assert(cm.forall { case (t, e) => e >= t && t > 0 })
+
+    // quantiles: values non-decreasing in permille, ranks in [1, n]
+    val qn = SparkEntry.queries("stats_quantiles")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(qn.map(_._1).toSeq === Seq(500L, 900L, 990L))
+    assert(qn.map(_._3).toSeq === qn.map(_._3).sorted.toSeq)
+    assert(qn.forall(_._2 >= 1))
+
+    // skew advisor: shares sum to ~1e6 (floor loss < nKeys), salts >= 1
+    val sk = SparkEntry.queries("profile_skew")(s, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sk.nonEmpty)
+    val shareSum = sk.map(_._2).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - sk.length)
+    assert(sk.forall(_._3 >= 1L))
+  }
 }

@@ -2127,4 +2127,80 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(got === Map((1L, 2L) -> cov(0, 1), (1L, 3L) -> cov(0, 2), (2L, 3L) -> cov(1, 2)))
   }
+
+  test("hll sketch: accuracy envelope, duplicate-invariance, merge-by-max") {
+    import graft.operators.Sketches
+    val n = 20000L
+    val d = spark.range(n).select(col("id").cast("string").as("k"))
+    val row = Sketches.hllNdv(d, col("k")).collect().head
+    val est = row.getLong(2)
+    // m=256 -> sigma ~6.5%; 20% is a 3-sigma envelope on a FIXED hash
+    // (deterministic, so this can never flake)
+    assert(math.abs(est - n) <= n / 5, s"est=$est")
+    // duplicates must not move the estimate (registers are maxes)
+    val dup = d.union(d).union(d.limit(500)).repartition(7)
+    assert(Sketches.hllNdv(dup, col("k")).collect().head.getLong(2) === est)
+    // mergeability: max-combining two halves' registers = whole-set sketch
+    val h1 = d.filter(col("k").cast("long") < n / 2)
+    val h2 = d.filter(col("k").cast("long") >= n / 2)
+    val merged = Sketches.hllNdv(h1.union(h2), col("k")).collect().head
+    assert(merged.getLong(2) === est)
+  }
+
+  test("count-min sketch: estimates dominate true counts; shards merge by sum") {
+    import graft.operators.Sketches
+    // known multiset: key i appears i times, i in 1..50
+    val d = spark.range(1, 51).select(col("id"),
+        explode(sequence(lit(1), col("id"))).as("rep"))
+      .select(concat(lit("k"), col("id")).as("k"))
+    val sk = Sketches.countMin(d, col("k"), depth = 4, width = 512)
+    val probes = spark.range(1, 51)
+      .select(concat(lit("k"), col("id")).as("k"), col("id").as("true_c"))
+    val got = Sketches.cmEstimate(probes, col("k"), sk, 4, 512)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size === 50)
+    got.foreach { case (k, (t, e)) =>
+      assert(e >= t, s"$k: cm $e < true $t")
+      assert(e <= 1275L, s"$k: cm $e above total mass") // sum 1..50
+    }
+    // shard merge: cell-wise sums of two half-sketches = whole sketch
+    val (a, b) = (d.limit(600), d.exceptAll(d.limit(600)))
+    val mergedCells = Sketches.countMin(a, col("k"), 4, 512)
+      .unionByName(Sketches.countMin(b, col("k"), 4, 512))
+      .groupBy("salt", "cell").agg(sum("c").as("c"))
+    val whole = sk.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = mergedCells.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged === whole)
+  }
+
+  test("exact permilles: bucketed rank path matches a full sort") {
+    import graft.operators.Sketches
+    // deterministic ragged values with heavy ties
+    val d = spark.range(1, 5001).select(col("id").as("tie"),
+      (pmod(col("id") * 2654435761L, lit(9973L)) +
+        when(pmod(col("id"), lit(10)) < 3, 0L).otherwise(lit(0L))).as("v"))
+    val got = Sketches.exactPermilles(d, "v", "tie", Seq(0, 500, 900, 990, 1000))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val sorted = d.orderBy(col("v"), col("tie")).collect().map(_.getLong(1))
+    val nn = sorted.length
+    for (q <- Seq(0, 500, 900, 990, 1000)) {
+      val r = (nn - 1) * q / 1000 + 1
+      assert(got(q.toLong) === ((r.toLong, sorted(r - 1))), s"q=$q")
+    }
+  }
+
+  test("skew advisor: shares and salt factors are exact ceil arithmetic") {
+    import graft.operators.Sketches
+    // 100 rows: key "hot" x 40, "warm" x 35, "cold" x 25
+    val d = spark.range(100).select(
+      when(col("id") < 40, "hot").when(col("id") < 75, "warm")
+        .otherwise("cold").as("k"))
+    val got = Sketches.skewAdvisor(d, "k", parallelism = 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      "hot" -> ((40L, 400000L, 4L)),   // ceil(40*8/100) = 4
+      "warm" -> ((35L, 350000L, 3L)),  // ceil(280/100) = 3
+      "cold" -> ((25L, 250000L, 2L)))) // ceil(200/100) = 2
+  }
 }
