@@ -157,6 +157,10 @@ object Bench {
     // count-min) + no-global-sort exact quantiles + join-skew advisor
     "r11e" -> Seq(
       "stats_hll", "stats_countmin", "stats_quantiles", "profile_skew"),
+    // fifth r11 wave: streaming sketch state, graph components census,
+    // link-reciprocity audit
+    "r11f" -> Seq(
+      "stream_hll", "graph_components", "graph_reciprocity"),
   )
 
   /** Sanctioned per-query medians (seconds at sf0.1), mirrored from
@@ -281,6 +285,10 @@ object Bench {
     // r11e (3 quiet forked runs, medians)
     "stats_hll" -> 0.828, "stats_countmin" -> 1.760,
     "stats_quantiles" -> 0.760, "profile_skew" -> 0.236,
+    // r11f (3 quiet forked runs, medians; stream_hll times a full
+    // 2-snapshot table build + 2 streamed micro-batches by design)
+    "stream_hll" -> 3.950, "graph_components" -> 2.107,
+    "graph_reciprocity" -> 0.293,
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup
@@ -636,7 +644,12 @@ object Bench {
         // 2,048 cells) after one map-only pass — only the explode sees
         // 10x rows; quantiles histogram once then re-reads ~3 buckets;
         // the skew advisor is one hash aggregate over 20 keys
-        "stats_hll", "stats_countmin", "stats_quantiles", "profile_skew"))
+        "stats_hll", "stats_countmin", "stats_quantiles", "profile_skew",
+        // r11f: streaming HLL keeps <=256 state rows at any volume (the
+        // timed closure rebuilds its 2-snapshot table by design); CC is
+        // O(E) keyed joins x ~log(diameter) rounds over the saturating
+        // domain graph; reciprocity is one distinct + one semi-join
+        "stream_hll", "graph_components", "graph_reciprocity"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

@@ -60,19 +60,42 @@ object SparkEntry {
   /** exact decimal view of a 2-decimal double column */
   private def money(c: Column): Column = c.cast(DecimalType(12, 2))
 
-  /** One row per word TRIGRAM of `documents.text` (column `sh`) — the
-    * shared key stream of the sketch queries. Tokens are the proven
-    * cross-engine split (lower + non-alnum boundaries, empties dropped);
-    * shingles join 3 consecutive tokens with single spaces. Map-only. */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(filter(
+  /** One row per word TRIGRAM of `text` (column `sh`) — the shared key
+    * stream of the sketch queries. Tokens are the proven cross-engine
+    * split (lower + non-alnum boundaries, empties dropped); shingles
+    * join 3 consecutive tokens with single spaces. Map-only, so it
+    * applies unchanged to STREAMING frames. */
+  private def shinglesOf(df: DataFrame): DataFrame =
+    df.select(filter(
         split(lower(coalesce(col("text"), lit(""))), "[^a-z0-9]+"),
         x => length(x) > 0).as("w"))
       .select(explode(expr(
         "CASE WHEN size(w) < 3 THEN CAST(array() AS ARRAY<STRING>) " +
           "ELSE transform(sequence(0, size(w) - 3), " +
           "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])) END")).as("sh"))
+
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(t(s, dir, "documents"))
+
+  /** The synthesized domain link graph shared by the graph_* queries:
+    * one directed edge per document from a node of its source-domain
+    * block to a deterministic doc-derived target — 20 nodes per domain,
+    * cross-domain links, self-loops and duplicates included (operators
+    * must handle them). One broadcast join; corpus-sized, never wider. */
+  private def linkEdges(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val si = d.select(col("source")).distinct()
+      .withColumn("sidx",
+        (row_number().over(Window.orderBy(col("source"))) - 1)
+          .cast(LongType))
+      .withColumn("n_src", count(lit(1)).over(
+        Window.partitionBy(lit(1))).cast(LongType))
+    d.join(broadcast(si), "source")
+      .select(
+        (col("sidx") * 20 + pmod(col("doc_id"), lit(20))).as("src"),
+        (pmod(col("sidx") + col("doc_id"), col("n_src")) * 20 +
+          pmod(expr("doc_id div 7"), lit(20))).as("dst"))
+  }
 
   /** fresh Iceberg table under tmp for a query, seeded from a source df */
   private[graft] def freshTable(
@@ -1001,21 +1024,7 @@ object SparkEntry {
       // text_domains, with the target source rotated by doc_id so links
       // cross sources); every iteration then runs over the aggregated
       // graph only — O(E) joins independent of corpus size.
-      val d = t(s, dir, "documents")
-      // sidx AND n_src ride ONE source-pruned aggregate (the count is a
-      // window over the distinct-source rows, not a second corpus pass)
-      val si = d.select(col("source")).distinct()
-        .withColumn("sidx",
-          (row_number().over(Window.orderBy(col("source"))) - 1)
-            .cast(LongType))
-        .withColumn("n_src", count(lit(1)).over(
-          Window.partitionBy(lit(1))).cast(LongType))
-      val edges0 = d.join(broadcast(si), "source")
-        .select(
-          (col("sidx") * 20 + pmod(col("doc_id"), lit(20))).as("src"),
-          (pmod(col("sidx") + col("doc_id"), col("n_src")) * 20 +
-            pmod(expr("doc_id div 7"), lit(20))).as("dst"))
-      val edges = edges0.groupBy("src", "dst")
+      val edges = linkEdges(s, dir).groupBy("src", "dst")
         .agg(count(lit(1)).as("w"))
       val outw = edges.groupBy(col("src").as("node"))
         .agg(sum(col("w")).as("out_weight"))
@@ -1089,19 +1098,7 @@ object SparkEntry {
       // naive join would go quadratic on exactly the hub nodes a 100 TB
       // crawl graph has. Output is orientation-invariant, so the oracle
       // verifies with the simple id-order enumeration.
-      val d = t(s, dir, "documents")
-      val si = d.select(col("source")).distinct()
-        .withColumn("sidx",
-          (row_number().over(Window.orderBy(col("source"))) - 1)
-            .cast(LongType))
-        .withColumn("n_src", count(lit(1)).over(
-          Window.partitionBy(lit(1))).cast(LongType))
-      val edges0 = d.join(broadcast(si), "source")
-        .select(
-          (col("sidx") * 20 + pmod(col("doc_id"), lit(20))).as("src"),
-          (pmod(col("sidx") + col("doc_id"), col("n_src")) * 20 +
-            pmod(expr("doc_id div 7"), lit(20))).as("dst"))
-      Graph.triangleCounts(edges0, "src", "dst")
+      Graph.triangleCounts(linkEdges(s, dir), "src", "dst")
     }),
     "graph_label_prop" -> ((s, dir) => {
       // semi-supervised label propagation: a seed set of hand-labeled
@@ -1112,18 +1109,7 @@ object SparkEntry {
       // AGGREGATED graph — O(E) per round, corpus-independent. The
       // production shape: a few thousand labeled domains classify the
       // whole 100 TB crawl frontier without touching document text.
-      val d = t(s, dir, "documents")
-      val si = d.select(col("source")).distinct()
-        .withColumn("sidx",
-          (row_number().over(Window.orderBy(col("source"))) - 1)
-            .cast(LongType))
-        .withColumn("n_src", count(lit(1)).over(
-          Window.partitionBy(lit(1))).cast(LongType))
-      val edges = d.join(broadcast(si), "source")
-        .select(
-          (col("sidx") * 20 + pmod(col("doc_id"), lit(20))).as("src"),
-          (pmod(col("sidx") + col("doc_id"), col("n_src")) * 20 +
-            pmod(expr("doc_id div 7"), lit(20))).as("dst"))
+      val edges = linkEdges(s, dir)
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
       val nodes = edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct()
@@ -1344,6 +1330,65 @@ object SparkEntry {
       Sketches.skewAdvisor(t(s, dir, "documents"), "source",
         parallelism = 32)
         .withColumnRenamed("key", "source")
+    }),
+    "stream_hll" -> ((s, dir) => {
+      // STREAMING HLL maintenance: the corpus arrives in two micro-
+      // batches (two table snapshots, rate-limited to one commit per
+      // trigger) and the registers live as streaming aggregation state —
+      // groupBy(bucket).max(rank), at most 256 state rows NO MATTER HOW
+      // MUCH data streams through. Because registers merge by max, the
+      // final state is BIT-IDENTICAL to the batch sketch over the same
+      // rows (order/batching-invariant), so the oracle is the batch
+      // replica. This is the production cardinality monitor: a crawl
+      // streams in all day, the NDV estimate is always current, and the
+      // state never grows.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tbl = freshTable(s, "stream_hll", d.limit(0))
+      tbl.append(s, d.filter(pmod(col("doc_id"), lit(2)) === 0))
+      tbl.append(s, d.filter(pmod(col("doc_id"), lit(2)) === 1))
+      val (bucket, rank) = Sketches.hllParts(col("sh"), pHex = 2)
+      val name = s"stream_hll_${System.nanoTime()}"
+      val q = shinglesOf(s.readStream.format("graft-stream")
+          .option("location", tbl.location)
+          .option("max-seqs-per-trigger", "1").load())
+        .select(bucket.as("bucket"), rank.as("rank"))
+        .groupBy("bucket").agg(max(col("rank")).as("mr"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      Sketches.hllEstimate(s.table(name), pHex = 2)
+    }),
+    "graph_components" -> ((s, dir) => {
+      // connected components of the domain link graph — the mirror-farm
+      // / island detector (a crawl component disconnected from the main
+      // web is usually a self-linking spam cluster). Rides the same
+      // pointer-jumping min-label CC the dedup family uses: O(E) keyed
+      // joins per round, rounds ~ log(diameter), labels are exact min
+      // node ids so any engine verifies with reachability semantics.
+      val e = linkEdges(s, dir)
+      Dedup.connectedComponents(e, "src", "dst")
+        .select(col("doc_id").as("node"), col("component"))
+    }),
+    "graph_reciprocity" -> ((s, dir) => {
+      // link-reciprocity census: of the distinct directed edges, how
+      // many have their reverse edge present — organic link graphs
+      // reciprocate a little, link-exchange rings reciprocate almost
+      // everything. One distinct-edge aggregate + one self-join on the
+      // reversed key + a single-row rollup; self-loops excluded. Exact
+      // integers (ppm by integral division).
+      val e = linkEdges(s, dir)
+        .filter(col("src") =!= col("dst")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val recip = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_recip"))))
+        .select(col("n_edges").cast(LongType).as("n_edges"),
+          col("n_recip").cast(LongType).as("n_recip"),
+          expr("CAST(n_recip * 1000000 div n_edges AS BIGINT)")
+            .as("recip_ppm"))
     }),
     "embed_anisotropy" -> ((s, dir) => {
       // embedding-space anisotropy audit: the top-20 strongest
@@ -7706,6 +7751,85 @@ object SparkEntry {
         |  CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
         |  CAST((cnt * 32 + total - 1) // total AS BIGINT) AS salt_factor
         |FROM c CROSS JOIN t""".stripMargin,
+    // streaming HLL replica: registers merge by max, so the stream's
+    // final state equals the batch sketch — same SQL as stats_hll minus
+    // the exact-NDV audit columns
+    "stream_hll" ->
+      """WITH ws AS (
+        |  SELECT list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    x -> len(x) > 0) AS w
+        |  FROM documents),
+        |toks AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tok
+        |  FROM ws),
+        |parts AS (
+        |  SELECT CAST(concat('0x', substr(md5(tok), 1, 2)) AS BIGINT)
+        |      AS bucket,
+        |    substr(md5(tok), 3, 15) AS tail
+        |  FROM toks),
+        |ranked AS (
+        |  SELECT bucket,
+        |    CASE WHEN length(regexp_extract(tail, '^(0*)', 1)) = 15 THEN 61
+        |    ELSE length(regexp_extract(tail, '^(0*)', 1)) * 4 +
+        |      CASE substr(tail,
+        |          length(regexp_extract(tail, '^(0*)', 1)) + 1, 1)
+        |        WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |        WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+        |        WHEN '7' THEN 1 ELSE 0 END + 1 END AS rank
+        |  FROM parts),
+        |regs AS (SELECT bucket, max(rank) AS mr FROM ranked GROUP BY bucket),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_regs,
+        |    sum(CAST(1::BIGINT << (61 - mr) AS HUGEINT)) AS s_present
+        |  FROM regs)
+        |SELECT CAST(256 AS BIGINT) AS m, n_regs,
+        |  CAST((7213::HUGEINT * 256 * 256 * 256 *
+        |      CAST(1::BIGINT << 61 AS HUGEINT)) //
+        |    ((10000::HUGEINT * 256 + 10790) *
+        |      (s_present + CAST(1::BIGINT << 61 AS HUGEINT)
+        |        * (256 - n_regs))) AS BIGINT) AS hll_ndv
+        |FROM agg""".stripMargin,
+    // components replica: undirected reachability closure, label = min
+    // reachable node id (the same fixpoint the pointer-jumping CC finds)
+    "graph_components" ->
+      """WITH RECURSIVE si AS (
+        |  SELECT source,
+        |    CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS sidx
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM si),
+        |e0 AS (
+        |  SELECT si.sidx*20 + d.doc_id%20 AS src,
+        |    ((si.sidx + d.doc_id) % ns.n_src)*20 + (d.doc_id//7)%20 AS dst
+        |  FROM documents d JOIN si USING (source) CROSS JOIN ns),
+        |ue AS (SELECT DISTINCT src AS s, dst AS d FROM e0
+        |  UNION SELECT DISTINCT dst, src FROM e0),
+        |nodes AS (SELECT DISTINCT s AS node FROM ue),
+        |reach(a, b) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT reach.a, ue.d FROM reach JOIN ue ON ue.s = reach.b)
+        |SELECT a AS node, CAST(min(b) AS BIGINT) AS component
+        |FROM reach GROUP BY a""".stripMargin,
+    "graph_reciprocity" ->
+      """WITH si AS (
+        |  SELECT source,
+        |    CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS sidx
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM si),
+        |e0 AS (
+        |  SELECT si.sidx*20 + d.doc_id%20 AS src,
+        |    ((si.sidx + d.doc_id) % ns.n_src)*20 + (d.doc_id//7)%20 AS dst
+        |  FROM documents d JOIN si USING (source) CROSS JOIN ns),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |r AS (SELECT count(*) AS n_recip FROM e
+        |  WHERE EXISTS (SELECT 1 FROM e e2
+        |    WHERE e2.src = e.dst AND e2.dst = e.src)),
+        |n AS (SELECT count(*) AS n_edges FROM e)
+        |SELECT CAST(n_edges AS BIGINT) AS n_edges,
+        |  CAST(n_recip AS BIGINT) AS n_recip,
+        |  CAST(n_recip * 1000000 // n_edges AS BIGINT) AS recip_ppm
+        |FROM n CROSS JOIN r""".stripMargin,
     // knn-graph replica: the same one-Lloyd-iteration integer kmeans CTE
     // as cluster_cells, then a within-cell self-join scored by the exact
     // quantized dot, top-5 per node (dot desc, neighbor id asc). The

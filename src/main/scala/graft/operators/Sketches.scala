@@ -33,7 +33,7 @@ object Sketches {
     * (4 bits each), then the first nonzero hex digit contributes its
     * own 0-3 bits via a CASE — exactly replicable in any SQL engine.
     */
-  private def hllParts(key: Column, pHex: Int): (Column, Column) = {
+  def hllParts(key: Column, pHex: Int): (Column, Column) = {
     val h = md5(key)
     val bucket = conv(substring(h, 1, pHex), 16, 10).cast(LongType)
     val tail = substring(h, pHex + 1, 15) // 60 bits
@@ -62,11 +62,21 @@ object Sketches {
     * the regime the sketch exists for anyway.
     */
   def hllNdv(df: DataFrame, key: Column, pHex: Int = 2): DataFrame = {
+    val (bucket, rank) = hllParts(key, pHex)
+    hllEstimate(
+      df.select(bucket.as("bucket"), rank.as("rank"))
+        .groupBy("bucket").agg(max(col("rank")).as("mr")),
+      pHex)
+  }
+
+  /** The estimator half of [[hllNdv]], over an already-aggregated
+    * (bucket, mr) register table — the entry point when registers are
+    * maintained elsewhere (e.g. a streaming `groupBy(bucket).max` whose
+    * state IS the sketch, or registers merged across shards/sites by
+    * max). Same one-row output. */
+  def hllEstimate(regs: DataFrame, pHex: Int = 2): DataFrame = {
     require(pHex >= 1 && pHex <= 4, "pHex in 1..4 (m = 16^pHex)")
     val m = math.pow(16, pHex).toLong
-    val (bucket, rank) = hllParts(key, pHex)
-    val regs = df.select(bucket.as("bucket"), rank.as("rank"))
-      .groupBy("bucket").agg(max(col("rank")).as("mr"))
     // S = sum over ALL m registers of 2^(61-M_j); absent registers have
     // M_j = 0 and contribute 2^61 each. Exact: shifted longs summed in
     // DECIMAL(38,0) — max total m * 2^61 ~ 1.5e23 for pHex=4, in range.

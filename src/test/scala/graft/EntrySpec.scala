@@ -204,4 +204,29 @@ class EntrySpec extends AnyFunSuite {
     assert(shareSum <= 1000000L && shareSum > 1000000L - sk.length)
     assert(sk.forall(_._3 >= 1L))
   }
+
+  test("round-11 stream/graph wave: structural invariants on sf0.001") {
+    val s = TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+
+    // streaming HLL: registers merge by max, so the 2-micro-batch
+    // stream's estimate must be BIT-IDENTICAL to the batch sketch
+    val st = SparkEntry.queries("stream_hll")(s, dir).collect().head
+    val hll = SparkEntry.queries("stats_hll")(s, dir).collect().head
+    assert((st.getLong(0), st.getLong(1), st.getLong(2)) ===
+      ((hll.getLong(0), hll.getLong(1), hll.getLong(2))))
+
+    // components: labels are component minima (label <= node, and the
+    // label node carries its own label); triangle corners co-reside
+    val cc = SparkEntry.queries("graph_components")(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.nonEmpty)
+    assert(cc.forall { case (n, c) => c <= n && cc(c) == c })
+
+    // reciprocity: bounded counts, exact ppm arithmetic
+    val rc = SparkEntry.queries("graph_reciprocity")(s, dir).collect().head
+    val (ne, nr, ppm) = (rc.getLong(0), rc.getLong(1), rc.getLong(2))
+    assert(ne > 0 && nr >= 0 && nr <= ne)
+    assert(ppm === nr * 1000000L / ne)
+  }
 }
