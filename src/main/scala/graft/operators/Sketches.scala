@@ -165,25 +165,37 @@ object Sketches {
     val hist = base.groupBy("b").agg(count(lit(1)).as("bc"))
     val wb = Window.orderBy(col("b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.select(col("b"),
+    val wn = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    // cum counts AND the grand total ride the same bounded bucket frame
+    // — n is never a second corpus action
+    val cum = hist.select(col("b"), col("bc"),
       (sum(col("bc")).over(wb) - col("bc")).as("cum_before"),
       sum(col("bc")).over(wb).as("cum"))
-    val n1 = df.agg(count(lit(1)).as("n"))
-    val spark = df.sparkSession
-    import spark.implicits._
-    val qs = permilles.toDF("permille")
-      .crossJoin(broadcast(n1))
-      .select(col("permille").cast(LongType).as("permille"),
-        expr("CAST((n - 1) * permille div 1000 + 1 AS BIGINT)").as("r"))
-    // target buckets: cum_before < r <= cum (tiny range join, broadcast)
-    val wanted = qs.join(broadcast(cum),
-      col("cum_before") < col("r") && col("r") <= col("cum"))
-      .select(col("b"), col("permille"), col("r"), col("cum_before"))
-    val inBuckets = base
-      .join(broadcast(wanted.select(col("b")).distinct()), Seq("b"))
+      .withColumn("n", sum(col("bc")).over(wn))
+    // BOUNDED collect (one row per OCCUPIED value bucket — at most
+    // value_range/bucketWidth rows, comment-audited): materializing the
+    // cumulative table in ONE job keeps the corpus at exactly TWO passes
+    // (histogram job + targeted re-read) and turns the re-read's bucket
+    // filter into literal IN pruning the scan can push down
+    val cumRows = cum.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val n = cumRows.headOption.map(_._4).getOrElse(0L)
+    val targets = permilles.distinct.flatMap { q =>
+      val r = (n - 1) * q / 1000 + 1
+      cumRows.filter { case (_, before, c, _) => before < r && r <= c }
+        .map { case (b, before, _, _) => (q.toLong, b, r, before) }
+    }
+    val all = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      targets.toDF("permille", "b", "r", "cum_before")
+    }
+    val wantedBuckets = targets.map(_._2).distinct
+    val inBuckets = base.filter(col("b").isin(wantedBuckets: _*))
     val wr = Window.partitionBy(col("b")).orderBy(col("value"), col("tie"))
     inBuckets.withColumn("lr", row_number().over(wr).cast(LongType))
-      .join(broadcast(wanted), Seq("b"))
+      .join(broadcast(all), Seq("b"))
       .filter(col("lr") === col("r") - col("cum_before"))
       .select(col("permille"), col("r").as("rank"), col("value"))
   }
@@ -201,7 +213,8 @@ object Sketches {
       parallelism: Int = 32): DataFrame = {
     val counts = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("cnt"))
-    val tot = df.agg(count(lit(1)).as("total"))
+    // total derives from the key-bounded counts — one corpus pass only
+    val tot = counts.agg(sum(col("cnt")).as("total"))
     counts.crossJoin(broadcast(tot)).select(
       col("key"),
       col("cnt").cast(LongType).as("cnt"),
