@@ -176,8 +176,8 @@ object Sketches {
     // BOUNDED collect (one row per OCCUPIED value bucket — at most
     // value_range/bucketWidth rows, comment-audited): materializing the
     // cumulative table in ONE job keeps the corpus at exactly TWO passes
-    // (histogram job + targeted re-read) and turns the re-read's bucket
-    // filter into literal IN pruning the scan can push down
+    // (histogram job + targeted re-read) and lets the re-read carry
+    // literal filters — see the pushable value-range form below
     val cumRows = cum.collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
     val n = cumRows.headOption.map(_._4).getOrElse(0L)
@@ -192,7 +192,18 @@ object Sketches {
       targets.toDF("permille", "b", "r", "cum_before")
     }
     val wantedBuckets = targets.map(_._2).distinct
-    val inBuckets = base.filter(col("b").isin(wantedBuckets: _*))
+    // redundant RAW-VALUE range filter alongside the semantic bucket
+    // filter: the bucket id is a derived column no scan can push, but
+    // the equivalent value ranges (div truncates toward zero, so
+    // negative buckets flip their bounds) reach the parquet reader as
+    // min/max row-group pruning — the piece that makes the targeted
+    // re-read cheap at 100 TB
+    val ranges = wantedBuckets.map { b =>
+      if (b >= 0) col("value").between(b * bucketWidth, b * bucketWidth + bucketWidth - 1)
+      else col("value").between(b * bucketWidth - (bucketWidth - 1), b * bucketWidth)
+    }
+    val rangeFilter = ranges.reduceOption(_ || _).getOrElse(lit(false))
+    val inBuckets = base.filter(rangeFilter && col("b").isin(wantedBuckets: _*))
     val wr = Window.partitionBy(col("b")).orderBy(col("value"), col("tie"))
     inBuckets.withColumn("lr", row_number().over(wr).cast(LongType))
       .join(broadcast(all), Seq("b"))
