@@ -161,6 +161,9 @@ object Bench {
     // link-reciprocity audit
     "r11f" -> Seq(
       "stream_hll", "graph_components", "graph_reciprocity"),
+    // sixth r11 wave: grouped + set-algebra sketches
+    "r11g" -> Seq(
+      "stats_hll_sources", "stats_hll_overlap"),
   )
 
   /** Sanctioned per-query medians (seconds at sf0.1), mirrored from
@@ -289,6 +292,9 @@ object Bench {
     // 2-snapshot table build + 2 streamed micro-batches by design)
     "stream_hll" -> 3.950, "graph_components" -> 2.107,
     "graph_reciprocity" -> 0.293,
+    // r11g (3 forked runs, medians — measured in the round-close window
+    // the adjudication trail documents as ~1.3x slow; conservative)
+    "stats_hll_sources" -> 0.879, "stats_hll_overlap" -> 0.745,
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup
@@ -645,6 +651,10 @@ object Bench {
         // 10x rows; quantiles histogram once then re-reads ~3 buckets;
         // the skew advisor is one hash aggregate over 20 keys
         "stats_hll", "stats_countmin", "stats_quantiles", "profile_skew",
+        // r11g: grouped registers are m rows PER GROUP (group-count-
+        // bounded state); the overlap query's exact-intersection audit
+        // column is the only corpus-distinct stage
+        "stats_hll_sources", "stats_hll_overlap",
         // r11f: streaming HLL keeps <=256 state rows at any volume (the
         // timed closure rebuilds its 2-snapshot table by design); CC is
         // O(E) keyed joins x ~log(diameter) rounds over the saturating

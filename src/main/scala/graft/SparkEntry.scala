@@ -65,14 +65,14 @@ object SparkEntry {
     * split (lower + non-alnum boundaries, empties dropped); shingles
     * join 3 consecutive tokens with single spaces. Map-only, so it
     * applies unchanged to STREAMING frames. */
-  private def shinglesOf(df: DataFrame): DataFrame =
-    df.select(filter(
+  private def shinglesOf(df: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    df.select((keep.map(col) :+ filter(
         split(lower(coalesce(col("text"), lit(""))), "[^a-z0-9]+"),
-        x => length(x) > 0).as("w"))
-      .select(explode(expr(
+        x => length(x) > 0).as("w")): _*)
+      .select((keep.map(col) :+ explode(expr(
         "CASE WHEN size(w) < 3 THEN CAST(array() AS ARRAY<STRING>) " +
           "ELSE transform(sequence(0, size(w) - 3), " +
-          "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])) END")).as("sh"))
+          "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])) END")).as("sh")): _*)
 
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
     shinglesOf(t(s, dir, "documents"))
@@ -1330,6 +1330,58 @@ object SparkEntry {
       Sketches.skewAdvisor(t(s, dir, "documents"), "source",
         parallelism = 32)
         .withColumnRenamed("key", "source")
+    }),
+    "stats_hll_sources" -> ((s, dir) => {
+      // per-domain vocabulary-diversity sketch: distinct-shingle NDV per
+      // source from ONE (source, bucket)-keyed register aggregate —
+      // 256 Longs of state per domain, the curation signal that
+      // separates template farms (tiny NDV at high volume) from organic
+      // sites, computed for a million domains in one corpus pass. Exact
+      // same integer estimator per group, so any engine reproduces
+      // every row bit-for-bit.
+      Sketches.hllNdvBy(
+          shinglesOf(t(s, dir, "documents"), keep = Seq("source")),
+          col("sh"), "source", pHex = 2)
+        .withColumnRenamed("grp", "source")
+    }),
+    "stats_hll_overlap" -> ((s, dir) => {
+      // sketch-based CROSS-CRAWL overlap estimate: the even/odd doc_id
+      // halves stand in for two crawls; each half's registers aggregate
+      // in one pass, the UNION sketch is their register-wise max (the
+      // mergeability property), and inclusion-exclusion gives the
+      // shared-shingle estimate — dedup planning between two 50 TB
+      // crawls from 2 x 2 KB of state, no content join. exact_overlap
+      // is the audit column (the expensive distinct-intersection the
+      // sketch replaces — affordable only at test scale).
+      val sh = shinglesOf(
+        t(s, dir, "documents").withColumn("half",
+          pmod(col("doc_id"), lit(2)).cast(LongType)),
+        keep = Seq("half"))
+      val (bucket, rank) = Sketches.hllParts(col("sh"), pHex = 2)
+      // per-half registers: BOUNDED (<= 2*256 rows), persisted because
+      // both the per-half estimates and the union max-merge read them
+      val regs = sh.select(col("half"), bucket.as("bucket"), rank.as("rank"))
+        .groupBy("half", "bucket").agg(max(col("rank")).as("mr"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def est(r: DataFrame) = Sketches.hllEstimate(r, pHex = 2)
+        .select(col("hll_ndv"))
+      val estEven = est(regs.filter(col("half") === 0))
+        .withColumnRenamed("hll_ndv", "ndv_even")
+      val estOdd = est(regs.filter(col("half") === 1))
+        .withColumnRenamed("hll_ndv", "ndv_odd")
+      val estUnion = est(regs.groupBy("bucket").agg(max(col("mr")).as("mr")))
+        .withColumnRenamed("hll_ndv", "ndv_union")
+      val exact = sh.groupBy("sh")
+        .agg(countDistinct(col("half")).as("nh"))
+        .agg(sum(when(col("nh") === 2, 1L).otherwise(0L))
+          .cast(LongType).as("exact_overlap"))
+      estEven.crossJoin(broadcast(estOdd))
+        .crossJoin(broadcast(estUnion))
+        .crossJoin(broadcast(exact))
+        .select(col("ndv_even"), col("ndv_odd"), col("ndv_union"),
+          (col("ndv_even") + col("ndv_odd") - col("ndv_union"))
+            .as("overlap_est"),
+          col("exact_overlap"))
     }),
     "stream_hll" -> ((s, dir) => {
       // STREAMING HLL maintenance: the corpus arrives in two micro-
@@ -7751,6 +7803,102 @@ object SparkEntry {
         |  CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
         |  CAST((cnt * 32 + total - 1) // total AS BIGINT) AS salt_factor
         |FROM c CROSS JOIN t""".stripMargin,
+    // grouped-HLL replica: identical register addressing with a
+    // per-source GROUP BY at both aggregate stages
+    "stats_hll_sources" ->
+      """WITH ws AS (
+        |  SELECT source, list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    x -> len(x) > 0) AS w
+        |  FROM documents),
+        |toks AS (
+        |  SELECT source,
+        |    unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tok
+        |  FROM ws),
+        |parts AS (
+        |  SELECT source,
+        |    CAST(concat('0x', substr(md5(tok), 1, 2)) AS BIGINT) AS bucket,
+        |    substr(md5(tok), 3, 15) AS tail
+        |  FROM toks),
+        |ranked AS (
+        |  SELECT source, bucket,
+        |    CASE WHEN length(regexp_extract(tail, '^(0*)', 1)) = 15 THEN 61
+        |    ELSE length(regexp_extract(tail, '^(0*)', 1)) * 4 +
+        |      CASE substr(tail,
+        |          length(regexp_extract(tail, '^(0*)', 1)) + 1, 1)
+        |        WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |        WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+        |        WHEN '7' THEN 1 ELSE 0 END + 1 END AS rank
+        |  FROM parts),
+        |regs AS (SELECT source, bucket, max(rank) AS mr
+        |  FROM ranked GROUP BY source, bucket),
+        |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_regs,
+        |    sum(CAST(1::BIGINT << (61 - mr) AS HUGEINT)) AS s_present
+        |  FROM regs GROUP BY source)
+        |SELECT source, CAST(256 AS BIGINT) AS m, n_regs,
+        |  CAST((7213::HUGEINT * 256 * 256 * 256 *
+        |      CAST(1::BIGINT << 61 AS HUGEINT)) //
+        |    ((10000::HUGEINT * 256 + 10790) *
+        |      (s_present + CAST(1::BIGINT << 61 AS HUGEINT)
+        |        * (256 - n_regs))) AS BIGINT) AS hll_ndv
+        |FROM agg""".stripMargin,
+    // overlap replica: per-half registers, union = register-wise max,
+    // inclusion-exclusion, exact intersection audit
+    "stats_hll_overlap" ->
+      """WITH ws AS (
+        |  SELECT doc_id % 2 AS half, list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    x -> len(x) > 0) AS w
+        |  FROM documents),
+        |toks AS (
+        |  SELECT half,
+        |    unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tok
+        |  FROM ws),
+        |parts AS (
+        |  SELECT half,
+        |    CAST(concat('0x', substr(md5(tok), 1, 2)) AS BIGINT) AS bucket,
+        |    substr(md5(tok), 3, 15) AS tail
+        |  FROM toks),
+        |ranked AS (
+        |  SELECT half, bucket,
+        |    CASE WHEN length(regexp_extract(tail, '^(0*)', 1)) = 15 THEN 61
+        |    ELSE length(regexp_extract(tail, '^(0*)', 1)) * 4 +
+        |      CASE substr(tail,
+        |          length(regexp_extract(tail, '^(0*)', 1)) + 1, 1)
+        |        WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |        WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+        |        WHEN '7' THEN 1 ELSE 0 END + 1 END AS rank
+        |  FROM parts),
+        |regs AS (SELECT half, bucket, max(rank) AS mr
+        |  FROM ranked GROUP BY half, bucket),
+        |est AS (
+        |  SELECT half, CAST((7213::HUGEINT * 256 * 256 * 256 *
+        |      CAST(1::BIGINT << 61 AS HUGEINT)) //
+        |    ((10000::HUGEINT * 256 + 10790) *
+        |      (sum(CAST(1::BIGINT << (61 - mr) AS HUGEINT)) +
+        |        CAST(1::BIGINT << 61 AS HUGEINT) * (256 - count(*))))
+        |    AS BIGINT) AS ndv
+        |  FROM regs GROUP BY half),
+        |uregs AS (SELECT bucket, max(mr) AS mr FROM regs GROUP BY bucket),
+        |uest AS (
+        |  SELECT CAST((7213::HUGEINT * 256 * 256 * 256 *
+        |      CAST(1::BIGINT << 61 AS HUGEINT)) //
+        |    ((10000::HUGEINT * 256 + 10790) *
+        |      (sum(CAST(1::BIGINT << (61 - mr) AS HUGEINT)) +
+        |        CAST(1::BIGINT << 61 AS HUGEINT) * (256 - count(*))))
+        |    AS BIGINT) AS ndv_union
+        |  FROM uregs),
+        |ex AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS exact_overlap FROM (
+        |    SELECT tok FROM toks GROUP BY tok
+        |    HAVING count(DISTINCT half) = 2)),
+        |ee AS (SELECT ndv AS ndv_even FROM est WHERE half = 0),
+        |eo AS (SELECT ndv AS ndv_odd FROM est WHERE half = 1)
+        |SELECT ndv_even, ndv_odd, ndv_union,
+        |  ndv_even + ndv_odd - ndv_union AS overlap_est, exact_overlap
+        |FROM ee CROSS JOIN eo CROSS JOIN uest CROSS JOIN ex""".stripMargin,
     // streaming HLL replica: registers merge by max, so the stream's
     // final state equals the batch sketch — same SQL as stats_hll minus
     // the exact-NDV audit columns

@@ -69,6 +69,25 @@ object Sketches {
       pHex)
   }
 
+  /** S-sum term over PRESENT registers: 2^(61-mr), shifted longs summed
+    * in DECIMAL(38,0) — max total m * 2^61 ~ 1.5e23 for pHex=4, in
+    * range. Absent registers contribute 2^61 each (added in estExpr). */
+  private def sPresentAgg: Column =
+    sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(61 - mr AS INT))" +
+      " AS DECIMAL(38,0))")).as("s_present")
+
+  /** E = floor(alpha_num * m^2 * 2^61 / (alpha_den * S)) over columns
+    * `n_regs`/`s_present`; the numerator is the constant 7213*m^3*2^61
+    * (~2.8e29 at m=256, inside DECIMAL(38,0)). */
+  private def estExpr(m: Long): Column = {
+    val aDen = 10000L * m + 10790L
+    val num = java.math.BigInteger.valueOf(7213L * m * m * m)
+      .multiply(java.math.BigInteger.valueOf(2L).pow(61))
+    expr(s"CAST(CAST('$num' AS DECIMAL(38,0)) div " +
+      s"(CAST($aDen AS DECIMAL(38,0)) * (s_present + " +
+      s"CAST(${1L << 61} AS DECIMAL(38,0)) * ($m - n_regs))) AS BIGINT)")
+  }
+
   /** The estimator half of [[hllNdv]], over an already-aggregated
     * (bucket, mr) register table — the entry point when registers are
     * maintained elsewhere (e.g. a streaming `groupBy(bucket).max` whose
@@ -77,25 +96,25 @@ object Sketches {
   def hllEstimate(regs: DataFrame, pHex: Int = 2): DataFrame = {
     require(pHex >= 1 && pHex <= 4, "pHex in 1..4 (m = 16^pHex)")
     val m = math.pow(16, pHex).toLong
-    // S = sum over ALL m registers of 2^(61-M_j); absent registers have
-    // M_j = 0 and contribute 2^61 each. Exact: shifted longs summed in
-    // DECIMAL(38,0) — max total m * 2^61 ~ 1.5e23 for pHex=4, in range.
-    val agg = regs.agg(
-      count(lit(1)).cast(LongType).as("n_regs"),
-      sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(61 - mr AS INT))" +
-        " AS DECIMAL(38,0))")).as("s_present"))
-    // E = floor(alpha_num * m^2 * 2^61 / (alpha_den * S)); numerator is
-    // the constant 7213*m^3*2^61 (~2.8e29 at m=256, inside DECIMAL(38,0))
-    val aDen = 10000L * m + 10790L
-    val num = java.math.BigInteger.valueOf(7213L * m * m * m)
-      .multiply(java.math.BigInteger.valueOf(2L).pow(61))
-    agg.select(
-      lit(m).as("m"),
-      col("n_regs"),
-      expr(s"CAST(CAST('$num' AS DECIMAL(38,0)) div " +
-        s"(CAST($aDen AS DECIMAL(38,0)) * (s_present + " +
-        s"CAST(${1L << 61} AS DECIMAL(38,0)) * ($m - n_regs))) AS BIGINT)")
-        .as("hll_ndv"))
+    regs.agg(count(lit(1)).cast(LongType).as("n_regs"), sPresentAgg)
+      .select(lit(m).as("m"), col("n_regs"), estExpr(m).as("hll_ndv"))
+  }
+
+  /** GROUPED HLL: one register table per value of `grpCol`, from a
+    * single (grp, bucket)-keyed aggregate — per-domain / per-language /
+    * per-shard NDV in one corpus pass, state m rows per group. Returns
+    * (grp, m, n_regs, hll_ndv), one row per group. */
+  def hllNdvBy(df: DataFrame, key: Column, grpCol: String,
+      pHex: Int = 2): DataFrame = {
+    require(pHex >= 1 && pHex <= 4, "pHex in 1..4 (m = 16^pHex)")
+    val m = math.pow(16, pHex).toLong
+    val (bucket, rank) = hllParts(key, pHex)
+    df.select(col(grpCol).as("grp"), bucket.as("bucket"), rank.as("rank"))
+      .groupBy("grp", "bucket").agg(max(col("rank")).as("mr"))
+      .groupBy("grp")
+      .agg(count(lit(1)).cast(LongType).as("n_regs"), sPresentAgg)
+      .select(col("grp"), lit(m).as("m"), col("n_regs"),
+        estExpr(m).as("hll_ndv"))
   }
 
   /** Count-min sketch of `key` frequencies: `depth` independent

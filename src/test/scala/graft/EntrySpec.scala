@@ -228,5 +228,22 @@ class EntrySpec extends AnyFunSuite {
     val (ne, nr, ppm) = (rc.getLong(0), rc.getLong(1), rc.getLong(2))
     assert(ne > 0 && nr >= 0 && nr <= ne)
     assert(ppm === nr * 1000000L / ne)
+
+    // grouped hll: one row per source, registers within [1, m]
+    val gh = SparkEntry.queries("stats_hll_sources")(s, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(gh.map(_._1).distinct.length === gh.length && gh.nonEmpty)
+    assert(gh.forall { case (_, nregs, est) =>
+      nregs >= 1 && nregs <= 256 && est >= 0 })
+
+    // overlap: union-sketch invariants are PROVABLE from max-merged
+    // registers (S_union <= each S_half => est_union >= each half), and
+    // inclusion-exclusion is exact arithmetic over the three estimates
+    val ov = SparkEntry.queries("stats_hll_overlap")(s, dir).collect().head
+    val (a, b, u, oe, ex) = (ov.getLong(0), ov.getLong(1), ov.getLong(2),
+      ov.getLong(3), ov.getLong(4))
+    assert(u >= math.max(a, b) && u <= a + b)
+    assert(oe === a + b - u)
+    assert(ex >= 0 && ex <= math.min(a, b) * 2) // sanity envelope
   }
 }

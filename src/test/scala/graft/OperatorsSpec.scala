@@ -2174,6 +2174,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(merged === whole)
   }
 
+  test("grouped hll: per-group registers equal per-slice sketches") {
+    import graft.operators.Sketches
+    val d = spark.range(30000).select(
+      (col("id") % 3).as("g"), col("id").cast("string").as("k"))
+    val grouped = Sketches.hllNdvBy(d, col("k"), "g")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(grouped.keySet === Set(0L, 1L, 2L))
+    for (g <- 0L to 2L) {
+      val solo = Sketches.hllNdv(d.filter(col("g") === g), col("k"))
+        .collect().head
+      assert(grouped(g) === ((solo.getLong(1), solo.getLong(2))), s"g=$g")
+      // each slice holds 10k distinct keys; 20% = 3-sigma at m=256
+      assert(math.abs(grouped(g)._2 - 10000L) <= 2000L)
+    }
+  }
+
   test("exact permilles: bucketed rank path matches a full sort") {
     import graft.operators.Sketches
     // deterministic ragged values with heavy ties
