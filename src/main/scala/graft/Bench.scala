@@ -164,6 +164,9 @@ object Bench {
     // sixth r11 wave: grouped + set-algebra sketches
     "r11g" -> Seq(
       "stats_hll_sources", "stats_hll_overlap"),
+    // seventh r11 wave: join-planning governance
+    "r11h" -> Seq(
+      "stats_join_size", "stats_bloom_join"),
   )
 
   /** Sanctioned per-query medians (seconds at sf0.1), mirrored from
@@ -295,6 +298,9 @@ object Bench {
     // r11g (3 forked runs, medians — measured in the round-close window
     // the adjudication trail documents as ~1.3x slow; conservative)
     "stats_hll_sources" -> 0.879, "stats_hll_overlap" -> 0.745,
+    // r11h (3 forked runs, medians, same conservative window;
+    // stats_join_size times its 18M-row audit self-join by design)
+    "stats_join_size" -> 2.893, "stats_bloom_join" -> 1.046,
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup
@@ -655,6 +661,11 @@ object Bench {
         // bounded state); the overlap query's exact-intersection audit
         // column is the only corpus-distinct stage
         "stats_hll_sources", "stats_hll_overlap",
+        // r11h: prediction is one key-histogram aggregate (the timed
+        // closure also runs the REAL self-join as its audit column —
+        // that join is the workload being predicted, not overhead);
+        // bloom positions are <=65536 rows broadcast, per-key pass test
+        "stats_join_size", "stats_bloom_join",
         // r11f: streaming HLL keeps <=256 state rows at any volume (the
         // timed closure rebuilds its 2-snapshot table by design); CC is
         // O(E) keyed joins x ~log(diameter) rounds over the saturating

@@ -1383,6 +1383,77 @@ object SparkEntry {
             .as("overlap_est"),
           col("exact_overlap"))
     }),
+    "stats_join_size" -> ((s, dir) => {
+      // join-size prediction BEFORE the shuffle: the exact cardinality
+      // of lineitem self-joined on l_partkey is sum over keys of c(k)^2
+      // — computable from ONE key-histogram aggregate (bounded by
+      // #parts), no join executed. The optimizer-style governance read
+      // at 100 TB: predict whether a planned join explodes (and by how
+      // much) from per-key counts before committing to a strategy.
+      // actual_rows is the audit column — the real self-join count,
+      // affordable only at test scale; prediction and actual must agree
+      // EXACTLY (the arithmetic is an identity, not an estimate).
+      val li = t(s, dir, "lineitem").select(col("l_partkey").as("k"))
+      val pred = li.groupBy("k").agg(count(lit(1)).as("c"))
+        .agg(
+          count(lit(1)).cast(LongType).as("n_keys"),
+          sum(col("c")).cast(LongType).as("probe_rows"),
+          sum(col("c") * col("c")).cast(LongType).as("predicted_rows"),
+          max(col("c")).cast(LongType).as("max_key_rows"))
+      // the audit: the REAL self-join, counted — affordable at test
+      // scale only (at 100 TB you run the prediction INSTEAD of this)
+      val actual = li.join(
+          t(s, dir, "lineitem").select(col("l_partkey").as("k")), Seq("k"))
+        .agg(count(lit(1)).cast(LongType).as("actual_rows"))
+      pred.crossJoin(broadcast(actual))
+        .select(col("n_keys"), col("probe_rows"), col("predicted_rows"),
+          col("actual_rows"), col("max_key_rows"))
+    }),
+    "stats_bloom_join" -> ((s, dir) => {
+      // Bloom semi-join reduction audit: a month of orders builds an
+      // md5-salted position set (k=3 hashes into m=65536 bits — the
+      // 8 KB bitmap production broadcasts instead of shuffling the fact
+      // table); every lineitem key passes iff all 3 positions are set.
+      // Output: probe volume, rows passing the filter, true matches,
+      // false positives and the empirical FPR in ppm — the read that
+      // sizes m before a 100 TB shuffle is cut down. Cross-engine
+      // deterministic (same md5 arithmetic both sides); the per-key
+      // pass test runs on the DISTINCT-key table, never per row.
+      val m = 65536L
+      def positions(k: Column): Column = array((0 until 3).map { i =>
+        pmod(conv(substring(md5(concat(lit(i.toString), lit("|"),
+          k.cast(StringType))), 1, 15), 16, 10).cast(LongType), lit(m))
+      }: _*)
+      val build = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-03-01") &&
+          col("o_orderdate") < lit("1997-04-01"))
+        .select(col("o_orderkey").cast(LongType).as("bk")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val posSet = build.select(explode(positions(col("bk"))).as("p"))
+        .distinct() // bounded by m = 65536 rows
+      val keys = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").cast(LongType).as("k"))
+        .agg(count(lit(1)).as("nr"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val passed = keys
+        .select(col("k"), col("nr"), explode(positions(col("k"))).as("p"))
+        .join(broadcast(posSet), Seq("p"))
+        .groupBy("k", "nr").agg(count(lit(1)).as("hits"))
+        .filter(col("hits") === 3)
+        .select(col("k"), col("nr"))
+      val truth = keys.join(
+        build.withColumnRenamed("bk", "k"), Seq("k"), "left_semi")
+      val tot = keys.agg(sum(col("nr")).cast(LongType).as("probe_rows"))
+      val pas = passed.agg(
+        coalesce(sum(col("nr")), lit(0L)).cast(LongType).as("pass_rows"))
+      val tru = truth.agg(
+        coalesce(sum(col("nr")), lit(0L)).cast(LongType).as("true_rows"))
+      tot.crossJoin(broadcast(pas)).crossJoin(broadcast(tru))
+        .select(col("probe_rows"), col("pass_rows"), col("true_rows"),
+          (col("pass_rows") - col("true_rows")).as("fp_rows"),
+          expr("CAST((pass_rows - true_rows) * 1000000 div " +
+            "(probe_rows - true_rows) AS BIGINT)").as("fpr_ppm"))
+    }),
     "stream_hll" -> ((s, dir) => {
       // STREAMING HLL maintenance: the corpus arrives in two micro-
       // batches (two table snapshots, rate-limited to one commit per
@@ -7899,6 +7970,53 @@ object SparkEntry {
         |SELECT ndv_even, ndv_odd, ndv_union,
         |  ndv_even + ndv_odd - ndv_union AS overlap_est, exact_overlap
         |FROM ee CROSS JOIN eo CROSS JOIN uest CROSS JOIN ex""".stripMargin,
+    "stats_join_size" ->
+      """WITH h AS (
+        |  SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |p AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(c) AS BIGINT) AS probe_rows,
+        |    CAST(sum(c * c) AS BIGINT) AS predicted_rows,
+        |    CAST(max(c) AS BIGINT) AS max_key_rows
+        |  FROM h),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS actual_rows
+        |  FROM lineitem x JOIN lineitem y ON x.l_partkey = y.l_partkey)
+        |SELECT n_keys, probe_rows, predicted_rows, actual_rows,
+        |  max_key_rows
+        |FROM p CROSS JOIN a""".stripMargin,
+    // bloom-join replica: same 3 salted md5 positions mod 65536, pass =
+    // all positions present, reduction + FPR over the distinct-key table
+    "stats_bloom_join" ->
+      """WITH build AS (
+        |  SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS bk FROM orders
+        |  WHERE o_orderdate >= '1997-03-01' AND o_orderdate < '1997-04-01'),
+        |salts AS (SELECT unnest([0, 1, 2]) AS salt),
+        |pos AS (
+        |  SELECT DISTINCT CAST(concat('0x',
+        |      substr(md5(salt::VARCHAR || '|' || bk::VARCHAR), 1, 15))
+        |      AS BIGINT) % 65536 AS p
+        |  FROM build CROSS JOIN salts),
+        |keys AS (SELECT CAST(l_orderkey AS BIGINT) AS k,
+        |    CAST(count(*) AS BIGINT) AS nr
+        |  FROM lineitem GROUP BY 1),
+        |kp AS (
+        |  SELECT k, nr, CAST(concat('0x',
+        |      substr(md5(salt::VARCHAR || '|' || k::VARCHAR), 1, 15))
+        |      AS BIGINT) % 65536 AS p
+        |  FROM keys CROSS JOIN salts),
+        |passed AS (SELECT k, nr FROM kp JOIN pos USING (p)
+        |  GROUP BY k, nr HAVING count(*) = 3),
+        |t1 AS (SELECT sum(nr) AS probe_rows FROM keys),
+        |t2 AS (SELECT coalesce(sum(nr), 0) AS pass_rows FROM passed),
+        |t3 AS (SELECT coalesce(sum(nr), 0) AS true_rows FROM keys
+        |  WHERE k IN (SELECT bk FROM build))
+        |SELECT CAST(probe_rows AS BIGINT) AS probe_rows,
+        |  CAST(pass_rows AS BIGINT) AS pass_rows,
+        |  CAST(true_rows AS BIGINT) AS true_rows,
+        |  CAST(pass_rows - true_rows AS BIGINT) AS fp_rows,
+        |  CAST((pass_rows - true_rows) * 1000000
+        |    // (probe_rows - true_rows) AS BIGINT) AS fpr_ppm
+        |FROM t1 CROSS JOIN t2 CROSS JOIN t3""".stripMargin,
     // streaming HLL replica: registers merge by max, so the stream's
     // final state equals the batch sketch — same SQL as stats_hll minus
     // the exact-NDV audit columns

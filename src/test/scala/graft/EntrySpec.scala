@@ -245,5 +245,19 @@ class EntrySpec extends AnyFunSuite {
     assert(u >= math.max(a, b) && u <= a + b)
     assert(oe === a + b - u)
     assert(ex >= 0 && ex <= math.min(a, b) * 2) // sanity envelope
+
+    // join-size prediction: sum(c^2) is an IDENTITY, so predicted must
+    // equal the real audit self-join at any scale
+    val js = SparkEntry.queries("stats_join_size")(s, dir).collect().head
+    assert(js.getLong(2) === js.getLong(3))
+    assert(js.getLong(2) >= js.getLong(1)) // blowup >= probe rows
+    assert(js.getLong(4) * js.getLong(4) <= js.getLong(2)) // max key bound
+
+    // bloom audit: no false negatives (pass >= true), non-negative FPR
+    val bj = SparkEntry.queries("stats_bloom_join")(s, dir).collect().head
+    val (pr, pa, tr, fp, fppm) = (bj.getLong(0), bj.getLong(1),
+      bj.getLong(2), bj.getLong(3), bj.getLong(4))
+    assert(pa >= tr && fp === pa - tr && pa <= pr)
+    assert(fppm === fp * 1000000L / (pr - tr))
   }
 }
