@@ -167,6 +167,9 @@ object Bench {
     // seventh r11 wave: join-planning governance
     "r11h" -> Seq(
       "stats_join_size", "stats_bloom_join"),
+    // eighth r11 wave: sum-merge streaming sketch state, gap quantiles
+    "r11i" -> Seq(
+      "stream_cm", "stats_gap_quantiles"),
   )
 
   /** Sanctioned per-query medians (seconds at sf0.1), mirrored from
@@ -301,6 +304,9 @@ object Bench {
     // r11h (3 forked runs, medians, same conservative window;
     // stats_join_size times its 18M-row audit self-join by design)
     "stats_join_size" -> 2.893, "stats_bloom_join" -> 1.046,
+    // r11i (3 forked runs, medians, same window; stream_cm times a
+    // 2-snapshot table build + 2 streamed micro-batches by design)
+    "stream_cm" -> 5.894, "stats_gap_quantiles" -> 0.880,
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup
@@ -666,6 +672,11 @@ object Bench {
         // that join is the workload being predicted, not overhead);
         // bloom positions are <=65536 rows broadcast, per-key pass test
         "stats_join_size", "stats_bloom_join",
+        // r11i: streaming CM state is 2,048 rows at any volume (timed
+        // closure rebuilds its 2-snapshot table by design); gap
+        // quantiles ride user-keyed lag windows + the two-pass
+        // histogram path, never a global sort
+        "stream_cm", "stats_gap_quantiles",
         // r11f: streaming HLL keeps <=256 state rows at any volume (the
         // timed closure rebuilds its 2-snapshot table by design); CC is
         // O(E) keyed joins x ~log(diameter) rounds over the saturating

@@ -1454,6 +1454,54 @@ object SparkEntry {
           expr("CAST((pass_rows - true_rows) * 1000000 div " +
             "(probe_rows - true_rows) AS BIGINT)").as("fpr_ppm"))
     }),
+    "stats_gap_quantiles" -> ((s, dir) => {
+      // sessionization-threshold governance: exact p50/p90/p99 of
+      // per-user inter-event gaps (seconds), composed from a per-user
+      // lag window (user-keyed, never global) + the no-global-sort
+      // exactPermilles path. THIS is how a 100 TB event log picks its
+      // session timeout — the 30-minute constant every sessionizer
+      // hardcodes becomes a measured quantile, with no corpus sort.
+      val ev = t(s, dir, "events")
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = ev
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .filter(col("prev_us").isNotNull)
+        .select(col("event_id"),
+          expr("(unix_micros(ts) - prev_us) div 1000000").as("gap_s"))
+      Sketches.exactPermilles(gaps, "gap_s", "event_id",
+        permilles = Seq(500, 900, 990), bucketWidth = 60L)
+    }),
+    "stream_cm" -> ((s, dir) => {
+      // STREAMING count-min maintenance: cells live as streaming
+      // aggregation state (groupBy(salt, cell).count — sum-merge, at
+      // most 2,048 state rows at ANY volume) across two micro-batches.
+      // Counts sum across batches, so the final state is BIT-IDENTICAL
+      // to the batch sketch over the same rows; the oracle verifies THE
+      // ENTIRE SKETCH TABLE, not a summary. The streaming counterpart
+      // of stream_hll's max-merge: the two merge semantics that make
+      // sketches distributable are both proven under micro-batching.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tbl = freshTable(s, "stream_cm", d.limit(0))
+      tbl.append(s, d.filter(pmod(col("doc_id"), lit(2)) === 0))
+      tbl.append(s, d.filter(pmod(col("doc_id"), lit(2)) === 1))
+      val name = s"stream_cm_${System.nanoTime()}"
+      val cells = array((0 until 4).map { i =>
+        pmod(conv(substring(md5(concat(lit(i.toString), lit("|"),
+          col("sh"))), 1, 15), 16, 10).cast(LongType), lit(512L))
+      }: _*)
+      val q = shinglesOf(s.readStream.format("graft-stream")
+          .option("location", tbl.location)
+          .option("max-seqs-per-trigger", "1").load())
+        .select(posexplode(cells).as(Seq("salt", "cell")))
+        .groupBy(col("salt").cast(LongType).as("salt"), col("cell"))
+        .agg(count(lit(1)).cast(LongType).as("c"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+    }),
     "stream_hll" -> ((s, dir) => {
       // STREAMING HLL maintenance: the corpus arrives in two micro-
       // batches (two table snapshots, rate-limited to one commit per
@@ -8017,6 +8065,45 @@ object SparkEntry {
         |  CAST((pass_rows - true_rows) * 1000000
         |    // (probe_rows - true_rows) AS BIGINT) AS fpr_ppm
         |FROM t1 CROSS JOIN t2 CROSS JOIN t3""".stripMargin,
+    // gap-quantile replica: the naive full-sort rank definition over
+    // per-user lag gaps
+    "stats_gap_quantiles" ->
+      """WITH g AS (
+        |  SELECT event_id,
+        |    (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) // 1000000 AS gap_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |gg AS (SELECT event_id, gap_s FROM g WHERE gap_s IS NOT NULL),
+        |s AS (SELECT gap_s AS value,
+        |    row_number() OVER (ORDER BY gap_s, event_id) AS rn
+        |  FROM gg),
+        |n AS (SELECT count(*) AS n FROM gg),
+        |q AS (SELECT unnest([500, 900, 990]) AS permille)
+        |SELECT CAST(q.permille AS BIGINT) AS permille,
+        |  CAST((n.n - 1) * q.permille // 1000 + 1 AS BIGINT) AS rank,
+        |  CAST(s.value AS BIGINT) AS value
+        |FROM q CROSS JOIN n
+        |JOIN s ON s.rn = (n.n - 1) * q.permille // 1000 + 1""".stripMargin,
+    // streaming count-min replica: counts sum across batches, so the
+    // final streaming state equals the batch sketch — the ENTIRE
+    // 2,048-cell table is compared
+    "stream_cm" ->
+      """WITH ws AS (
+        |  SELECT list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    x -> len(x) > 0) AS w
+        |  FROM documents),
+        |toks AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM ws),
+        |salts AS (SELECT unnest([0, 1, 2, 3]) AS salt)
+        |SELECT CAST(salt AS BIGINT) AS salt,
+        |  CAST(concat('0x',
+        |    substr(md5(salt::VARCHAR || '|' || sh), 1, 15))
+        |    AS BIGINT) % 512 AS cell,
+        |  CAST(count(*) AS BIGINT) AS c
+        |FROM toks CROSS JOIN salts GROUP BY 1, 2""".stripMargin,
     // streaming HLL replica: registers merge by max, so the stream's
     // final state equals the batch sketch — same SQL as stats_hll minus
     // the exact-NDV audit columns

@@ -259,5 +259,30 @@ class EntrySpec extends AnyFunSuite {
       bj.getLong(2), bj.getLong(3), bj.getLong(4))
     assert(pa >= tr && fp === pa - tr && pa <= pr)
     assert(fppm === fp * 1000000L / (pr - tr))
+
+    // streaming count-min: the 2-micro-batch stream's ENTIRE cell table
+    // must equal the batch sketch (sum-merge order invariance)
+    val scm = SparkEntry.queries("stream_cm")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // stats_countmin returns probes, so rebuild the batch sketch over
+    // the same shingle stream the streaming query consumed
+    import graft.operators.Sketches
+    val shingles = s.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("filter(split(lower(coalesce(text, '')), " +
+        "'[^a-z0-9]+'), x -> length(x) > 0) AS w")
+      .selectExpr("explode(CASE WHEN size(w) < 3 THEN " +
+        "CAST(array() AS ARRAY<STRING>) ELSE " +
+        "transform(sequence(0, size(w) - 3), " +
+        "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])) END) AS sh")
+    val batch = Sketches.countMin(shingles,
+        org.apache.spark.sql.functions.col("sh"), depth = 4, width = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(scm === batch)
+
+    // gap quantiles: permilles present, values non-decreasing
+    val gq = SparkEntry.queries("stats_gap_quantiles")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(gq.map(_._1).toSeq === Seq(500L, 900L, 990L))
+    assert(gq.map(_._2).toSeq === gq.map(_._2).sorted.toSeq)
   }
 }
