@@ -218,8 +218,10 @@ object Sketches {
     // min/max row-group pruning — the piece that makes the targeted
     // re-read cheap at 100 TB
     val ranges = wantedBuckets.map { b =>
-      if (b >= 0) col("value").between(b * bucketWidth, b * bucketWidth + bucketWidth - 1)
-      else col("value").between(b * bucketWidth - (bucketWidth - 1), b * bucketWidth)
+      // truncating div: bucket 0 spans BOTH signs (-(w-1) .. w-1)
+      val lo = if (b > 0) b * bucketWidth else b * bucketWidth - (bucketWidth - 1)
+      val hi = if (b < 0) b * bucketWidth else b * bucketWidth + (bucketWidth - 1)
+      col("value").between(lo, hi)
     }
     val rangeFilter = ranges.reduceOption(_ || _).getOrElse(lit(false))
     val inBuckets = base.filter(rangeFilter && col("b").isin(wantedBuckets: _*))

@@ -346,4 +346,67 @@ class PropertySpec extends AnyFunSuite {
       got == expect
     })
   }
+
+  test("hll bucket/rank string-op expressions equal 64-bit bit math for any key") {
+    // the register address and rank come from hex-string surgery
+    // (regexp leading zeros + first-digit CASE) so that ANY SQL engine
+    // can replicate them; they must agree with the straightforward
+    // Long.numberOfLeadingZeros reference on arbitrary utf-8 keys
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keyGen = Gen.oneOf(
+      Gen.alphaNumStr, Gen.asciiPrintableStr,
+      Gen.listOfN(8, Gen.choose(0x20.toChar, 0x2fff.toChar)).map(_.mkString))
+    check15(Prop.forAllNoShrink(Gen.listOfN(200, keyGen)) { keys =>
+      val ks = keys.filter(_.nonEmpty).distinct
+      ks.isEmpty || {
+        val (b, r) = graft.operators.Sketches.hllParts(col("k"), 2)
+        val got = ks.toDF("k").select(col("k"), b.as("b"), r.as("r"))
+          .collect()
+          .map(row => row.getString(0) -> ((row.getLong(1), row.getLong(2))))
+          .toMap
+        val expect = ks.map { k =>
+          val hex = md5hex(k)
+          val bucket = java.lang.Long.parseLong(hex.substring(0, 2), 16)
+          val tail = java.lang.Long.parseLong(hex.substring(2, 17), 16)
+          // tail occupies the low 60 bits: nlz64 - 4 zeros within the
+          // tail, rank = zeros + 1
+          val rank =
+            if (tail == 0L) 61L
+            else java.lang.Long.numberOfLeadingZeros(tail).toLong - 3L
+          k -> ((bucket, rank))
+        }.toMap
+        got == expect
+      }
+    })
+  }
+
+  test("exact permilles equal a full sort for any multiset, width, sign mix") {
+    // negative values stress the truncating-div bucket ranges (bucket 0
+    // spans both signs); ties stress the (value, tie) rank order
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 150)
+      vals <- Gen.listOfN(n, Gen.choose(-3000L, 3000L))
+      w <- Gen.oneOf(1L, 7L, 64L, 1000L)
+      qs <- Gen.nonEmptyListOf(Gen.choose(0, 1000))
+    } yield (vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }, w, qs)
+    check15(Prop.forAllNoShrink(gen) { case (rows, w, qs) =>
+      val got = graft.operators.Sketches
+        .exactPermilles(rows.toDF("v", "tie"), "v", "tie", qs, w)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      val sorted = rows.map(_._1).sorted
+      val expect = qs.distinct.map { q =>
+        val r = (sorted.length - 1) * q / 1000 + 1
+        q.toLong -> ((r.toLong, sorted(r - 1)))
+      }.toMap
+      got == expect
+    })
+  }
 }
