@@ -170,6 +170,9 @@ object Bench {
     // eighth r11 wave: sum-merge streaming sketch state, gap quantiles
     "r11i" -> Seq(
       "stream_cm", "stats_gap_quantiles"),
+    // ninth r11 wave: pruning-exactness proof, crawl content diff
+    "r11j" -> Seq(
+      "meta_prune_stats", "corpus_diff"),
   )
 
   /** Sanctioned per-query medians (seconds at sf0.1), mirrored from
@@ -307,6 +310,9 @@ object Bench {
     // r11i (3 forked runs, medians, same window; stream_cm times a
     // 2-snapshot table build + 2 streamed micro-batches by design)
     "stream_cm" -> 5.894, "stats_gap_quantiles" -> 0.880,
+    // r11j (3 forked runs, medians, same window; both closures build
+    // their tables — prune census itself is manifest-metadata-only)
+    "meta_prune_stats" -> 2.220, "corpus_diff" -> 2.215,
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup
@@ -677,6 +683,9 @@ object Bench {
         // quantiles ride user-keyed lag windows + the two-pass
         // histogram path, never a global sort
         "stream_cm", "stats_gap_quantiles",
+        // r11j: prune census reads MANIFESTS only (file count-bounded);
+        // the diff joins two snapshot scans id-keyed, hashes map-only
+        "meta_prune_stats", "corpus_diff",
         // r11f: streaming HLL keeps <=256 state rows at any volume (the
         // timed closure rebuilds its 2-snapshot table by design); CC is
         // O(E) keyed joins x ~log(diameter) rounds over the saturating

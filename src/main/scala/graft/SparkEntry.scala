@@ -1454,6 +1454,70 @@ object SparkEntry {
           expr("CAST((pass_rows - true_rows) * 1000000 div " +
             "(probe_rows - true_rows) AS BIGINT)").as("fpr_ppm"))
     }),
+    "meta_prune_stats" -> ((s, dir) => {
+      // partition-pruning effectiveness report, FROM MANIFEST METADATA
+      // ONLY: a month-partitioned table, a half-year predicate, and the
+      // plan-time file census — partitions/rows total vs kept, no data
+      // file opened. The oracle reproduces every number from the raw
+      // rows, so this query PROVES the pruning is exact (keeps all
+      // matching months, sheds all others): the partition-design audit
+      // a 100 TB table runs before trusting a layout.
+      val src = t(s, dir, "lineitem")
+      val tbl = freshTable(s, "meta_prune_stats", src, schema =>
+        IcePartitionSpec(0, List(IcePartitionField(
+          schema.findField("l_shipdate").get.id, 1000, "month", "shipmonth"))))
+      tbl.append(s, src)
+      val snap = tbl.metadata.currentSnapshot.get
+      val flt = col("l_shipdate") >=
+          lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-07-01 00:00:00"))
+      val all = tbl.planFiles(snap)
+      val kept = tbl.planFilesPruned(s, snap, Some(flt),
+        tbl.metadata.currentSchema)
+      def nParts(fs: List[PlannedFile]): Long =
+        fs.map(_.file.partition.headOption.flatten).distinct.size.toLong
+      import s.implicits._
+      Seq((nParts(all), nParts(kept),
+          all.map(_.file.recordCount).sum, kept.map(_.file.recordCount).sum))
+        .toDF("n_parts_total", "n_parts_kept", "rows_total", "rows_kept")
+    }),
+    "corpus_diff" -> ((s, dir) => {
+      // crawl-to-crawl CONTENT diff via time travel: v1 is the even-doc
+      // crawl; v2 deletes every 10th doc, rewrites the text of the
+      // surviving %14 docs (equality-delete + re-insert), and appends
+      // the odd-doc crawl. The report joins the two SNAPSHOT SCANS of
+      // the same table on doc_id and classifies by content hash —
+      // added / removed / changed / unchanged per source. The audit
+      // that runs after every re-crawl lands; row-level deletes, time
+      // travel and content hashing in one governance query.
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val tbl = freshTable(s, "corpus_diff", d)
+      tbl.append(s, d.filter(pmod(col("doc_id"), lit(2)) === 0))
+      val snap1 = tbl.metadata.currentSnapshotId.get
+      tbl.deleteWhere(s, pmod(col("doc_id"), lit(10)) === 0)
+      val chg = pmod(col("doc_id"), lit(2)) === 0 &&
+        pmod(col("doc_id"), lit(10)) =!= 0 && pmod(col("doc_id"), lit(14)) === 2
+      tbl.equalityDelete(s,
+        d.filter(chg).select(col("doc_id")), Seq("doc_id"))
+      tbl.append(s, d.filter(chg)
+        .withColumn("text", concat(lit("rev2 "), col("text"))))
+      tbl.append(s, d.filter(pmod(col("doc_id"), lit(2)) === 1))
+      val v1 = tbl.scan(s, snapshotId = Some(snap1))
+        .select(col("doc_id"), col("source"),
+          md5(col("text")).as("h1"))
+      val v2 = tbl.scan(s)
+        .select(col("doc_id"), col("source").as("src2"),
+          md5(col("text")).as("h2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("source"), col("src2")).as("source"),
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("source", "status")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"))
+    }),
     "stats_gap_quantiles" -> ((s, dir) => {
       // sessionization-threshold governance: exact p50/p90/p99 of
       // per-user inter-event gaps (seconds), composed from a per-user
@@ -8065,6 +8129,41 @@ object SparkEntry {
         |  CAST((pass_rows - true_rows) * 1000000
         |    // (probe_rows - true_rows) AS BIGINT) AS fpr_ppm
         |FROM t1 CROSS JOIN t2 CROSS JOIN t3""".stripMargin,
+    // prune-stats replica: every number re-derived from the RAW ROWS —
+    // matching the manifest-only engine census proves pruning exactness
+    "meta_prune_stats" ->
+      """WITH m AS (
+        |  SELECT date_trunc('month', l_shipdate) AS mo, l_shipdate
+        |  FROM lineitem)
+        |SELECT CAST(count(DISTINCT mo) AS BIGINT) AS n_parts_total,
+        |  CAST(count(DISTINCT CASE WHEN mo >= TIMESTAMP '1997-01-01'
+        |    AND mo < TIMESTAMP '1997-07-01' THEN mo END) AS BIGINT)
+        |    AS n_parts_kept,
+        |  CAST(count(*) AS BIGINT) AS rows_total,
+        |  CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-07-01' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS rows_kept
+        |FROM m""".stripMargin,
+    // corpus-diff replica: v1/v2 sets rebuilt by the same deterministic
+    // rules, full-outer joined on doc_id, classified by content hash
+    "corpus_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, source, md5(text) AS h FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |v2 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 10 <> 0 AND doc_id % 14 = 2
+        |      THEN md5('rev2 ' || text) ELSE md5(text) END AS h
+        |  FROM documents
+        |  WHERE (doc_id % 2 = 0 AND doc_id % 10 <> 0) OR doc_id % 2 = 1)
+        |SELECT coalesce(v1.source, v2.source) AS source,
+        |  CASE WHEN v1.h IS NULL THEN 'added'
+        |       WHEN v2.h IS NULL THEN 'removed'
+        |       WHEN v1.h <> v2.h THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin,
     // gap-quantile replica: the naive full-sort rank definition over
     // per-user lag gaps
     "stats_gap_quantiles" ->

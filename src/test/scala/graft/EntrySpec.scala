@@ -284,5 +284,19 @@ class EntrySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
     assert(gq.map(_._1).toSeq === Seq(500L, 900L, 990L))
     assert(gq.map(_._2).toSeq === gq.map(_._2).sorted.toSeq)
+
+    // prune census: kept <= total on both axes, and pruning sheds
+    // SOMETHING at this data shape (the half-year cut)
+    val ps = SparkEntry.queries("meta_prune_stats")(s, dir).collect().head
+    assert(ps.getLong(1) < ps.getLong(0) && ps.getLong(1) > 0)
+    assert(ps.getLong(3) < ps.getLong(2) && ps.getLong(3) > 0)
+
+    // corpus diff: statuses partition the union of the two snapshots
+    val cd = SparkEntry.queries("corpus_diff")(s, dir).collect()
+      .map(r => r.getString(1) -> r.getLong(2))
+    val byStatus = cd.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(Set("added", "removed", "changed", "unchanged")
+      .subsetOf(byStatus.keySet))
+    assert(byStatus.values.forall(_ > 0))
   }
 }
