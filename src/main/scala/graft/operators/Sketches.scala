@@ -71,10 +71,15 @@ object Sketches {
 
   /** S-sum term over PRESENT registers: 2^(61-mr), shifted longs summed
     * in DECIMAL(38,0) — max total m * 2^61 ~ 1.5e23 for pHex=4, in
-    * range. Absent registers contribute 2^61 each (added in estExpr). */
+    * range. Absent registers contribute 2^61 each (added in estExpr).
+    * Coalesced to 0 so an EMPTY register table (empty input) yields the
+    * raw estimator's all-registers-absent value (~alpha*m) instead of a
+    * null estimate. */
   private def sPresentAgg: Column =
-    sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(61 - mr AS INT))" +
-      " AS DECIMAL(38,0))")).as("s_present")
+    coalesce(
+      sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(61 - mr AS INT))" +
+        " AS DECIMAL(38,0))")),
+      lit(0).cast(DecimalType(38, 0))).as("s_present")
 
   /** E = floor(alpha_num * m^2 * 2^61 / (alpha_den * S)) over columns
     * `n_regs`/`s_present`; the numerator is the constant 7213*m^3*2^61

@@ -148,4 +148,39 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Similarity.filteredTopK(e, q, "vec_id", "embedding",
       col("label") === 42, k = 3).collect().isEmpty)
   }
+
+  test("sketch operators: degenerate inputs neither crash nor fabricate rows") {
+    import graft.operators.Sketches
+    val empty = Seq.empty[String].toDF("k")
+
+    // HLL on an empty input: the raw estimator's all-registers-absent
+    // value (alpha*m ~ 184 at m=256) with zero registers — never null
+    val h = Sketches.hllNdv(empty, col("k")).collect().head
+    assert(h.getLong(1) === 0L && !h.isNullAt(2) && h.getLong(2) <= 256L)
+
+    // a single key: one register, rank >= 1, a small positive estimate
+    val one = Sketches.hllNdv(Seq("x").toDF("k"), col("k")).collect().head
+    assert(one.getLong(1) === 1L && one.getLong(2) >= 1L)
+
+    // count-min: empty input -> empty sketch; probing it finds nothing
+    val sk = Sketches.countMin(empty, col("k"))
+    assert(sk.collect().isEmpty)
+    assert(Sketches.cmEstimate(Seq(("x", 1L)).toDF("k", "t"), col("k"), sk)
+      .collect().isEmpty)
+
+    // permilles: empty input -> empty result (there is no quantile)
+    assert(Sketches.exactPermilles(
+      Seq.empty[(Long, Long)].toDF("v", "tie"), "v", "tie", Seq(500))
+      .collect().isEmpty)
+    // single row: every permille maps to rank 1, that row's value
+    val sp = Sketches.exactPermilles(
+      Seq((42L, 1L)).toDF("v", "tie"), "v", "tie", Seq(0, 500, 1000))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(sp === Map(0L -> ((1L, 42L)), 500L -> ((1L, 42L)),
+      1000L -> ((1L, 42L))))
+
+    // skew advisor: empty input -> empty report
+    assert(Sketches.skewAdvisor(Seq.empty[String].toDF("k"), "k")
+      .collect().isEmpty)
+  }
 }
