@@ -173,6 +173,9 @@ object Bench {
     // ninth r11 wave: pruning-exactness proof, crawl content diff
     "r11j" -> Seq(
       "meta_prune_stats", "corpus_diff"),
+    // tenth r11 wave: SCD2 history build, referential-integrity audit
+    "r11k" -> Seq(
+      "sql_scd2", "stats_fk_orphans"),
   )
 
   /** Sanctioned per-query medians (seconds at sf0.1), mirrored from
@@ -313,6 +316,8 @@ object Bench {
     // r11j (3 forked runs, medians, same window; both closures build
     // their tables — prune census itself is manifest-metadata-only)
     "meta_prune_stats" -> 2.220, "corpus_diff" -> 2.215,
+    // r11k (3 forked runs, medians, same window)
+    "sql_scd2" -> 0.721, "stats_fk_orphans" -> 1.128,
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup
@@ -686,6 +691,9 @@ object Bench {
         // r11j: prune census reads MANIFESTS only (file count-bounded);
         // the diff joins two snapshot scans id-keyed, hashes map-only
         "meta_prune_stats", "corpus_diff",
+        // r11k: SCD2 is two user-keyed windows (no global stage); the
+        // FK audit is three anti-join counts with broadcast dimensions
+        "sql_scd2", "stats_fk_orphans",
         // r11f: streaming HLL keeps <=256 state rows at any volume (the
         // timed closure rebuilds its 2-snapshot table by design); CC is
         // O(E) keyed joins x ~log(diameter) rounds over the saturating

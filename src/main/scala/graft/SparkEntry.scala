@@ -1454,6 +1454,64 @@ object SparkEntry {
           expr("CAST((pass_rows - true_rows) * 1000000 div " +
             "(probe_rows - true_rows) AS BIGINT)").as("fpr_ppm"))
     }),
+    "sql_scd2" -> ((s, dir) => {
+      // SCD2 (type-2 slowly-changing dimension) history build from the
+      // event stream: per user, each event_type CHANGE opens a new
+      // version row with valid_from/valid_to and an is_current flag —
+      // unchanged consecutive states collapse (the defining SCD2 rule).
+      // Two user-keyed windows, no global stage: the warehouse shape
+      // that turns a 100 TB CDC firehose into point-in-time-joinable
+      // dimension history.
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val changes = ev
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      changes
+        .withColumn("valid_to", lead(col("ts"), 1).over(w2))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+    }),
+    "stats_fk_orphans" -> ((s, dir) => {
+      // referential-integrity audit across the star schema: per FK
+      // edge, child volume, orphan count (left-anti) and the match rate
+      // in ppm — the load-gate that catches a fact landing before its
+      // dimension. The third edge audits a PARTIAL dimension load
+      // (customers with c_custkey % 3 == 0 withheld), the
+      // late-arriving-dimension shape the gate exists to catch. Each
+      // edge is one anti-join count; dimensions broadcast at audit
+      // cardinalities.
+      import s.implicits._
+      def edge(name: String, child: DataFrame, key: String,
+          parent: DataFrame, pkey: String): DataFrame = {
+        val orphans = child.join(
+          parent.select(col(pkey).as(key)), Seq(key), "left_anti")
+        child.agg(count(lit(1)).as("n_child"))
+          .crossJoin(broadcast(
+            orphans.agg(count(lit(1)).as("n_orphans"))))
+          .select(lit(name).as("fk_edge"),
+            col("n_child").cast(LongType).as("n_child"),
+            col("n_orphans").cast(LongType).as("n_orphans"),
+            expr("CAST((n_child - n_orphans) * 1000000 div n_child" +
+              " AS BIGINT)").as("match_ppm"))
+      }
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"))
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val evu = t(s, dir, "events").select(col("user_id"))
+      edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(edge("orders.o_custkey->customer",
+          o.select(col("o_custkey")), "o_custkey", c, "c_custkey"))
+        .unionByName(edge("events.user_id->customer_partial",
+          evu, "user_id",
+          c.filter(pmod(col("c_custkey"), lit(3)) =!= 0), "c_custkey"))
+    }),
     "meta_prune_stats" -> ((s, dir) => {
       // partition-pruning effectiveness report, FROM MANIFEST METADATA
       // ONLY: a month-partitioned table, a half-year predicate, and the
@@ -8129,6 +8187,50 @@ object SparkEntry {
         |  CAST((pass_rows - true_rows) * 1000000
         |    // (probe_rows - true_rows) AS BIGINT) AS fpr_ppm
         |FROM t1 CROSS JOIN t2 CROSS JOIN t3""".stripMargin,
+    // scd2 replica: identical change-detection and validity windows
+    "sql_scd2" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    LAG(event_type) OVER w AS prev
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |chg AS (
+        |  SELECT user_id, ts, event_id, event_type FROM c
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type AS state, ts AS valid_from,
+        |  LEAD(ts) OVER w2 AS valid_to,
+        |  LEAD(ts) OVER w2 IS NULL AS is_current
+        |FROM chg
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "stats_fk_orphans" ->
+      """WITH e1 AS (
+        |  SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+        |    CAST(count(*) AS BIGINT) AS n_child,
+        |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_orphans
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey),
+        |e2 AS (
+        |  SELECT 'orders.o_custkey->customer' AS fk_edge,
+        |    CAST(count(*) AS BIGINT) AS n_child,
+        |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_orphans
+        |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o.o_custkey = c.c_custkey),
+        |e3 AS (
+        |  SELECT 'events.user_id->customer_partial' AS fk_edge,
+        |    CAST(count(*) AS BIGINT) AS n_child,
+        |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_orphans
+        |  FROM events e LEFT JOIN (SELECT DISTINCT c_custkey FROM customer
+        |    WHERE c_custkey % 3 <> 0) c
+        |    ON e.user_id = c.c_custkey),
+        |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+        |  UNION ALL SELECT * FROM e3)
+        |SELECT fk_edge, n_child, n_orphans,
+        |  CAST((n_child - n_orphans) * 1000000 // n_child AS BIGINT)
+        |    AS match_ppm
+        |FROM u""".stripMargin,
     // prune-stats replica: every number re-derived from the RAW ROWS —
     // matching the manifest-only engine census proves pruning exactness
     "meta_prune_stats" ->

@@ -298,5 +298,29 @@ class EntrySpec extends AnyFunSuite {
     assert(Set("added", "removed", "changed", "unchanged")
       .subsetOf(byStatus.keySet))
     assert(byStatus.values.forall(_ > 0))
+
+    // scd2: per-user version chains — exactly one current row per user,
+    // consecutive states differ, validity windows abut
+    val scd = SparkEntry.queries("sql_scd2")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3))))
+    scd.groupBy(_._1).foreach { case (u, rows) =>
+      val chain = rows.sortBy(_._3.getTime).toList
+      assert(chain.count(_._4.isEmpty) === 1, s"user $u current rows")
+      chain.zip(chain.drop(1)).foreach { case (a, b) =>
+        assert(a._2 !== b._2, s"user $u unchanged-state row survived")
+        assert(a._4.contains(b._3), s"user $u windows must abut")
+      }
+    }
+
+    // fk audit: clean TPC-H edges are perfect, the planted partial
+    // dimension is not; ppm arithmetic exact
+    val fk = SparkEntry.queries("stats_fk_orphans")(s, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(fk("lineitem.l_orderkey->orders")._2 === 0L)
+    assert(fk("orders.o_custkey->customer")._2 === 0L)
+    val (nc, no, ppm2) = fk("events.user_id->customer_partial")
+    assert(no > 0 && ppm2 === (nc - no) * 1000000L / nc)
   }
 }
