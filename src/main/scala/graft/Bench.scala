@@ -176,6 +176,9 @@ object Bench {
     // tenth r11 wave: SCD2 history build, referential-integrity audit
     "r11k" -> Seq(
       "sql_scd2", "stats_fk_orphans"),
+    // eleventh r11 wave: point-in-time attribution over SCD2 history
+    "r11l" -> Seq(
+      "q_scd2_asof"),
   )
 
   /** Sanctioned per-query medians (seconds at sf0.1), mirrored from
@@ -318,6 +321,8 @@ object Bench {
     "meta_prune_stats" -> 2.220, "corpus_diff" -> 2.215,
     // r11k (3 forked runs, medians, same window)
     "sql_scd2" -> 0.721, "stats_fk_orphans" -> 1.128,
+    // r11l (3 forked runs, median)
+    "q_scd2_asof" -> 1.854,
   )
 
   /** Op-only DML benchmarks: the outer call performs table setup
@@ -694,6 +699,9 @@ object Bench {
         // r11k: SCD2 is two user-keyed windows (no global stage); the
         // FK audit is three anti-join counts with broadcast dimensions
         "sql_scd2", "stats_fk_orphans",
+        // r11l: history build is user-keyed windows; the PIT join is
+        // the bucketed RangeJoin (interval-keyed, no cross product)
+        "q_scd2_asof",
         // r11f: streaming HLL keeps <=256 state rows at any volume (the
         // timed closure rebuilds its 2-snapshot table by design); CC is
         // O(E) keyed joins x ~log(diameter) rounds over the saturating

@@ -1478,6 +1478,41 @@ object SparkEntry {
           col("ts").as("valid_from"), col("valid_to"),
           col("valid_to").isNull.as("is_current"))
     }),
+    "q_scd2_asof" -> ((s, dir) => {
+      // POINT-IN-TIME attribution against the SCD2 history — the
+      // consumption side of sql_scd2: every purchase joins to the
+      // user's then-current interaction state (valid_from <= ts <
+      // valid_to) via the bucketed RangeJoin (interval-keyed, no
+      // cross product), and revenue rolls up per state. The warehouse
+      // pattern that makes dimension history QUERYABLE: "what was the
+      // user doing when they bought?" at 100 TB, with the half-open
+      // SCD2 windows mapped exactly onto the closed-interval join by
+      // a one-microsecond end shift.
+      val ev = t(s, dir, "events")
+      val nonP = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val chg = nonP.withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val cap = ev.agg(max(unix_micros(col("ts"))).as("mx"))
+      val hist = chg.withColumn("vt_raw", lead(col("ts"), 1).over(w2))
+        .crossJoin(broadcast(cap))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").as("vf"),
+          timestamp_micros(coalesce(
+            unix_micros(col("vt_raw")) - 1, col("mx"))).as("vt"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.operators.RangeJoin.pointInInterval(
+          purchases, hist, keys = Seq("user_id"), pointTs = "ts",
+          startCol = "vf", endCol = "vt", bucketSeconds = 86400L)
+        .groupBy(col("state"))
+        .agg(count(lit(1)).cast(LongType).as("n_purchases"),
+          sum(money(col("value"))).cast(DoubleType).as("total_value"))
+    }),
     "stats_fk_orphans" -> ((s, dir) => {
       // referential-integrity audit across the star schema: per FK
       // edge, child volume, orphan count (left-anti) and the match rate
@@ -8202,6 +8237,30 @@ object SparkEntry {
         |  LEAD(ts) OVER w2 IS NULL AS is_current
         |FROM chg
         |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    // scd2-asof replica: the same change-detected history, purchases
+    // joined on the half-open window, revenue summed through decimal
+    "q_scd2_asof" ->
+      """WITH np AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    LAG(event_type) OVER w AS prev
+        |  FROM events WHERE event_type <> 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |chg AS (
+        |  SELECT user_id, ts, event_id, event_type FROM np
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |hist AS (
+        |  SELECT user_id, event_type AS state, ts AS vf,
+        |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS vt
+        |  FROM chg),
+        |p AS (SELECT user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT h.state, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CAST(p.value AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS total_value
+        |FROM p JOIN hist h ON p.user_id = h.user_id
+        |  AND p.ts >= h.vf AND (h.vt IS NULL OR p.ts < h.vt)
+        |GROUP BY 1""".stripMargin,
     "stats_fk_orphans" ->
       """WITH e1 AS (
         |  SELECT 'lineitem.l_orderkey->orders' AS fk_edge,

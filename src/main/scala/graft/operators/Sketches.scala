@@ -250,6 +250,10 @@ object Sketches {
       parallelism: Int = 32): DataFrame = {
     val counts = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("cnt"))
+      // persisted: both the report rows and the grand total read this
+      // aggregate — without it the corpus groupBy computes twice (the
+      // frame is report-sized, so the cache holds exactly the output)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // total derives from the key-bounded counts — one corpus pass only
     val tot = counts.agg(sum(col("cnt")).as("total"))
     counts.crossJoin(broadcast(tot)).select(

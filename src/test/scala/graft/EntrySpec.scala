@@ -322,5 +322,17 @@ class EntrySpec extends AnyFunSuite {
     assert(fk("orders.o_custkey->customer")._2 === 0L)
     val (nc, no, ppm2) = fk("events.user_id->customer_partial")
     assert(no > 0 && ppm2 === (nc - no) * 1000000L / nc)
+
+    // PIT attribution: attributed purchases never exceed the purchase
+    // volume (some precede any state), and states come from non-purchase
+    // event types only
+    val pit = SparkEntry.queries("q_scd2_asof")(s, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(pit.nonEmpty && pit.forall(_._2 > 0))
+    assert(!pit.map(_._1).contains("purchase"))
+    val nPurch = s.read.parquet(s"$dir/events.parquet")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .count()
+    assert(pit.map(_._2).sum <= nPurch)
   }
 }
