@@ -44,6 +44,21 @@ object SparkEntry {
       .option("pathGlobFilter", s"$name.parquet").parquet(dir)
   }
 
+  /** Cleanup hook for long-lived drivers running many queries: several
+    * operator cores persist bounded frames that the RETURNED plan
+    * references (skewAdvisor's key counts, the overlap register table,
+    * graph edge sets), so the closures themselves cannot unpersist
+    * before the caller's action. Verify calls this between queries and
+    * Bench between in-process groups, releasing both CacheManager
+    * entries (df.persist) and localCheckpoint RDD blocks so cached
+    * state never accumulates across hundreds of queries in one JVM. */
+  private[graft] def releaseCache(s: SparkSession): Unit = {
+    try s.catalog.clearCache() catch { case _: Throwable => }
+    try s.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    catch { case _: Throwable => }
+  }
+
   /** Normalize the events `ts` column to session-zone TIMESTAMP micros
     * regardless of how the parquet encoded it: nanos-as-long (integer
     * division — double division loses micro precision on ns longs) or a
@@ -1174,7 +1189,12 @@ object SparkEntry {
           sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).cast(LongType)
             .as("n00"))
       // all products ride DECIMAL(38,0); `div` is integral division (both
-      // engines floor identically on the non-negative operands here)
+      // engines floor identically on the non-negative operands here).
+      // Degenerate-gate guard: when either gate is CONSTANT over the
+      // corpus (e.g. every doc >= 500 chars), chance = n^2 and the
+      // denominator is 0 — kappa is undefined, pinned to 0 in BOTH
+      // engines (the replica carries the same CASE) instead of Spark's
+      // NULL-on-div-by-zero diverging from whatever DuckDB does
       val chance = "(CAST(n11+n10 AS DECIMAL(38,0)) * (n11+n01)" +
         " + CAST(n01+n00 AS DECIMAL(38,0)) * (n10+n00))"
       cells.select(col("n").as("n_docs"),
@@ -1182,8 +1202,11 @@ object SparkEntry {
         col("n10").as("only_length"), col("n01").as("only_periods"),
         expr("(CAST(n11+n00 AS DECIMAL(38,0)) * 1000000) div n")
           .as("agree_ppm"),
-        expr(s"((CAST(n11+n00 AS DECIMAL(38,0)) * n - $chance) * 1000000)" +
-          s" div (CAST(n AS DECIMAL(38,0)) * n - $chance)").as("kappa_ppm"))
+        expr(s"CASE WHEN CAST(n AS DECIMAL(38,0)) * n - $chance = 0" +
+          s" THEN CAST(0 AS BIGINT) ELSE" +
+          s" ((CAST(n11+n00 AS DECIMAL(38,0)) * n - $chance) * 1000000)" +
+          s" div (CAST(n AS DECIMAL(38,0)) * n - $chance) END")
+          .as("kappa_ppm"))
     }),
     "pref_pairs" -> ((s, dir) => {
       // preference-pair construction (the RLHF/DPO data shape): within
@@ -1225,8 +1248,13 @@ object SparkEntry {
       // corpus runs after every copy/compaction: one map-only hash pass
       // + one 16-row aggregate. Sums accumulate in DECIMAL(38,0) —
       // overflow-safe to ~1e18 docs per shard.
+      // coalesce, not concat_ws's silent NULL-skip: a NULL text hashes
+      // as the empty string in BOTH engines (the replica coalesces too)
+      // instead of Spark checksumming doc_id alone while DuckDB's `||`
+      // nulls the row out of the sum entirely
       val h = conv(substring(
-          md5(concat_ws("", col("doc_id").cast(StringType), col("text"))),
+          md5(concat(col("doc_id").cast(StringType),
+            coalesce(col("text"), lit("")))),
           1, 15), 16, 10).cast(DecimalType(38, 0))
       t(s, dir, "documents")
         .select(pmod(col("doc_id"), lit(16)).cast(LongType).as("shard"),
@@ -1363,17 +1391,23 @@ object SparkEntry {
       val regs = sh.select(col("half"), bucket.as("bucket"), rank.as("rank"))
         .groupBy("half", "bucket").agg(max(col("rank")).as("mr"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def est(r: DataFrame) = Sketches.hllEstimate(r, pHex = 2)
-        .select(col("hll_ndv"))
-      val estEven = est(regs.filter(col("half") === 0))
-        .withColumnRenamed("hll_ndv", "ndv_even")
-      val estOdd = est(regs.filter(col("half") === 1))
-        .withColumnRenamed("hll_ndv", "ndv_odd")
-      val estUnion = est(regs.groupBy("bucket").agg(max(col("mr")).as("mr")))
-        .withColumnRenamed("hll_ndv", "ndv_union")
+      // per-half estimates ride ONE half-grouped aggregate over the
+      // bounded register frame (not two filtered global aggregates): an
+      // absent half then yields no row in BOTH engines — the same
+      // row-presence semantics as the DuckDB replica's GROUP BY half
+      val perHalf = Sketches.hllEstimateBy(regs, "half", pHex = 2)
+      val estEven = perHalf.filter(col("half") === 0)
+        .select(col("hll_ndv").as("ndv_even"))
+      val estOdd = perHalf.filter(col("half") === 1)
+        .select(col("hll_ndv").as("ndv_odd"))
+      val estUnion = Sketches.hllEstimate(
+          regs.groupBy("bucket").agg(max(col("mr")).as("mr")), pHex = 2)
+        .select(col("hll_ndv").as("ndv_union"))
+      // count (not sum-of-indicator): an empty corpus yields 0, matching
+      // the replica's count(*) over the empty intersection
       val exact = sh.groupBy("sh")
         .agg(countDistinct(col("half")).as("nh"))
-        .agg(sum(when(col("nh") === 2, 1L).otherwise(0L))
+        .agg(count(when(col("nh") === 2, 1))
           .cast(LongType).as("exact_overlap"))
       estEven.crossJoin(broadcast(estOdd))
         .crossJoin(broadcast(estUnion))
@@ -7880,12 +7914,15 @@ object SparkEntry {
         |SELECT n AS n_docs, n11 AS both_pass, n00 AS both_fail,
         |  n10 AS only_length, n01 AS only_periods,
         |  CAST((n11+n00)::HUGEINT * 1000000 // n AS BIGINT) AS agree_ppm,
-        |  CAST((((n11+n00)::HUGEINT * n
+        |  CAST(CASE WHEN n::HUGEINT * n
+        |      - ((n11+n10)::HUGEINT*(n11+n01) + (n01+n00)::HUGEINT*(n10+n00))
+        |      = 0 THEN 0 ELSE
+        |    (((n11+n00)::HUGEINT * n
         |      - ((n11+n10)::HUGEINT*(n11+n01) + (n01+n00)::HUGEINT*(n10+n00)))
         |      * 1000000)
         |    // (n::HUGEINT * n
         |      - ((n11+n10)::HUGEINT*(n11+n01) + (n01+n00)::HUGEINT*(n10+n00)))
-        |    AS BIGINT) AS kappa_ppm
+        |    END AS BIGINT) AS kappa_ppm
         |FROM c""".stripMargin,
     // pref-pair replica: the engine's single argmax/argmin aggregate
     // re-expressed as two rank-1 window picks with the same tie-breaks
@@ -7915,7 +7952,8 @@ object SparkEntry {
       """WITH h AS (
         |  SELECT doc_id % 16 AS shard, n_chars,
         |    CAST(concat('0x',
-        |      substr(md5(CAST(doc_id AS VARCHAR) || text), 1, 15))
+        |      substr(md5(CAST(doc_id AS VARCHAR) || coalesce(text, '')),
+        |        1, 15))
         |      AS BIGINT) AS h
         |  FROM documents)
         |SELECT CAST(shard AS BIGINT) AS shard,
@@ -8014,11 +8052,12 @@ object SparkEntry {
         |    sum(CAST(1::BIGINT << (61 - mr) AS HUGEINT)) AS s_present
         |  FROM regs),
         |est AS (SELECT n_regs,
-        |    CAST((7213::HUGEINT * 256 * 256 * 256 *
+        |    CAST(CASE WHEN n_regs = 0 THEN 0 ELSE
+        |      (7213::HUGEINT * 256 * 256 * 256 *
         |        CAST(1::BIGINT << 61 AS HUGEINT)) //
         |      ((10000::HUGEINT * 256 + 10790) *
         |        (s_present + CAST(1::BIGINT << 61 AS HUGEINT)
-        |          * (256 - n_regs))) AS BIGINT) AS hll_ndv
+        |          * (256 - n_regs))) END AS BIGINT) AS hll_ndv
         |  FROM agg),
         |ex AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS exact_ndv
         |  FROM toks)
@@ -8113,11 +8152,12 @@ object SparkEntry {
         |    sum(CAST(1::BIGINT << (61 - mr) AS HUGEINT)) AS s_present
         |  FROM regs GROUP BY source)
         |SELECT source, CAST(256 AS BIGINT) AS m, n_regs,
-        |  CAST((7213::HUGEINT * 256 * 256 * 256 *
+        |  CAST(CASE WHEN n_regs = 0 THEN 0 ELSE
+        |    (7213::HUGEINT * 256 * 256 * 256 *
         |      CAST(1::BIGINT << 61 AS HUGEINT)) //
         |    ((10000::HUGEINT * 256 + 10790) *
         |      (s_present + CAST(1::BIGINT << 61 AS HUGEINT)
-        |        * (256 - n_regs))) AS BIGINT) AS hll_ndv
+        |        * (256 - n_regs))) END AS BIGINT) AS hll_ndv
         |FROM agg""".stripMargin,
     // overlap replica: per-half registers, union = register-wise max,
     // inclusion-exclusion, exact intersection audit
@@ -8159,12 +8199,13 @@ object SparkEntry {
         |  FROM regs GROUP BY half),
         |uregs AS (SELECT bucket, max(mr) AS mr FROM regs GROUP BY bucket),
         |uest AS (
-        |  SELECT CAST((7213::HUGEINT * 256 * 256 * 256 *
+        |  SELECT CAST(CASE WHEN count(*) = 0 THEN 0 ELSE
+        |    (7213::HUGEINT * 256 * 256 * 256 *
         |      CAST(1::BIGINT << 61 AS HUGEINT)) //
         |    ((10000::HUGEINT * 256 + 10790) *
         |      (sum(CAST(1::BIGINT << (61 - mr) AS HUGEINT)) +
         |        CAST(1::BIGINT << 61 AS HUGEINT) * (256 - count(*))))
-        |    AS BIGINT) AS ndv_union
+        |    END AS BIGINT) AS ndv_union
         |  FROM uregs),
         |ex AS (
         |  SELECT CAST(count(*) AS BIGINT) AS exact_overlap FROM (
@@ -8397,11 +8438,12 @@ object SparkEntry {
         |    sum(CAST(1::BIGINT << (61 - mr) AS HUGEINT)) AS s_present
         |  FROM regs)
         |SELECT CAST(256 AS BIGINT) AS m, n_regs,
-        |  CAST((7213::HUGEINT * 256 * 256 * 256 *
+        |  CAST(CASE WHEN n_regs = 0 THEN 0 ELSE
+        |    (7213::HUGEINT * 256 * 256 * 256 *
         |      CAST(1::BIGINT << 61 AS HUGEINT)) //
         |    ((10000::HUGEINT * 256 + 10790) *
         |      (s_present + CAST(1::BIGINT << 61 AS HUGEINT)
-        |        * (256 - n_regs))) AS BIGINT) AS hll_ndv
+        |        * (256 - n_regs))) END AS BIGINT) AS hll_ndv
         |FROM agg""".stripMargin,
     // components replica: undirected reachability closure, label = min
     // reachable node id (the same fixpoint the pointer-jumping CC finds)

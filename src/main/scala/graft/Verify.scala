@@ -36,6 +36,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      finally
+        // operator-persisted frames + localCheckpoint blocks from this
+        // query are dead once its parquet is written; without this, ~300
+        // queries' cached blocks pile up in one JVM until LRU pressure
+        SparkEntry.releaseCache(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

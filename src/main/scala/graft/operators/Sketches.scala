@@ -72,9 +72,9 @@ object Sketches {
   /** S-sum term over PRESENT registers: 2^(61-mr), shifted longs summed
     * in DECIMAL(38,0) — max total m * 2^61 ~ 1.5e23 for pHex=4, in
     * range. Absent registers contribute 2^61 each (added in estExpr).
-    * Coalesced to 0 so an EMPTY register table (empty input) yields the
-    * raw estimator's all-registers-absent value (~alpha*m) instead of a
-    * null estimate. */
+    * Coalesced to 0 so an EMPTY register table (empty input) feeds the
+    * estimator a definite sum instead of a null (estExpr then
+    * special-cases n_regs=0 to an NDV of 0, matching the SQL replicas). */
   private def sPresentAgg: Column =
     coalesce(
       sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(61 - mr AS INT))" +
@@ -83,14 +83,20 @@ object Sketches {
 
   /** E = floor(alpha_num * m^2 * 2^61 / (alpha_den * S)) over columns
     * `n_regs`/`s_present`; the numerator is the constant 7213*m^3*2^61
-    * (~2.8e29 at m=256, inside DECIMAL(38,0)). */
+    * (~2.8e29 at m=256, inside DECIMAL(38,0)). An EMPTY register table
+    * (n_regs = 0, i.e. empty input) short-circuits to 0 distinct — the
+    * raw estimator would report its all-registers-absent floor
+    * (~alpha*m, ~182 at m=256) — and the DuckDB replicas carry the same
+    * CASE, so an empty corpus agrees cross-engine instead of diverging
+    * on a coalesce the SQL side lacked. */
   private def estExpr(m: Long): Column = {
     val aDen = 10000L * m + 10790L
     val num = java.math.BigInteger.valueOf(7213L * m * m * m)
       .multiply(java.math.BigInteger.valueOf(2L).pow(61))
-    expr(s"CAST(CAST('$num' AS DECIMAL(38,0)) div " +
+    expr(s"CAST(CASE WHEN n_regs = 0 THEN 0 ELSE " +
+      s"CAST('$num' AS DECIMAL(38,0)) div " +
       s"(CAST($aDen AS DECIMAL(38,0)) * (s_present + " +
-      s"CAST(${1L << 61} AS DECIMAL(38,0)) * ($m - n_regs))) AS BIGINT)")
+      s"CAST(${1L << 61} AS DECIMAL(38,0)) * ($m - n_regs))) END AS BIGINT)")
   }
 
   /** The estimator half of [[hllNdv]], over an already-aggregated
@@ -105,21 +111,33 @@ object Sketches {
       .select(lit(m).as("m"), col("n_regs"), estExpr(m).as("hll_ndv"))
   }
 
+  /** Grouped estimator over an already-aggregated (grpCol, bucket, mr)
+    * register table — [[hllEstimate]] per group, for registers
+    * maintained or merged elsewhere. A group with no registers yields
+    * NO row (grouped-aggregate semantics, identical in any engine) —
+    * unlike the global estimator's single n_regs=0 row. Returns
+    * (grpCol, m, n_regs, hll_ndv). */
+  def hllEstimateBy(regs: DataFrame, grpCol: String,
+      pHex: Int = 2): DataFrame = {
+    require(pHex >= 1 && pHex <= 4, "pHex in 1..4 (m = 16^pHex)")
+    val m = math.pow(16, pHex).toLong
+    regs.groupBy(grpCol)
+      .agg(count(lit(1)).cast(LongType).as("n_regs"), sPresentAgg)
+      .select(col(grpCol), lit(m).as("m"), col("n_regs"),
+        estExpr(m).as("hll_ndv"))
+  }
+
   /** GROUPED HLL: one register table per value of `grpCol`, from a
     * single (grp, bucket)-keyed aggregate — per-domain / per-language /
     * per-shard NDV in one corpus pass, state m rows per group. Returns
     * (grp, m, n_regs, hll_ndv), one row per group. */
   def hllNdvBy(df: DataFrame, key: Column, grpCol: String,
       pHex: Int = 2): DataFrame = {
-    require(pHex >= 1 && pHex <= 4, "pHex in 1..4 (m = 16^pHex)")
-    val m = math.pow(16, pHex).toLong
     val (bucket, rank) = hllParts(key, pHex)
-    df.select(col(grpCol).as("grp"), bucket.as("bucket"), rank.as("rank"))
-      .groupBy("grp", "bucket").agg(max(col("rank")).as("mr"))
-      .groupBy("grp")
-      .agg(count(lit(1)).cast(LongType).as("n_regs"), sPresentAgg)
-      .select(col("grp"), lit(m).as("m"), col("n_regs"),
-        estExpr(m).as("hll_ndv"))
+    hllEstimateBy(
+      df.select(col(grpCol).as("grp"), bucket.as("bucket"), rank.as("rank"))
+        .groupBy("grp", "bucket").agg(max(col("rank")).as("mr")),
+      "grp", pHex)
   }
 
   /** Count-min sketch of `key` frequencies: `depth` independent
@@ -178,15 +196,39 @@ object Sketches {
     * Ranks order by (value, tiebreak) ascending; the value at a global
     * rank is tie-order-invariant, so any engine verifies with a plain
     * row_number over a full sort. Returns (permille, rank, value).
+    *
+    * The driver-side bucket collect is ENFORCED bounded, not
+    * conventionally: if the histogram occupies more than `maxBuckets`
+    * buckets (a pathological valueCol — e.g. unix micros against a
+    * 64-unit width), the width auto-widens x8 (re-aggregating the
+    * ALREADY-BOUNDED cached histogram, never re-reading the corpus;
+    * truncating division composes, so re-bucketing bucket ids equals
+    * bucketing values at the wider width) until the collect fits.
     */
   def exactPermilles(df: DataFrame, valueCol: String, tieCol: String,
-      permilles: Seq[Int], bucketWidth: Long = 64L): DataFrame = {
+      permilles: Seq[Int], bucketWidth: Long = 64L,
+      maxBuckets: Long = 1L << 18): DataFrame = {
     require(permilles.nonEmpty && permilles.forall(q => q >= 0 && q <= 1000))
+    require(bucketWidth >= 1 && maxBuckets >= 1)
     val base = df.select(
       col(valueCol).cast(LongType).as("value"),
       col(tieCol).as("tie"))
-      .withColumn("b", expr(s"value div $bucketWidth"))
-    val hist = base.groupBy("b").agg(count(lit(1)).as("bc"))
+    // the only corpus-wide pass; persisted so the auto-widening probe,
+    // the cumulative windows and any coarsening all reuse it
+    val histRaw = base
+      .groupBy(expr(s"value div $bucketWidth").as("b"))
+      .agg(count(lit(1)).as("bc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var effWidth = bucketWidth
+    var hist = histRaw
+    var occupied = hist.count()
+    while (occupied > maxBuckets && effWidth < Long.MaxValue / 8) {
+      effWidth = effWidth * 8
+      hist = histRaw
+        .groupBy(expr(s"b div ${effWidth / bucketWidth}").as("b"))
+        .agg(sum(col("bc")).cast(LongType).as("bc"))
+      occupied = hist.count()
+    }
     val wb = Window.orderBy(col("b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wn = Window.rowsBetween(
@@ -197,13 +239,14 @@ object Sketches {
       (sum(col("bc")).over(wb) - col("bc")).as("cum_before"),
       sum(col("bc")).over(wb).as("cum"))
       .withColumn("n", sum(col("bc")).over(wn))
-    // BOUNDED collect (one row per OCCUPIED value bucket — at most
-    // value_range/bucketWidth rows, comment-audited): materializing the
-    // cumulative table in ONE job keeps the corpus at exactly TWO passes
-    // (histogram job + targeted re-read) and lets the re-read carry
-    // literal filters — see the pushable value-range form below
+    // BOUNDED collect (one row per OCCUPIED value bucket, <= maxBuckets
+    // rows by the enforced widening above): materializing the cumulative
+    // table in ONE job keeps the corpus at exactly TWO passes (histogram
+    // job + targeted re-read) and lets the re-read carry literal filters
+    // — see the pushable value-range form below
     val cumRows = cum.collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    histRaw.unpersist(blocking = false)
     val n = cumRows.headOption.map(_._4).getOrElse(0L)
     val targets = permilles.distinct.flatMap { q =>
       val r = (n - 1) * q / 1000 + 1
@@ -224,12 +267,14 @@ object Sketches {
     // re-read cheap at 100 TB
     val ranges = wantedBuckets.map { b =>
       // truncating div: bucket 0 spans BOTH signs (-(w-1) .. w-1)
-      val lo = if (b > 0) b * bucketWidth else b * bucketWidth - (bucketWidth - 1)
-      val hi = if (b < 0) b * bucketWidth else b * bucketWidth + (bucketWidth - 1)
+      val lo = if (b > 0) b * effWidth else b * effWidth - (effWidth - 1)
+      val hi = if (b < 0) b * effWidth else b * effWidth + (effWidth - 1)
       col("value").between(lo, hi)
     }
     val rangeFilter = ranges.reduceOption(_ || _).getOrElse(lit(false))
-    val inBuckets = base.filter(rangeFilter && col("b").isin(wantedBuckets: _*))
+    val inBuckets = base
+      .withColumn("b", expr(s"value div $effWidth"))
+      .filter(rangeFilter && col("b").isin(wantedBuckets: _*))
     val wr = Window.partitionBy(col("b")).orderBy(col("value"), col("tie"))
     inBuckets.withColumn("lr", row_number().over(wr).cast(LongType))
       .join(broadcast(all), Seq("b"))

@@ -153,10 +153,12 @@ class EdgeCasesSpec extends AnyFunSuite {
     import graft.operators.Sketches
     val empty = Seq.empty[String].toDF("k")
 
-    // HLL on an empty input: the raw estimator's all-registers-absent
-    // value (alpha*m ~ 184 at m=256) with zero registers — never null
+    // HLL on an empty input: zero registers -> NDV pinned to 0 (the
+    // estimator special-cases n_regs=0; the raw formula would report
+    // its all-registers-absent floor ~alpha*m), matching the DuckDB
+    // replicas' CASE so an empty corpus agrees cross-engine
     val h = Sketches.hllNdv(empty, col("k")).collect().head
-    assert(h.getLong(1) === 0L && !h.isNullAt(2) && h.getLong(2) <= 256L)
+    assert(h.getLong(1) === 0L && !h.isNullAt(2) && h.getLong(2) === 0L)
 
     // a single key: one register, rank >= 1, a small positive estimate
     val one = Sketches.hllNdv(Seq("x").toDF("k"), col("k")).collect().head

@@ -409,4 +409,33 @@ class PropertySpec extends AnyFunSuite {
       got == expect
     })
   }
+
+  test("exact permilles: pathological wide-range valueCol auto-widens under the enforced bucket bound and stays exact") {
+    // unix-micros-scale values against a tiny width would make the
+    // driver-side bucket collect corpus-sized; the enforced maxBuckets
+    // bound must auto-widen (x8 per step, composed truncating division)
+    // rather than collect unbounded — and the answer must stay the full
+    // sort's, including negative values straddling bucket 0
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      vals <- Gen.listOfN(n, Gen.choose(-3_000_000_000_000L, 3_000_000_000_000L))
+      maxB <- Gen.oneOf(1L, 3L, 17L)
+      qs <- Gen.nonEmptyListOf(Gen.choose(0, 1000))
+    } yield (vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }, maxB, qs)
+    check15(Prop.forAllNoShrink(gen) { case (rows, maxB, qs) =>
+      val got = graft.operators.Sketches
+        .exactPermilles(rows.toDF("v", "tie"), "v", "tie", qs,
+          bucketWidth = 64L, maxBuckets = maxB)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      val sorted = rows.map(_._1).sorted
+      val expect = qs.distinct.map { q =>
+        val r = (sorted.length - 1) * q / 1000 + 1
+        q.toLong -> ((r.toLong, sorted(r - 1)))
+      }.toMap
+      got == expect
+    })
+  }
 }
