@@ -157,6 +157,119 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("_hit"), lit(false)).as("is_dup"))
   }
 
+  /** Cross-batch near-dup PAIRS: the same band-bucket-join + exact
+    * Jaccard verify as [[incrementalFlags]], but KEEPING the matched
+    * index identity — `(nid, iid, keepIndexCols...)`, the edge list an
+    * incremental component merge ([[mergeComponentLabels]]) consumes.
+    * `keepIndexCols` carries extra index columns (e.g. each indexed
+    * doc's component label) through to the output, so the caller maps
+    * pairs to super-edges without a second history lookup. O(batch)
+    * shuffle: band keys + candidate ids; the index never re-shingles. */
+  def incrementalPairs(
+      newDocs: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      jaccardThreshold: Double = 0.5,
+      maxBucket: Int = 200,
+      keepIndexCols: Seq[String] = Nil): DataFrame = {
+    val fresh = minhashIndex(newDocs, idCol, textCol, shingleSize, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nk = fresh.select(col("doc_id").as("nid"),
+      posexplode(col("band_keys")).as(Seq("band", "key")))
+    val ik = index.select(col("doc_id").as("iid"),
+      posexplode(col("band_keys")).as(Seq("band", "key")))
+    // cap pathological buckets on the INDEX side (boilerplate shingles)
+    val bucketSizes = ik.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bs")).filter(col("bs") <= maxBucket)
+    val candidates = nk
+      .join(ik.join(bucketSizes.select("band", "key"), Seq("band", "key")),
+        Seq("band", "key"))
+      .select(col("nid"), col("iid")).distinct()
+    val keep = keepIndexCols.map(col)
+    candidates
+      .join(fresh.select(col("doc_id").as("nid"), col("shingle_set").as("sn")), "nid")
+      .join(index.select(
+        (Seq(col("doc_id").as("iid"), col("shingle_set").as("si")) ++ keep): _*),
+        "iid")
+      .filter(text.jaccard(col("sn"), col("si")) >= jaccardThreshold)
+      .select((Seq(col("nid"), col("iid")) ++ keep): _*)
+  }
+
+  /** INCREMENTAL connected components: merge a batch of new near-dup
+    * pairs into a PERSISTED `(doc_id, component)` label table without
+    * re-clustering history — the last full-recompute in the dedup
+    * family goes O(batch ∪ touched components).
+    *
+    * `superPairs` carries SUPER-EDGES: each endpoint is either an
+    * existing component label (for endpoints already in `labels` —
+    * the minhash index stores each doc's component, so pair generation
+    * yields these directly) or a raw doc id (for endpoints history has
+    * never labeled). The merge contracts to the component graph:
+    * pointer-jumping CC runs over the BATCH-SIZED super-edge set, and
+    * because component labels are min member ids, the merged label
+    * (min over merged super-nodes) equals the min doc id of the merged
+    * cluster — exactly what a full recompute over all pairs yields.
+    *
+    * Returns the label DELTA only: `(doc_id, component)` for docs
+    * newly labeled or re-labeled; history rows in untouched components
+    * emit nothing. Upsert the delta into the label table (equality
+    * delete on doc_id + append) and refresh the same docs' component
+    * column in the minhash index to complete the maintenance cycle.
+    *
+    * 100 TB shape: new-label rows come straight from the batch-sized
+    * component graph; member RE-labeling is one broadcast join of the
+    * bounded merge map against `labels` keyed on component — and when
+    * `bucketCol = Some((name, n))` names a `pmod(component, n)` column
+    * the label table identity-partitions on, the touched-bucket values
+    * (a <= n-row bounded collect) push down as a partition filter, so
+    * the join reads ONLY touched partitions instead of scanning
+    * history. */
+  def mergeComponentLabels(
+      labels: DataFrame,
+      superPairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      bucketCol: Option[(String, Int)] = None): DataFrame = {
+    val edges = superPairs
+      .select(col(aCol).cast("long").as("sa"), col(bCol).cast("long").as("sb"))
+      .filter(col("sa") =!= col("sb"))
+    // CC over the CONTRACTED graph — bounded by the batch's pair count,
+    // independent of history size
+    val m = connectedComponents(edges, "sa", "sb")
+      .select(col("doc_id").as("node"), col("component").as("newc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scoped = bucketCol match {
+      case Some((bc, n)) =>
+        // BOUNDED collect (<= n rows after pmod+distinct, comment-
+        // audited): the touched-bucket list becomes a pushable
+        // partition filter on the label table's identity partitioning
+        val touched = m.select(pmod(col("node"), lit(n.toLong)).as("b"))
+          .distinct().collect().map(_.getLong(0))
+        labels.filter(col(bc).isin(touched: _*))
+      case None => labels
+    }
+    // every member of a touched existing component, via ONE broadcast
+    // join keyed on component; bounded by touched-component mass
+    val members = scoped
+      .select(col("doc_id"), col("component"))
+      .join(broadcast(m.withColumnRenamed("node", "component")),
+        Seq("component"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val relabeled = members.filter(col("newc") =!= col("component"))
+      .select(col("doc_id"), col("newc").as("component"))
+    // super-nodes that matched NO existing component label are docs
+    // gaining their first label (new-batch docs and never-clustered
+    // indexed docs); both joins here are merge-map-sized
+    val matched = members.select(col("component").as("node")).distinct()
+    val direct = m.join(matched, Seq("node"), "left_anti")
+      .select(col("node").as("doc_id"), col("newc").as("component"))
+    relabeled.unionByName(direct)
+  }
+
   /** SimHash fingerprints per document (map-only). Near-dups = small
     * Hamming distance; pair generation buckets on rotated prefixes. */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -21,6 +21,15 @@ class EntrySpec extends AnyFunSuite {
     // the legacy/tpch curves must stay frozen (sanctioned baselines)
     assert(Bench.headline.size === 20)
     assert(Bench.tpchHeadline.size === 10)
+    // drain-split streaming rows: every streamParts key is a real query
+    // (queries compose setup+drain for Verify) and is named stream_* so
+    // the bench's stream tolerance band applies to exactly these rows
+    assert(SparkEntry.streamParts.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.streamParts.keySet.forall(_.startsWith("stream_")))
+    // ambient canaries: legacy members with sanctioned medians, so the
+    // per-group drift ratio always has its 1.0x reference
+    assert(Bench.canaryQueries.forall(Bench.headline.contains))
+    assert(Bench.canaryQueries.forall(Bench.sanctioned.contains))
   }
 
   test("every benched query carries a sanctioned median (self-audit coverage)") {

@@ -1143,6 +1143,72 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!collapsed.contains(4L)) // singleton emits no row
   }
 
+  test("incremental CC merge equals the full recompute across every merge path") {
+    // batch 1 (evens): clusters {2,4} and {6,8}, singleton 10, and 12
+    // unclustered; batch 2 (odds) exercises every delta path at once:
+    // 1 relabels an existing cluster (new min), 7 joins one without
+    // relabeling it, 3 gives never-clustered 12 its first label, {5,9}
+    // form a purely-new cluster, 11 stays unpaired
+    val all = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank tomorrow"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (6L, "colorless green ideas sleep furiously while the sun sets behind distant snowy hills"),
+      (8L, "colorless green ideas sleep furiously while the sun sets behind distant snowy peaks"),
+      (7L, "colorless green ideas sleep furiously while the sun sets behind distant snowy ridges"),
+      (12L, "parquet manifests snapshot metadata tables spark catalyst optimizer rules engine today"),
+      (3L, "parquet manifests snapshot metadata tables spark catalyst optimizer rules engine tonight"),
+      (5L, "streaming watermark state store microbatch trigger offsets checkpoint recovery logic first"),
+      (9L, "streaming watermark state store microbatch trigger offsets checkpoint recovery logic second"),
+      (10L, "entirely standalone content speaking about absolutely nothing shared with any other words"),
+      (11L, "another fully isolated piece mentioning unrelated vocabulary choices throughout several phrases"),
+    ).toDF("doc_id", "text")
+    val evens = all.filter(col("doc_id") % 2 === 0)
+    val odds = all.filter(col("doc_id") % 2 === 1)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val l1 = Dedup.textComponents(evens, "doc_id", "text",
+      shingleSize = 2, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4)
+    val l1Map = asMap(l1)
+    assert(l1Map === Map(2L -> 2L, 4L -> 2L, 6L -> 6L, 8L -> 6L))
+    // the index carries each doc's component; pair generation maps
+    // matches straight to super-nodes
+    val idx = Dedup.minhashIndex(evens, "doc_id", "text",
+        shingleSize = 2, bands = 16, rowsPerBand = 4)
+      .join(l1, Seq("doc_id"), "left")
+    val newOld = Dedup.incrementalPairs(odds, idx, "doc_id", "text",
+        shingleSize = 2, bands = 16, rowsPerBand = 4,
+        jaccardThreshold = 0.4, keepIndexCols = Seq("component"))
+      .select(col("nid").as("sa"),
+        coalesce(col("component"), col("iid")).as("sb"))
+    val newNew = Dedup.minhashLsh(odds, "doc_id", "text",
+        shingleSize = 2, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4)
+      .select(col("a").as("sa"), col("b").as("sb"))
+    val superPairs = newOld.unionByName(newNew)
+    val delta = asMap(Dedup.mergeComponentLabels(l1, superPairs, "sa", "sb"))
+    assert(delta === Map(
+      1L -> 1L, 2L -> 1L, 4L -> 1L, // relabel: 1 is the new cluster min
+      7L -> 6L,                     // join without relabeling history
+      3L -> 3L, 12L -> 3L,          // first labels for 3 and unclustered 12
+      5L -> 5L, 9L -> 5L))          // purely-new cluster
+    // delta over history == the full recompute, doc for doc
+    val merged = l1Map ++ delta
+    val full = asMap(Dedup.textComponents(all, "doc_id", "text",
+      shingleSize = 2, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4))
+    assert(merged === full)
+    // the bucket-scoped variant (partition-prunable member lookup over a
+    // pmod(component, n) column) must produce the identical delta
+    val l1b = l1.withColumn("cbucket", pmod(col("component"), lit(16L)))
+    val deltaB = asMap(Dedup.mergeComponentLabels(l1b, superPairs, "sa", "sb",
+      bucketCol = Some(("cbucket", 16))))
+    assert(deltaB === delta)
+    // a batch whose pairs all land INSIDE existing components contracts
+    // to self-edges (both endpoints map to the same component) — a no-op
+    val noop = Dedup.mergeComponentLabels(
+      l1, Seq((2L, 2L), (6L, 6L)).toDF("sa", "sb"), "sa", "sb")
+    assert(noop.collect().isEmpty)
+  }
+
   test("boilerplate lines: per-source df, share, threshold floor") {
     val docs = Seq(
       (1L, "s1", "alpha beta\nsubscribe now\nunique one"),
