@@ -179,6 +179,10 @@ object Bench {
     // eleventh r11 wave: point-in-time attribution over SCD2 history
     "r11l" -> Seq(
       "q_scd2_asof"),
+    // round-12 wave: incremental CC label maintenance, the IVF nprobe
+    // sweep, beam search over the knn graph
+    "r12" -> Seq(
+      "dedup_cc_incremental", "ann_multiprobe", "ann_beam"),
   )
 
   /** Sanctioned per-query medians (seconds at sf0.1), mirrored from
@@ -323,6 +327,11 @@ object Bench {
     "sql_scd2" -> 0.721, "stats_fk_orphans" -> 1.128,
     // r11l (3 forked runs, median)
     "q_scd2_asof" -> 1.854,
+    // r12 (3 quiet forked runs, medians, canary-stamped ~1.0-1.2x;
+    // dedup_cc_incremental is OP-ONLY: the batch-2 pair-gen + merge,
+    // with batch-1 clustering/table builds as untimed setup)
+    "dedup_cc_incremental" -> 3.549, "ann_multiprobe" -> 0.908,
+    "ann_beam" -> 4.378,
   )
 
   /** Ambient-drift canary: three cheap, CPU-bound, code-frozen legacy
@@ -529,13 +538,14 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    // streaming rows time the DRAIN only: setup (table rebuild +
-    // snapshot appends) reruns untimed before every timed start+drain,
-    // so the sanctioned metric is the maintained operation, not the
+    // setup/op-split rows (streaming drains, incremental maintenance)
+    // time the OPERATION only: setup (table rebuilds, snapshot appends,
+    // batch-1 state builds) reruns untimed before every timed op, so
+    // the sanctioned metric is the maintained operation, not the
     // commit harness around it
-    def timeStream(name: String): Double = {
+    def timeOpPart(name: String): Double = {
       val thunk =
-        try SparkEntry.streamParts(name)(spark, sfDir)
+        try SparkEntry.timedParts(name)(spark, sfDir)
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name setup: $e")
           () => spark.emptyDataFrame
@@ -545,10 +555,10 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       (System.nanoTime() - t0) / 1e9
     }
-    val streamNames = SparkEntry.streamParts.keySet
+    val partNames = SparkEntry.timedParts.keySet
     def median(name: String): Double = {
       val one: () => Double =
-        if (streamNames.contains(name)) () => timeStream(name)
+        if (partNames.contains(name)) () => timeOpPart(name)
         else () => time(name)
       val ts = (0 until runs).map(_ => one()).sorted
       ts(runs / 2)
@@ -807,7 +817,14 @@ object Bench {
         // timed closure rebuilds its 2-snapshot table by design); CC is
         // O(E) keyed joins x ~log(diameter) rounds over the saturating
         // domain graph; reciprocity is one distinct + one semi-join
-        "stream_hll", "graph_components", "graph_reciprocity"))
+        "stream_hll", "graph_components", "graph_reciprocity",
+        // r12: the CC merge must stay O(batch) — batch-2 pair gen rides
+        // the band-bucket index join, the contracted CC is batch-sized,
+        // and member re-labeling prunes to touched cbucket partitions;
+        // multiprobe is one corpus-cell join serving all 3 sweep points;
+        // the beam walks beam x degree rows per layer after the
+        // cell-local edge build (the knn self-join is the 10x variable)
+        "dedup_cc_incremental", "ann_multiprobe", "ann_beam"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

@@ -354,6 +354,58 @@ object SparkEntry {
     }),
   )
 
+  /** Setup/op split for NON-streaming bench rows whose setup — batch-1
+    * state builds staged through graft tables — would otherwise dominate
+    * the timed value (the [[streamParts]] rationale; dml rows get the
+    * equivalent split via Bench.dmlOps). The thunk is the maintained
+    * OPERATION the sanctioned row measures; [[queries]] entries compose
+    * setup+op, so Verify/oracle semantics are unchanged. */
+  private[graft] def opParts
+      : Map[String, (SparkSession, String) => () => DataFrame] = Map(
+    "dedup_cc_incremental" -> ((s, dir) => {
+      // setup = batch-1 (even docs) clustering + BOTH persisted states:
+      // the label table (identity-partitioned on cbucket) and the
+      // minhash index carrying components. op = everything a new batch
+      // pays: odd-doc pair generation (vs index + within batch),
+      // contraction, batch-sized CC, delta emission.
+      val docs = t(s, dir, "documents")
+      val evens = docs.filter(col("doc_id") % 2 === 0)
+      val odds = docs.filter(col("doc_id") % 2 === 1)
+      val l1 = Dedup.textComponents(evens, "doc_id", "text",
+        shingleSize = 2, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4)
+      val ltbl = freshTable(s, "cc_labels",
+        l1.withColumn("cbucket", pmod(col("component"), lit(16L))),
+        spec = sch => IcePartitionSpec(0, List(IcePartitionField(
+          sch.findField("cbucket").get.id, 1000, "identity", "cbucket_p"))))
+      ltbl.append(s, l1.withColumn("cbucket", pmod(col("component"), lit(16L))))
+      val idx = Dedup.minhashIndex(evens, "doc_id", "text",
+          shingleSize = 2, bands = 16, rowsPerBand = 4)
+        .join(l1, Seq("doc_id"), "left")
+      val itbl = freshTable(s, "cc_index", idx)
+      itbl.append(s, idx)
+      () => {
+        val newOld = Dedup.incrementalPairs(odds, itbl.scan(s),
+            "doc_id", "text", shingleSize = 2, bands = 16, rowsPerBand = 4,
+            jaccardThreshold = 0.4, keepIndexCols = Seq("component"))
+          .select(col("nid").as("sa"),
+            coalesce(col("component"), col("iid")).as("sb"))
+        val newNew = Dedup.minhashLsh(odds, "doc_id", "text",
+            shingleSize = 2, bands = 16, rowsPerBand = 4,
+            jaccardThreshold = 0.4)
+          .select(col("a").as("sa"), col("b").as("sb"))
+        Dedup.mergeComponentLabels(ltbl.scan(s),
+          newOld.unionByName(newNew), "sa", "sb",
+          bucketCol = Some(("cbucket", 16)))
+      }
+    }),
+  )
+
+  /** union of every setup/op-split bench row — what Bench.median times
+    * op-only; stream rows additionally carry the 1.5x flag band */
+  private[graft] def timedParts
+      : Map[String, (SparkSession, String) => () => DataFrame] =
+    streamParts ++ opParts
+
   /** One entry per implemented operator from SURVEY.md §2 + the pipeline
     * operator set. Keys match [[oracleSql]]; non-SQL-expressible operators
     * (bucket transform, LSH/minhash/simhash, ANN, stub decode) get a
@@ -1933,33 +1985,9 @@ object SparkEntry {
       // makes the merged labels EQUAL a full recompute (asserted in
       // OperatorsSpec). Oracle: exact all-pairs-Jaccard CC over the
       // full corpus MINUS batch 1's own CC — the ground-truth delta.
-      val docs = t(s, dir, "documents")
-      val evens = docs.filter(col("doc_id") % 2 === 0)
-      val odds = docs.filter(col("doc_id") % 2 === 1)
-      val l1 = Dedup.textComponents(evens, "doc_id", "text",
-        shingleSize = 2, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4)
-      val ltbl = freshTable(s, "cc_labels",
-        l1.withColumn("cbucket", pmod(col("component"), lit(16L))),
-        spec = sch => IcePartitionSpec(0, List(IcePartitionField(
-          sch.findField("cbucket").get.id, 1000, "identity", "cbucket_p"))))
-      ltbl.append(s, l1.withColumn("cbucket", pmod(col("component"), lit(16L))))
-      val idx = Dedup.minhashIndex(evens, "doc_id", "text",
-          shingleSize = 2, bands = 16, rowsPerBand = 4)
-        .join(l1, Seq("doc_id"), "left")
-      val itbl = freshTable(s, "cc_index", idx)
-      itbl.append(s, idx)
-      val newOld = Dedup.incrementalPairs(odds, itbl.scan(s), "doc_id", "text",
-          shingleSize = 2, bands = 16, rowsPerBand = 4,
-          jaccardThreshold = 0.4, keepIndexCols = Seq("component"))
-        .select(col("nid").as("sa"),
-          coalesce(col("component"), col("iid")).as("sb"))
-      val newNew = Dedup.minhashLsh(odds, "doc_id", "text",
-          shingleSize = 2, bands = 16, rowsPerBand = 4,
-          jaccardThreshold = 0.4)
-        .select(col("a").as("sa"), col("b").as("sb"))
-      Dedup.mergeComponentLabels(ltbl.scan(s),
-        newOld.unionByName(newNew), "sa", "sb",
-        bucketCol = Some(("cbucket", 16)))
+      // Setup (batch-1 states) / op (batch-2 merge) split lives in
+      // [[opParts]]; the bench times the op only.
+      opParts("dedup_cc_incremental")(s, dir)()
     }),
     "text_cdc_chunks" -> ((s, dir) => {
       // content-defined chunking dedup: boundaries re-synchronize after
@@ -2860,6 +2888,146 @@ object SparkEntry {
         .join(hits, Seq("query_id"), "left")
         .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
         .withColumn("recall", col("hits").cast(DoubleType) / 5)
+    }),
+    "ann_multiprobe" -> ((s, dir) => {
+      // the nprobe knob SWEPT (ann_recall fixes it at 1): per-query
+      // recall@5 AND candidate volume at nprobe = 1, 2, 4 over the
+      // deterministic integer-k-means cells — the recall-vs-cost curve
+      // that actually sizes a production IVF (pick the smallest nprobe
+      // whose recall clears the gate; n_cand is the I/O you pay for
+      // it). Cells rank per query by EXACT integer centroid distance
+      // (k struct literals sorted in-expression, ties to the lower
+      // cell id); ONE corpus join serves every sweep point — each
+      // candidate carries its cell's probe rank, so nprobe = p is a
+      // filter, not a re-scan. At k = 4 the nprobe=4 row IS the
+      // exhaustive scan: recall must read 1.0, pinning the sweep's
+      // endpoints (spot-asserted in EntrySpec).
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val truth = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val (cents, asg) = Clustering.kmeansFit(e, "vec_id", "embedding",
+        k = 4, iters = 1)
+      val qe = transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1024).cast(LongType))
+      val cellCands = array(cents.map { case (cid, c) =>
+        struct(
+          aggregate(
+            zip_with(qe, array(c.map(lit): _*), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d"),
+          lit(cid).as("cid"))
+      }: _*)
+      val qCells = q.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          posexplode(sort_array(cellCands)).as(Seq("p", "dc")))
+        .select(col("qid"), col("qv"),
+          (col("p") + 1).cast(LongType).as("crank"),
+          col("dc.cid").as("cluster"))
+      val scored = e.join(asg, "vec_id")
+        .join(qCells, Seq("cluster"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+          graft.functions.vectors.cosineSim(col("qv"), col("embedding"))
+            .as("cos"),
+          col("crank"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sweeps = Seq(1L, 2L, 4L).map { p =>
+        val cand = scored.filter(col("crank") <= p)
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        val top = cand.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val nc = cand.groupBy("query_id").agg(count(lit(1)).as("n_cand"))
+        val hits = truth.join(top, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        q.select(col("vec_id").as("query_id"))
+          .join(nc, Seq("query_id"), "left")
+          .join(hits, Seq("query_id"), "left")
+          .select(lit(p).as("nprobe"), col("query_id"),
+            coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+            coalesce(col("hits"), lit(0L)).as("hits"))
+      }
+      sweeps.reduce(_ unionByName _)
+        .withColumn("recall", col("hits").cast(DoubleType) / 5)
+    }),
+    "ann_beam" -> ((s, dir) => {
+      // HNSW-style BEAM SEARCH over the k-NN graph edge set (the
+      // embed_knn_graph backbone put to work), with an IVF-ROUTED entry:
+      // each query enters at its own cell's representative (min vec_id)
+      // and three beam-of-8 expansion layers walk the cell's top-5
+      // neighbor edges toward the query, greedy by the same EXACT
+      // integer-quantized dot product the graph was built with — the
+      // production pattern where coarse cells pick the entry and the
+      // navigable graph does the fine ranking, touching only
+      // beam x degree nodes per layer instead of the cell's whole
+      // posting list. Everything integer: cell assignment, edge
+      // ranking and beam scores are bit-identical in any engine, so
+      // the DuckDB replica replays the entire walk. k grows with the
+      // corpus (k = max(4, n div 250), cells ~constant); at sf0.01
+      // that is k = 4, matching the oracle's fixed seed set. The
+      // count below is a parquet-metadata action.
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val k = math.max(4, (e.count() / 250).toInt)
+      val (_, asg) = Clustering.kmeansFit(e, "vec_id", "embedding",
+        k = k, iters = 1)
+      val withCell = e.select(col("vec_id"),
+          transform(col("embedding"), x =>
+            floor(x.cast(DoubleType) * 1024).cast(LongType)).as("nv"))
+        .join(asg, "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dot = aggregate(zip_with(col("qv"), col("nv"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+      // SYMMETRIZED top-5 edges: HNSW/NSW links are bidirectional — a
+      // hub every node points AT becomes a waypoint OUT of every node,
+      // which is what makes greedy descent navigable. Measured at
+      // sf0.001: directed-only walks hit 5/8 exact rank-1 and 62%
+      // top-3 overlap; symmetric 6/8 and 79% (EntrySpec pins the
+      // floors) — approximate BY DESIGN, the recall/candidate-volume
+      // trade the beam exists to make
+      val knn = withCell
+        .select(col("cluster"), col("vec_id").as("src"), col("nv").as("qv"))
+        .join(withCell.select(col("cluster"), col("vec_id").as("dst"),
+          col("nv")), Seq("cluster"))
+        .filter(col("src") =!= col("dst"))
+        .withColumn("dot_q", dot)
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("dot_q").desc, col("dst"))))
+        .filter(col("r") <= 5)
+        .select(col("src"), col("dst"))
+      val edges = knn
+        .unionByName(knn.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val reps = withCell.groupBy("cluster").agg(min(col("vec_id")).as("rep"))
+      val qvecs = withCell.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("nv").as("qv"), col("cluster"))
+      var frontier = qvecs.join(reps, Seq("cluster"))
+        .select(col("qid"), col("rep").as("node"))
+      def rescore(f: org.apache.spark.sql.DataFrame) = f
+        .join(withCell.select(col("vec_id").as("node"), col("nv")), "node")
+        .join(broadcast(qvecs.select(col("qid"), col("qv"))), "qid")
+        .withColumn("dot_q", dot)
+      for (_ <- 1 to 3) {
+        val cand = frontier.unionByName(
+            frontier.join(edges, frontier("node") === edges("src"))
+              .select(col("qid"), col("dst").as("node")))
+          .distinct()
+        frontier = rescore(cand)
+          .withColumn("br", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("dot_q").desc, col("node"))))
+          .filter(col("br") <= 8)
+          .select(col("qid"), col("node"))
+      }
+      rescore(frontier)
+        .filter(col("node") =!= col("qid"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("dot_q").desc, col("node")))
+          .cast(LongType))
+        .filter(col("rank") <= 3)
+        .select(col("qid").as("query_id"), col("node").as("neighbor_id"),
+          col("rank"))
     }),
     "ann_hard_negatives" -> ((s, dir) => {
       // contrastive hard-negative mining: per anchor, the 3 most-similar
@@ -6517,6 +6685,164 @@ object SparkEntry {
         |  coalesce(h.hits, 0)::DOUBLE / 5 AS recall
         |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 8) q
         |LEFT JOIN hits h ON h.query_id = q.vec_id""".stripMargin,
+    // multiprobe replica: the ann_recall k-means CTEs, plus per-query
+    // cell ranking by exact integer centroid distance and the
+    // {1,2,4}-probe sweep — candidates carry their cell's probe rank
+    "ann_multiprobe" ->
+      """WITH truth AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                        CAST(c.embedding AS DOUBLE[])) DESC,
+        |          c.vec_id) AS rank
+        |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |    WHERE q.vec_id < 8)
+        |  WHERE rank <= 5),
+        |qz AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(x::DOUBLE * 1024) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, e AS c FROM qz WHERE vec_id < 4),
+        |d0 AS (SELECT qz.vec_id, qz.e, c0.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (qz.e[i] - c0.c[i]) * (qz.e[i] - c0.c[i]))) AS dist
+        |  FROM qz CROSS JOIN c0),
+        |a0 AS (SELECT vec_id, e, cid FROM (
+        |    SELECT vec_id, e, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d0) WHERE rn = 1),
+        |s1 AS (SELECT cid, i,
+        |    CAST(floor(sum(e[i])::DOUBLE / count(*)) AS BIGINT) AS v
+        |  FROM a0 CROSS JOIN range(1, 65) t(i) GROUP BY cid, i),
+        |c1 AS (SELECT cid, list(v ORDER BY i) AS c FROM s1 GROUP BY cid),
+        |d1 AS (SELECT qz.vec_id, c1.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (qz.e[i] - c1.c[i]) * (qz.e[i] - c1.c[i]))) AS dist
+        |  FROM qz CROSS JOIN c1),
+        |cells AS (SELECT vec_id, cid AS cluster FROM (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM d1) WHERE rn = 1),
+        |qcells AS (SELECT vec_id AS qid, cid AS cluster,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)
+        |      AS crank
+        |  FROM d1 WHERE vec_id < 8),
+        |probes AS (SELECT unnest([1, 2, 4]) AS nprobe),
+        |cand AS (
+        |  SELECT p.nprobe, qc.qid AS query_id, cc.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q2.embedding AS DOUBLE[]),
+        |                           CAST(c2.embedding AS DOUBLE[])) AS cos
+        |  FROM qcells qc JOIN probes p ON qc.crank <= p.nprobe
+        |  JOIN cells cc ON cc.cluster = qc.cluster AND cc.vec_id <> qc.qid
+        |  JOIN embeddings q2 ON q2.vec_id = qc.qid
+        |  JOIN embeddings c2 ON c2.vec_id = cc.vec_id),
+        |top AS (SELECT nprobe, query_id, neighbor_id FROM (
+        |    SELECT nprobe, query_id, neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+        |        ORDER BY cos DESC, neighbor_id) AS rank
+        |    FROM cand) WHERE rank <= 5),
+        |nc AS (SELECT nprobe, query_id, CAST(count(*) AS BIGINT) AS n_cand
+        |  FROM cand GROUP BY 1, 2),
+        |hits AS (SELECT t.nprobe, t.query_id,
+        |    CAST(count(*) AS BIGINT) AS hits
+        |  FROM top t JOIN truth tr ON t.query_id = tr.query_id
+        |    AND t.neighbor_id = tr.neighbor_id
+        |  GROUP BY 1, 2)
+        |SELECT CAST(p.nprobe AS BIGINT) AS nprobe, q.vec_id AS query_id,
+        |  coalesce(nc.n_cand, 0) AS n_cand, coalesce(h.hits, 0) AS hits,
+        |  coalesce(h.hits, 0)::DOUBLE / 5 AS recall
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 8) q
+        |CROSS JOIN probes p
+        |LEFT JOIN nc ON nc.nprobe = p.nprobe AND nc.query_id = q.vec_id
+        |LEFT JOIN hits h ON h.nprobe = p.nprobe AND h.query_id = q.vec_id""".stripMargin,
+    // beam replica: the same k-means cells, the embed_knn_graph edge
+    // convention (cell-local top-5 by integer dot), then the ENTIRE
+    // walk replayed — entry at the cell rep, three beam-of-8 layers as
+    // chained CTEs, final top-3 excluding self
+    "ann_beam" ->
+      """WITH qz AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(x::DOUBLE * 1024) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, e AS c FROM qz WHERE vec_id < 4),
+        |d0 AS (SELECT qz.vec_id, qz.e, c0.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (qz.e[i] - c0.c[i]) * (qz.e[i] - c0.c[i]))) AS dist
+        |  FROM qz CROSS JOIN c0),
+        |a0 AS (SELECT vec_id, e, cid FROM (
+        |    SELECT vec_id, e, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d0) WHERE rn = 1),
+        |s1 AS (SELECT cid, i,
+        |    CAST(floor(sum(e[i])::DOUBLE / count(*)) AS BIGINT) AS v
+        |  FROM a0 CROSS JOIN range(1, 65) t(i) GROUP BY cid, i),
+        |c1 AS (SELECT cid, list(v ORDER BY i) AS c FROM s1 GROUP BY cid),
+        |d1 AS (SELECT qz.vec_id, c1.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (qz.e[i] - c1.c[i]) * (qz.e[i] - c1.c[i]))) AS dist
+        |  FROM qz CROSS JOIN c1),
+        |wc AS (SELECT vec_id, cluster, e FROM (
+        |    SELECT d1.vec_id, d1.cid AS cluster, qz.e,
+        |      row_number() OVER (PARTITION BY d1.vec_id
+        |        ORDER BY d1.dist, d1.cid) AS rn
+        |    FROM d1 JOIN qz USING (vec_id)) WHERE rn = 1),
+        |ed AS (SELECT src, dst FROM (
+        |    SELECT a.vec_id AS src, b.vec_id AS dst,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY list_sum(list_transform(range(1, 65),
+        |          i -> a.e[i] * b.e[i])) DESC, b.vec_id) AS r
+        |    FROM wc a JOIN wc b
+        |      ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
+        |  WHERE r <= 5),
+        |eds AS (SELECT src, dst FROM ed
+        |  UNION SELECT dst AS src, src AS dst FROM ed),
+        |reps AS (SELECT cluster, MIN(vec_id) AS rep FROM wc GROUP BY cluster),
+        |qq AS (SELECT wc.vec_id AS qid, wc.e AS qv, r.rep
+        |  FROM wc JOIN reps r USING (cluster) WHERE wc.vec_id < 8),
+        |f0 AS (SELECT qid, rep AS node FROM qq),
+        |x1 AS (SELECT DISTINCT qid, node FROM (
+        |    SELECT qid, node FROM f0
+        |    UNION ALL
+        |    SELECT f0.qid, eds.dst AS node FROM f0 JOIN eds ON f0.node = eds.src)),
+        |f1 AS (SELECT qid, node FROM (
+        |    SELECT c.qid, c.node,
+        |      row_number() OVER (PARTITION BY c.qid ORDER BY
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> qq.qv[i] * w.e[i])) DESC, c.node) AS r
+        |    FROM x1 c JOIN qq ON qq.qid = c.qid JOIN wc w ON w.vec_id = c.node)
+        |  WHERE r <= 8),
+        |x2 AS (SELECT DISTINCT qid, node FROM (
+        |    SELECT qid, node FROM f1
+        |    UNION ALL
+        |    SELECT f1.qid, eds.dst AS node FROM f1 JOIN eds ON f1.node = eds.src)),
+        |f2 AS (SELECT qid, node FROM (
+        |    SELECT c.qid, c.node,
+        |      row_number() OVER (PARTITION BY c.qid ORDER BY
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> qq.qv[i] * w.e[i])) DESC, c.node) AS r
+        |    FROM x2 c JOIN qq ON qq.qid = c.qid JOIN wc w ON w.vec_id = c.node)
+        |  WHERE r <= 8),
+        |x3 AS (SELECT DISTINCT qid, node FROM (
+        |    SELECT qid, node FROM f2
+        |    UNION ALL
+        |    SELECT f2.qid, eds.dst AS node FROM f2 JOIN eds ON f2.node = eds.src)),
+        |f3 AS (SELECT qid, node FROM (
+        |    SELECT c.qid, c.node,
+        |      row_number() OVER (PARTITION BY c.qid ORDER BY
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> qq.qv[i] * w.e[i])) DESC, c.node) AS r
+        |    FROM x3 c JOIN qq ON qq.qid = c.qid JOIN wc w ON w.vec_id = c.node)
+        |  WHERE r <= 8)
+        |SELECT qid AS query_id, node AS neighbor_id, CAST(r AS BIGINT) AS rank
+        |FROM (
+        |  SELECT c.qid, c.node,
+        |    row_number() OVER (PARTITION BY c.qid ORDER BY
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> qq.qv[i] * w.e[i])) DESC, c.node) AS r
+        |  FROM f3 c JOIN qq ON qq.qid = c.qid JOIN wc w ON w.vec_id = c.node
+        |  WHERE c.node <> c.qid)
+        |WHERE r <= 3""".stripMargin,
     "ann_hard_negatives" ->
       """SELECT anchor_id, neighbor_id, rank FROM (
         |  SELECT q.vec_id AS anchor_id, c.vec_id AS neighbor_id,

@@ -35,7 +35,22 @@ object Clustering {
       vecCol: String,
       k: Int,
       iters: Int = 1,
-      scale: Int = 1024): DataFrame = {
+      scale: Int = 1024): DataFrame =
+    kmeansFit(df, idCol, vecCol, k, iters, scale)._2
+
+  /** [[kmeansAssign]] plus the fitted centroids themselves — the entry
+    * point when the caller must RANK cells against a query (multi-probe
+    * IVF, navigable-graph entry selection) rather than only assign
+    * corpus rows. Centroids are the quantized integer vectors (k·d
+    * longs, driver-side by construction — Lloyd's update already
+    * collects the k·d partial sums). */
+  def kmeansFit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 1,
+      scale: Int = 1024): (Seq[(Long, Array[Long])], DataFrame) = {
     require(k >= 1 && iters >= 0, s"bad k=$k / iters=$iters")
     // power-of-two scaling is exact for binary floats: no cross-engine
     // rounding surface in the quantization itself
@@ -90,7 +105,7 @@ object Clustering {
       }
       it += 1
     }
-    assigned(cents).select(col(idCol), col("cid").as("cluster"))
+    (cents, assigned(cents).select(col(idCol), col("cid").as("cluster")))
   }
 
   /** Label-noise detection by centroid affinity: for every labeled vector,

@@ -21,11 +21,13 @@ class EntrySpec extends AnyFunSuite {
     // the legacy/tpch curves must stay frozen (sanctioned baselines)
     assert(Bench.headline.size === 20)
     assert(Bench.tpchHeadline.size === 10)
-    // drain-split streaming rows: every streamParts key is a real query
-    // (queries compose setup+drain for Verify) and is named stream_* so
-    // the bench's stream tolerance band applies to exactly these rows
-    assert(SparkEntry.streamParts.keySet.subsetOf(SparkEntry.queries.keySet))
+    // setup/op-split rows: every timedParts key is a real query
+    // (queries compose setup+op for Verify); streamParts keys are
+    // named stream_* so the bench's stream tolerance band applies to
+    // exactly those rows
+    assert(SparkEntry.timedParts.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.streamParts.keySet.forall(_.startsWith("stream_")))
+    assert(SparkEntry.streamParts.keySet.subsetOf(SparkEntry.timedParts.keySet))
     // ambient canaries: legacy members with sanctioned medians, so the
     // per-group drift ratio always has its 1.0x reference
     assert(Bench.canaryQueries.forall(Bench.headline.contains))
@@ -343,5 +345,76 @@ class EntrySpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
       .count()
     assert(pit.map(_._2).sum <= nPurch)
+  }
+
+  test("round-12 wave: structural invariants on sf0.001") {
+    val s = TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+
+    // multiprobe sweep: per query, recall and candidate volume are
+    // MONOTONE in nprobe, and nprobe = 4 of 4 cells IS the exhaustive
+    // scan — recall must be exactly 1
+    val mp = SparkEntry.queries("ann_multiprobe")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val qids = mp.keySet.map(_._2)
+    assert(qids.size === 8 && mp.size === 24)
+    qids.foreach { q =>
+      val byP = Seq(1L, 2L, 4L).map(p => mp((p, q)))
+      assert(byP.map(_._1) === byP.map(_._1).sorted) // n_cand grows
+      assert(byP.map(_._2) === byP.map(_._2).sorted) // recall grows
+      assert(byP.last._2 === 5L) // exhaustive probe: all 5 truth hits
+    }
+
+    // beam search: <=3 contiguous ranks per query, never self, every
+    // result inside the query's own cell (edges are intra-cell and the
+    // entry is the cell rep), and the walk must find real neighbors —
+    // each query's rank-1 equals the cell-restricted brute-force top-1
+    val beam = SparkEntry.queries("ann_beam")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(beam.nonEmpty)
+    beam.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+      assert(rows.forall(_._2 != q))
+    }
+    val e = SparkEntry.t(s, dir, "embeddings")
+    val cells = graft.operators.Clustering
+      .kmeansAssign(e, "vec_id", "embedding", k = 4, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(beam.forall { case (q, n, _) => cells(n) === cells(q) })
+    import org.apache.spark.sql.functions._
+    val qz = e.select(col("vec_id"),
+        transform(col("embedding"), x =>
+          floor(x.cast("double") * 1024).cast("long")).as("z"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def dotq(a: Long, b: Long): Long =
+      qz(a).zip(qz(b)).map { case (x, y) => x * y }.sum
+    // beam search is approximate BY DESIGN (beam 8, 3 layers): measure
+    // its recall against the cell-restricted brute truth and pin the
+    // deterministic sf0.001 floor — most rank-1s must be exact and most
+    // emitted neighbors must sit in the true top-3
+    val perQuery = beam.groupBy(_._1).toSeq.map { case (q, rows) =>
+      val ranked = cells.keys.filter(v => v != q && cells(v) == cells(q))
+        .toSeq.sortBy(v => (-dotq(q, v), v))
+      val rank1Exact = ranked.headOption.contains(rows.find(_._3 == 1L).get._2)
+      val top3 = ranked.take(3).toSet
+      (rank1Exact, rows.count(r => top3.contains(r._2)), rows.length)
+    }
+    val rank1Hits = perQuery.count(_._1)
+    val top3Overlap = perQuery.map(_._2).sum
+    val top3Total = perQuery.map(_._3).sum
+    info(s"beam: rank1 exact $rank1Hits/8, top3 overlap $top3Overlap/$top3Total")
+    assert(rank1Hits >= 6, s"beam rank-1 recall collapsed: $rank1Hits/8")
+    assert(top3Overlap * 2 >= top3Total,
+      s"beam top-3 overlap collapsed: $top3Overlap/$top3Total")
+
+    // incremental CC delta: never empty at this scale, components are
+    // min-ids (component <= doc_id), and re-running the full recompute
+    // over history+delta is exercised in OperatorsSpec
+    val ccd = SparkEntry.queries("dedup_cc_incremental")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ccd.nonEmpty)
+    assert(ccd.forall { case (d, c) => c <= d })
+    assert(ccd.map(_._1).distinct.length === ccd.length)
   }
 }
