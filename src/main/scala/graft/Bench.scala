@@ -213,8 +213,9 @@ object Bench {
     "ice_sort_rewrite" -> 1.003, "sql_branch_ident" -> 0.656,
     // meta
     "stats_ndv" -> 2.011, "meta_readable_metrics" -> 0.658,
-    "meta_compaction_plan" -> 1.960, "stream_dedup" -> 3.156,
-    "stream_quality_gate" -> 1.493, "q_events_range" -> 0.662,
+    // stream rows re-baselined r12: DRAIN-only metric (setup split out)
+    "meta_compaction_plan" -> 1.960, "stream_dedup" -> 4.026,
+    "stream_quality_gate" -> 1.751, "q_events_range" -> 0.662,
     "q_events_overlap" -> 0.968, "q_events_funnel" -> 0.518,
     "q_skew_join" -> 0.419, "search_hybrid" -> 1.966,
     "ann_recall" -> 0.653, "ann_hard_negatives" -> 0.319,
@@ -258,7 +259,7 @@ object Bench {
     // r10
     "text_boilerplate" -> 2.077, "text_novelty" -> 0.627,
     "embed_matryoshka" -> 0.305, "embed_outliers" -> 0.568,
-    "ann_range" -> 0.310, "stream_decontaminate" -> 1.392,
+    "ann_range" -> 0.310, "stream_decontaminate" -> 1.146,
     "ice_rewrite_deletes" -> 2.761, "mix_token_budget" -> 0.335,
     "q_events_retention" -> 0.428, "ann_matryoshka" -> 0.575,
     "embed_binary_search" -> 0.346, "text_diversity" -> 0.232,
@@ -275,7 +276,9 @@ object Bench {
     "q2_min_cost_supplier" -> 0.683, "q11_important_parts" -> 0.630,
     "q16_supplier_count" -> 0.477, "q20_promotion_parts" -> 0.717,
     "sql_mor_delete" -> 0.779, "sql_merge_update" -> 1.086,
-    "ice_upsert" -> 0.729, "stream_sink_append" -> 0.542,
+    // ice_upsert re-baselined r12: the 0.729 never reproduced (r11 quiet
+    // solo 1.66-1.83, four r12 windows 1.04-1.18 with untouched code)
+    "ice_upsert" -> 1.062, "stream_sink_append" -> 0.542,
     "ice_zorder" -> 0.872, "ice_changelog" -> 0.694,
     "sql_mor_delete_jumbo" -> 0.568,
     // r11 (3 quiet forked runs, medians; ann_index_update times the
@@ -291,12 +294,12 @@ object Bench {
     "text_cdc_chunks" -> 0.820,
     // r11b (solo group — the streaming maintenance cycle commits many
     // micro-batch appends; spread 10.4-16.7 across quiet runs)
-    "stream_ann_index" -> 13.594,
+    "stream_ann_index" -> 9.145,
     // r11c (3 quiet forked runs, medians; the knn-graph build includes
     // its adaptive-k kmeans assignment — k=8 at sf0.1 — by design;
     // stream_markov times table setup + two streamed micro-batches)
     "embed_knn_graph" -> 5.047, "q_events_markov" -> 0.592,
-    "stream_markov" -> 3.083, "dedup_cdc_cut" -> 0.387,
+    "stream_markov" -> 3.546, "dedup_cdc_cut" -> 0.491,
     "pipeline_domains" -> 0.936, "ann_filtered" -> 0.413,
     "dedup_cdc_incremental" -> 0.953,
     // r11d (3 quiet forked runs, medians)
@@ -309,7 +312,7 @@ object Bench {
     "stats_quantiles" -> 0.760, "profile_skew" -> 0.236,
     // r11f (3 quiet forked runs, medians; stream_hll times a full
     // 2-snapshot table build + 2 streamed micro-batches by design)
-    "stream_hll" -> 3.950, "graph_components" -> 2.107,
+    "stream_hll" -> 5.420, "graph_components" -> 2.107,
     "graph_reciprocity" -> 0.293,
     // r11g (3 forked runs, medians — measured in the round-close window
     // the adjudication trail documents as ~1.3x slow; conservative)
@@ -319,7 +322,7 @@ object Bench {
     "stats_join_size" -> 2.893, "stats_bloom_join" -> 1.046,
     // r11i (3 forked runs, medians, same window; stream_cm times a
     // 2-snapshot table build + 2 streamed micro-batches by design)
-    "stream_cm" -> 5.894, "stats_gap_quantiles" -> 0.880,
+    "stream_cm" -> 4.197, "stats_gap_quantiles" -> 0.880,
     // r11j (3 forked runs, medians, same window; both closures build
     // their tables — prune census itself is manifest-metadata-only)
     "meta_prune_stats" -> 2.220, "corpus_diff" -> 2.215,
@@ -347,8 +350,12 @@ object Bench {
   val canaryQueries: Seq[String] =
     Seq("q1_pricing_summary", "q12_shipmode", "dedup_simhash")
 
-  /** sanctioned total of the three canaries — the 1.0x reference */
-  def canarySanctioned: Double = canaryQueries.map(sanctioned).sum
+  /** The canary total's own 1.0x reference: a MINTED median of quiet-
+    * window canary readings (round-12 trail in BASELINE.md), NOT the
+    * sum of the three queries' sanctioned medians (1.212) — canaries
+    * are single timed runs after one warm pass, which read ~4% above
+    * a median-of-5 even on an idle box. */
+  def canarySanctioned: Double = 1.26
 
   /** Fixed write probe, emitted per group JVM as `__io_probe`: one
     * 8-file parquet write of a constant 3M-row frame plus one graft
