@@ -180,9 +180,10 @@ object Bench {
     "r11l" -> Seq(
       "q_scd2_asof"),
     // round-12 wave: incremental CC label maintenance, the IVF nprobe
-    // sweep, beam search over the knn graph
+    // sweep, beam search over the knn graph, incremental rank upkeep
     "r12" -> Seq(
-      "dedup_cc_incremental", "ann_multiprobe", "ann_beam"),
+      "dedup_cc_incremental", "ann_multiprobe", "ann_beam",
+      "graph_rank_incremental"),
   )
 
   /** Sanctioned per-query medians (seconds at sf0.1), mirrored from
@@ -334,7 +335,7 @@ object Bench {
     // dedup_cc_incremental is OP-ONLY: the batch-2 pair-gen + merge,
     // with batch-1 clustering/table builds as untimed setup)
     "dedup_cc_incremental" -> 3.549, "ann_multiprobe" -> 0.908,
-    "ann_beam" -> 4.378,
+    "ann_beam" -> 4.378, "graph_rank_incremental" -> 1.760,
   )
 
   /** Ambient-drift canary: three cheap, CPU-bound, code-frozen legacy
@@ -830,8 +831,11 @@ object Bench {
         // and member re-labeling prunes to touched cbucket partitions;
         // multiprobe is one corpus-cell join serving all 3 sweep points;
         // the beam walks beam x degree rows per layer after the
-        // cell-local edge build (the knn self-join is the 10x variable)
-        "dedup_cc_incremental", "ann_multiprobe", "ann_beam"))
+        // cell-local edge build (the knn self-join is the 10x variable);
+        // incremental rank touches the corpus once for the batch delta,
+        // then iterates over the saturated edge table only
+        "dedup_cc_incremental", "ann_multiprobe", "ann_beam",
+        "graph_rank_incremental"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

@@ -408,6 +408,15 @@ class EntrySpec extends AnyFunSuite {
     assert(top3Overlap * 2 >= top3Total,
       s"beam top-3 overlap collapsed: $top3Overlap/$top3Total")
 
+    // incremental rank maintenance must be INDISTINGUISHABLE from the
+    // full recompute: row-for-row equality with graph_domain_rank
+    val incRank = SparkEntry.queries("graph_rank_incremental")(s, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fullRank = SparkEntry.queries("graph_domain_rank")(s, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incRank === fullRank)
+    assert(incRank.nonEmpty)
+
     // incremental CC delta: never empty at this scale, components are
     // min-ids (component <= doc_id), and re-running the full recompute
     // over history+delta is exercised in OperatorsSpec
