@@ -458,9 +458,10 @@ object SparkEntry {
     }),
   )
 
-  /** union of every setup/op-split bench row — what Bench.median times
-    * op-only; stream rows additionally carry the 1.5x flag band */
-  private[graft] def timedParts
+  /** union of every setup/op-split bench row — what Bench.median and
+    * TimeQ (default package, hence public) time op-only; stream rows
+    * additionally carry the 1.5x flag band */
+  def timedParts
       : Map[String, (SparkSession, String) => () => DataFrame] =
     streamParts ++ opParts
 
