@@ -184,6 +184,12 @@ object Bench {
     "r12" -> Seq(
       "dedup_cc_incremental", "ann_multiprobe", "ann_beam",
       "graph_rank_incremental"),
+    // second r12 wave: sketch state AS TABLES — registers/cells/
+    // histogram persisted, batches merge in O(batch), reads off the
+    // bounded merged state (all three op-only timed)
+    "r12b" -> Seq(
+      "stats_hll_incremental", "stats_cm_incremental",
+      "stats_quantiles_incremental"),
   )
 
   /** Sanctioned per-query medians (seconds at sf0.1), mirrored from
@@ -336,6 +342,10 @@ object Bench {
     // with batch-1 clustering/table builds as untimed setup)
     "dedup_cc_incremental" -> 3.549, "ann_multiprobe" -> 0.908,
     "ann_beam" -> 4.378, "graph_rank_incremental" -> 1.760,
+    // r12b (3 forked runs, medians — loaded windows, canary 1.4-2.7x;
+    // conservative like the r11g/r11h mints)
+    "stats_hll_incremental" -> 2.662, "stats_cm_incremental" -> 2.964,
+    "stats_quantiles_incremental" -> 1.899,
   )
 
   /** Ambient-drift canary: three cheap, CPU-bound, code-frozen legacy
@@ -835,7 +845,13 @@ object Bench {
         // incremental rank touches the corpus once for the batch delta,
         // then iterates over the saturated edge table only
         "dedup_cc_incremental", "ann_multiprobe", "ann_beam",
-        "graph_rank_incremental"))
+        "graph_rank_incremental",
+        // r12b: all three ops touch the corpus O(batch) (registers/
+        // cells/histogram of the new batch) and merge into BOUNDED
+        // state tables; the quantile read adds the targeted O(slice)
+        // re-read — none may scale with history
+        "stats_hll_incremental", "stats_cm_incremental",
+        "stats_quantiles_incremental"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }

@@ -456,6 +456,98 @@ object SparkEntry {
             col("rank_scaled"))
       }
     }),
+    "stats_hll_incremental" -> ((s, dir) => {
+      // setup = batch-1 (even docs) per-source HLL registers persisted
+      // as the SKETCH-STATE table (<=256 rows per source). op = what a
+      // new crawl pays: its own register aggregate (O(batch)), a
+      // max-merge upsert (only registers the batch RAISES rewrite —
+      // max-merge means most rows go untouched as the sketch
+      // saturates), estimates off the merged state. Cross-crawl NDV
+      // tracking where history text is never re-shingled.
+      val d = t(s, dir, "documents")
+      def regsOf(docs: DataFrame): DataFrame = {
+        val (bucket, rank) = Sketches.hllParts(col("sh"), pHex = 2)
+        shinglesOf(docs, keep = Seq("source"))
+          .select(col("source"), bucket.as("bucket"), rank.as("rank"))
+          .groupBy("source", "bucket").agg(max(col("rank")).as("mr"))
+      }
+      val r1 = regsOf(d.filter(pmod(col("doc_id"), lit(2)) === 0))
+      val rtbl = freshTable(s, "hll_regs", r1)
+      rtbl.append(s, r1)
+      () => {
+        val rb = regsOf(d.filter(pmod(col("doc_id"), lit(2)) === 1))
+        val snap = rtbl.metadata.currentSnapshotId.get
+        val old = rtbl.scan(s, snapshotId = Some(snap))
+        val raised = rb
+          .join(old.select(col("source"), col("bucket"),
+            col("mr").as("omr")), Seq("source", "bucket"))
+          .filter(col("mr") > col("omr"))
+          .select(col("source"), col("bucket"), col("mr"))
+        val fresh = rb.join(old.select("source", "bucket"),
+          Seq("source", "bucket"), "left_anti")
+        rtbl.equalityDelete(s, raised.select("source", "bucket"),
+          Seq("source", "bucket"))
+        rtbl.append(s, raised.unionByName(fresh))
+        Sketches.hllEstimateBy(rtbl.scan(s), "source", pHex = 2)
+      }
+    }),
+    "stats_cm_incremental" -> ((s, dir) => {
+      // setup = batch-1 count-min cells persisted as the state table
+      // (<=2,048 rows at ANY corpus size). op = the batch's own sketch
+      // (O(batch)) sum-merged in (counts add — the same mergeability
+      // stream_cm proves under micro-batching, here as a durable
+      // TABLE); the merged sketch is returned whole.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      def cellsOf(docs: DataFrame): DataFrame =
+        Sketches.countMin(shinglesOf(docs), col("sh"), depth = 4, width = 512)
+      val c1 = cellsOf(d.filter(pmod(col("doc_id"), lit(2)) === 0))
+      val ctbl = freshTable(s, "cm_cells", c1)
+      ctbl.append(s, c1)
+      () => {
+        val cb = cellsOf(d.filter(pmod(col("doc_id"), lit(2)) === 1))
+        val snap = ctbl.metadata.currentSnapshotId.get
+        val old = ctbl.scan(s, snapshotId = Some(snap))
+        val bumped = cb
+          .join(old.select(col("salt"), col("cell"), col("c").as("oc")),
+            Seq("salt", "cell"))
+          .select(col("salt"), col("cell"), (col("c") + col("oc")).as("c"))
+        val fresh = cb.join(old.select("salt", "cell"),
+          Seq("salt", "cell"), "left_anti")
+        ctbl.equalityDelete(s, bumped.select("salt", "cell"),
+          Seq("salt", "cell"))
+        ctbl.append(s, bumped.unionByName(fresh))
+        ctbl.scan(s).select(col("salt"), col("cell"), col("c"))
+      }
+    }),
+    "stats_quantiles_incremental" -> ((s, dir) => {
+      // setup = batch-1 doc-length bucket histogram persisted as the
+      // state table. op = the batch's own histogram (O(batch))
+      // sum-merged in, then the permille read: cumulative windows over
+      // the BOUNDED merged histogram + the targeted re-read of only the
+      // rank-carrying buckets (pushable value-range filters) — the
+      // corpus-wide histogram pass of exactPermilles becomes O(batch)
+      // maintenance, and reads pay O(slice), at any history size.
+      val d = t(s, dir, "documents")
+      val h1 = Sketches.valueHistogram(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), "n_chars", 64L)
+      val htbl = freshTable(s, "len_hist", h1)
+      htbl.append(s, h1)
+      () => {
+        val hb = Sketches.valueHistogram(
+          d.filter(pmod(col("doc_id"), lit(2)) === 1), "n_chars", 64L)
+        val snap = htbl.metadata.currentSnapshotId.get
+        val old = htbl.scan(s, snapshotId = Some(snap))
+        val bumped = hb
+          .join(old.select(col("b"), col("bc").as("obc")), Seq("b"))
+          .select(col("b"), (col("bc") + col("obc")).as("bc"))
+        val fresh = hb.join(old.select("b"), Seq("b"), "left_anti")
+        htbl.equalityDelete(s, bumped.select("b"), Seq("b"))
+        htbl.append(s, bumped.unionByName(fresh))
+        Sketches.exactPermillesFromHist(d, "n_chars", "doc_id",
+          htbl.scan(s).select(col("b"), col("bc")),
+          permilles = Seq(500, 900, 990), bucketWidth = 64L)
+      }
+    }),
   )
 
   /** union of every setup/op-split bench row — what Bench.median and
@@ -1711,6 +1803,38 @@ object SparkEntry {
           (col("ndv_even") + col("ndv_odd") - col("ndv_union"))
             .as("overlap_est"),
           col("exact_overlap"))
+    }),
+    "stats_hll_incremental" -> ((s, dir) => {
+      // SKETCH STATE AS A TABLE: per-source HLL registers persist as a
+      // graft table; each crawl batch max-merges its own O(batch)
+      // register aggregate in (only raised registers rewrite) and NDV
+      // estimates read the merged 256-rows-per-source state — history
+      // is never re-shingled, and because registers merge by max the
+      // estimates are BIT-IDENTICAL to the single-pass sketch over the
+      // full corpus (the oracle runs stats_hll_sources' replica
+      // verbatim; EntrySpec asserts row equality between the two
+      // queries). Setup/op split lives in [[opParts]].
+      opParts("stats_hll_incremental")(s, dir)()
+    }),
+    "stats_cm_incremental" -> ((s, dir) => {
+      // count-min state as a table: cells persist (<=2,048 rows at any
+      // volume) and each batch sum-merges its own sketch in — the
+      // mergeability stream_cm proves under micro-batching, here as
+      // durable cross-crawl state. The merged table is bit-identical
+      // to the batch sketch over the full corpus (stream_cm's oracle
+      // verbatim). Setup/op split lives in [[opParts]].
+      opParts("stats_cm_incremental")(s, dir)()
+    }),
+    "stats_quantiles_incremental" -> ((s, dir) => {
+      // exact quantiles with MAINTAINED state: the value-bucket
+      // histogram persists as a graft table, each batch sum-merges its
+      // own O(batch) histogram, and the permille read runs cumulative
+      // windows over the bounded merged table + the targeted re-read
+      // of rank-carrying buckets only — same answers as the full-sort
+      // oracle (stats_quantiles' SQL verbatim), with the corpus-wide
+      // histogram pass amortized to O(batch) per crawl. Setup/op split
+      // lives in [[opParts]].
+      opParts("stats_quantiles_incremental")(s, dir)()
     }),
     "stats_join_size" -> ((s, dir) => {
       // join-size prediction BEFORE the shuffle: the exact cardinality
@@ -8658,6 +8782,20 @@ object SparkEntry {
         |  s.value
         |FROM q CROSS JOIN n
         |JOIN s ON s.rn = (n.n - 1) * q.permille // 1000 + 1""".stripMargin,
+    // maintained-histogram ground truth: IDENTICAL to stats_quantiles —
+    // the merged histogram's permille read must equal the full sort
+    "stats_quantiles_incremental" ->
+      """WITH s AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS value,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |q AS (SELECT unnest([500, 900, 990]) AS permille)
+        |SELECT CAST(q.permille AS BIGINT) AS permille,
+        |  CAST((n.n - 1) * q.permille // 1000 + 1 AS BIGINT) AS rank,
+        |  s.value
+        |FROM q CROSS JOIN n
+        |JOIN s ON s.rn = (n.n - 1) * q.permille // 1000 + 1""".stripMargin,
     "profile_skew" ->
       """WITH c AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS cnt
@@ -8670,6 +8808,48 @@ object SparkEntry {
     // grouped-HLL replica: identical register addressing with a
     // per-source GROUP BY at both aggregate stages
     "stats_hll_sources" ->
+      """WITH ws AS (
+        |  SELECT source, list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    x -> len(x) > 0) AS w
+        |  FROM documents),
+        |toks AS (
+        |  SELECT source,
+        |    unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tok
+        |  FROM ws),
+        |parts AS (
+        |  SELECT source,
+        |    CAST(concat('0x', substr(md5(tok), 1, 2)) AS BIGINT) AS bucket,
+        |    substr(md5(tok), 3, 15) AS tail
+        |  FROM toks),
+        |ranked AS (
+        |  SELECT source, bucket,
+        |    CASE WHEN length(regexp_extract(tail, '^(0*)', 1)) = 15 THEN 61
+        |    ELSE length(regexp_extract(tail, '^(0*)', 1)) * 4 +
+        |      CASE substr(tail,
+        |          length(regexp_extract(tail, '^(0*)', 1)) + 1, 1)
+        |        WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |        WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+        |        WHEN '7' THEN 1 ELSE 0 END + 1 END AS rank
+        |  FROM parts),
+        |regs AS (SELECT source, bucket, max(rank) AS mr
+        |  FROM ranked GROUP BY source, bucket),
+        |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_regs,
+        |    sum(CAST(1::BIGINT << (61 - mr) AS HUGEINT)) AS s_present
+        |  FROM regs GROUP BY source)
+        |SELECT source, CAST(256 AS BIGINT) AS m, n_regs,
+        |  CAST(CASE WHEN n_regs = 0 THEN 0 ELSE
+        |    (7213::HUGEINT * 256 * 256 * 256 *
+        |      CAST(1::BIGINT << 61 AS HUGEINT)) //
+        |    ((10000::HUGEINT * 256 + 10790) *
+        |      (s_present + CAST(1::BIGINT << 61 AS HUGEINT)
+        |        * (256 - n_regs))) END AS BIGINT) AS hll_ndv
+        |FROM agg""".stripMargin,
+    // merged-register ground truth: IDENTICAL to stats_hll_sources —
+    // max-merged persisted registers must be indistinguishable from the
+    // single-pass sketch over the full corpus
+    "stats_hll_incremental" ->
       """WITH ws AS (
         |  SELECT source, list_filter(
         |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -8938,6 +9118,25 @@ object SparkEntry {
     // final streaming state equals the batch sketch — the ENTIRE
     // 2,048-cell table is compared
     "stream_cm" ->
+      """WITH ws AS (
+        |  SELECT list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    x -> len(x) > 0) AS w
+        |  FROM documents),
+        |toks AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM ws),
+        |salts AS (SELECT unnest([0, 1, 2, 3]) AS salt)
+        |SELECT CAST(salt AS BIGINT) AS salt,
+        |  CAST(concat('0x',
+        |    substr(md5(salt::VARCHAR || '|' || sh), 1, 15))
+        |    AS BIGINT) % 512 AS cell,
+        |  CAST(count(*) AS BIGINT) AS c
+        |FROM toks CROSS JOIN salts GROUP BY 1, 2""".stripMargin,
+    // merged-cell ground truth: IDENTICAL to stream_cm's full-corpus
+    // sketch — sum-merged persisted cells must match it bit-for-bit
+    "stats_cm_incremental" ->
       """WITH ws AS (
         |  SELECT list_filter(
         |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),

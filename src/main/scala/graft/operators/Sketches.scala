@@ -207,17 +207,41 @@ object Sketches {
     */
   def exactPermilles(df: DataFrame, valueCol: String, tieCol: String,
       permilles: Seq[Int], bucketWidth: Long = 64L,
-      maxBuckets: Long = 1L << 18): DataFrame = {
+      maxBuckets: Long = 1L << 18): DataFrame =
+    exactPermillesFromHist(df, valueCol, tieCol,
+      valueHistogram(df, valueCol, bucketWidth),
+      permilles, bucketWidth, maxBuckets)
+
+  /** The (b, bc) value-bucket histogram [[exactPermillesFromHist]]
+    * consumes — exposed so the histogram can be MAINTAINED as persisted
+    * state (a graft table merged by addition per batch) instead of
+    * recomputed corpus-wide per quantile read. */
+  def valueHistogram(df: DataFrame, valueCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1)
+    df.select(col(valueCol).cast(LongType).as("value"))
+      .groupBy(expr(s"value div $bucketWidth").as("b"))
+      .agg(count(lit(1)).as("bc"))
+  }
+
+  /** The permille read over a PRECOMPUTED histogram (same contract as
+    * [[exactPermilles]], which passes a freshly aggregated one): `hist`
+    * must be the (b, bc) table of `df`'s `valueCol` at `bucketWidth` —
+    * e.g. an incrementally maintained histogram table whose counts were
+    * merged by addition across batches. Only the targeted re-read
+    * touches `df`, with pushable raw-value range filters. */
+  def exactPermillesFromHist(df: DataFrame, valueCol: String,
+      tieCol: String, hist0: DataFrame, permilles: Seq[Int],
+      bucketWidth: Long = 64L, maxBuckets: Long = 1L << 18): DataFrame = {
     require(permilles.nonEmpty && permilles.forall(q => q >= 0 && q <= 1000))
     require(bucketWidth >= 1 && maxBuckets >= 1)
     val base = df.select(
       col(valueCol).cast(LongType).as("value"),
       col(tieCol).as("tie"))
-    // the only corpus-wide pass; persisted so the auto-widening probe,
-    // the cumulative windows and any coarsening all reuse it
-    val histRaw = base
-      .groupBy(expr(s"value div $bucketWidth").as("b"))
-      .agg(count(lit(1)).as("bc"))
+    // persisted so the auto-widening probe, the cumulative windows and
+    // any coarsening all reuse one materialization
+    val histRaw = hist0
+      .select(col("b").cast(LongType).as("b"), col("bc").cast(LongType).as("bc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var effWidth = bucketWidth
     var hist = histRaw

@@ -425,5 +425,13 @@ class EntrySpec extends AnyFunSuite {
     assert(ccd.nonEmpty)
     assert(ccd.forall { case (d, c) => c <= d })
     assert(ccd.map(_._1).distinct.length === ccd.length)
+
+    // sketch state as tables: every merged-state query must be
+    // indistinguishable from its single-pass twin, row for row
+    def rowSet(name: String) = SparkEntry.queries(name)(s, dir)
+      .collect().map(_.toSeq.toList).toSet
+    assert(rowSet("stats_hll_incremental") === rowSet("stats_hll_sources"))
+    assert(rowSet("stats_cm_incremental") === rowSet("stream_cm"))
+    assert(rowSet("stats_quantiles_incremental") === rowSet("stats_quantiles"))
   }
 }
