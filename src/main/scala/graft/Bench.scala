@@ -1049,7 +1049,15 @@ object Bench {
 
     val byGroup = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[(String, Double)])]
     val reruns = scala.collection.mutable.ArrayBuffer.empty[String]
-    withSf1.foreach { g =>
+    // inter-group cooldown: 26 back-to-back 32-thread group JVMs deplete
+    // a cgroup CPU quota and the tail groups read ~1.3-2.2x canary drift
+    // that interactive SPACED runs of the same groups don't show
+    // (round-12 measurement trail); a short refill pause between groups
+    // trades ~7 min of wall for a quieter curve
+    val cooldownSecs =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_SECS", "15").toInt
+    withSf1.zipWithIndex.foreach { case (g, gi) =>
+      if (gi > 0 && cooldownSecs > 0) Thread.sleep(cooldownSecs * 1000L)
       var rows =
         if (noFork) runGroup(inProc, g)
         else forkGroup(g).getOrElse(runGroup(inProc, g))
