@@ -5,6 +5,7 @@ import org.scalacheck.Prop.forAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.TransformUtil
+import graft.operators.Dedup
 import graft.tables._
 
 /** Property-based invariants (SURVEY §5): the transform kernels and the
@@ -407,6 +408,47 @@ class PropertySpec extends AnyFunSuite {
         q.toLong -> ((r.toLong, sorted(r - 1)))
       }.toMap
       got == expect
+    })
+  }
+
+  test("incremental CC merge equals the full recompute for any random two-batch pair split") {
+    // the min-label super-node argument, checked mechanically: for ANY
+    // edge set split into history/batch, contracting the batch's edges
+    // through history's labels and merging must reproduce the full CC
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(2, 40)                  // node universe
+      m1 <- Gen.choose(0, 30)
+      m2 <- Gen.choose(1, 30)
+      p1 <- Gen.listOfN(m1, Gen.zip(Gen.choose(0L, n.toLong), Gen.choose(0L, n.toLong)))
+      p2 <- Gen.listOfN(m2, Gen.zip(Gen.choose(0L, n.toLong), Gen.choose(0L, n.toLong)))
+    } yield (p1.filter(e => e._1 != e._2), p2.filter(e => e._1 != e._2))
+    check15(Prop.forAllNoShrink(gen) { case (hist, batch) =>
+      if (hist.isEmpty && batch.isEmpty) true
+      else {
+        val labels1 = Dedup.connectedComponents(
+          (if (hist.isEmpty) Seq((-1L, -2L)) else hist).toDF("a", "b"), "a", "b")
+          .filter(org.apache.spark.sql.functions.col("doc_id") >= 0)
+        val l1 = labels1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // contract the batch through history's labels (the query does
+        // this via the component-carrying index; here driver-side)
+        val superPairs = batch.map { case (a, b) =>
+          (l1.getOrElse(a, a), l1.getOrElse(b, b))
+        }
+        val delta =
+          if (superPairs.isEmpty) Map.empty[Long, Long]
+          else Dedup.mergeComponentLabels(
+              labels1, superPairs.toDF("sa", "sb"), "sa", "sb")
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val merged = l1 ++ delta
+        val all = hist ++ batch
+        val full =
+          if (all.isEmpty) Map.empty[Long, Long]
+          else Dedup.connectedComponents(all.toDF("a", "b"), "a", "b")
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        merged == full
+      }
     })
   }
 
