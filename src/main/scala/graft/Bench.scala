@@ -341,7 +341,9 @@ object Bench {
     // dedup_cc_incremental is OP-ONLY: the batch-2 pair-gen + merge,
     // with batch-1 clustering/table builds as untimed setup)
     "dedup_cc_incremental" -> 3.549, "ann_multiprobe" -> 0.908,
-    "ann_beam" -> 4.378, "graph_rank_incremental" -> 1.760,
+    // ann_beam re-baselined to WALK-only in-round (the graph build moved
+    // to untimed setup — the HNSW model; embed_knn_graph prices builds)
+    "ann_beam" -> 3.812, "graph_rank_incremental" -> 1.760,
     // r12b (3 forked runs, medians — loaded windows, canary 1.4-2.7x;
     // conservative like the r11g/r11h mints)
     "stats_hll_incremental" -> 2.662, "stats_cm_incremental" -> 2.964,

@@ -456,6 +456,81 @@ object SparkEntry {
             col("rank_scaled"))
       }
     }),
+    "ann_beam" -> ((s, dir) => {
+      // setup = the one-time navigable-graph BUILD: deterministic
+      // k-means cells + the SYMMETRIZED cell-local top-5 edge set
+      // (embed_knn_graph's certified shape — its bench row prices this
+      // build; at sf10 the build dominates any walk). op = the search:
+      // IVF-routed entry + three beam-of-8 layers + final top-3 — the
+      // per-query cost a deployed graph index actually pays.
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val k = math.max(4, (e.count() / 250).toInt)
+      val (_, asg) = Clustering.kmeansFit(e, "vec_id", "embedding",
+        k = k, iters = 1)
+      val withCell = e.select(col("vec_id"),
+          transform(col("embedding"), x =>
+            floor(x.cast(DoubleType) * 1024).cast(LongType)).as("nv"))
+        .join(asg, "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dot = aggregate(zip_with(col("qv"), col("nv"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+      // SYMMETRIZED top-5 edges: HNSW/NSW links are bidirectional — a
+      // hub every node points AT becomes a waypoint OUT of every node,
+      // which is what makes greedy descent navigable. Measured at
+      // sf0.001: directed-only walks hit 5/8 exact rank-1 and 62%
+      // top-3 overlap; symmetric 6/8 and 79% (EntrySpec pins the
+      // floors) — approximate BY DESIGN, the recall/candidate-volume
+      // trade the beam exists to make
+      val knn = withCell
+        .select(col("cluster"), col("vec_id").as("src"), col("nv").as("qv"))
+        .join(withCell.select(col("cluster"), col("vec_id").as("dst"),
+          col("nv")), Seq("cluster"))
+        .filter(col("src") =!= col("dst"))
+        .withColumn("dot_q", dot)
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("dot_q").desc, col("dst"))))
+        .filter(col("r") <= 5)
+        .select(col("src"), col("dst"))
+      val edges = knn
+        .unionByName(knn.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager materialization: persists are lazy, and without these the
+      // first WALK would pay the whole graph build inside the timed op
+      withCell.count()
+      edges.count()
+      val reps = withCell.groupBy("cluster").agg(min(col("vec_id")).as("rep"))
+      val qvecs = withCell.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("nv").as("qv"), col("cluster"))
+      () => {
+        var frontier = qvecs.join(reps, Seq("cluster"))
+          .select(col("qid"), col("rep").as("node"))
+        def rescore(f: org.apache.spark.sql.DataFrame) = f
+          .join(withCell.select(col("vec_id").as("node"), col("nv")), "node")
+          .join(broadcast(qvecs.select(col("qid"), col("qv"))), "qid")
+          .withColumn("dot_q", dot)
+        for (_ <- 1 to 3) {
+          val cand = frontier.unionByName(
+              frontier.join(edges, frontier("node") === edges("src"))
+                .select(col("qid"), col("dst").as("node")))
+            .distinct()
+          frontier = rescore(cand)
+            .withColumn("br", row_number().over(
+              Window.partitionBy(col("qid")).orderBy(col("dot_q").desc, col("node"))))
+            .filter(col("br") <= 8)
+            .select(col("qid"), col("node"))
+        }
+        rescore(frontier)
+          .filter(col("node") =!= col("qid"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("dot_q").desc, col("node")))
+            .cast(LongType))
+          .filter(col("rank") <= 3)
+          .select(col("qid").as("query_id"), col("node").as("neighbor_id"),
+            col("rank"))
+      }
+    }),
     "stats_hll_incremental" -> ((s, dir) => {
       // setup = batch-1 (even docs) per-source HLL registers persisted
       // as the SKETCH-STATE table (<=256 rows per source). op = what a
@@ -3163,69 +3238,11 @@ object SparkEntry {
       // ranking and beam scores are bit-identical in any engine, so
       // the DuckDB replica replays the entire walk. k grows with the
       // corpus (k = max(4, n div 250), cells ~constant); at sf0.01
-      // that is k = 4, matching the oracle's fixed seed set. The
-      // count below is a parquet-metadata action.
-      import org.apache.spark.sql.expressions.Window
-      val e = t(s, dir, "embeddings")
-      val k = math.max(4, (e.count() / 250).toInt)
-      val (_, asg) = Clustering.kmeansFit(e, "vec_id", "embedding",
-        k = k, iters = 1)
-      val withCell = e.select(col("vec_id"),
-          transform(col("embedding"), x =>
-            floor(x.cast(DoubleType) * 1024).cast(LongType)).as("nv"))
-        .join(asg, "vec_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dot = aggregate(zip_with(col("qv"), col("nv"), (x, y) => x * y),
-        lit(0L), (acc, x) => acc + x)
-      // SYMMETRIZED top-5 edges: HNSW/NSW links are bidirectional — a
-      // hub every node points AT becomes a waypoint OUT of every node,
-      // which is what makes greedy descent navigable. Measured at
-      // sf0.001: directed-only walks hit 5/8 exact rank-1 and 62%
-      // top-3 overlap; symmetric 6/8 and 79% (EntrySpec pins the
-      // floors) — approximate BY DESIGN, the recall/candidate-volume
-      // trade the beam exists to make
-      val knn = withCell
-        .select(col("cluster"), col("vec_id").as("src"), col("nv").as("qv"))
-        .join(withCell.select(col("cluster"), col("vec_id").as("dst"),
-          col("nv")), Seq("cluster"))
-        .filter(col("src") =!= col("dst"))
-        .withColumn("dot_q", dot)
-        .withColumn("r", row_number().over(
-          Window.partitionBy(col("src")).orderBy(col("dot_q").desc, col("dst"))))
-        .filter(col("r") <= 5)
-        .select(col("src"), col("dst"))
-      val edges = knn
-        .unionByName(knn.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val reps = withCell.groupBy("cluster").agg(min(col("vec_id")).as("rep"))
-      val qvecs = withCell.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("qid"), col("nv").as("qv"), col("cluster"))
-      var frontier = qvecs.join(reps, Seq("cluster"))
-        .select(col("qid"), col("rep").as("node"))
-      def rescore(f: org.apache.spark.sql.DataFrame) = f
-        .join(withCell.select(col("vec_id").as("node"), col("nv")), "node")
-        .join(broadcast(qvecs.select(col("qid"), col("qv"))), "qid")
-        .withColumn("dot_q", dot)
-      for (_ <- 1 to 3) {
-        val cand = frontier.unionByName(
-            frontier.join(edges, frontier("node") === edges("src"))
-              .select(col("qid"), col("dst").as("node")))
-          .distinct()
-        frontier = rescore(cand)
-          .withColumn("br", row_number().over(
-            Window.partitionBy(col("qid")).orderBy(col("dot_q").desc, col("node"))))
-          .filter(col("br") <= 8)
-          .select(col("qid"), col("node"))
-      }
-      rescore(frontier)
-        .filter(col("node") =!= col("qid"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("dot_q").desc, col("node")))
-          .cast(LongType))
-        .filter(col("rank") <= 3)
-        .select(col("qid").as("query_id"), col("node").as("neighbor_id"),
-          col("rank"))
+      // that is k = 4, matching the oracle's fixed seed set. Setup
+      // (the one-time graph BUILD — the HNSW model: build once, search
+      // many; embed_knn_graph's own bench row prices the build) / op
+      // (the walk) split lives in [[opParts]].
+      opParts("ann_beam")(s, dir)()
     }),
     "ann_hard_negatives" -> ((s, dir) => {
       // contrastive hard-negative mining: per anchor, the 3 most-similar
