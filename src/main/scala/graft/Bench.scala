@@ -5,9 +5,13 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main. Runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line for the driver.
   *
-  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 5) after a
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) after a
   * warm-up; the reported number is the MEDIAN, so one GC pause or page
-  * cache miss cannot skew a round's curve. */
+  * cache miss cannot skew a round's curve. (Round 13 dropped the
+  * default 5 -> 3: the round-12 driver run timed out at 60 min with 6
+  * of 26 groups done, and most sanctioned medians were minted from
+  * 3-run windows anyway — two extra runs bought variance the canary
+  * now measures directly.) */
 object Bench {
 
   /** Headline set: covers scan+join+agg, windows, sessionization, the
@@ -190,6 +194,13 @@ object Bench {
     "r12b" -> Seq(
       "stats_hll_incremental", "stats_cm_incremental",
       "stats_quantiles_incremental"),
+    // round-13 wave: the persisted navigable-graph ANN index (op-only:
+    // the walk; the build is untimed setup, as with ann_beam —
+    // embed_knn_graph prices builds), the full CC write-back cycle
+    // (op-only: batch-2 merge + applyComponentDelta + label read), and
+    // DoReMi-style fixed-point mixture reweighting
+    "r13" -> Seq(
+      "ann_beam_index", "dedup_cc_writeback", "mix_doremi"),
   )
 
   /** Sanctioned per-query medians (seconds at sf0.1), mirrored from
@@ -347,7 +358,16 @@ object Bench {
     // r12b (3 forked runs, medians — loaded windows, canary 1.4-2.7x;
     // conservative like the r11g/r11h mints)
     "stats_hll_incremental" -> 2.662, "stats_cm_incremental" -> 2.964,
-    "stats_quantiles_incremental" -> 1.899,
+    // re-minted r13: six-window median (the r12b conservative 1.899
+    // read 0.78-0.89x in three loaded windows — loose; trail in
+    // BASELINE.md round-13 section)
+    "stats_quantiles_incremental" -> 1.70,
+    // r13 (spaced forked runs, medians — trail in BASELINE.md;
+    // ann_beam_index and dedup_cc_writeback are op-only — builds /
+    // batch-1 states untimed)
+    "ann_beam_index" -> 1.42,
+    "dedup_cc_writeback" -> 8.0,
+    "mix_doremi" -> 1.0,
   )
 
   /** Ambient-drift canary: three cheap, CPU-bound, code-frozen legacy
@@ -410,6 +430,37 @@ object Bench {
           catch { case _: Throwable => })
     } catch { case _: Throwable => }
     sec
+  }
+
+  /** Spill-weighted I/O control, emitted per group JVM as
+    * `__spill_probe`: one DISK_ONLY persist (write) + re-read of a
+    * fixed ~250 MB frame, then unpersist. The round-12 adjudication
+    * left three dedup rows weak whose closures spill GBs through
+    * DISK_ONLY persists ([[Dedup.textComponents]]) — the 8-file 3M-row
+    * [[ioProbe]] underweights exactly that large-sequential-spill
+    * contention (its one 7.4s window flagged only the commit-bound
+    * rows), so spill-heavy rows get a matching control with its own
+    * quiet reference in BASELINE.md. */
+  def spillProbe(spark: SparkSession): Double = {
+    import org.apache.spark.storage.StorageLevel
+    def frame(n: Long) = spark.range(0, n)
+      // 4 x 32 hex chars = 128 deterministic bytes per row
+      .selectExpr("id",
+        "concat_ws('', array_repeat(md5(cast(id AS string)), 4)) AS s")
+    // untimed warm pass: block-manager/codegen first-use must not read
+    // as box spill drift
+    try {
+      val w = frame(50000L).persist(StorageLevel.DISK_ONLY)
+      w.count(); w.count(); w.unpersist(blocking = true)
+    } catch { case _: Throwable => }
+    val t0 = System.nanoTime()
+    try {
+      val df = frame(2000000L).persist(StorageLevel.DISK_ONLY)
+      df.count() // materialize = sequential spill write
+      df.count() // re-read from the disk store
+      df.unpersist(blocking = true)
+    } catch { case e: Throwable => System.err.println(s"[bench] spill probe: $e") }
+    (System.nanoTime() - t0) / 1e9
   }
 
   /** Per-row flag tolerance: stream rows drain micro-batch harnesses
@@ -546,17 +597,21 @@ object Bench {
   /** run one group in THIS JVM and return (name, seconds) rows */
   def runGroup(spark: SparkSession, group: String): Seq[(String, Double)] = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // warm up the JVM/codegen/FS paths once so timings reflect steady state
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
     val qs = SparkEntry.queries
 
+    // A failed query/setup/op records NaN, NOT the near-zero elapsed of
+    // the failure path: flags are one-sided (over-band only), so a
+    // regression that BREAKS a query must surface as an `errored` row
+    // in BENCH_OUT.json rather than publish a silently fast number.
     def time(name: String): Double = {
       val t0 = System.nanoTime()
-      try { qs(name)(spark, sfDir).count() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { qs(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name: $e"); Double.NaN }
     }
     // setup/op-split rows (streaming drains, incremental maintenance)
     // time the OPERATION only: setup (table rebuilds, snapshot appends,
@@ -568,20 +623,20 @@ object Bench {
         try SparkEntry.timedParts(name)(spark, sfDir)
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name setup: $e")
-          () => spark.emptyDataFrame
+          return Double.NaN
         }
       val t0 = System.nanoTime()
-      try { thunk().count() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      (System.nanoTime() - t0) / 1e9
+      try { thunk().count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name: $e"); Double.NaN }
     }
     val partNames = SparkEntry.timedParts.keySet
     def median(name: String): Double = {
       val one: () => Double =
         if (partNames.contains(name)) () => timeOpPart(name)
         else () => time(name)
-      val ts = (0 until runs).map(_ => one()).sorted
-      ts(runs / 2)
+      val ts = (0 until runs).map(_ => one())
+      if (ts.exists(_.isNaN)) Double.NaN else ts.sorted.apply(runs / 2)
     }
 
     def timeOp(name: String): Double = {
@@ -589,16 +644,17 @@ object Bench {
         try dmlOps(name)(spark, sfDir)
         catch {
           case e: Throwable =>
-            System.err.println(s"[bench] $name setup: $e"); () => ()
+            System.err.println(s"[bench] $name setup: $e")
+            return Double.NaN
         }
       val t0 = System.nanoTime()
-      try thunk()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      (System.nanoTime() - t0) / 1e9
+      try { thunk(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name: $e"); Double.NaN }
     }
     def medianOp(name: String): Double = {
-      val ts = (0 until runs).map(_ => timeOp(name)).sorted
-      ts(runs / 2)
+      val ts = (0 until runs).map(_ => timeOp(name))
+      if (ts.exists(_.isNaN)) Double.NaN else ts.sorted.apply(runs / 2)
     }
 
     val pipelineByKey = pipelineGroups.toMap
@@ -638,12 +694,13 @@ object Bench {
       // which would poison exactly the signal they exist to provide
       canaryQueries.filter(qs.contains).foreach(time)
       val probe = "__io_probe" -> ioProbe(spark)
+      val spill = "__spill_probe" -> spillProbe(spark)
       val pre = "__canary_pre" ->
         canaryQueries.filter(qs.contains).map(time).sum
       val rows = body()
       val post = "__canary_post" ->
         canaryQueries.filter(qs.contains).map(time).sum
-      Seq(probe, pre) ++ rows ++ Seq(post)
+      Seq(probe, spill, pre) ++ rows ++ Seq(post)
     }
   }
 
@@ -853,7 +910,18 @@ object Bench {
         // state tables; the quantile read adds the targeted O(slice)
         // re-read — none may scale with history
         "stats_hll_incremental", "stats_cm_incremental",
-        "stats_quantiles_incremental"))
+        "stats_quantiles_incremental",
+        // r13: the persisted-graph walk's probes are bounded by batch
+        // geometry (beam x degree x queries x bucketTarget rows), so
+        // the timed closure (build + walk at this entry — the op-split
+        // row isolates the walk) may scale ONLY through its build; the
+        // walk itself must stay ~flat — certified by the TimeQ op-only
+        // sf1/sf10 rows in BENCH_SF1.md. The write-back cycle must
+        // stay O(batch ∪ touched): pair gen rides the band-bucket
+        // index join, the upserts are delta-bounded commits. DoReMi
+        // touches the corpus once; its iterations run over the 20-row
+        // domain table and cannot scale at all.
+        "ann_beam_index", "dedup_cc_writeback", "mix_doremi"))
         .filter(qs.contains).map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(spark, dir).count() }
@@ -936,13 +1004,30 @@ object Bench {
     }
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // one FRESH JVM per group (legacy first): cross-group JVM state
     // (codegen caches, GC history) must not rot the per-round curve.
     // SPARK_GRAFT_BENCH_NOFORK=1 or a failed fork degrades to in-process.
     val noFork = sys.env.get("SPARK_GRAFT_BENCH_NOFORK").contains("1")
     lazy val inProc = openSession()
     val withSf1 = groups ++ (if (sys.env.contains("SPARK_GRAFT_SF1_DIR")) Seq("sf1") else Nil)
+    // SELF-IMPOSED wall budget: the round-12 driver bench was killed at
+    // its ~60-min window with 6 of 26 groups done and NO parseable
+    // stdout line (the compact line prints only after all groups). When
+    // the budget is exceeded the remaining groups are SKIPPED — not
+    // killed mid-group — and both output lines carry `truncated: true`
+    // plus the skipped-group list, so a slow window degrades to an
+    // explicit partial record instead of `parsed: null`.
+    val budgetSecs =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SECS", "2700").toInt
+    val wallStart = System.nanoTime()
+    def elapsedSecs: Double = (System.nanoTime() - wallStart) / 1e9
+    // a polluted window's auto re-run is NOT a second independent
+    // window (round 12 burned 3 re-forks inside one polluted hour), so
+    // re-runs are capped per run and skipped when the group's own
+    // canary already indicts the window
+    val maxReruns =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RERUNS", "2").toInt
 
     // `__`-prefixed rows (canary pre/post, io probe) are controls, not
     // workload: excluded from totals, query maps and flags, surfaced as
@@ -954,9 +1039,11 @@ object Bench {
       * total: ~1.00 = quiet window, >1.5 = polluted window whose flags
       * indict the environment, not the code */
     def canaryDrift(rs: Seq[(String, Double)]): Option[Double] = {
+      // includes a re-run window's `__canary_*_rerun` rows: min-merged
+      // result rows draw from BOTH windows, so the published drift
+      // must describe the mixture, not just window 1
       val vals = rs.collect {
-        case ("__canary_pre", v) => v
-        case ("__canary_post", v) => v
+        case (k, v) if k.startsWith("__canary") && !v.isNaN => v
       }
       if (vals.isEmpty || canarySanctioned <= 0) None
       else Some(vals.sum / vals.size / canarySanctioned)
@@ -967,16 +1054,18 @@ object Bench {
     // completes, so a killed or truncated run still leaves a valid,
     // parseable JSON line on disk with everything measured so far.
     def render(byGroup: Seq[(String, Seq[(String, Double)])],
-        reruns: Seq[String]): String = {
+        reruns: Seq[String], skipped: Seq[String]): String = {
       val results = byGroup.filterNot(_._1 == "sf1").flatMap(_._2)
         .filterNot(r => isControl(r._1))
+      val ok = results.filterNot(_._2.isNaN)
       val sf1Results = byGroup.find(_._1 == "sf1").map(_._2).filter(_.nonEmpty)
       val legacyTotal = byGroup.find(_._1 == "legacy")
-        .map(_._2.filterNot(r => isControl(r._1)).map(_._2).sum).getOrElse(0.0)
+        .map(_._2.filterNot(r => isControl(r._1) || r._2.isNaN).map(_._2).sum)
+        .getOrElse(0.0)
       val groupTotals = byGroup.filterNot(_._1 == "sf1")
         .map { case (g, rs) =>
           "\"" + g + "\":" +
-            f"${rs.filterNot(r => isControl(r._1)).map(_._2).sum}%.3f"
+            f"${rs.filterNot(r => isControl(r._1) || r._2.isNaN).map(_._2).sum}%.3f"
         }
         .mkString("{", ",", "}")
       val canaryJson = byGroup.filterNot(_._1 == "sf1").flatMap { case (g, rs) =>
@@ -985,28 +1074,41 @@ object Bench {
       val ioJson = byGroup.filterNot(_._1 == "sf1").flatMap { case (g, rs) =>
         rs.find(_._1 == "__io_probe").map(p => "\"" + g + "\":" + f"${p._2}%.3f")
       }.mkString("{", ",", "}")
+      val spillJson = byGroup.filterNot(_._1 == "sf1").flatMap { case (g, rs) =>
+        rs.find(_._1 == "__spill_probe").map(p => "\"" + g + "\":" + f"${p._2}%.3f")
+      }.mkString("{", ",", "}")
       val rerunJson = reruns.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val qjson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-        .mkString("{", ",", "}")
-      val total = results.map(_._2).sum
+      val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // errored rows (setup/op threw in every window) publish -1, never
+      // a near-zero elapsed — a broken query must read BROKEN
+      val erroredJson = results.collect { case (k, v) if v.isNaN => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val qjson = results.map { case (k, v) =>
+        "\"" + k + "\":" + (if (v.isNaN) "-1" else f"$v%.3f")
+      }.mkString("{", ",", "}")
+      val total = ok.map(_._2).sum
       val sf1Json = sf1Results.map { rs =>
-        s""","sf1_total":${f"${rs.map(_._2).sum}%.3f"},"sf1_queries":""" +
-          rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+        s""","sf1_total":${f"${rs.filterNot(_._2.isNaN).map(_._2).sum}%.3f"},"sf1_queries":""" +
+          rs.map { case (k, v) =>
+            "\"" + k + "\":" + (if (v.isNaN) "-1" else f"$v%.3f")
+          }.mkString("{", ",", "}")
       }.getOrElse("")
       // self-audit: cur/sanctioned per query, rows beyond their band
       // (1.3x, stream rows 1.5x) flagged — single-run ambient anomalies
       // get adjudicated in-round, not at verdict time; read every flag
       // against its group's canary_drift and io_probe first
-      val flagged = results.collect {
+      val flagged = ok.collect {
         case (k, v) if sanctioned.get(k).exists(s => v > s * flagFactor(k)) =>
           "\"" + k + "\":" + f"${v / sanctioned(k)}%.2f"
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
         s""""legacy_total":${f"$legacyTotal%.3f"},"runs":$runs,"dml_timing":"op_only",""" +
         s""""stream_timing":"drain_only","jvm_per_group":${!noFork},""" +
+        s""""truncated":${skipped.nonEmpty},"skipped_groups":$skippedJson,""" +
         s""""group_totals":$groupTotals,"canary_drift":$canaryJson,""" +
         s""""canary_sanctioned":${f"$canarySanctioned%.3f"},""" +
-        s""""io_probe":$ioJson,"auto_reruns":$rerunJson,""" +
+        s""""io_probe":$ioJson,"spill_probe":$spillJson,""" +
+        s""""auto_reruns":$rerunJson,"errored":$erroredJson,""" +
         s""""flagged_over_band":$flagged,""" +
         s""""queries":$qjson$sf1Json,"sf":"$sfDir"}"""
     }
@@ -1017,22 +1119,24 @@ object Bench {
       * hundred bytes — group totals + the legacy headline queries — and
       * the per-query detail lives only in BENCH_OUT.json. */
     def renderCompact(byGroup: Seq[(String, Seq[(String, Double)])],
-        reruns: Seq[String]): String = {
+        reruns: Seq[String], skipped: Seq[String]): String = {
       val results = byGroup.filterNot(_._1 == "sf1").flatMap(_._2)
         .filterNot(r => isControl(r._1))
-      val total = results.map(_._2).sum
+      val ok = results.filterNot(_._2.isNaN)
+      val total = ok.map(_._2).sum
       val legacyRows = byGroup.find(_._1 == "legacy").map(_._2).getOrElse(Nil)
         .filterNot(r => isControl(r._1))
-      val legacyTotal = legacyRows.map(_._2).sum
+      val legacyTotal = legacyRows.filterNot(_._2.isNaN).map(_._2).sum
       val groupTotals = byGroup.filterNot(_._1 == "sf1")
         .map { case (g, rs) =>
           "\"" + g + "\":" +
-            f"${rs.filterNot(r => isControl(r._1)).map(_._2).sum}%.2f"
+            f"${rs.filterNot(r => isControl(r._1) || r._2.isNaN).map(_._2).sum}%.2f"
         }
         .mkString("{", ",", "}")
-      val qjson = legacyRows.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-        .mkString("{", ",", "}")
-      val nFlagged = results.count { case (k, v) =>
+      val qjson = legacyRows.map { case (k, v) =>
+        "\"" + k + "\":" + (if (v.isNaN) "-1" else f"$v%.3f")
+      }.mkString("{", ",", "}")
+      val nFlagged = ok.count { case (k, v) =>
         sanctioned.get(k).exists(s => v > s * flagFactor(k))
       }
       val drifts = byGroup.filterNot(_._1 == "sf1").flatMap(g => canaryDrift(g._2))
@@ -1041,52 +1145,97 @@ object Bench {
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
         s""""legacy_total":${f"$legacyTotal%.3f"},"runs":$runs,""" +
         s""""jvm_per_group":${!noFork},"group_totals":$groupTotals,""" +
+        s""""truncated":${skipped.nonEmpty},"skipped":${skipped.size},""" +
+        s""""errored":${results.count(_._2.isNaN)},""" +
         s""""flagged_over_band":$nFlagged,"canary_drift_max":$driftMax,""" +
         s""""auto_reruns":${reruns.size},"detail":"BENCH_OUT.json",""" +
         s""""queries":$qjson,"sf":"$sfDir"}"""
     }
-    def writeOut(line: String): Unit =
+    // BENCH_OUT.json is gitignored working state; BENCH_OUT_LAST.json is
+    // the same line TRACKED, so a killed driver run leaves committed
+    // per-query evidence once the round's closing commit lands (the
+    // round-12 partial run survived only as uncommitted working tree)
+    def writeOut(line: String): Unit = {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_OUT.json"), line + "\n")
       catch { case _: Throwable => }
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_OUT_LAST.json"), line + "\n")
+      catch { case _: Throwable => }
+    }
 
     val byGroup = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[(String, Double)])]
     val reruns = scala.collection.mutable.ArrayBuffer.empty[String]
-    // inter-group cooldown: 26 back-to-back 32-thread group JVMs deplete
-    // a cgroup CPU quota and the tail groups read ~1.3-2.2x canary drift
-    // that interactive SPACED runs of the same groups don't show
-    // (round-12 measurement trail); a short refill pause between groups
-    // trades ~7 min of wall for a quieter curve
+    val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    // ADAPTIVE inter-group cooldown: 26 back-to-back 32-thread group
+    // JVMs deplete a cgroup CPU quota and the tail groups read
+    // ~1.3-2.2x canary drift that interactive SPACED runs of the same
+    // groups don't show (round-12 measurement trail). Round 13 made the
+    // pause conditional: sleep only when the PREVIOUS group's closing
+    // canary read loaded (>1.3x) — an unconditional 15 s x 25 cost
+    // ~6 min of the driver's fixed wall window even in quiet windows.
     val cooldownSecs =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_SECS", "15").toInt
+    def prevWindowLoaded: Boolean =
+      byGroup.lastOption.exists(_._2.collect {
+        case (k, v) if k.startsWith("__canary_post") && !v.isNaN => v
+      }.exists(_ / canarySanctioned > 1.3))
     withSf1.zipWithIndex.foreach { case (g, gi) =>
-      if (gi > 0 && cooldownSecs > 0) Thread.sleep(cooldownSecs * 1000L)
-      var rows =
-        if (noFork) runGroup(inProc, g)
-        else forkGroup(g).getOrElse(runGroup(inProc, g))
-      // ambient auto-adjudication: a row >2x its sanctioned median is —
-      // on two rounds of evidence — far more likely a polluted window
-      // than a plan regression, so the group re-forks ONCE in-session
-      // and each row keeps its MINIMUM across the two independent
-      // windows (both values are already medians-of-N inside a fresh
-      // JVM; pollution only ever inflates). Groups that re-ran are
-      // listed in auto_reruns so a persisting flag is known to have
-      // survived two windows, not one.
-      val hardFlag = rows.exists { case (k, v) =>
-        !isControl(k) && sanctioned.get(k).exists(s => v > s * 2.0)
-      }
-      if (hardFlag && g != "sf1" && !noFork) {
-        System.err.println(s"[bench] group $g has a >2x row — auto re-run")
-        forkGroup(g).foreach { second =>
-          reruns += g
-          val m2 = second.toMap
-          rows = rows.map { case (k, v) => k -> math.min(v, m2.getOrElse(k, v)) }
+      if (elapsedSecs > budgetSecs) {
+        skipped += g
+      } else {
+        if (gi > 0 && cooldownSecs > 0 && prevWindowLoaded)
+          Thread.sleep(cooldownSecs * 1000L)
+        var rows =
+          if (noFork) runGroup(inProc, g)
+          else forkGroup(g).getOrElse(runGroup(inProc, g))
+        // ambient auto-adjudication: a row >2x its sanctioned median is —
+        // on two rounds of evidence — far more likely a polluted window
+        // than a plan regression, so the group re-forks ONCE in-session
+        // and each non-control row keeps its MINIMUM across the two
+        // independent windows (both values are already medians-of-N
+        // inside a fresh JVM; pollution only ever inflates). Skipped
+        // when (a) the run's re-fork cap is hit, (b) the wall budget is
+        // spent, or (c) this group's own canary_pre read >1.6x — a
+        // polluted window cannot provide the second INDEPENDENT window
+        // the min-of-two rule needs (round 12 burned 3 re-forks inside
+        // one polluted hour). Groups that re-ran are listed in
+        // auto_reruns; window 2's control rows ride along as
+        // `__*_rerun` so the published drift describes the mixture.
+        val hardFlag = rows.exists { case (k, v) =>
+          !isControl(k) && sanctioned.get(k).exists(s => v > s * 2.0)
         }
+        val preDrift = rows.collectFirst {
+          case ("__canary_pre", v) if !v.isNaN => v / canarySanctioned
+        }
+        val windowPolluted = preDrift.exists(_ > 1.6)
+        if (hardFlag && g != "sf1" && !noFork && reruns.size < maxReruns &&
+            elapsedSecs < budgetSecs && !windowPolluted) {
+          System.err.println(s"[bench] group $g has a >2x row — auto re-run")
+          forkGroup(g).foreach { second =>
+            reruns += g
+            val m2 = second.toMap
+            rows = rows.map {
+              case (k, v) if isControl(k) => k -> v
+              case (k, v) =>
+                val v2 = m2.getOrElse(k, v)
+                k -> (if (v.isNaN) v2
+                      else if (v2.isNaN) v
+                      else math.min(v, v2))
+            } ++ second.collect { case (k, v) if isControl(k) =>
+              s"${k}_rerun" -> v
+            }
+          }
+        } else if (hardFlag && windowPolluted) {
+          System.err.println(
+            s"[bench] group $g has a >2x row but canary_pre=" +
+              f"${preDrift.getOrElse(Double.NaN)}%.2f indicts the window — no re-run")
+        }
+        if (noFork) SparkEntry.releaseCache(inProc)
+        byGroup += (g -> rows)
+        // partial results survive a kill
+        writeOut(render(byGroup.toSeq, reruns.toSeq, Nil))
       }
-      if (noFork) SparkEntry.releaseCache(inProc)
-      byGroup += (g -> rows)
-      writeOut(render(byGroup.toSeq, reruns.toSeq)) // partial results survive a kill
     }
-    val line = render(byGroup.toSeq, reruns.toSeq)
+    val line = render(byGroup.toSeq, reruns.toSeq, skipped.toSeq)
     writeOut(line) // full per-query detail — canonical artifact
     // the full line first (greppable when the capture is unbounded), then
     // the COMPACT line LAST: the driver keeps only ~1.4 KB of stdout tail
@@ -1094,7 +1243,7 @@ object Bench {
     // few-hundred-byte final line always survives that budget
     println(line)
     System.out.flush()
-    println(renderCompact(byGroup.toSeq, reruns.toSeq))
+    println(renderCompact(byGroup.toSeq, reruns.toSeq, skipped.toSeq))
     System.out.flush()
     // stop the in-process session iff one was created (nofork / fallback)
     try SparkSession.getActiveSession.foreach(_.stop()) catch { case _: Throwable => }

@@ -154,7 +154,8 @@ object SparkEntry {
     * static-side prep — and the returned thunk starts the streaming
     * query, drains every micro-batch and returns the result frame: the
     * maintained OPERATION those bench rows exist to measure. Bench
-    * times ONLY the thunk (`medianStream`); round-11 adjudication
+    * times ONLY the thunk (`Bench.timeOpPart`, median over op-split
+    * runs); round-11 adjudication
     * showed the combined closures' quiet-window spread at 2-4x — table
     * commits in the setup swamping the 1.3x flag threshold and
     * producing most of the round's recurring flag noise — so the
@@ -398,6 +399,52 @@ object SparkEntry {
           bucketCol = Some(("cbucket", 16)))
       }
     }),
+    "dedup_cc_writeback" -> ((s, dir) => {
+      // the FULL incremental-CC maintenance cycle, oracle-gated end to
+      // end: setup = batch-1 clustering + both persisted state tables
+      // (dedup_cc_incremental's setup, distinct table names). op =
+      // batch-2 pair generation + contracted merge + the WRITE-BACK
+      // (Dedup.applyComponentDelta: label upsert + index component
+      // refresh + batch index append) + the final label-table read —
+      // what a production crawl cycle actually commits. The oracle is
+      // the full-corpus all-pairs-Jaccard CC: the chained table must
+      // EQUAL the full recompute doc for doc, which only holds if both
+      // write-back legs (labels AND index) landed correctly.
+      val docs = t(s, dir, "documents")
+      val evens = docs.filter(col("doc_id") % 2 === 0)
+      val odds = docs.filter(col("doc_id") % 2 === 1)
+      val l1 = Dedup.textComponents(evens, "doc_id", "text",
+        shingleSize = 2, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4)
+      val withB = l1.withColumn("cbucket", pmod(col("component"), lit(16L)))
+      val ltbl = freshTable(s, "ccw_labels", withB,
+        spec = sch => IcePartitionSpec(0, List(IcePartitionField(
+          sch.findField("cbucket").get.id, 1000, "identity", "cbucket_p"))))
+      ltbl.append(s, withB)
+      val idx = Dedup.minhashIndex(evens, "doc_id", "text",
+          shingleSize = 2, bands = 16, rowsPerBand = 4)
+        .join(l1, Seq("doc_id"), "left")
+      val itbl = freshTable(s, "ccw_index", idx)
+      itbl.append(s, idx)
+      () => {
+        val newOld = Dedup.incrementalPairs(odds, itbl.scan(s),
+            "doc_id", "text", shingleSize = 2, bands = 16, rowsPerBand = 4,
+            jaccardThreshold = 0.4, keepIndexCols = Seq("component"))
+          .select(col("nid").as("sa"),
+            coalesce(col("component"), col("iid")).as("sb"))
+        val newNew = Dedup.minhashLsh(odds, "doc_id", "text",
+            shingleSize = 2, bands = 16, rowsPerBand = 4,
+            jaccardThreshold = 0.4)
+          .select(col("a").as("sa"), col("b").as("sb"))
+        val delta = Dedup.mergeComponentLabels(ltbl.scan(s),
+          newOld.unionByName(newNew), "sa", "sb",
+          bucketCol = Some(("cbucket", 16)))
+        Dedup.applyComponentDelta(s, ltbl, itbl, delta,
+          Dedup.minhashIndex(odds, "doc_id", "text",
+            shingleSize = 2, bands = 16, rowsPerBand = 4),
+          bucketCol = Some(("cbucket", 16)))
+        ltbl.scan(s).select(col("doc_id"), col("component"))
+      }
+    }),
     "graph_rank_incremental" -> ((s, dir) => {
       // setup = batch-1 (even docs) edge aggregation persisted as the
       // EDGE-WEIGHT graft table (the saturated domain graph — its row
@@ -530,6 +577,24 @@ object SparkEntry {
           .select(col("qid").as("query_id"), col("node").as("neighbor_id"),
             col("rank"))
       }
+    }),
+    "ann_beam_index" -> ((s, dir) => {
+      // setup = the one-time DURABLE graph-index build: quantized
+      // vectors + symmetrized cell-local top-5 edges persisted as graft
+      // tables identity-partitioned by id bucket (~64 rows/bucket, the
+      // ann_ivf_index layout applied to a navigable graph). op = the
+      // WALK with partition-pruned point reads: each layer's adjacency
+      // and rescore probes open only the frontier's buckets —
+      // <= beam x (degree+1) x |queries| x bucketTarget rows of I/O per
+      // layer, INDEPENDENT of corpus size — closing ann_beam's one
+      // scale wrinkle (its in-session rescore streams the whole cached
+      // vector table once per layer). Same integer walk, same result,
+      // same oracle replica as ann_beam.
+      val e = t(s, dir, "embeddings")
+      val loc = java.nio.file.Files
+        .createTempDirectory("graft-beam-index").toUri.toString.stripSuffix("/")
+      Similarity.buildGraphIndex(e, "vec_id", "embedding", loc)
+      () => Similarity.graphIndexTopK(s, loc, queryIds = 0L until 8L)
     }),
     "stats_hll_incremental" -> ((s, dir) => {
       // setup = batch-1 (even docs) per-source HLL registers persisted
@@ -2262,6 +2327,36 @@ object SparkEntry {
       // [[opParts]]; the bench times the op only.
       opParts("dedup_cc_incremental")(s, dir)()
     }),
+    "dedup_cc_writeback" -> ((s, dir) => {
+      // the COMPLETE incremental-CC maintenance cycle oracle-gated end
+      // to end: dedup_cc_incremental stops at the label delta; this
+      // query WRITES IT BACK (Dedup.applyComponentDelta — label upsert
+      // + index component refresh + batch index append) and returns the
+      // maintained label TABLE, which the oracle checks against the
+      // full-corpus all-pairs-Jaccard CC doc for doc. A missed index
+      // refresh or label upsert cannot hash-match. Setup/op split in
+      // [[opParts]] (op = batch-2 merge + write-back + read).
+      opParts("dedup_cc_writeback")(s, dir)()
+    }),
+    "mix_doremi" -> ((s, dir) => {
+      // DoReMi-style iterative mixture reweighting over sources
+      // (Sampling.doremiWeights): 5 multiplicative-weights rounds in
+      // 2^20 fixed-point Long arithmetic upweight domains whose mean
+      // per-doc token count trails the corpus mean (the deterministic
+      // stand-in for DoReMi's proxy-model excess loss — a real run
+      // plugs eval losses into the same update), then smooth 1/64
+      // toward uniform. The corpus is touched ONCE (one source-keyed
+      // aggregate); iterations run over the 20-row domain table with
+      // broadcast totals. Integer-only update => bit-identical DuckDB
+      // replay (unrolled CTE iterations).
+      Sampling.doremiWeights(
+        t(s, dir, "documents").selectExpr("source",
+          "size(filter(split(lower(coalesce(text,'')),'[^a-z0-9]+'), " +
+            "x -> length(x) > 0)) AS tk"),
+        "source", "tk")
+        .select(col("source"), col("n_docs"), col("mean_utility"),
+          col("excess_fp"), col("weight_fp"), col("weight"))
+    }),
     "text_cdc_chunks" -> ((s, dir) => {
       // content-defined chunking dedup: boundaries re-synchronize after
       // insertions/deletions (unlike fixed-width chunks), so near-dup
@@ -3242,7 +3337,31 @@ object SparkEntry {
       // (the one-time graph BUILD — the HNSW model: build once, search
       // many; embed_knn_graph's own bench row prices the build) / op
       // (the walk) split lives in [[opParts]].
+      // GUARD: the DuckDB replica hardcodes 4 seed centroids (vec_id <
+      // 4); the engine's adaptive k = max(4, n div 250) matches only
+      // while n < 1250, so an oracle comparison on a bigger corpus
+      // must fail loudly here instead of silently hash-mismatching.
+      val n = t(s, dir, "embeddings").count()
+      require(math.max(4, (n / 250).toInt) == 4,
+        s"ann_beam oracle replica pins k=4 seed centroids; corpus n=$n " +
+          s"gives k=${math.max(4, (n / 250).toInt)} — verify this query " +
+          "at sf<=0.01 or re-parameterize the replica's seed count")
       opParts("ann_beam")(s, dir)()
+    }),
+    "ann_beam_index" -> ((s, dir) => {
+      // the DURABLE form of ann_beam: the same integer walk, but over a
+      // PERSISTED graph index (vectors + symmetrized edges as graft
+      // tables identity-partitioned by id bucket) whose per-layer
+      // adjacency and rescore reads are partition-pruned point probes —
+      // I/O bounded by the batch geometry, not the corpus. Result is
+      // bit-identical to ann_beam, so the oracle replica is shared.
+      // Same k==4 guard: the replica pins 4 seed centroids.
+      val n = t(s, dir, "embeddings").count()
+      require(math.max(4, (n / 250).toInt) == 4,
+        s"ann_beam_index oracle replica pins k=4 seed centroids; corpus " +
+          s"n=$n gives k=${math.max(4, (n / 250).toInt)} — verify at " +
+          "sf<=0.01 or re-parameterize the replica's seed count")
+      opParts("ann_beam_index")(s, dir)()
     }),
     "ann_hard_negatives" -> ((s, dir) => {
       // contrastive hard-negative mining: per anchor, the 3 most-similar
@@ -5655,6 +5774,94 @@ object SparkEntry {
 
   /** DuckDB-dialect oracles for every SQL-expressible query above.
     * Column names/aliases must match the Spark output exactly. */
+  /** The beam walk's DuckDB replica — shared VERBATIM by `ann_beam`
+    * (in-session graph) and `ann_beam_index` (persisted id-bucketed
+    * index): both run the same exact-integer walk, so one replica
+    * certifies both. */
+  private val beamWalkSql: String =
+    """WITH qz AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(x::DOUBLE * 1024) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, e AS c FROM qz WHERE vec_id < 4),
+        |d0 AS (SELECT qz.vec_id, qz.e, c0.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (qz.e[i] - c0.c[i]) * (qz.e[i] - c0.c[i]))) AS dist
+        |  FROM qz CROSS JOIN c0),
+        |a0 AS (SELECT vec_id, e, cid FROM (
+        |    SELECT vec_id, e, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d0) WHERE rn = 1),
+        |s1 AS (SELECT cid, i,
+        |    CAST(floor(sum(e[i])::DOUBLE / count(*)) AS BIGINT) AS v
+        |  FROM a0 CROSS JOIN range(1, 65) t(i) GROUP BY cid, i),
+        |c1 AS (SELECT cid, list(v ORDER BY i) AS c FROM s1 GROUP BY cid),
+        |d1 AS (SELECT qz.vec_id, c1.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (qz.e[i] - c1.c[i]) * (qz.e[i] - c1.c[i]))) AS dist
+        |  FROM qz CROSS JOIN c1),
+        |wc AS (SELECT vec_id, cluster, e FROM (
+        |    SELECT d1.vec_id, d1.cid AS cluster, qz.e,
+        |      row_number() OVER (PARTITION BY d1.vec_id
+        |        ORDER BY d1.dist, d1.cid) AS rn
+        |    FROM d1 JOIN qz USING (vec_id)) WHERE rn = 1),
+        |ed AS (SELECT src, dst FROM (
+        |    SELECT a.vec_id AS src, b.vec_id AS dst,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY list_sum(list_transform(range(1, 65),
+        |          i -> a.e[i] * b.e[i])) DESC, b.vec_id) AS r
+        |    FROM wc a JOIN wc b
+        |      ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
+        |  WHERE r <= 5),
+        |eds AS (SELECT src, dst FROM ed
+        |  UNION SELECT dst AS src, src AS dst FROM ed),
+        |reps AS (SELECT cluster, MIN(vec_id) AS rep FROM wc GROUP BY cluster),
+        |qq AS (SELECT wc.vec_id AS qid, wc.e AS qv, r.rep
+        |  FROM wc JOIN reps r USING (cluster) WHERE wc.vec_id < 8),
+        |f0 AS (SELECT qid, rep AS node FROM qq),
+        |x1 AS (SELECT DISTINCT qid, node FROM (
+        |    SELECT qid, node FROM f0
+        |    UNION ALL
+        |    SELECT f0.qid, eds.dst AS node FROM f0 JOIN eds ON f0.node = eds.src)),
+        |f1 AS (SELECT qid, node FROM (
+        |    SELECT c.qid, c.node,
+        |      row_number() OVER (PARTITION BY c.qid ORDER BY
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> qq.qv[i] * w.e[i])) DESC, c.node) AS r
+        |    FROM x1 c JOIN qq ON qq.qid = c.qid JOIN wc w ON w.vec_id = c.node)
+        |  WHERE r <= 8),
+        |x2 AS (SELECT DISTINCT qid, node FROM (
+        |    SELECT qid, node FROM f1
+        |    UNION ALL
+        |    SELECT f1.qid, eds.dst AS node FROM f1 JOIN eds ON f1.node = eds.src)),
+        |f2 AS (SELECT qid, node FROM (
+        |    SELECT c.qid, c.node,
+        |      row_number() OVER (PARTITION BY c.qid ORDER BY
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> qq.qv[i] * w.e[i])) DESC, c.node) AS r
+        |    FROM x2 c JOIN qq ON qq.qid = c.qid JOIN wc w ON w.vec_id = c.node)
+        |  WHERE r <= 8),
+        |x3 AS (SELECT DISTINCT qid, node FROM (
+        |    SELECT qid, node FROM f2
+        |    UNION ALL
+        |    SELECT f2.qid, eds.dst AS node FROM f2 JOIN eds ON f2.node = eds.src)),
+        |f3 AS (SELECT qid, node FROM (
+        |    SELECT c.qid, c.node,
+        |      row_number() OVER (PARTITION BY c.qid ORDER BY
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> qq.qv[i] * w.e[i])) DESC, c.node) AS r
+        |    FROM x3 c JOIN qq ON qq.qid = c.qid JOIN wc w ON w.vec_id = c.node)
+        |  WHERE r <= 8)
+        |SELECT qid AS query_id, node AS neighbor_id, CAST(r AS BIGINT) AS rank
+        |FROM (
+        |  SELECT c.qid, c.node,
+        |    row_number() OVER (PARTITION BY c.qid ORDER BY
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> qq.qv[i] * w.e[i])) DESC, c.node) AS r
+        |  FROM f3 c JOIN qq ON qq.qid = c.qid JOIN wc w ON w.vec_id = c.node
+        |  WHERE c.node <> c.qid)
+        |WHERE r <= 3""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -6975,89 +7182,11 @@ object SparkEntry {
     // convention (cell-local top-5 by integer dot), then the ENTIRE
     // walk replayed — entry at the cell rep, three beam-of-8 layers as
     // chained CTEs, final top-3 excluding self
-    "ann_beam" ->
-      """WITH qz AS (
-        |  SELECT vec_id, list_transform(embedding,
-        |    x -> CAST(floor(x::DOUBLE * 1024) AS BIGINT)) AS e
-        |  FROM embeddings),
-        |c0 AS (SELECT vec_id AS cid, e AS c FROM qz WHERE vec_id < 4),
-        |d0 AS (SELECT qz.vec_id, qz.e, c0.cid,
-        |    list_sum(list_transform(range(1, 65),
-        |      i -> (qz.e[i] - c0.c[i]) * (qz.e[i] - c0.c[i]))) AS dist
-        |  FROM qz CROSS JOIN c0),
-        |a0 AS (SELECT vec_id, e, cid FROM (
-        |    SELECT vec_id, e, cid,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        |    FROM d0) WHERE rn = 1),
-        |s1 AS (SELECT cid, i,
-        |    CAST(floor(sum(e[i])::DOUBLE / count(*)) AS BIGINT) AS v
-        |  FROM a0 CROSS JOIN range(1, 65) t(i) GROUP BY cid, i),
-        |c1 AS (SELECT cid, list(v ORDER BY i) AS c FROM s1 GROUP BY cid),
-        |d1 AS (SELECT qz.vec_id, c1.cid,
-        |    list_sum(list_transform(range(1, 65),
-        |      i -> (qz.e[i] - c1.c[i]) * (qz.e[i] - c1.c[i]))) AS dist
-        |  FROM qz CROSS JOIN c1),
-        |wc AS (SELECT vec_id, cluster, e FROM (
-        |    SELECT d1.vec_id, d1.cid AS cluster, qz.e,
-        |      row_number() OVER (PARTITION BY d1.vec_id
-        |        ORDER BY d1.dist, d1.cid) AS rn
-        |    FROM d1 JOIN qz USING (vec_id)) WHERE rn = 1),
-        |ed AS (SELECT src, dst FROM (
-        |    SELECT a.vec_id AS src, b.vec_id AS dst,
-        |      row_number() OVER (PARTITION BY a.vec_id
-        |        ORDER BY list_sum(list_transform(range(1, 65),
-        |          i -> a.e[i] * b.e[i])) DESC, b.vec_id) AS r
-        |    FROM wc a JOIN wc b
-        |      ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
-        |  WHERE r <= 5),
-        |eds AS (SELECT src, dst FROM ed
-        |  UNION SELECT dst AS src, src AS dst FROM ed),
-        |reps AS (SELECT cluster, MIN(vec_id) AS rep FROM wc GROUP BY cluster),
-        |qq AS (SELECT wc.vec_id AS qid, wc.e AS qv, r.rep
-        |  FROM wc JOIN reps r USING (cluster) WHERE wc.vec_id < 8),
-        |f0 AS (SELECT qid, rep AS node FROM qq),
-        |x1 AS (SELECT DISTINCT qid, node FROM (
-        |    SELECT qid, node FROM f0
-        |    UNION ALL
-        |    SELECT f0.qid, eds.dst AS node FROM f0 JOIN eds ON f0.node = eds.src)),
-        |f1 AS (SELECT qid, node FROM (
-        |    SELECT c.qid, c.node,
-        |      row_number() OVER (PARTITION BY c.qid ORDER BY
-        |        list_sum(list_transform(range(1, 65),
-        |          i -> qq.qv[i] * w.e[i])) DESC, c.node) AS r
-        |    FROM x1 c JOIN qq ON qq.qid = c.qid JOIN wc w ON w.vec_id = c.node)
-        |  WHERE r <= 8),
-        |x2 AS (SELECT DISTINCT qid, node FROM (
-        |    SELECT qid, node FROM f1
-        |    UNION ALL
-        |    SELECT f1.qid, eds.dst AS node FROM f1 JOIN eds ON f1.node = eds.src)),
-        |f2 AS (SELECT qid, node FROM (
-        |    SELECT c.qid, c.node,
-        |      row_number() OVER (PARTITION BY c.qid ORDER BY
-        |        list_sum(list_transform(range(1, 65),
-        |          i -> qq.qv[i] * w.e[i])) DESC, c.node) AS r
-        |    FROM x2 c JOIN qq ON qq.qid = c.qid JOIN wc w ON w.vec_id = c.node)
-        |  WHERE r <= 8),
-        |x3 AS (SELECT DISTINCT qid, node FROM (
-        |    SELECT qid, node FROM f2
-        |    UNION ALL
-        |    SELECT f2.qid, eds.dst AS node FROM f2 JOIN eds ON f2.node = eds.src)),
-        |f3 AS (SELECT qid, node FROM (
-        |    SELECT c.qid, c.node,
-        |      row_number() OVER (PARTITION BY c.qid ORDER BY
-        |        list_sum(list_transform(range(1, 65),
-        |          i -> qq.qv[i] * w.e[i])) DESC, c.node) AS r
-        |    FROM x3 c JOIN qq ON qq.qid = c.qid JOIN wc w ON w.vec_id = c.node)
-        |  WHERE r <= 8)
-        |SELECT qid AS query_id, node AS neighbor_id, CAST(r AS BIGINT) AS rank
-        |FROM (
-        |  SELECT c.qid, c.node,
-        |    row_number() OVER (PARTITION BY c.qid ORDER BY
-        |      list_sum(list_transform(range(1, 65),
-        |        i -> qq.qv[i] * w.e[i])) DESC, c.node) AS r
-        |  FROM f3 c JOIN qq ON qq.qid = c.qid JOIN wc w ON w.vec_id = c.node
-        |  WHERE c.node <> c.qid)
-        |WHERE r <= 3""".stripMargin,
+    "ann_beam" -> beamWalkSql,
+    // the persisted-index walk is the SAME integer walk (vectors and
+    // edges read back from the id-bucketed graft tables instead of a
+    // cached frame), so the replica is shared verbatim
+    "ann_beam_index" -> beamWalkSql,
     "ann_hard_negatives" ->
       """SELECT anchor_id, neighbor_id, rank FROM (
         |  SELECT q.vec_id AS anchor_id, c.vec_id AS neighbor_id,
@@ -9476,6 +9605,73 @@ object SparkEntry {
         |LEFT JOIN comp1 o
         |  ON c.doc_id = o.doc_id AND c.component = o.component
         |WHERE o.doc_id IS NULL""".stripMargin,
+    // the chained label TABLE after write-back must equal the
+    // full-corpus all-pairs-Jaccard CC doc for doc — both write-back
+    // legs (label upsert + index refresh) are load-bearing for this
+    "dedup_cc_writeback" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        |pr AS (SELECT a, b FROM p WHERE jaccard >= 0.4),
+        |edges AS (SELECT a AS s, b AS d FROM pr UNION SELECT b AS s, a AS d FROM pr),
+        |reach AS (
+        |  SELECT s AS id, s AS r FROM edges
+        |  UNION
+        |  SELECT e.s AS id, reach.r AS r FROM edges e JOIN reach ON e.d = reach.id)
+        |SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin,
+    // fixed-point multiplicative weights replay exactly: 5 unrolled
+    // raw/normalize CTE pairs, all-BIGINT arithmetic (explicit casts
+    // where DuckDB widens sums to HUGEINT)
+    "mix_doremi" ->
+      """WITH perdoc AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(coalesce(text,'')),
+        |      '[^a-z0-9]+'), x -> len(x) > 0)) AS BIGINT) AS tk
+        |  FROM documents),
+        |dom AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(tk) AS BIGINT) AS su FROM perdoc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tn,
+        |    CAST(sum(su) AS BIGINT) AS ts,
+        |    CAST(count(*) AS BIGINT) AS kk FROM dom),
+        |b0 AS (SELECT source, n_docs, kk, su // n_docs AS mean_utility,
+        |    ts // tn AS g FROM dom, tot),
+        |b1 AS (SELECT source, n_docs, kk, mean_utility,
+        |    greatest(g - mean_utility, 0) * 1048576 // greatest(g, 1) AS excess_fp
+        |  FROM b0),
+        |it0 AS (SELECT source, n_docs, kk, mean_utility, excess_fp,
+        |    CAST(1048576 // kk AS BIGINT) AS wfp FROM b1),
+        |r1 AS (SELECT source, n_docs, kk, mean_utility, excess_fp,
+        |    wfp * (1048576 + (262144 * excess_fp // 1048576)) // 1048576 AS raw FROM it0),
+        |it1 AS (SELECT source, n_docs, kk, mean_utility, excess_fp,
+        |    CAST(raw * 1048576 // CAST(sum(raw) OVER () AS BIGINT) AS BIGINT) AS wfp FROM r1),
+        |r2 AS (SELECT source, n_docs, kk, mean_utility, excess_fp,
+        |    wfp * (1048576 + (262144 * excess_fp // 1048576)) // 1048576 AS raw FROM it1),
+        |it2 AS (SELECT source, n_docs, kk, mean_utility, excess_fp,
+        |    CAST(raw * 1048576 // CAST(sum(raw) OVER () AS BIGINT) AS BIGINT) AS wfp FROM r2),
+        |r3 AS (SELECT source, n_docs, kk, mean_utility, excess_fp,
+        |    wfp * (1048576 + (262144 * excess_fp // 1048576)) // 1048576 AS raw FROM it2),
+        |it3 AS (SELECT source, n_docs, kk, mean_utility, excess_fp,
+        |    CAST(raw * 1048576 // CAST(sum(raw) OVER () AS BIGINT) AS BIGINT) AS wfp FROM r3),
+        |r4 AS (SELECT source, n_docs, kk, mean_utility, excess_fp,
+        |    wfp * (1048576 + (262144 * excess_fp // 1048576)) // 1048576 AS raw FROM it3),
+        |it4 AS (SELECT source, n_docs, kk, mean_utility, excess_fp,
+        |    CAST(raw * 1048576 // CAST(sum(raw) OVER () AS BIGINT) AS BIGINT) AS wfp FROM r4),
+        |r5 AS (SELECT source, n_docs, kk, mean_utility, excess_fp,
+        |    wfp * (1048576 + (262144 * excess_fp // 1048576)) // 1048576 AS raw FROM it4),
+        |it5 AS (SELECT source, n_docs, kk, mean_utility, excess_fp,
+        |    CAST(raw * 1048576 // CAST(sum(raw) OVER () AS BIGINT) AS BIGINT) AS wfp FROM r5)
+        |SELECT source, n_docs, mean_utility, excess_fp,
+        |  CAST(wfp * (1048576 - 16384) // 1048576 + 16384 // kk AS BIGINT) AS weight_fp,
+        |  CAST(CAST(wfp * (1048576 - 16384) // 1048576 + 16384 // kk AS BIGINT) AS DOUBLE)
+        |    / 1048576 AS weight
+        |FROM it5""".stripMargin,
     "dedup_cdc_incremental" ->
       """WITH toks0 AS (
         |  SELECT doc_id,

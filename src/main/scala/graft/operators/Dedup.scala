@@ -270,6 +270,64 @@ object Dedup {
     relabeled.unionByName(direct)
   }
 
+  /** WRITE BACK a [[mergeComponentLabels]] delta, completing the
+    * incremental-CC maintenance cycle against REAL tables so the NEXT
+    * batch merges against updated state:
+    *
+    *   1. label table: equality-delete the delta's doc ids + append the
+    *      delta rows (with the `pmod(component, n)` bucket column when
+    *      `bucketCol` names the table's identity partitioning) — only
+    *      touched docs rewrite;
+    *   2. minhash index: the delta's EXISTING index rows rewrite with
+    *      their new component (a stale component there would contract a
+    *      later batch's super-edge onto a label that no longer exists),
+    *      and `batchIndex` — the new batch's [[minhashIndex]] rows —
+    *      appends with first labels (null component = unclustered, the
+    *      same convention the batch-1 build uses).
+    *
+    * Everything written is delta/batch-bounded; history rows in
+    * untouched components are never rewritten. The delta materializes
+    * BEFORE either mutation (its plan reads both tables), and the index
+    * refresh reads the pinned pre-delete snapshot — the same
+    * read-your-own-delete discipline as the sketch-state tables. */
+  def applyComponentDelta(
+      spark: org.apache.spark.sql.SparkSession,
+      labels: graft.tables.GraftTable,
+      index: graft.tables.GraftTable,
+      delta: DataFrame,
+      batchIndex: DataFrame,
+      bucketCol: Option[(String, Int)] = None): Unit = {
+    val d = delta.select(col("doc_id"), col("component"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = d.count() // materialize before mutating what the plan reads
+    if (touched > 0) {
+      val labeled = bucketCol match {
+        case Some((bc, n)) =>
+          d.withColumn(bc, pmod(col("component"), lit(n.toLong)))
+        case None => d
+      }
+      labels.equalityDelete(spark, d.select("doc_id"), Seq("doc_id"))
+      labels.append(spark, labeled)
+      val snap = index.metadata.currentSnapshotId.get
+      val old = index.scan(spark, snapshotId = Some(snap))
+      val order = old.columns
+      val refreshed = old.drop("component").join(d, Seq("doc_id"))
+        .select(order.map(col): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      refreshed.count() // materialize off the pinned snapshot pre-delete
+      if (!refreshed.isEmpty) {
+        index.equalityDelete(spark, refreshed.select("doc_id"), Seq("doc_id"))
+        index.append(spark, refreshed)
+      }
+      refreshed.unpersist()
+    }
+    // the batch's index rows always land, labeled or not — unclustered
+    // docs must be findable by every later batch's pair generation
+    val fresh = batchIndex.join(d, Seq("doc_id"), "left")
+    index.append(spark, fresh)
+    d.unpersist()
+  }
+
   /** SimHash fingerprints per document (map-only). Near-dups = small
     * Hamming distance; pair generation buckets on rotated prefixes. */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =

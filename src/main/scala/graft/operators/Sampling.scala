@@ -212,4 +212,69 @@ object Sampling {
         cutLabel(coalesce(col("__graft_comp"), col(idCol)), splits, salt))
       .drop("__graft_cid", "__graft_comp")
   }
+
+  /** DoReMi-style ITERATIVE mixture reweighting (multiplicative
+    * weights over domains; Xie et al. 2023, "DoReMi: Optimizing Data
+    * Mixtures Speeds Up Language Model Pretraining"): domains whose
+    * EXCESS signal is positive get geometrically upweighted over
+    * `iters` rounds, then the final mixture smooths toward uniform.
+    * In DoReMi the excess signal is the proxy model's per-domain
+    * excess LOSS vs a reference model; here the deterministic stand-in
+    * is each domain's mean-utility DEFICIT vs the corpus mean
+    * (`max(0, globalMean - domainMean)`, normalized by the global
+    * mean) — the caller supplies any non-negative integral per-row
+    * `utilityCol`, and a real deployment plugs per-domain eval losses
+    * into the same update by swapping that aggregate.
+    *
+    * Everything runs in 2^20 FIXED-POINT Long arithmetic with the
+    * linear multiplicative-weights form `w *= 1 + eta * excess`
+    * (a standard Hedge variant) — no transcendental functions, no
+    * double accumulation order — so the whole iteration is
+    * bit-identical in any engine with integral division and replays
+    * exactly in the DuckDB oracle. Scale: the corpus is touched ONCE
+    * (one domain-keyed aggregate of `utilityCol`); every iteration
+    * runs over the DOMAIN table (rows = distinct domains, e.g. 20),
+    * whose totals broadcast — at 100 TB the iterations cost nothing.
+    *
+    * Output per domain: `n_docs`, `mean_utility` (integral),
+    * `excess_fp` (2^20-scaled), `weight_fp` (2^20-scaled, sums to
+    * ~2^20) and `weight` (`weight_fp / 2^20` — exact, a power-of-two
+    * division). */
+  def doremiWeights(
+      df: DataFrame,
+      domainCol: String,
+      utilityCol: String,
+      iters: Int = 5,
+      etaFp: Long = 262144L,   // eta = 0.25 in 2^20 fixed point
+      smoothFp: Long = 16384L  // 1/64 uniform smoothing mass
+  ): DataFrame = {
+    require(iters >= 0 && etaFp >= 0 && smoothFp >= 0 && smoothFp <= 1048576L,
+      s"bad iters=$iters etaFp=$etaFp smoothFp=$smoothFp")
+    val dom = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col(utilityCol)).cast(LongType).as("__su"))
+    val tot = dom.agg(sum("n_docs").as("__tn"), sum("__su").as("__ts"),
+      count(lit(1)).cast(LongType).as("__kk"))
+    var w = dom.crossJoin(broadcast(tot))
+      .selectExpr(domainCol, "n_docs", "__kk",
+        "__su div n_docs AS mean_utility", "__ts div __tn AS __g")
+      .selectExpr(domainCol, "n_docs", "__kk", "mean_utility",
+        "greatest(__g - mean_utility, 0L) * 1048576L div greatest(__g, 1L) AS excess_fp")
+      .selectExpr(domainCol, "n_docs", "__kk", "mean_utility", "excess_fp",
+        "1048576L div __kk AS weight_fp")
+    for (_ <- 1 until iters + 1) {
+      val raw = w.selectExpr(domainCol, "n_docs", "__kk", "mean_utility",
+        "excess_fp",
+        s"weight_fp * (1048576L + ($etaFp" + "L * excess_fp div 1048576L)) " +
+          "div 1048576L AS __raw")
+      val sraw = raw.agg(sum("__raw").as("__sraw"))
+      w = raw.crossJoin(broadcast(sraw))
+        .selectExpr(domainCol, "n_docs", "__kk", "mean_utility", "excess_fp",
+          "__raw * 1048576L div __sraw AS weight_fp")
+    }
+    w.selectExpr(domainCol, "n_docs", "mean_utility", "excess_fp",
+        s"weight_fp * (1048576L - ${smoothFp}L) div 1048576L + " +
+          s"${smoothFp}L div __kk AS weight_fp")
+      .withColumn("weight", col("weight_fp").cast(DoubleType) / 1048576d)
+  }
 }

@@ -372,6 +372,193 @@ object Similarity {
     aTbl.append(spark, assigned)
   }
 
+  /** Build a PERSISTED navigable-graph (HNSW-style, single-level) ANN
+    * index under `location`: the integer-quantized vector table and the
+    * symmetrized cell-local top-`degree` edge set, each written as a
+    * graft table IDENTITY-PARTITIONED by an id bucket of ~`bucketTarget`
+    * rows — so a walk's per-layer rescore and adjacency reads are
+    * PARTITION-PRUNED point probes whose I/O is bounded by
+    * `beam × (degree+1) × |queries| × bucketTarget` rows, independent of
+    * corpus size once the corpus outgrows that cap. This is the durable
+    * form of the `ann_beam` walk, whose in-session rescore streams the
+    * whole cached vector table once per layer — fine at test scale,
+    * wrong at 100 TB where a navigable-graph search must fetch only the
+    * vectors it touches.
+    *
+    * Everything integer (quantization, cell assignment, edge ranking),
+    * so a walk over this index is bit-identical to the in-session
+    * `ann_beam` walk and replays exactly in any engine. Bucket COUNT
+    * scales with the corpus (fixed ~`bucketTarget` rows per bucket, the
+    * `k = n div 250` cell convention applied to layout), which is what
+    * makes the probe cap corpus-size-independent. */
+  def buildGraphIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      location: String,
+      degree: Int = 5,
+      cellDivisor: Int = 250,
+      bucketTarget: Int = 64,
+      scale: Int = 1024): Unit = {
+    require((scale & (scale - 1)) == 0, s"scale must be a power of two: $scale")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val n = corpus.count()
+    require(n > 0, "empty corpus")
+    val k = math.max(4, (n / cellDivisor).toInt)
+    val buckets = math.max(16L, (n + bucketTarget - 1) / bucketTarget)
+    val (_, asg) = Clustering.kmeansFit(corpus, idCol, vecCol, k = k,
+      iters = 1, scale = scale)
+    val withCell = corpus.select(
+        col(idCol).cast("long").as("vec_id"),
+        transform(col(vecCol), x =>
+          floor(x.cast("double") * lit(scale)).cast("long")).as("nv"))
+      .join(asg.select(col(idCol).cast("long").as("vec_id"), col("cluster")),
+        "vec_id")
+    val dot = aggregate(zip_with(col("qv"), col("nv"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    // symmetrized cell-local top-`degree` by exact integer dot — the
+    // embed_knn_graph/ann_beam edge convention (symmetrization is what
+    // makes greedy descent navigable: hubs become waypoints OUT)
+    val knn = withCell
+      .select(col("cluster"), col("vec_id").as("src"), col("nv").as("qv"))
+      .join(withCell.select(col("cluster"), col("vec_id").as("dst"),
+        col("nv")), Seq("cluster"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("dot_q", dot)
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("dot_q").desc, col("dst"))))
+      .filter(col("r") <= degree)
+      .select(col("src"), col("dst"))
+    val edges = knn
+      .unionByName(knn.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .withColumn("sbucket", pmod(col("src"), lit(buckets)))
+    val vecs = withCell.withColumn("vbucket", pmod(col("vec_id"), lit(buckets)))
+    val reps = withCell.groupBy("cluster").agg(min(col("vec_id")).as("rep"))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def writeTable(name: String, df: DataFrame, partCol: Option[String]): Unit = {
+      val schema = graft.tables.SchemaConvert.fromSparkSchema(df.schema)
+      val spec = partCol match {
+        case Some(c) => graft.tables.IcePartitionSpec(0, List(
+          graft.tables.IcePartitionField(
+            schema.findField(c).get.id, 1000, "identity", c)))
+        case None => graft.tables.IcePartitionSpec(0, Nil)
+      }
+      val tbl = graft.tables.StorageCatalog.createOrReplaceTable(
+        hconf, s"$location/$name", schema, spec)
+      tbl.append(spark, df)
+    }
+    writeTable("vectors", vecs, Some("vbucket"))
+    writeTable("edges", edges, Some("sbucket"))
+    writeTable("reps", reps, None)
+    writeTable("conf", Seq(buckets).toDF("n_buckets"), None)
+  }
+
+  /** Search a [[buildGraphIndex]] index: IVF-routed entry (each query
+    * starts at its own cell's representative), `layers` beam-of-`beam`
+    * expansion layers over the symmetrized edge table, final top-`k` —
+    * greedy by the same exact integer dot product the graph was built
+    * with, so the walk is bit-identical to the in-session `ann_beam`
+    * walk and its DuckDB replica.
+    *
+    * Scale shape: the frontier is DRIVER-RESIDENT and bounded by
+    * construction — `beam × |queries|` nodes per layer, candidate sets
+    * `beam × (degree+1) × |queries|` — while every index read is a
+    * PARTITION-PRUNED graft scan: adjacency by `sbucket`, vectors by
+    * `vbucket`, each probing only the buckets the frontier's ids hash
+    * to (≤ frontier-size buckets of ~bucketTarget rows, independent of
+    * corpus size). That is the serving-coordinator shape of a
+    * production vector index: per-batch state is tiny and exact;
+    * corpus-size work happens only inside pruned file reads. Every
+    * collect below is bounded by the batch geometry, never the corpus
+    * (`maxBatch` enforces the bound); larger query loads shard into
+    * batches upstream. */
+  def graphIndexTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      location: String,
+      queryIds: Seq[Long],
+      k: Int = 3,
+      beam: Int = 8,
+      layers: Int = 3,
+      maxBatch: Int = 4096): DataFrame = {
+    import spark.implicits._
+    require(queryIds.nonEmpty && queryIds.size <= maxBatch,
+      s"query batch ${queryIds.size} outside (0, $maxBatch] — shard bigger loads")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val vTbl = graft.tables.StorageCatalog.loadTable(hconf, s"$location/vectors")
+    val eTbl = graft.tables.StorageCatalog.loadTable(hconf, s"$location/edges")
+    val buckets = graft.tables.StorageCatalog.loadTable(hconf, s"$location/conf")
+      .scan(spark).collect()(0).getLong(0) // bounded: 1 config row
+    def bucketsOf(ids: Iterable[Long]): Seq[java.lang.Long] =
+      ids.map(i => java.lang.Long.valueOf(math.floorMod(i, buckets)))
+        .toSeq.distinct
+    // pruned point probe: partition filter (vbucket) prunes files, the
+    // id filter prunes rows; returns (id -> quantized vector), bounded
+    // by |ids| which is bounded by the batch geometry above
+    def fetchVecs(ids: Seq[Long]): Map[Long, Array[Long]] = {
+      if (ids.isEmpty) return Map.empty
+      val jids = ids.map(java.lang.Long.valueOf)
+      vTbl.scan(spark, filter = Some(
+          col("vbucket").isin(bucketsOf(ids): _*) &&
+            col("vec_id").isin(jids: _*)))
+        .select(col("vec_id"), col("nv"))
+        .collect() // bounded: <= |ids| rows (batch-geometry bound)
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    }
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // entry: the queries' own rows (cluster + vector) by pruned probe,
+    // then each enters at its cell's representative
+    val qjids = queryIds.map(java.lang.Long.valueOf)
+    val qRows = vTbl.scan(spark, filter = Some(
+        col("vbucket").isin(bucketsOf(queryIds): _*) &&
+          col("vec_id").isin(qjids: _*)))
+      .select(col("vec_id"), col("nv"), col("cluster"))
+      .collect() // bounded: <= |queries| rows
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    val repOf = graft.tables.StorageCatalog.loadTable(hconf, s"$location/reps")
+      .scan(spark).collect() // bounded: one row per cell (k = n div 250)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qv: Map[Long, Array[Long]] = qRows.map(r => r._1 -> r._2).toMap
+    var frontier: Seq[(Long, Long)] =
+      qRows.flatMap(r => repOf.get(r._3).map(rep => (r._1, rep))).toSeq
+    for (_ <- 1 to layers) {
+      // adjacency probe for the frontier's nodes: sbucket prunes files,
+      // src prunes rows; <= |frontier| * 2*degree rows come back
+      val fids = frontier.map(_._2).distinct
+      val adj = eTbl.scan(spark, filter = Some(
+          col("sbucket").isin(bucketsOf(fids): _*) &&
+            col("src").isin(fids.map(java.lang.Long.valueOf): _*)))
+        .select(col("src"), col("dst"))
+        .collect() // bounded: <= beam*|queries| srcs x 2*degree edges
+        .groupBy(_.getLong(0)).map { case (s0, rs) => s0 -> rs.map(_.getLong(1)) }
+      val cand = (frontier ++ frontier.flatMap { case (qid, node) =>
+        adj.getOrElse(node, Array.empty[Long]).map(d => (qid, d))
+      }).distinct
+      val nv = fetchVecs(cand.map(_._2).distinct)
+      frontier = cand.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+        cs.map(_._2).distinct
+          .flatMap(node => nv.get(node).map(v => (node, dot(qv(qid), v))))
+          .sortBy { case (node, d) => (-d, node) } // dot desc, id asc
+          .take(beam)
+          .map { case (node, _) => (qid, node) }
+      }
+    }
+    val nv = fetchVecs(frontier.map(_._2).distinct)
+    val out = frontier.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+      cs.map(_._2).distinct.filter(_ != qid)
+        .flatMap(node => nv.get(node).map(v => (node, dot(qv(qid), v))))
+        .sortBy { case (node, d) => (-d, node) }
+        .take(k).zipWithIndex
+        .map { case ((node, _), i) => (qid, node, (i + 1).toLong) }
+    }
+    out.toDF("query_id", "neighbor_id", "rank")
+  }
+
   /** Plain Lloyd's k-means over a driver-resident sample (seeded shuffle
     * init, fixed iterations, empty clusters keep their centroid) —
     * deterministic for a fixed seed and sample, which is what makes the

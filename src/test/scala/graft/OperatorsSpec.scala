@@ -2285,4 +2285,196 @@ class OperatorsSpec extends AnyFunSuite {
       "warm" -> ((35L, 350000L, 3L)),  // ceil(280/100) = 3
       "cold" -> ((25L, 250000L, 2L)))) // ceil(200/100) = 2
   }
+
+  test("doremi weights: fixed-point multiplicative updates match a scalar replay exactly") {
+    import graft.operators.Sampling
+    // a: 2 docs mean 10 (trails corpus mean 22 -> positive excess);
+    // b: mean 40, c: mean 30 (no excess — equal weights throughout)
+    val rows = Seq(("a", 10L), ("a", 10L), ("b", 40L), ("c", 30L)).toDF("source", "tk")
+    val got = Sampling.doremiWeights(rows, "source", "tk")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // scalar replay of the SAME integer arithmetic
+    val g = 90L / 4L
+    def excess(m: Long) = math.max(g - m, 0L) * 1048576L / math.max(g, 1L)
+    val e = Map("a" -> excess(10L), "b" -> excess(40L), "c" -> excess(30L))
+    var w = Map("a" -> 1048576L / 3, "b" -> 1048576L / 3, "c" -> 1048576L / 3)
+    for (_ <- 1 to 5) {
+      val raw = w.map { case (k, v) =>
+        k -> v * (1048576L + (262144L * e(k) / 1048576L)) / 1048576L }
+      val s = raw.values.sum
+      w = raw.map { case (k, v) => k -> v * 1048576L / s }
+    }
+    val fin = w.map { case (k, v) => k -> (v * (1048576L - 16384L) / 1048576L + 16384L / 3) }
+    assert(got("a") === ((2L, 10L, e("a"), fin("a"), fin("a").toDouble / 1048576)))
+    assert(got("b") === ((1L, 40L, 0L, fin("b"), fin("b").toDouble / 1048576)))
+    assert(got("c") === ((1L, 30L, 0L, fin("c"), fin("c").toDouble / 1048576)))
+    // MW semantics: the deficit domain is upweighted past uniform, the
+    // others split the remainder equally; total mass ~2^20 (div slack)
+    assert(fin("a") > 1048576L / 3 && fin("b") === fin("c"))
+    assert(math.abs(fin.values.sum - 1048576L) <= 8)
+    // zero iterations degenerate to smoothed uniform
+    val flat = Sampling.doremiWeights(rows, "source", "tk", iters = 0)
+      .select(col("weight_fp")).collect().map(_.getLong(0)).distinct
+    assert(flat.length === 1)
+  }
+
+  test("incremental CC write-back: a three-batch chain over REAL tables equals the full recompute") {
+    import graft.tables.{IcePartitionField, IcePartitionSpec}
+    // batches by doc_id % 3. The chain only closes if applyComponentDelta
+    // really updates BOTH tables between batches:
+    //  - Y: {9,12} cluster in b1 (comp 9); b2's 1 relabels it to comp 1;
+    //    b3's 14 pairs against the REFRESHED index rows — a stale
+    //    component 9 there would contract 14's super-edge onto a label
+    //    that no longer exists in the label table;
+    //  - Z: 4 (b2) & 2 (b3) — 2 pairs only with an index row APPENDED by
+    //    b2's write-back;
+    //  - W: 10 (b2, unclustered — appended with null component) & 8 (b3)
+    //    — first labels for an indexed-but-never-clustered doc;
+    //  - V: {3,6} b1-only cluster that must never rewrite;
+    //  - 7 (b2), 5/11 (b3): singletons, no rows anywhere.
+    val yBase = "parquet manifests snapshot metadata tables spark catalyst optimizer rules engine"
+    val zBase = "streaming watermark state store microbatch trigger offsets checkpoint recovery logic"
+    val wBase = "entirely standalone content speaking about nothing shared with any other documents"
+    val vBase = "colorless green ideas sleep furiously while the sun sets behind distant hills"
+    val all = Seq(
+      (9L, s"$yBase alpha"), (12L, s"$yBase beta"),   // b1
+      (3L, s"$vBase one"), (6L, s"$vBase two"),       // b1
+      (1L, s"$yBase gamma"),                          // b2: relabels Y
+      (4L, s"$zBase first"),                          // b2
+      (10L, s"$wBase uno"),                           // b2: unclustered
+      (7L, "isolated vocabulary entirely untouched by anything else written here today"), // b2
+      (13L, "another lonely text with words that match no sibling in this corpus"), // b2
+      (14L, s"$yBase delta"),                         // b3: joins Y
+      (2L, s"$zBase second"),                         // b3: pairs with 4
+      (8L, s"$wBase dos"),                            // b3: pairs with 10
+      (5L, "final solitary passage concerning matters shared with absolutely no neighbor"), // b3
+      (11L, "closing standalone remark whose tokens overlap nothing previously enumerated at all"), // b3
+    ).toDF("doc_id", "text")
+    val b1 = all.filter(col("doc_id") % 3 === 0)
+    val l1 = Dedup.textComponents(b1, "doc_id", "text",
+      shingleSize = 2, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4)
+    val withB = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("cbucket", pmod(col("component"), lit(16L)))
+    val ltbl = SparkEntry.freshTable(spark, "cc_chain_labels", withB(l1),
+      spec = sch => IcePartitionSpec(0, List(IcePartitionField(
+        sch.findField("cbucket").get.id, 1000, "identity", "cbucket_p"))))
+    ltbl.append(spark, withB(l1))
+    val idx1 = Dedup.minhashIndex(b1, "doc_id", "text",
+        shingleSize = 2, bands = 16, rowsPerBand = 4)
+      .join(l1, Seq("doc_id"), "left")
+    val itbl = SparkEntry.freshTable(spark, "cc_chain_index", idx1)
+    itbl.append(spark, idx1)
+    for (m <- Seq(1, 2)) {
+      val batch = all.filter(col("doc_id") % 3 === m)
+      val newOld = Dedup.incrementalPairs(batch, itbl.scan(spark),
+          "doc_id", "text", shingleSize = 2, bands = 16, rowsPerBand = 4,
+          jaccardThreshold = 0.4, keepIndexCols = Seq("component"))
+        .select(col("nid").as("sa"), coalesce(col("component"), col("iid")).as("sb"))
+      val newNew = Dedup.minhashLsh(batch, "doc_id", "text",
+          shingleSize = 2, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4)
+        .select(col("a").as("sa"), col("b").as("sb"))
+      val delta = Dedup.mergeComponentLabels(ltbl.scan(spark),
+        newOld.unionByName(newNew), "sa", "sb", bucketCol = Some(("cbucket", 16)))
+      Dedup.applyComponentDelta(spark, ltbl, itbl, delta,
+        Dedup.minhashIndex(batch, "doc_id", "text",
+          shingleSize = 2, bands = 16, rowsPerBand = 4),
+        bucketCol = Some(("cbucket", 16)))
+    }
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val chained = asMap(ltbl.scan(spark).select(col("doc_id"), col("component")))
+    val full = asMap(Dedup.textComponents(all, "doc_id", "text",
+      shingleSize = 2, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4))
+    assert(chained === full)
+    assert(chained(14L) === 1L && chained(12L) === 1L) // Y relabeled through the chain
+    assert(chained(2L) === 2L && chained(8L) === 8L && chained(3L) === 3L)
+    assert(!chained.contains(7L) && !chained.contains(5L))
+    // the INDEX's component column converged to the label table too —
+    // that is what batch 3's pair generation contracted against
+    val idxComp = itbl.scan(spark).select(col("doc_id"), col("component"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(idxComp(9L) === Some(1L) && idxComp(12L) === Some(1L))
+    assert(idxComp(10L) === Some(8L)) // unclustered-then-labeled refreshed
+    assert(idxComp(7L) === None)      // still unclustered, still indexed
+    assert(idxComp.size === all.count().toInt) // every doc findable by the next batch
+  }
+
+  test("persisted graph index: walk equals the in-session ann_beam walk; probes prune partitions") {
+    // synthetic 64-dim embeddings, 96 vectors -> k=4 cells (max(4, 96/250)),
+    // buckets = max(16, ceil(96/8)) = 16 at bucketTarget=8
+    val dim = 64
+    val vecs = (0L until 96L).map { i =>
+      val arr = Array.tabulate(dim)(d =>
+        (math.sin(i * 0.37 + d * 0.11) * 0.5 + (if (d % 4 == (i % 4).toInt) 0.45f else 0.0)).toFloat)
+      (i, arr.toSeq)
+    }.toDF("vec_id", "embedding")
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-beamidx-spec").toUri.toString.stripSuffix("/")
+    Similarity.buildGraphIndex(vecs, "vec_id", "embedding", loc, bucketTarget = 8)
+    val got = Similarity.graphIndexTopK(spark, loc, queryIds = 0L until 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    // replay the SAME walk in-session (the ann_beam shape): quantized
+    // vectors, kmeansFit cells, symmetrized cell-local top-5, rep entry,
+    // three beam-of-8 layers, final top-3 — results must be identical
+    import org.apache.spark.sql.expressions.Window
+    val (_, asg) = graft.operators.Clustering.kmeansFit(vecs, "vec_id", "embedding", k = 4, iters = 1)
+    val withCell = vecs.select(col("vec_id"),
+        transform(col("embedding"), x => floor(x.cast("double") * 1024).cast("long")).as("nv"))
+      .join(asg, "vec_id")
+    val dot = aggregate(zip_with(col("qv"), col("nv"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    val knn = withCell.select(col("cluster"), col("vec_id").as("src"), col("nv").as("qv"))
+      .join(withCell.select(col("cluster"), col("vec_id").as("dst"), col("nv")), Seq("cluster"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("dot_q", dot)
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("dot_q").desc, col("dst"))))
+      .filter(col("r") <= 5).select(col("src"), col("dst"))
+    val edges = knn.unionByName(knn.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val reps = withCell.groupBy("cluster").agg(min(col("vec_id")).as("rep"))
+    val qvecs = withCell.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("nv").as("qv"), col("cluster"))
+    var frontier = qvecs.join(reps, Seq("cluster")).select(col("qid"), col("rep").as("node"))
+    def rescore(f: org.apache.spark.sql.DataFrame) = f
+      .join(withCell.select(col("vec_id").as("node"), col("nv")), "node")
+      .join(qvecs.select(col("qid"), col("qv")), "qid")
+      .withColumn("dot_q", dot)
+    for (_ <- 1 to 3) {
+      val cand = frontier.unionByName(
+          frontier.join(edges, frontier("node") === edges("src"))
+            .select(col("qid"), col("dst").as("node")))
+        .distinct()
+      frontier = rescore(cand)
+        .withColumn("br", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("dot_q").desc, col("node"))))
+        .filter(col("br") <= 8).select(col("qid"), col("node"))
+    }
+    val want = rescore(frontier).filter(col("node") =!= col("qid"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dot_q").desc, col("node"))))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("node"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getInt(2).toLong) -> r.getLong(1)).toMap
+    assert(got === want)
+    // the scale claim itself: a frontier's point probe PRUNES FILES —
+    // the engine's planFilesPruned keeps only the probed buckets'
+    // partitions of the 16-bucket vectors table
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val vTbl = graft.tables.StorageCatalog.loadTable(hconf, s"$loc/vectors")
+    val snap = vTbl.metadata.currentSnapshot.get
+    val allFiles = vTbl.planFiles(snap).size
+    val pruned = vTbl.planFilesPruned(spark, snap,
+      Some(col("vbucket").isin(3L, 7L)), vTbl.metadata.currentSchema).size
+    assert(allFiles >= 16)
+    assert(pruned <= allFiles / 4,
+      s"expected <= ${allFiles / 4} files for 2 of 16 buckets, got $pruned of $allFiles")
+    // edges table prunes the same way on sbucket
+    val eTbl = graft.tables.StorageCatalog.loadTable(hconf, s"$loc/edges")
+    val esnap = eTbl.metadata.currentSnapshot.get
+    val eAll = eTbl.planFiles(esnap).size
+    val ePruned = eTbl.planFilesPruned(spark, esnap,
+      Some(col("sbucket").isin(0L)), eTbl.metadata.currentSchema).size
+    assert(ePruned < eAll)
+  }
 }
