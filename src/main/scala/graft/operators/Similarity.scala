@@ -407,7 +407,7 @@ object Similarity {
     require(n > 0, "empty corpus")
     val k = math.max(4, (n / cellDivisor).toInt)
     val buckets = math.max(16L, (n + bucketTarget - 1) / bucketTarget)
-    val (_, asg) = Clustering.kmeansFit(corpus, idCol, vecCol, k = k,
+    val (cents, asg) = Clustering.kmeansFit(corpus, idCol, vecCol, k = k,
       iters = 1, scale = scale)
     val withCell = corpus.select(
         col(idCol).cast("long").as("vec_id"),
@@ -453,6 +453,11 @@ object Similarity {
     writeTable("edges", edges, Some("sbucket"))
     writeTable("reps", reps, None)
     writeTable("conf", Seq(buckets).toDF("n_buckets"), None)
+    // the fitted integer centroids: what routes EXTERNAL query vectors
+    // (graphIndexSearch) to their entry cell — k rows, one per cell
+    writeTable("cents",
+      cents.map { case (cid, c) => (cid, c.toSeq) }.toDF("cluster", "centroid"),
+      None)
   }
 
   /** Search a [[buildGraphIndex]] index: IVF-routed entry (each query
@@ -482,9 +487,98 @@ object Similarity {
       beam: Int = 8,
       layers: Int = 3,
       maxBatch: Int = 4096): DataFrame = {
-    import spark.implicits._
     require(queryIds.nonEmpty && queryIds.size <= maxBatch,
       s"query batch ${queryIds.size} outside (0, $maxBatch] — shard bigger loads")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val vTbl = graft.tables.StorageCatalog.loadTable(hconf, s"$location/vectors")
+    val buckets = graft.tables.StorageCatalog.loadTable(hconf, s"$location/conf")
+      .scan(spark).collect()(0).getLong(0) // bounded: 1 config row
+    // entry: the queries' own rows (cluster + vector) by pruned point
+    // probe (vbucket prunes files, the id filter prunes rows), then
+    // each enters at its cell's representative; ids absent from the
+    // index are skipped
+    val qjids = queryIds.map(java.lang.Long.valueOf)
+    val qbuckets = queryIds
+      .map(i => java.lang.Long.valueOf(math.floorMod(i, buckets))).distinct
+    val qRows = vTbl.scan(spark, filter = Some(
+        col("vbucket").isin(qbuckets: _*) &&
+          col("vec_id").isin(qjids: _*)))
+      .select(col("vec_id"), col("nv"), col("cluster"))
+      .collect() // bounded: <= |queries| rows
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    val repOf = graft.tables.StorageCatalog.loadTable(hconf, s"$location/reps")
+      .scan(spark).collect() // bounded: one row per cell (k = n div 250)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qv: Map[Long, Array[Long]] = qRows.map(r => r._1 -> r._2).toMap
+    val entries: Seq[(Long, Long)] =
+      qRows.flatMap(r => repOf.get(r._3).map(rep => (r._1, rep))).toSeq
+    graphWalk(spark, location, qv, entries, k, beam, layers,
+      excludeSelf = true)
+  }
+
+  /** Search a [[buildGraphIndex]] index with EXTERNAL query vectors
+    * (ids are caller-chosen labels, vectors need not be index members):
+    * each query quantizes with the index's scale, routes to its entry
+    * cell by exact integer distance against the persisted centroids
+    * (ties to the lower cell id — the same ordering the build's
+    * assignment used), then runs the identical pruned beam walk.
+    * Collects are bounded by `k-cells + batch geometry`, never the
+    * corpus. */
+  def graphIndexSearch(
+      spark: org.apache.spark.sql.SparkSession,
+      location: String,
+      queries: Seq[(Long, Array[Float])],
+      k: Int = 3,
+      beam: Int = 8,
+      layers: Int = 3,
+      maxBatch: Int = 4096,
+      scale: Int = 1024): DataFrame = {
+    require(queries.nonEmpty && queries.size <= maxBatch,
+      s"query batch ${queries.size} outside (0, $maxBatch] — shard bigger loads")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "query ids must be unique within a batch")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val cents = graft.tables.StorageCatalog.loadTable(hconf, s"$location/cents")
+      .scan(spark).select(col("cluster"), col("centroid"))
+      .collect() // bounded: one row per cell (k = n div cellDivisor)
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    val repOf = graft.tables.StorageCatalog.loadTable(hconf, s"$location/reps")
+      .scan(spark).collect() // bounded: one row per cell
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qv: Map[Long, Array[Long]] = queries.map { case (qid, v) =>
+      qid -> v.map(x => math.floor(x.toDouble * scale).toLong)
+    }.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length && i < b.length) {
+        val t = a(i) - b(i); s += t * t; i += 1
+      }
+      s
+    }
+    val entries: Seq[(Long, Long)] = queries.flatMap { case (qid, _) =>
+      val best = cents.minBy { case (cid, c) => (d2(qv(qid), c), cid) }._1
+      repOf.get(best).map(rep => (qid, rep))
+    }
+    graphWalk(spark, location, qv, entries, k, beam, layers,
+      excludeSelf = false)
+  }
+
+  /** The shared pruned beam walk over a [[buildGraphIndex]] index:
+    * driver-resident frontier bounded by batch geometry, every index
+    * read a partition-pruned point probe. `excludeSelf` drops a result
+    * node equal to its query id (member queries must not return
+    * themselves); external searches keep it false — their ids are
+    * labels, not index members. */
+  private def graphWalk(
+      spark: org.apache.spark.sql.SparkSession,
+      location: String,
+      qv: Map[Long, Array[Long]],
+      entries: Seq[(Long, Long)],
+      k: Int,
+      beam: Int,
+      layers: Int,
+      excludeSelf: Boolean): DataFrame = {
+    import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
     val vTbl = graft.tables.StorageCatalog.loadTable(hconf, s"$location/vectors")
     val eTbl = graft.tables.StorageCatalog.loadTable(hconf, s"$location/edges")
@@ -493,9 +587,6 @@ object Similarity {
     def bucketsOf(ids: Iterable[Long]): Seq[java.lang.Long] =
       ids.map(i => java.lang.Long.valueOf(math.floorMod(i, buckets)))
         .toSeq.distinct
-    // pruned point probe: partition filter (vbucket) prunes files, the
-    // id filter prunes rows; returns (id -> quantized vector), bounded
-    // by |ids| which is bounded by the batch geometry above
     def fetchVecs(ids: Seq[Long]): Map[Long, Array[Long]] = {
       if (ids.isEmpty) return Map.empty
       val jids = ids.map(java.lang.Long.valueOf)
@@ -511,21 +602,7 @@ object Similarity {
       while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
       s
     }
-    // entry: the queries' own rows (cluster + vector) by pruned probe,
-    // then each enters at its cell's representative
-    val qjids = queryIds.map(java.lang.Long.valueOf)
-    val qRows = vTbl.scan(spark, filter = Some(
-        col("vbucket").isin(bucketsOf(queryIds): _*) &&
-          col("vec_id").isin(qjids: _*)))
-      .select(col("vec_id"), col("nv"), col("cluster"))
-      .collect() // bounded: <= |queries| rows
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
-    val repOf = graft.tables.StorageCatalog.loadTable(hconf, s"$location/reps")
-      .scan(spark).collect() // bounded: one row per cell (k = n div 250)
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val qv: Map[Long, Array[Long]] = qRows.map(r => r._1 -> r._2).toMap
-    var frontier: Seq[(Long, Long)] =
-      qRows.flatMap(r => repOf.get(r._3).map(rep => (r._1, rep))).toSeq
+    var frontier: Seq[(Long, Long)] = entries
     for (_ <- 1 to layers) {
       // adjacency probe for the frontier's nodes: sbucket prunes files,
       // src prunes rows; <= |frontier| * 2*degree rows come back
@@ -550,7 +627,7 @@ object Similarity {
     }
     val nv = fetchVecs(frontier.map(_._2).distinct)
     val out = frontier.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
-      cs.map(_._2).distinct.filter(_ != qid)
+      cs.map(_._2).distinct.filter(n => !excludeSelf || n != qid)
         .flatMap(node => nv.get(node).map(v => (node, dot(qv(qid), v))))
         .sortBy { case (node, d) => (-d, node) }
         .take(k).zipWithIndex

@@ -2476,5 +2476,30 @@ class OperatorsSpec extends AnyFunSuite {
     val ePruned = eTbl.planFilesPruned(spark, esnap,
       Some(col("sbucket").isin(0L)), eTbl.metadata.currentSchema).size
     assert(ePruned < eAll)
+    // EXTERNAL-vector search: an exact copy of member m's vector (under
+    // a fresh label id) drives the IDENTICAL walk — same quantization,
+    // same centroid routing, same scores — so its result is member m's
+    // result, except self-exclusion doesn't apply: if m itself sits in
+    // the final frontier it takes rank 1 and shifts the rest down
+    val qvecs8 = vecs.filter(col("vec_id") < 8)
+      .collect().map(r => (9000L + r.getLong(0),
+        r.getSeq[Float](1).toArray)).toSeq
+    val ext = Similarity.graphIndexSearch(spark, loc, qvecs8)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq }
+    val mem = got.toSeq.groupBy(_._1._1)
+      .map { case (q, rs) => q -> rs.sortBy(_._1._2).map(_._2).toSeq }
+    for (q <- 0L until 8L) {
+      val e = ext(9000L + q)
+      val m = mem(q)
+      // q inserts at its score's rank position (often 1 — self-dot) and
+      // pushes the tail out, or doesn't appear at all
+      assert(e === m || (e.contains(q) && e.filterNot(_ == q) === m.take(2)),
+        s"external search for copy of $q: got $e, member walk gave $m")
+    }
+    // at least one copy must rediscover its source (the member is
+    // reachable from its own cell's rep for SOME query)
+    assert((0L until 8L).exists(q => ext(9000L + q).contains(q)))
   }
 }
