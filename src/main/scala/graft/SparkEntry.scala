@@ -520,8 +520,10 @@ object SparkEntry {
             floor(x.cast(DoubleType) * 1024).cast(LongType)).as("nv"))
         .join(asg, "vec_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dot = aggregate(zip_with(col("qv"), col("nv"), (x, y) => x * y),
-        lit(0L), (acc, x) => acc + x)
+      // codegen'd integer dot (round-13): bit-identical to the
+      // aggregate(zip_with(*)) fold (same Long math, same order), but
+      // compiled — the interpreted HOF was the walk's per-row hot spot
+      val dot = vectors.dotLong(col("qv"), col("nv"))
       // SYMMETRIZED top-5 edges: HNSW/NSW links are bidirectional — a
       // hub every node points AT becomes a waypoint OUT of every node,
       // which is what makes greedy descent navigable. Measured at
@@ -551,31 +553,39 @@ object SparkEntry {
       val qvecs = withCell.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("nv").as("qv"), col("cluster"))
       () => {
+        // round-13 walk plan: each layer previously paid TWO keyed
+        // shuffles — a (qid, node) distinct, then a row_number window
+        // over qid. Both now fold into ONE groupBy(qid) aggregate:
+        // collect_set dedups candidates, and the per-query top-beam is
+        // an in-row sort/slice over the <= beam x (degree+1) element
+        // set. Ordering is exact: struct(-dot_q, node) sorts ascending
+        // = (dot desc, node asc), the window's order (negation cannot
+        // overflow: |dot| <= dims x scale^2 = 2^46). Candidate pairs
+        // duplicated between the frontier and an edge are rescored
+        // twice and collapsed by the set — cheaper than the distinct
+        // shuffle that prevented it, now that the dot is a codegen'd
+        // kernel. 2 Exchange per layer -> 1; same rows out.
         var frontier = qvecs.join(reps, Seq("cluster"))
           .select(col("qid"), col("rep").as("node"))
         def rescore(f: org.apache.spark.sql.DataFrame) = f
           .join(withCell.select(col("vec_id").as("node"), col("nv")), "node")
           .join(broadcast(qvecs.select(col("qid"), col("qv"))), "qid")
           .withColumn("dot_q", dot)
+        def topSet(scored: org.apache.spark.sql.DataFrame, k: Int) = scored
+          .groupBy(col("qid"))
+          .agg(slice(array_sort(collect_set(
+            struct((-col("dot_q")).as("nd"), col("node")))), 1, k).as("top"))
         for (_ <- 1 to 3) {
           val cand = frontier.unionByName(
-              frontier.join(edges, frontier("node") === edges("src"))
-                .select(col("qid"), col("dst").as("node")))
-            .distinct()
-          frontier = rescore(cand)
-            .withColumn("br", row_number().over(
-              Window.partitionBy(col("qid")).orderBy(col("dot_q").desc, col("node"))))
-            .filter(col("br") <= 8)
-            .select(col("qid"), col("node"))
+            frontier.join(edges, frontier("node") === edges("src"))
+              .select(col("qid"), col("dst").as("node")))
+          frontier = topSet(rescore(cand), 8)
+            .select(col("qid"), explode(col("top.node")).as("node"))
         }
-        rescore(frontier)
-          .filter(col("node") =!= col("qid"))
-          .withColumn("rank", row_number().over(
-            Window.partitionBy(col("qid")).orderBy(col("dot_q").desc, col("node")))
-            .cast(LongType))
-          .filter(col("rank") <= 3)
-          .select(col("qid").as("query_id"), col("node").as("neighbor_id"),
-            col("rank"))
+        topSet(rescore(frontier).filter(col("node") =!= col("qid")), 3)
+          .select(col("qid"), posexplode(col("top")).as(Seq("p", "s")))
+          .select(col("qid").as("query_id"), col("s.node").as("neighbor_id"),
+            (col("p") + 1).cast(LongType).as("rank"))
       }
     }),
     "ann_beam_index" -> ((s, dir) => {
@@ -2391,10 +2401,12 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = q.select(col("cluster"), col("vec_id").as("a"), col("q").as("qa"))
       val b = q.select(col("cluster"), col("vec_id").as("b"), col("q").as("qb"))
+      // codegen'd integer dot (round-13): bit-identical to the
+      // aggregate(zip_with(*)) fold it replaces, but compiled — the HOF
+      // form is CodegenFallback and its interpreted per-element eval
+      // dominated this cell-local pair scoring (n^2/k pairs x 64 dims)
       val pairs = a.join(b, Seq("cluster")).filter(col("a") =!= col("b"))
-        .withColumn("dot_q", aggregate(
-          zip_with(col("qa"), col("qb"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x))
+        .withColumn("dot_q", vectors.dotLong(col("qa"), col("qb")))
       pairs
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("a")).orderBy(col("dot_q").desc, col("b")))
@@ -3279,11 +3291,11 @@ object SparkEntry {
         k = 4, iters = 1)
       val qe = transform(col("embedding"),
         x => floor(x.cast(DoubleType) * 1024).cast(LongType))
+      // codegen'd L2 kernel per cell (round-13): bit-identical to the
+      // interpreted zip_with fold it replaces
       val cellCands = array(cents.map { case (cid, c) =>
         struct(
-          aggregate(
-            zip_with(qe, array(c.map(lit): _*), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x).as("d"),
+          vectors.l2sqLong(qe, c).as("d"),
           lit(cid).as("cid"))
       }: _*)
       val qCells = q.select(col("vec_id").as("qid"), col("embedding").as("qv"),

@@ -27,6 +27,87 @@ object VectorUtil {
     if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
   }
 
+  /** Exact integer dot product over two `array<long>` columns —
+    * bit-identical to `aggregate(zip_with(a, b, (x, y) => x * y), 0L,
+    * (acc, x) => acc + x)` for equal-length arrays (same index order,
+    * same wrapping Long arithmetic), but codegen'd: the HOF form is
+    * `CodegenFallback` and pays interpreted per-element eval on every
+    * row, which dominates pair-scoring stages (knn graphs, beam walks)
+    * where millions of 64-dim dots run per task. */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
+  /** Exact integer squared L2 distance over `array<long>` vs a literal
+    * centroid — bit-identical to the `aggregate(zip_with(e, cArr,
+    * (x, y) => (x - y) * (x - y)), 0L, _ + _)` fold (index order,
+    * wrapping Long arithmetic). */
+  def l2sqLong(a: ArrayData, cent: Array[Long]): Long = {
+    val n = math.min(a.numElements(), cent.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { val t = a.getLong(i) - cent(i); s += t * t; i += 1 }
+    s
+  }
+
+  /** Argmin cell over literal integer centroids: the codegen'd form of
+    * `array_min(array(struct(l2sq(e, c_k), cid_k)...)).cid` — strict
+    * less-than over centroids iterated in the caller's order, so with
+    * ascending-cid centroid arrays ties resolve to the LOWEST cid,
+    * exactly like the lexicographic struct min. */
+  def nearestCentroidQ(e: ArrayData, cents: Array[Array[Long]], cids: Array[Long]): Long = {
+    var best = 0
+    var bd = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val d = l2sqLong(e, cents(c))
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    cids(best)
+  }
+
+  /** Unit-normalize a FLOAT vector then argmin squared-L2 against double
+    * centroids (ascending cell order, strict less keeps the earlier =
+    * lower cell) — bit-identical to the expression pipeline
+    * `unitNorm(vec)` (norm accumulated as double over FLOAT x*x
+    * products, divisor `greatest(norm, 1e-12)`) followed by the
+    * `aggregate(centLit, struct(-1, MaxValue), keep-strictly-smaller)`
+    * fold of [[graft.operators.Similarity.addToIvfIndex]]. */
+  def assignCellFloat(v: ArrayData, cents: Array[Array[Double]], cells: Array[Int]): Int = {
+    val n = v.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i)
+      ss += (x * x).toDouble // float product, then widen — matches x * x in FloatType
+      i += 1
+    }
+    val norm = math.sqrt(ss)
+    val dn = if (norm > 1e-12) norm else 1e-12
+    var best = -1
+    var bd = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val m = math.min(n, cent.length)
+      var d2 = 0.0
+      var j = 0
+      while (j < m) {
+        val t = v.getFloat(j).toDouble / dn - cent(j)
+        d2 += t * t
+        j += 1
+      }
+      if (d2 < bd) { bd = d2; best = cells(c) }
+      c += 1
+    }
+    best
+  }
+
   /** Random-hyperplane LSH signature: bit i = sign(dot(v, p_i)) where the
     * pseudo-random plane components are derived seed-stably per (i, dim).
     * Vectors at small angle share most bits -> band on the signature to
@@ -84,6 +165,65 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): VectorNorm = copy(c)
 }
 
+case class DotProductLong(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_product_long"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorUtil.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorUtil.dotLong($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductLong =
+    copy(left = l, right = r)
+}
+
+case class L2SqLong(child: Expression, cent: Array[Long]) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "l2sq_long"
+  override def nullSafeEval(a: Any): Any =
+    VectorUtil.l2sqLong(a.asInstanceOf[ArrayData], cent)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centRef = ctx.addReferenceObj("cent", cent, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorUtil.l2sqLong($c, $centRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): L2SqLong = copy(child = c)
+}
+
+/** `cents` MUST be ordered ascending by `cids` — ties then resolve to
+  * the lowest cid, matching `array_min` over (dist, cid) structs. */
+case class NearestCentroidQ(child: Expression, cents: Array[Array[Long]], cids: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_centroid_q"
+  override def nullSafeEval(a: Any): Any =
+    VectorUtil.nearestCentroidQ(a.asInstanceOf[ArrayData], cents, cids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "long[][]")
+    val cidsRef = ctx.addReferenceObj("cids", cids, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorUtil.nearestCentroidQ($c, $centsRef, $cidsRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroidQ =
+    copy(child = c)
+}
+
+/** `cents` MUST be ordered ascending by `cells` (strict-less argmin keeps
+  * the earlier entry on ties, like the keep-strictly-smaller fold). */
+case class AssignCellFloat(child: Expression, cents: Array[Array[Double]], cells: Array[Int])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "assign_cell_float"
+  override def nullSafeEval(a: Any): Any =
+    VectorUtil.assignCellFloat(a.asInstanceOf[ArrayData], cents, cells)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val cellsRef = ctx.addReferenceObj("cells", cells, "int[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorUtil.assignCellFloat($c, $centsRef, $cellsRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): AssignCellFloat =
+    copy(child = c)
+}
+
 case class SignBits(child: Expression, bits: Int, seed: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "sign_bits"
@@ -100,6 +240,14 @@ object vectors {
     column(CosineSimilarity(expression(a), expression(b)))
   def dot(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+  def dotLong(a: Column, b: Column): Column =
+    column(DotProductLong(expression(a), expression(b)))
+  def l2sqLong(a: Column, cent: Array[Long]): Column =
+    column(L2SqLong(expression(a), cent))
+  def nearestCentroidQ(a: Column, cents: Array[Array[Long]], cids: Array[Long]): Column =
+    column(NearestCentroidQ(expression(a), cents, cids))
+  def assignCellFloat(a: Column, cents: Array[Array[Double]], cells: Array[Int]): Column =
+    column(AssignCellFloat(expression(a), cents, cells))
   def norm(a: Column): Column = column(VectorNorm(expression(a)))
   def signBits(a: Column, bits: Int = 16, seed: Int = 42): Column =
     column(SignBits(expression(a), bits, seed))

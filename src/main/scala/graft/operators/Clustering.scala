@@ -61,26 +61,26 @@ object Clustering {
         floor(x.cast("double") * lit(scale)).cast(LongType)).as("e"))
 
     def assignExpr(cents: Seq[(Long, Array[Long])]): Column = {
-      val cands = cents.map { case (cid, c) =>
-        val carr = array(c.map(lit): _*)
-        struct(
-          aggregate(
-            zip_with(col("e"), carr, (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x).as("dist"),
-          lit(cid).as("cid"))
-      }
-      array_min(array(cands: _*)).getField("cid")
+      // codegen'd argmin kernel (round-13): bit-identical to the previous
+      // array_min-over-(dist, cid)-structs literal fold — same wrapping
+      // Long arithmetic per dim, ascending-cid iteration with strict
+      // less-than = lexicographic struct min — but compiled instead of
+      // the CodegenFallback HOF fold, which evaluated k x d interpreted
+      // expression nodes per row
+      val sorted = cents.sortBy(_._1)
+      graft.functions.vectors.nearestCentroidQ(col("e"),
+        sorted.map(_._2).toArray, sorted.map(_._1).toArray)
     }
 
-    // Assignment stays the literal fold at EVERY k: the tempting
-    // alternative — broadcast centroid table + crossJoin + per-id
-    // min(struct(dist, cid)) — was implemented and MEASURED at the 100x
-    // probe (200k vectors, k=800, d=64): 245 s vs the literal fold's
-    // 136 s. Materializing n*k candidate rows, each duplicating two
-    // 64-long arrays, costs more than evaluating one large expression;
-    // brute-force assignment is compute-bound either way and the fold
-    // keeps it allocation-free. Revisit only if k*d outgrows the
-    // driver-literal budget itself (~10^5 values).
+    // Assignment stays a per-row argmin against driver-literal centroids
+    // at EVERY k: the tempting alternative — broadcast centroid table +
+    // crossJoin + per-id min(struct(dist, cid)) — was implemented and
+    // MEASURED at the 100x probe (200k vectors, k=800, d=64): 245 s vs
+    // the literal fold's 136 s. Materializing n*k candidate rows, each
+    // duplicating two 64-long arrays, costs more than evaluating the
+    // row-local argmin; brute-force assignment is compute-bound either
+    // way and the kernel keeps it allocation-free. Revisit only if k*d
+    // outgrows the driver-literal budget itself (~10^5 values).
     def assigned(cents: Seq[(Long, Array[Long])]): DataFrame =
       q.withColumn("cid", assignExpr(cents))
 
@@ -153,12 +153,11 @@ object Clustering {
       }
     // (dist, label) candidate structs; array_min orders lexicographically,
     // so ties on dist resolve to the lowest label id
+    // per-label distances via the codegen'd L2 kernel (bit-identical to
+    // the interpreted zip_with fold it replaces; see kmeansFit)
     val cands = array(cents.map { case (lbl, c) =>
-      val carr = array(c.map(lit): _*)
       struct(
-        aggregate(
-          zip_with(col("e"), carr, (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("dist"),
+        graft.functions.vectors.l2sqLong(col("e"), c).as("dist"),
         lit(lbl).as("clbl"))
     }: _*)
     val own = filter(cands, s => s.getField("clbl") === col("lbl"))

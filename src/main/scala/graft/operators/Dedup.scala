@@ -300,14 +300,24 @@ object Dedup {
     val d = delta.select(col("doc_id"), col("component"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val touched = d.count() // materialize before mutating what the plan reads
+    // the batch's index rows always land, labeled or not — unclustered
+    // docs must be findable by every later batch's pair generation
+    val fresh = batchIndex.join(d, Seq("doc_id"), "left")
     if (touched > 0) {
       val labeled = bucketCol match {
         case Some((bc, n)) =>
           d.withColumn(bc, pmod(col("component"), lit(n.toLong)))
         case None => d
       }
-      labels.equalityDelete(spark, d.select("doc_id"), Seq("doc_id"))
-      labels.append(spark, labeled)
+      // round-13: one upsert snapshot per table instead of separate
+      // equality-delete + append commits — identical table contents
+      // (the upsert's delete and data land at ONE sequence; eq deletes
+      // apply strictly below their sequence, exactly like the delete
+      // commit preceding the append did) at half the commit machinery
+      // (2 manifest/metadata writes per batch cycle, not 5). Delta doc
+      // ids are unique by construction, so the upsert's within-batch
+      // last-wins window is a no-op semantically.
+      labels.upsert(spark, labeled, keyCols = Seq("doc_id"))
       val snap = index.metadata.currentSnapshotId.get
       val old = index.scan(spark, snapshotId = Some(snap))
       val order = old.columns
@@ -315,16 +325,17 @@ object Dedup {
         .select(order.map(col): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       refreshed.count() // materialize off the pinned snapshot pre-delete
-      if (!refreshed.isEmpty) {
-        index.equalityDelete(spark, refreshed.select("doc_id"), Seq("doc_id"))
-        index.append(spark, refreshed)
-      }
+      // refreshed ids (pre-existing index rows) and the fresh batch's
+      // ids are disjoint slices of the corpus, so one upsert commits
+      // BOTH the component refresh and the batch append: the eq delete
+      // covers fresh ids too, a no-op (they have no older rows)
+      index.upsert(spark,
+        refreshed.unionByName(fresh.select(order.map(col): _*)),
+        keyCols = Seq("doc_id"))
       refreshed.unpersist()
+    } else {
+      index.append(spark, fresh)
     }
-    // the batch's index rows always land, labeled or not — unclustered
-    // docs must be findable by every later batch's pair generation
-    val fresh = batchIndex.join(d, Seq("doc_id"), "left")
-    index.append(spark, fresh)
     d.unpersist()
   }
 
@@ -786,20 +797,24 @@ object Dedup {
         .groupBy(col("s").as("id")).agg(min(col("comp")).as("ecomp"))
       // checkpointed: the pointer-jump self-joins `pulled` with itself,
       // and an uncheckpointed plan would re-run the edge join + groupBy
-      // once per side, every round
+      // once per side, every round. `prev` (the round-entry label) rides
+      // along so the convergence probe below is a FILTER over the
+      // checkpointed frame instead of a join back against `labels` —
+      // one keyed shuffle per round saved (round-13).
       val pulled = labels.join(viaEdges, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("ecomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("ecomp"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
         .localCheckpoint()
       val jumped = pulled
         .join(pulled.select(col("id").as("comp"), col("comp").as("comp2")),
           Seq("comp"), "left")
-        .select(col("id"), coalesce(col("comp2"), col("comp")).as("comp"))
+        .select(col("id"), coalesce(col("comp2"), col("comp")).as("comp"),
+          col("prev"))
         .localCheckpoint()
       val changed = jumped
-        .join(labels.withColumnRenamed("comp", "prev"), "id")
         .filter(col("comp") =!= col("prev")).limit(1).count()
-      labels = jumped
+      labels = jumped.select(col("id"), col("comp"))
       done = changed == 0
       round += 1
     }

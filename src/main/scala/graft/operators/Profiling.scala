@@ -156,19 +156,82 @@ object Profiling {
       scale: Int = 1024,
       topK: Int = 20): DataFrame = {
     require((scale & (scale - 1)) == 0, s"scale must be a power of two: $scale")
-    val q = df.select(transform(col(vecCol), x =>
-      floor(x.cast(DoubleType) * lit(scale)).cast(LongType)).as("q"))
-    val entries = q.select(explode(concat(
-        array(struct(lit(-1).as("i"), lit(-1).as("j"), lit(1L).as("v"))),
-        transform(sequence(lit(1), lit(dims)), i =>
-          struct(i.cast(IntegerType).as("i"), lit(-1).as("j"),
-            element_at(col("q"), i).as("v"))),
-        flatten(transform(sequence(lit(1), lit(dims)), i =>
-          transform(sequence(i, lit(dims)), j =>
-            struct(i.cast(IntegerType).as("i"), j.cast(IntegerType).as("j"),
-              (element_at(col("q"), i) * element_at(col("q"), j)).as("v")))))))
-        .as("x"))
-      .select(col("x.i").as("i"), col("x.j").as("j"), col("x.v").as("v"))
+    // round-13: the dims*(dims+3)/2 + 1 per-row entries previously built
+    // with nested interpreted HOF transforms + explode (CodegenFallback —
+    // ~2,145 expression-tree evals per vector) now accumulate inside ONE
+    // mapPartitions kernel that emits the PARTIAL SUMS directly: each
+    // partition contributes exactly one (i, j, partial) row per cell, the
+    // shuffle carries cells x partitions rows (identical to the previous
+    // map-side partial aggregation), and the DECIMAL(38,0) grand totals
+    // are bit-identical because integer addition is associative. Per-cell
+    // partials stay in Long: |q| <= scale * max|x| keeps a partition's
+    // partial far under 2^63 for any realistic partition row count (the
+    // count/moment/product magnitudes reach 2^63 only past ~2^40 rows per
+    // partition x unit-scale vectors). Null/NaN elements follow the old
+    // fold exactly: null dims skip their moment and products (SQL sum
+    // ignores null), NaN/Inf quantize through the same floor-then-toLong.
+    val q = df.select(col(vecCol).as("v"))
+    val cells = dims * (dims + 1) / 2
+    val outSchema = StructType(Seq(
+      StructField("i", IntegerType, nullable = false),
+      StructField("j", IntegerType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    val dimsL = dims
+    val scaleL = scale
+    val entries = q.mapPartitions { it =>
+      var n = 0L
+      val moments = new Array[Long](dimsL)
+      val prods = new Array[Long](cells)
+      val qv = new Array[Long](dimsL)
+      val nul = new Array[Boolean](dimsL)
+      it.foreach { r =>
+        val arr = if (r.isNullAt(0)) Seq.empty[Float] else r.getSeq[Float](0)
+        val m = math.min(dimsL, arr.length)
+        var i = 0
+        while (i < m) {
+          val x = arr(i)
+          qv(i) = math.floor(x.toDouble * scaleL).toLong
+          nul(i) = false
+          i += 1
+        }
+        while (i < dimsL) { nul(i) = true; i += 1 }
+        n += 1L
+        i = 0
+        var c = 0
+        while (i < dimsL) {
+          if (!nul(i)) moments(i) += qv(i)
+          var j = i
+          while (j < dimsL) {
+            if (!nul(i) && !nul(j)) prods(c) += qv(i) * qv(j)
+            j += 1; c += 1
+          }
+          i += 1
+        }
+      }
+      if (n == 0L) Iterator.empty
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+        out += org.apache.spark.sql.Row(-1, -1, n)
+        var i = 0
+        while (i < dimsL) {
+          out += org.apache.spark.sql.Row(i + 1, -1, moments(i))
+          i += 1
+        }
+        i = 0
+        var c = 0
+        while (i < dimsL) {
+          var j = i
+          while (j < dimsL) {
+            out += org.apache.spark.sql.Row(i + 1, j + 1, prods(c))
+            j += 1; c += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+    }
     val sums = entries.groupBy("i", "j")
       .agg(sum(col("v").cast(DecimalType(38, 0))).as("s"))
     val nRow = sums.filter(col("i") === -1 && col("j") === -1)

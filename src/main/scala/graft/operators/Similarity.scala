@@ -138,21 +138,24 @@ object Similarity {
       nprobe: Int = 2,
       trainLimit: Int = 100000,
       seed: Long = 7L): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c = corpus.select(
+    // round-13: driver-resident Lloyd's over the bounded sample + the
+    // codegen'd map-only assignment kernel, replacing the ML pipeline
+    // fit's ~15 distributed jobs (see buildIvfIndex for the rationale)
+    val sample: Array[Array[Double]] = corpus
+      .select(unitNorm(col(vecCol)).as("nv")).limit(trainLimit)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val centArrs = kmeansDriver(sample, numCells, iters = 10, seed = seed)
+    val assigned = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      array_to_vector(unitNorm(col(vecCol))).as("nv"))
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(numCells).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("nv").setPredictionCol("cell")
-    val model = km.fit(c.limit(trainLimit))
-    val assigned = model.transform(c).select(col("neighbor_id"), col("cv"), col("cell"))
+      vectors.assignCellFloat(col(vecCol), centArrs,
+        Array.tabulate(numCells)(identity)).as("cell"))
     // probe cells: nprobe nearest centroids by the SAME euclidean metric
     // the assignment used (broadcast the centroid table; it is tiny)
-    val cents = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "centroid")
+    val cents = centArrs.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cell", "centroid")
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qv"),
       unitNorm(col(vecCol)).as("nq"))
@@ -198,20 +201,31 @@ object Similarity {
       numCells: Int = 16,
       trainLimit: Int = 100000,
       seed: Long = 7L): Unit = {
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      array_to_vector(unitNorm(col(vecCol))).as("nv"))
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(numCells).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("nv").setPredictionCol("cell")
-    val model = km.fit(c.limit(trainLimit))
-    val assigned = model.transform(c)
-      .select(col("neighbor_id"), col("cv").as("vec"), col("cell"))
-    val cents = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "centroid")
+    // round-13: k-means training moved from the ML pipeline fit (a
+    // kmeans|| init plus up to 10 distributed Lloyd passes — ~15 Spark
+    // jobs over what is BY CONSTRUCTION a bounded sample) to the same
+    // driver-resident Lloyd's the PQ codebooks already use: collect the
+    // <= trainLimit unit-normalized sample once (the identical bound the
+    // ML path trained on — faiss sizes IVF training the same way;
+    // 100k x 64 dims x 8B = 51 MB driver ceiling), fit locally, then
+    // assign the WHOLE corpus map-only with the codegen'd argmin kernel
+    // (strict-less over ascending cells = the probe's (d2, cell)
+    // ordering). The probe contract is unchanged: assignment and cell
+    // ranking use the same euclidean metric over unit-normalized
+    // vectors, so a planted near-copy still routes to its source's cell.
+    val sample: Array[Array[Double]] = corpus
+      .select(unitNorm(col(vecCol)).as("nv")).limit(trainLimit)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val centArrs = kmeansDriver(sample, numCells, iters = 10, seed = seed)
+    val assigned = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
+      vectors.assignCellFloat(col(vecCol), centArrs,
+        Array.tabulate(numCells)(identity)).as("cell"))
+    val cents = centArrs.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cell", "centroid")
     val conf = spark.sparkContext.hadoopConfiguration
     val aSchema = graft.tables.SchemaConvert.fromSparkSchema(assigned.schema)
     val aTbl = graft.tables.StorageCatalog.createOrReplaceTable(
@@ -350,25 +364,15 @@ object Similarity {
     }
 
     // ---- assignment: per-row argmin over the literal centroid table ----
-    val centLit = array(cents.map { case (cell, cv) =>
-      struct(lit(cell).as("cell"), array(cv.map(lit): _*).as("centroid"))
-    }: _*)
-    val nq = unitNorm(col(vecCol))
-    // fold keeps the strictly-smaller d2, so ties keep the earlier
-    // (lower-numbered) cell — the same order the probe's (d2, cell)
-    // ranking uses
-    val best = aggregate(
-      centLit,
-      struct(lit(-1).as("cell"), lit(Double.MaxValue).as("d2")),
-      (acc, c) => {
-        val d2 = aggregate(zip_with(nq, c.getField("centroid"),
-          (a, b) => (a - b) * (a - b)), lit(0.0d), (s, x) => s + x)
-        when(d2 < acc.getField("d2"),
-          struct(c.getField("cell").as("cell"), d2.as("d2"))).otherwise(acc)
-      })
+    // codegen'd kernel (round-13), bit-identical to the previous
+    // interpreted struct fold: unit-normalize (same double arithmetic,
+    // same greatest(norm, 1e-12) divisor), squared-L2 per cell in dim
+    // order, strict-less keeps the earlier (lower-numbered) cell — the
+    // same order the probe's (d2, cell) ranking uses
     val assigned = batch.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
-      best.getField("cell").as("cell"))
+      vectors.assignCellFloat(col(vecCol),
+        cents.map(_._2), cents.map(_._1)).as("cell"))
     aTbl.append(spark, assigned)
   }
 
@@ -415,8 +419,9 @@ object Similarity {
           floor(x.cast("double") * lit(scale)).cast("long")).as("nv"))
       .join(asg.select(col(idCol).cast("long").as("vec_id"), col("cluster")),
         "vec_id")
-    val dot = aggregate(zip_with(col("qv"), col("nv"), (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x)
+    // codegen'd integer dot (round-13): bit-identical to the previous
+    // aggregate(zip_with(*)) fold, compiled instead of interpreted
+    val dot = vectors.dotLong(col("qv"), col("nv"))
     // symmetrized cell-local top-`degree` by exact integer dot — the
     // embed_knn_graph/ann_beam edge convention (symmetrization is what
     // makes greedy descent navigable: hubs become waypoints OUT)
