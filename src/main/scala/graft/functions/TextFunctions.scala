@@ -110,13 +110,24 @@ object TextUtil {
   /** MinHash signature straight from a precomputed shingle-hash array —
     * lets a plan compute shingles once and reuse them for both the
     * signature and the exact-Jaccard verify step. */
+  // the k permutation constants depend only on k — memoize per JVM
+  // (round-13): the inline form re-derived 2k seed-string hashes per ROW,
+  // a constant that dominated signature cost on short shingle sets
+  private val minhashPerms =
+    new java.util.concurrent.ConcurrentHashMap[Integer, (Array[Long], Array[Long])]()
+  private def permsOf(k: Int): (Array[Long], Array[Long]) =
+    minhashPerms.computeIfAbsent(k, _ => (
+      Array.tabulate(k)(i => hash64(s"minhash-a-$i") | 1L),
+      Array.tabulate(k)(i => hash64(s"minhash-b-$i"))))
+
   def minhashOfShingles(shingles: ArrayData, k: Int): ArrayData = {
     val m = shingles.numElements()
+    val (as, bs) = permsOf(k)
     val sig = new Array[Long](k)
     var i = 0
     while (i < k) {
-      val a = hash64(s"minhash-a-$i") | 1L
-      val b = hash64(s"minhash-b-$i")
+      val a = as(i)
+      val b = bs(i)
       var best = Long.MaxValue
       var j = 0
       while (j < m) {

@@ -112,18 +112,39 @@ object VectorUtil {
     * pseudo-random plane components are derived seed-stably per (i, dim).
     * Vectors at small angle share most bits -> band on the signature to
     * bucket near-duplicate candidates without an all-pairs shuffle. */
+  // the (bits x dims) hyperplane matrix depends only on (seed, bits, dims)
+  // — memoize per JVM (round-13): the inline form re-derived bits*dims
+  // seed-string hashes per ROW (2,560 at bits=40/d=64), which dominated
+  // the signature stage of every sign-LSH query. Values are identical:
+  // the same hash64 -> (-1, 1) mapping, materialized once.
+  private val planeCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, Int), Array[Double]]()
+  private def planesOf(seed: Int, bits: Int, n: Int): Array[Double] =
+    planeCache.computeIfAbsent((seed, bits, n), _ => {
+      val p = new Array[Double](bits * n)
+      var i = 0
+      while (i < bits) {
+        var j = 0
+        while (j < n) {
+          val h = TextUtil.hash64(s"plane-$seed-$i-$j")
+          p(i * n + j) = h.toDouble / Long.MaxValue.toDouble
+          j += 1
+        }
+        i += 1
+      }
+      p
+    })
+
   def signBits(v: ArrayData, bits: Int, seed: Int): Long = {
     val n = v.numElements()
+    val planes = planesOf(seed, bits, n)
     var out = 0L
     var i = 0
     while (i < bits) {
       var s = 0.0
       var j = 0
       while (j < n) {
-        // map a 64-bit hash to (-1, 1) deterministically
-        val h = TextUtil.hash64(s"plane-$seed-$i-$j")
-        val r = (h.toDouble / Long.MaxValue.toDouble)
-        s += r * v.getFloat(j)
+        s += planes(i * n + j) * v.getFloat(j)
         j += 1
       }
       if (s >= 0) out |= (1L << i)
