@@ -219,7 +219,7 @@ object Bench {
     "pipeline_quality_filter" -> 0.374, "q_window_running" -> 0.161,
     "q_events_sessions" -> 0.610, "q_events_hourly" -> 0.287,
     "t_temporal_transforms" -> 0.161, "t_bucket_transforms" -> 0.196,
-    "dedup_exact" -> 0.254, "dedup_lsh_pairs" -> 0.785,
+    "dedup_exact" -> 0.254, "dedup_lsh_pairs" -> 0.62,
     "dedup_simhash" -> 0.149, "ann_brute_force" -> 0.348,
     "text_quality" -> 0.146, "text_langid" -> 0.138,
     // ice
@@ -240,12 +240,12 @@ object Bench {
     // dedup
     // dedup_semantic re-baselined in r11: embedding pre-collapse trade
     // (~+2s at sf0.1 buys 100x linearity AND recall — see BENCH_SF1.md)
-    "dedup_semantic" -> 5.400, "dedup_substrings" -> 0.312,
+    "dedup_semantic" -> 5.0, "dedup_substrings" -> 0.312,
     "dedup_winnow" -> 2.080, "dedup_softweight" -> 3.471,
-    "dedup_incremental" -> 0.613, "dedup_incremental_embed" -> 0.223,
+    "dedup_incremental" -> 0.55, "dedup_incremental_embed" -> 0.223,
     "dedup_sweep" -> 0.630, "dedup_prefix" -> 0.472,
     "dedup_stats" -> 2.849, "dedup_containment" -> 1.528,
-    "sample_split_leakfree" -> 3.170, "text_linededup" -> 0.189,
+    "sample_split_leakfree" -> 2.9, "text_linededup" -> 0.189,
     // texta
     "text_bm25" -> 0.824, "text_dsir" -> 1.147,
     "text_perplexity" -> 2.978, "text_nb_classify" -> 0.952,
@@ -259,7 +259,7 @@ object Bench {
     "text_deciles" -> 0.689, "corpus_lengths" -> 0.353,
     "corpus_stats" -> 0.428, "corpus_overlap" -> 0.474,
     "corpus_source_quality" -> 0.285, "profile_columns" -> 0.773,
-    "profile_drift" -> 0.352, "cluster_affinity" -> 0.422,
+    "profile_drift" -> 0.352, "cluster_affinity" -> 0.30,
     // select
     "select_budget" -> 1.183, "select_auc" -> 0.752,
     "select_calibration" -> 1.110, "sample_stratified_k" -> 0.293,
@@ -270,7 +270,7 @@ object Bench {
     // pipe
     "pipeline_corpus" -> 1.558, "pipeline_curriculum" -> 2.383,
     "pipeline_incremental" -> 1.359, "pipeline_webclean" -> 0.274,
-    "cluster_kmeans" -> 0.578, "embed_quantize" -> 0.154,
+    "cluster_kmeans" -> 0.45, "embed_quantize" -> 0.154,
     "embed_quantize_int4" -> 0.165, "ann_ivf_pq" -> 2.106,
     "pack_concat" -> 0.675, "pack_balanced" -> 0.655,
     "pack_efficiency" -> 0.301, "decontaminate_cut" -> 0.192,
@@ -301,22 +301,22 @@ object Bench {
     "sql_mor_delete_jumbo" -> 0.568,
     // r11 (3 quiet forked runs, medians; ann_index_update times the
     // full build + append + probe maintenance cycle by design)
-    "ann_index_update" -> 10.299, "cluster_topics" -> 1.364,
+    "ann_index_update" -> 4.8, "cluster_topics" -> 1.364,
     "text_vocab_sweep" -> 0.433, "text_domains" -> 0.193,
     "dedup_url" -> 0.198, "text_pii_sources" -> 0.166,
     "cluster_cells" -> 0.486,
     // r11 close wave (3 quiet forked full-group runs, medians; the third
     // run measured 1.3x ambient across the whole group and the medians
     // absorb it)
-    "graph_domain_rank" -> 0.468, "embed_anisotropy" -> 3.507,
+    "graph_domain_rank" -> 0.468, "embed_anisotropy" -> 0.9,
     "text_cdc_chunks" -> 0.820,
     // r11b (solo group — the streaming maintenance cycle commits many
     // micro-batch appends; spread 10.4-16.7 across quiet runs)
-    "stream_ann_index" -> 9.145,
+    "stream_ann_index" -> 4.2,
     // r11c (3 quiet forked runs, medians; the knn-graph build includes
     // its adaptive-k kmeans assignment — k=8 at sf0.1 — by design;
     // stream_markov times table setup + two streamed micro-batches)
-    "embed_knn_graph" -> 5.047, "q_events_markov" -> 0.592,
+    "embed_knn_graph" -> 2.3, "q_events_markov" -> 0.592,
     "stream_markov" -> 3.546, "dedup_cdc_cut" -> 0.491,
     "pipeline_domains" -> 0.936, "ann_filtered" -> 0.413,
     "dedup_cdc_incremental" -> 0.953,
@@ -351,10 +351,10 @@ object Bench {
     // r12 (3 quiet forked runs, medians, canary-stamped ~1.0-1.2x;
     // dedup_cc_incremental is OP-ONLY: the batch-2 pair-gen + merge,
     // with batch-1 clustering/table builds as untimed setup)
-    "dedup_cc_incremental" -> 3.549, "ann_multiprobe" -> 0.908,
+    "dedup_cc_incremental" -> 3.549, "ann_multiprobe" -> 0.80,
     // ann_beam re-baselined to WALK-only in-round (the graph build moved
     // to untimed setup — the HNSW model; embed_knn_graph prices builds)
-    "ann_beam" -> 3.812, "graph_rank_incremental" -> 1.760,
+    "ann_beam" -> 2.7, "graph_rank_incremental" -> 1.760,
     // r12b (3 forked runs, medians — loaded windows, canary 1.4-2.7x;
     // conservative like the r11g/r11h mints)
     "stats_hll_incremental" -> 2.662, "stats_cm_incremental" -> 2.964,
@@ -366,7 +366,7 @@ object Bench {
     // ann_beam_index and dedup_cc_writeback are op-only — builds /
     // batch-1 states untimed)
     "ann_beam_index" -> 1.42,
-    "dedup_cc_writeback" -> 6.757,
+    "dedup_cc_writeback" -> 6.3,
     "mix_doremi" -> 1.239,
   )
 

@@ -416,14 +416,22 @@ object SparkEntry {
       val l1 = Dedup.textComponents(evens, "doc_id", "text",
         shingleSize = 2, bands = 16, rowsPerBand = 4, jaccardThreshold = 0.4)
       val withB = l1.withColumn("cbucket", pmod(col("component"), lit(16L)))
+      // write.upsert.dedup=false: the write-back upserts carry UNIQUE
+      // keys by construction (one label row per doc in the delta; the
+      // index refresh and batch-append slices are disjoint halves of
+      // the corpus), so the upsert's within-batch last-wins window — a
+      // keyed shuffle of the WIDE index rows (shingle sets + band
+      // keys) — is pure overhead here (round-13)
+      val noDedup = Map("write.upsert.dedup" -> "false")
       val ltbl = freshTable(s, "ccw_labels", withB,
         spec = sch => IcePartitionSpec(0, List(IcePartitionField(
-          sch.findField("cbucket").get.id, 1000, "identity", "cbucket_p"))))
+          sch.findField("cbucket").get.id, 1000, "identity", "cbucket_p"))),
+        properties = noDedup)
       ltbl.append(s, withB)
       val idx = Dedup.minhashIndex(evens, "doc_id", "text",
           shingleSize = 2, bands = 16, rowsPerBand = 4)
         .join(l1, Seq("doc_id"), "left")
-      val itbl = freshTable(s, "ccw_index", idx)
+      val itbl = freshTable(s, "ccw_index", idx, properties = noDedup)
       itbl.append(s, idx)
       () => {
         val newOld = Dedup.incrementalPairs(odds, itbl.scan(s),
