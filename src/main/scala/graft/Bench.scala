@@ -242,7 +242,7 @@ object Bench {
     // (~+2s at sf0.1 buys 100x linearity AND recall — see BENCH_SF1.md)
     "dedup_semantic" -> 5.0, "dedup_substrings" -> 0.312,
     "dedup_winnow" -> 2.080, "dedup_softweight" -> 3.471,
-    "dedup_incremental" -> 0.55, "dedup_incremental_embed" -> 0.223,
+    "dedup_incremental" -> 0.60, "dedup_incremental_embed" -> 0.223,
     "dedup_sweep" -> 0.630, "dedup_prefix" -> 0.472,
     "dedup_stats" -> 2.849, "dedup_containment" -> 1.528,
     "sample_split_leakfree" -> 2.9, "text_linededup" -> 0.189,
