@@ -141,6 +141,36 @@ object TextUtil {
     new GenericArrayData(sig)
   }
 
+  /** Word-n-gram join over a token array (see [[NgramsJoin]]): window i
+    * = tokens i..i+n-1 joined by single spaces; null tokens skipped
+    * without a separator (concat_ws), optional first-occurrence distinct
+    * (array_distinct binary equality). Empty array below n tokens. */
+  def ngramsJoin(tokens: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val cnt = len - n + 1
+    val out = new java.util.ArrayList[AnyRef](cnt)
+    val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
+    var i = 0
+    while (i < cnt) {
+      val sb = new java.lang.StringBuilder()
+      var first = true
+      var j = 0
+      while (j < n) {
+        if (!tokens.isNullAt(i + j)) {
+          if (!first) sb.append(' ')
+          sb.append(tokens.getUTF8String(i + j).toString)
+          first = false
+        }
+        j += 1
+      }
+      val g = UTF8String.fromString(sb.toString)
+      if (seen == null || seen.add(g)) out.add(g)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** LSH band keys from a minhash signature: hash of each band's r rows.
     * Docs sharing any band key are near-duplicate candidates. */
   def bandKeys(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
@@ -278,6 +308,28 @@ object TextUtil {
   }
 }
 
+/** Codegen'd word-n-gram join over a TOKEN ARRAY column — the compiled
+  * form of the `(n-1)`-fold `zip_with(slice, slice, concat_ws(" "))`
+  * reduce (round-13): bit-identical output — window i joins tokens
+  * i..i+n-1 with single spaces, null tokens are skipped WITHOUT a
+  * separator (concat_ws semantics), `distinct` keeps first occurrence
+  * under binary string equality (array_distinct semantics) — but one
+  * compiled pass instead of n-1 interpreted CodegenFallback HOF evals
+  * per row. Callers keep their `when(size >= n, ...)` guard, so the
+  * short/null-text branches are untouched. */
+case class NgramsJoin(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1: $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ngrams_join"
+  override def nullSafeEval(v: Any): Any =
+    TextUtil.ngramsJoin(v.asInstanceOf[ArrayData], n, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextUtil.ngramsJoin($c, $n, $distinct)")
+  override protected def withNewChildInternal(c: Expression): NgramsJoin = copy(child = c)
+}
+
 /** Expression plumbing shared by the unary text kernels. */
 abstract class TextKernelExpression extends UnaryExpression {
   protected def helperCall(c: String): String
@@ -387,6 +439,8 @@ object text {
   def normalize(c: Column): Column = column(NormalizeText(expression(c)))
   def simhash(c: Column): Column = column(SimHash64(expression(c)))
   def shingles(c: Column, n: Int): Column = column(ShingleHashes(expression(c), n))
+  def ngramsJoin(tokens: Column, n: Int, distinct: Boolean): Column =
+    column(NgramsJoin(expression(tokens), n, distinct))
   def minhash(c: Column, shingleSize: Int, numHashes: Int): Column =
     column(MinHashSignature(expression(c), shingleSize, numHashes))
   def minhashOfShingles(shingles: Column, numHashes: Int): Column =

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
 
+import graft.functions.text
+
 /** Benchmark decontamination: flag training documents that share any
   * word n-gram with an evaluation/benchmark set (the standard 13-gram
   * overlap check LLM pipelines run before training).
@@ -67,12 +69,13 @@ object Decontamination {
     * expressions PER ELEMENT — an O(len²) re-split per document that
     * project-collapsing can re-introduce even if staged as a column. */
   private[graft] def wordNgrams(textC: Column, n: Int): Column = {
+    // round-13: the (n-1)-fold zip_with/concat_ws reduce is now the
+    // codegen'd ngramsJoin kernel (bit-identical output; HOFs are
+    // CodegenFallback and at n=13 the reduce paid 12 interpreted passes
+    // over the token array per document). Tokenization and the
+    // short/null-text guard are unchanged.
     val w = split(trim(textC), "\\s+")
-    val cnt = size(w) - (n - 1)
-    when(size(w) >= n,
-      array_distinct(
-        (0 until n).map(o => slice(w, lit(o + 1), cnt))
-          .reduce((acc, p) => zip_with(acc, p, (a, b) => concat_ws(" ", a, b)))))
+    when(size(w) >= n, text.ngramsJoin(w, n, distinct = true))
       .otherwise(array().cast(ArrayType(StringType)))
   }
 
@@ -118,10 +121,7 @@ object Decontamination {
     * token array) — [[wordNgrams]] minus the distinct, for span math. */
   private[graft] def wordNgramsPositional(textC: Column, n: Int): Column = {
     val w = split(trim(textC), "\\s+")
-    val cnt = size(w) - (n - 1)
-    when(size(w) >= n,
-      (0 until n).map(o => slice(w, lit(o + 1), cnt))
-        .reduce((acc, p) => zip_with(acc, p, (a, b) => concat_ws(" ", a, b))))
+    when(size(w) >= n, text.ngramsJoin(w, n, distinct = false))
       .otherwise(array().cast(ArrayType(StringType)))
   }
 
