@@ -80,14 +80,17 @@ object SparkEntry {
     * split (lower + non-alnum boundaries, empties dropped); shingles
     * join 3 consecutive tokens with single spaces. Map-only, so it
     * applies unchanged to STREAMING frames. */
+  // round-14: the shingle pipeline is ONE compiled pass (ngramsJoinClean
+  // — skip-empty tokenize + 3-gram space-join, bit-identical to the
+  // previous filter(len>0) + transform(sequence, concat) HOF chain whose
+  // stages were all CodegenFallback; equivalence property-tested in
+  // KernelEquivalenceSpec). Feeds every sketch/stream shingle consumer:
+  // stream_hll/stream_cm drains, stats_hll*, stats_countmin,
+  // stats_cm_incremental, stats_hll_incremental/sources/overlap.
   private def shinglesOf(df: DataFrame, keep: Seq[String] = Nil): DataFrame =
-    df.select((keep.map(col) :+ filter(
-        split(lower(coalesce(col("text"), lit(""))), "[^a-z0-9]+"),
-        x => length(x) > 0).as("w")): _*)
-      .select((keep.map(col) :+ explode(expr(
-        "CASE WHEN size(w) < 3 THEN CAST(array() AS ARRAY<STRING>) " +
-          "ELSE transform(sequence(0, size(w) - 3), " +
-          "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])) END")).as("sh")): _*)
+    df.select((keep.map(col) :+ explode(graft.functions.text.ngramsJoinClean(
+        split(lower(coalesce(col("text"), lit(""))), "[^a-z0-9]+"), 3))
+      .as("sh")): _*)
 
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
     shinglesOf(t(s, dir, "documents"))

@@ -171,6 +171,136 @@ object TextUtil {
     new GenericArrayData(out.toArray)
   }
 
+  /** Word-n-gram join that SKIPS null and empty tokens before windowing
+    * (round-14): one compiled pass equivalent to
+    * `ngramsJoin(filter(tokens, t => length(t) > 0), n, distinct = false)`
+    * — i.e. the `filter(split(lower(text), "[^a-z0-9]+"), len > 0)` +
+    * `transform(sequence(0, size(w)-3), i -> concat(w[i],' ',...))`
+    * shingle pipeline, whose HOF stages are all CodegenFallback
+    * (interpreted per window per row). Empty array below n kept tokens. */
+  def ngramsJoinClean(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    // collect non-null, non-empty token indices first (the filter() stage)
+    val keep = new Array[Int](len)
+    var m = 0
+    var t = 0
+    while (t < len) {
+      if (!tokens.isNullAt(t) && tokens.getUTF8String(t).numBytes() > 0) {
+        keep(m) = t; m += 1
+      }
+      t += 1
+    }
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val cnt = m - n + 1
+    val out = new Array[AnyRef](cnt)
+    var i = 0
+    while (i < cnt) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(keep(i + j)).toString)
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Char-trigram shingles of an (already lower-cased) string — the
+    * compiled form of the charLmNll expression
+    * `zip_with(zip_with(slice(c,1,n-2), slice(c,2,n-2), concat),
+    *           slice(c,3,n-2), concat)` over `c = split(s, "")`
+    * (round-14). Spark's empty-pattern split yields one element per
+    * UNICODE CODE POINT with no trailing empty element (surrogate pairs
+    * stay whole, combining marks are their own elements), so gram i =
+    * code points i..i+2 and a string of n code points yields exactly
+    * n-2 grams (empty below 3). Bit-identical to the expression form:
+    * concat of adjacent code-point substrings equals the substring over
+    * their span. Lower-casing stays OUTSIDE the kernel (callers pass
+    * `lower(col)`), so Spark's own lowercase semantics are untouched. */
+  def charTrigrams(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    val n = str.codePointCount(0, len)
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val offs = new Array[Int](n + 1)
+    var i = 0
+    var p = 0
+    while (p < len) {
+      offs(i) = p
+      p += Character.charCount(str.codePointAt(p))
+      i += 1
+    }
+    offs(n) = len
+    val out = new Array[AnyRef](n - 2)
+    i = 0
+    while (i < n - 2) {
+      out(i) = UTF8String.fromString(str.substring(offs(i), offs(i + 3)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Hashed-feature bucket histogram (round-14): counts per md5-prefix
+    * bucket over the non-empty tokens of a split token array — one
+    * compiled pass equivalent to the interpreted pipeline
+    * `_toks = filter(tokens, len > 0)`;
+    * `_tb = transform(_toks, t => substring(md5(t), 1, hexChars))`;
+    * `array(size(filter(_tb, == id_0)), ..., size(filter(_tb, == id_B)))`
+    * (1 + 1 + 16^hexChars HOF passes per row in Selection.dsirWeights /
+    * nbClassify). Bucket index = value of the first `hexChars` hex
+    * digits of md5(token-utf8) — exactly the digit-string equality the
+    * expression form used, because `bucketIds` enumerates the ids in
+    * ascending hex order. Null/empty tokens are skipped (filter
+    * semantics). */
+  def md5BucketCounts(tokens: ArrayData, hexChars: Int): ArrayData = {
+    require(hexChars >= 1 && hexChars <= 2, s"1 or 2 hex chars: $hexChars")
+    val counts = new Array[Long](1 << (4 * hexChars))
+    val md = md5Local.get()
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        if (t.numBytes() > 0) {
+          val d = md.digest(t.getBytes)
+          val b = if (hexChars == 1) (d(0) >> 4) & 0xf else d(0) & 0xff
+          counts(b) += 1L
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  /** Sum of per-gram micro-nat log-probs under a driver-built model map
+    * (round-14): the map-only form of charLmNll's scoring
+    * `explode(grams) -> broadcast LEFT JOIN model -> sum(coalesce(_lm,
+    * oov)) GROUP BY doc` — same integers in any order (Long addition is
+    * exact and commutative), so per-doc sums are bit-identical while the
+    * explode, the join and the per-doc shuffle disappear. */
+  def sumModelMicro(
+      grams: ArrayData,
+      model: java.util.HashMap[UTF8String, java.lang.Long],
+      oov: Long): Long = {
+    var s = 0L
+    var i = 0
+    val n = grams.numElements()
+    while (i < n) {
+      val v = model.get(grams.getUTF8String(i))
+      s += (if (v == null) oov else v.longValue())
+      i += 1
+    }
+    s
+  }
+
   /** LSH band keys from a minhash signature: hash of each band's r rows.
     * Docs sharing any band key are near-duplicate candidates. */
   def bandKeys(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
@@ -330,6 +460,76 @@ case class NgramsJoin(child: Expression, n: Int, distinct: Boolean)
   override protected def withNewChildInternal(c: Expression): NgramsJoin = copy(child = c)
 }
 
+/** Codegen'd empty-skipping word-n-gram join (round-14): equivalent to
+  * `NgramsJoin(filter(tokens, len > 0), n, distinct = false)` but one
+  * compiled pass — the shingle pipeline of the sketch/stream family
+  * (`shinglesOf`), whose filter+transform HOF stages were interpreted. */
+case class NgramsJoinClean(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1: $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ngrams_join_clean"
+  override def nullSafeEval(v: Any): Any =
+    TextUtil.ngramsJoinClean(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextUtil.ngramsJoinClean($c, $n)")
+  override protected def withNewChildInternal(c: Expression): NgramsJoinClean =
+    copy(child = c)
+}
+
+/** Codegen'd char-trigram shingles of an already-lowered string
+  * (round-14) — see [[TextUtil.charTrigrams]] for the exact
+  * `split(s, "")`-equivalence contract. */
+case class CharTrigrams(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_trigrams"
+  override def nullSafeEval(v: Any): Any =
+    TextUtil.charTrigrams(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextUtil.charTrigrams($c)")
+  override protected def withNewChildInternal(c: Expression): CharTrigrams =
+    copy(child = c)
+}
+
+/** Codegen'd md5-prefix bucket histogram over a token array (round-14)
+  * — see [[TextUtil.md5BucketCounts]]. */
+case class Md5BucketCounts(child: Expression, hexChars: Int)
+    extends UnaryExpression {
+  require(hexChars >= 1 && hexChars <= 2, s"1 or 2 hex chars: $hexChars")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_bucket_counts"
+  override def nullSafeEval(v: Any): Any =
+    TextUtil.md5BucketCounts(v.asInstanceOf[ArrayData], hexChars)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextUtil.md5BucketCounts($c, $hexChars)")
+  override protected def withNewChildInternal(c: Expression): Md5BucketCounts =
+    copy(child = c)
+}
+
+/** Codegen'd per-doc micro-nat model fold (round-14): sums the model's
+  * quantized log-prob (or `oov`) over a grams array — the map-only form
+  * of charLmNll's explode + broadcast-join + per-doc sum. The model map
+  * rides the plan as a reference object (task binaries are broadcast
+  * per stage, so it ships once per executor, like the join relation it
+  * replaces). */
+case class SumModelMicro(
+    child: Expression,
+    model: java.util.HashMap[UTF8String, java.lang.Long],
+    oov: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sum_model_micro"
+  override def nullSafeEval(v: Any): Any =
+    TextUtil.sumModelMicro(v.asInstanceOf[ArrayData], model, oov)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("model", model, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextUtil.sumModelMicro($c, $mapRef, ${oov}L)")
+  }
+  override protected def withNewChildInternal(c: Expression): SumModelMicro =
+    copy(child = c)
+}
+
 /** Expression plumbing shared by the unary text kernels. */
 abstract class TextKernelExpression extends UnaryExpression {
   protected def helperCall(c: String): String
@@ -441,6 +641,17 @@ object text {
   def shingles(c: Column, n: Int): Column = column(ShingleHashes(expression(c), n))
   def ngramsJoin(tokens: Column, n: Int, distinct: Boolean): Column =
     column(NgramsJoin(expression(tokens), n, distinct))
+  def ngramsJoinClean(tokens: Column, n: Int): Column =
+    column(NgramsJoinClean(expression(tokens), n))
+  def charTrigrams(lowered: Column): Column =
+    column(CharTrigrams(expression(lowered)))
+  def md5BucketCounts(tokens: Column, hexChars: Int): Column =
+    column(Md5BucketCounts(expression(tokens), hexChars))
+  def sumModelMicro(
+      grams: Column,
+      model: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long],
+      oov: Long): Column =
+    column(SumModelMicro(expression(grams), model, oov))
   def minhash(c: Column, shingleSize: Int, numHashes: Int): Column =
     column(MinHashSignature(expression(c), shingleSize, numHashes))
   def minhashOfShingles(shingles: Column, numHashes: Int): Column =

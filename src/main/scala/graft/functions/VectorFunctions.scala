@@ -33,7 +33,14 @@ object VectorUtil {
     * same wrapping Long arithmetic), but codegen'd: the HOF form is
     * `CodegenFallback` and pays interpreted per-element eval on every
     * row, which dominates pair-scoring stages (knn graphs, beam walks)
-    * where millions of 64-dim dots run per task. */
+    * where millions of 64-dim dots run per task.
+    *
+    * MISMATCHED LENGTHS (round-14 doc): the kernel truncates to the
+    * shorter array (partial dot) where the zip_with fold returned NULL
+    * (zip_with null-pads, nulling the sum). Every declared vector family
+    * is fixed-dims so the difference is unobservable there; do NOT reuse
+    * this kernel on ragged input expecting null propagation. Same note
+    * applies to [[l2sqLong]]. */
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0L
@@ -77,7 +84,16 @@ object VectorUtil {
     * `unitNorm(vec)` (norm accumulated as double over FLOAT x*x
     * products, divisor `greatest(norm, 1e-12)`) followed by the
     * `aggregate(centLit, struct(-1, MaxValue), keep-strictly-smaller)`
-    * fold of [[graft.operators.Similarity.addToIvfIndex]]. */
+    * fold of [[graft.operators.Similarity.addToIvfIndex]].
+    *
+    * KNOWN DIVERGENCES on degenerate input (round-14 doc): a NaN vector
+    * propagated NaN through the old `greatest(norm, 1e-12)` (every cell
+    * skipped -> cell -1) while this kernel's `norm > 1e-12` test is
+    * false for NaN, so it divides by 1e-12 and assigns a real cell; a
+    * dims-mismatched vector gets a partial-distance assignment instead
+    * of -1. Declared embeddings are finite fixed-dims floats (oracle-
+    * gated), so neither case is reachable there — keep degenerate-input
+    * screening UPSTREAM of this kernel if inputs stop being curated. */
   def assignCellFloat(v: ArrayData, cents: Array[Array[Double]], cells: Array[Int]): Int = {
     val n = v.numElements()
     var ss = 0.0
@@ -106,6 +122,64 @@ object VectorUtil {
       c += 1
     }
     best
+  }
+
+  /** Power-of-two integer quantization of a FLOAT vector (round-14):
+    * element i = floor(v_i as double * scale) as long — bit-identical to
+    * the `transform(vec, x => floor(x.cast(double) * scale).cast(long))`
+    * expression (which was CodegenFallback). Like the other vector
+    * kernels, assumes non-null elements (the declared embeddings'
+    * contract). */
+  def quantizeFloat(v: ArrayData, scale: Int): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(v.getFloat(i).toDouble * scale).toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Centroid-cosine parts for [[graft.operators.Similarity.centroidOutliers]]
+    * (round-14): quantize the FLOAT vector once, then return
+    * (dot, qq) where `dot` = Σ q_i * cent_i accumulated EXACTLY as the
+    * replaced `aggregate(zip_with(e, cArr, a*b), DECIMAL(38,0) 0, +)`
+    * fold did — per-element products in wrapping Long (zip_with's
+    * LongType multiply), the running sum exact at any magnitude (Long
+    * fast path, BigInteger past Long range) — and `qq` = Σ q_i²
+    * in Long (bounded by dims*scale² for unit-scale vectors regardless
+    * of corpus size, like the old Long fold). A dims mismatch returns a
+    * NULL dot, mirroring zip_with's null-padding nulling the sum. */
+  def centroidCosParts(
+      v: ArrayData, cent: Array[Long], scale: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    var qq = 0L
+    var acc = 0L
+    var big: java.math.BigInteger = null
+    val lenOk = n == cent.length
+    var i = 0
+    while (i < n) {
+      val q = math.floor(v.getFloat(i).toDouble * scale).toLong
+      qq += q * q
+      if (lenOk) {
+        val p = q * cent(i) // wrapping multiply, exactly like zip_with's LongType *
+        if (big == null) {
+          val r = acc + p
+          if (((acc ^ r) & (p ^ r)) < 0) // signed-overflow test (Math.addExact)
+            big = java.math.BigInteger.valueOf(acc)
+              .add(java.math.BigInteger.valueOf(p))
+          else acc = r
+        } else big = big.add(java.math.BigInteger.valueOf(p))
+      }
+      i += 1
+    }
+    val dot: Decimal =
+      if (!lenOk) null
+      else if (big == null) Decimal(BigDecimal(acc), 38, 0)
+      else Decimal(BigDecimal(new java.math.BigDecimal(big)), 38, 0)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](dot, qq))
   }
 
   /** Random-hyperplane LSH signature: bit i = sign(dot(v, p_i)) where the
@@ -242,6 +316,39 @@ case class AssignCellFloat(child: Expression, cents: Array[Array[Double]], cells
       c => s"graft.functions.VectorUtil.assignCellFloat($c, $centsRef, $cellsRef)")
   }
   override protected def withNewChildInternal(c: Expression): AssignCellFloat =
+    copy(child = c)
+}
+
+/** Codegen'd power-of-two float-vector quantization (round-14) — see
+  * [[VectorUtil.quantizeFloat]]. */
+case class QuantizeFloat(child: Expression, scale: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "quantize_float"
+  override def nullSafeEval(a: Any): Any =
+    VectorUtil.quantizeFloat(a.asInstanceOf[ArrayData], scale)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorUtil.quantizeFloat($c, $scale)")
+  override protected def withNewChildInternal(c: Expression): QuantizeFloat =
+    copy(child = c)
+}
+
+/** Codegen'd centroid-cosine parts (round-14) — see
+  * [[VectorUtil.centroidCosParts]]. `dot` is nullable (dims mismatch,
+  * mirroring zip_with's null-padding). */
+case class CentroidCosParts(child: Expression, cent: Array[Long], scale: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("dot", DecimalType(38, 0), nullable = true),
+    StructField("qq", LongType, nullable = false)))
+  override def prettyName: String = "centroid_cos_parts"
+  override def nullSafeEval(a: Any): Any =
+    VectorUtil.centroidCosParts(a.asInstanceOf[ArrayData], cent, scale)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centRef = ctx.addReferenceObj("cent", cent, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorUtil.centroidCosParts($c, $centRef, $scale)")
+  }
+  override protected def withNewChildInternal(c: Expression): CentroidCosParts =
     copy(child = c)
 }
 

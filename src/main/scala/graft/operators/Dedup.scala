@@ -289,7 +289,18 @@ object Dedup {
     * untouched components are never rewritten. The delta materializes
     * BEFORE either mutation (its plan reads both tables), and the index
     * refresh reads the pinned pre-delete snapshot — the same
-    * read-your-own-delete discipline as the sketch-state tables. */
+    * read-your-own-delete discipline as the sketch-state tables.
+    *
+    * INVARIANTS (round-14, load-bearing for the single-upsert commits):
+    * `delta.doc_id` must be UNIQUE (mergeComponentLabels emits one row
+    * per relabeled doc) and `batchIndex.doc_id` must be DISJOINT from
+    * the pre-existing index's ids (batches are disjoint corpus slices).
+    * A violated invariant would silently land duplicate index rows on
+    * the bench tables (which set `write.upsert.dedup=false`) or
+    * silently drop the refreshed row under the default last-wins dedup.
+    * Set `spark.graft.debug.assert-upsert-unique=true` to fail loudly
+    * instead: each upsert input is then counted against its distinct
+    * key count (one cheap aggregate per table, off the bench path). */
   def applyComponentDelta(
       spark: org.apache.spark.sql.SparkSession,
       labels: graft.tables.GraftTable,
@@ -300,6 +311,15 @@ object Dedup {
     val d = delta.select(col("doc_id"), col("component"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val touched = d.count() // materialize before mutating what the plan reads
+    val assertUnique = spark.conf
+      .get("spark.graft.debug.assert-upsert-unique", "false").toBoolean
+    def requireUniqueKeys(df: DataFrame, what: String): Unit = if (assertUnique) {
+      val r = df.agg(count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("nd")).head()
+      require(r.getLong(0) == r.getLong(1),
+        s"$what upsert input violates doc_id uniqueness: " +
+          s"${r.getLong(0)} rows over ${r.getLong(1)} distinct ids")
+    }
     // the batch's index rows always land, labeled or not — unclustered
     // docs must be findable by every later batch's pair generation
     val fresh = batchIndex.join(d, Seq("doc_id"), "left")
@@ -317,6 +337,7 @@ object Dedup {
       // (2 manifest/metadata writes per batch cycle, not 5). Delta doc
       // ids are unique by construction, so the upsert's within-batch
       // last-wins window is a no-op semantically.
+      requireUniqueKeys(labeled, "labels")
       labels.upsert(spark, labeled, keyCols = Seq("doc_id"))
       val snap = index.metadata.currentSnapshotId.get
       val old = index.scan(spark, snapshotId = Some(snap))
@@ -329,9 +350,9 @@ object Dedup {
       // ids are disjoint slices of the corpus, so one upsert commits
       // BOTH the component refresh and the batch append: the eq delete
       // covers fresh ids too, a no-op (they have no older rows)
-      index.upsert(spark,
-        refreshed.unionByName(fresh.select(order.map(col): _*)),
-        keyCols = Seq("doc_id"))
+      val indexUp = refreshed.unionByName(fresh.select(order.map(col): _*))
+      requireUniqueKeys(indexUp, "index")
+      index.upsert(spark, indexUp, keyCols = Seq("doc_id"))
       refreshed.unpersist()
     } else {
       index.append(spark, fresh)

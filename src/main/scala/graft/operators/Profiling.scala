@@ -142,13 +142,16 @@ object Profiling {
     * then runs through broadcast self-joins. Nothing row-sized crosses
     * the wire.
     *
-    * Exactness: components quantize to integers (floor(x*scale)); sums
-    * accumulate as DECIMAL(38,0) so no overflow at any corpus size; the
-    * covariance numerator n*S_ij - S_i*S_j is exact integer arithmetic,
-    * and the reported `cov_q2` = sign * (|num| div n^2) — covariance in
-    * quantized-unit^2, scale-invariant in magnitude — uses truncating
-    * division on the absolute value so engines with different negative-
-    * division conventions still agree. */
+    * Exactness: components quantize to integers (floor(x*scale)) and
+    * accumulate in TWO exact stages — per-partition partials in Long
+    * (overflow needs ~2^43 unit-scale rows per partition; far beyond any
+    * real task), grand totals across partitions in DECIMAL(38,0) — so
+    * totals are exact at any corpus size; the covariance numerator
+    * n*S_ij - S_i*S_j is exact integer arithmetic, and the reported
+    * `cov_q2` = sign * (|num| div n^2) — covariance in quantized-unit^2,
+    * scale-invariant in magnitude — uses truncating division on the
+    * absolute value so engines with different negative-division
+    * conventions still agree. */
   def embeddingAnisotropy(
       df: DataFrame,
       vecCol: String,
@@ -168,8 +171,12 @@ object Profiling {
     // partial far under 2^63 for any realistic partition row count (the
     // count/moment/product magnitudes reach 2^63 only past ~2^40 rows per
     // partition x unit-scale vectors). Null/NaN elements follow the old
-    // fold exactly: null dims skip their moment and products (SQL sum
-    // ignores null), NaN/Inf quantize through the same floor-then-toLong.
+    // fold exactly: a null element ANYWHERE in the array (and every
+    // position past a short array's length) skips its moment and products
+    // (SQL sum ignores null), NaN/Inf quantize through the same
+    // floor-then-toLong. Elements are read with NUMERIC WIDENING
+    // (round-14) so array<float>/array<double>/array<int> inputs all take
+    // the cast-to-double path the expression form used.
     val q = df.select(col(vecCol).as("v"))
     val cells = dims * (dims + 1) / 2
     val outSchema = StructType(Seq(
@@ -187,13 +194,18 @@ object Profiling {
       val qv = new Array[Long](dimsL)
       val nul = new Array[Boolean](dimsL)
       it.foreach { r =>
-        val arr = if (r.isNullAt(0)) Seq.empty[Float] else r.getSeq[Float](0)
+        val arr =
+          if (r.isNullAt(0)) Seq.empty[AnyRef] else r.getSeq[AnyRef](0)
         val m = math.min(dimsL, arr.length)
         var i = 0
         while (i < m) {
-          val x = arr(i)
-          qv(i) = math.floor(x.toDouble * scaleL).toLong
-          nul(i) = false
+          arr(i) match {
+            case x: java.lang.Number =>
+              qv(i) = math.floor(x.doubleValue() * scaleL).toLong
+              nul(i) = false
+            case _ => // null element inside the array: skip its cells
+              nul(i) = true
+          }
           i += 1
         }
         while (i < dimsL) { nul(i) = true; i += 1 }

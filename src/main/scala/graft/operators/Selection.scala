@@ -15,9 +15,6 @@ import org.apache.spark.sql.types._
   */
 object Selection {
 
-  /** lower-cased word tokens, same tokenizer as TextAnalysis/bm25 */
-  private def toks(textCol: Column): Column =
-    filter(split(lower(textCol), "[^a-z0-9]+"), x => length(x) > 0)
 
   /** Exact quantile bucketing (curriculum/quality deciles): assign every
     * document its global rank-derived bucket in (score, id) order —
@@ -185,16 +182,18 @@ object Selection {
       isTarget: Column,
       hexChars: Int = 1): DataFrame = {
     val ids = bucketIds(hexChars)
-    // per-doc bucket counts computed ONCE into an array column: hash each
-    // token ONCE (md5 is the expensive step — hashing inside each bucket
-    // filter would cost B md5s per token), then B cheap string-equality
-    // folds over the tiny bucket strings; no explode, no shuffle
+    // per-doc bucket counts computed ONCE into an array column — no
+    // explode, no shuffle. round-14: the tokenize-filter + per-token md5
+    // + B string-equality folds (1 + 1 + B interpreted HOF passes per
+    // row) are now ONE compiled pass (TextUtil.md5BucketCounts —
+    // bit-identical counts, equivalence property-tested in
+    // KernelEquivalenceSpec); n_tokens below is the exact bucket-count
+    // sum (every non-empty token lands in exactly one bucket).
     val based = df.select(
-      col(idCol), toks(col(textCol)).as("_toks"), isTarget.as("_is_t"))
-      .withColumn("_tb",
-        transform(col("_toks"), w => substring(md5(w), 1, hexChars)))
-      .withColumn("_bc", array(ids.map(b =>
-        size(filter(col("_tb"), x => x === b)).cast(LongType)): _*))
+      col(idCol),
+      graft.functions.text.md5BucketCounts(
+        split(lower(col(textCol)), "[^a-z0-9]+"), hexChars).as("_bc"),
+      isTarget.as("_is_t"))
 
     def bucketCount(i: Int): Column = col("_bc")(i)
 
@@ -222,7 +221,7 @@ object Selection {
       .reduce(_ + _)
     based.select(
       col(idCol),
-      size(col("_toks")).cast(LongType).as("n_tokens"),
+      ids.indices.map(bucketCount).reduce(_ + _).as("n_tokens"),
       round(score, 6).as("dsir_score"))
   }
 
@@ -233,9 +232,10 @@ object Selection {
     *
     * Scale design: the model is ONE aggregate over the target slice's
     * trigrams (char-trigram vocabularies are small — collected to the
-    * driver, re-emitted as a broadcast relation); scoring explodes each
-    * doc's trigrams into a BROADCAST hash join + one groupBy(doc) — the
-    * corpus never shuffles except keyed by doc id for the final fold.
+    * driver, re-emitted as a plan-resident hash map); scoring is
+    * MAP-ONLY (each doc's gram array folds against the model map
+    * in-row — round-14; previously explode + broadcast join + one
+    * groupBy(doc) shuffle) — nothing about the corpus shuffles.
     *
     * Determinism across engines is engineered, not hoped for: per-trigram
     * log-probs are quantized to integer MICRO-NATS and summed as longs
@@ -249,27 +249,25 @@ object Selection {
       textCol: String,
       isTarget: Column,
       minCount: Long = 2L): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    // trigrams via two zip_withs over shifted CHARACTER slices — the
-    // slices are function arguments (evaluated once per row); an
-    // index-transform whose lambda substr'd the lowered text would
-    // re-lowercase the whole document PER TRIGRAM (O(len²))
-    val chars = split(lower(col(textCol)), "")
-    val cnt = size(chars) - 2
-    val grams = zip_with(
-      zip_with(slice(chars, lit(1), cnt), slice(chars, lit(2), cnt),
-        (a, b) => concat(a, b)),
-      slice(chars, lit(3), cnt),
-      (ab, c) => concat(ab, c))
-    val tg = df.filter(length(col(textCol)) >= 3)
-      .select(col(idCol), isTarget.as("_is_t"), explode(grams).as("g"))
+    // round-14: trigram construction is ONE compiled pass
+    // (TextUtil.charTrigrams — code-point trigrams of the lowered text,
+    // bit-identical to the previous 4x split + 2x interpreted zip_with
+    // expression; equivalence property-tested incl. surrogates and
+    // combining marks in KernelEquivalenceSpec) and SCORING is MAP-ONLY:
+    // the driver-built micro-nat model folds over each doc's gram array
+    // via sumModelMicro instead of explode -> broadcast join -> per-doc
+    // shuffle. Long sums are exact in any order, so every nll is
+    // bit-identical to the join form.
+    val grams = graft.functions.text.charTrigrams(lower(col(textCol)))
+    val kept = df.filter(length(col(textCol)) >= 3)
     // the model: one aggregate over the target slice. total/vocab fold to
     // ONE distributed row, and the minCount filter runs BELOW the collect
     // — only the kept vocabulary reaches the driver. (The singleton long
     // tail of a 100 TB multilingual slice — CJK trigram spaces run to
     // millions+ — must never land on the driver.)
-    val gcounts = tg.filter(col("_is_t")).groupBy(col("g"))
+    val gcounts = kept.filter(isTarget)
+      .select(explode(grams).as("g"))
+      .groupBy(col("g"))
       .agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (total, vocab, counts) =
@@ -284,16 +282,21 @@ object Selection {
     def micro(v: Double): Long =
       (if (v >= 0) math.floor(v * 1e6 + 0.5) else math.ceil(v * 1e6 - 0.5)).toLong
     val denom = total + vocab + 1.0
-    val model = counts.toSeq
-      .map(r => (r.getString(0), micro(math.log((r.getLong(1) + 1.0) / denom))))
+    val model = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
+    counts.foreach { r =>
+      model.put(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+        java.lang.Long.valueOf(micro(math.log((r.getLong(1) + 1.0) / denom))))
+    }
     val oovMicro = micro(math.log(1.0 / denom))
-    val modelDf = model.toDF("g", "_lm")
-    tg.join(broadcast(modelDf), Seq("g"), "left")
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_grams"),
-        round(-(sum(coalesce(col("_lm"), lit(oovMicro))).cast(DoubleType) / 1e6)
-          / count(lit(1)), 6).as("nll"))
+    kept
+      .select(col(idCol), grams.as("_g"))
+      .select(col(idCol),
+        size(col("_g")).cast(LongType).as("n_grams"),
+        graft.functions.text.sumModelMicro(col("_g"), model, oovMicro).as("_sm"))
+      .select(col(idCol), col("n_grams"),
+        round(-(col("_sm").cast(DoubleType) / 1e6) / col("n_grams"), 6).as("nll"))
   }
 
   /** Hashed-feature Naive-Bayes quality classifier (the fastText-style
@@ -320,13 +323,13 @@ object Selection {
       isTrain: Column,
       hexChars: Int = 1): DataFrame = {
     val ids = bucketIds(hexChars)
+    // round-14: bucket histogram is one compiled pass (md5BucketCounts),
+    // replacing the 1 + 1 + B interpreted HOF passes — see dsirWeights
     val based = df.select(
-      col(idCol), toks(col(textCol)).as("_toks"),
+      col(idCol),
+      graft.functions.text.md5BucketCounts(
+        split(lower(col(textCol)), "[^a-z0-9]+"), hexChars).as("_bc"),
       isPositive.as("_pos"), isTrain.as("_tr"))
-      .withColumn("_tb",
-        transform(col("_toks"), w => substring(md5(w), 1, hexChars)))
-      .withColumn("_bc", array(ids.map(b =>
-        size(filter(col("_tb"), x => x === b)).cast(LongType)): _*))
     def bucketCount(i: Int): Column = col("_bc")(i)
 
     val aggs =

@@ -192,7 +192,18 @@ object Similarity {
     * This is the durable form of [[ivfCentroidTopK]]: train once, write
     * once, then any number of query batches pay only `nprobe/numCells` of
     * the corpus in I/O — the 100 TB layout where re-training or full
-    * scans per query batch are not an option. */
+    * scans per query batch are not an option.
+    *
+    * CENTROID CONVENTION (round-14 doc): since round 13 the centroids
+    * come from the driver-resident seeded-shuffle Lloyd's below, NOT the
+    * old Spark-ML kmeans|| fit — an index persisted by the pre-r13 code
+    * carries differently-converged centroids. Mixing conventions is
+    * SAFE for correctness (probe ranking is exact euclidean against
+    * whatever centroids the index persisted — both build and probe read
+    * the same `centroids` table) but recall characteristics of stale
+    * indexes were tuned under the old fit; rebuild long-lived indexes
+    * when upgrading across r13. Every declared query builds and probes
+    * within one run, so the oracle never sees a mixed-convention index. */
   def buildIvfIndex(
       corpus: DataFrame,
       idCol: String,
